@@ -1,13 +1,177 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.analytics.Gold
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one implemented operator/pipeline from
+  * SURVEY.md §2; `oracleSql` carries the DuckDB-equivalent SQL over the
+  * same parquet tables (column names aliased identically on both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Gold.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val analyticsQueries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
+    "q2_daily_user_activity" -> ((s, d) => Gold.dailyUserActivity(Tables.events(s, d))),
+    "q3_daily_txn_analytics" -> ((s, d) =>
+      Gold.dailyTransactionAnalytics(Tables.orders(s, d), Tables.customer(s, d))),
+    "q4_user_ltv" -> ((s, d) =>
+      Gold.userLtv(Tables.orders(s, d), Tables.events(s, d), Tables.customer(s, d))),
+    "q5_cohort_retention" -> ((s, d) => Gold.cohortRetention(Tables.orders(s, d))),
+    "q6_daily_kpis" -> ((s, d) =>
+      Gold.dailyKpis(Tables.orders(s, d), Tables.events(s, d), Tables.customer(s, d))),
+    "q7_top_customers" -> ((s, d) => Gold.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
+    "q8_region_revenue" -> ((s, d) =>
+      Gold.regionRevenue(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))))
+
+  def queries: Map[String, Q] = analyticsQueries
+
+  private val analyticsOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_daily_user_activity" ->
+      """SELECT *, ROUND((last_event_sec - first_event_sec) / 60.0, 4) AS session_duration_minutes,
+         total_events >= 5 AS is_power_user FROM (
+           SELECT CAST(ts AS DATE) AS event_date, user_id,
+             COUNT(*) AS total_events,
+             COUNT(DISTINCT event_type) AS distinct_event_types,
+             CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
+             CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_events,
+             CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_events,
+             CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS first_event_sec,
+             CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS last_event_sec
+           FROM events GROUP BY 1, 2)""",
+    "q3_daily_txn_analytics" ->
+      """SELECT *, ROUND(CAST(fulfilled_orders AS DOUBLE) / CAST(total_orders AS DOUBLE), 4) AS success_rate,
+         CASE WHEN total_amount >= 500000 THEN 'ENTERPRISE'
+              WHEN total_amount >= 100000 THEN 'LARGE'
+              WHEN total_amount >= 10000 THEN 'MEDIUM'
+              ELSE 'SMALL' END AS customer_segment FROM (
+           SELECT CAST(o.o_orderdate AS DATE) AS order_date, c.c_mktsegment,
+             COUNT(*) AS total_orders,
+             COUNT(DISTINCT o.o_custkey) AS distinct_customers,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_amount,
+             MIN(o.o_totalprice) AS min_amount,
+             MAX(o.o_totalprice) AS max_amount,
+             CAST(SUM(CASE WHEN o.o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
+             CAST(SUM(CASE WHEN o.o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+             CAST(SUM(CASE WHEN o.o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+             COUNT(DISTINCT o.o_orderpriority) AS distinct_priorities
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2)""",
+    "q4_user_ltv" ->
+      """WITH txn AS (
+           SELECT o_custkey AS user_id, COUNT(*) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_order_value,
+             CAST(FLOOR(EPOCH(MIN(o_orderdate))) AS BIGINT) AS first_order_sec,
+             CAST(FLOOR(EPOCH(MAX(o_orderdate))) AS BIGINT) AS last_order_sec,
+             COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_order_days
+           FROM orders GROUP BY 1),
+         eng AS (
+           SELECT user_id, COUNT(*) AS event_count,
+             COUNT(DISTINCT event_type) AS event_type_count,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_event_days,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_event_value
+           FROM events GROUP BY 1)
+         SELECT *, CASE WHEN ltv_score >= 200000 THEN 'PLATINUM'
+                WHEN ltv_score >= 100000 THEN 'GOLD'
+                WHEN ltv_score >= 50000 THEN 'SILVER'
+                ELSE 'BRONZE' END AS ltv_segment
+         FROM (
+         SELECT user_id, c_mktsegment, order_count, total_spent, avg_order_value,
+           active_order_days, event_count, event_type_count, active_event_days,
+           total_event_value,
+           ROUND(total_spent * 0.5 + order_count * 100.0 + event_count * 10.0 + active_event_days * 50.0, 4) AS ltv_score
+         FROM (
+           SELECT c.c_custkey AS user_id, c.c_mktsegment,
+             COALESCE(t.order_count, 0) AS order_count,
+             COALESCE(t.total_spent, 0.0) AS total_spent,
+             COALESCE(t.avg_order_value, 0.0) AS avg_order_value,
+             COALESCE(t.active_order_days, 0) AS active_order_days,
+             COALESCE(e.event_count, 0) AS event_count,
+             COALESCE(e.event_type_count, 0) AS event_type_count,
+             COALESCE(e.active_event_days, 0) AS active_event_days,
+             COALESCE(e.total_event_value, 0.0) AS total_event_value
+           FROM customer c
+           LEFT JOIN txn t ON c.c_custkey = t.user_id
+           LEFT JOIN eng e ON c.c_custkey = e.user_id))""",
+    "q5_cohort_retention" ->
+      """WITH first_order AS (
+           SELECT o_custkey, MIN(DATE_TRUNC('month', o_orderdate)) AS cohort_ts
+           FROM orders GROUP BY 1),
+         activity AS (
+           SELECT DISTINCT o_custkey, DATE_TRUNC('month', o_orderdate) AS activity_ts FROM orders),
+         sizes AS (
+           SELECT cohort_ts, COUNT(DISTINCT o_custkey) AS cohort_size FROM first_order GROUP BY 1)
+         SELECT CAST(j.cohort_ts AS DATE) AS cohort_month, j.months_since_cohort,
+           COUNT(DISTINCT j.o_custkey) AS active_users, s.cohort_size,
+           ROUND(CAST(COUNT(DISTINCT j.o_custkey) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4) AS retention_rate
+         FROM (
+           SELECT a.o_custkey, f.cohort_ts,
+             CAST(DATEDIFF('month', f.cohort_ts, a.activity_ts) AS INT) AS months_since_cohort
+           FROM activity a JOIN first_order f USING (o_custkey)) j
+         JOIN sizes s USING (cohort_ts)
+         GROUP BY j.cohort_ts, j.months_since_cohort, s.cohort_size""",
+    "q6_daily_kpis" ->
+      """WITH revenue AS (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             COUNT(*) AS total_orders, COUNT(DISTINCT o_custkey) AS ordering_customers
+           FROM orders),
+         engagement AS (
+           SELECT COUNT(*) AS total_events, COUNT(DISTINCT user_id) AS active_users,
+             CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events
+           FROM events),
+         users AS (
+           SELECT COUNT(*) AS total_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+           FROM customer)
+         SELECT r.*, e.*, u.*,
+           ROUND(CAST(purchase_events AS DOUBLE) / CAST(total_events AS DOUBLE), 4) AS conversion_rate,
+           ROUND(total_revenue / CAST(total_customers AS DOUBLE), 4) AS revenue_per_customer,
+           ROUND(CAST(total_orders AS DOUBLE) / CAST(total_customers AS DOUBLE), 4) AS orders_per_customer
+         FROM revenue r, engagement e, users u""",
+    "q7_top_customers" ->
+      """SELECT CAST(rank AS INTEGER) AS rank, custkey, c_name, c_mktsegment, revenue, order_count FROM (
+           SELECT ROW_NUMBER() OVER (ORDER BY revenue_dec DESC, o_custkey ASC) AS rank,
+             o_custkey AS custkey, c_name, c_mktsegment,
+             CAST(revenue_dec AS DOUBLE) AS revenue, order_count
+           FROM (
+             SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec,
+               COUNT(*) AS order_count
+             FROM orders GROUP BY 1) r
+           JOIN customer c ON r.o_custkey = c.c_custkey)
+         WHERE rank <= 20""",
+    "q8_region_revenue" ->
+      """SELECT r.r_name,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS lineitem_count,
+         COUNT(DISTINCT l.l_suppkey) AS supplier_count
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name""")
+
+  def oracleSql: Map[String, String] = analyticsOracles
 }
