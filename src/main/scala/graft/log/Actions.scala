@@ -1,0 +1,95 @@
+package graft.log
+
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Transaction-log actions for the graft table format.
+  *
+  * The format is "a transaction log over Parquet": each table version is one
+  * JSON file of newline-delimited actions under `<table>/_txlog/`, and data
+  * lives in immutable Parquet files referenced by `add` actions. This is our
+  * own implementation of the ideas in the public Delta Lake protocol spec
+  * (reference repo relies on the Delta library, which is unavailable here —
+  * see SURVEY.md §7.1); reference usage: src/delta_utils.py,
+  * notebooks/04_acid_operations.py.
+  *
+  * Per-column file statistics ride on every `add` so scans can skip files
+  * (min/max pruning — the same mechanism the reference leans on via
+  * OPTIMIZE ZORDER, src/delta_utils.py:295-335).
+  */
+sealed trait Action
+
+/** Column stats are string-encoded; the table schema's dataType drives
+  * decode + ordering at prune time (see Stats.scala). */
+case class ColStats(min: String, max: String, nullCount: Long)
+
+case class AddFile(
+    path: String, // relative to table root
+    partitionValues: Map[String, String],
+    size: Long,
+    numRecords: Long,
+    stats: Map[String, ColStats],
+    modificationTime: Long) extends Action
+
+case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
+
+case class Metadata(
+    id: String,
+    name: String,
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    properties: Map[String, String],
+    createdTime: Long) extends Action
+
+case class CommitInfo(
+    version: Long,
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String],
+    operationMetrics: Map[String, Long],
+    readVersion: Long) extends Action
+
+/** CDF sidecar parquet file (relative path) carrying the commit's row-level
+  * changes with a `_change_type` column; written by UPDATE/DELETE/MERGE.
+  * Commits without sidecars synthesize CDF rows from add/remove actions. */
+case class CdfFile(path: String, numRecords: Long) extends Action
+
+/** Envelope for one NDJSON line. Exactly one field is set. */
+private[log] case class ActionEnvelope(
+    add: AddFile = null,
+    remove: RemoveFile = null,
+    metaData: Metadata = null,
+    commitInfo: CommitInfo = null,
+    cdf: CdfFile = null)
+
+object Actions {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    // numbers inside Map[String, Long] would otherwise deserialize as
+    // Integer (erasure) and crash on unbox
+    m.configure(DeserializationFeature.USE_LONG_FOR_INTS, true)
+    m.setSerializationInclusion(JsonInclude.Include.NON_NULL)
+    m
+  }
+
+  def toJson(a: Action): String = a match {
+    case x: AddFile    => mapper.writeValueAsString(ActionEnvelope(add = x))
+    case x: RemoveFile => mapper.writeValueAsString(ActionEnvelope(remove = x))
+    case x: Metadata   => mapper.writeValueAsString(ActionEnvelope(metaData = x))
+    case x: CommitInfo => mapper.writeValueAsString(ActionEnvelope(commitInfo = x))
+    case x: CdfFile    => mapper.writeValueAsString(ActionEnvelope(cdf = x))
+  }
+
+  def fromJson(line: String): Action = {
+    val e = mapper.readValue(line, classOf[ActionEnvelope])
+    if (e.add != null) e.add
+    else if (e.remove != null) e.remove
+    else if (e.metaData != null) e.metaData
+    else if (e.commitInfo != null) e.commitInfo
+    else if (e.cdf != null) e.cdf
+    else throw new IllegalArgumentException(s"unrecognized action: $line")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.log
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Snapshot of a table at one version: last metadata + live file set. */
+case class Snapshot(
+    version: Long,
+    metadata: Metadata,
+    files: Seq[AddFile],
+    commits: Seq[CommitInfo]) {
+  def schema: StructType = DataType.fromJson(metadata.schemaJson).asInstanceOf[StructType]
+  def numFiles: Int = files.size
+  def sizeInBytes: Long = files.map(_.size).sum
+  def numRecords: Long = files.map(_.numRecords).sum
+}
+
+/** The transaction log: ordered JSON commit files under `<table>/_txlog/`.
+  *
+  * Commit protocol (optimistic concurrency, reference demonstrates the
+  * requirement at notebooks/04_acid_operations.py:430-460): the version-N
+  * file is claimed by an atomic hard-link CAS — write the NDJSON to a temp
+  * file, `Files.createLink(vN.json, tmp)`, which fails if another writer
+  * claimed N first; the caller then re-resolves the snapshot and retries.
+  * On object stores this maps to put-if-absent; the protocol is unchanged.
+  */
+class TxLog(val tableDir: Path) {
+  val logDir: Path = tableDir.resolve("_txlog")
+
+  private def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
+
+  def listVersions(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Seq.empty
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .toSeq.sorted
+  }
+
+  def latestVersion(): Option[Long] = listVersions().lastOption
+
+  def readVersion(v: Long): Seq[Action] =
+    Files.readAllLines(versionFile(v), StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(Actions.fromJson)
+
+  /** Attempt to commit `actions` as version `v`. False if v already taken. */
+  def tryCommit(v: Long, actions: Seq[Action]): Boolean = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, s".commit-$v-", ".tmp")
+    try {
+      val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(versionFile(v), tmp)
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit with retry: re-resolves the next version until the CAS wins.
+    * `actions` is re-generated per attempt from the latest snapshot so the
+    * caller can detect logical conflicts (it may throw to abort). */
+  def commit(buildActions: Long => Seq[Action], maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = latestVersion().map(_ + 1).getOrElse(0L)
+      if (tryCommit(next, buildActions(next))) return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit failed after $maxAttempts attempts (concurrent writers) on $tableDir")
+  }
+
+  /** Replay actions up to and including `version` (None = latest). */
+  def snapshot(version: Option[Long] = None): Snapshot = {
+    val versions = listVersions()
+    require(versions.nonEmpty, s"not a graft table (empty log): $tableDir")
+    val upTo = version.getOrElse(versions.last)
+    require(versions.contains(upTo), s"version $upTo does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
+    var meta: Metadata = null
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val commits = scala.collection.mutable.ArrayBuffer.empty[CommitInfo]
+    versions.takeWhile(_ <= upTo).foreach { v =>
+      readVersion(v).foreach {
+        case m: Metadata   => meta = m
+        case a: AddFile    => live(a.path) = a
+        case r: RemoveFile => live.remove(r.path)
+        case c: CommitInfo => commits += c
+        case _: CdfFile    => // only consumed by cdf scans
+      }
+    }
+    require(meta != null, s"no metadata action found in $tableDir")
+    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq)
+  }
+
+  /** Latest version whose commit timestamp <= ts (time travel by timestamp,
+    * reference: notebooks/04_acid_operations.py:217-219). Commit timestamps
+    * are made monotonic at commit time. */
+  def versionAt(tsMillis: Long): Long = {
+    val cs = snapshot(None).commits
+    val eligible = cs.filter(_.timestamp <= tsMillis)
+    require(eligible.nonEmpty, s"no version at or before timestamp $tsMillis")
+    eligible.map(_.version).max
+  }
+
+  /** All CDF sidecar actions for one version. */
+  def cdfFiles(v: Long): Seq[CdfFile] =
+    readVersion(v).collect { case c: CdfFile => c }
+
+  /** Add/remove/commitInfo for one version (for CDF synthesis). */
+  def changesAt(v: Long): (Seq[AddFile], Seq[RemoveFile], Option[CommitInfo]) = {
+    val as = readVersion(v)
+    (as.collect { case a: AddFile => a },
+      as.collect { case r: RemoveFile => r },
+      as.collectFirst { case c: CommitInfo => c })
+  }
+}
+
+object TxLog {
+  def apply(tableDir: String): TxLog = new TxLog(Paths.get(tableDir))
+  def isTable(tableDir: String): Boolean =
+    Files.isDirectory(Paths.get(tableDir).resolve("_txlog")) &&
+      new TxLog(Paths.get(tableDir)).listVersions().nonEmpty
+}

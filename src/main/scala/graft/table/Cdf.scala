@@ -1,0 +1,115 @@
+package graft.table
+
+import java.nio.file.Files
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.log._
+
+/** Change Data Feed over the transaction log (S10,
+  * src/delta_utils.py:387-416; notebooks/05_time_travel_demo.py:163-192).
+  *
+  * DML commits (UPDATE/DELETE/MERGE) write sidecar Parquet files under
+  * `cdf/<uuid>/` carrying the row-level changes with `_change_type` ∈
+  * {insert, update_preimage, update_postimage, delete}; append/overwrite/
+  * restore commits need no sidecars — their changes are synthesized from the
+  * commit's add/remove actions (added files read as inserts, removed files as
+  * deletes). OPTIMIZE and other data-identical operations emit nothing.
+  */
+trait CdfSupport { self: LakeTable =>
+
+  /** Ops whose add/remove actions change table contents (synthesizable). */
+  private val dataChangeOps = Set("WRITE", "RESTORE", "CREATE TABLE", "CLONE", "STREAMING UPDATE")
+  /** Ops that rearrange bytes without changing rows. */
+  private val dataNeutralOps = Set("OPTIMIZE", "VACUUM", "SET TBLPROPERTIES",
+    "UNSET TBLPROPERTIES", "ADD COLUMNS")
+
+  /** Write a CDF sidecar parquet for the in-flight commit; returns the
+    * actions to attach. `df` = table-schema columns + `_change_type`. */
+  private[table] def writeCdfSidecar(df: DataFrame): Seq[Action] = {
+    val rel = s"cdf/${UUID.randomUUID().toString.replace("-", "").take(12)}"
+    val abs = dir.resolve(rel)
+    df.write.mode("errorifexists").parquet(abs.toString)
+    listParquet(abs).map { p =>
+      CdfFile(dir.relativize(p).toString, -1L)
+    }
+  }
+
+  /** Row-level changes in [startingVersion, endingVersion] with
+    * `_change_type`, `_commit_version`, `_commit_timestamp` columns. */
+  def changes(startingVersion: Long, endingVersion: Option[Long] = None): DataFrame = {
+    val latest = version
+    val end = endingVersion.getOrElse(latest)
+    require(startingVersion >= 0 && end <= latest && startingVersion <= end,
+      s"invalid CDF range [$startingVersion,$end] for table at version $latest")
+    val schema = snapshot().schema
+    val perVersion: Seq[DataFrame] = (startingVersion to end).flatMap { v =>
+      versionChanges(v, schema)
+    }
+    if (perVersion.isEmpty) emptyCdf(schema)
+    else perVersion.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  def changesBetweenTimestamps(startMillis: Long, endMillis: Option[Long] = None): DataFrame = {
+    val commits = snapshot().commits
+    val start = commits.filter(_.timestamp >= startMillis).map(_.version)
+      .minOption.getOrElse(version + 1)
+    val end = endMillis.map(m => log.versionAt(m))
+    if (start > end.getOrElse(version)) emptyCdf(snapshot().schema)
+    else changes(start, end)
+  }
+
+  private def emptyCdf(schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), cdfSchema(schema))
+
+  private def cdfSchema(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", TimestampType)))
+
+  private def versionChanges(v: Long, schema: StructType): Option[DataFrame] = {
+    val actions = log.readVersion(v)
+    val ci = actions.collectFirst { case c: CommitInfo => c }
+    val op = ci.map(_.operation).getOrElse("WRITE")
+    if (dataNeutralOps.contains(op)) return None
+    val ts = new java.sql.Timestamp(ci.map(_.timestamp).getOrElse(0L))
+    def meta(df: DataFrame): DataFrame = df
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", lit(ts))
+
+    val sidecars = actions.collect { case c: CdfFile => c }
+    if (sidecars.nonEmpty) {
+      val paths = sidecars.map(c => dir.resolve(c.path).toString)
+      val side = spark.read
+        .schema(StructType(schema.fields :+ StructField("_change_type", StringType)))
+        .parquet(paths: _*)
+      return Some(meta(side))
+    }
+    if (!dataChangeOps.contains(op))
+      throw new IllegalStateException(
+        s"version $v is a $op commit without CDF sidecars — " +
+          "enable table property graft.enableChangeDataFeed before DML to read its changes")
+    val adds = actions.collect { case a: AddFile => a }
+    val removes = actions.collect { case r: RemoveFile => r }
+    val inserts =
+      if (adds.isEmpty) None
+      else Some(readFiles(adds, schema).withColumn("_change_type", lit("insert")))
+    val snapBefore = if (removes.isEmpty) None else Some(log.snapshot(Some(v - 1)))
+    val deletes = snapBefore.map { sb =>
+      val removedPaths = removes.map(_.path).toSet
+      val removedAdds = sb.files.filter(f => removedPaths.contains(f.path))
+      readFiles(removedAdds, schema).withColumn("_change_type", lit("delete"))
+    }
+    (inserts, deletes) match {
+      case (Some(i), Some(d)) => Some(meta(i.unionByName(d)))
+      case (Some(i), None) => Some(meta(i))
+      case (None, Some(d)) => Some(meta(d))
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,272 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+import graft.log._
+
+/** Row-level DML over the graft table format: UPDATE, DELETE, MERGE.
+  *
+  * All three follow Delta's two-phase shape (SURVEY §3.2): (1) find the files
+  * that actually contain affected rows (stats-pruned scan + inner probe),
+  * (2) rewrite ONLY those files, commit remove+add atomically. Untouched
+  * files — at 100 TB, the overwhelming majority — are never read or written.
+  */
+trait DmlSupport { self: LakeTable =>
+
+  private def cdfEnabled: Boolean =
+    properties.get("graft.enableChangeDataFeed").contains("true")
+
+  /** UPDATE t SET ... WHERE cond (M4, notebooks/04_acid_operations.py:129-139). */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    val snap = snapshot()
+    val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(",")}")
+    val touched = filesContaining(snap, cond)
+    if (touched.isEmpty) return snap.version
+    val touchedDf = readFiles(touched, snap.schema)
+    val matchPred = coalesce(cond, lit(false))
+    val numUpdated = touchedDf.filter(matchPred).count()
+    val rewritten = touchedDf.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+      val newVal = set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
+      newVal match {
+        case Some(v) => when(matchPred, v.cast(snap.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.cast(snap.schema(c).dataType).as(c) }
+        .getOrElse(col(c).as(c))
+    }
+    val sidecars = if (cdfEnabled) {
+      val pre = touchedDf.filter(matchPred).withColumn("_change_type", lit("update_preimage"))
+      val post = touchedDf.filter(matchPred).select(setExprs: _*)
+        .withColumn("_change_type", lit("update_postimage"))
+      writeCdfSidecar(pre.unionByName(post))
+    } else Nil
+    val adds = stageWrite(rewritten, snap.metadata.partitionColumns)
+    commitRewrite(snap, "UPDATE", Map("predicate" -> cond.toString), touched, adds,
+      sidecars, Map("numUpdatedRows" -> numUpdated))
+  }
+
+  /** DELETE FROM t WHERE cond (M5, notebooks/04_acid_operations.py:171-175).
+    * Rows where the predicate is NULL are kept (SQL semantics). */
+  def delete(cond: Column): Long = {
+    val snap = snapshot()
+    val touched = filesContaining(snap, cond)
+    if (touched.isEmpty) return snap.version
+    val touchedDf = readFiles(touched, snap.schema)
+    val matchPred = coalesce(cond, lit(false))
+    val numDeleted = touchedDf.filter(matchPred).count()
+    val rewritten = touchedDf.filter(!matchPred)
+    val sidecars = if (cdfEnabled)
+      writeCdfSidecar(touchedDf.filter(matchPred).withColumn("_change_type", lit("delete")))
+    else Nil
+    val adds = stageWrite(rewritten, snap.metadata.partitionColumns)
+    commitRewrite(snap, "DELETE", Map("predicate" -> cond.toString), touched, adds,
+      sidecars, Map("numDeletedRows" -> numDeleted))
+  }
+
+  /** MERGE INTO builder (M1-M3, src/data_processor.py:233-280). The condition
+    * references the two sides as `target.<col>` / `source.<col>`. */
+  def merge(source: DataFrame, condition: Column): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
+  /** Files whose rows might — then verifiably do — match `cond`. */
+  private[table] def filesContaining(snap: Snapshot, cond: Column): Seq[AddFile] = {
+    val candidates = Pruner.prune(partitionPrune(snap.files, Seq(cond)), Seq(cond), snap.schema)
+    if (candidates.isEmpty) return Nil
+    val withFile = readFiles(candidates, snap.schema).withColumn("__file", input_file_name())
+    val hit = withFile.filter(coalesce(cond, lit(false)))
+      .select("__file").distinct().collect().map(r => Stats.stripScheme(r.getString(0))).toSet
+    candidates.filter(f => hit.contains(absPath(f)))
+  }
+
+  /** Commit a rewrite: remove `touched`, add `adds`; verifies on a lost race
+    * that no concurrent commit rewrote the same files. */
+  private[table] def commitRewrite(
+      snap: Snapshot,
+      op: String,
+      params: Map[String, String],
+      touched: Seq[AddFile],
+      adds: Seq[AddFile],
+      extra: Seq[Action],
+      metrics: Map[String, Long]): Long = {
+    val touchedPaths = touched.map(_.path).toSet
+    commitWithRetry(op, params, snap, metrics) { s =>
+      if (s.version != snap.version) {
+        val live = s.files.map(_.path).toSet
+        if (!touchedPaths.subsetOf(live))
+          throw new java.util.ConcurrentModificationException(
+            s"$op conflicts with a concurrent commit that rewrote ${touchedPaths.diff(live).size} file(s)")
+      }
+      val now = System.currentTimeMillis()
+      touched.map(f => RemoveFile(f.path, now)) ++ adds ++ extra
+    }
+  }
+}
+
+/** Fluent MERGE spec, mirroring Delta's builder
+  * (whenMatchedUpdate/whenMatchedDelete/whenNotMatchedInsert; clause order is
+  * evaluation order, first matching clause wins). */
+class MergeBuilder private[table] (
+    table: LakeTable,
+    source: DataFrame,
+    condition: Column) {
+
+  private sealed trait Clause { def cond: Option[Column] }
+  private case class MatchedUpdate(cond: Option[Column], set: Map[String, Column]) extends Clause
+  private case class MatchedDelete(cond: Option[Column]) extends Clause
+  private case class NotMatchedInsert(cond: Option[Column], values: Map[String, Column]) extends Clause
+
+  private var matchedClauses = Vector.empty[Clause]
+  private var notMatchedClauses = Vector.empty[NotMatchedInsert]
+
+  private def sourceCols: Seq[String] = source.columns.toSeq
+
+  def whenMatchedUpdate(set: Map[String, Column], condition: Option[Column] = None): MergeBuilder = {
+    matchedClauses :+= MatchedUpdate(condition, set); this
+  }
+
+  def whenMatchedUpdateAll(condition: Option[Column] = None): MergeBuilder = {
+    val set = table.schema.fieldNames.filter(sourceCols.contains)
+      .map(c => c -> col(s"source.$c")).toMap
+    matchedClauses :+= MatchedUpdate(condition, set); this
+  }
+
+  def whenMatchedDelete(condition: Option[Column] = None): MergeBuilder = {
+    matchedClauses :+= MatchedDelete(condition); this
+  }
+
+  def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): MergeBuilder = {
+    notMatchedClauses :+= NotMatchedInsert(condition, values); this
+  }
+
+  def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeBuilder = {
+    val values = table.schema.fieldNames.filter(sourceCols.contains)
+      .map(c => c -> col(s"source.$c")).toMap
+    notMatchedClauses :+= NotMatchedInsert(condition, values); this
+  }
+
+  /** Run the two-phase merge. Returns the committed version. */
+  def execute(): Long = {
+    val spark = table.spark
+    val snap = table.snapshot()
+    val schema = snap.schema
+    val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
+
+    // Phase 1: which target files contain matched rows?
+    val srcAliased = source.alias("source")
+    val allTarget = table.readFiles(snap.files, schema)
+      .withColumn("__file", input_file_name()).alias("target")
+    val touchedPaths = allTarget.join(srcAliased, condition, "inner")
+      .select(col("target.__file")).distinct()
+      .collect().map(r => Stats.stripScheme(r.getString(0))).toSet
+    val touched = snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
+
+    // Phase 2: full-outer join of source vs touched rows; untouched files
+    // are left alone entirely.
+    val tgtT = table.readFiles(touched, schema)
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__tgt", lit(true)).alias("target")
+    val srcT = source.withColumn("__src", lit(true)).alias("source")
+    val joined = tgtT.join(srcT, condition, "full_outer")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = col("target.__tgt").isNotNull && col("source.__src").isNotNull
+      val srcOnly = col("target.__tgt").isNull
+
+      // Delta-compatible guard: a target row matched by >1 source row with a
+      // matched clause present is ambiguous.
+      if (matchedClauses.nonEmpty) {
+        val dups = joined.filter(matched).groupBy(col("target.__rid")).count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dups > 0) throw new IllegalStateException(
+          "MERGE failed: multiple source rows matched the same target row " +
+            "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
+      }
+
+      // Which clause fires per row: "m<i>" / "i<j>" / "copy" / "drop".
+      val actionCol = {
+        var c: Column = null
+        matchedClauses.zipWithIndex.foreach { case (cl, i) =>
+          val p = matched && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+          c = if (c == null) when(p, lit(s"m$i")) else c.when(p, lit(s"m$i"))
+        }
+        notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
+          val p = srcOnly && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+          c = if (c == null) when(p, lit(s"i$j")) else c.when(p, lit(s"i$j"))
+        }
+        val tail = when(srcOnly, lit("drop")).otherwise(lit("copy"))
+        if (c == null) tail else c.otherwise(tail)
+      }
+      val acted = joined.withColumn("__action", actionCol)
+
+      def outCol(c: String): Column = {
+        val dt = schema(c).dataType
+        var expr: Column = null
+        matchedClauses.zipWithIndex.foreach {
+          case (MatchedUpdate(_, set), i) =>
+            val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
+              .getOrElse(col(s"target.$c")).cast(dt)
+            expr = if (expr == null) when(col("__action") === s"m$i", v)
+              else expr.when(col("__action") === s"m$i", v)
+          case (_: MatchedDelete, _) => // row filtered out below
+          case _ =>
+        }
+        notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
+          val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
+            .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+          expr = if (expr == null) when(col("__action") === s"i$j", v)
+            else expr.when(col("__action") === s"i$j", v)
+        }
+        val base = col(s"target.$c")
+        (if (expr == null) base else expr.otherwise(base)).as(c)
+      }
+
+      val deleteTags = matchedClauses.zipWithIndex.collect {
+        case (_: MatchedDelete, i) => s"m$i"
+      }
+      val keepPred = !col("__action").isin(("drop" +: deleteTags): _*)
+      val rewritten = acted.filter(keepPred)
+        .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+
+      // Metrics in one small job over the persisted join.
+      val counts = acted.groupBy("__action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val updateTags = matchedClauses.zipWithIndex.collect { case (_: MatchedUpdate, i) => s"m$i" }
+      val insertTags = notMatchedClauses.indices.map(j => s"i$j")
+      val metrics = Map(
+        "numTargetRowsUpdated" -> updateTags.map(t => counts.getOrElse(t, 0L)).sum,
+        "numTargetRowsDeleted" -> deleteTags.map(t => counts.getOrElse(t, 0L)).sum,
+        "numTargetRowsInserted" -> insertTags.map(t => counts.getOrElse(t, 0L)).sum,
+        "numTargetRowsCopied" -> counts.getOrElse("copy", 0L),
+        "numSourceRows" -> source.count())
+
+      val sidecars = if (!cdfOn) Nil else {
+        val metaCols = Seq("__rid", "__tgt", "__src", "__action")
+        val pre = acted.filter(col("__action").isin(updateTags: _*))
+          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = acted.filter(col("__action").isin(updateTags: _*))
+          .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val del = acted.filter(col("__action").isin(deleteTags: _*))
+          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)): _*)
+          .withColumn("_change_type", lit("delete"))
+        val ins = acted.filter(col("__action").isin(insertTags: _*))
+          .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+          .withColumn("_change_type", lit("insert"))
+        table.writeCdfSidecar(pre.unionByName(post).unionByName(del).unionByName(ins))
+      }
+
+      val adds = table.stageWrite(rewritten, snap.metadata.partitionColumns)
+      table.commitRewrite(snap, "MERGE",
+        Map("condition" -> condition.toString,
+          "matchedClauses" -> matchedClauses.size.toString,
+          "notMatchedClauses" -> notMatchedClauses.size.toString),
+        touched, adds, sidecars, metrics)
+    } finally joined.unpersist()
+  }
+}

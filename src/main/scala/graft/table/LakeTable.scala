@@ -1,0 +1,465 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+import graft.log._
+
+/** A versioned, ACID, Parquet-backed table — the graft table format.
+  *
+  * This is our Spark-native stand-in for the Delta Lake surface the reference
+  * uses everywhere (src/delta_utils.py, notebooks/04_acid_operations.py): an
+  * ordered transaction log of JSON actions ([[graft.log.TxLog]]) over immutable
+  * Parquet data files, giving snapshot isolation, time travel, CDF, DML
+  * (MERGE/UPDATE/DELETE), RESTORE, OPTIMIZE/Z-ORDER, VACUUM and CLONE.
+  *
+  * Scale design notes:
+  *  - Data files keep ALL columns (including partition columns); hive-style
+  *    `__p_<col>=<val>/` directories exist only for file organization and for
+  *    the log's `partitionValues`. Scans therefore pass explicit leaf files to
+  *    `spark.read.parquet` with an enforced schema — no partition discovery,
+  *    no directory listing on the read path.
+  *  - File skipping happens driver-side before Spark sees the file list:
+  *    partition-value filtering + per-file min/max stats ([[graft.log.Pruner]]).
+  *  - Residual predicates still reach the Parquet reader (row-group pruning +
+  *    predicate pushdown — visible as PushedFilters in `.explain`).
+  */
+class LakeTable private[table] (
+    val spark: SparkSession,
+    val dir: Path) extends DmlSupport with MaintenanceSupport with CdfSupport {
+
+  val log = new TxLog(dir)
+
+  def name: String = snapshot().metadata.name
+  def version: Long = log.latestVersion().getOrElse(-1L)
+  def snapshot(v: Option[Long] = None): Snapshot = log.snapshot(v)
+  def schema: StructType = snapshot().schema
+  def partitionColumns: Seq[String] = snapshot().metadata.partitionColumns
+  def properties: Map[String, String] = snapshot().metadata.properties
+
+  // ---------------------------------------------------------------- reads
+
+  /** Current-version DataFrame (SURVEY §2.1 S7/S8). `filters` enable
+    * driver-side file skipping; they are re-applied as residual predicates. */
+  def read(filters: Seq[Column] = Nil, version: Option[Long] = None): DataFrame = {
+    val snap = log.snapshot(version)
+    val pruned = Pruner.prune(partitionPrune(snap.files, filters), filters, snap.schema)
+    filters.foldLeft(readFiles(pruned, snap.schema))(_ filter _)
+  }
+
+  def toDf: DataFrame = read()
+
+  /** Time travel by version (S8, notebooks/04_acid_operations.py:208-210). */
+  def versionAsOf(v: Long): DataFrame = read(version = Some(v))
+
+  /** Time travel by timestamp (S9, notebooks/04_acid_operations.py:217-219). */
+  def timestampAsOf(tsMillis: Long): DataFrame = read(version = Some(log.versionAt(tsMillis)))
+  def timestampAsOf(ts: java.sql.Timestamp): DataFrame = timestampAsOf(ts.getTime)
+
+  private[table] def absPath(f: AddFile): String =
+    if (f.path.startsWith("/")) f.path else dir.resolve(f.path).toString
+
+  private[table] def readFiles(files: Seq[AddFile], schema: StructType): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema).parquet(files.map(absPath): _*)
+
+  /** Exact file-level filtering on partition columns: evaluate the predicate
+    * over a tiny local DataFrame of partitionValues (reusing Spark's own
+    * expression evaluation rather than a hand-rolled interpreter). */
+  private[table] def partitionPrune(files: Seq[AddFile], filters: Seq[Column]): Seq[AddFile] = {
+    val snap = log.snapshot()
+    val pcols = snap.metadata.partitionColumns
+    if (pcols.isEmpty || files.isEmpty) return files
+    val applicable = filters.filter { c =>
+      val ns = refNames(Pruner.exprOf(c)); ns.nonEmpty && ns.subsetOf(pcols.toSet)
+    }
+    if (applicable.isEmpty) return files
+    val keep = partitionValuesMatching(files, applicable, snap.schema)
+    files.filter(f => keep.contains(f.path))
+  }
+
+  private[table] def refNames(e: Expression): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    e.foreach {
+      case a: AttributeReference => acc += a.name
+      case u: UnresolvedAttribute => acc += u.nameParts.last
+      case _ =>
+    }
+    acc.toSet
+  }
+
+  /** Paths of `files` whose partitionValues satisfy all `preds`. */
+  private[table] def partitionValuesMatching(
+      files: Seq[AddFile], preds: Seq[Column], schema: StructType): Set[String] = {
+    val pcols = log.snapshot().metadata.partitionColumns
+    val rows = files.map(f => Row.fromSeq(f.path +: pcols.map(c => f.partitionValues.getOrElse(c, null))))
+    val rawSchema = StructType(StructField("__path", StringType) +:
+      pcols.map(c => StructField(c, StringType)))
+    val pdf = spark.createDataFrame(rows.asJava, rawSchema)
+    val typed = pcols.foldLeft(pdf) { (d, c) =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
+      d.withColumn(c, col(c).cast(dt))
+    }
+    preds.foldLeft(typed)(_ filter _).select("__path").collect().map(_.getString(0)).toSet
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  /** Append (W1). `mergeSchema` evolves the table schema by unioning new
+    * columns (src/delta_utils.py:136-139). */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+    val snap = snapshot()
+    val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
+    val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
+    commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
+      val meta = if (target == s.schema) Nil
+        else Seq(s.metadata.copy(schemaJson = target.json))
+      meta ++ adds
+    }
+  }
+
+  /** Full overwrite (W2); `overwriteSchema` replaces the schema wholesale
+    * (migration/migrate_from_rdbms.py:104-108). */
+  def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
+    val snap = snapshot()
+    val target = if (overwriteSchema) df.schema else snap.schema
+    val adds = stageWrite(align(df, target, strict = !overwriteSchema), snap.metadata.partitionColumns)
+    commitWithRetry("WRITE", Map("mode" -> "Overwrite"), snap) { s =>
+      val now = System.currentTimeMillis()
+      val meta = if (target == s.schema) Nil else Seq(s.metadata.copy(schemaJson = target.json))
+      meta ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds
+    }
+  }
+
+  /** Partition-scoped overwrite — Delta's `replaceWhere`
+    * (notebooks/03_gold_aggregation.py:82-86). The predicate must be on
+    * partition columns; incoming rows must all satisfy it. */
+  def overwriteWhere(pred: Column, df: DataFrame): Long = {
+    val snap = snapshot()
+    val refs = refNames(Pruner.exprOf(pred))
+    require(refs.nonEmpty && refs.subsetOf(snap.metadata.partitionColumns.toSet),
+      s"replaceWhere predicate must reference only partition columns ${snap.metadata.partitionColumns}; got $refs")
+    require(df.filter(!pred).isEmpty,
+      s"rows in the incoming DataFrame violate the replaceWhere predicate: $pred")
+    val adds = stageWrite(align(df, snap.schema, strict = true), snap.metadata.partitionColumns)
+    commitWithRetry("WRITE", Map("mode" -> "Overwrite", "replaceWhere" -> pred.toString), snap) { s =>
+      val now = System.currentTimeMillis()
+      val doomed = partitionValuesMatching(s.files, Seq(pred), s.schema)
+      s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++ adds
+    }
+  }
+
+  /** Write `df` as new Parquet files under `data/<uuid>/` and return the
+    * AddFile actions (stats collected in one distributed pass). Files are
+    * never moved after the write — the log is the source of truth. */
+  private[table] def stageWrite(df: DataFrame, partitionCols: Seq[String]): Seq[AddFile] = {
+    val commitId = UUID.randomUUID().toString.replace("-", "").take(12)
+    val relDir = s"data/$commitId"
+    val absDir = dir.resolve(relDir)
+    val pcols = partitionCols.map(c => s"__p_$c")
+    val toWrite = partitionCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    val w = toWrite.write.mode("errorifexists")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(absDir.toString)
+
+    val files = listParquet(absDir)
+    if (files.isEmpty) return Nil
+    val statsDf = spark.read.parquet(absDir.toString).drop(pcols: _*)
+    val stats = Stats.collect(statsDf)
+    files.map { p =>
+      val rel = dir.relativize(p).toString
+      val (cnt, st) = stats.getOrElse(p.toString, (0L, Map.empty[String, ColStats]))
+      AddFile(
+        path = rel,
+        partitionValues = parsePartitionValues(rel),
+        size = Files.size(p),
+        numRecords = cnt,
+        stats = st,
+        modificationTime = Files.getLastModifiedTime(p).toMillis)
+    }
+  }
+
+  private[table] def listParquet(root: Path): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Nil
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq
+    finally s.close()
+  }
+
+  /** Parse `__p_<col>=<val>` segments out of a relative file path. */
+  private[table] def parsePartitionValues(rel: String): Map[String, String] =
+    rel.split('/').iterator.filter(_.startsWith("__p_")).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None
+      else {
+        val c = seg.substring(4, i)
+        val v = unescapePath(seg.substring(i + 1))
+        Some(c -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }.toMap
+
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Project/cast `df` onto `target`. Extra columns error when strict;
+    * missing columns become nulls. */
+  private[table] def align(df: DataFrame, target: StructType, strict: Boolean): DataFrame = {
+    val extra = df.columns.filterNot(c => target.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (strict && extra.nonEmpty)
+      throw new IllegalArgumentException(
+        s"columns ${extra.mkString(",")} not in table schema (use mergeSchema/overwriteSchema)")
+    val cols = target.fields.map { f =>
+      if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private[table] def mergedSchema(existing: StructType, incoming: StructType): StructType = {
+    val merged = existing.fields.toBuffer
+    incoming.fields.foreach { f =>
+      merged.indexWhere(_.name.equalsIgnoreCase(f.name)) match {
+        case -1 => merged += f
+        case i =>
+          val e = merged(i)
+          if (e.dataType != f.dataType && !Cast.canUpCast(f.dataType, e.dataType))
+            throw new IllegalArgumentException(
+              s"schema merge conflict on ${f.name}: table ${e.dataType} vs incoming ${f.dataType}")
+      }
+    }
+    StructType(merged.toSeq)
+  }
+
+  // ------------------------------------------------------------- commits
+
+  /** Compute actions from a snapshot and commit at snapshot.version+1; on a
+    * lost race, re-resolve the snapshot and recompute (optimistic
+    * concurrency, notebooks/04_acid_operations.py:430-460). */
+  private[table] def commitWithRetry(
+      op: String,
+      params: Map[String, String],
+      initial: Snapshot,
+      metrics: Map[String, Long] = Map.empty)(build: Snapshot => Seq[Action]): Long = {
+    var snap = initial
+    var attempts = 0
+    while (true) {
+      val actions = build(snap)
+      val adds = actions.collect { case a: AddFile => a }
+      val removes = actions.collect { case r: RemoveFile => r }
+      val autoMetrics = Map(
+        "numAddedFiles" -> adds.size.toLong,
+        "numRemovedFiles" -> removes.size.toLong,
+        "numAddedBytes" -> adds.map(_.size).sum,
+        "numOutputRows" -> adds.map(_.numRecords).sum)
+      val v = snap.version + 1
+      val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics, snap.version)
+      if (log.tryCommit(v, ci +: actions)) return v
+      attempts += 1
+      if (attempts >= 20)
+        throw new java.util.ConcurrentModificationException(
+          s"lost commit race $attempts times on $dir")
+      snap = log.snapshot()
+    }
+    -1L // unreachable
+  }
+
+  private[table] def nextTimestamp(snap: Snapshot): Long = {
+    val last = snap.commits.lastOption.map(_.timestamp).getOrElse(0L)
+    math.max(System.currentTimeMillis(), last + 1)
+  }
+
+  // ------------------------------------------------- metadata operations
+
+  /** DESCRIBE HISTORY (M14, src/delta_utils.py:168-174). */
+  def history(limit: Option[Int] = None): DataFrame = {
+    val commits = snapshot().commits.sortBy(-_.version)
+    val take = limit.map(commits.take).getOrElse(commits)
+    val rows = take.map(c => Row(c.version, new java.sql.Timestamp(c.timestamp), c.operation,
+      c.operationParameters, c.operationMetrics.map { case (k, v) => k -> v.toString },
+      c.readVersion))
+    val schema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("operationParameters", MapType(StringType, StringType)),
+      StructField("operationMetrics", MapType(StringType, StringType)),
+      StructField("readVersion", LongType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** DESCRIBE DETAIL (M15, src/delta_utils.py:265-277). */
+  def detail(): DataFrame = {
+    val snap = snapshot()
+    val rows = Seq(Row("graft", snap.metadata.id, snap.metadata.name, dir.toString,
+      new java.sql.Timestamp(snap.metadata.createdTime),
+      new java.sql.Timestamp(snap.commits.lastOption.map(_.timestamp).getOrElse(0L)),
+      snap.metadata.partitionColumns, snap.numFiles.toLong, snap.sizeInBytes,
+      snap.metadata.properties))
+    val schema = StructType(Seq(
+      StructField("format", StringType), StructField("id", StringType),
+      StructField("name", StringType), StructField("location", StringType),
+      StructField("createdAt", TimestampType), StructField("lastModified", TimestampType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("numFiles", LongType), StructField("sizeInBytes", LongType),
+      StructField("properties", MapType(StringType, StringType))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES (M12, src/delta_utils.py:149-166). */
+  def setProperties(props: Map[String, String]): Long =
+    commitWithRetry("SET TBLPROPERTIES", props, snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
+    }
+
+  def unsetProperties(keys: Seq[String]): Long =
+    commitWithRetry("UNSET TBLPROPERTIES", Map("keys" -> keys.mkString(",")), snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties -- keys))
+    }
+
+  /** ALTER TABLE ADD COLUMNS (M13, notebooks/04_acid_operations.py:289-295). */
+  def addColumns(cols: Seq[StructField]): Long =
+    commitWithRetry("ADD COLUMNS", Map("columns" -> cols.map(_.name).mkString(",")), snapshot()) { s =>
+      val dup = cols.map(_.name).filter(n => s.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+      Seq(s.metadata.copy(schemaJson = StructType(s.schema.fields ++ cols).json))
+    }
+
+  /** RESTORE TABLE TO VERSION AS OF (M7, src/delta_utils.py:176-197): new
+    * commit whose live file set equals the snapshot at `v`. */
+  def restoreToVersion(v: Long): Long = {
+    val old = log.snapshot(Some(v))
+    commitWithRetry("RESTORE", Map("version" -> v.toString), snapshot()) { s =>
+      val now = System.currentTimeMillis()
+      val oldPaths = old.files.map(_.path).toSet
+      val curPaths = s.files.map(_.path).toSet
+      Seq(s.metadata.copy(schemaJson = old.metadata.schemaJson,
+        partitionColumns = old.metadata.partitionColumns)) ++
+        s.files.filterNot(f => oldPaths.contains(f.path)).map(f => RemoveFile(f.path, now)) ++
+        old.files.filterNot(f => curPaths.contains(f.path))
+    }
+  }
+
+  def restoreToTimestamp(tsMillis: Long): Long = restoreToVersion(log.versionAt(tsMillis))
+
+  /** VACUUM (M10, src/delta_utils.py:337-370): delete files tombstoned before
+    * the horizon plus orphaned (never-committed) files; never touches the
+    * current snapshot. Returns the affected paths (always, mirroring DRY RUN). */
+  def vacuum(retainHours: Double = 168.0, dryRun: Boolean = false): Seq[String] = {
+    val horizon = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    val snap = snapshot()
+    val live = snap.files.map(f => absPath(f)).toSet
+    val referenced = log.listVersions().flatMap(v => log.readVersion(v)).collect {
+      case a: AddFile => absPath(a)
+      case c: CdfFile => dir.resolve(c.path).toString
+    }.toSet
+    val tombstoned = log.listVersions().flatMap(v => log.readVersion(v)).collect {
+      // <= so retainHours=0 ("retain nothing") catches a same-millisecond tombstone
+      case r: RemoveFile if r.deletionTimestamp <= horizon => absPath(AddFile(r.path, Map.empty, 0, 0, Map.empty, 0))
+    }.toSet
+    val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf"))).map(_.toString)
+    val doomed = physical.filter { p =>
+      !live.contains(p) && (
+        tombstoned.contains(p) ||
+        (!referenced.contains(p) && Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
+    }
+    if (!dryRun) {
+      doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      commitWithRetry("VACUUM", Map("retainHours" -> retainHours.toString,
+        "numDeletedFiles" -> doomed.size.toString), snapshot())(_ => Nil)
+    }
+    doomed
+  }
+
+  /** CLONE (M11, src/delta_utils.py:79-105). Shallow = new log referencing
+    * the source's files by absolute path; deep = full file copy. */
+  def cloneTo(targetDir: String, shallow: Boolean = true): LakeTable = {
+    val snap = snapshot()
+    val tgt = Paths.get(targetDir)
+    require(!TxLog.isTable(targetDir), s"clone target already a table: $targetDir")
+    Files.createDirectories(tgt)
+    val adds: Seq[AddFile] =
+      if (shallow) snap.files.map(f => f.copy(path = absPath(f)))
+      else snap.files.map { f =>
+        val srcP = Paths.get(absPath(f))
+        val rel = s"data/cloned/${f.path.replace('/', '_')}"
+        val dstP = tgt.resolve(rel)
+        Files.createDirectories(dstP.getParent)
+        Files.copy(srcP, dstP)
+        f.copy(path = rel)
+      }
+    val now = System.currentTimeMillis()
+    val meta = snap.metadata.copy(id = UUID.randomUUID().toString, createdTime = now)
+    val ci = CommitInfo(0L, now, "CLONE",
+      Map("source" -> dir.toString, "isShallow" -> shallow.toString),
+      Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L)
+    val tlog = new TxLog(tgt)
+    require(tlog.tryCommit(0L, ci +: meta +: adds), s"concurrent clone into $targetDir")
+    new LakeTable(spark, tgt)
+  }
+}
+
+object LakeTable {
+
+  /** CREATE TABLE [IF NOT EXISTS] (W4, src/delta_utils.py:27-77). */
+  def create(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty,
+      name: String = "",
+      ifNotExists: Boolean = true): LakeTable = {
+    val p = Paths.get(dir)
+    if (TxLog.isTable(dir)) {
+      if (ifNotExists) return new LakeTable(spark, p)
+      throw new IllegalStateException(s"table already exists: $dir")
+    }
+    val bad = partitionColumns.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"partition columns not in schema: ${bad.mkString(",")}")
+    Files.createDirectories(p)
+    val now = System.currentTimeMillis()
+    val meta = graft.log.Metadata(UUID.randomUUID().toString,
+      if (name.nonEmpty) name else p.getFileName.toString,
+      schema.json, partitionColumns, properties, now)
+    val ci = CommitInfo(0L, now, "CREATE TABLE",
+      Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L)
+    val tlog = new TxLog(p)
+    if (!tlog.tryCommit(0L, Seq(ci, meta)) && !ifNotExists)
+      throw new IllegalStateException(s"concurrent create on $dir")
+    new LakeTable(spark, p)
+  }
+
+  /** Create a table from an initial DataFrame (CTAS). */
+  def createFrom(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    val t = create(spark, dir, df.schema, partitionColumns, properties, ifNotExists = false)
+    t.append(df)
+    t
+  }
+
+  def forPath(spark: SparkSession, dir: String): LakeTable = {
+    require(TxLog.isTable(dir), s"not a graft table: $dir")
+    new LakeTable(spark, Paths.get(dir))
+  }
+
+  def isTable(dir: String): Boolean = TxLog.isTable(dir)
+}

@@ -1,0 +1,126 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.log._
+
+/** Table maintenance: OPTIMIZE (small-file compaction) and Z-ORDER
+  * clustering (M8/M9, src/data_processor.py:202-231, src/delta_utils.py:295-335).
+  *
+  * Both are data-identical rewrites: same rows, better file layout. Z-order
+  * tightens per-file min/max ranges on the clustering columns so
+  * [[graft.log.Pruner]] can skip most files for point/range predicates —
+  * the engine's substitute for Delta's data skipping.
+  */
+trait MaintenanceSupport { self: LakeTable =>
+
+  /** Bin-pack files smaller than `targetFileSize` into ~target-sized files.
+    * One distributed job: small files are read together and repartitioned on
+    * the partition columns so each output task writes into few hive dirs. */
+  def optimizeCompact(targetFileSize: Long = 128L * 1024 * 1024): Long = {
+    val snap = snapshot()
+    val small = snap.files.filter(_.size < targetFileSize)
+    // group by partition dir: compaction only helps where >1 small file coexists
+    val byPart = small.groupBy(_.partitionValues).filter(_._2.size > 1)
+    val doomed = byPart.values.flatten.toSeq
+    if (doomed.isEmpty) return snap.version
+    val totalBytes = doomed.map(_.size).sum
+    val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
+    val df = readFiles(doomed, snap.schema)
+    val pcols = snap.metadata.partitionColumns
+    val packed =
+      if (pcols.nonEmpty) df.repartition(n, pcols.map(col): _*)
+      else df.repartition(n)
+    val adds = stageWrite(packed, pcols)
+    commitRewrite(snap, "OPTIMIZE", Map("targetFileSize" -> targetFileSize.toString),
+      doomed, adds, Nil, Map(
+        "numFilesRemoved" -> doomed.size.toLong,
+        "numFilesAdded" -> adds.size.toLong))
+  }
+
+  /** OPTIMIZE ZORDER BY (cols): rewrite ALL live files clustered on the
+    * interleaved z-value of `cols`, range-partitioned so each output file
+    * covers a tight z-range (→ tight min/max stats → file skipping). */
+  def optimizeZOrder(cols: Seq[String], targetFileSize: Long = 128L * 1024 * 1024): Long = {
+    val snap = snapshot()
+    require(cols.nonEmpty && cols.size <= 4, "zorder needs 1-4 columns")
+    val missing = cols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"zorder columns not in schema: ${missing.mkString(",")}")
+    if (snap.files.isEmpty) return snap.version
+    val df = readFiles(snap.files, snap.schema)
+    val z = ZOrder.zvalue(df, cols.map(c => col(c) -> snap.schema(c).dataType))
+    val totalBytes = snap.files.map(_.size).sum
+    val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val adds = stageWrite(clustered, snap.metadata.partitionColumns)
+    commitRewrite(snap, "OPTIMIZE", Map("zOrderBy" -> cols.mkString(",")),
+      snap.files, adds, Nil, Map(
+        "numFilesRemoved" -> snap.files.size.toLong,
+        "numFilesAdded" -> adds.size.toLong))
+  }
+}
+
+/** Z-value construction from built-in, codegen-friendly expressions only
+  * (shiftright/shiftleft/bitwise and/or — no UDFs; SURVEY §2.12 notes the
+  * z-order key is the lone custom-expression candidate, and even it is
+  * expressible with builtins).
+  *
+  * Each column is mapped to an 8-bit bucket id — numerics/dates/timestamps
+  * via `width_bucket` over the column's global min/max (one tiny agg job),
+  * strings via a hash bucket (no range locality, but equal values cluster) —
+  * then the bucket bits of the k columns are interleaved into one long.
+  */
+object ZOrder {
+
+  private val Bits = 8 // 256 buckets per dimension
+
+  def zvalue(df: DataFrame, cols: Seq[(Column, DataType)]): Column = {
+    val numericCols = cols.collect { case (c, dt) if isRangeable(dt) => (c, dt) }
+    val bounds: Map[String, (Double, Double)] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val aggs = numericCols.zipWithIndex.flatMap { case ((c, dt), i) =>
+          Seq(min(toDouble(c, dt)).as(s"mn$i"), max(toDouble(c, dt)).as(s"mx$i"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        numericCols.zipWithIndex.map { case ((c, _), i) =>
+          val mn = Option(r.get(r.fieldIndex(s"mn$i"))).map(_.toString.toDouble).getOrElse(0.0)
+          val mx = Option(r.get(r.fieldIndex(s"mx$i"))).map(_.toString.toDouble).getOrElse(1.0)
+          c.toString -> (mn, if (mx > mn) mx else mn + 1.0)
+        }.toMap
+      }
+    val k = cols.size
+    val buckets: Seq[Column] = cols.map { case (c, dt) =>
+      if (isRangeable(dt)) {
+        val (mn, mx) = bounds(c.toString)
+        // width_bucket yields 1..n (0/n+1 out of range); clamp to 0..255
+        least(lit(255L).cast(LongType),
+          greatest(lit(0L), width_bucket(toDouble(c, dt), lit(mn), lit(mx), lit(256)) - 1))
+      } else {
+        pmod(hash(c), lit(256)).cast(LongType)
+      }
+    }
+    // interleave: bit b of column i lands at position b*k + i
+    val terms = for {
+      b <- 0 until Bits
+      (bc, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  private def isRangeable(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  private def toDouble(c: Column, dt: DataType): Column = dt match {
+    case _: DateType => c.cast(IntegerType).cast(DoubleType)
+    case _: TimestampType => c.cast(LongType).cast(DoubleType)
+    case _ => c.cast(DoubleType)
+  }
+}

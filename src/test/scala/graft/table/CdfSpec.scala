@@ -1,0 +1,86 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class CdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cdfTable(prefix: String): LakeTable = {
+    val t = LakeTable.create(spark, tmpDir(prefix).resolve("t").toString,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    t
+  }
+
+  test("appends synthesize inserts; update/delete emit pre/post images (S10)") {
+    val t = cdfTable("cdf-basic")
+    t.update(col("k") === 2, Map("v" -> lit("B")))
+    t.delete(col("k") === 3)
+    val ch = t.changes(1)
+    val byType = ch.groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    byType("insert") shouldBe 3
+    byType("update_preimage") shouldBe 1
+    byType("update_postimage") shouldBe 1
+    byType("delete") shouldBe 1
+    // pre/post carry old and new values
+    ch.filter(col("_change_type") === "update_preimage").select("v").as[String].head() shouldBe "b"
+    ch.filter(col("_change_type") === "update_postimage").select("v").as[String].head() shouldBe "B"
+    // version range restriction works
+    t.changes(2, Some(2)).select("_change_type").distinct().as[String].collect() shouldBe
+      Array("update_preimage", "update_postimage").sorted
+  }
+
+  test("merge emits insert/update/delete changes") {
+    val t = cdfTable("cdf-merge")
+    val src = Seq((2L, "B2"), (9L, "i")).toDF("k", "v")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val ch = t.changes(2, Some(2))
+    val byType = ch.groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    byType("update_preimage") shouldBe 1
+    byType("update_postimage") shouldBe 1
+    byType("insert") shouldBe 1
+    ch.filter(col("_change_type") === "insert").select("k").as[Long].head() shouldBe 9L
+  }
+
+  test("replaying CDF from v0 reconstructs the snapshot") {
+    val t = cdfTable("cdf-replay")
+    t.update(col("k") === 1, Map("v" -> lit("A")))
+    t.delete(col("k") === 2)
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    val ch = t.changes(0).filter(
+      col("_change_type").isin("insert", "update_postimage", "update_preimage", "delete"))
+    // net state: inserts + postimages - (preimages + deletes)
+    val plus = ch.filter(col("_change_type").isin("insert", "update_postimage")).select("k", "v")
+    val minus = ch.filter(col("_change_type").isin("update_preimage", "delete")).select("k", "v")
+    val net = plus.exceptAll(minus).orderBy("k").as[(Long, String)].collect()
+    val actual = t.read().orderBy("k").as[(Long, String)].collect()
+    net shouldBe actual
+  }
+
+  test("optimize emits no CDF rows; changes carry commit metadata") {
+    val t = cdfTable("cdf-opt")
+    t.append(Seq((10L, "x")).toDF("k", "v"))
+    val vOpt = t.optimizeCompact()
+    vOpt shouldBe 3
+    val ch = t.changes(3, Some(3))
+    ch.count() shouldBe 0
+    val all = t.changes(0)
+    all.columns should contain allOf ("_change_type", "_commit_version", "_commit_timestamp")
+    all.filter(col("_commit_version") === 3).count() shouldBe 0
+  }
+
+  test("timestamp-bounded CDF read") {
+    val t = cdfTable("cdf-ts")
+    val afterV1 = t.snapshot().commits.last.timestamp
+    t.append(Seq((5L, "e")).toDF("k", "v"))
+    val ch = t.changesBetweenTimestamps(afterV1 + 1)
+    ch.select("k").as[Long].collect() shouldBe Array(5L)
+  }
+}

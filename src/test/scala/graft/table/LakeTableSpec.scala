@@ -1,0 +1,213 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.log.TxLog
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String, partitionBy: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): LakeTable = {
+    val dir = tmpDir(prefix).resolve("t").toString
+    LakeTable.create(spark, dir,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("amount", DoubleType),
+        StructField("day", StringType))),
+      partitionColumns = partitionBy, properties = props)
+  }
+
+  private def rows(ids: Range, day: String = "d1"): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"name$i", i * 1.5, day)).toDF("id", "name", "amount", "day")
+
+  test("create + append + read round-trip") {
+    val t = freshTable("lt-basic")
+    t.append(rows(0 until 100))
+    t.read().count() shouldBe 100
+    t.read().agg(sum("id")).as[Long].head() shouldBe (0 until 100).sum
+    t.version shouldBe 1
+  }
+
+  test("append accumulates; overwrite replaces") {
+    val t = freshTable("lt-ow")
+    t.append(rows(0 until 50))
+    t.append(rows(50 until 80))
+    t.read().count() shouldBe 80
+    t.overwrite(rows(0 until 10))
+    t.read().count() shouldBe 10
+  }
+
+  test("time travel by version and by timestamp") {
+    val t = freshTable("lt-tt")
+    t.append(rows(0 until 10))
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(rows(10 until 30))
+    t.versionAsOf(1).count() shouldBe 10
+    t.versionAsOf(2).count() shouldBe 30
+    t.timestampAsOf(tsAfterV1).count() shouldBe 10
+    // snapshot isolation: an old DataFrame handle still reads old files
+    val old = t.versionAsOf(1)
+    t.delete(lit(true))
+    old.count() shouldBe 10
+  }
+
+  test("partitioned write records partitionValues and prunes files") {
+    val t = freshTable("lt-part", partitionBy = Seq("day"))
+    t.append(rows(0 until 10, "d1").union(rows(10 until 30, "d2")))
+    val snap = t.snapshot()
+    snap.files.forall(_.partitionValues.contains("day")) shouldBe true
+    val d1Files = snap.files.filter(_.partitionValues("day") == "d1")
+    d1Files.map(_.numRecords).sum shouldBe 10
+    // partition columns survive the round-trip (kept in data files)
+    t.read(Seq(col("day") === "d1")).count() shouldBe 10
+    t.read(Seq(col("day") === "d1")).select("day").distinct().as[String].collect() shouldBe Array("d1")
+  }
+
+  test("stats-based file pruning skips files by min/max") {
+    val t = freshTable("lt-prune")
+    t.append(rows(0 until 100))   // file(s) with id 0..99
+    t.append(rows(1000 until 1100)) // id 1000..1099
+    val snap = t.snapshot()
+    val pruned = graft.log.Pruner.prune(snap.files, Seq(col("id") >= 1000), snap.schema)
+    pruned.map(_.numRecords).sum shouldBe 100
+    t.read(Seq(col("id") >= 1000)).count() shouldBe 100
+    // string stats: skips files whose lexicographic [min,max] excludes the value
+    val p2 = graft.log.Pruner.prune(snap.files, Seq(col("name") === "name1050"), snap.schema)
+    p2.size should be < snap.files.size
+    t.read(Seq(col("name") === "name1050")).count() shouldBe 1
+  }
+
+  test("replaceWhere overwrites only matching partitions") {
+    val t = freshTable("lt-rw", partitionBy = Seq("day"))
+    t.append(rows(0 until 10, "d1").union(rows(10 until 30, "d2")))
+    t.overwriteWhere(col("day") === "d2", rows(100 until 105, "d2"))
+    t.read().count() shouldBe 15
+    t.read(Seq(col("day") === "d1")).count() shouldBe 10
+    // violating rows rejected
+    an[IllegalArgumentException] should be thrownBy
+      t.overwriteWhere(col("day") === "d1", rows(0 until 5, "d9"))
+    // non-partition predicate rejected
+    an[IllegalArgumentException] should be thrownBy
+      t.overwriteWhere(col("id") === 1, rows(0 until 1))
+  }
+
+  test("update rewrites only touched files") {
+    val t = freshTable("lt-upd")
+    t.append(rows(0 until 100))
+    t.append(rows(1000 until 1100))
+    val before = t.snapshot().files.map(_.path).toSet
+    t.update(col("id") === 5, Map("amount" -> lit(99.0), "name" -> lit("five")))
+    val after = t.snapshot().files.map(_.path).toSet
+    // the 1000..1100 file survived untouched
+    after.intersect(before).nonEmpty shouldBe true
+    val r = t.read(Seq(col("id") === 5)).select("name", "amount").head()
+    r shouldBe Row("five", 99.0)
+    t.read().count() shouldBe 200
+  }
+
+  test("delete keeps null-predicate rows (SQL semantics)") {
+    val t = freshTable("lt-del")
+    t.append(Seq((1L, null.asInstanceOf[String], 1.0, "d1"),
+      (2L, "x", 2.0, "d1"), (3L, "y", 3.0, "d1")).toDF("id", "name", "amount", "day"))
+    t.delete(col("name") === "x")
+    t.read().select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
+  test("history and detail expose commit metadata and metrics") {
+    val t = freshTable("lt-hist")
+    t.append(rows(0 until 10))
+    t.delete(col("id") === 1)
+    val h = t.history()
+    h.count() shouldBe 3
+    val ops = h.orderBy("version").select("operation").as[String].collect()
+    ops shouldBe Array("CREATE TABLE", "WRITE", "DELETE")
+    val delMetrics = h.filter(col("operation") === "DELETE")
+      .select("operationMetrics").as[Map[String, String]].head()
+    delMetrics("numDeletedRows") shouldBe "1"
+    val d = t.detail()
+    d.select("numFiles").as[Long].head() shouldBe t.snapshot().numFiles.toLong
+    d.select("format").as[String].head() shouldBe "graft"
+  }
+
+  test("restore rolls the table back to an old version") {
+    val t = freshTable("lt-restore")
+    t.append(rows(0 until 10))
+    t.append(rows(10 until 20))
+    t.delete(col("id") < 5)
+    t.read().count() shouldBe 15
+    t.restoreToVersion(2)
+    t.read().count() shouldBe 20
+    t.read().agg(min("id")).as[Long].head() shouldBe 0
+  }
+
+  test("schema evolution: mergeSchema append and addColumns") {
+    val t = freshTable("lt-evolve")
+    t.append(rows(0 until 5))
+    val extended = rows(5 until 10).withColumn("extra", lit("e"))
+    an[IllegalArgumentException] should be thrownBy t.append(extended)
+    t.append(extended, mergeSchema = true)
+    t.schema.fieldNames should contain("extra")
+    // old files read as null for the new column
+    val nulls = t.read().filter(col("extra").isNull).count()
+    nulls shouldBe 5
+    t.addColumns(Seq(StructField("flag", BooleanType)))
+    t.schema.fieldNames should contain("flag")
+  }
+
+  test("properties CRUD") {
+    val t = freshTable("lt-props")
+    t.setProperties(Map("graft.enableChangeDataFeed" -> "true", "k" -> "v"))
+    t.properties("k") shouldBe "v"
+    t.unsetProperties(Seq("k"))
+    t.properties.get("k") shouldBe None
+  }
+
+  test("clone shallow and deep") {
+    val t = freshTable("lt-clone")
+    t.append(rows(0 until 20))
+    val shallow = t.cloneTo(tmpDir("lt-clone-s").resolve("s").toString, shallow = true)
+    shallow.read().count() shouldBe 20
+    val deep = t.cloneTo(tmpDir("lt-clone-d").resolve("d").toString, shallow = false)
+    deep.read().count() shouldBe 20
+    // deep clone survives source vacuum after source delete-all
+    t.overwrite(rows(0 until 1))
+    t.vacuum(retainHours = 0.0)
+    deep.read().count() shouldBe 20
+  }
+
+  test("vacuum removes tombstoned files after the horizon, never live ones") {
+    val t = freshTable("lt-vac")
+    t.append(rows(0 until 50))
+    t.overwrite(rows(50 until 60))
+    val doomed = t.vacuum(retainHours = 0.0, dryRun = true)
+    doomed should not be empty
+    t.read().count() shouldBe 10 // dry run deleted nothing
+    t.vacuum(retainHours = 0.0)
+    t.read().count() shouldBe 10
+    // retained horizon: fresh tombstones survive a 7-day retention vacuum
+    t.overwrite(rows(0 until 5))
+    t.vacuum() shouldBe empty
+  }
+
+  test("concurrent appends both land (optimistic retry)") {
+    val t = freshTable("lt-conc")
+    val threads = (0 until 4).map { i =>
+      new Thread(() => t.append(rows(i * 10 until i * 10 + 10)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    t.read().count() shouldBe 40
+    t.version shouldBe 4
+  }
+
+  test("empty dataframe append is a no-op data-wise") {
+    val t = freshTable("lt-empty")
+    t.append(rows(0 until 0))
+    t.read().count() shouldBe 0
+  }
+}

@@ -1,0 +1,102 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target(prefix: String, props: Map[String, String] = Map.empty): LakeTable = {
+    val t = LakeTable.create(spark, tmpDir(prefix).resolve("t").toString,
+      StructType(Seq(
+        StructField("k", LongType),
+        StructField("v", StringType),
+        StructField("n", LongType))),
+      properties = props)
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "v", "n"))
+    t
+  }
+
+  test("merge upsert-all: update matched, insert unmatched (M1)") {
+    val t = target("mg-upsert")
+    val src = Seq((2L, "B", 200L), (4L, "D", 400L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "D", 400L))
+    val metrics = t.history(Some(1)).select("operationMetrics")
+      .as[Map[String, String]].head()
+    metrics("numTargetRowsUpdated") shouldBe "1"
+    metrics("numTargetRowsInserted") shouldBe "1"
+  }
+
+  test("merge conditional update with SET map (M2)") {
+    val t = target("mg-cond")
+    val src = Seq((1L, "a", 999L), (2L, "b", 20L)).toDF("k", "v", "n")
+    // only update when the source n differs
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdate(
+        set = Map("n" -> col("source.n"), "v" -> upper(col("target.v"))),
+        condition = Some(col("target.n") =!= col("source.n")))
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((1L, "A", 999L), (2L, "b", 20L), (3L, "c", 30L))
+  }
+
+  test("merge insert with explicit VALUES and condition (M3)") {
+    val t = target("mg-ins")
+    val src = Seq((4L, "d", 40L), (5L, "e", 50L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenNotMatchedInsert(
+        values = Map("k" -> col("source.k"), "v" -> lit("inserted"), "n" -> lit(0L)),
+        condition = Some(col("source.n") > 40))
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (5L, "inserted", 0L))
+  }
+
+  test("merge whenMatchedDelete") {
+    val t = target("mg-del")
+    val src = Seq((1L, "x", 0L), (3L, "y", 0L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedDelete()
+      .execute()
+    t.read().select("k").as[Long].collect().sorted shouldBe Array(2L)
+  }
+
+  test("clause order: first matching clause wins") {
+    val t = target("mg-order")
+    val src = Seq((1L, "z", 100L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdate(Map("v" -> lit("first")), Some(col("source.n") === 100))
+      .whenMatchedDelete()
+      .execute()
+    t.read().filter(col("k") === 1).select("v").as[String].head() shouldBe "first"
+  }
+
+  test("duplicate source matches error like Delta") {
+    val t = target("mg-dup")
+    val src = Seq((2L, "B1", 1L), (2L, "B2", 2L)).toDF("k", "v", "n")
+    an[IllegalStateException] should be thrownBy {
+      t.merge(src, col("target.k") === col("source.k"))
+        .whenMatchedUpdateAll()
+        .execute()
+    }
+  }
+
+  test("merge touches only files containing matches") {
+    val t = target("mg-touch")
+    // second file with far-away keys
+    t.append(Seq((1000L, "far", 1L)).toDF("k", "v", "n"))
+    val before = t.snapshot().files.map(_.path).toSet
+    val src = Seq((1L, "A", 1L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k")).whenMatchedUpdateAll().execute()
+    val after = t.snapshot().files.map(_.path).toSet
+    after.intersect(before).nonEmpty shouldBe true // far file untouched
+    t.read().count() shouldBe 4
+  }
+}
