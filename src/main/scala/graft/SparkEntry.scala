@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.analytics.Gold
+import graft.analytics.{Gold, TableOps}
+import graft.transform.Silver
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +34,24 @@ object SparkEntry {
       Gold.regionRevenue(Tables.lineitem(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.region(s, d))))
 
-  def queries: Map[String, Q] = analyticsQueries
+  /** Table-format ops (SURVEY §2.9) + silver transforms (§2.14). */
+  private val tableOpsQueries: Map[String, Q] = Map(
+    "q9_merge_upsert" -> (TableOps.mergeUpsert _),
+    "q10_update" -> (TableOps.updateWhere _),
+    "q11_delete" -> (TableOps.deleteWhere _),
+    "q12_time_travel" -> (TableOps.timeTravel _),
+    "q13_restore" -> (TableOps.restore _),
+    "q14_cdf_update" -> (TableOps.cdfUpdate _),
+    "q15_replace_where" -> (TableOps.replaceWhere _),
+    "q16_zorder_identity" -> (TableOps.zorderIdentity _),
+    "q17_scd2" -> (TableOps.scd2 _))
+
+  private val silverQueries: Map[String, Q] = Map(
+    "q18_clean_events" -> ((s, d) => Silver.cleanEvents(Tables.events(s, d)).drop("ts")),
+    "q19_clean_orders" -> ((s, d) => Silver.cleanOrders(Tables.orders(s, d))),
+    "q20_clean_customers" -> ((s, d) => Silver.cleanCustomers(Tables.customer(s, d))))
+
+  def queries: Map[String, Q] = analyticsQueries ++ tableOpsQueries ++ silverQueries
 
   private val analyticsOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -173,5 +191,37 @@ object SparkEntry {
          JOIN region r ON n.n_regionkey = r.r_regionkey
          GROUP BY r.r_name""")
 
-  def oracleSql: Map[String, String] = analyticsOracles
+  private val silverOracles: Map[String, String] = Map(
+    "q18_clean_events" ->
+      """SELECT event_id, user_id, lower(trim(event_type)) AS event_type, value, props,
+         CAST(ts AS DATE) AS event_date, CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+         CASE WHEN lower(trim(event_type)) IN ('purchase','cart','checkout') THEN 'commerce'
+              WHEN lower(trim(event_type)) IN ('click','view','scroll') THEN 'engagement'
+              WHEN lower(trim(event_type)) = 'error' THEN 'system'
+              ELSE 'other' END AS event_category,
+         COALESCE(value >= 100.0, FALSE) AS is_high_value
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL""",
+    "q19_clean_orders" ->
+      """SELECT o_orderkey, o_custkey, upper(trim(o_orderstatus)) AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority,
+         CASE WHEN o_totalprice >= 500000 THEN 'ENTERPRISE'
+              WHEN o_totalprice >= 100000 THEN 'LARGE'
+              WHEN o_totalprice >= 10000 THEN 'MEDIUM'
+              ELSE 'SMALL' END AS amount_bucket,
+         o_orderpriority IN ('1-URGENT','2-HIGH') AS is_urgent,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year
+         FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL""",
+    "q20_clean_customers" ->
+      """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
+         upper(trim(c_mktsegment)) AS c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+              WHEN c_acctbal < 1000 THEN 'LOW'
+              WHEN c_acctbal < 5000 THEN 'MEDIUM'
+              ELSE 'HIGH' END AS balance_bucket,
+         c_acctbal >= 5000 AS is_premium
+         FROM customer WHERE c_custkey IS NOT NULL""")
+
+  def oracleSql: Map[String, String] =
+    analyticsOracles ++ TableOps.oracles ++ silverOracles
 }

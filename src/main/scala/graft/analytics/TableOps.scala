@@ -1,0 +1,171 @@
+package graft.analytics
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.table.LakeTable
+import graft.transform.Scd2
+
+/** Driver-contract queries exercising the graft table format end-to-end
+  * (SURVEY §2.9): each builds a scratch LakeTable from a testdata table,
+  * applies DML/maintenance, and returns the resulting DataFrame so the
+  * DuckDB oracle can recompute the expected state straight from the source
+  * parquet. Temp dirs are throwaway — determinism comes from the testdata.
+  */
+object TableOps {
+
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  /** MERGE upsert-all (M1): source = even keys at +1000 price; target
+    * misses keys divisible by 3. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val t = LakeTable.createFrom(spark, scratch("merge"), target)
+    t.merge(source, col("target.o_orderkey") === col("source.o_orderkey"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.read()
+  }
+
+  /** UPDATE with predicate (M4): 5% uplift on open orders. */
+  def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTable.createFrom(spark, scratch("update"), Tables.orders(spark, sfDir))
+    t.update(col("o_orderstatus") === "O",
+      Map("o_totalprice" -> col("o_totalprice") * 1.05))
+    t.read()
+  }
+
+  /** DELETE with predicate (M5): retention purge of small fulfilled orders. */
+  def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTable.createFrom(spark, scratch("delete"), Tables.orders(spark, sfDir))
+    t.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    t.read()
+  }
+
+  /** Time travel (S8): v1 = even keys, v2 adds odd keys; read back v1. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.createFrom(spark, scratch("tt"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+    t.versionAsOf(1)
+  }
+
+  /** RESTORE (M7): delete everything open, then roll back. */
+  def restore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTable.createFrom(spark, scratch("restore"), Tables.orders(spark, sfDir))
+    t.delete(col("o_orderstatus") === "O")
+    t.restoreToVersion(1)
+    t.read()
+  }
+
+  /** CDF (S10): update_preimage/postimage pairs for an acctbal adjustment. */
+  def cdfUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+    val t = LakeTable.create(spark, scratch("cdf"), customer.schema,
+      properties = Map("graft.enableChangeDataFeed" -> "true"), ifNotExists = false)
+    t.append(customer)
+    t.update(col("c_custkey") % 5 === 0, Map("c_acctbal" -> (col("c_acctbal") + 100.0)))
+    t.changes(2, Some(2)).drop("_commit_version", "_commit_timestamp")
+  }
+
+  /** replaceWhere (W3): idempotent partition-scoped rewrite of open orders. */
+  def replaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.create(spark, scratch("rw"), orders.schema,
+      partitionColumns = Seq("o_orderstatus"), ifNotExists = false)
+    t.append(orders)
+    t.overwriteWhere(col("o_orderstatus") === "O",
+      orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    t.read()
+  }
+
+  /** OPTIMIZE ZORDER (M9) is data-identical: lineitem survives a full
+    * clustered rewrite bit-for-bit. */
+  def zorderIdentity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTable.createFrom(spark, scratch("zorder"), Tables.lineitem(spark, sfDir))
+    t.optimizeZOrder(Seq("l_partkey", "l_suppkey"))
+    t.read()
+  }
+
+  /** SCD Type 2 (M6): initial load at ts0; batch at ts1 changes acctbal for
+    * keys %4==0 and introduces new entities (key+1000000) for keys %4==1. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+    val tracked = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ts0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts1 = Timestamp.valueOf("2026-02-01 00:00:00")
+    val t = Scd2.initialize(spark, scratch("scd2"), customer, tracked, ts0)
+    val changed = customer.filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+    val fresh = customer.filter(col("c_custkey") % 4 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+    Scd2.upsert(t, changed.unionByName(fresh), Seq("c_custkey"), tracked, ts1)
+    t.read()
+      .drop("record_hash")
+      .withColumn("effective_start", col("effective_start").cast("timestamp_ntz"))
+      .withColumn("effective_end", col("effective_end").cast("timestamp_ntz"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  private val ordersCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  val oracles: Map[String, String] = Map(
+    "q9_merge_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""",
+    "q10_update" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority FROM orders""",
+    "q11_delete" ->
+      s"""SELECT $ordersCols FROM orders
+          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""",
+    "q12_time_travel" ->
+      s"""SELECT $ordersCols FROM orders WHERE o_orderkey % 2 = 0""",
+    "q13_restore" ->
+      s"""SELECT $ordersCols FROM orders""",
+    "q14_cdf_update" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         'update_preimage' AS _change_type FROM customer WHERE c_custkey % 5 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+         'update_postimage' FROM customer WHERE c_custkey % 5 = 0""",
+    "q15_replace_where" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority FROM orders""",
+    "q16_zorder_identity" ->
+      """SELECT * FROM lineitem""",
+    "q17_scd2" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2026-01-01 00:00:00' AS effective_start,
+         CAST(NULL AS TIMESTAMP) AS effective_end, TRUE AS is_current
+         FROM customer WHERE c_custkey % 4 <> 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-02-01 00:00:00', FALSE
+         FROM customer WHERE c_custkey % 4 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.0, c_mktsegment,
+         TIMESTAMP '2026-02-01 00:00:00', NULL, TRUE
+         FROM customer WHERE c_custkey % 4 = 0
+         UNION ALL
+         SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2026-02-01 00:00:00', NULL, TRUE
+         FROM customer WHERE c_custkey % 4 = 1""")
+}
