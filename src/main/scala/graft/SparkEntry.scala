@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.analytics.{Gold, TableOps}
+import graft.analytics.{DataOps, Gold, TableOps}
 import graft.transform.Silver
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,7 +51,22 @@ object SparkEntry {
     "q19_clean_orders" -> ((s, d) => Silver.cleanOrders(Tables.orders(s, d))),
     "q20_clean_customers" -> ((s, d) => Silver.cleanCustomers(Tables.customer(s, d))))
 
-  def queries: Map[String, Q] = analyticsQueries ++ tableOpsQueries ++ silverQueries
+  /** Training-data pipeline ops: dedup, similarity search, text analysis,
+    * multimodal plumbing. LSH/SimHash/IVF/multimodal are hash-seeded →
+    * rows-only driver checks; the rest have DuckDB oracles. */
+  private val dataOpsQueries: Map[String, Q] = Map(
+    "q21_exact_dedup" -> (DataOps.exactDedup _),
+    "q22_minhash_lsh" -> (DataOps.minhashLsh _),
+    "q23_simhash" -> (DataOps.simhash _),
+    "q24_ngram_jaccard" -> (DataOps.ngramJaccard _),
+    "q25_ann_cosine_topk" -> (DataOps.annCosineTopK _),
+    "q26_ann_ivf_topk" -> (DataOps.annIvfTopK _),
+    "q27_text_analysis" -> (DataOps.textAnalysis _),
+    "q28_embedding_neardup" -> (DataOps.embeddingNearDup _),
+    "q29_multimodal_features" -> (DataOps.multimodalFeatures _))
+
+  def queries: Map[String, Q] =
+    analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries
 
   private val analyticsOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -223,5 +238,5 @@ object SparkEntry {
          FROM customer WHERE c_custkey IS NOT NULL""")
 
   def oracleSql: Map[String, String] =
-    analyticsOracles ++ TableOps.oracles ++ silverOracles
+    analyticsOracles ++ TableOps.oracles ++ silverOracles ++ DataOps.oracles
 }

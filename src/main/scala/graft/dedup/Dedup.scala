@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data curation at corpus scale:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: everything before the candidate-pair join is a narrow
+  * per-row projection (token/shingle arrays, hash vectors) with no UDFs.
+  * The only shuffles are (a) the LSH band bucket join — which is the point
+  * of LSH: candidate pairs come from equi-joins on (band, bandHash), never
+  * from an O(n²) cross join — and (b) the final per-bucket aggregation.
+  * At 100 TB, band keys are uniformly-distributed hashes, so the shuffle
+  * partitions evenly (no skew salting needed).
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): canonical representative = lowest doc id
+    * per identical text. One shuffle on the text hash. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles; short docs fall back to the whole token string
+    * (sequence() would be ill-defined for size < n). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** 64-permutation MinHash signature over the shingle set — computed as a
+    * nested array expression (transform × array_min × xxhash64 with the
+    * permutation index as a second hash input): no explode, no UDF, one
+    * codegen'd projection. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(array_distinct(shingles(text, shingleN)),
+        s => xxhash64(s, i))))
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band, hash(band slice)), emit each pair
+    * once (a < b) with the MinHash-estimated Jaccard. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+        .as("bucket"))
+      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .dropDuplicates("a", "b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash per document. Explode + one groupBy (the scale-safe
+    * shape: the 64 bit-sums are a single hash aggregation, partial+final). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val assembled = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id").as(idCol), assembled.as("simhash"))
+  }
+
+  /** Exact token-set Jaccard over blocked candidate pairs (block on a cheap
+    * key — here `blockCol` — to avoid the quadratic join; at corpus scale
+    * the block key would be an LSH bucket or a shard hash). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.5): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    // try_divide: ANSI mode would error on a (empty, empty) pair, and the
+    // optimizer may evaluate the projection before the id< join predicate
+    t.as("x").join(t.as("y"), col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("jaccard",
+        coalesce(try_divide(
+          size(array_intersect(col("x.toks"), col("y.toks"))).cast("double"),
+          size(array_union(col("x.toks"), col("y.toks"))).cast("double")), lit(0.0)))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs within a blocking key (label
+    * here; a coarse quantization bucket at scale). */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      blockCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosine: Double = 0.95): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withNorm = v.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    withNorm.as("x").join(withNorm.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+          (col("x.norm") * col("y.norm")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to find some food for the winter"
+
+  private lazy val docs = Seq(
+    (1L, base, "en", "s1"),
+    (2L, base, "en", "s1"), // exact dup of 1
+    (3L, base.replace("jumps", "leaps"), "en", "s1"), // near dup of 1
+    (4L, "el perro de la casa y los gatos", "es", "s2"),
+    (5L, "completely different content about spark engines", "en", "s2"),
+    (6L, "", "en", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps lowest doc_id per identical text") {
+    val out = Dedup.exact(docs)
+    out.count() shouldBe 5
+    out.filter(col("text").startsWith("the quick brown fox jumps"))
+      .select("doc_id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, minEstJaccard = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should not contain ((4L, 5L))
+    // exact dups have estimated jaccard 1.0
+    Dedup.minhashLshPairs(docs, minEstJaccard = 0.3)
+      .filter(col("a") === 1 && col("b") === 2)
+      .select("est_jaccard").as[Double].head() shouldBe 1.0
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    hamming should be <= 16
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(5L))
+    far should be > hamming
+  }
+
+  test("ngram jaccard pairs are exact and blocked") {
+    val pairs = Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val p12 = pairs.find(p => p._1 == 1 && p._2 == 2).get
+    p12._3 shouldBe 1.0
+    val p13 = pairs.find(p => p._1 == 1 && p._2 == 3).get
+    p13._3 shouldBe (22.0 / 24.0 +- 1e-4) // one word of 23 distinct differs
+    // cross-source pair (1,4) never considered
+    pairs.exists(p => p._1 == 1 && p._2 == 4) shouldBe false
+  }
+
+  test("text analysis: tokens, language id, quality, fingerprint") {
+    val out = TextAnalysis.analyze(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Int]("token_count") shouldBe base.split(" ").length
+    out(6L).getAs[Int]("token_count") shouldBe 0
+    out(1L).getAs[String]("predicted_lang") shouldBe "en"
+    out(4L).getAs[String]("predicted_lang") shouldBe "es"
+    out(6L).getAs[String]("predicted_lang") shouldBe "und"
+    out(1L).getAs[Double]("quality_score") should (be >= 0.0 and be <= 1.0)
+    // fingerprint is order-insensitive on the token set
+    val shuffled = Seq((9L, base.split(" ").reverse.mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextAnalysis.analyze(shuffled).select("fingerprint").as[String].head() shouldBe
+      out(1L).getAs[String]("fingerprint")
+  }
+
+  test("ANN brute-force: self excluded, k respected, nearest first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.95f, 0.05f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    out.length shouldBe 2
+    out(0)._3 shouldBe 4L // closest
+    out(1)._3 shouldBe 1L
+    out.map(_._3) should not contain 0L
+  }
+
+  test("ANN IVF: same-cell candidates only, huge reduction in comparisons") {
+    val emb = Tables(spark, sf("0.001"), "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(emb, queries, k = 3)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, bits = 4)
+    ivf.count() should be <= brute.count()
+    ivf.count() should be > 0L
+    // IVF is a subset search: per query its best cosine can never beat the
+    // brute-force best
+    val b1 = brute.filter(col("rank") === 1).select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    val i1 = ivf.filter(col("rank") === 1).select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    i1.foreach { case (q, c) => c should be <= (b1(q) + 1e-9) }
+  }
+
+  test("multimodal: synthesized media round-trips mapPartitions stages") {
+    val media = Multimodal.synthesize(
+      docs.withColumn("n_chars", org.apache.spark.sql.functions.length(col("text"))))
+    media.count() shouldBe 6
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    feats.count() shouldBe 6
+    feats.collect().foreach { f =>
+      f.feature.length shouldBe 8
+      f.featureNorm should be >= 0.0
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(f => f.media_id -> f.featureNorm).toMap
+    Multimodal.extractFeatures(media, dim = 8).collect().foreach { f =>
+      again(f.media_id) shouldBe f.featureNorm
+    }
+    val frames = Multimodal.sampleVideoFrames(media, framesPerVideo = 3)
+    frames.collect().foreach(_.frame.length should be > 0)
+    val resized = Multimodal.resizeAll(media, maxBytes = 10)
+    resized.collect().foreach(_.content.length should be <= 10)
+  }
+
+  private object Tables {
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+      s.read.parquet(s"$dir/$name.parquet")
+  }
+}
