@@ -37,14 +37,32 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** 64-permutation MinHash signature over the shingle set — computed as a
-    * nested array expression (transform × array_min × xxhash64 with the
-    * permutation index as a second hash input): no explode, no UDF, one
-    * codegen'd projection. */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(array_distinct(shingles(text, shingleN)),
-        s => xxhash64(s, i))))
+  /** 64-permutation MinHash signatures via explode + N-way min aggregation.
+    *
+    * Each shingle string is hashed to a 64-bit base ONCE; permutation i is
+    * the cheap long re-hash xxhash64(h, i). A nested-lambda formulation
+    * (transform over permutations of array_min over shingles) would
+    * re-evaluate the shingle expression per permutation — Catalyst does not
+    * hoist loop-invariant subtrees out of HigherOrderFunction lambdas — so
+    * the agg shape is ~numHashes× cheaper. Map-side partial aggregation
+    * collapses the exploded shingles to one row per doc per partition
+    * before the (single) shuffle on doc id, which is what keeps this
+    * viable at corpus scale. */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, hash(band slice)), emit each pair
@@ -57,7 +75,7 @@ object Dedup {
       bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
