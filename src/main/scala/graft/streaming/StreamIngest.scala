@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.table.LakeTable
+
+/** Streaming ingestion: Structured Streaming file source → graft table sink
+  * (SURVEY §2.11; reference: notebooks/01_bronze_ingestion.py:210-229,
+  * src/data_processor.py:182-197, migration/migrate_from_s3.py:164-194).
+  *
+  * The reference uses Databricks Auto Loader (`cloudFiles`); the open-source
+  * stand-in is Spark's file source, which has the same incremental
+  * file-discovery semantics (`maxFilesPerTrigger` rate limiting, checkpointed
+  * file ledger). The sink side is `foreachBatch` into [[LakeTable]], made
+  * exactly-once by idempotent (txnAppId, epochId) commits — a replayed batch
+  * after a crash is a no-op ([[LakeTable.appendStream]]).
+  *
+  * Scale notes: the file source lists only new files per trigger and the
+  * ledger is O(files seen); each micro-batch is a normal distributed write.
+  * Nothing here collects to the driver.
+  */
+object StreamIngest {
+
+  /** Config mirroring the reference's streaming_config (src/config.py:40-46). */
+  case class StreamConfig(
+      format: String = "json", // json | parquet | csv | orc
+      maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      options: Map[String, String] = Map.empty)
+
+  /** `readStream` over a file directory with an enforced schema (S11). */
+  def fileSource(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      config: StreamConfig = StreamConfig()): DataFrame = {
+    val r = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", config.maxFilesPerTrigger)
+      .options(config.options)
+    config.format match {
+      case "json"    => r.json(path)
+      case "parquet" => r.parquet(path)
+      case "csv"     => r.option("header", "true").csv(path)
+      case "orc"     => r.orc(path)
+      case f         => throw new IllegalArgumentException(s"unsupported stream format: $f")
+    }
+  }
+
+  /** Start a stream writing into `table` exactly-once (W7). `transform` is the
+    * per-batch cleansing hook (the reference's processing_func,
+    * src/data_processor.py:120-121). The txn app id is derived from the
+    * checkpoint location, which is what survives restarts. */
+  def startFileToTable(
+      source: DataFrame,
+      table: LakeTable,
+      checkpointDir: String,
+      config: StreamConfig = StreamConfig(),
+      transform: DataFrame => DataFrame = identity,
+      queryName: String = ""): StreamingQuery = {
+    val appId = txnAppIdFor(checkpointDir)
+    val w = transform(source).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(config.trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        table.appendStream(batch, appId, epochId): Unit
+      }
+    (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
+  }
+
+  /** One call = reference's `start_streaming_ingestion`
+    * (notebooks/01_bronze_ingestion.py:204-234): source dir → table. */
+  def ingest(
+      spark: SparkSession,
+      sourcePath: String,
+      schema: StructType,
+      table: LakeTable,
+      checkpointDir: String,
+      config: StreamConfig = StreamConfig(),
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    startFileToTable(fileSource(spark, sourcePath, schema, config),
+      table, checkpointDir, config, transform)
+
+  /** Stable per-checkpoint transaction app id: created once next to the
+    * checkpoint, reread on restart — so a restarted query keeps its identity
+    * and replayed epochs dedupe. */
+  private[streaming] def txnAppIdFor(checkpointDir: String): String = {
+    val marker = Paths.get(checkpointDir, "_graft_txn_app_id")
+    if (Files.exists(marker))
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+    else {
+      Files.createDirectories(marker.getParent)
+      val id = java.util.UUID.randomUUID().toString
+      try {
+        Files.write(marker, id.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        id
+      } catch { // concurrent starter won the race; use its id
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim
+      }
+    }
+  }
+}

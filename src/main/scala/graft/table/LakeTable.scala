@@ -125,6 +125,40 @@ class LakeTable private[table] (
     }
   }
 
+  /** Idempotent streaming append: exactly-once under foreachBatch replay
+    * (W7 sink side, §2.11 — notebooks/01_bronze_ingestion.py:223-229). The
+    * commit records (txnAppId, txnVersion); a replayed epoch whose version
+    * is <= the last recorded one for the same app is a no-op. The check is
+    * re-run inside the commit-retry loop against the fresh snapshot, so a
+    * lost CAS race with the replayed twin cannot double-commit. */
+  def appendStream(df: DataFrame, txnAppId: String, txnVersion: Long): Long = {
+    val snap = snapshot()
+    if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
+    val adds = stageWrite(align(df, snap.schema, strict = true), snap.metadata.partitionColumns)
+    try {
+      commitWithRetry("STREAMING UPDATE",
+        Map("outputMode" -> "Append", "txnAppId" -> txnAppId,
+          "txnVersion" -> txnVersion.toString), snap) { s =>
+        if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
+          throw new LakeTable.EpochAlreadyCommitted
+        adds
+      }
+    } catch {
+      // staged files are unreferenced; VACUUM collects them
+      case _: LakeTable.EpochAlreadyCommitted => snapshot().version
+    }
+  }
+
+  /** Highest txnVersion committed for `txnAppId` (None if never seen). */
+  def lastTxnVersion(snap: Snapshot, txnAppId: String): Option[Long] = {
+    val vs = snap.commits.flatMap { c =>
+      if (c.operationParameters.get("txnAppId").contains(txnAppId))
+        c.operationParameters.get("txnVersion").flatMap(v => scala.util.Try(v.toLong).toOption)
+      else None
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   /** Full overwrite (W2); `overwriteSchema` replaces the schema wholesale
     * (migration/migrate_from_rdbms.py:104-108). */
   def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
@@ -414,6 +448,8 @@ class LakeTable private[table] (
 }
 
 object LakeTable {
+
+  private[table] class EpochAlreadyCommitted extends RuntimeException
 
   /** CREATE TABLE [IF NOT EXISTS] (W4, src/delta_utils.py:27-77). */
   def create(

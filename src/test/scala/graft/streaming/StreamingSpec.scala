@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+class StreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("event_type", StringType)))
+
+  private def writeJson(dir: Path, name: String, rows: Seq[(Long, String)]): Unit = {
+    val body = rows.map { case (i, t) => s"""{"id":$i,"event_type":"$t"}""" }
+      .mkString("", "\n", "\n")
+    Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("file stream ingests into a table exactly-once across restarts (S11+W7)") {
+    val src = tmpDir("stream-src")
+    val ck = tmpDir("stream-ck").toString
+    val table = LakeTable.create(spark, tmpDir("stream-tbl").resolve("t").toString, schema)
+
+    writeJson(src, "a.json", Seq((1L, "view"), (2L, "click")))
+    val q1 = StreamIngest.ingest(spark, src.toString, schema, table, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    table.read().count() shouldBe 2
+
+    // restart from the same checkpoint with new files: no reprocessing of a.json
+    writeJson(src, "b.json", Seq((3L, "view")))
+    val q2 = StreamIngest.ingest(spark, src.toString, schema, table, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    table.read().count() shouldBe 3
+    table.read().select(sum("id")).collect().head.getLong(0) shouldBe 6L
+  }
+
+  test("replayed epoch is a no-op (idempotent appendStream)") {
+    val table = LakeTable.create(spark, tmpDir("replay-tbl").resolve("t").toString, schema)
+    import spark.implicits._
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "event_type")
+    table.appendStream(batch, "app-1", 0L)
+    val vAfter = table.appendStream(batch, "app-1", 0L) // replay of epoch 0
+    table.read().count() shouldBe 2
+    vAfter shouldBe table.version
+    table.appendStream(batch, "app-1", 1L) // next epoch appends
+    table.read().count() shouldBe 4
+    // a different app id has its own epoch sequence
+    table.appendStream(batch, "app-2", 0L)
+    table.read().count() shouldBe 6
+  }
+
+  test("maxFilesPerTrigger rate-limits discovery into multiple commits") {
+    val src = tmpDir("rate-src")
+    val ck = tmpDir("rate-ck").toString
+    val table = LakeTable.create(spark, tmpDir("rate-tbl").resolve("t").toString, schema)
+    (0 until 4).foreach(i => writeJson(src, s"f$i.json", Seq((i.toLong, "e"))))
+    val q = StreamIngest.ingest(spark, src.toString, schema, table, ck,
+      StreamIngest.StreamConfig(maxFilesPerTrigger = 1))
+    q.processAllAvailable()
+    q.stop()
+    table.read().count() shouldBe 4
+    val streamCommits = table.snapshot().commits.count(_.operation == "STREAMING UPDATE")
+    streamCommits should be >= 4
+  }
+
+  test("per-batch transform hook cleans rows before the sink") {
+    val src = tmpDir("tr-src")
+    val ck = tmpDir("tr-ck").toString
+    val table = LakeTable.create(spark, tmpDir("tr-tbl").resolve("t").toString, schema)
+    writeJson(src, "a.json", Seq((1L, "view"), (2L, "bad"), (3L, "click")))
+    val q = StreamIngest.ingest(spark, src.toString, schema, table, ck,
+      transform = _.filter(col("event_type") =!= "bad"))
+    q.processAllAvailable()
+    q.stop()
+    table.read().count() shouldBe 2
+  }
+
+  test("ChangeFeed processes CDF incrementally with a version checkpoint") {
+    import spark.implicits._
+    val table = LakeTable.create(spark, tmpDir("cf-tbl").resolve("t").toString, schema)
+    val ck = tmpDir("cf-ck").resolve("v.txt").toString
+    val feed = new ChangeFeed(table, ck)
+
+    table.append(Seq((1L, "a"), (2L, "b")).toDF("id", "event_type"))
+    var seen = 0L
+    feed.processOnce(df => seen = df.filter(col("_change_type") === "insert").count())
+    seen shouldBe 2
+    feed.lastProcessedVersion shouldBe Some(table.version)
+
+    // caught up: nothing pending
+    feed.processOnce(_ => fail("handler must not run when caught up")) shouldBe 0
+
+    // new commit -> only its changes are handed over
+    table.append(Seq((3L, "c")).toDF("id", "event_type"))
+    feed.processOnce(df => seen = df.count())
+    seen shouldBe 1
+    feed.lastProcessedVersion shouldBe Some(table.version)
+  }
+}
