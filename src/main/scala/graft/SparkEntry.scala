@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.analytics.{DataOps, Gold, TableOps}
+import graft.analytics.{DataOps, Gold, QualityOps, TableOps}
 import graft.transform.Silver
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,8 +65,16 @@ object SparkEntry {
     "q28_embedding_neardup" -> (DataOps.embeddingNearDup _),
     "q29_multimodal_features" -> (DataOps.multimodalFeatures _))
 
+  /** Quality validators (§2.13) + streaming ingestion (§2.11). */
+  private val qualityOpsQueries: Map[String, Q] = Map(
+    "q30_quality_report" -> (QualityOps.qualityReport _),
+    "q31_duplicate_ids" -> (QualityOps.duplicateIds _),
+    "q32_range_validation" -> (QualityOps.rangeValidation _),
+    "q33_stream_ingest" -> (QualityOps.streamIngest _))
+
   def queries: Map[String, Q] =
-    analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries
+    analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++
+      qualityOpsQueries
 
   private val analyticsOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -238,5 +246,6 @@ object SparkEntry {
          FROM customer WHERE c_custkey IS NOT NULL""")
 
   def oracleSql: Map[String, String] =
-    analyticsOracles ++ TableOps.oracles ++ silverOracles ++ DataOps.oracles
+    analyticsOracles ++ TableOps.oracles ++ silverOracles ++ DataOps.oracles ++
+      QualityOps.oracles
 }
