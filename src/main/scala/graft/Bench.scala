@@ -90,13 +90,20 @@ object Bench {
     ops += "zorder_files_skipped_pct" ->
       100.0 * (snap.numFiles - kept.size).toDouble / math.max(snap.numFiles, 1)
 
-    // partition pruning: partitioned table, one-partition query vs full scan
+    // partition pruning: partitioned table, one-partition aggregate vs full
+    // aggregate (a sum forces real column IO on both sides — a bare count()
+    // is answered from parquet metadata and would make the full scan free)
     val pt = LakeTable.create(spark, scratch("part"), orders.schema,
       partitionColumns = Seq("o_orderstatus"))
     pt.append(orders)
-    val (_, fullSec) = timed(pt.read().count())
-    val (_, prunedSec) = timed(pt.read(Seq(col("o_orderstatus") === "F")).count())
+    val (_, fullSec) = timed(pt.read().agg(sum("o_totalprice")).collect())
+    val (_, prunedSec) = timed(
+      pt.read(Seq(col("o_orderstatus") === "F")).agg(sum("o_totalprice")).collect())
     ops += "partition_pruning_speedup_pct" -> 100.0 * (fullSec - prunedSec) / fullSec
+    val pSnap = pt.snapshot()
+    val pKept = pt.read(Seq(col("o_orderstatus") === "F"))
+    ops += "partition_files_scanned_pct" -> 100.0 *
+      pKept.inputFiles.length.toDouble / math.max(pSnap.numFiles, 1)
 
     // optimize: compaction of a fragmented table (8 small appends)
     val ot = LakeTable.create(spark, scratch("opt"), orders.schema)

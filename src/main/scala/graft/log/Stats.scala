@@ -108,6 +108,137 @@ object Stats {
     * filesystem path (no URI decode — hive dir names contain literal `%`). */
   def stripScheme(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:").replaceFirst("^/+", "/") else p
+
+  // ----------------------------------------------------- footer-based stats
+
+  /** Per-file stats straight from the Parquet footers — driver-side metadata
+    * IO only, no second distributed pass over freshly-written data. This is
+    * how a write's stats collection stays O(files) instead of O(rows); at
+    * 100 TB the re-read would double every write. Columns whose footer stats
+    * are missing/untrustworthy (e.g. INT96 timestamps) are simply omitted —
+    * the pruner treats absent stats conservatively.
+    *
+    * Returns (absolutePath -> (numRecords, colName -> ColStats)). */
+  def fromFooters(
+      files: Seq[java.nio.file.Path],
+      schema: StructType): Map[String, (Long, Map[String, ColStats])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, ColStats])]()
+    files.asJava.parallelStream().forEach { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val numRecords = blocks.map(_.getRowCount).sum
+        // per top-level column: accumulated (min, max, nullCount, trustworthy)
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, Long, Boolean)]
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val parts = c.getPath.toArray
+            if (parts.length == 1) {
+              val name = parts(0)
+              schema.fields.find(_.name == name).foreach { f =>
+                val prev = acc.getOrElse(name, (null, null, 0L, true))
+                val next = footerColStats(c, f.dataType) match {
+                  case None => (null, null, 0L, false) // untrusted -> drop column
+                  case Some((mn, mx, nulls)) if prev._4 =>
+                    val newMn = merge(prev._1, mn, f.dataType, takeMin = true)
+                    val newMx = merge(prev._2, mx, f.dataType, takeMin = false)
+                    (newMn, newMx, prev._3 + nulls, true)
+                  case _ => prev
+                }
+                acc(name) = next
+              }
+            }
+          }
+        }
+        val stats = acc.collect { case (n, (mn, mx, nulls, true)) =>
+          n -> ColStats(mn, mx, nulls)
+        }.toMap
+        out.put(p.toString, (numRecords, stats))
+      } finally reader.close()
+    }
+    out.asScala.toMap
+  }
+
+  private def merge(a: String, b: String, dt: DataType, takeMin: Boolean): String =
+    if (a == null) b else if (b == null) a
+    else if ((compare(a, b, dt) <= 0) == takeMin) a else b
+
+  /** Decode one column chunk's statistics into canonical encodings.
+    * None = stats untrustworthy for this column (omit entirely);
+    * Some((null,null,nulls)) = null count known but no min/max. */
+  private def footerColStats(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      dt: DataType): Option[(String, String, Long)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val st = c.getStatistics
+    if (st == null || !st.isNumNullsSet) return None
+    val nulls = st.getNumNulls
+    if (!st.hasNonNullValue) return Some((null, null, nulls))
+    val prim = c.getPrimitiveType
+    val tn = prim.getPrimitiveTypeName
+    val ann = prim.getLogicalTypeAnnotation
+    def bin(b: Any): Array[Byte] = b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+
+    val decoded: Option[(String, String)] = (dt, tn) match {
+      case (_: ByteType | _: ShortType | _: IntegerType, PrimitiveTypeName.INT32) =>
+        Some((st.genericGetMin.toString, st.genericGetMax.toString))
+      case (_: LongType, PrimitiveTypeName.INT64) =>
+        Some((st.genericGetMin.toString, st.genericGetMax.toString))
+      case (_: FloatType, PrimitiveTypeName.FLOAT) | (_: DoubleType, PrimitiveTypeName.DOUBLE) =>
+        Some((st.genericGetMin.toString, st.genericGetMax.toString))
+      case (_: BooleanType, PrimitiveTypeName.BOOLEAN) =>
+        Some((st.genericGetMin.toString, st.genericGetMax.toString))
+      case (_: StringType, PrimitiveTypeName.BINARY) =>
+        val mn = new String(bin(st.genericGetMin), java.nio.charset.StandardCharsets.UTF_8)
+        val mx = new String(bin(st.genericGetMax), java.nio.charset.StandardCharsets.UTF_8)
+        Some((encode(mn, dt).asInstanceOf[String],
+          encode(mx, dt, isMax = true).asInstanceOf[String]))
+      case (_: DateType, PrimitiveTypeName.INT32) =>
+        Some((encodeInternal(st.genericGetMin.asInstanceOf[Int], DateType),
+          encodeInternal(st.genericGetMax.asInstanceOf[Int], DateType)))
+      case (_: TimestampType, PrimitiveTypeName.INT64) =>
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val toMicros: Long => Long = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => _ / 1000L
+            }
+            Some((encodeInternal(toMicros(st.genericGetMin.asInstanceOf[Long]), TimestampType),
+              encodeInternal(toMicros(st.genericGetMax.asInstanceOf[Long]), TimestampType)))
+          case _ => None
+        }
+      case (d: DecimalType, _) =>
+        ann match {
+          case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation if a.getScale == d.scale =>
+            def dec(v: Any): java.math.BigDecimal = tn match {
+              case PrimitiveTypeName.INT32 =>
+                java.math.BigDecimal.valueOf(v.asInstanceOf[Int].toLong, a.getScale)
+              case PrimitiveTypeName.INT64 =>
+                java.math.BigDecimal.valueOf(v.asInstanceOf[Long], a.getScale)
+              case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY =>
+                new java.math.BigDecimal(new java.math.BigInteger(bin(v)), a.getScale)
+              case _ => throw new IllegalStateException(s"decimal physical $tn")
+            }
+            scala.util.Try((dec(st.genericGetMin).toPlainString,
+              dec(st.genericGetMax).toPlainString)).toOption
+          case _ => None
+        }
+      case _ => None
+    }
+    decoded match {
+      case Some((mn, mx)) => Some((mn, mx, nulls))
+      case None if isStatsType(dt) => Some((null, null, nulls)) // keep null count only
+      case None => Some((null, null, nulls))
+    }
+  }
 }
 
 /** Driver-side file skipping: decide from `add.stats` whether a file MIGHT

@@ -75,7 +75,7 @@ trait DmlSupport { self: LakeTable =>
 
   /** Files whose rows might — then verifiably do — match `cond`. */
   private[table] def filesContaining(snap: Snapshot, cond: Column): Seq[AddFile] = {
-    val candidates = Pruner.prune(partitionPrune(snap.files, Seq(cond)), Seq(cond), snap.schema)
+    val candidates = Pruner.prune(partitionPrune(snap, snap.files, Seq(cond)), Seq(cond), snap.schema)
     if (candidates.isEmpty) return Nil
     val withFile = readFiles(candidates, snap.schema).withColumn("__file", input_file_name())
     val hit = withFile.filter(coalesce(cond, lit(false)))
@@ -149,6 +149,28 @@ class MergeBuilder private[table] (
     notMatchedClauses :+= NotMatchedInsert(condition, values); this
   }
 
+  /** Equi-join key pairs (targetCol, sourceCol) extracted from the merge
+    * condition's AND-conjunction — the inputs to phase-0 file pruning. */
+  private def equiKeyPairs: Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    def attr(e: Expression): Option[(String, String)] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 2 =>
+        Some((u.nameParts.head.toLowerCase, u.nameParts.last))
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, String)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, b) => (attr(a), attr(b)) match {
+        case (Some(("target", t)), Some(("source", s))) => Seq((t, s))
+        case (Some(("source", s)), Some(("target", t))) => Seq((t, s))
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    walk(Pruner.normalize(Pruner.exprOf(condition)))
+  }
+
   /** Run the two-phase merge. Returns the committed version. */
   def execute(): Long = {
     val spark = table.spark
@@ -156,9 +178,80 @@ class MergeBuilder private[table] (
     val schema = snap.schema
     val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
 
-    // Phase 1: which target files contain matched rows?
-    val srcAliased = source.alias("source")
-    val allTarget = table.readFiles(snap.files, schema)
+    // Materialize the source once: it is referenced by phase-0 bounds, the
+    // phase-1 probe, and the phase-2 join — and must not change between them.
+    val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+
+    // Phase 0: stats-prune candidate files by the source's equi-key ranges
+    // (the Delta "merge touches only the key-overlapping slice" behavior).
+    // At scale this is what keeps a 1%-overlap merge from scanning the table.
+    val candidates: Seq[AddFile] = {
+      val pairs = equiKeyPairs
+      if (pairs.isEmpty) snap.files
+      else scala.util.Try {
+        val aggs = pairs.flatMap { case (_, s) =>
+          Seq(min(col(s)).as(s"__lo_$s"), max(col(s)).as(s"__hi_$s")) }
+        val bounds = src.agg(aggs.head, aggs.tail: _*).collect().head
+        val preds = pairs.zipWithIndex.flatMap { case ((t, _), i) =>
+          val lo = bounds.get(2 * i); val hi = bounds.get(2 * i + 1)
+          if (lo == null || hi == null) None
+          else Some(col(t) >= lit(lo) && col(t) <= lit(hi))
+        }
+        if (preds.isEmpty) snap.files
+        else Pruner.prune(table.partitionPrune(snap, snap.files, preds), preds, schema)
+      }.getOrElse(snap.files)
+    }
+
+    // Insert-only merge (no matched clauses): target files are never
+    // rewritten — anti-join the source against the candidate slice and
+    // append the surviving rows as new files (Delta's insert-only-merge
+    // fast path; also the only correct semantics when one target row
+    // matches several source rows).
+    if (matchedClauses.isEmpty) {
+      val tgt = table.readFiles(candidates, schema).alias("target")
+      val unmatchedSrc = src.alias("source").join(tgt, condition, "left_anti")
+        .alias("source")
+      val insertAction = {
+        var c: Column = null
+        notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
+          val p = coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+          c = if (c == null) when(p, lit(s"i$j")) else c.when(p, lit(s"i$j"))
+        }
+        if (c == null) lit("drop") else c.otherwise(lit("drop"))
+      }
+      val tagged = unmatchedSrc.withColumn("__action", insertAction)
+        .filter(col("__action") =!= "drop")
+      val inserts = tagged.select(schema.fieldNames.toIndexedSeq.map { c =>
+        val dt = schema(c).dataType
+        var expr: Column = null
+        notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
+          val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
+            .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+          expr = if (expr == null) when(col("__action") === s"i$j", v)
+            else expr.when(col("__action") === s"i$j", v)
+        }
+        (if (expr == null) lit(null).cast(dt) else expr.otherwise(lit(null).cast(dt))).as(c)
+      }: _*)
+      val adds = table.stageWrite(inserts, snap.metadata.partitionColumns)
+      val numInserted = adds.map(_.numRecords).sum
+      val sidecars = if (cdfOn && adds.nonEmpty)
+        table.writeCdfSidecar(table.readFiles(adds.map(f =>
+          f.copy(path = table.absPath(f))), schema)
+          .withColumn("_change_type", lit("insert")))
+      else Nil
+      return table.commitRewrite(snap, "MERGE",
+        Map("condition" -> condition.toString, "matchedClauses" -> "0",
+          "notMatchedClauses" -> notMatchedClauses.size.toString),
+        Nil, adds, sidecars,
+        Map("numTargetRowsInserted" -> numInserted,
+          "numTargetRowsUpdated" -> 0L, "numTargetRowsDeleted" -> 0L,
+          "numTargetRowsCopied" -> 0L, "numSourceRows" -> src.count()))
+    }
+
+    // Phase 1: which candidate files actually contain matched rows?
+    val srcAliased = src.alias("source")
+    val allTarget = table.readFiles(candidates, schema)
       .withColumn("__file", input_file_name()).alias("target")
     val touchedPaths = allTarget.join(srcAliased, condition, "inner")
       .select(col("target.__file")).distinct()
@@ -170,22 +263,15 @@ class MergeBuilder private[table] (
     val tgtT = table.readFiles(touched, schema)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__tgt", lit(true)).alias("target")
-    val srcT = source.withColumn("__src", lit(true)).alias("source")
+    val srcT = src.withColumn("__src", lit(true)).alias("source")
     val joined = tgtT.join(srcT, condition, "full_outer")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val matched = col("target.__tgt").isNotNull && col("source.__src").isNotNull
       val srcOnly = col("target.__tgt").isNull
 
-      // Delta-compatible guard: a target row matched by >1 source row with a
-      // matched clause present is ambiguous.
-      if (matchedClauses.nonEmpty) {
-        val dups = joined.filter(matched).groupBy(col("target.__rid")).count()
-          .filter(col("count") > 1).limit(1).count()
-        if (dups > 0) throw new IllegalStateException(
-          "MERGE failed: multiple source rows matched the same target row " +
-            "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
-      }
+      // (duplicate-source-match guard is fused into the rollup metrics job
+      // below — one shuffle instead of two)
 
       // Which clause fires per row: "m<i>" / "i<j>" / "copy" / "drop".
       val actionCol = {
@@ -232,9 +318,25 @@ class MergeBuilder private[table] (
       val rewritten = acted.filter(keepPred)
         .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
 
-      // Metrics in one small job over the persisted join.
-      val counts = acted.groupBy("__action").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Metrics AND the ambiguous-match guard in ONE single-row aggregation:
+      // per-action conditional counters (the action tags are statically
+      // known) plus target-side occurrences vs distinct target rids — a
+      // target row joined by >1 source row makes occurrences exceed rids.
+      val allTags = matchedClauses.indices.map(i => s"m$i") ++
+        notMatchedClauses.indices.map(j => s"i$j") ++ Seq("copy", "drop")
+      val guardAggs = Seq(
+        count(col("__trid")).as("__tocc"),
+        count_distinct(col("__trid")).as("__trids")) ++
+        allTags.map(t => sum(when(col("__act") === t, 1L).otherwise(0L)).as(t))
+      val row = acted
+        .select(col("__action").as("__act"), col("target.__rid").as("__trid"))
+        .agg(guardAggs.head, guardAggs.tail: _*).collect().head
+      val counts = allTags.map(t => t -> row.getAs[Long](t)).toMap
+      if (matchedClauses.nonEmpty &&
+          row.getAs[Long]("__tocc") > row.getAs[Long]("__trids"))
+        throw new IllegalStateException(
+          "MERGE failed: multiple source rows matched the same target row " +
+            "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
       val updateTags = matchedClauses.zipWithIndex.collect { case (_: MatchedUpdate, i) => s"m$i" }
       val insertTags = notMatchedClauses.indices.map(j => s"i$j")
       val metrics = Map(
@@ -242,7 +344,7 @@ class MergeBuilder private[table] (
         "numTargetRowsDeleted" -> deleteTags.map(t => counts.getOrElse(t, 0L)).sum,
         "numTargetRowsInserted" -> insertTags.map(t => counts.getOrElse(t, 0L)).sum,
         "numTargetRowsCopied" -> counts.getOrElse("copy", 0L),
-        "numSourceRows" -> source.count())
+        "numSourceRows" -> src.count())
 
       val sidecars = if (!cdfOn) Nil else {
         val metaCols = Seq("__rid", "__tgt", "__src", "__action")
@@ -268,5 +370,6 @@ class MergeBuilder private[table] (
           "notMatchedClauses" -> notMatchedClauses.size.toString),
         touched, adds, sidecars, metrics)
     } finally joined.unpersist()
+    } finally src.unpersist()
   }
 }

@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -50,7 +50,7 @@ class LakeTable private[table] (
     * driver-side file skipping; they are re-applied as residual predicates. */
   def read(filters: Seq[Column] = Nil, version: Option[Long] = None): DataFrame = {
     val snap = log.snapshot(version)
-    val pruned = Pruner.prune(partitionPrune(snap.files, filters), filters, snap.schema)
+    val pruned = Pruner.prune(partitionPrune(snap, snap.files, filters), filters, snap.schema)
     filters.foldLeft(readFiles(pruned, snap.schema))(_ filter _)
   }
 
@@ -70,19 +70,45 @@ class LakeTable private[table] (
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(files.map(absPath): _*)
 
-  /** Exact file-level filtering on partition columns: evaluate the predicate
-    * over a tiny local DataFrame of partitionValues (reusing Spark's own
-    * expression evaluation rather than a hand-rolled interpreter). */
-  private[table] def partitionPrune(files: Seq[AddFile], filters: Seq[Column]): Seq[AddFile] = {
-    val snap = log.snapshot()
+  /** Conservative file-level filtering on partition columns, evaluated
+    * locally on the driver (no Spark job — read-path planning must stay
+    * metadata-only): each file's partition values become min=max pseudo-stats
+    * and the shared [[Pruner]] decides. Conservative is safe here because the
+    * residual filter re-applies the predicate; the exact (job-based)
+    * [[partitionValuesMatching]] remains for replaceWhere, where matching
+    * decides file REMOVAL. */
+  private[table] def partitionPrune(snap: Snapshot, files: Seq[AddFile],
+      filters: Seq[Column]): Seq[AddFile] = {
     val pcols = snap.metadata.partitionColumns
-    if (pcols.isEmpty || files.isEmpty) return files
+    if (pcols.isEmpty || files.isEmpty || filters.isEmpty) return files
+    val pset = pcols.toSet
     val applicable = filters.filter { c =>
-      val ns = refNames(Pruner.exprOf(c)); ns.nonEmpty && ns.subsetOf(pcols.toSet)
+      val ns = refNames(Pruner.exprOf(c)); ns.nonEmpty && ns.subsetOf(pset)
     }
     if (applicable.isEmpty) return files
-    val keep = partitionValuesMatching(files, applicable, snap.schema)
-    files.filter(f => keep.contains(f.path))
+    // canonicalize the raw path-string values through a cast to the column
+    // type so they compare correctly against Stats encodings
+    def canonical(c: String, v: String): Option[String] = {
+      val dt = snap.schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
+      scala.util.Try {
+        val internal = Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          StringType), dt, Some("UTC")).eval(null)
+        if (internal == null) null else Stats.encodeInternal(internal, dt)
+      }.toOption
+    }
+    files.filter { f =>
+      val pstats = pcols.flatMap { c =>
+        f.partitionValues.get(c).flatMap {
+          case null => Some(c -> ColStats(null, null, 1L))
+          case v    => canonical(c, v).map {
+            case null => c -> ColStats(null, null, 1L)
+            case cv   => c -> ColStats(cv, cv, 0L)
+          }
+        }
+      }.toMap
+      val pseudo = f.copy(stats = pstats, numRecords = 1L)
+      Pruner.prune(Seq(pseudo), applicable, snap.schema).nonEmpty
+    }
   }
 
   private[table] def refNames(e: Expression): Set[String] = {
@@ -95,10 +121,12 @@ class LakeTable private[table] (
     acc.toSet
   }
 
-  /** Paths of `files` whose partitionValues satisfy all `preds`. */
+  /** Paths of `files` whose partitionValues satisfy all `preds` — EXACT
+    * (runs a tiny local-DataFrame Spark job; used where matching decides
+    * file removal, i.e. replaceWhere). */
   private[table] def partitionValuesMatching(
       files: Seq[AddFile], preds: Seq[Column], schema: StructType): Set[String] = {
-    val pcols = log.snapshot().metadata.partitionColumns
+    val pcols = partitionColumns
     val rows = files.map(f => Row.fromSeq(f.path +: pcols.map(c => f.partitionValues.getOrElse(c, null))))
     val rawSchema = StructType(StructField("__path", StringType) +:
       pcols.map(c => StructField(c, StringType)))
@@ -198,14 +226,21 @@ class LakeTable private[table] (
     val relDir = s"data/$commitId"
     val absDir = dir.resolve(relDir)
     val pcols = partitionCols.map(c => s"__p_$c")
+    // INT96 (the default) carries no usable footer min/max; micros does
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val toWrite = partitionCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
     val w = toWrite.write.mode("errorifexists")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(absDir.toString)
 
     val files = listParquet(absDir)
     if (files.isEmpty) return Nil
-    val statsDf = spark.read.parquet(absDir.toString).drop(pcols: _*)
-    val stats = Stats.collect(statsDf)
+    // stats come from the parquet footers (driver-side metadata IO); the
+    // distributed re-read is only a safety net
+    val stats =
+      try Stats.fromFooters(files, df.schema)
+      catch { case scala.util.control.NonFatal(_) =>
+        Stats.collect(spark.read.parquet(absDir.toString).drop(pcols: _*))
+      }
     files.map { p =>
       val rel = dir.relativize(p).toString
       val (cnt, st) = stats.getOrElse(p.toString, (0L, Map.empty[String, ColStats]))

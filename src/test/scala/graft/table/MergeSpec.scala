@@ -88,6 +88,36 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("insert-only merge: no rewrite, multi-matched target rows stay intact") {
+    val t = target("mg-insonly")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    // two source rows match the same target key; one is genuinely new
+    val src = Seq((2L, "X1", 1L), (2L, "X2", 2L), (9L, "new", 90L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (9L, "new", 90L))
+    // append-only commit: every pre-existing file is still live
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    val metrics = t.history(Some(1)).select("operationMetrics")
+      .as[Map[String, String]].head()
+    metrics("numTargetRowsInserted") shouldBe "1"
+    metrics("numTargetRowsCopied") shouldBe "0"
+  }
+
+  test("insert-only merge with CDF emits insert changes only") {
+    val t = target("mg-insonly-cdf", Map("graft.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    val src = Seq((3L, "dup", 0L), (7L, "seven", 70L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val ch = t.changes(v0 + 1).collect()
+    ch.map(_.getAs[String]("_change_type")).toSet shouldBe Set("insert")
+    ch.map(_.getAs[Long]("k")).toSet shouldBe Set(7L)
+  }
+
   test("merge touches only files containing matches") {
     val t = target("mg-touch")
     // second file with far-away keys
