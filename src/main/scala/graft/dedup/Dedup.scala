@@ -120,15 +120,21 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       minJaccard: Double = 0.5): DataFrame = {
+    // tokens are hashed to 64-bit longs BEFORE the pair join: set operations
+    // on long arrays are far cheaper than on strings, and the join payload
+    // shrinks ~4x. |A∪B| is derived as |A|+|B|-|A∩B| so only the intersect
+    // is materialized per pair.
     val t = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      array_distinct(transform(TextAnalysis.tokens(col(textCol)), tk => xxhash64(tk)))
+        .as("toks"))
+      .withColumn("n", size(col("toks")))
     // try_divide: ANSI mode would error on a (empty, empty) pair, and the
     // optimizer may evaluate the projection before the id< join predicate
     t.as("x").join(t.as("y"), col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("inter", size(array_intersect(col("x.toks"), col("y.toks"))))
       .withColumn("jaccard",
-        coalesce(try_divide(
-          size(array_intersect(col("x.toks"), col("y.toks"))).cast("double"),
-          size(array_union(col("x.toks"), col("y.toks"))).cast("double")), lit(0.0)))
+        coalesce(try_divide(col("inter").cast("double"),
+          (col("x.n") + col("y.n") - col("inter")).cast("double")), lit(0.0)))
       .filter(col("jaccard") >= minJaccard)
       .select(col("x.id").as("a"), col("y.id").as("b"), round(col("jaccard"), 6).as("jaccard"))
   }
