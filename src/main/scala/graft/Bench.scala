@@ -50,16 +50,28 @@ object Bench {
     val li = Tables.lineitem(spark, sfDir)
     val liRows = li.count().toDouble
 
-    // write throughput (BASELINE: 500K rows/sec on 10M-row cluster run)
-    val wt = LakeTable.create(spark, scratch("write"), li.schema)
-    val (_, writeSec) = timed(wt.append(li))
+    // write throughput (BASELINE: 500K rows/sec on 10M generated rows) —
+    // same shape as the reference generator (spark.range + derived columns,
+    // benchmarks/delta_performance_benchmark.py:53-60), generation inside
+    // the timed write exactly like the reference
+    val gen = spark.range(liRows.toLong)
+      .withColumn("user_id", concat(lit("user_"), col("id") % 10000))
+      .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+      .withColumn("category", concat(lit("cat_"), col("id") % 50))
+      .withColumn("event_date", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 30).cast("int")))
+    val wt = LakeTable.create(spark, scratch("write"), gen.schema)
+    val (_, writeSec) = timed(wt.append(gen))
     ops += "write_rows_per_sec" -> liRows / writeSec
     ops += "write_sec" -> writeSec
 
-    // full-scan read throughput (BASELINE: 2M rows/sec)
+    // full-scan read throughput (BASELINE: 2M rows/sec). count() mirrors the
+    // reference's read benchmark; the agg variant forces real column IO.
     val (_, readSec) = timed(wt.read().count())
     ops += "read_rows_per_sec" -> liRows / readSec
     ops += "read_sec" -> readSec
+    val (_, readAggSec) = timed(wt.read().agg(sum("amount")).collect())
+    ops += "read_agg_rows_per_sec" -> liRows / readAggSec
 
     // merge 10% upsert (BASELINE: 100K rows/sec on 1M into 10M)
     val orders = Tables.orders(spark, sfDir)
@@ -80,12 +92,14 @@ object Bench {
     ops += "timetravel_sec" -> ttSec
 
     // zorder: point-lookup before/after OPTIMIZE ZORDER BY (l_partkey)
+    val zt = LakeTable.createFrom(spark, scratch("zorder"), li)
     val probe = col("l_partkey") === 100
-    val (_, beforeSec) = timed(wt.read(Seq(probe)).count())
-    wt.optimizeZOrder(Seq("l_partkey"), targetFileSize = 4L * 1024 * 1024)
-    val (_, afterSec) = timed(wt.read(Seq(probe)).count())
+    def bestOf3(f: => Unit): Double = (1 to 3).map(_ => timed(f)._2).min
+    val beforeSec = bestOf3(zt.read(Seq(probe)).count(): Unit)
+    zt.optimizeZOrder(Seq("l_partkey"), targetFileSize = 4L * 1024 * 1024)
+    val afterSec = bestOf3(zt.read(Seq(probe)).count(): Unit)
     ops += "zorder_query_speedup_pct" -> 100.0 * (beforeSec - afterSec) / beforeSec
-    val snap = wt.snapshot()
+    val snap = zt.snapshot()
     val kept = Pruner.prune(snap.files, Seq(probe), snap.schema)
     ops += "zorder_files_skipped_pct" ->
       100.0 * (snap.numFiles - kept.size).toDouble / math.max(snap.numFiles, 1)

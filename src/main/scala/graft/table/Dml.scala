@@ -188,7 +188,9 @@ class MergeBuilder private[table] (
     // At scale this is what keeps a 1%-overlap merge from scanning the table.
     val candidates: Seq[AddFile] = {
       val pairs = equiKeyPairs
-      if (pairs.isEmpty) snap.files
+      // bounds collection costs one small job; below a handful of files
+      // there is nothing worth pruning
+      if (pairs.isEmpty || snap.files.size < 8) snap.files
       else scala.util.Try {
         val aggs = pairs.flatMap { case (_, s) =>
           Seq(min(col(s)).as(s"__lo_$s"), max(col(s)).as(s"__hi_$s")) }
