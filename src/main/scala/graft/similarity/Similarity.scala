@@ -15,9 +15,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    in the probed cells, cutting the candidate set by ~2^bits for a small
   *    recall loss (IVF-flat, as in the FAISS/SCANN literature).
   *
-  * All vector math is zip_with/aggregate over array<double> — codegen'd,
-  * no UDFs. Cosines are rounded to 6 dp BEFORE ranking so ordering is
-  * reproducible across engines and float-fold orders.
+  * Pairwise scoring uses the native codegen'd [[graft.functions.CosineSimilarity]]
+  * expression (one fused loop per pair, no UDFs, no lambda dispatch).
+  * Cosines are rounded to 6 dp BEFORE ranking so ordering is reproducible
+  * across engines and float-fold orders.
   */
 object Similarity {
 
@@ -28,7 +29,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd expression — one fused loop instead of
+    * three lambda-dispatched array walks; bit-identical accumulation order. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast. */
