@@ -408,6 +408,29 @@ class LakeTable private[table] (
       Seq(s.metadata.copy(schemaJson = StructType(s.schema.fields ++ cols).json))
     }
 
+  /** ANALYZE TABLE COMPUTE STATISTICS (M16, src/data_processor.py:229): one
+    * distributed pass over the table computing row count plus per-column
+    * null counts and distinct-count estimates, persisted as `stats.*` table
+    * properties in an ANALYZE commit. */
+  def analyze(forColumns: Seq[String] = Nil): Map[String, String] = {
+    val snap = snapshot()
+    val cols =
+      if (forColumns.nonEmpty) forColumns
+      else snap.schema.fields.filter(f => Stats.isStatsType(f.dataType)).map(_.name).toSeq
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      approx_count_distinct(col(c)).as(s"__d_$c"),
+      count(when(col(c).isNull, 1)).as(s"__n_$c")))
+    val row = read().agg(aggs.head, aggs.tail: _*).collect().head
+    val props = Map("stats.numRows" -> row.getAs[Long]("__rows").toString) ++
+      cols.flatMap(c => Seq(
+        s"stats.$c.distinctCount" -> row.getAs[Long](s"__d_$c").toString,
+        s"stats.$c.nullCount" -> row.getAs[Long](s"__n_$c").toString))
+    commitWithRetry("ANALYZE", Map("columns" -> cols.mkString(",")), snap) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
+    }
+    props
+  }
+
   /** RESTORE TABLE TO VERSION AS OF (M7, src/delta_utils.py:176-197): new
     * commit whose live file set equals the snapshot at `v`. */
   def restoreToVersion(v: Long): Long = {

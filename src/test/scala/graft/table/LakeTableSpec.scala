@@ -210,4 +210,15 @@ class LakeTableSpec extends SparkSpec {
     t.append(rows(0 until 0))
     t.read().count() shouldBe 0
   }
+
+  test("ANALYZE computes and persists table statistics (M16)") {
+    val t = freshTable("lt-analyze")
+    t.append(rows(0 until 20))
+    val stats = t.analyze()
+    stats("stats.numRows") shouldBe "20"
+    // properties survive in the log and the commit is recorded
+    t.properties("stats.numRows") shouldBe "20"
+    t.properties.keys.count(_.endsWith(".nullCount")) should be > 0
+    t.history(Some(1)).select("operation").collect().head.getString(0) shouldBe "ANALYZE"
+  }
 }
