@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.analytics.{DataOps, Gold, QualityOps, TableOps}
+import graft.analytics.{DataOps, Gold, MetaOps, QualityOps, TableOps}
 import graft.transform.Silver
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -72,9 +72,17 @@ object SparkEntry {
     "q32_range_validation" -> (QualityOps.rangeValidation _),
     "q33_stream_ingest" -> (QualityOps.streamIngest _))
 
+  /** Metadata/maintenance surface (§2.9 M7/M10-M16). */
+  private val metaOpsQueries: Map[String, Q] = Map(
+    "q34_describe_history" -> (MetaOps.describeHistory _),
+    "q35_describe_detail" -> (MetaOps.describeDetail _),
+    "q36_vacuum" -> (MetaOps.vacuumKeepsLiveData _),
+    "q37_deep_clone" -> (MetaOps.deepClone _),
+    "q38_schema_evolution" -> (MetaOps.schemaEvolution _))
+
   def queries: Map[String, Q] =
     analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++
-      qualityOpsQueries
+      qualityOpsQueries ++ metaOpsQueries
 
   private val analyticsOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -247,5 +255,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     analyticsOracles ++ TableOps.oracles ++ silverOracles ++ DataOps.oracles ++
-      QualityOps.oracles
+      QualityOps.oracles ++ MetaOps.oracles
 }

@@ -1,0 +1,88 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.table.LakeTable
+
+/** Driver-contract queries for the metadata/maintenance surface (SURVEY §2.9
+  * M7/M10-M16): history, detail, vacuum, clone, and schema evolution, each
+  * with a deterministic DuckDB oracle (VALUES literals for pure-metadata
+  * results, source-table reconstructions for data results).
+  */
+object MetaOps {
+
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  /** M14: a fixed op sequence, then DESCRIBE HISTORY's deterministic columns. */
+  def describeHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTable.createFrom(spark, scratch("hist"), Tables.orders(spark, sfDir))
+    t.update(col("o_orderstatus") === "O", Map("o_totalprice" -> (col("o_totalprice") * 1.0)))
+    t.delete(col("o_orderkey") % 7 === 0)
+    t.restoreToVersion(1)
+    t.history().select(col("version"), col("operation"), col("readVersion"))
+      .orderBy("version")
+  }
+
+  /** M15: DESCRIBE DETAIL's deterministic columns for a partitioned table. */
+  def describeDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.create(spark, scratch("detail"), orders.schema,
+      partitionColumns = Seq("o_orderstatus"))
+    t.append(orders)
+    t.detail().select(col("format"), col("name"),
+      to_json(col("partitionColumns")).as("partition_columns"))
+  }
+
+  /** M10: overwrite then VACUUM(0) — tombstoned files are physically gone,
+    * live data still reads back exactly. */
+  def vacuumKeepsLiveData(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.createFrom(spark, scratch("vacuum"), orders)
+    t.overwrite(orders.filter(col("o_orderstatus") === "F"))
+    t.vacuum(retainHours = 0.0)
+    t.read()
+  }
+
+  /** M11: deep CLONE reads back the source's exact content. */
+  def deepClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 3 === 0)
+    val t = LakeTable.createFrom(spark, scratch("clonesrc"), orders)
+    t.cloneTo(scratch("clonedst"), shallow = false).read()
+  }
+
+  /** §1.3 schema evolution: append with mergeSchema adds a column; earlier
+    * rows read back with nulls in the new column. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val half1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val half2 = orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        upper(col("o_orderpriority")).as("priority_uc"))
+    val t = LakeTable.createFrom(spark, scratch("evolve"), half1)
+    t.append(half2, mergeSchema = true)
+    t.read()
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q34_describe_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT)),
+           (1, 'WRITE', 0), (2, 'UPDATE', 1), (3, 'DELETE', 2), (4, 'RESTORE', 3))
+         AS t(version, operation, "readVersion")""",
+    "q35_describe_detail" ->
+      """SELECT 'graft' AS format, 't' AS name, '["o_orderstatus"]' AS partition_columns""",
+    "q36_vacuum" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q37_deep_clone" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 = 0",
+    "q38_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE upper(o_orderpriority) END AS priority_uc
+         FROM orders""")
+}
