@@ -251,14 +251,20 @@ class MergeBuilder private[table] (
           "numTargetRowsCopied" -> 0L, "numSourceRows" -> src.count()))
     }
 
-    // Phase 1: which candidate files actually contain matched rows?
-    val srcAliased = src.alias("source")
-    val allTarget = table.readFiles(candidates, schema)
-      .withColumn("__file", input_file_name()).alias("target")
-    val touchedPaths = allTarget.join(srcAliased, condition, "inner")
-      .select(col("target.__file")).distinct()
-      .collect().map(r => Stats.stripScheme(r.getString(0))).toSet
-    val touched = snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
+    // Phase 1: which candidate files actually contain matched rows? With <=2
+    // candidates the probe join costs more than rewriting everything it
+    // could possibly exclude — take them all.
+    val touched: Seq[AddFile] =
+      if (candidates.size <= 2) candidates
+      else {
+        val srcAliased = src.alias("source")
+        val allTarget = table.readFiles(candidates, schema)
+          .withColumn("__file", input_file_name()).alias("target")
+        val touchedPaths = allTarget.join(srcAliased, condition, "inner")
+          .select(col("target.__file")).distinct()
+          .collect().map(r => Stats.stripScheme(r.getString(0))).toSet
+        snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
+      }
 
     // Phase 2: full-outer join of source vs touched rows; untouched files
     // are left alone entirely.
