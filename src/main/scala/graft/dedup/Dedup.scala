@@ -76,18 +76,22 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
-    val banded = sig.select(col("id"), col("sig"),
+    // Pair generation shuffles ONLY (id, band, bandHash) ints — signatures
+    // rejoin after dedup, so the wide arrays never ride through the band
+    // explosion or the candidate-pair shuffle.
+    val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
         .as("bucket"))
-      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
     pairs
+      .join(sig.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sig.select(col("id").as("b"), col("sig").as("sb")), "b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
           .cast("double") / numHashes)
