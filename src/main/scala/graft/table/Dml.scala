@@ -58,12 +58,13 @@ trait DmlSupport { self: LakeTable =>
     if (touched.isEmpty) return snap.version
     val touchedDf = readFiles(touched, snap.schema)
     val matchPred = coalesce(cond, lit(false))
-    val numDeleted = touchedDf.filter(matchPred).count()
     val rewritten = touchedDf.filter(!matchPred)
     val sidecars = if (cdfEnabled)
       writeCdfSidecar(touchedDf.filter(matchPred).withColumn("_change_type", lit("delete")))
     else Nil
     val adds = stageWrite(rewritten, snap.metadata.partitionColumns)
+    // deleted-row count falls out of the file metadata — no extra job
+    val numDeleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     commitRewrite(snap, "DELETE", Map("predicate" -> cond.toString), touched, adds,
       sidecars, Map("numDeletedRows" -> numDeleted))
   }
@@ -73,10 +74,12 @@ trait DmlSupport { self: LakeTable =>
   def merge(source: DataFrame, condition: Column): MergeBuilder =
     new MergeBuilder(this, source, condition)
 
-  /** Files whose rows might — then verifiably do — match `cond`. */
+  /** Files whose rows might — then verifiably do — match `cond`. At <=2
+    * candidates the verification probe costs more than rewriting a file the
+    * probe might have excluded, so stats-pruned candidates are taken as-is. */
   private[table] def filesContaining(snap: Snapshot, cond: Column): Seq[AddFile] = {
     val candidates = Pruner.prune(partitionPrune(snap, snap.files, Seq(cond)), Seq(cond), snap.schema)
-    if (candidates.isEmpty) return Nil
+    if (candidates.size <= 2) return candidates
     val withFile = readFiles(candidates, snap.schema).withColumn("__file", input_file_name())
     val hit = withFile.filter(coalesce(cond, lit(false)))
       .select("__file").distinct().collect().map(r => Stats.stripScheme(r.getString(0))).toSet
