@@ -19,9 +19,17 @@ trait MaintenanceSupport { self: LakeTable =>
   /** Bin-pack files smaller than `targetFileSize` into ~target-sized files.
     * One distributed job: small files are read together and repartitioned on
     * the partition columns so each output task writes into few hive dirs. */
-  def optimizeCompact(targetFileSize: Long = 128L * 1024 * 1024): Long = {
+  def optimizeCompact(
+      targetFileSize: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None): Long = {
     val snap = snapshot()
-    val small = snap.files.filter(_.size < targetFileSize)
+    // `where` bounds maintenance to matching partitions (OPTIMIZE WHERE):
+    // at scale you compact the partitions that just received writes, not the
+    // table. Conservative local pruning is safe — compaction is
+    // data-identical, extra files just get packed too.
+    val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
+      .getOrElse(snap.files)
+    val small = scoped.filter(_.size < targetFileSize)
     // group by partition dir: compaction only helps where >1 small file coexists
     val byPart = small.groupBy(_.partitionValues).filter(_._2.size > 1)
     val doomed = byPart.values.flatten.toSeq
@@ -43,15 +51,20 @@ trait MaintenanceSupport { self: LakeTable =>
   /** OPTIMIZE ZORDER BY (cols): rewrite ALL live files clustered on the
     * interleaved z-value of `cols`, range-partitioned so each output file
     * covers a tight z-range (→ tight min/max stats → file skipping). */
-  def optimizeZOrder(cols: Seq[String], targetFileSize: Long = 128L * 1024 * 1024): Long = {
+  def optimizeZOrder(
+      cols: Seq[String],
+      targetFileSize: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None): Long = {
     val snap = snapshot()
     require(cols.nonEmpty && cols.size <= 4, "zorder needs 1-4 columns")
     val missing = cols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"zorder columns not in schema: ${missing.mkString(",")}")
-    if (snap.files.isEmpty) return snap.version
-    val df = readFiles(snap.files, snap.schema)
+    val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
+      .getOrElse(snap.files)
+    if (scoped.isEmpty) return snap.version
+    val df = readFiles(scoped, snap.schema)
     val z = ZOrder.zvalue(df, cols.map(c => col(c) -> snap.schema(c).dataType))
-    val totalBytes = snap.files.map(_.size).sum
+    val totalBytes = scoped.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
@@ -59,8 +72,8 @@ trait MaintenanceSupport { self: LakeTable =>
       .drop("__z")
     val adds = stageWrite(clustered, snap.metadata.partitionColumns)
     commitRewrite(snap, "OPTIMIZE", Map("zOrderBy" -> cols.mkString(",")),
-      snap.files, adds, Nil, Map(
-        "numFilesRemoved" -> snap.files.size.toLong,
+      scoped, adds, Nil, Map(
+        "numFilesRemoved" -> scoped.size.toLong,
         "numFilesAdded" -> adds.size.toLong))
   }
 }

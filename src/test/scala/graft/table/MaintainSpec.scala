@@ -63,4 +63,20 @@ class MaintainSpec extends SparkSpec {
     t.read(Seq(col("day") === "d0")).count() shouldBe 15
     t.snapshot().files.forall(_.partitionValues.contains("day")) shouldBe true
   }
+
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val t = LakeTable.create(spark, tmpDir("optw").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("day", StringType))),
+      partitionColumns = Seq("day"))
+    (0 until 4).foreach { i =>
+      t.append(Seq.tabulate(8)(j => ((i * 8 + j).toLong, s"d${j % 2}")).toDF("id", "day"))
+    }
+    def filesFor(day: String) =
+      t.snapshot().files.filter(_.partitionValues.get("day").contains(day)).map(_.path).toSet
+    val d1Before = filesFor("d1")
+    t.optimizeCompact(where = Some(col("day") === "d0"))
+    filesFor("d1") shouldBe d1Before            // untouched partition keeps its files
+    filesFor("d0").size should be < 4           // scoped partition compacted
+    t.read().count() shouldBe 32
+  }
 }
