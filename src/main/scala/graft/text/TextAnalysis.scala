@@ -68,6 +68,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Order-SENSITIVE rolling fingerprint: a 64-bit hash chained token by
+    * token (h_i = xxhash64(h_{i-1}, tok_i)) — the streaming-safe analogue of
+    * a Karp-Rabin rolling hash, built from overflow-safe hash chaining
+    * (raw `acc*31+x` would trip ANSI overflow checks). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** BPE-ish token-count estimate: whitespace words contribute
+    * ceil(len/4) subword pieces (min 1), punctuation marks count as one
+    * piece each — a deterministic, tokenizer-free proxy for LLM token
+    * budgeting at corpus scale. */
+  def bpeTokenCount(text: Column): Column =
+    coalesce(
+      aggregate(tokens(text), lit(0L),
+        (acc, w) => acc + greatest(lit(1L), ceil(length(w) / 4.0).cast("long"))),
+      lit(0L)) +
+      coalesce(regexp_count(text, lit("[^\\w\\s]")), lit(0L))
+
   /** One-pass text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

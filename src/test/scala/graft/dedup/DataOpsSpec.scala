@@ -77,6 +77,27 @@ class DataOpsSpec extends SparkSpec {
       out(1L).getAs[String]("fingerprint")
   }
 
+  test("rolling fingerprint is order-sensitive; bpe estimate scales with word length") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // same tokens, different order
+      (3L, "alpha beta gamma"),   // identical to 1
+      (4L, "internationalization"), // 20 chars -> 5 bpe pieces
+      (5L, "hi there!"),          // "hi"=1 + "there!"=2 pieces + 1 punct = 4
+      (6L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("rf"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L)._1 shouldBe out(3L)._1
+    out(1L)._1 should not be out(2L)._1
+    out(4L)._2 shouldBe 5L
+    out(5L)._2 shouldBe 4L
+    out(6L)._2 shouldBe 0L
+  }
+
   test("ANN brute-force: self excluded, k respected, nearest first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
