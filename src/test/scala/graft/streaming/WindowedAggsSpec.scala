@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class WindowedAggsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window counts close when the watermark passes (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = WindowedAggs.tumblingCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    // batch 1: events in the 10:00 window; batch 2 advances event time far
+    // past it; batch 3 runs with the advanced watermark and emits the window
+    in.addData((ts(1), 1L), (ts(2), 1L), (ts(8), 2L)); q.processAllAvailable()
+    in.addData((ts(25), 3L)); q.processAllAvailable()
+    in.addData((ts(26), 3L)); q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("user_id"),
+        r.getAs[Long]("events"))).toSet
+    out should contain(("2024-01-01 10:00:00.0", 1L, 2L))
+    out should contain(("2024-01-01 10:00:00.0", 2L, 1L))
+    // the 10:20 window is still open -> not emitted
+    out.map(_._1) should not contain "2024-01-01 10:20:00.0"
+  }
+
+  test("sessionization closes a session after the inactivity gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[WindowedAggs.SessionEvent]
+    val sessions = WindowedAggs.sessionize(in.toDS(),
+      gapSeconds = 300, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // batch 1: user 1's two events (one session). batch 2 advances the
+    // watermark; batch 3 runs with it past user 1's timeout -> summary out.
+    in.addData(
+      WindowedAggs.SessionEvent(1L, ts(0), "view"),
+      WindowedAggs.SessionEvent(1L, ts(2), "click"))
+    q.processAllAvailable()
+    in.addData(WindowedAggs.SessionEvent(2L, ts(40), "view")); q.processAllAvailable()
+    in.addData(WindowedAggs.SessionEvent(2L, ts(55), "view")); q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions")
+      .as[WindowedAggs.SessionSummary].collect().filter(_.user_id == 1L)
+    out.length shouldBe 1
+    out.head.events shouldBe 2
+    out.head.duration_sec shouldBe 120
+  }
+
+  test("in-batch gap splits into separate sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[WindowedAggs.SessionEvent]
+    val sessions = WindowedAggs.sessionize(in.toDS(),
+      gapSeconds = 300, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    // one batch containing two bursts separated by >5 minutes: the first
+    // burst closes inside the batch, the second stays open
+    in.addData(
+      WindowedAggs.SessionEvent(7L, ts(0), "a"),
+      WindowedAggs.SessionEvent(7L, ts(1), "b"),
+      WindowedAggs.SessionEvent(7L, ts(20), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions2")
+      .as[WindowedAggs.SessionSummary].collect().filter(_.user_id == 7L)
+    out.length shouldBe 1
+    out.head.events shouldBe 2
+    out.head.session_start shouldBe ts(0)
+  }
+}
