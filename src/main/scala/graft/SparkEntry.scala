@@ -63,7 +63,8 @@ object SparkEntry {
     "q26_ann_ivf_topk" -> (DataOps.annIvfTopK _),
     "q27_text_analysis" -> (DataOps.textAnalysis _),
     "q28_embedding_neardup" -> (DataOps.embeddingNearDup _),
-    "q29_multimodal_features" -> (DataOps.multimodalFeatures _))
+    "q29_multimodal_features" -> (DataOps.multimodalFeatures _),
+    "q39_ann_ivf_trained" -> (DataOps.annIvfTrained _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

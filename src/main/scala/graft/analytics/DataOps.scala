@@ -42,6 +42,14 @@ object DataOps {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 4)
   }
 
+  /** Trained-codebook IVF (KMeans centroids + codegen'd cell assignment). */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainCentroids(emb, nlist = 16)
+    Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centroids, nprobe = 2)
+  }
+
   def textAnalysis(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.analyze(Tables.documents(spark, sfDir))
       .select("doc_id", "token_count", "char_count", "predicted_lang",

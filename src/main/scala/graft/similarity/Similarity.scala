@@ -60,6 +60,51 @@ object Similarity {
       when(element_at(v, i + 1) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
 
+  /** Train IVF centroids with KMeans on a (sampled) corpus — the real
+    * codebook path (FAISS IVF-flat analogue), replacing the data-independent
+    * sign-bit quantizer when a training pass is affordable. Centroids are
+    * tiny (nlist × dim doubles) and ride to executors as a codegen
+    * reference object. */
+  def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val feats = sampled.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF top-k with a TRAINED codebook: corpus rows live in their nearest
+    * cell; each query probes its `nprobe` nearest cells. The join compares
+    * only in-cell candidates — comparisons drop ~nlist/nprobe-fold. */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", VectorFunctions.cellOf(col("cv"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(VectorFunctions.nearestCentroids(col("qv"), centroids, nprobe)))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF-style top-k: only candidates sharing the query's cell are scored.
     * Trades recall for a ~2^bits reduction in comparisons. */
   def ivfTopK(
