@@ -132,8 +132,9 @@ object ZOrder {
   }
 
   private def toDouble(c: Column, dt: DataType): Column = dt match {
-    case _: DateType => c.cast(IntegerType).cast(DoubleType)
-    case _: TimestampType => c.cast(LongType).cast(DoubleType)
+    // ANSI mode forbids date->int / relies on unix_* instead
+    case _: DateType => unix_date(c).cast(DoubleType)
+    case _: TimestampType => unix_micros(c).cast(DoubleType)
     case _ => c.cast(DoubleType)
   }
 }
