@@ -271,12 +271,22 @@ class MergeBuilder private[table] (
 
     // Phase 2: full-outer join of source vs touched rows; untouched files
     // are left alone entirely.
+    // The join is evaluated twice (guard/metrics, then the rewrite) instead
+    // of persisted: the guard projection only references the action tag and
+    // target rid, so Catalyst prunes its evaluation down to the key columns
+    // — far cheaper than materializing the full-width join, locally and at
+    // scale. The source side is persisted above, so both evaluations see
+    // identical source rows; the target side is immutable parquet.
     val tgtT = table.readFiles(touched, schema)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__tgt", lit(true)).alias("target")
     val srcT = src.withColumn("__src", lit(true)).alias("source")
-    val joined = tgtT.join(srcT, condition, "full_outer")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joinedRaw = tgtT.join(srcT, condition, "full_outer")
+    // With CDF on, the join feeds four sidecar selections plus guard and
+    // rewrite — persist it. Without CDF, the guard's projection prunes to
+    // the key columns, so re-evaluating beats materializing the full width.
+    val joined =
+      if (cdfOn) joinedRaw.persist(StorageLevel.MEMORY_AND_DISK) else joinedRaw
     try {
       val matched = col("target.__tgt").isNotNull && col("source.__src").isNotNull
       val srcOnly = col("target.__tgt").isNull
@@ -380,7 +390,7 @@ class MergeBuilder private[table] (
           "matchedClauses" -> matchedClauses.size.toString,
           "notMatchedClauses" -> notMatchedClauses.size.toString),
         touched, adds, sidecars, metrics)
-    } finally joined.unpersist()
+    } finally { if (cdfOn) joined.unpersist(): Unit }
     } finally src.unpersist()
   }
 }
