@@ -99,6 +99,22 @@ class InvariantsSpec extends SparkSpec {
     t.version shouldBe 8L
   }
 
+  test("conflicting file rewrites are detected, disjoint ones are not") {
+    val t = LakeTable.createFrom(spark, tmpDir("pi-conflict").resolve("t").toString,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    val stale = t.snapshot()
+    t.update(col("k") === 1L, Map("v" -> lit("first"))) // rewrites the only file
+    // a writer that planned against the stale snapshot and targets the same
+    // (now removed) files must fail instead of resurrecting them
+    an[java.util.ConcurrentModificationException] should be thrownBy {
+      t.commitRewrite(stale, "UPDATE", Map.empty, stale.files, Nil, Nil, Map.empty)
+    }
+    // a stale writer touching NO overlapping files commits fine (append-like)
+    noException should be thrownBy {
+      t.commitRewrite(stale, "WRITE", Map.empty, Nil, Nil, Nil, Map.empty)
+    }
+  }
+
   test("property: RESTORE round-trips through arbitrary DML") {
     val rnd = new Random(23)
     val t = LakeTable.createFrom(spark, tmpDir("pi-restore").resolve("t").toString,
