@@ -59,7 +59,7 @@ class PartitionPruneSpec extends SparkSpec {
     kept(col("bucket") === 99) shouldBe 0
   }
 
-  test("timestampAsOf and replaceWhere still use exact matching") {
+  test("replaceWhere still uses exact partition matching") {
     val t2 = LakeTable.create(spark, tmpDir("pp2").resolve("t").toString,
       Seq((1L, "a")).toDF("id", "part").schema, partitionColumns = Seq("part"))
     t2.append(Seq((1L, "a"), (2L, "b")).toDF("id", "part"))
