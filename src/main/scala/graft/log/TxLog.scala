@@ -76,7 +76,41 @@ class TxLog(val tableDir: Path) {
       s"commit failed after $maxAttempts attempts (concurrent writers) on $tableDir")
   }
 
-  /** Replay actions up to and including `version` (None = latest). */
+  // ------------------------------------------------------------ checkpoints
+
+  /** Checkpoint = the full snapshot state (metadata + commit history + live
+    * files) at one version, in one NDJSON file. `snapshot()` replays from
+    * the newest eligible checkpoint plus the log tail instead of from v0 —
+    * without this, planning cost grows linearly with table history (the
+    * same reason Delta checkpoints every 10 commits). Time travel and CDF
+    * still read the per-version files, which are never deleted. */
+  private def checkpointFile(v: Long): Path = logDir.resolve(f"$v%020d.checkpoint.json")
+
+  def listCheckpoints(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Seq.empty
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint.json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
+      .toSeq.sorted
+  }
+
+  /** Write the checkpoint for `v` (idempotent — content is deterministic). */
+  def writeCheckpoint(v: Long): Unit = {
+    val snap = snapshot(Some(v))
+    val actions: Seq[Action] =
+      snap.metadata +: (snap.commits ++ snap.files)
+    val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir, s".ckpt-$v-", ".tmp")
+    try {
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, checkpointFile(v), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Replay actions up to and including `version` (None = latest), starting
+    * from the newest checkpoint at or below the target when one exists. */
   def snapshot(version: Option[Long] = None): Snapshot = {
     val versions = listVersions()
     require(versions.nonEmpty, s"not a graft table (empty log): $tableDir")
@@ -85,7 +119,17 @@ class TxLog(val tableDir: Path) {
     var meta: Metadata = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val commits = scala.collection.mutable.ArrayBuffer.empty[CommitInfo]
-    versions.takeWhile(_ <= upTo).foreach { v =>
+    val base = listCheckpoints().filter(_ <= upTo).lastOption
+    base.foreach { cp =>
+      Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map(Actions.fromJson).foreach {
+          case m: Metadata   => meta = m
+          case a: AddFile    => live(a.path) = a
+          case c: CommitInfo => commits += c
+          case _             =>
+        }
+    }
+    versions.filter(v => v > base.getOrElse(-1L) && v <= upTo).foreach { v =>
       readVersion(v).foreach {
         case m: Metadata   => meta = m
         case a: AddFile    => live(a.path) = a

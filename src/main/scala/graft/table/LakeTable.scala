@@ -337,7 +337,14 @@ class LakeTable private[table] (
         "numOutputRows" -> adds.map(_.numRecords).sum)
       val v = snap.version + 1
       val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics, snap.version)
-      if (log.tryCommit(v, ci +: actions)) return v
+      if (log.tryCommit(v, ci +: actions)) {
+        // checkpoint every 10th commit so snapshot resolution stays O(10)
+        // regardless of table history (best effort — replay still works)
+        if (v > 0 && v % 10 == 0)
+          try log.writeCheckpoint(v)
+          catch { case scala.util.control.NonFatal(_) => }
+        return v
+      }
       attempts += 1
       if (attempts >= 20)
         throw new java.util.ConcurrentModificationException(

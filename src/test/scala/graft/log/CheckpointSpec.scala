@@ -1,0 +1,62 @@
+package graft.log
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkpoints are written every 10 commits and snapshots match full replay") {
+    val t = LakeTable.create(spark, tmpDir("ckpt").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema)
+    (1 to 23).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.log.listCheckpoints() shouldBe Seq(10L, 20L)
+
+    // checkpointed resolution equals a replay with checkpoints removed
+    val withCkpt = t.snapshot()
+    t.log.listCheckpoints().foreach(v =>
+      Files.delete(t.log.logDir.resolve(f"$v%020d.checkpoint.json")))
+    val fullReplay = t.snapshot()
+    withCkpt.version shouldBe 23
+    // (fresh view after deletion; both must agree on everything)
+    fullReplay.files.map(_.path).sorted shouldBe withCkpt.files.map(_.path).sorted
+    fullReplay.commits.map(_.version) shouldBe withCkpt.commits.map(_.version)
+    fullReplay.metadata shouldBe withCkpt.metadata
+  }
+
+  test("history, time travel, and CDF are unaffected by checkpoints") {
+    val t = LakeTable.create(spark, tmpDir("ckpt2").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.delete(col("k") <= 2L)
+    t.log.listCheckpoints() should not be empty
+
+    // full commit history survives (checkpoint carries prior CommitInfos)
+    t.history().count() shouldBe 14 // v0 create + 12 appends + delete
+    // time travel BELOW the checkpoint still replays exactly
+    t.versionAsOf(5).count() shouldBe 5
+    // CDF across the checkpoint boundary yields all changes
+    val ch = t.changes(1L)
+    ch.filter(col("_change_type") === "insert").count() shouldBe 12
+    ch.filter(col("_change_type") === "delete").count() shouldBe 2
+    t.read().count() shouldBe 10
+  }
+
+  test("snapshot resolution cost is bounded by the checkpoint interval") {
+    val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema)
+    (1 to 31).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    // resolving the latest snapshot must not read version files <= 30
+    // (observable: delete the tail-excluded version files' content readability
+    // is hard to assert directly; instead assert the chosen base)
+    t.log.listCheckpoints().max shouldBe 30L
+    val snap = t.snapshot()
+    snap.version shouldBe 31
+    snap.numRecords shouldBe 31
+  }
+}
