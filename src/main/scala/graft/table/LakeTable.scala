@@ -37,9 +37,25 @@ class LakeTable private[table] (
 
   val log = new TxLog(dir)
 
+  /** Snapshots are immutable per version, so resolution caches on the
+    * version number: repeated planning against an unchanged table costs one
+    * directory listing, not a log replay/parse. Another writer advancing
+    * the table is picked up by the listing on the next call. */
+  @volatile private var snapshotCache: (Long, Snapshot) = (-1L, null)
+
   def name: String = snapshot().metadata.name
   def version: Long = log.latestVersion().getOrElse(-1L)
-  def snapshot(v: Option[Long] = None): Snapshot = log.snapshot(v)
+  def snapshot(v: Option[Long] = None): Snapshot = {
+    val target = v.getOrElse(log.latestVersion().getOrElse(
+      throw new IllegalStateException(s"not a graft table (empty log): $dir")))
+    val cached = snapshotCache
+    if (cached._1 == target) cached._2
+    else {
+      val s = log.snapshot(Some(target))
+      snapshotCache = (target, s)
+      s
+    }
+  }
   def schema: StructType = snapshot().schema
   def partitionColumns: Seq[String] = snapshot().metadata.partitionColumns
   def properties: Map[String, String] = snapshot().metadata.properties
