@@ -87,6 +87,34 @@ object StreamIngest {
     startFileToTable(fileSource(spark, sourcePath, schema, config),
       table, checkpointDir, config, transform)
 
+  /** Auto Loader schema-location parity (cloudFiles.schemaLocation +
+    * inferColumnTypes, notebooks/01_bronze_ingestion.py:213-214): infer the
+    * schema from the files already present ONCE, persist it under
+    * `schemaLocation`, and reuse it on every restart — so the stream's
+    * schema is stable even as new files arrive. */
+  def inferOrLoadSchema(
+      spark: SparkSession,
+      sourcePath: String,
+      format: String,
+      schemaLocation: String): StructType = {
+    val file = Paths.get(schemaLocation, "_graft_schema.json")
+    if (Files.exists(file))
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(file), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    else {
+      val inferred = graft.ingest.BatchIngest.format(spark, format, sourcePath).schema
+      Files.createDirectories(file.getParent)
+      val tmp = Files.createTempFile(file.getParent, ".schema", ".tmp")
+      Files.write(tmp, inferred.json.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // concurrent starter won; use its schema
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(file), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    }
+  }
+
   /** Stable per-checkpoint transaction app id: created once next to the
     * checkpoint, reread on restart — so a restarted query keeps its identity
     * and replayed epochs dedupe. */

@@ -82,6 +82,24 @@ class StreamingSpec extends SparkSpec {
     table.read().count() shouldBe 2
   }
 
+  test("schema location: inferred once, stable across restarts (S11 parity)") {
+    val src = tmpDir("schema-src")
+    val loc = tmpDir("schema-loc").toString
+    writeJson(src, "a.json", Seq((1L, "view")))
+    val s1 = StreamIngest.inferOrLoadSchema(spark, src.toString, "json", loc)
+    s1.fieldNames.toSet shouldBe Set("id", "event_type")
+    // new files with MORE fields do not change the persisted schema
+    Files.write(src.resolve("b.json"),
+      """{"id":2,"event_type":"x","extra":true}""".getBytes(StandardCharsets.UTF_8))
+    val s2 = StreamIngest.inferOrLoadSchema(spark, src.toString, "json", loc)
+    s2 shouldBe s1
+    // and the persisted schema drives an ingest end-to-end
+    val table = LakeTable.create(spark, tmpDir("schema-tbl").resolve("t").toString, s2)
+    val q = StreamIngest.ingest(spark, src.toString, s2, table, tmpDir("schema-ck").toString)
+    q.processAllAvailable(); q.stop()
+    table.read().count() shouldBe 2
+  }
+
   test("ChangeFeed processes CDF incrementally with a version checkpoint") {
     import spark.implicits._
     val table = LakeTable.create(spark, tmpDir("cf-tbl").resolve("t").toString, schema)
