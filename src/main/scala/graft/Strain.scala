@@ -10,7 +10,7 @@ object Strain {
       val t0 = System.nanoTime(); val a = f
       println(f"[strain] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); a
     }
-    val n = 5000000L
+    val n = sys.env.getOrElse("STRAIN_ROWS", "5000000").toLong
     val gen = spark.range(n)
       .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
       .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))

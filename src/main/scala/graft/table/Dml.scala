@@ -254,18 +254,32 @@ class MergeBuilder private[table] (
           "numTargetRowsCopied" -> 0L, "numSourceRows" -> src.count()))
     }
 
-    // Phase 1: which candidate files actually contain matched rows? With <=2
-    // candidates the probe join costs more than rewriting everything it
-    // could possibly exclude — take them all.
+    // Phase 1: which candidate files actually contain matched rows, FUSED
+    // with the ambiguous-match guard — the same broadcast inner join yields
+    // the touched-file set, the matched-pair count, and the distinct
+    // matched-target-row count in one job (a target row matched by >1
+    // source row makes pairs exceed distinct rows). With <=2 candidates the
+    // probe costs more than rewriting everything; the guard then falls back
+    // to a narrow aggregation over the phase-2 join.
+    var guardChecked = false
     val touched: Seq[AddFile] =
       if (candidates.size <= 2) candidates
       else {
-        val srcAliased = src.alias("source")
-        val allTarget = table.readFiles(candidates, schema)
-          .withColumn("__file", input_file_name()).alias("target")
-        val touchedPaths = allTarget.join(srcAliased, condition, "inner")
-          .select(col("target.__file")).distinct()
-          .collect().map(r => Stats.stripScheme(r.getString(0))).toSet
+        val probeTarget = table.readFiles(candidates, schema)
+          .withColumn("__file", input_file_name())
+          .withColumn("__prid", monotonically_increasing_id()).alias("target")
+        val probe = probeTarget.join(src.alias("source"), condition, "inner")
+          .select(col("target.__file").as("__f"), col("target.__prid").as("__p"))
+          .agg(collect_set(col("__f")).as("files"),
+            count(lit(1)).as("tocc"), count_distinct(col("__p")).as("trids"))
+          .collect().head
+        if (matchedClauses.nonEmpty &&
+            probe.getAs[Long]("tocc") > probe.getAs[Long]("trids"))
+          throw new IllegalStateException(
+            "MERGE failed: multiple source rows matched the same target row " +
+              "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
+        guardChecked = true
+        val touchedPaths = probe.getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
         snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
       }
 
@@ -335,37 +349,39 @@ class MergeBuilder private[table] (
       val deleteTags = matchedClauses.zipWithIndex.collect {
         case (_: MatchedDelete, i) => s"m$i"
       }
-      val keepPred = !col("__action").isin(("drop" +: deleteTags): _*)
-      val rewritten = acted.filter(keepPred)
-        .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
-
-      // Metrics AND the ambiguous-match guard in ONE single-row aggregation:
-      // per-action conditional counters (the action tags are statically
-      // known) plus target-side occurrences vs distinct target rids — a
-      // target row joined by >1 source row makes occurrences exceed rids.
-      val allTags = matchedClauses.indices.map(i => s"m$i") ++
-        notMatchedClauses.indices.map(j => s"i$j") ++ Seq("copy", "drop")
-      val guardAggs = Seq(
-        count(col("__trid")).as("__tocc"),
-        count_distinct(col("__trid")).as("__trids")) ++
-        allTags.map(t => sum(when(col("__act") === t, 1L).otherwise(0L)).as(t))
-      val row = acted
-        .select(col("__action").as("__act"), col("target.__rid").as("__trid"))
-        .agg(guardAggs.head, guardAggs.tail: _*).collect().head
-      val counts = allTags.map(t => t -> row.getAs[Long](t)).toMap
-      if (matchedClauses.nonEmpty &&
-          row.getAs[Long]("__tocc") > row.getAs[Long]("__trids"))
-        throw new IllegalStateException(
-          "MERGE failed: multiple source rows matched the same target row " +
-            "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
       val updateTags = matchedClauses.zipWithIndex.collect { case (_: MatchedUpdate, i) => s"m$i" }
       val insertTags = notMatchedClauses.indices.map(j => s"i$j")
-      val metrics = Map(
-        "numTargetRowsUpdated" -> updateTags.map(t => counts.getOrElse(t, 0L)).sum,
-        "numTargetRowsDeleted" -> deleteTags.map(t => counts.getOrElse(t, 0L)).sum,
-        "numTargetRowsInserted" -> insertTags.map(t => counts.getOrElse(t, 0L)).sum,
-        "numTargetRowsCopied" -> counts.getOrElse("copy", 0L),
-        "numSourceRows" -> src.count())
+
+      // Guard fallback for the small-table path where the fused probe was
+      // skipped: one narrow aggregation (column-pruned to the join keys).
+      if (!guardChecked && matchedClauses.nonEmpty) {
+        val r = joined
+          .select(matched.as("__m"), col("target.__rid").as("__trid"))
+          .filter(col("__m"))
+          .agg(count(lit(1)).as("tocc"), count_distinct(col("__trid")).as("trids"))
+          .collect().head
+        if (r.getAs[Long]("tocc") > r.getAs[Long]("trids"))
+          throw new IllegalStateException(
+            "MERGE failed: multiple source rows matched the same target row " +
+              "(same semantics as Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE)")
+      }
+
+      // Per-action metrics ride the rewrite job itself via Observation
+      // (a CollectMetrics node ahead of the keep-filter) — no separate
+      // metrics aggregation pass over the join.
+      def tagCount(tags: Seq[String]): Column =
+        if (tags.isEmpty) sum(lit(0L))
+        else sum(when(col("__action").isin(tags: _*), 1L).otherwise(0L))
+      val obs = org.apache.spark.sql.Observation()
+      val actedObs = acted.observe(obs,
+        tagCount(updateTags).as("updated"),
+        tagCount(deleteTags).as("deleted"),
+        tagCount(insertTags).as("inserted"),
+        tagCount(Seq("copy")).as("copied"))
+
+      val keepPred = !col("__action").isin(("drop" +: deleteTags): _*)
+      val rewritten = actedObs.filter(keepPred)
+        .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
 
       val sidecars = if (!cdfOn) Nil else {
         val metaCols = Seq("__rid", "__tgt", "__src", "__action")
@@ -385,6 +401,19 @@ class MergeBuilder private[table] (
       }
 
       val adds = table.stageWrite(rewritten, snap.metadata.partitionColumns)
+      // the rewrite job has run; observed metrics are available (sum over an
+      // empty plan is null -> 0)
+      val observed = obs.get
+      def metric(k: String): Long = observed.get(k) match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      val metrics = Map(
+        "numTargetRowsUpdated" -> metric("updated"),
+        "numTargetRowsDeleted" -> metric("deleted"),
+        "numTargetRowsInserted" -> metric("inserted"),
+        "numTargetRowsCopied" -> metric("copied"),
+        "numSourceRows" -> src.count())
       table.commitRewrite(snap, "MERGE",
         Map("condition" -> condition.toString,
           "matchedClauses" -> matchedClauses.size.toString,
