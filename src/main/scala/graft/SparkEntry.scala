@@ -91,8 +91,8 @@ object SparkEntry {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
-         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+         CAST(((2 * ((2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS HUGEINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) + 100) // 200) AS DOUBLE) / 10000.0 AS avg_qty,
+         CAST(((2 * ((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS HUGEINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) + 100) // 200) AS DOUBLE) / 10000.0 AS avg_price,
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
@@ -120,7 +120,7 @@ object SparkEntry {
              COUNT(*) AS total_orders,
              COUNT(DISTINCT o.o_custkey) AS distinct_customers,
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
-             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_amount,
+             CAST(((2 * ((2 * CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) + 100) // 200) AS DOUBLE) / 10000.0 AS avg_amount,
              MIN(o.o_totalprice) AS min_amount,
              MAX(o.o_totalprice) AS max_amount,
              CAST(SUM(CASE WHEN o.o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
@@ -133,7 +133,7 @@ object SparkEntry {
       """WITH txn AS (
            SELECT o_custkey AS user_id, COUNT(*) AS order_count,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
-             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_order_value,
+             CAST(((2 * ((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) + 100) // 200) AS DOUBLE) / 10000.0 AS avg_order_value,
              CAST(FLOOR(EPOCH(MIN(o_orderdate))) AS BIGINT) AS first_order_sec,
              CAST(FLOOR(EPOCH(MAX(o_orderdate))) AS BIGINT) AS last_order_sec,
              COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_order_days
@@ -152,7 +152,7 @@ object SparkEntry {
          SELECT user_id, c_mktsegment, order_count, total_spent, avg_order_value,
            active_order_days, event_count, event_type_count, active_event_days,
            total_event_value,
-           ROUND(total_spent * 0.5 + order_count * 100.0 + event_count * 10.0 + active_event_days * 50.0, 4) AS ltv_score
+           CAST(ROUND(CAST(total_spent AS DECIMAL(20,2)) * 0.5 + order_count * 100 + event_count * 10 + active_event_days * 50, 4) AS DOUBLE) AS ltv_score
          FROM (
            SELECT c.c_custkey AS user_id, c.c_mktsegment,
              COALESCE(t.order_count, 0) AS order_count,

@@ -113,8 +113,14 @@ object Gold {
         coalesce(col("active_event_days"), lit(0L)).as("active_event_days"),
         coalesce(col("total_event_value"), lit(0.0)).as("total_event_value"))
       .withColumn("ltv_score",
-        round(col("total_spent") * 0.5 + col("order_count") * 100.0 +
-          col("event_count") * 10.0 + col("active_event_days") * 50.0, 4))
+        // Exact decimal arithmetic end-to-end: total_spent is an exact 2-dp
+        // value (decimal sum emitted as double), so the cast back recovers it
+        // exactly; every term and the sum stay decimal, and only the final
+        // result is converted to double. Rounding an exact decimal is engine-
+        // independent, unlike rounding a binary double sitting on a .5 ulp.
+        round(col("total_spent").cast(DecimalType(20, 2)) * lit(BigDecimal("0.5")) +
+          col("order_count") * 100 + col("event_count") * 10 +
+          col("active_event_days") * 50, 4).cast("double"))
       .withColumn("ltv_segment",
         when(col("ltv_score") >= 200000, "PLATINUM")
           .when(col("ltv_score") >= 100000, "GOLD")
