@@ -104,10 +104,17 @@ object Stats {
       }.toMap
   }
 
-  /** `input_file_name()` yields `file:///abs/path`; normalize to a plain
-    * filesystem path (no URI decode — hive dir names contain literal `%`). */
+  /** `input_file_name()` yields a URL-encoded `file:` URI (FileScanRDD
+    * exposes PartitionedFile's urlEncodedPath); decode exactly once back to
+    * the on-disk path. One decode is correct even for hive-escaped dir names
+    * — their literal `%` is on-disk data and arrives double-encoded (`%25`).
+    * A non-URI-parseable value falls back to a bare scheme strip. */
   def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:").replaceFirst("^/+", "/") else p
+    if (p.startsWith("file:"))
+      try new java.net.URI(p).getPath
+      catch { case _: java.net.URISyntaxException =>
+        p.stripPrefix("file:").replaceFirst("^/+", "/") }
+    else p
 
   // ----------------------------------------------------- footer-based stats
 
