@@ -64,14 +64,18 @@ object Stats {
   }
 
   /** Total order over canonical encodings, keyed by the column's dataType.
-    * Date/timestamp ISO encodings are fixed-width so string order works. */
+    * Date/timestamp ISO encodings are fixed-width ASCII so byte order works.
+    * Strings compare in UTF-8 byte order (= code-point order) to match how
+    * Parquet footers and Spark min/max ordered them — Java String.compareTo
+    * is UTF-16 code-unit order, which disagrees for strings mixing
+    * supplementary characters with U+E000..U+FFFF and could mis-prune. */
   def compare(a: String, b: String, dt: DataType): Int = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case _: FloatType | _: DoubleType | _: DecimalType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _: BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
-    case _ => a.compareTo(b)
+    case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
   /** One distributed pass over freshly-written files: per-file row count and

@@ -33,11 +33,13 @@ class TxLog(val tableDir: Path) {
 
   def listVersions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
-    Files.list(logDir).iterator().asScala
+    val s = Files.list(logDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
       .toSeq.sorted
+    finally s.close()
   }
 
   def latestVersion(): Option[Long] = listVersions().lastOption
@@ -88,11 +90,13 @@ class TxLog(val tableDir: Path) {
 
   def listCheckpoints(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
-    Files.list(logDir).iterator().asScala
+    val s = Files.list(logDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".checkpoint.json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Write the checkpoint for `v` (idempotent — content is deterministic). */

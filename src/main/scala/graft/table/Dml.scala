@@ -99,6 +99,12 @@ trait DmlSupport { self: LakeTable =>
     val touchedPaths = touched.map(_.path).toSet
     commitWithRetry(op, params, snap, metrics) { s =>
       if (s.version != snap.version) {
+        // rewritten files were derived under snap's schema/partitioning; a
+        // concurrent metadata change would make them silently inconsistent
+        if (s.metadata.schemaJson != snap.metadata.schemaJson ||
+            s.metadata.partitionColumns != snap.metadata.partitionColumns)
+          throw new java.util.ConcurrentModificationException(
+            s"$op conflicts with a concurrent metadata change")
         val live = s.files.map(_.path).toSet
         if (!touchedPaths.subsetOf(live))
           throw new java.util.ConcurrentModificationException(

@@ -65,7 +65,7 @@ class LakeTable private[table] (
   /** Current-version DataFrame (SURVEY §2.1 S7/S8). `filters` enable
     * driver-side file skipping; they are re-applied as residual predicates. */
   def read(filters: Seq[Column] = Nil, version: Option[Long] = None): DataFrame = {
-    val snap = log.snapshot(version)
+    val snap = snapshot(version)
     val pruned = Pruner.prune(partitionPrune(snap, snap.files, filters), filters, snap.schema)
     filters.foldLeft(readFiles(pruned, snap.schema))(_ filter _)
   }
@@ -163,8 +163,21 @@ class LakeTable private[table] (
     val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
     val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
-      val meta = if (target == s.schema) Nil
-        else Seq(s.metadata.copy(schemaJson = target.json))
+      // Re-derive the target schema against the snapshot we are actually
+      // committing on: a racing commit may have evolved the schema (ADD
+      // COLUMNS, another mergeSchema append) and must not be clobbered by a
+      // Metadata action computed from the stale snapshot. The staged files
+      // stay valid either way — a column they lack reads as null under the
+      // enforced schema. A strict append aborts instead (Delta's
+      // metadata-conflict rule).
+      val tgt =
+        if (mergeSchema) mergedSchema(s.schema, df.schema)
+        else if (s.schema != target)
+          throw new java.util.ConcurrentModificationException(
+            s"append conflicts with a concurrent schema change on $dir")
+        else target
+      val meta = if (tgt == s.schema) Nil
+        else Seq(s.metadata.copy(schemaJson = tgt.json))
       meta ++ adds
     }
   }
@@ -210,6 +223,12 @@ class LakeTable private[table] (
     val target = if (overwriteSchema) df.schema else snap.schema
     val adds = stageWrite(align(df, target, strict = !overwriteSchema), snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite"), snap) { s =>
+      // overwriteSchema intentionally replaces whatever schema is current;
+      // a plain overwrite aborts if the schema moved under it (the staged
+      // files were aligned to the stale schema).
+      if (!overwriteSchema && s.schema != target)
+        throw new java.util.ConcurrentModificationException(
+          s"overwrite conflicts with a concurrent schema change on $dir")
       val now = System.currentTimeMillis()
       val meta = if (target == s.schema) Nil else Seq(s.metadata.copy(schemaJson = target.json))
       meta ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds
@@ -224,7 +243,10 @@ class LakeTable private[table] (
     val refs = refNames(Pruner.exprOf(pred))
     require(refs.nonEmpty && refs.subsetOf(snap.metadata.partitionColumns.toSet),
       s"replaceWhere predicate must reference only partition columns ${snap.metadata.partitionColumns}; got $refs")
-    require(df.filter(!pred).isEmpty,
+    // NULL predicate results are violations too (NOT NULL is NULL and would
+    // otherwise slip through the filter while landing outside the replaced
+    // partitions).
+    require(df.filter(!coalesce(pred, lit(false))).isEmpty,
       s"rows in the incoming DataFrame violate the replaceWhere predicate: $pred")
     val adds = stageWrite(align(df, snap.schema, strict = true), snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite", "replaceWhere" -> pred.toString), snap) { s =>
@@ -294,9 +316,14 @@ class LakeTable private[table] (
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1 && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-      } else { sb.append(c); i += 1 }
+      val code =
+        if (c == '%' && i + 3 <= s.length)
+          scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)).toOption
+        else None
+      code match {
+        case Some(x) => sb.append(x.toChar); i += 3
+        case None    => sb.append(c); i += 1
+      }
     }
     sb.toString
   }
@@ -478,11 +505,13 @@ class LakeTable private[table] (
     val horizon = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
     val snap = snapshot()
     val live = snap.files.map(f => absPath(f)).toSet
-    val referenced = log.listVersions().flatMap(v => log.readVersion(v)).collect {
+    // one pass over the log history serves both classifications
+    val history = log.listVersions().flatMap(v => log.readVersion(v))
+    val referenced = history.collect {
       case a: AddFile => absPath(a)
       case c: CdfFile => dir.resolve(c.path).toString
     }.toSet
-    val tombstoned = log.listVersions().flatMap(v => log.readVersion(v)).collect {
+    val tombstoned = history.collect {
       // <= so retainHours=0 ("retain nothing") catches a same-millisecond tombstone
       case r: RemoveFile if r.deletionTimestamp <= horizon => absPath(AddFile(r.path, Map.empty, 0, 0, Map.empty, 0))
     }.toSet

@@ -99,6 +99,46 @@ class InvariantsSpec extends SparkSpec {
     t.version shouldBe 8L
   }
 
+  test("property: concurrent mergeSchema appends never clobber each other's columns") {
+    val t = LakeTable.create(spark, tmpDir("pi-schema-race").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rounds = 6
+    try {
+      (0 until rounds).foreach { r =>
+        // barrier per round maximizes CAS collisions; on a lost race the
+        // retry closure must re-merge against the fresh schema, not re-emit
+        // the stale merge (which would drop the winner's new column)
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val writers = Seq("a", "b").map { w =>
+          Future {
+            val df = Seq((1L, "x", 1L)).toDF("k", "v", s"c_${w}_$r")
+            barrier.await()
+            t.append(df, mergeSchema = true)
+          }
+        }
+        Await.result(Future.sequence(writers), Duration.Inf)
+      }
+    } finally pool.shutdown()
+    val names = t.schema.fieldNames.toSet
+    (0 until rounds).foreach { r =>
+      names should contain(s"c_a_$r")
+      names should contain(s"c_b_$r")
+    }
+  }
+
+  test("stale DML rewrite fails on a concurrent metadata change") {
+    val t = LakeTable.createFrom(spark, tmpDir("pi-meta-conflict").resolve("t").toString,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    val stale = t.snapshot()
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.LongType)))
+    an[java.util.ConcurrentModificationException] should be thrownBy {
+      t.commitRewrite(stale, "UPDATE", Map.empty, Nil, Nil, Nil, Map.empty)
+    }
+  }
+
   test("conflicting file rewrites are detected, disjoint ones are not") {
     val t = LakeTable.createFrom(spark, tmpDir("pi-conflict").resolve("t").toString,
       Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))

@@ -95,6 +95,12 @@ class LakeTableSpec extends SparkSpec {
     // non-partition predicate rejected
     an[IllegalArgumentException] should be thrownBy
       t.overwriteWhere(col("id") === 1, rows(0 until 1))
+    // NULL partition value: predicate evaluates to NULL, which is a
+    // violation too (the row would land outside the replaced partitions)
+    an[IllegalArgumentException] should be thrownBy
+      t.overwriteWhere(col("day") === "d2",
+        rows(100 until 101, "d2").union(Seq((999L, "n", 1.0, null.asInstanceOf[String]))
+          .toDF("id", "name", "amount", "day")))
   }
 
   test("update rewrites only touched files") {
