@@ -28,9 +28,15 @@ object DataOps {
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
       blockCol = "source", minJaccard = 0.8)
 
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(Tables.embeddings(spark, sfDir),
-      blockCol = "label", minCosine = 0.35)
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    // candidates are blocked by the same trained IVF cells the ANN search
+    // uses; at cosine 0.35 a qualifying pair can span cluster boundaries,
+    // so probe enough cells for full recall vs the exact oracle
+    val centroids = Similarity.trainCentroids(emb, nlist = 16)
+    Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,
+      nprobe = 6, minCosine = 0.35)
+  }
 
   def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

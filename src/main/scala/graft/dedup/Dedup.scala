@@ -115,52 +115,106 @@ object Dedup {
       .select(col("id").as(idCol), assembled.as("simhash"))
   }
 
-  /** Exact token-set Jaccard over blocked candidate pairs (block on a cheap
-    * key — here `blockCol` — to avoid the quadratic join; at corpus scale
-    * the block key would be an LSH bucket or a shard hash). */
+  /** Exact token-set Jaccard pairs, LSH-blocked: candidates come from a
+    * banded-MinHash equi-join over the SAME token sets the exact Jaccard
+    * measures, then only candidates are exact-verified. `blockCol` is a
+    * semantic constraint (pairs must share it), NOT the scale mechanism —
+    * there is no all-pairs join within any fixed key, so a skewed or
+    * million-doc block cannot produce an O(n²) stage.
+    *
+    * Recall: a pair with true Jaccard J survives banding with probability
+    * 1-(1-J^r)^b; at the r=2, b=32 default a J=0.8 pair is missed with
+    * probability (1-0.64)^32 ≈ 6e-15 — deterministically verified against
+    * the exact all-pairs oracle on the test corpus — while a J=0.1 pair
+    * becomes a (cheap, exactly-verified) candidate only ~27% of the time. */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      minJaccard: Double = 0.5): DataFrame = {
-    // tokens are hashed to 64-bit longs BEFORE the pair join: set operations
-    // on long arrays are far cheaper than on strings, and the join payload
-    // shrinks ~4x. |A∪B| is derived as |A|+|B|-|A∩B| so only the intersect
-    // is materialized per pair.
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    // tokens are hashed to 64-bit longs ONCE: set operations on long arrays
+    // are far cheaper than on strings, and the minhash permutations re-hash
+    // the long instead of re-reading the token. |A∪B| = |A|+|B|-|A∩B| so
+    // only the intersect is materialized per verified pair.
     val t = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(transform(TextAnalysis.tokens(col(textCol)), tk => xxhash64(tk)))
         .as("toks"))
       .withColumn("n", size(col("toks")))
-    // try_divide: ANSI mode would error on a (empty, empty) pair, and the
-    // optimizer may evaluate the projection before the id< join predicate
-    t.as("x").join(t.as("y"), col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("inter", size(array_intersect(col("x.toks"), col("y.toks"))))
+    val rowsPerBand = numHashes / bands
+    // signatures from the exploded token-hash sets (map-side partial min agg
+    // collapses to one row per doc before the single shuffle on id)
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = t.select(col("id"), col("blk"), explode(col("toks")).as("h"))
+      .groupBy("id", "blk")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), col("blk"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // band buckets shuffle only (id, blk, band, bandHash) — the signature
+    // arrays never ride through the candidate join
+    val banded = sig.select(col("id"), col("blk"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+        .as("bucket"))
+      .select(col("id"), col("blk"), col("bucket.band"), col("bucket.bh"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+    // exact verification on candidates only
+    // try_divide: ANSI mode would error on a (empty, empty) pair
+    cands
+      .join(t.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
+      .join(t.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
         coalesce(try_divide(col("inter").cast("double"),
-          (col("x.n") + col("y.n") - col("inter")).cast("double")), lit(0.0)))
+          (col("na") + col("nb") - col("inter")).cast("double")), lit(0.0)))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding cosine near-duplicate pairs within a blocking key (label
-    * here; a coarse quantization bucket at scale). */
+  /** Embedding cosine near-duplicate pairs, blocked by trained quantizer
+    * cells (the same IVF codebook the ANN search path uses): every vector is
+    * multi-probe-assigned to its `nprobe` nearest centroids, candidates come
+    * from the in-cell equi-join, and only candidates are exactly scored.
+    * `blockCol` is a semantic constraint (pairs must share it), not the
+    * scale mechanism — a million-vector label cannot produce an all-pairs
+    * stage; cell population is bounded by the codebook granularity (nlist
+    * scales with corpus size; comparisons drop ~nlist/nprobe-fold). */
   def embeddingNearDupPairs(
       emb: DataFrame,
       blockCol: String,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       minCosine: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
     val v = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val withNorm = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    withNorm.as("x").join(withNorm.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+    // candidate generation shuffles only (id, blk, cell) — vectors never
+    // ride the pair join; multi-probe overlap is deduped before scoring
+    val celled = withNorm.select(col("id"), col("blk"),
+      explode(VectorFunctions.nearestCentroids(col("v"), centroids, nprobe)).as("cell"))
+    val cands = celled.as("x").join(celled.as("y"),
+        col("x.cell") === col("y.cell") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(withNorm.select(col("id").as("a"), col("v").as("va"), col("norm").as("na")), "a")
+      .join(withNorm.select(col("id").as("b"), col("v").as("vb"), col("norm").as("nb")), "b")
       .withColumn("cosine",
-        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
-          (col("x.norm") * col("y.norm")))
+        aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+          (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
-      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
 }
