@@ -17,6 +17,7 @@ object Profile {
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
 
     def events = graft.core.Tables.events(spark, sfDir)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
@@ -34,5 +35,74 @@ object Profile {
     timed("cleanEvents without dedup")(noop(
       graft.transform.Silver.cleanEvents(events).drop("ts")))
     spark.stop()
+  }
+
+  /** Decompose the Strain merge into its constituent jobs. */
+  def profileMerge(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.table.LakeTable
+    val n = 5000000L
+    val gen = spark.range(n)
+      .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
+      .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")), (col("id") % 30).cast("int")))
+    val dir = java.nio.file.Files.createTempDirectory("pm").resolve("t").toString
+    val t = LakeTable.create(spark, dir, gen.schema)
+    timed("append 5M")(t.append(gen))
+    val src0 = spark.range(0, n, 10)
+      .withColumn("user_id", concat(lit("u_"), col("id")))
+      .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-02-01")))
+    val src = src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("src cache materialize (count)")(src.count())
+    timed("src agg count+bounds only")(
+      src.agg(count(lit(1)), min(col("id")), max(col("id"))).collect())
+    timed("src agg +count_distinct(struct)")(
+      src.agg(count(lit(1)), min(col("id")), max(col("id")),
+        count_distinct(struct(col("id")))).collect())
+    timed("src agg +count_distinct(col)")(
+      src.agg(count(lit(1)), min(col("id")), max(col("id")),
+        count_distinct(col("id"))).collect())
+    val tgt = t.read().withColumn("__file", input_file_name())
+      .withColumn("__prid", monotonically_increasing_id()).alias("target")
+    timed("probe join+agg (full guard)")(
+      tgt.join(src.alias("source"), col("target.id") === col("source.id"), "inner")
+        .select(col("target.__file").as("__f"), col("target.__prid").as("__p"))
+        .agg(collect_set(col("__f")), count(lit(1)), count_distinct(col("__p"))).collect())
+    timed("probe join+agg (files only)")(
+      t.read().withColumn("__file", input_file_name()).alias("target")
+        .join(src.alias("source"), col("target.id") === col("source.id"), "inner")
+        .select(col("target.__file").as("__f"))
+        .agg(collect_set(col("__f"))).collect())
+    val tgtT = t.read().withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__tgt", lit(true)).alias("target")
+    val srcT = src.withColumn("__src", lit(true)).alias("source")
+    val joined = tgtT.join(srcT, col("target.id") === col("source.id"), "full_outer")
+    val out = java.nio.file.Files.createTempDirectory("pm-out").toString
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    timed("phase2 join -> write (SHJ preferred)")(
+      joined.select(coalesce(col("source.id"), col("target.id")).as("id"),
+        coalesce(col("source.user_id"), col("target.user_id")).as("user_id"),
+        coalesce(col("source.amount"), col("target.amount")).as("amount"),
+        coalesce(col("source.day"), col("target.day")).as("day"))
+        .write.mode("overwrite").parquet(out))
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    timed("phase2 join -> parquet write")(
+      joined.select(coalesce(col("source.id"), col("target.id")).as("id"),
+        coalesce(col("source.user_id"), col("target.user_id")).as("user_id"),
+        coalesce(col("source.amount"), col("target.amount")).as("amount"),
+        coalesce(col("source.day"), col("target.day")).as("day"))
+        .write.mode("overwrite").parquet(out))
+    timed("footer stats")({
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      val files = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+      graft.log.Stats.fromFooters(files, gen.schema)
+    })
+    timed("plain rewrite write (no join)")(
+      t.read().write.mode("overwrite").parquet(out))
+    src.unpersist()
   }
 }

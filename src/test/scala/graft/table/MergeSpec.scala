@@ -88,6 +88,18 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("duplicate source keys that match NO target row do not error") {
+    val t = target("mg-dup-unmatched")
+    // dup keys in the source, but neither matches a target row: Delta
+    // inserts both (ambiguity only exists for matched rows)
+    val src = Seq((9L, "N1", 1L), (9L, "N2", 2L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.read().filter(col("k") === 9L).count() shouldBe 2
+  }
+
   test("insert-only merge: no rewrite, multi-matched target rows stay intact") {
     val t = target("mg-insonly")
     val filesBefore = t.snapshot().files.map(_.path).toSet
