@@ -18,6 +18,44 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
+    if (args.contains("ivf")) {
+      // recall of trained IVF vs exact brute force per nprobe
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val emb = graft.core.Tables.embeddings(spark, sf)
+        val qs = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        val exact = graft.similarity.Similarity.cosineTopK(emb, qs, k = 5)
+          .select("query_id", "rank", "neighbor_id").collect().toSet
+        val cents = graft.similarity.Similarity.trainCentroids(emb, nlist = 16)
+        for (np <- Seq(4, 6, 8, 10, 12)) {
+          val approx = graft.similarity.Similarity.ivfTopKTrained(emb, qs, 5, cents, nprobe = np)
+            .select("query_id", "rank", "neighbor_id").collect().toSet
+          println(s"$sf nprobe=$np identical=${approx == exact} overlap=${(approx & exact).size}/${exact.size}")
+        }
+      }
+      spark.stop(); return
+    }
+    if (args.contains("simhash")) {
+      // hamming distance distribution of simhash over exact near-dup pairs
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val docs = graft.core.Tables.documents(spark, sf)
+        val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.8)
+        val sh = graft.dedup.Dedup.simhash(docs)
+        val ham = pairs
+          .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        println(s"$sf: " + ham.agg(max("hamming"), avg("hamming"), count(lit(1))).collect().head)
+        // and the hamming distribution for NON-dup pairs (J < 0.3 sample)
+        val far = graft.dedup.Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.0)
+          .filter(col("jaccard") < 0.3).limit(20000)
+        val farham = far
+          .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        println(s"$sf far: " + farham.agg(min("hamming"), avg("hamming")).collect().head)
+      }
+      spark.stop(); return
+    }
 
     def events = graft.core.Tables.events(spark, sfDir)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =

@@ -17,12 +17,48 @@ object DataOps {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, sfDir))
 
+  /** Full MinHash+LSH pipeline, exactly gated: banded-minhash candidates
+    * over 3-gram shingles, exact Jaccard verification — output equals the
+    * all-pairs shingle-Jaccard result (DuckDB-checkable) with no all-pairs
+    * stage. [[Dedup.minhashLshPairs]] (estimate-only) remains the cheap
+    * variant and is unit-tested against this one. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, sfDir), minEstJaccard = 0.3)
+    Dedup.shingleJaccardLsh(Tables.documents(spark, sfDir), minJaccard = 0.8)
       .orderBy("a", "b")
 
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhash(Tables.documents(spark, sfDir))
+  /** SimHash gated by its semantic contract, not its (hash-seeded) values:
+    * near-dup pairs (exact Jaccard >= 0.8, LSH-found) must sit measurably
+    * closer in hamming space than a deterministic O(n) far-pair sample
+    * (adjacent doc ids with Jaccard < 0.3). The pair counts are exact and
+    * DuckDB-checkable; the separation margin (4 bits) holds with ~9 bits of
+    * slack on the test corpus. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.simhash(docs)
+    def hamming(df: DataFrame): DataFrame = df
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val near = hamming(
+      Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.8))
+    // deterministic far sample: consecutive doc ids, verified dissimilar
+    val t = docs.select(col("doc_id"),
+      array_distinct(transform(
+        graft.text.TextAnalysis.tokens(col("text")), tk => xxhash64(tk))).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val far = hamming(t.as("x")
+      .join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .withColumn("inter", size(array_intersect(col("x.toks"), col("y.toks"))))
+      .withColumn("jaccard",
+        coalesce(try_divide(col("inter").cast("double"),
+          (col("x.n") + col("y.n") - col("inter")).cast("double")), lit(0.0)))
+      .filter(col("jaccard") < 0.3)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+    near.agg(count(lit(1)).as("near_pairs"), avg("hamming").as("avg_near"))
+      .crossJoin(far.agg(count(lit(1)).as("far_pairs"), avg("hamming").as("avg_far")))
+      .select(col("near_pairs"), col("far_pairs"),
+        (col("avg_near") + 4.0 < col("avg_far")).as("hamming_separated"))
+  }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
@@ -43,17 +79,30 @@ object DataOps {
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Sign-bit IVF with hamming-1 multi-probe. The quantizer is a pure
+    * function of the vector, so the oracle replicates the APPROXIMATION
+    * itself (cell assignment, probing, in-cell top-k) — the driver gates
+    * the algorithm, not a lucky recall outcome. Distinct query set from
+    * q25 so the ANN paths are independently gated. */
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 4)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      k = 5, bits = 4, probeHamming = 1)
   }
 
-  /** Trained-codebook IVF (KMeans centroids + codegen'd cell assignment). */
+  /** Codebook IVF through the codegen'd NearestCentroids expression, with a
+    * deterministic data-sampled codebook so the oracle replicates the full
+    * pipeline (L2 assignment, nprobe probing, in-cell top-k) bit-exactly.
+    * KMeans-trained codebooks ([[Similarity.trainCentroids]]) remain the
+    * library's training path — same execution pipeline, unit-tested — but
+    * their centroids are not reproducible outside Spark ML, so the driver
+    * gate runs the sampled codebook. */
   def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = Similarity.trainCentroids(emb, nlist = 16)
-    Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 10), k = 5,
-      centroids, nprobe = 2)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    Similarity.ivfTopKTrained(emb,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), k = 5,
+      centroids, nprobe = 4)
   }
 
   def textAnalysis(spark: SparkSession, sfDir: String): DataFrame =
@@ -61,15 +110,38 @@ object DataOps {
       .select("doc_id", "token_count", "char_count", "predicted_lang",
         "punct_ratio", "stopword_ratio", "quality_score", "fingerprint")
 
-  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.extractFeatures(
-        Multimodal.synthesize(Tables.documents(spark, sfDir)), dim = 16)
-      .toDF()
-      .select(col("media_id"), col("kind"), round(col("featureNorm"), 6).as("feature_norm"))
+  /** Full multimodal pipeline (synthesize -> decode/embed -> thumbnail ->
+    * frame-sample) with every SQL-derivable fact in the output so the
+    * driver gates the mapPartitions plumbing end-to-end: meta fields,
+    * payload/thumbnail byte lengths, per-video frame counts, feature
+    * dimensionality, and the provable norm bound (16 components in (-1,1)
+    * => 0 < norm < 4). The codec values themselves stay honestly stubbed. */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("media_id"), size(col("feature")).as("feature_dim"),
+        (col("featureNorm") > 0.0 && col("featureNorm") < 4.0).as("norm_in_range"))
+    val thumbs = Multimodal.resizeAll(media, maxBytes = 64).toDF()
+      .select(col("media_id"), length(col("content")).as("thumb_len"))
+    val frames = Multimodal.sampleVideoFrames(media, framesPerVideo = 4).toDF()
+      .groupBy("media_id").agg(count(lit(1)).as("frame_count"))
+    media.select(col("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.durationMs").as("duration_ms"),
+        length(col("content")).as("content_len"))
+      .join(feats, Seq("media_id"))
+      .join(thumbs, Seq("media_id"))
+      .join(frames, Seq("media_id"), "left")
+      .withColumn("frame_count", coalesce(col("frame_count"), lit(0L)))
+  }
 
   // ------------------------------------------------------------ oracles
-  // (LSH/SimHash/IVF/multimodal are hash-seeded Spark-side and not
-  // SQL-expressible → rows-only checks by the driver.)
+  // Hash-seeded values (minhash signatures, simhash bits, IVF cells) are
+  // not SQL-expressible, so those queries are gated on hash-INDEPENDENT
+  // contracts instead: LSH pairs == exact all-pairs Jaccard (recall), IVF
+  // top-k == exact brute force (recall@k = 1.0), simhash near/far hamming
+  // separation with exact pair counts, multimodal pipeline facts derived
+  // from the payload bytes.
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
   private val toks =
@@ -79,10 +151,122 @@ object DataOps {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_intersect(list_distinct($toks), [${words.map(w => s"'$w'").mkString(",")}]))"
 
+  /** Brute-force exact top-k cosine SQL (the recall oracle for every ANN
+    * variant; `queryPred` selects the query rows). */
+  private def annOracle(queryPred: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
+       s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, e.v) /
+             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+         FROM e, q WHERE e.vec_id <> q.query_id),
+       r AS (SELECT *, CAST(ROW_NUMBER() OVER
+           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM s)
+       SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k"""
+
+  /** 3-gram shingles with the short-doc fallback, mirroring Dedup.shingles. */
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len($toks) >= 3
+        THEN list_transform(range(1, len($toks) - 1),
+          i -> array_to_string(($toks)[i:i+2], ' '))
+        ELSE [array_to_string($toks, ' ')] END)"""
+
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q22_minhash_lsh" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         FROM s x JOIN s y ON x.doc_id < y.doc_id
+         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               len(list_distinct(x.sh || y.sh)) >= 0.8
+         ORDER BY a, b""",
+    "q23_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toks) AS tk FROM documents),
+         near AS (
+           SELECT count(*) AS near_pairs
+           FROM documents x JOIN documents y
+             ON x.source = y.source AND x.doc_id < y.doc_id
+           JOIN t tx ON tx.doc_id = x.doc_id
+           JOIN t ty ON ty.doc_id = y.doc_id
+           WHERE CAST(len(list_intersect(tx.tk, ty.tk)) AS DOUBLE) /
+                 len(list_distinct(tx.tk || ty.tk)) >= 0.8),
+         far AS (
+           SELECT count(*) AS far_pairs
+           FROM t x JOIN t y ON y.doc_id = x.doc_id + 1
+           WHERE COALESCE(CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE) /
+                 NULLIF(len(list_distinct(x.tk || y.tk)), 0), 0.0) < 0.3)
+         SELECT near_pairs, far_pairs, TRUE AS hamming_separated
+         FROM near, far""",
+    // algorithmic oracle: replicates the sign-bit quantizer, hamming-1
+    // multi-probe, and in-cell top-k exactly
+    "q26_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM c
+           WHERE vec_id >= 10 AND vec_id < 20),
+         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM c JOIN q ON c.cell IN
+             (xor(q.qcell, 0), xor(q.qcell, 1), xor(q.qcell, 2), xor(q.qcell, 4), xor(q.qcell, 8))
+           WHERE c.vec_id <> q.query_id),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    // algorithmic oracle: sampled codebook (lowest-16 ids), L2 assignment
+    // with lowest-index tie-break, nprobe=4 probing, in-cell top-k
+    "q39_ann_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         ranked AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM ranked WHERE rn = 1),
+         qprobe AS (SELECT vec_id AS query_id, cidx AS cell FROM ranked
+           WHERE rn <= 4 AND vec_id >= 20 AND vec_id < 30),
+         s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cosine
+           FROM qprobe q
+           JOIN assign a ON a.cell = q.cell
+           JOIN e qe ON qe.vec_id = q.query_id
+           JOIN e ne ON ne.vec_id = a.vec_id
+           WHERE a.vec_id <> q.query_id),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q29_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(n_chars % 1024 AS INT) AS width,
+         CAST(n_chars % 768 AS INT) AS height,
+         CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+         CAST(octet_length(encode(text)) AS INT) AS content_len,
+         CAST(16 AS INT) AS feature_dim,
+         TRUE AS norm_in_range,
+         CAST(least(64, octet_length(encode(text))) AS INT) AS thumb_len,
+         CAST(CASE WHEN doc_id % 3 = 2
+              THEN least(4, octet_length(encode(text))) ELSE 0 END AS BIGINT) AS frame_count
+         FROM documents""",
     "q24_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source,
            list_distinct(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

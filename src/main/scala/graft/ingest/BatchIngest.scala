@@ -47,14 +47,32 @@ object BatchIngest {
   def json(spark: SparkSession, path: String, c: ReadConfig = ReadConfig()): DataFrame =
     base(spark, c).json(path)
 
+  /** Resolved avro provider. The "avro" short name only works when the
+    * spark-avro module's service registration is on the classpath; Spark 4's
+    * spark-sql jar bundles the implementation class WITHOUT registering it,
+    * so the explicit class name is the portable spelling. None = no avro
+    * support at all. */
+  lazy val avroProvider: Option[String] = {
+    val cls = "org.apache.spark.sql.avro.AvroFileFormat"
+    if (scala.util.Try(Class.forName(cls)).isSuccess) Some(cls) else None
+  }
+  def avroAvailable: Boolean = avroProvider.isDefined
+
   /** S4: format-parametrized scan (migration/migrate_from_hdfs.py:109-134).
-    * "avro" requires the spark-avro datasource on the classpath. */
+    * Failing fast on a missing avro provider with an actionable message
+    * beats Spark's generic lookup error mid-plan. */
   def format(spark: SparkSession, fmt: String, path: String,
       c: ReadConfig = ReadConfig()): DataFrame = fmt.toLowerCase match {
     case "parquet" => parquet(spark, path, c)
     case "csv"     => csv(spark, path, c)
     case "json"    => json(spark, path, c)
     case "orc"     => base(spark, c).orc(path)
+    case "avro"    => avroProvider match {
+      case Some(p) => base(spark, c).format(p).load(path)
+      case None => throw new IllegalStateException(
+        "avro support requires the spark-avro classes on the classpath " +
+          "(org.apache.spark:spark-avro_2.13); none were found")
+    }
     case other     => base(spark, c).format(other).load(path)
   }
 

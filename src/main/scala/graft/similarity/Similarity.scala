@@ -79,6 +79,21 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Deterministic data-sampled codebook: the embeddings of the `nlist`
+    * lowest-id rows, verbatim (FAISS-style subset init without Lloyd
+    * refinement). Unlike KMeans training the centroids are exact input
+    * values, so the whole IVF pipeline — assignment, probing, in-cell
+    * top-k — is bit-reproducible by an external engine, which is what the
+    * driver's oracle gate checks end-to-end. */
+  def sampleCentroids(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(asDouble(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** IVF top-k with a TRAINED codebook: corpus rows live in their nearest
     * cell; each query probes its `nprobe` nearest cells. The join compares
     * only in-cell candidates — comparisons drop ~nlist/nprobe-fold. */
@@ -105,22 +120,31 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** IVF-style top-k: only candidates sharing the query's cell are scored.
-    * Trades recall for a ~2^bits reduction in comparisons. */
+  /** IVF-style top-k: candidates sharing one of the query's probed cells are
+    * scored. `probeHamming` multi-probes every cell within that sign-bit
+    * hamming distance of the query's own cell (h=0: 1 cell, h=1: bits+1
+    * cells, ...) — the standard multi-probe LSH recall/comparisons dial;
+    * comparisons still drop ~2^bits/(probed cells)-fold vs brute force. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       bits: Int = 4,
+      probeHamming: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", cell(col("cv"), bits))
+    val masks = (0 until (1 << bits))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", cell(col("qv"), bits))
+      .withColumn("cell",
+        explode(array(masks.map(m => cell(col("qv"), bits).bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(q), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    // probed cells are distinct and each corpus vector lives in exactly one
+    // cell, so no (query, neighbor) pair can appear twice — no dedup needed
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -26,12 +26,15 @@ import graft.table.LakeTable
   */
 object StreamIngest {
 
-  /** Config mirroring the reference's streaming_config (src/config.py:40-46). */
+  /** Config mirroring the reference's streaming_config (src/config.py:40-46).
+    * `mergeSchema` = cloudFiles addNewColumns parity: batches whose schema
+    * has new columns evolve the sink table instead of failing. */
   case class StreamConfig(
       format: String = "json", // json | parquet | csv | orc
       maxFilesPerTrigger: Int = 100,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      options: Map[String, String] = Map.empty)
+      options: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false)
 
   /** `readStream` over a file directory with an enforced schema (S11). */
   def fileSource(
@@ -69,7 +72,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(config.trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        table.appendStream(batch, appId, epochId): Unit
+        table.appendStream(batch, appId, epochId, mergeSchema = config.mergeSchema): Unit
       }
     (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
   }
@@ -89,29 +92,52 @@ object StreamIngest {
 
   /** Auto Loader schema-location parity (cloudFiles.schemaLocation +
     * inferColumnTypes, notebooks/01_bronze_ingestion.py:213-214): infer the
-    * schema from the files already present ONCE, persist it under
-    * `schemaLocation`, and reuse it on every restart — so the stream's
-    * schema is stable even as new files arrive. */
+    * schema from the files present, persist it under `schemaLocation`, and
+    * reuse it on restarts — the stream's schema is stable while it runs.
+    *
+    * With `evolve` (cloudFiles addNewColumns parity), every (re)start
+    * re-infers from the current files and UNIONS new columns into the
+    * persisted schema — the same restart-based evolution contract as Auto
+    * Loader, whose running stream also never changes schema mid-query; pair
+    * with `StreamConfig(mergeSchema = true)` so the sink table evolves too.
+    * Existing column types are never changed, only new columns appended. */
   def inferOrLoadSchema(
       spark: SparkSession,
       sourcePath: String,
       format: String,
-      schemaLocation: String): StructType = {
+      schemaLocation: String,
+      evolve: Boolean = false): StructType = {
     val file = Paths.get(schemaLocation, "_graft_schema.json")
-    if (Files.exists(file))
+    def parse(bytes: Array[Byte]): StructType =
       org.apache.spark.sql.types.DataType.fromJson(
-        new String(Files.readAllBytes(file), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    else {
-      val inferred = graft.ingest.BatchIngest.format(spark, format, sourcePath).schema
+        new String(bytes, StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    def persist(schema: StructType, replace: Boolean): StructType = {
       Files.createDirectories(file.getParent)
       val tmp = Files.createTempFile(file.getParent, ".schema", ".tmp")
-      Files.write(tmp, inferred.json.getBytes(StandardCharsets.UTF_8))
-      try Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // concurrent starter won; use its schema
-        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+      if (replace) {
+        Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        try Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // concurrent starter won; use its schema
+          case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+        }
       }
-      org.apache.spark.sql.types.DataType.fromJson(
-        new String(Files.readAllBytes(file), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      parse(Files.readAllBytes(file))
+    }
+    (Files.exists(file), evolve) match {
+      case (true, false) => parse(Files.readAllBytes(file))
+      case (true, true) =>
+        val persisted = parse(Files.readAllBytes(file))
+        val inferred = graft.ingest.BatchIngest.format(spark, format, sourcePath).schema
+        val newCols = inferred.fields.filterNot(f =>
+          persisted.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        if (newCols.isEmpty) persisted
+        else persist(StructType(persisted.fields ++ newCols), replace = true)
+      case (false, _) =>
+        persist(graft.ingest.BatchIngest.format(spark, format, sourcePath).schema,
+          replace = false)
     }
   }
 

@@ -72,6 +72,14 @@ class LakeTable private[table] (
 
   def toDf: DataFrame = read()
 
+  /** Register the current snapshot as a temp view so pipelines can be driven
+    * through `spark.sql(...)` (W9 — the reference drives its maintenance and
+    * silver re-inserts through SQL over temp views, e.g.
+    * notebooks/02_silver_transformation.py:123-130). The view captures THIS
+    * snapshot's file list; re-register after writes to see new data. */
+  def createOrReplaceTempView(name: String): Unit =
+    toDf.createOrReplaceTempView(name)
+
   /** Time travel by version (S8, notebooks/04_acid_operations.py:208-210). */
   def versionAsOf(v: Long): DataFrame = read(version = Some(v))
 
@@ -188,17 +196,28 @@ class LakeTable private[table] (
     * is <= the last recorded one for the same app is a no-op. The check is
     * re-run inside the commit-retry loop against the fresh snapshot, so a
     * lost CAS race with the replayed twin cannot double-commit. */
-  def appendStream(df: DataFrame, txnAppId: String, txnVersion: Long): Long = {
+  def appendStream(df: DataFrame, txnAppId: String, txnVersion: Long,
+      mergeSchema: Boolean = false): Long = {
     val snap = snapshot()
     if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
-    val adds = stageWrite(align(df, snap.schema, strict = true), snap.metadata.partitionColumns)
+    val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
+    val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
     try {
       commitWithRetry("STREAMING UPDATE",
         Map("outputMode" -> "Append", "txnAppId" -> txnAppId,
           "txnVersion" -> txnVersion.toString), snap) { s =>
         if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
           throw new LakeTable.EpochAlreadyCommitted
-        adds
+        // same retry-safe schema handling as append()
+        val tgt =
+          if (mergeSchema) mergedSchema(s.schema, df.schema)
+          else if (s.schema != target)
+            throw new java.util.ConcurrentModificationException(
+              s"stream append conflicts with a concurrent schema change on $dir")
+          else target
+        val meta = if (tgt == s.schema) Nil
+          else Seq(s.metadata.copy(schemaJson = tgt.json))
+        meta ++ adds
       }
     } catch {
       // staged files are unreferenced; VACUUM collects them

@@ -106,6 +106,24 @@ class IngestSpec extends SparkSpec {
       .fieldNames.toSeq shouldBe Seq("a", "b", "c")
   }
 
+  test("avro leg (S4): reads when spark-avro is present, clear error when absent") {
+    import spark.implicits._
+    if (BatchIngest.avroAvailable) {
+      // round-trip through the datasource to prove the leg actually works
+      val dir = tmpDir("avro").resolve("d").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format(BatchIngest.avroProvider.get).save(dir)
+      val back = BatchIngest.format(spark, "avro", dir)
+      back.count() shouldBe 2
+      back.orderBy("id").collect().map(_.getString(1)) shouldBe Array("a", "b")
+    } else {
+      val e = intercept[IllegalStateException] {
+        BatchIngest.format(spark, "avro", "/nonexistent")
+      }
+      e.getMessage should include("spark-avro")
+    }
+  }
+
   test("catalog: three-level names, create/read/list/drop (S7)") {
     import spark.implicits._
     val cat = Catalog(spark, tmpDir("cat").toString)

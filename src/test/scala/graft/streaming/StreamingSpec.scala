@@ -41,6 +41,39 @@ class StreamingSpec extends SparkSpec {
     table.read().select(sum("id")).collect().head.getLong(0) shouldBe 6L
   }
 
+  test("restart-based schema evolution: a new column lands as nullable (addNewColumns parity)") {
+    val src = tmpDir("evo-src")
+    val ck = tmpDir("evo-ck").toString
+    val schemaLoc = tmpDir("evo-schema").toString
+
+    writeJson(src, "a.json", Seq((1L, "view"), (2L, "click")))
+    val s1 = StreamIngest.inferOrLoadSchema(spark, src.toString, "json", schemaLoc, evolve = true)
+    val table = LakeTable.create(spark, tmpDir("evo-tbl").resolve("t").toString, s1)
+    val cfg = StreamIngest.StreamConfig(mergeSchema = true)
+    val q1 = StreamIngest.ingest(spark, src.toString, s1, table, ck, cfg)
+    q1.processAllAvailable()
+    q1.stop()
+    table.schema.fieldNames should not contain "score"
+
+    // a new column appears in newly arriving files; the restart re-infers,
+    // unions it into the schema location, and the sink table evolves
+    Files.write(src.resolve("b.json"),
+      """{"id":3,"event_type":"buy","score":9.5}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val s2 = StreamIngest.inferOrLoadSchema(spark, src.toString, "json", schemaLoc, evolve = true)
+    s2.fieldNames should contain("score")
+    val q2 = StreamIngest.ingest(spark, src.toString, s2, table, ck, cfg)
+    q2.processAllAvailable()
+    q2.stop()
+
+    table.schema.fieldNames should contain("score")
+    table.read().count() shouldBe 3
+    // pre-evolution rows read as null, the new row carries its value
+    table.read().filter(col("score").isNull).count() shouldBe 2
+    table.read().filter(col("id") === 3L).select("score")
+      .collect().head.getDouble(0) shouldBe 9.5
+  }
+
   test("replayed epoch is a no-op (idempotent appendStream)") {
     val table = LakeTable.create(spark, tmpDir("replay-tbl").resolve("t").toString, schema)
     import spark.implicits._
