@@ -101,9 +101,9 @@ object Bench {
     val pt = LakeTable.create(spark, scratch("part"), orders.schema,
       partitionColumns = Seq("o_orderstatus"))
     pt.append(orders)
-    val (_, fullSec) = timed(pt.read().agg(sum("o_totalprice")).collect())
-    val (_, prunedSec) = timed(
-      pt.read(Seq(col("o_orderstatus") === "F")).agg(sum("o_totalprice")).collect())
+    val fullSec = bestOf3(pt.read().agg(sum("o_totalprice")).collect(): Unit)
+    val prunedSec = bestOf3(
+      pt.read(Seq(col("o_orderstatus") === "F")).agg(sum("o_totalprice")).collect(): Unit)
     ops += "partition_pruning_speedup_pct" -> 100.0 * (fullSec - prunedSec) / fullSec
     val pSnap = pt.snapshot()
     val pKept = pt.read(Seq(col("o_orderstatus") === "F"))
@@ -120,13 +120,41 @@ object Bench {
       100.0 * (filesBefore - filesAfter).toDouble / math.max(filesBefore, 1)
     ops += "optimize_sec" -> optSec
 
+    // strain-scale merge evidence at the BASELINE's own shape (1M-row
+    // source upserted into a 10M-row table — "MERGE (1M into 10M)"),
+    // so the merge-throughput claim is recorded per round, not asserted
+    val strainN = 10000000L
+    val sgen = spark.range(strainN)
+      .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
+      .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 30).cast("int")))
+    val st = LakeTable.create(spark, scratch("strain"), sgen.schema)
+    val (_, sWriteSec) = timed(st.append(sgen))
+    ops += "strain_write_rows_per_sec" -> strainN.toDouble / sWriteSec
+    val ssrc = spark.range(0, strainN, 10)
+      .withColumn("user_id", concat(lit("u_"), col("id")))
+      .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-02-01")))
+    val (_, sMergeSec) = timed {
+      st.merge(ssrc, col("target.id") === col("source.id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    ops += "strain_merge_rows_per_sec" -> (strainN / 10).toDouble / sMergeSec
+    ops += "strain_merge_sec" -> sMergeSec
+
     // ---- per-query timings (full materialization via noop sink) ----
+    // median of 3 runs: the first run pays first-touch costs (codegen,
+    // file-footer reads, page cache) that r01 mistook for plan cost, and
+    // run-to-run IO noise on this machine is ±15%
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      }
-      name -> sec
+      val secs = (1 to 3).map { _ =>
+        timed {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }._2
+      }.sorted
+      name -> secs(1)
     }
 
     def jnum(v: Double): String =
