@@ -18,6 +18,28 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
+    if (args.contains("benchmerge")) {
+      import graft.table.LakeTable
+      val orders = graft.core.Tables.orders(spark, sfDir)
+      val mt = LakeTable.createFrom(spark,
+        java.nio.file.Files.createTempDirectory("bm").resolve("t").toString, orders)
+      val src = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      timed("merge 10% run1")(
+        mt.merge(src, col("target.o_orderkey") === col("source.o_orderkey"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+      timed("merge 10% run2")(
+        mt.merge(src, col("target.o_orderkey") === col("source.o_orderkey"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+      timed("merge 10% run3")(
+        mt.merge(src, col("target.o_orderkey") === col("source.o_orderkey"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+      // cost floor: the bare rewrite write
+      timed("plain write same rows")(
+        mt.read().write.mode("overwrite").parquet(
+          java.nio.file.Files.createTempDirectory("bm-out").toString))
+      spark.stop(); return
+    }
     if (args.contains("ivf")) {
       // recall of trained IVF vs exact brute force per nprobe
       for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
