@@ -64,7 +64,10 @@ object SparkEntry {
     "q27_text_analysis" -> (DataOps.textAnalysis _),
     "q28_embedding_neardup" -> (DataOps.embeddingNearDup _),
     "q29_multimodal_features" -> (DataOps.multimodalFeatures _),
-    "q39_ann_ivf_trained" -> (DataOps.annIvfTrained _))
+    "q39_ann_ivf_trained" -> (DataOps.annIvfTrained _),
+    "q40_train_test_split" -> (DataOps.trainTestSplit _),
+    "q41_decontamination" -> (DataOps.decontamination _),
+    "q42_pii_redaction" -> (DataOps.piiRedaction _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

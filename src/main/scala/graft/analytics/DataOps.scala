@@ -135,6 +135,38 @@ object DataOps {
       .withColumn("frame_count", coalesce(col("frame_count"), lit(0L)))
   }
 
+  /** Deterministic train/test split: md5-bucket assignment, reproducible in
+    * any engine — the split a model line can keep for its lifetime. */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sampling.Sampling.trainTestSplit(
+      Tables.documents(spark, sfDir).select("doc_id", "source"), keyCol = "doc_id")
+
+  /** Benchmark decontamination: corpus docs containing >= half of a probe
+    * ("benchmark") document's 3-gram shingles, via an inverted-index join —
+    * no all-pairs stage. Probe set = every 50th doc. */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.containmentPairs(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      shingleN = 3, minContainment = 0.5)
+  }
+
+  /** PII redaction over text with deterministically planted PII (the
+    * corpus itself is synthetic and PII-free), plus per-pattern audit
+    * counts — the whole pass is codegen'd regexp work, no shuffle. */
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com ip 10.0."),
+        col("doc_id") % 256, lit(".1 ssn "),
+        format_string("%03d", col("doc_id") % 1000), lit("-42-1234")).as("text"))
+    val counts = TextAnalysis.piiCounts(col("text"))
+    counts.foldLeft(planted)((d, c) => d.withColumn(c._1, c._2))
+      .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+      .drop("text")
+  }
+
   // ------------------------------------------------------------ oracles
   // Hash-seeded values (minhash signatures, simhash bits, IVF cells) are
   // not SQL-expressible, so those queries are gated on hash-INDEPENDENT
@@ -203,6 +235,35 @@ object DataOps {
                  NULLIF(len(list_distinct(x.tk || y.tk)), 0), 0.0) < 0.3)
          SELECT near_pairs, far_pairs, TRUE AS hamming_separated
          FROM near, far""",
+    "q40_train_test_split" ->
+      """SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+              THEN 'train' ELSE 'test' END AS split
+         FROM documents""",
+    "q41_decontamination" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         p AS (SELECT doc_id AS bench_id, sh AS ph FROM s WHERE doc_id % 50 = 0),
+         c AS (SELECT doc_id AS train_id, sh FROM s WHERE doc_id % 50 <> 0)
+         SELECT c.train_id, p.bench_id,
+           ROUND(CAST(len(list_intersect(c.sh, p.ph)) AS DOUBLE) / len(p.ph), 6) AS containment
+         FROM c, p
+         WHERE CAST(len(list_intersect(c.sh, p.ph)) AS DOUBLE) / len(p.ph) >= 0.5""",
+    "q42_pii_redaction" -> {
+      val planted =
+        """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.1 ssn ' || printf('%03d', doc_id % 1000) || '-42-1234'"""
+      val redactChain = graft.text.TextAnalysis.piiPatterns.foldLeft("t.text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val countCols = graft.text.TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(t.text, '$pat')) AS BIGINT) AS ${name}_count"
+      }.mkString(",\n           ")
+      s"""WITH t AS (SELECT doc_id, $planted AS text FROM documents)
+         SELECT doc_id,
+           $countCols,
+           $redactChain AS redacted
+         FROM t"""
+    },
     // algorithmic oracle: replicates the sign-bit quantizer, hamming-1
     // multi-probe, and in-cell top-k exactly
     "q26_ann_ivf_topk" ->

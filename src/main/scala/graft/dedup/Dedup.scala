@@ -145,6 +145,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: which corpus docs contain a large share of
+    * a probe (benchmark) document's n-gram shingles. Containment
+    * |S(probe) ∩ S(doc)| / |S(probe)| is the standard train-set
+    * contamination test. Computed as an inverted-index equi-join on shingle
+    * hashes — the corpus is exploded once, the (small) probe side drives
+    * the join, and the per-(doc, probe) intersection count is a partial+
+    * final hash aggregation. No all-pairs stage; skew on ubiquitous
+    * shingles is bounded by using long-enough n-grams (callers doing web-
+    * scale decontamination typically use n = 8..13). */
+  def containmentPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+    val c = sh(corpus, "train_id").select(col("train_id"), explode(col("sh")).as("h"))
+    val p = sh(probes, "bench_id")
+      .select(col("bench_id"), size(col("sh")).as("pn"), explode(col("sh")).as("h"))
+    c.join(p, "h")
+      .groupBy("train_id", "bench_id", "pn")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("pn").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("train_id"), col("bench_id"), round(col("containment"), 6).as("containment"))
+  }
+
   /** 64-bit SimHash per document. Explode + one groupBy (the scale-safe
     * shape: the 64 bit-sums are a single hash aggregation, partial+final). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -86,6 +86,29 @@ object TextAnalysis {
       lit(0L)) +
       coalesce(regexp_count(text, lit("[^\\w\\s]")), lit(0L))
 
+  /** PII patterns for corpus redaction. Deliberately restricted to
+    * constructs (character classes + greedy quantifiers, \b anchors) whose
+    * match semantics agree between backtracking (Java) and leftmost-longest
+    * (RE2-family) engines, so redaction is reproducible anywhere. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("card", "\\b\\d{16}\\b", "<CARD>"))
+
+  /** Redact PII in place (codegen'd regexp_replace chain — one pass per
+    * pattern, no UDFs, no shuffle). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-pattern match counts (for redaction audit reports). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      s"${name}_count" -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }
+
   /** One-pass text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

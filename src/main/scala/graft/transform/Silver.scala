@@ -43,6 +43,28 @@ object Silver {
       .withColumn("is_urgent", col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .withColumn("order_year", year(col("o_orderdate")))
 
+  /** Currency conversion to a reporting currency (reference
+    * notebooks/02_silver_transformation.py:231-237, which multiplies by a
+    * broadcast-mapped rate). Exact decimal arithmetic; unknown currencies
+    * keep a null converted amount so they are auditable rather than
+    * silently passed through. The testdata has no currency column, so this
+    * is exercised by unit test rather than a driver query. */
+  def convertCurrency(
+      df: DataFrame,
+      amountCol: String,
+      currencyCol: String,
+      rates: Map[String, BigDecimal],
+      target: String = "USD"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rate = rates.foldLeft(
+      when(col(currencyCol) === target, lit(BigDecimal(1))): org.apache.spark.sql.Column) {
+      case (c, (cur, r)) => c.when(col(currencyCol) === cur, lit(r))
+    }
+    df.withColumn(s"${amountCol}_$target",
+      (col(amountCol).cast(DecimalType(18, 2)) * rate).cast(DecimalType(18, 2)))
+      .withColumn("conversion_rate", rate.cast("double"))
+  }
+
   /** transform_users analogue (reference :289-329): trim/case
     * normalization, balance bucketing, premium flag. */
   def cleanCustomers(customers: DataFrame): DataFrame =
