@@ -1,0 +1,124 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** SQL-string surface for the table-management commands the reference
+  * drives through `spark.sql(...)` (src/delta_utils.py:99-102, 151-174,
+  * 191-195, 319, 356-364, 381-385):
+  *
+  *   DESCRIBE HISTORY <t> [LIMIT n]
+  *   DESCRIBE DETAIL <t>
+  *   SHOW TBLPROPERTIES <t>
+  *   ALTER TABLE <t> SET TBLPROPERTIES ('k' = 'v' [, ...])
+  *   RESTORE TABLE <t> TO VERSION AS OF <n>
+  *   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>'
+  *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...])]
+  *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
+  *   CREATE TABLE [IF NOT EXISTS] <dst> {DEEP|SHALLOW} CLONE <src>
+  *
+  * `<t>` is a quoted path ('...' or delta-style `...`) resolved to a
+  * [[LakeTable]] by the pluggable `resolve` (default: filesystem path; use
+  * the Catalog overload for 3-level names). Every command returns a
+  * DataFrame so results compose with `spark.sql` pipelines over temp views
+  * (see [[LakeTable.createOrReplaceTempView]] for the query side).
+  * Anything that is not one of these commands is delegated to
+  * `spark.sql(...)` verbatim, so one entry point serves both surfaces.
+  */
+class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
+
+  private val describeHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
+  private val describeDetail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+)\s*""".r
+  private val showProps = """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+)\s*""".r
+  private val setProps =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val restoreVersion =
+    """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val restoreTs =
+    """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
+  private val optimizeCmd =
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val vacuumCmd =
+    """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+  private val cloneCmd =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+)\s*""".r
+
+  private def unquote(id: String): String = {
+    val t = id.trim
+    if ((t.startsWith("'") && t.endsWith("'")) || (t.startsWith("`") && t.endsWith("`")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+  private def table(id: String): LakeTable = resolve(unquote(id))
+
+  private def oneRow(fields: (String, Any)*): DataFrame = {
+    val schema = StructType(fields.map {
+      case (n, _: Long) => StructField(n, LongType)
+      case (n, _) => StructField(n, StringType)
+    })
+    spark.createDataFrame(
+      Seq(Row.fromSeq(fields.map(_._2))).asJava, schema)
+  }
+
+  /** Parse `'k' = 'v', k2 = v2, ...` (quotes optional, delta-style). */
+  private def parseProps(body: String): Map[String, String] =
+    body.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"bad TBLPROPERTIES entry: $kv")
+      unquote(kv.substring(0, i).trim) -> unquote(kv.substring(i + 1).trim)
+    }.toMap
+
+  def run(sql: String): DataFrame = sql match {
+    case describeHistory(t, limit) =>
+      table(t).history(Option(limit).map(_.toInt))
+    case describeDetail(t) => table(t).detail()
+    case showProps(t) =>
+      val props = table(t).properties.toSeq.sortBy(_._1)
+      spark.createDataFrame(
+        props.map { case (k, v) => Row(k, v) }.asJava,
+        StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+    case setProps(t, body) =>
+      val v = table(t).setProperties(parseProps(body))
+      oneRow("version" -> v)
+    case restoreVersion(t, v) =>
+      oneRow("restored_version" -> table(t).restoreToVersion(v.toLong))
+    case restoreTs(t, ts) =>
+      oneRow("restored_version" ->
+        table(t).restoreToTimestamp(java.sql.Timestamp.valueOf(ts).getTime))
+    case cloneCmd(dst, kind, src) =>
+      val cloned = table(src).cloneTo(unquote(dst),
+        shallow = kind.equalsIgnoreCase("SHALLOW"))
+      oneRow("location" -> cloned.dir.toString)
+    case optimizeCmd(t, where, zorder) =>
+      val tbl = table(t)
+      val pred = Option(where).map(w => expr(w))
+      val v = Option(zorder) match {
+        case Some(cols) =>
+          tbl.optimizeZOrder(cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty),
+            where = pred)
+        case None => tbl.optimizeCompact(where = pred)
+      }
+      oneRow("version" -> v)
+    case vacuumCmd(t, retain, dry) =>
+      val hours = Option(retain).map(_.toDouble).getOrElse(168.0)
+      val paths = table(t).vacuum(hours, dryRun = dry != null)
+      spark.createDataFrame(
+        paths.map(Row(_)).asJava,
+        StructType(Seq(StructField("path", StringType))))
+    // not a table-management command — plain Spark SQL (temp views etc.)
+    case other => spark.sql(other)
+  }
+}
+
+object GraftSql {
+  /** Table identifiers are filesystem paths. */
+  def apply(spark: SparkSession): GraftSql =
+    new GraftSql(spark, p => LakeTable.forPath(spark, p))
+  /** Table identifiers are 3-level catalog names. */
+  def apply(spark: SparkSession, catalog: graft.ingest.Catalog): GraftSql =
+    new GraftSql(spark, n => catalog.table(n))
+}

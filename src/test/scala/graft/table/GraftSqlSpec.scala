@@ -1,0 +1,74 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The SQL-string command surface the reference drives via spark.sql. */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): (LakeTable, String) = {
+    val dir = tmpDir(name).resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir,
+      (1 to 200).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "b"))
+    (t, dir)
+  }
+
+  private lazy val sql = GraftSql(spark)
+
+  test("DESCRIBE HISTORY / DETAIL / SHOW TBLPROPERTIES") {
+    val (t, dir) = freshTable("gsql-desc")
+    t.append(Seq((201L, "x", 0)).toDF("id", "v", "b"))
+    sql.run(s"DESCRIBE HISTORY '$dir'").count() shouldBe 3
+    sql.run(s"DESCRIBE HISTORY '$dir' LIMIT 1").count() shouldBe 1
+    sql.run(s"DESCRIBE DETAIL '$dir'")
+      .select("numFiles").as[Long].head() should be >= 1L
+    sql.run(s"ALTER TABLE '$dir' SET TBLPROPERTIES ('owner' = 'etl', quality = gold)")
+    val props = sql.run(s"SHOW TBLPROPERTIES '$dir'")
+      .as[(String, String)].collect().toMap
+    props("owner") shouldBe "etl"
+    props("quality") shouldBe "gold"
+  }
+
+  test("RESTORE TABLE TO VERSION AS OF") {
+    val (t, dir) = freshTable("gsql-restore")
+    val v = t.version
+    t.delete(col("id") <= 100L)
+    t.read().count() shouldBe 100
+    sql.run(s"RESTORE TABLE '$dir' TO VERSION AS OF $v")
+    t.read().count() shouldBe 200
+  }
+
+  test("OPTIMIZE and OPTIMIZE ZORDER BY") {
+    val (t, dir) = freshTable("gsql-opt")
+    (0 until 4).foreach(i => t.append(Seq((300L + i, "y", i)).toDF("id", "v", "b")))
+    val before = t.snapshot().numFiles
+    sql.run(s"OPTIMIZE '$dir'")
+    t.snapshot().numFiles should be < before
+    sql.run(s"OPTIMIZE '$dir' ZORDER BY (id, b)")
+    t.read().count() shouldBe 204
+  }
+
+  test("VACUUM RETAIN 0 HOURS with and without DRY RUN") {
+    val (t, dir) = freshTable("gsql-vac")
+    t.overwrite((1 to 10).map(i => (i.toLong, "z", 0)).toDF("id", "v", "b"))
+    val dry = sql.run(s"VACUUM '$dir' RETAIN 0 HOURS DRY RUN")
+    dry.count() should be >= 1L
+    sql.run(s"VACUUM '$dir' RETAIN 0 HOURS").count() shouldBe dry.count()
+    t.read().count() shouldBe 10 // live data untouched
+  }
+
+  test("CREATE TABLE ... SHALLOW/DEEP CLONE") {
+    val (_, dir) = freshTable("gsql-clone")
+    val dst = tmpDir("gsql-clone-dst").resolve("c").toString
+    sql.run(s"CREATE TABLE IF NOT EXISTS '$dst' DEEP CLONE '$dir'")
+    LakeTable.forPath(spark, dst).read().count() shouldBe 200
+  }
+
+  test("non-command SQL falls through to spark.sql") {
+    val (t, dir) = freshTable("gsql-fallthrough")
+    t.createOrReplaceTempView("gsql_v")
+    sql.run("SELECT count(*) AS n FROM gsql_v").as[Long].head() shouldBe 200
+  }
+}
