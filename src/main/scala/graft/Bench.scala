@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -163,6 +164,30 @@ object Bench {
     }
     ops += "strain_merge_rows_per_sec" -> (strainN / 10).toDouble / sMergeSec
     ops += "strain_merge_sec" -> sMergeSec
+
+    // DELETE evidence at the same scale: rewrite-mode vs deletion-vector
+    // mode removing 1% of rows each — the DV path writes row masks instead
+    // of re-encoding every touched file
+    // wall time converges on page-cache-backed local disk; the structural
+    // difference is bytes written, which is what survives a 1000x scale-up
+    val (_, delRewriteSec) = timed(st.delete(col("id") % 100 === 7))
+    ops += "strain_delete_rewrite_sec" -> delRewriteSec
+    ops += "strain_delete_rewrite_mb_written" ->
+      st.history(Some(1)).select("operationMetrics").collect().head
+        .getMap[String, String](0).get("numAddedBytes").map(_.toDouble / 1e6).getOrElse(0.0)
+    st.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    val (_, delDvSec) = timed(st.delete(col("id") % 100 === 8))
+    ops += "strain_delete_dv_sec" -> delDvSec
+    ops += "strain_delete_dv_mb_written" -> {
+      val dvDirs = st.snapshot().dvs.values.map(_.dvPath).toSet
+      dvDirs.toSeq.map { rel =>
+        val p = java.nio.file.Paths.get(st.dir.toString, rel)
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally s.close()
+      }.sum.toDouble / 1e6
+    }
 
     // ---- per-query timings (full materialization via noop sink) ----
     // median of 3 runs: the first run pays first-touch costs (codegen,

@@ -51,6 +51,19 @@ object TableOps {
     t.read()
   }
 
+  /** Deletion-vector DELETE: same semantics as q11 but with
+    * graft.enableDeletionVectors — matching rows are masked, data files
+    * untouched; a second delete accumulates into the vectors. */
+  def dvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.create(spark, scratch("dv-delete"), orders.schema,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.append(orders)
+    t.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    t.delete(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 400000.0)
+    t.read()
+  }
+
   /** Time travel (S8): v1 = even keys, v2 adds odd keys; read back v1. */
   def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
@@ -137,6 +150,10 @@ object TableOps {
           WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""",
     "q12_time_travel" ->
       s"""SELECT $ordersCols FROM orders WHERE o_orderkey % 2 = 0""",
+    "q43_dv_delete" ->
+      s"""SELECT $ordersCols FROM orders
+          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+            AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice >= 400000.0)""",
     "q13_restore" ->
       s"""SELECT $ordersCols FROM orders""",
     "q14_cdf_update" ->

@@ -55,13 +55,24 @@ case class CommitInfo(
   * Commits without sidecars synthesize CDF rows from add/remove actions. */
 case class CdfFile(path: String, numRecords: Long) extends Action
 
+/** Deletion vector for one data file: `dvPath` (relative) is a parquet file
+  * of (__file, __idx) pairs — the masked physical row indexes, keyed by the
+  * reader-reported file path. The LAST DeletionVector for a `forFile` wins
+  * (vectors are cumulative — a new one carries all masked indexes); an empty
+  * `dvPath` clears the vector. A RemoveFile for `forFile` also drops it.
+  * This is our take on the Delta deletion-vector idea: DELETE marks rows
+  * instead of rewriting files — at 100 TB the difference between a few KB
+  * of masks and rewriting every touched file. */
+case class DeletionVector(forFile: String, dvPath: String, numDeleted: Long) extends Action
+
 /** Envelope for one NDJSON line. Exactly one field is set. */
 private[log] case class ActionEnvelope(
     add: AddFile = null,
     remove: RemoveFile = null,
     metaData: Metadata = null,
     commitInfo: CommitInfo = null,
-    cdf: CdfFile = null)
+    cdf: CdfFile = null,
+    deletionVector: DeletionVector = null)
 
 object Actions {
   private val mapper: ObjectMapper = {
@@ -81,6 +92,7 @@ object Actions {
     case x: Metadata   => mapper.writeValueAsString(ActionEnvelope(metaData = x))
     case x: CommitInfo => mapper.writeValueAsString(ActionEnvelope(commitInfo = x))
     case x: CdfFile    => mapper.writeValueAsString(ActionEnvelope(cdf = x))
+    case x: DeletionVector => mapper.writeValueAsString(ActionEnvelope(deletionVector = x))
   }
 
   def fromJson(line: String): Action = {
@@ -90,6 +102,7 @@ object Actions {
     else if (e.metaData != null) e.metaData
     else if (e.commitInfo != null) e.commitInfo
     else if (e.cdf != null) e.cdf
+    else if (e.deletionVector != null) e.deletionVector
     else throw new IllegalArgumentException(s"unrecognized action: $line")
   }
 }

@@ -5,16 +5,18 @@ import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardCo
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Snapshot of a table at one version: last metadata + live file set. */
+/** Snapshot of a table at one version: last metadata + live file set +
+  * live deletion vectors (keyed by the data file's relative path). */
 case class Snapshot(
     version: Long,
     metadata: Metadata,
     files: Seq[AddFile],
-    commits: Seq[CommitInfo]) {
+    commits: Seq[CommitInfo],
+    dvs: Map[String, DeletionVector] = Map.empty) {
   def schema: StructType = DataType.fromJson(metadata.schemaJson).asInstanceOf[StructType]
   def numFiles: Int = files.size
   def sizeInBytes: Long = files.map(_.size).sum
-  def numRecords: Long = files.map(_.numRecords).sum
+  def numRecords: Long = files.map(_.numRecords).sum - dvs.values.map(_.numDeleted).sum
 }
 
 /** The transaction log: ordered JSON commit files under `<table>/_txlog/`.
@@ -103,7 +105,7 @@ class TxLog(val tableDir: Path) {
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
-      snap.metadata +: (snap.commits ++ snap.files)
+      snap.metadata +: (snap.commits ++ snap.files ++ snap.dvs.values)
     val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir, s".ckpt-$v-", ".tmp")
     try {
@@ -122,28 +124,34 @@ class TxLog(val tableDir: Path) {
     require(versions.contains(upTo), s"version $upTo does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
     var meta: Metadata = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DeletionVector]
     val commits = scala.collection.mutable.ArrayBuffer.empty[CommitInfo]
+    def applyDv(d: DeletionVector): Unit =
+      if (d.dvPath == null || d.dvPath.isEmpty) dvs.remove(d.forFile): Unit
+      else dvs(d.forFile) = d
     val base = listCheckpoints().filter(_ <= upTo).lastOption
     base.foreach { cp =>
       Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).map(Actions.fromJson).foreach {
-          case m: Metadata   => meta = m
-          case a: AddFile    => live(a.path) = a
-          case c: CommitInfo => commits += c
-          case _             =>
+          case m: Metadata        => meta = m
+          case a: AddFile         => live(a.path) = a
+          case c: CommitInfo      => commits += c
+          case d: DeletionVector  => applyDv(d)
+          case _                  =>
         }
     }
     versions.filter(v => v > base.getOrElse(-1L) && v <= upTo).foreach { v =>
       readVersion(v).foreach {
-        case m: Metadata   => meta = m
-        case a: AddFile    => live(a.path) = a
-        case r: RemoveFile => live.remove(r.path)
-        case c: CommitInfo => commits += c
-        case _: CdfFile    => // only consumed by cdf scans
+        case m: Metadata       => meta = m
+        case a: AddFile        => live(a.path) = a
+        case r: RemoveFile     => live.remove(r.path); dvs.remove(r.path): Unit
+        case c: CommitInfo     => commits += c
+        case d: DeletionVector => applyDv(d)
+        case _: CdfFile        => // only consumed by cdf scans
       }
     }
     require(meta != null, s"no metadata action found in $tableDir")
-    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq)
+    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap)
   }
 
   /** Latest version whose commit timestamp <= ts (time travel by timestamp,

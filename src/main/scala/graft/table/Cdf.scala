@@ -103,7 +103,7 @@ trait CdfSupport { self: LakeTable =>
     val deletes = snapBefore.map { sb =>
       val removedPaths = removes.map(_.path).toSet
       val removedAdds = sb.files.filter(f => removedPaths.contains(f.path))
-      readFiles(removedAdds, schema).withColumn("_change_type", lit("delete"))
+      readFilesMasked(sb, removedAdds, schema).withColumn("_change_type", lit("delete"))
     }
     (inserts, deletes) match {
       case (Some(i), Some(d)) => Some(meta(i.unionByName(d)))

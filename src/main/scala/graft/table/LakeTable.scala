@@ -63,11 +63,12 @@ class LakeTable private[table] (
   // ---------------------------------------------------------------- reads
 
   /** Current-version DataFrame (SURVEY §2.1 S7/S8). `filters` enable
-    * driver-side file skipping; they are re-applied as residual predicates. */
+    * driver-side file skipping; they are re-applied as residual predicates.
+    * Deletion-vector masks (if any) are applied transparently. */
   def read(filters: Seq[Column] = Nil, version: Option[Long] = None): DataFrame = {
     val snap = snapshot(version)
     val pruned = Pruner.prune(partitionPrune(snap, snap.files, filters), filters, snap.schema)
-    filters.foldLeft(readFiles(pruned, snap.schema))(_ filter _)
+    filters.foldLeft(readFilesMasked(snap, pruned, snap.schema))(_ filter _)
   }
 
   def toDf: DataFrame = read()
@@ -93,6 +94,54 @@ class LakeTable private[table] (
   private[table] def readFiles(files: Seq[AddFile], schema: StructType): DataFrame =
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(files.map(absPath): _*)
+
+  // ------------------------------------------------- deletion-vector reads
+
+  /** Base read of `files` plus reader-position columns `__file`
+    * (_metadata.file_path — URL-encoded file: URI) and `__idx`
+    * (_metadata.row_index), with each file's deletion-vector rows
+    * anti-joined out. The DV parquet stores exactly these two columns as
+    * the reader reported them at DV-write time, so the match is
+    * self-consistent by construction. */
+  private[table] def readFilesMaskedPos(
+      snap: Snapshot, files: Seq[AddFile], schema: StructType): DataFrame = {
+    val base = readFiles(files, schema)
+    if (files.isEmpty)
+      return base.withColumn("__file", lit(null).cast(StringType))
+        .withColumn("__idx", lit(null).cast(LongType))
+    val withPos = base
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__idx", col("_metadata.row_index"))
+    val dvDirs = files.flatMap(f => snap.dvs.get(f.path))
+      .map(d => dir.resolve(d.dvPath).toString).distinct
+    if (dvDirs.isEmpty) withPos
+    // the DV side is tiny relative to data (deleted-row keys only); rows
+    // for files outside `files` simply find no match in the anti-join
+    else withPos.join(spark.read.parquet(dvDirs: _*).select("__file", "__idx"),
+      Seq("__file", "__idx"), "left_anti")
+  }
+
+  /** Masked read with the table schema only (the hot read path). */
+  private[table] def readFilesMasked(
+      snap: Snapshot, files: Seq[AddFile], schema: StructType): DataFrame =
+    if (files.forall(f => !snap.dvs.contains(f.path))) readFiles(files, schema)
+    else readFilesMaskedPos(snap, files, schema).drop("__file", "__idx")
+
+  /** Masked read keeping a `__file` reader-path column (probe phases). */
+  private[table] def readFilesWithFile(
+      snap: Snapshot, files: Seq[AddFile], schema: StructType): DataFrame =
+    if (files.forall(f => !snap.dvs.contains(f.path)))
+      readFiles(files, schema).withColumn("__file", input_file_name())
+    else readFilesMaskedPos(snap, files, schema).drop("__idx")
+
+  /** Tombstones for DV directories that `removedPaths`' files referenced
+    * and that nothing in the table's future state still references. */
+  private[table] def dvTombstones(
+      s: Snapshot, removedPaths: Set[String], futureRefs: Set[String],
+      now: Long): Seq[RemoveFile] = {
+    val dropped = removedPaths.flatMap(p => s.dvs.get(p)).map(_.dvPath)
+    dropped.diff(futureRefs).toSeq.map(p => RemoveFile(p, now))
+  }
 
   /** Conservative file-level filtering on partition columns, evaluated
     * locally on the driver (no Spark job — read-path planning must stay
@@ -250,7 +299,8 @@ class LakeTable private[table] (
           s"overwrite conflicts with a concurrent schema change on $dir")
       val now = System.currentTimeMillis()
       val meta = if (target == s.schema) Nil else Seq(s.metadata.copy(schemaJson = target.json))
-      meta ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds
+      meta ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
+        dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
     }
   }
 
@@ -271,7 +321,8 @@ class LakeTable private[table] (
     commitWithRetry("WRITE", Map("mode" -> "Overwrite", "replaceWhere" -> pred.toString), snap) { s =>
       val now = System.currentTimeMillis()
       val doomed = partitionValuesMatching(s.files, Seq(pred), s.schema)
-      s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++ adds
+      s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++ adds ++
+        dvTombstones(s, doomed, (s.dvs -- doomed).values.map(_.dvPath).toSet, now)
     }
   }
 
@@ -508,10 +559,19 @@ class LakeTable private[table] (
       val now = System.currentTimeMillis()
       val oldPaths = old.files.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
+      val removed = s.files.filterNot(f => oldPaths.contains(f.path)).map(_.path).toSet
+      // deletion-vector state is part of the restored snapshot: re-emit the
+      // old vectors and explicitly clear vectors acquired since on files
+      // that survive into the restored state
+      val dvClears = s.dvs.keySet.intersect(oldPaths).diff(old.dvs.keySet)
+        .toSeq.map(f => DeletionVector(f, "", 0L))
       Seq(s.metadata.copy(schemaJson = old.metadata.schemaJson,
         partitionColumns = old.metadata.partitionColumns)) ++
-        s.files.filterNot(f => oldPaths.contains(f.path)).map(f => RemoveFile(f.path, now)) ++
-        old.files.filterNot(f => curPaths.contains(f.path))
+        removed.toSeq.map(p => RemoveFile(p, now)) ++
+        old.files.filterNot(f => curPaths.contains(f.path)) ++
+        old.dvs.values ++ dvClears ++
+        dvTombstones(s, removed ++ dvClears.map(_.forFile),
+          old.dvs.values.map(_.dvPath).toSet, now)
     }
   }
 
@@ -523,22 +583,32 @@ class LakeTable private[table] (
   def vacuum(retainHours: Double = 168.0, dryRun: Boolean = false): Seq[String] = {
     val horizon = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
     val snap = snapshot()
+    // deletion-vector paths are directories — membership is prefix-based
+    def underAny(p: String, prefixes: Set[String]): Boolean =
+      prefixes.exists(pre => p == pre || p.startsWith(pre + "/"))
     val live = snap.files.map(f => absPath(f)).toSet
-    // one pass over the log history serves both classifications
+    val liveDv = snap.dvs.values.map(d => dir.resolve(d.dvPath).toString).toSet
+    // one pass over the log history serves all classifications
     val history = log.listVersions().flatMap(v => log.readVersion(v))
     val referenced = history.collect {
       case a: AddFile => absPath(a)
       case c: CdfFile => dir.resolve(c.path).toString
     }.toSet
+    val referencedDv = history.collect {
+      case d: DeletionVector if d.dvPath != null && d.dvPath.nonEmpty =>
+        dir.resolve(d.dvPath).toString
+    }.toSet
     val tombstoned = history.collect {
       // <= so retainHours=0 ("retain nothing") catches a same-millisecond tombstone
       case r: RemoveFile if r.deletionTimestamp <= horizon => absPath(AddFile(r.path, Map.empty, 0, 0, Map.empty, 0))
     }.toSet
-    val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf"))).map(_.toString)
+    val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
+      listParquet(dir.resolve("dv"))).map(_.toString)
     val doomed = physical.filter { p =>
-      !live.contains(p) && (
-        tombstoned.contains(p) ||
-        (!referenced.contains(p) && Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
+      !live.contains(p) && !underAny(p, liveDv) && (
+        tombstoned.contains(p) || underAny(p, tombstoned) ||
+        (!referenced.contains(p) && !underAny(p, referencedDv) &&
+          Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
     }
     if (!dryRun) {
       doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
@@ -555,6 +625,14 @@ class LakeTable private[table] (
     val tgt = Paths.get(targetDir)
     require(!TxLog.isTable(targetDir), s"clone target already a table: $targetDir")
     Files.createDirectories(tgt)
+    // deep clone of a table with deletion vectors materializes the masked
+    // data into fresh files (raw byte-copy would resurrect deleted rows)
+    if (!shallow && snap.dvs.nonEmpty) {
+      val t = LakeTable.create(spark, targetDir, snap.schema,
+        snap.metadata.partitionColumns, snap.metadata.properties, ifNotExists = false)
+      t.append(readFilesMasked(snap, snap.files, snap.schema))
+      return t
+    }
     val adds: Seq[AddFile] =
       if (shallow) snap.files.map(f => f.copy(path = absPath(f)))
       else snap.files.map { f =>
@@ -565,13 +643,19 @@ class LakeTable private[table] (
         Files.copy(srcP, dstP)
         f.copy(path = rel)
       }
+    // shallow clone: vectors ride along by absolute path — the clone reads
+    // the same physical files, so the recorded reader paths still match
+    val dvActions: Seq[Action] =
+      if (shallow) snap.dvs.values.toSeq.map(d =>
+        DeletionVector(dir.resolve(d.forFile).toString, dir.resolve(d.dvPath).toString, d.numDeleted))
+      else Nil
     val now = System.currentTimeMillis()
     val meta = snap.metadata.copy(id = UUID.randomUUID().toString, createdTime = now)
     val ci = CommitInfo(0L, now, "CLONE",
       Map("source" -> dir.toString, "isShallow" -> shallow.toString),
       Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L)
     val tlog = new TxLog(tgt)
-    require(tlog.tryCommit(0L, ci +: meta +: adds), s"concurrent clone into $targetDir")
+    require(tlog.tryCommit(0L, (ci +: meta +: adds) ++ dvActions), s"concurrent clone into $targetDir")
     new LakeTable(spark, tgt)
   }
 }

@@ -36,7 +36,7 @@ trait MaintenanceSupport { self: LakeTable =>
     if (doomed.isEmpty) return snap.version
     val totalBytes = doomed.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
-    val df = readFiles(doomed, snap.schema)
+    val df = readFilesMasked(snap, doomed, snap.schema)
     val pcols = snap.metadata.partitionColumns
     val packed =
       if (pcols.nonEmpty) df.repartition(n, pcols.map(col): _*)
@@ -62,7 +62,7 @@ trait MaintenanceSupport { self: LakeTable =>
     val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
       .getOrElse(snap.files)
     if (scoped.isEmpty) return snap.version
-    val df = readFiles(scoped, snap.schema)
+    val df = readFilesMasked(snap, scoped, snap.schema)
     val z = ZOrder.zvalue(df, cols.map(c => col(c) -> snap.schema(c).dataType))
     val totalBytes = scoped.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)

@@ -1,0 +1,150 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion-vector DELETE: rows are masked, not rewritten. Covers masking
+  * correctness, accumulation, interplay with UPDATE/MERGE/OPTIMIZE/
+  * RESTORE/CLONE/VACUUM/CDF/time travel, and escaped paths. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dvProps = Map("graft.enableDeletionVectors" -> "true")
+
+  private def freshTable(name: String, props: Map[String, String] = dvProps): LakeTable = {
+    val df = (0 until 300).map(i => (i.toLong, s"n$i", i % 3)).toDF("id", "name", "b")
+    val t = LakeTable.create(spark, tmpDir(name).resolve("t").toString, df.schema,
+      properties = props)
+    // several files so pruning/probing paths engage
+    (0 until 3).foreach(k => t.append(df.filter(col("id") % 3 === k)))
+    t
+  }
+
+  test("DV delete masks rows without rewriting data files") {
+    val t = freshTable("dv-basic")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.delete(col("id") < 50L)
+    t.snapshot().files.map(_.path).toSet shouldBe filesBefore // no rewrite
+    t.snapshot().dvs should not be empty
+    t.read().count() shouldBe 250
+    t.read().filter(col("id") < 50L).count() shouldBe 0
+    // commit metrics carry the masked-row count
+    t.history(Some(1)).select("operationMetrics").collect()
+      .head.getMap[String, String](0)("numDeletedRows") shouldBe "50"
+    // snapshot row accounting reflects masks
+    t.snapshot().numRecords shouldBe 250
+  }
+
+  test("successive DV deletes accumulate; old vectors get tombstoned and vacuumed") {
+    val t = freshTable("dv-accum")
+    t.delete(col("id") < 50L)
+    t.delete(col("id") >= 50L && col("id") < 80L)
+    t.read().count() shouldBe 220
+    // one vector per touched file, all pointing at the latest dv dir
+    val dvDirs = t.snapshot().dvs.values.map(_.dvPath).toSet
+    dvDirs.size shouldBe 1
+    // the replaced vector dir is tombstoned: a zero-retention vacuum
+    // removes it while the live vector survives
+    val removed = t.vacuum(retainHours = 0.0)
+    removed.foreach(p => p should include("/dv/"))
+    t.read().count() shouldBe 220
+    t.read().filter(col("id") < 80L).count() shouldBe 0
+  }
+
+  test("filters + pruning still correct on masked tables") {
+    val t = freshTable("dv-filter")
+    t.delete(col("id") % 2 === 0)
+    t.read(Seq(col("id") < 100L)).count() shouldBe 50
+    t.read(Seq(col("b") === 1)).as[(Long, String, Int)].collect()
+      .foreach { case (id, _, b) => { b shouldBe 1; (id % 2) shouldBe 1L } }
+  }
+
+  test("UPDATE after DV delete does not resurrect masked rows") {
+    val t = freshTable("dv-update")
+    t.delete(col("id") < 100L)
+    t.update(col("id") >= 100L && col("id") < 150L, Map("name" -> lit("upd")))
+    t.read().count() shouldBe 200
+    t.read().filter(col("name") === "upd").count() shouldBe 50
+    t.read().filter(col("id") < 100L).count() shouldBe 0
+    // rewritten files dropped their vectors
+    val livePaths = t.snapshot().files.map(_.path).toSet
+    t.snapshot().dvs.keySet.foreach(k => livePaths should contain(k))
+  }
+
+  test("MERGE after DV delete treats masked rows as absent") {
+    val t = freshTable("dv-merge")
+    t.delete(col("id") < 10L)
+    val src = (5 until 15).map(i => (i.toLong, "merged", 0)).toDF("id", "name", "b")
+    t.merge(src, col("target.id") === col("source.id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // ids 5..9 were masked -> re-inserted (290 live + 5); 10..14 matched -> updated
+    t.read().filter(col("name") === "merged").count() shouldBe 10
+    t.read().count() shouldBe 295
+  }
+
+  test("OPTIMIZE materializes masks; time travel and RESTORE keep DV state") {
+    val t = freshTable("dv-opt")
+    val vBefore = t.version
+    t.delete(col("id") < 30L)
+    val vMasked = t.version
+    t.optimizeCompact()
+    t.read().count() shouldBe 270
+    t.snapshot().dvs shouldBe empty // compaction rewrote masked files
+    // time travel: before the delete all rows; at the delete the mask applies
+    t.versionAsOf(vBefore).count() shouldBe 300
+    t.versionAsOf(vMasked).count() shouldBe 270
+    // restore to the masked version keeps the mask; to before clears it
+    t.restoreToVersion(vMasked)
+    t.read().count() shouldBe 270
+    t.restoreToVersion(vBefore)
+    t.read().count() shouldBe 300
+  }
+
+  test("CDF emits delete rows for DV deletes; synthesis respects masks") {
+    val t = freshTable("dv-cdf",
+      dvProps + ("graft.enableChangeDataFeed" -> "true"))
+    t.delete(col("id") < 20L)
+    val v = t.version
+    val ch = t.changes(v, Some(v))
+    ch.filter(col("_change_type") === "delete").count() shouldBe 20
+    // overwrite after the delete: synthesized delete events only cover live rows
+    t.overwrite(Seq((999L, "x", 0)).toDF("id", "name", "b"))
+    val ov = t.changes(t.version, Some(t.version))
+    ov.filter(col("_change_type") === "delete").count() shouldBe 280
+  }
+
+  test("shallow clone carries vectors; deep clone materializes them") {
+    val t = freshTable("dv-clone")
+    t.delete(col("id") < 40L)
+    val sh = t.cloneTo(tmpDir("dv-clone-sh").resolve("c").toString, shallow = true)
+    sh.read().count() shouldBe 260
+    val dp = t.cloneTo(tmpDir("dv-clone-dp").resolve("c").toString, shallow = false)
+    dp.read().count() shouldBe 260
+    dp.snapshot().dvs shouldBe empty
+  }
+
+  test("DV delete on escaped paths (spaces, '=', '%') masks correctly") {
+    val df = (0 until 200).map(i => (i.toLong, Seq("a b", "x=y", "p%q", "c:d")(i % 4)))
+      .toDF("id", "cat")
+    val t = LakeTable.create(spark,
+      tmpDir("dv-esc").resolve("t dir").toString, df.schema,
+      partitionColumns = Seq("cat"), properties = dvProps)
+    (0 until 2).foreach(k => t.append(df.filter(col("id") % 2 === k)))
+    t.delete(col("id") < 100L)
+    t.read().count() shouldBe 100
+    t.read().filter(col("id") < 100L).count() shouldBe 0
+  }
+
+  test("checkpointed snapshots preserve vectors (log replay across checkpoints)") {
+    val t = freshTable("dv-ckpt")
+    t.delete(col("id") < 25L)
+    // force past a checkpoint boundary (every 10 commits)
+    (0 until 9).foreach(_ => t.setProperties(Map("tick" -> System.nanoTime().toString)))
+    t.log.listCheckpoints() should not be empty
+    // a fresh instance resolves through the checkpoint
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    t2.read().count() shouldBe 275
+    t2.snapshot().dvs should not be empty
+  }
+}
