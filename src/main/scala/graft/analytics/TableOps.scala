@@ -51,9 +51,9 @@ object TableOps {
     t.read()
   }
 
-  /** Deletion-vector DELETE: same semantics as q11 but with
-    * graft.enableDeletionVectors — matching rows are masked, data files
-    * untouched; a second delete accumulates into the vectors. */
+  /** Deletion-vector DML: with graft.enableDeletionVectors, DELETE masks
+    * rows (data files untouched, a second delete accumulates into the
+    * vectors) and UPDATE masks + appends only the changed rows. */
   def dvDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val t = LakeTable.create(spark, scratch("dv-delete"), orders.schema,
@@ -61,6 +61,7 @@ object TableOps {
     t.append(orders)
     t.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
     t.delete(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 400000.0)
+    t.update(col("o_totalprice") >= 500000.0, Map("o_orderpriority" -> lit("5-LOW")))
     t.read()
   }
 
@@ -151,7 +152,9 @@ object TableOps {
     "q12_time_travel" ->
       s"""SELECT $ordersCols FROM orders WHERE o_orderkey % 2 = 0""",
     "q43_dv_delete" ->
-      s"""SELECT $ordersCols FROM orders
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+            CASE WHEN o_totalprice >= 500000.0 THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority
+          FROM orders
           WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
             AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice >= 400000.0)""",
     "q13_restore" ->

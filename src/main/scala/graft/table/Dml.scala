@@ -21,11 +21,15 @@ trait DmlSupport { self: LakeTable =>
   private def dvEnabled: Boolean =
     properties.get("graft.enableDeletionVectors").contains("true")
 
-  /** UPDATE t SET ... WHERE cond (M4, notebooks/04_acid_operations.py:129-139). */
+  /** UPDATE t SET ... WHERE cond (M4, notebooks/04_acid_operations.py:129-139).
+    * With deletion vectors enabled, matched rows are masked and ONLY their
+    * updated versions are appended — a 0.1% update writes 0.1% of the data,
+    * not every touched file. */
   def update(cond: Column, set: Map[String, Column]): Long = {
     val snap = snapshot()
     val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(",")}")
+    if (dvEnabled) return updateWithDv(snap, cond, set)
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version
     val touchedDf = readFilesMasked(snap, touched, snap.schema)
@@ -95,15 +99,48 @@ trait DmlSupport { self: LakeTable =>
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version
     val matchPred = coalesce(cond, lit(false))
-    val posDf = readFilesMaskedPos(snap, touched, snap.schema)
-    val matched = posDf.filter(matchPred)
+    val matched = readFilesMaskedPos(snap, touched, snap.schema).filter(matchPred)
     val sidecars = if (cdfEnabled)
       writeCdfSidecar(matched.drop("__file", "__idx")
         .withColumn("_change_type", lit("delete")))
     else Nil
-    // new vector = this delete's positions ∪ the touched files' current
-    // vectors (vectors are cumulative; stale entries for other files that
-    // share an old DV parquet are harmless — they match no base rows)
+    maskAndCommit(snap, "DELETE", Map("predicate" -> cond.toString),
+      touched, matched, Nil, sidecars,
+      newlyMasked => Map("numDeletedRows" -> newlyMasked))
+  }
+
+  /** Deletion-vector UPDATE: matched rows are masked and only their updated
+    * versions are appended as new files. */
+  private def updateWithDv(snap: Snapshot, cond: Column, set: Map[String, Column]): Long = {
+    val touched = filesContaining(snap, cond)
+    if (touched.isEmpty) return snap.version
+    val matchPred = coalesce(cond, lit(false))
+    val matched = readFilesMaskedPos(snap, touched, snap.schema).filter(matchPred)
+    val plain = matched.drop("__file", "__idx")
+    val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.cast(snap.schema(c).dataType).as(c) }
+        .getOrElse(col(c).as(c))
+    }
+    val sidecars = if (cdfEnabled) {
+      val pre = plain.withColumn("_change_type", lit("update_preimage"))
+      val post = plain.select(setExprs: _*).withColumn("_change_type", lit("update_postimage"))
+      writeCdfSidecar(pre.unionByName(post))
+    } else Nil
+    val adds = stageWrite(plain.select(setExprs: _*), snap.metadata.partitionColumns)
+    maskAndCommit(snap, "UPDATE", Map("predicate" -> cond.toString),
+      touched, matched, adds, sidecars,
+      newlyMasked => Map("numUpdatedRows" -> adds.map(_.numRecords).sum))
+  }
+
+  /** Shared deletion-vector commit: write the union vector (this change's
+    * masked positions ∪ the touched files' current vectors — stale entries
+    * for other files sharing an old DV parquet are harmless, they match no
+    * base rows), derive per-file actions, and commit with the DV conflict
+    * checks. `matched` must carry __file/__idx. */
+  private def maskAndCommit(
+      snap: Snapshot, op: String, params: Map[String, String],
+      touched: Seq[AddFile], matched: DataFrame, adds: Seq[AddFile],
+      sidecars: Seq[Action], metrics: Long => Map[String, Long]): Long = {
     val oldDirs = touched.flatMap(f => snap.dvs.get(f.path))
       .map(d => dir.resolve(d.dvPath).toString).distinct
     val newRows = matched.select(col("__file"), col("__idx"))
@@ -123,29 +160,28 @@ trait DmlSupport { self: LakeTable =>
     }
     if (newActions.isEmpty) return snap.version // nothing actually matched
     val prevMasked = newActions.flatMap(a => snap.dvs.get(a.forFile)).map(_.numDeleted).sum
-    val numDeleted = newActions.map(_.numDeleted).sum - prevMasked
+    val newlyMasked = newActions.map(_.numDeleted).sum - prevMasked
     val newKeys = newActions.map(_.forFile).toSet
-    commitWithRetry("DELETE",
-      Map("predicate" -> cond.toString, "deletionVectors" -> "true"), snap,
-      Map("numDeletedRows" -> numDeleted)) { s =>
+    commitWithRetry(op, params + ("deletionVectors" -> "true"), snap,
+      metrics(newlyMasked)) { s =>
       if (s.version != snap.version) {
         if (s.metadata.schemaJson != snap.metadata.schemaJson)
           throw new java.util.ConcurrentModificationException(
-            "DELETE conflicts with a concurrent metadata change")
+            s"$op conflicts with a concurrent metadata change")
         val live = s.files.map(_.path).toSet
         if (!newKeys.subsetOf(live))
           throw new java.util.ConcurrentModificationException(
-            "DELETE conflicts with a concurrent commit that rewrote the touched files")
+            s"$op conflicts with a concurrent commit that rewrote the touched files")
         // the new vectors were computed on top of snap's vectors
         newKeys.foreach { p =>
           if (s.dvs.get(p) != snap.dvs.get(p))
             throw new java.util.ConcurrentModificationException(
-              "DELETE conflicts with a concurrent deletion-vector change")
+              s"$op conflicts with a concurrent deletion-vector change")
         }
       }
       val now = System.currentTimeMillis()
       val future = ((s.dvs -- newKeys).values.map(_.dvPath) ++ Seq(dvRel)).toSet
-      newActions ++ sidecars ++ dvTombstones(s, newKeys, future, now)
+      newActions ++ adds ++ sidecars ++ dvTombstones(s, newKeys, future, now)
     }
   }
 

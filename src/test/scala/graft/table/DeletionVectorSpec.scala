@@ -60,6 +60,36 @@ class DeletionVectorSpec extends SparkSpec {
       .foreach { case (id, _, b) => { b shouldBe 1; (id % 2) shouldBe 1L } }
   }
 
+  test("DV UPDATE masks old versions and appends only the changed rows") {
+    val t = freshTable("dv-upd-mode")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.update(col("id") < 30L, Map("name" -> lit("upd")))
+    // original files untouched; exactly one small appended file set
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    val newFiles = t.snapshot().files.map(_.path).toSet.diff(filesBefore)
+    newFiles should not be empty
+    t.read().count() shouldBe 300
+    t.read().filter(col("name") === "upd").count() shouldBe 30
+    t.read().filter(col("id") < 30L && col("name") =!= "upd").count() shouldBe 0
+    t.history(Some(1)).select("operationMetrics").collect()
+      .head.getMap[String, String](0)("numUpdatedRows") shouldBe "30"
+    // idempotent-ish second update over the same predicate: masks accumulate
+    // on the original files AND on the appended file's rows
+    t.update(col("id") < 30L, Map("name" -> lit("upd2")))
+    t.read().count() shouldBe 300
+    t.read().filter(col("name") === "upd2").count() shouldBe 30
+  }
+
+  test("DV UPDATE with CDF emits pre/post images") {
+    val t = freshTable("dv-upd-cdf",
+      dvProps + ("graft.enableChangeDataFeed" -> "true"))
+    t.update(col("id") < 10L, Map("name" -> lit("u")))
+    val v = t.version
+    val ch = t.changes(v, Some(v))
+    ch.filter(col("_change_type") === "update_preimage").count() shouldBe 10
+    ch.filter(col("_change_type") === "update_postimage").count() shouldBe 10
+  }
+
   test("UPDATE after DV delete does not resurrect masked rows") {
     val t = freshTable("dv-update")
     t.delete(col("id") < 100L)
