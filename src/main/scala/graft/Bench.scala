@@ -178,6 +178,18 @@ object Bench {
     st.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     val (_, delDvSec) = timed(st.delete(col("id") % 100 === 8))
     ops += "strain_delete_dv_sec" -> delDvSec
+
+    // DV-mode merge: matched rows are masked, only changed rows written
+    val ssrc2 = spark.range(5, strainN, 10)
+      .withColumn("user_id", concat(lit("v_"), col("id")))
+      .withColumn("amount", lit(java.math.BigDecimal.valueOf(2)).cast("decimal(18,2)"))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-03-01")))
+    val (_, dvMergeSec) = timed {
+      st.merge(ssrc2, col("target.id") === col("source.id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    ops += "strain_dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
+    ops += "strain_dv_merge_sec" -> dvMergeSec
     ops += "strain_delete_dv_mb_written" -> {
       val dvDirs = st.snapshot().dvs.values.map(_.dvPath).toSet
       dvDirs.toSeq.map { rel =>

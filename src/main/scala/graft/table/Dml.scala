@@ -137,7 +137,7 @@ trait DmlSupport { self: LakeTable =>
     * for other files sharing an old DV parquet are harmless, they match no
     * base rows), derive per-file actions, and commit with the DV conflict
     * checks. `matched` must carry __file/__idx. */
-  private def maskAndCommit(
+  private[table] def maskAndCommit(
       snap: Snapshot, op: String, params: Map[String, String],
       touched: Seq[AddFile], matched: DataFrame, adds: Seq[AddFile],
       sidecars: Seq[Action], metrics: Long => Map[String, Long]): Long = {
@@ -158,7 +158,8 @@ trait DmlSupport { self: LakeTable =>
     val newActions = touched.flatMap { f =>
       counts.get(absPath(f)).map(n => DeletionVector(f.path, dvRel, n))
     }
-    if (newActions.isEmpty) return snap.version // nothing actually matched
+    // nothing masked AND nothing appended -> the table state is unchanged
+    if (newActions.isEmpty && adds.isEmpty) return snap.version
     val prevMasked = newActions.flatMap(a => snap.dvs.get(a.forFile)).map(_.numDeleted).sum
     val newlyMasked = newActions.map(_.numDeleted).sum - prevMasked
     val newKeys = newActions.map(_.forFile).toSet
@@ -323,6 +324,7 @@ class MergeBuilder private[table] (
     val snap = table.snapshot()
     val schema = snap.schema
     val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
+    val dvOn = table.properties.get("graft.enableDeletionVectors").contains("true")
 
     // Materialize the source once: it is referenced by phase-0 bounds, the
     // phase-1 probe, and the phase-2 join — and must not change between them.
@@ -468,7 +470,12 @@ class MergeBuilder private[table] (
     // — far cheaper than materializing the full-width join, locally and at
     // scale. The source side is persisted above, so both evaluations see
     // identical source rows; the target side is immutable parquet.
-    val tgtT = table.readFilesMasked(snap, touched, schema)
+    // Under deletion vectors, target rows keep their reader positions
+    // (__file/__idx): matched rows are masked rather than rewritten, and
+    // only updated + inserted rows are written — merge write volume becomes
+    // proportional to CHANGED rows, not to the touched files' size.
+    val tgtT = (if (dvOn) table.readFilesMaskedPos(snap, touched, schema)
+      else table.readFilesMasked(snap, touched, schema))
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__tgt", lit(true)).alias("target")
     val srcT = src.withColumn("__src", lit(true)).alias("source")
@@ -559,7 +566,12 @@ class MergeBuilder private[table] (
         tagCount(insertTags).as("inserted"),
         tagCount(Seq("copy")).as("copied"))
 
-      val keepPred = !col("__action").isin(("drop" +: deleteTags): _*)
+      // DV mode keeps only the rows that change (updates + inserts); the
+      // rewrite mode keeps everything except dropped/deleted rows (copies
+      // included, since their file is being replaced wholesale)
+      val keepPred =
+        if (dvOn) col("__action").isin((updateTags ++ insertTags): _*)
+        else !col("__action").isin(("drop" +: deleteTags): _*)
       val rewritten = actedObs.filter(keepPred)
         .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
 
@@ -592,13 +604,21 @@ class MergeBuilder private[table] (
         "numTargetRowsUpdated" -> metric("updated"),
         "numTargetRowsDeleted" -> metric("deleted"),
         "numTargetRowsInserted" -> metric("inserted"),
-        "numTargetRowsCopied" -> metric("copied"),
+        "numTargetRowsCopied" -> (if (dvOn) 0L else metric("copied")),
         "numSourceRows" -> numSourceRows)
-      table.commitRewrite(snap, "MERGE",
-        Map("condition" -> condition.toString,
-          "matchedClauses" -> matchedClauses.size.toString,
-          "notMatchedClauses" -> notMatchedClauses.size.toString),
-        touched, adds, sidecars, metrics)
+      val params = Map("condition" -> condition.toString,
+        "matchedClauses" -> matchedClauses.size.toString,
+        "notMatchedClauses" -> notMatchedClauses.size.toString)
+      if (dvOn) {
+        // matched (updated or deleted) target rows join their files' vectors
+        val maskedRows = acted
+          .filter(col("__action").isin((updateTags ++ deleteTags): _*))
+          .select(col("target.__file").as("__file"), col("target.__idx").as("__idx"))
+        table.maskAndCommit(snap, "MERGE", params, touched, maskedRows, adds,
+          sidecars, _ => metrics)
+      } else {
+        table.commitRewrite(snap, "MERGE", params, touched, adds, sidecars, metrics)
+      }
     } finally { if (cdfOn) joined.unpersist(): Unit }
     } finally {
       src.unpersist()

@@ -113,6 +113,30 @@ class DeletionVectorSpec extends SparkSpec {
     t.read().count() shouldBe 295
   }
 
+  test("DV MERGE masks matched rows and writes only changed rows") {
+    val t = freshTable("dv-merge2")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    // ids 280..299 match (update), 300..320 are new (insert)
+    val src = (280 to 320).map(i => (i.toLong, "m", 9)).toDF("id", "name", "b")
+    t.merge(src, col("target.id") === col("source.id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // no touched file was rewritten — matched rows were masked instead
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    t.snapshot().dvs should not be empty
+    t.read().count() shouldBe 321
+    t.read().filter(col("name") === "m").count() shouldBe 41
+    val m = t.history(Some(1)).select("operationMetrics").collect()
+      .head.getMap[String, String](0)
+    m("numTargetRowsUpdated") shouldBe "20"
+    m("numTargetRowsInserted") shouldBe "21"
+    m("numTargetRowsCopied") shouldBe "0"
+    // whenMatchedDelete under DV masks without writing
+    t.merge(src.filter(col("id") < 290), col("target.id") === col("source.id"))
+      .whenMatchedDelete().execute()
+    t.read().count() shouldBe 311
+    t.read().filter(col("id") >= 280 && col("id") < 290).count() shouldBe 0
+  }
+
   test("OPTIMIZE materializes masks; time travel and RESTORE keep DV state") {
     val t = freshTable("dv-opt")
     val vBefore = t.version
