@@ -164,6 +164,10 @@ object Bench {
     }
     ops += "strain_merge_rows_per_sec" -> (strainN / 10).toDouble / sMergeSec
     ops += "strain_merge_sec" -> sMergeSec
+    def lastAddedMb: Double =
+      st.history(Some(1)).select("operationMetrics").collect().head
+        .getMap[String, String](0).get("numAddedBytes").map(_.toDouble / 1e6).getOrElse(0.0)
+    ops += "strain_merge_mb_written" -> lastAddedMb
 
     // DELETE evidence at the same scale: rewrite-mode vs deletion-vector
     // mode removing 1% of rows each — the DV path writes row masks instead
@@ -190,6 +194,9 @@ object Bench {
     }
     ops += "strain_dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
     ops += "strain_dv_merge_sec" -> dvMergeSec
+    // data bytes only (update+insert rows); the row masks are counted in
+    // strain_delete_dv_mb_written below, which walks every live DV dir
+    ops += "strain_dv_merge_mb_written" -> lastAddedMb
     ops += "strain_delete_dv_mb_written" -> {
       val dvDirs = st.snapshot().dvs.values.map(_.dvPath).toSet
       dvDirs.toSeq.map { rel =>

@@ -28,14 +28,22 @@ object Dedup {
   }
 
   /** Word n-gram shingles; short docs fall back to the whole token string
-    * (sequence() would be ill-defined for size < n). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * (sequence() would be ill-defined for size < n).
+    *
+    * The token array is let-bound as a lambda variable (transform over a
+    * single-element array) so the tokenizer's regex split runs ONCE per doc.
+    * Referencing `tokens(text)` directly inside the index lambda would
+    * re-split the full text per shingle — Catalyst does not hoist
+    * loop-invariant subtrees out of HigherOrderFunction lambdas, which made
+    * the naive shape O(tokens²) regex work per document. */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(TextAnalysis.tokens(text)), toks =>
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", toks)))),
+      1)
 
   /** 64-permutation MinHash signatures via explode + N-way min aggregation.
     *

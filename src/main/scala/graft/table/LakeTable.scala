@@ -112,13 +112,20 @@ class LakeTable private[table] (
     val withPos = base
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__idx", col("_metadata.row_index"))
-    val dvDirs = files.flatMap(f => snap.dvs.get(f.path))
-      .map(d => dir.resolve(d.dvPath).toString).distinct
+    val dvs = files.flatMap(f => snap.dvs.get(f.path))
+    val dvDirs = dvs.map(d => dir.resolve(d.dvPath).toString).distinct
     if (dvDirs.isEmpty) withPos
-    // the DV side is tiny relative to data (deleted-row keys only); rows
-    // for files outside `files` simply find no match in the anti-join
-    else withPos.join(spark.read.parquet(dvDirs: _*).select("__file", "__idx"),
-      Seq("__file", "__idx"), "left_anti")
+    else {
+      // rows for files outside `files` simply find no match in the anti-join.
+      // The mask-row count is known from the snapshot, so small vectors are
+      // broadcast explicitly — size estimation over the raw parquet read is
+      // conservative enough to shuffle the whole base side otherwise, which
+      // triples merge cost on tables carrying vectors.
+      val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
+      val dvSide =
+        if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
+      withPos.join(dvSide, Seq("__file", "__idx"), "left_anti")
+    }
   }
 
   /** Masked read with the table schema only (the hot read path). */
