@@ -100,13 +100,20 @@ object Bench {
     ops += "timetravel_rows_per_sec" -> ttRows.toDouble / ttSec
     ops += "timetravel_sec" -> ttSec
 
-    // zorder: point-lookup before/after OPTIMIZE ZORDER BY (l_partkey)
-    val zt = LakeTable.createFrom(spark, scratch("zorder"), li)
+    // zorder: point-lookup before/after OPTIMIZE ZORDER BY (l_partkey).
+    // 4x lineitem: at sf0.1 a single copy scans in ~100ms, the same order
+    // as plan/codegen fixed overhead, which made the speedup sign flip
+    // run-to-run; the probe must be IO-bound for the ratio to mean anything
+    val liBig = li.union(li).union(li).union(li)
+    val zt = LakeTable.createFrom(spark, scratch("zorder"), liBig)
     val probe = col("l_partkey") === 100
     def bestOf3(f: => Unit): Double = (1 to 3).map(_ => timed(f)._2).min
-    val beforeSec = bestOf3(zt.read(Seq(probe)).count(): Unit)
-    zt.optimizeZOrder(Seq("l_partkey"), targetFileSize = 4L * 1024 * 1024)
-    val afterSec = bestOf3(zt.read(Seq(probe)).count(): Unit)
+    def zProbe(): Unit =
+      zt.read(Seq(probe)).agg(sum(col("l_extendedprice")), sum(col("l_quantity")))
+        .collect(): Unit
+    val beforeSec = bestOf3(zProbe())
+    zt.optimizeZOrder(Seq("l_partkey"), targetFileSize = 16L * 1024 * 1024)
+    val afterSec = bestOf3(zProbe())
     ops += "zorder_query_speedup_pct" -> 100.0 * (beforeSec - afterSec) / beforeSec
     val snap = zt.snapshot()
     val kept = Pruner.prune(snap.files, Seq(probe), snap.schema)
@@ -120,7 +127,7 @@ object Bench {
     // clear the ±30ms noise floor that made the orders-based probe flip sign
     val pt = LakeTable.create(spark, scratch("part"), li.schema,
       partitionColumns = Seq("l_returnflag"))
-    pt.append(li)
+    pt.append(liBig)
     val pAgg = Seq(sum(col("l_extendedprice")).as("s1"), sum(col("l_quantity")).as("s2"),
       avg(col("l_discount")).as("s3"))
     val fullSec = bestOf3(pt.read().agg(pAgg.head, pAgg.tail: _*).collect(): Unit)
