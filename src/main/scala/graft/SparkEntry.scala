@@ -45,7 +45,8 @@ object SparkEntry {
     "q15_replace_where" -> (TableOps.replaceWhere _),
     "q16_zorder_identity" -> (TableOps.zorderIdentity _),
     "q17_scd2" -> (TableOps.scd2 _),
-    "q43_dv_delete" -> (TableOps.dvDelete _))
+    "q43_dv_delete" -> (TableOps.dvDelete _),
+    "q44_merge_full_sync" -> (TableOps.mergeFullSync _))
 
   private val silverQueries: Map[String, Q] = Map(
     "q18_clean_events" -> ((s, d) => Silver.cleanEvents(Tables.events(s, d)).drop("ts")),

@@ -36,6 +36,25 @@ object TableOps {
     t.read()
   }
 
+  /** Full-sync MERGE with WHEN NOT MATCHED BY SOURCE: source rows upsert;
+    * unmatched open orders are re-prioritized, other unmatched cheap orders
+    * are dropped (Delta's whenNotMatchedBySource surface, first-match-wins
+    * across the two NMBS clauses). */
+  def mergeFullSync(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val t = LakeTable.createFrom(spark, scratch("mergefs"), orders)
+    t.merge(source, col("target.o_orderkey") === col("source.o_orderkey"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceUpdate(Map("o_orderpriority" -> lit("5-LOW")),
+        condition = Some(col("target.o_orderstatus") === "O"))
+      .whenNotMatchedBySourceDelete(Some(col("target.o_totalprice") < 50000.0))
+      .execute()
+    t.read()
+  }
+
   /** UPDATE with predicate (M4): 5% uplift on open orders. */
   def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = LakeTable.createFrom(spark, scratch("update"), Tables.orders(spark, sfDir))
@@ -142,6 +161,14 @@ object TableOps {
           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
           o_orderdate, o_orderpriority
           FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""",
+    "q44_merge_full_sync" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate,
+          CASE WHEN o_orderkey % 2 <> 0 AND o_orderstatus = 'O' THEN '5-LOW'
+               ELSE o_orderpriority END AS o_orderpriority
+          FROM orders
+          WHERE o_orderkey % 2 = 0 OR o_orderstatus = 'O' OR o_totalprice >= 50000.0""",
     "q10_update" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice,

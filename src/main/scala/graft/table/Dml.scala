@@ -252,9 +252,12 @@ class MergeBuilder private[table] (
   private case class MatchedUpdate(cond: Option[Column], set: Map[String, Column]) extends Clause
   private case class MatchedDelete(cond: Option[Column]) extends Clause
   private case class NotMatchedInsert(cond: Option[Column], values: Map[String, Column]) extends Clause
+  private case class NotMatchedBySourceUpdate(cond: Option[Column], set: Map[String, Column]) extends Clause
+  private case class NotMatchedBySourceDelete(cond: Option[Column]) extends Clause
 
   private var matchedClauses = Vector.empty[Clause]
   private var notMatchedClauses = Vector.empty[NotMatchedInsert]
+  private var notMatchedBySourceClauses = Vector.empty[Clause]
 
   private def sourceCols: Seq[String] = source.columns.toSeq
 
@@ -280,6 +283,19 @@ class MergeBuilder private[table] (
     val values = table.schema.fieldNames.filter(sourceCols.contains)
       .map(c => c -> col(s"source.$c")).toMap
     notMatchedClauses :+= NotMatchedInsert(condition, values); this
+  }
+
+  /** Update target rows that have NO source match (Delta's WHEN NOT MATCHED
+    * BY SOURCE). `set` expressions may reference target columns only —
+    * there is no source row on this branch. */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column], condition: Option[Column] = None): MergeBuilder = {
+    notMatchedBySourceClauses :+= NotMatchedBySourceUpdate(condition, set); this
+  }
+
+  /** Delete target rows that have NO source match (the "sync deletes"
+    * half of a full-sync merge). */
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None): MergeBuilder = {
+    notMatchedBySourceClauses :+= NotMatchedBySourceDelete(condition); this
   }
 
   /** Equi-join key pairs (targetCol, sourceCol) extracted from the merge
@@ -374,12 +390,28 @@ class MergeBuilder private[table] (
         (cnt, cands, distinct)
       }.getOrElse((src.count(), snap.files, false))
 
+    // WHEN NOT MATCHED BY SOURCE widens the touched set beyond the
+    // key-overlap slice: unmatched target rows can live in ANY file, so
+    // only the clause conditions themselves can prune (Delta behaves the
+    // same — an unconditional NMBS clause scans the whole table).
+    val nmbsOn = notMatchedBySourceClauses.nonEmpty
+    val nmbsCandidates: Seq[AddFile] =
+      if (!nmbsOn) Nil
+      else {
+        val conds = notMatchedBySourceClauses.map(_.cond)
+        if (conds.forall(_.isDefined)) {
+          val anyCond = conds.flatten.reduce(_ || _)
+          Pruner.prune(table.partitionPrune(snap, snap.files, Seq(anyCond)),
+            Seq(anyCond), schema)
+        } else snap.files
+      }
+
     // Insert-only merge (no matched clauses): target files are never
     // rewritten — anti-join the source against the candidate slice and
     // append the surviving rows as new files (Delta's insert-only-merge
     // fast path; also the only correct semantics when one target row
     // matches several source rows).
-    if (matchedClauses.isEmpty) {
+    if (matchedClauses.isEmpty && !nmbsOn) {
       val tgt = table.readFilesMasked(snap, candidates, schema).alias("target")
       val unmatchedSrc = src.alias("source").join(tgt, condition, "left_anti")
         .alias("source")
@@ -432,7 +464,7 @@ class MergeBuilder private[table] (
     // the guard (when still needed) then falls back to a narrow aggregation
     // over the phase-2 join.
     var guardChecked = srcKeysDistinct
-    val touched: Seq[AddFile] =
+    val matchTouched: Seq[AddFile] =
       if (candidates.size <= 2) candidates
       else {
         val touchedPaths: Set[String] =
@@ -461,6 +493,12 @@ class MergeBuilder private[table] (
           }
         snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
       }
+    val touched: Seq[AddFile] =
+      if (!nmbsOn) matchTouched
+      else {
+        val seen = matchTouched.map(_.path).toSet
+        matchTouched ++ nmbsCandidates.filterNot(f => seen.contains(f.path))
+      }
 
     // Phase 2: full-outer join of source vs touched rows; untouched files
     // are left alone entirely.
@@ -488,6 +526,7 @@ class MergeBuilder private[table] (
     try {
       val matched = col("target.__tgt").isNotNull && col("source.__src").isNotNull
       val srcOnly = col("target.__tgt").isNull
+      val tgtOnly = col("target.__tgt").isNotNull && col("source.__src").isNull
 
       // (duplicate-source-match guard is fused into the rollup metrics job
       // below — one shuffle instead of two)
@@ -502,6 +541,14 @@ class MergeBuilder private[table] (
         notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
           val p = srcOnly && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
           c = if (c == null) when(p, lit(s"i$j")) else c.when(p, lit(s"i$j"))
+        }
+        notMatchedBySourceClauses.zipWithIndex.foreach { case (cl, k) =>
+          val p = tgtOnly && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+          val tag = cl match {
+            case _: NotMatchedBySourceUpdate => s"u$k"
+            case _ => s"x$k"
+          }
+          c = if (c == null) when(p, lit(tag)) else c.when(p, lit(tag))
         }
         val tail = when(srcOnly, lit("drop")).otherwise(lit("copy"))
         if (c == null) tail else c.otherwise(tail)
@@ -526,14 +573,33 @@ class MergeBuilder private[table] (
           expr = if (expr == null) when(col("__action") === s"i$j", v)
             else expr.when(col("__action") === s"i$j", v)
         }
+        notMatchedBySourceClauses.zipWithIndex.foreach {
+          case (NotMatchedBySourceUpdate(_, set), k) =>
+            val v = set.collectFirst { case (kk, e) if kk.equalsIgnoreCase(c) => e }
+              .getOrElse(col(s"target.$c")).cast(dt)
+            expr = if (expr == null) when(col("__action") === s"u$k", v)
+              else expr.when(col("__action") === s"u$k", v)
+          case _ =>
+        }
         val base = col(s"target.$c")
         (if (expr == null) base else expr.otherwise(base)).as(c)
       }
 
+      val nmbsUpdateTags = notMatchedBySourceClauses.zipWithIndex.collect {
+        case (_: NotMatchedBySourceUpdate, k) => s"u$k"
+      }
+      val nmbsDeleteTags = notMatchedBySourceClauses.zipWithIndex.collect {
+        case (_: NotMatchedBySourceDelete, k) => s"x$k"
+      }
+      // NMBS tags fold into the update/delete vectors so the keep-filter,
+      // DV masking, CDF sidecars, and metrics all compose without special
+      // cases (an NMBS update IS an update of an existing target row)
       val deleteTags = matchedClauses.zipWithIndex.collect {
         case (_: MatchedDelete, i) => s"m$i"
-      }
-      val updateTags = matchedClauses.zipWithIndex.collect { case (_: MatchedUpdate, i) => s"m$i" }
+      } ++ nmbsDeleteTags
+      val updateTags = (matchedClauses.zipWithIndex.collect {
+        case (_: MatchedUpdate, i) => s"m$i"
+      }) ++ nmbsUpdateTags
       val insertTags = notMatchedClauses.indices.map(j => s"i$j")
 
       // Guard fallback for the small-table path where the fused probe was
@@ -564,7 +630,9 @@ class MergeBuilder private[table] (
         tagCount(updateTags).as("updated"),
         tagCount(deleteTags).as("deleted"),
         tagCount(insertTags).as("inserted"),
-        tagCount(Seq("copy")).as("copied"))
+        tagCount(Seq("copy")).as("copied"),
+        tagCount(nmbsUpdateTags).as("nmbsUpdated"),
+        tagCount(nmbsDeleteTags).as("nmbsDeleted"))
 
       // DV mode keeps only the rows that change (updates + inserts); the
       // rewrite mode keeps everything except dropped/deleted rows (copies
@@ -605,10 +673,17 @@ class MergeBuilder private[table] (
         "numTargetRowsDeleted" -> metric("deleted"),
         "numTargetRowsInserted" -> metric("inserted"),
         "numTargetRowsCopied" -> (if (dvOn) 0L else metric("copied")),
-        "numSourceRows" -> numSourceRows)
+        "numSourceRows" -> numSourceRows) ++
+        (if (nmbsOn) Map(
+          "numTargetRowsNotMatchedBySourceUpdated" -> metric("nmbsUpdated"),
+          "numTargetRowsNotMatchedBySourceDeleted" -> metric("nmbsDeleted"))
+        else Map.empty)
       val params = Map("condition" -> condition.toString,
         "matchedClauses" -> matchedClauses.size.toString,
-        "notMatchedClauses" -> notMatchedClauses.size.toString)
+        "notMatchedClauses" -> notMatchedClauses.size.toString) ++
+        (if (nmbsOn) Map("notMatchedBySourceClauses" ->
+          notMatchedBySourceClauses.size.toString)
+        else Map.empty)
       if (dvOn) {
         // matched (updated or deleted) target rows join their files' vectors
         val maskedRows = acted

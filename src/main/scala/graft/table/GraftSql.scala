@@ -46,6 +46,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+)\s*""".r
+  private val addConstraintCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val dropConstraintCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -81,6 +85,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       spark.createDataFrame(
         props.map { case (k, v) => Row(k, v) }.asJava,
         StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+    case addConstraintCmd(t, name, check) =>
+      oneRow("version" -> table(t).addConstraint(name, check))
+    case dropConstraintCmd(t, name) =>
+      oneRow("version" -> table(t).dropConstraint(name))
     case setProps(t, body) =>
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)

@@ -343,9 +343,35 @@ class LakeTable private[table] (
     val pcols = partitionCols.map(c => s"__p_$c")
     // INT96 (the default) carries no usable footer min/max; micros does
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val toWrite = partitionCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    // CHECK constraints ride the write job as observed metrics — no second
+    // pass over the data. Violations surface after the files are staged but
+    // BEFORE the commit, so the table state never includes them (staged
+    // orphans are invisible to readers and vacuumable).
+    val constraints = checkConstraints
+    val obs = if (constraints.isEmpty) None else Some(org.apache.spark.sql.Observation())
+    val checked = obs match {
+      case None => df
+      case Some(o) =>
+        val aggs = constraints.map { case (name, pred) =>
+          sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+        }
+        df.observe(o, aggs.head, aggs.tail: _*)
+    }
+    val toWrite = partitionCols.foldLeft(checked)((d, c) => d.withColumn(s"__p_$c", col(c)))
     val w = toWrite.write.mode("errorifexists")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(absDir.toString)
+    obs.foreach { o =>
+      val row = o.get
+      constraints.foreach { case (name, _) =>
+        val bad = row.get(name) match {
+          case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+        }
+        if (bad > 0)
+          throw new IllegalArgumentException(
+            s"CHECK constraint $name (${properties(s"graft.constraints.$name")}) " +
+              s"violated by $bad row(s)")
+      }
+    }
 
     val files = listParquet(absDir)
     if (files.isEmpty) return Nil
@@ -525,6 +551,43 @@ class LakeTable private[table] (
   def unsetProperties(keys: Seq[String]): Long =
     commitWithRetry("UNSET TBLPROPERTIES", Map("keys" -> keys.mkString(",")), snapshot()) { s =>
       Seq(s.metadata.copy(properties = s.metadata.properties -- keys))
+    }
+
+  // ------------------------------------------------------- CHECK constraints
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta-parity table
+    * constraint, stored as a `graft.constraints.<name>` property and
+    * enforced on EVERY subsequent write (append, overwrite, DML rewrite,
+    * streaming) as an observed metric riding the write job: a violating
+    * batch fails before its commit, so readers never see bad rows. Like
+    * Delta, a NULL constraint result counts as a violation. Existing rows
+    * are validated once, up front (one pruned scan). */
+  def addConstraint(name: String, expr: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid constraint name: $name")
+    val pred = org.apache.spark.sql.functions.expr(expr)
+    // current rows must already satisfy the constraint (Delta semantics)
+    val existingBad = read().filter(!coalesce(pred, lit(false))).limit(1).count()
+    require(existingBad == 0L,
+      s"cannot add CHECK constraint $name ($expr): existing rows violate it")
+    setPropsAs("ADD CONSTRAINT", Map(s"graft.constraints.$name" -> expr))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT name. */
+  def dropConstraint(name: String): Long =
+    commitWithRetry("DROP CONSTRAINT", Map("name" -> name), snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties - s"graft.constraints.$name"))
+    }
+
+  /** Declared constraints as (name, predicate) pairs. */
+  private[table] def checkConstraints: Seq[(String, Column)] =
+    properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.constraints.") =>
+        k.stripPrefix("graft.constraints.") -> org.apache.spark.sql.functions.expr(v)
+    }.sortBy(_._1)
+
+  private def setPropsAs(op: String, props: Map[String, String]): Long =
+    commitWithRetry(op, props, snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
     }
 
   /** ALTER TABLE ADD COLUMNS (M13, notebooks/04_acid_operations.py:289-295). */

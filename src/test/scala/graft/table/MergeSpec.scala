@@ -141,4 +141,67 @@ class MergeSpec extends SparkSpec {
     after.intersect(before).nonEmpty shouldBe true // far file untouched
     t.read().count() shouldBe 4
   }
+
+  test("whenNotMatchedBySourceDelete: full-sync removes target rows absent from source") {
+    val t = target("mg-nmbs-del")
+    val src = Seq((2L, "B", 200L), (4L, "D", 400L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((2L, "B", 200L), (4L, "D", 400L))
+    val metrics = t.history(Some(1)).select("operationMetrics")
+      .as[Map[String, String]].head()
+    metrics("numTargetRowsUpdated") shouldBe "1"
+    metrics("numTargetRowsInserted") shouldBe "1"
+    metrics("numTargetRowsDeleted") shouldBe "2"
+    metrics("numTargetRowsNotMatchedBySourceDeleted") shouldBe "2"
+  }
+
+  test("whenNotMatchedBySourceUpdate with condition: only qualifying unmatched rows change") {
+    val t = target("mg-nmbs-upd")
+    val src = Seq((2L, "B", 200L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceUpdate(
+        Map("v" -> lit("stale")), condition = Some(col("target.n") >= 30))
+      .execute()
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    // k=1 unmatched but n=10 < 30 -> untouched copy; k=3 unmatched, n=30 -> stale
+    out shouldBe Array((1L, "a", 10L), (2L, "B", 200L), (3L, "stale", 30L))
+    val metrics = t.history(Some(1)).select("operationMetrics")
+      .as[Map[String, String]].head()
+    metrics("numTargetRowsNotMatchedBySourceUpdated") shouldBe "1"
+    metrics("numTargetRowsUpdated") shouldBe "2" // 1 matched + 1 NMBS
+  }
+
+  test("NMBS under deletion vectors masks unmatched rows instead of rewriting") {
+    val t = target("mg-nmbs-dv", Map("graft.enableDeletionVectors" -> "true"))
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    val src = Seq((1L, "A", 100L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    // no data file rewritten: old versions masked, only the update appended
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    t.snapshot().dvs should not be empty
+    val out = t.read().orderBy("k").as[(Long, String, Long)].collect()
+    out shouldBe Array((1L, "A", 100L))
+  }
+
+  test("NMBS with CDF emits deletes for dropped rows") {
+    val t = target("mg-nmbs-cdf", Map("graft.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    val src = Seq((1L, "A", 100L)).toDF("k", "v", "n")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    val ch = t.changes(v0 + 1).collect()
+    ch.filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getAs[Long]("k")).toSet shouldBe Set(2L, 3L)
+  }
 }
