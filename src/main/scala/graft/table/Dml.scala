@@ -250,40 +250,44 @@ class MergeBuilder private[table] (
 
   private sealed trait Clause { def cond: Option[Column] }
   private case class MatchedUpdate(cond: Option[Column], set: Map[String, Column]) extends Clause
+  private case class MatchedUpdateAll(cond: Option[Column]) extends Clause
   private case class MatchedDelete(cond: Option[Column]) extends Clause
   private case class NotMatchedInsert(cond: Option[Column], values: Map[String, Column]) extends Clause
+  private case class NotMatchedInsertAll(cond: Option[Column]) extends Clause
   private case class NotMatchedBySourceUpdate(cond: Option[Column], set: Map[String, Column]) extends Clause
   private case class NotMatchedBySourceDelete(cond: Option[Column]) extends Clause
 
-  private var matchedClauses = Vector.empty[Clause]
-  private var notMatchedClauses = Vector.empty[NotMatchedInsert]
+  private var rawMatchedClauses = Vector.empty[Clause]
+  private var rawNotMatchedClauses = Vector.empty[Clause]
   private var notMatchedBySourceClauses = Vector.empty[Clause]
+  private var schemaEvolution = false
 
   private def sourceCols: Seq[String] = source.columns.toSeq
 
   def whenMatchedUpdate(set: Map[String, Column], condition: Option[Column] = None): MergeBuilder = {
-    matchedClauses :+= MatchedUpdate(condition, set); this
+    rawMatchedClauses :+= MatchedUpdate(condition, set); this
   }
 
   def whenMatchedUpdateAll(condition: Option[Column] = None): MergeBuilder = {
-    val set = table.schema.fieldNames.filter(sourceCols.contains)
-      .map(c => c -> col(s"source.$c")).toMap
-    matchedClauses :+= MatchedUpdate(condition, set); this
+    rawMatchedClauses :+= MatchedUpdateAll(condition); this
   }
 
   def whenMatchedDelete(condition: Option[Column] = None): MergeBuilder = {
-    matchedClauses :+= MatchedDelete(condition); this
+    rawMatchedClauses :+= MatchedDelete(condition); this
   }
 
   def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): MergeBuilder = {
-    notMatchedClauses :+= NotMatchedInsert(condition, values); this
+    rawNotMatchedClauses :+= NotMatchedInsert(condition, values); this
   }
 
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeBuilder = {
-    val values = table.schema.fieldNames.filter(sourceCols.contains)
-      .map(c => c -> col(s"source.$c")).toMap
-    notMatchedClauses :+= NotMatchedInsert(condition, values); this
+    rawNotMatchedClauses :+= NotMatchedInsertAll(condition); this
   }
+
+  /** Delta's schema auto-merge: source columns missing from the target are
+    * added (nullable) in the merge commit, and the *All clauses pick them
+    * up. Rows from files written before the evolution read them as NULL. */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
   /** Update target rows that have NO source match (Delta's WHEN NOT MATCHED
     * BY SOURCE). `set` expressions may reference target columns only —
@@ -338,9 +342,35 @@ class MergeBuilder private[table] (
   def execute(): Long = {
     val spark = table.spark
     val snap = table.snapshot()
-    val schema = snap.schema
     val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
     val dvOn = table.properties.get("graft.enableDeletionVectors").contains("true")
+
+    // Schema evolution: source-only columns join the target schema
+    // (nullable) for this merge's commit; pre-evolution files read them as
+    // NULL via the enforced read schema — no rewrite of untouched data.
+    val newCols: Array[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution) Array.empty
+      else source.schema.fields
+        .filter(f => !snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        .map(_.copy(nullable = true))
+    val schema = org.apache.spark.sql.types.StructType(snap.schema.fields ++ newCols)
+    val evolution: Seq[graft.log.Action] =
+      if (newCols.isEmpty) Nil
+      else Seq(snap.metadata.copy(schemaJson = schema.json))
+
+    // *All clauses resolve against the EFFECTIVE schema (incl. evolved
+    // columns), which is only known here.
+    val allSet = () => schema.fieldNames.filter(sourceCols.contains)
+      .map(c => c -> col(s"source.$c")).toMap
+    val matchedClauses: Vector[Clause] = rawMatchedClauses.map {
+      case MatchedUpdateAll(cond) => MatchedUpdate(cond, allSet())
+      case other => other
+    }
+    val notMatchedClauses: Vector[NotMatchedInsert] = rawNotMatchedClauses.map {
+      case NotMatchedInsertAll(cond) => NotMatchedInsert(cond, allSet())
+      case i: NotMatchedInsert => i
+      case other => throw new IllegalStateException(s"unexpected clause $other")
+    }
 
     // Materialize the source once: it is referenced by phase-0 bounds, the
     // phase-1 probe, and the phase-2 join — and must not change between them.
@@ -446,7 +476,7 @@ class MergeBuilder private[table] (
       return table.commitRewrite(snap, "MERGE",
         Map("condition" -> condition.toString, "matchedClauses" -> "0",
           "notMatchedClauses" -> notMatchedClauses.size.toString),
-        Nil, adds, sidecars,
+        Nil, adds, evolution ++ sidecars,
         Map("numTargetRowsInserted" -> numInserted,
           "numTargetRowsUpdated" -> 0L, "numTargetRowsDeleted" -> 0L,
           "numTargetRowsCopied" -> 0L, "numSourceRows" -> numSourceRows))
@@ -690,9 +720,10 @@ class MergeBuilder private[table] (
           .filter(col("__action").isin((updateTags ++ deleteTags): _*))
           .select(col("target.__file").as("__file"), col("target.__idx").as("__idx"))
         table.maskAndCommit(snap, "MERGE", params, touched, maskedRows, adds,
-          sidecars, _ => metrics)
+          evolution ++ sidecars, _ => metrics)
       } else {
-        table.commitRewrite(snap, "MERGE", params, touched, adds, sidecars, metrics)
+        table.commitRewrite(snap, "MERGE", params, touched, adds,
+          evolution ++ sidecars, metrics)
       }
     } finally { if (cdfOn) joined.unpersist(): Unit }
     } finally {

@@ -192,6 +192,46 @@ class MergeSpec extends SparkSpec {
     out shouldBe Array((1L, "A", 100L))
   }
 
+  test("withSchemaEvolution: new source columns land nullable; old rows read NULL") {
+    val t = target("mg-evolve")
+    val src = Seq((2L, "B", 200L, "eu"), (4L, "D", 400L, "us"))
+      .toDF("k", "v", "n", "region")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+    t.schema.fieldNames.toSeq should contain("region")
+    t.schema("region").nullable shouldBe true
+    val out = t.read().orderBy("k").as[(Long, String, Long, String)].collect()
+    out shouldBe Array(
+      (1L, "a", 10L, null), (2L, "B", 200L, "eu"),
+      (3L, "c", 30L, null), (4L, "D", 400L, "us"))
+  }
+
+  test("without withSchemaEvolution, extra source columns are ignored") {
+    val t = target("mg-noevolve")
+    val src = Seq((2L, "B", 200L, "eu")).toDF("k", "v", "n", "region")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll().execute()
+    t.schema.fieldNames.toSeq should not contain "region"
+    t.read().filter(col("k") === 2L).select("v").as[String].head() shouldBe "B"
+  }
+
+  test("schema evolution composes with deletion vectors") {
+    val t = target("mg-evolve-dv", Map("graft.enableDeletionVectors" -> "true"))
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    val src = Seq((1L, "A", 100L, 9.5)).toDF("k", "v", "n", "score")
+    t.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    t.schema.fieldNames.toSeq should contain("score")
+    val got = t.read().orderBy("k").select("k", "score").as[(Long, Option[Double])].collect()
+    got shouldBe Array((1L, Some(9.5)), (2L, None), (3L, None))
+  }
+
   test("NMBS with CDF emits deletes for dropped rows") {
     val t = target("mg-nmbs-cdf", Map("graft.enableChangeDataFeed" -> "true"))
     val v0 = t.version
