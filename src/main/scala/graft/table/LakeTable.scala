@@ -366,10 +366,14 @@ class LakeTable private[table] (
         val bad = row.get(name) match {
           case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
         }
-        if (bad > 0)
-          throw new IllegalArgumentException(
-            s"CHECK constraint $name (${properties(s"graft.constraints.$name")}) " +
-              s"violated by $bad row(s)")
+        if (bad > 0) {
+          val what =
+            if (name.startsWith("__gen_"))
+              s"generated column ${name.stripPrefix("__gen_")} " +
+                s"(${properties(s"graft.generated.${name.stripPrefix("__gen_")}")}) supplied with a non-matching value"
+            else s"CHECK constraint $name (${properties(s"graft.constraints.$name")}) violated"
+          throw new IllegalArgumentException(s"$what: $bad row(s)")
+        }
       }
     }
 
@@ -438,12 +442,27 @@ class LakeTable private[table] (
     if (strict && extra.nonEmpty)
       throw new IllegalArgumentException(
         s"columns ${extra.mkString(",")} not in table schema (use mergeSchema/overwriteSchema)")
+    val gen = generatedColumns.toMap
     val cols = target.fields.map { f =>
       if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else gen.get(f.name) match {
+        // GENERATED ALWAYS AS: a missing generated column is computed from
+        // its expression (the common case — writers omit it); a provided
+        // one is validated by the implicit CHECK constraint in stageWrite
+        case Some(e) =>
+          org.apache.spark.sql.functions.expr(e).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Declared generated columns as (name, generation expression). */
+  private[table] def generatedColumns: Seq[(String, String)] =
+    properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }.sortBy(_._1)
 
   private[table] def mergedSchema(existing: StructType, incoming: StructType): StructType = {
     val merged = existing.fields.toBuffer
@@ -578,16 +597,41 @@ class LakeTable private[table] (
       Seq(s.metadata.copy(properties = s.metadata.properties - s"graft.constraints.$name"))
     }
 
-  /** Declared constraints as (name, predicate) pairs. */
+  /** Declared constraints as (name, predicate) pairs. Generated columns
+    * contribute an implicit null-safe-equality check, so a writer that
+    * SUPPLIES a generated column with the wrong value fails like a
+    * constraint violation (Delta's generated-column enforcement). */
   private[table] def checkConstraints: Seq[(String, Column)] =
-    properties.toSeq.collect {
+    (properties.toSeq.collect {
       case (k, v) if k.startsWith("graft.constraints.") =>
         k.stripPrefix("graft.constraints.") -> org.apache.spark.sql.functions.expr(v)
-    }.sortBy(_._1)
+    } ++ generatedColumns.map { case (name, e) =>
+      val dt = schema(name).dataType
+      // NULL is exempt: rows written before the rule existed carry NULL and
+      // must keep flowing through DML rewrites
+      s"__gen_$name" ->
+        (col(name).isNull || (col(name) <=> org.apache.spark.sql.functions.expr(e).cast(dt)))
+    }).sortBy(_._1)
 
   private def setPropsAs(op: String, props: Map[String, String]): Long =
     commitWithRetry(op, props, snapshot()) { s =>
       Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
+    }
+
+  /** ALTER TABLE ADD COLUMN <name> <type> GENERATED ALWAYS AS (<expr>) —
+    * the column and its generation rule land in ONE commit, so no write can
+    * observe the column without the rule. Existing rows read it as NULL
+    * (the table was created before the rule); subsequent writes compute it
+    * when omitted and validate it when supplied. DML that makes a supplied
+    * value inconsistent fails the implicit check rather than going stale. */
+  def addGeneratedColumn(name: String, dataType: DataType, expr: String): Long =
+    commitWithRetry("ADD GENERATED COLUMN",
+      Map("column" -> name, "expr" -> expr), snapshot()) { s =>
+      require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column already exists: $name")
+      Seq(s.metadata.copy(
+        schemaJson = StructType(s.schema.fields :+ StructField(name, dataType)).json,
+        properties = s.metadata.properties + (s"graft.generated.$name" -> expr)))
     }
 
   /** ALTER TABLE ADD COLUMNS (M13, notebooks/04_acid_operations.py:289-295). */

@@ -1,0 +1,73 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Generated columns (Delta's GENERATED ALWAYS AS): declared as
+  * `graft.generated.<col>` rules, computed in `align` when a writer omits
+  * the column, and validated by an implicit null-safe-equality check riding
+  * the write job when a writer supplies it. */
+class GeneratedColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("omitted generated column is computed on append") {
+    val t = LakeTable.create(spark, tmpDir("gen-fill").resolve("t").toString,
+      StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType),
+        StructField("day", DateType))),
+      properties = Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 10:30:00")))
+      .toDF("id", "ts"))
+    t.read().select("day").as[java.sql.Date].head() shouldBe
+      java.sql.Date.valueOf("2024-03-05")
+  }
+
+  test("supplied generated column is validated; wrong values fail before commit") {
+    val t = LakeTable.create(spark, tmpDir("gen-val").resolve("t").toString,
+      StructType(Seq(
+        StructField("id", LongType), StructField("n", LongType),
+        StructField("n2", LongType))),
+      properties = Map("graft.generated.n2" -> "n * 2"))
+    t.append(Seq((1L, 5L, 10L)).toDF("id", "n", "n2")) // correct value OK
+    val vBefore = t.version
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2L, 5L, 11L)).toDF("id", "n", "n2"))
+    }
+    t.version shouldBe vBefore
+    t.read().count() shouldBe 1
+  }
+
+  test("addGeneratedColumn: column + rule in one commit; old rows stay NULL") {
+    val t = LakeTable.createFrom(spark, tmpDir("gen-add").resolve("t").toString,
+      Seq((1L, 4L)).toDF("id", "n"))
+    t.addGeneratedColumn("n2", LongType, "n * 2")
+    // pre-rule row reads NULL and still flows through DML
+    t.read().select("n2").as[Option[Long]].head() shouldBe None
+    t.update(col("id") === 1L, Map("n" -> lit(7L)))
+    t.read().select("n", "n2").as[(Long, Option[Long])].head() shouldBe ((7L, None))
+    // new writers get the computed value
+    t.append(Seq((2L, 10L)).toDF("id", "n"))
+    t.read().filter(col("id") === 2L).select("n2").as[Option[Long]].head() shouldBe Some(20L)
+  }
+
+  test("generated partition column prunes files") {
+    val t = LakeTable.create(spark, tmpDir("gen-part").resolve("t").toString,
+      StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType),
+        StructField("day", DateType))),
+      partitionColumns = Seq("day"),
+      properties = Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    (1 to 3).foreach { d =>
+      t.append((1 to 50).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-0$d 01:00:00")))
+        .toDF("id", "ts"))
+    }
+    val snap = t.snapshot()
+    snap.numFiles.toLong should be >= 3L
+    val kept = t.read(Seq(col("day") === java.sql.Date.valueOf("2024-03-02")))
+    kept.inputFiles.length.toLong should be < snap.numFiles.toLong
+    kept.count() shouldBe 50
+  }
+}
