@@ -108,6 +108,15 @@ object Bench {
     val zt = LakeTable.createFrom(spark, scratch("zorder"), liBig)
     val probe = col("l_partkey") === 100
     def bestOf3(f: => Unit): Double = (1 to 3).map(_ => timed(f)._2).min
+    // A/B speedups are measured INTERLEAVED (A B A B ...) with medians, so
+    // machine-load drift between the two measurement windows cancels out —
+    // sequential best-of-3 blocks still flipped sign under load
+    def abSpeedupPct(a: => Unit, b: => Unit, reps: Int = 5): Double = {
+      val pairs = (1 to reps).map(_ => (timed(a)._2, timed(b)._2))
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val (ma, mb) = (median(pairs.map(_._1)), median(pairs.map(_._2)))
+      100.0 * (ma - mb) / ma
+    }
     def zProbe(): Unit =
       zt.read(Seq(probe)).agg(sum(col("l_extendedprice")), sum(col("l_quantity")))
         .collect(): Unit
@@ -130,10 +139,9 @@ object Bench {
     pt.append(liBig)
     val pAgg = Seq(sum(col("l_extendedprice")).as("s1"), sum(col("l_quantity")).as("s2"),
       avg(col("l_discount")).as("s3"))
-    val fullSec = bestOf3(pt.read().agg(pAgg.head, pAgg.tail: _*).collect(): Unit)
-    val prunedSec = bestOf3(
+    ops += "partition_pruning_speedup_pct" -> abSpeedupPct(
+      pt.read().agg(pAgg.head, pAgg.tail: _*).collect(): Unit,
       pt.read(Seq(col("l_returnflag") === "R")).agg(pAgg.head, pAgg.tail: _*).collect(): Unit)
-    ops += "partition_pruning_speedup_pct" -> 100.0 * (fullSec - prunedSec) / fullSec
     val pSnap = pt.snapshot()
     val pKept = pt.read(Seq(col("l_returnflag") === "R"))
     ops += "partition_files_scanned_pct" -> 100.0 *

@@ -38,6 +38,11 @@ object Sessions {
       // deterministic timestamps + footer-stats-friendly parquet writes
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // column mapping: stamp/resolve parquet field ids — a no-op for
+      // schemas without ids (plain name matching), by-id resolution for
+      // mapped tables (RENAME/DROP COLUMN without file rewrites)
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
     val withMaster = profile match {
       case Local(n) => b.master(master.getOrElse(s"local[$n]"))
       case _        => master.map(b.master).getOrElse(b)

@@ -1,0 +1,77 @@
+package graft.log
+
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Column mapping via Parquet field IDs (the mechanism behind Delta's
+  * columnMapping 'id' mode): every column carries a stable numeric id in
+  * its field metadata, the writer stamps it into the Parquet footer, and
+  * the reader resolves columns BY ID instead of by name
+  * (`spark.sql.parquet.fieldId.{write,read}.enabled`). RENAME is then a
+  * metadata-only commit (the id is the identity), DROP retires an id
+  * without touching files, and a file missing a requested id reads NULL —
+  * exactly the add-column-after-the-fact semantics the format wants.
+  *
+  * Ids are never reused: `graft.columnMapping.maxId` only grows, so a new
+  * column can never alias a dropped column's bytes in old files. */
+object ColumnIds {
+  val FieldIdKey = "parquet.field.id"
+  val MaxIdKey = "graft.columnMapping.maxId"
+
+  def idOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  /** A table is mapped iff EVERY column carries an id (all files written
+    * through stageWrite then carry ids, making by-id reads safe). */
+  def mapped(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(_.metadata.contains(FieldIdKey))
+
+  def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(FieldIdKey, id).build())
+
+  /** Stamp ids 1..n at table creation. */
+  def stampAll(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1L) })
+
+  /** Highest id ever used (property beats schema so dropped ids stay
+    * retired). */
+  def maxId(properties: Map[String, String], schema: StructType): Long =
+    math.max(
+      properties.get(MaxIdKey).map(_.toLong).getOrElse(0L),
+      schema.fields.flatMap(idOf).foldLeft(0L)(math.max))
+
+  /** Assign fresh ids to `added` (only when the base schema is mapped).
+    * Returns the stamped fields plus the new max id. */
+  def stampNew(properties: Map[String, String], base: StructType,
+      added: Seq[StructField]): (Seq[StructField], Long) = {
+    if (!mapped(base)) return (added, maxId(properties, base))
+    var next = maxId(properties, base)
+    val stamped = added.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else { next += 1; withId(f, next) }
+    }
+    (stamped, next)
+  }
+
+  /** True iff every staged field appears in the committed schema with the
+    * SAME id — the safety condition for committing pre-staged files after
+    * a lost schema race (a different id would silently remap bytes). */
+  def consistent(staged: StructType, committed: StructType): Boolean =
+    staged.fields.forall { f =>
+      committed.fields.find(_.name.equalsIgnoreCase(f.name))
+        .exists(c => idOf(c) == idOf(f))
+    }
+
+  def strip(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) f
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata).remove(FieldIdKey)
+        f.copy(metadata = mb.build())
+      }
+    })
+
+  def metadataOf(schema: StructType, name: String): Metadata =
+    schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.metadata)
+      .getOrElse(Metadata.empty)
+}

@@ -33,7 +33,12 @@ trait CdfSupport { self: LakeTable =>
   private[table] def writeCdfSidecar(df: DataFrame): Seq[Action] = {
     val rel = s"cdf/${UUID.randomUUID().toString.replace("-", "").take(12)}"
     val abs = dir.resolve(rel)
-    df.write.mode("errorifexists").parquet(abs.toString)
+    // sidecars are internal, name-addressed files: strip column-mapping
+    // field ids so their read schema never mixes id and no-id resolution
+    val stripped = ColumnIds.strip(df.schema)
+    df.select(stripped.fields.toIndexedSeq.map(f =>
+      col(f.name).as(f.name, f.metadata)): _*)
+      .write.mode("errorifexists").parquet(abs.toString)
     listParquet(abs).map { p =>
       CdfFile(dir.relativize(p).toString, -1L)
     }
@@ -86,7 +91,8 @@ trait CdfSupport { self: LakeTable =>
     if (sidecars.nonEmpty) {
       val paths = sidecars.map(c => dir.resolve(c.path).toString)
       val side = spark.read
-        .schema(StructType(schema.fields :+ StructField("_change_type", StringType)))
+        .schema(StructType(ColumnIds.strip(schema).fields :+
+          StructField("_change_type", StringType)))
         .parquet(paths: _*)
       return Some(meta(side))
     }

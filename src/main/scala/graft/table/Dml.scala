@@ -42,13 +42,15 @@ trait DmlSupport { self: LakeTable =>
     val rewritten = observed.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
       val newVal = set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
       newVal match {
-        case Some(v) => when(matchPred, v.cast(snap.schema(c).dataType)).otherwise(col(c)).as(c)
+        case Some(v) => when(matchPred, v.cast(snap.schema(c).dataType))
+          .otherwise(col(c)).as(c, snap.schema(c).metadata)
         case None => col(c)
       }
     }: _*)
     val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
-      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.cast(snap.schema(c).dataType).as(c) }
-        .getOrElse(col(c).as(c))
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
+        v.cast(snap.schema(c).dataType).as(c, snap.schema(c).metadata) }
+        .getOrElse(col(c).as(c, snap.schema(c).metadata))
     }
     val sidecars = if (cdfEnabled) {
       val pre = touchedDf.filter(matchPred).withColumn("_change_type", lit("update_preimage"))
@@ -118,8 +120,9 @@ trait DmlSupport { self: LakeTable =>
     val matched = readFilesMaskedPos(snap, touched, snap.schema).filter(matchPred)
     val plain = matched.drop("__file", "__idx")
     val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
-      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.cast(snap.schema(c).dataType).as(c) }
-        .getOrElse(col(c).as(c))
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
+        v.cast(snap.schema(c).dataType).as(c, snap.schema(c).metadata) }
+        .getOrElse(col(c).as(c, snap.schema(c).metadata))
     }
     val sidecars = if (cdfEnabled) {
       val pre = plain.withColumn("_change_type", lit("update_preimage"))
@@ -348,15 +351,19 @@ class MergeBuilder private[table] (
     // Schema evolution: source-only columns join the target schema
     // (nullable) for this merge's commit; pre-evolution files read them as
     // NULL via the enforced read schema — no rewrite of untouched data.
-    val newCols: Array[org.apache.spark.sql.types.StructField] =
-      if (!schemaEvolution) Array.empty
-      else source.schema.fields
-        .filter(f => !snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        .map(_.copy(nullable = true))
+    val newCols: Seq[org.apache.spark.sql.types.StructField] = {
+      val added =
+        if (!schemaEvolution) Seq.empty
+        else source.schema.fields.toSeq
+          .filter(f => !snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(f => f.copy(nullable = true,
+            metadata = graft.log.ColumnIds.strip(
+              org.apache.spark.sql.types.StructType(Seq(f))).fields.head.metadata))
+      // on a mapped table the evolved columns get fresh field ids
+      graft.log.ColumnIds.stampNew(snap.metadata.properties, snap.schema, added)._1
+    }
     val schema = org.apache.spark.sql.types.StructType(snap.schema.fields ++ newCols)
-    val evolution: Seq[graft.log.Action] =
-      if (newCols.isEmpty) Nil
-      else Seq(snap.metadata.copy(schemaJson = schema.json))
+    val evolution: Seq[graft.log.Action] = table.evolveMeta(snap, schema)
 
     // *All clauses resolve against the EFFECTIVE schema (incl. evolved
     // columns), which is only known here.
@@ -464,7 +471,8 @@ class MergeBuilder private[table] (
           expr = if (expr == null) when(col("__action") === s"i$j", v)
             else expr.when(col("__action") === s"i$j", v)
         }
-        (if (expr == null) lit(null).cast(dt) else expr.otherwise(lit(null).cast(dt))).as(c)
+        (if (expr == null) lit(null).cast(dt) else expr.otherwise(lit(null).cast(dt)))
+          .as(c, schema(c).metadata)
       }: _*)
       val adds = table.stageWrite(inserts, snap.metadata.partitionColumns)
       val numInserted = adds.map(_.numRecords).sum
@@ -612,7 +620,7 @@ class MergeBuilder private[table] (
           case _ =>
         }
         val base = col(s"target.$c")
-        (if (expr == null) base else expr.otherwise(base)).as(c)
+        (if (expr == null) base else expr.otherwise(base)).as(c, schema(c).metadata)
       }
 
       val nmbsUpdateTags = notMatchedBySourceClauses.zipWithIndex.collect {

@@ -50,6 +50,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val renameColumnCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val dropColumnCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -89,6 +93,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>
       oneRow("version" -> table(t).dropConstraint(name))
+    case renameColumnCmd(t, from, to) =>
+      oneRow("version" -> table(t).renameColumn(from, to))
+    case dropColumnCmd(t, name) =>
+      oneRow("version" -> table(t).dropColumn(name))
     case setProps(t, body) =>
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)

@@ -91,9 +91,13 @@ class LakeTable private[table] (
   private[table] def absPath(f: AddFile): String =
     if (f.path.startsWith("/")) f.path else dir.resolve(f.path).toString
 
-  private[table] def readFiles(files: Seq[AddFile], schema: StructType): DataFrame =
+  private[table] def readFiles(files: Seq[AddFile], schema: StructType): DataFrame = {
+    // column-mapping reads resolve by parquet field id (no-op for schemas
+    // without ids); set here so the table works on any session
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(files.map(absPath): _*)
+  }
 
   // ------------------------------------------------- deletion-vector reads
 
@@ -223,27 +227,39 @@ class LakeTable private[table] (
   /** Append (W1). `mergeSchema` evolves the table schema by unioning new
     * columns (src/delta_utils.py:136-139). */
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
-    val snap = snapshot()
-    val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
-    val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
-    commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
-      // Re-derive the target schema against the snapshot we are actually
-      // committing on: a racing commit may have evolved the schema (ADD
-      // COLUMNS, another mergeSchema append) and must not be clobbered by a
-      // Metadata action computed from the stale snapshot. The staged files
-      // stay valid either way — a column they lack reads as null under the
-      // enforced schema. A strict append aborts instead (Delta's
-      // metadata-conflict rule).
-      val tgt =
-        if (mergeSchema) mergedSchema(s.schema, df.schema)
-        else if (s.schema != target)
-          throw new java.util.ConcurrentModificationException(
-            s"append conflicts with a concurrent schema change on $dir")
-        else target
-      val meta = if (tgt == s.schema) Nil
-        else Seq(s.metadata.copy(schemaJson = tgt.json))
-      meta ++ adds
+    var attempts = 0
+    while (true) {
+      val snap = snapshot()
+      val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
+      val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
+      try {
+        return commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
+          // Re-derive the target schema against the snapshot we are actually
+          // committing on: a racing commit may have evolved the schema (ADD
+          // COLUMNS, another mergeSchema append) and must not be clobbered by
+          // a Metadata action computed from the stale snapshot. The staged
+          // files stay valid either way — a column they lack reads as null
+          // under the enforced schema — UNLESS the race reassigned a new
+          // column's field id, in which case the files are re-staged (a
+          // mismatched id would silently remap bytes). A strict append
+          // aborts instead (Delta's metadata-conflict rule).
+          val tgt =
+            if (mergeSchema) mergedSchema(s.schema, df.schema)
+            else if (s.schema != target)
+              throw new java.util.ConcurrentModificationException(
+                s"append conflicts with a concurrent schema change on $dir")
+            else target
+          if (mergeSchema && ColumnIds.mapped(s.schema) &&
+              !ColumnIds.consistent(target, tgt))
+            throw new LakeTable.StaleStagedIds
+          evolveMeta(s, tgt) ++ adds
+        }
+      } catch {
+        // staged files are unreferenced; VACUUM collects them
+        case _: LakeTable.StaleStagedIds if attempts < 5 => attempts += 1
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Idempotent streaming append: exactly-once under foreachBatch replay
@@ -254,31 +270,37 @@ class LakeTable private[table] (
     * lost CAS race with the replayed twin cannot double-commit. */
   def appendStream(df: DataFrame, txnAppId: String, txnVersion: Long,
       mergeSchema: Boolean = false): Long = {
-    val snap = snapshot()
-    if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
-    val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
-    val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
-    try {
-      commitWithRetry("STREAMING UPDATE",
-        Map("outputMode" -> "Append", "txnAppId" -> txnAppId,
-          "txnVersion" -> txnVersion.toString), snap) { s =>
-        if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
-          throw new LakeTable.EpochAlreadyCommitted
-        // same retry-safe schema handling as append()
-        val tgt =
-          if (mergeSchema) mergedSchema(s.schema, df.schema)
-          else if (s.schema != target)
-            throw new java.util.ConcurrentModificationException(
-              s"stream append conflicts with a concurrent schema change on $dir")
-          else target
-        val meta = if (tgt == s.schema) Nil
-          else Seq(s.metadata.copy(schemaJson = tgt.json))
-        meta ++ adds
+    var attempts = 0
+    while (true) {
+      val snap = snapshot()
+      if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
+      val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
+      val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
+      try {
+        return commitWithRetry("STREAMING UPDATE",
+          Map("outputMode" -> "Append", "txnAppId" -> txnAppId,
+            "txnVersion" -> txnVersion.toString), snap) { s =>
+          if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
+            throw new LakeTable.EpochAlreadyCommitted
+          // same retry-safe schema handling as append()
+          val tgt =
+            if (mergeSchema) mergedSchema(s.schema, df.schema)
+            else if (s.schema != target)
+              throw new java.util.ConcurrentModificationException(
+                s"stream append conflicts with a concurrent schema change on $dir")
+            else target
+          if (mergeSchema && ColumnIds.mapped(s.schema) &&
+              !ColumnIds.consistent(target, tgt))
+            throw new LakeTable.StaleStagedIds
+          evolveMeta(s, tgt) ++ adds
+        }
+      } catch {
+        // staged files are unreferenced; VACUUM collects them
+        case _: LakeTable.EpochAlreadyCommitted => snapshot().version
+        case _: LakeTable.StaleStagedIds if attempts < 5 => attempts += 1
       }
-    } catch {
-      // staged files are unreferenced; VACUUM collects them
-      case _: LakeTable.EpochAlreadyCommitted => snapshot().version
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Highest txnVersion committed for `txnAppId` (None if never seen). */
@@ -295,7 +317,13 @@ class LakeTable private[table] (
     * (migration/migrate_from_rdbms.py:104-108). */
   def overwrite(df: DataFrame, overwriteSchema: Boolean = false): Long = {
     val snap = snapshot()
-    val target = if (overwriteSchema) df.schema else snap.schema
+    // overwriteSchema replaces wholesale; on a mapped table the new schema
+    // is restamped with fresh ids BEFORE staging so the staged files carry
+    // them (all old files are removed in the same commit)
+    val target =
+      if (!overwriteSchema) snap.schema
+      else if (ColumnIds.mapped(snap.schema)) ColumnIds.stampAll(df.schema)
+      else df.schema
     val adds = stageWrite(align(df, target, strict = !overwriteSchema), snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite"), snap) { s =>
       // overwriteSchema intentionally replaces whatever schema is current;
@@ -305,8 +333,7 @@ class LakeTable private[table] (
         throw new java.util.ConcurrentModificationException(
           s"overwrite conflicts with a concurrent schema change on $dir")
       val now = System.currentTimeMillis()
-      val meta = if (target == s.schema) Nil else Seq(s.metadata.copy(schemaJson = target.json))
-      meta ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
+      evolveMeta(s, target) ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
         dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
     }
   }
@@ -343,6 +370,7 @@ class LakeTable private[table] (
     val pcols = partitionCols.map(c => s"__p_$c")
     // INT96 (the default) carries no usable footer min/max; micros does
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     // CHECK constraints ride the write job as observed metrics — no second
     // pass over the data. Violations surface after the files are staged but
     // BEFORE the commit, so the table state never includes them (staged
@@ -443,15 +471,18 @@ class LakeTable private[table] (
       throw new IllegalArgumentException(
         s"columns ${extra.mkString(",")} not in table schema (use mergeSchema/overwriteSchema)")
     val gen = generatedColumns.toMap
+    // aliases carry the target field metadata so column-mapping field ids
+    // reach the parquet writer on every write path
     val cols = target.fields.map { f =>
-      if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType).as(f.name)
+      if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)
       else gen.get(f.name) match {
         // GENERATED ALWAYS AS: a missing generated column is computed from
         // its expression (the common case — writers omit it); a provided
         // one is validated by the implicit CHECK constraint in stageWrite
         case Some(e) =>
-          org.apache.spark.sql.functions.expr(e).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+          org.apache.spark.sql.functions.expr(e).cast(f.dataType).as(f.name, f.metadata)
+        case None => lit(null).cast(f.dataType).as(f.name, f.metadata)
       }
     }
     df.select(cols.toIndexedSeq: _*)
@@ -466,9 +497,10 @@ class LakeTable private[table] (
 
   private[table] def mergedSchema(existing: StructType, incoming: StructType): StructType = {
     val merged = existing.fields.toBuffer
+    val added = scala.collection.mutable.Buffer.empty[StructField]
     incoming.fields.foreach { f =>
       merged.indexWhere(_.name.equalsIgnoreCase(f.name)) match {
-        case -1 => merged += f
+        case -1 => added += f
         case i =>
           val e = merged(i)
           if (e.dataType != f.dataType && !Cast.canUpCast(f.dataType, e.dataType))
@@ -476,8 +508,23 @@ class LakeTable private[table] (
               s"schema merge conflict on ${f.name}: table ${e.dataType} vs incoming ${f.dataType}")
       }
     }
-    StructType(merged.toSeq)
+    // on a mapped table new fields get fresh ids (never reusing dropped ones)
+    val (stamped, _) = ColumnIds.stampNew(properties, existing, added.toSeq)
+    StructType(merged.toSeq ++ stamped)
   }
+
+  /** Metadata action for a schema evolution: bumps the column-mapping
+    * high-water mark alongside the schema so dropped ids stay retired. */
+  private[table] def evolveMeta(s: Snapshot, tgt: StructType): Seq[Action] =
+    if (tgt == s.schema) Nil
+    else {
+      val props =
+        if (!ColumnIds.mapped(s.schema)) s.metadata.properties
+        else s.metadata.properties +
+          (ColumnIds.MaxIdKey ->
+            ColumnIds.maxId(s.metadata.properties, tgt).toString)
+      Seq(s.metadata.copy(schemaJson = tgt.json, properties = props))
+    }
 
   // ------------------------------------------------------------- commits
 
@@ -629,9 +676,14 @@ class LakeTable private[table] (
       Map("column" -> name, "expr" -> expr), snapshot()) { s =>
       require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column already exists: $name")
+      val (stamped, maxId) =
+        ColumnIds.stampNew(s.metadata.properties, s.schema, Seq(StructField(name, dataType)))
+      val props = s.metadata.properties + (s"graft.generated.$name" -> expr) ++
+        (if (ColumnIds.mapped(s.schema)) Map(ColumnIds.MaxIdKey -> maxId.toString)
+        else Map.empty)
       Seq(s.metadata.copy(
-        schemaJson = StructType(s.schema.fields :+ StructField(name, dataType)).json,
-        properties = s.metadata.properties + (s"graft.generated.$name" -> expr)))
+        schemaJson = StructType(s.schema.fields ++ stamped).json,
+        properties = props))
     }
 
   /** ALTER TABLE ADD COLUMNS (M13, notebooks/04_acid_operations.py:289-295). */
@@ -639,7 +691,64 @@ class LakeTable private[table] (
     commitWithRetry("ADD COLUMNS", Map("columns" -> cols.map(_.name).mkString(",")), snapshot()) { s =>
       val dup = cols.map(_.name).filter(n => s.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
-      Seq(s.metadata.copy(schemaJson = StructType(s.schema.fields ++ cols).json))
+      val (stamped, _) = ColumnIds.stampNew(s.metadata.properties, s.schema, cols)
+      evolveMeta(s, StructType(s.schema.fields ++ stamped))
+    }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only on a mapped table: the
+    * parquet field id is the column's identity, so files never change.
+    * Blocked while a constraint/generated rule references the old name. */
+  def renameColumn(oldName: String, newName: String): Long =
+    commitWithRetry("RENAME COLUMN", Map("from" -> oldName, "to" -> newName),
+      snapshot()) { s =>
+      require(ColumnIds.mapped(s.schema),
+        "RENAME COLUMN requires column mapping (tables created by this library have it)")
+      require(s.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+        s"no such column: $oldName")
+      require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column already exists: $newName")
+      val refs = s.metadata.properties.filter { case (k, v) =>
+        (k.startsWith("graft.constraints.") || k.startsWith("graft.generated.")) &&
+          v.toLowerCase.contains(oldName.toLowerCase)
+      }
+      require(refs.isEmpty,
+        s"cannot rename $oldName: referenced by ${refs.keys.mkString(", ")}")
+      val fields = s.schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f)
+      val pcols = s.metadata.partitionColumns.map(c =>
+        if (c.equalsIgnoreCase(oldName)) newName else c)
+      val genKey = s"graft.generated.$oldName"
+      val props = s.metadata.properties.get(genKey) match {
+        case Some(e) => s.metadata.properties - genKey + (s"graft.generated.$newName" -> e)
+        case None => s.metadata.properties
+      }
+      Seq(s.metadata.copy(schemaJson = StructType(fields).json,
+        partitionColumns = pcols, properties = props))
+    }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only on a mapped table; the id is
+    * retired (never reused) so old files' bytes can never resurface under
+    * a future column. */
+  def dropColumn(name: String): Long =
+    commitWithRetry("DROP COLUMN", Map("column" -> name), snapshot()) { s =>
+      require(ColumnIds.mapped(s.schema),
+        "DROP COLUMN requires column mapping (tables created by this library have it)")
+      require(s.schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no such column: $name")
+      require(s.schema.fields.length > 1, "cannot drop the only column")
+      require(!s.metadata.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column $name")
+      val refs = s.metadata.properties.filter { case (k, v) =>
+        (k.startsWith("graft.constraints.") ||
+          (k.startsWith("graft.generated.") && !k.equalsIgnoreCase(s"graft.generated.$name"))) &&
+          v.toLowerCase.contains(name.toLowerCase)
+      }
+      require(refs.isEmpty,
+        s"cannot drop $name: referenced by ${refs.keys.mkString(", ")}")
+      val fields = s.schema.fields.filterNot(_.name.equalsIgnoreCase(name))
+      // keep the high-water mark so the dropped id stays retired
+      val props = (s.metadata.properties - s"graft.generated.$name") +
+        (ColumnIds.MaxIdKey -> ColumnIds.maxId(s.metadata.properties, s.schema).toString)
+      Seq(s.metadata.copy(schemaJson = StructType(fields).json, properties = props))
     }
 
   /** ANALYZE TABLE COMPUTE STATISTICS (M16, src/data_processor.py:229): one
@@ -777,6 +886,7 @@ class LakeTable private[table] (
 object LakeTable {
 
   private[table] class EpochAlreadyCommitted extends RuntimeException
+  private[table] class StaleStagedIds extends RuntimeException
 
   /** CREATE TABLE [IF NOT EXISTS] (W4, src/delta_utils.py:27-77). */
   def create(
@@ -796,9 +906,13 @@ object LakeTable {
     require(bad.isEmpty, s"partition columns not in schema: ${bad.mkString(",")}")
     Files.createDirectories(p)
     val now = System.currentTimeMillis()
+    // column mapping from day one: every new table's columns carry stable
+    // parquet field ids, making RENAME/DROP COLUMN metadata-only later
+    val stamped = ColumnIds.stampAll(schema)
     val meta = graft.log.Metadata(UUID.randomUUID().toString,
       if (name.nonEmpty) name else p.getFileName.toString,
-      schema.json, partitionColumns, properties, now)
+      stamped.json, partitionColumns,
+      properties + (ColumnIds.MaxIdKey -> stamped.fields.length.toString), now)
     val ci = CommitInfo(0L, now, "CREATE TABLE",
       Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L)
     val tlog = new TxLog(p)
