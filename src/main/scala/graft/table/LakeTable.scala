@@ -231,9 +231,33 @@ class LakeTable private[table] (
     while (true) {
       val snap = snapshot()
       val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
-      val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
+      // identity allocation: base values come from the snapshot's
+      // high-water marks; the bump after the write is derived from the
+      // footer stats stageWrite already collects — no extra job
+      val idCols = identityColumns.filter { case (n, _, _) =>
+        !df.columns.exists(_.equalsIgnoreCase(n)) }
+      val idBase = idCols.map { case (n, st, _) => n -> identityNext(snap, n, st) }.toMap
+      val adds = stageWrite(align(df, target, strict = !mergeSchema, identityBase = idBase),
+        snap.metadata.partitionColumns)
+      val idBumps: Map[String, String] = idCols.flatMap { case (n, st, step) =>
+        // ColStats encodings are canonical strings; LongType is plain digits
+        val bounds = adds.flatMap(_.stats.get(n))
+          .flatMap(s => Seq(Option(s.min), Option(s.max)).flatten).map(_.toLong)
+        if (bounds.isEmpty) None
+        else {
+          // negative step allocates downward: the new base continues past
+          // the furthest value in step's direction
+          val furthest = if (step > 0) bounds.max else bounds.min
+          Some(s"graft.identity.$n.next" -> (furthest + step).toString)
+        }
+      }.toMap
       try {
         return commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
+          // a concurrent append that consumed the same identity range would
+          // make our staged ids collide — restage from the fresh high-water
+          idCols.foreach { case (n, st, _) =>
+            if (identityNext(s, n, st) != idBase(n)) throw new LakeTable.StaleStagedIds
+          }
           // Re-derive the target schema against the snapshot we are actually
           // committing on: a racing commit may have evolved the schema (ADD
           // COLUMNS, another mergeSchema append) and must not be clobbered by
@@ -252,7 +276,14 @@ class LakeTable private[table] (
           if (mergeSchema && ColumnIds.mapped(s.schema) &&
               !ColumnIds.consistent(target, tgt))
             throw new LakeTable.StaleStagedIds
-          evolveMeta(s, tgt) ++ adds
+          val meta = evolveMeta(s, tgt) match {
+            case Seq(m: graft.log.Metadata) if idBumps.nonEmpty =>
+              Seq(m.copy(properties = m.properties ++ idBumps))
+            case Nil if idBumps.nonEmpty =>
+              Seq(s.metadata.copy(properties = s.metadata.properties ++ idBumps))
+            case other => other
+          }
+          meta ++ adds
         }
       } catch {
         // staged files are unreferenced; VACUUM collects them
@@ -465,17 +496,33 @@ class LakeTable private[table] (
 
   /** Project/cast `df` onto `target`. Extra columns error when strict;
     * missing columns become nulls. */
-  private[table] def align(df: DataFrame, target: StructType, strict: Boolean): DataFrame = {
+  private[table] def align(df: DataFrame, target: StructType, strict: Boolean,
+      identityBase: Map[String, Long] = Map.empty): DataFrame = {
     val extra = df.columns.filterNot(c => target.fieldNames.exists(_.equalsIgnoreCase(c)))
     if (strict && extra.nonEmpty)
       throw new IllegalArgumentException(
         s"columns ${extra.mkString(",")} not in table schema (use mergeSchema/overwriteSchema)")
     val gen = generatedColumns.toMap
+    val ident = identityColumns.map { case (n, _, step) => n -> step }.toMap
     // aliases carry the target field metadata so column-mapping field ids
     // reach the parquet writer on every write path
     val cols = target.fields.map { f =>
-      if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+      if (df.columns.exists(_.equalsIgnoreCase(f.name))) {
+        if (ident.contains(f.name))
+          throw new IllegalArgumentException(
+            s"${f.name} is GENERATED ALWAYS AS IDENTITY — values cannot be supplied")
         col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      } else if (identityBase.contains(f.name))
+        // identity allocation: unique (gap-friendly, like Delta's) values
+        // base + monotonic*step; monotonically_increasing_id is unique per
+        // row across partitions, no shuffle and no extra job
+        (lit(identityBase(f.name)) +
+          monotonically_increasing_id() * lit(ident(f.name)))
+          .cast(f.dataType).as(f.name, f.metadata)
+      else if (ident.contains(f.name))
+        throw new IllegalArgumentException(
+          s"identity column ${f.name} is only allocated on append(); " +
+            "supply no value and use append, or drop the identity rule")
       else gen.get(f.name) match {
         // GENERATED ALWAYS AS: a missing generated column is computed from
         // its expression (the common case — writers omit it); a provided
@@ -494,6 +541,19 @@ class LakeTable private[table] (
       case (k, v) if k.startsWith("graft.generated.") =>
         k.stripPrefix("graft.generated.") -> v
     }.sortBy(_._1)
+
+  /** Declared identity columns as (name, start, step) from
+    * `graft.identity.<col> = start,step`. */
+  private[table] def identityColumns: Seq[(String, Long, Long)] =
+    properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.identity.") && !k.endsWith(".next") =>
+        val Array(start, step) = v.split(',').map(_.trim.toLong)
+        (k.stripPrefix("graft.identity."), start, step)
+    }.sortBy(_._1)
+
+  /** Next allocation base for identity column `c` under snapshot `s`. */
+  private def identityNext(s: Snapshot, c: String, start: Long): Long =
+    s.metadata.properties.get(s"graft.identity.$c.next").map(_.toLong).getOrElse(start)
 
   private[table] def mergedSchema(existing: StructType, incoming: StructType): StructType = {
     val merged = existing.fields.toBuffer
@@ -685,6 +745,30 @@ class LakeTable private[table] (
         schemaJson = StructType(s.schema.fields ++ stamped).json,
         properties = props))
     }
+
+  /** ALTER TABLE ADD COLUMN <name> BIGINT GENERATED ALWAYS AS IDENTITY
+    * (START WITH <start> INCREMENT BY <step>). Values are allocated on
+    * append() when the writer omits the column (supplying one errors, like
+    * Delta's ALWAYS); allocation is gap-friendly (unique, monotone blocks
+    * via monotonically_increasing_id — same contract as Delta identity).
+    * Rows written before the rule read NULL. */
+  def addIdentityColumn(name: String, start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0L, "identity step must be non-zero")
+    commitWithRetry("ADD IDENTITY COLUMN",
+      Map("column" -> name, "start" -> start.toString, "step" -> step.toString),
+      snapshot()) { s =>
+      require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column already exists: $name")
+      val (stamped, maxId) =
+        ColumnIds.stampNew(s.metadata.properties, s.schema, Seq(StructField(name, LongType)))
+      val props = s.metadata.properties + (s"graft.identity.$name" -> s"$start,$step") ++
+        (if (ColumnIds.mapped(s.schema)) Map(ColumnIds.MaxIdKey -> maxId.toString)
+        else Map.empty)
+      Seq(s.metadata.copy(
+        schemaJson = StructType(s.schema.fields ++ stamped).json,
+        properties = props))
+    }
+  }
 
   /** ALTER TABLE ADD COLUMNS (M13, notebooks/04_acid_operations.py:289-295). */
   def addColumns(cols: Seq[StructField]): Long =
