@@ -53,11 +53,36 @@ object Bench {
       w1.delete(col("id") === 2L)
     } catch { case _: Throwable => }
 
+    // ---- per-query timings (full materialization via noop sink) ----
+    // Timed FIRST, right after warmup: r02 ran these after the 10M-row
+    // strain section and every query paid for the resulting heap churn /
+    // old-gen garbage (q2 went 1.1s -> 24.4s with zero plan change).
+    // median of 3 runs: the first run pays first-touch costs (codegen,
+    // file-footer reads, page cache) that r01 mistook for plan cost, and
+    // run-to-run IO noise on this machine is ±15%.
+    // SPARK_GRAFT_ONLY=q2,q28 (prefix match) and SPARK_GRAFT_SKIP_OPS=1 are
+    // local-iteration escape hatches; the driver sets neither.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchQueries = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
+    }
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = (1 to 3).map { _ =>
+        timed {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }._2
+      }.sorted
+      name -> secs(1)
+    }
+
     // ---- table-format ops (BASELINE.md operation set) ----
     val ops = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val skipOps = sys.env.get("SPARK_GRAFT_SKIP_OPS").contains("1")
 
     val li = Tables.lineitem(spark, sfDir)
     val liRows = li.count().toDouble
+    if (!skipOps) {
 
     // write throughput (BASELINE: 500K rows/sec on 10M generated rows) —
     // same shape as the reference generator (spark.range + derived columns,
@@ -222,20 +247,7 @@ object Bench {
         finally s.close()
       }.sum.toDouble / 1e6
     }
-
-    // ---- per-query timings (full materialization via noop sink) ----
-    // median of 3 runs: the first run pays first-touch costs (codegen,
-    // file-footer reads, page cache) that r01 mistook for plan cost, and
-    // run-to-run IO noise on this machine is ±15%
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 3).map { _ =>
-        timed {
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        }._2
-      }.sorted
-      name -> secs(1)
-    }
+    } // skipOps
 
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
