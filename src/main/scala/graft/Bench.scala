@@ -84,10 +84,9 @@ object Bench {
     val liRows = li.count().toDouble
     if (!skipOps) {
 
-    // write throughput (BASELINE: 500K rows/sec on 10M generated rows) —
-    // same shape as the reference generator (spark.range + derived columns,
-    // benchmarks/delta_performance_benchmark.py:53-60), generation inside
-    // the timed write exactly like the reference
+    // sf0.1-scale latency variants (small_*): fixed per-op overhead at a
+    // scale where the data is almost free — the headline throughput numbers
+    // are measured below at BASELINE.md's own 10M-row shape.
     val gen = spark.range(liRows.toLong)
       .withColumn("user_id", concat(lit("user_"), col("id") % 10000))
       .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
@@ -96,18 +95,16 @@ object Bench {
         (col("id") % 30).cast("int")))
     val wt = LakeTable.create(spark, scratch("write"), gen.schema)
     val (_, writeSec) = timed(wt.append(gen))
-    ops += "write_rows_per_sec" -> liRows / writeSec
-    ops += "write_sec" -> writeSec
+    ops += "small_write_rows_per_sec" -> liRows / writeSec
+    ops += "small_write_sec" -> writeSec
 
-    // full-scan read throughput (BASELINE: 2M rows/sec). count() mirrors the
-    // reference's read benchmark; the agg variant forces real column IO.
     val (_, readSec) = timed(wt.read().count())
-    ops += "read_rows_per_sec" -> liRows / readSec
-    ops += "read_sec" -> readSec
+    ops += "small_read_rows_per_sec" -> liRows / readSec
     val (_, readAggSec) = timed(wt.read().agg(sum("amount")).collect())
-    ops += "read_agg_rows_per_sec" -> liRows / readAggSec
+    ops += "small_read_agg_rows_per_sec" -> liRows / readAggSec
 
-    // merge 10% upsert (BASELINE: 100K rows/sec on 1M into 10M)
+    // small merge: 10% upsert into a 150K-row table — dominated by the
+    // merge's fixed job structure (source pass, probe, rewrite, commit)
     val orders = Tables.orders(spark, sfDir)
     val mt = LakeTable.createFrom(spark, scratch("merge"), orders)
     val src = orders.filter(col("o_orderkey") % 10 === 0)
@@ -117,39 +114,46 @@ object Bench {
       mt.merge(src, col("target.o_orderkey") === col("source.o_orderkey"))
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
-    ops += "merge_rows_per_sec" -> srcRows / mergeSec
-    ops += "merge_sec" -> mergeSec
+    ops += "small_merge_rows_per_sec" -> srcRows / mergeSec
+    ops += "small_merge_sec" -> mergeSec
 
-    // time-travel read (BASELINE: 1M rows/sec)
-    val (ttRows, ttSec) = timed(mt.versionAsOf(1).count())
-    ops += "timetravel_rows_per_sec" -> ttRows.toDouble / ttSec
-    ops += "timetravel_sec" -> ttSec
+    val (sttRows, sttSec) = timed(mt.versionAsOf(1).count())
+    ops += "small_timetravel_rows_per_sec" -> sttRows.toDouble / sttSec
 
-    // zorder: point-lookup before/after OPTIMIZE ZORDER BY (l_partkey).
-    // 4x lineitem: at sf0.1 a single copy scans in ~100ms, the same order
-    // as plan/codegen fixed overhead, which made the speedup sign flip
-    // run-to-run; the probe must be IO-bound for the ratio to mean anything
-    val liBig = li.union(li).union(li).union(li)
-    val zt = LakeTable.createFrom(spark, scratch("zorder"), liBig)
-    val probe = col("l_partkey") === 100
-    def bestOf3(f: => Unit): Double = (1 to 3).map(_ => timed(f)._2).min
     // A/B speedups are measured INTERLEAVED (A B A B ...) with medians, so
     // machine-load drift between the two measurement windows cancels out —
     // sequential best-of-3 blocks still flipped sign under load
-    def abSpeedupPct(a: => Unit, b: => Unit, reps: Int = 5): Double = {
+    def abSpeedupPct(a: => Unit, b: => Unit, reps: Int = 7): Double = {
       val pairs = (1 to reps).map(_ => (timed(a)._2, timed(b)._2))
       def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
       val (ma, mb) = (median(pairs.map(_._1)), median(pairs.map(_._2)))
       100.0 * (ma - mb) / ma
     }
-    def zProbe(): Unit =
-      zt.read(Seq(probe)).agg(sum(col("l_extendedprice")), sum(col("l_quantity")))
+
+    // zorder: point-lookup on a compacted-but-unordered table vs the same
+    // data z-ordered, at the SAME ~16MB file granularity. r02 compared the
+    // freshly-written 32-small-file state against the 3-file zordered state,
+    // which measured the loss of task parallelism (32 -> 3 scan tasks on an
+    // idle 32-thread executor), not data skipping — and went negative.
+    // Plain compaction is the honest counterfactual: identical file count,
+    // identical bytes, the only difference is clustering -> file skipping.
+    // 16x lineitem (9.6M rows, ~180MB) so the probe is IO-bound rather than
+    // fixed-overhead-bound: at 4x the pruned scan finished inside the ±30ms
+    // noise floor and the measured speedup swung between +21% and -3%.
+    val li4 = li.union(li).union(li).union(li)
+    val liBig = li4.union(li4).union(li4).union(li4)
+    val probe = col("l_partkey") === 100
+    val ztPlain = LakeTable.createFrom(spark, scratch("zplain"), liBig)
+    ztPlain.optimizeCompact(targetFileSize = 16L * 1024 * 1024)
+    val ztZ = LakeTable.createFrom(spark, scratch("zorder"), liBig)
+    val (_, zorderSec) =
+      timed(ztZ.optimizeZOrder(Seq("l_partkey"), targetFileSize = 16L * 1024 * 1024))
+    ops += "zorder_sec" -> zorderSec
+    def zProbe(t: LakeTable): Unit =
+      t.read(Seq(probe)).agg(sum(col("l_extendedprice")), sum(col("l_quantity")))
         .collect(): Unit
-    val beforeSec = bestOf3(zProbe())
-    zt.optimizeZOrder(Seq("l_partkey"), targetFileSize = 16L * 1024 * 1024)
-    val afterSec = bestOf3(zProbe())
-    ops += "zorder_query_speedup_pct" -> 100.0 * (beforeSec - afterSec) / beforeSec
-    val snap = zt.snapshot()
+    ops += "zorder_query_speedup_pct" -> abSpeedupPct(zProbe(ztPlain), zProbe(ztZ))
+    val snap = ztZ.snapshot()
     val kept = Pruner.prune(snap.files, Seq(probe), snap.schema)
     ops += "zorder_files_skipped_pct" ->
       100.0 * (snap.numFiles - kept.size).toDouble / math.max(snap.numFiles, 1)
@@ -182,9 +186,12 @@ object Bench {
       100.0 * (filesBefore - filesAfter).toDouble / math.max(filesBefore, 1)
     ops += "optimize_sec" -> optSec
 
-    // strain-scale merge evidence at the BASELINE's own shape (1M-row
-    // source upserted into a 10M-row table — "MERGE (1M into 10M)"),
-    // so the merge-throughput claim is recorded per round, not asserted
+    // ---- headline ops at BASELINE.md's own shape (10M rows) ----
+    // The baseline's config column is explicit: write = 10M generated rows,
+    // read = full scan of the 10M-row table, merge = 1M updates into 10M,
+    // time travel over history. These are the comparable numbers; the
+    // small_* variants above track fixed overhead at sf0.1. Run LAST so the
+    // 10M-row churn can't pollute the other measurements (the r02 lesson).
     val strainN = 10000000L
     val sgen = spark.range(strainN)
       .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
@@ -192,36 +199,59 @@ object Bench {
       .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
         (col("id") % 30).cast("int")))
     val st = LakeTable.create(spark, scratch("strain"), sgen.schema)
+    // generation inside the timed write, exactly like the reference
+    // (benchmarks/delta_performance_benchmark.py:53-60)
     val (_, sWriteSec) = timed(st.append(sgen))
-    ops += "strain_write_rows_per_sec" -> strainN.toDouble / sWriteSec
-    val ssrc = spark.range(0, strainN, 10)
-      .withColumn("user_id", concat(lit("u_"), col("id")))
-      .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))
-      .withColumn("day", lit(java.sql.Date.valueOf("2024-02-01")))
-    val (_, sMergeSec) = timed {
-      st.merge(ssrc, col("target.id") === col("source.id"))
-        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
-    }
-    ops += "strain_merge_rows_per_sec" -> (strainN / 10).toDouble / sMergeSec
-    ops += "strain_merge_sec" -> sMergeSec
+    ops += "write_rows_per_sec" -> strainN.toDouble / sWriteSec
+    ops += "write_sec" -> sWriteSec
+
+    // full-scan read (BASELINE: 2M rows/sec on 10M rows); count() mirrors
+    // the reference's read benchmark, the agg variant forces real column IO
+    val (_, sReadSec) = timed(st.read().count())
+    ops += "read_rows_per_sec" -> strainN.toDouble / sReadSec
+    ops += "read_sec" -> sReadSec
+    val (_, sReadAggSec) = timed(st.read().agg(sum("amount")).collect())
+    ops += "read_agg_rows_per_sec" -> strainN.toDouble / sReadAggSec
+
+    // MERGE (BASELINE: 100K rows/sec, 1M updates into 10M rows). Median of
+    // 3 identical-shape runs (distinct key sets, all matching): single-shot
+    // DML timings swung 2x run-to-run on this machine's disk writeback.
+    val sMergeSec = (0 until 3).map { i =>
+      val ssrc = spark.range(i, strainN, 10)
+        .withColumn("user_id", concat(lit("u_"), col("id")))
+        .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))
+        .withColumn("day", lit(java.sql.Date.valueOf("2024-02-01")))
+      timed {
+        st.merge(ssrc, col("target.id") === col("source.id"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      }._2
+    }.sorted.apply(1)
+    ops += "merge_rows_per_sec" -> (strainN / 10).toDouble / sMergeSec
+    ops += "merge_sec" -> sMergeSec
     def lastAddedMb: Double =
       st.history(Some(1)).select("operationMetrics").collect().head
         .getMap[String, String](0).get("numAddedBytes").map(_.toDouble / 1e6).getOrElse(0.0)
-    ops += "strain_merge_mb_written" -> lastAddedMb
+    ops += "merge_mb_written" -> lastAddedMb
+
+    // time travel (BASELINE: 1M rows/sec): the pre-merge 10M-row snapshot
+    val (ttRows, ttSec) = timed(st.versionAsOf(1).count())
+    ops += "timetravel_rows_per_sec" -> ttRows.toDouble / ttSec
+    ops += "timetravel_sec" -> ttSec
 
     // DELETE evidence at the same scale: rewrite-mode vs deletion-vector
     // mode removing 1% of rows each — the DV path writes row masks instead
     // of re-encoding every touched file
     // wall time converges on page-cache-backed local disk; the structural
     // difference is bytes written, which is what survives a 1000x scale-up
-    val (_, delRewriteSec) = timed(st.delete(col("id") % 100 === 7))
-    ops += "strain_delete_rewrite_sec" -> delRewriteSec
-    ops += "strain_delete_rewrite_mb_written" ->
-      st.history(Some(1)).select("operationMetrics").collect().head
-        .getMap[String, String](0).get("numAddedBytes").map(_.toDouble / 1e6).getOrElse(0.0)
+    // median of 3 (disjoint 1% slices -> same work each run)
+    val delRewriteSec = Seq(7, 27, 47)
+      .map(k => timed(st.delete(col("id") % 100 === k))._2).sorted.apply(1)
+    ops += "delete_rewrite_sec" -> delRewriteSec
+    ops += "delete_rewrite_mb_written" -> lastAddedMb
     st.setProperties(Map("graft.enableDeletionVectors" -> "true"))
-    val (_, delDvSec) = timed(st.delete(col("id") % 100 === 8))
-    ops += "strain_delete_dv_sec" -> delDvSec
+    val delDvSec = Seq(8, 28, 48)
+      .map(k => timed(st.delete(col("id") % 100 === k))._2).sorted.apply(1)
+    ops += "delete_dv_sec" -> delDvSec
 
     // DV-mode merge: matched rows are masked, only changed rows written
     val ssrc2 = spark.range(5, strainN, 10)
@@ -232,12 +262,12 @@ object Bench {
       st.merge(ssrc2, col("target.id") === col("source.id"))
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
-    ops += "strain_dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
-    ops += "strain_dv_merge_sec" -> dvMergeSec
+    ops += "dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
+    ops += "dv_merge_sec" -> dvMergeSec
     // data bytes only (update+insert rows); the row masks are counted in
-    // strain_delete_dv_mb_written below, which walks every live DV dir
-    ops += "strain_dv_merge_mb_written" -> lastAddedMb
-    ops += "strain_delete_dv_mb_written" -> {
+    // delete_dv_mb_written below, which walks every live DV dir
+    ops += "dv_merge_mb_written" -> lastAddedMb
+    ops += "delete_dv_mb_written" -> {
       val dvDirs = st.snapshot().dvs.values.map(_.dvPath).toSet
       dvDirs.toSeq.map { rel =>
         val p = java.nio.file.Paths.get(st.dir.toString, rel)

@@ -18,6 +18,27 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
+    if (args.contains("fastplan")) {
+      // shape of the low-shuffle merge's phase-2: does the left-outer
+      // broadcast the persisted 1M-row source build side?
+      import graft.table.LakeTable
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "2000000").toLong
+      val gen = spark.range(n)
+        .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
+        .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+      val t = LakeTable.createFrom(spark,
+        java.nio.file.Files.createTempDirectory("fp").resolve("t").toString, gen)
+      val src = spark.range(0, n, 10)
+        .withColumn("user_id", concat(lit("u_"), col("id")))
+        .withColumn("amount", lit(java.math.BigDecimal.ONE).cast("decimal(18,2)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      src.count()
+      val lo = t.read().alias("target")
+        .join(src.withColumn("__src", lit(true)).alias("source"),
+          col("target.id") === col("source.id"), "left_outer")
+      lo.explain("formatted")
+      spark.stop(); return
+    }
     if (args.contains("benchmerge")) {
       import graft.table.LakeTable
       val orders = graft.core.Tables.orders(spark, sfDir)
@@ -101,7 +122,7 @@ object Profile {
   def profileMerge(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     import graft.table.LakeTable
-    val n = 5000000L
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "5000000").toLong
     val gen = spark.range(n)
       .withColumn("user_id", concat(lit("user_"), col("id") % 100000))
       .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
@@ -164,5 +185,10 @@ object Profile {
     timed("plain rewrite write (no join)")(
       t.read().write.mode("overwrite").parquet(out))
     src.unpersist()
+    (1 to 3).foreach { i =>
+      timed(s"lake merge end-to-end #$i")(
+        t.merge(src0, col("target.id") === col("source.id"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+    }
   }
 }
