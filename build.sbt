@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally gets sbt's "[info] " logger prefix, which stops
+// the driver's bench parser from recognizing the JSON result line (a line
+// must START with '{' to parse). StdoutOutput passes the child's stdout
+// through verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

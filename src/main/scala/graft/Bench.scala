@@ -281,10 +281,33 @@ object Bench {
 
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
+    // compact per-field formats: the driver captures only the TAIL of stdout
+    // (~2000 chars), so the final JSON line must fit entirely inside that
+    // window or the line start gets clipped and the parse fails (the r01/r02
+    // "parsed": null). Full-precision detail goes on its own prefixed line.
+    def jshort(v: Double, fmt: String): String =
+      if (v.isNaN || v.isInfinite) "null" else fmt.format(v)
     val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val opsJson = ops.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"ops":$opsJson,"sf":"$sfDir"}""")
+    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfDir"}""")
+    // final line: every query at 2dp plus the BASELINE.md-comparable ops
+    val qsShort = results.map { case (k, v) => s""""$k":${jshort(v, "%.2f")}""" }
+      .mkString("{", ",", "}")
+    val headline = Seq(
+      "write_rows_per_sec" -> "%.0f", "read_rows_per_sec" -> "%.0f",
+      "read_agg_rows_per_sec" -> "%.0f", "merge_rows_per_sec" -> "%.0f",
+      "merge_sec" -> "%.2f", "merge_mb_written" -> "%.1f",
+      "dv_merge_rows_per_sec" -> "%.0f", "dv_merge_mb_written" -> "%.1f",
+      "timetravel_rows_per_sec" -> "%.0f",
+      "zorder_query_speedup_pct" -> "%.1f", "zorder_files_skipped_pct" -> "%.1f",
+      "partition_pruning_speedup_pct" -> "%.1f", "partition_files_scanned_pct" -> "%.1f",
+      "optimize_file_reduction_pct" -> "%.1f",
+      "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",
+      "small_merge_sec" -> "%.2f",
+    ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$headline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
