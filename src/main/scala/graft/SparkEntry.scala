@@ -69,7 +69,10 @@ object SparkEntry {
     "q39_ann_ivf_trained" -> (DataOps.annIvfTrained _),
     "q40_train_test_split" -> (DataOps.trainTestSplit _),
     "q41_decontamination" -> (DataOps.decontamination _),
-    "q42_pii_redaction" -> (DataOps.piiRedaction _))
+    "q42_pii_redaction" -> (DataOps.piiRedaction _),
+    "q45_mixture_sample" -> (DataOps.mixtureSample _),
+    "q46_pack_sequences" -> (DataOps.packSequences _),
+    "q47_sessionize" -> (DataOps.sessionize _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

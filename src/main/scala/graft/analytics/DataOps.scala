@@ -152,6 +152,37 @@ object DataOps {
       shingleN = 3, minContainment = 0.5)
   }
 
+  /** Domain-mixture downsampling: per-source keep rates (0.9 / 0.5 / 0.2
+    * by source index mod 3), key-hash deterministic — the "rebalance the
+    * corpus toward high-quality domains" pass of a training-data build. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = (0 until 20).map(i => s"src$i" -> (i % 3 match {
+      case 0 => 0.9
+      case 1 => 0.5
+      case _ => 0.2
+    })).toMap
+    graft.sampling.Sampling.mixtureSample(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      keyCol = "doc_id", groupCol = "source", rates = rates)
+  }
+
+  /** Training-sequence packing: concatenate each source's docs in doc_id
+    * order and cut every 512 tokens — pack assignment is a running-sum
+    * window, no global sort. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("token_count"))
+    graft.sampling.Sampling.packSequences(docs,
+      orderCol = "doc_id", sizeCol = "token_count", shardCol = "source",
+      budget = 512L)
+  }
+
+  /** Gap-based sessionization of the events stream (30-minute rule),
+    * one shuffle on user_id; see [[graft.transform.Sessionize]]. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.transform.Sessionize.summarize(Tables.events(spark, sfDir))
+
   /** PII redaction over text with deterministically planted PII (the
     * corpus itself is synthetic and PII-free), plus per-pattern audit
     * counts — the whole pass is codegen'd regexp work, no shuffle. */
@@ -206,6 +237,40 @@ object DataOps {
         ELSE [array_to_string($toks, ' ')] END)"""
 
   val oracles: Map[String, String] = Map(
+    "q45_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <
+           CASE CAST(substring(source, 4) AS INT) % 3
+             WHEN 0 THEN 'e666' WHEN 1 THEN '8000' ELSE '3333' END""",
+    "q46_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS INT) AS token_count
+           FROM documents),
+         w AS (SELECT *, COALESCE(SUM(token_count) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM t),
+         p AS (SELECT doc_id, source, token_count,
+             source || '#' || CAST(CAST(FLOOR(cb / 512.0) AS BIGINT) AS VARCHAR) AS pack_id
+           FROM w)
+         SELECT doc_id, source, token_count, pack_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id) - 1 AS INT) AS pack_pos
+         FROM p""",
+    "q47_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, ts
+           FROM events),
+         w AS (SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM e),
+         s AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+             THEN 1 ELSE 0 END AS st FROM w),
+         x AS (SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+           FROM s)
+         SELECT user_id, session_idx,
+           MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec,
+           COUNT(*) AS session_events,
+           COUNT(DISTINCT event_type) AS distinct_event_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM x GROUP BY 1, 2""",
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

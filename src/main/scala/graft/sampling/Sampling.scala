@@ -45,4 +45,78 @@ object Sampling {
       fraction: Double,
       salt: String = "graft"): DataFrame =
     df.filter(bucket(col(keyCol), salt) < lit(threshold(fraction)))
+
+  /** Domain-mixture downsampling: keep a per-group fraction of rows
+    * (e.g. web 30%, books 90%) with the same key-hash determinism as
+    * [[deterministicSample]]. Rates compile to a when-chain over the group
+    * column — a codegen'd narrow projection, no shuffle and no join; at
+    * hundreds of groups the chain is still cheap (one string compare per
+    * group), beyond that a broadcast join against a rates table is the
+    * same semantics. Rates must be in [0, 1); use [[upsample]] for >1×. */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0 && r < 1, s"rate $r outside [0,1) — use upsample for >=1x"))
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), salt) < thr)
+  }
+
+  /** Deterministic upsampling to an arbitrary weight w >= 0: every row is
+    * emitted floor(w) times, plus once more for the stable key-hash
+    * fraction frac(w) of keys. Copies are tagged `copyCol` (0-based) so
+    * downstream shuffling can decorrelate them. explode(sequence(...)) is
+    * a narrow rowwise op — no shuffle, no driver loop, safe at any scale. */
+  def upsample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Double,
+      copyCol: String = "copy_idx",
+      salt: String = "graft"): DataFrame = {
+    require(weight >= 0, s"bad weight $weight")
+    val whole = math.floor(weight).toInt
+    val frac = weight - whole
+    val copies = lit(whole) +
+      when(bucket(col(keyCol), salt) < lit(threshold(frac)), 1).otherwise(0)
+    // sequence(0, -1) steps DOWNWARD ([0, -1]) — zero copies must be an
+    // explicit empty array, which explode then drops
+    df.withColumn(copyCol,
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Pack rows into fixed-budget bins (training-sequence packing): within
+    * each shard (ordered by `orderCol`), a row's pack is
+    * floor(exclusive-prefix-sum(size) / budget) — the deterministic
+    * "concatenate in order, cut every `budget` tokens" layout every engine
+    * reproduces bit-exactly. Adds `pack_id` (global: shard-hash-salted) and
+    * `pack_pos` (row's index within its pack).
+    *
+    * Scale shape: one shuffle on the shard key, then a single
+    * running-sum window per shard — no global sort. Shards (source,
+    * date, ...) bound each window partition; a skewed shard bounds the
+    * window's partition size, so pick shard granularity accordingly. */
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      sizeCol: String,
+      shardCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    val cumBefore = coalesce(
+      sum(col(sizeCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val withPack = df
+      .withColumn("pack_id",
+        concat(col(shardCol), lit("#"), floor(cumBefore / budget).cast("string")))
+    val wp = Window.partitionBy("pack_id").orderBy(orderCol)
+    withPack.withColumn("pack_pos", (row_number().over(wp) - 1).cast("int"))
+  }
 }

@@ -64,6 +64,72 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head() shouldBe ((1L, 1L, 1L, 1L))
   }
 
+  test("mixtureSample applies per-group rates deterministically") {
+    val df = spark.range(9000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp"))
+    val rates = Map("0" -> 0.9, "1" -> 0.2)
+    val out = Sampling.mixtureSample(df, "id", "grp", rates, defaultRate = 0.0)
+    val out2 = Sampling.mixtureSample(df.repartition(11), "id", "grp", rates)
+    out.orderBy("id").collect() shouldBe out2.orderBy("id").collect()
+    def kept(g: String) = out.filter(col("grp") === g).count().toDouble / 3000
+    kept("0") shouldBe 0.9 +- 0.03
+    kept("1") shouldBe 0.2 +- 0.03
+    kept("2") shouldBe 0.0
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureSample(df, "id", "grp", Map("0" -> 1.0))
+  }
+
+  test("upsample emits floor(w) copies plus a stable fractional extra") {
+    val df = spark.range(4000).toDF("id")
+    val out = Sampling.upsample(df, "id", 2.5)
+    out.count().toDouble / 4000 shouldBe 2.5 +- 0.1
+    // every key appears at least twice, copy indexes are dense from 0
+    val byKey = out.groupBy("id").agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+    byKey.filter(col("n") < 2 || col("n") > 3).count() shouldBe 0
+    byKey.filter(col("mx") =!= col("n") - 1).count() shouldBe 0
+    // weight < 1 degrades to deterministicSample with a copy tag
+    val down = Sampling.upsample(df, "id", 0.25)
+    down.count().toDouble / 4000 shouldBe 0.25 +- 0.03
+  }
+
+  test("packSequences cuts shards at the token budget in order") {
+    val df = Seq(
+      ("s", 1L, 40L), ("s", 2L, 50L), ("s", 3L, 20L), // cum-before 0,40,90
+      ("s", 4L, 30L),                                 // cum-before 110 -> pack 1
+      ("t", 1L, 250L)                                 // own shard, pack 0
+    ).toDF("src", "id", "n")
+    val out = Sampling.packSequences(df, "id", "n", "src", budget = 100L)
+      .orderBy("src", "id")
+      .select("src", "id", "pack_id", "pack_pos")
+      .as[(String, Long, String, Int)].collect()
+    out shouldBe Array(
+      ("s", 1L, "s#0", 0), ("s", 2L, "s#0", 1), ("s", 3L, "s#0", 2),
+      ("s", 4L, "s#1", 0), ("t", 1L, "t#0", 0))
+  }
+
+  test("sessionize splits on the gap rule and aggregates exactly") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1: events at 0, 10, 29 min (one session), then 70 (gap 41 -> new)
+      (1L, ts(0), 10L, "view", 1.0), (2L, ts(10), 10L, "click", 2.0),
+      (3L, ts(29), 10L, "view", 3.0), (4L, ts(70), 10L, "purchase", 4.0),
+      // user 2: single event
+      (5L, ts(5), 20L, "view", 0.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.transform.Sessionize.summarize(events)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "session_events", "distinct_event_types",
+        "session_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      (10L, 0L, 3L, 2L, 6.0), (10L, 1L, 1L, 1L, 4.0), (20L, 0L, 1L, 1L, 0.5))
+    // a gap of exactly 30 minutes does NOT split (rule is strictly greater)
+    val border = Seq((1L, ts(0), 1L, "a", 1.0), (2L, ts(30), 1L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    graft.transform.Sessionize.summarize(border).count() shouldBe 1
+  }
+
   test("convertCurrency multiplies exactly and flags unknown currencies") {
     val df = Seq((1L, 100.50, "EUR"), (2L, 10.00, "USD"), (3L, 5.0, "XXX"))
       .toDF("id", "amount", "currency")
