@@ -18,6 +18,21 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
+    if (args.contains("explain")) {
+      // shuffle audit for named queries: runMain graft.Profile explain q45 q46
+      val wanted = args.filter(_.startsWith("q"))
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.isEmpty || wanted.exists(w => n.startsWith(w)) }
+        .foreach { case (n, q) =>
+          val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+          println(s"==== $n  exchanges=${"Exchange".r.findAllIn(plan).length}")
+          println(plan.linesIterator
+            .filter(l => l.contains("Exchange") || l.contains("Sort ") ||
+              l.contains("Window"))
+            .mkString("\n"))
+        }
+      spark.stop(); return
+    }
     if (args.contains("fastplan")) {
       // shape of the low-shuffle merge's phase-2: does the left-outer
       // broadcast the persisted 1M-row source build side?
