@@ -237,7 +237,8 @@ class LakeTable private[table] (
       val idCols = identityColumns.filter { case (n, _, _) =>
         !df.columns.exists(_.equalsIgnoreCase(n)) }
       val idBase = idCols.map { case (n, st, _) => n -> identityNext(snap, n, st) }.toMap
-      val adds = stageWrite(align(df, target, strict = !mergeSchema, identityBase = idBase),
+      val adds = stageIngestWrite(
+        align(df, target, strict = !mergeSchema, identityBase = idBase),
         snap.metadata.partitionColumns)
       val idBumps: Map[String, String] = idCols.flatMap { case (n, st, step) =>
         // ColStats encodings are canonical strings; LongType is plain digits
@@ -252,7 +253,7 @@ class LakeTable private[table] (
         }
       }.toMap
       try {
-        return commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
+        val v = commitWithRetry("WRITE", Map("mode" -> "Append"), snap) { s =>
           // a concurrent append that consumed the same identity range would
           // make our staged ids collide — restage from the fresh high-water
           idCols.foreach { case (n, st, _) =>
@@ -285,6 +286,8 @@ class LakeTable private[table] (
           }
           meta ++ adds
         }
+        maybeAutoCompact()
+        return v
       } catch {
         // staged files are unreferenced; VACUUM collects them
         case _: LakeTable.StaleStagedIds if attempts < 5 => attempts += 1
@@ -306,9 +309,10 @@ class LakeTable private[table] (
       val snap = snapshot()
       if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
       val target = if (mergeSchema) mergedSchema(snap.schema, df.schema) else snap.schema
-      val adds = stageWrite(align(df, target, strict = !mergeSchema), snap.metadata.partitionColumns)
+      val adds = stageIngestWrite(align(df, target, strict = !mergeSchema),
+        snap.metadata.partitionColumns)
       try {
-        return commitWithRetry("STREAMING UPDATE",
+        val v = commitWithRetry("STREAMING UPDATE",
           Map("outputMode" -> "Append", "txnAppId" -> txnAppId,
             "txnVersion" -> txnVersion.toString), snap) { s =>
           if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
@@ -325,9 +329,11 @@ class LakeTable private[table] (
             throw new LakeTable.StaleStagedIds
           evolveMeta(s, tgt) ++ adds
         }
+        maybeAutoCompact()
+        return v
       } catch {
         // staged files are unreferenced; VACUUM collects them
-        case _: LakeTable.EpochAlreadyCommitted => snapshot().version
+        case _: LakeTable.EpochAlreadyCommitted => return snapshot().version
         case _: LakeTable.StaleStagedIds if attempts < 5 => attempts += 1
       }
     }
@@ -355,7 +361,8 @@ class LakeTable private[table] (
       if (!overwriteSchema) snap.schema
       else if (ColumnIds.mapped(snap.schema)) ColumnIds.stampAll(df.schema)
       else df.schema
-    val adds = stageWrite(align(df, target, strict = !overwriteSchema), snap.metadata.partitionColumns)
+    val adds = stageIngestWrite(align(df, target, strict = !overwriteSchema),
+      snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite"), snap) { s =>
       // overwriteSchema intentionally replaces whatever schema is current;
       // a plain overwrite aborts if the schema moved under it (the staged
@@ -382,7 +389,8 @@ class LakeTable private[table] (
     // partitions).
     require(df.filter(!coalesce(pred, lit(false))).isEmpty,
       s"rows in the incoming DataFrame violate the replaceWhere predicate: $pred")
-    val adds = stageWrite(align(df, snap.schema, strict = true), snap.metadata.partitionColumns)
+    val adds = stageIngestWrite(align(df, snap.schema, strict = true),
+      snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite", "replaceWhere" -> pred.toString), snap) { s =>
       val now = System.currentTimeMillis()
       val doomed = partitionValuesMatching(s.files, Seq(pred), s.schema)
@@ -390,6 +398,57 @@ class LakeTable private[table] (
         dvTombstones(s, doomed, (s.dvs -- doomed).values.map(_.dvPath).toSet, now)
     }
   }
+
+  /** Optimized-write (`delta.autoOptimize.optimizeWrite`,
+    * src/delta_utils.py:52-55): shuffle the incoming data by the partition
+    * columns (or round-robin when unpartitioned) ahead of the write so AQE's
+    * partition coalescing merges undersized shuffle partitions toward the
+    * advisory size — fewer, larger files, the Spark-native equivalent of
+    * Delta's optimizeWrite rebalance. Applied only on the append/overwrite
+    * ingest paths: DML/maintenance rewrites shape their own output (z-order
+    * would lose its in-partition sort under an extra exchange). */
+  private def propTrue(key: String): Boolean = {
+    val p = properties
+    p.get(s"graft.$key").orElse(p.get(s"delta.$key")).contains("true")
+  }
+  private[table] def stageIngestWrite(df: DataFrame, pcols: Seq[String]): Seq[AddFile] = {
+    if (!propTrue("autoOptimize.optimizeWrite")) return stageWrite(df, pcols)
+    // REBALANCE is the one shuffle AQE may both coalesce AND split by size
+    // (an explicit repartition(n) is user-mandated and never coalesced);
+    // keyed by the partition columns so each output task writes few dirs
+    val shaped =
+      if (pcols.nonEmpty) df.hint("rebalance", pcols: _*)
+      else df.hint("rebalance")
+    // and the size target must actually drive it: parallelismFirst (the
+    // default) stops coalescing at the core count, which re-fragments
+    // small writes instead of packing them
+    val c = spark.conf
+    val keys = Seq("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> c.getOption(k))
+    c.set(keys(0), "false")
+    c.set(keys(1), (128L * 1024 * 1024).toString)
+    try stageWrite(shaped, pcols)
+    finally prev.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
+  /** Auto-compaction (`delta.autoOptimize.autoCompact`): after an append
+    * commit, bin-pack small files once they accumulate past
+    * `graft.autoCompact.minNumFiles` (default 50, Delta's own trigger).
+    * Best-effort — a compaction failure (e.g. losing a commit race) never
+    * fails the write that triggered it; the files stay and the next write
+    * retries. */
+  private def maybeAutoCompact(): Unit =
+    if (propTrue("autoOptimize.autoCompact")) scala.util.Try {
+      val target = 128L * 1024 * 1024
+      val minN = properties.get("graft.autoCompact.minNumFiles")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(50)
+      if (snapshot().files.count(_.size < target / 2) >= minN)
+        optimizeCompact(target): Unit
+    }: Unit
 
   /** Write `df` as new Parquet files under `data/<uuid>/` and return the
     * AddFile actions (stats collected in one distributed pass). Files are

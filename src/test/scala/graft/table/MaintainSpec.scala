@@ -27,6 +27,48 @@ class MaintainSpec extends SparkSpec {
     t.versionAsOf(before.version).count() shouldBe 800
   }
 
+  test("optimizeWrite coalesces an over-partitioned append into few files") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).cast("double").as("v"))
+    // without the property: one file per input partition
+    val plain = LakeTable.create(spark, tmpDir("owoff").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+    plain.append(df.repartition(16))
+    plain.snapshot().numFiles shouldBe 16
+    // with it: the pre-write shuffle lets AQE coalesce to the advisory size
+    val ow = LakeTable.create(spark, tmpDir("owon").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))),
+      properties = Map("graft.autoOptimize.optimizeWrite" -> "true"))
+    ow.append(df.repartition(16))
+    ow.snapshot().numFiles should be <= 2
+    ow.read().agg(sum("id"), sum("v")).head() shouldBe
+      plain.read().agg(sum("id"), sum("v")).head()
+    // partitioned table: rebalance keys on the partition columns; file
+    // count collapses to ~one per partition value instead of 16 per value
+    val owp = LakeTable.create(spark, tmpDir("owp").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      partitionColumns = Seq("p"),
+      properties = Map("graft.autoOptimize.optimizeWrite" -> "true"))
+    owp.append(spark.range(600)
+      .select(col("id"), concat(lit("p"), col("id") % 3).as("p")).repartition(16))
+    owp.snapshot().numFiles should be <= 4
+    owp.read().count() shouldBe 600
+  }
+
+  test("autoCompact bin-packs small files once they pass the threshold") {
+    val t = LakeTable.create(spark, tmpDir("ac").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))),
+      properties = Map(
+        "graft.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "4"))
+    (0 until 4).foreach { i =>
+      t.append(Seq.tabulate(50)(j => i * 50L + j).toDF("id").coalesce(1))
+    }
+    // the 4th append crossed the threshold and triggered a compaction commit
+    t.snapshot().numFiles shouldBe 1
+    t.history(None).filter(col("operation") === "OPTIMIZE").count() shouldBe 1
+    t.read().count() shouldBe 200
+  }
+
   test("zorder clustering tightens per-file ranges so pruning skips files (M9)") {
     val t = LakeTable.create(spark, tmpDir("zord").resolve("t").toString,
       StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
