@@ -71,7 +71,21 @@ class LakeTable private[table] (
     filters.foldLeft(readFilesMasked(snap, pruned, snap.schema))(_ filter _)
   }
 
-  def toDf: DataFrame = read()
+  /** Catalyst-integrated scan: predicates applied LATER on the returned
+    * DataFrame (`.filter`, SQL WHERE over a temp view) reach
+    * [[GraftFileIndex.listFiles]] at planning time and skip files via the
+    * log's footer stats — no explicit `read(filters)` needed. Falls back to
+    * the eager-pruned path when deletion vectors are present (masked reads
+    * need the anti-join wrapper). */
+  def scan(version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(version)
+    if (snap.files.isEmpty || snap.dvs.nonEmpty) return read(Nil, version)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val index = new GraftFileIndex(dir, snap.files, snap.schema, absPath)
+    org.apache.spark.sql.graft.Relations.parquetRelation(spark, index, snap.schema)
+  }
+
+  def toDf: DataFrame = scan()
 
   /** Register the current snapshot as a temp view so pipelines can be driven
     * through `spark.sql(...)` (W9 — the reference drives its maintenance and

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Builds a DataFrame over a caller-supplied [[FileIndex]] — the hook Spark
+  * gives table formats for planning-time file skipping. `FileSourceStrategy`
+  * hands every pushed-down predicate to `FileIndex.listFiles(partitionFilters,
+  * dataFilters)`, so the index (not the caller) decides which files a filtered
+  * query reads. Lives in the sql package namespace because `Dataset.ofRows`
+  * and the `HadoopFsRelation` constructor are `private[sql]`.
+  */
+object Relations {
+  def parquetRelation(
+      spark: SparkSession,
+      index: FileIndex,
+      dataSchema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+      new ParquetFileFormat, options)(cs)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
+  }
+}
