@@ -34,7 +34,9 @@ object DataOps {
     * slack on the test corpus. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.simhash(docs)
+    // the signature frame feeds four joins (near a/b, far a/b): persist the
+    // (id, long) result or the 64-bit-sum aggregation re-runs per join
+    val sh = Dedup.simhash(docs).persist()
     def hamming(df: DataFrame): DataFrame = df
       .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
@@ -46,6 +48,7 @@ object DataOps {
       array_distinct(transform(
         graft.text.TextAnalysis.tokens(col("text")), tk => xxhash64(tk))).as("toks"))
       .withColumn("n", size(col("toks")))
+      .persist() // self-joined below: tokenize once
     val far = hamming(t.as("x")
       .join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
       .withColumn("inter", size(array_intersect(col("x.toks"), col("y.toks"))))

@@ -74,15 +74,28 @@ class LakeTable private[table] (
   /** Catalyst-integrated scan: predicates applied LATER on the returned
     * DataFrame (`.filter`, SQL WHERE over a temp view) reach
     * [[GraftFileIndex.listFiles]] at planning time and skip files via the
-    * log's footer stats — no explicit `read(filters)` needed. Falls back to
-    * the eager-pruned path when deletion vectors are present (masked reads
-    * need the anti-join wrapper). */
+    * log's footer stats — no explicit `read(filters)` needed. Deletion
+    * vectors compose: the mask anti-join sits ABOVE the relation, filters
+    * still push through it into the scan. */
   def scan(version: Option[Long] = None): DataFrame = {
     val snap = snapshot(version)
-    if (snap.files.isEmpty || snap.dvs.nonEmpty) return read(Nil, version)
+    if (snap.files.isEmpty) return read(Nil, version)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val index = new GraftFileIndex(dir, snap.files, snap.schema, absPath)
-    org.apache.spark.sql.graft.Relations.parquetRelation(spark, index, snap.schema)
+    val base = org.apache.spark.sql.graft.Relations.parquetRelation(spark, index, snap.schema)
+    val dvs = snap.dvs.values.toSeq
+    if (dvs.isEmpty) return base
+    // same mask join as readFilesMaskedPos, over the pruning relation;
+    // file stats include masked rows, so pruning stays conservative-safe
+    val dvDirs = dvs.map(d => dir.resolve(d.dvPath).toString).distinct
+    val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
+    val dvSide =
+      if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
+    base
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__idx", col("_metadata.row_index"))
+      .join(dvSide, Seq("__file", "__idx"), "left_anti")
+      .drop("__file", "__idx")
   }
 
   def toDf: DataFrame = scan()

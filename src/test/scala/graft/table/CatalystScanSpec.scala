@@ -83,11 +83,42 @@ class CatalystScanSpec extends SparkSpec {
     t.toDf.count() shouldBe 401
   }
 
-  test("deletion-vector tables fall back to the masked read path") {
+  test("scan equals the eager read under randomized filters (soundness fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(600) { i =>
+      (i.toLong,
+        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(40)}",
+        rnd.nextInt(1000))
+    }
+    val t = LakeTable.create(spark, tmpDir("cfuzz").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("n", IntegerType))))
+    rows.grouped(100).foreach(g => t.append(g.toDF("id", "s", "n").coalesce(1)))
+    val eager = t.read()
+    val preds = Seq(
+      col("id") === 123L, col("id") > 450L, col("n") <= 77,
+      col("s") === "k7", col("s").isNull, col("s").isNotNull,
+      col("n").isin(5, 55, 555), col("s").startsWith("k1"),
+      col("id") > 100L && col("n") < 500, col("s") === "k3" || col("n") > 900,
+      !(col("n") === 4), col("id") % 7 === 0)
+    preds.foreach { p =>
+      withClue(s"predicate $p: ") {
+        t.toDf.filter(p).count() shouldBe eager.filter(p).count()
+      }
+    }
+  }
+
+  test("deletion-vector tables keep plan-time pruning under the mask join") {
     val t = rangedTable("cdv")
     t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     t.delete(col("id") === 150L)
     t.toDf.count() shouldBe 399
     t.toDf.filter(col("id") === 150L).count() shouldBe 0
+    // the filter pushes through the anti-join into the pruned scan:
+    // 1 data file + the DV sidecar, vs all 4 + sidecar unfiltered
+    val hit = t.toDf.filter(col("id") === 250L)
+    hit.count() shouldBe 1
+    scannedFiles(hit) shouldBe 2
+    scannedFiles(t.toDf) shouldBe 5
   }
 }
