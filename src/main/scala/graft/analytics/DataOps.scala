@@ -108,6 +108,20 @@ object DataOps {
       centroids, nprobe = 4)
   }
 
+  /** ANN through the PERSISTENT IVF index: build a cell-partitioned graft
+    * table (codebook in table properties), then search it — probed cells
+    * only, partition-pruned. Same sampled codebook and pipeline as q39, so
+    * the same algorithmic oracle applies; distinct query range keeps the
+    * two paths independently gated. */
+  def annIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfindex").resolve("t").toString
+    val idx = Similarity.buildIvfIndex(spark, dir, emb, centroids)
+    Similarity.searchIvfIndex(idx,
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 40), k = 5, nprobe = 4)
+  }
+
   def textAnalysis(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.analyze(Tables.documents(spark, sfDir))
       .select("doc_id", "token_count", "char_count", "predicted_lang",
@@ -349,6 +363,34 @@ object DataOps {
            FROM c JOIN q ON c.cell IN
              (xor(q.qcell, 0), xor(q.qcell, 1), xor(q.qcell, 2), xor(q.qcell, 4), xor(q.qcell, 8))
            WHERE c.vec_id <> q.query_id),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    // same algorithmic pipeline as q39 but through the persistent
+    // cell-partitioned index table; queries 30-40
+    "q48_ann_ivf_index" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         ranked AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM ranked WHERE rn = 1),
+         qprobe AS (SELECT vec_id AS query_id, cidx AS cell FROM ranked
+           WHERE rn <= 4 AND vec_id >= 30 AND vec_id < 40),
+         s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cosine
+           FROM qprobe q
+           JOIN assign a ON a.cell = q.cell
+           JOIN e qe ON qe.vec_id = q.query_id
+           JOIN e ne ON ne.vec_id = a.vec_id
+           WHERE a.vec_id <> q.query_id),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)

@@ -120,6 +120,66 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Materialize an IVF index as a graft table PARTITIONED BY cell, with the
+    * codebook stored in the table properties: the index is a durable,
+    * versioned artifact (time-travelable, vacuumable, clonable like any
+    * table), and search I/O is bounded by partition pruning — each query
+    * batch reads only its probed cells' files, which is what makes
+    * ANN-over-100TB an O(probed cells) scan instead of an O(corpus) one. */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): graft.table.LakeTable = {
+    import graft.functions.VectorFunctions
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", VectorFunctions.cellOf(col("v"), centroids))
+    val t = graft.table.LakeTable.create(spark, dir, assigned.schema,
+      partitionColumns = Seq("cell"),
+      properties = Map("graft.ivf.centroids" -> encodeCentroids(centroids)),
+      ifNotExists = false)
+    t.append(assigned)
+    t
+  }
+
+  /** Search a [[buildIvfIndex]] table: the probed-cell set (nprobe cells per
+    * query, deduplicated) is computed driver-side from the query batch, and
+    * the index scan filters on it — partition pruning keeps unprobed cells'
+    * files unread. Scoring joins only in-cell candidates, as [[ivfTopKTrained]]. */
+  def searchIvfIndex(
+      index: graft.table.LakeTable,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val centroids = decodeCentroids(index.properties("graft.ivf.centroids"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(VectorFunctions.nearestCentroids(col("qv"), centroids, nprobe)))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = index.toDf.filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Codebook ⇄ property string. Double.toString/parseDouble round-trips
+    * exactly, so a reloaded index assigns cells bit-identically. */
+  private[similarity] def encodeCentroids(cs: Array[Array[Double]]): String =
+    cs.map(_.mkString(",")).mkString(";")
+  private[similarity] def decodeCentroids(s: String): Array[Array[Double]] =
+    s.split(';').map(_.split(',').map(java.lang.Double.parseDouble))
+
   /** IVF-style top-k: candidates sharing one of the query's probed cells are
     * scored. `probeHamming` multi-probes every cell within that sign-bit
     * hamming distance of the query's own cell (h=0: 1 cell, h=1: bits+1
