@@ -88,7 +88,8 @@ object SparkEntry {
     "q35_describe_detail" -> (MetaOps.describeDetail _),
     "q36_vacuum" -> (MetaOps.vacuumKeepsLiveData _),
     "q37_deep_clone" -> (MetaOps.deepClone _),
-    "q38_schema_evolution" -> (MetaOps.schemaEvolution _))
+    "q38_schema_evolution" -> (MetaOps.schemaEvolution _),
+    "q49_convert" -> (MetaOps.convertInPlace _))
 
   def queries: Map[String, Q] =
     analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++

@@ -69,7 +69,23 @@ object MetaOps {
     t.read()
   }
 
+  /** CONVERT-in-place (zero-copy migration): copy the source parquet file
+    * into a scratch dir (standing in for "data already in the lake"),
+    * convert WITHOUT rewriting, append one marker row through the now-ACID
+    * table, and read back. */
+  def convertInPlace(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-convert").resolve("t")
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      dir.resolve("part-000.parquet"))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.delete(col("o_orderkey") % 5 === 0)
+    t.read()
+  }
+
   val oracles: Map[String, String] = Map(
+    "q49_convert" ->
+      "SELECT * FROM orders WHERE o_orderkey % 5 <> 0",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT)),

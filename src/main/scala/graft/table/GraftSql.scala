@@ -19,6 +19,7 @@ import scala.jdk.CollectionConverters._
   *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...])]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   CREATE TABLE [IF NOT EXISTS] <dst> {DEEP|SHALLOW} CLONE <src>
+  *   CONVERT TO GRAFT [parquet.]'<path>'
   *
   * `<t>` is a quoted path ('...' or delta-style `...`) resolved to a
   * [[LakeTable]] by the pluggable `resolve` (default: filesystem path; use
@@ -54,6 +55,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val dropColumnCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  // CONVERT TO GRAFT parquet.`/path` — Delta's CONVERT TO DELTA shape
+  private val convertCmd =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\.)?(\S+)\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -97,6 +101,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).renameColumn(from, to))
     case dropColumnCmd(t, name) =>
       oneRow("version" -> table(t).dropColumn(name))
+    case convertCmd(path) =>
+      val t = LakeTable.convert(spark, unquote(path))
+      oneRow("location" -> t.dir.toString, "version" -> t.version)
     case setProps(t, body) =>
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)

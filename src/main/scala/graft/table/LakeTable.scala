@@ -1109,4 +1109,57 @@ object LakeTable {
   }
 
   def isTable(dir: String): Boolean = TxLog.isTable(dir)
+
+  /** CONVERT TO DELTA analogue (the zero-copy migration op): register an
+    * existing plain-parquet directory as a graft table IN PLACE. No data is
+    * read beyond the parquet footers and nothing is rewritten — the initial
+    * commit lists the existing files with footer-derived stats, so a 100 TB
+    * directory converts in driver-metadata time. Idempotent on an
+    * already-converted directory.
+    *
+    * Hive-style `col=value` layouts are rejected: their files do not carry
+    * the partition columns, and graft's read path (and its
+    * partition-columns-are-data-columns pruning model) requires them in the
+    * data. Use the rewriting migrators (`graft.migrate.Migrate`) for those
+    * sources. */
+  def convert(spark: SparkSession, dir: String): LakeTable = {
+    if (TxLog.isTable(dir)) return forPath(spark, dir)
+    val p = Paths.get(dir)
+    require(Files.isDirectory(p), s"not a directory: $dir")
+    val probe = new LakeTable(spark, p)
+    val files = probe.listParquet(p)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val hivePartitioned = files.exists(f =>
+      p.relativize(f).toString.split('/').exists(seg =>
+        seg.contains("=") && !seg.endsWith(".parquet")))
+    require(!hivePartitioned,
+      s"$dir is hive-partitioned (col=value directories); partition values " +
+        "are not in the data files — migrate with a rewrite instead")
+    // schema from footers (spark's parquet inference is metadata-only).
+    // NO field-id stamping: the pre-existing files carry no parquet field
+    // ids, and an id-bearing read schema over id-less files would not
+    // resolve — converted tables stay name-mapped (as Delta's CONVERT
+    // does; column mapping remains available to natively-created tables).
+    val schema = spark.read.parquet(dir).schema
+    val now = System.currentTimeMillis()
+    val meta = graft.log.Metadata(UUID.randomUUID().toString,
+      p.getFileName.toString, schema.json, Nil, Map.empty, now)
+    val stats = Stats.fromFooters(files, schema)
+    val adds = files.map { f =>
+      val (cnt, st) = stats.getOrElse(f.toString, (0L, Map.empty[String, ColStats]))
+      AddFile(
+        path = p.relativize(f).toString,
+        partitionValues = Map.empty,
+        size = Files.size(f),
+        numRecords = cnt,
+        stats = st,
+        modificationTime = Files.getLastModifiedTime(f).toMillis)
+    }
+    val ci = CommitInfo(0L, now, "CONVERT",
+      Map("numFiles" -> adds.size.toString), Map.empty, -1L)
+    val tlog = new TxLog(p)
+    if (!tlog.tryCommit(0L, (ci +: meta +: adds)))
+      return forPath(spark, dir) // lost a concurrent-convert race: theirs won
+    new LakeTable(spark, p)
+  }
 }
