@@ -48,6 +48,21 @@ object WindowedAggs {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("events"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving within
+    * the watermark delay of each other collapse to one row, and the dedup
+    * state for a key is evicted once the watermark passes it — unlike plain
+    * `dropDuplicates`, which keys state forever and OOMs an unbounded
+    * stream. The streaming leg of the dedup suite (batch:
+    * [[graft.dedup.Dedup.exact]]). */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(firstTs: Long, lastTs: Long, events: Int)
   case class SessionSummary(

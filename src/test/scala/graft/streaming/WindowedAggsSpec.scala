@@ -36,6 +36,24 @@ class WindowedAggsSpec extends SparkSpec {
     out.map(_._1) should not contain "2024-01-01 10:20:00.0"
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val deduped = WindowedAggs.streamingDedup(
+      in.toDF().toDF("ts", "event_id", "payload"),
+      keyCols = Seq("event_id"), tsCol = "ts", watermarkDelay = "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // duplicate event_id 1 within the watermark window -> one survivor
+    in.addData((ts(1), 1L, "a"), (ts(2), 1L, "a-dup"), (ts(3), 2L, "b"))
+    q.processAllAvailable()
+    in.addData((ts(4), 2L, "b-dup")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup").collect()
+    rows.map(_.getAs[Long]("event_id")).sorted shouldBe Array(1L, 2L)
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
