@@ -23,7 +23,11 @@ object DataOps {
     * stage. [[Dedup.minhashLshPairs]] (estimate-only) remains the cheap
     * variant and is unit-tested against this one. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.shingleJaccardLsh(Tables.documents(spark, sfDir), minJaccard = 0.8)
+    // 32 hashes / 16 bands (r=2): a J=0.8 pair escapes banding with
+    // probability (1-0.64)^16 ≈ 8e-8, and candidates are exact-verified,
+    // so the output is the all-pairs result at half the signature cost
+    Dedup.shingleJaccardLsh(Tables.documents(spark, sfDir), minJaccard = 0.8,
+      numHashes = 32, bands = 16)
       .orderBy("a", "b")
 
   /** SimHash gated by its semantic contract, not its (hash-seeded) values:
@@ -42,7 +46,8 @@ object DataOps {
       .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
     val near = hamming(
-      Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.8))
+      Dedup.ngramJaccardPairs(docs, blockCol = "source", minJaccard = 0.8,
+        numHashes = 32, bands = 16))
     // deterministic far sample: consecutive doc ids, verified dissimilar
     val t = docs.select(col("doc_id"),
       array_distinct(transform(
@@ -64,8 +69,9 @@ object DataOps {
   }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    // same 32/16 banding rationale as q22: verified output, half the cost
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
-      blockCol = "source", minJaccard = 0.8)
+      blockCol = "source", minJaccard = 0.8, numHashes = 32, bands = 16)
 
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
