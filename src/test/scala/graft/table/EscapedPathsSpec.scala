@@ -55,4 +55,11 @@ class EscapedPathsSpec extends SparkSpec {
     val t = freshTable("esc-stats")
     t.snapshot().files.foreach { f => f.numRecords should be > 0L }
   }
+
+  test("the FileIndex scan path resolves escaped paths (toDf + filter)") {
+    val t = freshTable("esc-scan")
+    t.toDf.count() shouldBe 400
+    t.toDf.filter(col("cat") === "x=y").count() shouldBe 100
+    t.toDf.filter(col("id") === 7L).count() shouldBe 1
+  }
 }
