@@ -81,8 +81,8 @@ object Bench {
     val skipOps = sys.env.get("SPARK_GRAFT_SKIP_OPS").contains("1")
 
     val li = Tables.lineitem(spark, sfDir)
-    val liRows = li.count().toDouble
     if (!skipOps) {
+    val liRows = li.count().toDouble
 
     // sf0.1-scale latency variants (small_*): fixed per-op overhead at a
     // scale where the data is almost free — the headline throughput numbers

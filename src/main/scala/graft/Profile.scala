@@ -19,7 +19,8 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
     if (args.contains("explain")) {
-      // shuffle audit for named queries: runMain graft.Profile explain q45 q46
+      // shuffle audit for named queries (sfDir comes FIRST):
+      //   runMain graft.Profile /root/testdata/sf0.01 explain q45 q46
       val wanted = args.filter(_.startsWith("q"))
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => wanted.isEmpty || wanted.exists(w => n.startsWith(w)) }

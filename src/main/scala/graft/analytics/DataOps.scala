@@ -39,7 +39,9 @@ object DataOps {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // the signature frame feeds four joins (near a/b, far a/b): persist the
-    // (id, long) result or the 64-bit-sum aggregation re-runs per join
+    // (id, long) result or the 64-bit-sum aggregation re-runs per join.
+    // (No explicit unpersist — the query is returned lazily; Spark's
+    // ContextCleaner drops the cached blocks once the frame is GC'd.)
     val sh = Dedup.simhash(docs).persist()
     def hamming(df: DataFrame): DataFrame = df
       .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")

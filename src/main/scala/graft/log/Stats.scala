@@ -357,10 +357,15 @@ object Pruner {
       case IsNotNull(a) if attrName(a).isDefined =>
         nonNullCount(attrName(a).get).forall(_ > 0)
       case StartsWith(a, Literal(v, StringType)) if attrName(a).isDefined =>
+        // only the lower bound is sound: s having prefix p implies s >= p in
+        // BOTH UTF-8-byte and UTF-16 orderings, so max < p excludes the
+        // file. An upper-bound sentinel like p+'￿' is NOT sound — a
+        // supplementary-plane character (4-byte UTF-8, surrogate UTF-16)
+        // sorts above it in one ordering and below in the other, and the
+        // two orderings disagree between the stats encoding and the JVM.
         val p = v.asInstanceOf[UTF8String].toString
         val lo = cmpLit(attrName(a).get, UTF8String.fromString(p), StringType)
-        val hi = cmpLit(attrName(a).get, UTF8String.fromString(p + "￿"), StringType)
-        lo.forall { case (_, cMax) => cMax >= 0 } && hi.forall { case (cMin, _) => cMin <= 0 }
+        lo.forall { case (_, cMax) => cMax >= 0 }
       case _ => true
     }
   }

@@ -18,9 +18,12 @@ object Sampling {
   private def bucket(key: Column, salt: String): Column =
     substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4)
 
-  /** Threshold hex string t such that P(bucket < t) ≈ fraction. */
+  /** Threshold hex string t such that P(bucket < t) ≈ fraction. Clamped to
+    * "ffff": rounding a fraction ≥ ~0.99999 to 65536 would print 5 hex
+    * chars, which a 4-char bucket compares AGAINST lexicographically
+    * ("ffff" > "10000") and near-everything would be dropped. */
   private def threshold(fraction: Double): String =
-    f"${math.round(fraction * 65536).toInt}%04x"
+    f"${math.min(math.round(fraction * 65536).toInt, 65535)}%04x"
 
   /** Tag every row with a stable "train"/"test" split.
     * Within any stratum the split is ~`trainFraction` because the hash is
@@ -116,7 +119,11 @@ object Sampling {
     val withPack = df
       .withColumn("pack_id",
         concat(col(shardCol), lit("#"), floor(cumBefore / budget).cast("string")))
-    val wp = Window.partitionBy("pack_id").orderBy(orderCol)
+    // partitioning by (shard, pack_id) is semantically identical (pack_id
+    // is shard-prefixed) and is satisfied by the existing shard hash
+    // partitioning, so this second window reuses the first one's exchange —
+    // bare partitionBy(pack_id) would force a second full shuffle
+    val wp = Window.partitionBy(col(shardCol), col("pack_id")).orderBy(orderCol)
     withPack.withColumn("pack_pos", (row_number().over(wp) - 1).cast("int"))
   }
 }

@@ -158,9 +158,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions
     val centroids = decodeCentroids(index.properties("graft.ivf.centroids"))
+    // persisted: the assignment pipeline feeds both the driver-side probed-
+    // cell collect and the broadcast join side — without it the
+    // O(|queries| x nlist) distance pass runs twice
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("cell",
         explode(VectorFunctions.nearestCentroids(col("qv"), centroids, nprobe)))
+      .persist()
     val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val c = index.toDf.filter(col("cell").isin(cells: _*))
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))

@@ -87,14 +87,9 @@ class LakeTable private[table] (
     if (dvs.isEmpty) return base
     // same mask join as readFilesMaskedPos, over the pruning relation;
     // file stats include masked rows, so pruning stays conservative-safe
-    val dvDirs = dvs.map(d => dir.resolve(d.dvPath).toString).distinct
-    val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
-    val dvSide =
-      if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
-    base
+    dvMaskJoin(base
       .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__idx", col("_metadata.row_index"))
-      .join(dvSide, Seq("__file", "__idx"), "left_anti")
+      .withColumn("__idx", col("_metadata.row_index")), dvs)
       .drop("__file", "__idx")
   }
 
@@ -144,19 +139,21 @@ class LakeTable private[table] (
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__idx", col("_metadata.row_index"))
     val dvs = files.flatMap(f => snap.dvs.get(f.path))
+    if (dvs.isEmpty) withPos else dvMaskJoin(withPos, dvs)
+  }
+
+  /** Anti-join a position-carrying frame (`__file`, `__idx`) against the
+    * given deletion vectors. Rows for files the vectors don't cover simply
+    * find no match. The mask-row count is known from the snapshot, so small
+    * vectors are broadcast explicitly — size estimation over the raw
+    * parquet read is conservative enough to shuffle the whole base side
+    * otherwise, which triples merge cost on tables carrying vectors. */
+  private def dvMaskJoin(withPos: DataFrame, dvs: Seq[DeletionVector]): DataFrame = {
     val dvDirs = dvs.map(d => dir.resolve(d.dvPath).toString).distinct
-    if (dvDirs.isEmpty) withPos
-    else {
-      // rows for files outside `files` simply find no match in the anti-join.
-      // The mask-row count is known from the snapshot, so small vectors are
-      // broadcast explicitly — size estimation over the raw parquet read is
-      // conservative enough to shuffle the whole base side otherwise, which
-      // triples merge cost on tables carrying vectors.
-      val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
-      val dvSide =
-        if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
-      withPos.join(dvSide, Seq("__file", "__idx"), "left_anti")
-    }
+    val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
+    val dvSide =
+      if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
+    withPos.join(dvSide, Seq("__file", "__idx"), "left_anti")
   }
 
   /** Masked read with the table schema only (the hot read path). */
