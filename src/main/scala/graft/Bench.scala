@@ -290,13 +290,15 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val opsJson = ops.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // stop BEFORE printing: SparkSession shutdown can emit WARN lines, and
+    // anything printed after the final JSON eats into the 2000-char window
+    try spark.stop() catch { case _: Throwable => }
     println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfDir"}""")
-    // final line: every query at 2dp plus the BASELINE.md-comparable ops
-    val qsShort = results.map { case (k, v) => s""""$k":${jshort(v, "%.2f")}""" }
-      .mkString("{", ",", "}")
+    // final line: every query plus the BASELINE.md-comparable ops, sized to
+    // fit the tail window with ~200 chars to spare for the sbt epilogue
     val headline = Seq(
       "write_rows_per_sec" -> "%.0f", "read_rows_per_sec" -> "%.0f",
-      "read_agg_rows_per_sec" -> "%.0f", "merge_rows_per_sec" -> "%.0f",
+      "merge_rows_per_sec" -> "%.0f",
       "merge_sec" -> "%.2f", "merge_mb_written" -> "%.1f",
       "dv_merge_rows_per_sec" -> "%.0f", "dv_merge_mb_written" -> "%.1f",
       "timetravel_rows_per_sec" -> "%.0f",
@@ -304,10 +306,16 @@ object Bench {
       "partition_pruning_speedup_pct" -> "%.1f", "partition_files_scanned_pct" -> "%.1f",
       "optimize_file_reduction_pct" -> "%.1f",
       "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",
-      "small_merge_sec" -> "%.2f",
     ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$headline,"sf":"$sfDir"}""")
-    spark.stop()
+    val sfShort = sfDir.split('/').last
+    def finalLine(qfmt: String): String = {
+      val qsShort = results.map { case (k, v) => s""""$k":${jshort(v, qfmt)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$headline,"sf":"$sfShort"}"""
+    }
+    val line = { val l2 = finalLine("%.2f"); if (l2.length <= 1750) l2 else finalLine("%.1f") }
+    println(line)
+    System.out.flush()
   }
 }
