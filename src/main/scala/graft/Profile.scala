@@ -18,6 +18,7 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
+    if (args.contains("skew")) { profileSkew(spark); spark.stop(); return }
     if (args.contains("explain")) {
       // shuffle audit for named queries (sfDir comes FIRST):
       //   runMain graft.Profile /root/testdata/sf0.01 explain q45 q46
@@ -134,6 +135,49 @@ object Profile {
     spark.stop()
   }
 
+  /** Why is the skewed shuffle join > 2x the uniform one? */
+  def profileSkew(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = 10000000L
+    def fact(skewed: Boolean) = {
+      val uid =
+        if (skewed) when(col("id") % 2 === 0, lit("user_0"))
+          .otherwise(concat(lit("user_"), col("id") % 100000))
+        else concat(lit("user_"), col("id") % 100000)
+      spark.range(n).withColumn("user_id", uid)
+        .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+    }
+    val dim = spark.range(100000)
+      .withColumn("user_id", concat(lit("user_"), col("id")))
+      .withColumn("segment", (col("id") % 17).cast("int"))
+      .drop("id")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (thr <- Seq("64m", "16m", "8m")) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", thr)
+      for (skewed <- Seq(false, true)) {
+        val df = fact(skewed).join(dim, "user_id").groupBy("segment").agg(sum("amount"))
+        timed(s"join thr=$thr skewed=$skewed")(noop(df))
+        if (skewed) {
+          val plan = df.queryExecution.executedPlan.toString
+          println(plan.linesIterator
+            .filter(l => l.contains("AQEShuffleRead") || l.contains("SortMergeJoin") ||
+              l.contains("ShuffledHashJoin") || l.contains("skewed"))
+            .mkString("  ", "\n  ", ""))
+        }
+      }
+    }
+    // shuffled hash join instead of SMJ: no per-slice sort of the hot key
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    for (skewed <- Seq(false, true))
+      timed(s"join SHJ skewed=$skewed")(
+        noop(fact(skewed).join(dim, "user_id").groupBy("segment").agg(sum("amount"))))
+  }
+
   /** Decompose the Strain merge into its constituent jobs. */
   def profileMerge(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.functions._
@@ -146,6 +190,9 @@ object Profile {
     val dir = java.nio.file.Files.createTempDirectory("pm").resolve("t").toString
     val t = LakeTable.create(spark, dir, gen.schema)
     timed("append 5M")(t.append(gen))
+    println(f"table files=${t.snapshot().numFiles} " +
+      f"scanPartitions=${t.read().rdd.getNumPartitions} " +
+      f"bytes=${t.snapshot().files.map(_.size).sum / 1e6}%.1f MB")
     val src0 = spark.range(0, n, 10)
       .withColumn("user_id", concat(lit("u_"), col("id")))
       .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))

@@ -341,10 +341,20 @@ class MergeBuilder private[table] (
       conjuncts(Pruner.normalize(Pruner.exprOf(condition))).size == pairs.size
   }
 
+  // opt-in phase timing for local profiling: -Dgraft.merge.timing=1
+  private val timingOn = sys.props.get("graft.merge.timing").contains("1")
+  private var lastMark = System.nanoTime()
+  private def mark(label: String): Unit = if (timingOn) {
+    val now = System.nanoTime()
+    System.err.println(f"[merge-timing] $label%-28s ${(now - lastMark) / 1e9}%7.2f s")
+    lastMark = now
+  }
+
   /** Run the two-phase merge. Returns the committed version. */
   def execute(): Long = {
     val spark = table.spark
     val snap = table.snapshot()
+    lastMark = System.nanoTime()
     val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
     val dvOn = table.properties.get("graft.enableDeletionVectors").contains("true")
 
@@ -426,6 +436,7 @@ class MergeBuilder private[table] (
           }
         (cnt, cands, distinct)
       }.getOrElse((src.count(), snap.files, false))
+    mark("phase0 source agg")
 
     // WHEN NOT MATCHED BY SOURCE widens the touched set beyond the
     // key-overlap slice: unmatched target rows can live in ANY file, so
@@ -449,7 +460,10 @@ class MergeBuilder private[table] (
     // fast path; also the only correct semantics when one target row
     // matches several source rows).
     if (matchedClauses.isEmpty && !nmbsOn) {
-      val tgt = table.readFilesMasked(snap, candidates, schema).alias("target")
+      // shuffle_hash: the target side must never be auto-broadcast (see the
+      // phase-2 anti-join note below — same driver-broadcast hazard)
+      val tgt = table.readFilesMasked(snap, candidates, schema)
+        .hint("shuffle_hash").alias("target")
       val unmatchedSrc = src.alias("source").join(tgt, condition, "left_anti")
         .alias("source")
       val insertAction = {
@@ -502,17 +516,32 @@ class MergeBuilder private[table] (
     // the guard (when still needed) then falls back to a narrow aggregation
     // over the phase-2 join.
     var guardChecked = srcKeysDistinct
+    // Set by the distinct-keys probe: how many source rows found a match.
+    // When it equals numSourceRows, NO source row is an insert and the
+    // phase-2 anti-join (a full scan of the touched files' keys) is skipped.
+    var matchedSourceRows: Option[Long] = None
     val matchTouched: Seq[AddFile] =
       if (candidates.size <= 2) candidates
       else {
         val touchedPaths: Set[String] =
           if (srcKeysDistinct) {
-            table.readFilesWithFile(snap, candidates, schema).alias("target")
+            // When insert clauses exist, the same probe job also counts the
+            // DISTINCT matched source keys (distinct because a source row
+            // can match several duplicate-key target rows): if every source
+            // row matched, phase 2 skips its anti-join — a full scan of the
+            // touched files' keys — entirely.
+            val srcKey = if (pairs.size == 1) col(s"source.${pairs.head._2}")
+              else struct(pairs.map(p => col(s"source.${p._2}")): _*)
+            val aggs = Seq(collect_set(col("__file")).as("files")) ++
+              (if (rawNotMatchedClauses.nonEmpty)
+                Seq(count_distinct(srcKey).as("msr")) else Nil)
+            val row = table.readFilesWithFile(snap, candidates, schema).alias("target")
               .join(src.alias("source"), condition, "inner")
-              .select(col("__file").as("__f"))
-              .agg(collect_set(col("__f")).as("files"))
+              .agg(aggs.head, aggs.tail: _*)
               .collect().head
-              .getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
+            if (rawNotMatchedClauses.nonEmpty)
+              matchedSourceRows = Some(row.getAs[Long]("msr"))
+            row.getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
           } else {
             val probeTarget = table.readFilesWithFile(snap, candidates, schema)
               .withColumn("__prid", monotonically_increasing_id()).alias("target")
@@ -531,6 +560,7 @@ class MergeBuilder private[table] (
           }
         snap.files.filter(f => touchedPaths.contains(table.absPath(f)))
       }
+    mark("phase1 probe")
     val touched: Seq[AddFile] =
       if (!nmbsOn) matchTouched
       else {
@@ -594,16 +624,23 @@ class MergeBuilder private[table] (
         .select(schema.fieldNames.toIndexedSeq.map(outColA): _*)
 
       val (rewritten, numInserted: (() => Long)) =
-        if (notMatchedClauses.isEmpty) (keptA, () => 0L)
+        if (notMatchedClauses.isEmpty ||
+            matchedSourceRows.contains(numSourceRows)) (keptA, () => 0L)
         else {
           // the anti side needs only the target key columns: a source row
           // matching any touched-file row is by definition not an insert,
           // and rows in unprobed files cannot match (their key ranges were
-          // pruned against the source bounds in phase 0)
+          // pruned against the source bounds in phase 0).
+          // shuffle_hash pins the plan to a shuffled hash join: the target
+          // keys are the build side and at scale they must never be
+          // driver-broadcast (auto-broadcast picked them whenever the
+          // narrow key scan's estimate fell under the threshold — a 10M-key
+          // HashedRelation built on the driver per merge).
           val keyCols = pairs.map(_._1).distinct
           val tgtKeys = table.readFilesMasked(snap, touched,
             org.apache.spark.sql.types.StructType(
               keyCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
+            .hint("shuffle_hash")
             .alias("target")
           val anti = src.alias("source").join(tgtKeys, condition, "left_anti")
             .alias("source")
@@ -635,11 +672,15 @@ class MergeBuilder private[table] (
             case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
           })
         }
+      if (timingOn) System.err.println(rewritten.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Broadcast")).mkString("[merge-plan]\n", "\n", ""))
       val adds = table.stageWrite(rewritten, snap.metadata.partitionColumns)
+      mark("phase2 low-shuffle write")
       def metricA(k: String): Long = obsA.get.get(k) match {
         case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
       }
-      return table.commitRewrite(snap, "MERGE",
+      val v = table.commitRewrite(snap, "MERGE",
         Map("condition" -> condition.toString,
           "matchedClauses" -> matchedClauses.size.toString,
           "notMatchedClauses" -> notMatchedClauses.size.toString),
@@ -649,6 +690,8 @@ class MergeBuilder private[table] (
           "numTargetRowsInserted" -> numInserted(),
           "numTargetRowsCopied" -> metricA("copied"),
           "numSourceRows" -> numSourceRows))
+      mark("commit")
+      return v
     }
 
     // Phase 2: full-outer join of source vs touched rows; untouched files
