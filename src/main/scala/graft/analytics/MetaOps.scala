@@ -24,7 +24,8 @@ object MetaOps {
     t.update(col("o_orderstatus") === "O", Map("o_totalprice" -> (col("o_totalprice") * 1.0)))
     t.delete(col("o_orderkey") % 7 === 0)
     t.restoreToVersion(1)
-    t.history().select(col("version"), col("operation"), col("readVersion"))
+    t.history().select(col("version"), col("operation"), col("readVersion"),
+        col("isBlindAppend"))
       .orderBy("version")
   }
 
@@ -88,9 +89,10 @@ object MetaOps {
       "SELECT * FROM orders WHERE o_orderkey % 5 <> 0",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
-           (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT)),
-           (1, 'WRITE', 0), (2, 'UPDATE', 1), (3, 'DELETE', 2), (4, 'RESTORE', 3))
-         AS t(version, operation, "readVersion")""",
+           (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),
+           (1, 'WRITE', 0, true), (2, 'UPDATE', 1, false),
+           (3, 'DELETE', 2, false), (4, 'RESTORE', 3, false))
+         AS t(version, operation, "readVersion", "isBlindAppend")""",
     "q35_describe_detail" ->
       """SELECT 'graft' AS format, 't' AS name, '["o_orderstatus"]' AS partition_columns""",
     "q36_vacuum" ->

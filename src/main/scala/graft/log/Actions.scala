@@ -42,13 +42,19 @@ case class Metadata(
     properties: Map[String, String],
     createdTime: Long) extends Action
 
+/** `userName`/`isBlindAppend` mirror Delta's DESCRIBE HISTORY identity
+  * columns (the reference surfaces the full history frame,
+  * src/delta_utils.py:168-174). Defaults keep pre-existing log files
+  * readable: missing JSON fields deserialize to null. */
 case class CommitInfo(
     version: Long,
     timestamp: Long,
     operation: String,
     operationParameters: Map[String, String],
     operationMetrics: Map[String, Long],
-    readVersion: Long) extends Action
+    readVersion: Long,
+    userName: String = null,
+    isBlindAppend: java.lang.Boolean = null) extends Action
 
 /** CDF sidecar parquet file (relative path) carrying the commit's row-level
   * changes with a `_change_type` column; written by UPDATE/DELETE/MERGE.

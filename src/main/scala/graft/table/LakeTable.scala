@@ -691,7 +691,15 @@ class LakeTable private[table] (
         "numAddedBytes" -> adds.map(_.size).sum,
         "numOutputRows" -> adds.map(_.numRecords).sum)
       val v = snap.version + 1
-      val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics, snap.version)
+      // Blind append per Delta's history semantics: the commit only adds
+      // data and never read the table (appends, streaming appends) — so it
+      // can never conflict on content. Overwrites/DML read state first.
+      val blind = adds.nonEmpty && removes.isEmpty &&
+        !actions.exists(_.isInstanceOf[graft.log.DeletionVector]) &&
+        ((op == "WRITE" && params.get("mode").contains("Append")) ||
+          op == "STREAMING UPDATE")
+      val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics,
+        snap.version, LakeTable.currentUser, blind)
       if (log.tryCommit(v, ci +: actions)) {
         // checkpoint every 10th commit so snapshot resolution stays O(10)
         // regardless of table history (best effort — replay still works)
@@ -716,20 +724,25 @@ class LakeTable private[table] (
 
   // ------------------------------------------------- metadata operations
 
-  /** DESCRIBE HISTORY (M14, src/delta_utils.py:168-174). */
+  /** DESCRIBE HISTORY (M14, src/delta_utils.py:168-174). `userName` /
+    * `isBlindAppend` follow Delta's history column names; commits written
+    * by older versions of this library surface them as null. */
   def history(limit: Option[Int] = None): DataFrame = {
     val commits = snapshot().commits.sortBy(-_.version)
     val take = limit.map(commits.take).getOrElse(commits)
-    val rows = take.map(c => Row(c.version, new java.sql.Timestamp(c.timestamp), c.operation,
+    val rows = take.map(c => Row(c.version, new java.sql.Timestamp(c.timestamp),
+      c.userName, c.operation,
       c.operationParameters, c.operationMetrics.map { case (k, v) => k -> v.toString },
-      c.readVersion))
+      c.readVersion, c.isBlindAppend))
     val schema = StructType(Seq(
       StructField("version", LongType),
       StructField("timestamp", TimestampType),
+      StructField("userName", StringType),
       StructField("operation", StringType),
       StructField("operationParameters", MapType(StringType, StringType)),
       StructField("operationMetrics", MapType(StringType, StringType)),
-      StructField("readVersion", LongType)))
+      StructField("readVersion", LongType),
+      StructField("isBlindAppend", BooleanType)))
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -1043,7 +1056,8 @@ class LakeTable private[table] (
     val meta = snap.metadata.copy(id = UUID.randomUUID().toString, createdTime = now)
     val ci = CommitInfo(0L, now, "CLONE",
       Map("source" -> dir.toString, "isShallow" -> shallow.toString),
-      Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L)
+      Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L,
+      LakeTable.currentUser, false)
     val tlog = new TxLog(tgt)
     require(tlog.tryCommit(0L, (ci +: meta +: adds) ++ dvActions), s"concurrent clone into $targetDir")
     new LakeTable(spark, tgt)
@@ -1051,6 +1065,11 @@ class LakeTable private[table] (
 }
 
 object LakeTable {
+
+  /** Committing identity for CommitInfo.userName (no auth layer locally —
+    * the JVM user is the honest equivalent of the reference's cluster user). */
+  private[table] def currentUser: String =
+    sys.props.getOrElse("user.name", "unknown")
 
   private[table] class EpochAlreadyCommitted extends RuntimeException
   private[table] class StaleStagedIds extends RuntimeException
@@ -1081,7 +1100,8 @@ object LakeTable {
       stamped.json, partitionColumns,
       properties + (ColumnIds.MaxIdKey -> stamped.fields.length.toString), now)
     val ci = CommitInfo(0L, now, "CREATE TABLE",
-      Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L)
+      Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L,
+      LakeTable.currentUser, false)
     val tlog = new TxLog(p)
     if (!tlog.tryCommit(0L, Seq(ci, meta)) && !ifNotExists)
       throw new IllegalStateException(s"concurrent create on $dir")
@@ -1153,7 +1173,8 @@ object LakeTable {
         modificationTime = Files.getLastModifiedTime(f).toMillis)
     }
     val ci = CommitInfo(0L, now, "CONVERT",
-      Map("numFiles" -> adds.size.toString), Map.empty, -1L)
+      Map("numFiles" -> adds.size.toString), Map.empty, -1L,
+      LakeTable.currentUser, false)
     val tlog = new TxLog(p)
     if (!tlog.tryCommit(0L, (ci +: meta +: adds)))
       return forPath(spark, dir) // lost a concurrent-convert race: theirs won

@@ -141,6 +141,23 @@ class LakeTableSpec extends SparkSpec {
     d.select("format").as[String].head() shouldBe "graft"
   }
 
+  test("history carries userName and isBlindAppend per commit") {
+    val t = freshTable("lt-ident")
+    t.append(rows(0 until 10))
+    t.overwrite(rows(0 until 5))
+    t.delete(col("id") === 1)
+    val h = t.history().orderBy("version")
+      .select("operation", "userName", "isBlindAppend")
+      .as[(String, String, Boolean)].collect()
+    val me = sys.props.getOrElse("user.name", "unknown")
+    h.map(_._2).toSet shouldBe Set(me)
+    // only the plain append is a blind append: create/overwrite/DML all
+    // either remove files or depend on prior table state
+    h.map(r => r._1 -> r._3).toSeq shouldBe Seq(
+      "CREATE TABLE" -> false, "WRITE" -> true, "WRITE" -> false,
+      "DELETE" -> false)
+  }
+
   test("restore rolls the table back to an old version") {
     val t = freshTable("lt-restore")
     t.append(rows(0 until 10))
