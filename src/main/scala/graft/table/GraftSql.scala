@@ -51,6 +51,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  // ALTER TABLE t ADD COLUMNS (c1 TYPE [COMMENT '...'], ...) —
+  // the reference's schema-evolution DDL (notebooks/04_acid_operations.py:289-295)
+  private val addColumnsCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
   private val renameColumnCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val dropColumnCmd =
@@ -76,6 +80,37 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       Seq(Row.fromSeq(fields.map(_._2))).asJava, schema)
   }
 
+  /** Split on commas at paren depth 0 (so `decimal(18,2)` survives). */
+  private def splitTop(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    body.indices.foreach { i =>
+      body.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += body.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val columnDef =
+    """(?is)\s*(\w+)\s+(.+?)(?:\s+COMMENT\s+'([^']*)')?\s*""".r
+
+  /** Parse `c1 TYPE [COMMENT '...'], ...` into StructFields. */
+  private def parseColumnDefs(body: String): Seq[StructField] =
+    splitTop(body).map {
+      case columnDef(name, ddlType, comment) =>
+        val f = StructField(name,
+          org.apache.spark.sql.types.DataType.fromDDL(ddlType.trim))
+        Option(comment).map(c => f.withComment(c)).getOrElse(f)
+      case bad => throw new IllegalArgumentException(s"bad column def: $bad")
+    }
+
   /** Parse `'k' = 'v', k2 = v2, ...` (quotes optional, delta-style). */
   private def parseProps(body: String): Map[String, String] =
     body.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
@@ -97,6 +132,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>
       oneRow("version" -> table(t).dropConstraint(name))
+    case addColumnsCmd(t, defs) =>
+      oneRow("version" -> table(t).addColumns(parseColumnDefs(defs)))
     case renameColumnCmd(t, from, to) =>
       oneRow("version" -> table(t).renameColumn(from, to))
     case dropColumnCmd(t, name) =>

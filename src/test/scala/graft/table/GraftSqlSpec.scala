@@ -31,6 +31,29 @@ class GraftSqlSpec extends SparkSpec {
     props("quality") shouldBe "gold"
   }
 
+  // mirrors notebooks/04_acid_operations.py:289-295 (ADD COLUMNS with
+  // per-column COMMENT), plus a parenthesized type to stress the parser
+  test("ALTER TABLE ADD COLUMNS with comments and complex types") {
+    val (t, dir) = freshTable("gsql-addcols")
+    sql.run(
+      s"""ALTER TABLE '$dir'
+          ADD COLUMNS (
+              experiment_id STRING COMMENT 'A/B test experiment ID',
+              experiment_variant STRING COMMENT 'A/B test variant',
+              score DECIMAL(18,2)
+          )""")
+    val schema = t.snapshot().schema
+    schema.fieldNames should contain allOf
+      ("experiment_id", "experiment_variant", "score")
+    schema("experiment_id").getComment() shouldBe Some("A/B test experiment ID")
+    schema("score").dataType shouldBe
+      org.apache.spark.sql.types.DecimalType(18, 2)
+    // old rows read back with nulls in the new columns
+    t.read().filter(col("experiment_id").isNull).count() shouldBe 200
+    an[IllegalArgumentException] should be thrownBy
+      sql.run(s"ALTER TABLE '$dir' ADD COLUMNS (id BIGINT)")
+  }
+
   test("RESTORE TABLE TO VERSION AS OF") {
     val (t, dir) = freshTable("gsql-restore")
     val v = t.version
