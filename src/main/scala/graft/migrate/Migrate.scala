@@ -44,25 +44,45 @@ object Migrate {
 
   /** Incremental migration: only rows past the watermark are appended
     * (migrate_from_rdbms.py:130-200). The caller persists the returned new
-    * watermark (max of `watermarkCol` in this batch). */
+    * watermark (max of `watermarkCol` in this batch).
+    *
+    * Single source pass: the batch count and the new watermark ride the
+    * append job as `Observation` metrics instead of separate `count()` /
+    * `max().collect()` scans (at a 100 TB batch those were 2 extra full
+    * reads), and validation compares the commit's own `numOutputRows`
+    * metric plus the tx-log row stats — no post-write table scans.
+    * `recount` restores the reference's physical before/after counts
+    * (migrate_from_rdbms.py:178-189) when an end-to-end recount is wanted. */
   def incremental(
       source: DataFrame,
       table: LakeTable,
       watermarkCol: String,
       lastWatermark: Option[String],
-      transform: DataFrame => DataFrame = identity): (MigrationResult, Option[String]) = {
+      transform: DataFrame => DataFrame = identity,
+      recount: Boolean = false): (MigrationResult, Option[String]) = {
     val fresh = lastWatermark match {
       case Some(w) => source.filter(col(watermarkCol) > lit(w))
       case None    => source
     }
     val shaped = transform(fresh)
-    val newWatermark = shaped.agg(max(col(watermarkCol)).cast("string")).collect()
-      .headOption.flatMap(r => Option(r.getString(0))).orElse(lastWatermark)
-    val before = table.read().count()
-    val batchRows = shaped.count()
-    val v = table.append(BatchIngest.withIngestionMetadata(shaped), mergeSchema = true)
-    val after = table.read().count()
-    (MigrationResult(batchRows, after, v, after - before == batchRows), newWatermark)
+    val before = if (recount) Some(table.read().count()) else None
+    val obs = org.apache.spark.sql.Observation()
+    val observed = shaped.observe(obs,
+      count(lit(1)).as("batch_rows"),
+      max(col(watermarkCol)).cast("string").as("max_wm"))
+    val v = table.append(BatchIngest.withIngestionMetadata(observed), mergeSchema = true)
+    val metrics = obs.get
+    val batchRows = metrics("batch_rows").asInstanceOf[Long]
+    val newWatermark = Option(metrics("max_wm")).map(_.toString).orElse(lastWatermark)
+    val snap = table.snapshot()
+    val written = snap.commits.find(_.version == v)
+      .flatMap(_.operationMetrics.get("numOutputRows")).getOrElse(-1L)
+    val after = before match {
+      case Some(_) => table.read().count()
+      case None    => snap.files.map(_.numRecords).sum
+    }
+    val ok = before.map(b => after - b == batchRows).getOrElse(written == batchRows)
+    (MigrationResult(batchRows, after, v, ok), newWatermark)
   }
 
   /** Multi-path consolidation (U1, migrate_from_s3.py:268-306): read every

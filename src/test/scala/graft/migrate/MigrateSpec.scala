@@ -44,6 +44,34 @@ class MigrateSpec extends SparkSpec {
     r3.sourceRows shouldBe 1
     w3 shouldBe Some("2024-02-01")
     t.read().count() shouldBe 4
+
+    // recount mode reproduces the reference's physical before/after counts
+    val later = Seq((5L, "2024-03-01")).toDF("id", "updated_at")
+    val (r4, w4) = Migrate.incremental(src.union(later), t, "updated_at", w3,
+      recount = true)
+    r4.sourceRows shouldBe 1
+    r4.targetRows shouldBe 5
+    r4.validationPassed shouldBe true
+    w4 shouldBe Some("2024-03-01")
+  }
+
+  test("incremental migration reads the source exactly once") {
+    import spark.implicits._
+    // every source-row evaluation bumps the accumulator via a
+    // non-deterministic filter Catalyst can't elide or cache across scans
+    val evals = spark.sparkContext.longAccumulator("src-evals")
+    val touch = udf { () => evals.add(1); true }.asNondeterministic()
+    val src = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "updated_at")
+    val t = LakeTable.create(spark, tmpDir("mig-once").resolve("t").toString,
+      BatchIngest.withIngestionMetadata(src).schema)
+    val (r, w) = Migrate.incremental(src, t, "updated_at", None,
+      transform = _.filter(touch()))
+    r.sourceRows shouldBe 3
+    r.validationPassed shouldBe true
+    w shouldBe Some("2024-01-03")
+    // one pass = one evaluation per source row (the old shape did 3 passes)
+    evals.value shouldBe 3L
   }
 
   test("multi-path consolidation unions by name with missing columns (U1)") {
