@@ -196,20 +196,25 @@ object Gold {
         count(lit(1)).as("count_order"))
   }
 
-  /** Top customers by revenue — join + agg + deterministic top-k
-    * (row_number over exact decimal revenue with key tiebreak; Catalyst
-    * plans TakeOrderedAndProject for the final limit).
+  /** Top customers by revenue — agg + top-k + broadcast join-back.
+    *
+    * The top-k runs BEFORE the dim join as `orderBy().limit(n)`, which
+    * Catalyst plans as `TakeOrderedAndProject`: each partition keeps a
+    * local n-row heap and the driver merges heaps — no global sort, no
+    * full-aggregate shuffle to one partition. The n surviving rows are
+    * broadcast to the dim join, and the rank window runs over exactly n
+    * rows (deterministic: exact decimal revenue with key tiebreak).
     */
   def topCustomers(orders: DataFrame, customer: DataFrame, n: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = orders.groupBy(col("o_custkey")).agg(
       sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue_dec"),
       count(lit(1)).as("order_count"))
+    val top = rev.orderBy(col("revenue_dec").desc, col("o_custkey").asc).limit(n)
     val dim = customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val w = Window.orderBy(col("revenue_dec").desc, col("o_custkey").asc)
-    rev.join(dim, rev("o_custkey") === dim("c_custkey"), "inner")
+    broadcast(top).join(dim, top("o_custkey") === dim("c_custkey"), "inner")
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= n)
       .select(
         col("rank"), col("o_custkey").as("custkey"), col("c_name"),
         col("c_mktsegment"), col("revenue_dec").cast("double").as("revenue"),

@@ -26,6 +26,33 @@ class JoinsSpec extends SparkSpec {
     saltedLeft shouldBe plainLeft
   }
 
+  test("topCustomers plans TakeOrderedAndProject + broadcast join-back") {
+    val orders = (1 to 300).map { i =>
+      (i.toLong, (i % 50).toLong, java.math.BigDecimal.valueOf((i % 97) * 10L))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = (0 until 50).map(i =>
+      (i.toLong, s"Customer#$i", if (i % 2 == 0) "BUILDING" else "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+
+    val top = Gold.topCustomers(orders, customer, n = 5)
+    val plan = top.queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+
+    val rows = top.orderBy("rank").collect()
+    rows.length shouldBe 5
+    // ranks are 1..n and revenue is non-increasing
+    rows.map(_.getAs[Int]("rank")).toSeq shouldBe (1 to 5)
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    revs shouldBe revs.sorted.reverse
+    // matches a straight groupBy+sort oracle on the same data
+    val expected = orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    rows.map(_.getAs[Long]("custkey")).toSeq shouldBe expected
+  }
+
   test("salted distinct count equals exact countDistinct") {
     val df = ((1 to 500).map(i => (1L, s"u${i % 37}")) ++ (1 to 10).map(i => (2L, s"u$i")))
       .toDF("k", "user")
