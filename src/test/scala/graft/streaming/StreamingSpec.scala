@@ -74,6 +74,38 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getDouble(0) shouldBe 9.5
   }
 
+  test("autoCompact keeps streaming-sink file counts bounded over many micro-batches") {
+    val src = tmpDir("compact-src")
+    val ck = tmpDir("compact-ck").toString
+    val table = LakeTable.create(spark, tmpDir("compact-tbl").resolve("t").toString, schema)
+    // trigger compaction once 6 small files accumulate (default 50 is sized
+    // for production file counts, not a unit test)
+    table.setProperties(Map(
+      "graft.autoOptimize.autoCompact" -> "true",
+      "graft.autoOptimize.optimizeWrite" -> "true",
+      "graft.autoCompact.minNumFiles" -> "6"))
+
+    // one file per trigger -> one commit per micro-batch, 18 batches
+    val cfg = StreamIngest.StreamConfig(maxFilesPerTrigger = 1)
+    (0 until 18).foreach { b =>
+      writeJson(src, f"b$b%03d.json", Seq((b * 2L, "view"), (b * 2L + 1, "click")))
+    }
+    val q = StreamIngest.ingest(spark, src.toString, schema, table, ck, cfg)
+    q.processAllAvailable()
+    q.stop()
+
+    table.read().count() shouldBe 36
+    table.read().select(sum("id")).collect().head.getLong(0) shouldBe (0L until 36L).sum
+    // without compaction this table would hold >= 18 files (one per batch);
+    // auto-compact bin-packs once the small-file count passes the threshold
+    val files = table.snapshot().numFiles
+    withClue(s"files after 18 micro-batches: $files") {
+      files should be < 10
+    }
+    table.history().select("operation").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect() should contain("OPTIMIZE")
+  }
+
   test("replayed epoch is a no-op (idempotent appendStream)") {
     val table = LakeTable.create(spark, tmpDir("replay-tbl").resolve("t").toString, schema)
     import spark.implicits._
