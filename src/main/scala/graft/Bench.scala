@@ -51,7 +51,7 @@ object Bench {
       }
       w1.update(col("id") === 1L, Map("v" -> lit(java.math.BigDecimal.TEN)))
       w1.delete(col("id") === 2L)
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
 
     // ---- per-query timings (full materialization via noop sink) ----
     // Timed FIRST, right after warmup: r02 ran these after the 10M-row
@@ -200,14 +200,22 @@ object Bench {
         (col("id") % 30).cast("int")))
     val st = LakeTable.create(spark, scratch("strain"), sgen.schema)
     // generation inside the timed write, exactly like the reference
-    // (benchmarks/delta_performance_benchmark.py:53-60)
-    val (_, sWriteSec) = timed(st.append(sgen))
+    // (benchmarks/delta_performance_benchmark.py:53-60). Median of 3 —
+    // disk writeback left over from whatever ran before the bench swung
+    // single-shot write timings 6x run-to-run; runs 2-3 write throwaway
+    // tables so st keeps exactly one append (timetravel below relies on
+    // version 1 being the full 10M rows)
+    val sWriteSec = (
+      timed(st.append(sgen))._2 +: (2 to 3).map(i =>
+        timed(LakeTable.create(spark, scratch(s"strainw$i"), sgen.schema)
+          .append(sgen))._2)
+    ).sorted.apply(1)
     ops += "write_rows_per_sec" -> strainN.toDouble / sWriteSec
     ops += "write_sec" -> sWriteSec
 
     // full-scan read (BASELINE: 2M rows/sec on 10M rows); count() mirrors
     // the reference's read benchmark, the agg variant forces real column IO
-    val (_, sReadSec) = timed(st.read().count())
+    val sReadSec = (1 to 3).map(_ => timed(st.read().count())._2).sorted.apply(1)
     ops += "read_rows_per_sec" -> strainN.toDouble / sReadSec
     ops += "read_sec" -> sReadSec
     val (_, sReadAggSec) = timed(st.read().agg(sum("amount")).collect())
@@ -234,7 +242,8 @@ object Bench {
     ops += "merge_mb_written" -> lastAddedMb
 
     // time travel (BASELINE: 1M rows/sec): the pre-merge 10M-row snapshot
-    val (ttRows, ttSec) = timed(st.versionAsOf(1).count())
+    val ttRuns = (1 to 3).map(_ => timed(st.versionAsOf(1).count()))
+    val (ttRows, ttSec) = (ttRuns.head._1, ttRuns.map(_._2).sorted.apply(1))
     ops += "timetravel_rows_per_sec" -> ttRows.toDouble / ttSec
     ops += "timetravel_sec" -> ttSec
 
@@ -253,15 +262,20 @@ object Bench {
       .map(k => timed(st.delete(col("id") % 100 === k))._2).sorted.apply(1)
     ops += "delete_dv_sec" -> delDvSec
 
-    // DV-mode merge: matched rows are masked, only changed rows written
-    val ssrc2 = spark.range(5, strainN, 10)
-      .withColumn("user_id", concat(lit("v_"), col("id")))
-      .withColumn("amount", lit(java.math.BigDecimal.valueOf(2)).cast("decimal(18,2)"))
-      .withColumn("day", lit(java.sql.Date.valueOf("2024-03-01")))
-    val (_, dvMergeSec) = timed {
-      st.merge(ssrc2, col("target.id") === col("source.id"))
-        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
-    }
+    // DV-mode merge: matched rows are masked, only changed rows written.
+    // Median of 3 like the classic merge above — the single-shot number
+    // swung ±35% depending on what the DV-delete section left in the page
+    // cache and old-gen
+    val dvMergeSec = (3 until 6).map { i =>
+      val ssrc2 = spark.range(i, strainN, 10)
+        .withColumn("user_id", concat(lit("v_"), col("id")))
+        .withColumn("amount", lit(java.math.BigDecimal.valueOf(2)).cast("decimal(18,2)"))
+        .withColumn("day", lit(java.sql.Date.valueOf("2024-03-01")))
+      timed {
+        st.merge(ssrc2, col("target.id") === col("source.id"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      }._2
+    }.sorted.apply(1)
     ops += "dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
     ops += "dv_merge_sec" -> dvMergeSec
     // data bytes only (update+insert rows); the row masks are counted in
@@ -277,23 +291,93 @@ object Bench {
         finally s.close()
       }.sum.toDouble / 1e6
     }
+
+    // ---- skew strain: the same job shapes, uniform keys vs 50% of all
+    // rows on ONE hot key — proves the mitigation story empirically:
+    //  * aggregation & exact dedup: partial (map-side) aggregation absorbs
+    //    the hot key before the shuffle, so no salting is needed
+    //  * shuffle join: AQE's skew-join split carves the hot partition into
+    //    task-sized slices (split thresholds scaled to this local data
+    //    size; the 256MB defaults play the same role at cluster scale)
+    def skewFact(skewed: Boolean) = {
+      // the hot key is a real dim key so uniform/skewed joins emit the
+      // same number of output rows and stay comparable
+      val uid =
+        if (skewed) when(col("id") % 2 === 0, lit("user_0"))
+          .otherwise(concat(lit("user_"), col("id") % 100000))
+        else concat(lit("user_"), col("id") % 100000)
+      spark.range(strainN)
+        .withColumn("user_id", uid)
+        .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
+    }
+    def noopSink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val (_, aggUniformSec) = timed(noopSink(skewFact(skewed = false)
+      .groupBy("user_id").agg(sum("amount").as("amt"), count(lit(1)).as("n"))))
+    val (_, skewAggSec) = timed(noopSink(skewFact(skewed = true)
+      .groupBy("user_id").agg(sum("amount").as("amt"), count(lit(1)).as("n"))))
+    ops += "agg_uniform_sec" -> aggUniformSec
+    ops += "skew_agg_sec" -> skewAggSec
+    val (_, dedupUniformSec) =
+      timed(noopSink(skewFact(skewed = false).dropDuplicates("user_id")))
+    val (_, skewDedupSec) =
+      timed(noopSink(skewFact(skewed = true).dropDuplicates("user_id")))
+    ops += "dedup_uniform_sec" -> dedupUniformSec
+    ops += "skew_dedup_sec" -> skewDedupSec
+    // join: dim modeled as too large to broadcast (the 100 TB design point
+    // where skew actually bites); restore the session confs afterwards
+    val skewDim = spark.range(100000)
+      .withColumn("user_id", concat(lit("user_"), col("id")))
+      .withColumn("segment", (col("id") % 17).cast("int"))
+      .drop("id")
+    val savedConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k =>
+      k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    // median of 3: the first run of this plan shape pays JIT (~2x), which
+    // would otherwise be billed entirely to whichever variant went first
+    def joinSec(skewed: Boolean): Double = (1 to 3).map(_ =>
+      timed(noopSink(skewFact(skewed)
+        .join(skewDim, "user_id").groupBy("segment").agg(sum("amount"))))._2)
+      .sorted.apply(1)
+    val joinUniformSec = joinSec(skewed = false)
+    val skewJoinSec = joinSec(skewed = true)
+    savedConfs.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    ops += "join_uniform_sec" -> joinUniformSec
+    ops += "skew_join_sec" -> skewJoinSec
+    // headline carries the ratios (skew cost relative to uniform; <= 2.0
+    // is the contract) — raw seconds stay on BENCH_DETAIL
+    ops += "skew_agg_x" -> skewAggSec / aggUniformSec
+    ops += "skew_dedup_x" -> skewDedupSec / dedupUniformSec
+    ops += "skew_join_x" -> skewJoinSec / joinUniformSec
     } // skipOps
 
+    // Locale.ROOT everywhere: a non-English default locale would format
+    // decimal commas ("52,19") and break the machine-parsed JSON
     def jnum(v: Double): String =
-      if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
+      if (v.isNaN || v.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     // compact per-field formats: the driver captures only the TAIL of stdout
     // (~2000 chars), so the final JSON line must fit entirely inside that
     // window or the line start gets clipped and the parse fails (the r01/r02
     // "parsed": null). Full-precision detail goes on its own prefixed line.
     def jshort(v: Double, fmt: String): String =
-      if (v.isNaN || v.isInfinite) "null" else fmt.format(v)
+      if (v.isNaN || v.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val opsJson = ops.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sfShort = sfDir.split('/').last
     // stop BEFORE printing: SparkSession shutdown can emit WARN lines, and
     // anything printed after the final JSON eats into the 2000-char window
-    try spark.stop() catch { case _: Throwable => }
-    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfDir"}""")
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => }
+    // same sf spelling on both lines (full path kept as sf_dir for humans)
+    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir"}""")
     // final line: every query plus the BASELINE.md-comparable ops, sized to
     // fit the tail window with ~200 chars to spare for the sbt epilogue
     val headline = Seq(
@@ -306,15 +390,32 @@ object Bench {
       "partition_pruning_speedup_pct" -> "%.1f", "partition_files_scanned_pct" -> "%.1f",
       "optimize_file_reduction_pct" -> "%.1f",
       "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",
+      "skew_agg_x" -> "%.2f", "skew_dedup_x" -> "%.2f", "skew_join_x" -> "%.2f",
     ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
       .mkString("{", ",", "}")
-    val sfShort = sfDir.split('/').last
     def finalLine(qfmt: String): String = {
       val qsShort = results.map { case (k, v) => s""""$k":${jshort(v, qfmt)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$headline,"sf":"$sfShort"}"""
     }
-    val line = { val l2 = finalLine("%.2f"); if (l2.length <= 1750) l2 else finalLine("%.1f") }
+    // last-resort guard: if even %.1f overflows the tail window (e.g. after
+    // more queries are added), drop the per-query object — the ops are the
+    // baseline-comparable part — and say so where a human will look
+    val opsOnlyLine =
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":{},"ops":$headline,"sf":"$sfShort"}"""
+    val line = {
+      val l2 = finalLine("%.2f")
+      if (l2.length <= 1750) l2
+      else {
+        val l1 = finalLine("%.1f")
+        if (l1.length <= 1750) l1
+        else {
+          System.err.println(s"[bench] final line ${l1.length} chars > 1750: " +
+            "emitting ops only; per-query timings are on BENCH_DETAIL")
+          opsOnlyLine
+        }
+      }
+    }
     println(line)
     System.out.flush()
   }
