@@ -30,6 +30,20 @@ object DataOps {
       numHashes = 32, bands = 16)
       .orderBy("a", "b")
 
+  /** Near-dup clustering end-to-end: LSH pairs (q22's exact-verified
+    * operator) → connected components → per-doc group id + canonical keep
+    * flag. The oracle recomputes the clusters with a recursive CTE over
+    * the same exact-Jaccard pair set, so the driver gates the clustering
+    * algorithm itself, not a lucky pair list. */
+  def nearDupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.shingleJaccardLsh(docs, minJaccard = 0.8,
+      numHashes = 32, bands = 16)
+    Dedup.nearDupGroups(docs.select("doc_id"), pairs)
+      .select(col("doc_id"), col("group_id"), col("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash gated by its semantic contract, not its (hash-seeded) values:
     * near-dup pairs (exact Jaccard >= 0.8, LSH-found) must sit measurably
     * closer in hamming space than a deterministic O(n) far-pair sample
@@ -299,6 +313,20 @@ object DataOps {
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q50_dedup_groups" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         p AS (SELECT x.doc_id AS a, y.doc_id AS b
+               FROM s x JOIN s y ON x.doc_id < y.doc_id
+               WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                     len(list_distinct(x.sh || y.sh)) >= 0.8),
+         e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         r(id, c) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.a, r.c FROM e JOIN r ON r.id = e.b),
+         g AS (SELECT id AS doc_id, MIN(c) AS group_id FROM r GROUP BY id)
+         SELECT doc_id, group_id, doc_id = group_id AS is_canonical
+         FROM g ORDER BY doc_id""",
     "q22_minhash_lsh" ->
       s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
          SELECT x.doc_id AS a, y.doc_id AS b,

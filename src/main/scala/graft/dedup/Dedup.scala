@@ -300,4 +300,90 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Connected components over an undirected edge list — the grouping
+    * stage a dedup pipeline runs after pair generation: LSH emits
+    * near-dup PAIRS, this contracts them into clusters so exactly one
+    * canonical doc per cluster can be kept (pairwise keep-rules drop too
+    * much or too little whenever near-duplication is transitive).
+    *
+    * Alternating large-star / small-star contraction (the MapReduce
+    * connected-components construction of Kiveris et al., re-expressed as
+    * DataFrame groupBy-min + join-back passes): each round halves long
+    * chains, so the edge set collapses to one star per component in
+    * O(log n) rounds — no driver-side graph, no vertex collect(). The
+    * per-round state is only the contracted edge list (bounded by the
+    * input pair count), every shuffle keys on node ids, and each round
+    * ends in an eager localCheckpoint: persist() alone is NOT enough for
+    * iterative DataFrames — the logical plan still nests every prior
+    * round and Catalyst re-optimizes the exponentially growing tree.
+    * Checkpointing cuts both lineage and plan to O(1) per round (on a
+    * cluster where executor loss matters, swap in reliable checkpoint).
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = the smallest node id reachable from it. Join back to the
+    * corpus for singleton handling (see [[nearDupGroups]]).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    // set semantics + (u > v) canonical orientation, self-loops dropped
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var n = edges.count()
+    var iter = 0
+    var converged = n == 0
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor LARGER than u re-links to the minimum
+      // of u's neighborhood (incl. u) — long chains fold toward the min
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val large = canon(nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: u and all its smaller neighbors link to that minimum
+      val cmins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = canon(
+        large.join(cmins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(cmins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val n2 = small.count()
+      // fixed point: both are distinct sets, so equal count + empty
+      // difference means equal sets (the second check runs only on ties)
+      converged = n2 == n && small.exceptAll(edges).isEmpty
+      edges = small
+      n = n2
+      iter += 1
+    }
+    // the fixed point is a star per component: every edge points at the min
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Per-doc near-dup group assignment: every doc gets the smallest doc id
+    * in its near-duplicate cluster (`group_id`) plus an `is_canonical`
+    * keep flag; docs without a near-dup are their own singleton group.
+    * Filter on `is_canonical` to materialize the deduplicated corpus. */
+  def nearDupGroups(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .withColumn("is_canonical", col(idCol) === col("group_id"))
+      .drop("id", "component")
+  }
 }

@@ -29,6 +29,52 @@ class DataOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect() shouldBe Array(1L)
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nodes = 30 + rnd.nextInt(40)
+      val edges = (1 to nodes).map(_ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      // plain-Scala union-find with path compression as the oracle
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      // union-find roots are not necessarily the component min; normalize
+      val minOfRoot = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val want = expected.map { case (id, r) => id -> minOfRoot(r) }
+
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      withClue(s"trial $trial (n=$nodes): ") {
+        // self-loop-only nodes are singletons the operator may omit
+        val selfOnly = want.keySet.filter(id =>
+          edges.filter(e => e._1 == id || e._2 == id).forall(e => e._1 == e._2))
+        got shouldBe (want -- selfOnly)
+      }
+    }
+  }
+
+  test("nearDupGroups assigns one canonical doc per cluster, singletons kept") {
+    // 0.5: catches the one-word-swap near dup (J ~ 0.78), not unrelated docs
+    val pairs = Dedup.shingleJaccardLsh(docs, minJaccard = 0.5)
+    val groups = Dedup.nearDupGroups(docs, pairs)
+    groups.count() shouldBe 6
+    // docs 1,2,3 are one near-dup cluster with 1 canonical
+    groups.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("group_id").as[Long].collect().toSet shouldBe Set(1L)
+    groups.filter(col("is_canonical")).select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 4L, 5L, 6L)
+    // the deduplicated corpus = canonical rows only
+    groups.filter(col("is_canonical")).count() shouldBe 4
+  }
+
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, minEstJaccard = 0.3)
       .select("a", "b").as[(Long, Long)].collect().toSet
