@@ -44,6 +44,27 @@ object DataOps {
       .orderBy("doc_id")
   }
 
+  /** As-of join gate: every purchase event picks up the user's latest
+    * view at-or-before it (point-in-time lookup). The views are
+    * pre-aggregated to one row per (user, time) so the as-of match is
+    * deterministic; the oracle is the naive range-join + per-row argmax
+    * the operator's union-window plan avoids. */
+  def asOfLastView(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("view_us"))
+      .agg(max(col("event_id")).as("view_id"))
+      .withColumn("view_time_us", col("view_us"))
+    Joins.asOfJoin(purchases, views, Seq("user_id"), "purchase_us", "view_us")
+      .select(col("event_id"), col("user_id"), col("purchase_us"),
+        col("view_id"),
+        (col("purchase_us") - col("view_time_us")).as("view_gap_us"))
+      .orderBy("event_id")
+  }
+
   /** SimHash gated by its semantic contract, not its (hash-seeded) values:
     * near-dup pairs (exact Jaccard >= 0.8, LSH-found) must sit measurably
     * closer in hamming space than a deterministic O(n) far-pair sample
@@ -313,6 +334,19 @@ object DataOps {
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q51_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS view_us, MAX(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         j AS (SELECT p.*, v.view_id, v.view_us,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY v.view_us DESC NULLS LAST) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.view_us <= p.purchase_us)
+         SELECT event_id, user_id, purchase_us, view_id,
+           purchase_us - view_us AS view_gap_us
+         FROM j WHERE rn = 1 ORDER BY event_id""",
     "q50_dedup_groups" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          p AS (SELECT x.doc_id AS a, y.doc_id AS b

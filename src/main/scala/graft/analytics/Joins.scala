@@ -28,6 +28,62 @@ object Joins {
     s.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** As-of join: for every left row, the single latest right row with the
+    * same key and `rightTime <= leftTime` (backward direction, exact
+    * matches allowed) — the point-in-time lookup time-series work needs
+    * (trades→quotes, events→latest-state) that plain SQL can only spell
+    * as a range join plus a per-row argmax.
+    *
+    * Scale shape: the naive range join explodes to O(matches) rows before
+    * its window prunes them. This instead UNIONS the two sides tagged by
+    * origin and takes `last(right payload, ignoreNulls)` over a window
+    * keyed on the join key, ordered by (time, origin) with right rows
+    * first on ties — ONE shuffle on the key, one sort, output exactly
+    * |left| rows, no intermediate blow-up. Both sides' time columns must
+    * be the same type; right payload columns must not collide with left
+    * columns (alias them first).
+    *
+    * Right rows that tie on (key, time) are resolved by `last` in input
+    * order — pre-aggregate the right side to one row per (key, time) when
+    * that matters for determinism. */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = right.columns.filterNot(c =>
+      keys.exists(_.equalsIgnoreCase(c)) || c.equalsIgnoreCase(rightTime))
+    require(payload.nonEmpty, "right side has no payload columns")
+    val collisions = payload.filter(c => left.columns.exists(_.equalsIgnoreCase(c)))
+    require(collisions.isEmpty,
+      s"right payload collides with left columns: ${collisions.mkString(",")}")
+    // the right payload rides as ONE struct so a match is atomic — per-
+    // column window fills could stitch together different right rows
+    // whenever a right row carries a null
+    val rPacked = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+
+        struct(payload.map(col): _*).as("__p")): _*)
+      .withColumn("__is_left", lit(0))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__p", lit(null).cast(rPacked.schema("__p").dataType))
+    // align schemas: the right side null-pads the left-only columns
+    val r = l.columns.filterNot(rPacked.columns.contains).foldLeft(rPacked) {
+      (df, c) => df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    // right rows sort before left rows at equal time: exact matches count
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(left.columns.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
   /** Convenience: salted aggregation — two-phase groupBy for a skewed key
     * (partial per (key, salt), then final per key). Catalyst's partial
     * aggregation already does this for algebraic aggregates; this shape is

@@ -53,6 +53,40 @@ class JoinsSpec extends SparkSpec {
     rows.map(_.getAs[Long]("custkey")).toSeq shouldBe expected
   }
 
+  test("asOfJoin matches the naive range-join argmax on random series") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong))
+      .toDF("l_id", "k", "lt")
+    val right = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(15)}", rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble()))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rt", "r_id", "price") // one row per (k, rt): deterministic
+    val got = Joins.asOfJoin(left, right, Seq("k"), "lt", "rt")
+      .select("l_id", "r_id", "price")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // naive oracle: range join then keep the max-rt match per left row
+    // (condition inside the join so no-match left rows keep a null payload)
+    val naive = left.as("L").join(right.as("R"),
+      col("L.k") === col("R.k") && col("R.rt") <= col("L.lt"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_id").orderBy(col("rt").desc_nulls_last)
+    val want = naive.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("l_id", "r_id", "price")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    got shouldBe want
+    got.size shouldBe 300 // exactly one output row per left row
+    // exact-time matches count (backward, inclusive)
+    val l1 = Seq((1L, "a", 100L)).toDF("l_id", "k", "lt")
+    val r1 = Seq(("a", 100L, 9L, 1.5)).toDF("k", "rt", "r_id", "price")
+    Joins.asOfJoin(l1, r1, Seq("k"), "lt", "rt")
+      .select("r_id").collect().head.getLong(0) shouldBe 9L
+  }
+
   test("salted distinct count equals exact countDistinct") {
     val df = ((1 to 500).map(i => (1L, s"u${i % 37}")) ++ (1 to 10).map(i => (2L, s"u$i")))
       .toDF("k", "user")
