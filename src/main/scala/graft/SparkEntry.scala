@@ -75,7 +75,8 @@ object SparkEntry {
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),
     "q50_dedup_groups" -> (DataOps.nearDupGroups _),
-    "q51_asof_join" -> (DataOps.asOfLastView _))
+    "q51_asof_join" -> (DataOps.asOfLastView _),
+    "q52_range_join" -> (DataOps.weeklyRevenueRangeJoin _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -65,6 +65,29 @@ object DataOps {
       .orderBy("event_id")
   }
 
+  /** Range-join gate: orders land in derived weekly windows purely via
+    * interval containment (no equi key anywhere) — the shape Spark would
+    * otherwise plan as a nested-loop product. The week calendar derives
+    * deterministically from the orders' own date bounds (the one collect
+    * is a 2-value aggregate). */
+  def weeklyRevenueRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_totalprice"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("od"))
+    val Array(lo, hi) = o.agg(min("od"), max("od")).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val nWeeks = (hi - lo) / 7 + 1
+    val weeks = spark.range(nWeeks).select(col("id").as("week_id"),
+      (lit(lo) + col("id") * 7).as("w_start"),
+      (lit(lo) + col("id") * 7 + 6).as("w_end"))
+    Joins.rangeJoin(o, weeks, "od", "w_start", "w_end", binWidth = 7)
+      .groupBy("week_id")
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy("week_id")
+  }
+
   /** SimHash gated by its semantic contract, not its (hash-seeded) values:
     * near-dup pairs (exact Jaccard >= 0.8, LSH-found) must sit measurably
     * closer in hamming space than a deterministic O(n) far-pair sample
@@ -334,6 +357,17 @@ object DataOps {
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q52_range_join" ->
+      """WITH o AS (SELECT o_totalprice,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od
+             FROM orders),
+         b AS (SELECT MIN(od) AS lo FROM o)
+         -- the weekly windows partition the date domain, so interval
+         -- containment reduces to bucket arithmetic in the oracle
+         SELECT CAST((od - lo) // 7 AS BIGINT) AS week_id,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM o, b GROUP BY 1 ORDER BY 1""",
     "q51_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us
                FROM events WHERE event_type = 'purchase'),

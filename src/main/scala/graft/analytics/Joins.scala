@@ -84,6 +84,43 @@ object Joins {
       .select(left.columns.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
+  /** Range (interval) join: every point row pairs with every interval row
+    * whose `[start, end]` contains it (optionally also matching on equi
+    * `keys`). Spark plans a bare non-equi condition as a broadcast
+    * nested-loop / cartesian product — O(|points|·|intervals|) at any
+    * scale. This bins the range dimension instead: intervals explode into
+    * the fixed-width bins they cover, points map to exactly ONE bin, and
+    * the join becomes a plain equi-join on (keys..., bin) followed by the
+    * exact containment filter. A matching pair meets in precisely the
+    * point's bin, so no dedup pass is needed.
+    *
+    * `binWidth` trades replication for selectivity: an interval costs
+    * (length/binWidth + 1) copies, a bin gathers ~binWidth of point mass —
+    * set it near the median interval length. Point/start/end columns must
+    * be numeric (cast dates with `unix_date` first); the two sides must
+    * not share non-key column names. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val shared = points.columns.filter(c =>
+      intervals.columns.exists(_.equalsIgnoreCase(c)) &&
+        !keys.exists(_.equalsIgnoreCase(c)))
+    require(shared.isEmpty,
+      s"non-key columns collide across sides: ${shared.mkString(",")}")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    p.join(i, (keys :+ "__bin").toIndexedSeq, "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Convenience: salted aggregation — two-phase groupBy for a skewed key
     * (partial per (key, salt), then final per key). Catalyst's partial
     * aggregation already does this for algebraic aggregates; this shape is

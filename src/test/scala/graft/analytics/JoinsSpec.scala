@@ -87,6 +87,31 @@ class JoinsSpec extends SparkSpec {
       .select("r_id").collect().head.getLong(0) shouldBe 9L
   }
 
+  test("rangeJoin matches the naive containment join, as an equi-join plan") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 400).map(i => (i.toLong, rnd.nextInt(500).toLong))
+      .toDF("p_id", "x")
+    // deliberately overlapping intervals, lengths 0..60 straddling bins
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (i.toLong, s, s + rnd.nextInt(60))
+    }.toDF("i_id", "s", "e")
+
+    val joined = Joins.rangeJoin(points, intervals, "x", "s", "e", binWidth = 16)
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+
+    val got = joined.select("p_id", "i_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.as("P").join(intervals.as("I"),
+        col("P.x") >= col("I.s") && col("P.x") <= col("I.e"))
+      .select("p_id", "i_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want
+    want.size should be > 400 // overlap: multiple matches per point exist
+  }
+
   test("salted distinct count equals exact countDistinct") {
     val df = ((1 to 500).map(i => (1L, s"u${i % 37}")) ++ (1 to 10).map(i => (2L, s"u$i")))
       .toDF("k", "user")
