@@ -76,7 +76,8 @@ object SparkEntry {
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),
     "q50_dedup_groups" -> (DataOps.nearDupGroups _),
     "q51_asof_join" -> (DataOps.asOfLastView _),
-    "q52_range_join" -> (DataOps.weeklyRevenueRangeJoin _))
+    "q52_range_join" -> (DataOps.weeklyRevenueRangeJoin _),
+    "q53_quantize_int8" -> (DataOps.quantizeEmbeddings _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Quantize, Similarity}
 import graft.text.TextAnalysis
 
 /** Training-data pipeline queries over the documents/embeddings tables:
@@ -86,6 +86,23 @@ object DataOps {
       .agg(count(lit(1)).as("order_count"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
       .orderBy("week_id")
+  }
+
+  /** Int8 quantization gate: per-vector code checksums and quantization
+    * bounds, all pure floor-arithmetic the oracle replays exactly (no
+    * hash seeds, no approximation gap to paper over). */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Quantize.quantizeInt8(emb)
+    q.select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c * c).as("code_sumsq"),
+        round(col("qmin"), 6).as("qmin"),
+        round(col("qmax"), 6).as("qmax"))
+      // the reconstruction-error BOUND is asserted in QuantizeSpec; the
+      // error VALUE is a max over 64 near-tied doubles whose argmax
+      // reshuffles under cross-engine FMA differences — not oracle material
+      .orderBy("vec_id")
   }
 
   /** SimHash gated by its semantic contract, not its (hash-seeded) values:
@@ -357,6 +374,23 @@ object DataOps {
     "q21_exact_dedup" ->
       """SELECT * FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q53_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         s AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
+                 list_aggregate(v, 'max') AS hi FROM e),
+         s2 AS (SELECT *, CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END AS rng
+                FROM s),
+         c AS (SELECT vec_id, v, lo, hi, rng,
+                 list_transform(v, x ->
+                   CAST(FLOOR((x - lo) / rng * 255.0 + 0.5) AS BIGINT)) AS codes
+               FROM s2)
+         SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, k -> k * k)) AS BIGINT) AS code_sumsq,
+           ROUND(lo, 6) AS qmin, ROUND(hi, 6) AS qmax
+         FROM c ORDER BY vec_id""",
     "q52_range_join" ->
       """WITH o AS (SELECT o_totalprice,
                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od
