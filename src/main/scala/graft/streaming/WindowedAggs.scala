@@ -63,6 +63,30 @@ object WindowedAggs {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream inner join with a time-range condition —
+    * e.g. clicks attributed to the impression they followed within
+    * `within`. Both sides carry watermarks and the range bound is part of
+    * the join condition, which is exactly what lets Spark EVICT buffered
+    * state: without the bound each side would buffer forever. Column
+    * names must be disjoint apart from nothing — the key columns are
+    * passed per side. */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(leftTs) >= col(rightTs) &&
+        col(leftTs) <= col(rightTs) + expr(s"INTERVAL $within"))
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(firstTs: Long, lastTs: Long, events: Int)
   case class SessionSummary(

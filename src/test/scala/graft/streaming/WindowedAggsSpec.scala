@@ -36,6 +36,31 @@ class WindowedAggsSpec extends SparkSpec {
     out.map(_._1) should not contain "2024-01-01 10:20:00.0"
   }
 
+  test("stream-stream join attributes clicks to impressions within the bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val impressions = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = WindowedAggs.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "c_ad"),
+      impressions.toDF().toDF("imp_ts", "i_ad", "campaign"),
+      leftKey = "c_ad", rightKey = "i_ad",
+      leftTs = "click_ts", rightTs = "imp_ts",
+      within = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    impressions.addData((ts(0), 1L, "camp_a"), (ts(1), 2L, "camp_b"))
+    clicks.addData((ts(4), 1L))   // 4 min after ad 1's impression -> attributed
+    clicks.addData((ts(15), 2L))  // 14 min after ad 2's impression -> outside bound
+    clicks.addData((ts(2), 3L))   // no impression for ad 3 -> no row
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("c_ad"), r.getAs[String]("campaign"))).toSet
+    out shouldBe Set((1L, "camp_a"))
+  }
+
   test("streaming dedup drops in-watermark duplicates with bounded state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
