@@ -154,7 +154,7 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    for (thr <- Seq("64m", "16m", "8m")) {
+    for (thr <- Seq("16m", "16m", "8m", "4m", "2m")) {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr)
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", thr)
       for (skewed <- Seq(false, true)) {
