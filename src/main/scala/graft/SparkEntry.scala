@@ -93,7 +93,8 @@ object SparkEntry {
     "q36_vacuum" -> (MetaOps.vacuumKeepsLiveData _),
     "q37_deep_clone" -> (MetaOps.deepClone _),
     "q38_schema_evolution" -> (MetaOps.schemaEvolution _),
-    "q49_convert" -> (MetaOps.convertInPlace _))
+    "q49_convert" -> (MetaOps.convertInPlace _),
+    "q54_bloom_lookup" -> (TableOps.bloomPointLookup _))
 
   def queries: Map[String, Q] =
     analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++

@@ -150,12 +150,28 @@ object TableOps {
       .withColumn("effective_end", col("effective_end").cast("timestamp_ntz"))
   }
 
+  /** Per-file bloom index (§2.17): point lookups on a high-cardinality key
+    * go through the bloom-pruned read path (round-robin repartition makes
+    * every file span the full key range, so min/max stats alone cannot
+    * skip anything — the bloom sidecars do the work). */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = LakeTable.create(spark, scratch("bloom"), orders.schema)
+    t.setProperties(Map("graft.bloomFilter.columns" -> "o_orderkey"))
+    t.append(orders.repartition(8, col("o_orderkey")))
+    t.read(Seq(col("o_orderkey").isin(32L, 4000L, 9988L, 14977L)))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val ordersCols =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "q54_bloom_lookup" ->
+      """SELECT * FROM orders WHERE o_orderkey IN (32, 4000, 9988, 14977)
+         ORDER BY o_orderkey""",
     "q9_merge_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,

@@ -24,13 +24,17 @@ sealed trait Action
   * decode + ordering at prune time (see Stats.scala). */
 case class ColStats(min: String, max: String, nullCount: Long)
 
+/** `bloom`: column name → relative path of the per-file bloom sidecar
+  * under `_bloom/` (see [[BloomFilter]]); null/absent when the table has no
+  * bloom-indexed columns (and for files written by older versions). */
 case class AddFile(
     path: String, // relative to table root
     partitionValues: Map[String, String],
     size: Long,
     numRecords: Long,
     stats: Map[String, ColStats],
-    modificationTime: Long) extends Action
+    modificationTime: Long,
+    bloom: Map[String, String] = null) extends Action
 
 case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
 

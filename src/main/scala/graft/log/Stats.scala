@@ -262,11 +262,15 @@ object Pruner {
   def exprOf(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnExpr.of(c)
 
-  def prune(files: Seq[AddFile], filters: Seq[Column], schema: StructType): Seq[AddFile] = {
+  def prune(
+      files: Seq[AddFile],
+      filters: Seq[Column],
+      schema: StructType,
+      bloom: BloomIndex = BloomIndex.disabled): Seq[AddFile] = {
     if (filters.isEmpty) files
     else {
       val exprs = filters.map(c => normalize(exprOf(c)))
-      files.filter(f => exprs.forall(e => mightMatch(f, e, schema)))
+      files.filter(f => exprs.forall(e => mightMatch(f, e, schema, bloom)))
     }
   }
 
@@ -304,10 +308,31 @@ object Pruner {
     case _ => None
   }
 
-  def mightMatch(f: AddFile, e: Expression, schema: StructType): Boolean = {
+  def mightMatch(
+      f: AddFile,
+      e: Expression,
+      schema: StructType,
+      bloom: BloomIndex = BloomIndex.disabled): Boolean = {
     def field(n: String): Option[StructField] = schema.fields.find(_.name.equalsIgnoreCase(n))
     def stats(n: String): Option[(ColStats, DataType)] =
       for { fl <- field(n); s <- f.stats.get(fl.name) } yield (s, fl.dataType)
+    // Bloom membership for an equality literal: cast the literal to the
+    // COLUMN's type (the build side hashed column-typed values) and replay
+    // Spark's xxhash64. Any failure to cast/hash keeps the file.
+    def bloomMightHave(n: String, v: Any, dt: DataType): Boolean =
+      field(n).forall { fl =>
+        val casted =
+          if (fl.dataType == dt) Some(v)
+          else scala.util.Try(Cast(Literal(v, dt), fl.dataType,
+            Some("UTC")).eval(null)).toOption
+        casted match {
+          case Some(cv) if cv != null =>
+            val h = new XxHash64(Seq(Literal(cv, fl.dataType))).eval(null)
+              .asInstanceOf[Long]
+            bloom.mightContain(f, fl.name, h)
+          case _ => true
+        }
+      }
     def nonNullCount(n: String): Option[Long] =
       stats(n).map { case (s, _) => f.numRecords - s.nullCount }
     // [min,max] of file vs literal
@@ -326,12 +351,13 @@ object Pruner {
     }
 
     e match {
-      case And(l, r) => mightMatch(f, l, schema) && mightMatch(f, r, schema)
-      case Or(l, r) => mightMatch(f, l, schema) || mightMatch(f, r, schema)
+      case And(l, r) => mightMatch(f, l, schema, bloom) && mightMatch(f, r, schema, bloom)
+      case Or(l, r) => mightMatch(f, l, schema, bloom) || mightMatch(f, r, schema, bloom)
       case EqualTo(a, Literal(v, dt)) if attrName(a).isDefined =>
-        cmpLit(attrName(a).get, v, dt).forall { case (cMin, cMax) => cMin <= 0 && cMax >= 0 }
+        cmpLit(attrName(a).get, v, dt).forall { case (cMin, cMax) => cMin <= 0 && cMax >= 0 } &&
+          bloomMightHave(attrName(a).get, v, dt)
       case EqualTo(Literal(v, dt), a) if attrName(a).isDefined =>
-        mightMatch(f, EqualTo(a, Literal(v, dt)), schema)
+        mightMatch(f, EqualTo(a, Literal(v, dt)), schema, bloom)
       case LessThan(a, Literal(v, dt)) if attrName(a).isDefined =>
         cmpLit(attrName(a).get, v, dt).forall { case (cMin, _) => cMin < 0 }
       case LessThanOrEqual(a, Literal(v, dt)) if attrName(a).isDefined =>
@@ -350,7 +376,7 @@ object Pruner {
         mightMatch(f, LessThanOrEqual(a, Literal(v, dt)), schema)
       case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists { case Literal(v, dt) =>
-          mightMatch(f, EqualTo(a, Literal(v, dt)), schema)
+          mightMatch(f, EqualTo(a, Literal(v, dt)), schema, bloom)
         }
       case IsNull(a) if attrName(a).isDefined =>
         stats(attrName(a).get).forall { case (s, _) => s.nullCount > 0 }

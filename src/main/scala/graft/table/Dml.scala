@@ -198,7 +198,8 @@ trait DmlSupport { self: LakeTable =>
     * candidates the verification probe costs more than rewriting a file the
     * probe might have excluded, so stats-pruned candidates are taken as-is. */
   private[table] def filesContaining(snap: Snapshot, cond: Column): Seq[AddFile] = {
-    val candidates = Pruner.prune(partitionPrune(snap, snap.files, Seq(cond)), Seq(cond), snap.schema)
+    val candidates = Pruner.prune(partitionPrune(snap, snap.files, Seq(cond)),
+      Seq(cond), snap.schema, bloomIndex)
     if (candidates.size <= 2) return candidates
     val withFile = readFilesWithFile(snap, candidates, snap.schema)
     val hit = withFile.filter(coalesce(cond, lit(false)))
@@ -432,7 +433,8 @@ class MergeBuilder private[table] (
               else Some(col(t) >= lit(lo) && col(t) <= lit(hi))
             }
             if (preds.isEmpty) snap.files
-            else Pruner.prune(table.partitionPrune(snap, snap.files, preds), preds, schema)
+            else Pruner.prune(table.partitionPrune(snap, snap.files, preds), preds,
+              schema, table.bloomIndex)
           }
         (cnt, cands, distinct)
       }.getOrElse((src.count(), snap.files, false))
@@ -450,7 +452,7 @@ class MergeBuilder private[table] (
         if (conds.forall(_.isDefined)) {
           val anyCond = conds.flatten.reduce(_ || _)
           Pruner.prune(table.partitionPrune(snap, snap.files, Seq(anyCond)),
-            Seq(anyCond), schema)
+            Seq(anyCond), schema, table.bloomIndex)
         } else snap.files
       }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
-import graft.log.{AddFile, Pruner}
+import graft.log.{AddFile, BloomIndex, Pruner}
 
 /** Planning-time file skipping wired into Catalyst itself: Spark's
   * `FileSourceStrategy` pushes every supported predicate of a query into
@@ -32,7 +32,8 @@ class GraftFileIndex(
     tableDir: NioPath,
     files: Seq[AddFile],
     schema: StructType,
-    absPath: AddFile => String)
+    absPath: AddFile => String,
+    bloom: BloomIndex = BloomIndex.disabled)
   extends FileIndex {
 
   override val rootPaths: Seq[HPath] = Seq(new HPath(tableDir.toUri))
@@ -51,7 +52,7 @@ class GraftFileIndex(
     val preds = (partitionFilters ++ dataFilters).map(Pruner.normalize)
     val kept =
       if (preds.isEmpty) files
-      else files.filter(f => preds.forall(p => Pruner.mightMatch(f, p, schema)))
+      else files.filter(f => preds.forall(p => Pruner.mightMatch(f, p, schema, bloom)))
     val statuses = kept.map { f =>
       new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
         new HPath(new java.io.File(absPath(f)).toURI))

@@ -62,12 +62,17 @@ class LakeTable private[table] (
 
   // ---------------------------------------------------------------- reads
 
+  /** Bloom sidecar reader for this table (lazily loads + caches bitsets;
+    * a no-op unless files carry bloom refs — see [[graft.log.BloomFilter]]). */
+  private[table] lazy val bloomIndex: BloomIndex = BloomIndex.forTable(dir)
+
   /** Current-version DataFrame (SURVEY §2.1 S7/S8). `filters` enable
     * driver-side file skipping; they are re-applied as residual predicates.
     * Deletion-vector masks (if any) are applied transparently. */
   def read(filters: Seq[Column] = Nil, version: Option[Long] = None): DataFrame = {
     val snap = snapshot(version)
-    val pruned = Pruner.prune(partitionPrune(snap, snap.files, filters), filters, snap.schema)
+    val pruned = Pruner.prune(partitionPrune(snap, snap.files, filters), filters,
+      snap.schema, bloomIndex)
     filters.foldLeft(readFilesMasked(snap, pruned, snap.schema))(_ filter _)
   }
 
@@ -81,7 +86,7 @@ class LakeTable private[table] (
     val snap = snapshot(version)
     if (snap.files.isEmpty) return read(Nil, version)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val index = new GraftFileIndex(dir, snap.files, snap.schema, absPath)
+    val index = new GraftFileIndex(dir, snap.files, snap.schema, absPath, bloomIndex)
     val base = org.apache.spark.sql.graft.Relations.parquetRelation(spark, index, snap.schema)
     val dvs = snap.dvs.values.toSeq
     if (dvs.isEmpty) return base
@@ -528,6 +533,7 @@ class LakeTable private[table] (
       catch { case scala.util.control.NonFatal(_) =>
         Stats.collect(spark.read.parquet(absDir.toString).drop(pcols: _*))
       }
+    val blooms = buildBloomSidecars(absDir, commitId, stats, df.schema)
     files.map { p =>
       val rel = dir.relativize(p).toString
       val (cnt, st) = stats.getOrElse(p.toString, (0L, Map.empty[String, ColStats]))
@@ -537,8 +543,65 @@ class LakeTable private[table] (
         size = Files.size(p),
         numRecords = cnt,
         stats = st,
-        modificationTime = Files.getLastModifiedTime(p).toMillis)
+        modificationTime = Files.getLastModifiedTime(p).toMillis,
+        bloom = blooms.get(p.toString).orNull)
     }
+  }
+
+  /** Opt-in per-file bloom filters (`graft.bloomFilter.columns` +
+    * `graft.bloomFilter.fpp`, default 0.01): one extra distributed pass
+    * over the freshly written files computes each row's `xxhash64` per
+    * indexed column and packs one bitset per (file, column) — built inside
+    * `mapGroups` per file, never a driver-side row set. Sidecars land
+    * under `_bloom/<commitId>/` and ride the AddFile action; the cost is
+    * one re-read of the NEW files only (opt-in, exactly like Databricks'
+    * bloom filter index), and equality/IN predicates on the indexed
+    * columns then prune files min/max stats never could — a
+    * high-cardinality key written in arrival order spans the full key
+    * range in every file. Returns absoluteDataFilePath -> (col -> relPath). */
+  private def buildBloomSidecars(
+      absDir: Path,
+      commitId: String,
+      stats: Map[String, (Long, Map[String, ColStats])],
+      schema: StructType): Map[String, Map[String, String]] = {
+    val cols = properties.get("graft.bloomFilter.columns").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c))).map(_.name)
+    if (cols.isEmpty) return Map.empty
+    val maxRows = stats.values.map(_._1).maxOption.getOrElse(0L)
+    if (maxRows == 0L) return Map.empty
+    val fpp = properties.get("graft.bloomFilter.fpp")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filter(p => p > 0 && p < 1).getOrElse(0.01)
+    val (m, k) = BloomFilter.sizing(maxRows, fpp)
+    val relDir = s"_bloom/$commitId"
+    Files.createDirectories(dir.resolve(relDir))
+    import spark.implicits._
+    val src = spark.read.parquet(absDir.toString)
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    cols.foreach { c =>
+      val perFile: Array[(String, Array[Byte])] = src
+        .where(col(c).isNotNull)
+        .select(input_file_name().as("__f"), xxhash64(col(c)).as("__h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (file, rows) =>
+          val words = new Array[Long]((m / 64).toInt)
+          rows.foreach { case (_, h) =>
+            BloomFilter.positions(h, m, k).foreach { pos =>
+              words((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+            }
+          }
+          (file, BloomFilter.serialize(k, m, words))
+        }.collect()
+      perFile.foreach { case (fileUri, bytes) =>
+        val abs = Stats.stripScheme(fileUri)
+        val rel = s"$relDir/${Paths.get(abs).getFileName}.$c.bloom"
+        Files.write(dir.resolve(rel), bytes)
+        out(abs) = out.getOrElse(abs, Map.empty) + (c -> rel)
+      }
+    }
+    out.toMap
   }
 
   private[table] def listParquet(root: Path): Seq[Path] = {
@@ -1036,15 +1099,17 @@ class LakeTable private[table] (
       t.append(readFilesMasked(snap, snap.files, snap.schema))
       return t
     }
+    // bloom sidecars are not cloned (their paths are source-relative);
+    // dropping the refs keeps the clone's reads conservative-correct
     val adds: Seq[AddFile] =
-      if (shallow) snap.files.map(f => f.copy(path = absPath(f)))
+      if (shallow) snap.files.map(f => f.copy(path = absPath(f), bloom = null))
       else snap.files.map { f =>
         val srcP = Paths.get(absPath(f))
         val rel = s"data/cloned/${f.path.replace('/', '_')}"
         val dstP = tgt.resolve(rel)
         Files.createDirectories(dstP.getParent)
         Files.copy(srcP, dstP)
-        f.copy(path = rel)
+        f.copy(path = rel, bloom = null)
       }
     // shallow clone: vectors ride along by absolute path — the clone reads
     // the same physical files, so the recorded reader paths still match
