@@ -87,6 +87,31 @@ class JoinsSpec extends SparkSpec {
       .select("r_id").collect().head.getLong(0) shouldBe 9L
   }
 
+  test("asOfJoin composes multi-column keys") {
+    val left = Seq(
+      (1L, "a", "x", 100L), (2L, "a", "y", 100L), (3L, "b", "x", 100L))
+      .toDF("l_id", "k1", "k2", "lt")
+    val right = Seq(
+      ("a", "x", 90L, 11L), ("a", "y", 95L, 12L), ("b", "x", 101L, 13L))
+      .toDF("k1", "k2", "rt", "r_id")
+    val got = Joins.asOfJoin(left, right, Seq("k1", "k2"), "lt", "rt")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    // (b, x)'s only right row is in the future -> null match
+    got shouldBe Set((1L, Some(11L)), (2L, Some(12L)), (3L, None))
+  }
+
+  test("rangeJoin with an equi key only pairs within the key") {
+    val points = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("p_id", "g", "x")
+    val intervals = Seq(("a", 0L, 20L, 7L), ("b", 15L, 20L, 8L))
+      .toDF("g", "s", "e", "i_id")
+    val got = Joins.rangeJoin(points, intervals, "x", "s", "e",
+        binWidth = 8, keys = Seq("g"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    // point 2 is inside a's interval range but in group b -> no pair
+    got shouldBe Set((1L, 7L))
+  }
+
   test("rangeJoin matches the naive containment join, as an equi-join plan") {
     val rnd = new scala.util.Random(11)
     val points = (1 to 400).map(i => (i.toLong, rnd.nextInt(500).toLong))

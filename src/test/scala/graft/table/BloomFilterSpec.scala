@@ -90,6 +90,22 @@ class BloomFilterSpec extends SparkSpec {
     t.read().count() shouldBe 40000L
   }
 
+  test("cross-type literals bloom-prune via the cast path") {
+    val t = freshBloomTable("bloom-cast")
+    val snap = t.snapshot()
+    // an INT literal against the LONG id column: the pruner casts the
+    // literal to the column type before hashing, so pruning still engages
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.IntegerType
+    val intEq = EqualTo(UnresolvedAttribute("id"), Literal(12345, IntegerType))
+    val kept = snap.files.count(f =>
+      graft.log.Pruner.mightMatch(f, intEq, snap.schema, t.bloomIndex))
+    kept should be < snap.numFiles / 2
+    // and through the public API with an int literal
+    t.read(Seq(col("id") === 12345)).count() shouldBe 1
+  }
+
   test("false-positive rate is near the configured fpp") {
     val n = 20000
     val (m, k) = BloomFilter.sizing(n.toLong, 0.01)
