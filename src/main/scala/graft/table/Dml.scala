@@ -570,6 +570,83 @@ class MergeBuilder private[table] (
         matchTouched ++ nmbsCandidates.filterNot(f => seen.contains(f.path))
       }
 
+    // Shared by the two low-shuffle fast paths below: which matched clause
+    // fires ("m<i>" / "copy"), and the rewrite projection for matched rows.
+    def matchedActionCol(matchedP: Column): Column = {
+      var c: Column = null
+      matchedClauses.zipWithIndex.foreach { case (cl, i) =>
+        val p = matchedP && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+        c = if (c == null) when(p, lit(s"m$i")) else c.when(p, lit(s"m$i"))
+      }
+      c.otherwise(lit("copy"))
+    }
+    def matchedOutCol(c: String): Column = {
+      val dt = schema(c).dataType
+      var expr: Column = null
+      matchedClauses.zipWithIndex.foreach {
+        case (MatchedUpdate(_, set), i) =>
+          val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
+            .getOrElse(col(s"target.$c")).cast(dt)
+          expr = if (expr == null) when(col("__action") === s"m$i", v)
+            else expr.when(col("__action") === s"m$i", v)
+        case _ =>
+      }
+      val base = col(s"target.$c")
+      (if (expr == null) base else expr.otherwise(base)).as(c, schema(c).metadata)
+    }
+    lazy val fastDeleteTags = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => s"m$i" }
+    lazy val fastUpdateTags = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedUpdate, i) => s"m$i" }
+
+    // Insert side of the decomposed merge: source LEFT ANTI touched-target
+    // keys, projected to the table schema, insert count observed on the
+    // write job. The anti side needs only the target key columns: a source
+    // row matching any touched-file row is by definition not an insert, and
+    // rows in unprobed files cannot match (their key ranges were pruned
+    // against the source bounds in phase 0). shuffle_hash pins the plan to
+    // a shuffled hash join: the target keys are the build side and at scale
+    // they must never be driver-broadcast (auto-broadcast picked them
+    // whenever the narrow key scan's estimate fell under the threshold — a
+    // 10M-key HashedRelation built on the driver per merge).
+    def fastInsertSide(): (DataFrame, () => Long) = {
+      val keyCols = pairs.map(_._1).distinct
+      val tgtKeys = table.readFilesMasked(snap, touched,
+        org.apache.spark.sql.types.StructType(
+          keyCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
+        .hint("shuffle_hash")
+        .alias("target")
+      val anti = src.alias("source").join(tgtKeys, condition, "left_anti")
+        .alias("source")
+      val insertAction = {
+        var c: Column = null
+        notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
+          val p = coalesce(cl.cond.getOrElse(lit(true)), lit(false))
+          c = if (c == null) when(p, lit(s"i$j")) else c.when(p, lit(s"i$j"))
+        }
+        c.otherwise(lit("drop"))
+      }
+      val obsB = org.apache.spark.sql.Observation()
+      val keptB = anti.withColumn("__action", insertAction)
+        .observe(obsB, sum(when(col("__action") =!= "drop", 1L).otherwise(0L))
+          .as("inserted"))
+        .filter(col("__action") =!= "drop")
+        .select(schema.fieldNames.toIndexedSeq.map { c =>
+          val dt = schema(c).dataType
+          var expr: Column = null
+          notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
+            val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
+              .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+            expr = if (expr == null) when(col("__action") === s"i$j", v)
+              else expr.when(col("__action") === s"i$j", v)
+          }
+          expr.otherwise(lit(null).cast(dt)).as(c, schema(c).metadata)
+        }: _*)
+      (keptB, () => obsB.get.get("inserted") match {
+        case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+      })
+    }
+
     // Phase 2 fast path (low-shuffle merge): when the source keys are
     // provably distinct under a pure equi-condition, the full-outer join
     // decomposes into
@@ -587,32 +664,9 @@ class MergeBuilder private[table] (
       val srcF = src.withColumn("__src", lit(true)).alias("source")
       val lo = tgtF.join(srcF, condition, "left_outer")
       val matchedP = col("source.__src").isNotNull
-      val actionA = {
-        var c: Column = null
-        matchedClauses.zipWithIndex.foreach { case (cl, i) =>
-          val p = matchedP && coalesce(cl.cond.getOrElse(lit(true)), lit(false))
-          c = if (c == null) when(p, lit(s"m$i")) else c.when(p, lit(s"m$i"))
-        }
-        c.otherwise(lit("copy"))
-      }
-      val deleteTagsA = matchedClauses.zipWithIndex.collect {
-        case (_: MatchedDelete, i) => s"m$i" }
-      val updateTagsA = matchedClauses.zipWithIndex.collect {
-        case (_: MatchedUpdate, i) => s"m$i" }
-      def outColA(c: String): Column = {
-        val dt = schema(c).dataType
-        var expr: Column = null
-        matchedClauses.zipWithIndex.foreach {
-          case (MatchedUpdate(_, set), i) =>
-            val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
-              .getOrElse(col(s"target.$c")).cast(dt)
-            expr = if (expr == null) when(col("__action") === s"m$i", v)
-              else expr.when(col("__action") === s"m$i", v)
-          case _ =>
-        }
-        val base = col(s"target.$c")
-        (if (expr == null) base else expr.otherwise(base)).as(c, schema(c).metadata)
-      }
+      val actionA = matchedActionCol(matchedP)
+      val deleteTagsA = fastDeleteTags
+      val updateTagsA = fastUpdateTags
       def tagCountA(tags: Seq[String]): Column =
         if (tags.isEmpty) sum(lit(0L))
         else sum(when(col("__action").isin(tags: _*), 1L).otherwise(0L))
@@ -623,56 +677,14 @@ class MergeBuilder private[table] (
           tagCountA(deleteTagsA).as("deleted"),
           tagCountA(Seq("copy")).as("copied"))
         .filter(!col("__action").isin(deleteTagsA: _*))
-        .select(schema.fieldNames.toIndexedSeq.map(outColA): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol): _*)
 
       val (rewritten, numInserted: (() => Long)) =
         if (notMatchedClauses.isEmpty ||
             matchedSourceRows.contains(numSourceRows)) (keptA, () => 0L)
         else {
-          // the anti side needs only the target key columns: a source row
-          // matching any touched-file row is by definition not an insert,
-          // and rows in unprobed files cannot match (their key ranges were
-          // pruned against the source bounds in phase 0).
-          // shuffle_hash pins the plan to a shuffled hash join: the target
-          // keys are the build side and at scale they must never be
-          // driver-broadcast (auto-broadcast picked them whenever the
-          // narrow key scan's estimate fell under the threshold — a 10M-key
-          // HashedRelation built on the driver per merge).
-          val keyCols = pairs.map(_._1).distinct
-          val tgtKeys = table.readFilesMasked(snap, touched,
-            org.apache.spark.sql.types.StructType(
-              keyCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
-            .hint("shuffle_hash")
-            .alias("target")
-          val anti = src.alias("source").join(tgtKeys, condition, "left_anti")
-            .alias("source")
-          val insertAction = {
-            var c: Column = null
-            notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
-              val p = coalesce(cl.cond.getOrElse(lit(true)), lit(false))
-              c = if (c == null) when(p, lit(s"i$j")) else c.when(p, lit(s"i$j"))
-            }
-            c.otherwise(lit("drop"))
-          }
-          val obsB = org.apache.spark.sql.Observation()
-          val keptB = anti.withColumn("__action", insertAction)
-            .observe(obsB, sum(when(col("__action") =!= "drop", 1L).otherwise(0L))
-              .as("inserted"))
-            .filter(col("__action") =!= "drop")
-            .select(schema.fieldNames.toIndexedSeq.map { c =>
-              val dt = schema(c).dataType
-              var expr: Column = null
-              notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
-                val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
-                  .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
-                expr = if (expr == null) when(col("__action") === s"i$j", v)
-                  else expr.when(col("__action") === s"i$j", v)
-              }
-              expr.otherwise(lit(null).cast(dt)).as(c, schema(c).metadata)
-            }: _*)
-          (keptA.unionByName(keptB), () => obsB.get.get("inserted") match {
-            case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
-          })
+          val (keptB, inserted) = fastInsertSide()
+          (keptA.unionByName(keptB), inserted)
         }
       if (timingOn) System.err.println(rewritten.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
@@ -694,6 +706,60 @@ class MergeBuilder private[table] (
           "numSourceRows" -> numSourceRows))
       mark("commit")
       return v
+    }
+
+    // Deletion-vector fast path: same preconditions, but matched rows are
+    // MASKED, not rewritten — so the left-outer join above degrades to an
+    // INNER join (copies are simply left alone; only firing rows matter)
+    // and nothing full-width is ever shuffled OR copied. The small changed
+    // set (updates + deletes) is persisted once and feeds the data write,
+    // the mask rows, and the metrics; inserts reuse the key-only anti-join.
+    // vs the general DV path (full-outer + changed-set scan): 9.1s -> 7.9s
+    // at the 10M-row strain shape — the residual cost there is the DV
+    // union-vector rewrite, which grows with accumulated masks, not the
+    // join. At cluster scale the full-outer's full-width shuffle is the
+    // part that would dominate; this path never pays it.
+    if (srcKeysDistinct && pureEqui && !cdfOn && dvOn &&
+        notMatchedBySourceClauses.isEmpty && matchedClauses.nonEmpty) {
+      val tgtF = table.readFilesMaskedPos(snap, touched, schema).alias("target")
+      val changed = tgtF.join(src.alias("source"), condition, "inner")
+        .withColumn("__action", matchedActionCol(lit(true)))
+        .filter(col("__action") =!= "copy")
+        .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol) ++ Seq(
+          col("target.__file").as("__file"), col("target.__idx").as("__idx"),
+          col("__action")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = changed.groupBy("__action").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val numUpdated = fastUpdateTags.map(t => counts.getOrElse(t, 0L)).sum
+        val numDeleted = fastDeleteTags.map(t => counts.getOrElse(t, 0L)).sum
+        val updatedRows = changed.filter(col("__action").isin(fastUpdateTags: _*))
+          .select(schema.fieldNames.toIndexedSeq.map(c =>
+            col(c).as(c, schema(c).metadata)): _*)
+        val (toWrite, numInserted: (() => Long)) =
+          if (notMatchedClauses.isEmpty ||
+              matchedSourceRows.contains(numSourceRows)) (updatedRows, () => 0L)
+          else {
+            val (keptB, inserted) = fastInsertSide()
+            (updatedRows.unionByName(keptB), inserted)
+          }
+        val adds = table.stageWrite(toWrite, snap.metadata.partitionColumns)
+        mark("phase2 dv low-shuffle write")
+        val maskedRows = changed.select(col("__file"), col("__idx"))
+        val v = table.maskAndCommit(snap, "MERGE",
+          Map("condition" -> condition.toString,
+            "matchedClauses" -> matchedClauses.size.toString,
+            "notMatchedClauses" -> notMatchedClauses.size.toString),
+          touched, maskedRows, adds, evolution,
+          _ => Map("numTargetRowsUpdated" -> numUpdated,
+            "numTargetRowsDeleted" -> numDeleted,
+            "numTargetRowsInserted" -> numInserted(),
+            "numTargetRowsCopied" -> 0L,
+            "numSourceRows" -> numSourceRows))
+        mark("commit")
+        return v
+      } finally changed.unpersist(): Unit
     }
 
     // Phase 2: full-outer join of source vs touched rows; untouched files
