@@ -77,7 +77,10 @@ object SparkEntry {
     "q50_dedup_groups" -> (DataOps.nearDupGroups _),
     "q51_asof_join" -> (DataOps.asOfLastView _),
     "q52_range_join" -> (DataOps.weeklyRevenueRangeJoin _),
-    "q53_quantize_int8" -> (DataOps.quantizeEmbeddings _))
+    "q53_quantize_int8" -> (DataOps.quantizeEmbeddings _),
+    "q55_incremental_dedup" -> (DataOps.incrementalDedup _),
+    "q56_repetition_signals" -> (DataOps.repetitionSignals _),
+    "q57_bigram_stats" -> (DataOps.bigramStats _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -165,6 +165,30 @@ object DataOps {
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
+    * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
+    * survivors are exactly the batch docs whose text the corpus lacks,
+    * after within-batch lowest-id dedup — a plain NOT EXISTS oracle. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 < 6)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.incrementalExact(batch, Dedup.fingerprints(corpus))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals; thresholds are part of the gate
+    * (the flag column re-derives them in the oracle). */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Corpus bigram LM statistics (head_count, diversity, deterministic
+    * top continuation). */
+  def bigramStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramStats(Tables.documents(spark, sfDir))
+      .orderBy("head")
+
   /** Sign-bit IVF with hamming-1 multi-probe. The quantizer is a pure
     * function of the vector, so the oracle replicates the APPROXIMATION
     * itself (cell assignment, probing, in-cell top-k) — the driver gates
@@ -336,7 +360,65 @@ object DataOps {
           i -> array_to_string(($toks)[i:i+2], ' '))
         ELSE [array_to_string($toks, ' ')] END)"""
 
+  /** DuckDB bigram-list expression over a CTE column `tk` (mirrors
+    * TextAnalysis.bigrams; DuckDB lambdas are 1-based like Spark's
+    * element_at, and range(1, len) is exclusive like sequence(1, len-1)
+    * is inclusive). */
+  private def bigramsSql(elem: String, emptyType: String): String =
+    s"""CASE WHEN len(tk) >= 2
+        THEN list_transform(range(1, len(tk)), i -> $elem)
+        ELSE CAST([] AS $emptyType) END"""
+
   val oracles: Map[String, String] = Map(
+    "q55_incremental_dedup" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
+         SELECT doc_id, text, lang, source, n_chars FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents c
+             WHERE c.doc_id % 10 < 6 AND c.text = b.text)
+           AND b.doc_id = (SELECT min(d.doc_id) FROM batch d WHERE d.text = b.text)""",
+    "q56_repetition_signals" -> {
+      val bg = bigramsSql("tk[i] || ' ' || tk[i+1]", "VARCHAR[]")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         tb AS (SELECT doc_id, $bg AS bg FROM t),
+         bx AS (SELECT doc_id, unnest(bg) AS b FROM tb),
+         pb AS (SELECT doc_id, b, count(*) AS c FROM bx GROUP BY 1, 2),
+         bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS btot,
+             CAST(max(c) AS BIGINT) AS btop, CAST(count(*) AS BIGINT) AS bnd
+           FROM pb GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(len(tk) AS INT) AS token_count,
+           ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             END, 6) AS dup_token_fraction,
+           COALESCE(bs.btop, 0) AS top_bigram_count,
+           CASE WHEN bs.btot IS NULL THEN 0.0
+             ELSE ROUND(1.0 - CAST(bs.bnd AS DOUBLE) / CAST(bs.btot AS DOUBLE), 6)
+             END AS dup_bigram_fraction,
+           ROUND(CASE WHEN bs.btot IS NULL THEN 0.0
+             ELSE CAST(bs.btop AS DOUBLE) / CAST(bs.btot AS DOUBLE) END, 6)
+             AS top_bigram_fraction,
+           ((CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             END) > 0.5
+            OR (CASE WHEN bs.btot IS NULL THEN 0.0
+             ELSE CAST(bs.btop AS DOUBLE) / CAST(bs.btot AS DOUBLE) END) > 0.1)
+             AS is_repetitive
+         FROM t LEFT JOIN bs USING (doc_id)"""
+    },
+    "q57_bigram_stats" -> {
+      val bg = bigramsSql("[tk[i], tk[i+1]]", "VARCHAR[][]")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         tb AS (SELECT doc_id, $bg AS bg FROM t),
+         bx AS (SELECT unnest(bg) AS p FROM tb),
+         px AS (SELECT p[1] AS head, p[2] AS nxt FROM bx),
+         pc AS (SELECT head, nxt, count(*) AS c FROM px GROUP BY 1, 2),
+         hs AS (SELECT head, CAST(sum(c) AS BIGINT) AS head_count,
+             CAST(count(*) AS BIGINT) AS distinct_next FROM pc GROUP BY 1),
+         r AS (SELECT head, nxt AS top_next, c AS top_next_count,
+             ROW_NUMBER() OVER (PARTITION BY head ORDER BY c DESC, nxt) AS rn FROM pc)
+         SELECT hs.head, hs.head_count, hs.distinct_next, r.top_next, r.top_next_count
+         FROM hs JOIN r ON hs.head = r.head WHERE r.rn = 1"""
+    },
     "q45_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <

@@ -370,6 +370,39 @@ object Dedup {
       .groupBy("id").agg(min("component").as("component"))
   }
 
+  /** Fingerprint-index rows for [[incrementalExact]]: (id, fp) with fp =
+    * sha2-256 of the text. A 100 TB corpus reduces to a few hundred GB of
+    * fingerprints — the only state incremental dedup ever has to keep or
+    * scan; persist it as a lake table and append each surviving batch's
+    * fingerprints after ingestion. */
+  def fingerprints(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), sha2(col(textCol), 256).as("fp"))
+
+  /** Incremental exact dedup — the steady-state corpus pattern: a new
+    * batch is deduplicated against everything already ingested WITHOUT
+    * touching the corpus itself, only its fingerprint index. Within-batch
+    * duplicates keep the lowest id (one window shuffle over the small
+    * batch), then one anti-join on the fingerprint drops batch rows whose
+    * text the corpus already has. shuffle_hash pins the plan: the index
+    * is scanned once per batch and must never be driver-broadcast (its
+    * size grows with the corpus, not the batch); at scale the batch side
+    * alone reshuffles if the index table is stored pre-partitioned on fp. */
+  def incrementalExact(
+      batch: DataFrame,
+      corpusFingerprints: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    batch.withColumn("__fp", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(corpusFingerprints.select(col("fp").as("__fp")).hint("shuffle_hash"),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Per-doc near-dup group assignment: every doc gets the smallest doc id
     * in its near-duplicate cluster (`group_id`) plus an `is_canonical`
     * keep flag; docs without a near-dup are their own singleton group.

@@ -87,6 +87,24 @@ object WindowedAggs {
         col(leftTs) <= col(rightTs) + expr(s"INTERVAL $within"))
   }
 
+  /** Built-in session windows: `session_window(ts, gap)` merges events
+    * within `gap` of each other into one variable-length window per key —
+    * the declarative counterpart of [[sessionize]] (which shows the
+    * custom-state path). State is merged and evicted by the watermark;
+    * one summary row per closed session in append mode. */
+  def sessionWindowCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("events"))
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(firstTs: Long, lastTs: Long, events: Int)
   case class SessionSummary(

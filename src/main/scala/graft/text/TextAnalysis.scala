@@ -109,6 +109,94 @@ object TextAnalysis {
       s"${name}_count" -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
     }
 
+  /** Word-bigram array ("w1 w2" strings); < 2 tokens → empty. The token
+    * array is let-bound (transform over a single-element array) so the
+    * tokenizer's regex split runs ONCE per doc — see [[graft.dedup.Dedup.shingles]]
+    * for why the naive shape is quadratic. */
+  def bigrams(text: Column): Column =
+    element_at(
+      transform(array(tokens(text)), t =>
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction, duplicate-bigram fraction, and the share of all bigrams
+    * taken by the single most frequent one — the standard "natural text
+    * vs degenerate repetition" filters for web-corpus curation.
+    *
+    * Scale shape: token-level stats are a narrow codegen'd projection;
+    * the per-doc bigram mode is explode + two hash aggregations keyed on
+    * (doc, bigram) then (doc) — map-side partials absorb the repetition
+    * itself (the more repetitive a doc, the FEWER distinct keys it
+    * shuffles), so a pathological 10M-token one-word doc costs one
+    * shuffled row, not 10M. No O(len²) per-row HOF scans anywhere. */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dupTokenThreshold: Double = 0.5,
+      topBigramThreshold: Double = 0.1): DataFrame = {
+    val tokStats = docs.select(col(idCol),
+      element_at(transform(array(tokens(col(textCol))), t =>
+        struct(size(t).as("n"), size(array_distinct(t)).as("nd"))), 1).as("ts"))
+      .select(col(idCol), col("ts.n").as("token_count"), col("ts.nd").as("__nd"))
+    val perBigram = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
+      .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
+    val bigramStats = perBigram.groupBy(idCol)
+      .agg(sum("c").as("__btot"), max("c").as("__btop"), count(lit(1)).as("__bnd"))
+    tokStats.join(bigramStats, Seq(idCol), "left")
+      .withColumn("__dtf", when(col("token_count") === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          col("__nd").cast("double") / col("token_count").cast("double")))
+      .withColumn("__tbf", when(col("__btot").isNull, lit(0.0))
+        .otherwise(col("__btop").cast("double") / col("__btot").cast("double")))
+      .select(col(idCol),
+        col("token_count"),
+        round(col("__dtf"), 6).as("dup_token_fraction"),
+        coalesce(col("__btop"), lit(0L)).as("top_bigram_count"),
+        when(col("__btot").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("__bnd").cast("double") / col("__btot").cast("double"), 6))
+          .as("dup_bigram_fraction"),
+        round(col("__tbf"), 6).as("top_bigram_fraction"),
+        (col("__dtf") > dupTokenThreshold || col("__tbf") > topBigramThreshold)
+          .as("is_repetitive"))
+  }
+
+  /** Corpus-level bigram statistics — the n-gram-LM view of a corpus:
+    * for every head word, its continuation count, continuation diversity,
+    * and the most frequent next word (ties broken lexicographically, so
+    * the result is deterministic). The whole computation is two hash
+    * aggregations (map-side partials on the heavy (head, next) key) plus
+    * a per-head top-1 — expressed as row_number over (count DESC, next),
+    * which Spark ≥3.5 executes with partial WindowGroupLimits, so no
+    * head's full continuation list ever sits in one task's memory. */
+  def bigramStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minHeadCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(
+      explode(element_at(transform(array(tokens(col(textCol))), t =>
+        when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)).as("p"))
+      .select(col("p.w1").as("head"), col("p.w2").as("next"))
+    val pairCounts = pairs.groupBy("head", "next").agg(count(lit(1)).as("c"))
+    val headStats = pairCounts.groupBy("head")
+      .agg(sum("c").as("head_count"), count(lit(1)).as("distinct_next"))
+    val w = Window.partitionBy("head").orderBy(col("c").desc, col("next"))
+    val top = pairCounts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("head"), col("next").as("top_next"), col("c").as("top_next_count"))
+    headStats.filter(col("head_count") >= minHeadCount).join(top, "head")
+  }
+
   /** One-pass text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

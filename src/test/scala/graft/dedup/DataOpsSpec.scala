@@ -29,6 +29,67 @@ class DataOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect() shouldBe Array(1L)
   }
 
+  test("incremental exact dedup: corpus hits drop, within-batch dups keep lowest id") {
+    val corpus = Seq(
+      (10L, "already ingested alpha"),
+      (11L, "already ingested beta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already ingested alpha"),   // exact dup of corpus -> dropped
+      (21L, "fresh gamma"),
+      (22L, "fresh gamma"),              // within-batch dup -> 21 survives
+      (23L, "fresh delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, Dedup.fingerprints(corpus))
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    out.select("doc_id").as[Long].collect().sorted shouldBe Array(21L, 23L)
+    // idempotent second pass: append survivors' fingerprints, re-run batch
+    val fps2 = Dedup.fingerprints(corpus).unionByName(Dedup.fingerprints(out))
+    Dedup.incrementalExact(batch, fps2).count() shouldBe 0
+  }
+
+  test("repetition signals: hand-computed fractions and flags") {
+    val d = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct; bigrams: "a a" x3
+      (2L, "x y x y x"),        // 5 tokens, 2 distinct; bigrams: "x y" x2, "y x" x2
+      (3L, "p q r s"),          // all distinct, all bigrams distinct
+      (4L, "solo"),             // 1 token, no bigrams
+      (5L, "")                  // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    out(1L) shouldBe ((4, 0.75, 3L, 0.666667, 1.0, true))
+    out(2L) shouldBe ((5, 0.6, 2L, 0.5, 0.5, true))
+    out(3L) shouldBe ((4, 0.0, 1L, 0.0, 0.333333, true)) // 1/3 > 0.1
+    out(4L) shouldBe ((1, 0.0, 0L, 0.0, 0.0, false))
+    out(5L) shouldBe ((0, 0.0, 0L, 0.0, 0.0, false))
+  }
+
+  test("bigram stats: head counts, diversity, deterministic top continuation") {
+    val d = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to go")
+    ).toDF("doc_id", "text")
+    // bigrams: (to,be) x2, (be,or), (or,not), (not,to), (to,go)
+    val rows = TextAnalysis.bigramStats(d).orderBy("head")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    rows shouldBe Array(
+      ("be", 1L, 1L, "or", 1L),
+      ("not", 1L, 1L, "to", 1L),
+      ("or", 1L, 1L, "not", 1L),
+      ("to", 3L, 2L, "be", 2L))
+  }
+
+  test("bigram stats: lexicographic tie-break on equal counts") {
+    val d = Seq((1L, "k b k a k b k a")).toDF("doc_id", "text")
+    // head k: (k,b) x2, (k,a) x2 -> tie broken to "a"
+    val r = TextAnalysis.bigramStats(d).filter(col("head") === "k").collect().head
+    (r.getString(3), r.getLong(4)) shouldBe (("a", 2L))
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {

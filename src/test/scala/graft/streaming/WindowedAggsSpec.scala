@@ -79,6 +79,32 @@ class WindowedAggsSpec extends SparkSpec {
     rows.map(_.getAs[Long]("event_id")).sorted shouldBe Array(1L, 2L)
   }
 
+  test("built-in session windows merge gapped events and close on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sessions = WindowedAggs.sessionWindowCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "5 minutes", watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("swin")
+      .outputMode("append").start()
+    // user 1: events at 10:00/10:02/10:04 chain into ONE session ending
+    // 10:09; user 2's 10:03 event is its own session. A later batch far
+    // past both advances the watermark so the closed sessions emit.
+    in.addData((ts(0), 1L), (ts(2), 1L), (ts(4), 1L), (ts(3), 2L))
+    q.processAllAvailable()
+    in.addData((ts(40), 3L)); q.processAllAvailable()
+    in.addData((ts(55), 3L)); q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("swin").collect()
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("user_id"), r.getAs[Long]("events"))).toSet
+    out should contain(("2024-01-01 10:00:00.0", "2024-01-01 10:09:00.0", 1L, 3L))
+    out should contain(("2024-01-01 10:03:00.0", "2024-01-01 10:08:00.0", 2L, 1L))
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
