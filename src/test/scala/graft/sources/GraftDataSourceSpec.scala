@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, s"n$i", i % 5)).toDF("id", "name", "bucket")
+
+  test("write/read round-trip through format(\"graft\")") {
+    val dir = tmpDir("ds-rt").resolve("t").toString
+    df(0 until 100).write.format("graft").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    back.count() shouldBe 100
+    back.agg(sum("id")).as[Long].collect().head shouldBe (0 until 100).map(_.toLong).sum
+    // append mode adds; overwrite replaces
+    df(100 until 150).write.format("graft").mode("append").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 150
+    df(0 until 10).write.format("graft").mode("overwrite").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 10
+  }
+
+  test("save modes: errorIfExists throws, ignore is a no-op") {
+    val dir = tmpDir("ds-modes").resolve("t").toString
+    df(0 until 5).write.format("graft").save(dir)
+    an[Exception] should be thrownBy
+      df(0 until 5).write.format("graft").mode("error").save(dir)
+    df(5 until 20).write.format("graft").mode("ignore").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 5
+  }
+
+  test("partitionBy option applies on create; filters return exact rows") {
+    val dir = tmpDir("ds-part").resolve("t").toString
+    df(0 until 100).write.format("graft")
+      .option("partitionBy", "bucket").save(dir)
+    LakeTable.forPath(spark, dir).partitionColumns shouldBe Seq("bucket")
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("bucket") === 2 && col("id") < 50)
+    filtered.select("id").as[Long].collect().sorted shouldBe
+      (0L until 50L).filter(_ % 5 == 2).toArray
+  }
+
+  test("versionAsOf option time-travels; DV masks apply through the format") {
+    val dir = tmpDir("ds-tt").resolve("t").toString
+    df(0 until 50).write.format("graft").save(dir)
+    df(50 until 80).write.format("graft").mode("append").save(dir)
+    spark.read.format("graft").option("versionAsOf", 1).load(dir).count() shouldBe 50
+    val t = LakeTable.forPath(spark, dir)
+    t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    t.delete(col("id") % 2 === 0)
+    spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().forall(_ % 2 == 1) shouldBe true
+  }
+
+  test("SQL: CREATE TEMPORARY VIEW ... USING graft") {
+    val dir = tmpDir("ds-sql").resolve("t").toString
+    df(0 until 30).write.format("graft").save(dir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ds_v USING graft OPTIONS (path '$dir')")
+    spark.sql("SELECT count(*) AS n FROM graft_ds_v WHERE bucket = 1")
+      .as[Long].collect().head shouldBe 6
+  }
+
+  test("mergeSchema option evolves on append") {
+    val dir = tmpDir("ds-evo").resolve("t").toString
+    df(0 until 10).write.format("graft").save(dir)
+    Seq((100L, "x", 1, "extra")).toDF("id", "name", "bucket", "note")
+      .write.format("graft").option("mergeSchema", "true").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    back.columns should contain("note")
+    back.filter(col("id") < 100).select("note").collect().forall(_.isNullAt(0)) shouldBe true
+  }
+}
