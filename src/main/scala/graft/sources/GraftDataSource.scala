@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 
 import graft.table.LakeTable
 
@@ -30,13 +31,33 @@ import graft.table.LakeTable
   * row-exact semantics, pruning only needs file-exact).
   */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
+
+  // ------------------------------------------------- streaming read surface
+  // spark.readStream.format("graft").load(path) — version-offset source
+  // serving the initial snapshot then per-commit appends (see
+  // [[graft.streaming.GraftStreamSource]] for the commit classification).
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        LakeTable.forPath(sqlContext.sparkSession, pathOf(parameters)).snapshot().schema))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    new graft.streaming.GraftStreamSource(spark,
+      LakeTable.forPath(spark, pathOf(parameters)), parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

@@ -118,6 +118,11 @@ class LakeTable private[table] (
   private[table] def absPath(f: AddFile): String =
     if (f.path.startsWith("/")) f.path else dir.resolve(f.path).toString
 
+  /** Raw read of specific log files under an enforced schema (streaming
+    * source's per-version batches). */
+  private[graft] def readFilesAs(files: Seq[AddFile], schema: StructType): DataFrame =
+    readFiles(files, schema)
+
   private[table] def readFiles(files: Seq[AddFile], schema: StructType): DataFrame = {
     // column-mapping reads resolve by parquet field id (no-op for schemas
     // without ids); set here so the table works on any session

@@ -24,3 +24,16 @@ object Relations {
     org.apache.spark.sql.classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
   }
 }
+
+/** Marks a batch DataFrame as streaming — what a V1 streaming `Source` must
+  * return from `getBatch` (MicroBatchExecution asserts `isStreaming`). Same
+  * mechanism MemoryStream uses; lives here because
+  * `internalCreateDataFrame` is `private[sql]`. */
+object StreamingDf {
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+    cs.internalCreateDataFrame(rdd, df.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // single-file batches keep re-emission counts deterministic
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+
+  test("initial snapshot, then per-commit appends; OPTIMIZE never re-emits") {
+    val dir = tmpDir("gss-app").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("gss1").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gss1").count() shouldBe 10
+    t.append(df(10 until 25))
+    q.processAllAvailable()
+    spark.table("gss1").count() shouldBe 25
+    t.optimizeCompact()
+    q.processAllAvailable()
+    spark.table("gss1").count() shouldBe 25 // compaction is not new data
+    t.append(df(25 until 30))
+    q.processAllAvailable()
+    spark.table("gss1").count() shouldBe 30
+    spark.table("gss1").select("id").as[Long].collect().sorted shouldBe
+      (0L until 30L).toArray
+    q.stop()
+  }
+
+  test("startingVersion serves appends only, from that version on") {
+    val dir = tmpDir("gss-sv").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10)) // v0 create, v1 append
+    t.append(df(10 until 15))                                // v2
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "2").load(dir)
+      .writeStream.format("memory").queryName("gss2").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gss2").select("id").as[Long].collect().sorted shouldBe
+      (10L until 15L).toArray
+    t.append(df(15 until 18))
+    q.processAllAvailable()
+    spark.table("gss2").count() shouldBe 8
+    q.stop()
+  }
+
+  test("data-changing commit fails the stream without ignoreChanges") {
+    val dir = tmpDir("gss-fail").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("gss3").outputMode("append").start()
+    q.processAllAvailable()
+    t.delete(col("id") < 2) // rewrite: remove + add
+    val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+    e.getCause.getMessage should include("ignoreChanges")
+  }
+
+  test("ignoreChanges re-emits the rewritten file; ignoreDeletes skips remove-only") {
+    val dir = tmpDir("gss-ign").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10))
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName("gss4").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gss4").count() shouldBe 10
+    t.delete(col("id") < 2) // single file: rewritten with the 8 survivors
+    q.processAllAvailable()
+    spark.table("gss4").count() shouldBe 18 // 10 + 8 re-emitted (downstream dedups)
+    t.delete(col("id") >= 0) // everything goes: remove-only commit
+    q.processAllAvailable()
+    spark.table("gss4").count() shouldBe 18 // skipped by ignoreDeletes
+    q.stop()
+  }
+
+  test("restart resumes from the checkpointed version offset") {
+    val base = tmpDir("gss-ckpt")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ck").toString
+    val out = base.resolve("out").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    spark.read.parquet(out).count() shouldBe 5
+    t.append(df(5 until 9))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // exactly the new commit arrives after restart — no snapshot replay
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 9L).toArray
+  }
+}
