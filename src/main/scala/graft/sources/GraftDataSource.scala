@@ -56,7 +56,7 @@ class DefaultSource extends RelationProvider
       providerName: String, parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     new graft.streaming.GraftStreamSource(spark,
-      LakeTable.forPath(spark, pathOf(parameters)), parameters)
+      LakeTable.forPath(spark, pathOf(parameters)), parameters, metadataPath)
   }
 
   override def createRelation(

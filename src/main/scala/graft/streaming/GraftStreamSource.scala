@@ -37,12 +37,21 @@ import graft.table.LakeTable
 class GraftStreamSource(
     spark: SparkSession,
     table: LakeTable,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String],
+    metadataPath: String = "") extends Source {
 
   private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
   private val ignoreChanges = options.get("ignoreChanges").contains("true")
   private val ignoreDeletes = options.get("ignoreDeletes").contains("true")
 
+  /** Schema is fixed per RUN (snapshot at source creation): mid-run
+    * additive evolution keeps serving these columns (getBatch conforms by
+    * name; pre-evolution files read missing columns as NULL), and a
+    * RESTART picks up the table's evolved schema — Delta's documented
+    * restart behavior. The V1 contract computes the plan schema via
+    * `sourceSchema` outside the metadata path, so cross-run pinning is
+    * not expressible here; per-run consistency is what the engine
+    * asserts and what sinks rely on. */
   override val schema: StructType = table.snapshot().schema
 
   private def toLong(o: Offset): Long = o match {

@@ -97,4 +97,31 @@ class GraftStreamSourceSpec extends SparkSpec {
     spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
       (0L until 9L).toArray
   }
+
+  test("mid-run additive evolution keeps serving the run's schema; restart widens") {
+    val base = tmpDir("gss-evo")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ck").toString
+    val out = base.resolve("out").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 4))
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // MID-RUN evolution: the running stream keeps its (id, v) schema,
+    // projecting the widened files down by name
+    t.append(Seq((100L, "v100", 7)).toDF("id", "v", "extra").coalesce(1),
+      mergeSchema = true)
+    q1.processAllAvailable(); q1.stop()
+    spark.read.parquet(out).columns.sorted shouldBe Array("id", "v")
+    spark.read.parquet(out).count() shouldBe 5
+    // RESTART picks up the evolved schema (Delta's documented behavior)
+    t.append(Seq((101L, "v101", 8)).toDF("id", "v", "extra").coalesce(1))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val widened = spark.read.option("mergeSchema", "true").parquet(out)
+    widened.columns.sorted shouldBe Array("extra", "id", "v")
+    widened.filter(col("id") === 101L).select("extra").as[Int].collect() shouldBe Array(8)
+  }
 }
