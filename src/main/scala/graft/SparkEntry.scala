@@ -80,7 +80,8 @@ object SparkEntry {
     "q53_quantize_int8" -> (DataOps.quantizeEmbeddings _),
     "q55_incremental_dedup" -> (DataOps.incrementalDedup _),
     "q56_repetition_signals" -> (DataOps.repetitionSignals _),
-    "q57_bigram_stats" -> (DataOps.bigramStats _))
+    "q57_bigram_stats" -> (DataOps.bigramStats _),
+    "q58_pq_adc" -> (DataOps.pqAdcTopK _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

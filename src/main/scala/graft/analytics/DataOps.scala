@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.{Quantize, Similarity}
+import graft.similarity.{Pq, Quantize, Similarity}
 import graft.text.TextAnalysis
 
 /** Training-data pipeline queries over the documents/embeddings tables:
@@ -175,6 +175,17 @@ object DataOps {
     val batch = docs.filter(col("doc_id") % 2 === 0)
     Dedup.incrementalExact(batch, Dedup.fingerprints(corpus))
       .orderBy("doc_id")
+  }
+
+  /** Product-quantization ADC gate: sampled sub-codebooks (m=8 subspaces
+    * of 8 dims, 16 centroids each — bit-reproducible), corpus encoded to
+    * 8 codes/vector, ADC top-5 for queries 40..50. The oracle replays
+    * sub-assignment and the left-to-right ADC sum exactly, so the driver
+    * gates the quantizer + search, not a lucky recall outcome. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = Pq.sampleCodebook(emb, m = 8, k = 16)
+    Pq.adcTopK(emb, emb.filter(col("vec_id") >= 40 && col("vec_id") < 50), k = 5, cb)
   }
 
   /** Gopher-style repetition signals; thresholds are part of the gate
@@ -370,6 +381,33 @@ object DataOps {
         ELSE CAST([] AS $emptyType) END"""
 
   val oracles: Map[String, String] = Map(
+    "q58_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         subd AS (SELECT vec_id, cidx, j, list_dot_product(d, d) AS sd FROM (
+             SELECT e.vec_id, c.cidx, t.j,
+               list_transform(range(1, 9), i -> e.v[t.j*8 + i] - c.cv[t.j*8 + i]) AS d
+             FROM e, cent c, range(0, 8) t(j))),
+         codes AS (SELECT vec_id, j, cidx AS code FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn
+             FROM subd)
+           WHERE rn = 1),
+         pairs AS (SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id, n.j, qs.sd
+           FROM codes n
+           JOIN subd qs ON qs.cidx = n.code AND qs.j = n.j
+           WHERE qs.vec_id >= 40 AND qs.vec_id < 50 AND n.vec_id <> qs.vec_id),
+         adc AS (SELECT query_id, neighbor_id,
+             SUM(CASE WHEN j=0 THEN sd END) + SUM(CASE WHEN j=1 THEN sd END)
+             + SUM(CASE WHEN j=2 THEN sd END) + SUM(CASE WHEN j=3 THEN sd END)
+             + SUM(CASE WHEN j=4 THEN sd END) + SUM(CASE WHEN j=5 THEN sd END)
+             + SUM(CASE WHEN j=6 THEN sd END) + SUM(CASE WHEN j=7 THEN sd END) AS dist
+           FROM pairs GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, dist, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rank FROM adc)
+         SELECT query_id, rank, neighbor_id, ROUND(dist, 6) AS adc_dist
+         FROM r WHERE rank <= 5""",
     "q55_incremental_dedup" ->
       """WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
          SELECT doc_id, text, lang, source, n_chars FROM batch b
