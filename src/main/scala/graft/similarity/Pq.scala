@@ -121,4 +121,38 @@ object Pq {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), round(col("adc_dist"), 6).as("adc_dist"))
   }
+
+  /** IVF-PQ (the FAISS composition): IVF cells PRUNE — each query joins
+    * only the `nprobe` cells nearest it — and PQ codes SCORE the
+    * survivors via ADC, so at corpus scale the scan touches ~nprobe/nlist
+    * of the codes table and none of the raw vectors. Results equal
+    * [[adcTopK]] restricted to the probed cells. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ivfCentroids: Array[Array[Double]],
+      cb: PqCodebook,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val C = cbLit(cb)
+    val enc = encode(corpus, cb, idCol, vecCol)
+      .withColumn("cell", VectorFunctions.cellOf(asDouble(col(vecCol)), ivfCentroids))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(VectorFunctions.nearestCentroids(col("qv"), ivfCentroids, nprobe)))
+    val scored = enc.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, j) =>
+          acc + subDist(cb, C, col("qv"), j, element_at(col("pq_codes"), j + 1))))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
 }

@@ -92,6 +92,39 @@ class PqSpec extends SparkSpec {
     for (i <- 0L until 4L) dec(i) shouldBe vec(i, 8)
   }
 
+  test("ivf-pq equals plain adc restricted to the probed cells") {
+    val c = corpus(40)
+    val cb = Pq.sampleCodebook(c, m = 2, k = 4)
+    // IVF codebook: full vectors of rows 0..3 (sampled, like Similarity)
+    val ivf = (0L until 4L).map(i => vec(i, 8).toArray).toArray
+    val got = Pq.ivfPqTopK(c, c.filter(col("vec_id") < 3), k = 5, ivf, cb, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
+    // model: assign every row to its nearest IVF centroid, keep candidates
+    // in the query's 2 nearest cells, ADC-rank them
+    def cellDists(v: Seq[Double]): Seq[(Int, Double)] =
+      ivf.indices.map { ci =>
+        var d = 0.0
+        for (i <- 0 until 8) { val t = v(i) - ivf(ci)(i); d += t * t }
+        (ci, d)
+      }
+    def cellOf(v: Seq[Double]): Int = cellDists(v).minBy { case (ci, d) => (d, ci) }._1
+    val codes = (0L until 40L).map(i => i -> modelCodes(vec(i, 8), cb)).toMap
+    val cells = (0L until 40L).map(i => i -> cellOf(vec(i, 8))).toMap
+    for (q <- 0L until 3L) {
+      val probed = cellDists(vec(q, 8)).sortBy { case (ci, d) => (d, ci) }
+        .take(2).map(_._1).toSet
+      val want = (0L until 40L)
+        .filter(n => n != q && probed.contains(cells(n)))
+        .map(n => n -> modelAdc(vec(q, 8), codes(n), cb))
+        .sortBy { case (n, d) => (d, n) }.take(5)
+      got(q).map(_._1) shouldBe want.map(_._1)
+      got(q).map(_._2).zip(want.map(w => math.rint(w._2 * 1e6) / 1e6)).foreach {
+        case (g, w) => g shouldBe (w +- 1e-9)
+      }
+    }
+  }
+
   test("compression: m codes per vector regardless of dimension") {
     val cb = Pq.sampleCodebook(corpus(20), m = 4, k = 8)
     Pq.encode(corpus(20), cb)
