@@ -47,9 +47,13 @@ class DefaultSource extends RelationProvider
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      schema.getOrElse(
-        LakeTable.forPath(sqlContext.sparkSession, pathOf(parameters)).snapshot().schema))
+    (shortName(), schema.getOrElse {
+      val table = LakeTable.forPath(sqlContext.sparkSession, pathOf(parameters))
+      // readChangeFeed streams CDF rows, so the relation's shape is the CDF
+      // shape (table columns + _change_type/_commit_version/_commit_timestamp)
+      if (parameters.get("readChangeFeed").contains("true")) table.cdfReadSchema
+      else table.snapshot().schema
+    })
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],

@@ -44,6 +44,15 @@ class GraftStreamSource(
   private val ignoreChanges = options.get("ignoreChanges").contains("true")
   private val ignoreDeletes = options.get("ignoreDeletes").contains("true")
 
+  /** readChangeFeed=true streams row-level CHANGES instead of table rows
+    * (Delta's streaming CDF): each batch is `changes((last, end])` with
+    * `_change_type` / `_commit_version` / `_commit_timestamp`. Without
+    * `startingVersion`, the stream serves changes committed AFTER stream
+    * start ("from now on"); with it, history from that version. DML
+    * versions written without the CDF table property fail the batch with
+    * the same message the batch CDF reader gives. */
+  private val readChangeFeed = options.get("readChangeFeed").contains("true")
+
   /** Schema is fixed per RUN (snapshot at source creation): mid-run
     * additive evolution keeps serving these columns (getBatch conforms by
     * name; pre-evolution files read missing columns as NULL), and a
@@ -52,7 +61,8 @@ class GraftStreamSource(
     * `sourceSchema` outside the metadata path, so cross-run pinning is
     * not expressible here; per-run consistency is what the engine
     * asserts and what sinks rely on. */
-  override val schema: StructType = table.snapshot().schema
+  override val schema: StructType =
+    if (readChangeFeed) table.cdfReadSchema else table.snapshot().schema
 
   private def toLong(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -84,11 +94,18 @@ class GraftStreamSource(
   private def appendsBetween(from: Long, to: Long): DataFrame =
     table.readFilesAs((from to to).flatMap(addsFor), schema)
 
+  /** Changes in [from, endV] as CDF rows; empty frame on an empty range. */
+  private def changesBetween(from: Long, endV: Long): DataFrame =
+    if (from > endV) table.emptyCdfFrame
+    else table.changes(from, Some(endV))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toLong(end)
-    val batch = start.map(toLong) match {
-      case Some(s) => appendsBetween(s + 1, endV)
-      case None => startingVersion match {
+    val batch = (start.map(toLong), readChangeFeed) match {
+      case (Some(s), true) => changesBetween(s + 1, endV)
+      case (None, true) => changesBetween(startingVersion.getOrElse(endV + 1), endV)
+      case (Some(s), false) => appendsBetween(s + 1, endV)
+      case (None, false) => startingVersion match {
         case Some(sv) => appendsBetween(sv, endV)
         case None => table.read(version = Some(endV)) // initial snapshot
       }

@@ -71,6 +71,11 @@ trait CdfSupport { self: LakeTable =>
   private def emptyCdf(schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), cdfSchema(schema))
 
+  /** CDF read schema (table columns + change metadata) and an empty frame
+    * of it — the streaming CDF source's fixed shape. */
+  private[graft] def cdfReadSchema: StructType = cdfSchema(snapshot().schema)
+  private[graft] def emptyCdfFrame: DataFrame = emptyCdf(snapshot().schema)
+
   private def cdfSchema(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType),

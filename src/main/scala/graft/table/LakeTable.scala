@@ -1153,8 +1153,8 @@ object LakeTable {
       properties: Map[String, String] = Map.empty,
       name: String = "",
       ifNotExists: Boolean = true): LakeTable = {
-    val p = Paths.get(dir)
-    if (TxLog.isTable(dir)) {
+    val p = Paths.get(localPath(dir))
+    if (TxLog.isTable(localPath(dir))) {
       if (ifNotExists) return new LakeTable(spark, p)
       throw new IllegalStateException(s"table already exists: $dir")
     }
@@ -1190,12 +1190,19 @@ object LakeTable {
     t
   }
 
+  /** Catalog commands hand locations around as `file:` URIs while the
+    * native API passes plain paths; accept both. */
+  private[graft] def localPath(dir: String): String =
+    if (dir.startsWith("file:")) Paths.get(java.net.URI.create(dir)).toString
+    else dir
+
   def forPath(spark: SparkSession, dir: String): LakeTable = {
-    require(TxLog.isTable(dir), s"not a graft table: $dir")
-    new LakeTable(spark, Paths.get(dir))
+    val d = localPath(dir)
+    require(TxLog.isTable(d), s"not a graft table: $d")
+    new LakeTable(spark, Paths.get(d))
   }
 
-  def isTable(dir: String): Boolean = TxLog.isTable(dir)
+  def isTable(dir: String): Boolean = TxLog.isTable(localPath(dir))
 
   /** CONVERT TO DELTA analogue (the zero-copy migration op): register an
     * existing plain-parquet directory as a graft table IN PLACE. No data is

@@ -64,6 +64,23 @@ class GraftDataSourceSpec extends SparkSpec {
       .as[Long].collect().head shouldBe 6
   }
 
+  test("metastore: CREATE TABLE USING graft and saveAsTable round-trip") {
+    val dir = tmpDir("ds-cat").resolve("t").toString
+    df(0 until 12).write.format("graft").save(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_cat_ext")
+    spark.sql(s"CREATE TABLE graft_cat_ext USING graft LOCATION '$dir'")
+    try {
+      spark.sql("SELECT count(*) AS n FROM graft_cat_ext").as[Long]
+        .collect().head shouldBe 12
+      spark.sql("SELECT sum(id) AS s FROM graft_cat_ext WHERE bucket = 0").as[Long]
+        .collect().head shouldBe (0 until 12).filter(_ % 5 == 0).sum.toLong
+    } finally spark.sql("DROP TABLE graft_cat_ext"): Unit
+    spark.sql("DROP TABLE IF EXISTS graft_cat_ctas")
+    df(0 until 7).write.format("graft").saveAsTable("graft_cat_ctas")
+    try spark.table("graft_cat_ctas").count() shouldBe 7
+    finally spark.sql("DROP TABLE graft_cat_ctas"): Unit
+  }
+
   test("mergeSchema option evolves on append") {
     val dir = tmpDir("ds-evo").resolve("t").toString
     df(0 until 10).write.format("graft").save(dir)

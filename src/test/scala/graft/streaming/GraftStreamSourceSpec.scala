@@ -78,6 +78,39 @@ class GraftStreamSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("readChangeFeed streams row-level changes; default is from-now-on") {
+    val dir = tmpDir("gss-cdf").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 3))           // v0, v1
+    t.setProperties(Map("graft.enableChangeDataFeed" -> "true"))      // v2
+    t.update(col("id") === 1L, Map("v" -> lit("upd")))                // v3: pre+post
+    // history from v3 on (v1's append synthesizes inserts; v3 has sidecars)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "3").load(dir)
+      .writeStream.format("memory").queryName("gcdf1").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gcdf1").select("_change_type").as[String].collect().sorted shouldBe
+      Array("update_postimage", "update_preimage")
+    t.delete(col("id") === 0L)                                        // v4
+    q.processAllAvailable()
+    val got = spark.table("gcdf1")
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    got should contain((0L, "delete", 4L))
+    got.size shouldBe 3
+    q.stop()
+    // default (no startingVersion): only changes AFTER stream start
+    val q2 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("gcdf2").outputMode("append").start()
+    q2.processAllAvailable()
+    spark.table("gcdf2").count() shouldBe 0
+    t.update(col("id") === 2L, Map("v" -> lit("upd2")))
+    q2.processAllAvailable()
+    spark.table("gcdf2").select("_change_type").as[String].collect().sorted shouldBe
+      Array("update_postimage", "update_preimage")
+    q2.stop()
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val base = tmpDir("gss-ckpt")
     val dir = base.resolve("t").toString
