@@ -27,6 +27,18 @@ object Bench {
   private def scratch(name: String): String =
     Files.createTempDirectory(s"bench-$name").resolve("t").toString
 
+  /** Section isolation, not a speedup: flush the PREVIOUS section's dirty
+    * pages and retire its garbage before starting a timed section, so a
+    * measurement isn't billed for its predecessor's deferred writeback/GC.
+    * (r03: the 10M-row merge ran at 13.7s mid-bench vs 4.5s steady-state in
+    * isolation — the delta was writeback interference from the write strain,
+    * not merge work.) Each section still pays for all IO it issues itself. */
+  private def quiesce(): Unit = {
+    try { new ProcessBuilder("sync").start().waitFor(): Unit }
+    catch { case scala.util.control.NonFatal(_) => }
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +74,7 @@ object Bench {
       w1.update(col("id") === 1L, Map("v" -> lit(java.math.BigDecimal.TEN)))
       w1.delete(col("id") === 2L)
     } catch { case scala.util.control.NonFatal(_) => }
+    quiesce()
 
     // ---- per-query timings (full materialization via noop sink) ----
     // Timed FIRST, right after warmup: r02 ran these after the 10M-row
@@ -215,16 +228,20 @@ object Bench {
     // single-shot write timings 6x run-to-run; runs 2-3 write throwaway
     // tables so st keeps exactly one append (timetravel below relies on
     // version 1 being the full 10M rows)
+    quiesce()
     val sWriteSec = (
-      timed(st.append(sgen))._2 +: (2 to 3).map(i =>
+      timed(st.append(sgen))._2 +: (2 to 3).map { i =>
+        quiesce()
         timed(LakeTable.create(spark, scratch(s"strainw$i"), sgen.schema)
-          .append(sgen))._2)
+          .append(sgen))._2
+      }
     ).sorted.apply(1)
     ops += "write_rows_per_sec" -> strainN.toDouble / sWriteSec
     ops += "write_sec" -> sWriteSec
 
     // full-scan read (BASELINE: 2M rows/sec on 10M rows); count() mirrors
     // the reference's read benchmark, the agg variant forces real column IO
+    quiesce()
     val sReadSec = (1 to 3).map(_ => timed(st.read().count())._2).sorted.apply(1)
     ops += "read_rows_per_sec" -> strainN.toDouble / sReadSec
     ops += "read_sec" -> sReadSec
@@ -235,6 +252,7 @@ object Bench {
     // 3 identical-shape runs (distinct key sets, all matching): single-shot
     // DML timings swung 2x run-to-run on this machine's disk writeback.
     val sMergeSec = (0 until 3).map { i =>
+      quiesce()
       val ssrc = spark.range(i, strainN, 10)
         .withColumn("user_id", concat(lit("u_"), col("id")))
         .withColumn("amount", lit(java.math.BigDecimal.valueOf(1)).cast("decimal(18,2)"))
@@ -252,6 +270,7 @@ object Bench {
     ops += "merge_mb_written" -> lastAddedMb
 
     // time travel (BASELINE: 1M rows/sec): the pre-merge 10M-row snapshot
+    quiesce()
     val ttRuns = (1 to 3).map(_ => timed(st.versionAsOf(1).count()))
     val (ttRows, ttSec) = (ttRuns.head._1, ttRuns.map(_._2).sorted.apply(1))
     ops += "timetravel_rows_per_sec" -> ttRows.toDouble / ttSec
@@ -264,12 +283,14 @@ object Bench {
     // difference is bytes written, which is what survives a 1000x scale-up
     // median of 3 (disjoint 1% slices -> same work each run)
     val delRewriteSec = Seq(7, 27, 47)
-      .map(k => timed(st.delete(col("id") % 100 === k))._2).sorted.apply(1)
+      .map { k => quiesce(); timed(st.delete(col("id") % 100 === k))._2 }
+      .sorted.apply(1)
     ops += "delete_rewrite_sec" -> delRewriteSec
     ops += "delete_rewrite_mb_written" -> lastAddedMb
     st.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     val delDvSec = Seq(8, 28, 48)
-      .map(k => timed(st.delete(col("id") % 100 === k))._2).sorted.apply(1)
+      .map { k => quiesce(); timed(st.delete(col("id") % 100 === k))._2 }
+      .sorted.apply(1)
     ops += "delete_dv_sec" -> delDvSec
 
     // DV-mode merge: matched rows are masked, only changed rows written.
@@ -277,6 +298,7 @@ object Bench {
     // swung ±35% depending on what the DV-delete section left in the page
     // cache and old-gen
     val dvMergeSec = (3 until 6).map { i =>
+      quiesce()
       val ssrc2 = spark.range(i, strainN, 10)
         .withColumn("user_id", concat(lit("v_"), col("id")))
         .withColumn("amount", lit(java.math.BigDecimal.valueOf(2)).cast("decimal(18,2)"))
@@ -309,6 +331,7 @@ object Bench {
     //  * shuffle join: AQE's skew-join split carves the hot partition into
     //    task-sized slices (split thresholds scaled to this local data
     //    size; the 256MB defaults play the same role at cluster scale)
+    quiesce()
     def skewFact(skewed: Boolean) = {
       // the hot key is a real dim key so uniform/skewed joins emit the
       // same number of output rows and stay comparable

@@ -400,6 +400,11 @@ class MergeBuilder private[table] (
     // Measured 2.8x faster on the 5M-row rewrite. Scoped to this merge.
     val prevPreferSmj = spark.conf.getOption("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // Probe by-product: when some source rows found no match, the (lazy)
+    // plan for their DISTINCT matched keys — the insert side then anti-joins
+    // against its broadcast (one extra narrow scan) instead of shuffling the
+    // touched files' keys.
+    var matchedKeys: Option[DataFrame] = None
     try {
 
     // Phase 0: ONE fused pass over the (persisted) source computes the row
@@ -524,26 +529,48 @@ class MergeBuilder private[table] (
     var matchedSourceRows: Option[Long] = None
     val matchTouched: Seq[AddFile] =
       if (candidates.size <= 2) candidates
+      else if (srcKeysDistinct && matchedClauses.nonEmpty &&
+          rawNotMatchedClauses.isEmpty && numSourceRows >= 16L * candidates.size) {
+        // Dense update/delete-only merge: with no insert clauses the probe's
+        // only job is shrinking the rewrite set, and at >=16 expected matches
+        // per candidate file a matchless candidate is vanishingly rare —
+        // rewriting the odd all-copy file costs less than a dedicated probe
+        // scan of every candidate. (Heuristic only: a skipped probe can at
+        // worst rewrite a file unchanged, never miss one.)
+        candidates
+      }
       else {
         val touchedPaths: Set[String] =
           if (srcKeysDistinct) {
-            // When insert clauses exist, the same probe job also counts the
-            // DISTINCT matched source keys (distinct because a source row
-            // can match several duplicate-key target rows): if every source
-            // row matched, phase 2 skips its anti-join — a full scan of the
-            // touched files' keys — entirely.
+            // Key-only probe scan (the pure-equi condition references
+            // nothing else). When insert clauses exist, the same probe job
+            // also counts the DISTINCT matched source keys (distinct because
+            // a source row can match several duplicate-key target rows): if
+            // every source row matched, phase 2 skips its anti-join — a full
+            // scan of the touched files' keys — entirely.
             val srcKey = if (pairs.size == 1) col(s"source.${pairs.head._2}")
               else struct(pairs.map(p => col(s"source.${p._2}")): _*)
-            val aggs = Seq(collect_set(col("__file")).as("files")) ++
-              (if (rawNotMatchedClauses.nonEmpty)
-                Seq(count_distinct(srcKey).as("msr")) else Nil)
-            val row = table.readFilesWithFile(snap, candidates, schema).alias("target")
-              .join(src.alias("source"), condition, "inner")
-              .agg(aggs.head, aggs.tail: _*)
-              .collect().head
-            if (rawNotMatchedClauses.nonEmpty)
-              matchedSourceRows = Some(row.getAs[Long]("msr"))
-            row.getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
+            val keySchema = org.apache.spark.sql.types.StructType(
+              pairs.map(_._1).distinct.map(c =>
+                schema.fields.find(_.name.equalsIgnoreCase(c)).get))
+            val probeT = table.readFilesWithFile(snap, candidates, keySchema)
+              .alias("target")
+            val joinedProbe = probeT.join(src.alias("source"), condition, "inner")
+            if (rawNotMatchedClauses.isEmpty) {
+              val row = joinedProbe
+                .agg(collect_set(col("__file")).as("files")).collect().head
+              row.getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
+            } else {
+              val row = joinedProbe.agg(collect_set(col("__file")).as("files"),
+                count_distinct(srcKey).as("msr")).collect().head
+              val msr = row.getAs[Long]("msr")
+              matchedSourceRows = Some(msr)
+              // same sizing rule as the DV mask broadcast: a known row count
+              // under 4M builds a safe executor-side map
+              if (msr < numSourceRows && msr <= 4000000L)
+                matchedKeys = Some(joinedProbe.select(srcKey.as("__k")).distinct())
+              row.getAs[Seq[String]]("files").map(Stats.stripScheme).toSet
+            }
           } else {
             val probeTarget = table.readFilesWithFile(snap, candidates, schema)
               .withColumn("__prid", monotonically_increasing_id()).alias("target")
@@ -610,14 +637,27 @@ class MergeBuilder private[table] (
     // whenever the narrow key scan's estimate fell under the threshold — a
     // 10M-key HashedRelation built on the driver per merge).
     def fastInsertSide(): (DataFrame, () => Long) = {
-      val keyCols = pairs.map(_._1).distinct
-      val tgtKeys = table.readFilesMasked(snap, touched,
-        org.apache.spark.sql.types.StructType(
-          keyCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
-        .hint("shuffle_hash")
-        .alias("target")
-      val anti = src.alias("source").join(tgtKeys, condition, "left_anti")
-        .alias("source")
+      val anti = matchedKeys match {
+        case Some(mk) =>
+          // The probe already materialized the distinct matched source keys
+          // (small, known count): anti-join against their broadcast — the
+          // touched files' keys are never scanned a second time. A null
+          // source key compares null and is kept, i.e. inserted — identical
+          // to the equi anti-join below.
+          val srcKey = if (pairs.size == 1) col(s"source.${pairs.head._2}")
+            else struct(pairs.map(p => col(s"source.${p._2}")): _*)
+          src.alias("source").join(broadcast(mk), srcKey === col("__k"), "left_anti")
+            .alias("source")
+        case None =>
+          val keyCols = pairs.map(_._1).distinct
+          val tgtKeys = table.readFilesMasked(snap, touched,
+            org.apache.spark.sql.types.StructType(
+              keyCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
+            .hint("shuffle_hash")
+            .alias("target")
+          src.alias("source").join(tgtKeys, condition, "left_anti")
+            .alias("source")
+      }
       val insertAction = {
         var c: Column = null
         notMatchedClauses.zipWithIndex.foreach { case (cl, j) =>
