@@ -1,7 +1,7 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
@@ -62,6 +62,14 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   // CONVERT TO GRAFT parquet.`/path` — Delta's CONVERT TO DELTA shape
   private val convertCmd =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\.)?(\S+)\s*""".r
+  // SQL DML over graft tables (Delta's UPDATE/DELETE/MERGE INTO SQL forms —
+  // the reference drives DML through the builder API only, so this is
+  // surface beyond it). MERGE column references must be alias-qualified;
+  // arbitrary aliases are rewritten onto the builder's target/source.
+  private val updateCmd = """(?is)\s*UPDATE\s+(\S+)\s+SET\s+(.+)""".r
+  private val deleteCmd =
+    """(?is)\s*DELETE\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s*""".r
+  private val mergeCmd = """(?is)\s*MERGE\s+INTO\s+(.+)""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -111,6 +119,38 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       case bad => throw new IllegalArgumentException(s"bad column def: $bad")
     }
 
+  /** First top-level (outside quotes/backticks/parens) occurrence of
+    * word-bounded keyword `kw` in `s` at/after `from`, or -1. */
+  private def topIndexOf(s: String, kw: String, from: Int = 0): Int = {
+    var depth = 0; var i = from
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val j = s.indexOf('\'', i + 1); i = if (j < 0) s.length else j + 1
+        case '`' =>
+          val j = s.indexOf('`', i + 1); i = if (j < 0) s.length else j + 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !isWord(s.charAt(i + kw.length))))
+            return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** Parse `c1 = expr, c2 = expr, ...` (top-level commas/equals only). */
+  private def parseAssignments(body: String): Seq[(String, String)] =
+    splitTop(body).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad SET assignment: $a")
+      unquote(a.substring(0, i).trim) -> a.substring(i + 1).trim
+    }
+
   /** Parse `'k' = 'v', k2 = v2, ...` (quotes optional, delta-style). */
   private def parseProps(body: String): Map[String, String] =
     body.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
@@ -118,6 +158,139 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       require(i > 0, s"bad TBLPROPERTIES entry: $kv")
       unquote(kv.substring(0, i).trim) -> unquote(kv.substring(i + 1).trim)
     }.toMap
+
+  /** Rewrite `tAlias.`/`sAlias.`-qualified references onto the merge
+    * builder's fixed target/source aliases. */
+  private def realias(c: Column, tAlias: String, sAlias: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graft.ColumnExpr.of(c).transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          a.nameParts.head.equalsIgnoreCase(tAlias) =>
+        UnresolvedAttribute("target" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          a.nameParts.head.equalsIgnoreCase(sAlias) =>
+        UnresolvedAttribute("source" +: a.nameParts.tail)
+    }
+    org.apache.spark.sql.graft.ColumnExpr.toColumn(e)
+  }
+
+  /** Split `<token> [AS] [alias]` — token may be quoted ('...' or `...`). */
+  private def tokenAndAlias(spec: String, dflt: String): (String, String) = {
+    val s = spec.trim
+    val (tok, rest) =
+      if (s.startsWith("'") || s.startsWith("`")) {
+        val j = s.indexOf(s.charAt(0), 1)
+        require(j > 0, s"unterminated quote in: $spec")
+        (s.substring(0, j + 1), s.substring(j + 1))
+      } else {
+        val j = s.indexWhere(Character.isWhitespace)
+        if (j < 0) (s, "") else (s.substring(0, j), s.substring(j))
+      }
+    val alias = rest.trim.split("\\s+").filter(_.nonEmpty) match {
+      case Array() => dflt
+      case Array(a) => a
+      case Array(as0, a) if as0.equalsIgnoreCase("AS") => a
+      case _ => throw new IllegalArgumentException(s"bad table spec: $spec")
+    }
+    (tok, alias)
+  }
+
+  /** MERGE INTO <t> [AS a] USING <name|(subquery)> [AS b] ON <cond>
+    * WHEN MATCHED [AND c] THEN UPDATE SET *|<sets> | DELETE
+    * WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT *|(cols) VALUES (...)
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET <sets> | DELETE
+    * Column references must be alias-qualified (as with the builder API). */
+  private def runMerge(rest: String): DataFrame = {
+    val usingIdx = topIndexOf(rest, "USING")
+    require(usingIdx > 0, "MERGE INTO requires USING")
+    val (tgtTok, tAlias) = tokenAndAlias(rest.substring(0, usingIdx), "target")
+    val afterUsing = rest.substring(usingIdx + 5)
+    val onIdx = topIndexOf(afterUsing, "ON")
+    require(onIdx > 0, "MERGE INTO requires ON")
+    val srcSpec = afterUsing.substring(0, onIdx).trim
+    val afterOn = afterUsing.substring(onIdx + 2)
+    val whenIdx = topIndexOf(afterOn, "WHEN")
+    require(whenIdx > 0, "MERGE INTO requires at least one WHEN clause")
+    val onSql = afterOn.substring(0, whenIdx).trim
+    val whenTail = afterOn.substring(whenIdx)
+
+    val (srcDf, sAlias) =
+      if (srcSpec.startsWith("(")) {
+        var depth = 0; var end = -1; var i = 0; var inStr = false
+        while (i < srcSpec.length && end < 0) {
+          srcSpec.charAt(i) match {
+            case '\'' => inStr = !inStr
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, s"unbalanced MERGE source subquery: $srcSpec")
+        val (_, alias) = tokenAndAlias("x" + srcSpec.substring(end + 1), "source")
+        (spark.sql(srcSpec.substring(1, end)), alias)
+      } else {
+        val (tok, alias) = tokenAndAlias(srcSpec, "source")
+        (spark.table(unquote(tok)), alias)
+      }
+
+    def rx(sqlExpr: String): Column = realias(expr(sqlExpr), tAlias, sAlias)
+    def rxMap(body: String): Map[String, Column] =
+      parseAssignments(body).map { case (k, v) => k -> rx(v) }.toMap
+
+    var b = table(tgtTok).merge(srcDf, rx(onSql))
+    var clauses = Vector.empty[String]
+    var pos = 0
+    while (pos >= 0 && pos < whenTail.length) {
+      val next = topIndexOf(whenTail, "WHEN", pos + 1)
+      clauses :+= whenTail.substring(pos, if (next < 0) whenTail.length else next).trim
+      pos = next
+    }
+    val updAll = """(?is)\s*UPDATE\s+SET\s+\*\s*""".r
+    val upd = """(?is)\s*UPDATE\s+SET\s+(.+)""".r
+    val insAll = """(?is)\s*INSERT\s+\*\s*""".r
+    val ins = """(?is)\s*INSERT\s*\(([^)]+)\)\s*VALUES\s*\((.+)\)\s*""".r
+    val del = """(?is)\s*DELETE\s*""".r
+    clauses.foreach { cl =>
+      val body = cl.substring(4).trim // drop WHEN
+      val thenIdx = topIndexOf(body, "THEN")
+      require(thenIdx > 0, s"WHEN clause missing THEN: $cl")
+      val head = body.substring(0, thenIdx).trim.replaceAll("\\s+", " ")
+      val action = body.substring(thenIdx + 4).trim
+      def strip(prefix: String): Option[String] =
+        if (head.length >= prefix.length &&
+            head.substring(0, prefix.length).equalsIgnoreCase(prefix))
+          Some(head.substring(prefix.length).trim)
+        else None
+      val (kind, condPart) = strip("NOT MATCHED BY SOURCE").map(("nmbs", _))
+        .orElse(strip("NOT MATCHED BY TARGET").map(("insert", _)))
+        .orElse(strip("NOT MATCHED").map(("insert", _)))
+        .orElse(strip("MATCHED").map(("matched", _)))
+        .getOrElse(throw new IllegalArgumentException(s"bad WHEN clause: $cl"))
+      val cond =
+        if (condPart.isEmpty) None
+        else {
+          require(condPart.substring(0, 3).equalsIgnoreCase("AND"),
+            s"expected AND <cond> in: $cl")
+          Some(rx(condPart.substring(3)))
+        }
+      (kind, action) match {
+        case ("matched", updAll()) => b = b.whenMatchedUpdateAll(cond)
+        case ("matched", upd(sets)) => b = b.whenMatchedUpdate(rxMap(sets), cond)
+        case ("matched", del()) => b = b.whenMatchedDelete(cond)
+        case ("insert", insAll()) => b = b.whenNotMatchedInsertAll(cond)
+        case ("insert", ins(cols, vals)) =>
+          val cs = splitTop(cols).map(unquote)
+          val vs = splitTop(vals)
+          require(cs.size == vs.size, s"INSERT column/value arity mismatch: $cl")
+          b = b.whenNotMatchedInsert(cs.zip(vs.map(rx)).toMap, cond)
+        case ("nmbs", upd(sets)) => b = b.whenNotMatchedBySourceUpdate(rxMap(sets), cond)
+        case ("nmbs", del()) => b = b.whenNotMatchedBySourceDelete(cond)
+        case _ => throw new IllegalArgumentException(s"unsupported MERGE action: $action")
+      }
+    }
+    oneRow("version" -> b.execute())
+  }
 
   def run(sql: String): DataFrame = sql match {
     case describeHistory(t, limit) =>
@@ -169,6 +342,18 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       spark.createDataFrame(
         paths.map(Row(_)).asJava,
         StructType(Seq(StructField("path", StringType))))
+    case updateCmd(t, body) =>
+      val wIdx = topIndexOf(body, "WHERE")
+      val (setPart, wherePart) =
+        if (wIdx < 0) (body, None)
+        else (body.substring(0, wIdx), Some(body.substring(wIdx + 5)))
+      val set = parseAssignments(setPart).map { case (k, v) => k -> expr(v) }.toMap
+      oneRow("version" ->
+        table(t).update(wherePart.map(expr).getOrElse(lit(true)), set))
+    case deleteCmd(t, where) =>
+      oneRow("version" ->
+        table(t).delete(Option(where).map(expr).getOrElse(lit(true))))
+    case mergeCmd(rest) => runMerge(rest)
     // not a table-management command — plain Spark SQL (temp views etc.)
     case other => spark.sql(other)
   }

@@ -89,6 +89,53 @@ class GraftSqlSpec extends SparkSpec {
     LakeTable.forPath(spark, dst).read().count() shouldBe 200
   }
 
+  test("UPDATE and DELETE SQL forms") {
+    val (t, dir) = freshTable("gsql-dml")
+    sql.run(s"UPDATE '$dir' SET v = concat(v, '!') WHERE id <= 10")
+    t.read().filter(col("v").endsWith("!")).count() shouldBe 10
+    sql.run(s"DELETE FROM '$dir' WHERE b = 3")
+    t.read().filter(col("b") === 3).count() shouldBe 0
+    t.read().count() shouldBe 150
+    // unconditional forms
+    sql.run(s"UPDATE '$dir' SET b = b + 10")
+    t.read().filter(col("b") < 10).count() shouldBe 0
+    sql.run(s"DELETE FROM '$dir'")
+    t.read().count() shouldBe 0
+  }
+
+  test("MERGE INTO SQL form: update/delete/insert clauses with aliases") {
+    val (t, dir) = freshTable("gsql-merge")
+    // source: updates for 1..50 (drop id 7), inserts 201..210
+    ((1 to 50) ++ (201 to 210)).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "v").createOrReplaceTempView("gsql_merge_src")
+    sql.run(
+      s"""MERGE INTO '$dir' AS t
+          USING gsql_merge_src AS s
+          ON t.id = s.id
+          WHEN MATCHED AND t.id = 7 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (id, v, b) VALUES (s.id, s.v, 9)""")
+    val out = t.read()
+    out.count() shouldBe 209 // 200 - 1 deleted + 10 inserted
+    out.filter(col("id") === 7).count() shouldBe 0
+    out.filter(col("id") === 3).select("v").as[String].head() shouldBe "s3"
+    out.filter(col("id") === 205).select("b").as[Int].head() shouldBe 9
+    // subquery source + INSERT * + UPDATE SET * + NOT MATCHED BY SOURCE
+    (150 to 205).map(i => (i.toLong, s"z$i", 1))
+      .toDF("id", "v", "b").createOrReplaceTempView("gsql_merge_src2")
+    sql.run(
+      s"""MERGE INTO '$dir' AS t
+          USING (SELECT id, v, b FROM gsql_merge_src2) AS s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.id > 200 THEN DELETE""")
+    val out2 = t.read()
+    out2.count() shouldBe 204 // 206..210 deleted by NMBS, 150..205 updated
+    out2.filter(col("id") === 150).select("v").as[String].head() shouldBe "z150"
+    out2.filter(col("id") > 205).count() shouldBe 0
+  }
+
   test("non-command SQL falls through to spark.sql") {
     val (t, dir) = freshTable("gsql-fallthrough")
     t.createOrReplaceTempView("gsql_v")
