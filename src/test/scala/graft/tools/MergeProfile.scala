@@ -24,6 +24,9 @@ object MergeProfile {
       .resolve("t").toString
     val st = LakeTable.create(spark, dir, sgen.schema)
     st.append(sgen)
+    // "dv" arg: profile the deletion-vector merge path instead
+    if (args.contains("dv"))
+      st.setProperties(Map("graft.enableDeletionVectors" -> "true")): Unit
     (0 until 3).foreach { i =>
       val ssrc = spark.range(i, strainN, 10)
         .withColumn("user_id", concat(lit("u_"), col("id")))
