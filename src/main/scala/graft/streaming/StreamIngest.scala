@@ -90,6 +90,58 @@ object StreamIngest {
     startFileToTable(fileSource(spark, sourcePath, schema, config),
       table, checkpointDir, config, transform)
 
+  /** Streaming CDC upsert (the Delta foreachBatch-merge pattern: a change
+    * stream applied to a table as MERGE per micro-batch). Each batch is
+    * reduced to its latest row per `keyCols` (by `sequenceCol` descending
+    * when given — CDC sequence/LSN — else an arbitrary batch row), then
+    * merged: matched keys update, new keys insert, and when `deleteCol`
+    * names a boolean source column, rows with it true delete the matched
+    * target row (and are never inserted). Exactly-once under epoch replay
+    * via the same (txnAppId, epochId) ledger as [[LakeTable.appendStream]]
+    * — see [[graft.table.MergeBuilder.withTxn]].
+    *
+    * Scale: each micro-batch pays one merge — source-bounded file pruning
+    * keeps the rewrite proportional to the touched key range, so a keyed
+    * (e.g. date-bucketed) CDC stream touches only its hot slice. */
+  def startUpsertStream(
+      source: DataFrame,
+      table: LakeTable,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      sequenceCol: Option[String] = None,
+      deleteCol: Option[String] = None,
+      config: StreamConfig = StreamConfig(),
+      queryName: String = ""): StreamingQuery = {
+    require(keyCols.nonEmpty, "streaming upsert requires at least one key column")
+    val appId = txnAppIdFor(checkpointDir)
+    import org.apache.spark.sql.functions._
+    val w = source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(config.trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val latest = sequenceCol match {
+          case Some(seq) =>
+            val win = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*).orderBy(col(seq).desc)
+            batch.withColumn("__rn", row_number().over(win))
+              .filter(col("__rn") === 1).drop("__rn")
+          case None => batch.dropDuplicates(keyCols)
+        }
+        val cond = keyCols.map(k => col(s"target.$k") === col(s"source.$k"))
+          .reduce(_ && _)
+        val b = table.merge(latest, cond).withTxn(appId, epochId)
+        (deleteCol match {
+          case Some(d) =>
+            b.whenMatchedDelete(Some(coalesce(col(s"source.$d"), lit(false))))
+              .whenMatchedUpdateAll()
+              .whenNotMatchedInsertAll(Some(!coalesce(col(s"source.$d"), lit(false))))
+          case None => b.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        }).execute(): Unit
+      }
+    (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
+  }
+
   /** Auto Loader schema-location parity (cloudFiles.schemaLocation +
     * inferColumnTypes, notebooks/01_bronze_ingestion.py:213-214): infer the
     * schema from the files present, persist it under `schemaLocation`, and

@@ -35,9 +35,12 @@ trait DmlSupport { self: LakeTable =>
     val touchedDf = readFilesMasked(snap, touched, snap.schema)
     val matchPred = coalesce(cond, lit(false))
     // numUpdatedRows rides the rewrite job itself (CollectMetrics ahead of
-    // the projection) — no dedicated counting pass over the touched files
+    // the projection) — no dedicated counting pass over the touched files.
+    // On a foreachBatch thread the observation can never complete (see
+    // LakeTable.onStreamExecutionThread); recount narrowly there instead.
+    val observable = !LakeTable.onStreamExecutionThread
     val obs = org.apache.spark.sql.Observation()
-    val observed = touchedDf.observe(obs,
+    val observed = if (!observable) touchedDf else touchedDf.observe(obs,
       sum(when(matchPred, 1L).otherwise(0L)).as("updated"))
     val rewritten = observed.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
       val newVal = set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
@@ -59,10 +62,12 @@ trait DmlSupport { self: LakeTable =>
       writeCdfSidecar(pre.unionByName(post))
     } else Nil
     val adds = stageWrite(rewritten, snap.metadata.partitionColumns)
-    val numUpdated = obs.get.get("updated") match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _ => 0L
-    }
+    val numUpdated =
+      if (observable) obs.get.get("updated") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      else touchedDf.filter(matchPred).count()
     commitRewrite(snap, "UPDATE", Map("predicate" -> cond.toString), touched, adds,
       sidecars, Map("numUpdatedRows" -> numUpdated))
   }
@@ -168,6 +173,11 @@ trait DmlSupport { self: LakeTable =>
     val newKeys = newActions.map(_.forFile).toSet
     commitWithRetry(op, params + ("deletionVectors" -> "true"), snap,
       metrics(newlyMasked)) { s =>
+      // idempotent replay guard, as in commitRewrite
+      params.get("txnAppId").foreach { app =>
+        if (lastTxnVersion(s, app).exists(_ >= params("txnVersion").toLong))
+          throw new LakeTable.EpochAlreadyCommitted
+      }
       if (s.version != snap.version) {
         if (s.metadata.schemaJson != snap.metadata.schemaJson)
           throw new java.util.ConcurrentModificationException(
@@ -219,6 +229,13 @@ trait DmlSupport { self: LakeTable =>
       metrics: Map[String, Long]): Long = {
     val touchedPaths = touched.map(_.path).toSet
     commitWithRetry(op, params, snap, metrics) { s =>
+      // idempotent replay (streaming foreachBatch merge): the same
+      // (txnAppId, txnVersion) already committed -> no-op; checked against
+      // the FRESH snapshot inside the retry loop, like appendStream
+      params.get("txnAppId").foreach { app =>
+        if (lastTxnVersion(s, app).exists(_ >= params("txnVersion").toLong))
+          throw new LakeTable.EpochAlreadyCommitted
+      }
       if (s.version != snap.version) {
         // rewritten files were derived under snap's schema/partitioning; a
         // concurrent metadata change would make them silently inconsistent
@@ -265,6 +282,7 @@ class MergeBuilder private[table] (
   private var rawNotMatchedClauses = Vector.empty[Clause]
   private var notMatchedBySourceClauses = Vector.empty[Clause]
   private var schemaEvolution = false
+  private var txn: Option[(String, Long)] = None
 
   private def sourceCols: Seq[String] = source.columns.toSeq
 
@@ -287,6 +305,20 @@ class MergeBuilder private[table] (
   def whenNotMatchedInsertAll(condition: Option[Column] = None): MergeBuilder = {
     rawNotMatchedClauses :+= NotMatchedInsertAll(condition); this
   }
+
+  /** Idempotent merge under replay (the streaming foreachBatch upsert
+    * pattern): the commit records (txnAppId, txnVersion) exactly like
+    * [[LakeTable.appendStream]], and a merge whose version is <= the last
+    * recorded one for the same app id is a no-op — re-checked against the
+    * fresh snapshot inside the commit-retry loop, so a lost CAS race with a
+    * replayed twin cannot double-apply the batch. */
+  def withTxn(appId: String, version: Long): MergeBuilder = {
+    txn = Some((appId, version)); this
+  }
+
+  private def txnParams: Map[String, String] =
+    txn.map { case (a, v) => Map("txnAppId" -> a, "txnVersion" -> v.toString) }
+      .getOrElse(Map.empty)
 
   /** Delta's schema auto-merge: source columns missing from the target are
     * added (nullable) in the merge commit, and the *All clauses pick them
@@ -352,9 +384,22 @@ class MergeBuilder private[table] (
   }
 
   /** Run the two-phase merge. Returns the committed version. */
-  def execute(): Long = {
+  def execute(): Long =
+    try executeImpl()
+    catch {
+      // replayed (txnAppId, txnVersion) epoch detected inside the commit
+      // retry loop: the work is already in the table
+      case _: LakeTable.EpochAlreadyCommitted => table.snapshot().version
+    }
+
+  private def executeImpl(): Long = {
     val spark = table.spark
     val snap = table.snapshot()
+    txn match {
+      case Some((app, v)) if table.lastTxnVersion(snap, app).exists(_ >= v) =>
+        return snap.version // replayed epoch: skip before staging any work
+      case _ =>
+    }
     lastMark = System.nanoTime()
     val cdfOn = table.properties.get("graft.enableChangeDataFeed").contains("true")
     val dvOn = table.properties.get("graft.enableDeletionVectors").contains("true")
@@ -504,7 +549,7 @@ class MergeBuilder private[table] (
       else Nil
       return table.commitRewrite(snap, "MERGE",
         Map("condition" -> condition.toString, "matchedClauses" -> "0",
-          "notMatchedClauses" -> notMatchedClauses.size.toString),
+          "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
         Nil, adds, evolution ++ sidecars,
         Map("numTargetRowsInserted" -> numInserted,
           "numTargetRowsUpdated" -> 0L, "numTargetRowsDeleted" -> 0L,
@@ -666,10 +711,13 @@ class MergeBuilder private[table] (
         }
         c.otherwise(lit("drop"))
       }
+      val tagged = anti.withColumn("__action", insertAction)
       val obsB = org.apache.spark.sql.Observation()
-      val keptB = anti.withColumn("__action", insertAction)
-        .observe(obsB, sum(when(col("__action") =!= "drop", 1L).otherwise(0L))
-          .as("inserted"))
+      val observable = !LakeTable.onStreamExecutionThread
+      val keptB = (if (observable)
+          tagged.observe(obsB,
+            sum(when(col("__action") =!= "drop", 1L).otherwise(0L)).as("inserted"))
+        else tagged)
         .filter(col("__action") =!= "drop")
         .select(schema.fieldNames.toIndexedSeq.map { c =>
           val dt = schema(c).dataType
@@ -682,9 +730,12 @@ class MergeBuilder private[table] (
           }
           expr.otherwise(lit(null).cast(dt)).as(c, schema(c).metadata)
         }: _*)
-      (keptB, () => obsB.get.get("inserted") match {
-        case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
-      })
+      (keptB, () =>
+        if (observable) obsB.get.get("inserted") match {
+          case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+        }
+        // foreachBatch thread: recount with a narrow job (keys only)
+        else tagged.filter(col("__action") =!= "drop").count())
     }
 
     // Phase 2 fast path (low-shuffle merge): when the source keys are
@@ -700,6 +751,29 @@ class MergeBuilder private[table] (
     // decomposition ("low-shuffle merge").
     if (srcKeysDistinct && pureEqui && !cdfOn && !dvOn &&
         notMatchedBySourceClauses.isEmpty && matchedClauses.nonEmpty) {
+      if (touched.isEmpty) {
+        // Empty key-overlap slice (e.g. first CDC batch into an empty
+        // table): no target row can match, the merge is pure insert. Short-
+        // circuit — the left-outer leg over ZERO files collapses to an
+        // empty relation during optimization and takes its CollectMetrics
+        // node with it, so Observation.get would never return.
+        val (inserts, numInserted: (() => Long)) =
+          if (notMatchedClauses.isEmpty) (None, () => 0L)
+          else { val (k, i) = fastInsertSide(); (Some(k), i) }
+        val adds = inserts.map(r => table.stageWrite(r, snap.metadata.partitionColumns))
+          .getOrElse(Nil)
+        mark("phase2 insert-only write")
+        val v = table.commitRewrite(snap, "MERGE",
+          Map("condition" -> condition.toString,
+            "matchedClauses" -> matchedClauses.size.toString,
+            "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
+          Nil, adds, evolution,
+          Map("numTargetRowsUpdated" -> 0L, "numTargetRowsDeleted" -> 0L,
+            "numTargetRowsInserted" -> numInserted(),
+            "numTargetRowsCopied" -> 0L, "numSourceRows" -> numSourceRows))
+        mark("commit")
+        return v
+      }
       val tgtF = table.readFilesMasked(snap, touched, schema).alias("target")
       val srcF = src.withColumn("__src", lit(true)).alias("source")
       val lo = tgtF.join(srcF, condition, "left_outer")
@@ -711,11 +785,14 @@ class MergeBuilder private[table] (
         if (tags.isEmpty) sum(lit(0L))
         else sum(when(col("__action").isin(tags: _*), 1L).otherwise(0L))
       val obsA = org.apache.spark.sql.Observation()
-      val keptA = lo.withColumn("__action", actionA)
-        .observe(obsA,
-          tagCountA(updateTagsA).as("updated"),
-          tagCountA(deleteTagsA).as("deleted"),
-          tagCountA(Seq("copy")).as("copied"))
+      val observable = !LakeTable.onStreamExecutionThread
+      val keptA0 = lo.withColumn("__action", actionA)
+      val keptA = (if (observable)
+          keptA0.observe(obsA,
+            tagCountA(updateTagsA).as("updated"),
+            tagCountA(deleteTagsA).as("deleted"),
+            tagCountA(Seq("copy")).as("copied"))
+        else keptA0)
         .filter(!col("__action").isin(deleteTagsA: _*))
         .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol): _*)
 
@@ -731,13 +808,24 @@ class MergeBuilder private[table] (
           l.contains("Broadcast")).mkString("[merge-plan]\n", "\n", ""))
       val adds = table.stageWrite(rewritten, snap.metadata.partitionColumns)
       mark("phase2 low-shuffle write")
-      def metricA(k: String): Long = obsA.get.get(k) match {
-        case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
-      }
+      // foreachBatch thread: recount per-action with one narrow job
+      // (Catalyst prunes the projection to the join keys + clause refs)
+      lazy val recountA: Map[String, Long] =
+        lo.select(actionA.as("__action")).groupBy("__action").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def metricA(k: String): Long =
+        if (observable) obsA.get.get(k) match {
+          case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+        }
+        else k match {
+          case "updated" => updateTagsA.map(t => recountA.getOrElse(t, 0L)).sum
+          case "deleted" => deleteTagsA.map(t => recountA.getOrElse(t, 0L)).sum
+          case _ => recountA.getOrElse("copy", 0L)
+        }
       val v = table.commitRewrite(snap, "MERGE",
         Map("condition" -> condition.toString,
           "matchedClauses" -> matchedClauses.size.toString,
-          "notMatchedClauses" -> notMatchedClauses.size.toString),
+          "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
         touched, adds, evolution,
         Map("numTargetRowsUpdated" -> metricA("updated"),
           "numTargetRowsDeleted" -> metricA("deleted"),
@@ -790,7 +878,7 @@ class MergeBuilder private[table] (
         val v = table.maskAndCommit(snap, "MERGE",
           Map("condition" -> condition.toString,
             "matchedClauses" -> matchedClauses.size.toString,
-            "notMatchedClauses" -> notMatchedClauses.size.toString),
+            "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
           touched, maskedRows, adds, evolution,
           _ => Map("numTargetRowsUpdated" -> numUpdated,
             "numTargetRowsDeleted" -> numDeleted,
@@ -929,7 +1017,8 @@ class MergeBuilder private[table] (
         if (tags.isEmpty) sum(lit(0L))
         else sum(when(col("__action").isin(tags: _*), 1L).otherwise(0L))
       val obs = org.apache.spark.sql.Observation()
-      val actedObs = acted.observe(obs,
+      val observable = !LakeTable.onStreamExecutionThread
+      val actedObs = if (!observable) acted else acted.observe(obs,
         tagCount(updateTags).as("updated"),
         tagCount(deleteTags).as("deleted"),
         tagCount(insertTags).as("inserted"),
@@ -984,12 +1073,28 @@ class MergeBuilder private[table] (
 
       val adds = table.stageWrite(rewritten, snap.metadata.partitionColumns)
       // the rewrite job has run; observed metrics are available (sum over an
-      // empty plan is null -> 0)
-      val observed = obs.get
-      def metric(k: String): Long = observed.get(k) match {
-        case Some(l: java.lang.Long) => l.longValue()
-        case _ => 0L
-      }
+      // empty plan is null -> 0). On a foreachBatch thread the observation
+      // can never complete — recount per action with one narrow job instead.
+      lazy val observed = obs.get
+      lazy val recount: Map[String, Long] =
+        acted.select(col("__action")).groupBy("__action").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def metric(k: String): Long =
+        if (observable) observed.get(k) match {
+          case Some(l: java.lang.Long) => l.longValue()
+          case _ => 0L
+        }
+        else {
+          val tags = k match {
+            case "updated" => updateTags
+            case "deleted" => deleteTags
+            case "inserted" => insertTags
+            case "nmbsUpdated" => nmbsUpdateTags
+            case "nmbsDeleted" => nmbsDeleteTags
+            case _ => Seq("copy")
+          }
+          tags.map(t => recount.getOrElse(t, 0L)).sum
+        }
       val metrics = Map(
         "numTargetRowsUpdated" -> metric("updated"),
         "numTargetRowsDeleted" -> metric("deleted"),
@@ -1005,7 +1110,7 @@ class MergeBuilder private[table] (
         "notMatchedClauses" -> notMatchedClauses.size.toString) ++
         (if (nmbsOn) Map("notMatchedBySourceClauses" ->
           notMatchedBySourceClauses.size.toString)
-        else Map.empty)
+        else Map.empty) ++ txnParams
       if (dvOn) {
         // matched (updated or deleted) target rows join their files' vectors
         // — read from the persisted changed set, not the join

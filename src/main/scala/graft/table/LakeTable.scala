@@ -500,22 +500,16 @@ class LakeTable private[table] (
     // BEFORE the commit, so the table state never includes them (staged
     // orphans are invisible to readers and vacuumable).
     val constraints = checkConstraints
-    val obs = if (constraints.isEmpty) None else Some(org.apache.spark.sql.Observation())
-    val checked = obs match {
-      case None => df
-      case Some(o) =>
-        val aggs = constraints.map { case (name, pred) =>
-          sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
-        }
-        df.observe(o, aggs.head, aggs.tail: _*)
+    // On a foreachBatch thread the observation can never complete (see
+    // LakeTable.onStreamExecutionThread): validate constraints with a
+    // dedicated pre-pass there instead of riding the write job.
+    val observable = !LakeTable.onStreamExecutionThread
+    def constraintAggs = constraints.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
     }
-    val toWrite = partitionCols.foldLeft(checked)((d, c) => d.withColumn(s"__p_$c", col(c)))
-    val w = toWrite.write.mode("errorifexists")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(absDir.toString)
-    obs.foreach { o =>
-      val row = o.get
+    def violations(row: String => Option[Any]): Unit =
       constraints.foreach { case (name, _) =>
-        val bad = row.get(name) match {
+        val bad = row(name) match {
           case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
         }
         if (bad > 0) {
@@ -527,6 +521,25 @@ class LakeTable private[table] (
           throw new IllegalArgumentException(s"$what: $bad row(s)")
         }
       }
+    if (!observable && constraints.nonEmpty) {
+      val aggs = constraintAggs
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      violations(n => Option(row.getAs[Any](n)))
+    }
+    val obs = if (constraints.isEmpty || !observable) None
+      else Some(org.apache.spark.sql.Observation())
+    val checked = obs match {
+      case None => df
+      case Some(o) =>
+        val aggs = constraintAggs
+        df.observe(o, aggs.head, aggs.tail: _*)
+    }
+    val toWrite = partitionCols.foldLeft(checked)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    val w = toWrite.write.mode("errorifexists")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(absDir.toString)
+    obs.foreach { o =>
+      val row = o.get
+      violations(row.get)
     }
 
     val files = listParquet(absDir)
@@ -1142,6 +1155,14 @@ object LakeTable {
     sys.props.getOrElse("user.name", "unknown")
 
   private[table] class EpochAlreadyCommitted extends RuntimeException
+
+  /** True on a Structured Streaming microbatch thread (foreachBatch).
+    * QueryExecutionListener events — which complete `Observation` promises —
+    * are not delivered for actions run on that thread, so `Observation.get`
+    * would block forever. DML metric collection switches to explicit narrow
+    * recount jobs there instead. */
+  private[table] def onStreamExecutionThread: Boolean =
+    Thread.currentThread().getName.startsWith("stream execution thread")
   private[table] class StaleStagedIds extends RuntimeException
 
   /** CREATE TABLE [IF NOT EXISTS] (W4, src/delta_utils.py:27-77). */

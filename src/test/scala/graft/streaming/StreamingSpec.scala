@@ -74,6 +74,75 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getDouble(0) shouldBe 9.5
   }
 
+  test("streaming CDC upsert: latest-per-key merge with deletes, exactly-once replay") {
+    val src = tmpDir("upsert-src")
+    val ck = tmpDir("upsert-ck").toString
+    val cdcSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("seq", LongType), StructField("_deleted", BooleanType)))
+    def writeCdc(name: String, rows: Seq[(Long, String, Long, Boolean)]): Unit = {
+      val body = rows.map { case (i, v, s, d) =>
+        s"""{"id":$i,"v":"$v","seq":$s,"_deleted":$d}""" }.mkString("", "\n", "\n")
+      Files.write(src.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+    }
+    val table = LakeTable.create(spark,
+      tmpDir("upsert-tbl").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+        StructField("seq", LongType))))
+
+    // batch 1: inserts, incl. two versions of id=2 (seq decides the winner)
+    writeCdc("a.json", Seq((1L, "a1", 1L, false), (2L, "b1", 1L, false),
+      (2L, "b2", 2L, false), (3L, "c1", 1L, false)))
+    val source = StreamIngest.fileSource(spark, src.toString, cdcSchema,
+      StreamIngest.StreamConfig(format = "json"))
+    val q1 = StreamIngest.startUpsertStream(source, table, ck,
+      keyCols = Seq("id"), sequenceCol = Some("seq"), deleteCol = Some("_deleted"))
+    q1.processAllAvailable()
+    q1.stop()
+    table.read().count() shouldBe 3
+    table.read().filter(col("id") === 2L).select("v")
+      .collect().head.getString(0) shouldBe "b2"
+
+    // batch 2 on a restarted query: update id=1, delete id=3, insert id=4,
+    // and a delete for a key never seen (no-op insert suppression)
+    writeCdc("b.json", Seq((1L, "a2", 2L, false), (3L, "gone", 2L, true),
+      (4L, "d1", 1L, false), (9L, "ghost", 1L, true)))
+    val q2 = StreamIngest.startUpsertStream(
+      StreamIngest.fileSource(spark, src.toString, cdcSchema,
+        StreamIngest.StreamConfig(format = "json")),
+      table, ck, keyCols = Seq("id"), sequenceCol = Some("seq"),
+      deleteCol = Some("_deleted"))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = table.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array((1L, "a2"), (2L, "b2"), (4L, "d1"))
+  }
+
+  test("merge withTxn: a replayed (appId, version) epoch is a no-op") {
+    import spark.implicits._
+    val table = LakeTable.createFrom(spark,
+      tmpDir("txn-merge").resolve("t").toString,
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    def mergeOnce(): Long =
+      table.merge(Seq((2L, "y2"), (3L, "z")).toDF("id", "v"),
+          col("target.id") === col("source.id"))
+        .withTxn("app-1", 5L)
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val v1 = mergeOnce()
+    table.read().count() shouldBe 3
+    // replay: same app id + version -> no new commit, no double-apply
+    mergeOnce() shouldBe v1
+    table.version shouldBe v1
+    table.read().filter(col("id") === 2L).select("v")
+      .collect().head.getString(0) shouldBe "y2"
+    // the next epoch applies normally
+    table.merge(Seq((4L, "w")).toDF("id", "v"),
+        col("target.id") === col("source.id"))
+      .withTxn("app-1", 6L)
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    table.read().count() shouldBe 4
+  }
+
   test("autoCompact keeps streaming-sink file counts bounded over many micro-batches") {
     val src = tmpDir("compact-src")
     val ck = tmpDir("compact-ck").toString
