@@ -46,7 +46,9 @@ object SparkEntry {
     "q16_zorder_identity" -> (TableOps.zorderIdentity _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),
-    "q44_merge_full_sync" -> (TableOps.mergeFullSync _))
+    "q44_merge_full_sync" -> (TableOps.mergeFullSync _),
+    "q59_sql_merge" -> (TableOps.sqlMerge _),
+    "q60_stream_upsert" -> (TableOps.streamUpsert _))
 
   private val silverQueries: Map[String, Q] = Map(
     "q18_clean_events" -> ((s, d) => Silver.cleanEvents(Tables.events(s, d)).drop("ts")),

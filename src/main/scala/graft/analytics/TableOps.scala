@@ -36,6 +36,65 @@ object TableOps {
     t.read()
   }
 
+  /** SQL `MERGE INTO` text form (§2.19): the q9 upsert driven through
+    * [[graft.table.GraftSql]] with arbitrary aliases plus a conditional
+    * DELETE clause — expensive matched rows are dropped instead of updated. */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = scratch("sqlmerge")
+    LakeTable.createFrom(spark, dir, orders.filter(col("o_orderkey") % 3 =!= 0))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .createOrReplaceTempView("sql_merge_src")
+    graft.table.GraftSql(spark).run(
+      s"""MERGE INTO '$dir' AS t USING sql_merge_src AS s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_totalprice > 400000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    LakeTable.forPath(spark, dir).read()
+  }
+
+  /** Streaming CDC upsert (§2.19): two sequential change batches stream
+    * through `startUpsertStream` — updates, flagged deletes, a re-insert of
+    * a deleted key, and a ghost delete (key never present). The final table
+    * is the deterministic fold of the two batches over the initial state. */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamIngest
+    val orders = Tables.orders(spark, sfDir)
+    val table = LakeTable.createFrom(spark, scratch("supsert"),
+      orders.filter(col("o_orderkey") % 3 =!= 0))
+    val srcDir = Files.createTempDirectory("graft-supsert-src").toString
+    val ck = Files.createTempDirectory("graft-supsert-ck").toString
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      orders.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_deleted",
+          org.apache.spark.sql.types.BooleanType)))
+    def runBatch(batch: DataFrame): Unit = {
+      batch.coalesce(1).write.mode("append").json(srcDir)
+      val q = StreamIngest.startUpsertStream(
+        StreamIngest.fileSource(spark, srcDir, cdcSchema,
+          StreamIngest.StreamConfig(format = "json")),
+        table, ck, keyCols = Seq("o_orderkey"),
+        sequenceCol = Some("seq"), deleteCol = Some("_deleted"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: even keys update to +1000; every 10th key is a delete
+    runBatch(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("seq", lit(1L))
+      .withColumn("_deleted", col("o_orderkey") % 10 === 0))
+    // batch 2: every 4th key re-upserts at +2000 (re-inserting keys batch 1
+    // deleted, e.g. %20 == 0)
+    runBatch(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0))
+      .withColumn("seq", lit(2L))
+      .withColumn("_deleted", lit(false)))
+    table.read()
+  }
+
   /** Full-sync MERGE with WHEN NOT MATCHED BY SOURCE: source rows upsert;
     * unmatched open orders are re-prioritized, other unmatched cheap orders
     * are dropped (Delta's whenNotMatchedBySource surface, first-match-wins
@@ -177,6 +236,24 @@ object TableOps {
           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
           o_orderdate, o_orderpriority
           FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""",
+    "q59_sql_merge" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+          FROM orders
+          WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0)
+             OR (o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0 AND o_totalprice + 1000.0 <= 400000.0)
+             OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)""",
+    "q60_stream_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 2000.0
+               WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+          FROM orders
+          WHERE (o_orderkey % 4 = 0)
+             OR (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0)
+             OR (o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0)""",
     "q44_merge_full_sync" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
