@@ -1,0 +1,42 @@
+package graft
+
+import graft.SparkSpec
+
+/** Scale guard over the whole driver-query surface: no query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin — the two operators whose
+  * cost explodes quadratically at cluster scale — except the documented
+  * single-row/broadcast-bounded cases. Catches a scale-killer the moment a
+  * refactor (or a Spark upgrade changing join selection) introduces one,
+  * without waiting for a bench regression.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop piece is bounded by construction — every
+    * entry must name the bound. */
+  private val allowed: Map[String, String] = Map(
+    // three single-row aggregate legs combined into one KPI row
+    "q6_daily_kpis" -> "1x1 crossJoin of single-row aggregates",
+    // near/far gate statistics: two single-row aggregates combined
+    "q23_simhash" -> "1x1 crossJoin of single-row aggregates",
+    // exact-ANN baseline: the q<<n query side is broadcast by design
+    "q25_ann_cosine_topk" -> "broadcast query-side crossJoin, O(n*q)",
+    // ADC scoring joins each code row to the broadcast O(m*k) codebook
+    "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)")
+
+  test("no unbounded CartesianProduct / BroadcastNestedLoopJoin in any driver query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // planning only — building the frame runs any setup side effects at
+      // sf0.001, which is what keeps this spec honest end-to-end
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val loops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      if (loops.isEmpty || allowed.contains(name)) None
+      else Some(s"$name -> ${loops.mkString(",")}")
+    }
+    withClue(s"scale-killer join operators in: ${offenders.mkString("; ")}\n") {
+      offenders shouldBe empty
+    }
+  }
+}
