@@ -81,6 +81,7 @@ object SparkEntry {
     "q52_range_join" -> (DataOps.weeklyRevenueRangeJoin _),
     "q53_quantize_int8" -> (DataOps.quantizeEmbeddings _),
     "q55_incremental_dedup" -> (DataOps.incrementalDedup _),
+    "q61_incremental_neardedup" -> (DataOps.incrementalNearDedup _),
     "q56_repetition_signals" -> (DataOps.repetitionSignals _),
     "q57_bigram_stats" -> (DataOps.bigramStats _),
     "q58_pq_adc" -> (DataOps.pqAdcTopK _))

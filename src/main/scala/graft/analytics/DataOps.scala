@@ -177,6 +177,18 @@ object DataOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dedup gate: a disjoint batch (doc_id % 5 = 0)
+    * dedups against the rest of the corpus via its shingle index only —
+    * LSH candidates, exact-verified, so the oracle is the all-pairs SQL. */
+  def incrementalNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.incrementalNearDup(batch, Dedup.shingleIndex(corpus), minJaccard = 0.8)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Product-quantization ADC gate: sampled sub-codebooks (m=8 subspaces
     * of 8 dims, 16 centroids each — bit-reproducible), corpus encoded to
     * 8 codes/vector, ADC top-5 for queries 40..50. The oracle replays
@@ -414,6 +426,18 @@ object DataOps {
          WHERE NOT EXISTS (SELECT 1 FROM documents c
              WHERE c.doc_id % 10 < 6 AND c.text = b.text)
            AND b.doc_id = (SELECT min(d.doc_id) FROM batch d WHERE d.text = b.text)""",
+    "q61_incremental_neardedup" ->
+      s"""WITH s AS (SELECT doc_id, source, $shinglesSql AS sh FROM documents),
+         c AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+         b AS (SELECT * FROM s WHERE doc_id % 5 = 0)
+         SELECT b.doc_id, b.source FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM c WHERE
+             COALESCE(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+               NULLIF(len(list_distinct(b.sh || c.sh)), 0), 0.0) >= 0.8)
+           AND NOT EXISTS (SELECT 1 FROM b b2 WHERE b2.doc_id < b.doc_id AND
+             COALESCE(CAST(len(list_intersect(b.sh, b2.sh)) AS DOUBLE) /
+               NULLIF(len(list_distinct(b.sh || b2.sh)), 0), 0.0) >= 0.8)
+         ORDER BY b.doc_id""",
     "q56_repetition_signals" -> {
       val bg = bigramsSql("tk[i] || ' ' || tk[i+1]", "VARCHAR[]")
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -403,6 +403,89 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Shingle-hash index rows for [[incrementalNearDup]] — (id, sh) with
+    * `sh` the distinct 64-bit-hashed n-gram shingles of the text. The
+    * near-dup analogue of [[fingerprints]]: ~8 bytes per token instead of
+    * the raw text, the only state incremental near-dedup keeps or scans.
+    * Persist as a lake table and append each surviving batch's rows. */
+  def shingleIndex(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s)))
+        .as("sh"))
+
+  /** MinHash signatures over pre-hashed shingle sets (id, sh). */
+  private def setSignatures(t: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    t.select(col("id"), explode(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band-bucket rows (id, band, bh) from signature rows (id, sig). */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+        .as("bucket"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  /** Incremental NEAR-dup — the steady-state corpus pattern for fuzzy
+    * duplicates: a new batch is deduplicated against everything already
+    * ingested WITHOUT touching the corpus, only its [[shingleIndex]]. A
+    * batch doc is dropped when exact shingle-set Jaccard >= `minJaccard`
+    * against ANY corpus doc or any lower-id batch doc (the pairwise rule,
+    * matching [[incrementalExact]]'s lowest-id-keeps semantics; for
+    * transitive within-corpus clustering run [[nearDupGroups]] offline).
+    *
+    * Candidates come from banded-MinHash equi-joins (computed from the
+    * stored sets on BOTH sides — at the default r=2, b=32 a J=0.8 pair is
+    * missed with probability ~6e-15), then ONLY candidates are verified
+    * exactly against the stored sets: no all-pairs stage, and the
+    * candidate join ships (id, band, bh) ints only. At 100 TB, store the
+    * corpus index bucketed/z-ordered so the per-batch band probe prunes to
+    * matching files rather than scanning the whole index; batch and corpus
+    * ids must be disjoint. */
+  def incrementalNearDup(
+      batch: DataFrame,
+      corpusIndex: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val bt = shingleIndex(batch, idCol, textCol, shingleN)
+      .withColumn("n", size(col("sh")))
+    val ct = corpusIndex.select(col("id"), col("sh"))
+      .withColumn("n", size(col("sh")))
+    val bb = bandRows(setSignatures(bt, numHashes), numHashes, bands)
+    val cb = bandRows(setSignatures(ct, numHashes), numHashes, bands)
+    val candCorpus = bb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("b"), col("y.id").as("o"))
+    val candBatch = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.id") < col("x.id"))
+      .select(col("x.id").as("b"), col("y.id").as("o"))
+    val allSets = ct.unionByName(bt.select(col("id"), col("sh"), col("n")))
+    val dropped = candCorpus.unionByName(candBatch).dropDuplicates("b", "o")
+      .join(bt.select(col("id").as("b"), col("sh").as("sb"), col("n").as("nb")), "b")
+      .join(allSets.select(col("id").as("o"), col("sh").as("so"), col("n").as("no")), "o")
+      .withColumn("inter", size(array_intersect(col("sb"), col("so"))))
+      .withColumn("jaccard",
+        coalesce(try_divide(col("inter").cast("double"),
+          (col("nb") + col("no") - col("inter")).cast("double")), lit(0.0)))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("b")).distinct()
+    batch.join(dropped.withColumnRenamed("b", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Per-doc near-dup group assignment: every doc gets the smallest doc id
     * in its near-duplicate cluster (`group_id`) plus an `is_canonical`
     * keep flag; docs without a near-dup are their own singleton group.

@@ -48,6 +48,33 @@ class DataOpsSpec extends SparkSpec {
     Dedup.incrementalExact(batch, fps2).count() shouldBe 0
   }
 
+  test("incremental near-dedup: corpus near-dups drop, fresh and distant docs survive") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+      (11L, "completely unrelated corpus text about distributed query engines and storage")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus 10 (one word changed) -> dropped
+      (20L, "the quick brown fox jumps over the lazy cat in the warm morning sun"),
+      // fresh doc -> survives
+      (21L, "a totally new document with entirely novel content and vocabulary"),
+      // near-dup of 21 (one word changed), higher id -> dropped (pairwise rule)
+      (22L, "a totally new document with entirely novel content and words"),
+      // shares no shingles with anything -> survives
+      (23L, "zebra xylophone quartz vortex jigsaw")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, Dedup.shingleIndex(corpus),
+      minJaccard = 0.5)
+    out.select("doc_id").as[Long].collect().sorted shouldBe Array(21L, 23L)
+    // idempotent second pass: append survivors' index rows, re-run the batch
+    // under fresh ids -> every doc now matches the index (20 fuzzily vs
+    // corpus 10; 21/23 exactly vs themselves; 22 fuzzily vs indexed 21)
+    val idx2 = Dedup.shingleIndex(corpus).unionByName(Dedup.shingleIndex(out))
+    Dedup.incrementalNearDup(
+      batch.withColumn("doc_id", col("doc_id") + 100), idx2, minJaccard = 0.5)
+      .count() shouldBe 0
+  }
+
   test("repetition signals: hand-computed fractions and flags") {
     val d = Seq(
       (1L, "a a a a"),          // 4 tokens, 1 distinct; bigrams: "a a" x3
