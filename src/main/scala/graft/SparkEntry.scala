@@ -101,6 +101,7 @@ object SparkEntry {
     "q37_deep_clone" -> (MetaOps.deepClone _),
     "q38_schema_evolution" -> (MetaOps.schemaEvolution _),
     "q49_convert" -> (MetaOps.convertInPlace _),
+    "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _))
 
   def queries: Map[String, Q] =

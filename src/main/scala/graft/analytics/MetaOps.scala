@@ -84,7 +84,24 @@ object MetaOps {
     t.read()
   }
 
+  /** COPY INTO idempotence: two incremental loads plus a full re-run
+    * (no-op); a double-load of the first batch would duplicate the even
+    * keys and fail the row/hash gate. */
+  def copyIntoIdempotent(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val src = Files.createTempDirectory("graft-copy-src").toString
+    orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$src/batch1")
+    val t = LakeTable.create(spark, scratch("copyinto"), orders.schema)
+    t.copyInto(s"$src/*")
+    orders.filter(col("o_orderkey") % 2 =!= 0).write.parquet(s"$src/batch2")
+    t.copyInto(s"$src/*") // batch1's files are in the ledger: only batch2 loads
+    t.copyInto(s"$src/*") // full re-run: no-op
+    t.read()
+  }
+
   val oracles: Map[String, String] = Map(
+    "q62_copy_into" ->
+      "SELECT * FROM orders",
     "q49_convert" ->
       "SELECT * FROM orders WHERE o_orderkey % 5 <> 0",
     "q34_describe_history" ->

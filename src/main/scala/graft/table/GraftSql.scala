@@ -70,6 +70,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val deleteCmd =
     """(?is)\s*DELETE\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val mergeCmd = """(?is)\s*MERGE\s+INTO\s+(.+)""".r
+  // COPY INTO <t> FROM '<path>' [FILEFORMAT = PARQUET] — Delta's idempotent
+  // batch loader shape
+  private val copyIntoCmd =
+    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+(\S+?)(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -354,6 +358,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" ->
         table(t).delete(Option(where).map(expr).getOrElse(lit(true))))
     case mergeCmd(rest) => runMerge(rest)
+    case copyIntoCmd(t, src, fmt) =>
+      oneRow("version" -> table(t).copyInto(unquote(src),
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
     // not a table-management command — plain Spark SQL (temp views etc.)
     case other => spark.sql(other)
   }

@@ -330,6 +330,69 @@ class LakeTable private[table] (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Idempotent batch file loading — Delta's COPY INTO. Every source file
+    * is loaded AT MOST ONCE across invocations: re-running after new files
+    * land appends only those; a full re-run is a no-op. File identity is
+    * the path (a rewritten file under the same name is NOT reloaded,
+    * matching Delta's default). The loaded-file ledger rides the COPY INTO
+    * commits' operationParameters and is rebuilt from the log — the table
+    * itself is the only state, and the ledger grows with files LOADED, not
+    * files listed. Directories expand one level; pass a `*` glob under the
+    * root for nested layouts. Listing is a driver metadata op. */
+  def copyInto(
+      sourcePath: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Long = {
+    val snap0 = snapshot()
+    val hpath = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val globbed = Option(fs.globStatus(hpath)).map(_.toSeq).getOrElse(Nil)
+    val listed = globbed.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+        else Seq(st)
+      }
+      .map(_.getPath.toUri.getPath)
+      .filterNot { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sorted
+    def loadedIn(s: Snapshot): Set[String] = s.commits
+      .filter(_.operation == "COPY INTO")
+      .flatMap(_.operationParameters.get("copiedFiles"))
+      .flatMap(_.split('\n')).filter(_.nonEmpty).toSet
+    val fresh = listed.filterNot(loadedIn(snap0))
+    if (fresh.isEmpty) return snap0.version
+    // parquet/orc are self-describing (align casts onto the table schema);
+    // csv/json read under the enforced schema
+    val df = format.toLowerCase match {
+      case "parquet" => spark.read.options(options).parquet(fresh: _*)
+      case "orc"     => spark.read.options(options).orc(fresh: _*)
+      case "json"    => spark.read.options(options).schema(snap0.schema).json(fresh: _*)
+      case "csv"     => spark.read.option("header", "true").options(options)
+        .schema(snap0.schema).csv(fresh: _*)
+      case f => throw new IllegalArgumentException(s"unsupported COPY INTO format: $f")
+    }
+    val adds = stageIngestWrite(align(df, snap0.schema, strict = true),
+      snap0.metadata.partitionColumns)
+    commitWithRetry("COPY INTO",
+      Map("source" -> sourcePath, "format" -> format,
+        "copiedFiles" -> fresh.mkString("\n")), snap0,
+      Map("numSourceFiles" -> fresh.size.toLong)) { s =>
+      if (s.version != snap0.version) {
+        if (s.schema != snap0.schema)
+          throw new java.util.ConcurrentModificationException(
+            "COPY INTO conflicts with a concurrent schema change")
+        // the ledger re-check against the FRESH snapshot keeps at-most-once
+        // under a lost CAS race with a concurrent COPY INTO of the same files
+        if (fresh.exists(loadedIn(s)))
+          throw new java.util.ConcurrentModificationException(
+            "COPY INTO conflicts with a concurrent load of the same files")
+      }
+      adds
+    }
+  }
+
   /** Idempotent streaming append: exactly-once under foreachBatch replay
     * (W7 sink side, §2.11 — notebooks/01_bronze_ingestion.py:223-229). The
     * commit records (txnAppId, txnVersion); a replayed epoch whose version
