@@ -449,8 +449,12 @@ object Bench {
       "skew_agg_x" -> "%.2f", "skew_dedup_x" -> "%.2f", "skew_join_x" -> "%.2f",
     ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
       .mkString("{", ",", "}")
+    // the final line keys queries by their qNN prefix (unique; full names
+    // are on BENCH_DETAIL): at 60+ queries the full names alone overflow
+    // the ~2000-char tail window and the line degraded to ops-only
     def finalLine(qfmt: String, opsJsonStr: String): String = {
-      val qsShort = results.map { case (k, v) => s""""$k":${jshort(v, qfmt)}""" }
+      val qsShort = results.map { case (k, v) =>
+        s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort"}"""
     }

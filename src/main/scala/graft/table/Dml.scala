@@ -158,7 +158,11 @@ trait DmlSupport { self: LakeTable =>
       .dropDuplicates("__file", "__idx")
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dvRel = s"dv/$commitId"
-    allRows.write.mode("errorifexists").parquet(dir.resolve(dvRel).toString)
+    // partition-local sort: runs of equal __file dictionary-encode and idx
+    // delta-packs, shrinking the union vector severalfold — the union
+    // rewrite is the part of DV-merge cost that grows with accumulated masks
+    allRows.sortWithinPartitions("__file", "__idx")
+      .write.mode("errorifexists").parquet(dir.resolve(dvRel).toString)
     // per-file mask sizes from the written vector (tiny read)
     val counts = spark.read.parquet(dir.resolve(dvRel).toString)
       .groupBy("__file").agg(count(lit(1)).as("n"))
