@@ -118,6 +118,53 @@ class StreamingSpec extends SparkSpec {
     out shouldBe Array((1L, "a2"), (2L, "b2"), (4L, "d1"))
   }
 
+  test("CHECK constraints hold on the streaming sink (pre-pass validation, no Observation)") {
+    val src = tmpDir("ck-src")
+    val ck = tmpDir("ck-ck").toString
+    val table = LakeTable.create(spark, tmpDir("ck-tbl").resolve("t").toString, schema)
+    table.addConstraint("id_positive", "id > 0")
+    writeJson(src, "good.json", Seq((1L, "view"), (2L, "click")))
+    val q1 = StreamIngest.ingest(spark, src.toString, schema, table, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    table.read().count() shouldBe 2
+    // a violating batch fails the stream and commits nothing
+    writeJson(src, "bad.json", Seq((-5L, "view")))
+    val q2 = StreamIngest.ingest(spark, src.toString, schema, table, ck)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    ex.getMessage should include regex "(?i)constraint"
+    table.read().count() shouldBe 2
+  }
+
+  test("DML metrics inside foreachBatch: update/delete recount instead of observing") {
+    import spark.implicits._
+    val src = tmpDir("dmlfb-src")
+    val ck = tmpDir("dmlfb-ck").toString
+    val table = LakeTable.createFrom(spark,
+      tmpDir("dmlfb-tbl").resolve("t").toString,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // drive UPDATE + DELETE from inside a foreachBatch closure — the
+    // stream-thread fallback path (Observation would deadlock here)
+    writeJson(src, "trigger.json", Seq((100L, "go")))
+    val q = StreamIngest.fileSource(spark, src.toString, schema).writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        table.update(col("id") <= 5L, Map("v" -> lit("updated"))): Unit
+        table.delete(col("id") > 18L): Unit
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    table.read().filter(col("v") === "updated").count() shouldBe 5
+    table.read().count() shouldBe 18
+    val metrics = table.history().select("operation", "operationMetrics")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    metrics("UPDATE").get("numUpdatedRows") shouldBe Some("5")
+    metrics("DELETE").get("numDeletedRows") shouldBe Some("2")
+  }
+
   test("merge withTxn: a replayed (appId, version) epoch is a no-op") {
     import spark.implicits._
     val table = LakeTable.createFrom(spark,
