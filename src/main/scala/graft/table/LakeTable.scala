@@ -845,9 +845,16 @@ class LakeTable private[table] (
       val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics,
         snap.version, LakeTable.currentUser, blind)
       if (log.tryCommit(v, ci +: actions)) {
-        // checkpoint every 10th commit so snapshot resolution stays O(10)
-        // regardless of table history (best effort — replay still works)
-        if (v > 0 && v % 10 == 0)
+        // checkpoint every Nth commit (graft.checkpointInterval, Delta's
+        // delta.checkpointInterval; default 10) so snapshot resolution
+        // stays O(interval) regardless of table history (best effort —
+        // replay still works)
+        val interval = snap.metadata.properties
+          .get("graft.checkpointInterval")
+          .orElse(snap.metadata.properties.get("delta.checkpointInterval"))
+          .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+          .getOrElse(10)
+        if (v > 0 && v % interval == 0)
           try log.writeCheckpoint(v)
           catch { case scala.util.control.NonFatal(_) => }
         return v

@@ -28,6 +28,14 @@ class CheckpointSpec extends SparkSpec {
     fullReplay.metadata shouldBe withCkpt.metadata
   }
 
+  test("graft.checkpointInterval overrides the default cadence") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-iv").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map("graft.checkpointInterval" -> "4"))
+    (1 to 9).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.log.listCheckpoints() shouldBe Seq(4L, 8L)
+  }
+
   test("history, time travel, and CDF are unaffected by checkpoints") {
     val t = LakeTable.create(spark, tmpDir("ckpt2").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema,
