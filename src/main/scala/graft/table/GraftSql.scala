@@ -74,6 +74,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   // batch loader shape
   private val copyIntoCmd =
     """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+(\S+?)(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*""".r
+  private val analyzeCmd =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -361,6 +363,12 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case copyIntoCmd(t, src, fmt) =>
       oneRow("version" -> table(t).copyInto(unquote(src),
         Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
+    case analyzeCmd(t, cols) =>
+      val stats = table(t).analyze(
+        Option(cols).map(_.split(',').map(c => unquote(c.trim)).toSeq).getOrElse(Nil))
+      spark.createDataFrame(
+        stats.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }.asJava,
+        StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
     // not a table-management command — plain Spark SQL (temp views etc.)
     case other => spark.sql(other)
   }

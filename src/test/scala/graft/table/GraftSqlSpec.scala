@@ -136,6 +136,16 @@ class GraftSqlSpec extends SparkSpec {
     out2.filter(col("id") > 205).count() shouldBe 0
   }
 
+  test("ANALYZE TABLE COMPUTE STATISTICS [FOR COLUMNS]") {
+    val (_, dir) = freshTable("gsql-analyze")
+    val all = sql.run(s"ANALYZE TABLE '$dir' COMPUTE STATISTICS")
+      .as[(String, String)].collect().toMap
+    all("stats.numRows") shouldBe "200"
+    val one = sql.run(s"ANALYZE TABLE '$dir' COMPUTE STATISTICS FOR COLUMNS id")
+      .as[(String, String)].collect().toMap
+    one.keys.filter(_.endsWith(".distinctCount")) shouldBe Set("stats.id.distinctCount")
+  }
+
   test("non-command SQL falls through to spark.sql") {
     val (t, dir) = freshTable("gsql-fallthrough")
     t.createOrReplaceTempView("gsql_v")
