@@ -352,7 +352,13 @@ object Bench {
     // code); same-round pairs see the same environment.
     def medOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def skewPair(mk: Boolean => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      // untimed warmup of BOTH plan shapes: round 1's uniform leg otherwise
+      // pays codegen/JIT and biases its ratio low; a GC pause mid-leg
+      // biases it high (observed 0.68x..4.4x on identical code) — warm
+      // plans + a quiesce per round keep the legs comparable
+      noopSink(mk(false)); noopSink(mk(true))
       val rounds = (1 to 3).map { _ =>
+        quiesce()
         val u = timed(noopSink(mk(false)))._2
         val s = timed(noopSink(mk(true)))._2
         (u, s)
