@@ -184,7 +184,11 @@ object DataOps {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    Dedup.incrementalNearDup(batch, Dedup.shingleIndex(corpus), minJaccard = 0.8)
+    // the scale-right call shape: both halves of the persisted index (sets
+    // + band rows) are inputs; nothing re-hashes the corpus per batch
+    val index = Dedup.shingleIndex(corpus)
+    Dedup.incrementalNearDup(batch, index, minJaccard = 0.8,
+        corpusBands = Some(Dedup.bandIndex(index)))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }

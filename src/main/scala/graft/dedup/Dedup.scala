@@ -424,6 +424,16 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** LSH band-bucket rows (id, band, bh) for a [[shingleIndex]] frame —
+    * the second half of the persisted near-dup index. Computing these once
+    * per doc at ingestion (and appending survivors' rows per batch) is
+    * what lets [[incrementalNearDup]] probe the corpus side as a static
+    * equi-join input: stored bucketed/z-ordered on bh, the per-batch band
+    * probe prunes to matching files instead of re-hashing the corpus. */
+  def bandIndex(
+      index: DataFrame, numHashes: Int = 64, bands: Int = 32): DataFrame =
+    bandRows(setSignatures(index, numHashes), numHashes, bands)
+
   /** LSH band-bucket rows (id, band, bh) from signature rows (id, sig). */
   private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
@@ -443,14 +453,17 @@ object Dedup {
     * matching [[incrementalExact]]'s lowest-id-keeps semantics; for
     * transitive within-corpus clustering run [[nearDupGroups]] offline).
     *
-    * Candidates come from banded-MinHash equi-joins (computed from the
-    * stored sets on BOTH sides — at the default r=2, b=32 a J=0.8 pair is
-    * missed with probability ~6e-15), then ONLY candidates are verified
-    * exactly against the stored sets: no all-pairs stage, and the
-    * candidate join ships (id, band, bh) ints only. At 100 TB, store the
-    * corpus index bucketed/z-ordered so the per-batch band probe prunes to
-    * matching files rather than scanning the whole index; batch and corpus
-    * ids must be disjoint. */
+    * Candidates come from banded-MinHash equi-joins (at the default r=2,
+    * b=32 a J=0.8 pair is missed with probability ~6e-15), then ONLY
+    * candidates are verified exactly against the stored sets: no all-pairs
+    * stage, and the candidate join ships (id, band, bh) ints only.
+    *
+    * At 100 TB pass `corpusBands` — the persisted [[bandIndex]] rows,
+    * appended per batch alongside the shingle index — so the corpus side
+    * is a static equi-join input (stored bucketed/z-ordered on bh, the
+    * batch's band probe prunes to matching files). When omitted, bands are
+    * re-derived from the sets — a full index re-hash per batch, fine for
+    * small corpora only. Batch and corpus ids must be disjoint. */
   def incrementalNearDup(
       batch: DataFrame,
       corpusIndex: DataFrame,
@@ -459,13 +472,15 @@ object Dedup {
       minJaccard: Double = 0.8,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
     val bt = shingleIndex(batch, idCol, textCol, shingleN)
       .withColumn("n", size(col("sh")))
     val ct = corpusIndex.select(col("id"), col("sh"))
       .withColumn("n", size(col("sh")))
     val bb = bandRows(setSignatures(bt, numHashes), numHashes, bands)
-    val cb = bandRows(setSignatures(ct, numHashes), numHashes, bands)
+    val cb = corpusBands.getOrElse(
+      bandRows(setSignatures(ct, numHashes), numHashes, bands))
     val candCorpus = bb.as("x").join(cb.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("b"), col("y.id").as("o"))

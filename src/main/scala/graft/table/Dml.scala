@@ -576,18 +576,13 @@ class MergeBuilder private[table] (
     // When it equals numSourceRows, NO source row is an insert and the
     // phase-2 anti-join (a full scan of the touched files' keys) is skipped.
     var matchedSourceRows: Option[Long] = None
+    // (The probe always runs past the 2-candidate floor: a "dense merge"
+    // heuristic that skips it was tried and dropped — when a large
+    // distinct-key source mostly MISSES the table (an id-list delete), the
+    // skipped probe turns into a full rewrite of every candidate file as
+    // unchanged copies, an asymmetric loss for a narrow-scan saving.)
     val matchTouched: Seq[AddFile] =
       if (candidates.size <= 2) candidates
-      else if (srcKeysDistinct && matchedClauses.nonEmpty &&
-          rawNotMatchedClauses.isEmpty && numSourceRows >= 16L * candidates.size) {
-        // Dense update/delete-only merge: with no insert clauses the probe's
-        // only job is shrinking the rewrite set, and at >=16 expected matches
-        // per candidate file a matchless candidate is vanishingly rare —
-        // rewriting the odd all-copy file costs less than a dedicated probe
-        // scan of every candidate. (Heuristic only: a skipped probe can at
-        // worst rewrite a file unchanged, never miss one.)
-        candidates
-      }
       else {
         val touchedPaths: Set[String] =
           if (srcKeysDistinct) {

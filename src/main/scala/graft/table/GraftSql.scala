@@ -73,7 +73,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   // COPY INTO <t> FROM '<path>' [FILEFORMAT = PARQUET] — Delta's idempotent
   // batch loader shape
   private val copyIntoCmd =
-    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+(\S+?)(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+(\S+?)(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+FORCE)?\s*""".r
   private val analyzeCmd =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*""".r
 
@@ -94,18 +94,19 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       Seq(Row.fromSeq(fields.map(_._2))).asJava, schema)
   }
 
-  /** Split on commas at paren depth 0 (so `decimal(18,2)` survives). */
+  /** Split on commas at paren depth 0, outside quoted runs (so
+    * `decimal(18,2)` and `'a, b'` survive). */
   private def splitTop(body: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var inStr = false
-    body.indices.foreach { i =>
+    var depth = 0; var start = 0; var i = 0
+    while (i < body.length) {
       body.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case ',' if !inStr && depth == 0 =>
-          out += body.substring(start, i); start = i + 1
-        case _ =>
+        case '\'' | '"' | '`' => i = skipQuoted(body, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          out += body.substring(start, i); start = i + 1; i += 1
+        case _ => i += 1
       }
     }
     out += body.substring(start)
@@ -125,25 +126,42 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       case bad => throw new IllegalArgumentException(s"bad column def: $bad")
     }
 
-  /** First top-level (outside quotes/backticks/parens) occurrence of
-    * word-bounded keyword `kw` in `s` at/after `from`, or -1. */
+  /** Index just past the closing quote of the quoted run starting at
+    * `start`, honoring SQL quote-doubling ('' / "") as an escape. */
+  private def skipQuoted(s: String, start: Int): Int = {
+    val q = s.charAt(start); var i = start + 1
+    while (i < s.length) {
+      if (s.charAt(i) == q) {
+        if (q != '`' && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** First top-level occurrence of word-bounded keyword `kw` in `s` at/after
+    * `from`, or -1. "Top-level" = outside single/double/backtick-quoted runs
+    * (with '' / "" escapes), outside parens, and outside CASE ... END — a
+    * CASE's own WHEN/THEN must never read as a MERGE clause boundary. */
   private def topIndexOf(s: String, kw: String, from: Int = 0): Int = {
-    var depth = 0; var i = from
+    var depth = 0; var caseDepth = 0; var i = from
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWord(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !isWord(s.charAt(i + w.length)))
     while (i < s.length) {
       s.charAt(i) match {
-        case '\'' =>
-          val j = s.indexOf('\'', i + 1); i = if (j < 0) s.length else j + 1
-        case '`' =>
-          val j = s.indexOf('`', i + 1); i = if (j < 0) s.length else j + 1
+        case '\'' | '"' | '`' => i = skipQuoted(s, i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>
-          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || !isWord(s.charAt(i - 1))) &&
-              (i + kw.length >= s.length || !isWord(s.charAt(i + kw.length))))
-            return i
-          i += 1
+          if (depth == 0 && wordAt("CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt("END")) {
+            caseDepth -= 1; i += 3
+          }
+          else if (depth == 0 && caseDepth == 0 && wordAt(kw)) return i
+          else i += 1
       }
     }
     -1
@@ -222,15 +240,14 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
 
     val (srcDf, sAlias) =
       if (srcSpec.startsWith("(")) {
-        var depth = 0; var end = -1; var i = 0; var inStr = false
+        var depth = 0; var end = -1; var i = 0
         while (i < srcSpec.length && end < 0) {
           srcSpec.charAt(i) match {
-            case '\'' => inStr = !inStr
-            case '(' if !inStr => depth += 1
-            case ')' if !inStr => depth -= 1; if (depth == 0) end = i
-            case _ =>
+            case '\'' | '"' | '`' => i = skipQuoted(srcSpec, i)
+            case '(' => depth += 1; i += 1
+            case ')' => depth -= 1; if (depth == 0) end = i; i += 1
+            case _ => i += 1
           }
-          i += 1
         }
         require(end > 0, s"unbalanced MERGE source subquery: $srcSpec")
         val (_, alias) = tokenAndAlias("x" + srcSpec.substring(end + 1), "source")
@@ -257,29 +274,29 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     val insAll = """(?is)\s*INSERT\s+\*\s*""".r
     val ins = """(?is)\s*INSERT\s*\(([^)]+)\)\s*VALUES\s*\((.+)\)\s*""".r
     val del = """(?is)\s*DELETE\s*""".r
+    val nmbsRx = """(?is)^\s*NOT\s+MATCHED\s+BY\s+SOURCE\b(.*)$""".r
+    val insRx = """(?is)^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET\b)?(.*)$""".r
+    val matchedRx = """(?is)^\s*MATCHED\b(.*)$""".r
+    val andRx = """(?is)^\s*AND\s+(.+)$""".r
     clauses.foreach { cl =>
       val body = cl.substring(4).trim // drop WHEN
       val thenIdx = topIndexOf(body, "THEN")
       require(thenIdx > 0, s"WHEN clause missing THEN: $cl")
-      val head = body.substring(0, thenIdx).trim.replaceAll("\\s+", " ")
+      // kind detection via regex so the condition text reaches rx()
+      // verbatim — normalizing its whitespace would corrupt string literals
+      val head = body.substring(0, thenIdx)
       val action = body.substring(thenIdx + 4).trim
-      def strip(prefix: String): Option[String] =
-        if (head.length >= prefix.length &&
-            head.substring(0, prefix.length).equalsIgnoreCase(prefix))
-          Some(head.substring(prefix.length).trim)
-        else None
-      val (kind, condPart) = strip("NOT MATCHED BY SOURCE").map(("nmbs", _))
-        .orElse(strip("NOT MATCHED BY TARGET").map(("insert", _)))
-        .orElse(strip("NOT MATCHED").map(("insert", _)))
-        .orElse(strip("MATCHED").map(("matched", _)))
-        .getOrElse(throw new IllegalArgumentException(s"bad WHEN clause: $cl"))
-      val cond =
-        if (condPart.isEmpty) None
-        else {
-          require(condPart.substring(0, 3).equalsIgnoreCase("AND"),
-            s"expected AND <cond> in: $cl")
-          Some(rx(condPart.substring(3)))
-        }
+      val (kind, condPart) = head match {
+        case nmbsRx(rest) => ("nmbs", rest)
+        case insRx(rest) => ("insert", rest)
+        case matchedRx(rest) => ("matched", rest)
+        case _ => throw new IllegalArgumentException(s"bad WHEN clause: $cl")
+      }
+      val cond = condPart.trim match {
+        case "" => None
+        case andRx(c) => Some(rx(c))
+        case _ => throw new IllegalArgumentException(s"expected AND <cond> in: $cl")
+      }
       (kind, action) match {
         case ("matched", updAll()) => b = b.whenMatchedUpdateAll(cond)
         case ("matched", upd(sets)) => b = b.whenMatchedUpdate(rxMap(sets), cond)
@@ -360,9 +377,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" ->
         table(t).delete(Option(where).map(expr).getOrElse(lit(true))))
     case mergeCmd(rest) => runMerge(rest)
-    case copyIntoCmd(t, src, fmt) =>
+    case copyIntoCmd(t, src, fmt, force) =>
       oneRow("version" -> table(t).copyInto(unquote(src),
-        Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+        force = force != null))
     case analyzeCmd(t, cols) =>
       val stats = table(t).analyze(
         Option(cols).map(_.split(',').map(c => unquote(c.trim)).toSeq).getOrElse(Nil))

@@ -338,11 +338,18 @@ class LakeTable private[table] (
     * commits' operationParameters and is rebuilt from the log — the table
     * itself is the only state, and the ledger grows with files LOADED, not
     * files listed. Directories expand one level; pass a `*` glob under the
-    * root for nested layouts. Listing is a driver metadata op. */
+    * root for nested layouts. Listing is a driver metadata op.
+    *
+    * `force` ignores the ledger and reloads everything listed (Delta's
+    * COPY_OPTIONS force) — the escape hatch when the ledger outlives the
+    * data it tracked, e.g. after a RESTORE to a pre-load version (RESTORE
+    * rewinds the file set but the replayed log still contains the COPY
+    * INTO commits). */
   def copyInto(
       sourcePath: String,
       format: String = "parquet",
-      options: Map[String, String] = Map.empty): Long = {
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false): Long = {
     val snap0 = snapshot()
     val hpath = new org.apache.hadoop.fs.Path(sourcePath)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,7 +368,7 @@ class LakeTable private[table] (
       .filter(_.operation == "COPY INTO")
       .flatMap(_.operationParameters.get("copiedFiles"))
       .flatMap(_.split('\n')).filter(_.nonEmpty).toSet
-    val fresh = listed.filterNot(loadedIn(snap0))
+    val fresh = if (force) listed else listed.filterNot(loadedIn(snap0))
     if (fresh.isEmpty) return snap0.version
     // parquet/orc are self-describing (align casts onto the table schema);
     // csv/json read under the enforced schema
@@ -385,7 +392,7 @@ class LakeTable private[table] (
             "COPY INTO conflicts with a concurrent schema change")
         // the ledger re-check against the FRESH snapshot keeps at-most-once
         // under a lost CAS race with a concurrent COPY INTO of the same files
-        if (fresh.exists(loadedIn(s)))
+        if (!force && fresh.exists(loadedIn(s)))
           throw new java.util.ConcurrentModificationException(
             "COPY INTO conflicts with a concurrent load of the same files")
       }

@@ -38,6 +38,27 @@ class CopyIntoSpec extends SparkSpec {
     ops.count(_ == "COPY INTO") shouldBe 3
   }
 
+  test("FORCE reloads past the ledger (the post-RESTORE escape hatch)") {
+    val src = tmpDir("copy-force-src")
+    val t = LakeTable.create(spark, tmpDir("copy-force-tbl").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))))
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(src.resolve("a").toString)
+    t.copyInto(s"$src/*")
+    t.read().count() shouldBe 2
+    t.restoreToVersion(0)
+    t.read().count() shouldBe 0
+    // ledger survives the restore: a plain re-run is a no-op...
+    val v = t.version
+    t.copyInto(s"$src/*") shouldBe v
+    t.read().count() shouldBe 0
+    // ...FORCE reloads
+    t.copyInto(s"$src/*", force = true)
+    t.read().count() shouldBe 2
+    // SQL spelling
+    GraftSql(spark).run(s"COPY INTO '${t.dir}' FROM '$src/*' FILEFORMAT = PARQUET FORCE")
+    t.read().count() shouldBe 4
+  }
+
   test("copyInto rejects extra columns and computes missing generated columns") {
     val src = tmpDir("copy-gen-src")
     val t = LakeTable.create(spark, tmpDir("copy-gen-tbl").resolve("t").toString,

@@ -136,6 +136,28 @@ class GraftSqlSpec extends SparkSpec {
     out2.filter(col("id") > 205).count() shouldBe 0
   }
 
+  test("DML parser: CASE WHEN in expressions, literals with keywords/multi-space") {
+    val (t, dir) = freshTable("gsql-parse")
+    // CASE WHEN inside UPDATE SET (its WHEN/THEN must not read as clause
+    // boundaries), plus a string literal containing a keyword
+    Seq((5L, "src", 0), (300L, "new", 1)).toDF("id", "v", "b")
+      .createOrReplaceTempView("gsql_parse_src")
+    sql.run(
+      s"""MERGE INTO '$dir' AS t USING gsql_parse_src AS s
+          ON t.id = s.id
+          WHEN MATCHED AND t.v != 'not WHERE  this' THEN
+            UPDATE SET v = CASE WHEN s.b > 0 THEN 'big' ELSE 'small' END
+          WHEN NOT MATCHED THEN INSERT (id, v, b) VALUES (s.id, 'case WHEN x THEN', s.b)""")
+    t.read().filter(col("id") === 5L).select("v").as[String].head() shouldBe "small"
+    t.read().filter(col("id") === 300L).select("v").as[String].head() shouldBe "case WHEN x THEN"
+    // multi-space string literal in UPDATE must reach the engine verbatim
+    sql.run(s"UPDATE '$dir' SET v = 'two  spaces' WHERE id = 5")
+    t.read().filter(col("id") === 5L).select("v").as[String].head() shouldBe "two  spaces"
+    // doubled-quote escape inside a literal containing a keyword
+    sql.run(s"DELETE FROM '$dir' WHERE v = 'it''s not WHERE b = 1' OR id = 300")
+    t.read().filter(col("id") === 300L).count() shouldBe 0
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS [FOR COLUMNS]") {
     val (_, dir) = freshTable("gsql-analyze")
     val all = sql.run(s"ANALYZE TABLE '$dir' COMPUTE STATISTICS")
