@@ -515,23 +515,62 @@ class LakeTable private[table] (
     val p = properties
     p.get(s"graft.$key").orElse(p.get(s"delta.$key")).contains("true")
   }
+  /** Declared clustering columns (`graft.clusterBy = c1,c2`) present in
+    * `df` — Delta liquid-clustering-lite: ingest writes are z-clustered so
+    * range/point predicates prune freshly-written files without waiting
+    * for an OPTIMIZE ZORDER pass. */
+  private def clusterColumns(df: DataFrame): Seq[String] =
+    properties.get("graft.clusterBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+
+  /** Target output file size (`graft.targetFileSize` / `delta.targetFileSize`,
+    * default 128 MB) — drives AQE's advisory partition size on the shaped
+    * ingest paths. */
+  private def targetFileSize: Long =
+    properties.get("graft.targetFileSize")
+      .orElse(properties.get("delta.targetFileSize"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .getOrElse(128L * 1024 * 1024)
+
   private[table] def stageIngestWrite(df: DataFrame, pcols: Seq[String]): Seq[AddFile] = {
-    if (!propTrue("autoOptimize.optimizeWrite")) return stageWrite(df, pcols)
-    // REBALANCE is the one shuffle AQE may both coalesce AND split by size
-    // (an explicit repartition(n) is user-mandated and never coalesced);
-    // keyed by the partition columns so each output task writes few dirs
+    val ccols = clusterColumns(df)
+    if (ccols.isEmpty && !propTrue("autoOptimize.optimizeWrite"))
+      return stageWrite(df, pcols)
     val shaped =
-      if (pcols.nonEmpty) df.hint("rebalance", pcols: _*)
+      if (ccols.nonEmpty) {
+        // clustered ingest: range-partition the batch on its interleaved
+        // z-value (one extra bounds agg over the batch) and sort within
+        // partitions, so every written file covers a tight z-range — the
+        // same layout OPTIMIZE ZORDER produces, paid incrementally at
+        // write time. No explicit partition count: AQE sizes the range
+        // shuffle to the advisory target below.
+        val z = ZOrder.zvalue(df,
+          ccols.map(c => col(c) -> df.schema(df.schema.fieldIndex(
+            df.columns.find(_.equalsIgnoreCase(c)).get)).dataType))
+        df.withColumn("__z", z)
+          .repartitionByRange((pcols.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions((pcols :+ "__z").map(col): _*)
+          .drop("__z")
+      }
+      // REBALANCE is the one shuffle AQE may both coalesce AND split by
+      // size (an explicit repartition(n) is user-mandated and never
+      // coalesced); keyed by the partition columns so each output task
+      // writes few dirs
+      else if (pcols.nonEmpty) df.hint("rebalance", pcols: _*)
       else df.hint("rebalance")
-    // and the size target must actually drive it: parallelismFirst (the
-    // default) stops coalescing at the core count, which re-fragments
+    // the size target must actually drive the shuffle: parallelismFirst
+    // (the default) stops coalescing at the core count, which re-fragments
     // small writes instead of packing them
     val c = spark.conf
     val keys = Seq("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      // the 1MB default floor would override a smaller file-size target
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
     val prev = keys.map(k => k -> c.getOption(k))
     c.set(keys(0), "false")
-    c.set(keys(1), (128L * 1024 * 1024).toString)
+    c.set(keys(1), targetFileSize.toString)
+    c.set(keys(2), math.max(1L, targetFileSize / 2).toString)
     try stageWrite(shaped, pcols)
     finally prev.foreach {
       case (k, Some(v)) => c.set(k, v)
