@@ -76,6 +76,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+(\S+?)(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+FORCE)?\s*""".r
   private val analyzeCmd =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*""".r
+  // ALTER TABLE t CLUSTER BY (c1, c2) | CLUSTER BY NONE — Delta's liquid
+  // clustering DDL shape, mapped to the graft.clusterBy property
+  private val clusterByCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+CLUSTER\s+BY\s+(?:\(([^)]+)\)|(NONE))\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -381,6 +385,12 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).copyInto(unquote(src),
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
         force = force != null))
+    case clusterByCmd(t, cols, none) =>
+      val v =
+        if (none != null) table(t).setProperties(Map("graft.clusterBy" -> ""))
+        else table(t).setProperties(Map("graft.clusterBy" ->
+          cols.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty).mkString(",")))
+      oneRow("version" -> v)
     case analyzeCmd(t, cols) =>
       val stats = table(t).analyze(
         Option(cols).map(_.split(',').map(c => unquote(c.trim)).toSeq).getOrElse(Nil))

@@ -37,4 +37,14 @@ class ClusteredWriteSpec extends SparkSpec {
     Pruner.prune(snap2.files, Seq(col("id") === 123L), snap2.schema)
       .size shouldBe 1
   }
+
+  test("ALTER TABLE CLUSTER BY DDL sets and clears the clustering columns") {
+    val t = LakeTable.create(spark, tmpDir("clusterby-ddl").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))))
+    val sql = GraftSql(spark)
+    sql.run(s"ALTER TABLE '${t.dir}' CLUSTER BY (id)")
+    t.properties("graft.clusterBy") shouldBe "id"
+    sql.run(s"ALTER TABLE '${t.dir}' CLUSTER BY NONE")
+    t.properties("graft.clusterBy") shouldBe ""
+  }
 }
