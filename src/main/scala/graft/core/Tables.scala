@@ -15,16 +15,24 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark 4
-    * rejects by default ([PARQUET_TYPE_ILLEGAL]). Read it as long nanos via
-    * the legacy conf and floor-convert to microseconds — the same truncation
-    * DuckDB applies when it narrows TIMESTAMP_NS to its micro TIMESTAMP, so
-    * oracle comparisons stay exact.
+  /** The events table's `ts` physical type varies across driver testdata
+    * generations: nanosecond parquet timestamps (which Spark 4 rejects by
+    * default, [PARQUET_TYPE_ILLEGAL] — read as long nanos via the legacy
+    * conf and floor-convert, the same truncation DuckDB applies narrowing
+    * TIMESTAMP_NS) or plain microsecond timestamps (read as NTZ, cast to the
+    * session-local TimestampType; the session zone is pinned to UTC so the
+    * cast is value-identical and downstream hour()/unix_timestamp() math is
+    * unchanged). Adapt on the observed schema so both generations load.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
