@@ -84,7 +84,9 @@ object SparkEntry {
     "q61_incremental_neardedup" -> (DataOps.incrementalNearDedup _),
     "q56_repetition_signals" -> (DataOps.repetitionSignals _),
     "q57_bigram_stats" -> (DataOps.bigramStats _),
-    "q58_pq_adc" -> (DataOps.pqAdcTopK _))
+    "q58_pq_adc" -> (DataOps.pqAdcTopK _),
+    "q63_dedup_segments" -> (DataOps.dedupSegments _),
+    "q64_perplexity" -> (DataOps.perplexity _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -216,6 +216,18 @@ object DataOps {
     TextAnalysis.bigramStats(Tables.documents(spark, sfDir))
       .orderBy("head")
 
+  /** C4-style duplicated-span removal: 10-word segments, first occurrence
+    * corpus-wide kept, every repeat cut from its document. */
+  def dedupSegments(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupSegments(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Per-doc perplexity under the corpus's own add-one bigram LM
+    * (CCNet-style quality scoring); `nll_scaled` is integer-exact. */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.perplexity(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
   /** Sign-bit IVF with hamming-1 multi-probe. The quantizer is a pure
     * function of the vector, so the oracle replicates the APPROXIMATION
     * itself (cell assignment, probing, in-cell top-k) — the driver gates
@@ -397,6 +409,45 @@ object DataOps {
         ELSE CAST([] AS $emptyType) END"""
 
   val oracles: Map[String, String] = Map(
+    "q63_dedup_segments" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+               j -> array_to_string(tk[j*10+1 : j*10+10], ' ')) END AS segs FROM t),
+         x AS (SELECT doc_id, CAST(u.seg_idx AS INT) AS seg_idx, u.seg FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(segs)),
+             j -> {'seg_idx': j, 'seg': segs[j+1]})) AS u FROM s)),
+         w AS (SELECT *, count(*) OVER (PARTITION BY md5(seg)) AS c,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM x),
+         k AS (SELECT doc_id, seg_idx, seg, (c = 1 OR rn = 1) AS keep FROM w),
+         r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed FROM k GROUP BY 1),
+         ct AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+           FROM k WHERE keep GROUP BY 1)
+         SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
+           COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
+         FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    "q64_perplexity" -> {
+      val bg = bigramsSql("[tk[i], tk[i+1]]", "VARCHAR[][]")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         tb AS (SELECT doc_id, $bg AS bg FROM t),
+         px AS (SELECT doc_id, p[1] AS head, p[2] AS nxt FROM (
+           SELECT doc_id, unnest(bg) AS p FROM tb)),
+         dp AS (SELECT doc_id, head, nxt, CAST(count(*) AS BIGINT) AS m FROM px GROUP BY 1,2,3),
+         pc AS (SELECT head, nxt, CAST(sum(m) AS BIGINT) AS c FROM dp GROUP BY 1,2),
+         ht AS (SELECT head, CAST(sum(c) AS BIGINT) AS total FROM pc GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(tk) AS w FROM t)),
+         sc AS (SELECT dp.doc_id, dp.m,
+             CAST(round(ln(CAST(pc.c + 1 AS DOUBLE) / CAST(ht.total + vv.V AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lp
+           FROM dp JOIN pc USING (head, nxt) JOIN ht USING (head) CROSS JOIN vv),
+         pd AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             CAST(sum(m * lp) AS BIGINT) AS slp FROM sc GROUP BY 1)
+         SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+           COALESCE(-pd.slp, 0) AS nll_scaled,
+           CASE WHEN pd.n_bigrams IS NULL THEN NULL
+             ELSE round(exp(-CAST(pd.slp AS DOUBLE) / (pd.n_bigrams * 1e9)), 4) END AS perplexity
+         FROM documents d LEFT JOIN pd USING (doc_id)"""
+    },
     "q58_pq_adc" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

@@ -517,4 +517,64 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("group_id"))
       .drop("id", "component")
   }
+
+  /** Fixed-width word segments of a document (the span unit for
+    * [[dedupSegments]]): consecutive `window`-token chunks, last chunk
+    * partial. The token array is let-bound (single-element transform) so
+    * the tokenizer runs once per doc, not once per segment. */
+  def segments(text: Column, window: Int): Column =
+    element_at(
+      transform(array(TextAnalysis.tokens(text)), t =>
+        // empty docs must short-circuit: sequence(0, -1) would infer a
+        // NEGATIVE step and emit [0, -1] — two phantom empty segments
+        when(size(t) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((size(t) + lit(window - 1)) / lit(window)).cast("int") - 1),
+            j => concat_ws(" ", slice(t, j * window + 1, lit(window)))))),
+      1)
+
+  /** C4-style duplicated-span removal: chunk every document into
+    * fixed-width word segments, and for any segment text occurring more
+    * than once in the corpus keep only its first occurrence (lowest
+    * (doc id, position)) — every other occurrence is cut from its
+    * document. Returns one row per input doc: the cleaned text plus
+    * segment/removal counts.
+    *
+    * Scale shape: segments never ride a shuffle — the exploded frame
+    * carries only (doc id, position, md5(segment)), the corpus-wide
+    * occurrence stats are one hash aggregation on the 128-bit digest
+    * (uniform keys, no skew), decisions join back on the digest, and the
+    * per-doc regroup ships one int array per doc. Documents are rebuilt
+    * from their own token arrays in a narrow projection, so full text is
+    * read exactly twice and shuffled never. */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 10): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), posexplode(segments(col(textCol), window)))
+      .select(col(idCol), col("pos").as("__i"),
+        md5(col("col").cast("binary")).as("__h"))
+    val stats = exploded.groupBy("__h").agg(
+      count(lit(1)).as("__c"),
+      min(struct(col(idCol), col("__i"))).as("__first"))
+    val kept = exploded.join(stats, "__h")
+      .withColumn("__keep", col("__c") === 1 ||
+        (col(s"__first.$idCol") === col(idCol) &&
+          col("__first.__i") === col("__i")))
+      .groupBy(idCol).agg(
+        sort_array(collect_list(when(col("__keep"), col("__i")))).as("__kept"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+    docs.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        element_at(transform(array(segments(col(textCol), window)), segs =>
+          concat_ws(" ", transform(coalesce(col("__kept"),
+            array().cast("array<int>")), j => element_at(segs, j + 1)))), 1)
+          .as("clean_text"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

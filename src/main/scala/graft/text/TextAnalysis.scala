@@ -167,6 +167,14 @@ object TextAnalysis {
           .as("is_repetitive"))
   }
 
+  /** Bigram (head, next) struct pairs of a document as an array column;
+    * the token array is let-bound so the tokenizer runs once per doc. */
+  def bigramPairs(text: Column): Column =
+    element_at(transform(array(tokens(text)), t =>
+      when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+
   /** Corpus-level bigram statistics — the n-gram-LM view of a corpus:
     * for every head word, its continuation count, continuation diversity,
     * and the most frequent next word (ties broken lexicographically, so
@@ -181,11 +189,7 @@ object TextAnalysis {
       textCol: String = "text",
       minHeadCount: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = docs.select(
-      explode(element_at(transform(array(tokens(col(textCol))), t =>
-        when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)).as("p"))
+    val pairs = docs.select(explode(bigramPairs(col(textCol))).as("p"))
       .select(col("p.w1").as("head"), col("p.w2").as("next"))
     val pairCounts = pairs.groupBy("head", "next").agg(count(lit(1)).as("c"))
     val headStats = pairCounts.groupBy("head")
@@ -195,6 +199,55 @@ object TextAnalysis {
       .filter(col("__rn") === 1)
       .select(col("head"), col("next").as("top_next"), col("c").as("top_next_count"))
     headStats.filter(col("head_count") >= minHeadCount).join(top, "head")
+  }
+
+  /** CCNet-style language-model quality scoring: each document's
+    * perplexity under the corpus's own add-one-smoothed bigram model,
+    * P(next|head) = (c+1) / (total_head + V). Low-perplexity docs read
+    * like the corpus; high-perplexity docs are the quality-filter outliers.
+    *
+    * Cross-engine determinism: each bigram's log-probability is rounded
+    * to a fixed 1e-9 grid and scaled to a BIGINT, so per-doc sums are
+    * exact integer arithmetic — no float-summation order sensitivity
+    * anywhere (the `nll_scaled` column is bit-exact across engines; only
+    * the final display perplexity touches floats, rounded to 4dp).
+    *
+    * Scale shape: three hash aggregations with map-side partials — per-doc
+    * bigram multiplicities on (doc, head, next), corpus counts on (head,
+    * next), head totals on (head); repetitive docs collapse BEFORE the
+    * corpus-level shuffles. The vocabulary size joins in as a broadcast
+    * single row. A web-corpus hot bigram ("of the") skews the score join's
+    * build side only — AQE's skew-join split bounds it. */
+  def perplexity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docPairs = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("p"))
+      .groupBy(col(idCol), col("p.w1").as("head"), col("p.w2").as("next"))
+      .agg(count(lit(1)).as("__m"))
+    val pairCounts = docPairs.groupBy("head", "next").agg(sum("__m").as("__c"))
+    val headTotals = pairCounts.groupBy("head").agg(sum("__c").as("__total"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .agg(countDistinct("w").as("__V"))
+    val scored = docPairs
+      .join(pairCounts, Seq("head", "next"))
+      .join(headTotals, Seq("head"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        round(log((col("__c") + 1).cast("double") /
+          (col("__total") + col("__V")).cast("double")) * 1e9, 0).cast("long"))
+    val perDoc = scored.groupBy(idCol).agg(
+      sum(col("__m")).as("n_bigrams"),
+      sum(col("__m") * col("__lp")).as("__slp"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(-col("__slp"), lit(0L)).as("nll_scaled"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(round(
+            exp(-col("__slp").cast("double") / (col("n_bigrams") * lit(1e9))),
+            4)).as("perplexity"))
   }
 
   /** One-pass text-analysis projection over a documents table. */

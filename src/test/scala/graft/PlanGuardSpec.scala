@@ -23,7 +23,9 @@ class PlanGuardSpec extends SparkSpec {
     // exact-ANN baseline: the q<<n query side is broadcast by design
     "q25_ann_cosine_topk" -> "broadcast query-side crossJoin, O(n*q)",
     // ADC scoring joins each code row to the broadcast O(m*k) codebook
-    "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)")
+    "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)",
+    // vocabulary size joins in as a broadcast single-row aggregate
+    "q64_perplexity" -> "1-row broadcast vocab crossJoin, O(rows)")
 
   test("no unbounded CartesianProduct / BroadcastNestedLoopJoin in any driver query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

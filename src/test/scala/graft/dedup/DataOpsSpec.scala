@@ -117,6 +117,40 @@ class DataOpsSpec extends SparkSpec {
     (r.getString(3), r.getLong(4)) shouldBe (("a", 2L))
   }
 
+  test("dedupSegments cuts repeated spans, keeps the first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // ["a b c", "d e f"] — both first occurrences
+      (2L, "a b c x y"),          // "a b c" repeats doc 1 -> cut; "x y" kept
+      (3L, ""),                   // no tokens -> no segments
+      (4L, "p q r p q r")         // within-doc repeat -> second cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(d, window = 3).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe (("a b c d e f", 2L, 0L))
+    out(2L) shouldBe (("x y", 2L, 1L))
+    out(3L) shouldBe (("", 0L, 0L))
+    out(4L) shouldBe (("p q r", 2L, 1L))
+  }
+
+  test("perplexity: add-one bigram LM, integer-exact scaled NLL") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // counts: (a,b)=2, (a,c)=1; head a total=3; V={a,b,c,z}=4
+    def lp(p: Double): Long =
+      BigDecimal(math.log(p) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val pb = lp(3.0 / 7.0) // P(b|a) = (2+1)/(3+4)
+    val pcx = lp(2.0 / 7.0) // P(c|a) = (1+1)/(3+4)
+    val out = TextAnalysis.perplexity(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    out(1L) shouldBe ((1L, -pb, Some(math.rint(math.exp(-pb / 1e9) * 1e4) / 1e4)))
+    out(2L) shouldBe out(1L)
+    out(3L) shouldBe ((1L, -pcx, Some(math.rint(math.exp(-pcx / 1e9) * 1e4) / 1e4)))
+    out(4L) shouldBe ((0L, 0L, None)) // single token: no bigrams, null ppl
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
