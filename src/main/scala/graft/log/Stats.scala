@@ -63,6 +63,29 @@ object Stats {
     case (other, _) => other.toString
   }
 
+  /** True when a string stat could be a truncated BOUND rather than the
+    * exact extreme value (see MaxStrLen above): a min at exactly the
+    * truncation length is ambiguous, a max carries the sentinel suffix.
+    * Metadata-only aggregates must refuse such bounds. */
+  def maybeTruncatedString(s: String): Boolean =
+    s != null && s.length >= MaxStrLen
+
+  /** Decode a canonical stat string back to the external JVM value
+    * (inverse of [[encode]] for exact, untruncated stats). */
+  def decode(s: String, dt: DataType): Any = if (s == null) null else dt match {
+    case _: ByteType => s.toByte
+    case _: ShortType => s.toShort
+    case _: IntegerType => s.toInt
+    case _: LongType => s.toLong
+    case _: FloatType => s.toFloat
+    case _: DoubleType => s.toDouble
+    case _: DecimalType => new java.math.BigDecimal(s)
+    case _: BooleanType => s.toBoolean
+    case _: DateType => java.sql.Date.valueOf(LocalDate.parse(s))
+    case _: TimestampType => java.sql.Timestamp.from(Instant.from(tsFmt.parse(s)))
+    case _ => s
+  }
+
   /** Total order over canonical encodings, keyed by the column's dataType.
     * Date/timestamp ISO encodings are fixed-width ASCII so byte order works.
     * Strings compare in UTF-8 byte order (= code-point order) to match how

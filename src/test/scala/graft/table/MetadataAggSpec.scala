@@ -1,0 +1,92 @@
+package graft.table
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Metadata-only aggregates: count / min / max answered from the tx-log
+  * without launching a single Spark job — the Delta "metadata-only query"
+  * optimization that turns a 100 TB `count(*)` into driver arithmetic. */
+class MetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String, props: Map[String, String] = Map.empty) = {
+    val dir = tmpDir(prefix).resolve("t").toString
+    LakeTable.create(spark, dir,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("amount", DoubleType),
+        StructField("note", StringType))),
+      properties = props)
+  }
+
+  private def data(ids: Range) =
+    ids.map(i => (i.toLong, s"name$i", i * 1.5,
+      if (i % 2 == 0) null else s"note$i")).toDF("id", "name", "amount", "note")
+
+  /** Count Spark jobs started while `body` runs. */
+  private def jobsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(200) } // let any stray job-start events land
+    finally spark.sparkContext.removeSparkListener(l)
+    counter.get()
+  }
+
+  test("rowCount and statsMinMax match scan results with zero Spark jobs") {
+    val t = freshTable("meta-agg")
+    t.append(data(0 until 500))
+    t.append(data(500 until 800))
+    var cnt = -1L
+    var idMm: Option[(Any, Any)] = None
+    var amountMm: Option[(Any, Any)] = None
+    var nameMm: Option[(Any, Any)] = None
+    val jobs = jobsDuring {
+      cnt = t.rowCount()
+      idMm = t.statsMinMax("id")
+      amountMm = t.statsMinMax("amount")
+      nameMm = t.statsMinMax("name")
+    }
+    jobs shouldBe 0
+    cnt shouldBe 800L
+    idMm shouldBe Some((0L, 799L))
+    amountMm shouldBe Some((0.0, 799 * 1.5))
+    nameMm shouldBe Some(("name0", "name99")) // string order, not numeric
+    val scan = t.read().agg(min("name"), max("name")).head()
+    (scan.getString(0), scan.getString(1)) shouldBe (("name0", "name99"))
+  }
+
+  test("deletion vectors: rowCount stays exact, statsMinMax refuses") {
+    val t = freshTable("meta-dv", Map("graft.enableDeletionVectors" -> "true"))
+    t.append(data(0 until 300))
+    t.delete(col("id") >= 250) // DV path: extreme rows masked, not rewritten
+    t.rowCount() shouldBe 250L
+    t.rowCount() shouldBe t.read().count()
+    // the log alone cannot prove the max id is still live
+    t.statsMinMax("id") shouldBe None
+  }
+
+  test("truncated string bounds and unknown/all-null columns refuse or degrade") {
+    val t = freshTable("meta-trunc")
+    val long = "x" * 200
+    t.append(Seq((1L, long, 1.0, null: String)).toDF("id", "name", "amount", "note"))
+    t.statsMinMax("name") shouldBe None // 200-char bound is truncated in the log
+    t.statsMinMax("nope") shouldBe None // no such column
+    t.statsMinMax("note") shouldBe Some((null, null)) // all-null column
+    t.rowCount() shouldBe 1L
+  }
+
+  test("rewrite DML keeps metadata aggregates exact (no DVs involved)") {
+    val t = freshTable("meta-dml")
+    t.append(data(0 until 100))
+    t.delete(col("id") >= 90) // rewrite path: files replaced, stats fresh
+    t.rowCount() shouldBe 90L
+    t.statsMinMax("id") shouldBe Some((0L, 89L))
+  }
+}
