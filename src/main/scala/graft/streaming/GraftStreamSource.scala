@@ -53,6 +53,22 @@ class GraftStreamSource(
     * the same message the batch CDF reader gives. */
   private val readChangeFeed = options.get("readChangeFeed").contains("true")
 
+  /** Admission control (Delta's maxFilesPerTrigger/maxBytesPerTrigger):
+    * with either cap set, offsets become (version, fileIndex) positions so
+    * one micro-batch serves at most the cap — the initial snapshot of a
+    * 100 TB table arrives as many bounded batches instead of one monster
+    * batch. Without caps, offsets stay plain versions (legacy format;
+    * existing checkpoints keep working, and a capped restart understands
+    * a legacy checkpoint). Byte caps admit at least one file per batch so
+    * a single oversized file cannot stall the stream. */
+  private val maxFilesPerTrigger: Option[Int] =
+    options.get("maxFilesPerTrigger").map(_.toInt)
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxBytesPerTrigger").map(_.toLong)
+  private val rateLimited = maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
+  require(!(rateLimited && readChangeFeed),
+    "maxFilesPerTrigger/maxBytesPerTrigger do not apply to readChangeFeed streams")
+
   /** Schema is fixed per RUN (snapshot at source creation): mid-run
     * additive evolution keeps serving these columns (getBatch conforms by
     * name; pre-evolution files read missing columns as NULL), and a
@@ -69,7 +85,119 @@ class GraftStreamSource(
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = Some(LongOffset(table.version))
+  // ------------------------------------------------ rate-limited positions
+
+  /** A position in the stream's deterministic file sequence: the snapshot
+    * unit (files of snapshot(snapVersion), path-sorted) when
+    * `version == snapVersion`, else the adds of `version` in log order;
+    * `index` files of the current unit are already served. `snapVersion`
+    * is -1 for startingVersion streams (no snapshot unit). */
+  private case class Pos(version: Long, index: Int, snapVersion: Long) {
+    def json: String =
+      s"""{"version":$version,"index":$index,"snapVersion":$snapVersion}"""
+  }
+
+  private val posRe =
+    """\{"version":(-?\d+),"index":(\d+),"snapVersion":(-?\d+)\}""".r
+
+  /** Parse either offset format; a legacy long offset means "version v
+    * fully served (snapshot included)". */
+  private def toPos(o: Offset): Pos = o.json.trim match {
+    case posRe(v, i, sv) => Pos(v.toLong, i.toInt, sv.toLong)
+    case s => Pos(s.toLong + 1, 0, -1L)
+  }
+
+  private def unitFiles(pos: Pos): Seq[AddFile] =
+    if (pos.version == pos.snapVersion)
+      table.snapshot(Some(pos.snapVersion)).files.sortBy(_.path)
+    else addsFor(pos.version)
+
+  /** Walk forward from `from`, admitting whole files until a cap (or the
+    * log end) is hit; exhausted units normalize to (version+1, 0) so a
+    * position is always within its unit's bounds. */
+  private def capped(from: Pos): Pos = {
+    val latest = table.version
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var (v, i) = (from.version, from.index)
+    var files = 0
+    var bytes = 0L
+    var full = false
+    while (v <= latest && !full) {
+      val unit = unitFiles(Pos(v, i, from.snapVersion))
+      while (i < unit.size && !full) {
+        val f = unit(i)
+        if (files > 0 && (files + 1 > maxF || bytes + f.size > maxB)) full = true
+        else { files += 1; bytes += f.size; i += 1 }
+      }
+      if (!full && i >= unit.size) { v += 1; i = 0 }
+    }
+    Pos(v, i, from.snapVersion)
+  }
+
+  /** Last position handed to Spark (WAL-logged by the engine). After a
+    * restart whose final batch committed, the V1 API gives the source no
+    * start position at getOffset time, so the first batch of the new run
+    * is uncapped (it must not regress behind the unknown committed
+    * position); every subsequent batch is capped again. */
+  private var lastEnd: Option[Pos] = None
+
+  /** Pinned stream-start snapshot version, persisted as a marker file
+    * under the source's metadata path so a capped mode-A restart never
+    * re-pins (and re-serves) a fresh snapshot. */
+  private def markerPath: Option[java.nio.file.Path] =
+    if (metadataPath.isEmpty) None
+    else Some(java.nio.file.Paths.get(
+      java.net.URI.create(metadataPath).getPath match {
+        case p if p.nonEmpty => p
+        case _ => metadataPath
+      }).resolve("graft-stream-start"))
+
+  /** True when this checkpoint has offsets from a previous run — the
+    * engine knows a committed position this source object does not. */
+  private def hasRunBefore: Boolean = {
+    val markerSeen = markerPath.exists(java.nio.file.Files.exists(_))
+    val offsetsSeen = (for (m <- markerPath) yield {
+      val offsets = m.getParent.getParent.getParent.resolve("offsets")
+      java.nio.file.Files.isDirectory(offsets) && {
+        val s = java.nio.file.Files.list(offsets)
+        try s.iterator().hasNext finally s.close()
+      }
+    }).getOrElse(false)
+    markerSeen || offsetsSeen
+  }
+
+  private def readMarker(): Option[Long] =
+    markerPath.filter(java.nio.file.Files.exists(_)).map(p =>
+      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+
+  private def writeMarker(v: Long): Unit = markerPath.foreach { p =>
+    java.nio.file.Files.createDirectories(p.getParent)
+    if (!java.nio.file.Files.exists(p))
+      java.nio.file.Files.write(p, v.toString.getBytes)
+  }
+
+  private def rateLimitedOffset(): Option[Offset] = {
+    val end = lastEnd match {
+      case Some(last) => capped(last)
+      case None if hasRunBefore =>
+        // committed restart: engine-side start is unknown here, so offer
+        // everything; getBatch receives the true committed start
+        Pos(table.version + 1, 0, readMarker().getOrElse(-1L))
+      case None =>
+        val start = startingVersion match {
+          case Some(sv) => Pos(sv, 0, -1L)
+          case None => val v0 = table.version; Pos(v0, 0, v0)
+        }
+        writeMarker(start.snapVersion)
+        capped(start)
+    }
+    lastEnd = Some(end)
+    Some(new Offset { override def json: String = end.json })
+  }
+
+  override def getOffset: Option[Offset] =
+    if (rateLimited) rateLimitedOffset() else Some(LongOffset(table.version))
 
   /** AddFiles a streaming reader must emit for ONE committed version. */
   private def addsFor(v: Long): Seq[AddFile] = {
@@ -99,15 +227,57 @@ class GraftStreamSource(
     if (from > endV) table.emptyCdfFrame
     else table.changes(from, Some(endV))
 
+  /** Files in positions [st, end): snapshot-unit files (served masked, the
+    * snapshot's DVs apply) separated from appended-version files (served
+    * as written, matching the uncapped contract). */
+  private def filesBetween(st: Pos, end: Pos): (Seq[AddFile], Seq[AddFile]) = {
+    val snapBuf = Seq.newBuilder[AddFile]
+    val addBuf = Seq.newBuilder[AddFile]
+    var v = st.version
+    var i = st.index
+    while (v < end.version || (v == end.version && i < end.index)) {
+      val unit = unitFiles(Pos(v, i, end.snapVersion))
+      val hi = if (v == end.version) math.min(end.index, unit.size) else unit.size
+      val chunk = unit.slice(i, hi)
+      if (v == end.snapVersion) snapBuf ++= chunk else addBuf ++= chunk
+      v += 1
+      i = 0
+    }
+    (snapBuf.result(), addBuf.result())
+  }
+
+  private def positionalBatch(start: Option[Offset], endP: Pos): DataFrame = {
+    val stP = start.map(toPos).getOrElse(
+      if (endP.snapVersion >= 0) Pos(endP.snapVersion, 0, endP.snapVersion)
+      else Pos(startingVersion.getOrElse(endP.version), 0, -1L))
+    val (snapChunk, addChunk) = filesBetween(stP, endP)
+    val added = table.readFilesAs(addChunk, schema)
+    if (snapChunk.isEmpty) added
+    else table.readFilesMasked(
+      table.snapshot(Some(endP.snapVersion)), snapChunk, schema)
+      .unionByName(added)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = toLong(end)
-    val batch = (start.map(toLong), readChangeFeed) match {
-      case (Some(s), true) => changesBetween(s + 1, endV)
-      case (None, true) => changesBetween(startingVersion.getOrElse(endV + 1), endV)
-      case (Some(s), false) => appendsBetween(s + 1, endV)
-      case (None, false) => startingVersion match {
-        case Some(sv) => appendsBetween(sv, endV)
-        case None => table.read(version = Some(endV)) // initial snapshot
+    val batch = if (end.json.trim.startsWith("{")) {
+      val endP = toPos(end)
+      lastEnd = Some(endP) // WAL recovery path: re-sync the capped cursor
+      positionalBatch(start, endP)
+    } else if (start.exists(_.json.trim.startsWith("{"))) {
+      // caps removed on a capped checkpoint: finish from the positional
+      // start through endV as one positional batch
+      val stP = toPos(start.get)
+      positionalBatch(start, Pos(toLong(end) + 1, 0, stP.snapVersion))
+    } else {
+      val endV = toLong(end)
+      (start.map(toLong), readChangeFeed) match {
+        case (Some(s), true) => changesBetween(s + 1, endV)
+        case (None, true) => changesBetween(startingVersion.getOrElse(endV + 1), endV)
+        case (Some(s), false) => appendsBetween(s + 1, endV)
+        case (None, false) => startingVersion match {
+          case Some(sv) => appendsBetween(sv, endV)
+          case None => table.read(version = Some(endV)) // initial snapshot
+        }
       }
     }
     val conformed = batch.select(schema.fieldNames.toIndexedSeq

@@ -167,7 +167,7 @@ class LakeTable private[table] (
   }
 
   /** Masked read with the table schema only (the hot read path). */
-  private[table] def readFilesMasked(
+  private[graft] def readFilesMasked(
       snap: Snapshot, files: Seq[AddFile], schema: StructType): DataFrame =
     if (files.forall(f => !snap.dvs.contains(f.path))) readFiles(files, schema)
     else readFilesMaskedPos(snap, files, schema).drop("__file", "__idx")

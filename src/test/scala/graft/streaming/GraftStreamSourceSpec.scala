@@ -131,6 +131,93 @@ class GraftStreamSourceSpec extends SparkSpec {
       (0L until 9L).toArray
   }
 
+  test("maxFilesPerTrigger bounds every micro-batch; rows arrive exactly once") {
+    val dir = tmpDir("gss-rate").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    (1 to 4).foreach(k => t.append(df(k * 5 until (k + 1) * 5))) // 5 files x 5 rows
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("gssRate").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gssRate").select("id").as[Long].collect().sorted shouldBe
+      (0L until 25L).toArray
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    all(sizes) should be <= 10L // 2 files x 5 rows per batch
+    sizes.length should be >= 3 // 5 snapshot files / 2 per batch
+    // appends keep flowing under the same cap
+    t.append(df(25 until 30))
+    q.processAllAvailable()
+    spark.table("gssRate").count() shouldBe 30
+    q.stop()
+  }
+
+  test("maxBytesPerTrigger admits at least one file per batch") {
+    val dir = tmpDir("gss-bytes").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    (1 to 2).foreach(k => t.append(df(k * 5 until (k + 1) * 5))) // 3 files
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(dir) // every file exceeds 1 byte
+      .writeStream.format("memory").queryName("gssBytes").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gssBytes").count() shouldBe 15
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    all(sizes) shouldBe 5L // exactly one 5-row file per batch
+    sizes.length shouldBe 3
+    q.stop()
+  }
+
+  test("capped stream restart: pinned snapshot, no replay, no loss") {
+    val base = tmpDir("gss-rate-ckpt")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ck").toString
+    val out = base.resolve("out").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    (1 to 4).foreach(k => t.append(df(k * 5 until (k + 1) * 5))) // 5 files
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).trigger(trigger)
+        .outputMode("append").start()
+    // one capped batch, then stop mid-snapshot
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.Once())
+    q1.awaitTermination()
+    spark.read.parquet(out).count() shouldBe 10 // 2 of 5 snapshot files
+    // restart finishes the pinned snapshot — nothing replayed, nothing lost
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q2.processAllAvailable(); q2.stop()
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 25L).toArray
+  }
+
+  test("legacy uncapped checkpoint resumes under newly-enabled caps") {
+    val base = tmpDir("gss-legacy")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ck").toString
+    val out = base.resolve("out").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    def start(caps: Boolean) = {
+      val r = spark.readStream.format("graft")
+      (if (caps) r.option("maxFilesPerTrigger", "1") else r).load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    val q1 = start(caps = false)
+    q1.processAllAvailable(); q1.stop() // legacy LongOffset checkpoint
+    t.append(df(5 until 10))
+    t.append(df(10 until 15))
+    val q2 = start(caps = true)
+    q2.processAllAvailable()
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 15L).toArray
+    // new appends now arrive one file per batch
+    t.append(df(15 until 20))
+    t.append(df(20 until 25))
+    q2.processAllAvailable(); q2.stop()
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 25L).toArray
+  }
+
   test("mid-run additive evolution keeps serving the run's schema; restart widens") {
     val base = tmpDir("gss-evo")
     val dir = base.resolve("t").toString
