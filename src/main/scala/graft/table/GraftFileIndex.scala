@@ -42,6 +42,11 @@ class GraftFileIndex(
 
   override def sizeInBytes: Long = files.map(_.size).sum
 
+  /** Log-exact row count of the captured snapshot's files (no DV masks —
+    * DV tables plan a mask join above the relation, so the metadata-only
+    * count rule never sees a bare relation for them). */
+  private[graft] def totalRecords: Long = files.map(_.numRecords).sum
+
   override def refresh(): Unit = ()
 
   override def inputFiles: Array[String] = files.map(absPath).toArray

@@ -37,6 +37,9 @@ class LakeTable private[table] (
 
   val log = new TxLog(dir)
 
+  // metadata-only count(*) over this session's graft scans (idempotent)
+  MetadataOnlyCount.register(spark)
+
   /** Snapshots are immutable per version, so resolution caches on the
     * version number: repeated planning against an unchanged table costs one
     * directory listing, not a log replay/parse. Another writer advancing

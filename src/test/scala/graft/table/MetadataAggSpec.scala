@@ -82,6 +82,37 @@ class MetadataAggSpec extends SparkSpec {
     t.rowCount() shouldBe 1L
   }
 
+  test("count(*) over a graft scan optimizes to a LocalRelation, zero jobs") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = freshTable("meta-rule")
+    t.append(data(0 until 123))
+    val agg = t.toDf.agg(count(lit(1)).as("n"))
+    agg.queryExecution.optimizedPlan shouldBe a[LocalRelation]
+    var got = -1L
+    jobsDuring { got = agg.as[Long].head() } shouldBe 0
+    got shouldBe 123L
+    // SQL over a temp view takes the same path
+    t.createOrReplaceTempView("meta_rule_v")
+    spark.sql("SELECT count(*) AS n FROM meta_rule_v").as[Long].head() shouldBe 123L
+  }
+
+  test("metadata count rule leaves filtered / DV / count(col) plans alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = freshTable("meta-rule-neg", Map("graft.enableDeletionVectors" -> "true"))
+    t.append(data(0 until 100))
+    // WHERE blocks the rewrite and still answers correctly
+    val filtered = t.toDf.filter(col("id") < 10).agg(count(lit(1)).as("n"))
+    filtered.queryExecution.optimizedPlan should not be a[LocalRelation]
+    filtered.as[Long].head() shouldBe 10L
+    // count(col) is null-sensitive: note is null on even ids
+    t.toDf.agg(count(col("note"))).as[Long].head() shouldBe 50L
+    // a DV table plans the mask join above the relation -> no rewrite
+    t.delete(col("id") >= 90)
+    val masked = t.toDf.agg(count(lit(1)).as("n"))
+    masked.queryExecution.optimizedPlan should not be a[LocalRelation]
+    masked.as[Long].head() shouldBe 90L
+  }
+
   test("rewrite DML keeps metadata aggregates exact (no DVs involved)") {
     val t = freshTable("meta-dml")
     t.append(data(0 until 100))
