@@ -96,6 +96,13 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }._2
       }.sorted
+      // queries that persist() intermediates rely on the ContextCleaner to
+      // drop the blocks once the frames are GC'd; under a 60-query run the
+      // stale blocks outlive their query, fill storage memory, and evict
+      // the NEXT query's hot blocks mid-run (observed: q23 3.3s alone vs
+      // 11s mid-bench). Clear the cache between queries so each is timed
+      // against its own working set, like a fresh session would be.
+      spark.catalog.clearCache()
       name -> secs(1)
     }
 
