@@ -86,6 +86,53 @@ object Stats {
     case _ => s
   }
 
+  /** Decode a canonical stat string to the Catalyst-INTERNAL value
+    * (UTF8String / epoch days / micros / Decimal), for rules that splice
+    * stats into literal plans. */
+  def decodeInternal(s: String, dt: DataType): Any = if (s == null) null else dt match {
+    case _: StringType => UTF8String.fromString(s)
+    case _: DateType => LocalDate.parse(s).toEpochDay.toInt
+    case _: TimestampType =>
+      val i = Instant.from(tsFmt.parse(s))
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    case _: ByteType => s.toByte
+    case _: ShortType => s.toShort
+    case _: IntegerType => s.toInt
+    case _: LongType => s.toLong
+    case _: FloatType => s.toFloat
+    case _: DoubleType => s.toDouble
+    case _: BooleanType => s.toBoolean
+    case _ => null
+  }
+
+  /** Exact canonical (min, max) bounds of `field` over `files`' stats:
+    * None when any file lacks the stat, carries a half-null bound, or a
+    * string bound might be truncated — the log cannot answer exactly and
+    * the caller must scan. Some((null, null)) when the column is null in
+    * every row (SQL min/max semantics). Deletion-vector exactness is the
+    * CALLER's concern: a DV could mask the extreme row. */
+  def exactBounds(files: Seq[AddFile], field: StructField): Option[(String, String)] = {
+    if (!isStatsType(field.dataType)) return None
+    if (files.isEmpty) return Some((null, null))
+    val perFile = files.map(f =>
+      f.stats.get(field.name).orElse(f.stats.collectFirst {
+        case (n, cs) if n.equalsIgnoreCase(field.name) => cs
+      }))
+    if (perFile.exists(_.isEmpty)) return None
+    val bounded = perFile.flatten.filter(c => c.min != null || c.max != null)
+    if (bounded.isEmpty) return Some((null, null))
+    if (bounded.exists(c => c.min == null || c.max == null)) return None
+    if (field.dataType == StringType && bounded.exists(c =>
+        maybeTruncatedString(c.min) || maybeTruncatedString(c.max)))
+      return None
+    val mn = bounded.map(_.min).reduce((a, b) =>
+      if (compare(a, b, field.dataType) <= 0) a else b)
+    val mx = bounded.map(_.max).reduce((a, b) =>
+      if (compare(a, b, field.dataType) >= 0) a else b)
+    Some((mn, mx))
+  }
+
   /** Total order over canonical encodings, keyed by the column's dataType.
     * Date/timestamp ISO encodings are fixed-width ASCII so byte order works.
     * Strings compare in UTF-8 byte order (= code-point order) to match how

@@ -47,6 +47,9 @@ class GraftFileIndex(
     * count rule never sees a bare relation for them). */
   private[graft] def totalRecords: Long = files.map(_.numRecords).sum
 
+  private[graft] def addFiles: Seq[AddFile] = files
+  private[graft] def tableSchema: StructType = schema
+
   override def refresh(): Unit = ()
 
   override def inputFiles: Array[String] = files.map(absPath).toArray

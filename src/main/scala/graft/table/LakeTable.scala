@@ -981,29 +981,11 @@ class LakeTable private[table] (
     * means the log cannot answer exactly — fall back to a scan. */
   def statsMinMax(column: String): Option[(Any, Any)] = {
     val snap = snapshot()
-    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(column))
-    if (field.isEmpty || !Stats.isStatsType(field.get.dataType)) return None
     if (snap.dvs.nonEmpty) return None
-    val dt = field.get.dataType
-    if (snap.files.isEmpty) return Some((null, null))
-    val perFile = snap.files.map(f =>
-      f.stats.get(field.get.name)
-        .orElse(f.stats.collectFirst {
-          case (n, cs) if n.equalsIgnoreCase(column) => cs
-        }))
-    if (perFile.exists(_.isEmpty)) return None
-    // all-null files carry null bounds and drop out, like SQL min/max
-    val bounded = perFile.flatten.filter(c => c.min != null || c.max != null)
-    if (bounded.isEmpty) return Some((null, null))
-    if (bounded.exists(c => c.min == null || c.max == null)) return None
-    if (dt == StringType && bounded.exists(c =>
-        Stats.maybeTruncatedString(c.min) || Stats.maybeTruncatedString(c.max)))
-      return None
-    val mn = bounded.map(_.min).reduce((a, b) =>
-      if (Stats.compare(a, b, dt) <= 0) a else b)
-    val mx = bounded.map(_.max).reduce((a, b) =>
-      if (Stats.compare(a, b, dt) >= 0) a else b)
-    Some((Stats.decode(mn, dt), Stats.decode(mx, dt)))
+    snap.schema.fields.find(_.name.equalsIgnoreCase(column)).flatMap(f =>
+      Stats.exactBounds(snap.files, f).map { case (mn, mx) =>
+        (Stats.decode(mn, f.dataType), Stats.decode(mx, f.dataType))
+      })
   }
 
   /** ALTER TABLE SET TBLPROPERTIES (M12, src/delta_utils.py:149-166). */

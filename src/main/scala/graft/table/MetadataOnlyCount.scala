@@ -2,33 +2,39 @@ package graft.table
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.StructType
+
+import graft.log.Stats
 
 /** Delta's "metadata-only query" optimization as a Catalyst rule: a global
-  * `count(*)` / `count(1)` over a bare graft scan collapses to a
-  * LocalRelation holding the transaction log's row count — zero files
-  * read, zero jobs run, at any table size.
+  * `count(*)` / `count(1)` / `min(col)` / `max(col)` aggregate over a bare
+  * graft scan collapses to a LocalRelation answered from the transaction
+  * log — zero files read, zero jobs run, at any table size.
   *
   * Soundness: the rule fires only on an Aggregate with no grouping whose
-  * every aggregate is a non-distinct, unfiltered count of non-null
-  * literals, sitting directly on the scan's LogicalRelation (attribute-only
-  * Projects in between are fine — they cannot change the row count).
-  * Anything else — a WHERE (Filter node), a deletion-vector table (mask
-  * join above the relation), count(col) (null-sensitive), DISTINCT, a
-  * FILTER clause — leaves the plan untouched and scans as usual. The file
-  * list is the one captured in [[GraftFileIndex]], so the answer is
-  * exactly what the replaced scan would have computed for that snapshot.
+  * EVERY aggregate is answerable — a non-distinct unfiltered count of
+  * non-null literals (row count from the log), or a min/max directly over
+  * a scan column whose per-file stats are provably exact
+  * ([[Stats.exactBounds]]: every file carries the stat, string bounds
+  * untruncated). The plan below must be the scan's LogicalRelation with at
+  * most attribute-only Projects in between. Anything else — a WHERE
+  * (Filter node), a deletion-vector table (mask join above the relation),
+  * count(col) (null-sensitive), DISTINCT, a FILTER clause, min/max over an
+  * expression — leaves the plan untouched and scans as usual. The file
+  * list is the one captured in [[GraftFileIndex]], so answers are exactly
+  * what the replaced scan would have computed for that snapshot.
   */
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
-  private def countableScan(plan: LogicalPlan): Option[Long] = plan match {
+  private def countableScan(plan: LogicalPlan): Option[GraftFileIndex] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case g: GraftFileIndex => Some(g.totalRecords)
+        case g: GraftFileIndex => Some(g)
         case _ => None
       }
       case _ => None
@@ -38,24 +44,42 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isLiteralCount(e: NamedExpression): Boolean = e match {
-    case Alias(ae: AggregateExpression, _) =>
-      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case Count(children) => children.forall {
-          case l: Literal => l.value != null
-          case _ => false
-        }
-        case _ => false
-      })
-    case _ => false
+  /** The internal-format value of one aggregate, when the log can answer
+    * it exactly; None aborts the whole rewrite. */
+  private def answer(e: NamedExpression, idx: GraftFileIndex): Option[Any] = e match {
+    case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(children) if children.forall {
+              case l: Literal => l.value != null
+              case _ => false
+            } =>
+          Some(idx.totalRecords)
+        case Min(a: AttributeReference) =>
+          boundsFor(a, idx).map { case (mn, _) =>
+            Stats.decodeInternal(mn, a.dataType) }
+        case Max(a: AttributeReference) =>
+          boundsFor(a, idx).map { case (_, mx) =>
+            Stats.decodeInternal(mx, a.dataType) }
+        case _ => None
+      }
+    case _ => None
   }
+
+  private def boundsFor(
+      a: AttributeReference, idx: GraftFileIndex): Option[(String, String)] =
+    idx.tableSchema.fields.find(_.name.equalsIgnoreCase(a.name))
+      .filter(_.dataType == a.dataType)
+      .flatMap(Stats.exactBounds(idx.addFiles, _))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _)
-        if grouping.isEmpty && aggExprs.nonEmpty && aggExprs.forall(isLiteralCount) =>
+        if grouping.isEmpty && aggExprs.nonEmpty =>
       countableScan(child) match {
-        case Some(n) =>
-          LocalRelation(agg.output, Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+        case Some(idx) =>
+          val answers = aggExprs.map(answer(_, idx))
+          if (answers.forall(_.isDefined))
+            LocalRelation(agg.output, Seq(InternalRow.fromSeq(answers.map(_.get))))
+          else agg
         case None => agg
       }
   }

@@ -96,6 +96,42 @@ class MetadataAggSpec extends SparkSpec {
     spark.sql("SELECT count(*) AS n FROM meta_rule_v").as[Long].head() shouldBe 123L
   }
 
+  test("min/max over a graft scan optimize to a LocalRelation, zero jobs") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = freshTable("meta-minmax")
+    t.append(data(0 until 200))
+    t.append(data(500 until 600))
+    val agg = t.toDf.agg(
+      min(col("id")).as("lo"), max(col("id")).as("hi"),
+      max(col("name")).as("topname"), count(lit(1)).as("n"))
+    agg.queryExecution.optimizedPlan shouldBe a[LocalRelation]
+    var row: org.apache.spark.sql.Row = null
+    jobsDuring { row = agg.head() } shouldBe 0
+    (row.getLong(0), row.getLong(1), row.getString(2), row.getLong(3)) shouldBe
+      ((0L, 599L, "name99", 300L))
+  }
+
+  test("min/max rule round-trips dates and timestamps exactly") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = tmpDir("meta-ts").resolve("t").toString
+    val rows = Seq(
+      (java.sql.Date.valueOf("2021-03-05"), java.sql.Timestamp.valueOf("2021-03-05 01:02:03.004005")),
+      (java.sql.Date.valueOf("2026-08-13"), java.sql.Timestamp.valueOf("2026-08-13 23:59:59.999999")),
+      (java.sql.Date.valueOf("1969-12-31"), java.sql.Timestamp.valueOf("1969-12-31 23:00:00.0"))
+    ).toDF("d", "ts")
+    val t = LakeTable.createFrom(spark, dir, rows)
+    val agg = t.toDf.agg(min(col("d")), max(col("d")), min(col("ts")), max(col("ts")))
+    agg.queryExecution.optimizedPlan shouldBe a[LocalRelation]
+    val r = agg.head()
+    r.getDate(0) shouldBe java.sql.Date.valueOf("1969-12-31")
+    r.getDate(1) shouldBe java.sql.Date.valueOf("2026-08-13")
+    r.getTimestamp(2) shouldBe java.sql.Timestamp.valueOf("1969-12-31 23:00:00.0")
+    r.getTimestamp(3) shouldBe java.sql.Timestamp.valueOf("2026-08-13 23:59:59.999999")
+    // equals the scan answer
+    val scan = t.read().agg(min(col("ts"))).head()
+    scan.getTimestamp(0) shouldBe r.getTimestamp(2)
+  }
+
   test("metadata count rule leaves filtered / DV / count(col) plans alone") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val t = freshTable("meta-rule-neg", Map("graft.enableDeletionVectors" -> "true"))
@@ -106,11 +142,17 @@ class MetadataAggSpec extends SparkSpec {
     filtered.as[Long].head() shouldBe 10L
     // count(col) is null-sensitive: note is null on even ids
     t.toDf.agg(count(col("note"))).as[Long].head() shouldBe 50L
+    // min/max over a truncated string bound refuses (falls back to scan)
+    val long = "z" * 200
+    t.append(Seq((1000L, long, 1.0, null: String)).toDF("id", "name", "amount", "note"))
+    val mm = t.toDf.agg(max(col("name")))
+    mm.queryExecution.optimizedPlan should not be a[LocalRelation]
+    mm.head().getString(0) shouldBe long
     // a DV table plans the mask join above the relation -> no rewrite
     t.delete(col("id") >= 90)
     val masked = t.toDf.agg(count(lit(1)).as("n"))
     masked.queryExecution.optimizedPlan should not be a[LocalRelation]
-    masked.as[Long].head() shouldBe 90L
+    masked.as[Long].head() shouldBe 90L // ids 0..89; >= 90 (incl. 1000) masked
   }
 
   test("rewrite DML keeps metadata aggregates exact (no DVs involved)") {
