@@ -255,6 +255,14 @@ object Bench {
     val (_, sReadAggSec) = timed(st.read().agg(sum("amount")).collect())
     ops += "read_agg_rows_per_sec" -> strainN.toDouble / sReadAggSec
 
+    // metadata-only count(*): the Catalyst rule answers from the tx-log
+    // (zero jobs); reported next to the scan count for the speedup story
+    val (mcnt, metaCountSec) = timed(
+      st.toDf.agg(count(lit(1))).collect()(0).getLong(0))
+    assert(mcnt == strainN, s"metadata count mismatch: $mcnt")
+    ops += "metadata_count_sec" -> metaCountSec
+    ops += "metadata_count_speedup_x" -> sReadSec / math.max(metaCountSec, 1e-9)
+
     // MERGE (BASELINE: 100K rows/sec, 1M updates into 10M rows). Median of
     // 3 identical-shape runs (distinct key sets, all matching): single-shot
     // DML timings swung 2x run-to-run on this machine's disk writeback.

@@ -86,7 +86,8 @@ object SparkEntry {
     "q57_bigram_stats" -> (DataOps.bigramStats _),
     "q58_pq_adc" -> (DataOps.pqAdcTopK _),
     "q63_dedup_segments" -> (DataOps.dedupSegments _),
-    "q64_perplexity" -> (DataOps.perplexity _))
+    "q64_perplexity" -> (DataOps.perplexity _),
+    "q65_semantic_dedup" -> (DataOps.semanticDedup _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -160,6 +160,20 @@ object DataOps {
       nprobe = 6, minCosine = 0.35)
   }
 
+  /** SemDeDup-style semantic dedup (public method: cluster embeddings,
+    * drop all-but-one of each tight cosine cluster): the IVF-cell-blocked
+    * exact-cosine pairs feed connected components; every vector gets its
+    * cluster's smallest id as `group_id` plus an `is_canonical` keep flag.
+    * Filter on the flag to materialize the semantically-deduped corpus. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainCentroids(emb, nlist = 16)
+    val pairs = Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,
+      nprobe = 6, minCosine = 0.35)
+    Dedup.nearDupGroups(emb.select(col("vec_id")), pairs, idCol = "vec_id")
+      .orderBy("vec_id")
+  }
+
   def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -798,6 +812,21 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q65_semantic_dedup" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT *, sqrt(list_dot_product(v, v)) AS norm FROM e0),
+         p AS (SELECT x.vec_id AS a, y.vec_id AS b
+               FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+               WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.35),
+         e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         r(id, c) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.a, r.c FROM e JOIN r ON r.id = e.b),
+         g AS (SELECT id AS vec_id, MIN(c) AS group_id FROM r GROUP BY id)
+         SELECT vec_id, group_id, vec_id = group_id AS is_canonical
+         FROM g ORDER BY vec_id""",
     "q28_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
