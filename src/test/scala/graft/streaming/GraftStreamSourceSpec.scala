@@ -218,6 +218,35 @@ class GraftStreamSourceSpec extends SparkSpec {
       (0L until 25L).toArray
   }
 
+  test("randomized caps partition the file sequence exactly once (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 101)
+      val dir = tmpDir(s"gss-prop$seed").resolve("t").toString
+      // random history: create + appends of random row counts (1 file each)
+      var next = 0
+      def batch(): org.apache.spark.sql.DataFrame = {
+        val n = 1 + rnd.nextInt(7)
+        val d = df(next until next + n); next += n; d
+      }
+      val t = LakeTable.createFrom(spark, dir, batch())
+      (1 to 2 + rnd.nextInt(4)).foreach(_ => t.append(batch()))
+      val maxF = 1 + rnd.nextInt(3)
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", maxF.toString).load(dir)
+        .writeStream.format("memory").queryName(s"gssProp$seed")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // appends mid-stream keep the contract
+      (1 to 2).foreach(_ => t.append(batch()))
+      q.processAllAvailable()
+      val got = spark.table(s"gssProp$seed").select("id").as[Long].collect().sorted
+      got shouldBe (0L until next.toLong).toArray // exactly once, no loss
+      val rowsPerBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      all(rowsPerBatch.toSeq) should be <= (maxF * 7).toLong // cap honored
+      q.stop()
+    }
+  }
+
   test("mid-run additive evolution keeps serving the run's schema; restart widens") {
     val base = tmpDir("gss-evo")
     val dir = base.resolve("t").toString
