@@ -16,6 +16,8 @@ import scala.jdk.CollectionConverters._
   *   ALTER TABLE <t> SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   RESTORE TABLE <t> TO VERSION AS OF <n>
   *   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>'
+  *   ALTER TABLE <t> ADD COLUMN <c> <type> GENERATED ALWAYS AS (<expr>)
+  *   ALTER TABLE <t> ADD COLUMN <c> BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n [INCREMENT BY m])]
   *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...])]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   CREATE TABLE [IF NOT EXISTS] <dst> {DEEP|SHALLOW} CLONE <src>
@@ -55,6 +57,17 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   // the reference's schema-evolution DDL (notebooks/04_acid_operations.py:289-295)
   private val addColumnsCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
+  // ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY
+  //   [(START WITH n [INCREMENT BY m])]  /
+  // ALTER TABLE t ADD COLUMN c TYPE GENERATED ALWAYS AS (expr) —
+  // Delta's identity / generated-column DDL shapes over the ALTER form
+  private val addIdentityColumnCmd =
+    ("""(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\w+)\s+BIGINT\s+""" +
+      """GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*""" +
+      """(?:\(\s*START\s+WITH\s+(-?\d+)\s*(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*""").r
+  private val addGeneratedColumnCmd =
+    ("""(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s+""" +
+      """GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*""").r
   private val renameColumnCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val dropColumnCmd =
@@ -332,6 +345,13 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>
       oneRow("version" -> table(t).dropConstraint(name))
+    case addIdentityColumnCmd(t, c, start, step) =>
+      oneRow("version" -> table(t).addIdentityColumn(c,
+        Option(start).map(_.toLong).getOrElse(1L),
+        Option(step).map(_.toLong).getOrElse(1L)))
+    case addGeneratedColumnCmd(t, c, ddlType, genExpr) =>
+      oneRow("version" -> table(t).addGeneratedColumn(c,
+        org.apache.spark.sql.types.DataType.fromDDL(ddlType.trim), genExpr))
     case addColumnsCmd(t, defs) =>
       oneRow("version" -> table(t).addColumns(parseColumnDefs(defs)))
     case renameColumnCmd(t, from, to) =>

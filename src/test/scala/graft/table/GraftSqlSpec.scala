@@ -54,6 +54,20 @@ class GraftSqlSpec extends SparkSpec {
       sql.run(s"ALTER TABLE '$dir' ADD COLUMNS (id BIGINT)")
   }
 
+  test("ALTER TABLE ADD COLUMN GENERATED ALWAYS AS (expr) / AS IDENTITY") {
+    val (t, dir) = freshTable("gsql-gencol")
+    sql.run(s"ALTER TABLE '$dir' ADD COLUMN b2 BIGINT GENERATED ALWAYS AS (b * 2)")
+    sql.run(s"ALTER TABLE '$dir' ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5)")
+    t.append(Seq((1000L, "x", 3)).toDF("id", "v", "b"))
+    val r = t.read().filter(col("id") === 1000L)
+      .select("b2", "rid").head()
+    r.getLong(0) shouldBe 6L    // generated: b * 2
+    r.getLong(1) shouldBe 10L   // identity: first allocation at START WITH
+    // bare IDENTITY defaults to (1, 1)
+    sql.run(s"ALTER TABLE '$dir' ADD COLUMN rid2 BIGINT GENERATED ALWAYS AS IDENTITY")
+    t.properties("graft.identity.rid2") shouldBe "1,1"
+  }
+
   test("RESTORE TABLE TO VERSION AS OF") {
     val (t, dir) = freshTable("gsql-restore")
     val v = t.version
