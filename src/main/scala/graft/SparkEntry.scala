@@ -87,7 +87,8 @@ object SparkEntry {
     "q58_pq_adc" -> (DataOps.pqAdcTopK _),
     "q63_dedup_segments" -> (DataOps.dedupSegments _),
     "q64_perplexity" -> (DataOps.perplexity _),
-    "q65_semantic_dedup" -> (DataOps.semanticDedup _))
+    "q65_semantic_dedup" -> (DataOps.semanticDedup _),
+    "q66_budgeted_mixture" -> (DataOps.budgetedMixture _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

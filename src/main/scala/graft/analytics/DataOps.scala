@@ -343,6 +343,23 @@ object DataOps {
       keyCol = "doc_id", groupCol = "source", rates = rates)
   }
 
+  /** Token-budget mixture: each domain greedily filled to its token
+    * budget in stable-hash order (the Dolma/Pile recipe step — budgets
+    * in tokens, not row rates). */
+  def budgetedMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val budgets = (0 until 20).map(i => s"src$i" -> (i % 3 match {
+      case 0 => 4000L
+      case 1 => 2500L
+      case _ => 1200L
+    })).toMap
+    graft.sampling.Sampling.budgetedMixture(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")),
+      tokenCol = size(TextAnalysis.tokens(col("text"))), budgets = budgets)
+      .select("doc_id", "source", "token_count", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Training-sequence packing: concatenate each source's docs in doc_id
     * order and cut every 512 tokens — pack assignment is a running-sum
     * window, no global sort. */
@@ -550,6 +567,16 @@ object DataOps {
          SELECT hs.head, hs.head_count, hs.distinct_next, r.top_next, r.top_next_count
          FROM hs JOIN r ON hs.head = r.head WHERE r.rn = 1"""
     },
+    "q66_budgeted_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS token_count
+           FROM documents),
+         w AS (SELECT *, CAST(SUM(token_count) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-mix'), doc_id) AS BIGINT)
+             AS cum_tokens FROM t),
+         b AS (SELECT *, CASE CAST(substring(source, 4) AS INT) % 3
+             WHEN 0 THEN 4000 WHEN 1 THEN 2500 ELSE 1200 END AS budget FROM w)
+         SELECT doc_id, source, token_count, cum_tokens FROM b
+         WHERE cum_tokens - token_count < budget""",
     "q45_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <

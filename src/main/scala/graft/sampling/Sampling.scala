@@ -2,6 +2,7 @@ package graft.sampling
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic, engine-portable sampling and splitting for training-data
   * pipelines. Assignment is a pure function of the row key (md5 of
@@ -69,6 +70,34 @@ object Sampling {
       when(col(groupCol) === g, lit(threshold(r))).otherwise(acc)
     }
     df.filter(bucket(col(keyCol), salt) < thr)
+  }
+
+  /** Token-budget mixture (the Dolma/Pile-style recipe step): greedily
+    * downsample each domain to a TOKEN budget rather than a row rate.
+    * Docs are ordered by a stable md5 of the key (a uniform, engine-
+    * portable subset — re-running with a bigger budget extends the same
+    * prefix), and a doc is admitted while the domain's running token sum
+    * before it is under budget, so each domain lands within one document
+    * of its budget. One shuffle on the domain column; the window's
+    * running sum is a single pass per partition. Skewed domain sizes
+    * bound the partition at that domain's corpus share — for a truly
+    * monster domain, pre-filter with [[mixtureSample]] first. */
+  def budgetedMixture(
+      df: DataFrame,
+      tokenCol: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      keyCol: String = "doc_id",
+      groupCol: String = "source",
+      salt: String = "graft-mix"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("token_count", tokenCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("token_count")).over(w))
+      .filter(col("cum_tokens") - col("token_count") < budget)
   }
 
   /** Deterministic upsampling to an arbitrary weight w >= 0: every row is

@@ -79,6 +79,31 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.mixtureSample(df, "id", "grp", Map("0" -> 1.0))
   }
 
+  test("budgetedMixture fills each domain to within one doc of its budget") {
+    val df = spark.range(600).select(col("id"),
+      (col("id") % 3).cast("string").as("source"),
+      (col("id") % 7 + 1).as("tok")) // 1..7 tokens per row
+    val budgets = Map("0" -> 200L, "1" -> 50L)
+    val out = Sampling.budgetedMixture(df, col("tok"), budgets,
+      keyCol = "id", groupCol = "source")
+    // every admitted doc started under budget; totals overshoot < one doc
+    def total(g: String) = out.filter(col("source") === g)
+      .agg(sum("token_count")).as[Long].head()
+    total("0") should (be >= 200L and be < 207L)
+    total("1") should (be >= 50L and be < 57L)
+    out.filter(col("source") === "2").count() shouldBe 0 // default budget 0
+    // prefix property: a bigger budget extends the same subset
+    val more = Sampling.budgetedMixture(df, col("tok"),
+      Map("0" -> 400L, "1" -> 50L), keyCol = "id", groupCol = "source")
+    val small = out.select("id").as[Long].collect().toSet
+    val big = more.select("id").as[Long].collect().toSet
+    small.subsetOf(big) shouldBe true
+    // partition-independence
+    val repart = Sampling.budgetedMixture(df.repartition(13), col("tok"),
+      budgets, keyCol = "id", groupCol = "source")
+    repart.select("id").as[Long].collect().toSet shouldBe small
+  }
+
   test("upsample emits floor(w) copies plus a stable fractional extra") {
     val df = spark.range(4000).toDF("id")
     val out = Sampling.upsample(df, "id", 2.5)
