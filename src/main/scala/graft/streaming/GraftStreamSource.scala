@@ -107,10 +107,18 @@ class GraftStreamSource(
     case s => Pos(s.toLong + 1, 0, -1L)
   }
 
+  /** The snapshot unit is immutable per version — memoize it so the
+    * per-trigger capped walk doesn't replay the log every getOffset while
+    * a large snapshot is being served in chunks. */
+  @volatile private var snapUnitCache: (Long, Seq[AddFile]) = (-1L, Nil)
+
   private def unitFiles(pos: Pos): Seq[AddFile] =
-    if (pos.version == pos.snapVersion)
-      table.snapshot(Some(pos.snapVersion)).files.sortBy(_.path)
-    else addsFor(pos.version)
+    if (pos.version == pos.snapVersion) {
+      if (snapUnitCache._1 != pos.snapVersion)
+        snapUnitCache =
+          (pos.snapVersion, table.snapshot(Some(pos.snapVersion)).files.sortBy(_.path))
+      snapUnitCache._2
+    } else addsFor(pos.version)
 
   /** Walk forward from `from`, admitting whole files until a cap (or the
     * log end) is hit; exhausted units normalize to (version+1, 0) so a
