@@ -166,11 +166,12 @@ object DataOps {
     * cluster's smallest id as `group_id` plus an `is_canonical` keep flag.
     * Filter on the flag to materialize the semantically-deduped corpus. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val centroids = Similarity.trainCentroids(emb, nlist = 16)
-    val pairs = Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,
-      nprobe = 6, minCosine = 0.35)
-    Dedup.nearDupGroups(emb.select(col("vec_id")), pairs, idCol = "vec_id")
+    // q28's exact-recall pair pipeline IS the pair source — reusing it
+    // keeps q65's pairs and q28's gate in lockstep under recall tuning
+    val pairs = embeddingNearDup(spark, sfDir)
+    Dedup.nearDupGroups(
+      Tables.embeddings(spark, sfDir).select(col("vec_id")), pairs,
+      idCol = "vec_id")
       .orderBy("vec_id")
   }
 

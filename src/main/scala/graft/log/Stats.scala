@@ -106,26 +106,45 @@ object Stats {
     case _ => null
   }
 
+  /** Non-finite float/double encodings: BigDecimal cannot parse them (the
+    * compare path would throw inside the optimizer), parquet writers
+    * historically drop or poison NaN bounds, and NaN's SQL ordering
+    * (greater than everything) is not what a min over bounds computes —
+    * refuse and let the query scan. */
+  private def nonFinite(s: String): Boolean =
+    s == "NaN" || s == "Infinity" || s == "-Infinity"
+
   /** Exact canonical (min, max) bounds of `field` over `files`' stats:
-    * None when any file lacks the stat, carries a half-null bound, or a
-    * string bound might be truncated — the log cannot answer exactly and
-    * the caller must scan. Some((null, null)) when the column is null in
-    * every row (SQL min/max semantics). Deletion-vector exactness is the
-    * CALLER's concern: a DV could mask the extreme row. */
+    * None when any file lacks the stat, carries a half-null or non-finite
+    * bound, omits bounds for rows it does hold (nullCount < numRecords
+    * with null min/max — e.g. externally-written parquet whose footer
+    * dropped them), or a string bound might be truncated — the log cannot
+    * answer exactly and the caller must scan. Some((null, null)) when the
+    * column is null in every row (SQL min/max semantics). Deletion-vector
+    * exactness is the CALLER's concern: a DV could mask the extreme row. */
   def exactBounds(files: Seq[AddFile], field: StructField): Option[(String, String)] = {
     if (!isStatsType(field.dataType)) return None
     if (files.isEmpty) return Some((null, null))
     val perFile = files.map(f =>
       f.stats.get(field.name).orElse(f.stats.collectFirst {
         case (n, cs) if n.equalsIgnoreCase(field.name) => cs
-      }))
+      }).map(cs => (cs, f.numRecords)))
     if (perFile.exists(_.isEmpty)) return None
-    val bounded = perFile.flatten.filter(c => c.min != null || c.max != null)
+    val all = perFile.flatten
+    // a (null, null) bound is "all rows null" ONLY when nullCount says so;
+    // otherwise the writer dropped the bounds and the answer needs a scan
+    if (all.exists { case (c, n) =>
+        c.min == null && c.max == null && c.nullCount < n }) return None
+    val bounded = all.map(_._1).filter(c => c.min != null || c.max != null)
     if (bounded.isEmpty) return Some((null, null))
     if (bounded.exists(c => c.min == null || c.max == null)) return None
-    if (field.dataType == StringType && bounded.exists(c =>
-        maybeTruncatedString(c.min) || maybeTruncatedString(c.max)))
-      return None
+    field.dataType match {
+      case StringType if bounded.exists(c =>
+          maybeTruncatedString(c.min) || maybeTruncatedString(c.max)) => return None
+      case _: FloatType | _: DoubleType if bounded.exists(c =>
+          nonFinite(c.min) || nonFinite(c.max)) => return None
+      case _ =>
+    }
     val mn = bounded.map(_.min).reduce((a, b) =>
       if (compare(a, b, field.dataType) <= 0) a else b)
     val mx = bounded.map(_.max).reduce((a, b) =>

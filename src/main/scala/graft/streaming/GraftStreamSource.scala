@@ -65,6 +65,10 @@ class GraftStreamSource(
     options.get("maxFilesPerTrigger").map(_.toInt)
   private val maxBytesPerTrigger: Option[Long] =
     options.get("maxBytesPerTrigger").map(_.toLong)
+  maxFilesPerTrigger.foreach(v =>
+    require(v > 0, s"maxFilesPerTrigger must be positive, got $v"))
+  maxBytesPerTrigger.foreach(v =>
+    require(v > 0, s"maxBytesPerTrigger must be positive, got $v"))
   private val rateLimited = maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
   require(!(rateLimited && readChangeFeed),
     "maxFilesPerTrigger/maxBytesPerTrigger do not apply to readChangeFeed streams")
@@ -145,21 +149,43 @@ class GraftStreamSource(
 
   /** Last position handed to Spark (WAL-logged by the engine). After a
     * restart whose final batch committed, the V1 API gives the source no
-    * start position at getOffset time, so the first batch of the new run
-    * is uncapped (it must not regress behind the unknown committed
-    * position); every subsequent batch is capped again. */
+    * start position at getOffset time — [[walEnd]] recovers it from the
+    * checkpoint's own offsets log so catch-up batches stay capped; only
+    * if the WAL is unreadable does the first batch fall back to serving
+    * the whole backlog (it must never regress behind the unknown
+    * committed position). */
   private var lastEnd: Option[Pos] = None
+
+  /** Newest WAL-logged end offset for THIS source, read from the
+    * checkpoint's offsets log (format: "v1", metadata json, then one
+    * offset line per source — the source index is this metadata dir's
+    * name). An uncommitted newest entry is equally safe to resume from:
+    * the engine re-runs that exact batch via getBatch, which re-syncs
+    * `lastEnd` before this is ever consulted. */
+  private def walEnd(): Option[Pos] = markerPath.flatMap { m =>
+    scala.util.Try {
+      val dir = m.getParent.getParent.getParent.resolve("offsets")
+      val ids = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+      val lines = java.nio.file.Files.readAllLines(dir.resolve(ids.max.toString))
+      val srcIdx = scala.util.Try(m.getParent.getFileName.toString.toInt).getOrElse(0)
+      val off = lines.get(2 + srcIdx).trim
+      require(off != "-")
+      toPos(new Offset { override def json: String = off })
+    }.toOption
+  }
 
   /** Pinned stream-start snapshot version, persisted as a marker file
     * under the source's metadata path so a capped mode-A restart never
     * re-pins (and re-serves) a fresh snapshot. */
   private def markerPath: Option[java.nio.file.Path] =
     if (metadataPath.isEmpty) None
-    else Some(java.nio.file.Paths.get(
-      java.net.URI.create(metadataPath).getPath match {
-        case p if p.nonEmpty => p
-        case _ => metadataPath
-      }).resolve("graft-stream-start"))
+    else {
+      // strip a URI scheme by hand: checkpoint paths may contain spaces,
+      // which URI.create rejects (Hadoop does not percent-encode them)
+      val raw = metadataPath.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+      Some(java.nio.file.Paths.get(raw).resolve("graft-stream-start"))
+    }
 
   /** True when this checkpoint has offsets from a previous run — the
     * engine knows a committed position this source object does not. */
@@ -175,23 +201,39 @@ class GraftStreamSource(
     markerSeen || offsetsSeen
   }
 
+  /** A torn/corrupt marker (crash mid-write) parses to None — treated as
+    * "unknown snapshot version", never a stream-killing exception. */
   private def readMarker(): Option[Long] =
-    markerPath.filter(java.nio.file.Files.exists(_)).map(p =>
-      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+    markerPath.filter(java.nio.file.Files.exists(_)).flatMap(p =>
+      scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(p)).trim.toLong).toOption)
 
+  /** Atomic first-wins marker write: temp file + ATOMIC_MOVE, so no crash
+    * can leave a half-written marker behind. */
   private def writeMarker(v: Long): Unit = markerPath.foreach { p =>
-    java.nio.file.Files.createDirectories(p.getParent)
-    if (!java.nio.file.Files.exists(p))
-      java.nio.file.Files.write(p, v.toString.getBytes)
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(p.getParent)
+    if (!Files.exists(p)) {
+      val tmp = Files.createTempFile(p.getParent, ".marker-", ".tmp")
+      try {
+        Files.write(tmp, v.toString.getBytes)
+        try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally { Files.deleteIfExists(tmp): Unit }
+    }
   }
 
   private def rateLimitedOffset(): Option[Offset] = {
     val end = lastEnd match {
       case Some(last) => capped(last)
       case None if hasRunBefore =>
-        // committed restart: engine-side start is unknown here, so offer
-        // everything; getBatch receives the true committed start
-        Pos(table.version + 1, 0, readMarker().getOrElse(-1L))
+        // committed restart: recover the engine's position from its own
+        // offsets log and keep capping; if the WAL is unreadable, offer
+        // everything (getBatch still receives the true committed start)
+        walEnd() match {
+          case Some(committed) => capped(committed)
+          case None => Pos(table.version + 1, 0, readMarker().getOrElse(-1L))
+        }
       case None =>
         val start = startingVersion match {
           case Some(sv) => Pos(sv, 0, -1L)

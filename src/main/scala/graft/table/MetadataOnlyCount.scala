@@ -84,10 +84,14 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
       }
   }
 
-  /** Idempotently hook the rule into the session's optimizer. */
-  private[graft] def register(spark: SparkSession): Unit = {
-    val em = spark.experimental
-    if (!em.extraOptimizations.contains(MetadataOnlyCount))
-      em.extraOptimizations = em.extraOptimizations :+ MetadataOnlyCount
-  }
+  /** Idempotently hook the rule into the session's optimizer. The
+    * check-then-append is synchronized: extraOptimizations is a plain var
+    * and concurrent LakeTable constructors would otherwise race into
+    * duplicate registration (or drop a concurrent write). */
+  private[graft] def register(spark: SparkSession): Unit =
+    MetadataOnlyCount.synchronized {
+      val em = spark.experimental
+      if (!em.extraOptimizations.contains(MetadataOnlyCount))
+        em.extraOptimizations = em.extraOptimizations :+ MetadataOnlyCount
+    }
 }

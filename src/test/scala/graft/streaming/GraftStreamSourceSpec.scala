@@ -183,9 +183,14 @@ class GraftStreamSourceSpec extends SparkSpec {
     val q1 = start(org.apache.spark.sql.streaming.Trigger.Once())
     q1.awaitTermination()
     spark.read.parquet(out).count() shouldBe 10 // 2 of 5 snapshot files
-    // restart finishes the pinned snapshot — nothing replayed, nothing lost
+    // restart finishes the pinned snapshot — nothing replayed, nothing
+    // lost, and catch-up batches are STILL capped (the source recovers
+    // the committed position from the checkpoint's own offsets log)
     val q2 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-    q2.processAllAvailable(); q2.stop()
+    q2.processAllAvailable()
+    val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    all(sizes) should be <= 10L // 2 files x 5 rows per batch, post-restart too
+    q2.stop()
     spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
       (0L until 25L).toArray
   }

@@ -155,6 +155,20 @@ class MetadataAggSpec extends SparkSpec {
     masked.as[Long].head() shouldBe 90L // ids 0..89; >= 90 (incl. 1000) masked
   }
 
+  test("non-finite double bounds refuse the rewrite and fall back to scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = freshTable("meta-nan")
+    t.append(data(0 until 10))
+    t.append(Seq((100L, "inf", Double.PositiveInfinity, null: String))
+      .toDF("id", "name", "amount", "note"))
+    val mm = t.toDf.agg(min(col("amount")), max(col("amount")))
+    mm.queryExecution.optimizedPlan should not be a[LocalRelation]
+    val r = mm.head() // must not throw inside the optimizer
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1).isPosInfinity shouldBe true
+    t.statsMinMax("amount") shouldBe None
+  }
+
   test("rewrite DML keeps metadata aggregates exact (no DVs involved)") {
     val t = freshTable("meta-dml")
     t.append(data(0 until 100))
