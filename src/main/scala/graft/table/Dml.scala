@@ -140,33 +140,37 @@ trait DmlSupport { self: LakeTable =>
       newlyMasked => Map("numUpdatedRows" -> adds.map(_.numRecords).sum))
   }
 
-  /** Shared deletion-vector commit: write the union vector (this change's
-    * masked positions ∪ the touched files' current vectors — stale entries
-    * for other files sharing an old DV parquet are harmless, they match no
-    * base rows), derive per-file actions, and commit with the DV conflict
-    * checks. `matched` must carry __file/__idx. */
+  /** Shared deletion-vector commit: aggregate this change's masked positions
+    * into per-file roaring bitmaps, OR in the touched files' current
+    * vectors, write one bitmap row per file, derive per-file actions, and
+    * commit with the DV conflict checks. `matched` must carry __file/__idx.
+    *
+    * Cost is O(new masks) + O(touched files' bitmap bytes) — independent of
+    * how many masks have accumulated table-wide, unlike a row-per-position
+    * union rewrite. The groupBy runs under ObjectHashAggregate with partial
+    * aggregation, so only per-(file × map task) partial bitmaps shuffle. */
   private[table] def maskAndCommit(
       snap: Snapshot, op: String, params: Map[String, String],
       touched: Seq[AddFile], matched: DataFrame, adds: Seq[AddFile],
       sidecars: Seq[Action], metrics: Long => Map[String, Long]): Long = {
-    val oldDirs = touched.flatMap(f => snap.dvs.get(f.path))
-      .map(d => dir.resolve(d.dvPath).toString).distinct
-    val newRows = matched.select(col("__file"), col("__idx"))
-    val allRows = (if (oldDirs.isEmpty) newRows
-      else newRows.unionByName(
-        spark.read.parquet(oldDirs: _*).select(col("__file"), col("__idx"))))
-      .dropDuplicates("__file", "__idx")
+    // group on the raw reader path; strip to the canonical path AFTER the
+    // aggregate (one strip per file, not per row)
+    val newBm = matched.select(col("__file"), col("__idx"))
+      .groupBy("__file").agg(DvBitmap.aggPositions(col("__idx")).as("__bitmap"))
+      .select(DvBitmap.stripPathCol(col("__file")).as("__path"), col("__bitmap"))
+    val oldDvs = touched.flatMap(f => snap.dvs.get(f.path))
+    val merged =
+      if (oldDvs.isEmpty) newBm
+      else newBm.unionByName(dvBitmapDf(oldDvs))
+        .groupBy("__path").agg(DvBitmap.aggOr(col("__bitmap")).as("__bitmap"))
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dvRel = s"dv/$commitId"
-    // partition-local sort: runs of equal __file dictionary-encode and idx
-    // delta-packs, shrinking the union vector severalfold — the union
-    // rewrite is the part of DV-merge cost that grows with accumulated masks
-    allRows.sortWithinPartitions("__file", "__idx")
+    merged.withColumn("__n", DvBitmap.cardinality(col("__bitmap")))
       .write.mode("errorifexists").parquet(dir.resolve(dvRel).toString)
-    // per-file mask sizes from the written vector (tiny read)
+    // per-file mask sizes from the written vector (tiny read: 1 row/file)
     val counts = spark.read.parquet(dir.resolve(dvRel).toString)
-      .groupBy("__file").agg(count(lit(1)).as("n"))
-      .collect().map(r => Stats.stripScheme(r.getString(0)) -> r.getAs[Long]("n")).toMap
+      .select("__path", "__n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val newActions = touched.flatMap { f =>
       counts.get(absPath(f)).map(n => DeletionVector(f.path, dvRel, n))
     }
@@ -175,7 +179,7 @@ trait DmlSupport { self: LakeTable =>
     val prevMasked = newActions.flatMap(a => snap.dvs.get(a.forFile)).map(_.numDeleted).sum
     val newlyMasked = newActions.map(_.numDeleted).sum - prevMasked
     val newKeys = newActions.map(_.forFile).toSet
-    commitWithRetry(op, params + ("deletionVectors" -> "true"), snap,
+    val committed = commitWithRetry(op, params + ("deletionVectors" -> "true"), snap,
       metrics(newlyMasked)) { s =>
       // idempotent replay guard, as in commitRewrite
       params.get("txnAppId").foreach { app =>
@@ -201,7 +205,18 @@ trait DmlSupport { self: LakeTable =>
       val future = ((s.dvs -- newKeys).values.map(_.dvPath) ++ Seq(dvRel)).toSet
       newActions ++ adds ++ sidecars ++ dvTombstones(s, newKeys, future, now)
     }
+    maybeAutoPurge()
+    committed
   }
+
+  /** Opt-in DV compaction valve (`graft.autoOptimize.purgeDvFraction`):
+    * after a DV commit, rewrite files whose masked fraction reached the
+    * configured threshold. Best-effort, like auto-compaction — a lost
+    * commit race never fails the DML that triggered it. */
+  private def maybeAutoPurge(): Unit =
+    properties.get("graft.autoOptimize.purgeDvFraction")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .foreach(th => scala.util.Try(reorgPurge(th)): Unit)
 
   /** MERGE INTO builder (M1-M3, src/data_processor.py:233-280). The condition
     * references the two sides as `target.<col>` / `source.<col>`. */

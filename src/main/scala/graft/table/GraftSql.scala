@@ -45,6 +45,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val optimizeCmd =
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val reorgCmd =
+    """(?is)\s*REORG\s+TABLE\s+(\S+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val vacuumCmd =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
@@ -383,6 +385,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
         case None => tbl.optimizeCompact(where = pred)
       }
       oneRow("version" -> v)
+    case reorgCmd(t) =>
+      oneRow("version" -> table(t).reorgPurge())
     case vacuumCmd(t, retain, dry) =>
       val hours = Option(retain).map(_.toDouble).getOrElse(168.0)
       val paths = table(t).vacuum(hours, dryRun = dry != null)

@@ -155,18 +155,57 @@ class LakeTable private[table] (
     if (dvs.isEmpty) withPos else dvMaskJoin(withPos, dvs)
   }
 
-  /** Anti-join a position-carrying frame (`__file`, `__idx`) against the
-    * given deletion vectors. Rows for files the vectors don't cover simply
-    * find no match. The mask-row count is known from the snapshot, so small
-    * vectors are broadcast explicitly — size estimation over the raw
-    * parquet read is conservative enough to shuffle the whole base side
-    * otherwise, which triples merge cost on tables carrying vectors. */
+  /** Absolute form of a log-relative path (DV paths may already be absolute
+    * after a shallow clone). */
+  private[table] def absPathStr(p: String): String =
+    if (p.startsWith("/")) p else dir.resolve(p).toString
+
+  /** One row per file — (`__path` canonical absolute path, `__bitmap`
+    * serialized roaring bitmap) — for the given vectors' CURRENT state. A
+    * dv dir may also hold rows for files whose pointer has since moved to a
+    * newer dir; reading each dir filtered to the files that still reference
+    * it drops those stale rows. */
+  private[table] def dvBitmapDf(dvs: Seq[DeletionVector]): DataFrame =
+    dvs.groupBy(_.dvPath).toSeq.map { case (rel, ds) =>
+      spark.read.parquet(absPathStr(rel))
+        .filter(col("__path").isin(ds.map(d => absPathStr(d.forFile)): _*))
+        .select("__path", "__bitmap")
+    }.reduce(_.unionByName(_))
+
+  // per-file bitmaps broadcast for the mask filter, memoized across reads of
+  // the same DV state (a commit changes the state → new cache entry); old
+  // entries are unpersisted (never destroyed — cached plans may still hold
+  // the reference and can re-fetch from the driver)
+  @transient private lazy val dvBroadcastCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Set[(String, String)], org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]()
+
+  /** Filter a position-carrying frame (`__file`, `__idx`) through the given
+    * deletion vectors. Small total mask counts use a broadcast of per-file
+    * roaring bitmaps probed by a codegen'd expression — O(bitmap bytes)
+    * broadcast, no join. Past [[DvBitmap.BroadcastMaxMasks]] the bitmaps are
+    * exploded back to rows and anti-joined (fully distributed, no driver
+    * memory cliff). */
   private def dvMaskJoin(withPos: DataFrame, dvs: Seq[DeletionVector]): DataFrame = {
-    val dvDirs = dvs.map(d => dir.resolve(d.dvPath).toString).distinct
-    val dvRows = spark.read.parquet(dvDirs: _*).select("__file", "__idx")
-    val dvSide =
-      if (dvs.map(_.numDeleted).sum <= 4000000L) broadcast(dvRows) else dvRows
-    withPos.join(dvSide, Seq("__file", "__idx"), "left_anti")
+    if (dvs.map(_.numDeleted).sum <= DvBitmap.BroadcastMaxMasks) {
+      val key = dvs.map(d => d.forFile -> d.dvPath).toSet
+      val bc = dvBroadcastCache.computeIfAbsent(key, _ => {
+        if (dvBroadcastCache.size >= 8) {
+          val it = dvBroadcastCache.entrySet().iterator()
+          while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+        }
+        spark.sparkContext.broadcast(
+          dvBitmapDf(dvs).collect()
+            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+      })
+      withPos.filter(DvBitmap.notMasked(col("__file"), col("__idx"), bc))
+    } else {
+      val dvRows = dvBitmapDf(dvs).select(col("__path"),
+        explode(DvBitmap.toLongArray(col("__bitmap"))).as("__idx"))
+      withPos.withColumn("__path", DvBitmap.stripPathCol(col("__file")))
+        .join(dvRows, Seq("__path", "__idx"), "left_anti")
+        .drop("__path")
+    }
   }
 
   /** Masked read with the table schema only (the hot read path). */

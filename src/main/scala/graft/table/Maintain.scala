@@ -76,6 +76,41 @@ trait MaintenanceSupport { self: LakeTable =>
         "numFilesRemoved" -> scoped.size.toLong,
         "numFilesAdded" -> adds.size.toLong))
   }
+
+  /** REORG TABLE … APPLY (PURGE) analogue (Delta's deletion-vector purge):
+    * rewrite files whose masked fraction is ≥ `minMaskedFraction`,
+    * materializing the masks into clean files and dropping the vectors —
+    * the maintenance valve that keeps per-file mask cardinality (and with
+    * it every masked read's filter work) bounded as DV DML accumulates.
+    * `0.0` rewrites every file carrying a mask. Unreferenced dv dirs are
+    * tombstoned by [[LakeTable.commitRewrite]] and reclaimed by VACUUM. */
+  def reorgPurge(
+      minMaskedFraction: Double = 0.0,
+      targetFileSize: Long = 128L * 1024 * 1024): Long = {
+    val snap = snapshot()
+    val doomed = snap.files.filter { f =>
+      snap.dvs.get(f.path).exists { d =>
+        d.numDeleted > 0 &&
+          (f.numRecords <= 0 ||
+            d.numDeleted.toDouble / f.numRecords >= minMaskedFraction)
+      }
+    }
+    if (doomed.isEmpty) return snap.version
+    val df = readFilesMasked(snap, doomed, snap.schema)
+    val totalBytes = doomed.map(_.size).sum
+    val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
+    val pcols = snap.metadata.partitionColumns
+    val packed =
+      if (pcols.nonEmpty) df.repartition(n, pcols.map(col): _*)
+      else df.repartition(n)
+    val adds = stageWrite(packed, pcols)
+    commitRewrite(snap, "REORG",
+      Map("applyPurge" -> "true", "minMaskedFraction" -> minMaskedFraction.toString),
+      doomed, adds, Nil, Map(
+        "numFilesRemoved" -> doomed.size.toLong,
+        "numFilesAdded" -> adds.size.toLong,
+        "numDeletionVectorsRemoved" -> doomed.size.toLong))
+  }
 }
 
 /** Z-value construction from built-in, codegen-friendly expressions only

@@ -114,11 +114,12 @@ class CatalystScanSpec extends SparkSpec {
     t.delete(col("id") === 150L)
     t.toDf.count() shouldBe 399
     t.toDf.filter(col("id") === 150L).count() shouldBe 0
-    // the filter pushes through the anti-join into the pruned scan:
-    // 1 data file + the DV sidecar, vs all 4 + sidecar unfiltered
+    // the filter pushes through the bitmap mask filter into the pruned
+    // scan: 1 data file (the DV bitmaps ride a plan-time broadcast, not
+    // the query DAG), vs all 4 data files unfiltered
     val hit = t.toDf.filter(col("id") === 250L)
     hit.count() shouldBe 1
-    scannedFiles(hit) shouldBe 2
-    scannedFiles(t.toDf) shouldBe 5
+    scannedFiles(hit) shouldBe 1
+    scannedFiles(t.toDf) shouldBe 4
   }
 }

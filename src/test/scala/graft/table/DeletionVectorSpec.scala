@@ -155,6 +155,51 @@ class DeletionVectorSpec extends SparkSpec {
     t.read().count() shouldBe 300
   }
 
+  test("REORG APPLY (PURGE) materializes masks into clean files") {
+    val t = freshTable("dv-reorg")
+    t.delete(col("id") < 30L)
+    t.delete(col("id") >= 270L)
+    t.snapshot().dvs should not be empty
+    val v = t.reorgPurge()
+    v should be > 0L
+    t.snapshot().dvs shouldBe empty
+    t.read().count() shouldBe 240
+    t.read().filter(col("id") < 30L || col("id") >= 270L).count() shouldBe 0
+    // the purge commit is a REORG in the history
+    t.history(Some(1)).select("operation").collect().head.getString(0) shouldBe "REORG"
+    // purged dv dirs are tombstoned → zero-retention vacuum reclaims them
+    t.vacuum(retainHours = 0.0).exists(_.contains("/dv/")) shouldBe true
+    t.read().count() shouldBe 240
+  }
+
+  test("REORG via SQL + fraction threshold only rewrites heavily-masked files") {
+    val t = freshTable("dv-reorg-thr")
+    // id%3==0 lands in file 0: mask most of one file, a sliver of others
+    t.delete(col("id") % 3 === 0 && col("id") < 270L) // 90 rows in file 0
+    t.delete(col("id") === 1L) // 1 row in file 1
+    val masked = t.snapshot().dvs.size
+    masked should be >= 2
+    t.reorgPurge(minMaskedFraction = 0.5)
+    // only the heavily-masked file was rewritten; the sliver mask remains
+    t.snapshot().dvs.size should be < masked
+    t.snapshot().dvs should not be empty
+    t.read().count() shouldBe 209
+    // SQL form purges the rest
+    val sql = GraftSql(spark)
+    sql.run(s"REORG TABLE ${t.dir} APPLY (PURGE)")
+    t.snapshot().dvs shouldBe empty
+    t.read().count() shouldBe 209
+  }
+
+  test("auto-purge property compacts vectors past the fraction threshold") {
+    val t = freshTable("dv-autopurge",
+      dvProps + ("graft.autoOptimize.purgeDvFraction" -> "0.25"))
+    t.delete(col("id") < 150L) // 50% of every file masked → purge fires
+    t.snapshot().dvs shouldBe empty
+    t.read().count() shouldBe 150
+    t.history(Some(1)).select("operation").collect().head.getString(0) shouldBe "REORG"
+  }
+
   test("CDF emits delete rows for DV deletes; synthesis respects masks") {
     val t = freshTable("dv-cdf",
       dvProps + ("graft.enableChangeDataFeed" -> "true"))
