@@ -88,7 +88,8 @@ object SparkEntry {
     "q63_dedup_segments" -> (DataOps.dedupSegments _),
     "q64_perplexity" -> (DataOps.perplexity _),
     "q65_semantic_dedup" -> (DataOps.semanticDedup _),
-    "q66_budgeted_mixture" -> (DataOps.budgetedMixture _))
+    "q66_budgeted_mixture" -> (DataOps.budgetedMixture _),
+    "q68_semantic_dedup_indexed" -> (DataOps.semanticDedupIndexed _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(
@@ -106,7 +107,8 @@ object SparkEntry {
     "q38_schema_evolution" -> (MetaOps.schemaEvolution _),
     "q49_convert" -> (MetaOps.convertInPlace _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
-    "q54_bloom_lookup" -> (TableOps.bloomPointLookup _))
+    "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
+    "q67_catalog_sql" -> (MetaOps.catalogSql _))
 
   def queries: Map[String, Q] =
     analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++

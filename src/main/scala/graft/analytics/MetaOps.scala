@@ -99,7 +99,30 @@ object MetaOps {
     t.read()
   }
 
+  /** Session-catalog round trip through pure SQL — the reference's primary
+    * UX (3-level `saveAsTable`/`spark.table`,
+    * notebooks/01_bronze_ingestion.py:176-182, migrate_from_hdfs.py:53-54):
+    * register the V2 catalog, CTAS half the orders table, INSERT INTO the
+    * other half, read the result back through `spark.table`. */
+  def catalogSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-cat-wh").toString
+    spark.conf.set("spark.sql.catalog.gq67", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gq67.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gq67.bronze")
+    // catalog instances are cached per session — a rerun may resolve an
+    // older warehouse, so recreate the table rather than assume absence
+    spark.sql("DROP TABLE IF EXISTS gq67.bronze.orders")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("q67_src")
+    spark.sql("""CREATE TABLE gq67.bronze.orders USING graft AS
+      SELECT * FROM q67_src WHERE o_orderkey % 2 = 0""")
+    spark.sql("""INSERT INTO gq67.bronze.orders
+      SELECT * FROM q67_src WHERE o_orderkey % 2 <> 0""")
+    spark.table("gq67.bronze.orders")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q67_catalog_sql" ->
+      "SELECT * FROM orders",
     "q62_copy_into" ->
       "SELECT * FROM orders",
     "q49_convert" ->

@@ -1,0 +1,294 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+
+import graft.log.TxLog
+import graft.table.LakeTable
+
+/** Session-catalog integration (DataSourceV2 `CatalogPlugin`): the
+  * reference's primary UX is 3-level names through the session catalog —
+  * `df.write.format("delta").saveAsTable("delta_migration.bronze.events")`
+  * and `spark.table(f"{db}.{t}")`
+  * (notebooks/01_bronze_ingestion.py:176-182, migration/migrate_from_hdfs
+  * .py:53-54). Registering this class makes the same shapes work on graft
+  * tables:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.g.warehouse", "/data/warehouse")
+  * spark.sql("CREATE NAMESPACE g.bronze")
+  * spark.sql("CREATE TABLE g.bronze.events (id BIGINT, day DATE) USING graft PARTITIONED BY (day)")
+  * spark.sql("INSERT INTO g.bronze.events SELECT ...")
+  * df.write.saveAsTable("g.bronze.events")        // append/CTAS
+  * spark.table("g.bronze.events")                 // reads, with file skipping
+  * spark.sql("SELECT * FROM g.bronze.events VERSION AS OF 3")
+  * }}}
+  *
+  * Identifiers map to `warehouse/<ns...>/<table>` directories holding
+  * ordinary graft tx-log tables — interchangeable with path-based access.
+  * Reads bridge through [[V1Scan]] into [[LakeTable.read]] (stats + bloom +
+  * partition file skipping, deletion-vector masking, metadata-only counts);
+  * writes bridge through [[V1Write]] into append/overwrite commits. DML
+  * (UPDATE/DELETE/MERGE) stays on [[graft.table.GraftSql]] / the API —
+  * those are storage-level row operations, not catalog concerns.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse): Unit
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace.foldLeft(warehouse)(_.resolve(_)).resolve(ident.name)
+
+  private def nameOf(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  private def lake(ident: Identifier): LakeTable = {
+    val d = dirOf(ident)
+    if (!TxLog.isTable(d.toString)) throw new NoSuchTableException(ident)
+    LakeTable.forPath(spark, d.toString)
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxLog.isTable(dirOf(ident).toString)
+
+  override def loadTable(ident: Identifier): Table =
+    GraftV2Table(lake(ident), nameOf(ident), None)
+
+  /** `VERSION AS OF` time travel through pure SQL. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftV2Table(lake(ident), nameOf(ident), Some(version.toLong))
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = lake(ident)
+    GraftV2Table(t, nameOf(ident), Some(t.log.versionAt(timestamp / 1000L)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => TxLog.isTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val pcols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got: $t")
+    }
+    // engine/catalog-reserved keys aren't table properties
+    val reserved = Set("provider", "location", "owner", "external", "comment",
+      "option.path", "path")
+    val props = properties.asScala.filterNot { case (k, _) => reserved(k.toLowerCase) }
+    LakeTable.create(spark, dirOf(ident).toString, schema, pcols, props.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = lake(ident)
+    changes.foreach {
+      case sp: TableChange.SetProperty => t.setProperties(Map(sp.property -> sp.value)): Unit
+      case rp: TableChange.RemoveProperty => t.unsetProperties(Seq(rp.property)): Unit
+      case ac: TableChange.AddColumn if ac.fieldNames.length == 1 =>
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          ac.fieldNames.head, ac.dataType, ac.isNullable))): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER not supported through the catalog: $other (use GraftSql / the table API)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    if (!TxLog.isTable(d.toString)) return false
+    // managed tables: dropping removes data, like Delta's managed drop
+    val all = Files.walk(d)
+    try all.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.delete(p))
+    finally all.close()
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    // Spark hands RENAME TO targets verbatim, catalog prefix included —
+    // strip it (a top-level namespace shadowing the catalog name would be
+    // unreachable through SQL anyway)
+    val dst =
+      if (to.namespace.nonEmpty && to.namespace.head == catalogName)
+        Identifier.of(to.namespace.drop(1), to.name)
+      else to
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(dst)) throw new TableAlreadyExistsException(dst)
+    Files.createDirectories(dirOf(dst).getParent)
+    Files.move(dirOf(from), dirOf(dst)): Unit
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !TxLog.isTable(p.toString))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(d) || TxLog.isTable(d.toString))
+      throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !TxLog.isTable(p.toString))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = namespace.foldLeft(warehouse)(_.resolve(_))
+    Files.isDirectory(d) && !TxLog.isTable(d.toString)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      namespace.foldLeft(warehouse)(_.resolve(_)).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_))): Unit
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!namespaceExists(namespace)) return false
+    val hasChildren = { val s = Files.list(d); try s.iterator().hasNext finally s.close() }
+    if (hasChildren && !cascade)
+      throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+    val all = Files.walk(d)
+    try all.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.delete(p))
+    finally all.close()
+    true
+  }
+}
+
+/** A graft table surfaced through the V2 catalog. Reads and writes bridge
+  * to the V1 relation machinery ([[V1Scan]]/[[V1Write]]) — the engine's
+  * own scan already does stats/bloom/partition file skipping and DV
+  * masking, so the bridge only forwards pruned columns and pushable
+  * filters. */
+private[sources] case class GraftV2Table(
+    lake: LakeTable, fullName: String, asOfVersion: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = lake.snapshot(asOfVersion).schema
+
+  override def partitioning(): Array[Transform] =
+    lake.snapshot(asOfVersion).metadata.partitionColumns
+      .map(Expressions.identity).toArray
+
+  override def properties(): JMap[String, String] = lake.properties.asJava
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(lake, asOfVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              if (overwrite || overwriteFlag) lake.overwrite(data): Unit
+              else lake.append(data): Unit
+          }
+      }
+    }
+}
+
+/** Filter/column pushdown into the graft scan. All filters are reported as
+  * residual (Spark re-applies them row-level, the V1 contract) — pushing
+  * them here drives FILE skipping via the tx-log stats. */
+private[sources] class GraftScanBuilder(lake: LakeTable, version: Option[Long])
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters; filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new V1Scan {
+    private val scanSchema: StructType =
+      required.getOrElse(lake.snapshot(version).schema)
+    override def readSchema(): StructType = scanSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new GraftCatalogRelation(context, lake, version, pushed, scanSchema)
+        .asInstanceOf[T]
+  }
+}
+
+private[sources] class GraftCatalogRelation(
+    override val sqlContext: SQLContext,
+    lake: LakeTable, version: Option[Long],
+    filters: Array[Filter], override val schema: StructType)
+  extends BaseRelation with TableScan {
+
+  override def buildScan(): RDD[Row] = {
+    val preds = filters.flatMap(FilterColumns.toColumn).toSeq
+    val df = lake.read(preds, version)
+    val projected =
+      if (schema.isEmpty) df.select()
+      else df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    projected.rdd
+  }
+}

@@ -120,7 +120,7 @@ private[sources] class GraftRelation(
   // unhandledFilters contract) — pushdown here is purely for file skipping
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val preds = filters.flatMap(toColumn).toSeq
+    val preds = filters.flatMap(FilterColumns.toColumn).toSeq
     val df = table.read(preds, version)
     val projected =
       if (requiredColumns.isEmpty) df.select()
@@ -128,10 +128,14 @@ private[sources] class GraftRelation(
     projected.rdd
   }
 
-  /** sources.Filter → Column, for the subset the pruner understands;
-    * compound filters translate only if every leg does (a half-translated
-    * OR would skip files it must keep). */
-  private def toColumn(f: Filter): Option[Column] = f match {
+}
+
+/** sources.Filter → Column, for the subset the pruner understands;
+  * compound filters translate only if every leg does (a half-translated
+  * OR would skip files it must keep). Shared by the V1 relation and the
+  * catalog's V2→V1 scan bridge. */
+private[sources] object FilterColumns {
+  def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === v)
     case EqualNullSafe(a, v) => Some(col(a) <=> v)
     case GreaterThan(a, v) => Some(col(a) > v)

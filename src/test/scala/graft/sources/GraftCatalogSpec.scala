@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.{GraftSql, LakeTable}
+
+/** Session-catalog integration: 3-level names through pure SQL and the
+  * DataFrame API, the reference's primary UX
+  * (notebooks/01_bronze_ingestion.py:176-182, migrate_from_hdfs.py:53-54).
+  * One warehouse per suite run; the catalog is registered lazily via conf,
+  * so no session restart is needed. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft-warehouse").toString
+  private def registerCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", warehouse)
+  }
+
+  test("pure-SQL round trip: CREATE / INSERT / SELECT / VERSION AS OF") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.bronze")
+    spark.sql("""CREATE TABLE gcat.bronze.events (
+        id BIGINT, kind STRING, amount DOUBLE, day DATE)
+      USING graft PARTITIONED BY (day)
+      TBLPROPERTIES ('graft.enableChangeDataFeed' = 'false', 'owner.team' = 'ingest')""")
+    spark.sql(
+      """INSERT INTO gcat.bronze.events
+         SELECT id, concat('k', id % 3) AS kind, id * 1.5 AS amount,
+                DATE'2024-01-01' AS day FROM range(100)""")
+    spark.sql("SELECT count(*) AS n FROM gcat.bronze.events")
+      .collect().head.getLong(0) shouldBe 100
+    // second insert -> version bump; VERSION AS OF sees the first state
+    spark.sql(
+      """INSERT INTO gcat.bronze.events
+         SELECT id + 100, 'late' AS kind, 0.0 AS amount, DATE'2024-01-02' AS day
+         FROM range(50)""")
+    spark.sql("SELECT count(*) AS n FROM gcat.bronze.events").collect()
+      .head.getLong(0) shouldBe 150
+    spark.sql("SELECT count(*) AS n FROM gcat.bronze.events VERSION AS OF 1")
+      .collect().head.getLong(0) shouldBe 100
+    // the catalog dir is an ordinary graft table — path API interoperates
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/events")
+    t.version shouldBe 2
+    t.properties("owner.team") shouldBe "ingest"
+    t.snapshot().metadata.partitionColumns shouldBe Seq("day")
+  }
+
+  test("filter pushdown prunes files through spark.table") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.silver")
+    spark.sql("CREATE TABLE gcat.silver.parts (id BIGINT, bucket INT) USING graft")
+    // three appends -> three files with disjoint id ranges (stats prune)
+    (0 until 3).foreach { k =>
+      spark.range(k * 100, (k + 1) * 100).select(col("id"), lit(k).as("bucket"))
+        .write.mode("append").saveAsTable("gcat.silver.parts")
+    }
+    val cnt = spark.table("gcat.silver.parts").filter(col("id") < 100).count()
+    cnt shouldBe 100
+    // equality filter over a stats-pruned range reads a single file
+    val df = spark.table("gcat.silver.parts").filter(col("id") === 250)
+    df.collect().map(_.getLong(0)) shouldBe Array(250L)
+  }
+
+  test("saveAsTable CTAS, overwrite mode, and DataFrame round trip") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.gold")
+    val df = (1 to 20).map(i => (i.toLong, s"c$i")).toDF("id", "name")
+    df.write.saveAsTable("gcat.gold.dims") // CTAS through the catalog
+    spark.table("gcat.gold.dims").count() shouldBe 20
+    // append mode
+    df.write.mode("append").saveAsTable("gcat.gold.dims")
+    spark.table("gcat.gold.dims").count() shouldBe 40
+    // overwrite mode truncates
+    df.filter(col("id") <= 5).write.mode("overwrite").saveAsTable("gcat.gold.dims")
+    spark.table("gcat.gold.dims").count() shouldBe 5
+  }
+
+  test("catalog DDL: list/drop/rename tables and namespaces, ALTER properties") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    spark.sql("CREATE TABLE gcat.ddl.a (id BIGINT) USING graft")
+    spark.sql("CREATE TABLE gcat.ddl.b (id BIGINT) USING graft")
+    spark.sql("SHOW TABLES IN gcat.ddl").collect()
+      .map(_.getString(1)).toSet shouldBe Set("a", "b")
+    spark.sql("ALTER TABLE gcat.ddl.a SET TBLPROPERTIES ('x.y' = 'z')")
+    LakeTable.forPath(spark, s"$warehouse/ddl/a").properties("x.y") shouldBe "z"
+    spark.sql("ALTER TABLE gcat.ddl.a ADD COLUMNS (extra STRING)")
+    spark.table("gcat.ddl.a").schema.fieldNames should contain("extra")
+    spark.sql("ALTER TABLE gcat.ddl.b RENAME TO gcat.ddl.c")
+    spark.sql("SHOW TABLES IN gcat.ddl").collect()
+      .map(_.getString(1)).toSet shouldBe Set("a", "c")
+    spark.sql("DROP TABLE gcat.ddl.c")
+    spark.sql("SHOW TABLES IN gcat.ddl").collect()
+      .map(_.getString(1)).toSet shouldBe Set("a")
+    spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)) should contain("ddl")
+  }
+
+  test("deletion vectors and GraftSql DML compose with catalog reads") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("""CREATE TABLE gcat.dml.t (id BIGINT, v DOUBLE) USING graft
+      TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""")
+    spark.range(100).select(col("id"), (col("id") * 2.0).as("v"))
+      .write.mode("append").saveAsTable("gcat.dml.t")
+    // DML through GraftSql on the same physical table
+    val sql = GraftSql(spark)
+    sql.run(s"DELETE FROM $warehouse/dml/t WHERE id < 10")
+    // catalog read sees the masked state
+    spark.table("gcat.dml.t").count() shouldBe 90
+    spark.sql("SELECT min(id) AS m FROM gcat.dml.t").collect()
+      .head.getLong(0) shouldBe 10L
+  }
+}
