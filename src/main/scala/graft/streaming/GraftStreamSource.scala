@@ -1,7 +1,8 @@
 package graft.streaming
 
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -38,7 +39,9 @@ class GraftStreamSource(
     spark: SparkSession,
     table: LakeTable,
     options: Map[String, String],
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "") extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
 
   private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
   private val ignoreChanges = options.get("ignoreChanges").contains("true")
@@ -127,8 +130,8 @@ class GraftStreamSource(
   /** Walk forward from `from`, admitting whole files until a cap (or the
     * log end) is hit; exhausted units normalize to (version+1, 0) so a
     * position is always within its unit's bounds. */
-  private def capped(from: Pos): Pos = {
-    val latest = table.version
+  private def capped(from: Pos, maxVersion: Long = Long.MaxValue): Pos = {
+    val latest = math.min(table.version, maxVersion)
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var (v, i) = (from.version, from.index)
@@ -156,70 +159,82 @@ class GraftStreamSource(
     * committed position). */
   private var lastEnd: Option[Pos] = None
 
+  /** Checkpoint IO goes through the Hadoop FileSystem of the metadata
+    * path, so non-local checkpoint schemes (hdfs://, s3a://) resolve to
+    * the real store — a locally-resolved marker would silently report
+    * hasRunBefore=false after restart and re-pin a fresh snapshot
+    * (duplicate delivery). `metadataPath` is `<ck>/sources/<srcIdx>`. */
+  private def metaFsPath: Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
+    if (metadataPath.isEmpty) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(metadataPath)
+      Some(p.getFileSystem(spark.sessionState.newHadoopConf()) -> p)
+    }
+
+  private def markerOf(m: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(m, "graft-stream-start")
+  private def offsetsDirOf(m: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(m.getParent.getParent, "offsets")
+
   /** Newest WAL-logged end offset for THIS source, read from the
     * checkpoint's offsets log (format: "v1", metadata json, then one
     * offset line per source — the source index is this metadata dir's
     * name). An uncommitted newest entry is equally safe to resume from:
     * the engine re-runs that exact batch via getBatch, which re-syncs
-    * `lastEnd` before this is ever consulted. */
-  private def walEnd(): Option[Pos] = markerPath.flatMap { m =>
+    * `lastEnd` before this is ever consulted. The "v1" header is validated
+    * so a future engine format change fails the Try (and the caller warns)
+    * instead of mis-parsing. */
+  private def walEnd(): Option[Pos] = metaFsPath.flatMap { case (fs, m) =>
     scala.util.Try {
-      val dir = m.getParent.getParent.getParent.resolve("offsets")
-      val ids = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+      val dir = offsetsDirOf(m)
+      val ids = fs.listStatus(dir).map(_.getPath.getName)
         .flatMap(n => scala.util.Try(n.toLong).toOption)
-      val lines = java.nio.file.Files.readAllLines(dir.resolve(ids.max.toString))
-      val srcIdx = scala.util.Try(m.getParent.getFileName.toString.toInt).getOrElse(0)
-      val off = lines.get(2 + srcIdx).trim
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, ids.max.toString))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      require(lines.headOption.exists(_.trim == "v1"),
+        s"unexpected offsets log header: ${lines.headOption.getOrElse("<empty>")}")
+      val srcIdx = scala.util.Try(m.getName.toInt).getOrElse(0)
+      val off = lines(2 + srcIdx).trim
       require(off != "-")
-      toPos(new Offset { override def json: String = off })
+      toPos(SerializedOffset(off))
     }.toOption
   }
 
-  /** Pinned stream-start snapshot version, persisted as a marker file
-    * under the source's metadata path so a capped mode-A restart never
-    * re-pins (and re-serves) a fresh snapshot. */
-  private def markerPath: Option[java.nio.file.Path] =
-    if (metadataPath.isEmpty) None
-    else {
-      // strip a URI scheme by hand: checkpoint paths may contain spaces,
-      // which URI.create rejects (Hadoop does not percent-encode them)
-      val raw = metadataPath.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
-      Some(java.nio.file.Paths.get(raw).resolve("graft-stream-start"))
-    }
-
   /** True when this checkpoint has offsets from a previous run — the
     * engine knows a committed position this source object does not. */
-  private def hasRunBefore: Boolean = {
-    val markerSeen = markerPath.exists(java.nio.file.Files.exists(_))
-    val offsetsSeen = (for (m <- markerPath) yield {
-      val offsets = m.getParent.getParent.getParent.resolve("offsets")
-      java.nio.file.Files.isDirectory(offsets) && {
-        val s = java.nio.file.Files.list(offsets)
-        try s.iterator().hasNext finally s.close()
-      }
-    }).getOrElse(false)
-    markerSeen || offsetsSeen
+  private def hasRunBefore: Boolean = metaFsPath.exists { case (fs, m) =>
+    def exists(p: org.apache.hadoop.fs.Path) =
+      scala.util.Try(fs.exists(p)).getOrElse(false)
+    def nonEmptyDir(p: org.apache.hadoop.fs.Path) =
+      scala.util.Try(fs.listStatus(p).nonEmpty).getOrElse(false)
+    exists(markerOf(m)) || nonEmptyDir(offsetsDirOf(m))
   }
 
   /** A torn/corrupt marker (crash mid-write) parses to None — treated as
     * "unknown snapshot version", never a stream-killing exception. */
-  private def readMarker(): Option[Long] =
-    markerPath.filter(java.nio.file.Files.exists(_)).flatMap(p =>
-      scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(p)).trim.toLong).toOption)
+  private def readMarker(): Option[Long] = metaFsPath.flatMap { case (fs, m) =>
+    scala.util.Try {
+      val in = fs.open(markerOf(m))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.toLong
+    }.toOption
+  }
 
-  /** Atomic first-wins marker write: temp file + ATOMIC_MOVE, so no crash
-    * can leave a half-written marker behind. */
-  private def writeMarker(v: Long): Unit = markerPath.foreach { p =>
-    import java.nio.file.{Files, StandardCopyOption}
-    Files.createDirectories(p.getParent)
-    if (!Files.exists(p)) {
-      val tmp = Files.createTempFile(p.getParent, ".marker-", ".tmp")
-      try {
-        Files.write(tmp, v.toString.getBytes)
-        try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally { Files.deleteIfExists(tmp): Unit }
+  /** First-wins marker write: temp file + rename (atomic on HDFS/local —
+    * the same primitive the engine's own WAL relies on), so no crash can
+    * leave a half-written marker behind. */
+  private def writeMarker(v: Long): Unit = metaFsPath.foreach { case (fs, m) =>
+    val p = markerOf(m)
+    if (!fs.exists(p)) {
+      fs.mkdirs(m)
+      val tmp = new org.apache.hadoop.fs.Path(
+        m, s".marker-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false): Unit
     }
   }
 
@@ -232,7 +247,11 @@ class GraftStreamSource(
         // everything (getBatch still receives the true committed start)
         walEnd() match {
           case Some(committed) => capped(committed)
-          case None => Pos(table.version + 1, 0, readMarker().getOrElse(-1L))
+          case None =>
+            logWarning("graft stream source: checkpoint has prior offsets " +
+              "but the engine WAL could not be parsed — serving the " +
+              "remaining backlog as one uncapped catch-up batch")
+            Pos(table.version + 1, 0, readMarker().getOrElse(-1L))
         }
       case None =>
         val start = startingVersion match {
@@ -248,6 +267,63 @@ class GraftStreamSource(
 
   override def getOffset: Option[Offset] =
     if (rateLimited) rateLimitedOffset() else Some(LongOffset(table.version))
+
+  // ------------------------- admission control + Trigger.AvailableNow
+  //
+  // Implementing SupportsAdmissionControl moves the engine onto
+  // latestOffset(start, limit) — unlike V1 getOffset it HANDS us the last
+  // WAL-logged position, so restarts stay capped without the offsets-log
+  // fallback — and SupportsTriggerAvailableNow makes Trigger.AvailableNow
+  // drain the backlog in capped chunks and then stop (the FileStreamSource
+  // pattern; a plain V1 source under the engine's generic wrapper would
+  // stop after the FIRST capped chunk, stranding the rest of the backlog).
+
+  /** Versions beyond this pin are not served — set once per
+    * Trigger.AvailableNow run at query start. */
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = table.version
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case _ => ReadLimit.allAvailable()
+    }
+
+  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+
+  override def deserializeOffset(json: String): OffsetV2 = SerializedOffset(json)
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  /** `startOffset` is the engine's last end (null on a fresh stream). The
+    * caps here are the source's own options — the passed limit restates
+    * [[getDefaultReadLimit]]. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    if (!rateLimited) LongOffset(math.min(table.version, availableNowCap))
+    else {
+      val from = Option(startOffset) match {
+        case Some(o) => toPos(SerializedOffset(o.json))
+        case None => startingVersion match {
+          case Some(sv) => Pos(sv, 0, -1L)
+          case None =>
+            // first trigger pins the snapshot; a crash before the first WAL
+            // entry re-reads the marker instead of re-pinning
+            val v0 = readMarker().getOrElse {
+              val v = table.version; writeMarker(v); v
+            }
+            Pos(v0, 0, v0)
+        }
+      }
+      val end = capped(from, availableNowCap)
+      lastEnd = Some(end) // keep the V1 cursor coherent for getBatch
+      new Offset { override def json: String = end.json }
+    }
 
   /** AddFiles a streaming reader must emit for ONE committed version. */
   private def addsFor(v: Long): Seq[AddFile] = {

@@ -151,6 +151,40 @@ class GraftStreamSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in capped batches, then stops") {
+    val dir = tmpDir("gss-anow").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    (1 to 4).foreach(k => t.append(df(k * 5 until (k + 1) * 5))) // 5 files x 5 rows
+    val ck = tmpDir("gss-anow-ck").toString
+    val out = tmpDir("gss-anow-out").toString
+    def run(): Seq[Long] = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(dir)
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ck).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates on its own once the pinned backlog drains
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    }
+    val sizes = run()
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 25L).toArray
+    // the backlog arrived in capped chunks, not one monster batch
+    all(sizes) should be <= 10L // 2 files x 5 rows per batch
+    sizes.length should be >= 3 // 5 snapshot files / 2 per batch
+    // second AvailableNow run with no new data: nothing re-served
+    run()
+    spark.read.parquet(out).count() shouldBe 25
+    // appends between runs are drained by the next run, still exactly once
+    t.append(df(25 until 30))
+    t.append(df(30 until 35))
+    run()
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 35L).toArray
+  }
+
   test("maxBytesPerTrigger admits at least one file per batch") {
     val dir = tmpDir("gss-bytes").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 5))
