@@ -90,8 +90,12 @@ object Sampling {
       keyCol: String = "doc_id",
       groupCol: String = "source",
       salt: String = "graft-mix"): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame sums duplicate order
+    // values as peers, which would overshoot the within-one-doc budget
+    // bound when keyCol is not unique (identical results for unique keys)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }

@@ -65,11 +65,22 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Exact-name match first; the case-insensitive fallback only applies
+    * when it is unambiguous (under spark.sql.caseSensitive=true a schema
+    * may hold two same-typed columns differing only in case — answering
+    * from the wrong column's stats would be silently wrong). */
   private def boundsFor(
-      a: AttributeReference, idx: GraftFileIndex): Option[(String, String)] =
-    idx.tableSchema.fields.find(_.name.equalsIgnoreCase(a.name))
-      .filter(_.dataType == a.dataType)
+      a: AttributeReference, idx: GraftFileIndex): Option[(String, String)] = {
+    val fields = idx.tableSchema.fields
+    val field = fields.find(_.name == a.name).orElse {
+      fields.filter(_.name.equalsIgnoreCase(a.name)) match {
+        case Array(one) => Some(one)
+        case _ => None // ambiguous under case sensitivity: refuse
+      }
+    }
+    field.filter(_.dataType == a.dataType)
       .flatMap(Stats.exactBounds(idx.addFiles, _))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _)
@@ -87,11 +98,38 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
   /** Idempotently hook the rule into the session's optimizer. The
     * check-then-append is synchronized: extraOptimizations is a plain var
     * and concurrent LakeTable constructors would otherwise race into
-    * duplicate registration (or drop a concurrent write). */
+    * duplicate registration (or drop a concurrent write).
+    *
+    * Caveats (by design of `experimental.extraOptimizations`): the rule is
+    * SESSION-WIDE once any LakeTable is constructed and stays installed
+    * after tables are discarded (harmless — it only fires on graft scans),
+    * and user code that assigns extraOptimizations itself can still drop or
+    * duplicate the entry (duplicate application is a no-op: the rewritten
+    * LocalRelation no longer matches). Sessions that want a mutation-free
+    * install should build with
+    * `spark.sql.extensions=graft.table.GraftSparkExtensions` instead —
+    * register() then still appends to extraOptimizations, but the redundant
+    * copy is equally idempotent. */
   private[graft] def register(spark: SparkSession): Unit =
     MetadataOnlyCount.synchronized {
       val em = spark.experimental
       if (!em.extraOptimizations.contains(MetadataOnlyCount))
         em.extraOptimizations = em.extraOptimizations :+ MetadataOnlyCount
     }
+}
+
+/** Session-build-time install of graft's optimizer rules (the
+  * [[org.apache.spark.sql.SparkSessionExtensions]] path):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.table.GraftSparkExtensions")
+  * }}}
+  *
+  * Unlike the construction-time fallback ([[MetadataOnlyCount.register]]),
+  * this never mutates `spark.experimental` and survives user reassignment
+  * of extraOptimizations. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => MetadataOnlyCount)
 }
