@@ -175,6 +175,28 @@ object DataOps {
       .orderBy("vec_id")
   }
 
+  /** Indexed SemDeDup (q68): same grouping contract as q65, but the IVF
+    * codebook comes from a PERSISTED index table's properties instead of
+    * retraining KMeans per call — the production shape where the index is
+    * a durable artifact and semantic dedup is an incremental corpus
+    * operation (like q55/q61's fingerprint/shingle indexes). The q65 gate
+    * keeps covering the self-contained path; this gate proves the stored
+    * codebook round-trips bit-identically (same oracle). */
+  def semanticDedupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-ivf")
+      .resolve("t").toString
+    // one-time index build (setup); everything below uses only the table
+    Similarity.buildIvfIndex(spark, dir, emb,
+      Similarity.trainCentroids(emb, nlist = 16))
+    val index = graft.table.LakeTable.forPath(spark, dir)
+    val centroids = Similarity.storedCentroids(index)
+    val pairs = Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,
+      nprobe = 6, minCosine = 0.35)
+    Dedup.nearDupGroups(emb.select(col("vec_id")), pairs, idCol = "vec_id")
+      .orderBy("vec_id")
+  }
+
   def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -439,6 +461,22 @@ object DataOps {
     s"""CASE WHEN len(tk) >= 2
         THEN list_transform(range(1, len(tk)), i -> $elem)
         ELSE CAST([] AS $emptyType) END"""
+
+  private val semanticDedupOracle: String =
+    """WITH RECURSIVE e0 AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT *, sqrt(list_dot_product(v, v)) AS norm FROM e0),
+         p AS (SELECT x.vec_id AS a, y.vec_id AS b
+               FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+               WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.35),
+         e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         r(id, c) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.a, r.c FROM e JOIN r ON r.id = e.b),
+         g AS (SELECT id AS vec_id, MIN(c) AS group_id FROM r GROUP BY id)
+         SELECT vec_id, group_id, vec_id = group_id AS is_canonical
+         FROM g ORDER BY vec_id"""
 
   val oracles: Map[String, String] = Map(
     "q63_dedup_segments" ->
@@ -840,21 +878,8 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
-    "q65_semantic_dedup" ->
-      """WITH RECURSIVE e0 AS (SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT *, sqrt(list_dot_product(v, v)) AS norm FROM e0),
-         p AS (SELECT x.vec_id AS a, y.vec_id AS b
-               FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
-               WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.35),
-         e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
-         r(id, c) AS (
-           SELECT vec_id, vec_id FROM embeddings
-           UNION
-           SELECT e.a, r.c FROM e JOIN r ON r.id = e.b),
-         g AS (SELECT id AS vec_id, MIN(c) AS group_id FROM r GROUP BY id)
-         SELECT vec_id, group_id, vec_id = group_id AS is_canonical
-         FROM g ORDER BY vec_id""",
+    "q68_semantic_dedup_indexed" -> semanticDedupOracle,
+    "q65_semantic_dedup" -> semanticDedupOracle,
     "q28_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

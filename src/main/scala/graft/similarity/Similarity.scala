@@ -177,6 +177,12 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** The codebook persisted in a [[buildIvfIndex]] table's properties —
+    * reload instead of retraining (the decode round-trips bit-identically,
+    * so cell assignment matches the build exactly). */
+  def storedCentroids(index: graft.table.LakeTable): Array[Array[Double]] =
+    decodeCentroids(index.properties("graft.ivf.centroids"))
+
   /** Codebook ⇄ property string. Double.toString/parseDouble round-trips
     * exactly, so a reloaded index assigns cells bit-identically. */
   private[similarity] def encodeCentroids(cs: Array[Array[Double]]): String =
