@@ -73,13 +73,21 @@ object TableOps {
         org.apache.spark.sql.types.StructField("_deleted",
           org.apache.spark.sql.types.BooleanType)))
     def runBatch(batch: DataFrame): Unit = {
-      batch.coalesce(1).write.mode("append").json(srcDir)
+      // parquet CDC files: the gate here is exactly-once upsert semantics
+      // (q33 covers JSON ingestion); a coalesced JSON leg would spend more
+      // time single-thread encoding/parsing than merging
+      batch.coalesce(1).write.mode("append").parquet(srcDir)
+      // AvailableNow: drain what's there, then the query stops itself —
+      // no processAllAvailable polling handshake + explicit stop teardown
+      val anow = StreamIngest.StreamConfig(format = "parquet",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       val q = StreamIngest.startUpsertStream(
-        StreamIngest.fileSource(spark, srcDir, cdcSchema,
-          StreamIngest.StreamConfig(format = "json")),
+        StreamIngest.fileSource(spark, srcDir, cdcSchema, anow),
         table, ck, keyCols = Seq("o_orderkey"),
-        sequenceCol = Some("seq"), deleteCol = Some("_deleted"))
-      try q.processAllAvailable() finally q.stop()
+        sequenceCol = Some("seq"), deleteCol = Some("_deleted"),
+        config = anow)
+      try { require(q.awaitTermination(300000), "stream did not drain") }
+      finally if (q.isActive) q.stop()
     }
     // batch 1: even keys update to +1000; every 10th key is a delete
     runBatch(orders.filter(col("o_orderkey") % 2 === 0)
