@@ -99,6 +99,20 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)) should contain("ddl")
   }
 
+  test("TIMESTAMP AS OF resolves through the catalog") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    spark.sql("CREATE TABLE gcat.tt.t (id BIGINT) USING graft")
+    spark.range(10).write.mode("append").saveAsTable("gcat.tt.t")
+    val afterV1 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5) // commit timestamps are millis; separate the versions
+    spark.range(10, 30).write.mode("append").saveAsTable("gcat.tt.t")
+    spark.sql("SELECT count(*) AS n FROM gcat.tt.t").collect()
+      .head.getLong(0) shouldBe 30
+    spark.sql(s"SELECT count(*) AS n FROM gcat.tt.t TIMESTAMP AS OF '$afterV1'")
+      .collect().head.getLong(0) shouldBe 10
+  }
+
   test("deletion vectors and GraftSql DML compose with catalog reads") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")

@@ -155,6 +155,22 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("stale rewrite fails when a deletion vector landed on its files meanwhile") {
+    val t = LakeTable.create(spark,
+      tmpDir("pi-dvconf").resolve("t").toString,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val stale = t.snapshot()
+    t.delete(col("k") === 5L) // DV commit: same file paths, new mask
+    // an OPTIMIZE/REORG planned against the stale (unmasked) snapshot would
+    // resurrect the deleted row — must conflict, not commit
+    an[java.util.ConcurrentModificationException] should be thrownBy {
+      t.commitRewrite(stale, "OPTIMIZE", Map.empty, stale.files, Nil, Nil, Map.empty)
+    }
+    t.read().count() shouldBe 9
+  }
+
   test("property: RESTORE round-trips through arbitrary DML") {
     val rnd = new Random(23)
     val t = LakeTable.createFrom(spark, tmpDir("pi-restore").resolve("t").toString,
