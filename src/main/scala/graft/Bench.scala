@@ -339,6 +339,17 @@ object Bench {
       }.sum.toDouble / 1e6
     }
 
+    // REORG APPLY (PURGE): materialize the accumulated masks (6 deletes +
+    // 3 merges stacked above) back into clean files — the maintenance
+    // valve that bounds per-file mask growth. Timed once; leaves st with
+    // zero vectors, which later sections don't depend on.
+    quiesce()
+    val maskedFiles = st.snapshot().dvs.size
+    val (_, reorgSec) = timed(st.reorgPurge())
+    assert(st.snapshot().dvs.isEmpty, "REORG left vectors behind")
+    ops += "reorg_purge_sec" -> reorgSec
+    ops += "reorg_purge_files" -> maskedFiles.toDouble
+
     // ---- skew strain: the same job shapes, uniform keys vs 50% of all
     // rows on ONE hot key — proves the mitigation story empirically:
     //  * aggregation & exact dedup: partial (map-side) aggregation absorbs
@@ -454,6 +465,7 @@ object Bench {
       "partition_pruning_speedup_pct" -> "%.1f", "partition_files_scanned_pct" -> "%.1f",
       "optimize_file_reduction_pct" -> "%.1f",
       "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",
+      "reorg_purge_sec" -> "%.2f",
       "skew_agg_x" -> "%.2f", "skew_dedup_x" -> "%.2f", "skew_join_x" -> "%.2f",
     ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
       .mkString("{", ",", "}")

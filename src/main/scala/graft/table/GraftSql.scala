@@ -427,10 +427,27 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
 }
 
 object GraftSql {
-  /** Table identifiers are filesystem paths. */
+  /** Table identifiers are filesystem paths, or `cat.ns.table` names when
+    * `cat` is a registered [[graft.sources.GraftCatalog]] — the DML surface
+    * (UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM/...) then composes with tables
+    * created through the session catalog:
+    * `GraftSql(spark).run("DELETE FROM g.bronze.events WHERE ...")`. */
   def apply(spark: SparkSession): GraftSql =
-    new GraftSql(spark, p => LakeTable.forPath(spark, p))
+    new GraftSql(spark, p => resolveSpec(spark, p))
+
   /** Table identifiers are 3-level catalog names. */
   def apply(spark: SparkSession, catalog: graft.ingest.Catalog): GraftSql =
     new GraftSql(spark, n => catalog.table(n))
+
+  private def resolveSpec(spark: SparkSession, spec: String): LakeTable = {
+    if (!spec.contains("/") && spec.contains(".")) {
+      val parts = spec.split('.')
+      val cat = parts.head
+      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+      val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+      if (impl.exists(_.endsWith("GraftCatalog")) && wh.isDefined)
+        return LakeTable.forPath(spark, (wh.get +: parts.tail.toSeq).mkString("/"))
+    }
+    LakeTable.forPath(spark, spec)
+  }
 }

@@ -120,9 +120,10 @@ class GraftCatalogSpec extends SparkSpec {
       TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""")
     spark.range(100).select(col("id"), (col("id") * 2.0).as("v"))
       .write.mode("append").saveAsTable("gcat.dml.t")
-    // DML through GraftSql on the same physical table
+    // DML through GraftSql addressing the table by its CATALOG name —
+    // the resolver maps gcat.ns.t onto the registered warehouse
     val sql = GraftSql(spark)
-    sql.run(s"DELETE FROM $warehouse/dml/t WHERE id < 10")
+    sql.run("DELETE FROM gcat.dml.t WHERE id < 10")
     // catalog read sees the masked state
     spark.table("gcat.dml.t").count() shouldBe 90
     spark.sql("SELECT min(id) AS m FROM gcat.dml.t").collect()
