@@ -83,8 +83,9 @@ object DvBitmap {
     * the probe column is the raw reader path — stripping is memoized on the
     * (file-clustered) input so it runs once per file, not once per row. */
   def notMasked(file: Column, idx: Column,
-      bitmaps: Broadcast[Map[String, Array[Byte]]]): Column =
-    ColumnExpr.toColumn(DvNotMasked(ColumnExpr.of(file), ColumnExpr.of(idx), bitmaps))
+      bitmaps: Broadcast[Map[String, Array[Byte]]], maskedTotal: Long): Column =
+    ColumnExpr.toColumn(
+      DvNotMasked(ColumnExpr.of(file), ColumnExpr.of(idx), bitmaps, maskedTotal))
 }
 
 /** `TypedImperativeAggregate` building a [[Roaring64Bitmap]] from row
@@ -191,10 +192,16 @@ case class BitmapToArray(child: Expression) extends UnaryExpression
   * decoded-bitmap cache and the last-file memo are executor-side transients;
   * the memo is a single reference (no torn reads across threads — worst
   * case a redundant map lookup). */
+/** `maskedTotal` (the snapshot-known Σ numDeleted of the broadcast
+  * bitmaps) rides along so the metadata-only count rule can answer
+  * `count(*)` over a masked scan without touching the bitmaps; it is
+  * trusted to match `bitmaps` — only [[graft.table]]'s dvMaskJoin
+  * constructs this expression. */
 case class DvNotMasked(
     file: Expression,
     idx: Expression,
-    bitmaps: Broadcast[Map[String, Array[Byte]]])
+    bitmaps: Broadcast[Map[String, Array[Byte]]],
+    maskedTotal: Long)
   extends Expression {
 
   override def children: Seq[Expression] = Seq(file, idx)

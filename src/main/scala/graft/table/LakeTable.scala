@@ -187,7 +187,8 @@ class LakeTable private[table] (
     * exploded back to rows and anti-joined (fully distributed, no driver
     * memory cliff). */
   private def dvMaskJoin(withPos: DataFrame, dvs: Seq[DeletionVector]): DataFrame = {
-    if (dvs.map(_.numDeleted).sum <= DvBitmap.BroadcastMaxMasks) {
+    val maskedTotal = dvs.map(_.numDeleted).sum
+    if (maskedTotal <= DvBitmap.BroadcastMaxMasks) {
       val key = dvs.map(d => d.forFile -> d.dvPath).toSet
       val bc = dvBroadcastCache.computeIfAbsent(key, _ => {
         if (dvBroadcastCache.size >= 8) {
@@ -198,7 +199,7 @@ class LakeTable private[table] (
           dvBitmapDf(dvs).collect()
             .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
       })
-      withPos.filter(DvBitmap.notMasked(col("__file"), col("__idx"), bc))
+      withPos.filter(DvBitmap.notMasked(col("__file"), col("__idx"), bc, maskedTotal))
     } else {
       val dvRows = dvBitmapDf(dvs).select(col("__path"),
         explode(DvBitmap.toLongArray(col("__bitmap"))).as("__idx"))

@@ -21,43 +21,61 @@ import graft.log.Stats
   * non-null literals (row count from the log), or a min/max directly over
   * a scan column whose per-file stats are provably exact
   * ([[Stats.exactBounds]]: every file carries the stat, string bounds
-  * untruncated). The plan below must be the scan's LogicalRelation with at
-  * most attribute-only Projects in between. Anything else — a WHERE
-  * (Filter node), a deletion-vector table (mask join above the relation),
-  * count(col) (null-sensitive), DISTINCT, a FILTER clause, min/max over an
-  * expression — leaves the plan untouched and scans as usual. The file
-  * list is the one captured in [[GraftFileIndex]], so answers are exactly
-  * what the replaced scan would have computed for that snapshot.
+  * untruncated). The plan below must be the scan's LogicalRelation with
+  * Projects and at most the deletion-vector mask filter in between:
+  * `count(*)` stays exact under masks (totalRecords − the masks'
+  * snapshot-known cardinality — Delta's metadata-only count handles DVs
+  * the same way) and under arbitrary Projects (always 1:1), while min/max
+  * additionally require an unmasked scan and attribute-only Projects (a
+  * masked row may hold the extreme; an alias could rebind a column name).
+  * Anything else — a WHERE (Filter node), count(col) (null-sensitive),
+  * DISTINCT, a FILTER clause, min/max over an expression — leaves the
+  * plan untouched and scans as usual. The file list is the one captured
+  * in [[GraftFileIndex]], so answers are exactly what the replaced scan
+  * would have computed for that snapshot.
   */
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
-  private def countableScan(plan: LogicalPlan): Option[GraftFileIndex] = plan match {
+  /** (index, maskedRows, aliased): maskedRows = Σ numDeleted of a
+    * deletion-vector mask filter sitting on the scan (0 when unmasked) —
+    * count(*) stays exactly answerable as totalRecords − maskedRows, while
+    * min/max must refuse (a masked row may hold the extreme). `aliased`
+    * marks non-attribute Projects on the path: row-count-preserving (any
+    * Project is 1:1), but min/max must refuse — an alias could rebind a
+    * schema column name to an arbitrary expression. */
+  private def countableScan(
+      plan: LogicalPlan): Option[(GraftFileIndex, Long, Boolean)] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case g: GraftFileIndex => Some(g)
+        case g: GraftFileIndex => Some((g, 0L, false))
         case _ => None
       }
       case _ => None
     }
-    case Project(projList, child) if projList.forall(_.isInstanceOf[Attribute]) =>
-      countableScan(child)
+    case Project(projList, child) =>
+      val attrOnly = projList.forall(_.isInstanceOf[Attribute])
+      countableScan(child).map { case (g, m, al) => (g, m, al || !attrOnly) }
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(
+        d: graft.log.DvNotMasked, child) =>
+      countableScan(child).map { case (g, m, al) => (g, m + d.maskedTotal, al) }
     case _ => None
   }
 
   /** The internal-format value of one aggregate, when the log can answer
     * it exactly; None aborts the whole rewrite. */
-  private def answer(e: NamedExpression, idx: GraftFileIndex): Option[Any] = e match {
+  private def answer(e: NamedExpression, idx: GraftFileIndex,
+      masked: Long, aliased: Boolean): Option[Any] = e match {
     case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(children) if children.forall {
               case l: Literal => l.value != null
               case _ => false
             } =>
-          Some(idx.totalRecords)
-        case Min(a: AttributeReference) =>
+          Some(idx.totalRecords - masked)
+        case Min(a: AttributeReference) if masked == 0 && !aliased =>
           boundsFor(a, idx).map { case (mn, _) =>
             Stats.decodeInternal(mn, a.dataType) }
-        case Max(a: AttributeReference) =>
+        case Max(a: AttributeReference) if masked == 0 && !aliased =>
           boundsFor(a, idx).map { case (_, mx) =>
             Stats.decodeInternal(mx, a.dataType) }
         case _ => None
@@ -86,8 +104,8 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case agg @ Aggregate(grouping, aggExprs, child, _)
         if grouping.isEmpty && aggExprs.nonEmpty =>
       countableScan(child) match {
-        case Some(idx) =>
-          val answers = aggExprs.map(answer(_, idx))
+        case Some((idx, masked, aliased)) =>
+          val answers = aggExprs.map(answer(_, idx, masked, aliased))
           if (answers.forall(_.isDefined))
             LocalRelation(agg.output, Seq(InternalRow.fromSeq(answers.map(_.get))))
           else agg

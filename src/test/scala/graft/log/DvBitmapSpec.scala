@@ -65,7 +65,7 @@ class DvBitmapSpec extends SparkSpec {
       "/data/f0" -> ser(Seq(1L, 3L)), "/data/f1" -> ser(Seq(0L))))
     val rows = for (f <- 0 to 2; i <- 0L to 4L) yield (s"/data/f$f", i)
     val df = rows.toDF("__file", "__idx")
-    val kept = df.filter(DvBitmap.notMasked(col("__file"), col("__idx"), bc))
+    val kept = df.filter(DvBitmap.notMasked(col("__file"), col("__idx"), bc, 3L))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     kept should not contain ("/data/f0" -> 1L)
     kept should not contain ("/data/f0" -> 3L)

@@ -148,11 +148,16 @@ class MetadataAggSpec extends SparkSpec {
     val mm = t.toDf.agg(max(col("name")))
     mm.queryExecution.optimizedPlan should not be a[LocalRelation]
     mm.head().getString(0) shouldBe long
-    // a DV table plans the mask join above the relation -> no rewrite
+    // a DV table: count(*) stays metadata-only (totalRecords - masks,
+    // exact from the snapshot); min/max refuse (the masked rows held the
+    // extremes) and fall back to a scan that excludes them
     t.delete(col("id") >= 90)
     val masked = t.toDf.agg(count(lit(1)).as("n"))
-    masked.queryExecution.optimizedPlan should not be a[LocalRelation]
+    masked.queryExecution.optimizedPlan shouldBe a[LocalRelation]
     masked.as[Long].head() shouldBe 90L // ids 0..89; >= 90 (incl. 1000) masked
+    val maskedMax = t.toDf.agg(max(col("id")))
+    maskedMax.queryExecution.optimizedPlan should not be a[LocalRelation]
+    maskedMax.head().getLong(0) shouldBe 89L
   }
 
   test("non-finite double bounds refuse the rewrite and fall back to scan") {
