@@ -89,7 +89,8 @@ object SparkEntry {
     "q64_perplexity" -> (DataOps.perplexity _),
     "q65_semantic_dedup" -> (DataOps.semanticDedup _),
     "q66_budgeted_mixture" -> (DataOps.budgetedMixture _),
-    "q68_semantic_dedup_indexed" -> (DataOps.semanticDedupIndexed _))
+    "q68_semantic_dedup_indexed" -> (DataOps.semanticDedupIndexed _),
+    "q69_shard_corpus" -> (DataOps.shardCorpus _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */
   private val qualityOpsQueries: Map[String, Q] = Map(

@@ -197,6 +197,14 @@ object DataOps {
       .orderBy("vec_id")
   }
 
+  /** Corpus sharding gate (q69): deterministic training-order shuffle into
+    * 8 balanced shards — assignment and intra-shard order are pure
+    * md5+instr arithmetic, replayed exactly by the oracle. */
+  def shardCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sampling.Sampling.shardCorpus(Tables.documents(spark, sfDir), numShards = 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+
   def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -616,6 +624,17 @@ object DataOps {
              WHEN 0 THEN 4000 WHEN 1 THEN 2500 ELSE 1200 END AS budget FROM w)
          SELECT doc_id, source, token_count, cum_tokens FROM b
          WHERE cum_tokens - token_count < budget""",
+    "q69_shard_corpus" ->
+      """WITH h AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':graft-shard') AS hh FROM documents),
+         v AS (SELECT doc_id, hh,
+             ((instr('0123456789abcdef', substr(hh,1,1)) - 1) * 4096 +
+              (instr('0123456789abcdef', substr(hh,2,1)) - 1) * 256 +
+              (instr('0123456789abcdef', substr(hh,3,1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(hh,4,1)) - 1)) % 8 AS shard FROM h)
+         SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+         FROM v ORDER BY doc_id""",
     "q45_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <

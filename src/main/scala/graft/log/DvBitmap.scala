@@ -34,8 +34,14 @@ object DvBitmap {
 
   /** Positions ≥ this many in a table's live vectors fall back from the
     * broadcast bitmap filter to a distributed anti-join (explode the
-    * bitmaps back to rows) — no driver/broadcast memory cliff. */
-  val BroadcastMaxMasks: Long = 32L * 1000 * 1000
+    * bitmaps back to rows) — no driver/broadcast memory cliff. Tunable per
+    * session via `graft.dv.broadcastMaxMasks` (lower it on memory-tight
+    * drivers; raise it when masks are dense runs that compress well). */
+  val BroadcastMaxMasksDefault: Long = 32L * 1000 * 1000
+
+  def broadcastMaxMasks(spark: org.apache.spark.sql.SparkSession): Long =
+    scala.util.Try(spark.conf.get("graft.dv.broadcastMaxMasks").toLong)
+      .getOrElse(BroadcastMaxMasksDefault)
 
   def serialize(bm: Roaring64Bitmap): Array[Byte] = {
     bm.runOptimize()

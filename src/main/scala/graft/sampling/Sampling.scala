@@ -159,4 +159,38 @@ object Sampling {
     val wp = Window.partitionBy(col(shardCol), col("pack_id")).orderBy(orderCol)
     withPack.withColumn("pack_pos", (row_number().over(wp) - 1).cast("int"))
   }
+
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * stable pseudo-random `shard` in [0, numShards) and a `shard_pos`
+    * (its index inside the shard in hash order) — the "globally shuffle
+    * the corpus, then split into N training shards" step, reproducible
+    * across engines and runs (change `salt` for a fresh permutation;
+    * the permutation is key-stable, so re-runs over a grown corpus keep
+    * prior rows' relative order).
+    *
+    * The shard id derives from the first 16 bits of md5(key:salt) through
+    * instr/substr arithmetic only — portable to any SQL engine, so the
+    * assignment itself is oracle-checkable. Scale shape: one shuffle on
+    * the shard key + a per-shard window; no global sort anywhere. Write
+    * the result `partitionBy("shard")` for one-file-per-shard layouts. */
+  def shardCorpus(
+      df: DataFrame,
+      numShards: Int,
+      keyCol: String = "doc_id",
+      salt: String = "graft-shard"): DataFrame = {
+    require(numShards > 0, s"bad numShards $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val withH = df.withColumn("__h",
+      md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
+    val hex16 = (1 to 4).map(i =>
+        expr(s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1)"))
+      .zip(Seq(4096, 256, 16, 1))
+      .map { case (d, w) => d * lit(w) }
+      .reduce(_ + _)
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    withH
+      .withColumn("shard", pmod(hex16, lit(numShards)).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
 }

@@ -188,7 +188,7 @@ class LakeTable private[table] (
     * memory cliff). */
   private def dvMaskJoin(withPos: DataFrame, dvs: Seq[DeletionVector]): DataFrame = {
     val maskedTotal = dvs.map(_.numDeleted).sum
-    if (maskedTotal <= DvBitmap.BroadcastMaxMasks) {
+    if (maskedTotal <= DvBitmap.broadcastMaxMasks(spark)) {
       val key = dvs.map(d => d.forFile -> d.dvPath).toSet
       val bc = dvBroadcastCache.computeIfAbsent(key, _ => {
         if (dvBroadcastCache.size >= 8) {

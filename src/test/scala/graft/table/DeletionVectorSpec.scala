@@ -155,6 +155,21 @@ class DeletionVectorSpec extends SparkSpec {
     t.read().count() shouldBe 300
   }
 
+  test("distributed anti-join fallback path (broadcastMaxMasks=0) reads identically") {
+    val t = freshTable("dv-fallback")
+    t.delete(col("id") % 7 === 3)
+    t.update(col("id") % 11 === 5, Map("name" -> concat(col("name"), lit("!"))))
+    val broadcastRows = t.read().orderBy("id").collect()
+    spark.conf.set("graft.dv.broadcastMaxMasks", "0")
+    try {
+      // fresh table handle: the broadcast cache must not serve this read
+      val t2 = LakeTable.forPath(spark, t.dir.toString)
+      val fallbackRows = t2.read().orderBy("id").collect()
+      fallbackRows shouldBe broadcastRows
+      t2.toDf.count() shouldBe broadcastRows.length.toLong
+    } finally spark.conf.unset("graft.dv.broadcastMaxMasks")
+  }
+
   test("REORG APPLY (PURGE) materializes masks into clean files") {
     val t = freshTable("dv-reorg")
     t.delete(col("id") < 30L)
