@@ -993,14 +993,17 @@ class LakeTable private[table] (
       new java.sql.Timestamp(snap.metadata.createdTime),
       new java.sql.Timestamp(snap.commits.lastOption.map(_.timestamp).getOrElse(0L)),
       snap.metadata.partitionColumns, snap.numFiles.toLong, snap.sizeInBytes,
-      snap.metadata.properties))
+      snap.metadata.properties,
+      snap.dvs.size.toLong, snap.dvs.values.map(_.numDeleted).sum))
     val schema = StructType(Seq(
       StructField("format", StringType), StructField("id", StringType),
       StructField("name", StringType), StructField("location", StringType),
       StructField("createdAt", TimestampType), StructField("lastModified", TimestampType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("numFiles", LongType), StructField("sizeInBytes", LongType),
-      StructField("properties", MapType(StringType, StringType))))
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("numDeletionVectors", LongType),
+      StructField("numDeletedRows", LongType)))
     spark.createDataFrame(rows.asJava, schema)
   }
 

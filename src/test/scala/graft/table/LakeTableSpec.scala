@@ -139,6 +139,20 @@ class LakeTableSpec extends SparkSpec {
     val d = t.detail()
     d.select("numFiles").as[Long].head() shouldBe t.snapshot().numFiles.toLong
     d.select("format").as[String].head() shouldBe "graft"
+    // this delete was a rewrite (DVs off): no vectors reported
+    d.select("numDeletionVectors").as[Long].head() shouldBe 0L
+    d.select("numDeletedRows").as[Long].head() shouldBe 0L
+  }
+
+  test("detail reports deletion-vector counts on masked tables") {
+    val t = LakeTable.create(spark, tmpDir("lt-dvdetail").resolve("t").toString,
+      rows(0 until 10).schema,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.append(rows(0 until 10))
+    t.delete(col("id") < 3)
+    val d = t.detail()
+    d.select("numDeletionVectors").as[Long].head() should be >= 1L
+    d.select("numDeletedRows").as[Long].head() shouldBe 3L
   }
 
   test("history carries userName and isBlindAppend per commit") {
