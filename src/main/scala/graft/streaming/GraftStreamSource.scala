@@ -73,8 +73,6 @@ class GraftStreamSource(
   maxBytesPerTrigger.foreach(v =>
     require(v > 0, s"maxBytesPerTrigger must be positive, got $v"))
   private val rateLimited = maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
-  require(!(rateLimited && readChangeFeed),
-    "maxFilesPerTrigger/maxBytesPerTrigger do not apply to readChangeFeed streams")
 
   /** Schema is fixed per RUN (snapshot at source creation): mid-run
     * additive evolution keeps serving these columns (getBatch conforms by
@@ -265,8 +263,12 @@ class GraftStreamSource(
     Some(new Offset { override def json: String = end.json })
   }
 
+  // The V1 entry point (kept for direct use); the engine itself drives the
+  // SupportsAdmissionControl path below, which also rate-limits CDF streams
+  // at version granularity.
   override def getOffset: Option[Offset] =
-    if (rateLimited) rateLimitedOffset() else Some(LongOffset(table.version))
+    if (rateLimited && !readChangeFeed) rateLimitedOffset()
+    else Some(LongOffset(table.version))
 
   // ------------------------- admission control + Trigger.AvailableNow
   //
@@ -301,11 +303,39 @@ class GraftStreamSource(
 
   override def commit(end: OffsetV2): Unit = ()
 
+  /** CDF admission control operates at VERSION granularity (a change
+    * batch is a set of whole commits): admit versions until their
+    * change-carrying file count / add-file bytes exceed the caps, always
+    * at least one version. `from` = newest version already served. */
+  private def cdfCappedEnd(from: Long): Long = {
+    val latest = math.min(table.version, availableNowCap)
+    if (!rateLimited) return latest
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var v = from
+    var files = 0
+    var bytes = 0L
+    while (v < latest) {
+      val actions = table.log.readVersion(v + 1)
+      val fCount = actions.count(a =>
+        a.isInstanceOf[AddFile] || a.isInstanceOf[graft.log.CdfFile])
+      val bCount = actions.collect { case a: AddFile => a.size }.sum
+      if (files > 0 && (files + fCount > maxF || bytes + bCount > maxB)) return v
+      files += fCount; bytes += bCount; v += 1
+    }
+    v
+  }
+
   /** `startOffset` is the engine's last end (null on a fresh stream). The
     * caps here are the source's own options — the passed limit restates
     * [[getDefaultReadLimit]]. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
-    if (!rateLimited) LongOffset(math.min(table.version, availableNowCap))
+    if (readChangeFeed) {
+      val from = Option(startOffset).map(o => toLong(SerializedOffset(o.json)))
+        .getOrElse(startingVersion.map(_ - 1L)
+          .getOrElse(math.min(table.version, availableNowCap)))
+      LongOffset(cdfCappedEnd(from))
+    } else if (!rateLimited) LongOffset(math.min(table.version, availableNowCap))
     else {
       val from = Option(startOffset) match {
         case Some(o) => toPos(SerializedOffset(o.json))

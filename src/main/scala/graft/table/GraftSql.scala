@@ -46,7 +46,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val optimizeCmd =
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val reorgCmd =
-    """(?is)\s*REORG\s+TABLE\s+(\S+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+    """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val vacuumCmd =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
@@ -385,8 +385,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
         case None => tbl.optimizeCompact(where = pred)
       }
       oneRow("version" -> v)
-    case reorgCmd(t) =>
-      oneRow("version" -> table(t).reorgPurge())
+    case reorgCmd(t, where) =>
+      oneRow("version" ->
+        table(t).reorgPurge(where = Option(where).map(w => expr(w))))
     case vacuumCmd(t, retain, dry) =>
       val hours = Option(retain).map(_.toDouble).getOrElse(168.0)
       val paths = table(t).vacuum(hours, dryRun = dry != null)

@@ -86,9 +86,14 @@ trait MaintenanceSupport { self: LakeTable =>
     * tombstoned by [[LakeTable.commitRewrite]] and reclaimed by VACUUM. */
   def reorgPurge(
       minMaskedFraction: Double = 0.0,
-      targetFileSize: Long = 128L * 1024 * 1024): Long = {
+      targetFileSize: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None): Long = {
     val snap = snapshot()
-    val doomed = snap.files.filter { f =>
+    // WHERE bounds maintenance to matching partitions (as in OPTIMIZE):
+    // conservative pruning is safe — purging is data-identical
+    val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
+      .getOrElse(snap.files)
+    val doomed = scoped.filter { f =>
       snap.dvs.get(f.path).exists { d =>
         d.numDeleted > 0 &&
           (f.numRecords <= 0 ||

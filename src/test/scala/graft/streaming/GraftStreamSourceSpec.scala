@@ -111,6 +111,34 @@ class GraftStreamSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("readChangeFeed with maxFilesPerTrigger drains history in version-bounded batches") {
+    val dir = tmpDir("gss-cdfcap").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 4))           // v0, v1
+    t.setProperties(Map("graft.enableChangeDataFeed" -> "true"))      // v2
+    t.update(col("id") === 0L, Map("v" -> lit("u0")))                 // v3
+    t.update(col("id") === 1L, Map("v" -> lit("u1")))                 // v4
+    t.delete(col("id") === 2L)                                        // v5
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "3")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("gcdfcap").outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("gcdfcap").select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    rows shouldBe Set(
+      (0L, "update_preimage", 3L), (0L, "update_postimage", 3L),
+      (1L, "update_preimage", 4L), (1L, "update_postimage", 4L),
+      (2L, "delete", 5L))
+    // version-granularity caps: each DML version exceeds 1 file, so every
+    // batch carries exactly one commit (admit-at-least-one rule)
+    q.recentProgress.map(_.numInputRows).count(_ > 0) should be >= 3
+    // live appends keep flowing under the cap
+    t.update(col("id") === 3L, Map("v" -> lit("u3")))                 // v6
+    q.processAllAvailable()
+    spark.table("gcdfcap").count() shouldBe 7
+    q.stop()
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val base = tmpDir("gss-ckpt")
     val dir = base.resolve("t").toString

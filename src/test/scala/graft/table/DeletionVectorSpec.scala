@@ -206,6 +206,24 @@ class DeletionVectorSpec extends SparkSpec {
     t.read().count() shouldBe 209
   }
 
+  test("REORG WHERE scopes the purge to matching partitions") {
+    val df = (0 until 300).map(i => (i.toLong, s"n$i", i % 3)).toDF("id", "name", "b")
+    val t = LakeTable.create(spark,
+      tmpDir("dv-reorg-where").resolve("t").toString, df.schema,
+      partitionColumns = Seq("b"), properties = dvProps)
+    t.append(df)
+    t.delete(col("id") < 30L) // masks land in every partition
+    val maskedBefore = t.snapshot().dvs.size
+    maskedBefore should be >= 3
+    GraftSql(spark).run(s"REORG TABLE ${t.dir} WHERE b = 1 APPLY (PURGE)")
+    // only partition b=1 was purged; other partitions keep their vectors
+    val remaining = t.snapshot().dvs.size
+    remaining should be < maskedBefore
+    remaining should be >= 1
+    t.read().count() shouldBe 270
+    t.read().filter(col("id") < 30L).count() shouldBe 0
+  }
+
   test("auto-purge property compacts vectors past the fraction threshold") {
     val t = freshTable("dv-autopurge",
       dvProps + ("graft.autoOptimize.purgeDvFraction" -> "0.25"))
