@@ -170,6 +170,23 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dv.broadcastMaxMasks")
   }
 
+  test("MERGE with whenNotMatchedBySource under DVs masks instead of rewriting") {
+    val t = freshTable("dv-nmbs")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    val src = (0 until 300 by 2).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "name", "b")
+    t.merge(src, col("target.id") === col("source.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete(Some(col("target.id") >= 200L))
+      .execute()
+    // evens updated (150), odds < 200 kept (100), odds >= 200 deleted (50)
+    t.read().count() shouldBe 250
+    t.read().filter(col("id") % 2 === 0 && !col("name").startsWith("s")).count() shouldBe 0
+    t.read().filter(col("id") % 2 === 1 && col("id") >= 200L).count() shouldBe 0
+    // the original files survive — changed rows were masked + re-appended
+    filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet) shouldBe true
+    t.snapshot().dvs should not be empty
+  }
+
   test("REORG APPLY (PURGE) materializes masks into clean files") {
     val t = freshTable("dv-reorg")
     t.delete(col("id") < 30L)
