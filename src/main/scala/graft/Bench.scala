@@ -309,10 +309,12 @@ object Bench {
     ops += "delete_dv_sec" -> delDvSec
 
     // DV-mode merge: matched rows are masked, only changed rows written.
-    // Median of 3 like the classic merge above — the single-shot number
-    // swung ±35% depending on what the DV-delete section left in the page
-    // cache and old-gen
-    val dvMergeSec = (3 until 6).map { i =>
+    // Median of 5 (the classic merge above keeps 3 — its 90MB writes make
+    // extra runs expensive and its median was stable): observed DV-merge
+    // medians-of-3 still swung 3.8s..9.7s run-to-run purely on disk
+    // writeback + page-cache state, and this metric carries a contract
+    // (≥100K rows/s), so it gets the extra samples
+    val dvMergeSec = (3 until 8).map { i =>
       quiesce()
       val ssrc2 = spark.range(i, strainN, 10)
         .withColumn("user_id", concat(lit("v_"), col("id")))
@@ -322,7 +324,7 @@ object Bench {
         st.merge(ssrc2, col("target.id") === col("source.id"))
           .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
       }._2
-    }.sorted.apply(1)
+    }.sorted.apply(2)
     ops += "dv_merge_rows_per_sec" -> (strainN / 10).toDouble / dvMergeSec
     ops += "dv_merge_sec" -> dvMergeSec
     // data bytes only (update+insert rows); the row masks are counted in
@@ -383,7 +385,10 @@ object Bench {
       // biases it high (observed 0.68x..4.4x on identical code) — warm
       // plans + a quiesce per round keep the legs comparable
       noopSink(mk(false)); noopSink(mk(true))
-      val rounds = (1 to 3).map { _ =>
+      // 5 rounds: medians-of-3 still flipped 0.60x..1.52x run-to-run on
+      // identical code under host-load drift; the ratio carries a contract
+      // (≤1.5x for agg) so it gets the extra samples
+      val rounds = (1 to 5).map { _ =>
         quiesce()
         val u = timed(noopSink(mk(false)))._2
         val s = timed(noopSink(mk(true)))._2

@@ -44,6 +44,7 @@ object SparkEntry {
     "q14_cdf_update" -> (TableOps.cdfUpdate _),
     "q15_replace_where" -> (TableOps.replaceWhere _),
     "q16_zorder_identity" -> (TableOps.zorderIdentity _),
+    "q70_hilbert_identity" -> (TableOps.hilbertIdentity _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),
     "q44_merge_full_sync" -> (TableOps.mergeFullSync _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q65_semantic_dedup" -> (DataOps.semanticDedup _),
     "q66_budgeted_mixture" -> (DataOps.budgetedMixture _),
     "q68_semantic_dedup_indexed" -> (DataOps.semanticDedupIndexed _),
+    "q71_binary_ann" -> (DataOps.annBinaryRerank _),
     "q69_shard_corpus" -> (DataOps.shardCorpus _))
 
   /** Quality validators (§2.13) + streaming ingestion (§2.11). */

@@ -267,6 +267,18 @@ object DataOps {
     Dedup.dedupSegments(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** Binary-quantization ANN gate: sign-bit codes (32× smaller than
+    * float32), Hamming scan keeps 20 candidates per query, exact-cosine
+    * rerank keeps 5. The quantizer and the candidate cut are pure functions
+    * of the data (sign bits; ties on neighbor id), so the oracle replays
+    * the APPROXIMATION itself. Query range 50-60 keeps all five ANN paths
+    * (q25/q26/q39/q48/q58) independently gated. */
+  def annBinaryRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Quantize.hammingRerankTopK(emb,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 60), k = 5, candidates = 20)
+  }
+
   /** Per-doc perplexity under the corpus's own add-one bigram LM
     * (CCNet-style quality scoring); `nll_scaled` is integer-exact. */
   def perplexity(spark: SparkSession, sfDir: String): DataFrame =
@@ -897,6 +909,22 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q71_binary_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 50 AND vec_id < 60),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(len(list_filter(range(1, 65), i -> (q.qv[i] >= 0) <> (e.v[i] >= 0))) AS INT) AS hamming,
+             list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_raw
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         c AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank FROM s),
+         r AS (SELECT query_id, neighbor_id, hamming, ROUND(cos_raw, 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS INT) AS rank
+           FROM c WHERE hrank <= 20)
+         SELECT query_id, rank, neighbor_id, hamming, cosine FROM r WHERE rank <= 5""",
     "q68_semantic_dedup_indexed" -> semanticDedupOracle,
     "q65_semantic_dedup" -> semanticDedupOracle,
     "q28_embedding_neardup" ->

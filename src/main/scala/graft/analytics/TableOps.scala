@@ -198,6 +198,18 @@ object TableOps {
     t.read()
   }
 
+  /** OPTIMIZE … CLUSTER BY (Hilbert curve) is equally data-identical;
+    * exercised through the SQL form so the q70 gate covers parse +
+    * dispatch + rewrite in one pass (see `HilbertSpec` for the curve's
+    * adjacency/bijection proofs and the tightness-vs-zorder comparison). */
+  def hilbertIdentity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("hilbert")
+    val t = LakeTable.createFrom(spark, dir, Tables.lineitem(spark, sfDir))
+    graft.table.GraftSql(spark)
+      .run(s"OPTIMIZE '$dir' CLUSTER BY (l_partkey, l_suppkey)").collect()
+    t.read()
+  }
+
   /** SCD Type 2 (M6): initial load at ts0; batch at ts1 changes acctbal for
     * keys %4==0 and introduces new entities (key+1000000) for keys %4==1. */
   def scd2(spark: SparkSession, sfDir: String): DataFrame = {
@@ -298,6 +310,8 @@ object TableOps {
           CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
           o_orderdate, o_orderpriority FROM orders""",
     "q16_zorder_identity" ->
+      """SELECT * FROM lineitem""",
+    "q70_hilbert_identity" ->
       """SELECT * FROM lineitem""",
     "q17_scd2" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -54,4 +54,71 @@ object Quantize {
   def reconstructionError(vec: Column, codes: Column, qmin: Column, qmax: Column): Column =
     array_max(zip_with(asDouble(vec), dequantize(codes, qmin, qmax),
       (a, b) => abs(a - b)))
+
+  // ------------------------------------------------ binary (sign-bit) codes
+
+  /** Sign-bit binary quantization: 1 bit per dimension (`x >= 0`), packed
+    * MSB-first into 64-dim words (`array<long>`) — 32× smaller than
+    * float32, the coarsest storage tier in the quantization ladder
+    * (float32 → SQ8 → PQ → binary). At 100 TB the binary codes for a
+    * billion 1024-dim vectors fit in 128 GB: a full-corpus Hamming scan
+    * becomes a single-machine-RAM-sized distributed pass, which is why
+    * sign-Hamming is the standard coarse filter in front of an exact
+    * rerank. Built-ins only (slice/aggregate fold), codegen'd. */
+  def binaryCode(vec: Column): Column =
+    transform(
+      sequence(lit(0), floor((size(vec) - lit(1)) / lit(64)).cast("int")),
+      w => aggregate(slice(vec, w * 64 + 1, lit(64)), lit(0L),
+        (acc, x) => shiftleft(acc, 1)
+          .bitwiseOR(when(x >= 0, lit(1L)).otherwise(lit(0L)))))
+
+  /** Hamming distance between two packed codes: popcount of the per-word
+    * XOR, summed. A trailing partial word compares equal-width prefixes
+    * because [[binaryCode]] left-aligns consistently. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h).cast("int")
+
+  /** Top-k ANN via the binary tier: Hamming scan of the packed codes
+    * (queries broadcast — the corpus never shuffles), keep `candidates`
+    * per query, then exact-cosine rerank of ONLY those candidates and keep
+    * `k`. The full-width float vectors are touched for |queries| ×
+    * candidates rows, not the corpus — the 32× scan cut is structural.
+    * Hamming ties cut deterministically on neighbor id so the
+    * approximation itself replays in the oracle. */
+  def hammingRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      binaryCode(col(vecCol)).as("cb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      binaryCode(col(vecCol)).as("qb"))
+    val scanned = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", hamming(col("qb"), col("cb")))
+      .select("query_id", "neighbor_id", "hamming")
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = scanned.withColumn("__hrank", row_number().over(hw))
+      .filter(col("__hrank") <= candidates)
+    // rerank: only candidate pairs rejoin the float vectors
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val exact = cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosineSim(col("qv"), col("cv")), 6))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("cosine"))
+  }
 }

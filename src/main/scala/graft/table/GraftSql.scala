@@ -18,7 +18,7 @@ import scala.jdk.CollectionConverters._
   *   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>'
   *   ALTER TABLE <t> ADD COLUMN <c> <type> GENERATED ALWAYS AS (<expr>)
   *   ALTER TABLE <t> ADD COLUMN <c> BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n [INCREMENT BY m])]
-  *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...])]
+  *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...]) | CLUSTER BY (c1[, c2...])]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   CREATE TABLE [IF NOT EXISTS] <dst> {DEEP|SHALLOW} CLONE <src>
   *   CONVERT TO GRAFT [parquet.]'<path>'
@@ -44,7 +44,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val restoreTs =
     """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val optimizeCmd =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val vacuumCmd =
@@ -375,14 +375,14 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       val cloned = table(src).cloneTo(unquote(dst),
         shallow = kind.equalsIgnoreCase("SHALLOW"))
       oneRow("location" -> cloned.dir.toString)
-    case optimizeCmd(t, where, zorder) =>
+    case optimizeCmd(t, where, zorder, cluster) =>
       val tbl = table(t)
       val pred = Option(where).map(w => expr(w))
-      val v = Option(zorder) match {
-        case Some(cols) =>
-          tbl.optimizeZOrder(cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty),
-            where = pred)
-        case None => tbl.optimizeCompact(where = pred)
+      def colsOf(s: String) = s.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+      val v = (Option(zorder), Option(cluster)) match {
+        case (Some(cols), _) => tbl.optimizeZOrder(colsOf(cols), where = pred)
+        case (_, Some(cols)) => tbl.optimizeHilbert(colsOf(cols), where = pred)
+        case _ => tbl.optimizeCompact(where = pred)
       }
       oneRow("version" -> v)
     case reorgCmd(t, where) =>

@@ -54,24 +54,46 @@ trait MaintenanceSupport { self: LakeTable =>
   def optimizeZOrder(
       cols: Seq[String],
       targetFileSize: Long = 128L * 1024 * 1024,
-      where: Option[Column] = None): Long = {
+      where: Option[Column] = None): Long =
+    clusterRewrite(cols, curve = "zorder", targetFileSize, where)
+
+  /** OPTIMIZE … CLUSTER BY (cols): same rewrite shape, but ordered on the
+    * Hilbert-curve position of the bucketed dimensions instead of the
+    * z-value — consecutive curve cells are always adjacent, so range files
+    * get min/max boxes at least as tight on every clustering column (the
+    * key Delta's liquid clustering uses for the same reason). */
+  def optimizeHilbert(
+      cols: Seq[String],
+      targetFileSize: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None): Long =
+    clusterRewrite(cols, curve = "hilbert", targetFileSize, where)
+
+  private def clusterRewrite(
+      cols: Seq[String],
+      curve: String,
+      targetFileSize: Long,
+      where: Option[Column]): Long = {
     val snap = snapshot()
-    require(cols.nonEmpty && cols.size <= 4, "zorder needs 1-4 columns")
+    require(cols.nonEmpty && cols.size <= 4, s"$curve clustering needs 1-4 columns")
     val missing = cols.filterNot(snap.schema.fieldNames.contains)
-    require(missing.isEmpty, s"zorder columns not in schema: ${missing.mkString(",")}")
+    require(missing.isEmpty, s"$curve columns not in schema: ${missing.mkString(",")}")
     val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
       .getOrElse(snap.files)
     if (scoped.isEmpty) return snap.version
     val df = readFilesMasked(snap, scoped, snap.schema)
-    val z = ZOrder.zvalue(df, cols.map(c => col(c) -> snap.schema(c).dataType))
+    val typed = cols.map(c => col(c) -> snap.schema(c).dataType)
+    val key = if (curve == "hilbert") ZOrder.hvalue(df, typed) else ZOrder.zvalue(df, typed)
     val totalBytes = scoped.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
-    val clustered = df.withColumn("__z", z)
+    val clustered = df.withColumn("__z", key)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
     val adds = stageWrite(clustered, snap.metadata.partitionColumns)
-    commitRewrite(snap, "OPTIMIZE", Map("zOrderBy" -> cols.mkString(",")),
+    val params =
+      if (curve == "hilbert") Map("clusterBy" -> cols.mkString(","), "curve" -> "hilbert")
+      else Map("zOrderBy" -> cols.mkString(","))
+    commitRewrite(snap, "OPTIMIZE", params,
       scoped, adds, Nil, Map(
         "numFilesRemoved" -> scoped.size.toLong,
         "numFilesAdded" -> adds.size.toLong))
@@ -130,9 +152,26 @@ trait MaintenanceSupport { self: LakeTable =>
   */
 object ZOrder {
 
-  private val Bits = 8 // 256 buckets per dimension
+  private[table] val Bits = 8 // 256 buckets per dimension
 
   def zvalue(df: DataFrame, cols: Seq[(Column, DataType)]): Column = {
+    val k = cols.size
+    // interleave: bit b of column i lands at position b*k + i
+    val terms = for {
+      b <- 0 until Bits
+      (bc, i) <- buckets(df, cols).zipWithIndex
+    } yield shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Hilbert-curve position of the same per-dimension buckets — the
+    * clustering key with no interleave discontinuities (see
+    * [[graft.functions.HilbertCurve]]). */
+  def hvalue(df: DataFrame, cols: Seq[(Column, DataType)]): Column =
+    graft.functions.HilbertCurve.indexColumn(Bits, buckets(df, cols))
+
+  /** Per-dimension 8-bit bucket ids shared by both curves. */
+  private def buckets(df: DataFrame, cols: Seq[(Column, DataType)]): Seq[Column] = {
     val numericCols = cols.collect { case (c, dt) if isRangeable(dt) => (c, dt) }
     val bounds: Map[String, (Double, Double)] =
       if (numericCols.isEmpty) Map.empty
@@ -147,8 +186,7 @@ object ZOrder {
           c.toString -> (mn, if (mx > mn) mx else mn + 1.0)
         }.toMap
       }
-    val k = cols.size
-    val buckets: Seq[Column] = cols.map { case (c, dt) =>
+    cols.map { case (c, dt) =>
       if (isRangeable(dt)) {
         val (mn, mx) = bounds(c.toString)
         // width_bucket yields 1..n (0/n+1 out of range); clamp to 0..255
@@ -158,12 +196,6 @@ object ZOrder {
         pmod(hash(c), lit(256)).cast(LongType)
       }
     }
-    // interleave: bit b of column i lands at position b*k + i
-    val terms = for {
-      b <- 0 until Bits
-      (bc, i) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * k + i)
-    terms.reduce(_ bitwiseOR _)
   }
 
   private def isRangeable(dt: DataType): Boolean = dt match {

@@ -55,4 +55,61 @@ class QuantizeSpec extends SparkSpec {
     // int8 keeps ~2.4 decimal digits per dim: neighbor sets stay near-exact
     (exact & approx).size.toDouble / exact.size should be >= 0.9
   }
+
+  test("binary codes pack sign bits MSB-first; hamming counts sign flips") {
+    // 65 dims: one full word + a 1-dim tail word
+    def signs(v: Array[Float]): Seq[Boolean] = v.map(_ >= 0).toSeq
+    val a = Array.tabulate(65)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(65)(i => if (i % 5 == 0) 1.0f else -0.5f)
+    val df = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val coded = df.select(col("vec_id"), Quantize.binaryCode(col("embedding")).as("bits"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    // reference pack: fold (acc << 1) | bit over each 64-dim chunk
+    def pack(v: Array[Float]): Seq[Long] =
+      signs(v).grouped(64).map(_.foldLeft(0L)((acc, s) =>
+        (acc << 1) | (if (s) 1L else 0L))).toSeq
+    coded(0)._2 shouldBe pack(a)
+    coded(1)._2 shouldBe pack(b)
+    // hamming == positions where signs differ
+    val expected = signs(a).zip(signs(b)).count { case (x, y) => x != y }
+    val h = df.filter(col("vec_id") === 1).crossJoin(
+        df.filter(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(Quantize.hamming(
+        Quantize.binaryCode(col("embedding")),
+        Quantize.binaryCode(col("e2"))).as("h"))
+      .as[Int].head()
+    h shouldBe expected
+  }
+
+  test("hamming rerank: candidates are the hamming-closest, output is exact-cosine ranked") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Quantize.hammingRerankTopK(emb,
+      emb.filter(col("vec_id") < 3), k = 5, candidates = 20)
+    val rows = res.collect()
+    rows.length shouldBe 3 * 5
+    // per query: ranks are 1..5 and cosine is non-increasing with rank
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      sorted.map(_.getInt(1)).toSeq shouldBe (1 to 5)
+      sorted.map(_.getDouble(4)).toSeq.sliding(2).foreach {
+        case Seq(x, y) => x should be >= y
+        case _ =>
+      }
+    }
+    // candidates really were cut by hamming: every returned neighbor's
+    // hamming is <= the 20th-smallest hamming for that query (brute check)
+    val brute = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quantize.hamming(Quantize.binaryCode(col("qv")),
+          Quantize.binaryCode(col("cv"))).as("h"))
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._3).sorted.apply(19) }
+    rows.foreach { r =>
+      r.getInt(3) should be <= brute(r.getLong(0))
+    }
+  }
 }
