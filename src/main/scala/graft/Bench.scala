@@ -188,6 +188,26 @@ object Bench {
     ops += "zorder_files_skipped_pct" ->
       100.0 * (snap.numFiles - kept.size).toDouble / math.max(snap.numFiles, 1)
 
+    // hilbert vs zorder at TWO clustering dimensions — same data, same file
+    // granularity, same probes; the curve is the only difference. A ~10%
+    // range probe per dimension, reported as files-skipped % averaged over
+    // both dims (the single-column zorder above stays the BASELINE metric).
+    val probes2 = Seq(col("l_partkey") <= 2000, col("l_suppkey") <= 100)
+    val ztZ2 = LakeTable.createFrom(spark, scratch("z2"), liBig)
+    ztZ2.optimizeZOrder(Seq("l_partkey", "l_suppkey"), targetFileSize = 16L * 1024 * 1024)
+    val ztH2 = LakeTable.createFrom(spark, scratch("h2"), liBig)
+    val (_, hilbertSec) = timed(
+      ztH2.optimizeHilbert(Seq("l_partkey", "l_suppkey"), targetFileSize = 16L * 1024 * 1024))
+    ops += "hilbert_sec" -> hilbertSec
+    def skippedPct2(t: LakeTable): Double = {
+      val s = t.snapshot()
+      probes2.map(p => 100.0 * (s.numFiles -
+        Pruner.prune(s.files, Seq(p), s.schema).size) / math.max(s.numFiles, 1))
+        .sum / probes2.size
+    }
+    ops += "zorder2d_files_skipped_pct" -> skippedPct2(ztZ2)
+    ops += "hilbert2d_files_skipped_pct" -> skippedPct2(ztH2)
+
     // partition pruning: partitioned table, one-partition aggregate vs full
     // aggregate (a sum forces real column IO on both sides — a bare count()
     // is answered from parquet metadata and would make the full scan free)
@@ -467,6 +487,7 @@ object Bench {
       "dv_merge_rows_per_sec" -> "%.0f", "dv_merge_mb_written" -> "%.1f",
       "timetravel_rows_per_sec" -> "%.0f",
       "zorder_query_speedup_pct" -> "%.1f", "zorder_files_skipped_pct" -> "%.1f",
+      "zorder2d_files_skipped_pct" -> "%.1f", "hilbert2d_files_skipped_pct" -> "%.1f",
       "partition_pruning_speedup_pct" -> "%.1f", "partition_files_scanned_pct" -> "%.1f",
       "optimize_file_reduction_pct" -> "%.1f",
       "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",

@@ -111,7 +111,8 @@ object SparkEntry {
     "q49_convert" -> (MetaOps.convertInPlace _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
-    "q67_catalog_sql" -> (MetaOps.catalogSql _))
+    "q67_catalog_sql" -> (MetaOps.catalogSql _),
+    "q72_stream_to_table" -> (MetaOps.streamToTable _))
 
   def queries: Map[String, Q] =
     analyticsQueries ++ tableOpsQueries ++ silverQueries ++ dataOpsQueries ++

@@ -120,7 +120,41 @@ object MetaOps {
     spark.table("gq67.bronze.orders")
   }
 
+  /** Streaming write through the session catalog — the reference's exact
+    * spelling `.writeStream.format(...).toTable(name)`
+    * (src/data_processor.py:191-197, notebooks/01_bronze_ingestion.py:223-229):
+    * a graft source table is drained into a catalog table with
+    * Trigger.AvailableNow twice (snapshot, then an appended commit), same
+    * checkpoint — auto-create on first run, exactly-once across runs via
+    * the (queryId, epoch) ledger, V1-fallback sink under the V2 table. */
+  def streamToTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-q72-wh").toString
+    spark.conf.set("spark.sql.catalog.gq72", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gq72.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gq72.silver")
+    spark.sql("DROP TABLE IF EXISTS gq72.silver.orders")
+    val orders = Tables.orders(spark, sfDir)
+    val srcDir = scratch("q72src")
+    val src = LakeTable.createFrom(spark, srcDir,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    val ckpt = scratch("q72ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(srcDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gq72.silver.orders")
+      q.awaitTermination()
+    }
+    drain()
+    src.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+    drain()
+    spark.table("gq72.silver.orders")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q72_stream_to_table" ->
+      "SELECT * FROM orders",
     "q67_catalog_sql" ->
       "SELECT * FROM orders",
     "q62_copy_into" ->

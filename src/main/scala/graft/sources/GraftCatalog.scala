@@ -216,9 +216,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * filters. */
 private[sources] case class GraftV2Table(
     lake: LakeTable, fullName: String, asOfVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.graft.V1FallbackTable {
 
   override def name(): String = fullName
+
+  /** `df.writeStream.toTable("g.ns.t")` support — the reference's primary
+    * streaming-write spelling (src/data_processor.py:191-197). The engine's
+    * streaming commits need the whole microbatch frame for the
+    * (txnAppId, epoch) exactly-once ledger and footer-stats staging, which
+    * the DSv2 per-row StreamingWrite contract can't see — so the table
+    * declares the V1 fallback Spark provides for exactly this shape (as
+    * Delta does): DataStreamWriter re-routes to `format("graft")`'s
+    * [[graft.streaming.GraftStreamSink]] at the table's location. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val parts = fullName.split('.')
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last,
+      if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
+      if (parts.length >= 3) Some(parts.head) else None)
+    CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(lake.dir.toUri)),
+      schema = schema(),
+      provider = Some("graft"),
+      partitionColumnNames = lake.snapshot(asOfVersion).metadata.partitionColumns)
+  }
 
   override def schema(): StructType = lake.snapshot(asOfVersion).schema
 
@@ -282,6 +308,10 @@ private[sources] class GraftCatalogRelation(
     lake: LakeTable, version: Option[Long],
     filters: Array[Filter], override val schema: StructType)
   extends BaseRelation with TableScan {
+
+  /** Accurate plan-time size (live data bytes from the tx-log) so small
+    * catalog tables auto-broadcast — see [[GraftRelation.sizeInBytes]]. */
+  override def sizeInBytes: Long = lake.snapshot(version).files.map(_.size).sum
 
   override def buildScan(): RDD[Row] = {
     val preds = filters.flatMap(FilterColumns.toColumn).toSeq

@@ -31,7 +31,8 @@ import graft.table.LakeTable
   * row-exact semantics, pruning only needs file-exact).
   */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -61,6 +62,21 @@ class DefaultSource extends RelationProvider
     val spark = sqlContext.sparkSession
     new graft.streaming.GraftStreamSource(spark,
       LakeTable.forPath(spark, pathOf(parameters)), parameters, metadataPath)
+  }
+
+  // ------------------------------------------------ streaming write surface
+  // df.writeStream.format("graft").start(path), and — through
+  // [[GraftV2Table]]'s V1 fallback — df.writeStream.toTable("g.ns.t").
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val pcols = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+    new graft.streaming.GraftStreamSink(sqlContext.sparkSession,
+      pathOf(parameters), pcols, outputMode, parameters)
   }
 
   override def createRelation(
@@ -115,6 +131,13 @@ private[sources] class GraftRelation(
     version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
   override def schema: StructType = table.snapshot(version).schema
+
+  /** Accurate plan-time size from the tx-log (live data bytes): without
+    * this, BaseRelation reports `defaultSizeInBytes` (effectively ∞) and a
+    * small graft dimension joined through `format("graft")` NEVER
+    * auto-broadcasts — at scale that turns a broadcast join into a full
+    * shuffle of the fact side. Same source Delta's relation reports. */
+  override def sizeInBytes: Long = table.snapshot(version).files.map(_.size).sum
 
   // every filter is also re-applied by Spark above the scan (the default
   // unhandledFilters contract) — pushdown here is purely for file skipping

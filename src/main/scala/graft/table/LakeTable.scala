@@ -487,6 +487,34 @@ class LakeTable private[table] (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Idempotent streaming overwrite — the Complete-output-mode sink leg:
+    * the same (txnAppId, txnVersion) ledger as [[appendStream]] wrapped
+    * around a full overwrite commit, so a replayed epoch neither
+    * double-writes nor rolls the table back to an older aggregate. */
+  def overwriteStream(df: DataFrame, txnAppId: String, txnVersion: Long): Long = {
+    val snap = snapshot()
+    if (lastTxnVersion(snap, txnAppId).exists(_ >= txnVersion)) return snap.version
+    val target = snap.schema
+    val adds = stageIngestWrite(align(df, target, strict = true),
+      snap.metadata.partitionColumns)
+    try {
+      commitWithRetry("STREAMING UPDATE",
+        Map("mode" -> "Overwrite", "outputMode" -> "Complete",
+          "txnAppId" -> txnAppId, "txnVersion" -> txnVersion.toString), snap) { s =>
+        if (lastTxnVersion(s, txnAppId).exists(_ >= txnVersion))
+          throw new LakeTable.EpochAlreadyCommitted
+        if (s.schema != target)
+          throw new java.util.ConcurrentModificationException(
+            s"stream overwrite conflicts with a concurrent schema change on $dir")
+        val now = System.currentTimeMillis()
+        s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
+          dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
+      }
+    } catch {
+      case _: LakeTable.EpochAlreadyCommitted => snapshot().version
+    }
+  }
+
   /** Highest txnVersion committed for `txnAppId` (None if never seen). */
   def lastTxnVersion(snap: Snapshot, txnAppId: String): Option[Long] = {
     val vs = snap.commits.flatMap { c =>

@@ -25,6 +25,12 @@ object Relations {
   }
 }
 
+/** Public face of the `private[sql]` [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * extension point: a V2 catalog table that declares it re-exposes Spark's
+  * V1-sink fallback for `writeStream.toTable` (the route Delta's table
+  * takes too). Lives here because the parent trait is sql-package-private. */
+trait V1FallbackTable extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 /** Marks a batch DataFrame as streaming — what a V1 streaming `Source` must
   * return from `getBatch` (MicroBatchExecution asserts `isStreaming`). Same
   * mechanism MemoryStream uses; lives here because
@@ -35,5 +41,17 @@ object StreamingDf {
     val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.toRdd
     cs.internalCreateDataFrame(rdd, df.schema, isStreaming = true)
+  }
+
+  /** The inverse: a V1 `Sink.addBatch` frame is bound to the streaming
+    * incremental execution (its logical plan `isStreaming`, so the normal
+    * batch write path refuses it). Rebinding the executed RDD as a
+    * non-streaming frame lets the engine's ordinary append/overwrite run —
+    * the same mechanism Delta's sink uses on its microbatches. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+    cs.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
   }
 }

@@ -22,6 +22,10 @@ class PlanGuardSpec extends SparkSpec {
     "q23_simhash" -> "1x1 crossJoin of single-row aggregates",
     // exact-ANN baseline: the q<<n query side is broadcast by design
     "q25_ann_cosine_topk" -> "broadcast query-side crossJoin, O(n*q)",
+    // binary-ANN Hamming scan: same broadcast query-side shape as q25,
+    // but over 1-bit codes (the 32x-cheaper coarse tier); the rerank join
+    // is an equi-join on candidate ids
+    "q71_binary_ann" -> "broadcast query-side Hamming scan, O(n*q) on packed bits",
     // ADC scoring joins each code row to the broadcast O(m*k) codebook
     "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)",
     // vocabulary size joins in as a broadcast single-row aggregate

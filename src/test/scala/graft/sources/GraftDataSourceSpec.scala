@@ -90,4 +90,16 @@ class GraftDataSourceSpec extends SparkSpec {
     back.columns should contain("note")
     back.filter(col("id") < 100).select("note").collect().forall(_.isNullAt(0)) shouldBe true
   }
+
+  test("small graft table auto-broadcasts: sizeInBytes comes from the tx-log") {
+    val dir = tmpDir("ds-size").resolve("dim").toString
+    df(0 until 50).write.format("graft").save(dir)
+    val dim = spark.read.format("graft").load(dir)
+    // plan-time size must be the live-file sum, not defaultSizeInBytes (∞)
+    val fact = spark.range(10000).select(
+      (col("id") % 50).as("id"), (col("id") * 2).as("m"))
+    val joined = fact.join(dim, "id") // no broadcast() hint
+    joined.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    joined.count() shouldBe 10000
+  }
 }
