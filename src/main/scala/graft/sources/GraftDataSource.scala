@@ -83,6 +83,23 @@ class DefaultSource extends RelationProvider
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = LakeTable.forPath(spark, pathOf(parameters))
+    // batch CDF read — Delta's option spelling
+    // (spark.read.format("delta").option("readChangeFeed", "true")
+    //  .option("startingVersion", N).load(path)); ending bound optional
+    if (parameters.get("readChangeFeed").contains("true")) {
+      def atTs(key: String): Option[Long] = parameters.get(key)
+        .map(ts => java.sql.Timestamp.valueOf(ts).getTime)
+      val endV = parameters.get("endingVersion").map(_.toLong)
+        .orElse(atTs("endingTimestamp").map(table.log.versionAt))
+      val startV = parameters.get("startingVersion").map(_.toLong).orElse {
+        // first commit at-or-after the starting timestamp (Delta semantics)
+        atTs("startingTimestamp").map { ms =>
+          table.snapshot().commits.filter(_.timestamp >= ms).map(_.version)
+            .minOption.getOrElse(table.version + 1)
+        }
+      }.getOrElse(0L)
+      return new GraftCdfRelation(sqlContext, table, startV, endV)
+    }
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map(ts =>
         table.log.versionAt(java.sql.Timestamp.valueOf(ts).getTime)))
@@ -151,6 +168,31 @@ private[sources] class GraftRelation(
     projected.rdd
   }
 
+}
+
+/** Batch change-data-feed relation: serves
+  * `table_changes`-shaped rows (table columns + _change_type /
+  * _commit_version / _commit_timestamp) for the requested version window —
+  * the batch leg of S10 next to the streaming CDF source. An empty or
+  * out-of-range window yields an empty frame (Delta's behavior for a
+  * starting bound past the head), never an error. */
+private[sources] class GraftCdfRelation(
+    override val sqlContext: SQLContext,
+    table: LakeTable,
+    startingVersion: Long,
+    endingVersion: Option[Long]) extends BaseRelation with TableScan {
+
+  override def schema: StructType = table.cdfReadSchema
+
+  override def buildScan(): RDD[Row] = {
+    // clamp the ending bound to the table head (Delta's behavior for an
+    // ending bound past the newest commit)
+    val end = endingVersion.map(_ min table.version).getOrElse(table.version)
+    val df =
+      if (startingVersion > end) table.emptyCdfFrame
+      else table.changes(startingVersion, Some(end))
+    df.rdd
+  }
 }
 
 /** sources.Filter → Column, for the subset the pruner understands;

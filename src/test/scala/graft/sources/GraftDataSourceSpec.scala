@@ -91,6 +91,32 @@ class GraftDataSourceSpec extends SparkSpec {
     back.filter(col("id") < 100).select("note").collect().forall(_.isNullAt(0)) shouldBe true
   }
 
+  test("batch CDF read through format options (readChangeFeed + bounds)") {
+    val dir = tmpDir("ds-cdf").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    t.update(col("id") === 3, Map("name" -> lit("upd")))   // v2 (create=0, append=1)
+    t.delete(col("id") === 7)                              // v3
+    val changes = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .load(dir)
+    changes.columns should contain allOf ("_change_type", "_commit_version", "_commit_timestamp")
+    val types = changes.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    types("update_preimage") shouldBe 1
+    types("update_postimage") shouldBe 1
+    types("delete") shouldBe 1
+    // ending bound restricts the window; past-head bounds clamp, a
+    // starting bound past the head yields an empty frame (not an error)
+    spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 3).option("endingVersion", 99)
+      .load(dir).count() shouldBe 1
+    spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 99)
+      .load(dir).count() shouldBe 0
+  }
+
   test("small graft table auto-broadcasts: sizeInBytes comes from the tx-log") {
     val dir = tmpDir("ds-size").resolve("dim").toString
     df(0 until 50).write.format("graft").save(dir)
