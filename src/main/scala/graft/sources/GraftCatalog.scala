@@ -10,9 +10,9 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
@@ -256,21 +256,51 @@ private[sources] case class GraftV2Table(
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(lake, asOfVersion)
 
+  /** Write modes beyond plain append, all mapped onto existing engine
+    * commits: TRUNCATE / full INSERT OVERWRITE → [[LakeTable.overwrite]],
+    * filter overwrite (static `INSERT OVERWRITE … PARTITION (k=v)`,
+    * `writeTo(t).overwrite(cond)`) → replaceWhere. Dynamic partition
+    * overwrite is NOT offered here: Spark's V1-write bridge has exec
+    * fallbacks only for Append/OverwriteByExpression, so the dynamic mode
+    * rides the format-writer option instead —
+    * `df.write.format("graft").mode("overwrite")
+    *   .option("partitionOverwriteMode", "dynamic")` (Delta's spelling) →
+    * [[LakeTable.overwriteDynamic]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      private sealed trait Mode
+      private case object AppendMode extends Mode
+      private case object TruncateMode extends Mode
+      private case class FilterMode(filters: Array[Filter]) extends Mode
+      private var mode: Mode = AppendMode
+      override def truncate(): WriteBuilder = { mode = TruncateMode; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        mode =
+          if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+            TruncateMode
+          else FilterMode(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-              if (overwrite || overwriteFlag) lake.overwrite(data): Unit
-              else lake.append(data): Unit
+              mode match {
+                case TruncateMode => lake.overwrite(data): Unit
+                case FilterMode(filters) =>
+                  val cols = filters.map(f => FilterColumns.toColumn(f).getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"overwrite condition not translatable to a partition predicate: $f")))
+                  lake.overwriteWhere(cols.reduce(_ && _), data): Unit
+                case AppendMode =>
+                  if (overwriteFlag) lake.overwrite(data): Unit
+                  else lake.append(data): Unit
+              }
           }
       }
     }

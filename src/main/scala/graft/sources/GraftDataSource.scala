@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
@@ -129,6 +129,14 @@ class DefaultSource extends RelationProvider
         LakeTable.createFrom(spark, path, data, partitionCols): Unit
       case SaveMode.Append =>
         LakeTable.forPath(spark, path).append(data, mergeSchema): Unit
+      case SaveMode.Overwrite
+          if parameters.get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")) =>
+        // Delta's dynamic-partition-overwrite spelling: replace only the
+        // partitions present in the incoming frame
+        LakeTable.forPath(spark, path).overwriteDynamic(data): Unit
+      case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
+        LakeTable.forPath(spark, path)
+          .overwriteWhere(expr(parameters("replaceWhere")), data): Unit
       case SaveMode.Overwrite =>
         LakeTable.forPath(spark, path).overwrite(data, overwriteSchema): Unit
       case other =>

@@ -574,6 +574,33 @@ class LakeTable private[table] (
     }
   }
 
+  /** Dynamic partition overwrite — Spark's
+    * `partitionOverwriteMode=dynamic` / `DataFrameWriterV2
+    * .overwritePartitions()` / `INSERT OVERWRITE` semantics: replace
+    * exactly the partitions present in the incoming frame, leave every
+    * other partition untouched. The replaced set is derived from the
+    * staged files' hive dirs (no second scan of the input); an
+    * unpartitioned table degrades to a full overwrite, matching Spark. */
+  def overwriteDynamic(df: DataFrame): Long = {
+    val snap = snapshot()
+    val pcols = snap.metadata.partitionColumns
+    if (pcols.isEmpty) return overwrite(df)
+    val adds = stageIngestWrite(align(df, snap.schema, strict = true), pcols)
+    val touched: Set[Map[String, String]] = adds.map(_.partitionValues).toSet
+    commitWithRetry("WRITE",
+      Map("mode" -> "Overwrite", "partitionOverwriteMode" -> "dynamic"), snap) { s =>
+      if (s.schema != snap.schema)
+        throw new java.util.ConcurrentModificationException(
+          s"dynamic overwrite conflicts with a concurrent schema change on $dir")
+      val now = System.currentTimeMillis()
+      val doomed = s.files.filter(f => touched.contains(f.partitionValues))
+        .map(_.path).toSet
+      s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++
+        adds ++
+        dvTombstones(s, doomed, (s.dvs -- doomed).values.map(_.dvPath).toSet, now)
+    }
+  }
+
   /** Optimized-write (`delta.autoOptimize.optimizeWrite`,
     * src/delta_utils.py:52-55): shuffle the incoming data by the partition
     * columns (or round-robin when unpartitioned) ahead of the write so AQE's

@@ -129,4 +129,43 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("SELECT min(id) AS m FROM gcat.dml.t").collect()
       .head.getLong(0) shouldBe 10L
   }
+
+  test("INSERT OVERWRITE: full, static partition, and writeTo dynamic modes") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ow")
+    spark.sql("""CREATE TABLE gcat.ow.t (id BIGINT, day STRING) USING graft
+      PARTITIONED BY (day)""")
+    def rows(ids: Range, day: String) =
+      ids.map(i => (i.toLong, day)).toDF("id", "day")
+    rows(0 until 10, "d0").union(rows(10 until 20, "d1"))
+      .write.mode("append").saveAsTable("gcat.ow.t")
+
+    // dynamic overwrite (Delta's option spelling — Spark's V1-write bridge
+    // has no dynamic-overwrite exec, so the mode rides the format writer):
+    // only the partitions present in the frame change
+    rows(100 until 105, "d1").write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(s"$warehouse/ow/t")
+    spark.table("gcat.ow.t").count() shouldBe 15 // d0 keeps its 10, d1 -> 5
+    spark.sql("SELECT count(*) FROM gcat.ow.t WHERE day = 'd0'")
+      .collect().head.getLong(0) shouldBe 10
+
+    // static partition overwrite through SQL replaces exactly that partition
+    spark.sql("""INSERT OVERWRITE gcat.ow.t PARTITION (day = 'd0')
+      SELECT id FROM range(3)""")
+    spark.sql("SELECT count(*) FROM gcat.ow.t WHERE day = 'd0'")
+      .collect().head.getLong(0) shouldBe 3
+    spark.sql("SELECT count(*) FROM gcat.ow.t WHERE day = 'd1'")
+      .collect().head.getLong(0) shouldBe 5
+
+    // full INSERT OVERWRITE truncates then loads
+    spark.sql("""INSERT OVERWRITE gcat.ow.t
+      SELECT id, 'd9' AS day FROM range(4)""")
+    spark.table("gcat.ow.t").count() shouldBe 4
+    // the commits carry the modes for DESCRIBE HISTORY forensics
+    val params = GraftSql(spark).run("DESCRIBE HISTORY gcat.ow.t")
+      .select("operationParameters").collect()
+      .map(_.getMap[String, String](0))
+    params.exists(_.get("partitionOverwriteMode").contains("dynamic")) shouldBe true
+    params.exists(_.get("replaceWhere").exists(_.contains("day"))) shouldBe true
+  }
 }

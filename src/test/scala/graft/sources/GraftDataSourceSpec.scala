@@ -91,6 +91,25 @@ class GraftDataSourceSpec extends SparkSpec {
     back.filter(col("id") < 100).select("note").collect().forall(_.isNullAt(0)) shouldBe true
   }
 
+  test("overwrite options: replaceWhere and partitionOverwriteMode=dynamic") {
+    val dir = tmpDir("ds-ow").resolve("t").toString
+    df(0 until 20).write.format("graft").option("partitionBy", "bucket").save(dir)
+    // replaceWhere: replace exactly the predicate's partitions
+    df(100 until 104).filter(col("bucket") === 0)
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "bucket = 0").save(dir)
+    val t = spark.read.format("graft").load(dir)
+    t.filter(col("bucket") === 0).count() shouldBe 1 // only id=100 hits bucket 0
+    t.count() shouldBe 17 // 16 untouched rows + 1 replacement
+    // dynamic: replace only partitions present in the frame
+    df(200 until 202).write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val t2 = spark.read.format("graft").load(dir)
+    t2.filter(col("bucket") === 0).count() shouldBe 1 // bucket 0 of 200
+    t2.filter(col("bucket") === 1).count() shouldBe 1 // bucket 1 of 201
+    t2.count() shouldBe 14 // buckets 2-4 keep their 4 rows each
+  }
+
   test("batch CDF read through format options (readChangeFeed + bounds)") {
     val dir = tmpDir("ds-cdf").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 10),
