@@ -1087,15 +1087,20 @@ class LakeTable private[table] (
   }
 
   /** ALTER TABLE SET TBLPROPERTIES (M12, src/delta_utils.py:149-166). */
-  def setProperties(props: Map[String, String]): Long =
-    commitWithRetry("SET TBLPROPERTIES", props, snapshot()) { s =>
-      Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
+  def setProperties(props: Map[String, String]): Long = {
+    val normalized = LakeTable.normalizeProps(props)
+    commitWithRetry("SET TBLPROPERTIES", normalized, snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties ++ normalized))
     }
+  }
 
-  def unsetProperties(keys: Seq[String]): Long =
-    commitWithRetry("UNSET TBLPROPERTIES", Map("keys" -> keys.mkString(",")), snapshot()) { s =>
-      Seq(s.metadata.copy(properties = s.metadata.properties -- keys))
+  def unsetProperties(keys: Seq[String]): Long = {
+    val normalized = keys.map(LakeTable.normalizeKey)
+    commitWithRetry("UNSET TBLPROPERTIES",
+      Map("keys" -> normalized.mkString(",")), snapshot()) { s =>
+      Seq(s.metadata.copy(properties = s.metadata.properties -- normalized))
     }
+  }
 
   // ------------------------------------------------------- CHECK constraints
 
@@ -1395,6 +1400,18 @@ object LakeTable {
   private[table] def currentUser: String =
     sys.props.getOrElse("user.name", "unknown")
 
+  /** Migration parity: the reference sets `delta.`-prefixed table
+    * properties (delta.enableChangeDataFeed, delta.autoOptimize.*, …,
+    * src/delta_utils.py:52-55). Those spellings are accepted verbatim and
+    * normalized to the engine's `graft.` prefix at ingestion (CREATE TABLE
+    * / SET TBLPROPERTIES), so reference DDL runs unchanged;
+    * SHOW TBLPROPERTIES reports the normalized names. */
+  private[graft] def normalizeKey(k: String): String =
+    if (k.startsWith("delta.")) "graft." + k.stripPrefix("delta.") else k
+
+  private[graft] def normalizeProps(props: Map[String, String]): Map[String, String] =
+    props.map { case (k, v) => normalizeKey(k) -> v }
+
   private[table] class EpochAlreadyCommitted extends RuntimeException
 
   /** True on a Structured Streaming microbatch thread (foreachBatch).
@@ -1430,7 +1447,8 @@ object LakeTable {
     val meta = graft.log.Metadata(UUID.randomUUID().toString,
       if (name.nonEmpty) name else p.getFileName.toString,
       stamped.json, partitionColumns,
-      properties + (ColumnIds.MaxIdKey -> stamped.fields.length.toString), now)
+      LakeTable.normalizeProps(properties) +
+        (ColumnIds.MaxIdKey -> stamped.fields.length.toString), now)
     val ci = CommitInfo(0L, now, "CREATE TABLE",
       Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L,
       LakeTable.currentUser, false)

@@ -31,6 +31,26 @@ class GraftSqlSpec extends SparkSpec {
     props("quality") shouldBe "gold"
   }
 
+  test("delta.-prefixed properties normalize to graft. and take effect") {
+    val (t, dir) = freshTable("gsql-dprop")
+    // the reference's own spelling (src/delta_utils.py:52-55) works verbatim
+    sql.run(s"""ALTER TABLE '$dir' SET TBLPROPERTIES (
+      'delta.enableChangeDataFeed' = 'true',
+      'delta.enableDeletionVectors' = 'true')""")
+    val props = sql.run(s"SHOW TBLPROPERTIES '$dir'")
+      .as[(String, String)].collect().toMap
+    props.get("graft.enableChangeDataFeed") shouldBe Some("true")
+    props.get("graft.enableDeletionVectors") shouldBe Some("true")
+    props.keys.exists(_.startsWith("delta.")) shouldBe false
+    // and they actually switch the DML paths: a delete writes a mask
+    // (no rewrite) and emits CDF rows
+    t.delete(org.apache.spark.sql.functions.col("id") <= 5)
+    t.snapshot().dvs.size should be >= 1
+    t.changes(t.version, None)
+      .filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .count() shouldBe 5
+  }
+
   // mirrors notebooks/04_acid_operations.py:289-295 (ADD COLUMNS with
   // per-column COMMENT), plus a parenthesized type to stress the parser
   test("ALTER TABLE ADD COLUMNS with comments and complex types") {
