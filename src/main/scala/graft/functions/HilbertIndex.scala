@@ -154,7 +154,10 @@ case class HilbertIndex(children: Seq[Expression], bits: Int) extends Expression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
-    val arr = ctx.freshName("coords")
+    // one scratch array per operator instance, not per row (index() mutates
+    // it, and every row overwrites all k slots before the call)
+    val arr = ctx.addMutableState("long[]", "hilbertCoords",
+      v => s"$v = new long[${children.size}];")
     val gather = evals.zipWithIndex.map { case (e, i) =>
       s"""
          |${e.code}
@@ -166,7 +169,6 @@ case class HilbertIndex(children: Seq[Expression], bits: Int) extends Expression
       code = code"""
         |boolean ${ev.isNull} = false;
         |long ${ev.value} = 0L;
-        |long[] $arr = new long[${children.size}];
         |do {
         |  $gather
         |  ${ev.value} = graft.functions.HilbertCurve.index($arr, $bits);
