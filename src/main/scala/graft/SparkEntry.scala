@@ -91,6 +91,7 @@ object SparkEntry {
     "q65_semantic_dedup" -> (DataOps.semanticDedup _),
     "q66_budgeted_mixture" -> (DataOps.budgetedMixture _),
     "q68_semantic_dedup_indexed" -> (DataOps.semanticDedupIndexed _),
+    "q73_chunk_documents" -> (DataOps.chunkDocuments _),
     "q71_binary_ann" -> (DataOps.annBinaryRerank _),
     "q69_shard_corpus" -> (DataOps.shardCorpus _))
 

@@ -267,6 +267,15 @@ object DataOps {
     Dedup.dedupSegments(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** Document chunking gate (q73): 150-char chunks, 30-char overlap
+    * (stride 120) — integer-exact start/width arithmetic, replayed verbatim
+    * by the oracle's generate_series + substr. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables.documents(spark, sfDir),
+      chunkChars = 150, overlapChars = 30)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Binary-quantization ANN gate: sign-bit codes (32× smaller than
     * float32), Hamming scan keeps 20 candidates per query, exact-cosine
     * rerank keeps 5. The quantizer and the candidate cut are pure functions
@@ -499,6 +508,16 @@ object DataOps {
          FROM g ORDER BY vec_id"""
 
   val oracles: Map[String, String] = Map(
+    "q73_chunk_documents" ->
+      """WITH n AS (SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((length(text) - 30) / 120.0) AS INT)) AS nc
+           FROM documents),
+         c AS (SELECT doc_id, text,
+             unnest(generate_series(0, nc - 1)) AS chunk_id FROM n)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 120 AS BIGINT) AS chunk_start,
+           substr(text, chunk_id * 120 + 1, 150) AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     "q63_dedup_segments" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          s AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])

@@ -250,6 +250,38 @@ object TextAnalysis {
             4)).as("perplexity"))
   }
 
+  /** Fixed-width character chunking with overlap — the document→context
+    * splitting step of a training/RAG pipeline. Each document yields
+    * `max(1, ceil((len − overlap) / stride))` chunks (stride = chunkChars −
+    * overlapChars), starting at `chunk_id * stride`, each `chunkChars` wide
+    * except a shorter tail; consecutive chunks share `overlapChars`
+    * characters. A document no longer than `overlapChars` still yields its
+    * single (whole-text) chunk, so no text is ever dropped.
+    *
+    * Plan shape: sequence + explode inside one codegen stage — narrow (no
+    * shuffle, no UDF); output size is input chars × (1 + overlap/stride),
+    * linear at any corpus size. Arithmetic is integer-exact so an external
+    * oracle replays the assignment verbatim.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkChars: Int,
+      overlapChars: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(overlapChars >= 0 && chunkChars > overlapChars,
+      s"need 0 <= overlap < chunk, got chunk=$chunkChars overlap=$overlapChars")
+    val stride = chunkChars - overlapChars
+    val len = coalesce(length(col(textCol)), lit(0))
+    val n = greatest(lit(1),
+      ceil((len - lit(overlapChars)).cast("double") / lit(stride.toDouble)).cast("int"))
+    docs
+      .withColumn("chunk_id", explode(sequence(lit(0), n - lit(1))))
+      .withColumn("chunk_start", (col("chunk_id") * stride).cast("long"))
+      .withColumn("chunk_text",
+        col(textCol).substr(col("chunk_id") * stride + lit(1), lit(chunkChars)))
+  }
+
   /** One-pass text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -104,4 +104,37 @@ class TextOpsFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkDocs matches a plain-Scala model and loses no text") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val corpus = randomCorpus(rnd, 60) :+ (999L -> "short")
+      val (chunk, overlap) = (20 + rnd.nextInt(30), rnd.nextInt(10))
+      val stride = chunk - overlap
+      def model(text: String): Seq[(Int, Long, String)] = {
+        val n = math.max(1,
+          math.ceil((text.length - overlap).toDouble / stride).toInt)
+        (0 until n).map { i =>
+          (i, (i.toLong * stride),
+            text.slice(i * stride, math.min(i * stride + chunk, text.length)))
+        }
+      }
+      val got = TextAnalysis.chunkDocs(
+          corpus.toDF("doc_id", "text"), chunk, overlap)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_text")
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getString(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      corpus.foreach { case (id, text) =>
+        withClue(s"seed=$seed doc=$id: ") {
+          got(id) shouldBe model(text)
+          // overlap-aware reconstruction: first chunk whole, then each
+          // chunk minus its leading overlap — no character lost or invented
+          val rebuilt = got(id).head._3 +
+            got(id).tail.map(_._3.drop(overlap)).mkString
+          rebuilt shouldBe text
+        }
+      }
+    }
+  }
 }
