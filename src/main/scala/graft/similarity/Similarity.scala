@@ -145,6 +145,27 @@ object Similarity {
     t
   }
 
+  /** Append new vectors to a persisted IVF index — the incremental-corpus
+    * path: assign cells with the STORED codebook (the decode round-trips
+    * bit-identically, so assignment matches the original build exactly) and
+    * append into the cell-partitioned table. No rebuild, no retraining;
+    * searches immediately see old + new vectors and partition pruning still
+    * reads only probed cells' files. Centroid drift under a shifted
+    * distribution degrades recall, not correctness — retrain + rebuild is
+    * the maintenance valve, same trade as FAISS's add-after-train. */
+  def appendToIvfIndex(
+      index: graft.table.LakeTable,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import graft.functions.VectorFunctions
+    val centroids = storedCentroids(index)
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", VectorFunctions.cellOf(col("v"), centroids))
+    index.append(assigned)
+  }
+
   /** Search a [[buildIvfIndex]] table: the probed-cell set (nprobe cells per
     * query, deduplicated) is computed driver-side from the query batch, and
     * the index scan filters on it — partition pruning keeps unprobed cells'

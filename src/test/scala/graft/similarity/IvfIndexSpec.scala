@@ -46,6 +46,26 @@ class IvfIndexSpec extends SparkSpec {
     read.inputFiles.length should be < total
   }
 
+  test("incremental append matches an index built from the full corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val idx = Similarity.buildIvfIndex(spark,
+      tmpDir("ivfinc").resolve("t").toString, old, centroids)
+    Similarity.appendToIvfIndex(idx, batch)
+    val full = Similarity.buildIvfIndex(spark,
+      tmpDir("ivfinc").resolve("full").toString, emb, centroids)
+    val queries = emb.filter(col("vec_id") < 8)
+    val incr = Similarity.searchIvfIndex(idx, queries, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    val scratch = Similarity.searchIvfIndex(full, queries, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    incr shouldBe scratch
+    // the append is one commit on the same table, not a rebuild
+    idx.history(None).count() shouldBe 3 // create + append + append
+  }
+
   test("the index is a real table: versioned, reloadable codebook") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.trainCentroids(emb, nlist = 8)
