@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -216,10 +216,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * filters. */
 private[sources] case class GraftV2Table(
     lake: LakeTable, fullName: String, asOfVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.graft.V1FallbackTable {
 
   override def name(): String = fullName
+
+  /** Native `DELETE FROM cat.ns.t WHERE …` (and, via SupportsDelete's
+    * TruncatableTable default, `TRUNCATE TABLE cat.ns.t`): Spark hands the
+    * conjunctive predicates here and the engine's delete runs with the
+    * table's own settings (deletion vectors mask, CDF sidecars, rewrite
+    * otherwise). Predicates outside the translatable set report
+    * non-deletable, surfacing Spark's standard error rather than a silent
+    * wrong delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfVersion.isEmpty && filters.forall(f => FilterColumns.toColumnExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(FilterColumns.toColumnExact)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    lake.delete(cond): Unit
+  }
 
   /** `df.writeStream.toTable("g.ns.t")` support — the reference's primary
     * streaming-write spelling (src/data_processor.py:191-197). The engine's

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
@@ -228,5 +228,17 @@ private[sources] object FilterColumns {
     case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+
+  /** EXACT Filter → Column, for semantics-bearing uses (DELETE WHERE): a
+    * filter translates only if EVERY node does — the pruning translation
+    * above weakens untranslatable AND legs, which would widen a delete. */
+  def toColumnExact(f: Filter): Option[Column] = f match {
+    case And(l, r) => for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a && b
+    case Or(l, r) => for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a || b
+    case Not(c) => toColumnExact(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case leaf => toColumn(leaf) // leaf translations are exact
   }
 }

@@ -130,6 +130,32 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) shouldBe 10L
   }
 
+  test("native spark.sql DELETE FROM and TRUNCATE TABLE via SupportsDelete") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.del")
+    spark.sql("""CREATE TABLE gcat.del.t (id BIGINT, v DOUBLE) USING graft
+      TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""")
+    spark.range(100).select(col("id"), (col("id") * 2.0).as("v"))
+      .write.mode("append").saveAsTable("gcat.del.t")
+    val path = s"$warehouse/del/t"
+    val before = LakeTable.forPath(spark, path).snapshot().files.map(_.path).toSet
+    // no GraftSql wrapper — Spark's own DELETE FROM plans onto deleteWhere
+    spark.sql("DELETE FROM gcat.del.t WHERE id < 25 OR id >= 90")
+    spark.table("gcat.del.t").count() shouldBe 65
+    spark.sql("SELECT min(id) AS m, max(id) AS x FROM gcat.del.t")
+      .collect().head.toSeq shouldBe Seq(25L, 89L)
+    val t = LakeTable.forPath(spark, path)
+    // the delete honored the table's own settings: DV masks, no rewrite
+    t.snapshot().files.map(_.path).toSet shouldBe before
+    t.snapshot().dvs should not be empty
+    // TRUNCATE arrives through SupportsDelete's TruncatableTable default
+    spark.sql("TRUNCATE TABLE gcat.del.t")
+    spark.table("gcat.del.t").count() shouldBe 0
+    // both DML landed as commits on the same tx-log
+    LakeTable.forPath(spark, path).history(Some(2))
+      .select("operation").as[String].collect().toSet shouldBe Set("DELETE")
+  }
+
   test("INSERT OVERWRITE: full, static partition, and writeTo dynamic modes") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ow")
