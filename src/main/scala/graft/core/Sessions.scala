@@ -43,6 +43,9 @@ object Sessions {
       // mapped tables (RENAME/DROP COLUMN without file rewrites)
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // metadata-only agg rule + native SQL DML (UPDATE/MERGE/DELETE) on
+      // graft catalog tables
+      .config("spark.sql.extensions", "graft.table.GraftSparkExtensions")
     val withMaster = profile match {
       case Local(n) => b.master(master.getOrElse(s"local[$n]"))
       case _        => master.map(b.master).getOrElse(b)

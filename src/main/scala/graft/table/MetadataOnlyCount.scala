@@ -148,6 +148,11 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
   * this never mutates `spark.experimental` and survives user reassignment
   * of extraOptimizations. */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MetadataOnlyCount)
+    // native SQL UPDATE / MERGE INTO / rich-predicate DELETE on graft
+    // catalog tables (sessions without the extension keep SupportsDelete
+    // and the GraftSql wrapper)
+    ext.injectResolutionRule(s => graft.sources.GraftDmlRule(s))
+  }
 }

@@ -23,6 +23,14 @@ object Relations {
       new ParquetFileFormat, options)(cs)
     org.apache.spark.sql.classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
   }
+
+  /** An analyzed LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — used by the native-SQL MERGE command to execute the
+    * parsed source side. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** Public face of the `private[sql]` [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]

@@ -29,5 +29,6 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.table.GraftSparkExtensions")
     .getOrCreate()
 }
