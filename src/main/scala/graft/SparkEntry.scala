@@ -113,6 +113,7 @@ object SparkEntry {
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),
+    "q74_native_sql_merge" -> (MetaOps.nativeSqlMerge _),
     "q72_stream_to_table" -> (MetaOps.streamToTable _))
 
   def queries: Map[String, Q] =

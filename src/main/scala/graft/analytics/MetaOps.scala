@@ -120,6 +120,35 @@ object MetaOps {
     spark.table("gq67.bronze.orders")
   }
 
+  /** Native SQL MERGE on a catalog table (q74): the full clause surface —
+    * conditional matched update, matched delete, insert-star, and
+    * not-matched-by-source delete — through PLAIN `spark.sql` with user
+    * aliases; `GraftDmlRule` (installed by the session extension) converts
+    * the analyzed plan into the engine's two-phase merge. Distinct
+    * transformation from q59 so both SQL routes stay independently gated. */
+  def nativeSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-q74-wh").toString
+    spark.conf.set("spark.sql.catalog.gq74", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gq74.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gq74.silver")
+    spark.sql("DROP TABLE IF EXISTS gq74.silver.orders")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("q74_orders")
+    spark.sql("""CREATE TABLE gq74.silver.orders USING graft AS
+      SELECT * FROM q74_orders WHERE o_orderkey % 3 <> 0""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW q74_src AS
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 500.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM q74_orders WHERE o_orderkey % 2 = 0""")
+    spark.sql("""MERGE INTO gq74.silver.orders AS t USING q74_src AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+        UPDATE SET o_totalprice = s.o_totalprice, o_orderpriority = '2-HIGH'
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 100000.0 THEN DELETE""")
+    spark.table("gq74.silver.orders")
+  }
+
   /** Streaming write through the session catalog — the reference's exact
     * spelling `.writeStream.format(...).toTable(name)`
     * (src/data_processor.py:191-197, notebooks/01_bronze_ingestion.py:223-229):
@@ -153,6 +182,19 @@ object MetaOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q74_native_sql_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                     AND o_orderstatus = 'F' THEN '2-HIGH'
+                ELSE o_orderpriority END AS o_orderpriority
+         FROM orders
+         WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0 AND o_orderstatus = 'F')
+            OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+            OR (o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+                AND o_totalprice >= 100000.0)""",
     "q72_stream_to_table" ->
       "SELECT * FROM orders",
     "q67_catalog_sql" ->
