@@ -47,7 +47,8 @@ import graft.table.LakeTable
   * (UPDATE/DELETE/MERGE) stays on [[graft.table.GraftSql]] / the API —
   * those are storage-level row operations, not catalog concerns.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -103,22 +104,107 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  override def createTable(
-      ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val pcols = partitions.toSeq.map {
+  private def partitionCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case t => throw new UnsupportedOperationException(
         s"graft tables support identity partitioning only, got: $t")
     }
-    // engine/catalog-reserved keys aren't table properties
+
+  /** Engine/catalog-reserved keys aren't table properties. */
+  private def tableProps(properties: JMap[String, String]): Map[String, String] = {
     val reserved = Set("provider", "location", "owner", "external", "comment",
       "option.path", "path")
-    val props = properties.asScala.filterNot { case (k, _) => reserved(k.toLowerCase) }
-    LakeTable.create(spark, dirOf(ident).toString, schema, pcols, props.toMap)
+    properties.asScala.filterNot { case (k, _) => reserved(k.toLowerCase) }.toMap
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    LakeTable.create(spark, dirOf(ident).toString, schema,
+      partitionCols(partitions), tableProps(properties))
     loadTable(ident)
+  }
+
+  // ------------------------------------------------- staged create/replace
+
+  /** `[CREATE OR] REPLACE TABLE [AS SELECT]` as Spark's ATOMIC plans.
+    * Replace is ONE engine commit (`LakeTable.replaceTable`): new
+    * schema/partitioning/properties, all files swapped, query output staged
+    * into the same commit — prior versions stay time-travelable, and a
+    * failed RTAS query leaves the old table untouched (the staged files are
+    * invisible orphans). Without this, Spark falls back to DROP + CREATE,
+    * which erases history and leaves no table at all on a mid-query
+    * failure. Staged CREATE commits the table only at commitStagedChanges
+    * (create, then the captured query output as the first append). */
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new StagedGraftTable(ident, schema, partitions, properties, replace = false, orCreate = true)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedGraftTable(ident, schema, partitions, properties, replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    new StagedGraftTable(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private class StagedGraftTable(
+      ident: Identifier, stagedSchema: StructType, partitions: Array[Transform],
+      stagedProps: JMap[String, String], replace: Boolean, orCreate: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+    // the AS SELECT output, captured un-executed; the engine runs it inside
+    // its own staging/commit
+    private var captured: Option[DataFrame] = None
+
+    override def name(): String = nameOf(ident)
+    override def schema(): StructType = stagedSchema
+    override def partitioning(): Array[Transform] = partitions
+    override def properties(): JMap[String, String] = stagedProps
+    override def capabilities(): JSet[TableCapability] =
+      Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+    // RTAS plans an overwrite-style write (truncate) on the staged table;
+    // the replace commit already swaps every file, so truncate is a marker
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+                captured = Some(data)
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val pcols = partitionCols(partitions)
+      val props = tableProps(stagedProps)
+      val dir = dirOf(ident).toString
+      if (replace && tableExists(ident))
+        LakeTable.forPath(spark, dir)
+          .replaceTable(stagedSchema, pcols, props, captured): Unit
+      else if (replace && !orCreate) throw new NoSuchTableException(ident)
+      else {
+        if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+        val t = LakeTable.create(spark, dir, stagedSchema, pcols, props,
+          ifNotExists = false)
+        captured.foreach(t.append(_): Unit)
+      }
+    }
+
+    override def abortStagedChanges(): Unit = () // nothing visible was staged
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

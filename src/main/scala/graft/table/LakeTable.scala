@@ -551,6 +551,38 @@ class LakeTable private[table] (
     }
   }
 
+  /** CREATE OR REPLACE TABLE semantics as ONE commit (Delta parity):
+    * wholesale new schema / partitioning / properties, every live file
+    * removed, the optional new data staged beforehand and added in the same
+    * commit — so the replace is atomic and prior versions stay
+    * time-travelable (unlike a DROP + CREATE, which erases history).
+    * Constraints/generated-column rules are taken from the NEW properties;
+    * the old table's rules die with it. */
+  def replaceTable(
+      newSchema: StructType,
+      newPartitionColumns: Seq[String],
+      newProperties: Map[String, String],
+      data: Option[DataFrame] = None): Long = {
+    val bad = newPartitionColumns.filterNot(newSchema.fieldNames.contains)
+    require(bad.isEmpty, s"partition columns not in schema: ${bad.mkString(",")}")
+    val stamped = ColumnIds.stampAll(newSchema)
+    val props = LakeTable.normalizeProps(newProperties) +
+      (ColumnIds.MaxIdKey -> stamped.fields.length.toString)
+    val snap = snapshot()
+    val adds = data.map(df => stageWrite(df, newPartitionColumns,
+        constraintsOverride =
+          Some(LakeTable.constraintsFrom(props, stamped))))
+      .getOrElse(Nil)
+    commitWithRetry("REPLACE TABLE",
+      Map("partitionBy" -> newPartitionColumns.mkString(",")), snap) { s =>
+      val now = System.currentTimeMillis()
+      Seq(s.metadata.copy(schemaJson = stamped.json,
+        partitionColumns = newPartitionColumns, properties = props)) ++
+        s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
+        dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
+    }
+  }
+
   /** Partition-scoped overwrite — Delta's `replaceWhere`
     * (notebooks/03_gold_aggregation.py:82-86). The predicate must be on
     * partition columns; incoming rows must all satisfy it. */
@@ -694,7 +726,9 @@ class LakeTable private[table] (
   /** Write `df` as new Parquet files under `data/<uuid>/` and return the
     * AddFile actions (stats collected in one distributed pass). Files are
     * never moved after the write — the log is the source of truth. */
-  private[table] def stageWrite(df: DataFrame, partitionCols: Seq[String]): Seq[AddFile] = {
+  private[table] def stageWrite(
+      df: DataFrame, partitionCols: Seq[String],
+      constraintsOverride: Option[Seq[(String, Column)]] = None): Seq[AddFile] = {
     val commitId = UUID.randomUUID().toString.replace("-", "").take(12)
     val relDir = s"data/$commitId"
     val absDir = dir.resolve(relDir)
@@ -706,7 +740,7 @@ class LakeTable private[table] (
     // pass over the data. Violations surface after the files are staged but
     // BEFORE the commit, so the table state never includes them (staged
     // orphans are invisible to readers and vacuumable).
-    val constraints = checkConstraints
+    val constraints = constraintsOverride.getOrElse(checkConstraints)
     // On a foreachBatch thread the observation can never complete (see
     // LakeTable.onStreamExecutionThread): validate constraints with a
     // dedicated pre-pass there instead of riding the write job.
@@ -723,8 +757,8 @@ class LakeTable private[table] (
           val what =
             if (name.startsWith("__gen_"))
               s"generated column ${name.stripPrefix("__gen_")} " +
-                s"(${properties(s"graft.generated.${name.stripPrefix("__gen_")}")}) supplied with a non-matching value"
-            else s"CHECK constraint $name (${properties(s"graft.constraints.$name")}) violated"
+                s"(${properties.getOrElse(s"graft.generated.${name.stripPrefix("__gen_")}", "replacement rule")}) supplied with a non-matching value"
+            else s"CHECK constraint $name (${properties.getOrElse(s"graft.constraints.$name", "replacement rule")}) violated"
           throw new IllegalArgumentException(s"$what: $bad row(s)")
         }
       }
@@ -1132,16 +1166,7 @@ class LakeTable private[table] (
     * SUPPLIES a generated column with the wrong value fails like a
     * constraint violation (Delta's generated-column enforcement). */
   private[table] def checkConstraints: Seq[(String, Column)] =
-    (properties.toSeq.collect {
-      case (k, v) if k.startsWith("graft.constraints.") =>
-        k.stripPrefix("graft.constraints.") -> org.apache.spark.sql.functions.expr(v)
-    } ++ generatedColumns.map { case (name, e) =>
-      val dt = schema(name).dataType
-      // NULL is exempt: rows written before the rule existed carry NULL and
-      // must keep flowing through DML rewrites
-      s"__gen_$name" ->
-        (col(name).isNull || (col(name) <=> org.apache.spark.sql.functions.expr(e).cast(dt)))
-    }).sortBy(_._1)
+    LakeTable.constraintsFrom(properties, schema)
 
   private def setPropsAs(op: String, props: Map[String, String]): Long =
     commitWithRetry(op, props, snapshot()) { s =>
@@ -1469,6 +1494,26 @@ object LakeTable {
     t.append(df)
     t
   }
+
+  /** CHECK constraints + generated-column identity rules derived from a
+    * property map and schema — instance reads use the live table's pair,
+    * `replaceTable` evaluates the NEW table's rules against staged data. */
+  private[table] def constraintsFrom(
+      properties: Map[String, String],
+      schema: StructType): Seq[(String, Column)] =
+    (properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.constraints.") =>
+        k.stripPrefix("graft.constraints.") -> org.apache.spark.sql.functions.expr(v)
+    } ++ properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }.sortBy(_._1).map { case (name, e) =>
+      val dt = schema(name).dataType
+      // NULL is exempt: rows written before the rule existed carry NULL and
+      // must keep flowing through DML rewrites
+      s"__gen_$name" ->
+        (col(name).isNull || (col(name) <=> org.apache.spark.sql.functions.expr(e).cast(dt)))
+    }).sortBy(_._1)
 
   /** Catalog commands hand locations around as `file:` URIs while the
     * native API passes plain paths; accept both. */

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+/** Atomic CREATE OR REPLACE through the StagingTableCatalog: replace is ONE
+  * engine commit that preserves history (time travel reaches the
+  * pre-replace table), and a failed RTAS query leaves the old table
+  * untouched. Also pins `spark.readStream.table` on catalog tables (the V1
+  * fallback stream source). */
+class CatalogReplaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft-replace-wh").toString
+  private def registerCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.grt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grt.warehouse", warehouse)
+  }
+
+  test("REPLACE TABLE AS SELECT is one history-preserving commit") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.ns")
+    spark.sql("CREATE TABLE grt.ns.t (id BIGINT, v DOUBLE) USING graft")
+    spark.range(10).select(col("id"), col("id").cast("double").as("v"))
+      .write.mode("append").saveAsTable("grt.ns.t")
+    val t = LakeTable.forPath(spark, s"$warehouse/ns/t")
+    val beforeVersion = t.version
+
+    spark.sql("""CREATE OR REPLACE TABLE grt.ns.t USING graft AS
+      SELECT id AS key, concat('n', id) AS name FROM range(3)""")
+
+    // new state, new schema
+    spark.table("grt.ns.t").columns.toSeq shouldBe Seq("key", "name")
+    spark.table("grt.ns.t").count() shouldBe 3
+    // ONE commit on the SAME log — not a drop+create
+    val t2 = LakeTable.forPath(spark, s"$warehouse/ns/t")
+    t2.version shouldBe beforeVersion + 1
+    t2.history(Some(1)).select("operation").as[String].head() shouldBe "REPLACE TABLE"
+    // prior versions stay time-travelable with the OLD schema
+    val old = t2.versionAsOf(beforeVersion)
+    old.count() shouldBe 10
+    old.columns.toSeq shouldBe Seq("id", "v")
+  }
+
+  test("plain CREATE OR REPLACE TABLE (no AS) swaps schema, keeps history") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.pl")
+    spark.sql("CREATE TABLE grt.pl.t (id BIGINT) USING graft")
+    spark.range(7).write.mode("append").saveAsTable("grt.pl.t")
+    spark.sql("""CREATE OR REPLACE TABLE grt.pl.t (id BIGINT, day STRING)
+      USING graft PARTITIONED BY (day) TBLPROPERTIES ('k' = 'v')""")
+    spark.table("grt.pl.t").count() shouldBe 0
+    val t = LakeTable.forPath(spark, s"$warehouse/pl/t")
+    t.properties("k") shouldBe "v"
+    t.snapshot().metadata.partitionColumns shouldBe Seq("day")
+    t.versionAsOf(t.version - 1).count() shouldBe 7
+    // the replaced table keeps working: partitioned insert round-trips
+    Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+      .write.mode("append").saveAsTable("grt.pl.t")
+    spark.sql("SELECT count(*) FROM grt.pl.t WHERE day = 'd1'")
+      .collect().head.getLong(0) shouldBe 1
+  }
+
+  test("a failing RTAS query leaves the old table untouched") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.fl")
+    spark.sql("CREATE TABLE grt.fl.t (id BIGINT) USING graft")
+    spark.range(5).write.mode("append").saveAsTable("grt.fl.t")
+    val before = LakeTable.forPath(spark, s"$warehouse/fl/t").version
+    intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE grt.fl.t USING graft AS
+        SELECT id, raise_error('boom') AS x FROM range(4)""")
+    }
+    val t = LakeTable.forPath(spark, s"$warehouse/fl/t")
+    t.version shouldBe before // no commit landed
+    spark.sql("REFRESH TABLE grt.fl.t")
+    spark.table("grt.fl.t").count() shouldBe 5
+  }
+
+  test("readStream.table streams a catalog table (V1 fallback source)") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.st")
+    spark.sql("CREATE TABLE grt.st.src (id BIGINT) USING graft")
+    spark.range(10).write.mode("append").saveAsTable("grt.st.src")
+    val q = spark.readStream.table("grt.st.src")
+      .writeStream.format("memory").queryName("replace_probe_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally if (q.isActive) q.stop()
+    spark.table("replace_probe_sink").count() shouldBe 10
+  }
+}
