@@ -5,15 +5,24 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Differential fuzz for the MERGE INTO SQL parser: every generated case
-  * runs the SAME merge twice — once as SQL text through GraftSql, once
-  * through the builder API — on identical copies of a random initial table,
-  * and the final tables must match row-for-row. Clause sets, clause
-  * conditions, and alias names are all randomized (seeded). */
+/** Differential fuzz for the MERGE INTO SQL surfaces: every generated case
+  * runs the SAME merge THREE ways — as SQL text through GraftSql, through
+  * the builder API, and as native `spark.sql` MERGE on a catalog table
+  * (Spark's own parser + `GraftDmlRule`) — on identical copies of a random
+  * initial table, and the final tables must match row-for-row. Clause sets,
+  * clause conditions, and alias names are all randomized (seeded). */
 class SqlMergeDifferentialSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val sql = GraftSql(spark)
+
+  private lazy val warehouse = {
+    val wh = tmpDir("smd-native-wh").toString
+    spark.conf.set("spark.sql.catalog.gfz", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfz.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfz.fz")
+    wh
+  }
 
   private def freshPair(seed: Int, rows: Seq[(Long, String, Int)]): (LakeTable, LakeTable) = {
     val df = rows.toDF("id", "v", "b")
@@ -73,6 +82,15 @@ class SqlMergeDifferentialSpec extends SparkSpec {
       }
       sql.run(sb.toString)
 
+      // identical merge through Spark's OWN parser on a catalog table —
+      // exercises GraftDmlRule end-to-end with the same random clauses
+      val natName = s"gfz.fz.t$seed"
+      warehouse: Unit
+      spark.sql(s"DROP TABLE IF EXISTS $natName")
+      tgtRows.toDF("id", "v", "b").write.saveAsTable(natName)
+      spark.sql(sb.toString.replace(s"'${tSql.dir}'", natName))
+      val tNative = LakeTable.forPath(spark, s"$warehouse/fz/t$seed")
+
       // identical merge through the builder (fixed target/source aliases)
       def rw(c: String): org.apache.spark.sql.Column =
         expr(c.replace(s"$ta.", "target.").replace(s"$sa.", "source."))
@@ -93,6 +111,7 @@ class SqlMergeDifferentialSpec extends SparkSpec {
 
       withClue(s"seed $seed: ${sb.toString}\n") {
         contents(tSql) shouldBe contents(tApi)
+        contents(tNative) shouldBe contents(tApi)
       }
     }
   }
