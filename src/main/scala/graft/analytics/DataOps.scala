@@ -188,19 +188,36 @@ object DataOps {
     // KMeans — deterministic), reused verbatim on every later call, exactly
     // like a production vector index. Rebuilding per call would re-pay the
     // training cost this operator exists to amortize.
-    // cache key = corpus identity (path + file size/mtime), so regenerated
-    // testdata invalidates the index instead of silently reusing stale
-    // centroids (stale blocking would cost recall the oracle checks)
+    // cache key = corpus identity (path + file size/mtime, MD5 — no
+    // truncated-hash collisions), so regenerated testdata invalidates the
+    // index instead of silently reusing stale centroids (stale blocking
+    // would cost recall the oracle checks)
     val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
     val sig = scala.util.Try(
       java.nio.file.Files.size(src) + ":" +
         java.nio.file.Files.getLastModifiedTime(src).toMillis).getOrElse("na")
-    val key = Integer.toHexString((sfDir + "#" + sig).hashCode)
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-sem-ivf-$key", "t").toString
-    if (!graft.table.LakeTable.isTable(dir))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + "#" + sig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-sem-ivf-$key")
+    val dir = root.resolve("t").toString
+    // a half-built index (create landed, data append didn't) must rebuild,
+    // not be trusted: version >= 1 means the build's append committed
+    def usable = graft.table.LakeTable.isTable(dir) &&
+      graft.table.LakeTable.forPath(spark, dir).version >= 1
+    if (!usable) {
+      scala.util.Try {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(p => java.nio.file.Files.delete(p))
+        } finally walk.close()
+      }
       Similarity.buildIvfIndex(spark, dir, emb,
         Similarity.trainCentroids(emb, nlist = 16)): Unit
+    }
     val index = graft.table.LakeTable.forPath(spark, dir)
     val centroids = Similarity.storedCentroids(index)
     val pairs = Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,

@@ -200,7 +200,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
         val t = LakeTable.create(spark, dir, stagedSchema, pcols, props,
           ifNotExists = false)
-        captured.foreach(t.append(_): Unit)
+        // atomic-CREATE contract: a failing AS SELECT must leave NO table
+        // behind (the create committed just above, so roll it back by
+        // removing the dir — nothing existed before this staged commit)
+        try captured.foreach(t.append(_): Unit)
+        catch {
+          case e: Throwable =>
+            scala.util.Try {
+              val walk = Files.walk(dirOf(ident))
+              try walk.iterator().asScala.toSeq.reverseIterator
+                .foreach(p => Files.delete(p))
+              finally walk.close()
+            }
+            throw e
+        }
       }
     }
 
@@ -318,7 +331,9 @@ private[sources] case class GraftV2Table(
     asOfVersion.isEmpty && filters.forall(f => FilterColumns.toColumnExact(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.flatMap(FilterColumns.toColumnExact)
+    val cond = filters.map(f => FilterColumns.toColumnExact(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not translatable (canDeleteWhere should have refused): $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     lake.delete(cond): Unit

@@ -101,6 +101,13 @@ trait CdfSupport { self: LakeTable =>
         .parquet(paths: _*)
       return Some(meta(side))
     }
+    if (op == "REPLACE TABLE")
+      // the schema may have been swapped wholesale; pre-replace rows are not
+      // expressible in the post-replace schema (Delta errors on CDF ranges
+      // crossing an incompatible schema change for the same reason)
+      throw new IllegalStateException(
+        s"CDF range crosses a REPLACE TABLE at version $v — " +
+          s"read changes starting from version ${v + 1} (or end before $v)")
     if (!dataChangeOps.contains(op))
       throw new IllegalStateException(
         s"version $v is a $op commit without CDF sidecars — " +

@@ -569,10 +569,17 @@ class LakeTable private[table] (
     val props = LakeTable.normalizeProps(newProperties) +
       (ColumnIds.MaxIdKey -> stamped.fields.length.toString)
     val snap = snapshot()
-    val adds = data.map(df => stageWrite(df, newPartitionColumns,
-        constraintsOverride =
-          Some(LakeTable.constraintsFrom(props, stamped))))
-      .getOrElse(Nil)
+    // align to the STAMPED schema (not via `align`, whose generated/identity
+    // rules read the OLD table's properties): the aliases carry the fresh
+    // field-id metadata, so the staged parquet matches the committed
+    // column-mapped schema — without this, post-replace reads that resolve
+    // by field id find none in the files
+    val adds = data.map { df =>
+      val cols = stamped.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name, f.metadata))
+      stageWrite(df.select(cols: _*), newPartitionColumns,
+        constraintsOverride = Some(LakeTable.constraintsFrom(props, stamped)))
+    }.getOrElse(Nil)
     commitWithRetry("REPLACE TABLE",
       Map("partitionBy" -> newPartitionColumns.mkString(",")), snap) { s =>
       val now = System.currentTimeMillis()
@@ -1507,7 +1514,7 @@ object LakeTable {
     } ++ properties.toSeq.collect {
       case (k, v) if k.startsWith("graft.generated.") =>
         k.stripPrefix("graft.generated.") -> v
-    }.sortBy(_._1).map { case (name, e) =>
+    }.map { case (name, e) =>
       val dt = schema(name).dataType
       // NULL is exempt: rows written before the rule existed carry NULL and
       // must keep flowing through DML rewrites

@@ -79,6 +79,54 @@ class CatalogReplaceSpec extends SparkSpec {
     spark.table("grt.fl.t").count() shouldBe 5
   }
 
+  test("RTAS data reads back column values (field-id-aligned files)") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.rd")
+    spark.sql("CREATE TABLE grt.rd.t (id BIGINT) USING graft")
+    spark.range(4).write.mode("append").saveAsTable("grt.rd.t")
+    spark.sql("""CREATE OR REPLACE TABLE grt.rd.t USING graft AS
+      SELECT id AS key, CAST(id * 2.5 AS DOUBLE) AS score FROM range(6)""")
+    // real column IO, not metadata: the staged files must carry the stamped
+    // field ids the committed (column-mapped) schema resolves by
+    spark.table("grt.rd.t").agg(sum("score")).collect().head.getDouble(0) shouldBe
+      (0 until 6).map(_ * 2.5).sum
+    // and the replaced table's column mapping works: rename is metadata-only
+    val t = LakeTable.forPath(spark, s"$warehouse/rd/t")
+    t.renameColumn("score", "points")
+    spark.sql("REFRESH TABLE grt.rd.t")
+    spark.table("grt.rd.t").agg(sum("points")).collect().head.getDouble(0) shouldBe 37.5
+  }
+
+  test("a failing atomic CTAS leaves NO table behind") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.ct")
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE grt.ct.boom USING graft AS
+        SELECT id, raise_error('nope') AS x FROM range(3)""")
+    }
+    spark.sql("SHOW TABLES IN grt.ct").count() shouldBe 0
+    // and the name is reusable right away
+    spark.sql("CREATE TABLE grt.ct.boom (id BIGINT) USING graft")
+    spark.table("grt.ct.boom").count() shouldBe 0
+  }
+
+  test("CDF ranges crossing a REPLACE TABLE fail with a clear boundary error") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.cdf")
+    spark.sql("""CREATE TABLE grt.cdf.t (id BIGINT) USING graft
+      TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true')""")
+    spark.range(5).write.mode("append").saveAsTable("grt.cdf.t")
+    spark.sql("CREATE OR REPLACE TABLE grt.cdf.t USING graft AS SELECT id AS k FROM range(2)")
+    val t = LakeTable.forPath(spark, s"$warehouse/cdf/t")
+    val replaceV = t.version
+    val err = intercept[IllegalStateException](t.changes(0).collect())
+    err.getMessage should include("REPLACE TABLE")
+    err.getMessage should include(s"version ${replaceV + 1}")
+    // post-replace changes read fine
+    spark.range(3).select(col("id").as("k")).write.mode("append").saveAsTable("grt.cdf.t")
+    t.changes(replaceV + 1).count() shouldBe 3
+  }
+
   test("readStream.table streams a catalog table (V1 fallback source)") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.st")
