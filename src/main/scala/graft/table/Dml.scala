@@ -25,10 +25,40 @@ trait DmlSupport { self: LakeTable =>
     * With deletion vectors enabled, matched rows are masked and ONLY their
     * updated versions are appended — a 0.1% update writes 0.1% of the data,
     * not every touched file. */
-  def update(cond: Column, set: Map[String, Column]): Long = {
+  def update(cond: Column, rawSet: Map[String, Column]): Long = {
     val snap = snapshot()
-    val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    val unknown = rawSet.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(",")}")
+    val idents = identityColumns.map(_._1.toLowerCase).toSet
+    require(!rawSet.keys.exists(k => idents.contains(k.toLowerCase)),
+      "columns GENERATED ALWAYS AS IDENTITY cannot be updated")
+    // Delta parity: a generated column whose rule reads an updated base
+    // column, and which the statement does not SET explicitly, is
+    // RECOMPUTED (leaving it stale would fail the write-time identity
+    // check; explicit SETs stay caller-owned and validated as before).
+    // The SET expressions are substituted INTO the rule, so the recompute
+    // sees post-update base values while still evaluating over the
+    // original row (one projection, no second pass).
+    val setKeys = rawSet.keys.map(_.toLowerCase).toSet
+    val set = rawSet ++ generatedColumns.collect {
+      case (g, rule) if !setKeys.contains(g.toLowerCase) &&
+          refNames(Pruner.exprOf(org.apache.spark.sql.functions.expr(rule)))
+            .exists(r => setKeys.contains(r.toLowerCase)) =>
+        // transformUp: a replacement that itself references the base column
+        // (SET n = n + 5) must not be re-entered by the rule
+        val substituted = Pruner.exprOf(org.apache.spark.sql.functions.expr(rule))
+          .transformUp {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if rawSet.keys.exists(_.equalsIgnoreCase(u.name)) =>
+              Pruner.exprOf(rawSet.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(u.name) => v }.get)
+          }
+        // pre-rule rows carry NULL and stay NULL (the same lineage
+        // exemption the write-time check grants); rows with a real
+        // generated value track their updated base
+        g -> when(col(g).isNull, col(g))
+          .otherwise(org.apache.spark.sql.graft.ColumnExpr.toColumn(substituted))
+    }
     if (dvEnabled) return updateWithDv(snap, cond, set)
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version

@@ -24,6 +24,41 @@ class GeneratedColumnSpec extends SparkSpec {
       java.sql.Date.valueOf("2024-03-05")
   }
 
+  test("UPDATE of a base column recomputes dependent generated columns") {
+    for (dv <- Seq(false, true)) {
+      val t = LakeTable.create(spark,
+        tmpDir(s"gen-upd-$dv").resolve("t").toString,
+        StructType(Seq(
+          StructField("id", LongType), StructField("n", LongType),
+          StructField("n2", LongType))),
+        properties = Map("graft.generated.n2" -> "n * 2",
+          "graft.enableDeletionVectors" -> dv.toString))
+      t.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n"))
+      // SET uses the OLD n (n + 5): recompute must see the NEW value
+      t.update(col("id") <= 2, Map("n" -> (col("n") + 5)))
+      val got = t.read().orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      withClue(s"dv=$dv: ") {
+        got shouldBe Seq((1L, 15L, 30L), (2L, 25L, 50L), (3L, 30L, 60L))
+      }
+      // an explicit SET of the generated column stays caller-owned:
+      // an inconsistent value is rejected by the write-time check
+      intercept[Exception] {
+        t.update(col("id") === 3, Map("n" -> lit(7L), "n2" -> lit(999L)))
+      }
+    }
+  }
+
+  test("identity columns cannot be updated") {
+    val t = LakeTable.create(spark, tmpDir("ident-upd").resolve("t").toString,
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
+      properties = Map("graft.identity.k" -> "1,1"))
+    t.append(Seq(Tuple1(10L), Tuple1(20L)).toDF("v"))
+    val e = intercept[IllegalArgumentException] {
+      t.update(col("v") === 10L, Map("k" -> lit(99L)))
+    }
+    e.getMessage should include("IDENTITY")
+  }
+
   test("supplied generated column is validated; wrong values fail before commit") {
     val t = LakeTable.create(spark, tmpDir("gen-val").resolve("t").toString,
       StructType(Seq(
