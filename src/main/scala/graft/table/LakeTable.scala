@@ -1327,8 +1327,14 @@ class LakeTable private[table] (
       // that survive into the restored state
       val dvClears = s.dvs.keySet.intersect(oldPaths).diff(old.dvs.keySet)
         .toSeq.map(f => DeletionVector(f, "", 0L))
+      // metadata restores WHOLESALE, properties included (Delta re-applies
+      // the old Metadata action): after a REPLACE TABLE swapped the
+      // properties, keeping the new ones would desync the column-mapping
+      // max-id counter from the restored schema's field ids — a later ADD
+      // COLUMN could then re-issue an id the old schema already uses
       Seq(s.metadata.copy(schemaJson = old.metadata.schemaJson,
-        partitionColumns = old.metadata.partitionColumns)) ++
+        partitionColumns = old.metadata.partitionColumns,
+        properties = old.metadata.properties)) ++
         removed.toSeq.map(p => RemoveFile(p, now)) ++
         old.files.filterNot(f => curPaths.contains(f.path)) ++
         old.dvs.values ++ dvClears ++

@@ -127,6 +127,30 @@ class CatalogReplaceSpec extends SparkSpec {
     t.changes(replaceV + 1).count() shouldBe 3
   }
 
+  test("RESTORE across a REPLACE TABLE brings back schema AND properties") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.rs")
+    spark.sql("""CREATE TABLE grt.rs.t (id BIGINT, v DOUBLE) USING graft
+      TBLPROPERTIES ('mark' = 'original')""")
+    spark.range(4).select(col("id"), col("id").cast("double").as("v"))
+      .write.mode("append").saveAsTable("grt.rs.t")
+    val t = LakeTable.forPath(spark, s"$warehouse/rs/t")
+    val vOld = t.version
+    spark.sql("""CREATE OR REPLACE TABLE grt.rs.t USING graft AS
+      SELECT id AS a, id AS b, id AS c FROM range(2)""")
+    t.restoreToVersion(vOld)
+    spark.sql("REFRESH TABLE grt.rs.t")
+    spark.table("grt.rs.t").columns.toSeq shouldBe Seq("id", "v")
+    spark.table("grt.rs.t").count() shouldBe 4
+    t.properties("mark") shouldBe "original"
+    // the restored column-mapping counter matches the restored schema:
+    // a fresh ADD COLUMN must get an UNUSED field id
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.StringType)))
+    val ids = t.snapshot().schema.fields.toSeq.flatMap(graft.log.ColumnIds.idOf)
+    ids.distinct.size shouldBe ids.size // no collisions
+  }
+
   test("readStream.table streams a catalog table (V1 fallback source)") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.st")
