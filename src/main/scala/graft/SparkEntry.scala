@@ -100,7 +100,8 @@ object SparkEntry {
     "q30_quality_report" -> (QualityOps.qualityReport _),
     "q31_duplicate_ids" -> (QualityOps.duplicateIds _),
     "q32_range_validation" -> (QualityOps.rangeValidation _),
-    "q33_stream_ingest" -> (QualityOps.streamIngest _))
+    "q33_stream_ingest" -> (QualityOps.streamIngest _),
+    "q75_filter_cascade" -> (QualityOps.filterCascade _))
 
   /** Metadata/maintenance surface (§2.9 M7/M10-M16). */
   private val metaOpsQueries: Map[String, Q] = Map(

@@ -46,7 +46,46 @@ object QualityOps {
     table.read()
   }
 
+  /** Curation-funnel gate (q75): three quality stages over documents with
+    * first-fail attribution — the report row per stage carries how many
+    * docs died there and how many survive past it. Stage predicates reuse
+    * the q27-proven token/punctuation formulas so the oracle replays them
+    * exactly. */
+  def filterCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val t = col("text")
+    Quality.cascadeReport(docs, Seq(
+      "min_tokens" -> (TextAnalysis.tokenCount(t) >= 30),
+      "max_punct" -> (TextAnalysis.punctRatio(t) <= 0.045),
+      "min_chars" -> (TextAnalysis.charCount(t) >= 200)))
+  }
+
+  private val cascadeToks =
+    """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       ELSE string_split_regex(trim(text), '\s+') END"""
+  private val cascadePunct =
+    """(CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE)
+       / greatest(length(text), 1))"""
+
   val oracles: Map[String, String] = Map(
+    "q75_filter_cascade" ->
+      s"""WITH m AS (SELECT
+             CASE WHEN NOT coalesce(len($cascadeToks) >= 30, false) THEN 0
+                  WHEN NOT coalesce($cascadePunct <= 0.045, false) THEN 1
+                  WHEN NOT coalesce(length(text) >= 200, false) THEN 2
+                  ELSE 3 END AS f
+           FROM documents)
+         SELECT 0 AS stage_id, 'min_tokens' AS stage,
+             (SELECT count(*) FROM m WHERE f = 0) AS failed,
+             (SELECT count(*) FROM m WHERE f > 0) AS surviving
+         UNION ALL SELECT 1, 'max_punct',
+             (SELECT count(*) FROM m WHERE f = 1),
+             (SELECT count(*) FROM m WHERE f > 1)
+         UNION ALL SELECT 2, 'min_chars',
+             (SELECT count(*) FROM m WHERE f = 2),
+             (SELECT count(*) FROM m WHERE f > 2)""",
     "q30_quality_report" ->
       """SELECT 'o_custkey' AS "column", CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS metric_value, COUNT(*) AS total_rows FROM orders
          UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT), COUNT(*) FROM orders

@@ -16,6 +16,42 @@ import graft.table.LakeTable
   */
 object Quality {
 
+  /** Quality-filter cascade with FIRST-FAIL attrition attribution — the
+    * curation-funnel report every large-scale filtering pipeline needs: for
+    * each stage, how many documents died THERE (not at a later stage they
+    * never reached) and how many survive past it. One codegen'd projection
+    * computes the first-failed-stage index per row, one partial-agged
+    * shuffle counts the n+1 buckets, and the n-row report is assembled
+    * driver-side from that bounded aggregate — cost is a single scan
+    * regardless of stage count, never a filter-count pass per stage. NULL
+    * predicate results fail their stage (a doc that can't prove quality
+    * doesn't pass), mirroring SQL WHERE semantics on the survivor set. */
+  def cascadeReport(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "cascadeReport needs at least one stage")
+    val firstFail = stages.zipWithIndex.foldRight(lit(stages.size)) {
+      case (((_, pred), i), later) =>
+        when(!coalesce(pred, lit(false)), lit(i)).otherwise(later)
+    }
+    val counts = df.select(firstFail.as("__fail"))
+      .groupBy("__fail").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val failedHere = counts.getOrElse(i, 0L)
+      val survivingAfter = total - (0 to i).map(counts.getOrElse(_, 0L)).sum
+      (i, name, failedHere, survivingAfter)
+    }
+    rows.toDF("stage_id", "stage", "failed", "surviving")
+  }
+
+  /** The cascade's survivor set: rows passing EVERY stage (same NULL-fails
+    * semantics as [[cascadeReport]]); `surviving` of the last report row
+    * equals this frame's count. */
+  def cascadeFilter(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
+    df.filter(stages.map { case (_, p) => coalesce(p, lit(false)) }.reduce(_ && _))
+
   /** Q1: completeness — null count and % per required column, ONE pass. */
   def completeness(df: DataFrame, requiredCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("__total") +:

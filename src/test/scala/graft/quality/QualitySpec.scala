@@ -17,6 +17,27 @@ class QualitySpec extends SparkSpec {
     ).toDF("id", "name", "amount")
   }
 
+  test("cascadeReport: first-fail attribution, NULLs fail, filter agrees") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(10), Some(0.1)),  // passes both
+      (2L, Some(1), Some(0.1)),   // dies at stage 0 (tokens)
+      (3L, Some(1), Some(0.9)),   // would fail both -> attributed to stage 0
+      (4L, Some(10), Some(0.9)),  // dies at stage 1 (punct)
+      (5L, None, Some(0.1)),      // NULL tokens -> fails stage 0
+      (6L, Some(10), None)        // NULL punct -> fails stage 1
+    ).toDF("id", "tok", "punct")
+    val stages = Seq(
+      "min_tokens" -> (col("tok") >= 5),
+      "max_punct" -> (col("punct") <= 0.5))
+    val report = Quality.cascadeReport(docs, stages)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    report shouldBe Seq(
+      (0, "min_tokens", 3L, 3L), // docs 2,3,5 die here; 1,4,6 continue
+      (1, "max_punct", 2L, 1L))  // docs 4,6 die here; doc 1 survives
+    Quality.cascadeFilter(docs, stages).select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
   test("completeness: one-pass null counts per column (Q1)") {
     val rep = Quality.completeness(df, Seq("name", "amount")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
