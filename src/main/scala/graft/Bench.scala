@@ -106,6 +106,34 @@ object Bench {
       name -> secs(1)
     }
 
+    // The query section leaves GBs of scratch tables / checkpoints / CTAS
+    // warehouses in java.io.tmpdir (75 queries × 3 reps); their dirty
+    // pages and writeback debt bill the strain sections that follow
+    // (observed: 10M-row merge 6.7s against a clean tmpdir vs 12.5s after
+    // a full query pass — same code, same data). Reclaim everything the
+    // queries created, then sync, so the ops below are measured against
+    // the machine state a fresh run would see. The q68 durable index cache
+    // (graft-sem-ivf-*) is the one deliberate survivor.
+    {
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val doomed = java.nio.file.Files.list(tmp)
+      try doomed.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft-") && !n.startsWith("graft-sem-ivf")
+        }
+        .foreach { p =>
+          scala.util.Try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverseIterator
+              .foreach(java.nio.file.Files.delete(_))
+            finally walk.close()
+          }
+        }
+      finally doomed.close()
+      quiesce()
+    }
+
     // ---- table-format ops (BASELINE.md operation set) ----
     val ops = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val skipOps = sys.env.get("SPARK_GRAFT_SKIP_OPS").contains("1")
