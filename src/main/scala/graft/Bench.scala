@@ -40,6 +40,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.local(cpus.toInt, "graft-bench")
@@ -120,16 +121,14 @@ object Bench {
       try doomed.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("graft-") && !n.startsWith("graft-sem-ivf")
+          // only scratch THIS run created — a concurrent graft process
+          // sharing the tmpdir keeps its live dirs (benchStart is taken
+          // before the warmup, the first thing that creates scratch)
+          n.startsWith("graft-") && !n.startsWith("graft-sem-ivf") &&
+            scala.util.Try(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .toOption.exists(_ >= benchStart)
         }
-        .foreach { p =>
-          scala.util.Try {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.iterator().asScala.toSeq.reverseIterator
-              .foreach(java.nio.file.Files.delete(_))
-            finally walk.close()
-          }
-        }
+        .foreach(graft.log.TxLog.deleteRecursively)
       finally doomed.close()
       quiesce()
     }

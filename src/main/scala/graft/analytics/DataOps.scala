@@ -207,14 +207,7 @@ object DataOps {
     def usable = graft.table.LakeTable.isTable(dir) &&
       graft.table.LakeTable.forPath(spark, dir).version >= 1
     if (!usable) {
-      scala.util.Try {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverseIterator
-            .foreach(p => java.nio.file.Files.delete(p))
-        } finally walk.close()
-      }
+      graft.log.TxLog.deleteRecursively(root)
       Similarity.buildIvfIndex(spark, dir, emb,
         Similarity.trainCentroids(emb, nlist = 16)): Unit
     }

@@ -182,4 +182,16 @@ object TxLog {
   def isTable(tableDir: String): Boolean =
     Files.isDirectory(Paths.get(tableDir).resolve("_txlog")) &&
       new TxLog(Paths.get(tableDir)).listVersions().nonEmpty
+
+  /** Best-effort recursive delete (shared by DROP TABLE/NAMESPACE, staged
+    * rollback, cache invalidation, bench scratch reclaim). Never throws —
+    * callers treat a partial delete like any other orphaned scratch. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    scala.util.Try {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete(_))
+      } finally walk.close()
+    }: Unit
 }

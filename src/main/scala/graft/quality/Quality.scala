@@ -50,7 +50,8 @@ object Quality {
     * semantics as [[cascadeReport]]); `surviving` of the last report row
     * equals this frame's count. */
   def cascadeFilter(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
-    df.filter(stages.map { case (_, p) => coalesce(p, lit(false)) }.reduce(_ && _))
+    stages.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduceOption(_ && _).map(df.filter).getOrElse(df)
 
   /** Q1: completeness — null count and % per required column, ONE pass. */
   def completeness(df: DataFrame, requiredCols: Seq[String]): DataFrame = {

@@ -206,12 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         try captured.foreach(t.append(_): Unit)
         catch {
           case e: Throwable =>
-            scala.util.Try {
-              val walk = Files.walk(dirOf(ident))
-              try walk.iterator().asScala.toSeq.reverseIterator
-                .foreach(p => Files.delete(p))
-              finally walk.close()
-            }
+            TxLog.deleteRecursively(dirOf(ident))
             throw e
         }
       }

@@ -51,7 +51,11 @@ trait CdfSupport { self: LakeTable =>
     val end = endingVersion.getOrElse(latest)
     require(startingVersion >= 0 && end <= latest && startingVersion <= end,
       s"invalid CDF range [$startingVersion,$end] for table at version $latest")
-    val schema = snapshot().schema
+    // the schema AS OF the range's END, not the head: a range ending
+    // before a later REPLACE TABLE must read its files under the schema
+    // (and column-mapping field ids) that wrote them — the head schema's
+    // restamped ids would silently resolve old files' columns wrongly
+    val schema = snapshot(Some(end)).schema
     val perVersion: Seq[DataFrame] = (startingVersion to end).flatMap { v =>
       versionChanges(v, schema)
     }

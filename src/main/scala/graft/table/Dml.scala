@@ -38,26 +38,26 @@ trait DmlSupport { self: LakeTable =>
     // check; explicit SETs stay caller-owned and validated as before).
     // The SET expressions are substituted INTO the rule, so the recompute
     // sees post-update base values while still evaluating over the
-    // original row (one projection, no second pass).
+    // original row (one projection, no second pass). Rows that predate the
+    // rule (NULL generated value) CONVERGE to it when their base is
+    // updated — the NULL exemption covers rows the DML never touches, not
+    // rows being rewritten while the rule is live.
     val setKeys = rawSet.keys.map(_.toLowerCase).toSet
-    val set = rawSet ++ generatedColumns.collect {
-      case (g, rule) if !setKeys.contains(g.toLowerCase) &&
-          refNames(Pruner.exprOf(org.apache.spark.sql.functions.expr(rule)))
-            .exists(r => setKeys.contains(r.toLowerCase)) =>
+    val set = rawSet ++ generatedColumns.flatMap { case (g, rule) =>
+      val ruleExpr = Pruner.exprOf(org.apache.spark.sql.functions.expr(rule))
+      if (setKeys.contains(g.toLowerCase) ||
+          !refNames(ruleExpr).exists(r => setKeys.contains(r.toLowerCase))) None
+      else {
         // transformUp: a replacement that itself references the base column
         // (SET n = n + 5) must not be re-entered by the rule
-        val substituted = Pruner.exprOf(org.apache.spark.sql.functions.expr(rule))
-          .transformUp {
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                if rawSet.keys.exists(_.equalsIgnoreCase(u.name)) =>
-              Pruner.exprOf(rawSet.collectFirst {
-                case (k, v) if k.equalsIgnoreCase(u.name) => v }.get)
-          }
-        // pre-rule rows carry NULL and stay NULL (the same lineage
-        // exemption the write-time check grants); rows with a real
-        // generated value track their updated base
-        g -> when(col(g).isNull, col(g))
-          .otherwise(org.apache.spark.sql.graft.ColumnExpr.toColumn(substituted))
+        val substituted = ruleExpr.transformUp {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if rawSet.keys.exists(_.equalsIgnoreCase(u.name)) =>
+            Pruner.exprOf(rawSet.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(u.name) => v }.get)
+        }
+        Some(g -> org.apache.spark.sql.graft.ColumnExpr.toColumn(substituted))
+      }
     }
     if (dvEnabled) return updateWithDv(snap, cond, set)
     val touched = filesContaining(snap, cond)

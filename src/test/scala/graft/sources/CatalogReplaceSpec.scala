@@ -125,6 +125,12 @@ class CatalogReplaceSpec extends SparkSpec {
     // post-replace changes read fine
     spark.range(3).select(col("id").as("k")).write.mode("append").saveAsTable("grt.cdf.t")
     t.changes(replaceV + 1).count() shouldBe 3
+    // a range ENTIRELY before the replace reads under the schema that
+    // wrote it — old column name, old field ids, real values
+    val pre = t.changes(0, Some(replaceV - 1))
+    pre.columns should contain("id")
+    pre.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe (0L until 5L)
   }
 
   test("RESTORE across a REPLACE TABLE brings back schema AND properties") {

@@ -40,6 +40,13 @@ class GeneratedColumnSpec extends SparkSpec {
       withClue(s"dv=$dv: ") {
         got shouldBe Seq((1L, 15L, 30L), (2L, 25L, 50L), (3L, 30L, 60L))
       }
+      // a pre-rule NULL row converges to the rule when its base updates
+      val t2 = LakeTable.createFrom(spark,
+        tmpDir(s"gen-conv-$dv").resolve("t").toString,
+        Seq((9L, 4L)).toDF("id", "n"))
+      t2.addGeneratedColumn("n2", LongType, "n * 2")
+      t2.update(col("id") === 9L, Map("n" -> lit(6L)))
+      t2.read().select("n", "n2").as[(Long, Option[Long])].head() shouldBe ((6L, Some(12L)))
       // an explicit SET of the generated column stays caller-owned:
       // an inconsistent value is rejected by the write-time check
       intercept[Exception] {
@@ -78,10 +85,12 @@ class GeneratedColumnSpec extends SparkSpec {
     val t = LakeTable.createFrom(spark, tmpDir("gen-add").resolve("t").toString,
       Seq((1L, 4L)).toDF("id", "n"))
     t.addGeneratedColumn("n2", LongType, "n * 2")
-    // pre-rule row reads NULL and still flows through DML
+    // pre-rule row reads NULL and still flows through DML; updating its
+    // BASE column converges it to the live rule (rows the DML never
+    // touches keep their NULL exemption)
     t.read().select("n2").as[Option[Long]].head() shouldBe None
     t.update(col("id") === 1L, Map("n" -> lit(7L)))
-    t.read().select("n", "n2").as[(Long, Option[Long])].head() shouldBe ((7L, None))
+    t.read().select("n", "n2").as[(Long, Option[Long])].head() shouldBe ((7L, Some(14L)))
     // new writers get the computed value
     t.append(Seq((2L, 10L)).toDF("id", "n"))
     t.read().filter(col("id") === 2L).select("n2").as[Option[Long]].head() shouldBe Some(20L)
