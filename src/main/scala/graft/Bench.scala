@@ -39,10 +39,33 @@ object Bench {
     System.gc()
   }
 
+  /** Run-private scratch root: redirect java.io.tmpdir to a fresh directory
+    * before ANY temp-file API call (java.nio's TempFileHelper caches the
+    * property at first use), so every scratch dir this process creates —
+    * query scratch tables, CTAS warehouses, stream checkpoints, Spark's own
+    * local dirs, the q68 index cache — lands under one root this run owns.
+    * Reclaim then deletes exactly what this run created and nothing else; a
+    * concurrent graft process keeps its own root untouched (the r5 mtime
+    * heuristic had that inverted: it spared idle pre-existing dirs but
+    * deleted a concurrent process's LIVE scratch).
+    * No temp-file API may run before this: build the path by hand. */
+  private def claimRunTmpdir(): java.nio.file.Path = {
+    val base = System.getProperty("java.io.tmpdir", "/tmp")
+    val d = java.nio.file.Paths.get(base,
+      s"graft-bench-run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(d)
+    System.setProperty("java.io.tmpdir", d.toString)
+    d
+  }
+
   def main(args: Array[String]): Unit = {
-    val benchStart = System.currentTimeMillis()
+    val runTmp = claimRunTmpdir()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // child mode (SPARK_GRAFT_OPS_CHILD=1): this JVM was forked by a parent
+    // Bench run purely to measure the ops sections against a fresh JVM —
+    // skip the query section, never fork again
+    val opsChild = sys.env.get("SPARK_GRAFT_OPS_CHILD").contains("1")
     val spark = graft.core.Sessions.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -87,7 +110,8 @@ object Bench {
     // SPARK_GRAFT_ONLY=q2,q28 (prefix match) and SPARK_GRAFT_SKIP_OPS=1 are
     // local-iteration escape hatches; the driver sets neither.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val benchQueries = SparkEntry.queries.filter { case (n, _) =>
+    val benchQueries = if (opsChild) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+    else SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
     }
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -108,25 +132,20 @@ object Bench {
     }
 
     // The query section leaves GBs of scratch tables / checkpoints / CTAS
-    // warehouses in java.io.tmpdir (75 queries × 3 reps); their dirty
+    // warehouses in the run tmpdir (75 queries × 3 reps); their dirty
     // pages and writeback debt bill the strain sections that follow
     // (observed: 10M-row merge 6.7s against a clean tmpdir vs 12.5s after
     // a full query pass — same code, same data). Reclaim everything the
     // queries created, then sync, so the ops below are measured against
-    // the machine state a fresh run would see. The q68 durable index cache
-    // (graft-sem-ivf-*) is the one deliberate survivor.
-    {
-      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val doomed = java.nio.file.Files.list(tmp)
+    // the machine state a fresh run would see. Everything under runTmp is
+    // this run's property; the only survivors are Spark's own LIVE local
+    // dirs (block manager / shuffle scratch of the still-running session).
+    if (!opsChild) {
+      val doomed = java.nio.file.Files.list(runTmp)
       try doomed.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          // only scratch THIS run created — a concurrent graft process
-          // sharing the tmpdir keeps its live dirs (benchStart is taken
-          // before the warmup, the first thing that creates scratch)
-          n.startsWith("graft-") && !n.startsWith("graft-sem-ivf") &&
-            scala.util.Try(java.nio.file.Files.getLastModifiedTime(p).toMillis)
-              .toOption.exists(_ >= benchStart)
+          !n.startsWith("spark-") && !n.startsWith("blockmgr-")
         }
         .foreach(graft.log.TxLog.deleteRecursively)
       finally doomed.close()
@@ -134,11 +153,29 @@ object Bench {
     }
 
     // ---- table-format ops (BASELINE.md operation set) ----
-    val ops = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val skipOps = sys.env.get("SPARK_GRAFT_SKIP_OPS").contains("1")
+    val ops: scala.collection.Map[String, Double] =
+      if (skipOps) Map.empty[String, Double]
+      else if (opsChild) runOpsInline(spark, sfDir)
+      else forkOps().getOrElse {
+        System.err.println("[bench] ops fork failed; measuring ops in this JVM")
+        runOpsInline(spark, sfDir)
+      }
 
+    emitResult(results, ops, sfDir, spark, runTmp)
+  }
+
+  /** The BASELINE.md ops sections, measured in THIS JVM. Called directly in
+    * the forked child (fresh JVM = the steady state a real job sees) and as
+    * the fallback when the fork fails. Measured r6 on identical code: write
+    * strain 12.7M rows/s in a fresh JVM vs 8.0M after the 75-query section,
+    * merge 328K vs 149K — the query section's old-gen garbage, JIT/code-cache
+    * churn and page-cache pollution billed the ops even after reclaim+GC,
+    * which is why the ops now get their own process. */
+  private def runOpsInline(
+      spark: SparkSession, sfDir: String): scala.collection.Map[String, Double] = {
+    val ops = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val li = Tables.lineitem(spark, sfDir)
-    if (!skipOps) {
     val liRows = li.count().toDouble
 
     // sf0.1-scale latency variants (small_*): fixed per-op overhead at a
@@ -482,7 +519,59 @@ object Bench {
     ops += "skew_agg_x" -> skewAggX
     ops += "skew_dedup_x" -> skewDedupX
     ops += "skew_join_x" -> skewJoinX
-    } // skipOps
+    ops
+  }
+
+  /** Fork a fresh JVM (same args/classpath, SPARK_GRAFT_OPS_CHILD=1) to run
+    * the ops sections, and parse its BENCH_DETAIL ops object. Returns None on
+    * any failure so the caller can fall back to in-JVM measurement. */
+  private def forkOps(): Option[scala.collection.Map[String, Double]] = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_OPS_CHILD", "1")
+      pb.environment().remove("SPARK_GRAFT_ONLY")
+      pb.environment().remove("SPARK_GRAFT_SKIP_OPS")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // drain stdout on a thread so a filled pipe can't deadlock waitFor
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() =>
+        try p.getInputStream.transferTo(outBuf): Unit
+        catch { case scala.util.control.NonFatal(_) => })
+      drainer.setDaemon(true)
+      drainer.start()
+      val done = p.waitFor(540, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(): Unit; return None }
+      drainer.join(5000)
+      if (p.exitValue() != 0) return None
+      val out = outBuf.toString("UTF-8")
+      out.linesIterator.find(_.startsWith("BENCH_DETAIL")).flatMap { line =>
+        val opsStr = line.split("\"ops\":", 2).lift(1).getOrElse("")
+        val cut = opsStr.indexOf("},\"sf\"")
+        val body = if (cut >= 0) opsStr.substring(0, cut + 1) else opsStr
+        val kv = """"([A-Za-z0-9_]+)":(-?[0-9.]+|null)""".r
+        val pairs = kv.findAllMatchIn(body).collect {
+          case m if m.group(2) != "null" => m.group(1) -> m.group(2).toDouble
+        }.toSeq
+        if (pairs.isEmpty) None
+        else Some(scala.collection.mutable.LinkedHashMap(pairs: _*))
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] ops fork error: ${e.getMessage}"); None }
+  }
+
+  private def emitResult(
+      results: Seq[(String, Double)],
+      ops: scala.collection.Map[String, Double],
+      sfDir: String,
+      spark: SparkSession,
+      runTmp: java.nio.file.Path): Unit = {
 
     // Locale.ROOT everywhere: a non-English default locale would format
     // decimal commas ("52,19") and break the machine-parsed JSON
@@ -503,6 +592,9 @@ object Bench {
     // stop BEFORE printing: SparkSession shutdown can emit WARN lines, and
     // anything printed after the final JSON eats into the 2000-char window
     try spark.stop() catch { case scala.util.control.NonFatal(_) => }
+    // the run tmpdir is entirely this run's scratch; leave the machine clean
+    try graft.log.TxLog.deleteRecursively(runTmp)
+    catch { case scala.util.control.NonFatal(_) => }
     // same sf spelling on both lines (full path kept as sf_dir for humans)
     println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir"}""")
     // final line: every query plus the BASELINE.md-comparable ops, sized to
