@@ -188,28 +188,44 @@ object DataOps {
     // KMeans — deterministic), reused verbatim on every later call, exactly
     // like a production vector index. Rebuilding per call would re-pay the
     // training cost this operator exists to amortize.
-    // cache key = corpus identity (path + file size/mtime, MD5 — no
-    // truncated-hash collisions), so regenerated testdata invalidates the
-    // index instead of silently reusing stale centroids (stale blocking
-    // would cost recall the oracle checks)
+    // cache key = corpus identity (path + file size/mtime, full 128-bit
+    // MD5), so regenerated testdata invalidates the index instead of
+    // silently reusing stale centroids (stale blocking would cost recall
+    // the oracle checks)
     val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
     val sig = scala.util.Try(
       java.nio.file.Files.size(src) + ":" +
         java.nio.file.Files.getLastModifiedTime(src).toMillis).getOrElse("na")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((sfDir + "#" + sig).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-sem-ivf-$key")
+      .map("%02x".format(_)).mkString
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = tmpRoot.resolve(s"graft-sem-ivf-$key")
     val dir = root.resolve("t").toString
     // a half-built index (create landed, data append didn't) must rebuild,
     // not be trusted: version >= 1 means the build's append committed
     def usable = graft.table.LakeTable.isTable(dir) &&
       graft.table.LakeTable.forPath(spark, dir).version >= 1
     if (!usable) {
-      graft.log.TxLog.deleteRecursively(root)
-      Similarity.buildIvfIndex(spark, dir, emb,
+      // race-safe fill: build into a process-private staging dir, then
+      // publish with one atomic rename — a concurrent run either wins the
+      // rename (we discard our build and read theirs) or sees our complete
+      // index; nobody ever reads a directory another process is writing
+      val staging = java.nio.file.Files.createTempDirectory(
+        tmpRoot, s"graft-sem-ivf-build-")
+      Similarity.buildIvfIndex(spark, staging.resolve("t").toString, emb,
         Similarity.trainCentroids(emb, nlist = 16)): Unit
+      graft.log.TxLog.deleteRecursively(root)
+      try java.nio.file.Files.move(staging, root,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the publish race (or a stale root reappeared): keep whatever
+        // is at root if usable, else fail loudly on the read below
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          graft.log.TxLog.deleteRecursively(staging)
+      }
     }
     val index = graft.table.LakeTable.forPath(spark, dir)
     val centroids = Similarity.storedCentroids(index)
@@ -362,28 +378,45 @@ object DataOps {
         "punct_ratio", "stopword_ratio", "quality_score", "fingerprint")
 
   /** Full multimodal pipeline (synthesize -> decode/embed -> thumbnail ->
-    * frame-sample) with every SQL-derivable fact in the output so the
-    * driver gates the mapPartitions plumbing end-to-end: meta fields,
-    * payload/thumbnail byte lengths, per-video frame counts, feature
-    * dimensionality, and the provable norm bound (16 components in (-1,1)
-    * => 0 < norm < 4). The codec values themselves stay honestly stubbed. */
+    * frame-sample), now through REAL JDK codecs for the decodable kinds:
+    * image rows are actual PNGs decoded by javax.imageio (features = the
+    * 2×2 grid of per-quadrant channel means — exact, because the synthetic
+    * quadrants are uniform and the /256 normalizer is a power of two),
+    * audio rows are actual WAVs decoded by javax.sound.sampled (features =
+    * 12 window RMS values — exact, the windows are constant-amplitude).
+    * The oracle re-derives every decoded value arithmetically from doc_id,
+    * so a pass PROVES the encode→decode round-trip, not just plumbing.
+    * Video stays the documented undecodable-payload path: its hash-stub
+    * features are gated on the provable norm bound only, its thumbnail on
+    * the byte-prefix length, its frames on the slice count. Image
+    * thumbnails are re-decoded (header parse) to gate the real resize. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
-    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    val feats = Multimodal.extractFeatures(media, dim = 12).toDF()
       .select(col("media_id"), size(col("feature")).as("feature_dim"),
-        (col("featureNorm") > 0.0 && col("featureNorm") < 4.0).as("norm_in_range"))
-    val thumbs = Multimodal.resizeAll(media, maxBytes = 64).toDF()
-      .select(col("media_id"), length(col("content")).as("thumb_len"))
+        (col("featureNorm") >= 0.0 && col("featureNorm") < 4.0).as("norm_in_range"),
+        col("feature"))
+    val thumbs = Multimodal.thumbnailInfo(media, maxBytes = 64).toDF()
+      .select(col("media_id"),
+        when(col("kind") === "image", lit(null).cast("int"))
+          .otherwise(col("thumb_len")).as("thumb_len"),
+        col("thumb_w"), col("thumb_h"))
     val frames = Multimodal.sampleVideoFrames(media, framesPerVideo = 4).toDF()
       .groupBy("media_id").agg(count(lit(1)).as("frame_count"))
     media.select(col("media_id"), col("kind"),
+        col("meta.mime").as("mime"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.durationMs").as("duration_ms"),
-        length(col("content")).as("content_len"))
+        when(col("kind") === "video", length(col("content")))
+          .otherwise(lit(null).cast("int")).as("content_len"))
       .join(feats, Seq("media_id"))
       .join(thumbs, Seq("media_id"))
       .join(frames, Seq("media_id"), "left")
       .withColumn("frame_count", coalesce(col("frame_count"), lit(0L)))
+      .withColumn("feat",
+        when(col("kind") === "video", lit(null))
+          .otherwise(col("feature")).cast("array<double>"))
+      .drop("feature")
   }
 
   /** Deterministic train/test split: md5-bucket assignment, reproducible in
@@ -917,15 +950,35 @@ object DataOps {
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         CAST(n_chars % 1024 AS INT) AS width,
-         CAST(n_chars % 768 AS INT) AS height,
-         CAST(n_chars * 40 AS BIGINT) AS duration_ms,
-         CAST(octet_length(encode(text)) AS INT) AS content_len,
-         CAST(16 AS INT) AS feature_dim,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'application/octet-stream' END AS mime,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END AS INT) AS width,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 375 ELSE 0 END AS BIGINT) AS duration_ms,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) END AS INT) AS content_len,
+         CAST(12 AS INT) AS feature_dim,
          TRUE AS norm_in_range,
-         CAST(least(64, octet_length(encode(text))) AS INT) AS thumb_len,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 64
+                   WHEN doc_id % 3 = 2 THEN least(64, octet_length(encode(text)))
+              END AS INT) AS thumb_len,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 4 END AS INT) AS thumb_w,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 4 END AS INT) AS thumb_h,
          CAST(CASE WHEN doc_id % 3 = 2
-              THEN least(4, octet_length(encode(text))) ELSE 0 END AS BIGINT) AS frame_count
+              THEN least(4, octet_length(encode(text))) ELSE 0 END AS BIGINT) AS frame_count,
+         CASE WHEN doc_id % 3 = 0 THEN [
+             ((7*doc_id + 13*0) % 256) / 256.0, ((11*doc_id + 17*0) % 256) / 256.0, ((19*doc_id + 23*0) % 256) / 256.0,
+             ((7*doc_id + 13*1) % 256) / 256.0, ((11*doc_id + 17*1) % 256) / 256.0, ((19*doc_id + 23*1) % 256) / 256.0,
+             ((7*doc_id + 13*2) % 256) / 256.0, ((11*doc_id + 17*2) % 256) / 256.0, ((19*doc_id + 23*2) % 256) / 256.0,
+             ((7*doc_id + 13*3) % 256) / 256.0, ((11*doc_id + 17*3) % 256) / 256.0, ((19*doc_id + 23*3) % 256) / 256.0]
+           WHEN doc_id % 3 = 1 THEN [
+             abs((doc_id*37 +  0*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  1*101) % 30000 - 15000) / 32768.0,
+             abs((doc_id*37 +  2*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  3*101) % 30000 - 15000) / 32768.0,
+             abs((doc_id*37 +  4*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  5*101) % 30000 - 15000) / 32768.0,
+             abs((doc_id*37 +  6*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  7*101) % 30000 - 15000) / 32768.0,
+             abs((doc_id*37 +  8*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  9*101) % 30000 - 15000) / 32768.0,
+             abs((doc_id*37 + 10*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 + 11*101) % 30000 - 15000) / 32768.0]
+           ELSE NULL END AS feat
          FROM documents""",
     "q24_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source,

@@ -1,17 +1,24 @@
 package graft.multimodal
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-/** Multimodal (image/audio/video) plumbing for a training-data pipeline.
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal (image/audio/video) processing for a training-data pipeline.
   *
   * Media rides as an opaque `binary` column plus a typed metadata struct;
   * decode / feature-extraction / resize / frame-sampling run as typed
   * `mapPartitions` stages (the JVM-side equivalent of `mapInPandas`
-  * batches: one iterator per partition, amortized per-batch setup). The
-  * actual codec calls are STUBBED — this container has no image/audio
-  * libraries — behind [[Codecs]], with deterministic fakes so the
-  * Spark-side schema, partitioning, and batch shape are real and tested.
+  * batches: one iterator per partition, amortized per-batch setup).
+  *
+  * Codec reality in this container: the JDK itself ships real codecs for
+  * the two most common still formats — `javax.imageio` decodes/encodes
+  * PNG/JPEG/GIF/BMP and `javax.sound.sampled` reads/writes WAV PCM — so
+  * the image and uncompressed-audio legs below are REAL decode paths
+  * (bytes → pixels/samples → features/thumbnails). Only video and
+  * compressed audio (no ffmpeg/libopus here) fall back to a clearly-marked
+  * deterministic stand-in, [[Codecs.hashFeatures]].
   */
 object Multimodal {
 
@@ -20,14 +27,206 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, feature: Array[Float], featureNorm: Double)
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUBBED codec boundary. In production these call the real decoders
-    * (libjpeg/ffmpeg/…); here they are deterministic functions of the bytes
-    * so tests and oracles are stable. */
+  /** Codec boundary. Image and WAV-audio functions call the JDK's real
+    * decoders; [[hashFeatures]]/[[sampleFrames]] are the deterministic
+    * stand-ins for formats this container cannot decode (video, compressed
+    * audio) — kept honest and clearly named. */
   object Codecs {
-    /** Stub "decode + embed": dim floats derived from a rolling byte hash. */
-    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+
+    // ---- images (real: javax.imageio — PNG/JPEG/GIF/BMP) ----
+
+    /** Full decode to pixels; None when no installed reader understands the
+      * bytes (then the caller falls through to audio / the hash stub). */
+    def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Header-only parse: (mime, width, height) without decoding pixel data
+      * — the cheap path for stamping [[MediaMeta]] at ingest. */
+    def imageMeta(content: Array[Byte]): Option[(String, Int, Int)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((s"image/${r.getFormatName.toLowerCase}", r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Image features: decode, split into a g×g grid (g = ⌊√(dim/3)⌋, ≥1),
+      * emit per-cell channel means normalized by 256 — row-major cells,
+      * [r,g,b] per cell; dims past g·g·3 are zero. The /256 normalizer (not
+      * /255) keeps every integer channel mean exactly representable in both
+      * float and double, so an external oracle reproduces the values
+      * bit-for-bit. */
+    def imageFeatures(content: Array[Byte], dim: Int): Option[Array[Float]] =
+      decodeImage(content).map { img =>
+        val g = math.max(1, math.sqrt(dim / 3.0).toInt)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](dim)
+        var gy = 0
+        while (gy < g) {
+          var gx = 0
+          while (gx < g) {
+            val x0 = gx * w / g; val x1 = math.max(x0 + 1, (gx + 1) * w / g)
+            val y0 = gy * h / g; val y1 = math.max(y0 + 1, (gy + 1) * h / g)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = ((x1 - x0).toLong * (y1 - y0)).toDouble
+            val base = (gy * g + gx) * 3
+            if (base + 2 < dim) {
+              out(base) = (rs / n / 256.0).toFloat
+              out(base + 1) = (gs / n / 256.0).toFloat
+              out(base + 2) = (bs / n / 256.0).toFloat
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }
+
+    /** Real thumbnail: decode → deterministic block-mean downsample to w×h
+      * (Graphics2D filtering varies by JDK; an explicit mean does not) →
+      * PNG re-encode. None for undecodable payloads. */
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(content).map { img =>
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var ty = 0
+        while (ty < h) {
+          var tx = 0
+          while (tx < w) {
+            val x0 = tx * sw / w; val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+            val y0 = ty * sh / h; val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            out.setRGB(tx, ty,
+              (((rs / n).toInt & 0xff) << 16) | (((gs / n).toInt & 0xff) << 8) |
+                ((bs / n).toInt & 0xff))
+            tx += 1
+          }
+          ty += 1
+        }
+        encodePng(out)
+      }
+
+    // ---- audio (real: javax.sound.sampled — WAV PCM) ----
+
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian per the format above
+        pcm(i * 2) = (samples(i) & 0xff).toByte
+        pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Header-only parse: (mime, durationMs). */
+    def wavMeta(content: Array[Byte]): Option[(String, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new ByteArrayInputStream(content))
+        val ext = aff.getType.getExtension
+        val ms = (aff.getFrameLength.toLong * 1000L /
+          math.max(aff.getFormat.getFrameRate, 1f).toLong)
+        Some((s"audio/$ext", ms))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Audio features: decode 16-bit PCM, split the sample stream into
+      * `dim` equal windows, emit per-window RMS normalized by 32768 —
+      * exact integer arithmetic until the final division, so constant-
+      * amplitude windows reproduce bit-for-bit in an external oracle. */
+    def wavFeatures(content: Array[Byte], dim: Int): Option[Array[Float]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val out = new Array[Float](dim)
+            if (n == 0) Some(out)
+            else {
+              val win = math.max(1, n / dim)
+              var w = 0
+              while (w < dim) {
+                val s0 = w * win; val s1 = math.min(n, s0 + win)
+                if (s0 < n) {
+                  var sumSq = 0L
+                  var i = s0
+                  while (i < s1) {
+                    val lo = raw(i * 2) & 0xff
+                    val hi = raw(i * 2 + 1).toInt // sign-extends
+                    val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+                    val sv = s.toShort.toInt
+                    sumSq += sv.toLong * sv
+                    i += 1
+                  }
+                  out(w) = (math.sqrt(sumSq.toDouble / (s1 - s0)) / 32768.0).toFloat
+                }
+                w += 1
+              }
+              Some(out)
+            }
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    // ---- fallback (video / compressed audio: NOT decodable here) ----
+
+    /** Deterministic stand-in features for payloads no installed codec can
+      * decode (video, compressed audio): dim floats derived from a rolling
+      * byte hash. NOT a real decoder — in production this slot calls
+      * ffmpeg/libopus and this function is the documented boundary. */
+    def hashFeatures(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 1125899906842597L // deterministic fake — NOT a real decoder
+      var h = 1125899906842597L
       var i = 0
       while (i < content.length) { h = 31 * h + (content(i) & 0xff); i += 1 }
       var d = 0
@@ -39,11 +238,21 @@ object Multimodal {
       out
     }
 
-    /** Stub resize: keeps a deterministic prefix ("thumbnail bytes"). */
-    def resize(content: Array[Byte], maxBytes: Int): Array[Byte] =
-      content.take(maxBytes)
+    /** Feature dispatch: real image decode, else real WAV decode, else the
+      * hash stand-in. */
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] =
+      imageFeatures(content, dim)
+        .orElse(wavFeatures(content, dim))
+        .getOrElse(hashFeatures(content, dim))
 
-    /** Stub frame sampling: n evenly-spaced byte slices ("frames"). */
+    /** Resize dispatch: real image thumbnail (4×4 block-mean PNG by
+      * default), else the byte-prefix stand-in. */
+    def resize(content: Array[Byte], maxBytes: Int,
+        thumbW: Int = 4, thumbH: Int = 4): Array[Byte] =
+      resizeImage(content, thumbW, thumbH).getOrElse(content.take(maxBytes))
+
+    /** Stub frame sampling: n evenly-spaced byte slices ("frames") — the
+      * video-decode boundary (no ffmpeg in this container). */
     def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
       if (content.isEmpty) return Seq.empty
       val step = math.max(1, content.length / n)
@@ -53,20 +262,57 @@ object Multimodal {
     }
   }
 
-  /** Deterministic media table synthesized from the documents table (text
-    * bytes as payload) — the test/bench stand-in for a real media lake. */
-  def synthesize(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        (col("n_chars") % 1024).cast("int").as("width"),
-        (col("n_chars") % 768).cast("int").as("height"),
-        (col("n_chars") * 40L).as("durationMs")).as("meta"))
+  /** Deterministic media table synthesized from the documents table — the
+    * test/bench stand-in for a real media lake, now with REAL payloads for
+    * the decodable kinds: image rows carry an actual 16×16 four-quadrant
+    * PNG (quadrant q channel values are pure functions of doc_id, so a
+    * SQL oracle can predict the decoded pixel statistics), audio rows an
+    * actual WAV (12 constant-amplitude windows × 250 samples, 8 kHz PCM16
+    * — window RMS equals the amplitude), video rows the raw text bytes
+    * (the undecodable-payload case). MediaMeta comes from header-parsing
+    * the generated bytes — the parser is exercised at synthesis time. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      (id % 3) match {
+        case 0 =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val q = (y / 8) * 2 + (x / 8)
+              val r = ((7 * id + 13 * q) % 256).toInt
+              val g = ((11 * id + 17 * q) % 256).toInt
+              val b = ((19 * id + 23 * q) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Codecs.encodePng(img)
+          val (mime, w, h) = Codecs.imageMeta(bytes).getOrElse(("image/unknown", 0, 0))
+          MediaRecord(id, "image", bytes, MediaMeta(mime, w, h, 0L))
+        case 1 =>
+          val samples = new Array[Short](12 * 250)
+          var w = 0
+          while (w < 12) {
+            val amp = ((id * 37 + w * 101) % 30000 - 15000).toShort
+            var i = 0
+            while (i < 250) { samples(w * 250 + i) = amp; i += 1 }
+            w += 1
+          }
+          val bytes = Codecs.encodeWavPcm16(samples, 8000f)
+          val (mime, ms) = Codecs.wavMeta(bytes).getOrElse(("audio/unknown", 0L))
+          MediaRecord(id, "audio", bytes, MediaMeta(mime, 0, 0, ms))
+        case _ =>
+          MediaRecord(id, "video", text.getBytes("UTF-8"),
+            MediaMeta("application/octet-stream", 0, 0, 0L))
+      }
+    }.toDF()
+  }
 
   /** Decode + feature-extract, one partition at a time. Repartition first so
     * decode work spreads evenly (binary sizes can be skewed). */
@@ -94,12 +340,33 @@ object Multimodal {
     }
   }
 
-  /** Resize stage (stub): replaces content with the "thumbnail". */
-  def resizeAll(media: DataFrame, maxBytes: Int = 64): Dataset[MediaRecord] = {
+  /** Resize stage: real block-mean PNG thumbnails for decodable images,
+    * byte-prefix stand-in otherwise. */
+  def resizeAll(media: DataFrame, maxBytes: Int = 64,
+      thumbW: Int = 4, thumbH: Int = 4): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.map(m => m.copy(content = Codecs.resize(m.content, maxBytes)))
+      it.map(m => m.copy(content = Codecs.resize(m.content, maxBytes, thumbW, thumbH)))
+    }
+  }
+
+  /** Thumbnail audit row: the generated thumbnail's byte length plus its
+    * re-decoded header dimensions (None when the thumb is the byte-prefix
+    * stand-in, i.e. the source was not a decodable image) — the gate that
+    * the resize leg produced a REAL image of the requested size. */
+  case class ThumbInfo(media_id: Long, kind: String, thumb_len: Int,
+      thumb_w: Option[Int], thumb_h: Option[Int])
+
+  def thumbnailInfo(media: DataFrame, maxBytes: Int = 64,
+      thumbW: Int = 4, thumbH: Int = 4): Dataset[ThumbInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resizeAll(media, maxBytes, thumbW, thumbH).mapPartitions { it =>
+      it.map { m =>
+        val wh = Codecs.imageMeta(m.content).map { case (_, w, h) => (w, h) }
+        ThumbInfo(m.media_id, m.kind, m.content.length, wh.map(_._1), wh.map(_._2))
+      }
     }
   }
 }

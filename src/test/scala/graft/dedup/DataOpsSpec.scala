@@ -298,26 +298,62 @@ class DataOpsSpec extends SparkSpec {
     i1.foreach { case (q, c) => c should be <= (b1(q) + 1e-9) }
   }
 
-  test("multimodal: synthesized media round-trips mapPartitions stages") {
-    val media = Multimodal.synthesize(
-      docs.withColumn("n_chars", org.apache.spark.sql.functions.length(col("text"))))
+  test("multimodal: real PNG/WAV codecs round-trip; video stays the documented stub") {
+    val media = Multimodal.synthesize(docs)
     media.count() shouldBe 6
-    val feats = Multimodal.extractFeatures(media, dim = 8)
-    feats.count() shouldBe 6
-    feats.collect().foreach { f =>
-      f.feature.length shouldBe 8
-      f.featureNorm should be >= 0.0
+    val byId = media.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+
+    // image leg (doc_id % 3 == 0): REAL PNG bytes, header-parsed meta
+    val img = byId(3L)
+    img.getAs[String]("kind") shouldBe "image"
+    val imeta = img.getStruct(img.fieldIndex("meta"))
+    imeta.getAs[String]("mime") shouldBe "image/png"
+    imeta.getAs[Int]("width") shouldBe 16
+    imeta.getAs[Int]("height") shouldBe 16
+    // PNG magic bytes prove a real encoder ran
+    val png = img.getAs[Array[Byte]]("content")
+    (png(1), png(2), png(3)) shouldBe (('P'.toByte, 'N'.toByte, 'G'.toByte))
+
+    // audio leg (doc_id % 3 == 1): REAL WAV bytes ("RIFF"), parsed duration
+    val wav = byId(1L)
+    wav.getAs[String]("kind") shouldBe "audio"
+    val ameta = wav.getStruct(wav.fieldIndex("meta"))
+    ameta.getAs[String]("mime") shouldBe "audio/wav"
+    ameta.getAs[Long]("durationMs") shouldBe 375L
+    new String(wav.getAs[Array[Byte]]("content").take(4), "US-ASCII") shouldBe "RIFF"
+
+    // decode -> features: image = per-quadrant channel means (exact), audio
+    // = per-window RMS (exact) — the values PROVE the decoder read the
+    // pixels/samples the encoder wrote
+    val feats = Multimodal.extractFeatures(media, dim = 12)
+      .collect().map(f => f.media_id -> f).toMap
+    for (q <- 0 until 4; ch <- 0 until 3) {
+      val expected = (Seq(7L, 11L, 19L)(ch) * 3L + Seq(13L, 17L, 23L)(ch) * q) % 256
+      feats(3L).feature(q * 3 + ch) shouldBe (expected / 256.0).toFloat
     }
-    // deterministic: same input → same features
-    val again = Multimodal.extractFeatures(media, dim = 8)
-      .collect().map(f => f.media_id -> f.featureNorm).toMap
-    Multimodal.extractFeatures(media, dim = 8).collect().foreach { f =>
-      again(f.media_id) shouldBe f.featureNorm
-    }
+    for (w <- 0 until 12)
+      feats(1L).feature(w) shouldBe
+        (math.abs((1L * 37 + w * 101) % 30000 - 15000) / 32768.0).toFloat
+    feats(2L).feature.length shouldBe 12 // video: deterministic stub
+    feats(2L).featureNorm should be >= 0.0
+
+    // thumbnails: image rows re-decode as a REAL 4x4 PNG whose top-left
+    // pixel is quadrant 0's exact color (block-mean of a uniform block)
+    val thumbs = Multimodal.thumbnailInfo(media, maxBytes = 10)
+      .collect().map(t => t.media_id -> t).toMap
+    thumbs(3L).thumb_w shouldBe Some(4)
+    thumbs(3L).thumb_h shouldBe Some(4)
+    val timg = Multimodal.Codecs.decodeImage(
+      Multimodal.resizeAll(media, maxBytes = 10).collect()
+        .find(_.media_id == 3L).get.content).get
+    (timg.getRGB(0, 0) & 0xffffff) shouldBe
+      ((((7 * 3) % 256) << 16) | (((11 * 3) % 256) << 8) | ((19 * 3) % 256))
+    // non-image rows fall back to the byte-prefix stand-in
+    thumbs(2L).thumb_w shouldBe None
+    thumbs(2L).thumb_len should be <= 10
+
     val frames = Multimodal.sampleVideoFrames(media, framesPerVideo = 3)
     frames.collect().foreach(_.frame.length should be > 0)
-    val resized = Multimodal.resizeAll(media, maxBytes = 10)
-    resized.collect().foreach(_.content.length should be <= 10)
   }
 
   private object Tables {
