@@ -44,8 +44,17 @@ object Sessions {
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // metadata-only agg rule + native SQL DML (UPDATE/MERGE/DELETE) on
-      // graft catalog tables
-      .config("spark.sql.extensions", "graft.table.GraftSparkExtensions")
+      // graft catalog tables. Appended to (not clobbering) any extensions
+      // the caller supplied via JVM properties / spark-defaults — Spark
+      // accepts a comma-separated list here.
+      .config("spark.sql.extensions", {
+        val graftExt = "graft.table.GraftSparkExtensions"
+        val existing = new org.apache.spark.SparkConf(true)
+          .getOption("spark.sql.extensions")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        (existing.filterNot(_ == graftExt) :+ graftExt).mkString(",")
+      })
     val withMaster = profile match {
       case Local(n) => b.master(master.getOrElse(s"local[$n]"))
       case _        => master.map(b.master).getOrElse(b)

@@ -36,29 +36,7 @@ trait DmlSupport { self: LakeTable =>
     // column, and which the statement does not SET explicitly, is
     // RECOMPUTED (leaving it stale would fail the write-time identity
     // check; explicit SETs stay caller-owned and validated as before).
-    // The SET expressions are substituted INTO the rule, so the recompute
-    // sees post-update base values while still evaluating over the
-    // original row (one projection, no second pass). Rows that predate the
-    // rule (NULL generated value) CONVERGE to it when their base is
-    // updated — the NULL exemption covers rows the DML never touches, not
-    // rows being rewritten while the rule is live.
-    val setKeys = rawSet.keys.map(_.toLowerCase).toSet
-    val set = rawSet ++ generatedColumns.flatMap { case (g, rule) =>
-      val ruleExpr = Pruner.exprOf(org.apache.spark.sql.functions.expr(rule))
-      if (setKeys.contains(g.toLowerCase) ||
-          !refNames(ruleExpr).exists(r => setKeys.contains(r.toLowerCase))) None
-      else {
-        // transformUp: a replacement that itself references the base column
-        // (SET n = n + 5) must not be re-entered by the rule
-        val substituted = ruleExpr.transformUp {
-          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if rawSet.keys.exists(_.equalsIgnoreCase(u.name)) =>
-            Pruner.exprOf(rawSet.collectFirst {
-              case (k, v) if k.equalsIgnoreCase(u.name) => v }.get)
-        }
-        Some(g -> org.apache.spark.sql.graft.ColumnExpr.toColumn(substituted))
-      }
-    }
+    val set = recomputeGenerated(rawSet)
     if (dvEnabled) return updateWithDv(snap, cond, set)
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version
@@ -100,6 +78,53 @@ trait DmlSupport { self: LakeTable =>
       else touchedDf.filter(matchPred).count()
     commitRewrite(snap, "UPDATE", Map("predicate" -> cond.toString), touched, adds,
       sidecars, Map("numUpdatedRows" -> numUpdated))
+  }
+
+  /** Generated-column recompute shared by UPDATE and MERGE's update/insert
+    * clauses (Delta parity). A generated column the assignment map does not
+    * SET explicitly, whose rule reads a column the map DOES assign, gets its
+    * rule re-evaluated with the assignments substituted in — the recompute
+    * sees post-update base values while still evaluating over the original
+    * row (one projection, no second pass). Rows that predate the rule (NULL
+    * generated value) CONVERGE to it when their base is updated — the NULL
+    * exemption covers rows the DML never touches, not rows being rewritten
+    * while the rule is live.
+    *
+    * `qualifier`: how the rule's remaining (un-assigned) base references
+    * resolve — None reads the bare pre-image row (UPDATE), Some("target")
+    * qualifies them against MERGE's joined target/source frame (a bare name
+    * would be ambiguous when the source carries the same column).
+    * `insertMode`: INSERT clauses have no pre-image — every generated column
+    * missing from the VALUES map is computed, and rule references the map
+    * does not assign are NULL (the value the inserted row gets). */
+  private[table] def recomputeGenerated(
+      rawSet: Map[String, Column],
+      qualifier: Option[String] = None,
+      insertMode: Boolean = false): Map[String, Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val setKeys = rawSet.keys.map(_.toLowerCase).toSet
+    rawSet ++ generatedColumns.flatMap { case (g, rule) =>
+      val ruleExpr = Pruner.exprOf(org.apache.spark.sql.functions.expr(rule))
+      val touchesBase =
+        insertMode || refNames(ruleExpr).exists(r => setKeys.contains(r.toLowerCase))
+      if (setKeys.contains(g.toLowerCase) || !touchesBase) None
+      else {
+        // transformUp: a replacement that itself references the base column
+        // (SET n = n + 5) must not be re-entered by the rule
+        val substituted = ruleExpr.transformUp {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            rawSet.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(u.name) => Pruner.exprOf(v)
+            }.getOrElse {
+              if (insertMode) Pruner.exprOf(lit(null))
+              else qualifier.fold(u: Expression)(q =>
+                UnresolvedAttribute(Seq(q, u.name)))
+            }
+        }
+        Some(g -> org.apache.spark.sql.graft.ColumnExpr.toColumn(substituted))
+      }
+    }
   }
 
   /** DELETE FROM t WHERE cond (M5, notebooks/04_acid_operations.py:171-175).
@@ -474,14 +499,30 @@ class MergeBuilder private[table] (
     // columns), which is only known here.
     val allSet = () => schema.fieldNames.filter(sourceCols.contains)
       .map(c => c -> col(s"source.$c")).toMap
+    // Delta parity: update clauses RECOMPUTE generated columns whose base
+    // the clause assigns (same substitution as UPDATE — a stale value would
+    // fail the write-time identity check); insert clauses COMPUTE generated
+    // columns missing from the VALUES map over the inserted values.
     val matchedClauses: Vector[Clause] = rawMatchedClauses.map {
       case MatchedUpdateAll(cond) => MatchedUpdate(cond, allSet())
+      case other => other
+    }.map {
+      case MatchedUpdate(cond, set) =>
+        MatchedUpdate(cond, table.recomputeGenerated(set, qualifier = Some("target")))
       case other => other
     }
     val notMatchedClauses: Vector[NotMatchedInsert] = rawNotMatchedClauses.map {
       case NotMatchedInsertAll(cond) => NotMatchedInsert(cond, allSet())
       case i: NotMatchedInsert => i
       case other => throw new IllegalStateException(s"unexpected clause $other")
+    }.map { case NotMatchedInsert(cond, values) =>
+      NotMatchedInsert(cond, table.recomputeGenerated(values, insertMode = true))
+    }
+    notMatchedBySourceClauses = notMatchedBySourceClauses.map {
+      case NotMatchedBySourceUpdate(cond, set) =>
+        NotMatchedBySourceUpdate(cond,
+          table.recomputeGenerated(set, qualifier = Some("target")))
+      case other => other
     }
 
     // Materialize the source once: it is referenced by phase-0 bounds, the
