@@ -1,0 +1,79 @@
+package graft.log
+
+import java.nio.file.{Files, FileAlreadyExistsException, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Pluggable storage primitive for the transaction log — the seam an
+  * object-store implementation drops into, mirroring delta-storage's
+  * LogStore architecture (one class per store, selected at runtime).
+  *
+  * The contract every implementation must honor:
+  *   - [[listFileNames]]: a complete listing of the log directory's file
+  *     names (commit ordering is derived from the names, so the listing
+  *     must not silently drop entries);
+  *   - [[read]]: the full lines of one log file;
+  *   - [[writeAtomic]]: publish `body` at `path` such that (a) readers
+  *     never observe a partial file, and (b) with `overwrite = false` the
+  *     call returns false iff `path` already exists — the put-if-absent
+  *     compare-and-swap that makes version claiming safe under concurrent
+  *     writers. This is the ONLY primitive the commit protocol's
+  *     correctness rests on.
+  *
+  * Implementations by storage class:
+  *   - [[LocalLogStore]] (the default): POSIX filesystems and HDFS —
+  *     temp file + hard-link CAS, see below.
+  *   - S3: `writeAtomic(overwrite = false)` maps to a conditional PUT
+  *     (`If-None-Match: *`, which S3 exposes natively since 2024 and S3A
+  *     surfaces as createFile().overwrite(false)); before conditional
+  *     writes, OSS Delta shipped the same seam backed by a DynamoDB lock
+  *     table (delta-storage-s3-dynamodb). Either strategy plugs in here
+  *     without touching the protocol.
+  *   - GCS / ADLS: atomic rename exists, so the local strategy carries
+  *     over with rename in place of hard links.
+  */
+trait LogStore {
+  def listFileNames(dir: Path): Seq[String]
+  def read(path: Path): Seq[String]
+  def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean
+}
+
+/** Local-filesystem implementation: write a temp file in the log dir, then
+  * publish with `Files.createLink` — hard-link creation fails atomically
+  * with `FileAlreadyExistsException` when the target exists, which IS the
+  * put-if-absent CAS (same inode trick delta-standalone uses on HDFS via
+  * rename-without-overwrite). Overwrite mode (checkpoints, idempotent
+  * content) publishes with an atomic rename instead. */
+object LocalLogStore extends LogStore {
+
+  def listFileNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  def read(path: Path): Seq[String] =
+    Files.readAllLines(path, java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+
+  def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean = {
+    Files.createDirectories(path.getParent)
+    val tmp = Files.createTempFile(path.getParent, s".${path.getFileName}-", ".tmp")
+    try {
+      Files.write(tmp, body)
+      if (overwrite) {
+        Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      } else {
+        try { Files.createLink(path, tmp); true }
+        catch { case _: FileAlreadyExistsException => false }
+      }
+    } finally { Files.deleteIfExists(tmp): Unit }
+  }
+}
+
+object LogStore {
+  /** Store used by every [[TxLog]] that does not receive an explicit one.
+    * Swap at startup to route ALL log IO through another storage class. */
+  @volatile var default: LogStore = LocalLogStore
+}

@@ -1,7 +1,7 @@
 package graft.log
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -23,47 +23,33 @@ case class Snapshot(
   *
   * Commit protocol (optimistic concurrency, reference demonstrates the
   * requirement at notebooks/04_acid_operations.py:430-460): the version-N
-  * file is claimed by an atomic hard-link CAS — write the NDJSON to a temp
-  * file, `Files.createLink(vN.json, tmp)`, which fails if another writer
-  * claimed N first; the caller then re-resolves the snapshot and retries.
-  * On object stores this maps to put-if-absent; the protocol is unchanged.
-  */
-class TxLog(val tableDir: Path) {
+  * file is claimed by an atomic put-if-absent — [[LogStore.writeAtomic]]
+  * with overwrite=false fails if another writer claimed N first; the
+  * caller then re-resolves the snapshot and retries. The storage primitive
+  * is pluggable ([[LogStore]]): the default [[LocalLogStore]] uses a
+  * hard-link CAS (POSIX/HDFS); an S3 store implements the same contract
+  * with a conditional PUT. The protocol above the seam is unchanged. */
+class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
   val logDir: Path = tableDir.resolve("_txlog")
 
   private def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
-  def listVersions(): Seq[Long] = {
-    if (!Files.isDirectory(logDir)) return Seq.empty
-    val s = Files.list(logDir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
+  def listVersions(): Seq[Long] =
+    store.listFileNames(logDir)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-      .toSeq.sorted
-    finally s.close()
-  }
+      .sorted
 
   def latestVersion(): Option[Long] = listVersions().lastOption
 
   def readVersion(v: Long): Seq[Action] =
-    Files.readAllLines(versionFile(v), StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map(Actions.fromJson)
+    store.read(versionFile(v)).filter(_.nonEmpty).map(Actions.fromJson)
 
   /** Attempt to commit `actions` as version `v`. False if v already taken. */
   def tryCommit(v: Long, actions: Seq[Action]): Boolean = {
-    Files.createDirectories(logDir)
-    val tmp = Files.createTempFile(logDir, s".commit-$v-", ".tmp")
-    try {
-      val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(versionFile(v), tmp)
-        true
-      } catch {
-        case _: FileAlreadyExistsException => false
-      }
-    } finally Files.deleteIfExists(tmp)
+    val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
+    store.writeAtomic(versionFile(v), body.getBytes(StandardCharsets.UTF_8),
+      overwrite = false)
   }
 
   /** Commit with retry: re-resolves the next version until the CAS wins.
@@ -90,29 +76,21 @@ class TxLog(val tableDir: Path) {
     * still read the per-version files, which are never deleted. */
   private def checkpointFile(v: Long): Path = logDir.resolve(f"$v%020d.checkpoint.json")
 
-  def listCheckpoints(): Seq[Long] = {
-    if (!Files.isDirectory(logDir)) return Seq.empty
-    val s = Files.list(logDir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+  def listCheckpoints(): Seq[Long] =
+    store.listFileNames(logDir)
       .filter(_.endsWith(".checkpoint.json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
-      .toSeq.sorted
-    finally s.close()
-  }
+      .sorted
 
-  /** Write the checkpoint for `v` (idempotent — content is deterministic). */
+  /** Write the checkpoint for `v` (idempotent — content is deterministic,
+    * so overwrite-mode publish is safe under concurrent checkpointers). */
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
       snap.metadata +: (snap.commits ++ snap.files ++ snap.dvs.values)
     val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(logDir, s".ckpt-$v-", ".tmp")
-    try {
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, checkpointFile(v), StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(tmp)
+    store.writeAtomic(checkpointFile(v), body.getBytes(StandardCharsets.UTF_8),
+      overwrite = true): Unit
   }
 
   /** Replay actions up to and including `version` (None = latest), starting
@@ -131,7 +109,7 @@ class TxLog(val tableDir: Path) {
       else dvs(d.forFile) = d
     val base = listCheckpoints().filter(_ <= upTo).lastOption
     base.foreach { cp =>
-      Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8).asScala
+      store.read(checkpointFile(cp))
         .filter(_.nonEmpty).map(Actions.fromJson).foreach {
           case m: Metadata        => meta = m
           case a: AddFile         => live(a.path) = a

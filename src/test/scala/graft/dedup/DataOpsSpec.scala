@@ -298,6 +298,40 @@ class DataOpsSpec extends SparkSpec {
     i1.foreach { case (q, c) => c should be <= (b1(q) + 1e-9) }
   }
 
+  test("incremental dedup probes ONLY the persisted index — corpus files never scanned") {
+    // the 100TB property q55/q61 exist for: once the fingerprint/shingle/band
+    // indexes are persisted, a batch dedup's plan must read index files and
+    // batch files ONLY — pinned here via inputFiles on the executed plans
+    val tmp = java.nio.file.Files.createTempDirectory("incidx")
+    val corpusDir = tmp.resolve("corpus_docs").toString
+    val batchDir = tmp.resolve("batch_docs").toString
+    val fpDir = tmp.resolve("fp_index").toString
+    val shDir = tmp.resolve("sh_index").toString
+    val bandDir = tmp.resolve("band_index").toString
+    docs.filter(col("doc_id") <= 4).write.parquet(corpusDir)
+    docs.filter(col("doc_id") > 4).write.parquet(batchDir)
+    val corpus = spark.read.parquet(corpusDir)
+    Dedup.fingerprints(corpus).write.parquet(fpDir)
+    val index = Dedup.shingleIndex(corpus)
+    index.write.parquet(shDir)
+    Dedup.bandIndex(index).write.parquet(bandDir)
+    val batch = spark.read.parquet(batchDir)
+
+    val exact = Dedup.incrementalExact(batch, spark.read.parquet(fpDir))
+    exact.count() shouldBe 2 // ids 5,6 both novel text
+    val exactInputs = exact.inputFiles
+    exactInputs.foreach(f => f should not include "corpus_docs")
+    exactInputs.exists(_.contains("fp_index")) shouldBe true
+
+    val near = Dedup.incrementalNearDup(batch, spark.read.parquet(shDir),
+      corpusBands = Some(spark.read.parquet(bandDir)))
+    near.count() should be >= 1L
+    val nearInputs = near.inputFiles
+    nearInputs.foreach(f => f should not include "corpus_docs")
+    nearInputs.exists(_.contains("sh_index")) shouldBe true
+    nearInputs.exists(_.contains("band_index")) shouldBe true
+  }
+
   test("multimodal: real PNG/WAV codecs round-trip; video stays the documented stub") {
     val media = Multimodal.synthesize(docs)
     media.count() shouldBe 6
