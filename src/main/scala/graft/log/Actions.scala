@@ -26,7 +26,12 @@ case class ColStats(min: String, max: String, nullCount: Long)
 
 /** `bloom`: column name → relative path of the per-file bloom sidecar
   * under `_bloom/` (see [[BloomFilter]]); null/absent when the table has no
-  * bloom-indexed columns (and for files written by older versions). */
+  * bloom-indexed columns (and for files written by older versions).
+  * `tags`: free-form provenance (Delta's AddFile.tags shape) — today the
+  * single `clusteredBy = "<curve>:<cols>"` tag written by OPTIMIZE
+  * ZORDER/CLUSTER BY and clustered ingest, which lets a later OPTIMIZE
+  * skip files already in curve order for the same column set (incremental
+  * clustering). Null/absent on files from older versions and plain writes. */
 case class AddFile(
     path: String, // relative to table root
     partitionValues: Map[String, String],
@@ -34,7 +39,10 @@ case class AddFile(
     numRecords: Long,
     stats: Map[String, ColStats],
     modificationTime: Long,
-    bloom: Map[String, String] = null) extends Action
+    bloom: Map[String, String] = null,
+    tags: Map[String, String] = null) extends Action {
+  def tag(key: String): Option[String] = Option(tags).flatMap(_.get(key))
+}
 
 case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
 

@@ -708,8 +708,17 @@ class LakeTable private[table] (
     c.set(keys(0), "false")
     c.set(keys(1), targetFileSize.toString)
     c.set(keys(2), math.max(1L, targetFileSize / 2).toString)
-    try stageWrite(shaped, pcols)
-    finally prev.foreach {
+    try {
+      val adds = stageWrite(shaped, pcols)
+      // clustered-ingest outputs carry the same provenance tag OPTIMIZE
+      // ZORDER writes, so a later incremental OPTIMIZE skips them
+      if (ccols.isEmpty) adds
+      else {
+        val tag = clusterTag("zorder", ccols)
+        adds.map(a => a.copy(tags =
+          Option(a.tags).getOrElse(Map.empty) + ("clusteredBy" -> tag)))
+      }
+    } finally prev.foreach {
       case (k, Some(v)) => c.set(k, v)
       case (k, None) => c.unset(k)
     }

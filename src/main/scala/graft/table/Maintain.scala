@@ -48,37 +48,58 @@ trait MaintenanceSupport { self: LakeTable =>
         "numFilesAdded" -> adds.size.toLong))
   }
 
-  /** OPTIMIZE ZORDER BY (cols): rewrite ALL live files clustered on the
+  /** OPTIMIZE ZORDER BY (cols): rewrite live files clustered on the
     * interleaved z-value of `cols`, range-partitioned so each output file
-    * covers a tight z-range (→ tight min/max stats → file skipping). */
+    * covers a tight z-range (→ tight min/max stats → file skipping).
+    * INCREMENTAL by default: files already tagged as curve-ordered for the
+    * same column set (a prior OPTIMIZE's outputs, clustered-ingest writes)
+    * are left in place and only the unclustered remainder is rewritten —
+    * Delta liquid clustering's property, which is what keeps re-OPTIMIZE
+    * of a 100 TB table proportional to NEW data, not table size. Each
+    * pass's outputs have tight per-file ranges, so skipping holds even
+    * though ranges may overlap ACROSS passes; `full = true` forces the
+    * single-pass global rewrite. */
   def optimizeZOrder(
       cols: Seq[String],
       targetFileSize: Long = 128L * 1024 * 1024,
-      where: Option[Column] = None): Long =
-    clusterRewrite(cols, curve = "zorder", targetFileSize, where)
+      where: Option[Column] = None,
+      full: Boolean = false): Long =
+    clusterRewrite(cols, curve = "zorder", targetFileSize, where, full)
 
   /** OPTIMIZE … CLUSTER BY (cols): same rewrite shape, but ordered on the
     * Hilbert-curve position of the bucketed dimensions instead of the
     * z-value — consecutive curve cells are always adjacent, so range files
     * get min/max boxes at least as tight on every clustering column (the
-    * key Delta's liquid clustering uses for the same reason). */
+    * key Delta's liquid clustering uses for the same reason). Incremental
+    * like [[optimizeZOrder]]. */
   def optimizeHilbert(
       cols: Seq[String],
       targetFileSize: Long = 128L * 1024 * 1024,
-      where: Option[Column] = None): Long =
-    clusterRewrite(cols, curve = "hilbert", targetFileSize, where)
+      where: Option[Column] = None,
+      full: Boolean = false): Long =
+    clusterRewrite(cols, curve = "hilbert", targetFileSize, where, full)
+
+  /** The `clusteredBy` provenance tag value for (curve, cols). */
+  private[table] def clusterTag(curve: String, cols: Seq[String]): String =
+    s"$curve:${cols.map(_.toLowerCase).mkString(",")}"
 
   private def clusterRewrite(
       cols: Seq[String],
       curve: String,
       targetFileSize: Long,
-      where: Option[Column]): Long = {
+      where: Option[Column],
+      full: Boolean): Long = {
     val snap = snapshot()
     require(cols.nonEmpty && cols.size <= 4, s"$curve clustering needs 1-4 columns")
     val missing = cols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"$curve columns not in schema: ${missing.mkString(",")}")
-    val scoped = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
+    val inScope = where.map(p => partitionPrune(snap, snap.files, Seq(p)))
       .getOrElse(snap.files)
+    val tag = clusterTag(curve, cols)
+    // incremental: skip files a prior pass (or clustered ingest) already
+    // wrote in THIS curve order over THIS column set; a masked file's
+    // layout is still valid, so DVs don't force a rewrite here
+    val scoped = if (full) inScope else inScope.filter(!_.tag("clusteredBy").contains(tag))
     if (scoped.isEmpty) return snap.version
     val df = readFilesMasked(snap, scoped, snap.schema)
     val typed = cols.map(c => col(c) -> snap.schema(c).dataType)
@@ -90,13 +111,16 @@ trait MaintenanceSupport { self: LakeTable =>
       .sortWithinPartitions("__z")
       .drop("__z")
     val adds = stageWrite(clustered, snap.metadata.partitionColumns)
+      .map(a => a.copy(tags = Option(a.tags).getOrElse(Map.empty) + ("clusteredBy" -> tag)))
     val params =
-      if (curve == "hilbert") Map("clusterBy" -> cols.mkString(","), "curve" -> "hilbert")
-      else Map("zOrderBy" -> cols.mkString(","))
+      (if (curve == "hilbert") Map("clusterBy" -> cols.mkString(","), "curve" -> "hilbert")
+      else Map("zOrderBy" -> cols.mkString(","))) +
+        ("incremental" -> (!full).toString)
     commitRewrite(snap, "OPTIMIZE", params,
       scoped, adds, Nil, Map(
         "numFilesRemoved" -> scoped.size.toLong,
-        "numFilesAdded" -> adds.size.toLong))
+        "numFilesAdded" -> adds.size.toLong,
+        "numFilesSkippedAlreadyClustered" -> (inScope.size - scoped.size).toLong))
   }
 
   /** REORG TABLE … APPLY (PURGE) analogue (Delta's deletion-vector purge):

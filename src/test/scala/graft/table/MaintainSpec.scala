@@ -27,6 +27,62 @@ class MaintainSpec extends SparkSpec {
     t.versionAsOf(before.version).count() shouldBe 800
   }
 
+  test("OPTIMIZE ZORDER is incremental: second pass rewrites only new files") {
+    val t = LakeTable.create(spark, tmpDir("incz").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("k", LongType))))
+    (0 until 4).foreach { i =>
+      t.append(Seq.tabulate(250)(j => (i * 250L + j, (j * 7L) % 1000)).toDF("id", "k")
+        .coalesce(1))
+    }
+    t.optimizeZOrder(Seq("k"), targetFileSize = 4096)
+    val afterFirst = t.snapshot()
+    afterFirst.files.foreach(_.tag("clusteredBy") shouldBe Some("zorder:k"))
+    val clusteredPaths = afterFirst.files.map(_.path).toSet
+
+    // new unclustered appends land next to the clustered set
+    (0 until 2).foreach { i =>
+      t.append(Seq.tabulate(250)(j => (2000L + i * 250 + j, (j * 11L) % 1000))
+        .toDF("id", "k").coalesce(1))
+    }
+    val v = t.optimizeZOrder(Seq("k"), targetFileSize = 4096)
+    val afterSecond = t.snapshot()
+    // the first pass's outputs survived untouched — only the 2 new files
+    // were rewritten (liquid clustering's incremental property)
+    clusteredPaths.subsetOf(afterSecond.files.map(_.path).toSet) shouldBe true
+    val ci = afterSecond.commits.find(_.version == v).get
+    ci.operationMetrics("numFilesRemoved") shouldBe 2L
+    ci.operationMetrics("numFilesSkippedAlreadyClustered") shouldBe
+      clusteredPaths.size.toLong
+    afterSecond.files.foreach(_.tag("clusteredBy") shouldBe Some("zorder:k"))
+    t.read().count() shouldBe 1500
+
+    // a DIFFERENT column set does not match the tag: full rewrite again
+    t.optimizeZOrder(Seq("id"), targetFileSize = 1024 * 1024)
+    val afterOther = t.snapshot()
+    afterOther.files.foreach(_.tag("clusteredBy") shouldBe Some("zorder:id"))
+    (afterOther.files.map(_.path).toSet intersect
+      afterSecond.files.map(_.path).toSet) shouldBe empty
+    // and full = true forces the global rewrite even when tags match
+    val before = t.snapshot().files.map(_.path).toSet
+    t.optimizeZOrder(Seq("id"), targetFileSize = 1024 * 1024, full = true)
+    (t.snapshot().files.map(_.path).toSet intersect before) shouldBe empty
+    t.read().count() shouldBe 1500
+  }
+
+  test("clustered ingest writes carry the provenance tag; OPTIMIZE skips them") {
+    val t = LakeTable.create(spark, tmpDir("inci").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("k", LongType))),
+      properties = Map("graft.clusterBy" -> "k"))
+    t.append(Seq.tabulate(500)(j => (j.toLong, (j * 13L) % 1000)).toDF("id", "k"))
+    val ingested = t.snapshot()
+    ingested.files.foreach(_.tag("clusteredBy") shouldBe Some("zorder:k"))
+    val paths = ingested.files.map(_.path).toSet
+    // OPTIMIZE ZORDER on the same column set: nothing to do
+    val v0 = t.snapshot().version
+    t.optimizeZOrder(Seq("k")) shouldBe v0
+    t.snapshot().files.map(_.path).toSet shouldBe paths
+  }
+
   test("optimizeWrite coalesces an over-partitioned append into few files") {
     val df = spark.range(1000).select(col("id"), (col("id") % 7).cast("double").as("v"))
     // without the property: one file per input partition
