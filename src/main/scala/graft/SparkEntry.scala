@@ -45,6 +45,7 @@ object SparkEntry {
     "q15_replace_where" -> (TableOps.replaceWhere _),
     "q16_zorder_identity" -> (TableOps.zorderIdentity _),
     "q70_hilbert_identity" -> (TableOps.hilbertIdentity _),
+    "q76_cluster_incremental" -> (TableOps.clusterIncremental _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),
     "q44_merge_full_sync" -> (TableOps.mergeFullSync _),
@@ -74,6 +75,8 @@ object SparkEntry {
     "q41_decontamination" -> (DataOps.decontamination _),
     "q42_pii_redaction" -> (DataOps.piiRedaction _),
     "q45_mixture_sample" -> (DataOps.mixtureSample _),
+    "q77_alpha_mixture" -> (DataOps.alphaMixture _),
+    "q78_hard_negatives" -> (DataOps.hardNegatives _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

@@ -248,6 +248,25 @@ object DataOps {
     Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Temperature-mixture gate (q77): alpha = 0.5 flattening over the
+    * corpus's sources with a 300-doc budget — the mT5-style rebalancing
+    * rule. Quotas (floor(budget·n^α/Σn^α)) and each source's md5-rank
+    * fill are replayed exactly by the oracle's window SQL. */
+  def alphaMixture(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sampling.Sampling.alphaMixture(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      budget = 300L, alpha = 0.5)
+      .orderBy("source", "sample_rank")
+
+  /** Hard-negative mining gate (q78): queries 60..70 (disjoint from every
+    * other ANN gate's range), top-5 by exact cosine among OTHER-label
+    * vectors — same-label rows are presumed positives and excluded. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.hardNegatives(emb,
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 70), k = 5)
+  }
+
   /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
     * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
     * survivors are exactly the batch docs whose text the corpus lacks,
@@ -726,6 +745,32 @@ object DataOps {
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <
            CASE CAST(substring(source, 4) AS INT) % 3
              WHEN 0 THEN 'e666' WHEN 1 THEN '8000' ELSE '3333' END""",
+    "q77_alpha_mixture" ->
+      """WITH counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY source),
+         q AS (SELECT source,
+             CAST(FLOOR(300 * POWER(n, 0.5) / SUM(POWER(n, 0.5)) OVER () + 1e-6) AS BIGINT) AS quota
+           FROM counts),
+         r AS (SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-alpha'), doc_id) AS BIGINT) AS sample_rank
+           FROM documents)
+         SELECT r.doc_id, r.source, r.sample_rank
+         FROM r JOIN q USING (source) WHERE sample_rank <= quota
+         ORDER BY source, sample_rank""",
+    "q78_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+           WHERE vec_id >= 60 AND vec_id < 70),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+           FROM e, q WHERE e.label <> q.ql),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
     "q46_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS INT) AS token_count
            FROM documents),

@@ -210,6 +210,30 @@ object TableOps {
     t.read()
   }
 
+  /** Incremental OPTIMIZE identity gate (q76): the first wave is clustered,
+    * a second wave is appended, and the second OPTIMIZE must rewrite ONLY
+    * the new files — asserted structurally (the first pass's outputs
+    * survive, and the commit's skip metric equals their count) — while the
+    * mixed-generation table still reads back bit-for-bit against the
+    * oracle. The liquid-clustering property, gated end-to-end. */
+  def clusterIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val t = LakeTable.createFrom(spark, scratch("incz"),
+      li.filter(col("l_orderkey") % 2 === 0))
+    t.optimizeZOrder(Seq("l_partkey"), targetFileSize = 8L * 1024 * 1024)
+    val clustered = t.snapshot().files.map(_.path).toSet
+    t.append(li.filter(col("l_orderkey") % 2 =!= 0))
+    val v = t.optimizeZOrder(Seq("l_partkey"), targetFileSize = 8L * 1024 * 1024)
+    val snap = t.snapshot()
+    val skipped = snap.commits.find(_.version == v)
+      .flatMap(_.operationMetrics.get("numFilesSkippedAlreadyClustered")).getOrElse(-1L)
+    require(skipped == clustered.size &&
+        clustered.subsetOf(snap.files.map(_.path).toSet),
+      s"incremental OPTIMIZE touched already-clustered files " +
+        s"(skipped=$skipped, expected=${clustered.size})")
+    t.read()
+  }
+
   /** SCD Type 2 (M6): initial load at ts0; batch at ts1 changes acctbal for
     * keys %4==0 and introduces new entities (key+1000000) for keys %4==1. */
   def scd2(spark: SparkSession, sfDir: String): DataFrame = {
@@ -312,6 +336,8 @@ object TableOps {
     "q16_zorder_identity" ->
       """SELECT * FROM lineitem""",
     "q70_hilbert_identity" ->
+      """SELECT * FROM lineitem""",
+    "q76_cluster_incremental" ->
       """SELECT * FROM lineitem""",
     "q17_scd2" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -104,6 +104,47 @@ object Sampling {
       .filter(col("cum_tokens") - col("token_count") < budget)
   }
 
+  /** Temperature-weighted (alpha) mixture sampling — the multilingual /
+    * multi-source rebalancing rule (the mT5/XLM-R recipe, p_i ∝ n_i^alpha):
+    * source i receives quota_i = floor(budget · n_i^alpha / Σ_j n_j^alpha)
+    * documents, and fills it with its quota_i lowest-md5 docs (stable,
+    * engine-portable — rerunning with a bigger budget extends each
+    * source's same prefix). alpha < 1 flattens the distribution toward
+    * the tail sources; alpha = 1 is proportional sampling; alpha = 0 is
+    * uniform-per-source.
+    *
+    * Scale shape: one tiny count aggregate (|sources| rows, collected —
+    * source cardinality is bounded in any curation recipe), then one
+    * per-source md5-rank window — a single shuffle on the source column,
+    * and the rank order is content-independent so the sort never skews on
+    * document size. The epsilon inside floor() absorbs cross-engine
+    * floating summation-order differences (≤ ulps) so the quota boundary
+    * is engine-stable. */
+  def alphaMixture(
+      df: DataFrame,
+      budget: Long,
+      alpha: Double,
+      keyCol: String = "doc_id",
+      groupCol: String = "source",
+      salt: String = "graft-alpha"): DataFrame = {
+    require(alpha >= 0, s"bad alpha $alpha")
+    require(budget >= 0, s"bad budget $budget")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // defined summation order
+    val totalW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val quotas = counts.map { case (g, n) =>
+      g -> math.floor(budget * math.pow(n.toDouble, alpha) / totalW + 1e-6).toLong
+    }
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+  }
+
   /** Deterministic upsampling to an arbitrary weight w >= 0: every row is
     * emitted floor(w) times, plus once more for the stable key-hash
     * fraction frac(w) of keys. Copies are tagged `copyCol` (0-based) so

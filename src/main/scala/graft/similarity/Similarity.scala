@@ -52,6 +52,36 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Contrastive-training hard-negative mining: for each query vector, the
+    * top-k most-similar corpus vectors OUTSIDE the query's own label group
+    * (same-label vectors are presumed positives — returning them would
+    * poison the negative set). The exact shape of [[cosineTopK]] with a
+    * label-disjointness predicate fused into the broadcast join: queries
+    * broadcast, the corpus never shuffles, ties break on neighbor id, and
+    * the 6-dp cosine rounding keeps the ranking engine-portable. At 100 TB
+    * swap the brute scan for the IVF path with the same label predicate —
+    * the contract (top-k by cosine among other-label vectors) is
+    * unchanged. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
+    val scored = c.join(broadcast(q), col("nl") =!= col("ql"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Coarse quantizer: sign bits of the first `bits` dimensions → cell id.
     * A data-independent stand-in for trained IVF centroids — the pipeline
     * shape (assign → co-partition → in-cell search) is identical. */

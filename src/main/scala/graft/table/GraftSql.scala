@@ -440,7 +440,7 @@ object GraftSql {
   def apply(spark: SparkSession, catalog: graft.ingest.Catalog): GraftSql =
     new GraftSql(spark, n => catalog.table(n))
 
-  private def resolveSpec(spark: SparkSession, spec: String): LakeTable = {
+  private[graft] def resolveSpec(spark: SparkSession, spec: String): LakeTable = {
     if (!spec.contains("/") && spec.contains(".")) {
       val parts = spec.split('.')
       val cat = parts.head

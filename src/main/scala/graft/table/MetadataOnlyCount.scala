@@ -154,5 +154,8 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     // catalog tables (sessions without the extension keep SupportsDelete
     // and the GraftSql wrapper)
     ext.injectResolutionRule(s => graft.sources.GraftDmlRule(s))
+    // DESCRIBE HISTORY / DESCRIBE DETAIL through spark.sql (Delta's
+    // SQL-extension surface); all other statements pass straight through
+    ext.injectParser((s, delegate) => new GraftParser(s, delegate))
   }
 }

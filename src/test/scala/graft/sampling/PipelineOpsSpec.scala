@@ -104,6 +104,46 @@ class PipelineOpsSpec extends SparkSpec {
     repart.select("id").as[Long].collect().toSet shouldBe small
   }
 
+  test("alphaMixture flattens quotas toward tail sources; fill is stable md5 prefix") {
+    val docs = (Seq.tabulate(80)(i => (i.toLong, "big")) ++
+      Seq.tabulate(20)(i => (100L + i, "small"))).toDF("doc_id", "source")
+    // alpha = 1: proportional (80/20 of a 50-doc budget -> 40/10)
+    val prop = graft.sampling.Sampling.alphaMixture(docs, budget = 50, alpha = 1.0)
+    prop.groupBy("source").count().as[(String, Long)].collect().toMap shouldBe
+      Map("big" -> 40L, "small" -> 10L)
+    // alpha = 0: uniform per source (25/25)
+    val flat = graft.sampling.Sampling.alphaMixture(docs, budget = 50, alpha = 0.0)
+    flat.groupBy("source").count().as[(String, Long)].collect().toMap shouldBe
+      Map("big" -> 25L, "small" -> 20L) // small has only 20 docs
+    // 0 < alpha < 1 sits between: small's share grows vs proportional
+    val mid = graft.sampling.Sampling.alphaMixture(docs, budget = 50, alpha = 0.5)
+    val midCounts = mid.groupBy("source").count().as[(String, Long)].collect().toMap
+    midCounts("small") should be > 10L
+    midCounts("big") should be > midCounts("small")
+    // a bigger budget extends the SAME per-source prefix (stable md5 order)
+    val small50 = mid.filter(col("source") === "big").select("doc_id")
+      .as[Long].collect().toSet
+    val mid80 = graft.sampling.Sampling.alphaMixture(docs, budget = 80, alpha = 0.5)
+    small50.subsetOf(mid80.filter(col("source") === "big").select("doc_id")
+      .as[Long].collect().toSet) shouldBe true
+  }
+
+  test("hardNegatives excludes the query's own label group and ranks by cosine") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0), // label 0 (positives)
+      (2L, Array(0.8f, 0.2f), 1), (3L, Array(0f, 1f), 1), // label 1
+      (4L, Array(0.7f, 0.3f), 2) // label 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") === 0), k = 2).collect()
+    out.length shouldBe 2
+    // own-label vec 1 (cosine ~0.994, the nearest overall) must NOT appear
+    out.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(2L, 4L)
+    // ranked by cosine desc: 2 (0.970) before 4 (0.919)
+    out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq shouldBe
+      Seq(2L, 4L)
+  }
+
   test("upsample emits floor(w) copies plus a stable fractional extra") {
     val df = spark.range(4000).toDF("id")
     val out = Sampling.upsample(df, "id", 2.5)

@@ -48,6 +48,30 @@ class GraftCatalogSpec extends SparkSpec {
     t.snapshot().metadata.partitionColumns shouldBe Seq("day")
   }
 
+  test("DESCRIBE HISTORY / DETAIL through spark.sql on catalog names and paths") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    spark.sql("CREATE TABLE gcat.meta.hist (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gcat.meta.hist SELECT id, 'a' FROM range(10)")
+    spark.sql("INSERT INTO gcat.meta.hist SELECT id + 10, 'b' FROM range(5)")
+
+    val hist = spark.sql("DESCRIBE HISTORY gcat.meta.hist")
+    hist.columns should contain allOf ("version", "operation", "timestamp")
+    hist.count() shouldBe 3 // create + 2 inserts
+    hist.select("operation").as[String].collect() should contain("WRITE")
+    spark.sql("DESCRIBE HISTORY gcat.meta.hist LIMIT 1").count() shouldBe 1
+
+    val det = spark.sql("DESCRIBE DETAIL gcat.meta.hist").collect().head
+    det.getAs[String]("format") shouldBe "graft"
+    det.getAs[Long]("numFiles") should be >= 1L
+
+    // path form works too, and ordinary SQL is untouched by the parser
+    val byPath = spark.sql(s"DESCRIBE HISTORY '$warehouse/meta/hist'")
+    byPath.count() shouldBe 3
+    spark.sql("SELECT count(*) AS n FROM gcat.meta.hist")
+      .collect().head.getLong(0) shouldBe 15
+  }
+
   test("filter pushdown prunes files through spark.table") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.silver")

@@ -49,6 +49,33 @@ class CdfSpec extends SparkSpec {
     ch.filter(col("_change_type") === "insert").select("k").as[Long].head() shouldBe 9L
   }
 
+  test("CDF range spanning ADD COLUMNS reads under the range-end schema, old rows null-padded") {
+    // Delta parity for additive evolution: a batch CDF read over a range
+    // that crosses an ALTER TABLE ADD COLUMNS boundary presents every
+    // change under the schema AS OF the range END — pre-evolution rows
+    // carry NULL for the later columns (their files simply lack the field)
+    val t = cdfTable("cdf-evolve")
+    t.addColumns(StructType(Seq(StructField("extra", StringType)))) // v2
+    t.append(Seq((10L, "x", "e1"), (11L, "y", "e2")).toDF("k", "v", "extra")) // v3
+    t.update(col("k") === 1, Map("extra" -> lit("back-filled"))) // v4
+
+    val ch = t.changes(1) // spans the evolution boundary
+    ch.schema.fieldNames.take(3) shouldBe Array("k", "v", "extra")
+    // the pre-evolution inserts surface with extra = NULL
+    val early = ch.filter(col("_commit_version") === 1)
+    early.count() shouldBe 3
+    early.filter(col("extra").isNull).count() shouldBe 3
+    // post-evolution rows carry their values
+    ch.filter(col("_commit_version") === 3).select("extra").as[String]
+      .collect().sorted shouldBe Array("e1", "e2")
+    ch.filter(col("_change_type") === "update_postimage")
+      .select("extra").as[String].head() shouldBe "back-filled"
+    // a range ENDING before the evolution still reads the old 2-column shape
+    val pre = t.changes(1, Some(1))
+    pre.schema.fieldNames should not contain "extra"
+    pre.count() shouldBe 3
+  }
+
   test("replaying CDF from v0 reconstructs the snapshot") {
     val t = cdfTable("cdf-replay")
     t.update(col("k") === 1, Map("v" -> lit("A")))
