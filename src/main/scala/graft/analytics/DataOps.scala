@@ -410,7 +410,10 @@ object DataOps {
     * the byte-prefix length, its frames on the slice count. Image
     * thumbnails are re-decoded (header parse) to gate the real resize. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // four downstream branches (meta, features, thumbs, frames) — persist
+    // so each payload is encoded once, not once per branch
     val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = Multimodal.extractFeatures(media, dim = 12).toDF()
       .select(col("media_id"), size(col("feature")).as("feature_dim"),
         (col("featureNorm") >= 0.0 && col("featureNorm") < 4.0).as("norm_in_range"),

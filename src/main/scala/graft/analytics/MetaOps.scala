@@ -181,7 +181,49 @@ object MetaOps {
     spark.table("gq72.silver.orders")
   }
 
+  /** Streaming dedup-at-ingest (q79): a pre-ingested corpus contributes
+    * ONLY its fingerprint index; four id-range document files then stream
+    * in (maxFilesPerTrigger = 1 → four sequential micro-batches, arrival
+    * = id order since FileStreamSource drains oldest-mtime first and the
+    * ranges are written in id order), each batch dropping docs whose text
+    * the index already holds and appending survivors + their fingerprints
+    * for the NEXT batch to see. Under ordered arrival first-arrival-wins
+    * equals lowest-id-wins, so the final corpus table is exactly the
+    * one-shot incrementalExact result — which the oracle replays. */
+  def streamDedupIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamIngest
+    val docs = Tables.documents(spark, sfDir)
+    val pre = docs.filter(col("doc_id") % 10 < 5)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val corpus = LakeTable.create(spark, scratch("q79corpus"), docs.schema)
+    val index = LakeTable.createFrom(spark, scratch("q79index"),
+      graft.dedup.Dedup.fingerprints(pre))
+    val srcDir = Files.createTempDirectory("graft-q79-src").toString
+    val maxId = batch.agg(max("doc_id")).head.getLong(0)
+    val step = maxId / 4 + 1
+    (0 until 4).foreach { i =>
+      batch.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val cfg = StreamIngest.StreamConfig(format = "parquet",
+      maxFilesPerTrigger = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = StreamIngest.startDedupIngest(
+      StreamIngest.fileSource(spark, srcDir, docs.schema, cfg),
+      corpus, index, scratch("q79ckpt"), config = cfg)
+    try require(q.awaitTermination(300000), "stream did not drain")
+    finally if (q.isActive) q.stop()
+    corpus.read().orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q79_stream_dedup_ingest" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0)
+         SELECT doc_id, text, lang, source, n_chars FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents c
+             WHERE c.doc_id % 10 < 5 AND c.text = b.text)
+           AND b.doc_id = (SELECT min(d.doc_id) FROM batch d WHERE d.text = b.text)
+         ORDER BY doc_id""",
     "q74_native_sql_merge" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 500.0

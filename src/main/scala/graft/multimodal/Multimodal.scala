@@ -33,6 +33,11 @@ object Multimodal {
     * audio) — kept honest and clearly named. */
   object Codecs {
 
+    // ImageIO's default stream cache spills every (de)coder stream through
+    // a temp FILE — for in-memory byte arrays that is pure overhead (and a
+    // tmpdir dependency inside executor tasks); keep codec IO on-heap
+    javax.imageio.ImageIO.setUseCache(false)
+
     // ---- images (real: javax.imageio — PNG/JPEG/GIF/BMP) ----
 
     /** Full decode to pixels; None when no installed reader understands the

@@ -142,6 +142,51 @@ object StreamIngest {
     (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
   }
 
+  /** Dedup-at-ingest — the steady-state corpus-build pattern: each
+    * micro-batch is deduplicated against the PERSISTED fingerprint index
+    * (plus within itself, lowest id wins) and the survivors append to BOTH
+    * the corpus table and the index inside the same foreachBatch, so the
+    * next batch sees them. First-arrival-wins across batches; with
+    * id-ordered arrival this equals [[graft.dedup.Dedup.incrementalExact]]'s
+    * lowest-id contract corpus-wide.
+    *
+    * Exactly-once: the two appends ride (txnAppId, epochId) idempotence
+    * with DISTINCT app ids — a replayed batch no-ops on each table
+    * independently, so a crash between the corpus append and the index
+    * append replays into "corpus no-op + index append" and converges.
+    *
+    * Scale: per batch one anti-join against the index (~50 B/doc, scanned
+    * — never driver-collected) and two appends; already-ingested text is
+    * never re-read. At 100 TB store the index bucketed on `fp` so the
+    * per-batch probe co-partitions instead of shuffling the index. */
+  def startDedupIngest(
+      source: DataFrame,
+      corpus: LakeTable,
+      index: LakeTable,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: StreamConfig = StreamConfig(),
+      queryName: String = ""): StreamingQuery = {
+    val appId = txnAppIdFor(checkpointDir)
+    val w = source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(config.trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val survivors = graft.dedup.Dedup.incrementalExact(
+          batch, index.read(), idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          corpus.appendStream(survivors, s"$appId-corpus", epochId)
+          index.appendStream(
+            graft.dedup.Dedup.fingerprints(survivors, idCol, textCol),
+            s"$appId-index", epochId): Unit
+        } finally { survivors.unpersist(): Unit }
+      }
+    (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
+  }
+
   /** Auto Loader schema-location parity (cloudFiles.schemaLocation +
     * inferColumnTypes, notebooks/01_bronze_ingestion.py:213-214): infer the
     * schema from the files present, persist it under `schemaLocation`, and

@@ -21,6 +21,45 @@ class StreamingSpec extends SparkSpec {
     Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
   }
 
+  test("dedup-at-ingest: index-filtered batches, cross-batch dedup, replay no-op") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = tmpDir("dedup-src")
+    val ck = tmpDir("dedup-ck").toString
+    val corpus = LakeTable.create(spark, tmpDir("dedup-corpus").resolve("t").toString, docSchema)
+    import spark.implicits._
+    val index = LakeTable.createFrom(spark, tmpDir("dedup-idx").resolve("t").toString,
+      graft.dedup.Dedup.fingerprints(Seq((100L, "already ingested")).toDF("doc_id", "text")))
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(src.resolve(name),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    def drain(): Unit = {
+      val cfg = StreamIngest.StreamConfig(
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = StreamIngest.startDedupIngest(
+        StreamIngest.fileSource(spark, src.toString, docSchema, cfg),
+        corpus, index, ck, config = cfg)
+      try { require(q.awaitTermination(120000), "stream did not drain") }
+      finally if (q.isActive) q.stop()
+    }
+    // batch 1: one corpus hit dropped, one within-batch dup collapsed
+    writeDocs("b1.json", Seq((1L, "already ingested"), (2L, "fresh alpha"),
+      (5L, "fresh alpha"), (3L, "fresh beta")))
+    drain()
+    corpus.read().select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // batch 2: dup of batch-1 survivor dropped via the UPDATED index
+    writeDocs("b2.json", Seq((7L, "fresh alpha"), (8L, "fresh gamma")))
+    drain()
+    corpus.read().select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L, 8L)
+    // index carries exactly the pre-load + survivors
+    index.read().count() shouldBe 4 // 100, 2, 3, 8
+    // replay with no new files: both ledgers make it a no-op
+    drain()
+    corpus.read().count() shouldBe 3
+    index.read().count() shouldBe 4
+  }
+
   test("file stream ingests into a table exactly-once across restarts (S11+W7)") {
     val src = tmpDir("stream-src")
     val ck = tmpDir("stream-ck").toString
