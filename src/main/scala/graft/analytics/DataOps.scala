@@ -258,6 +258,13 @@ object DataOps {
       budget = 300L, alpha = 0.5)
       .orderBy("source", "sample_rank")
 
+  /** Matryoshka gate (q80): every embedding truncated to its first 8
+    * components and L2-renormalized — slice, fold, rounded division, all
+    * replayed exactly by the oracle's list arithmetic. */
+  def matryoshka(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.truncateNormalize(Tables.embeddings(spark, sfDir), dim = 8)
+      .orderBy("vec_id")
+
   /** Hard-negative mining gate (q78): queries 60..70 (disjoint from every
     * other ANN gate's range), top-5 by exact cosine among OTHER-label
     * vectors — same-label rows are presumed positives and excluded. */
@@ -761,6 +768,15 @@ object DataOps {
          SELECT r.doc_id, r.source, r.sample_rank
          FROM r JOIN q USING (source) WHERE sample_rank <= quota
          ORDER BY source, sample_rank""",
+    "q80_matryoshka" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         SELECT vec_id,
+           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
+                ELSE v END AS truncated
+         FROM n ORDER BY vec_id""",
     "q78_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

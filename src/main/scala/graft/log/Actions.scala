@@ -83,6 +83,22 @@ case class CdfFile(path: String, numRecords: Long) extends Action
   * of masks and rewriting every touched file. */
 case class DeletionVector(forFile: String, dvPath: String, numDeleted: Long) extends Action
 
+/** Forward-compatibility gate (the Delta protocol action): a reader must
+  * support `minReaderVersion` to resolve snapshots, a writer must support
+  * `minWriterVersion` to commit — an engine that doesn't fails LOUDLY
+  * instead of silently mis-reading a table written with features it does
+  * not understand. Tables created before this action existed default to
+  * (1, 1). [[Protocol.SupportedReader]]/[[Protocol.SupportedWriter]] are
+  * what THIS library implements; `upgradeProtocol` raises a table's
+  * requirement once a future feature depends on it. */
+case class Protocol(minReaderVersion: Int, minWriterVersion: Int) extends Action
+
+object Protocol {
+  val SupportedReader = 1
+  val SupportedWriter = 1
+  val Current: Protocol = Protocol(SupportedReader, SupportedWriter)
+}
+
 /** Envelope for one NDJSON line. Exactly one field is set. */
 private[log] case class ActionEnvelope(
     add: AddFile = null,
@@ -90,7 +106,8 @@ private[log] case class ActionEnvelope(
     metaData: Metadata = null,
     commitInfo: CommitInfo = null,
     cdf: CdfFile = null,
-    deletionVector: DeletionVector = null)
+    deletionVector: DeletionVector = null,
+    protocol: Protocol = null)
 
 object Actions {
   private val mapper: ObjectMapper = {
@@ -111,6 +128,7 @@ object Actions {
     case x: CommitInfo => mapper.writeValueAsString(ActionEnvelope(commitInfo = x))
     case x: CdfFile    => mapper.writeValueAsString(ActionEnvelope(cdf = x))
     case x: DeletionVector => mapper.writeValueAsString(ActionEnvelope(deletionVector = x))
+    case x: Protocol   => mapper.writeValueAsString(ActionEnvelope(protocol = x))
   }
 
   def fromJson(line: String): Action = {
@@ -121,6 +139,7 @@ object Actions {
     else if (e.commitInfo != null) e.commitInfo
     else if (e.cdf != null) e.cdf
     else if (e.deletionVector != null) e.deletionVector
+    else if (e.protocol != null) e.protocol
     else throw new IllegalArgumentException(s"unrecognized action: $line")
   }
 }

@@ -12,7 +12,8 @@ case class Snapshot(
     metadata: Metadata,
     files: Seq[AddFile],
     commits: Seq[CommitInfo],
-    dvs: Map[String, DeletionVector] = Map.empty) {
+    dvs: Map[String, DeletionVector] = Map.empty,
+    protocol: Protocol = Protocol.Current) {
   def schema: StructType = DataType.fromJson(metadata.schemaJson).asInstanceOf[StructType]
   def numFiles: Int = files.size
   def sizeInBytes: Long = files.map(_.size).sum
@@ -87,7 +88,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
-      snap.metadata +: (snap.commits ++ snap.files ++ snap.dvs.values)
+      Seq(snap.protocol, snap.metadata) ++ (snap.commits ++ snap.files ++ snap.dvs.values)
     val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
     store.writeAtomic(checkpointFile(v), body.getBytes(StandardCharsets.UTF_8),
       overwrite = true): Unit
@@ -101,6 +102,8 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     val upTo = version.getOrElse(versions.last)
     require(versions.contains(upTo), s"version $upTo does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
     var meta: Metadata = null
+    // pre-protocol tables (no action anywhere in the log) read as (1, 1)
+    var proto: Protocol = Protocol(1, 1)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DeletionVector]
     val commits = scala.collection.mutable.ArrayBuffer.empty[CommitInfo]
@@ -115,6 +118,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
           case a: AddFile         => live(a.path) = a
           case c: CommitInfo      => commits += c
           case d: DeletionVector  => applyDv(d)
+          case p: Protocol        => proto = p
           case _                  =>
         }
     }
@@ -125,11 +129,18 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case r: RemoveFile     => live.remove(r.path); dvs.remove(r.path): Unit
         case c: CommitInfo     => commits += c
         case d: DeletionVector => applyDv(d)
+        case p: Protocol       => proto = p
         case _: CdfFile        => // only consumed by cdf scans
       }
     }
     require(meta != null, s"no metadata action found in $tableDir")
-    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap)
+    // the forward-compat gate: refuse to interpret a table whose log
+    // demands reader features this engine does not implement
+    if (proto.minReaderVersion > Protocol.SupportedReader)
+      throw new IllegalStateException(
+        s"table $tableDir requires minReaderVersion=${proto.minReaderVersion} " +
+          s"but this engine supports ${Protocol.SupportedReader} — upgrade the library")
+    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap, proto)
   }
 
   /** Latest version whose commit timestamp <= ts (time travel by timestamp,

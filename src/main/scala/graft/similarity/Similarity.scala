@@ -52,6 +52,27 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Matryoshka truncation (MRL serving): keep the first `dim` components
+    * of each embedding and L2-renormalize — the nested-representation trick
+    * that serves a prefix of the vector at a fraction of the storage and
+    * compare cost (train once, pick the dimension at query time). Pure
+    * codegen arithmetic (slice + fold), narrow, no shuffle; components are
+    * rounded to 6 dp after the renormalize so the output is reproducible
+    * across engines and float-fold orders. Zero vectors pass through
+    * un-normalized (no 0/0). */
+  def truncateNormalize(
+      emb: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"bad dim $dim")
+    val v = slice(asDouble(col(vecCol)), 1, dim)
+    val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    emb.select(col(idCol),
+      when(nrm > 0, transform(v, x => round(x / nrm, 6)))
+        .otherwise(v).as("truncated"))
+  }
+
   /** Contrastive-training hard-negative mining: for each query vector, the
     * top-k most-similar corpus vectors OUTSIDE the query's own label group
     * (same-label vectors are presumed positives — returning them would

@@ -1018,6 +1018,13 @@ class LakeTable private[table] (
       initial: Snapshot,
       metrics: Map[String, Long] = Map.empty)(build: Snapshot => Seq[Action]): Long = {
     var snap = initial
+    // writer-side forward-compat gate (the read-side twin lives in
+    // TxLog.snapshot): never commit into a table whose log demands writer
+    // features this engine does not implement
+    if (snap.protocol.minWriterVersion > graft.log.Protocol.SupportedWriter)
+      throw new IllegalStateException(
+        s"table $dir requires minWriterVersion=${snap.protocol.minWriterVersion} " +
+          s"but this engine supports ${graft.log.Protocol.SupportedWriter} — upgrade the library")
     var attempts = 0
     while (true) {
       val actions = build(snap)
@@ -1069,6 +1076,25 @@ class LakeTable private[table] (
 
   // ------------------------------------------------- metadata operations
 
+  /** Raise the table's protocol requirement (Delta's upgradeTableProtocol):
+    * one commit carrying the new Protocol action. Only upward — lowering a
+    * requirement cannot un-write the features that demanded it. Raising
+    * past what THIS engine supports is allowed (Delta permits it too) but
+    * locks this engine out of the table on the next read/write. */
+  def upgradeProtocol(minReaderVersion: Int, minWriterVersion: Int): Long = {
+    val snap = snapshot()
+    val cur = snap.protocol
+    require(minReaderVersion >= cur.minReaderVersion &&
+        minWriterVersion >= cur.minWriterVersion,
+      s"protocol can only be upgraded: table is at (${cur.minReaderVersion}, " +
+        s"${cur.minWriterVersion}), requested ($minReaderVersion, $minWriterVersion)")
+    commitWithRetry("UPGRADE PROTOCOL",
+      Map("minReaderVersion" -> minReaderVersion.toString,
+        "minWriterVersion" -> minWriterVersion.toString), snap) { _ =>
+      Seq(graft.log.Protocol(minReaderVersion, minWriterVersion))
+    }
+  }
+
   /** DESCRIBE HISTORY (M14, src/delta_utils.py:168-174). `userName` /
     * `isBlindAppend` follow Delta's history column names; commits written
     * by older versions of this library surface them as null. */
@@ -1099,7 +1125,8 @@ class LakeTable private[table] (
       new java.sql.Timestamp(snap.commits.lastOption.map(_.timestamp).getOrElse(0L)),
       snap.metadata.partitionColumns, snap.numFiles.toLong, snap.sizeInBytes,
       snap.metadata.properties,
-      snap.dvs.size.toLong, snap.dvs.values.map(_.numDeleted).sum))
+      snap.dvs.size.toLong, snap.dvs.values.map(_.numDeleted).sum,
+      snap.protocol.minReaderVersion, snap.protocol.minWriterVersion))
     val schema = StructType(Seq(
       StructField("format", StringType), StructField("id", StringType),
       StructField("name", StringType), StructField("location", StringType),
@@ -1108,7 +1135,9 @@ class LakeTable private[table] (
       StructField("numFiles", LongType), StructField("sizeInBytes", LongType),
       StructField("properties", MapType(StringType, StringType)),
       StructField("numDeletionVectors", LongType),
-      StructField("numDeletedRows", LongType)))
+      StructField("numDeletedRows", LongType),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -1500,7 +1529,7 @@ object LakeTable {
       Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L,
       LakeTable.currentUser, false)
     val tlog = new TxLog(p)
-    if (!tlog.tryCommit(0L, Seq(ci, meta)) && !ifNotExists)
+    if (!tlog.tryCommit(0L, Seq(ci, graft.log.Protocol.Current, meta)) && !ifNotExists)
       throw new IllegalStateException(s"concurrent create on $dir")
     new LakeTable(spark, p)
   }
