@@ -217,13 +217,13 @@ object TableOps {
     * mixed-generation table still reads back bit-for-bit against the
     * oracle. The liquid-clustering property, gated end-to-end. */
   def clusterIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
     val t = LakeTable.createFrom(spark, scratch("incz"),
-      li.filter(col("l_orderkey") % 2 === 0))
-    t.optimizeZOrder(Seq("l_partkey"), targetFileSize = 8L * 1024 * 1024)
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.optimizeZOrder(Seq("o_custkey"), targetFileSize = 2L * 1024 * 1024)
     val clustered = t.snapshot().files.map(_.path).toSet
-    t.append(li.filter(col("l_orderkey") % 2 =!= 0))
-    val v = t.optimizeZOrder(Seq("l_partkey"), targetFileSize = 8L * 1024 * 1024)
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+    val v = t.optimizeZOrder(Seq("o_custkey"), targetFileSize = 2L * 1024 * 1024)
     val snap = t.snapshot()
     val skipped = snap.commits.find(_.version == v)
       .flatMap(_.operationMetrics.get("numFilesSkippedAlreadyClustered")).getOrElse(-1L)
@@ -338,7 +338,7 @@ object TableOps {
     "q70_hilbert_identity" ->
       """SELECT * FROM lineitem""",
     "q76_cluster_incremental" ->
-      """SELECT * FROM lineitem""",
+      """SELECT * FROM orders""",
     "q17_scd2" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          TIMESTAMP '2026-01-01 00:00:00' AS effective_start,

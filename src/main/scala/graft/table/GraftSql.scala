@@ -47,6 +47,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val generateCmd =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
   private val vacuumCmd =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
@@ -363,6 +365,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case convertCmd(path) =>
       val t = LakeTable.convert(spark, unquote(path))
       oneRow("location" -> t.dir.toString, "version" -> t.version)
+    case generateCmd(t) =>
+      oneRow("manifest" -> table(t).generateSymlinkManifest().toString)
     case setProps(t, body) =>
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)

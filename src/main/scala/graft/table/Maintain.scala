@@ -123,6 +123,38 @@ trait MaintenanceSupport { self: LakeTable =>
         "numFilesSkippedAlreadyClustered" -> (inScope.size - scoped.size).toLong))
   }
 
+  /** GENERATE symlink_format_manifest (Delta's external-reader interop):
+    * write, per partition directory, a text file listing the absolute URIs
+    * of the snapshot's live data files under
+    * `_symlink_format_manifest/<partition>/manifest`. Engines that cannot
+    * read the transaction log (Presto/Trino/Athena Hive connectors, or any
+    * tool that consumes file lists) then see EXACTLY the current snapshot
+    * — never uncommitted, compacted-away, or tombstoned files. Tables with
+    * live deletion vectors refuse (a manifest reader cannot apply row
+    * masks — Delta errors identically); run [[reorgPurge]] first. Stale
+    * manifest entries from prior generations are replaced wholesale. */
+  def generateSymlinkManifest(): java.nio.file.Path = {
+    val snap = snapshot()
+    require(snap.dvs.isEmpty,
+      "GENERATE symlink_format_manifest is not supported with live deletion " +
+        "vectors (external readers cannot apply row masks) — run REORG APPLY (PURGE) first")
+    val root = dir.resolve("_symlink_format_manifest")
+    graft.log.TxLog.deleteRecursively(root)
+    // group by LOGICAL partition (write batches land in distinct physical
+    // uuid dirs — a hive-layout consumer wants one manifest per partition)
+    val pcols = snap.metadata.partitionColumns
+    snap.files.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      val rel = pcols.map(c => s"$c=${pv.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+      val out = rel.foldLeft(root)(_.resolve(_))
+      java.nio.file.Files.createDirectories(out)
+      val body = files.map(f => dir.resolve(f.path).toUri.toString)
+        .sorted.mkString("", "\n", "\n")
+      java.nio.file.Files.write(out.resolve("manifest"),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    root
+  }
+
   /** REORG TABLE … APPLY (PURGE) analogue (Delta's deletion-vector purge):
     * rewrite files whose masked fraction is ≥ `minMaskedFraction`,
     * materializing the masks into clean files and dropping the vectors —

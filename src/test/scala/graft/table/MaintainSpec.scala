@@ -69,6 +69,47 @@ class MaintainSpec extends SparkSpec {
     t.read().count() shouldBe 1500
   }
 
+  test("symlink manifest lists exactly the snapshot's live files, per partition") {
+    val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      partitionColumns = Seq("p"))
+    (0 until 3).foreach { i =>
+      t.append(spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), concat(lit("p"), col("id") % 2).as("p")))
+    }
+    t.optimizeCompact() // tombstones some files — manifest must skip them
+    val root = t.generateSymlinkManifest()
+    def manifestUris(sub: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(root.resolve(sub).resolve("manifest"))
+        .asScala.toSeq.filter(_.nonEmpty)
+    }
+    val listed = (manifestUris("p=p0") ++ manifestUris("p=p1"))
+      .map(u => java.nio.file.Paths.get(java.net.URI.create(u)).toString).toSet
+    val snap = t.snapshot()
+    listed shouldBe snap.files.map(f => t.dir.resolve(f.path).toString).toSet
+    // an external engine reading ONLY the manifest sees the exact table
+    val external = spark.read.parquet(
+      (manifestUris("p=p0") ++ manifestUris("p=p1")): _*)
+    external.count() shouldBe 300
+    // regeneration replaces wholesale after more churn
+    t.delete(col("id") < 50)
+    t.generateSymlinkManifest()
+    (manifestUris("p=p0") ++ manifestUris("p=p1"))
+      .map(u => java.nio.file.Paths.get(java.net.URI.create(u)).toString)
+      .toSet shouldBe t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // live deletion vectors refuse (masks are invisible to manifest readers)
+    t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    t.delete(col("id") === 60L)
+    val e = intercept[IllegalArgumentException] { t.generateSymlinkManifest() }
+    e.getMessage should include("REORG")
+    // SQL surface
+    t.reorgPurge()
+    graft.table.GraftSql(spark)
+      .run(s"GENERATE symlink_format_manifest FOR TABLE '${t.dir}'")
+      .collect().head.getString(0) should include("_symlink_format_manifest")
+  }
+
   test("clustered ingest writes carry the provenance tag; OPTIMIZE skips them") {
     val t = LakeTable.create(spark, tmpDir("inci").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("k", LongType))),
