@@ -18,6 +18,24 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   private val describeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val describeDetail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+)\s*""".r
+  // maintenance statements Spark's grammar does not know (Delta's extension
+  // adds the same set): parsed here into eager commands — Spark executes
+  // RunnableCommands when spark.sql() returns, which is exactly Delta's
+  // OPTIMIZE/VACUUM timing. The statement bodies are delegated verbatim to
+  // GraftSql, the single dispatcher both surfaces share.
+  private val optimizeCmd =
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val reorgCmd =
+    """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val vacuumCmd =
+    """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+  // EXACTLY GraftSql's two restore forms: a broader match here would loop
+  // (GraftSql falls back to spark.sql for statements it can't parse, which
+  // would re-enter this parser)
+  private val restoreCmd =
+    """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+\d+|TIMESTAMP\s+AS\s+OF\s+'[^']+')\s*""".r
+  private val generateCmd =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -26,12 +44,40 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
     else t
   }
 
+  private def command(sqlText: String, schema: org.apache.spark.sql.types.StructType) =
+    GraftRunCommand(sqlText.trim.split("""\s+""").head.toUpperCase, schema,
+      s => GraftSql(s).run(sqlText).collect().toSeq)
+
+  private val versionOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType)))
+  private val restoredOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("restored_version",
+      org.apache.spark.sql.types.LongType)))
+  private val pathOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType)))
+  private val manifestOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("manifest",
+      org.apache.spark.sql.types.StringType)))
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(t, limit) =>
       GraftSql.resolveSpec(spark, unquote(t))
         .history(Option(limit).map(_.toInt)).queryExecution.logical
     case describeDetail(t) =>
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
+    case optimizeCmd(_, _, _, _) => command(sqlText, versionOut)
+    case reorgCmd(_, _) => command(sqlText, versionOut)
+    case vacuumCmd(_, _, _) => command(sqlText, pathOut)
+    case restoreCmd(_) => command(sqlText, restoredOut)
+    case generateCmd(_) => command(sqlText, manifestOut)
+    // never parses as Spark SQL (OPTIMIZE/VACUUM/... are not grammar words),
+    // so a malformed maintenance statement gets a graft error, not Spark's
+    // confusing syntax error — and can never re-enter this parser
+    case s if s.trim.toUpperCase.startsWith("OPTIMIZE ") ||
+        s.trim.toUpperCase.startsWith("VACUUM ") =>
+      throw new IllegalArgumentException(s"cannot parse maintenance statement: $s")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -51,7 +97,22 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   override def parsePlanWithParameters(
       sqlText: String, parameterContext: ParameterContext): LogicalPlan =
     sqlText match {
-      case describeHistory(_, _) | describeDetail(_) => parsePlan(sqlText)
+      case describeHistory(_, _) | describeDetail(_) | optimizeCmd(_, _, _, _) |
+           reorgCmd(_, _) | vacuumCmd(_, _, _) | restoreCmd(_) | generateCmd(_) =>
+        parsePlan(sqlText)
       case _ => delegate.parsePlanWithParameters(sqlText, parameterContext)
     }
+}
+
+/** Eager maintenance command (Spark runs RunnableCommands when `spark.sql`
+  * returns — Delta's OPTIMIZE/VACUUM semantics): a fixed output schema plus
+  * the GraftSql dispatch closure. */
+case class GraftRunCommand(
+    commandName: String,
+    outSchema: org.apache.spark.sql.types.StructType,
+    body: SparkSession => Seq[org.apache.spark.sql.Row])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(outSchema)
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = body(session)
 }

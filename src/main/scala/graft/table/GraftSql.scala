@@ -52,7 +52,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val vacuumCmd =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val addConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
@@ -375,9 +375,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case restoreTs(t, ts) =>
       oneRow("restored_version" ->
         table(t).restoreToTimestamp(java.sql.Timestamp.valueOf(ts).getTime))
-    case cloneCmd(dst, kind, src) =>
+    case cloneCmd(dst, kind, src, version) =>
       val cloned = table(src).cloneTo(unquote(dst),
-        shallow = kind.equalsIgnoreCase("SHALLOW"))
+        shallow = kind.equalsIgnoreCase("SHALLOW"),
+        versionAsOf = Option(version).map(_.toLong))
       oneRow("location" -> cloned.dir.toString)
     case optimizeCmd(t, where, zorder, cluster) =>
       val tbl = table(t)

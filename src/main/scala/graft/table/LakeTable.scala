@@ -1425,9 +1425,13 @@ class LakeTable private[table] (
   }
 
   /** CLONE (M11, src/delta_utils.py:79-105). Shallow = new log referencing
-    * the source's files by absolute path; deep = full file copy. */
-  def cloneTo(targetDir: String, shallow: Boolean = true): LakeTable = {
-    val snap = snapshot()
+    * the source's files by absolute path; deep = full file copy.
+    * `versionAsOf` clones the table AS OF that version (time-travel clone —
+    * the reproducible-training-snapshot pattern: pin a corpus state under a
+    * new name without copying data in the shallow case). */
+  def cloneTo(targetDir: String, shallow: Boolean = true,
+      versionAsOf: Option[Long] = None): LakeTable = {
+    val snap = log.snapshot(versionAsOf)
     val tgt = Paths.get(targetDir)
     require(!TxLog.isTable(targetDir), s"clone target already a table: $targetDir")
     Files.createDirectories(tgt)
@@ -1460,11 +1464,14 @@ class LakeTable private[table] (
     val now = System.currentTimeMillis()
     val meta = snap.metadata.copy(id = UUID.randomUUID().toString, createdTime = now)
     val ci = CommitInfo(0L, now, "CLONE",
-      Map("source" -> dir.toString, "isShallow" -> shallow.toString),
+      Map("source" -> dir.toString, "isShallow" -> shallow.toString) ++
+        versionAsOf.map(v => "sourceVersion" -> v.toString),
       Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L,
       LakeTable.currentUser, false)
     val tlog = new TxLog(tgt)
-    require(tlog.tryCommit(0L, (ci +: meta +: adds) ++ dvActions), s"concurrent clone into $targetDir")
+    require(tlog.tryCommit(0L,
+      (ci +: graft.log.Protocol.Current +: meta +: adds) ++ dvActions),
+      s"concurrent clone into $targetDir")
     new LakeTable(spark, tgt)
   }
 }

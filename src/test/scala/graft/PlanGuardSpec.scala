@@ -29,7 +29,10 @@ class PlanGuardSpec extends SparkSpec {
     // ADC scoring joins each code row to the broadcast O(m*k) codebook
     "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)",
     // vocabulary size joins in as a broadcast single-row aggregate
-    "q64_perplexity" -> "1-row broadcast vocab crossJoin, O(rows)")
+    "q64_perplexity" -> "1-row broadcast vocab crossJoin, O(rows)",
+    // hard negatives: q25's broadcast query-side shape with the label
+    // disjointness fused into the join predicate (non-equi by nature)
+    "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)")
 
   test("no unbounded CartesianProduct / BroadcastNestedLoopJoin in any driver query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

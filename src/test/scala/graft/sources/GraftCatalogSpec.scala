@@ -72,6 +72,46 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) shouldBe 15
   }
 
+  test("native spark.sql maintenance: OPTIMIZE / VACUUM / RESTORE / REORG / GENERATE") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")
+    spark.sql("CREATE TABLE gcat.maint.t (id BIGINT, k BIGINT) USING graft")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gcat.maint.t SELECT id + ${i * 100}, id % 50 FROM range(100)")
+    }
+    val path = LakeTable.forPath(spark, s"$warehouse/maint/t")
+    val before = path.snapshot().numFiles
+
+    val ov = spark.sql("OPTIMIZE gcat.maint.t ZORDER BY (k)").collect().head
+    ov.schema.fieldNames shouldBe Array("version")
+    path.snapshot().numFiles should be <= before
+    path.read().count() shouldBe 400
+
+    // restore BEFORE vacuum — the pre-optimize files must still exist
+    // (restoring past a vacuum horizon fails in Delta for the same reason)
+    spark.sql("RESTORE TABLE gcat.maint.t TO VERSION AS OF 2").collect()
+      .head.getLong(0) should be >= 2L
+    spark.sql("SELECT count(*) FROM gcat.maint.t").collect().head.getLong(0) shouldBe 200
+
+    // vacuum with retain 0: files referenced by NO live version physically go
+    val removed = spark.sql("VACUUM gcat.maint.t RETAIN 0 HOURS").collect()
+    removed.length should be >= 1
+    spark.sql("SELECT count(*) FROM gcat.maint.t").collect().head.getLong(0) shouldBe 200
+
+    // DV delete then REORG through spark.sql
+    spark.sql("ALTER TABLE gcat.maint.t SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true')")
+    spark.sql("DELETE FROM gcat.maint.t WHERE id % 10 = 0")
+    LakeTable.forPath(spark, s"$warehouse/maint/t").snapshot().dvs should not be empty
+    spark.sql("REORG TABLE gcat.maint.t APPLY (PURGE)").collect()
+    LakeTable.forPath(spark, s"$warehouse/maint/t").snapshot().dvs shouldBe empty
+
+    val m = spark.sql("GENERATE symlink_format_manifest FOR TABLE gcat.maint.t")
+      .collect().head.getString(0)
+    m should include("_symlink_format_manifest")
+    java.nio.file.Files.exists(java.nio.file.Paths.get(m, "manifest")) shouldBe true
+  }
+
   test("filter pushdown prunes files through spark.table") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.silver")

@@ -218,6 +218,26 @@ class LakeTableSpec extends SparkSpec {
     deep.read().count() shouldBe 20
   }
 
+  test("clone VERSION AS OF pins a historical snapshot under a new name") {
+    val t = freshTable("lt-clone-v")
+    t.append(rows(0 until 20)) // v1
+    val v1 = t.version
+    t.append(rows(20 until 50)) // v2
+    val pinned = t.cloneTo(tmpDir("lt-clone-v1").resolve("p").toString,
+      shallow = true, versionAsOf = Some(v1))
+    pinned.read().count() shouldBe 20
+    pinned.version shouldBe 0 // fresh single-commit log
+    // the clone is independent: source keeps evolving, pin stays put
+    t.append(rows(50 until 60))
+    pinned.read().count() shouldBe 20
+    t.read().count() shouldBe 60
+    // SQL form
+    val dst = tmpDir("lt-clone-sql").resolve("q").toString
+    GraftSql(spark).run(
+      s"CREATE TABLE '$dst' SHALLOW CLONE '${t.dir}' VERSION AS OF $v1")
+    LakeTable.forPath(spark, dst).read().count() shouldBe 20
+  }
+
   test("vacuum removes tombstoned files after the horizon, never live ones") {
     val t = freshTable("lt-vac")
     t.append(rows(0 until 50))
