@@ -215,14 +215,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def abortStagedChanges(): Unit = () // nothing visible was staged
   }
 
+  /** Column defaults flow through Spark's own DEFAULT framework: with this
+    * capability declared, CREATE TABLE DDL encodes defaults into the column
+    * metadata (CURRENT_DEFAULT/EXISTS_DEFAULT keys) and INSERTs that omit a
+    * defaulted column are filled at analysis time by ResolveDefaultColumns
+    * — the engine only has to keep the metadata and honor it on the
+    * path-based write API (LakeTable.align does). */
+  override def capabilities(): JSet[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = lake(ident)
     changes.foreach {
       case sp: TableChange.SetProperty => t.setProperties(Map(sp.property -> sp.value)): Unit
       case rp: TableChange.RemoveProperty => t.unsetProperties(Seq(rp.property)): Unit
       case ac: TableChange.AddColumn if ac.fieldNames.length == 1 =>
+        // Delta parity: ADD COLUMN with a default is rejected — it would
+        // imply a backfill of rows already written without the column
+        if (ac.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN with DEFAULT is not supported (existing rows would need " +
+              "a backfill, as in Delta); add the column, then ALTER COLUMN SET DEFAULT")
         t.addColumns(Seq(org.apache.spark.sql.types.StructField(
           ac.fieldNames.head, ac.dataType, ac.isNullable))): Unit
+      case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames.length == 1 =>
+        t.setColumnDefault(ud.fieldNames.head,
+          Option(ud.newDefaultValue()).filter(_.nonEmpty)): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER not supported through the catalog: $other (use GraftSql / the table API)")
     }

@@ -494,6 +494,14 @@ class MergeBuilder private[table] (
     }
     val schema = org.apache.spark.sql.types.StructType(snap.schema.fields ++ newCols)
     val evolution: Seq[graft.log.Action] = table.evolveMeta(snap, schema)
+    // Delta parity: an insert clause that omits a column falls back to the
+    // column's declared DEFAULT (CURRENT_DEFAULT metadata), else NULL
+    def insertMissing(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
+      val md = schema(c).metadata
+      if (md.contains("CURRENT_DEFAULT"))
+        org.apache.spark.sql.functions.expr(md.getString("CURRENT_DEFAULT")).cast(dt)
+      else lit(null).cast(dt)
+    }
 
     // *All clauses resolve against the EFFECTIVE schema (incl. evolved
     // columns), which is only known here.
@@ -623,7 +631,7 @@ class MergeBuilder private[table] (
         var expr: Column = null
         notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
           val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
-            .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+            .map(_.cast(dt)).getOrElse(insertMissing(c, dt))
           expr = if (expr == null) when(col("__action") === s"i$j", v)
             else expr.when(col("__action") === s"i$j", v)
         }
@@ -809,7 +817,7 @@ class MergeBuilder private[table] (
           var expr: Column = null
           notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
             val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
-              .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+              .map(_.cast(dt)).getOrElse(insertMissing(c, dt))
             expr = if (expr == null) when(col("__action") === s"i$j", v)
               else expr.when(col("__action") === s"i$j", v)
           }
@@ -1045,7 +1053,7 @@ class MergeBuilder private[table] (
         }
         notMatchedClauses.zipWithIndex.foreach { case (NotMatchedInsert(_, values), j) =>
           val v = values.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e }
-            .map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+            .map(_.cast(dt)).getOrElse(insertMissing(c, dt))
           expr = if (expr == null) when(col("__action") === s"i$j", v)
             else expr.when(col("__action") === s"i$j", v)
         }

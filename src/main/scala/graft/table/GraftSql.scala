@@ -53,6 +53,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+  private val setDefaultCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
+  private val dropDefaultCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
   private val addConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
@@ -345,6 +349,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       spark.createDataFrame(
         props.map { case (k, v) => Row(k, v) }.asJava,
         StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+    case setDefaultCmd(t, c, dflt) =>
+      oneRow("version" -> table(t).setColumnDefault(c, Some(dflt.trim)))
+    case dropDefaultCmd(t, c) =>
+      oneRow("version" -> table(t).setColumnDefault(c, None))
     case addConstraintCmd(t, name, check) =>
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>

@@ -950,7 +950,14 @@ class LakeTable private[table] (
         // one is validated by the implicit CHECK constraint in stageWrite
         case Some(e) =>
           org.apache.spark.sql.functions.expr(e).cast(f.dataType).as(f.name, f.metadata)
-        case None => lit(null).cast(f.dataType).as(f.name, f.metadata)
+        case None =>
+          // column DEFAULT (Spark's CURRENT_DEFAULT metadata, stamped by
+          // CREATE TABLE ... DEFAULT / ALTER COLUMN SET DEFAULT): a writer
+          // that omits the column gets the declared default, not NULL
+          if (f.metadata.contains("CURRENT_DEFAULT"))
+            org.apache.spark.sql.functions.expr(f.metadata.getString("CURRENT_DEFAULT"))
+              .cast(f.dataType).as(f.name, f.metadata)
+          else lit(null).cast(f.dataType).as(f.name, f.metadata)
       }
     }
     df.select(cols.toIndexedSeq: _*)
@@ -1075,6 +1082,35 @@ class LakeTable private[table] (
   }
 
   // ------------------------------------------------- metadata operations
+
+  /** ALTER COLUMN ... SET/DROP DEFAULT (Delta's allowColumnDefaults): the
+    * CURRENT_DEFAULT applies to FUTURE writers that omit the column —
+    * existing rows are untouched. (ADD COLUMN with a default is rejected,
+    * as in Delta: it would imply a backfill of already-written rows.)
+    * The default must be a constant-foldable expression. */
+  def setColumnDefault(name: String, default: Option[String]): Long = {
+    default.foreach { d =>
+      val e = Pruner.exprOf(org.apache.spark.sql.functions.expr(d))
+      require(e.foldable, s"DEFAULT must be a constant expression, got: $d")
+    }
+    commitWithRetry("ALTER COLUMN DEFAULT",
+      Map("column" -> name, "default" -> default.getOrElse("")), snapshot()) { s =>
+      val f = s.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $name (have ${s.schema.fieldNames.mkString(",")})"))
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+      default match {
+        case Some(d) =>
+          mb.putString("CURRENT_DEFAULT", d): Unit
+          // EXISTS_DEFAULT only when the column was born with the default
+          // (CREATE TABLE); setting it later would misstate old rows
+        case None => mb.remove("CURRENT_DEFAULT"): Unit
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(s.schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) f.copy(metadata = mb.build()) else x))
+      Seq(s.metadata.copy(schemaJson = newSchema.json))
+    }
+  }
 
   /** Raise the table's protocol requirement (Delta's upgradeTableProtocol):
     * one commit carrying the new Protocol action. Only upward — lowering a

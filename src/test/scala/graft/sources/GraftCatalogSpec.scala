@@ -72,6 +72,56 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) shouldBe 15
   }
 
+  test("column DEFAULT values: CREATE DDL, INSERT fill, ALTER SET/DROP, path-API append") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dflt")
+    spark.sql("""CREATE TABLE gcat.dflt.t (
+        id BIGINT, status STRING DEFAULT 'new', score DOUBLE DEFAULT 0.5)
+      USING graft""")
+    // INSERT omitting defaulted columns: Spark's ResolveDefaultColumns fills
+    spark.sql("INSERT INTO gcat.dflt.t (id) VALUES (1), (2)")
+    spark.sql("INSERT INTO gcat.dflt.t (id, status) VALUES (3, 'done')")
+    val rows = spark.table("gcat.dflt.t").orderBy("id")
+      .as[(Long, String, Double)].collect()
+    rows shouldBe Array((1L, "new", 0.5), (2L, "new", 0.5), (3L, "done", 0.5))
+
+    // ALTER COLUMN SET DEFAULT: future inserts change, old rows untouched
+    spark.sql("ALTER TABLE gcat.dflt.t ALTER COLUMN status SET DEFAULT 'queued'")
+    spark.sql("INSERT INTO gcat.dflt.t (id) VALUES (4)")
+    spark.table("gcat.dflt.t").filter(col("id") === 4)
+      .select("status").as[String].head() shouldBe "queued"
+    spark.table("gcat.dflt.t").filter(col("id") === 1)
+      .select("status").as[String].head() shouldBe "new"
+
+    // the path-based write API honors the same metadata
+    val lake = LakeTable.forPath(spark, s"$warehouse/dflt/t")
+    lake.append(Seq(5L).toDF("id"))
+    lake.read().filter(col("id") === 5)
+      .select("status", "score").as[(String, Double)].head() shouldBe (("queued", 0.5))
+
+    // DROP DEFAULT reverts to NULL fill on the path API
+    spark.sql("ALTER TABLE gcat.dflt.t ALTER COLUMN status DROP DEFAULT")
+    lake.append(Seq(6L).toDF("id"))
+    LakeTable.forPath(spark, s"$warehouse/dflt/t").read()
+      .filter(col("id") === 6).select("status").as[String].head() shouldBe null
+
+    // MERGE insert clauses that omit a defaulted column also fill it
+    spark.sql("ALTER TABLE gcat.dflt.t ALTER COLUMN status SET DEFAULT 'merged'")
+    val lake2 = LakeTable.forPath(spark, s"$warehouse/dflt/t")
+    lake2.merge(Seq(100L).toDF("id"), col("target.id") === col("source.id"))
+      .whenNotMatchedInsert(Map("id" -> col("source.id")))
+      .execute()
+    LakeTable.forPath(spark, s"$warehouse/dflt/t").read()
+      .filter(col("id") === 100).select("status", "score")
+      .as[(String, Double)].head() shouldBe (("merged", 0.5))
+
+    // ADD COLUMN with DEFAULT is rejected (backfill hazard, Delta parity)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.dflt.t ADD COLUMN extra STRING DEFAULT 'x'")
+    }
+    e.getMessage should (include("DEFAULT") or include("default"))
+  }
+
   test("native spark.sql maintenance: OPTIMIZE / VACUUM / RESTORE / REORG / GENERATE") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")
