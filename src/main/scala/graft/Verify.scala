@@ -5,6 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // run-private scratch, like Bench: every query's scratch table /
+    // checkpoint / CTAS warehouse lands under one root this run owns and
+    // deletes at exit — repeated driver runs no longer accumulate GBs in
+    // /tmp (must run before any temp-file API loads; see Bench)
+    val runTmp = {
+      val base = System.getProperty("java.io.tmpdir", "/tmp")
+      val d = java.nio.file.Paths.get(base,
+        s"graft-verify-run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      java.nio.file.Files.createDirectories(d)
+      System.setProperty("java.io.tmpdir", d.toString)
+      d
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query-name filter for the dev loop.
     val only: Option[Set[String]] =
@@ -38,5 +50,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    graft.log.TxLog.deleteRecursively(runTmp)
   }
 }
