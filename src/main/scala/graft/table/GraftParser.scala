@@ -24,7 +24,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   // OPTIMIZE/VACUUM timing. The statement bodies are delegated verbatim to
   // GraftSql, the single dispatcher both surfaces share.
   private val optimizeCmd =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(\s+FULL)?(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val vacuumCmd =
@@ -67,7 +67,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
         .history(Option(limit).map(_.toInt)).queryExecution.logical
     case describeDetail(t) =>
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
-    case optimizeCmd(_, _, _, _) => command(sqlText, versionOut)
+    case optimizeCmd(_, _, _, _, _) => command(sqlText, versionOut)
     case reorgCmd(_, _) => command(sqlText, versionOut)
     case vacuumCmd(_, _, _) => command(sqlText, pathOut)
     case restoreCmd(_) => command(sqlText, restoredOut)
@@ -97,7 +97,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   override def parsePlanWithParameters(
       sqlText: String, parameterContext: ParameterContext): LogicalPlan =
     sqlText match {
-      case describeHistory(_, _) | describeDetail(_) | optimizeCmd(_, _, _, _) |
+      case describeHistory(_, _) | describeDetail(_) | optimizeCmd(_, _, _, _, _) |
            reorgCmd(_, _) | vacuumCmd(_, _, _) | restoreCmd(_) | generateCmd(_) =>
         parsePlan(sqlText)
       case _ => delegate.parsePlanWithParameters(sqlText, parameterContext)

@@ -44,7 +44,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val restoreTs =
     """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val optimizeCmd =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(\s+FULL)?(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val generateCmd =
@@ -388,13 +388,14 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
         shallow = kind.equalsIgnoreCase("SHALLOW"),
         versionAsOf = Option(version).map(_.toLong))
       oneRow("location" -> cloned.dir.toString)
-    case optimizeCmd(t, where, zorder, cluster) =>
+    case optimizeCmd(t, fullKw, where, zorder, cluster) =>
       val tbl = table(t)
       val pred = Option(where).map(w => expr(w))
+      val full = fullKw != null // Delta's OPTIMIZE ... FULL: re-cluster everything
       def colsOf(s: String) = s.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
       val v = (Option(zorder), Option(cluster)) match {
-        case (Some(cols), _) => tbl.optimizeZOrder(colsOf(cols), where = pred)
-        case (_, Some(cols)) => tbl.optimizeHilbert(colsOf(cols), where = pred)
+        case (Some(cols), _) => tbl.optimizeZOrder(colsOf(cols), where = pred, full = full)
+        case (_, Some(cols)) => tbl.optimizeHilbert(colsOf(cols), where = pred, full = full)
         case _ => tbl.optimizeCompact(where = pred)
       }
       oneRow("version" -> v)

@@ -1672,7 +1672,7 @@ object LakeTable {
       Map("numFiles" -> adds.size.toString), Map.empty, -1L,
       LakeTable.currentUser, false)
     val tlog = new TxLog(p)
-    if (!tlog.tryCommit(0L, (ci +: meta +: adds)))
+    if (!tlog.tryCommit(0L, (ci +: graft.log.Protocol.Current +: meta +: adds)))
       return forPath(spark, dir) // lost a concurrent-convert race: theirs won
     new LakeTable(spark, p)
   }

@@ -143,8 +143,16 @@ trait MaintenanceSupport { self: LakeTable =>
     // group by LOGICAL partition (write batches land in distinct physical
     // uuid dirs — a hive-layout consumer wants one manifest per partition)
     val pcols = snap.metadata.partitionColumns
+    // hive-style escaping for partition VALUES: '/', '=', '%' and control
+    // chars would otherwise corrupt the manifest directory structure
+    def esc(s: String): String = s.flatMap { c =>
+      if (c == '/' || c == '=' || c == '%' || c == '\\' || c < ' ')
+        f"%%${c.toInt}%02X"
+      else c.toString
+    }
     snap.files.groupBy(_.partitionValues).foreach { case (pv, files) =>
-      val rel = pcols.map(c => s"$c=${pv.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+      val rel = pcols.map(c =>
+        s"$c=${pv.get(c).map(esc).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
       val out = rel.foldLeft(root)(_.resolve(_))
       java.nio.file.Files.createDirectories(out)
       val body = files.map(f => dir.resolve(f.path).toUri.toString)

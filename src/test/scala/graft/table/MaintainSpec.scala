@@ -69,6 +69,35 @@ class MaintainSpec extends SparkSpec {
     t.read().count() shouldBe 1500
   }
 
+  test("incremental-OPTIMIZE fuzz: random interleavings keep data identical, never re-cluster") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val t = LakeTable.create(spark, tmpDir(s"incfuzz$trial").resolve("t").toString,
+        StructType(Seq(StructField("id", LongType), StructField("k", LongType))))
+      var model = Vector.empty[(Long, Long)]
+      var nextId = 0L
+      (1 to 8).foreach { _ =>
+        if (rnd.nextInt(3) < 2) {
+          val n = 50 + rnd.nextInt(150)
+          val rows = Vector.tabulate(n)(i => (nextId + i, rnd.nextInt(1000).toLong))
+          nextId += n
+          model ++= rows
+          t.append(rows.toDF("id", "k").coalesce(1 + rnd.nextInt(2)))
+        } else {
+          val beforeTagged = t.snapshot().files
+            .filter(_.tag("clusteredBy").contains("zorder:k")).map(_.path).toSet
+          t.optimizeZOrder(Seq("k"), targetFileSize = 4096)
+          val after = t.snapshot()
+          // already-clustered outputs are never rewritten...
+          beforeTagged.subsetOf(after.files.map(_.path).toSet) shouldBe true
+          // ...and everything live is clustered after the pass
+          after.files.foreach(_.tag("clusteredBy") shouldBe Some("zorder:k"))
+        }
+      }
+      t.read().as[(Long, Long)].collect().sorted shouldBe model.sorted
+    }
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
