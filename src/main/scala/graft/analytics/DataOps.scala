@@ -258,6 +258,14 @@ object DataOps {
       budget = 300L, alpha = 0.5)
       .orderBy("source", "sample_rank")
 
+  /** Normalized exact dedup gate (q81): duplicates that differ only in
+    * case/punctuation/whitespace collapse to one survivor (lowest id,
+    * original text kept) — the C4-style normalize-then-hash recipe step,
+    * replayed verbatim by the oracle's lower+regexp pipeline. */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.exactNormalized(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
   /** Matryoshka gate (q80): every embedding truncated to its first 8
     * components and L2-renormalized — slice, fold, rounded division, all
     * replayed exactly by the oracle's list arithmetic. */
@@ -768,6 +776,12 @@ object DataOps {
          SELECT r.doc_id, r.source, r.sample_rank
          FROM r JOIN q USING (source) WHERE sample_rank <= quota
          ORDER BY source, sample_rank""",
+    "q81_normalized_dedup" ->
+      """WITH n AS (SELECT *, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt FROM documents)
+         SELECT doc_id, text, lang, source, n_chars FROM n a
+         WHERE doc_id = (SELECT min(b.doc_id) FROM n b WHERE b.nt = a.nt)
+         ORDER BY doc_id""",
     "q80_matryoshka" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v

@@ -27,6 +27,26 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The canonical pre-dedup text normalization (the C4/RefinedWeb recipe
+    * step): lowercase, strip everything but alphanumerics and whitespace,
+    * collapse whitespace runs, trim. Pure codegen'd string ops — narrow,
+    * no shuffle — and the character classes are engine-portable (Java and
+    * RE2 regex agree on them), so an external oracle replays it verbatim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup on NORMALIZED text: catches duplicates that differ only in
+    * case, punctuation, or whitespace — the realistic exact-dedup unit for
+    * web corpora, where boilerplate variants defeat raw-byte hashing. Same
+    * single-shuffle shape as [[exact]]; survivors keep their ORIGINAL text. */
+  def exactNormalized(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(normalizeText(col(textCol)), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Word n-gram shingles; short docs fall back to the whole token string
     * (sequence() would be ill-defined for size < n).
     *

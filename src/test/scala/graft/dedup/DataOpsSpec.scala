@@ -298,6 +298,18 @@ class DataOpsSpec extends SparkSpec {
     i1.foreach { case (q, c) => c should be <= (b1(q) + 1e-9) }
   }
 
+  test("normalized exact dedup collapses case/punct/whitespace variants, keeps original text") {
+    val variants = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),   // same after normalization -> dropped
+      (3L, "HELLO WORLD."),    // same -> dropped
+      (4L, "hello worlds")     // different -> kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(variants).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    out shouldBe Array((1L, "Hello, World!"), (4L, "hello worlds"))
+  }
+
   test("incremental dedup probes ONLY the persisted index — corpus files never scanned") {
     // the 100TB property q55/q61 exist for: once the fingerprint/shingle/band
     // indexes are persisted, a batch dedup's plan must read index files and
