@@ -121,12 +121,22 @@ object Bench {
       only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
     }
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 3).map { _ =>
-        timed {
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        }._2
-      }.sorted
+      def rep(): Double = timed {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      }._2
+      // rep budget adapts to the query's own cost: cheap queries keep
+      // median-of-3 (run-to-run IO noise is ±15% and first-touch costs are
+      // a large FRACTION of a sub-second query), heavyweight queries
+      // (first rep > 2.5s) run twice and report the warm second run —
+      // their cost is fixed work (stream lifecycles, clustered rewrites,
+      // KMeans) that noise barely moves, and the third rep was ~40s of
+      // wall the driver's bench budget pays for (more on a slow host,
+      // where MORE queries cross the threshold — self-stabilizing)
+      val first = rep()
+      val value =
+        if (first > 2.5) rep() // the warm second run
+        else Seq(first, rep(), rep()).sorted.apply(1)
       // queries that persist() intermediates rely on the ContextCleaner to
       // drop the blocks once the frames are GC'd; under a 60-query run the
       // stale blocks outlive their query, fill storage memory, and evict
@@ -134,7 +144,7 @@ object Bench {
       // 11s mid-bench). Clear the cache between queries so each is timed
       // against its own working set, like a fresh session would be.
       spark.catalog.clearCache()
-      name -> secs(1)
+      name -> value
     }
 
     // The query section leaves GBs of scratch tables / checkpoints / CTAS
