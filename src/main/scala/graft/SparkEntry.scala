@@ -80,6 +80,7 @@ object SparkEntry {
     "q78_hard_negatives" -> (DataOps.hardNegatives _),
     "q80_matryoshka" -> (DataOps.matryoshka _),
     "q81_normalized_dedup" -> (DataOps.normalizedDedup _),
+    "q82_corpus_stats" -> (DataOps.corpusStats _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

@@ -258,6 +258,13 @@ object DataOps {
       budget = 300L, alpha = 0.5)
       .orderBy("source", "sample_rank")
 
+  /** Dataset-card gate (q82): the per-source corpus statistics report —
+    * exact BIGINT sums, one rounded double division, replayed verbatim
+    * by the oracle's GROUP BY. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(spark, sfDir))
+      .orderBy("source")
+
   /** Normalized exact dedup gate (q81): duplicates that differ only in
     * case/punctuation/whitespace collapse to one survivor (lowest id,
     * original text kept) — the C4-style normalize-then-hash recipe step,
@@ -776,6 +783,15 @@ object DataOps {
          SELECT r.doc_id, r.source, r.sample_rank
          FROM r JOIN q USING (source) WHERE sample_rank <= quota
          ORDER BY source, sample_rank""",
+    "q82_corpus_stats" ->
+      s"""SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           COUNT(DISTINCT lang) AS distinct_langs,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         FROM documents GROUP BY source ORDER BY source""",
     "q81_normalized_dedup" ->
       """WITH n AS (SELECT *, trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt FROM documents)

@@ -32,6 +32,27 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
 
+  /** Dataset-card statistics per source — the numbers a corpus release
+    * ships with: document/token/char totals, average length, language
+    * spread, empty-document count. ONE partial-aggregated shuffle on the
+    * source column (bounded cardinality in any curation recipe); sums are
+    * exact BIGINTs and the average is one double division rounded at the
+    * end, so any engine reproduces the report bit-for-bit. */
+  def corpusStats(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang",
+      charsCol: String = "n_chars"): DataFrame =
+    docs.groupBy(col(srcCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      sum(col(charsCol).cast("long")).as("total_chars"),
+      round(sum(col(charsCol).cast("long")).cast("double") / count(lit(1)), 4)
+        .as("avg_chars"),
+      count_distinct(col(langCol)).as("distinct_langs"),
+      sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L)).as("n_empty"))
+
   /** Predicted language: argmax of stopword hits (first language wins ties,
     * in declaration order); no hits at all → "und". */
   def langId(text: Column): Column = {
