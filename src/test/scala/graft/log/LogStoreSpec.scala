@@ -74,6 +74,64 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     log3.snapshot().version shouldBe 2L
   }
 
+  /** Object-store-shaped LogStore: no filesystem at all — an atomic map
+    * keyed by path, put-if-absent via putIfAbsent. Exactly the surface an
+    * S3 conditional-PUT implementation has: list a prefix, get an object,
+    * PUT with If-None-Match. If the protocol works here, it works on any
+    * store that can supply these three calls. */
+  private class InMemoryLogStore extends LogStore {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[Path, Array[Byte]]()
+    def listFileNames(dir: Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      objects.keySet().asScala.toSeq
+        .filter(_.getParent == dir).map(_.getFileName.toString)
+    }
+    def read(path: Path): Seq[String] = {
+      val bytes = objects.get(path)
+      require(bytes != null, s"no such log object: $path")
+      new String(bytes, "UTF-8").split("\n", -1).toSeq
+    }
+    def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
+      if (overwrite) { objects.put(path, body); true }
+      else objects.putIfAbsent(path, body) == null
+  }
+
+  test("the commit protocol runs end-to-end on a filesystem-free object store") {
+    // the table "directory" never exists on disk — every log byte lives in
+    // the store; only the protocol's own semantics are in play
+    val dir = java.nio.file.Paths.get("/nonexistent/mem-table")
+    val store = new InMemoryLogStore
+    val log = new TxLog(dir, store)
+    log.commit(v => Seq(meta, ci(v, "CREATE", 0L)))
+    (1 to 25).foreach { i =>
+      log.commit(v => Seq(ci(v, "APPEND", i.toLong)))
+    }
+    log.latestVersion() shouldBe Some(25L)
+    // checkpoints write and replay through the same three store calls
+    log.writeCheckpoint(20L)
+    log.listCheckpoints() shouldBe Seq(20L)
+    val snap = log.snapshot()
+    snap.version shouldBe 25L
+    snap.commits.size shouldBe 26
+    // contended writers: 8 threads × 5 commits each, every version claimed
+    // exactly once through putIfAbsent alone
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        start.await()
+        try (1 to 5).foreach { i =>
+          new TxLog(dir, store).commit(v => Seq(ci(v, s"W$t-$i", v))): Unit
+        } catch { case _: Throwable => errs.incrementAndGet(): Unit }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    errs.get() shouldBe 0
+    log.latestVersion() shouldBe Some(65L)
+    log.listVersions() shouldBe (0L to 65L)
+  }
+
   test("writeAtomic(overwrite=false) is a true put-if-absent under racing writers") {
     val dir = Files.createTempDirectory("logstore-race")
     val target = dir.resolve("00000000000000000000.json")
