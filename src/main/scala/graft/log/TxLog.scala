@@ -55,13 +55,28 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
 
   /** Commit with retry: re-resolves the next version until the CAS wins.
     * `actions` is re-generated per attempt from the latest snapshot so the
-    * caller can detect logical conflicts (it may throw to abort). */
-  def commit(buildActions: Long => Seq[Action], maxAttempts: Int = 20): Long = {
+    * caller can detect logical conflicts (it may throw to abort).
+    *
+    * Losers back off with randomized exponential delay before re-listing.
+    * Without it, stores where the CAS itself is near-instant (the in-memory
+    * object store, S3 conditional PUT) keep all contending writers in
+    * lockstep: every round they re-list together, collide on the same
+    * version, and the same unlucky thread can lose indefinitely. On the
+    * local filesystem IO latency jitters writers apart by accident; the
+    * backoff makes that de-synchronization deliberate and portable. Every
+    * CAS round still has exactly one winner, so system-wide progress is
+    * guaranteed and per-writer attempts are bounded by the total number of
+    * competing commits — the cap is a runaway backstop, not a fairness
+    * mechanism. */
+  def commit(buildActions: Long => Seq[Action], maxAttempts: Int = 10000): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = latestVersion().map(_ + 1).getOrElse(0L)
       if (tryCommit(next, buildActions(next))) return next
       attempt += 1
+      val capMs = math.min(64L, 1L << math.min(attempt, 6))
+      val sleepMs = java.util.concurrent.ThreadLocalRandom.current().nextLong(capMs + 1)
+      if (sleepMs > 0) Thread.sleep(sleepMs)
     }
     throw new IllegalStateException(
       s"commit failed after $maxAttempts attempts (concurrent writers) on $tableDir")

@@ -1025,15 +1025,17 @@ class LakeTable private[table] (
       initial: Snapshot,
       metrics: Map[String, Long] = Map.empty)(build: Snapshot => Seq[Action]): Long = {
     var snap = initial
-    // writer-side forward-compat gate (the read-side twin lives in
-    // TxLog.snapshot): never commit into a table whose log demands writer
-    // features this engine does not implement
-    if (snap.protocol.minWriterVersion > graft.log.Protocol.SupportedWriter)
-      throw new IllegalStateException(
-        s"table $dir requires minWriterVersion=${snap.protocol.minWriterVersion} " +
-          s"but this engine supports ${graft.log.Protocol.SupportedWriter} — upgrade the library")
     var attempts = 0
     while (true) {
+      // writer-side forward-compat gate (the read-side twin lives in
+      // TxLog.snapshot): never commit into a table whose log demands writer
+      // features this engine does not implement. Re-checked on every
+      // attempt — a rival writer may raise minWriterVersion while we are
+      // losing the CAS race, and the re-resolved snapshot must be re-gated.
+      if (snap.protocol.minWriterVersion > graft.log.Protocol.SupportedWriter)
+        throw new IllegalStateException(
+          s"table $dir requires minWriterVersion=${snap.protocol.minWriterVersion} " +
+            s"but this engine supports ${graft.log.Protocol.SupportedWriter} — upgrade the library")
       val actions = build(snap)
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
@@ -1068,9 +1070,15 @@ class LakeTable private[table] (
         return v
       }
       attempts += 1
-      if (attempts >= 20)
+      if (attempts >= 1000)
         throw new java.util.ConcurrentModificationException(
           s"lost commit race $attempts times on $dir")
+      // Jittered exponential backoff before re-resolving (same rationale as
+      // TxLog.commit): on fast-CAS stores contending writers otherwise
+      // re-collide in lockstep and the same loser can starve.
+      val capMs = math.min(64L, 1L << math.min(attempts, 6))
+      val sleepMs = java.util.concurrent.ThreadLocalRandom.current().nextLong(capMs + 1)
+      if (sleepMs > 0) Thread.sleep(sleepMs)
       snap = log.snapshot()
     }
     -1L // unreachable
@@ -1153,16 +1161,25 @@ class LakeTable private[table] (
     spark.createDataFrame(rows.asJava, schema)
   }
 
-  /** DESCRIBE DETAIL (M15, src/delta_utils.py:265-277). */
+  /** DESCRIBE DETAIL (M15, src/delta_utils.py:265-277).
+    * `clusteredBy` surfaces the per-file `clusteredBy` provenance tags as
+    * `"<curve>:<cols>" -> live-file count` — the operator-visible
+    * incremental-clustering state (files a matching OPTIMIZE would skip;
+    * untagged files = numFiles - sum of the counts are the rewrite
+    * candidates). */
   def detail(): DataFrame = {
     val snap = snapshot()
+    val clusteredBy: Map[String, Long] = snap.files
+      .flatMap(_.tag("clusteredBy"))
+      .groupBy(identity).map { case (t, fs) => t -> fs.size.toLong }
     val rows = Seq(Row("graft", snap.metadata.id, snap.metadata.name, dir.toString,
       new java.sql.Timestamp(snap.metadata.createdTime),
       new java.sql.Timestamp(snap.commits.lastOption.map(_.timestamp).getOrElse(0L)),
       snap.metadata.partitionColumns, snap.numFiles.toLong, snap.sizeInBytes,
       snap.metadata.properties,
       snap.dvs.size.toLong, snap.dvs.values.map(_.numDeleted).sum,
-      snap.protocol.minReaderVersion, snap.protocol.minWriterVersion))
+      snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+      clusteredBy))
     val schema = StructType(Seq(
       StructField("format", StringType), StructField("id", StringType),
       StructField("name", StringType), StructField("location", StringType),
@@ -1173,7 +1190,8 @@ class LakeTable private[table] (
       StructField("numDeletionVectors", LongType),
       StructField("numDeletedRows", LongType),
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("clusteredBy", MapType(StringType, LongType))))
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -1504,9 +1522,15 @@ class LakeTable private[table] (
         versionAsOf.map(v => "sourceVersion" -> v.toString),
       Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L,
       LakeTable.currentUser, false)
+    // Preserve the source snapshot's protocol (max'd with this engine's
+    // current) — cloning a protocol-upgraded table must not downgrade its
+    // minReader/minWriter gate, same as Delta's CLONE.
+    val cloneProto = graft.log.Protocol(
+      math.max(snap.protocol.minReaderVersion, graft.log.Protocol.Current.minReaderVersion),
+      math.max(snap.protocol.minWriterVersion, graft.log.Protocol.Current.minWriterVersion))
     val tlog = new TxLog(tgt)
     require(tlog.tryCommit(0L,
-      (ci +: graft.log.Protocol.Current +: meta +: adds) ++ dvActions),
+      (ci +: cloneProto +: meta +: adds) ++ dvActions),
       s"concurrent clone into $targetDir")
     new LakeTable(spark, tgt)
   }

@@ -74,29 +74,11 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     log3.snapshot().version shouldBe 2L
   }
 
-  /** Object-store-shaped LogStore: no filesystem at all — an atomic map
-    * keyed by path, put-if-absent via putIfAbsent. Exactly the surface an
-    * S3 conditional-PUT implementation has: list a prefix, get an object,
-    * PUT with If-None-Match. If the protocol works here, it works on any
-    * store that can supply these three calls. */
-  private class InMemoryLogStore extends LogStore {
-    private val objects =
-      new java.util.concurrent.ConcurrentHashMap[Path, Array[Byte]]()
-    def listFileNames(dir: Path): Seq[String] = {
-      import scala.jdk.CollectionConverters._
-      objects.keySet().asScala.toSeq
-        .filter(_.getParent == dir).map(_.getFileName.toString)
-    }
-    def read(path: Path): Seq[String] = {
-      val bytes = objects.get(path)
-      require(bytes != null, s"no such log object: $path")
-      new String(bytes, "UTF-8").split("\n", -1).toSeq
-    }
-    def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
-      if (overwrite) { objects.put(path, body); true }
-      else objects.putIfAbsent(path, body) == null
-  }
-
+  // The object-store-shaped store itself lives in src/main
+  // (graft.log.InMemoryLogStore) — it is the reference implementation an
+  // S3 conditional-PUT store is written against. This suite proves the
+  // commit protocol end-to-end on it; ConcurrencyStressSpec runs the full
+  // multi-writer LakeTable matrix through the same store.
   test("the commit protocol runs end-to-end on a filesystem-free object store") {
     // the table "directory" never exists on disk — every log byte lives in
     // the store; only the protocol's own semantics are in play

@@ -66,6 +66,48 @@ class ProtocolSpec extends SparkSpec {
     t2.read().count() shouldBe 2 // nothing half-committed
   }
 
+  test("CLONE preserves the source's raised protocol instead of downgrading it") {
+    val t = LakeTable.create(spark, tmpDir("clone-proto").resolve("t").toString, schema)
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.upgradeProtocol(Protocol.SupportedReader, Protocol.SupportedWriter + 1)
+    val c = t.cloneTo(tmpDir("clone-proto").resolve("c").toString, shallow = true)
+    c.snapshot().protocol shouldBe
+      Protocol(Protocol.SupportedReader, Protocol.SupportedWriter + 1)
+    // the preserved gate still bites on the clone: reads fine, writes blocked
+    c.read().count() shouldBe 2
+    intercept[IllegalStateException] { c.append(Seq(3L).toDF("id")) }: Unit
+  }
+
+  test("writer gate is re-checked after a lost race (concurrent protocol upgrade)") {
+    val dir = tmpDir("gate-race").resolve("t").toString
+    val t = LakeTable.create(spark, dir, schema)
+    t.append(Seq(1L).toDF("id"))
+    // rival bound to the plain local store BEFORE the swap below
+    val rival = LakeTable.forPath(spark, dir)
+    var poisoned = false
+    val interposer = new LogStore {
+      def listFileNames(d: java.nio.file.Path): Seq[String] = LocalLogStore.listFileNames(d)
+      def read(p: java.nio.file.Path): Seq[String] = LocalLogStore.read(p)
+      def writeAtomic(p: java.nio.file.Path, b: Array[Byte], ow: Boolean): Boolean = {
+        if (!ow && !poisoned) {
+          poisoned = true
+          // claim the version out from under the commit — with a protocol upgrade
+          rival.upgradeProtocol(Protocol.SupportedReader, Protocol.SupportedWriter + 1): Unit
+        }
+        LocalLogStore.writeAtomic(p, b, ow)
+      }
+    }
+    LogStore.default = interposer
+    try {
+      val t2 = LakeTable.forPath(spark, dir)
+      // loses the CAS to the upgrade, re-resolves, and must re-gate: the
+      // retry may not land a write into a now-upgraded table
+      val e = intercept[IllegalStateException] { t2.append(Seq(2L).toDF("id")) }
+      e.getMessage should include("minWriterVersion")
+    } finally LogStore.default = LocalLogStore
+    rival.read().count() shouldBe 1 // nothing half-committed
+  }
+
   test("protocol can only move upward; upgrade survives checkpoints") {
     val t = LakeTable.create(spark, tmpDir("up").resolve("t").toString, schema,
       properties = Map("graft.checkpointInterval" -> "2"))

@@ -122,6 +122,28 @@ class GraftCatalogSpec extends SparkSpec {
     e.getMessage should (include("DEFAULT") or include("default"))
   }
 
+  test("DESCRIBE DETAIL surfaces per-file clusteredBy tags (incremental state)") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.clus")
+    spark.sql("CREATE TABLE gcat.clus.t (id BIGINT, k BIGINT) USING graft")
+    spark.sql("INSERT INTO gcat.clus.t SELECT id, id % 50 FROM range(200)")
+    // before clustering: no tags at all
+    val det0 = spark.sql("DESCRIBE DETAIL gcat.clus.t").collect().head
+    det0.getAs[Map[String, Long]]("clusteredBy") shouldBe empty
+    spark.sql("OPTIMIZE gcat.clus.t ZORDER BY (k)").collect()
+    val t = LakeTable.forPath(spark, s"$warehouse/clus/t")
+    val det1 = spark.sql("DESCRIBE DETAIL gcat.clus.t").collect().head
+    // every live file is now tagged with this curve:cols provenance
+    det1.getAs[Map[String, Long]]("clusteredBy") shouldBe
+      Map("zorder:k" -> t.snapshot().numFiles.toLong)
+    // a later plain append is untagged: the map shows the clustered subset
+    spark.sql("INSERT INTO gcat.clus.t SELECT id + 200, id % 50 FROM range(100)")
+    val det2 = spark.sql("DESCRIBE DETAIL gcat.clus.t").collect().head
+    val tagged = det2.getAs[Map[String, Long]]("clusteredBy")("zorder:k")
+    tagged should be < det2.getAs[Long]("numFiles")
+    tagged shouldBe det1.getAs[Map[String, Long]]("clusteredBy")("zorder:k")
+  }
+
   test("native spark.sql maintenance: OPTIMIZE / VACUUM / RESTORE / REORG / GENERATE") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")

@@ -7,14 +7,34 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
+import graft.log.{InMemoryLogStore, LocalLogStore, LogStore}
 
 /** Multi-writer stress over the CAS commit protocol: every commit must land
-  * exactly once (optimistic retry absorbs lost races), readers racing the
-  * writers must only ever observe committed atomic states, and writers on
-  * disjoint partitions must not false-conflict. Thread counts are modest
-  * (4) so a single lost race can't exhaust the 20-attempt retry cap. */
-class ConcurrencyStressSpec extends SparkSpec {
+  * exactly once (optimistic retry with jittered backoff absorbs lost
+  * races), readers racing the writers must only ever observe committed
+  * atomic states, and writers on disjoint partitions must not
+  * false-conflict.
+  *
+  * The matrix runs twice — once per [[LogStore]] implementation:
+  * [[ConcurrencyStressSpec]] on the local filesystem (hard-link CAS) and
+  * [[InMemoryConcurrencyStressSpec]] on the filesystem-free object store
+  * (pure putIfAbsent, the S3-conditional-PUT regime where CAS latency is
+  * near zero and contention is at its worst). The protocol's portability
+  * claim is this CI matrix, not a comment. */
+abstract class ConcurrencyStressBase extends SparkSpec {
   import spark.implicits._
+
+  /** The store every table in this suite commits through. */
+  protected def store: LogStore
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    LogStore.default = store
+  }
+  override protected def afterAll(): Unit = {
+    LogStore.default = LocalLogStore
+    super.afterAll()
+  }
 
   private def mk(prefix: String, partitionBy: Seq[String] = Nil,
       props: Map[String, String] = Map.empty): LakeTable =
@@ -121,4 +141,18 @@ class ConcurrencyStressSpec extends SparkSpec {
       case n => fail(s"both writers aborted ($n failures)")
     }
   }
+}
+
+/** The stress matrix on the default local-filesystem store. */
+class ConcurrencyStressSpec extends ConcurrencyStressBase {
+  protected def store: LogStore = LocalLogStore
+}
+
+/** The same matrix with every log byte routed through the
+  * filesystem-free object store — fast-CAS contention, no IO jitter to
+  * accidentally de-synchronize writers. Data parquet files still land on
+  * local disk (they are the data plane); only the transaction log is
+  * virtualized, which is exactly the split an S3 deployment has. */
+class InMemoryConcurrencyStressSpec extends ConcurrencyStressBase {
+  protected def store: LogStore = new InMemoryLogStore
 }
