@@ -275,9 +275,17 @@ object DataOps {
 
   /** Matryoshka gate (q80): every embedding truncated to its first 8
     * components and L2-renormalized — slice, fold, rounded division, all
-    * replayed exactly by the oracle's list arithmetic. */
+    * replayed exactly by the oracle's list arithmetic. The vector is
+    * serialized to a fixed-precision CSV string for the gate (the driver's
+    * pandas harness cannot sort raw array columns); components are already
+    * rounded to 6 dp, so DECIMAL(10,6) formatting is lossless and renders
+    * identically in Spark and DuckDB. The engine operator
+    * ([[Similarity.truncateNormalize]]) still returns real arrays. */
   def matryoshka(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.truncateNormalize(Tables.embeddings(spark, sfDir), dim = 8)
+      .withColumn("truncated", concat_ws(",",
+        transform(col("truncated"),
+          x => x.cast("decimal(10,6)").cast("string"))))
       .orderBy("vec_id")
 
   /** Hard-negative mining gate (q78): queries 60..70 (disjoint from every
@@ -457,9 +465,17 @@ object DataOps {
       .join(thumbs, Seq("media_id"))
       .join(frames, Seq("media_id"), "left")
       .withColumn("frame_count", coalesce(col("frame_count"), lit(0L)))
+      // The decoded feature vector, serialized to a fixed-precision CSV
+      // string for the gate (the driver harness cannot sort raw arrays).
+      // Every decodable value is an exact binary fraction (k/256 channel
+      // means, m/32768 RMS), so DECIMAL(18,15) renders it exactly and
+      // identically in Spark and DuckDB — the gate still proves the
+      // encode→decode round-trip value-for-value. Video stays NULL (its
+      // hash stand-in features are gated on the norm bound only).
       .withColumn("feat",
-        when(col("kind") === "video", lit(null))
-          .otherwise(col("feature")).cast("array<double>"))
+        when(col("kind") === "video", lit(null).cast("string"))
+          .otherwise(concat_ws(",", transform(col("feature"),
+            x => x.cast("double").cast("decimal(18,15)").cast("string")))))
       .drop("feature")
   }
 
@@ -804,8 +820,10 @@ object DataOps {
            FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
          SELECT vec_id,
-           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
-                ELSE v END AS truncated
+           array_to_string(list_transform(
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
+                  ELSE v END,
+             x -> CAST(CAST(x AS DECIMAL(10,6)) AS VARCHAR)), ',') AS truncated
          FROM n ORDER BY vec_id""",
     "q78_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label,
@@ -1060,18 +1078,20 @@ object DataOps {
          CAST(CASE WHEN doc_id % 3 = 0 THEN 4 END AS INT) AS thumb_h,
          CAST(CASE WHEN doc_id % 3 = 2
               THEN least(4, octet_length(encode(text))) ELSE 0 END AS BIGINT) AS frame_count,
-         CASE WHEN doc_id % 3 = 0 THEN [
+         CASE WHEN doc_id % 3 = 0 THEN array_to_string(list_transform([
              ((7*doc_id + 13*0) % 256) / 256.0, ((11*doc_id + 17*0) % 256) / 256.0, ((19*doc_id + 23*0) % 256) / 256.0,
              ((7*doc_id + 13*1) % 256) / 256.0, ((11*doc_id + 17*1) % 256) / 256.0, ((19*doc_id + 23*1) % 256) / 256.0,
              ((7*doc_id + 13*2) % 256) / 256.0, ((11*doc_id + 17*2) % 256) / 256.0, ((19*doc_id + 23*2) % 256) / 256.0,
-             ((7*doc_id + 13*3) % 256) / 256.0, ((11*doc_id + 17*3) % 256) / 256.0, ((19*doc_id + 23*3) % 256) / 256.0]
-           WHEN doc_id % 3 = 1 THEN [
+             ((7*doc_id + 13*3) % 256) / 256.0, ((11*doc_id + 17*3) % 256) / 256.0, ((19*doc_id + 23*3) % 256) / 256.0],
+             x -> CAST(CAST(x AS DECIMAL(18,15)) AS VARCHAR)), ',')
+           WHEN doc_id % 3 = 1 THEN array_to_string(list_transform([
              abs((doc_id*37 +  0*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  1*101) % 30000 - 15000) / 32768.0,
              abs((doc_id*37 +  2*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  3*101) % 30000 - 15000) / 32768.0,
              abs((doc_id*37 +  4*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  5*101) % 30000 - 15000) / 32768.0,
              abs((doc_id*37 +  6*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  7*101) % 30000 - 15000) / 32768.0,
              abs((doc_id*37 +  8*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 +  9*101) % 30000 - 15000) / 32768.0,
-             abs((doc_id*37 + 10*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 + 11*101) % 30000 - 15000) / 32768.0]
+             abs((doc_id*37 + 10*101) % 30000 - 15000) / 32768.0, abs((doc_id*37 + 11*101) % 30000 - 15000) / 32768.0],
+             x -> CAST(CAST(x AS DECIMAL(18,15)) AS VARCHAR)), ',')
            ELSE NULL END AS feat
          FROM documents""",
     "q24_ngram_jaccard" ->
