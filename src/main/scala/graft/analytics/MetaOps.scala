@@ -201,9 +201,24 @@ object MetaOps {
     val srcDir = Files.createTempDirectory("graft-q79-src").toString
     val maxId = batch.agg(max("doc_id")).head.getLong(0)
     val step = maxId / 4 + 1
+    // Arrival order must be id order: FileStreamSource drains oldest-mtime
+    // first, and two range files landing in the same filesystem timestamp
+    // tick could reorder arrival (breaking first-arrival-wins ==
+    // lowest-id-wins). Stamp each range's files with explicitly increasing
+    // mtimes instead of relying on sequential-write separation.
+    val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    val mtimeBase = System.currentTimeMillis() - 60000L
     (0 until 4).foreach { i =>
       batch.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
         .coalesce(1).write.mode("append").parquet(srcDir)
+      val ls = Files.list(java.nio.file.Paths.get(srcDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") && seen.add(p))
+          .foreach(p => Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L)))
+      } finally ls.close()
     }
     val cfg = StreamIngest.StreamConfig(format = "parquet",
       maxFilesPerTrigger = 1,

@@ -113,6 +113,12 @@ object Sampling {
     * the tail sources; alpha = 1 is proportional sampling; alpha = 0 is
     * uniform-per-source.
     *
+    * NULL source keys form one group of their own (SQL GROUP BY
+    * semantics) and compete for quota like any other source; an empty
+    * input returns empty. (Contrast [[mixtureSample]]/[[budgetedMixture]],
+    * where rates come from a caller Map that cannot carry a NULL key — a
+    * NULL group there falls to the default rate/budget by design.)
+    *
     * Scale shape: one tiny count aggregate (|sources| rows, collected —
     * source cardinality is bounded in any curation recipe), then one
     * per-source md5-rank window — a single shuffle on the source column,
@@ -130,14 +136,15 @@ object Sampling {
     require(alpha >= 0, s"bad alpha $alpha")
     require(budget >= 0, s"bad budget $budget")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1) // defined summation order
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
+      .sortBy(_._1) // defined summation order (None — the NULL group — first)
     val totalW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val quotas = counts.map { case (g, n) =>
       g -> math.floor(budget * math.pow(n.toDouble, alpha) / totalW + 1e-6).toLong
     }
     val quota = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
-      when(col(groupCol) === g, lit(q)).otherwise(acc)
+      // NULL keys can't equi-match (=== NULL is NULL) — test isNull instead
+      when(g.fold(col(groupCol).isNull)(col(groupCol) === _), lit(q)).otherwise(acc)
     }
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))

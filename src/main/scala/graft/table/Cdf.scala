@@ -24,9 +24,16 @@ trait CdfSupport { self: LakeTable =>
 
   /** Ops whose add/remove actions change table contents (synthesizable). */
   private val dataChangeOps = Set("WRITE", "RESTORE", "CREATE TABLE", "CLONE", "STREAMING UPDATE")
-  /** Ops that rearrange bytes without changing rows. */
+  /** Ops that rearrange bytes or metadata without changing rows. Schema
+    * evolution (ADD/RENAME/DROP COLUMN) is here too: a CDF range crossing
+    * one presents every change under the range-end schema, with old files
+    * resolving their columns by column-mapping field id, so the boundary
+    * needs no sidecar (REPLACE TABLE, which may swap the schema wholesale
+    * with fresh ids, still errors below). */
   private val dataNeutralOps = Set("OPTIMIZE", "VACUUM", "SET TBLPROPERTIES",
-    "UNSET TBLPROPERTIES", "ADD COLUMNS")
+    "UNSET TBLPROPERTIES", "ADD COLUMNS", "RENAME COLUMN", "DROP COLUMN",
+    "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
+    "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE", "UPGRADE PROTOCOL")
 
   /** Write a CDF sidecar parquet for the in-flight commit; returns the
     * actions to attach. `df` = table-schema columns + `_change_type`. */

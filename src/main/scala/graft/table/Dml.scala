@@ -96,11 +96,15 @@ trait DmlSupport { self: LakeTable =>
     * would be ambiguous when the source carries the same column).
     * `insertMode`: INSERT clauses have no pre-image — every generated column
     * missing from the VALUES map is computed, and rule references the map
-    * does not assign are NULL (the value the inserted row gets). */
+    * does not assign resolve via `defaultFor`: the column's declared
+    * CURRENT_DEFAULT when one exists (the value `insertMissing` writes into
+    * the row — computing the rule over NULL there would stamp a generated
+    * value inconsistent with the row actually written), else NULL. */
   private[table] def recomputeGenerated(
       rawSet: Map[String, Column],
       qualifier: Option[String] = None,
-      insertMode: Boolean = false): Map[String, Column] = {
+      insertMode: Boolean = false,
+      defaultFor: String => Option[Column] = _ => None): Map[String, Column] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Expression
     val setKeys = rawSet.keys.map(_.toLowerCase).toSet
@@ -117,7 +121,8 @@ trait DmlSupport { self: LakeTable =>
             rawSet.collectFirst {
               case (k, v) if k.equalsIgnoreCase(u.name) => Pruner.exprOf(v)
             }.getOrElse {
-              if (insertMode) Pruner.exprOf(lit(null))
+              if (insertMode)
+                Pruner.exprOf(defaultFor(u.name).getOrElse(lit(null)))
               else qualifier.fold(u: Expression)(q =>
                 UnresolvedAttribute(Seq(q, u.name)))
             }
@@ -524,7 +529,14 @@ class MergeBuilder private[table] (
       case i: NotMatchedInsert => i
       case other => throw new IllegalStateException(s"unexpected clause $other")
     }.map { case NotMatchedInsert(cond, values) =>
-      NotMatchedInsert(cond, table.recomputeGenerated(values, insertMode = true))
+      NotMatchedInsert(cond, table.recomputeGenerated(values, insertMode = true,
+        // base columns the VALUES map omits are written by insertMissing
+        // with their CURRENT_DEFAULT — the rule must see that same value
+        defaultFor = n => schema.fields
+          .find(f => f.name.equalsIgnoreCase(n) &&
+            f.metadata.contains("CURRENT_DEFAULT"))
+          .map(f => org.apache.spark.sql.functions
+            .expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))))
     }
     notMatchedBySourceClauses = notMatchedBySourceClauses.map {
       case NotMatchedBySourceUpdate(cond, set) =>

@@ -139,7 +139,12 @@ trait MaintenanceSupport { self: LakeTable =>
       "GENERATE symlink_format_manifest is not supported with live deletion " +
         "vectors (external readers cannot apply row masks) — run REORG APPLY (PURGE) first")
     val root = dir.resolve("_symlink_format_manifest")
-    graft.log.TxLog.deleteRecursively(root)
+    // Build the full manifest tree in a staging directory, then swap it in
+    // with renames. Deleting the live tree before rewriting would give an
+    // external engine reading mid-regeneration a missing or half-populated
+    // manifest — an inconsistent table instead of the previous snapshot.
+    val staging = dir.resolve(s"_symlink_format_manifest.staging-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(staging) // empty table → empty tree
     // group by LOGICAL partition (write batches land in distinct physical
     // uuid dirs — a hive-layout consumer wants one manifest per partition)
     val pcols = snap.metadata.partitionColumns
@@ -153,13 +158,23 @@ trait MaintenanceSupport { self: LakeTable =>
     snap.files.groupBy(_.partitionValues).foreach { case (pv, files) =>
       val rel = pcols.map(c =>
         s"$c=${pv.get(c).map(esc).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
-      val out = rel.foldLeft(root)(_.resolve(_))
+      val out = rel.foldLeft(staging)(_.resolve(_))
       java.nio.file.Files.createDirectories(out)
       val body = files.map(f => dir.resolve(f.path).toUri.toString)
         .sorted.mkString("", "\n", "\n")
       java.nio.file.Files.write(out.resolve("manifest"),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // The swap: retire the old tree by rename (readers holding it keep a
+    // consistent — if stale — snapshot), promote the staged tree, then
+    // reclaim. The unreadable window shrinks from the whole rewrite to the
+    // instant between the two renames; a same-tick reader sees the
+    // previous manifest, never a partial one.
+    val retired = dir.resolve(s"_symlink_format_manifest.old-${java.util.UUID.randomUUID()}")
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.move(root, retired)
+    java.nio.file.Files.move(staging, root)
+    graft.log.TxLog.deleteRecursively(retired)
     root
   }
 

@@ -128,6 +128,24 @@ class PipelineOpsSpec extends SparkSpec {
       .as[Long].collect().toSet) shouldBe true
   }
 
+  test("alphaMixture: NULL source keys form one quota-bearing group; empty input is empty") {
+    // 30 null-source docs + 70 "a" docs, alpha=1, budget 10 -> 3/7 split
+    val docs = (Seq.tabulate(30)(i => (i.toLong, null: String)) ++
+      Seq.tabulate(70)(i => (100L + i, "a"))).toDF("doc_id", "source")
+    val out = graft.sampling.Sampling.alphaMixture(docs, budget = 10, alpha = 1.0)
+    out.filter(col("source").isNull).count() shouldBe 3
+    out.filter(col("source") === "a").count() shouldBe 7
+    // determinism across partitionings (null group shuffles like any other)
+    val repart = graft.sampling.Sampling.alphaMixture(
+      docs.repartition(7), budget = 10, alpha = 1.0)
+    repart.select("doc_id").as[Long].collect().toSet shouldBe
+      out.select("doc_id").as[Long].collect().toSet
+    // empty input: no groups, no quota, no rows — and no 0/0 blowup
+    val empty = graft.sampling.Sampling.alphaMixture(
+      docs.limit(0), budget = 10, alpha = 0.5)
+    empty.count() shouldBe 0
+  }
+
   test("hardNegatives excludes the query's own label group and ranks by cosine") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0), // label 0 (positives)

@@ -76,6 +76,36 @@ class CdfSpec extends SparkSpec {
     pre.count() shouldBe 3
   }
 
+  test("CDF range spanning RENAME COLUMN resolves old files by field id") {
+    // Column-mapping parity: natively-created tables stamp parquet field
+    // ids, so RENAME is metadata-only. A CDF range crossing the rename must
+    // present pre-rename changes under the range-end NAME while reading
+    // their old files' values through the unchanged field ID.
+    val t = cdfTable("cdf-rename")
+    t.renameColumn("v", "w") // v2, metadata-only
+    t.update(col("k") === 2, Map("w" -> lit("B"))) // v3
+    t.append(Seq((4L, "d")).toDF("k", "w")) // v4
+
+    val ch = t.changes(1) // spans the rename boundary
+    ch.schema.fieldNames.take(2) shouldBe Array("k", "w")
+    ch.schema.fieldNames should not contain "v"
+    // the pre-rename inserts surface their ORIGINAL values under the new name
+    ch.filter(col("_commit_version") === 1).select("w").as[String]
+      .collect().sorted shouldBe Array("a", "b", "c")
+    // post-rename changes read normally
+    ch.filter(col("_change_type") === "update_preimage")
+      .select("w").as[String].head() shouldBe "b"
+    ch.filter(col("_change_type") === "update_postimage")
+      .select("w").as[String].head() shouldBe "B"
+    ch.filter(col("_commit_version") === 4).select("w").as[String]
+      .head() shouldBe "d"
+    // a range ENDING before the rename still reads the old name
+    val pre = t.changes(1, Some(1))
+    pre.schema.fieldNames should contain("v")
+    pre.schema.fieldNames should not contain "w"
+    pre.select("v").as[String].collect().sorted shouldBe Array("a", "b", "c")
+  }
+
   test("replaying CDF from v0 reconstructs the snapshot") {
     val t = cdfTable("cdf-replay")
     t.update(col("k") === 1, Map("v" -> lit("A")))

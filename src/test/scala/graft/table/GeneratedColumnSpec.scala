@@ -55,6 +55,32 @@ class GeneratedColumnSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INSERT computes generated rules over a defaulted base column") {
+    // n carries a DEFAULT; the generated rule reads n. An INSERT omitting n
+    // writes n=5 via the default — the recompute must see 5, not NULL:
+    // a null-propagating rule would otherwise silently stamp NULL, and a
+    // coalesce-style rule would stamp rule(NULL) and abort on the identity
+    // check against the row actually written.
+    for (rule <- Seq("n * 2", "coalesce(n, 0) * 2")) {
+      val t = LakeTable.create(spark,
+        tmpDir("gen-merge-def").resolve("t").toString,
+        StructType(Seq(
+          StructField("id", LongType), StructField("n", LongType),
+          StructField("n2", LongType))),
+        properties = Map("graft.generated.n2" -> rule))
+      t.setColumnDefault("n", Some("5"))
+      t.append(Seq((1L, 10L)).toDF("id", "n"))
+      t.merge(Seq(Tuple1(2L)).toDF("id"), col("target.id") === col("source.id"))
+        .whenNotMatchedInsert(Map("id" -> col("source.id")))
+        .execute()
+      withClue(s"rule=$rule: ") {
+        t.read().orderBy("id").select("id", "n", "n2")
+          .as[(Long, Long, Long)].collect().toSeq shouldBe
+          Seq((1L, 10L, 20L), (2L, 5L, 10L))
+      }
+    }
+  }
+
   test("identity columns cannot be updated") {
     val t = LakeTable.create(spark, tmpDir("ident-upd").resolve("t").toString,
       StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
