@@ -57,7 +57,17 @@ case class Metadata(
 /** `userName`/`isBlindAppend` mirror Delta's DESCRIBE HISTORY identity
   * columns (the reference surfaces the full history frame,
   * src/delta_utils.py:168-174). Defaults keep pre-existing log files
-  * readable: missing JSON fields deserialize to null. */
+  * readable: missing JSON fields deserialize to null.
+  *
+  * `commitId`: a writer-unique id for THIS logical commit (same value
+  * across CAS retries of it). It is what makes an ambiguous CAS outcome
+  * recoverable: an object store's conditional PUT can land and then report
+  * failure (response timeout; SDK-internal retry observing its own first
+  * attempt as a 412) — the writer re-reads the version file and recognizes
+  * its own commit by this id instead of double-committing the same actions
+  * at the next version. Delta's S3 LogStores carry a txn id for the same
+  * reason. Null on commits from older log versions and bare tryCommit
+  * callers (creation commits), which never retry and need no recovery. */
 case class CommitInfo(
     version: Long,
     timestamp: Long,
@@ -66,7 +76,8 @@ case class CommitInfo(
     operationMetrics: Map[String, Long],
     readVersion: Long,
     userName: String = null,
-    isBlindAppend: java.lang.Boolean = null) extends Action
+    isBlindAppend: java.lang.Boolean = null,
+    commitId: String = null) extends Action
 
 /** CDF sidecar parquet file (relative path) carrying the commit's row-level
   * changes with a `_change_type` column; written by UPDATE/DELETE/MERGE.

@@ -53,6 +53,43 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       overwrite = false)
   }
 
+  /** [[tryCommit]] with ambiguous-outcome recovery, for retry loops.
+    *
+    * On a real object store the CAS's negative outcomes are not trustworthy:
+    * a conditional PUT can land and then time out on the response, or the
+    * SDK's internal retry can observe the first attempt's own object and
+    * report 412 — in both cases the write SUCCEEDED while the caller sees
+    * an exception or `false`. A retry loop that believes the lie would
+    * re-resolve and commit the SAME actions again at the next version
+    * (double-applying DML). So: serialize once, attempt the CAS with store
+    * exceptions contained, and on any negative outcome re-read version `v`
+    * — if what landed is OUR commit (matched by CommitInfo.commitId when
+    * present, else by full action equality), report the win.
+    *
+    * Returns true iff version `v` now holds `actions` — regardless of what
+    * the store call claimed. Transient pre-landing store failures
+    * (exception + nothing landed) return false and surface as one more
+    * retry round, which also makes commits resilient to store blips. */
+  def tryCommitRecovering(v: Long, actions: Seq[Action]): Boolean = {
+    val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val claimed =
+      try store.writeAtomic(versionFile(v), body, overwrite = false)
+      catch { case scala.util.control.NonFatal(_) => false }
+    claimed || ownCommit(v, actions)
+  }
+
+  /** Does version `v` exist and hold exactly `actions`? */
+  private def ownCommit(v: Long, actions: Seq[Action]): Boolean =
+    scala.util.Try(readVersion(v)).toOption.exists { landed =>
+      val landedId = landed.collectFirst { case c: CommitInfo => c.commitId }.flatMap(Option(_))
+      val ourId = actions.collectFirst { case c: CommitInfo => c.commitId }.flatMap(Option(_))
+      (landedId, ourId) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => landed == actions
+      }
+    }
+
   /** Commit with retry: re-resolves the next version until the CAS wins.
     * `actions` is re-generated per attempt from the latest snapshot so the
     * caller can detect logical conflicts (it may throw to abort).
@@ -72,7 +109,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = latestVersion().map(_ + 1).getOrElse(0L)
-      if (tryCommit(next, buildActions(next))) return next
+      if (tryCommitRecovering(next, buildActions(next))) return next
       attempt += 1
       val capMs = math.min(64L, 1L << math.min(attempt, 6))
       val sleepMs = java.util.concurrent.ThreadLocalRandom.current().nextLong(capMs + 1)

@@ -1025,6 +1025,9 @@ class LakeTable private[table] (
       initial: Snapshot,
       metrics: Map[String, Long] = Map.empty)(build: Snapshot => Seq[Action]): Long = {
     var snap = initial
+    // one id per LOGICAL commit, stable across CAS retries: the marker that
+    // lets tryCommitRecovering recognize an ambiguously-landed write as ours
+    val commitId = UUID.randomUUID().toString
     var attempts = 0
     while (true) {
       // writer-side forward-compat gate (the read-side twin lives in
@@ -1053,8 +1056,8 @@ class LakeTable private[table] (
         ((op == "WRITE" && params.get("mode").contains("Append")) ||
           op == "STREAMING UPDATE")
       val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics,
-        snap.version, LakeTable.currentUser, blind)
-      if (log.tryCommit(v, ci +: actions)) {
+        snap.version, LakeTable.currentUser, blind, commitId)
+      if (log.tryCommitRecovering(v, ci +: actions)) {
         // checkpoint every Nth commit (graft.checkpointInterval, Delta's
         // delta.checkpointInterval; default 10) so snapshot resolution
         // stays O(interval) regardless of table history (best effort —

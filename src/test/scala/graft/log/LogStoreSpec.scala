@@ -114,6 +114,54 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     log.listVersions() shouldBe (0L to 65L)
   }
 
+  test("ambiguous CAS outcomes recover instead of double-committing") {
+    // The S3 reality the seam must survive: a conditional PUT can LAND and
+    // then report failure — response timeout (exception) or the SDK's own
+    // retry observing the first attempt's object (412 -> false). A retry
+    // loop that trusts the lie re-commits the same actions at the next
+    // version. tryCommitRecovering re-reads the version and recognizes its
+    // own landed commit.
+    val dir = java.nio.file.Paths.get("/nonexistent/flaky-table")
+    val inner = new InMemoryLogStore
+    var failMode: String = null // one-shot: "throw" | "false"
+    val store = new LogStore {
+      def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def read(p: Path): Seq[String] = inner.read(p)
+      def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
+        val ok = inner.writeAtomic(p, b, ow)
+        if (ok && !ow && failMode != null) {
+          val m = failMode; failMode = null
+          if (m == "throw") throw new RuntimeException("simulated response timeout")
+          else return false
+        }
+        ok
+      }
+    }
+    val log = new TxLog(dir, store)
+    log.commit(v => Seq(meta, ci(v, "CREATE", 0L)))
+    failMode = "throw" // PUT lands, then the store call throws
+    log.commit(v => Seq(ci(v, "APPEND-A", 1L))) shouldBe 1L
+    log.latestVersion() shouldBe Some(1L) // NOT re-committed at v2
+    failMode = "false" // PUT lands, then the CAS claims it lost
+    log.commit(v => Seq(ci(v, "APPEND-B", 2L))) shouldBe 2L
+    log.latestVersion() shouldBe Some(2L)
+    (0L to 2L).map(v => log.readVersion(v)
+      .collectFirst { case c: CommitInfo => c.operation }.get) shouldBe
+      Seq("CREATE", "APPEND-A", "APPEND-B")
+    // a transient PRE-landing failure is retried, not fatal
+    var drops = 2
+    val dropping = new LogStore {
+      def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def read(p: Path): Seq[String] = inner.read(p)
+      def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
+        if (!ow && drops > 0) { drops -= 1; throw new RuntimeException("store blip") }
+        inner.writeAtomic(p, b, ow)
+      }
+    }
+    new TxLog(dir, dropping).commit(v => Seq(ci(v, "APPEND-C", 3L))) shouldBe 3L
+    log.listVersions() shouldBe (0L to 3L)
+  }
+
   test("writeAtomic(overwrite=false) is a true put-if-absent under racing writers") {
     val dir = Files.createTempDirectory("logstore-race")
     val target = dir.resolve("00000000000000000000.json")

@@ -116,6 +116,70 @@ abstract class ConcurrencyStressBase extends SparkSpec {
     t.snapshot().dvs should not be empty
   }
 
+  test("OPTIMIZE racing appends: both land, no rows lost or doubled") {
+    // appends only ADD files, so they can never content-conflict with a
+    // compaction that rewrites the pre-existing set — the optimistic retry
+    // must absorb the interleaving without either side aborting
+    val t = mk("conc-optimize")
+    (0 until 6).foreach(i => t.append(batch(i * 100 until i * 100 + 100, "p0")))
+    race(Seq(
+      () => { t.optimizeCompact(): Unit },
+      () => (0 until 3).foreach { i =>
+        t.append(batch(1000 + i * 100 until 1000 + i * 100 + 100, "p0"))
+      }))
+    t.read().count() shouldBe 900
+    t.read().select("id").distinct().count() shouldBe 900
+    t.history(None).filter(col("operation") === "OPTIMIZE").count() shouldBe 1
+  }
+
+  test("OPTIMIZE racing a same-file DELETE: loser aborts loudly, rows stay consistent") {
+    // both sides rewrite the SAME files — deleted rows must never resurrect
+    // through a compaction that staged its output before the delete landed
+    val t = mk("conc-opt-del")
+    (0 until 4).foreach(i => t.append(batch(i * 100 until i * 100 + 100, "p0")))
+    val aborted = new java.util.concurrent.atomic.AtomicInteger
+    race(Seq(
+      () => try { t.optimizeCompact(): Unit }
+        catch { case _: java.util.ConcurrentModificationException =>
+          aborted.incrementAndGet(): Unit },
+      () => try { t.delete(col("id") % 2 === 0): Unit }
+        catch { case _: java.util.ConcurrentModificationException =>
+          aborted.incrementAndGet(): Unit }))
+    aborted.get() should be <= 1 // serialized cleanly, or one loud loser
+    val n = t.read().count()
+    if (aborted.get() == 0) n shouldBe 200 // both applied
+    else (n == 200L || n == 400L) shouldBe true // delete OR optimize lost whole
+    // a resurrected even id would show here regardless of interleaving
+    if (n == 200) t.read().filter(col("id") % 2 === 0).count() shouldBe 0
+  }
+
+  test("a CAS that lands but reports failure applies the commit exactly once") {
+    // One-shot liar: the underlying store's CAS succeeds, the caller is
+    // told it lost — the S3 conditional-PUT ambiguity. The commit's
+    // commitId lets the retry loop recognize its own landed write; without
+    // recovery the append would double-apply at the next version.
+    class LiarStore(inner: LogStore) extends LogStore {
+      @volatile var armed = false
+      def listFileNames(d: java.nio.file.Path): Seq[String] = inner.listFileNames(d)
+      def read(p: java.nio.file.Path): Seq[String] = inner.read(p)
+      def writeAtomic(p: java.nio.file.Path, b: Array[Byte], ow: Boolean): Boolean = {
+        val ok = inner.writeAtomic(p, b, ow)
+        if (ok && !ow && armed) { armed = false; false } else ok
+      }
+    }
+    val prev = LogStore.default
+    val liar = new LiarStore(prev)
+    LogStore.default = liar
+    try {
+      val t = mk("cas-liar") // v0 commit, liar unarmed
+      liar.armed = true
+      t.append(batch(0 until 100, "p0"))
+      t.version shouldBe 1
+      t.read().count() shouldBe 100 // exactly once — not 200
+      t.history(None).count() shouldBe 2 // create + one append
+    } finally LogStore.default = prev
+  }
+
   test("conflicting same-file DV writers: one wins, one aborts, state stays sane") {
     val t = mk("conc-dv-conflict",
       props = Map("graft.enableDeletionVectors" -> "true"))
