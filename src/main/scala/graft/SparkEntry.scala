@@ -81,6 +81,8 @@ object SparkEntry {
     "q80_matryoshka" -> (DataOps.matryoshka _),
     "q81_normalized_dedup" -> (DataOps.normalizedDedup _),
     "q82_corpus_stats" -> (DataOps.corpusStats _),
+    "q83_vocabulary" -> (DataOps.vocabularyBuild _),
+    "q84_margin_mining" -> (DataOps.marginMiningPairs _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

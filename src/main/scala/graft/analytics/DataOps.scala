@@ -265,6 +265,24 @@ object DataOps {
     TextAnalysis.corpusStats(Tables.documents(spark, sfDir))
       .orderBy("source")
 
+  /** Vocabulary-build gate (q83): global token frequencies with ranks,
+    * minCount=2, top-30 — replayed verbatim by the oracle's
+    * unnest + GROUP BY + ROW_NUMBER. */
+  def vocabularyBuild(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(spark, sfDir), minCount = 2, topK = 30)
+      .orderBy("rank")
+
+  /** Margin-mining gate (q84): queries 70..79 (disjoint from every other
+    * ANN gate's range) mined against other-label vectors with the
+    * ratio-margin criterion, k=4, best pair per query. */
+  def marginMiningPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.marginMining(emb,
+      emb.filter(col("vec_id") >= 70 && col("vec_id") < 80),
+      k = 4, minMargin = 0.0)
+      .orderBy("query_id")
+  }
+
   /** Normalized exact dedup gate (q81): duplicates that differ only in
     * case/punctuation/whitespace collapse to one survivor (lowest id,
     * original text kept) — the C4-style normalize-then-hash recipe step,
@@ -814,6 +832,43 @@ object DataOps {
          SELECT doc_id, text, lang, source, n_chars FROM n a
          WHERE doc_id = (SELECT min(b.doc_id) FROM n b WHERE b.nt = a.nt)
          ORDER BY doc_id""",
+    "q83_vocabulary" ->
+      """WITH t AS (SELECT unnest(CASE WHEN length(trim(text)) = 0
+             THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END) AS term
+           FROM documents),
+         c AS (SELECT term, CAST(count(*) AS BIGINT) AS term_count
+           FROM t GROUP BY term HAVING count(*) >= 2),
+         r AS (SELECT term, term_count, CAST(ROW_NUMBER() OVER
+             (ORDER BY term_count DESC, term) AS INT) AS rank FROM c)
+         SELECT term, term_count, rank FROM r WHERE rank <= 30 ORDER BY rank""",
+    "q84_margin_mining" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+           WHERE vec_id >= 70 AND vec_id < 80),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+           FROM e, q WHERE e.label <> q.ql),
+         r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY cosine DESC, query_id) AS rc
+           FROM s),
+         a AS (SELECT *,
+             CAST(SUM(CASE WHEN rq <= 4 THEN CAST(cosine AS DECIMAL(10,6))
+                 ELSE CAST(0 AS DECIMAL(10,6)) END) OVER (PARTITION BY query_id) AS DOUBLE)
+               / SUM(CASE WHEN rq <= 4 THEN 1 ELSE 0 END) OVER (PARTITION BY query_id) AS avg_q,
+             CAST(SUM(CASE WHEN rc <= 4 THEN CAST(cosine AS DECIMAL(10,6))
+                 ELSE CAST(0 AS DECIMAL(10,6)) END) OVER (PARTITION BY neighbor_id) AS DOUBLE)
+               / SUM(CASE WHEN rc <= 4 THEN 1 ELSE 0 END) OVER (PARTITION BY neighbor_id) AS avg_c
+           FROM r),
+         m AS (SELECT query_id, neighbor_id, cosine,
+             ROUND(cosine / ((avg_q + avg_c) / 2.0), 6) AS margin FROM a),
+         b AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY margin DESC, neighbor_id) AS mrank FROM m)
+         SELECT query_id, neighbor_id, cosine, margin FROM b
+         WHERE mrank = 1 AND margin >= 0.0 ORDER BY query_id""",
     "q80_matryoshka" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v

@@ -83,6 +83,67 @@ object Similarity {
     * swap the brute scan for the IVF path with the same label predicate —
     * the contract (top-k by cosine among other-label vectors) is
     * unchanged. */
+  /** Bitext-style margin mining (Artetxe & Schwenk's ratio-margin
+    * criterion, the LASER/CCMatrix pair-mining rule): a candidate pair
+    * (x, y) scores margin = cos(x,y) / (0.5·(avgTopK(x) + avgTopK(y))) —
+    * raw cosine normalized by each side's local similarity neighborhood.
+    * Plain cosine thresholds admit "hub" vectors that are close to
+    * everything; dividing by the neighborhood means a pair only scores
+    * high when the two are MUTUALLY exceptional. Emits each query's best
+    * other-label candidate with margin >= minMargin (label plays the role
+    * of language in bitext mining: pairs are mined ACROSS labels).
+    *
+    * avgTopK(x) = mean of x's k best other-label cosines in the corpus;
+    * avgTopK(y) = mean of candidate y's k best cosines among the queries
+    * (the mined direction's denominator — computable without a second
+    * corpus pass). Top-k means accumulate in DECIMAL(10,6) so the window
+    * sum is order-independent and engine-exact; the final divisions run in
+    * double and round to 6 dp.
+    *
+    * Scale shape: queries broadcast, the corpus never shuffles, and both
+    * window passes partition on bounded keys (per-query over k·|corpus
+    * candidates| after rank pruning; per-candidate over |queries|) — the
+    * same 100 TB shape as [[cosineTopK]]/[[hardNegatives]]. */
+  def marginMining(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      minMargin: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
+    val scored = c.join(broadcast(q), col("nl") =!= col("ql"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val wq = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val wc = Window.partitionBy("neighbor_id").orderBy(col("cosine").desc, col("query_id"))
+    val ranked = scored
+      .withColumn("rq", row_number().over(wq))
+      .withColumn("rc", row_number().over(wc))
+    val dec = col("cosine").cast("decimal(10,6)")
+    val wqAll = Window.partitionBy("query_id")
+    val wcAll = Window.partitionBy("neighbor_id")
+    val withAvgs = ranked
+      .withColumn("avg_q",
+        sum(when(col("rq") <= k, dec).otherwise(lit(0).cast("decimal(10,6)"))).over(wqAll)
+          .cast("double") /
+          sum(when(col("rq") <= k, 1L).otherwise(0L)).over(wqAll))
+      .withColumn("avg_c",
+        sum(when(col("rc") <= k, dec).otherwise(lit(0).cast("decimal(10,6)"))).over(wcAll)
+          .cast("double") /
+          sum(when(col("rc") <= k, 1L).otherwise(0L)).over(wcAll))
+      .withColumn("margin",
+        round(col("cosine") / ((col("avg_q") + col("avg_c")) / 2.0), 6))
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("neighbor_id"))
+    withAvgs.withColumn("mrank", row_number().over(wBest))
+      .filter(col("mrank") === 1 && col("margin") >= minMargin)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("margin"))
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,

@@ -53,6 +53,33 @@ object TextAnalysis {
       count_distinct(col(langCol)).as("distinct_langs"),
       sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L)).as("n_empty"))
 
+  /** Vocabulary build (tokenizer-training prep): global token frequencies
+    * with ranks, thresholded at `minCount` and capped at `topK` — the table
+    * a BPE/unigram tokenizer trainer consumes, and the basis for
+    * frequency-based filtering rules.
+    *
+    * Scale shape: the corpus-sized work is the classic wordcount — explode
+    * (narrow, codegen) into ONE partial-aggregated hash shuffle keyed by
+    * the token, so 100 TB of text reduces map-side before anything moves.
+    * The global rank window then runs over the REDUCED vocabulary (bounded
+    * by minCount at ~1e5–1e7 rows for any natural-language corpus — driver
+    * arithmetic territory), never over the corpus; rank ties break on the
+    * token string so the table is engine-reproducible. */
+  def vocabulary(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 1L,
+      topK: Int = Int.MaxValue): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .filter(col("term_count") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("term_count").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Predicted language: argmax of stopword hits (first language wins ties,
     * in declaration order); no hits at all → "und". */
   def langId(text: Column): Column = {

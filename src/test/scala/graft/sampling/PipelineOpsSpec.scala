@@ -146,6 +146,55 @@ class PipelineOpsSpec extends SparkSpec {
     empty.count() shouldBe 0
   }
 
+  test("vocabulary builds ranked token counts; threshold and cap apply") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana apple date"),
+      (3L, ""),
+      (4L, "cherry banana apple")).toDF("doc_id", "text")
+    // model: apple=4, banana=3, cherry=2, date=1
+    val all = graft.text.TextAnalysis.vocabulary(docs)
+      .orderBy("rank").as[(String, Long, Int)].collect().toSeq
+    all shouldBe Seq(("apple", 4L, 1), ("banana", 3L, 2), ("cherry", 2L, 3), ("date", 1L, 4))
+    // minCount drops the tail; topK caps the head; ties rank by term
+    graft.text.TextAnalysis.vocabulary(docs, minCount = 2)
+      .count() shouldBe 3
+    graft.text.TextAnalysis.vocabulary(docs, topK = 2)
+      .orderBy("rank").as[(String, Long, Int)].collect().map(_._1).toSeq shouldBe
+      Seq("apple", "banana")
+  }
+
+  test("marginMining suppresses hub vectors that plain cosine would pick") {
+    // corpus label 1: a "hub" equally close to EVERY query (cos = 1/sqrt(3)
+    // ~ 0.577 to each) and a "partner" whose only affinity is query 0 at
+    // cos = 0.5. Raw cosine ranks the hub first for query 0 (0.577 > 0.5);
+    // the ratio margin divides the hub's score by its crowded neighborhood
+    // (avg_c = 0.577) while the partner's neighborhood is sparse
+    // (avg_c = 0.25), so the mutual pair (q0, partner) wins:
+    // margin(q0,hub) = 0.577/0.558 ~ 1.03 < margin(q0,partner) = 0.5/0.394 ~ 1.27.
+    val emb = Seq(
+      // queries, label 0, mutually orthogonal
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f), 0),
+      (10L, Array(1f, 1f, 1f, 0f), 1), // hub
+      (11L, Array(0.5f, 0f, 0f, 0.866025f), 1) // partner of q0 only
+    ).toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val out = graft.similarity.Similarity
+      .marginMining(corpus, queries, k = 2, minMargin = 0.0)
+      .orderBy("query_id").collect()
+    out.length shouldBe 3
+    // query 0 mines the partner despite the hub's higher raw cosine
+    out.head.getAs[Long]("query_id") shouldBe 0L
+    out.head.getAs[Long]("neighbor_id") shouldBe 11L
+    // queries 1 and 2 have no partner — the hub is their honest best
+    out(1).getAs[Long]("neighbor_id") shouldBe 10L
+    out(2).getAs[Long]("neighbor_id") shouldBe 10L
+    out.foreach(r => assert(!r.getAs[Double]("margin").isNaN))
+  }
+
   test("hardNegatives excludes the query's own label group and ranks by cosine") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0), // label 0 (positives)
