@@ -101,14 +101,58 @@ case class DeletionVector(forFile: String, dvPath: String, numDeleted: Long) ext
   * not understand. Tables created before this action existed default to
   * (1, 1). [[Protocol.SupportedReader]]/[[Protocol.SupportedWriter]] are
   * what THIS library implements; `upgradeProtocol` raises a table's
-  * requirement once a future feature depends on it. */
-case class Protocol(minReaderVersion: Int, minWriterVersion: Int) extends Action
+  * requirement once a future feature depends on it.
+  *
+  * `readerFeatures`/`writerFeatures` are the table-features refinement
+  * (Delta protocol v3/v7): instead of a monolithic version bump, a table
+  * names the EXACT capabilities it depends on, and an engine refuses only
+  * features it genuinely lacks. Null (absent on the wire) on tables from
+  * older versions — identical wire format, so old logs read unchanged. */
+case class Protocol(
+    minReaderVersion: Int,
+    minWriterVersion: Int,
+    readerFeatures: Seq[String] = null,
+    writerFeatures: Seq[String] = null) extends Action {
+  def readerSet: Set[String] = Option(readerFeatures).map(_.toSet).getOrElse(Set.empty)
+  def writerSet: Set[String] = Option(writerFeatures).map(_.toSet).getOrElse(Set.empty)
+}
 
 object Protocol {
   val SupportedReader = 1
   val SupportedWriter = 1
   val Current: Protocol = Protocol(SupportedReader, SupportedWriter)
+
+  /** Capabilities this engine actually implements, by name (the Delta
+    * feature-name vocabulary where one exists). A table may demand any
+    * subset; anything outside these sets refuses loudly. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "timeTravel")
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("generatedColumns", "identityColumns",
+      "checkConstraints", "defaultColumns", "clustering", "bloomFilters")
+
+  /** Merge two protocols: max versions, union of named features (the CLONE
+    * / upgrade composition rule — capabilities only ever accumulate). */
+  def merge(a: Protocol, b: Protocol): Protocol = {
+    def union(x: Seq[String], y: Seq[String]): Seq[String] = {
+      val u = (Option(x).getOrElse(Nil) ++ Option(y).getOrElse(Nil)).distinct.sorted
+      if (u.isEmpty) null else u
+    }
+    Protocol(
+      math.max(a.minReaderVersion, b.minReaderVersion),
+      math.max(a.minWriterVersion, b.minWriterVersion),
+      union(a.readerFeatures, b.readerFeatures),
+      union(a.writerFeatures, b.writerFeatures))
+  }
 }
+
+/** Checkpoint self-validation header (always the checkpoint's FIRST line):
+  * `numActions` = how many action lines follow. A checkpoint prefix cut
+  * exactly at a line boundary parses line-by-line yet silently misses
+  * state; the count makes completeness checkable without a self-describing
+  * container format (Delta gets the same property from parquet footers).
+  * Never appears in per-version commit files. */
+case class CheckpointMeta(numActions: Long) extends Action
 
 /** Envelope for one NDJSON line. Exactly one field is set. */
 private[log] case class ActionEnvelope(
@@ -118,7 +162,8 @@ private[log] case class ActionEnvelope(
     commitInfo: CommitInfo = null,
     cdf: CdfFile = null,
     deletionVector: DeletionVector = null,
-    protocol: Protocol = null)
+    protocol: Protocol = null,
+    checkpointMeta: CheckpointMeta = null)
 
 object Actions {
   private val mapper: ObjectMapper = {
@@ -140,6 +185,7 @@ object Actions {
     case x: CdfFile    => mapper.writeValueAsString(ActionEnvelope(cdf = x))
     case x: DeletionVector => mapper.writeValueAsString(ActionEnvelope(deletionVector = x))
     case x: Protocol   => mapper.writeValueAsString(ActionEnvelope(protocol = x))
+    case x: CheckpointMeta => mapper.writeValueAsString(ActionEnvelope(checkpointMeta = x))
   }
 
   def fromJson(line: String): Action = {
@@ -150,7 +196,18 @@ object Actions {
     else if (e.commitInfo != null) e.commitInfo
     else if (e.cdf != null) e.cdf
     else if (e.deletionVector != null) e.deletionVector
-    else if (e.protocol != null) e.protocol
+    else if (e.protocol != null) {
+      // canonicalize: the scala module deserializes ABSENT list fields as
+      // empty — normalize to null so parsed protocols compare equal to
+      // constructed ones (null IS the no-features representation)
+      val p = e.protocol
+      p.copy(
+        readerFeatures =
+          if (p.readerFeatures == null || p.readerFeatures.isEmpty) null else p.readerFeatures,
+        writerFeatures =
+          if (p.writerFeatures == null || p.writerFeatures.isEmpty) null else p.writerFeatures)
+    }
+    else if (e.checkpointMeta != null) e.checkpointMeta
     else throw new IllegalArgumentException(s"unrecognized action: $line")
   }
 }

@@ -141,7 +141,11 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
       Seq(snap.protocol, snap.metadata) ++ (snap.commits ++ snap.files ++ snap.dvs.values)
-    val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
+    // self-validation header first: reads reject any checkpoint whose line
+    // count disagrees (a prefix cut at a line boundary parses cleanly but
+    // is incomplete — the count is what catches it)
+    val body = (CheckpointMeta(actions.size.toLong) +: actions)
+      .map(Actions.toJson).mkString("", "\n", "\n")
     store.writeAtomic(checkpointFile(v), body.getBytes(StandardCharsets.UTF_8),
       overwrite = true): Unit
   }
@@ -162,19 +166,38 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     def applyDv(d: DeletionVector): Unit =
       if (d.dvPath == null || d.dvPath.isEmpty) dvs.remove(d.forFile): Unit
       else dvs(d.forFile) = d
-    val base = listCheckpoints().filter(_ <= upTo).lastOption
-    base.foreach { cp =>
-      store.read(checkpointFile(cp))
-        .filter(_.nonEmpty).map(Actions.fromJson).foreach {
-          case m: Metadata        => meta = m
-          case a: AddFile         => live(a.path) = a
-          case c: CommitInfo      => commits += c
-          case d: DeletionVector  => applyDv(d)
-          case p: Protocol        => proto = p
-          case _                  =>
+    // Checkpoints are an optimization, never a correctness dependency: an
+    // unreadable or corrupt checkpoint (truncated external copy, bit rot)
+    // falls back to the next older one, and finally to full log replay —
+    // the per-version files are the source of truth and are never deleted.
+    // A checkpoint is applied only if EVERY line parses AND its
+    // CheckpointMeta header's action count matches (a prefix cut exactly at
+    // a line boundary parses cleanly but is incomplete; header-less
+    // checkpoints from older versions are accepted as-is).
+    val base: Option[(Long, Seq[Action])] =
+      listCheckpoints().filter(_ <= upTo).reverseIterator.map { cp =>
+        cp -> scala.util.Try {
+          val as = store.read(checkpointFile(cp)).filter(_.nonEmpty).map(Actions.fromJson)
+          as.headOption match {
+            case Some(CheckpointMeta(n)) =>
+              require(as.size - 1 == n,
+                s"checkpoint $cp is incomplete: ${as.size - 1} of $n actions")
+              as.tail
+            case _ => as
+          }
         }
+      }.collectFirst { case (cp, scala.util.Success(as)) => (cp, as) }
+    base.foreach { case (_, actions) =>
+      actions.foreach {
+        case m: Metadata        => meta = m
+        case a: AddFile         => live(a.path) = a
+        case c: CommitInfo      => commits += c
+        case d: DeletionVector  => applyDv(d)
+        case p: Protocol        => proto = p
+        case _                  =>
+      }
     }
-    versions.filter(v => v > base.getOrElse(-1L) && v <= upTo).foreach { v =>
+    versions.filter(v => v > base.map(_._1).getOrElse(-1L) && v <= upTo).foreach { v =>
       readVersion(v).foreach {
         case m: Metadata       => meta = m
         case a: AddFile        => live(a.path) = a
@@ -183,6 +206,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case d: DeletionVector => applyDv(d)
         case p: Protocol       => proto = p
         case _: CdfFile        => // only consumed by cdf scans
+        case _: CheckpointMeta => // checkpoint-file header, never in commits
       }
     }
     require(meta != null, s"no metadata action found in $tableDir")
@@ -192,6 +216,11 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       throw new IllegalStateException(
         s"table $tableDir requires minReaderVersion=${proto.minReaderVersion} " +
           s"but this engine supports ${Protocol.SupportedReader} — upgrade the library")
+    val unknownReader = proto.readerSet -- Protocol.SupportedReaderFeatures
+    if (unknownReader.nonEmpty)
+      throw new IllegalStateException(
+        s"table $tableDir requires reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")} " +
+          "this engine does not implement — upgrade the library")
     Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap, proto)
   }
 

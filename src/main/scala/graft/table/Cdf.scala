@@ -33,7 +33,8 @@ trait CdfSupport { self: LakeTable =>
   private val dataNeutralOps = Set("OPTIMIZE", "VACUUM", "SET TBLPROPERTIES",
     "UNSET TBLPROPERTIES", "ADD COLUMNS", "RENAME COLUMN", "DROP COLUMN",
     "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
-    "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE", "UPGRADE PROTOCOL")
+    "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE", "UPGRADE PROTOCOL",
+    "ADD FEATURE")
 
   /** Write a CDF sidecar parquet for the in-flight commit; returns the
     * actions to attach. `df` = table-schema columns + `_change_type`. */

@@ -36,6 +36,12 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
     """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+\d+|TIMESTAMP\s+AS\s+OF\s+'[^']+')\s*""".r
   private val generateCmd =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
+  // SHOW PARTITIONS is valid Spark grammar (unlike the statements above),
+  // so it is intercepted ONLY when the target resolves to a graft table —
+  // hive/parquet tables keep Spark's own implementation
+  private val showPartitionsCmd = """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
+  private def graftTable(t: String): Option[LakeTable] =
+    scala.util.Try(GraftSql.resolveSpec(spark, unquote(t))).toOption
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -67,6 +73,8 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
         .history(Option(limit).map(_.toInt)).queryExecution.logical
     case describeDetail(t) =>
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
+    case showPartitionsCmd(t) if graftTable(t).isDefined =>
+      graftTable(t).get.showPartitions().queryExecution.logical
     case optimizeCmd(_, _, _, _, _) => command(sqlText, versionOut)
     case reorgCmd(_, _) => command(sqlText, versionOut)
     case vacuumCmd(_, _, _) => command(sqlText, pathOut)
@@ -98,7 +106,8 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
       sqlText: String, parameterContext: ParameterContext): LogicalPlan =
     sqlText match {
       case describeHistory(_, _) | describeDetail(_) | optimizeCmd(_, _, _, _, _) |
-           reorgCmd(_, _) | vacuumCmd(_, _, _) | restoreCmd(_) | generateCmd(_) =>
+           reorgCmd(_, _) | vacuumCmd(_, _, _) | restoreCmd(_) | generateCmd(_) |
+           showPartitionsCmd(_) =>
         parsePlan(sqlText)
       case _ => delegate.parsePlanWithParameters(sqlText, parameterContext)
     }

@@ -37,6 +37,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val describeDetail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+)\s*""".r
   private val showProps = """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+)\s*""".r
+  private val showPartitionsCmd = """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
   private val setProps =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val restoreVersion =
@@ -344,6 +345,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case describeHistory(t, limit) =>
       table(t).history(Option(limit).map(_.toInt))
     case describeDetail(t) => table(t).detail()
+    case showPartitionsCmd(t) => table(t).showPartitions()
     case showProps(t) =>
       val props = table(t).properties.toSeq.sortBy(_._1)
       spark.createDataFrame(
@@ -403,7 +405,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" ->
         table(t).reorgPurge(where = Option(where).map(w => expr(w))))
     case vacuumCmd(t, retain, dry) =>
-      val hours = Option(retain).map(_.toDouble).getOrElse(168.0)
+      // no RETAIN clause -> -1: the table's retention property (or the
+      // 168 h default) decides inside vacuum()
+      val hours = Option(retain).map(_.toDouble).getOrElse(-1.0)
       val paths = table(t).vacuum(hours, dryRun = dry != null)
       spark.createDataFrame(
         paths.map(Row(_)).asJava,

@@ -1039,6 +1039,12 @@ class LakeTable private[table] (
         throw new IllegalStateException(
           s"table $dir requires minWriterVersion=${snap.protocol.minWriterVersion} " +
             s"but this engine supports ${graft.log.Protocol.SupportedWriter} — upgrade the library")
+      val unknownWriter =
+        snap.protocol.writerSet -- graft.log.Protocol.SupportedWriterFeatures
+      if (unknownWriter.nonEmpty)
+        throw new IllegalStateException(
+          s"table $dir requires writer feature(s) ${unknownWriter.toSeq.sorted.mkString(", ")} " +
+            "this engine does not implement — upgrade the library")
       val actions = build(snap)
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
@@ -1137,8 +1143,29 @@ class LakeTable private[table] (
         s"${cur.minWriterVersion}), requested ($minReaderVersion, $minWriterVersion)")
     commitWithRetry("UPGRADE PROTOCOL",
       Map("minReaderVersion" -> minReaderVersion.toString,
-        "minWriterVersion" -> minWriterVersion.toString), snap) { _ =>
-      Seq(graft.log.Protocol(minReaderVersion, minWriterVersion))
+        "minWriterVersion" -> minWriterVersion.toString), snap) { s =>
+      // existing named features ride along — an upgrade never sheds them
+      Seq(graft.log.Protocol.merge(s.protocol,
+        graft.log.Protocol(minReaderVersion, minWriterVersion)))
+    }
+  }
+
+  /** Add named table features (the Delta v3/v7 table-features model): the
+    * table's protocol then demands those EXACT capabilities instead of a
+    * monolithic version bump, and engines refuse only what they genuinely
+    * lack. Features accumulate — there is no removal, matching Delta
+    * (dropping a feature cannot un-write the data that used it). Adding a
+    * feature this engine itself does not implement is allowed (as in
+    * Delta) but locks this engine out on the next read/write. */
+  def addTableFeature(name: String, readerAlso: Boolean = false): Long = {
+    require(name.nonEmpty && name.matches("[A-Za-z][A-Za-z0-9_-]*"),
+      s"bad feature name: $name")
+    commitWithRetry("ADD FEATURE",
+      Map("feature" -> name, "reader" -> readerAlso.toString), snapshot()) { s =>
+      Seq(graft.log.Protocol.merge(s.protocol,
+        graft.log.Protocol(s.protocol.minReaderVersion, s.protocol.minWriterVersion,
+          readerFeatures = if (readerAlso) Seq(name) else null,
+          writerFeatures = Seq(name))))
     }
   }
 
@@ -1182,7 +1209,8 @@ class LakeTable private[table] (
       snap.metadata.properties,
       snap.dvs.size.toLong, snap.dvs.values.map(_.numDeleted).sum,
       snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
-      clusteredBy))
+      clusteredBy,
+      snap.protocol.readerSet.toSeq.sorted, snap.protocol.writerSet.toSeq.sorted))
     val schema = StructType(Seq(
       StructField("format", StringType), StructField("id", StringType),
       StructField("name", StringType), StructField("location", StringType),
@@ -1194,7 +1222,35 @@ class LakeTable private[table] (
       StructField("numDeletedRows", LongType),
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
-      StructField("clusteredBy", MapType(StringType, LongType))))
+      StructField("clusteredBy", MapType(StringType, LongType)),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** SHOW PARTITIONS — answered from the transaction log alone: one row
+    * per live logical partition with its file count, live row count
+    * (deletion-vector masks subtracted) and bytes. O(#live files) driver
+    * arithmetic, zero Spark jobs, zero data bytes read — at 100 TB this is
+    * the difference between instant and a full listing. Refuses on an
+    * unpartitioned table (Spark/Delta semantics). */
+  def showPartitions(): DataFrame = {
+    val snap = snapshot()
+    val pcols = snap.metadata.partitionColumns
+    require(pcols.nonEmpty,
+      s"SHOW PARTITIONS is not allowed on a table that is not partitioned: $dir")
+    val rows = snap.files.groupBy(_.partitionValues).toSeq
+      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(c, "")).mkString(" ") }
+      .map { case (pv, fs) =>
+        Row.fromSeq(pcols.map(c => pv.getOrElse(c, null)) ++ Seq(
+          fs.size.toLong,
+          fs.map(f => f.numRecords -
+            snap.dvs.get(f.path).map(_.numDeleted).getOrElse(0L)).sum,
+          fs.map(_.size).sum))
+      }
+    val schema = StructType(pcols.map(c => StructField(c, StringType)) ++ Seq(
+      StructField("numFiles", LongType), StructField("numRecords", LongType),
+      StructField("sizeInBytes", LongType)))
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -1443,8 +1499,18 @@ class LakeTable private[table] (
   /** VACUUM (M10, src/delta_utils.py:337-370): delete files tombstoned before
     * the horizon plus orphaned (never-committed) files; never touches the
     * current snapshot. Returns the affected paths (always, mirroring DRY RUN). */
-  def vacuum(retainHours: Double = 168.0, dryRun: Boolean = false): Seq[String] = {
-    val horizon = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+  def vacuum(retainHours: Double = -1.0, dryRun: Boolean = false): Seq[String] = {
+    // negative = caller did not specify: resolve the default from the
+    // table property graft.deletedFileRetentionDuration (Delta's
+    // delta.deletedFileRetentionDuration, accepted via prefix
+    // normalization; "interval <n> hours|days|minutes"), else 168 h —
+    // Delta's 7-day default.
+    val effectiveHours =
+      if (retainHours >= 0) retainHours
+      else properties.get("graft.deletedFileRetentionDuration")
+        .flatMap(LakeTable.parseRetentionHours)
+        .getOrElse(168.0)
+    val horizon = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
     val snap = snapshot()
     // deletion-vector paths are directories — membership is prefix-based
     def underAny(p: String, prefixes: Set[String]): Boolean =
@@ -1475,7 +1541,7 @@ class LakeTable private[table] (
     }
     if (!dryRun) {
       doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
-      commitWithRetry("VACUUM", Map("retainHours" -> retainHours.toString,
+      commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
         "numDeletedFiles" -> doomed.size.toString), snapshot())(_ => Nil)
     }
     doomed
@@ -1525,12 +1591,10 @@ class LakeTable private[table] (
         versionAsOf.map(v => "sourceVersion" -> v.toString),
       Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L,
       LakeTable.currentUser, false)
-    // Preserve the source snapshot's protocol (max'd with this engine's
-    // current) — cloning a protocol-upgraded table must not downgrade its
-    // minReader/minWriter gate, same as Delta's CLONE.
-    val cloneProto = graft.log.Protocol(
-      math.max(snap.protocol.minReaderVersion, graft.log.Protocol.Current.minReaderVersion),
-      math.max(snap.protocol.minWriterVersion, graft.log.Protocol.Current.minWriterVersion))
+    // Preserve the source snapshot's protocol (merged with this engine's
+    // current: max versions, union of named features) — cloning a
+    // protocol-upgraded table must not downgrade its gate, same as Delta.
+    val cloneProto = graft.log.Protocol.merge(snap.protocol, graft.log.Protocol.Current)
     val tlog = new TxLog(tgt)
     require(tlog.tryCommit(0L,
       (ci +: cloneProto +: meta +: adds) ++ dvActions),
@@ -1545,6 +1609,21 @@ object LakeTable {
     * the JVM user is the honest equivalent of the reference's cluster user). */
   private[table] def currentUser: String =
     sys.props.getOrElse("user.name", "unknown")
+
+  /** Parse Delta's retention-interval property value ("interval 7 days",
+    * "interval 12 hours", "interval 30 minutes") to hours. None on any
+    * other shape — an unparsable retention must fall back to the safe
+    * default, never to zero. */
+  private[table] def parseRetentionHours(v: String): Option[Double] =
+    """(?i)\s*interval\s+(\d+(?:\.\d+)?)\s+(hour|day|minute)s?\s*""".r
+      .findFirstMatchIn(v).map { m =>
+        val n = m.group(1).toDouble
+        m.group(2).toLowerCase match {
+          case "day" => n * 24.0
+          case "hour" => n
+          case "minute" => n / 60.0
+        }
+      }
 
   /** Migration parity: the reference sets `delta.`-prefixed table
     * properties (delta.enableChangeDataFeed, delta.autoOptimize.*, …,

@@ -55,6 +55,38 @@ class CheckpointSpec extends SparkSpec {
     t.read().count() shouldBe 10
   }
 
+  test("a corrupt checkpoint falls back to an older one, then to full replay") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-corrupt").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema)
+    (1 to 23).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.log.listCheckpoints() shouldBe Seq(10L, 20L)
+    val reference = t.snapshot()
+    // torn newest checkpoint (truncated copy / bit rot): resolution must
+    // fall back to checkpoint 10 + log tail, not fail and not mis-apply
+    val cp20 = t.log.logDir.resolve(f"${20L}%020d.checkpoint.json")
+    val bytes = Files.readAllBytes(cp20)
+    Files.write(cp20, bytes.take(bytes.length / 2))
+    val viaOlder = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaOlder.version shouldBe reference.version
+    viaOlder.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaOlder.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    // truncation exactly at a LINE boundary: every surviving line parses,
+    // but the CheckpointMeta header's count disagrees — must be rejected
+    // (without the header this cut would silently drop live files)
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    lines.head should include("checkpointMeta")
+    Files.write(cp20, lines.dropRight(3).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val viaOlder2 = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaOlder2.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    // both checkpoints torn: full replay from v0 still resolves exactly
+    val cp10 = t.log.logDir.resolve(f"${10L}%020d.checkpoint.json")
+    Files.write(cp10, "not json\n".getBytes)
+    val viaReplay = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaReplay.version shouldBe reference.version
+    viaReplay.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaReplay.metadata shouldBe reference.metadata
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

@@ -162,6 +162,49 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     log.listVersions() shouldBe (0L to 3L)
   }
 
+  test("fault-injection fuzz: contended writers through a randomly lying store stay exactly-once") {
+    // Every negative CAS outcome a real object store can produce, thrown at
+    // random under contention: land-then-throw, land-then-false,
+    // throw-before-landing. The invariant that must survive all of it:
+    // every logical commit lands EXACTLY once and versions are gapless.
+    val dir = java.nio.file.Paths.get("/nonexistent/fuzz-table")
+    val inner = new InMemoryLogStore
+    val rnd = new java.util.Random(20260814L)
+    val store = new LogStore {
+      def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def read(p: Path): Seq[String] = inner.read(p)
+      def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
+        if (ow) return inner.writeAtomic(p, b, ow)
+        val roll = rnd.synchronized(rnd.nextInt(10))
+        if (roll == 0) throw new RuntimeException("blip before landing")
+        val ok = inner.writeAtomic(p, b, ow)
+        if (ok && roll == 1) throw new RuntimeException("timeout after landing")
+        if (ok && roll == 2) return false
+        ok
+      }
+    }
+    new TxLog(dir, store).commit(v => Seq(meta, ci(v, "CREATE", 0L)))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        start.await()
+        try (1 to 10).foreach { i =>
+          new TxLog(dir, store).commit(v => Seq(ci(v, s"W$t-$i", v))): Unit
+        } catch { case _: Throwable => errs.incrementAndGet(): Unit }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    errs.get() shouldBe 0
+    val honest = new TxLog(dir, store)
+    honest.listVersions() shouldBe (0L to 60L) // gapless: 1 create + 60 commits
+    // every logical commit appears EXACTLY once across the whole log
+    val ops = (0L to 60L).flatMap(v => honest.readVersion(v)
+      .collectFirst { case c: CommitInfo => c.operation })
+    ops.size shouldBe 61
+    ops.distinct.size shouldBe 61
+  }
+
   test("writeAtomic(overwrite=false) is a true put-if-absent under racing writers") {
     val dir = Files.createTempDirectory("logstore-race")
     val target = dir.resolve("00000000000000000000.json")

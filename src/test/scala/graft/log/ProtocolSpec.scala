@@ -108,6 +108,57 @@ class ProtocolSpec extends SparkSpec {
     rival.read().count() shouldBe 1 // nothing half-committed
   }
 
+  test("table features: supported ones work, unknown ones gate reads/writes loudly") {
+    val t = LakeTable.create(spark, tmpDir("feat").resolve("t").toString, schema)
+    t.append(Seq(1L, 2L).toDF("id"))
+    // a feature this engine implements: everything keeps working
+    t.addTableFeature("deletionVectors", readerAlso = true)
+    t.append(Seq(3L).toDF("id"))
+    t.read().count() shouldBe 3
+    val det = t.detail().collect().head
+    det.getAs[Seq[String]]("readerFeatures") shouldBe Seq("deletionVectors")
+    det.getAs[Seq[String]]("writerFeatures") shouldBe Seq("deletionVectors")
+    // an unknown WRITER feature: reads fine, writes refuse by NAME
+    t.addTableFeature("futureWriterTrick")
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    t2.read().count() shouldBe 3
+    val ew = intercept[IllegalStateException] { t2.append(Seq(4L).toDF("id")) }
+    ew.getMessage should include("futureWriterTrick")
+    // an unknown READER feature: snapshot resolution refuses by NAME.
+    // (write the protocol action directly — addTableFeature itself can no
+    // longer commit into this table)
+    val raw = new TxLog(t.dir)
+    val cur = raw.snapshot().protocol
+    raw.tryCommit(raw.latestVersion().get + 1, Seq(
+      CommitInfo(raw.latestVersion().get + 1, System.currentTimeMillis(),
+        "ADD FEATURE", Map.empty, Map.empty, raw.latestVersion().get),
+      Protocol.merge(cur, Protocol(cur.minReaderVersion, cur.minWriterVersion,
+        readerFeatures = Seq("futureReaderTrick"),
+        writerFeatures = Seq("futureReaderTrick"))))) shouldBe true
+    val er = intercept[IllegalStateException] {
+      LakeTable.forPath(spark, t.dir.toString).snapshot()
+    }
+    er.getMessage should include("futureReaderTrick")
+  }
+
+  test("features survive checkpoints, accumulate on upgrade, and union on CLONE") {
+    val t = LakeTable.create(spark, tmpDir("feat-ck").resolve("t").toString, schema,
+      properties = Map("graft.checkpointInterval" -> "3"))
+    t.addTableFeature("columnMapping", readerAlso = true)
+    t.addTableFeature("checkConstraints")
+    (1 to 4).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    new TxLog(t.dir).listCheckpoints() should not be empty
+    val p = LakeTable.forPath(spark, t.dir.toString).snapshot().protocol
+    p.readerSet shouldBe Set("columnMapping")
+    p.writerSet shouldBe Set("columnMapping", "checkConstraints")
+    // an upgrade keeps the named features
+    t.upgradeProtocol(Protocol.SupportedReader, Protocol.SupportedWriter)
+    t.snapshot().protocol.writerSet shouldBe Set("columnMapping", "checkConstraints")
+    // clone carries them (merge with the engine's current protocol)
+    val c = t.cloneTo(tmpDir("feat-ck").resolve("c").toString, shallow = true)
+    c.snapshot().protocol.writerSet shouldBe Set("columnMapping", "checkConstraints")
+  }
+
   test("protocol can only move upward; upgrade survives checkpoints") {
     val t = LakeTable.create(spark, tmpDir("up").resolve("t").toString, schema,
       properties = Map("graft.checkpointInterval" -> "2"))

@@ -122,6 +122,30 @@ class GraftCatalogSpec extends SparkSpec {
     e.getMessage should (include("DEFAULT") or include("default"))
   }
 
+  test("SHOW PARTITIONS answers from the log: per-partition files/rows/bytes, DV-aware") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.parts")
+    spark.sql("""CREATE TABLE gcat.parts.t (id BIGINT, p STRING)
+      USING graft PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO gcat.parts.t SELECT id, 'a' FROM range(100)")
+    spark.sql("INSERT INTO gcat.parts.t SELECT id + 100, 'b' FROM range(50)")
+    val rows = spark.sql("SHOW PARTITIONS gcat.parts.t")
+      .orderBy("p").collect()
+    rows.map(_.getAs[String]("p")).toSeq shouldBe Seq("a", "b")
+    rows.map(_.getAs[Long]("numRecords")).toSeq shouldBe Seq(100L, 50L)
+    rows.foreach(r => r.getAs[Long]("numFiles") should be >= 1L)
+    // DV-masked rows drop out of the metadata answer
+    spark.sql("ALTER TABLE gcat.parts.t SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true')")
+    spark.sql("DELETE FROM gcat.parts.t WHERE p = 'a' AND id < 10")
+    spark.sql("SHOW PARTITIONS gcat.parts.t").orderBy("p").collect()
+      .map(_.getAs[Long]("numRecords")).toSeq shouldBe Seq(90L, 50L)
+    // unpartitioned tables refuse, like Spark/Delta
+    spark.sql("CREATE TABLE gcat.parts.u (id BIGINT) USING graft")
+    val e = intercept[Exception] { spark.sql("SHOW PARTITIONS gcat.parts.u").collect() }
+    e.getMessage should include("not partitioned")
+  }
+
   test("DESCRIBE DETAIL surfaces per-file clusteredBy tags (incremental state)") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.clus")

@@ -250,6 +250,13 @@ class LakeTableSpec extends SparkSpec {
     // retained horizon: fresh tombstones survive a 7-day retention vacuum
     t.overwrite(rows(0 until 5))
     t.vacuum() shouldBe empty
+    // the table property (delta.-prefix spelling normalized at set time)
+    // supplies the default retention when the caller names none
+    t.setProperties(Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    t.vacuum(dryRun = true) should not be empty
+    // an unparsable value falls back to the SAFE 7-day default, never zero
+    t.setProperties(Map("graft.deletedFileRetentionDuration" -> "bogus"))
+    t.vacuum(dryRun = true) shouldBe empty
   }
 
   test("concurrent appends both land (optimistic retry)") {
