@@ -83,6 +83,9 @@ object SparkEntry {
     "q82_corpus_stats" -> (DataOps.corpusStats _),
     "q83_vocabulary" -> (DataOps.vocabularyBuild _),
     "q84_margin_mining" -> (DataOps.marginMiningPairs _),
+    "q85_image_dedup" -> (DataOps.imageDedup _),
+    "q86_image_neardup" -> (DataOps.imageNearDup _),
+    "q87_audio_fingerprint" -> (DataOps.audioDedup _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

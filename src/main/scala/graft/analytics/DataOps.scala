@@ -283,6 +283,50 @@ object DataOps {
       .orderBy("query_id")
   }
 
+  /** Image perceptual-dedup gate (q85): every synthetic PNG decoded
+    * through the REAL ImageIO path and aHash-fingerprinted; images sharing
+    * a hash form a dup group. The oracle re-derives each 64-bit hash
+    * arithmetically from doc_id (quadrant grays, integer mean threshold,
+    * quadrant bit-masks), so a pass proves the decode+block-mean+threshold
+    * pipeline bit-for-bit. Hash serialized as unsigned hex (the driver
+    * harness sorts strings; both engines format the same 64 bits). */
+  def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
+      .filter(col("kind") === "image")
+    Multimodal.imageAHashes(media).toDF()
+      .withColumn("ahash_hex", format_string("%016x", col("ahash")))
+      .withColumn("dup_group",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ahash_hex")))
+      .select(col("media_id"), col("ahash_hex"), col("dup_group"))
+      .orderBy("media_id")
+  }
+
+  /** Image near-dup pair gate (q86): banded-LSH Hamming mining over the
+    * decoded aHashes — the oracle re-derives hashes arithmetically and
+    * replays the ≤7-bit pair set with an all-pairs bit_count (sound at
+    * oracle scale; the engine side never goes all-pairs). */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
+      .filter(col("kind") === "image")
+    Multimodal.imageNearDupPairs(Multimodal.imageAHashes(media).toDF())
+      .orderBy("a", "b")
+  }
+
+  /** Audio fingerprint gate (q87): every synthetic WAV decoded through the
+    * REAL javax.sound path and energy-profile hashed; the integer
+    * cross-multiplied threshold means the oracle re-derives each 12-bit
+    * fingerprint exactly from doc_id — a pass proves decode + windowing +
+    * thresholding bit-for-bit. */
+  def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
+      .filter(col("kind") === "audio")
+    Multimodal.audioHashes(media, windows = 12).toDF()
+      .withColumn("dup_group",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ahash")))
+      .select(col("media_id"), col("ahash"), col("dup_group"))
+      .orderBy("media_id")
+  }
+
   /** Normalized exact dedup gate (q81): duplicates that differ only in
     * case/punctuation/whitespace collapse to one survivor (lowest id,
     * original text kept) — the C4-style normalize-then-hash recipe step,
@@ -842,6 +886,60 @@ object DataOps {
          r AS (SELECT term, term_count, CAST(ROW_NUMBER() OVER
              (ORDER BY term_count DESC, term) AS INT) AS rank FROM c)
          SELECT term, term_count, rank FROM r WHERE rank <= 30 ORDER BY rank""",
+    "q85_image_dedup" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         g AS (SELECT doc_id,
+             ((( 7*doc_id + 13*0) % 256) + ((11*doc_id + 17*0) % 256) + ((19*doc_id + 23*0) % 256)) // 3 AS g0,
+             ((( 7*doc_id + 13*1) % 256) + ((11*doc_id + 17*1) % 256) + ((19*doc_id + 23*1) % 256)) // 3 AS g1,
+             ((( 7*doc_id + 13*2) % 256) + ((11*doc_id + 17*2) % 256) + ((19*doc_id + 23*2) % 256)) // 3 AS g2,
+             ((( 7*doc_id + 13*3) % 256) + ((11*doc_id + 17*3) % 256) + ((19*doc_id + 23*3) % 256)) // 3 AS g3
+           FROM img),
+         m AS (SELECT *, (g0 + g1 + g2 + g3) // 4 AS mean FROM g),
+         h AS (SELECT doc_id AS media_id,
+             lower(lpad(to_hex(
+               CASE WHEN g0 >= mean THEN 17361641477096079360::UBIGINT ELSE 0::UBIGINT END +
+               CASE WHEN g1 >= mean THEN 1085102592318504960::UBIGINT ELSE 0::UBIGINT END +
+               CASE WHEN g2 >= mean THEN 4042322160::UBIGINT ELSE 0::UBIGINT END +
+               CASE WHEN g3 >= mean THEN 252645135::UBIGINT ELSE 0::UBIGINT END), 16, '0')) AS ahash_hex
+           FROM m)
+         SELECT media_id, ahash_hex,
+           COUNT(*) OVER (PARTITION BY ahash_hex) AS dup_group
+         FROM h ORDER BY media_id""",
+    "q86_image_neardup" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         g AS (SELECT doc_id,
+             ((( 7*doc_id + 13*0) % 256) + ((11*doc_id + 17*0) % 256) + ((19*doc_id + 23*0) % 256)) // 3 AS g0,
+             ((( 7*doc_id + 13*1) % 256) + ((11*doc_id + 17*1) % 256) + ((19*doc_id + 23*1) % 256)) // 3 AS g1,
+             ((( 7*doc_id + 13*2) % 256) + ((11*doc_id + 17*2) % 256) + ((19*doc_id + 23*2) % 256)) // 3 AS g2,
+             ((( 7*doc_id + 13*3) % 256) + ((11*doc_id + 17*3) % 256) + ((19*doc_id + 23*3) % 256)) // 3 AS g3
+           FROM img),
+         m AS (SELECT *, (g0 + g1 + g2 + g3) // 4 AS mean FROM g),
+         h AS (SELECT doc_id AS id,
+             CASE WHEN g0 >= mean THEN 17361641477096079360::UBIGINT ELSE 0::UBIGINT END +
+             CASE WHEN g1 >= mean THEN 1085102592318504960::UBIGINT ELSE 0::UBIGINT END +
+             CASE WHEN g2 >= mean THEN 4042322160::UBIGINT ELSE 0::UBIGINT END +
+             CASE WHEN g3 >= mean THEN 252645135::UBIGINT ELSE 0::UBIGINT END AS h
+           FROM m)
+         SELECT x.id AS a, y.id AS b,
+           CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM h x JOIN h y ON x.id < y.id
+         WHERE bit_count(xor(x.h, y.h)) <= 7
+         ORDER BY a, b""",
+    "q87_audio_fingerprint" ->
+      """WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         a AS (SELECT doc_id,
+             list_transform(range(0, 12), w -> (doc_id*37 + w*101) % 30000 - 15000) AS amps
+           FROM aud),
+         s AS (SELECT doc_id, amps,
+             list_sum(list_transform(amps, x -> x*x)) AS tot FROM a),
+         h AS (SELECT doc_id AS media_id,
+             CAST(list_sum(list_transform(range(0, 12),
+               w -> CASE WHEN amps[w+1]*amps[w+1]*12 >= tot
+                    THEN 1 << (11 - w) ELSE 0 END)) AS BIGINT) AS ahash
+           FROM s)
+         SELECT media_id, ahash,
+           COUNT(*) OVER (PARTITION BY ahash) AS dup_group
+         FROM h ORDER BY media_id""",
     "q84_margin_mining" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -149,6 +149,47 @@ object Multimodal {
         encodePng(out)
       }
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: deterministic
+      * 8×8 block-mean grayscale (integer arithmetic throughout — no
+      * Graphics2D filtering, so the value is JDK-independent), thresholded
+      * at the integer mean, bits row-major MSB-first. The standard cheap
+      * near-dup hash for images: identical content up to mild resize /
+      * re-encode lands on equal or small-Hamming-distance hashes. None
+      * for undecodable payloads. */
+    def aHash(content: Array[Byte]): Option[Long] =
+      decodeImage(content).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grays = new Array[Long](64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+            val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            grays(by * 8 + bx) = (rs / n + gs / n + bs / n) / 3
+            bx += 1
+          }
+          by += 1
+        }
+        val mean = grays.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (grays(i) >= mean) hash |= 1L << (63 - i); i += 1 }
+        hash
+      }
+
     // ---- audio (real: javax.sound.sampled — WAV PCM) ----
 
     def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
@@ -219,6 +260,59 @@ object Multimodal {
               }
               Some(out)
             }
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Audio energy fingerprint: split the PCM sample stream into
+      * `windows` equal windows; bit w (MSB-first) is set when window w's
+      * MEAN energy is at or above the stream's mean energy. The comparison
+      * is integer cross-multiplication (sumSq_w · totalCount ≥
+      * totalSumSq · count_w) — no float accumulation anywhere, so the
+      * fingerprint is exact and engine-reproducible. The audio analogue of
+      * [[aHash]]: loudness-profile near-dups land on equal or
+      * small-Hamming fingerprints. None for undecodable payloads. */
+    def audioHash(content: Array[Byte], windows: Int = 16): Option[Long] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            if (n == 0) return Some(0L)
+            val win = math.max(1, n / windows)
+            val sumSq = new Array[Long](windows)
+            val cnt = new Array[Long](windows)
+            var w = 0
+            while (w < windows) {
+              val s0 = w * win; val s1 = math.min(n, s0 + win)
+              var i = s0
+              while (i < s1) {
+                val lo = raw(i * 2) & 0xff
+                val hi = raw(i * 2 + 1).toInt
+                val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+                val sv = s.toShort.toInt
+                sumSq(w) += sv.toLong * sv
+                i += 1
+              }
+              cnt(w) = math.max(0, s1 - s0)
+              w += 1
+            }
+            val totalSq = sumSq.sum
+            val totalCnt = cnt.sum
+            var hash = 0L
+            var b = 0
+            while (b < windows) {
+              if (cnt(b) > 0 && sumSq(b) * totalCnt >= totalSq * cnt(b))
+                hash |= 1L << (windows - 1 - b)
+              b += 1
+            }
+            Some(hash)
           }
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -373,5 +467,66 @@ object Multimodal {
         ThumbInfo(m.media_id, m.kind, m.content.length, wh.map(_._1), wh.map(_._2))
       }
     }
+  }
+
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Perceptual-hash stage: decode each image payload and emit its 64-bit
+    * aHash (undecodable rows are dropped). Narrow mapPartitions at the
+    * codec boundary only — downstream grouping/Hamming joins are ordinary
+    * shuffles on a long, so image near-dup at 100 TB costs one decode pass
+    * plus an ints-only exchange. */
+  def imageAHashes(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(m => Codecs.aHash(m.content).map(h => ImageHash(m.media_id, h)))
+    }
+  }
+
+  case class AudioHash(media_id: Long, ahash: Long)
+
+  /** Audio fingerprint stage: decode each WAV payload and emit its
+    * energy-profile hash (undecodable rows dropped) — same narrow
+    * codec-boundary shape as [[imageAHashes]]. */
+  def audioHashes(media: DataFrame, windows: Int = 16): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(m => Codecs.audioHash(m.content, windows)
+        .map(h => AudioHash(m.media_id, h)))
+    }
+  }
+
+  /** Banded Hamming near-dup pair mining over 64-bit perceptual hashes
+    * (binary LSH): each hash splits into 8 bands of 8 bits; by pigeonhole
+    * any pair within Hamming distance ≤ 7 shares at least one identical
+    * band, so candidates come from 8 band-keyed equi-joins (an ints-only
+    * shuffle) and the exact `bit_count(xor)` filter runs on candidates
+    * only — no all-pairs stage at any corpus size. Emits (a, b, hamming)
+    * with a < b, deduped across bands. `maxHamming` is capped at 7: past
+    * that the banding scheme no longer guarantees recall (a pair could
+    * differ in every band). */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 7,
+      idCol: String = "media_id",
+      hashCol: String = "ahash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-band/8-bit banding guarantees recall only for Hamming <= 7, got $maxHamming")
+    val bands = explode(array((0 until 8).map(i =>
+      struct(lit(i).as("band"),
+        col(hashCol).bitwiseAND(lit(0xffL << (i * 8))).as("key"))): _*))
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("h"), bands.as("b"))
+      .select(col("id"), col("h"), col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("id").as("a"), col("h").as("ha"))
+    val r = banded.select(col("band"), col("key"), col("id").as("b"), col("h").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

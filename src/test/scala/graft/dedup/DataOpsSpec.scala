@@ -402,6 +402,81 @@ class DataOpsSpec extends SparkSpec {
     frames.collect().foreach(_.frame.length should be > 0)
   }
 
+  test("aHash: re-encode stable, resize-robust, content-sensitive, arithmetic-exact") {
+    import graft.multimodal.Multimodal.Codecs
+    def img(px: (Int, Int) => Int, w: Int = 32, h: Int = 32) = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      b
+    }
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val gradient = Codecs.encodePng(img((x, _) => gray((x * 8) % 256)))
+    val hA = Codecs.aHash(gradient).get
+    // a fresh encode of the same pixels hashes identically
+    Codecs.aHash(Codecs.encodePng(img((x, _) => gray((x * 8) % 256)))).get shouldBe hA
+    // a 2x downscale keeps the hash within a small Hamming distance
+    val hSmall = Codecs.aHash(Codecs.resizeImage(gradient, 16, 16).get).get
+    java.lang.Long.bitCount(hA ^ hSmall) should be <= 8
+    // genuinely different content lands far away
+    val checker = Codecs.encodePng(
+      img((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0))
+    java.lang.Long.bitCount(hA ^ Codecs.aHash(checker).get) should be >= 16
+    Codecs.aHash("not an image".getBytes) shouldBe None
+    // distributed stage over the synthetic media: doc 3's hash equals the
+    // pure doc_id arithmetic (quadrant grays 37/54/72/90, mean 63 -> only
+    // the bottom quadrants set -> 0x00000000FFFFFFFF)
+    val hashes = Multimodal.imageAHashes(
+      Multimodal.synthesize(docs).filter(col("kind") === "image"))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    hashes.keySet shouldBe Set(3L, 6L)
+    hashes(3L) shouldBe 0xFFFFFFFFL
+  }
+
+  test("audioHash: integer-exact energy fingerprint from the real WAV decode") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.Codecs
+    // 4 windows of 100 samples: amplitudes 100, 200, 300, 400 — bits set
+    // where amp^2 * 4 >= sum of squares (300000): windows 2 and 3
+    val samples = Array.tabulate[Short](400)(i => ((i / 100 + 1) * 100).toShort)
+    val wav = Codecs.encodeWavPcm16(samples, 8000f)
+    Codecs.audioHash(wav, windows = 4).get shouldBe 0x3L // 0b0011
+    // fingerprint is a pure function of content: re-encode stable
+    Codecs.audioHash(Codecs.encodeWavPcm16(samples, 8000f), windows = 4)
+      .get shouldBe 0x3L
+    Codecs.audioHash("not audio".getBytes) shouldBe None
+    // distributed stage over synthetic media: doc 1's fingerprint matches
+    // the pure doc_id arithmetic (amp_w = (37 + 101w) % 30000 - 15000)
+    val amps = (0 until 12).map(w => (1L * 37 + w * 101) % 30000 - 15000)
+    val tot = amps.map(a => a * a).sum
+    val expected = (0 until 12).map(w =>
+      if (amps(w) * amps(w) * 12 >= tot) 1L << (11 - w) else 0L).sum
+    val hashes = Multimodal.audioHashes(
+      Multimodal.synthesize(docs).filter(col("kind") === "audio"), windows = 12)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    hashes.keySet shouldBe Set(1L, 4L)
+    hashes(1L) shouldBe expected
+  }
+
+  test("imageNearDupPairs: banded LSH finds every pair within the Hamming bound") {
+    import graft.multimodal.Multimodal
+    val h1 = 0x123456789abcdef0L
+    val h2 = h1 ^ 0x0b01L // 4 bits flipped across 2 bands
+    val h3 = h1 ^ 0x0101010101010101L // 8 bits, one per band: outside the bound
+    val h4 = h1 // exact dup
+    val hashes = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4))
+      .toDF("media_id", "ahash")
+    val pairs = Multimodal.imageNearDupPairs(hashes)
+      .orderBy("a", "b").as[(Long, Long, Int)].collect().toSeq
+    // (1,2) d=4 and (2,4) d=4 found via shared bands; (1,4) d=0; nothing
+    // involving 3 (d=8 from 1/4, d=10 or so from 2)
+    pairs shouldBe Seq((1L, 2L, 4), (1L, 4L, 0), (2L, 4L, 4))
+    // the bound is enforced as an argument contract past the recall limit
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 8)
+    }
+  }
+
   private object Tables {
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
       s.read.parquet(s"$dir/$name.parquet")
