@@ -291,8 +291,11 @@ object DataOps {
     * pipeline bit-for-bit. Hash serialized as unsigned hex (the driver
     * harness sorts strings; both engines format the same 64 bits). */
   def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
-      .filter(col("kind") === "image")
+    // pre-filter by doc_id BEFORE synthesize: the typed map blocks
+    // predicate pushdown, so filtering on kind afterwards would still
+    // encode every non-image payload (2/3 wasted codec work)
+    val media = Multimodal.synthesize(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0))
     Multimodal.imageAHashes(media).toDF()
       .withColumn("ahash_hex", format_string("%016x", col("ahash")))
       .withColumn("dup_group",
@@ -306,8 +309,8 @@ object DataOps {
     * replays the ≤7-bit pair set with an all-pairs bit_count (sound at
     * oracle scale; the engine side never goes all-pairs). */
   def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
-      .filter(col("kind") === "image")
+    val media = Multimodal.synthesize( // doc_id pre-filter: see imageDedup
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0))
     Multimodal.imageNearDupPairs(Multimodal.imageAHashes(media).toDF())
       .orderBy("a", "b")
   }
@@ -318,8 +321,8 @@ object DataOps {
     * fingerprint exactly from doc_id — a pass proves decode + windowing +
     * thresholding bit-for-bit. */
   def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.synthesize(Tables.documents(spark, sfDir))
-      .filter(col("kind") === "audio")
+    val media = Multimodal.synthesize( // doc_id pre-filter: see imageDedup
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 1))
     Multimodal.audioHashes(media, windows = 12).toDF()
       .withColumn("dup_group",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ahash")))
