@@ -120,6 +120,17 @@ class DefaultSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val mergeSchema = parameters.get("mergeSchema").contains("true")
     val overwriteSchema = parameters.get("overwriteSchema").contains("true")
+    // Delta's idempotent-write options: a (txnAppId, txnVersion) pair rides
+    // the commit; a replayed write whose version is <= the last recorded
+    // one for the app is a no-op — restart-safe batch jobs without a
+    // streaming checkpoint
+    val txn: Option[(String, Long)] =
+      (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+        case (Some(a), Some(v)) => Some((a, v.toLong))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together")
+      }
     val exists = LakeTable.isTable(path)
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -128,17 +139,27 @@ class DefaultSource extends RelationProvider
       case _ if !exists =>
         LakeTable.createFrom(spark, path, data, partitionCols): Unit
       case SaveMode.Append =>
-        LakeTable.forPath(spark, path).append(data, mergeSchema): Unit
+        val t = LakeTable.forPath(spark, path)
+        txn match {
+          case Some((a, v)) => t.appendStream(data, a, v, mergeSchema): Unit
+          case None => t.append(data, mergeSchema): Unit
+        }
       case SaveMode.Overwrite
           if parameters.get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")) =>
         // Delta's dynamic-partition-overwrite spelling: replace only the
         // partitions present in the incoming frame
+        require(txn.isEmpty, "txnAppId is not supported with dynamic partition overwrite")
         LakeTable.forPath(spark, path).overwriteDynamic(data): Unit
       case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
+        require(txn.isEmpty, "txnAppId is not supported with replaceWhere")
         LakeTable.forPath(spark, path)
           .overwriteWhere(expr(parameters("replaceWhere")), data): Unit
       case SaveMode.Overwrite =>
-        LakeTable.forPath(spark, path).overwrite(data, overwriteSchema): Unit
+        val t = LakeTable.forPath(spark, path)
+        txn match {
+          case Some((a, v)) => t.overwriteStream(data, a, v): Unit
+          case None => t.overwrite(data, overwriteSchema): Unit
+        }
       case other =>
         throw new IllegalStateException(s"unreachable save mode: $other")
     }

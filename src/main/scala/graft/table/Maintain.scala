@@ -251,26 +251,45 @@ object ZOrder {
 
   /** Per-dimension 8-bit bucket ids shared by both curves. */
   private def buckets(df: DataFrame, cols: Seq[(Column, DataType)]): Seq[Column] = {
-    val numericCols = cols.collect { case (c, dt) if isRangeable(dt) => (c, dt) }
-    val bounds: Map[String, (Double, Double)] =
-      if (numericCols.isEmpty) Map.empty
+    def isString(dt: DataType): Boolean = dt.isInstanceOf[StringType]
+    val boundedCols = cols.zipWithIndex.filter {
+      case ((_, dt), _) => isRangeable(dt) || isString(dt)
+    }
+    val bounds: Map[Int, (Any, Any)] =
+      if (boundedCols.isEmpty) Map.empty
       else {
-        val aggs = numericCols.zipWithIndex.flatMap { case ((c, dt), i) =>
-          Seq(min(toDouble(c, dt)).as(s"mn$i"), max(toDouble(c, dt)).as(s"mx$i"))
+        val aggs = boundedCols.flatMap { case ((c, dt), i) =>
+          if (isString(dt)) Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i"))
+          else Seq(min(toDouble(c, dt)).as(s"mn$i"), max(toDouble(c, dt)).as(s"mx$i"))
         }
         val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        numericCols.zipWithIndex.map { case ((c, _), i) =>
-          val mn = Option(r.get(r.fieldIndex(s"mn$i"))).map(_.toString.toDouble).getOrElse(0.0)
-          val mx = Option(r.get(r.fieldIndex(s"mx$i"))).map(_.toString.toDouble).getOrElse(1.0)
-          c.toString -> (mn, if (mx > mn) mx else mn + 1.0)
+        boundedCols.map { case (_, i) =>
+          i -> ((r.get(r.fieldIndex(s"mn$i")), r.get(r.fieldIndex(s"mx$i"))))
         }.toMap
       }
-    cols.map { case (c, dt) =>
+    cols.zipWithIndex.map { case ((c, dt), i) =>
       if (isRangeable(dt)) {
-        val (mn, mx) = bounds(c.toString)
+        val mn = Option(bounds(i)._1).map(_.toString.toDouble).getOrElse(0.0)
+        val mx0 = Option(bounds(i)._2).map(_.toString.toDouble).getOrElse(1.0)
+        val mx = if (mx0 > mn) mx0 else mn + 1.0
         // width_bucket yields 1..n (0/n+1 out of range); clamp to 0..255
         least(lit(255L).cast(LongType),
           greatest(lit(0L), width_bucket(toDouble(c, dt), lit(mn), lit(mx), lit(256)) - 1))
+      } else if (isString(dt)) {
+        // Delta z-orders strings by a truncated prefix, not a hash: bucket
+        // by the character at the first position where the column's values
+        // actually differ (global common prefix of min/max, from the same
+        // bounds pass). A hash bucket sprays lexicographic neighbors apart
+        // — per-file min/max never tighten and prefix/range predicates
+        // skip nothing. All-identical or all-null columns collapse to one
+        // bucket: nothing to discriminate.
+        (Option(bounds(i)._1).map(_.toString), Option(bounds(i)._2).map(_.toString)) match {
+          case (Some(mn), Some(mx)) =>
+            val cp = mn.zip(mx).takeWhile { case (a, b) => a == b }.length
+            least(lit(255L), greatest(lit(0L),
+              coalesce(ascii(substring(c, cp + 1, 1)), lit(0)).cast(LongType)))
+          case _ => lit(0L)
+        }
       } else {
         pmod(hash(c), lit(256)).cast(LongType)
       }

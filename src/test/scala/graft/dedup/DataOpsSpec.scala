@@ -477,6 +477,29 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageNearDupPairs matches brute force on clustered random hashes") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(7L)
+    // clustered population: 10 random bases, 6 variants each with 0..10
+    // random bit flips — plenty of pairs inside and outside the bound
+    val hashes = (0 until 10).flatMap { c =>
+      val base = rnd.nextLong()
+      (0 until 6).map { v =>
+        var x = base
+        (0 until rnd.nextInt(11)).foreach(_ => x ^= 1L << rnd.nextInt(64))
+        ((c * 10 + v).toLong, x)
+      }
+    }
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Multimodal.imageNearDupPairs(hashes.toDF("media_id", "ahash"))
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe expected
+    expected should not be empty // the fixture actually exercises the path
+  }
+
   private object Tables {
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
       s.read.parquet(s"$dir/$name.parquet")

@@ -24,6 +24,43 @@ class GraftDataSourceSpec extends SparkSpec {
     spark.read.format("graft").load(dir).count() shouldBe 10
   }
 
+  test("idempotent batch writes: txnAppId/txnVersion replays are no-ops") {
+    val dir = tmpDir("ds-txn").resolve("t").toString
+    df(0 until 50).write.format("graft").save(dir)
+    def job(version: Long, ids: Range): Unit =
+      df(ids).write.format("graft").mode("append")
+        .option("txnAppId", "nightly-load").option("txnVersion", version.toString)
+        .save(dir)
+    job(1, 50 until 100)
+    spark.read.format("graft").load(dir).count() shouldBe 100
+    // the restarted job re-runs the same logical write: nothing doubles
+    job(1, 50 until 100)
+    spark.read.format("graft").load(dir).count() shouldBe 100
+    // an OLDER version is also a no-op (late replay after a newer commit)
+    job(2, 100 until 120)
+    job(1, 50 until 100)
+    spark.read.format("graft").load(dir).count() shouldBe 120
+    // a different app's ledger is independent
+    df(120 until 130).write.format("graft").mode("append")
+      .option("txnAppId", "other-app").option("txnVersion", "1").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 130
+    // idempotent overwrite: replay keeps the newer state
+    df(0 until 7).write.format("graft").mode("overwrite")
+      .option("txnAppId", "rebuild").option("txnVersion", "1").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 7
+    df(0 until 99).write.format("graft").mode("overwrite")
+      .option("txnAppId", "rebuild").option("txnVersion", "1").save(dir)
+    spark.read.format("graft").load(dir).count() shouldBe 7
+    // half a pair is a loud error; txn + replaceWhere is refused
+    an[IllegalArgumentException] should be thrownBy
+      df(0 until 5).write.format("graft").mode("append")
+        .option("txnAppId", "x").save(dir)
+    an[IllegalArgumentException] should be thrownBy
+      df(0 until 5).write.format("graft").mode("overwrite")
+        .option("txnAppId", "x").option("txnVersion", "1")
+        .option("replaceWhere", "bucket = 1").save(dir)
+  }
+
   test("save modes: errorIfExists throws, ignore is a no-op") {
     val dir = tmpDir("ds-modes").resolve("t").toString
     df(0 until 5).write.format("graft").save(dir)

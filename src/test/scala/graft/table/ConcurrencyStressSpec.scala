@@ -153,6 +153,24 @@ abstract class ConcurrencyStressBase extends SparkSpec {
     if (n == 200) t.read().filter(col("id") % 2 === 0).count() shouldBe 0
   }
 
+  test("OPTIMIZE WHERE on disjoint partitions runs concurrently without conflict") {
+    // each compaction touches only its own partition's files — the
+    // touched-file liveness check must not false-conflict across them
+    val t = mk("conc-opt-disjoint", partitionBy = Seq("p"))
+    (0 until 4).foreach { w =>
+      (0 until 3).foreach(i =>
+        t.append(batch(w * 1000 + i * 100 until w * 1000 + i * 100 + 100, s"p$w")))
+    }
+    race((0 until 4).map { w => () =>
+      t.optimizeCompact(where = Some(col("p") === s"p$w")): Unit
+    })
+    t.read().count() shouldBe 1200
+    t.history(None).filter(col("operation") === "OPTIMIZE").count() shouldBe 4
+    // each partition compacted down to one file
+    t.showPartitions().collect().foreach(r =>
+      r.getAs[Long]("numFiles") shouldBe 1L)
+  }
+
   test("a CAS that lands but reports failure applies the commit exactly once") {
     // One-shot liar: the underlying store's CAS succeeds, the caller is
     // told it lost — the S3 conditional-PUT ambiguity. The commit's

@@ -220,6 +220,31 @@ class MaintainSpec extends SparkSpec {
     t.read().count() shouldBe n
   }
 
+  test("z-order on a STRING column buckets by first differing byte, enabling skipping") {
+    val t = LakeTable.create(spark, tmpDir("zstr").resolve("t").toString,
+      StructType(Seq(StructField("k", StringType), StructField("v", LongType))))
+    // shared prefix "user-" + spread letter: hash buckets would spray these,
+    // prefix buckets keep lexicographic neighbors together
+    val n = 4000
+    (0 until 4).foreach { i =>
+      t.append(Seq.tabulate(n / 4) { j =>
+        val g = (j * 4 + i) % 26
+        (f"user-${('a' + g).toChar}%c-${j}%05d", (j * 4 + i).toLong)
+      }.toDF("k", "v").coalesce(1))
+    }
+    val before = t.snapshot()
+    Pruner.prune(before.files, Seq(col("k") < "user-c"), before.schema)
+      .size shouldBe 4 // every interleaved file spans the whole range
+    t.optimizeZOrder(Seq("k"), targetFileSize = 8 * 1024)
+    val after = t.snapshot()
+    after.numFiles should be > 4
+    val prunedAfter = Pruner.prune(after.files, Seq(col("k") < "user-c"), after.schema)
+    prunedAfter.size.toDouble should be < after.numFiles * 0.5
+    t.read().count() shouldBe n
+    t.read().agg(sum("v")).head() shouldBe
+      t.versionAsOf(before.version).agg(sum("v")).head()
+  }
+
   test("partitioned optimize keeps partition structure") {
     val t = LakeTable.create(spark, tmpDir("optp").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("day", StringType))),
