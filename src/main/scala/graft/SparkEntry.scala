@@ -86,6 +86,7 @@ object SparkEntry {
     "q85_image_dedup" -> (DataOps.imageDedup _),
     "q86_image_neardup" -> (DataOps.imageNearDup _),
     "q87_audio_fingerprint" -> (DataOps.audioDedup _),
+    "q88_oov_report" -> (DataOps.oovReport _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

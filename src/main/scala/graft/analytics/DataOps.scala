@@ -272,6 +272,16 @@ object DataOps {
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), minCount = 2, topK = 30)
       .orderBy("rank")
 
+  /** OOV-rate gate (q88): coverage of the top-20/minCount-2 vocabulary per
+    * source — replayed by the oracle's unnest + NOT IN over the same
+    * ranked vocab CTE. */
+  def oovReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.oovReport(docs,
+      TextAnalysis.vocabulary(docs, minCount = 2, topK = 20))
+      .orderBy("source")
+  }
+
   /** Margin-mining gate (q84): queries 70..79 (disjoint from every other
     * ANN gate's range) mined against other-label vectors with the
     * ratio-margin criterion, k=4, best pair per query. */
@@ -943,6 +953,20 @@ object DataOps {
          SELECT media_id, ahash,
            COUNT(*) OVER (PARTITION BY ahash) AS dup_group
          FROM h ORDER BY media_id""",
+    "q88_oov_report" ->
+      """WITH t AS (SELECT source, unnest(CASE WHEN length(trim(text)) = 0
+             THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END) AS term
+           FROM documents),
+         c AS (SELECT term, count(*) AS n FROM t GROUP BY term HAVING count(*) >= 2),
+         r AS (SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank FROM c),
+         v AS (SELECT term FROM r WHERE rank <= 20)
+         SELECT source,
+           COUNT(*) AS total_tokens,
+           CAST(SUM(CASE WHEN t.term NOT IN (SELECT term FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           ROUND(CAST(SUM(CASE WHEN t.term NOT IN (SELECT term FROM v) THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS oov_rate
+         FROM t GROUP BY source ORDER BY source""",
     "q84_margin_mining" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -80,6 +80,32 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** Out-of-vocabulary report against a vocabulary table (the companion
+    * health metric to [[vocabulary]]: how much of each source a tokenizer
+    * trained on that vocab would cover). Per group: total tokens, OOV
+    * tokens, and the rounded OOV rate.
+    *
+    * Scale shape: explode → LEFT ANTI-style membership via a broadcast of
+    * the vocabulary (bounded by construction — it came out of a minCount/
+    * topK cap) → one partial-agged shuffle on the group column. The corpus
+    * never shuffles on the token. */
+  def oovReport(
+      docs: DataFrame,
+      vocab: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      termCol: String = "term"): DataFrame = {
+    val toks = docs.select(col(groupCol), explode(tokens(col(textCol))).as("__tok"))
+    val v = vocab.select(col(termCol).as("__tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") /
+          greatest(col("total_tokens"), lit(1L)), 6))
+  }
+
   /** Predicted language: argmax of stopword hits (first language wins ties,
     * in declaration order); no hits at all → "und". */
   def langId(text: Column): Column = {

@@ -164,6 +164,18 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("apple", "banana")
   }
 
+  test("oovReport: per-source token coverage against a vocabulary") {
+    val docs = Seq(
+      (1L, "a b c a", "s1"),
+      (2L, "a x", "s1"),
+      (3L, "", "s2"),
+      (4L, "y y b", "s2")).toDF("doc_id", "text", "source")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = graft.text.TextAnalysis.oovReport(docs, vocab).orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    out shouldBe Seq(("s1", 6L, 2L, 0.333333), ("s2", 3L, 2L, 0.666667))
+  }
+
   test("marginMining suppresses hub vectors that plain cosine would pick") {
     // corpus label 1: a "hub" equally close to EVERY query (cos = 1/sqrt(3)
     // ~ 0.577 to each) and a "partner" whose only affinity is query 0 at
