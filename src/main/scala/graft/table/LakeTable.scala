@@ -1282,7 +1282,12 @@ class LakeTable private[table] (
   def setProperties(props: Map[String, String]): Long = {
     val normalized = LakeTable.normalizeProps(props)
     commitWithRetry("SET TBLPROPERTIES", normalized, snapshot()) { s =>
-      Seq(s.metadata.copy(properties = s.metadata.properties ++ normalized))
+      val meta = s.metadata.copy(properties = s.metadata.properties ++ normalized)
+      // a property that turns a feature on stamps the matching table
+      // feature in the same commit (Delta's behavior)
+      val proto = graft.log.Protocol.merge(s.protocol,
+        LakeTable.impliedFeatures(meta.properties))
+      if (proto == s.protocol) Seq(meta) else Seq(proto, meta)
     }
   }
 
@@ -1328,7 +1333,10 @@ class LakeTable private[table] (
 
   private def setPropsAs(op: String, props: Map[String, String]): Long =
     commitWithRetry(op, props, snapshot()) { s =>
-      Seq(s.metadata.copy(properties = s.metadata.properties ++ props))
+      val meta = s.metadata.copy(properties = s.metadata.properties ++ props)
+      val proto = graft.log.Protocol.merge(s.protocol,
+        LakeTable.impliedFeatures(meta.properties))
+      if (proto == s.protocol) Seq(meta) else Seq(proto, meta)
     }
 
   /** ALTER TABLE ADD COLUMN <name> <type> GENERATED ALWAYS AS (<expr>) —
@@ -1610,6 +1618,31 @@ object LakeTable {
   private[table] def currentUser: String =
     sys.props.getOrElse("user.name", "unknown")
 
+  /** Protocol demanded by feature-requiring properties (Delta stamps its
+    * protocol the same way when delta.enableDeletionVectors etc. are set):
+    * a table that turns a feature on declares it, so engines that lack the
+    * capability refuse BY NAME instead of silently mis-reading masked rows
+    * or ignoring constraints. Deletion vectors gate READERS too (a mask-
+    * blind reader would resurrect deleted rows); the rest are writer-side
+    * disciplines. Expects normalized (graft.-prefixed) property keys. */
+  private[table] def impliedFeatures(props: Map[String, String]): graft.log.Protocol = {
+    val dv = props.get("graft.enableDeletionVectors").contains("true")
+    val writer = Seq(
+      if (dv) Some("deletionVectors") else None,
+      if (props.get("graft.enableChangeDataFeed").contains("true"))
+        Some("changeDataFeed") else None,
+      if (props.keys.exists(_.startsWith("graft.constraints.")))
+        Some("checkConstraints") else None,
+      if (props.keys.exists(_.startsWith("graft.generated.")))
+        Some("generatedColumns") else None,
+      if (props.keys.exists(_.startsWith("graft.identity.")))
+        Some("identityColumns") else None).flatten
+    graft.log.Protocol(
+      graft.log.Protocol.SupportedReader, graft.log.Protocol.SupportedWriter,
+      readerFeatures = if (dv) Seq("deletionVectors") else null,
+      writerFeatures = if (writer.isEmpty) null else writer)
+  }
+
   /** Parse Delta's retention-interval property value ("interval 7 days",
     * "interval 12 hours", "interval 30 minutes") to hours. None on any
     * other shape — an unparsable retention must fall back to the safe
@@ -1678,7 +1711,10 @@ object LakeTable {
       Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L,
       LakeTable.currentUser, false)
     val tlog = new TxLog(p)
-    if (!tlog.tryCommit(0L, Seq(ci, graft.log.Protocol.Current, meta)) && !ifNotExists)
+    // feature-requiring CREATE properties stamp matching table features in v0
+    val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
+      impliedFeatures(meta.properties))
+    if (!tlog.tryCommit(0L, Seq(ci, proto, meta)) && !ifNotExists)
       throw new IllegalStateException(s"concurrent create on $dir")
     new LakeTable(spark, p)
   }

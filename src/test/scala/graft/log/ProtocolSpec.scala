@@ -141,6 +141,23 @@ class ProtocolSpec extends SparkSpec {
     er.getMessage should include("futureReaderTrick")
   }
 
+  test("feature-requiring properties auto-stamp matching table features") {
+    // CREATE with DV on: readers AND writers must declare deletionVectors
+    val t = LakeTable.create(spark, tmpDir("auto-feat").resolve("t").toString, schema,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.snapshot().protocol.readerSet shouldBe Set("deletionVectors")
+    t.snapshot().protocol.writerSet shouldBe Set("deletionVectors")
+    // SET TBLPROPERTIES turning CDF on adds the writer feature in-commit
+    val t2 = LakeTable.create(spark, tmpDir("auto-feat2").resolve("t").toString, schema)
+    t2.snapshot().protocol shouldBe Protocol.Current
+    t2.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    t2.snapshot().protocol.writerSet shouldBe Set("changeDataFeed")
+    t2.snapshot().protocol.readerSet shouldBe Set.empty
+    // constraints imply checkConstraints; features only accumulate
+    t2.addConstraint("pos", "id >= 0")
+    t2.snapshot().protocol.writerSet shouldBe Set("changeDataFeed", "checkConstraints")
+  }
+
   test("features survive checkpoints, accumulate on upgrade, and union on CLONE") {
     val t = LakeTable.create(spark, tmpDir("feat-ck").resolve("t").toString, schema,
       properties = Map("graft.checkpointInterval" -> "3"))
