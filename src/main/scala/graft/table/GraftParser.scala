@@ -57,6 +57,9 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   private val versionOut = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("version",
       org.apache.spark.sql.types.LongType)))
+  private val optimizeOut = org.apache.spark.sql.types.StructType(Seq(
+    "version", "numFilesAdded", "numFilesRemoved", "numOutputRows").map(n =>
+    org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
   private val restoredOut = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("restored_version",
       org.apache.spark.sql.types.LongType)))
@@ -75,7 +78,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
     case showPartitionsCmd(t) if graftTable(t).isDefined =>
       graftTable(t).get.showPartitions().queryExecution.logical
-    case optimizeCmd(_, _, _, _, _) => command(sqlText, versionOut)
+    case optimizeCmd(_, _, _, _, _) => command(sqlText, optimizeOut)
     case reorgCmd(_, _) => command(sqlText, versionOut)
     case vacuumCmd(_, _, _) => command(sqlText, pathOut)
     case restoreCmd(_) => command(sqlText, restoredOut)

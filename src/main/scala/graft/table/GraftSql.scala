@@ -400,7 +400,16 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
         case (_, Some(cols)) => tbl.optimizeHilbert(colsOf(cols), where = pred, full = full)
         case _ => tbl.optimizeCompact(where = pred)
       }
-      oneRow("version" -> v)
+      // Delta's OPTIMIZE returns operation metrics, not just a version. A
+      // no-op pass (everything already clustered/compacted) commits nothing
+      // — its metrics read as zeros, which IS the honest answer.
+      val m = tbl.log.readVersion(v)
+        .collectFirst { case c: graft.log.CommitInfo if c.operation == "OPTIMIZE" => c }
+        .map(_.operationMetrics).getOrElse(Map.empty[String, Long])
+      oneRow("version" -> v,
+        "numFilesAdded" -> m.getOrElse("numAddedFiles", 0L),
+        "numFilesRemoved" -> m.getOrElse("numRemovedFiles", 0L),
+        "numOutputRows" -> m.getOrElse("numOutputRows", 0L))
     case reorgCmd(t, where) =>
       oneRow("version" ->
         table(t).reorgPurge(where = Option(where).map(w => expr(w))))

@@ -179,7 +179,10 @@ class GraftCatalogSpec extends SparkSpec {
     val before = path.snapshot().numFiles
 
     val ov = spark.sql("OPTIMIZE gcat.maint.t ZORDER BY (k)").collect().head
-    ov.schema.fieldNames shouldBe Array("version")
+    ov.schema.fieldNames shouldBe
+      Array("version", "numFilesAdded", "numFilesRemoved", "numOutputRows")
+    ov.getAs[Long]("numFilesRemoved") should be >= 1L
+    ov.getAs[Long]("numOutputRows") shouldBe 400L
     path.snapshot().numFiles should be <= before
     path.read().count() shouldBe 400
 
