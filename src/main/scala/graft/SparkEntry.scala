@@ -87,6 +87,7 @@ object SparkEntry {
     "q86_image_neardup" -> (DataOps.imageNearDup _),
     "q87_audio_fingerprint" -> (DataOps.audioDedup _),
     "q88_oov_report" -> (DataOps.oovReport _),
+    "q89_dup_stats" -> (DataOps.dupStats _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

@@ -340,6 +340,11 @@ object DataOps {
       .orderBy("media_id")
   }
 
+  /** Dup-statistics gate (q89): the per-source duplication report —
+    * md5-digest distinct counts replayed verbatim by the oracle. */
+  def dupStats(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupStats(Tables.documents(spark, sfDir)).orderBy("source")
+
   /** Normalized exact dedup gate (q81): duplicates that differ only in
     * case/punctuation/whitespace collapse to one survivor (lowest id,
     * original text kept) — the C4-style normalize-then-hash recipe step,
@@ -967,6 +972,16 @@ object DataOps {
            ROUND(CAST(SUM(CASE WHEN t.term NOT IN (SELECT term FROM v) THEN 1 ELSE 0 END) AS DOUBLE)
              / GREATEST(COUNT(*), 1), 6) AS oov_rate
          FROM t GROUP BY source ORDER BY source""",
+    "q89_dup_stats" ->
+      """SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_texts,
+           COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS distinct_normalized,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS dup_rate
+         FROM documents GROUP BY source ORDER BY source""",
     "q84_margin_mining" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

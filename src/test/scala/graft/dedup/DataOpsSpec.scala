@@ -402,6 +402,21 @@ class DataOpsSpec extends SparkSpec {
     frames.collect().foreach(_.frame.length should be > 0)
   }
 
+  test("dupStats: per-source raw/normalized distinct counts and dup rate") {
+    // s1: docs 1,2 identical raw; doc 3 differs raw AND normalized
+    // s2: docs 4,5,6 all distinct raw; "el perro..." vs "El Perro..." would
+    //     collapse normalized — build that case explicitly
+    val d = Seq(
+      (1L, "same text", "s1"), (2L, "same text", "s1"), (3L, "other", "s1"),
+      (4L, "El Perro!", "s2"), (5L, "el perro", "s2"), (6L, "gato", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupStats(d).orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    out shouldBe Seq(
+      ("s1", 3L, 2L, 2L, 0.333333), // 1 - 2/3
+      ("s2", 3L, 3L, 2L, 0.333333)) // normalization collapses 4 and 5
+  }
+
   test("aHash: re-encode stable, resize-robust, content-sensitive, arithmetic-exact") {
     import graft.multimodal.Multimodal.Codecs
     def img(px: (Int, Int) => Int, w: Int = 32, h: Int = 32) = {
