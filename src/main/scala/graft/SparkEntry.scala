@@ -88,6 +88,7 @@ object SparkEntry {
     "q87_audio_fingerprint" -> (DataOps.audioDedup _),
     "q88_oov_report" -> (DataOps.oovReport _),
     "q89_dup_stats" -> (DataOps.dupStats _),
+    "q90_curriculum_shards" -> (DataOps.curriculumShards _),
     "q46_pack_sequences" -> (DataOps.packSequences _),
     "q47_sessionize" -> (DataOps.sessionize _),
     "q48_ann_ivf_index" -> (DataOps.annIvfIndex _),

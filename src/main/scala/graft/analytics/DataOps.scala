@@ -340,6 +340,17 @@ object DataOps {
       .orderBy("media_id")
   }
 
+  /** Curriculum-sharding gate (q90): stable hash shards + in-shard
+    * best-first ordering by the quality score — shard assignment and score
+    * both replayed arithmetically by the oracle. */
+  def curriculumShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.sampling.Sampling.curriculumShards(docs, numShards = 4,
+      scoreCol = TextAnalysis.qualityScore(col("text")))
+      .select(col("doc_id"), col("shard"), col("score"), col("curriculum_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Dup-statistics gate (q89): the per-source duplication report —
     * md5-digest distinct counts replayed verbatim by the oracle. */
   def dupStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -850,6 +861,27 @@ object DataOps {
              WHEN 0 THEN 4000 WHEN 1 THEN 2500 ELSE 1200 END AS budget FROM w)
          SELECT doc_id, source, token_count, cum_tokens FROM b
          WHERE cum_tokens - token_count < budget""",
+    "q90_curriculum_shards" -> {
+      val en = hitsSql(TextAnalysis.stopwords.head._2)
+      s"""WITH q AS (SELECT doc_id,
+            ROUND(LEAST(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+              + (CAST($en AS DOUBLE) / greatest(len(list_distinct($toks)), 1)) * 0.3
+              + (1.0 - CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.3, 6) AS score
+          FROM documents),
+         h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':graft-shard') AS hh
+           FROM documents),
+         v AS (SELECT doc_id,
+             CAST(((instr('0123456789abcdef', substr(hh,1,1)) - 1) * 4096 +
+              (instr('0123456789abcdef', substr(hh,2,1)) - 1) * 256 +
+              (instr('0123456789abcdef', substr(hh,3,1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(hh,4,1)) - 1)) % 4 AS INT) AS shard
+           FROM h)
+         SELECT q.doc_id, v.shard, q.score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY v.shard
+             ORDER BY q.score DESC, q.doc_id) - 1 AS BIGINT) AS curriculum_pos
+         FROM q JOIN v ON q.doc_id = v.doc_id ORDER BY q.doc_id"""
+    },
     "q69_shard_corpus" ->
       """WITH h AS (SELECT doc_id,
              md5(CAST(doc_id AS VARCHAR) || ':graft-shard') AS hh FROM documents),

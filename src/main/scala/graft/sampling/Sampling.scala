@@ -241,4 +241,28 @@ object Sampling {
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
       .drop("__h")
   }
+
+  /** Curriculum sharding (training-order prep): [[shardCorpus]]'s stable
+    * key-hash shard assignment plus an in-shard `curriculum_pos` ordered
+    * by DESCENDING score (ties by key) — each shard is consumed
+    * best-first, the easy→hard (or clean→noisy) ordering curriculum
+    * training wants, WITHOUT a global sort anywhere: assignment is
+    * score-blind, so every shard sees the same score distribution in
+    * expectation, and the ordering is a per-shard window on the shuffle
+    * the assignment already paid for. */
+  def curriculumShards(
+      df: DataFrame,
+      numShards: Int,
+      scoreCol: Column,
+      keyCol: String = "doc_id",
+      salt: String = "graft-shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = shardCorpus(df, numShards, keyCol, salt)
+      .withColumn("__score", scoreCol)
+    val w = Window.partitionBy("shard").orderBy(col("__score").desc, col(keyCol))
+    sharded
+      .withColumn("curriculum_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("shard_pos")
+      .withColumnRenamed("__score", "score")
+  }
 }

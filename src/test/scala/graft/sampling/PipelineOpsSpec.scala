@@ -164,6 +164,30 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("apple", "banana")
   }
 
+  test("curriculumShards: score-blind assignment, best-first in-shard order") {
+    val docs = Seq.tabulate(60)(i => (i.toLong, (i % 10).toDouble))
+      .toDF("doc_id", "q")
+    val out = graft.sampling.Sampling.curriculumShards(
+      docs, numShards = 3, scoreCol = col("q"))
+    out.count() shouldBe 60
+    // positions are a gapless 0..n-1 sequence per shard
+    out.groupBy("shard").agg(count(lit(1)).as("n"), max("curriculum_pos").as("mx"))
+      .collect().foreach(r =>
+        r.getAs[Long]("mx") shouldBe r.getAs[Long]("n") - 1)
+    // within a shard, score never increases as position advances
+    val rows = out.select("shard", "curriculum_pos", "score")
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).values
+    rows.foreach { shard =>
+      val ordered = shard.sortBy(_._2).map(_._3)
+      ordered.zip(ordered.tail).foreach { case (a, b) => a should be >= b }
+    }
+    // assignment ignores the score: same shards as shardCorpus
+    val plain = graft.sampling.Sampling.shardCorpus(docs, 3)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    out.select("doc_id", "shard").as[(Long, Int)].collect().toMap shouldBe plain
+  }
+
   test("oovReport: per-source token coverage against a vocabulary") {
     val docs = Seq(
       (1L, "a b c a", "s1"),

@@ -44,7 +44,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     for (step <- 0 until 18) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // append
           val rows = mk(rnd.nextInt(40) + 1)
           table.append(rows.toDF("id", "v"))
@@ -70,6 +70,16 @@ class LifecycleFuzzSpec extends SparkSpec {
           model = history(target)
         case 7 => // reopen: full log/checkpoint replay, fresh caches
           table = LakeTable.forPath(spark, dir)
+        case 8 => // full overwrite: tombstones everything live
+          val rows = mk(rnd.nextInt(25) + 1)
+          table.overwrite(rows.toDF("id", "v"))
+          model = rows.toMap
+        case 9 => // idempotent append: the replayed twin must be a no-op
+          val rows = mk(rnd.nextInt(20) + 1)
+          val ver = step.toLong
+          table.appendStream(rows.toDF("id", "v"), "fuzz-app", ver)
+          table.appendStream(rows.toDF("id", "v"), "fuzz-app", ver) // replay
+          model ++= rows
       }
       record()
       check(s"step $step")
