@@ -39,15 +39,25 @@ class LifecycleFuzzSpec extends SparkSpec {
 
     def record(): Unit = history(table.version) = model
     def check(clue: String): Unit = {
-      val got = table.read().as[(Long, Long)].collect().toMap
+      // core-column integrity; evolved extras are checked in the evolution op
+      val got = table.read().select("id", "v").as[(Long, Long)].collect().toMap
       withClue(s"seed=$seed dv=$dv $clue: ") { got shouldBe model }
+    }
+    // writes always carry the CURRENT schema (evolved extras as NULLs) —
+    // the production writer shape after an ALTER TABLE
+    def df(rows: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame = {
+      var d = rows.toDF("id", "v")
+      table.schema.fieldNames.filterNot(Set("id", "v")).foreach { c =>
+        d = d.withColumn(c, lit(null).cast("string"))
+      }
+      d
     }
 
     for (step <- 0 until 18) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 => // append
           val rows = mk(rnd.nextInt(40) + 1)
-          table.append(rows.toDF("id", "v"))
+          table.append(df(rows))
           model ++= rows
         case 2 => // predicate update
           val (k, r, d) = (rnd.nextInt(5) + 2, rnd.nextInt(3), rnd.nextInt(50) + 1)
@@ -72,14 +82,22 @@ class LifecycleFuzzSpec extends SparkSpec {
           table = LakeTable.forPath(spark, dir)
         case 8 => // full overwrite: tombstones everything live
           val rows = mk(rnd.nextInt(25) + 1)
-          table.overwrite(rows.toDF("id", "v"))
+          table.overwrite(df(rows))
           model = rows.toMap
         case 9 => // idempotent append: the replayed twin must be a no-op
           val rows = mk(rnd.nextInt(20) + 1)
           val ver = step.toLong
-          table.appendStream(rows.toDF("id", "v"), "fuzz-app", ver)
-          table.appendStream(rows.toDF("id", "v"), "fuzz-app", ver) // replay
+          table.appendStream(df(rows), "fuzz-app", ver)
+          table.appendStream(df(rows), "fuzz-app", ver) // replay
           model ++= rows
+        case 10 => // schema evolution: metadata-only ADD COLUMNS; old rows
+          // must read the new column as NULL (and RESTORE may later revert
+          // the schema wholesale — the core columns must survive both)
+          val cName = s"c$step" // step-unique: re-adding after a restore is new
+          table.addColumns(Seq(
+            org.apache.spark.sql.types.StructField(cName,
+              org.apache.spark.sql.types.StringType)))
+          table.read().filter(col(cName).isNotNull).count() shouldBe 0
       }
       record()
       check(s"step $step")
