@@ -26,10 +26,12 @@ trait CdfSupport { self: LakeTable =>
   private val dataChangeOps = Set("WRITE", "RESTORE", "CREATE TABLE", "CLONE", "STREAMING UPDATE")
   /** Ops that rearrange bytes or metadata without changing rows. Schema
     * evolution (ADD/RENAME/DROP COLUMN) is here too: a CDF range crossing
-    * one presents every change under the range-end schema, with old files
-    * resolving their columns by column-mapping field id, so the boundary
-    * needs no sidecar (REPLACE TABLE, which may swap the schema wholesale
-    * with fresh ids, still errors below). */
+    * one presents every change under the range-end schema — old files
+    * resolve their columns by column-mapping field id, and sidecars written
+    * before the change are remapped onto the range-end schema by the same
+    * ids ([[remapSidecar]]) — so the boundary needs no sidecar (REPLACE
+    * TABLE, which may swap the schema wholesale with fresh ids, still
+    * errors below). */
   private val dataNeutralOps = Set("OPTIMIZE", "VACUUM", "SET TBLPROPERTIES",
     "UNSET TBLPROPERTIES", "ADD COLUMNS", "RENAME COLUMN", "DROP COLUMN",
     "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
@@ -94,6 +96,47 @@ trait CdfSupport { self: LakeTable =>
       StructField("_commit_version", LongType),
       StructField("_commit_timestamp", TimestampType)))
 
+  /** Project a sidecar frame (read under its write-time schema) onto the
+    * range-end schema. Mapped tables match columns by field id: renamed
+    * columns project, columns added after the sidecar read NULL, columns
+    * dropped after it disappear. Unmapped tables cannot have renames or
+    * drops (both require column mapping), so only later ADD COLUMNS can
+    * differ — NULL-filled by name; anything else refuses loudly rather
+    * than resolve wrongly. */
+  private def remapSidecar(side: DataFrame, writeSchema: StructType,
+      endSchema: StructType, v: Long): DataFrame = {
+    // ids INCLUDED in the fast-path equality: a DROP+re-ADD of the same name
+    // strips to an identical schema but is a different column (new id)
+    if (writeSchema == endSchema) return side
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"CDF sidecar at version $v cannot be presented under the range-end schema ($why) — " +
+        s"read changes starting from version ${v + 1} (or end before $v)")
+    val cols: Seq[org.apache.spark.sql.Column] =
+      if (ColumnIds.mapped(writeSchema) && ColumnIds.mapped(endSchema)) {
+        val byId = writeSchema.fields.flatMap(f => ColumnIds.idOf(f).map(_ -> f)).toMap
+        endSchema.fields.toIndexedSeq.map { f =>
+          byId.get(ColumnIds.idOf(f).get) match {
+            case Some(old) if old.dataType == f.dataType => col(old.name).as(f.name, f.metadata)
+            case Some(old) => refuse(s"column ${f.name} changed type ${old.dataType} -> ${f.dataType}")
+            case None => lit(null).cast(f.dataType).as(f.name, f.metadata)
+          }
+        }
+      } else {
+        val writeByName = writeSchema.fields.map(f => f.name -> f).toMap
+        if (!writeSchema.fields.forall(f => endSchema.fieldNames.contains(f.name)))
+          refuse("a column present at the sidecar's version is absent at the range end " +
+            "and the table has no column-mapping ids to resolve it by")
+        endSchema.fields.toIndexedSeq.map { f =>
+          writeByName.get(f.name) match {
+            case Some(old) if old.dataType == f.dataType => col(f.name)
+            case Some(old) => refuse(s"column ${f.name} changed type ${old.dataType} -> ${f.dataType}")
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+      }
+    side.select((cols :+ col("_change_type")): _*)
+  }
+
   private def versionChanges(v: Long, schema: StructType): Option[DataFrame] = {
     val actions = log.readVersion(v)
     val ci = actions.collectFirst { case c: CommitInfo => c }
@@ -107,11 +150,17 @@ trait CdfSupport { self: LakeTable =>
     val sidecars = actions.collect { case c: CdfFile => c }
     if (sidecars.nonEmpty) {
       val paths = sidecars.map(c => dir.resolve(c.path).toString)
+      // sidecars are name-addressed under the schema of THEIR OWN commit —
+      // read them under that schema, then remap onto the range-end schema by
+      // column-mapping field id, so a RENAME between the sidecar's version
+      // and the range end becomes a projection instead of a silent NULL
+      // (and a DROP+re-ADD of the same name correctly reads NULL: new id)
+      val writeSchema = snapshot(Some(v)).schema
       val side = spark.read
-        .schema(StructType(ColumnIds.strip(schema).fields :+
+        .schema(StructType(ColumnIds.strip(writeSchema).fields :+
           StructField("_change_type", StringType)))
         .parquet(paths: _*)
-      return Some(meta(side))
+      return Some(meta(remapSidecar(side, writeSchema, schema, v)))
     }
     if (op == "REPLACE TABLE")
       // the schema may have been swapped wholesale; pre-replace rows are not

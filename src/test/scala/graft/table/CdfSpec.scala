@@ -106,6 +106,36 @@ class CdfSpec extends SparkSpec {
     pre.select("v").as[String].collect().sorted shouldBe Array("a", "b", "c")
   }
 
+  test("CDF sidecar written BEFORE a rename remaps to the range-end name by field id") {
+    // the sidecar is a name-addressed parquet under the schema of ITS OWN
+    // commit; a later metadata-only RENAME must not turn its column into
+    // NULL when the range ends after the rename
+    val t = cdfTable("cdf-side-rename")
+    t.update(col("k") === 2, Map("v" -> lit("B"))) // v2: sidecar written as "v"
+    t.renameColumn("v", "w") // v3, metadata-only
+    val ch = t.changes(0)
+    ch.schema.fieldNames should contain("w")
+    ch.filter(col("_change_type") === "update_preimage")
+      .select("w").as[String].head() shouldBe "b"
+    ch.filter(col("_change_type") === "update_postimage")
+      .select("w").as[String].head() shouldBe "B"
+    // no NULLs leaked into the remapped sidecar rows
+    ch.filter(col("_commit_version") === 2 && col("w").isNull).count() shouldBe 0
+  }
+
+  test("CDF sidecar before a DROP+re-ADD of the same name reads NULL (new field id)") {
+    val t = cdfTable("cdf-side-dropadd")
+    t.update(col("k") === 2, Map("v" -> lit("B"))) // v2: sidecar carries old "v"
+    t.dropColumn("v") // v3
+    t.addColumns(StructType(Seq(StructField("v", StringType)))) // v4: NEW id
+    val ch = t.changes(0)
+    // the re-added "v" is a different column: pre-drop sidecar rows read NULL
+    ch.filter(col("_commit_version") === 2).count() shouldBe 2
+    ch.filter(col("_commit_version") === 2 && col("v").isNotNull).count() shouldBe 0
+    // keys still resolve (id unchanged)
+    ch.filter(col("_change_type") === "update_preimage").select("k").as[Long].head() shouldBe 2L
+  }
+
   test("replaying CDF from v0 reconstructs the snapshot") {
     val t = cdfTable("cdf-replay")
     t.update(col("k") === 1, Map("v" -> lit("A")))
