@@ -265,7 +265,8 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Audio energy fingerprint: split the PCM sample stream into
-      * `windows` equal windows; bit w (MSB-first) is set when window w's
+      * `windows` equal windows (the last absorbs the `n % windows`
+      * remainder, so every sample counts); bit w (MSB-first) is set when window w's
       * MEAN energy is at or above the stream's mean energy. The comparison
       * is integer cross-multiplication (sumSq_w · totalCount ≥
       * totalSumSq · count_w) — no float accumulation anywhere, so the
@@ -290,7 +291,10 @@ object Multimodal {
             val cnt = new Array[Long](windows)
             var w = 0
             while (w < windows) {
-              val s0 = w * win; val s1 = math.min(n, s0 + win)
+              // the LAST window extends to the stream end so the n % windows
+              // trailing samples are counted (totalCnt == n for any length)
+              val s0 = w * win
+              val s1 = if (w == windows - 1) n else math.min(n, s0 + win)
               var i = s0
               while (i < s1) {
                 val lo = raw(i * 2) & 0xff

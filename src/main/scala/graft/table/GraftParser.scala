@@ -40,8 +40,13 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   // so it is intercepted ONLY when the target resolves to a graft table —
   // hive/parquet tables keep Spark's own implementation
   private val showPartitionsCmd = """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
+  /** Resolve `t` as a graft table, or None when it is NOT one (the
+    * `IllegalArgumentException` a non-graft path/name resolves to). Any
+    * other failure — a transient log-IO error on a real graft table —
+    * propagates instead of silently rerouting the statement to Spark. */
   private def graftTable(t: String): Option[LakeTable] =
-    scala.util.Try(GraftSql.resolveSpec(spark, unquote(t))).toOption
+    try Some(GraftSql.resolveSpec(spark, unquote(t)))
+    catch { case _: IllegalArgumentException => None }
 
   private def unquote(id: String): String = {
     val t = id.trim
@@ -76,8 +81,13 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
         .history(Option(limit).map(_.toInt)).queryExecution.logical
     case describeDetail(t) =>
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
-    case showPartitionsCmd(t) if graftTable(t).isDefined =>
-      graftTable(t).get.showPartitions().queryExecution.logical
+    case showPartitionsCmd(t) =>
+      // resolve ONCE (resolution replays the transaction log); non-graft
+      // targets keep Spark's own SHOW PARTITIONS
+      graftTable(t) match {
+        case Some(lake) => lake.showPartitions().queryExecution.logical
+        case None => delegate.parsePlan(sqlText)
+      }
     case optimizeCmd(_, _, _, _, _) => command(sqlText, optimizeOut)
     case reorgCmd(_, _) => command(sqlText, versionOut)
     case vacuumCmd(_, _, _) => command(sqlText, pathOut)

@@ -139,11 +139,27 @@ trait MaintenanceSupport { self: LakeTable =>
       "GENERATE symlink_format_manifest is not supported with live deletion " +
         "vectors (external readers cannot apply row masks) — run REORG APPLY (PURGE) first")
     val root = dir.resolve("_symlink_format_manifest")
-    // Build the full manifest tree in a staging directory, then swap it in
-    // with renames. Deleting the live tree before rewriting would give an
-    // external engine reading mid-regeneration a missing or half-populated
-    // manifest — an inconsistent table instead of the previous snapshot.
-    val staging = dir.resolve(s"_symlink_format_manifest.staging-${java.util.UUID.randomUUID()}")
+    // Build the full manifest tree in a generation directory, then publish
+    // it by ATOMIC SYMLINK SWAP: `_symlink_format_manifest` is a symlink to
+    // the live generation, replaced with a single rename. External readers
+    // therefore always see a complete manifest — the previous generation
+    // until the swap instant, the new one after; a crash at ANY point leaves
+    // at most a STALE manifest, never a missing or half-populated one.
+    // (Tables whose manifest predates the symlink layout take one legacy
+    // two-step retire below, once.)
+    // Start-of-run sweep: generations/staging/retired dirs orphaned by a
+    // crashed prior run are deterministically reclaimable here because the
+    // live generation is exactly the one the current link names. Generation
+    // is a single-maintenance-runner op (like OPTIMIZE) — the manifest is
+    // derived data, so a racing sweep can at worst force a regenerate.
+    val liveGen: Option[String] =
+      if (java.nio.file.Files.isSymbolicLink(root))
+        Some(java.nio.file.Files.readSymbolicLink(root).getFileName.toString)
+      else None
+    listDirNames(dir)
+      .filter(n => n.startsWith("_symlink_format_manifest.") && !liveGen.contains(n))
+      .foreach(n => graft.log.TxLog.deleteRecursively(dir.resolve(n)))
+    val staging = dir.resolve(s"_symlink_format_manifest.gen-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(staging) // empty table → empty tree
     // group by LOGICAL partition (write batches land in distinct physical
     // uuid dirs — a hive-layout consumer wants one manifest per partition)
@@ -165,17 +181,38 @@ trait MaintenanceSupport { self: LakeTable =>
       java.nio.file.Files.write(out.resolve("manifest"),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // The swap: retire the old tree by rename (readers holding it keep a
-    // consistent — if stale — snapshot), promote the staged tree, then
-    // reclaim. The unreadable window shrinks from the whole rewrite to the
-    // instant between the two renames; a same-tick reader sees the
-    // previous manifest, never a partial one.
-    val retired = dir.resolve(s"_symlink_format_manifest.old-${java.util.UUID.randomUUID()}")
-    if (java.nio.file.Files.exists(root))
+    // The swap: stage a symlink beside the root, then rename it over the
+    // root — rename over an existing symlink is atomic, so there is NO
+    // window with a missing manifest. A pre-symlink-layout real directory
+    // at the root cannot be renamed over; retire it first (one legacy
+    // two-step per table — the retired copy is swept by the next run if
+    // this one crashes between the two renames).
+    if (java.nio.file.Files.exists(root,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !java.nio.file.Files.isSymbolicLink(root)) {
+      val retired = dir.resolve(s"_symlink_format_manifest.old-${java.util.UUID.randomUUID()}")
       java.nio.file.Files.move(root, retired)
-    java.nio.file.Files.move(staging, root)
-    graft.log.TxLog.deleteRecursively(retired)
+    }
+    val tmpLink = dir.resolve(s"_symlink_format_manifest.link-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createSymbolicLink(tmpLink, staging.getFileName)
+    java.nio.file.Files.move(tmpLink, root,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // reclaim everything but the generation the root now names
+    listDirNames(dir)
+      .filter(n => n.startsWith("_symlink_format_manifest.") &&
+        n != staging.getFileName.toString)
+      .foreach(n => graft.log.TxLog.deleteRecursively(dir.resolve(n)))
     root
+  }
+
+  private def listDirNames(d: java.nio.file.Path): Seq[String] = {
+    if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally s.close()
   }
 
   /** REORG TABLE … APPLY (PURGE) analogue (Delta's deletion-vector purge):

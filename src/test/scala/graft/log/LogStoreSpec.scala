@@ -162,17 +162,64 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     log.listVersions() shouldBe (0L to 3L)
   }
 
+  test("landed PUT whose recovery READS also fail does not double-commit (commitId sweep)") {
+    // The double-failure case: the conditional PUT lands, the store call
+    // throws, AND the recovery read of that version keeps failing for a few
+    // rounds. A loop that treats the unreadable version as a lost race would
+    // re-resolve and commit the SAME logical actions at the next version.
+    // The retry loop must instead hold off new attempts until the contested
+    // version is readable and recognize its own landed commit by commitId.
+    val dir = java.nio.file.Paths.get("/nonexistent/doublefail-table")
+    val inner = new InMemoryLogStore
+    var armTrap = false
+    var failReads = 0
+    var trapped: Path = null
+    val store = new LogStore {
+      def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def read(p: Path): Seq[String] = {
+        if (p == trapped && failReads > 0) {
+          failReads -= 1; throw new RuntimeException("simulated read blip")
+        }
+        inner.read(p)
+      }
+      def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
+        val ok = inner.writeAtomic(p, b, ow)
+        if (ok && !ow && armTrap) {
+          armTrap = false; trapped = p; failReads = 3
+          throw new RuntimeException("simulated response timeout")
+        }
+        ok
+      }
+    }
+    val log = new TxLog(dir, store)
+    log.commit(v => Seq(meta, ci(v, "CREATE", 0L)))
+    armTrap = true
+    val id = "stable-logical-commit-1"
+    log.commit(v => Seq(ci(v, "APPEND-X", 1L).copy(commitId = id))) shouldBe 1L
+    // exactly once: the landed version was recognized, nothing at v2
+    log.latestVersion() shouldBe Some(1L)
+    log.readVersion(1L).collectFirst { case c: CommitInfo => c.commitId }
+      .get shouldBe id
+  }
+
   test("fault-injection fuzz: contended writers through a randomly lying store stay exactly-once") {
     // Every negative CAS outcome a real object store can produce, thrown at
     // random under contention: land-then-throw, land-then-false,
     // throw-before-landing. The invariant that must survive all of it:
     // every logical commit lands EXACTLY once and versions are gapless.
+    // ... and (new) transiently-failing READS, so even the recovery read of
+    // a landed-but-lied-about version can fail — the commitId sweep must
+    // hold off new attempts rather than double-commit.
     val dir = java.nio.file.Paths.get("/nonexistent/fuzz-table")
     val inner = new InMemoryLogStore
     val rnd = new java.util.Random(20260814L)
     val store = new LogStore {
       def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
-      def read(p: Path): Seq[String] = inner.read(p)
+      def read(p: Path): Seq[String] = {
+        if (rnd.synchronized(rnd.nextInt(10)) == 0)
+          throw new RuntimeException("read blip")
+        inner.read(p)
+      }
       def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
         if (ow) return inner.writeAtomic(p, b, ow)
         val roll = rnd.synchronized(rnd.nextInt(10))
@@ -190,13 +237,14 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
       new Thread(() => {
         start.await()
         try (1 to 10).foreach { i =>
-          new TxLog(dir, store).commit(v => Seq(ci(v, s"W$t-$i", v))): Unit
+          new TxLog(dir, store).commit(v =>
+            Seq(ci(v, s"W$t-$i", v).copy(commitId = s"W$t-$i"))): Unit
         } catch { case _: Throwable => errs.incrementAndGet(): Unit }
       })
     }
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
     errs.get() shouldBe 0
-    val honest = new TxLog(dir, store)
+    val honest = new TxLog(dir, inner)
     honest.listVersions() shouldBe (0L to 60L) // gapless: 1 create + 60 commits
     // every logical commit appears EXACTLY once across the whole log
     val ops = (0L to 60L).flatMap(v => honest.readVersion(v)

@@ -127,6 +127,26 @@ class MaintainSpec extends SparkSpec {
     (manifestUris("p=p0") ++ manifestUris("p=p1"))
       .map(u => java.nio.file.Paths.get(java.net.URI.create(u)).toString)
       .toSet shouldBe t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // the root is a symlink swapped atomically: a crash can leave a stale
+    // manifest, never a missing one; regeneration keeps exactly ONE live
+    // generation and sweeps leftovers from crashed prior runs
+    java.nio.file.Files.isSymbolicLink(root) shouldBe true
+    java.nio.file.Files.createDirectories(
+      t.dir.resolve("_symlink_format_manifest.staging-deadbeef"))
+    java.nio.file.Files.createDirectories(
+      t.dir.resolve("_symlink_format_manifest.old-deadbeef"))
+    t.generateSymlinkManifest(): Unit
+    locally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(t.dir)
+      val leftovers =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_symlink_format_manifest")).toSeq
+        finally s.close()
+      leftovers.toSet.size shouldBe 2 // the root link + its one generation
+      leftovers should not contain "_symlink_format_manifest.staging-deadbeef"
+      leftovers should not contain "_symlink_format_manifest.old-deadbeef"
+    }
     // live deletion vectors refuse (masks are invisible to manifest readers)
     t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     t.delete(col("id") === 60L)
