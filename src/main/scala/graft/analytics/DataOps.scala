@@ -284,7 +284,9 @@ object DataOps {
 
   /** Margin-mining gate (q84): queries 70..79 (disjoint from every other
     * ANN gate's range) mined against other-label vectors with the
-    * ratio-margin criterion, k=4, best pair per query. */
+    * ratio-margin criterion, k=4, best pair per query — through the
+    * default PRUNED tier (sign-bit cells, hamming-1 multi-probe), whose
+    * cell join the oracle replays verbatim. */
   def marginMiningPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.marginMining(emb,
@@ -1017,12 +1019,18 @@ object DataOps {
     "q84_margin_mining" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+         c AS (SELECT vec_id, label, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+           FROM e),
+         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv, cell AS qcell FROM c
            WHERE vec_id >= 70 AND vec_id < 80),
-         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.qv, e.v) /
-               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
-           FROM e, q WHERE e.label <> q.ql),
+         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM c JOIN q ON c.cell IN
+             (xor(q.qcell, 0), xor(q.qcell, 1), xor(q.qcell, 2), xor(q.qcell, 4), xor(q.qcell, 8))
+           WHERE c.label <> q.ql),
          r AS (SELECT *,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rq,
              ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY cosine DESC, query_id) AS rc

@@ -73,16 +73,6 @@ object Similarity {
         .otherwise(v).as("truncated"))
   }
 
-  /** Contrastive-training hard-negative mining: for each query vector, the
-    * top-k most-similar corpus vectors OUTSIDE the query's own label group
-    * (same-label vectors are presumed positives — returning them would
-    * poison the negative set). The exact shape of [[cosineTopK]] with a
-    * label-disjointness predicate fused into the broadcast join: queries
-    * broadcast, the corpus never shuffles, ties break on neighbor id, and
-    * the 6-dp cosine rounding keeps the ranking engine-portable. At 100 TB
-    * swap the brute scan for the IVF path with the same label predicate —
-    * the contract (top-k by cosine among other-label vectors) is
-    * unchanged. */
   /** Bitext-style margin mining (Artetxe & Schwenk's ratio-margin
     * criterion, the LASER/CCMatrix pair-mining rule): a candidate pair
     * (x, y) scores margin = cos(x,y) / (0.5·(avgTopK(x) + avgTopK(y))) —
@@ -93,17 +83,24 @@ object Similarity {
     * other-label candidate with margin >= minMargin (label plays the role
     * of language in bitext mining: pairs are mined ACROSS labels).
     *
-    * avgTopK(x) = mean of x's k best other-label cosines in the corpus;
-    * avgTopK(y) = mean of candidate y's k best cosines among the queries
-    * (the mined direction's denominator — computable without a second
-    * corpus pass). Top-k means accumulate in DECIMAL(10,6) so the window
-    * sum is order-independent and engine-exact; the final divisions run in
-    * double and round to 6 dp.
+    * avgTopK(x) = mean of x's k best other-label cosines among its
+    * CANDIDATES; avgTopK(y) = mean of candidate y's k best cosines among
+    * the queries that probed it (the mined direction's denominator —
+    * computable without a second corpus pass). Top-k means accumulate in
+    * DECIMAL(10,6) so the window sum is order-independent and
+    * engine-exact; the final divisions run in double and round to 6 dp.
     *
-    * Scale shape: queries broadcast, the corpus never shuffles, and both
-    * window passes partition on bounded keys (per-query over k·|corpus
-    * candidates| after rank pruning; per-candidate over |queries|) — the
-    * same 100 TB shape as [[cosineTopK]]/[[hardNegatives]]. */
+    * Scale shape — the LASER/CCMatrix pipeline: candidates come from an
+    * approximate-kNN tier and margins are computed ON THE kNN LISTS ONLY.
+    * With `bits > 0` the corpus is bucketed by the sign-bit coarse
+    * quantizer ([[cell]]) and each query probes its `probeHamming`
+    * neighborhood, so the candidate join is a broadcast EQUI-join on cell
+    * (the corpus never shuffles) and the margin windows exchange only the
+    * probed-cell candidate set — ~probed/2^bits of the corpus per query,
+    * not the full O(n·q) cross-label scan. `bits = 0` recovers the exact
+    * all-candidates baseline (the documented exact tier, like
+    * [[cosineTopK]] next to [[ivfTopK]]) — use it only for bounded
+    * corpora. */
   def marginMining(
       corpus: DataFrame,
       queries: DataFrame,
@@ -111,13 +108,26 @@ object Similarity {
       minMargin: Double = 1.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+      labelCol: String = "label",
+      bits: Int = 4,
+      probeHamming: Int = 1): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q0 = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
-    val scored = c.join(broadcast(q), col("nl") =!= col("ql"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val scored = (if (bits > 0) {
+      // candidate pruning: each corpus vector lives in exactly one sign-bit
+      // cell; each query probes every cell within `probeHamming` of its own
+      // (multi-probe LSH), so no (query, neighbor) pair can appear twice
+      val masks = (0 until (1 << bits))
+        .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      val c = c0.withColumn("cell", cell(col("cv"), bits))
+      val q = q0.withColumn("cell",
+        explode(array(masks.map(m => cell(col("qv"), bits).bitwiseXOR(lit(m))): _*)))
+      c.join(broadcast(q), "cell").filter(col("nl") =!= col("ql"))
+    } else {
+      c0.join(broadcast(q0), col("nl") =!= col("ql"))
+    }).withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     val wq = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val wc = Window.partitionBy("neighbor_id").orderBy(col("cosine").desc, col("query_id"))
     val ranked = scored
@@ -144,6 +154,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("margin"))
   }
 
+  /** Contrastive-training hard-negative mining: for each query vector, the
+    * top-k most-similar corpus vectors OUTSIDE the query's own label group
+    * (same-label vectors are presumed positives — returning them would
+    * poison the negative set). The exact shape of [[cosineTopK]] with a
+    * label-disjointness predicate fused into the broadcast join: queries
+    * broadcast, the corpus never shuffles, ties break on neighbor id, and
+    * the 6-dp cosine rounding keeps the ranking engine-portable. At 100 TB
+    * swap the brute scan for the IVF path with the same label predicate —
+    * the contract (top-k by cosine among other-label vectors) is
+    * unchanged. */
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,

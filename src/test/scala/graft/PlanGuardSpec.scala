@@ -32,10 +32,11 @@ class PlanGuardSpec extends SparkSpec {
     "q64_perplexity" -> "1-row broadcast vocab crossJoin, O(rows)",
     // hard negatives: q25's broadcast query-side shape with the label
     // disjointness fused into the join predicate (non-equi by nature)
-    "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)",
-    // margin mining: the same broadcast label-disjoint scan as q78; the
-    // margin windows run on its bounded O(n*q) output, never the corpus
-    "q84_margin_mining" -> "broadcast query-side label-disjoint scan, O(n*q)")
+    "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)")
+  // q84_margin_mining is deliberately NOT allowed here: its candidate join
+  // is a broadcast EQUI-join on the sign-bit cell (the pruned LASER shape),
+  // so a refactor reintroducing the all-candidates nested-loop scan fails
+  // this guard.
 
   test("no unbounded CartesianProduct / BroadcastNestedLoopJoin in any driver query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

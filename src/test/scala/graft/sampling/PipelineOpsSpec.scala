@@ -219,7 +219,7 @@ class PipelineOpsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 3)
     val corpus = emb.filter(col("vec_id") >= 10)
     val out = graft.similarity.Similarity
-      .marginMining(corpus, queries, k = 2, minMargin = 0.0)
+      .marginMining(corpus, queries, k = 2, minMargin = 0.0, bits = 0) // exact tier
       .orderBy("query_id").collect()
     out.length shouldBe 3
     // query 0 mines the partner despite the hub's higher raw cosine
@@ -229,6 +229,30 @@ class PipelineOpsSpec extends SparkSpec {
     out(1).getAs[Long]("neighbor_id") shouldBe 10L
     out(2).getAs[Long]("neighbor_id") shouldBe 10L
     out.foreach(r => assert(!r.getAs[Double]("margin").isNaN))
+  }
+
+  test("marginMining's pruned tier joins on cells: no nested-loop scan, margins on kNN lists") {
+    // pruned (default) tier: the candidate join is a broadcast EQUI-join on
+    // the sign-bit cell — the plan must carry no BroadcastNestedLoopJoin /
+    // CartesianProduct, and the windows see only probed-cell candidates
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f, 1f), 0), // query: cell 15, probes {15,14,13,11,7}
+      (10L, Array(0.9f, 1f, 1f, 1f), 1), // cell 15 — probed, cos ~ 0.998
+      (11L, Array(-1f, -1f, -1f, 1f), 1), // cell 8 — NOT probed (hamming 3)
+      (12L, Array(1f, 1f, 1f, -1f), 1) // cell 7 — probed, cos = 0.5
+    ).toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val mined = graft.similarity.Similarity
+      .marginMining(corpus, queries, k = 2, minMargin = 0.0)
+    val plan = mined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val rows = mined.collect()
+    rows.length shouldBe 1
+    // vec 11 is outside the probed neighborhood: even though its cosine is
+    // defined, it never becomes a candidate; the best probed candidate wins
+    rows.head.getAs[Long]("neighbor_id") shouldBe 10L
   }
 
   test("hardNegatives excludes the query's own label group and ranks by cosine") {
