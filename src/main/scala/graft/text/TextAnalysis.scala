@@ -61,22 +61,39 @@ object TextAnalysis {
     * Scale shape: the corpus-sized work is the classic wordcount — explode
     * (narrow, codegen) into ONE partial-aggregated hash shuffle keyed by
     * the token, so 100 TB of text reduces map-side before anything moves.
-    * The global rank window then runs over the REDUCED vocabulary (bounded
-    * by minCount at ~1e5–1e7 rows for any natural-language corpus — driver
-    * arithmetic territory), never over the corpus; rank ties break on the
-    * token string so the table is engine-reproducible. */
+    * The global rank window is inherently single-task (a total order), so
+    * the rows reaching it MUST be bounded first — an enforced argument
+    * contract, like [[graft.multimodal.Multimodal.imageNearDupPairs]]'s
+    * recall bound: either a finite `topK` (applied BEFORE the window as a
+    * distributed TakeOrderedAndProject, so the one-task sort sees at most
+    * topK rows) or `minCount >= 2` (which caps the vocabulary at
+    * ~1e5–1e7 rows for any natural-language corpus — the hapax cut).
+    * `minCount = 1` with an unbounded topK would funnel the full
+    * corpus-distinct term set through one task and refuses loudly. Rank
+    * ties break on the token string so the table is
+    * engine-reproducible. */
   def vocabulary(
       docs: DataFrame,
       textCol: String = "text",
       minCount: Long = 1L,
       topK: Int = Int.MaxValue): DataFrame = {
+    require(topK != Int.MaxValue || minCount >= 2,
+      "vocabulary(minCount = 1, topK = unbounded) would sort the full " +
+        "corpus-distinct term set in a single task — pass a finite topK or " +
+        "minCount >= 2 to bound the ranked vocabulary")
     val counts = docs
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("term_count"))
       .filter(col("term_count") >= minCount)
+    // finite topK: cut to the global top-K BEFORE ranking — orderBy+limit
+    // plans TakeOrderedAndProject (per-partition top-K, tiny driver merge),
+    // so the single-task rank window below never sees more than topK rows
+    val bounded =
+      if (topK == Int.MaxValue) counts
+      else counts.orderBy(col("term_count").desc, col("term")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("term_count").desc, col("term"))
-    counts.withColumn("rank", row_number().over(w).cast("int"))
+    bounded.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= topK)
   }
 

@@ -153,15 +153,23 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, ""),
       (4L, "cherry banana apple")).toDF("doc_id", "text")
     // model: apple=4, banana=3, cherry=2, date=1
-    val all = graft.text.TextAnalysis.vocabulary(docs)
+    val all = graft.text.TextAnalysis.vocabulary(docs, topK = 10)
       .orderBy("rank").as[(String, Long, Int)].collect().toSeq
     all shouldBe Seq(("apple", 4L, 1), ("banana", 3L, 2), ("cherry", 2L, 3), ("date", 1L, 4))
     // minCount drops the tail; topK caps the head; ties rank by term
     graft.text.TextAnalysis.vocabulary(docs, minCount = 2)
       .count() shouldBe 3
-    graft.text.TextAnalysis.vocabulary(docs, topK = 2)
-      .orderBy("rank").as[(String, Long, Int)].collect().map(_._1).toSeq shouldBe
+    val top2 = graft.text.TextAnalysis.vocabulary(docs, topK = 2)
+    top2.orderBy("rank").as[(String, Long, Int)].collect().map(_._1).toSeq shouldBe
       Seq("apple", "banana")
+    // the single-task rank window is BOUNDED by contract: a finite topK is
+    // applied before it as a distributed TakeOrderedAndProject, and the
+    // unbounded (minCount = 1, topK = unbounded) combination refuses loudly
+    top2.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.vocabulary(docs)
+    }
+    e.getMessage should include("topK")
   }
 
   test("curriculumShards: score-blind assignment, best-first in-shard order") {
