@@ -22,12 +22,13 @@ import scala.jdk.CollectionConverters._
   * Implementations by storage class:
   *   - [[LocalLogStore]] (the default): POSIX filesystems and HDFS —
   *     temp file + hard-link CAS, see below.
-  *   - S3: `writeAtomic(overwrite = false)` maps to a conditional PUT
-  *     (`If-None-Match: *`, which S3 exposes natively since 2024 and S3A
-  *     surfaces as createFile().overwrite(false)); before conditional
-  *     writes, OSS Delta shipped the same seam backed by a DynamoDB lock
-  *     table (delta-storage-s3-dynamodb). Either strategy plugs in here
-  *     without touching the protocol.
+  *   - S3: [[S3LogStore]] — `writeAtomic(overwrite = false)` maps to a
+  *     conditional PUT (`If-None-Match: *`, which S3 exposes natively
+  *     since Nov 2024); the production binding is a four-call SDK adapter
+  *     over [[S3ObjectClient]]. Before conditional writes, OSS Delta
+  *     shipped the same seam backed by a DynamoDB lock table
+  *     (delta-storage-s3-dynamodb). Either strategy plugs in here without
+  *     touching the protocol.
   *   - GCS / ADLS: atomic rename exists, so the local strategy carries
   *     over with rename in place of hard links.
   */

@@ -15,11 +15,13 @@ import graft.log.{InMemoryLogStore, LocalLogStore, LogStore}
   * atomic states, and writers on disjoint partitions must not
   * false-conflict.
   *
-  * The matrix runs twice — once per [[LogStore]] implementation:
-  * [[ConcurrencyStressSpec]] on the local filesystem (hard-link CAS) and
+  * The matrix runs three times — once per [[LogStore]] implementation:
+  * [[ConcurrencyStressSpec]] on the local filesystem (hard-link CAS),
   * [[InMemoryConcurrencyStressSpec]] on the filesystem-free object store
-  * (pure putIfAbsent, the S3-conditional-PUT regime where CAS latency is
-  * near zero and contention is at its worst). The protocol's portability
+  * (pure putIfAbsent, the regime where CAS latency is near zero and
+  * contention is at its worst), and [[S3ConcurrencyStressSpec]] on
+  * [[graft.log.S3LogStore]] over the S3 contract fake (conditional PUT +
+  * listing, the production bucket surface). The protocol's portability
   * claim is this CI matrix, not a comment. */
 abstract class ConcurrencyStressBase extends SparkSpec {
   import spark.implicits._
@@ -237,4 +239,12 @@ class ConcurrencyStressSpec extends ConcurrencyStressBase {
   * virtualized, which is exactly the split an S3 deployment has. */
 class InMemoryConcurrencyStressSpec extends ConcurrencyStressBase {
   protected def store: LogStore = new InMemoryLogStore
+}
+
+/** Third leg: the same matrix through [[graft.log.S3LogStore]] over the
+  * S3 contract fake — the conditional-PUT surface a production bucket
+  * exposes, proven at the LakeTable level, not just the TxLog level. */
+class S3ConcurrencyStressSpec extends ConcurrencyStressBase {
+  protected def store: LogStore =
+    new graft.log.S3LogStore(new graft.log.S3ClientFake)
 }
