@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.Codecs
+
+/** Adversarial differential fuzz for the perceptual-fingerprint family:
+  * RANDOM payloads (not doc_id-derived, unlike the oracle gates' synthetic
+  * corpora) round-tripped through the real codecs and compared against
+  * independently-written plain-Scala models, plus the banding-recall
+  * property that justifies [[Multimodal.imageNearDupPairs]]'s enforced
+  * `maxHamming <= 7` contract. */
+class FingerprintFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ image aHash
+
+  /** Independent model: block-mean grayscale over the raw pixel matrix. */
+  private def modelAHash(px: Array[Array[Int]]): Long = {
+    val h = px.length; val w = px(0).length
+    val grays = new Array[Long](64)
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+      val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val rgb = px(y)(x)
+        rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+      }
+      val n = (x1 - x0).toLong * (y1 - y0)
+      grays(by * 8 + bx) = (rs / n + gs / n + bs / n) / 3
+    }
+    val mean = grays.sum / 64
+    (0 until 64).foldLeft(0L)((acc, i) =>
+      if (grays(i) >= mean) acc | (1L << (63 - i)) else acc)
+  }
+
+  test("aHash of random PNGs matches the plain-Scala block-mean model bit-for-bit") {
+    val rnd = new scala.util.Random(0xA5A5L)
+    for (trial <- 0 until 30) {
+      val w = 8 + rnd.nextInt(40) // 8..47, including non-multiples of 8
+      val h = 8 + rnd.nextInt(40)
+      val px = Array.fill(h, w)(rnd.nextInt(1 << 24))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y)(x))
+      val png = Codecs.encodePng(img)
+      withClue(s"trial $trial (${w}x$h): ") {
+        Codecs.aHash(png) shouldBe Some(modelAHash(px))
+      }
+    }
+  }
+
+  // --------------------------------------------------------- audio energy
+
+  /** Independent model: per-window mean-energy threshold at the stream
+    * mean via integer cross-multiplication; the LAST window absorbs the
+    * n % windows remainder (every sample counts). */
+  private def modelAudioHash(samples: Array[Short], windows: Int): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val win = math.max(1, n / windows)
+    val sumSq = new Array[Long](windows)
+    val cnt = new Array[Long](windows)
+    for (w <- 0 until windows) {
+      val s0 = w * win
+      val s1 = if (w == windows - 1) n else math.min(n, s0 + win)
+      for (i <- s0 until s1) {
+        val sv = samples(i).toInt
+        sumSq(w) += sv.toLong * sv
+      }
+      cnt(w) = math.max(0, s1 - s0)
+    }
+    val totalSq = sumSq.sum; val totalCnt = cnt.sum
+    require(totalCnt == n, s"model must count every sample: $totalCnt != $n")
+    (0 until windows).foldLeft(0L)((acc, b) =>
+      if (cnt(b) > 0 && sumSq(b) * totalCnt >= totalSq * cnt(b))
+        acc | (1L << (windows - 1 - b))
+      else acc)
+  }
+
+  test("audioHash of random WAVs matches the plain-Scala energy model, any stream length") {
+    val rnd = new scala.util.Random(0x5A5AL)
+    for (trial <- 0 until 30) {
+      val windows = Seq(12, 16)(trial % 2)
+      // lengths deliberately NOT multiples of `windows`, plus shorter-than-
+      // windows streams — the trailing-sample and empty-window edge cases
+      val n = 1 + rnd.nextInt(200)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = Codecs.encodeWavPcm16(samples, 8000f)
+      withClue(s"trial $trial (n=$n, windows=$windows): ") {
+        Codecs.audioHash(wav, windows) shouldBe Some(modelAudioHash(samples, windows))
+      }
+    }
+  }
+
+  // ------------------------------------------------------- banding recall
+
+  test("banded mining finds EVERY pair within Hamming 7; an 8-bit evader can slip") {
+    val rnd = new scala.util.Random(0xBEEFL)
+    // plant 40 pairs at Hamming 0..7: (i, i + 10000) with d random bit flips
+    val planted = (0 until 40).map { i =>
+      val base = rnd.nextLong()
+      val d = i % 8
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      val mutated = flips.foldLeft(base)((h, b) => h ^ (1L << b))
+      (i.toLong, base, i + 10000L, mutated, d)
+    }
+    val rows = planted.flatMap { case (a, ha, b, hb, _) => Seq((a, ha), (b, hb)) }
+      .toDF("media_id", "ahash")
+    val found = Multimodal.imageNearDupPairs(rows)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    planted.foreach { case (a, _, b, _, d) =>
+      withClue(s"planted pair ($a,$b) at Hamming $d: ") {
+        found.get((a, b)) shouldBe Some(d)
+      }
+    }
+    // the pigeonhole boundary: flip exactly ONE bit in EACH of the 8 bands
+    // (Hamming 8, no shared band) — banding legitimately misses it, which
+    // is why maxHamming > 7 is refused as an argument
+    val base = rnd.nextLong()
+    val evader = (0 until 8).foldLeft(base)((h, band) => h ^ (1L << (band * 8 + 3)))
+    java.lang.Long.bitCount(base ^ evader) shouldBe 8
+    val two = Seq((1L, base), (2L, evader)).toDF("media_id", "ahash")
+    Multimodal.imageNearDupPairs(two).count() shouldBe 0
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(two, maxHamming = 8)
+    }
+  }
+}
