@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftParser(spark: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
   private val describeHistory =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?(\s+AS\s+JSON)?\s*""".r
   private val describeDetail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+)\s*""".r
   // maintenance statements Spark's grammar does not know (Delta's extension
   // adds the same set): parsed here into eager commands — Spark executes
@@ -76,9 +76,11 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
       org.apache.spark.sql.types.StringType)))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case describeHistory(t, limit) =>
-      GraftSql.resolveSpec(spark, unquote(t))
-        .history(Option(limit).map(_.toInt)).queryExecution.logical
+    case describeHistory(t, limit, asJson) =>
+      val lake = GraftSql.resolveSpec(spark, unquote(t))
+      val lim = Option(limit).map(_.toInt)
+      (if (asJson != null) lake.historyJson(lim) else lake.history(lim))
+        .queryExecution.logical
     case describeDetail(t) =>
       GraftSql.resolveSpec(spark, unquote(t)).detail().queryExecution.logical
     case showPartitionsCmd(t) =>
@@ -118,7 +120,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   override def parsePlanWithParameters(
       sqlText: String, parameterContext: ParameterContext): LogicalPlan =
     sqlText match {
-      case describeHistory(_, _) | describeDetail(_) | optimizeCmd(_, _, _, _, _) |
+      case describeHistory(_, _, _) | describeDetail(_) | optimizeCmd(_, _, _, _, _) |
            reorgCmd(_, _) | vacuumCmd(_, _, _) | restoreCmd(_) | generateCmd(_) |
            showPartitionsCmd(_) =>
         parsePlan(sqlText)

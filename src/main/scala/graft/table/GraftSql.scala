@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
 class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
 
   private val describeHistory =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)(?:\s+LIMIT\s+(\d+))?(\s+AS\s+JSON)?\s*""".r
   private val describeDetail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+)\s*""".r
   private val showProps = """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+)\s*""".r
   private val showPartitionsCmd = """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
@@ -342,8 +342,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   }
 
   def run(sql: String): DataFrame = sql match {
-    case describeHistory(t, limit) =>
-      table(t).history(Option(limit).map(_.toInt))
+    case describeHistory(t, limit, asJson) =>
+      if (asJson != null) table(t).historyJson(Option(limit).map(_.toInt))
+      else table(t).history(Option(limit).map(_.toInt))
     case describeDetail(t) => table(t).detail()
     case showPartitionsCmd(t) => table(t).showPartitions()
     case showProps(t) =>

@@ -1178,7 +1178,7 @@ class LakeTable private[table] (
     val rows = take.map(c => Row(c.version, new java.sql.Timestamp(c.timestamp),
       c.userName, c.operation,
       c.operationParameters, c.operationMetrics.map { case (k, v) => k -> v.toString },
-      c.readVersion, c.isBlindAppend))
+      c.readVersion, c.isBlindAppend, c.commitId))
     val schema = StructType(Seq(
       StructField("version", LongType),
       StructField("timestamp", TimestampType),
@@ -1187,9 +1187,19 @@ class LakeTable private[table] (
       StructField("operationParameters", MapType(StringType, StringType)),
       StructField("operationMetrics", MapType(StringType, StringType)),
       StructField("readVersion", LongType),
-      StructField("isBlindAppend", BooleanType)))
+      StructField("isBlindAppend", BooleanType),
+      // the writer-unique LOGICAL commit id (stable across CAS retries) —
+      // surfacing it makes ambiguous-CAS recovery observable: a retried
+      // commit appears ONCE here, under one id
+      StructField("commitId", StringType)))
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** DESCRIBE HISTORY ... AS JSON: one JSON object per commit (newest
+    * first), each the JSON encoding of the corresponding [[history]] row —
+    * the machine-readable surface for operational tooling. */
+  def historyJson(limit: Option[Int] = None): DataFrame =
+    history(limit).toJSON.toDF("json")
 
   /** DESCRIBE DETAIL (M15, src/delta_utils.py:265-277).
     * `clusteredBy` surfaces the per-file `clusteredBy` provenance tags as
@@ -1598,7 +1608,7 @@ class LakeTable private[table] (
       Map("source" -> dir.toString, "isShallow" -> shallow.toString) ++
         versionAsOf.map(v => "sourceVersion" -> v.toString),
       Map("numCopiedFiles" -> (if (shallow) 0L else adds.size.toLong)), -1L,
-      LakeTable.currentUser, false)
+      LakeTable.currentUser, false, UUID.randomUUID().toString)
     // Preserve the source snapshot's protocol (merged with this engine's
     // current: max versions, union of named features) — cloning a
     // protocol-upgraded table must not downgrade its gate, same as Delta.
@@ -1709,7 +1719,7 @@ object LakeTable {
         (ColumnIds.MaxIdKey -> stamped.fields.length.toString), now)
     val ci = CommitInfo(0L, now, "CREATE TABLE",
       Map("partitionBy" -> partitionColumns.mkString(",")), Map.empty, -1L,
-      LakeTable.currentUser, false)
+      LakeTable.currentUser, false, UUID.randomUUID().toString)
     val tlog = new TxLog(p)
     // feature-requiring CREATE properties stamp matching table features in v0
     val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
@@ -1812,7 +1822,7 @@ object LakeTable {
     }
     val ci = CommitInfo(0L, now, "CONVERT",
       Map("numFiles" -> adds.size.toString), Map.empty, -1L,
-      LakeTable.currentUser, false)
+      LakeTable.currentUser, false, UUID.randomUUID().toString)
     val tlog = new TxLog(p)
     if (!tlog.tryCommit(0L, (ci +: graft.log.Protocol.Current +: meta +: adds)))
       return forPath(spark, dir) // lost a concurrent-convert race: theirs won

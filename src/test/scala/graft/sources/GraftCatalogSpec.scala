@@ -70,6 +70,27 @@ class GraftCatalogSpec extends SparkSpec {
     byPath.count() shouldBe 3
     spark.sql("SELECT count(*) AS n FROM gcat.meta.hist")
       .collect().head.getLong(0) shouldBe 15
+
+    // history carries the stable logical commitId (one per commit — the
+    // observable form of ambiguous-CAS recovery: a retried commit shows ONCE)
+    hist.columns should contain("commitId")
+    val ids = spark.sql("DESCRIBE HISTORY gcat.meta.hist")
+      .select("commitId").as[String].collect()
+    ids.foreach(_ should not be null)
+    ids.distinct.length shouldBe 3
+
+    // AS JSON: one JSON object per commit, newest first, machine-readable
+    val js = spark.sql("DESCRIBE HISTORY gcat.meta.hist AS JSON")
+    js.columns shouldBe Array("json")
+    val lines = js.as[String].collect()
+    lines.length shouldBe 3
+    lines.foreach { l =>
+      l should startWith("{")
+      l should include("\"operation\"")
+      l should include("\"commitId\"")
+    }
+    lines.head should include("\"version\":2")
+    spark.sql("DESCRIBE HISTORY gcat.meta.hist LIMIT 1 AS JSON").count() shouldBe 1
   }
 
   test("column DEFAULT values: CREATE DDL, INSERT fill, ALTER SET/DROP, path-API append") {
