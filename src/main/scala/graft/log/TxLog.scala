@@ -280,9 +280,12 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
 
 object TxLog {
   def apply(tableDir: String): TxLog = new TxLog(Paths.get(tableDir))
+  /** Does a table's log exist HERE — asked through the configured
+    * [[LogStore]], not the filesystem: with a virtualized log (in-memory,
+    * S3) there is no `_txlog` directory on disk to probe. */
   def isTable(tableDir: String): Boolean =
-    Files.isDirectory(Paths.get(tableDir).resolve("_txlog")) &&
-      new TxLog(Paths.get(tableDir)).listVersions().nonEmpty
+    scala.util.Try(new TxLog(Paths.get(tableDir)).listVersions().nonEmpty)
+      .getOrElse(false)
 
   /** Best-effort recursive delete (shared by DROP TABLE/NAMESPACE, staged
     * rollback, cache invalidation, bench scratch reclaim). Never throws —
