@@ -125,18 +125,22 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }._2
-      // rep budget adapts to the query's own cost: cheap queries keep
-      // median-of-3 (run-to-run IO noise is ±15% and first-touch costs are
-      // a large FRACTION of a sub-second query), heavyweight queries
+      // rep budget adapts to the query's own cost: heavyweight queries
       // (first rep > 2.5s) run twice and report the warm second run —
       // their cost is fixed work (stream lifecycles, clustered rewrites,
-      // KMeans) that noise barely moves, and the third rep was ~40s of
-      // wall the driver's bench budget pays for (more on a slow host,
-      // where MORE queries cross the threshold — self-stabilizing)
+      // KMeans) that noise barely moves. Cheap queries report the WARM
+      // median: the first rep is discarded as warmup and the median of
+      // three subsequent reps is reported. Round-8 methodology change,
+      // after two consecutive rounds of driver-bench movements pinned as
+      // first-touch noise on identical code (q64 r5, q3 r7, q54/q62/q63 +
+      // write/dv_merge ops r8): a stage breakdown of q54 showed its
+      // setup-heavy append converging 3.00 -> 1.03 -> 0.65s across warm
+      // reps in one JVM — the OLD median-of-3-including-cold mostly
+      // measured JIT/shuffle-service/page-cache warmup, not plan cost.
       val first = rep()
       val value =
         if (first > 2.5) rep() // the warm second run
-        else Seq(first, rep(), rep()).sorted.apply(1)
+        else Seq(rep(), rep(), rep()).sorted.apply(1)
       // queries that persist() intermediates rely on the ContextCleaner to
       // drop the blocks once the frames are GC'd; under a 60-query run the
       // stale blocks outlive their query, fill storage memory, and evict

@@ -19,6 +19,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
     if (args.contains("skew")) { profileSkew(spark); spark.stop(); return }
+    if (args.contains("bloom")) { profileBloom(spark, sfDir); spark.stop(); return }
     if (args.contains("explain")) {
       // shuffle audit for named queries (sfDir comes FIRST):
       //   runMain graft.Profile /root/testdata/sf0.01 explain q45 q46
@@ -136,6 +137,29 @@ object Profile {
   }
 
   /** Why is the skewed shuffle join > 2x the uniform one? */
+  /** q54 stage breakdown: where does the bloom-lookup gate's time go —
+    * table create, property commit, bloom-sidecar append, or the read? */
+  def profileBloom(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.table.LakeTable
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    orders.count(): Unit // warm the source read
+    (1 to 3).foreach { rep =>
+      val dir = java.nio.file.Files.createTempDirectory("pb").resolve("t").toString
+      var t: LakeTable = null
+      timed(s"rep$rep create") { t = LakeTable.create(spark, dir, orders.schema) }
+      timed(s"rep$rep setProperties")(
+        t.setProperties(Map("graft.bloomFilter.columns" -> "o_orderkey")))
+      timed(s"rep$rep append+blooms")(
+        t.append(orders.repartition(8, col("o_orderkey"))))
+      timed(s"rep$rep append no-bloom")(
+        t.append(orders.limit(0))) // commit-only overhead probe
+      timed(s"rep$rep read isin")(
+        t.read(Seq(col("o_orderkey").isin(32L, 4000L, 9988L, 14977L)))
+          .orderBy("o_orderkey").collect())
+    }
+  }
+
   def profileSkew(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     val n = 10000000L
