@@ -96,20 +96,23 @@ trait CdfSupport { self: LakeTable =>
       StructField("_commit_version", LongType),
       StructField("_commit_timestamp", TimestampType)))
 
-  /** Project a sidecar frame (read under its write-time schema) onto the
-    * range-end schema. Mapped tables match columns by field id: renamed
-    * columns project, columns added after the sidecar read NULL, columns
-    * dropped after it disappear. Unmapped tables cannot have renames or
-    * drops (both require column mapping), so only later ADD COLUMNS can
-    * differ — NULL-filled by name; anything else refuses loudly rather
-    * than resolve wrongly. */
-  private def remapSidecar(side: DataFrame, writeSchema: StructType,
-      endSchema: StructType, v: Long): DataFrame = {
+  /** Project a frame read under its write-time schema onto the range-end
+    * schema. Mapped tables match columns by field id: renamed columns
+    * project, columns added after the write read NULL, columns dropped
+    * after it disappear, and a SAME-ID TYPE CHANGE refuses loudly (the
+    * wholesale positional restamp of overwriteSchema can land an old
+    * column's bytes under a new column's id — resolving that silently
+    * would emit garbage). Unmapped tables cannot have renames or drops
+    * (both require column mapping), so only later ADD COLUMNS can differ —
+    * NULL-filled by name; anything else refuses. `extra` columns (e.g.
+    * `_change_type`) pass through untouched. */
+  private def remapToEnd(df: DataFrame, writeSchema: StructType,
+      endSchema: StructType, v: Long, extra: Seq[String] = Nil): DataFrame = {
     // ids INCLUDED in the fast-path equality: a DROP+re-ADD of the same name
     // strips to an identical schema but is a different column (new id)
-    if (writeSchema == endSchema) return side
+    if (writeSchema == endSchema) return df
     def refuse(why: String): Nothing = throw new IllegalStateException(
-      s"CDF sidecar at version $v cannot be presented under the range-end schema ($why) — " +
+      s"CDF changes at version $v cannot be presented under the range-end schema ($why) — " +
         s"read changes starting from version ${v + 1} (or end before $v)")
     val cols: Seq[org.apache.spark.sql.Column] =
       if (ColumnIds.mapped(writeSchema) && ColumnIds.mapped(endSchema)) {
@@ -124,7 +127,7 @@ trait CdfSupport { self: LakeTable =>
       } else {
         val writeByName = writeSchema.fields.map(f => f.name -> f).toMap
         if (!writeSchema.fields.forall(f => endSchema.fieldNames.contains(f.name)))
-          refuse("a column present at the sidecar's version is absent at the range end " +
+          refuse("a column present at the write-time schema is absent at the range end " +
             "and the table has no column-mapping ids to resolve it by")
         endSchema.fields.toIndexedSeq.map { f =>
           writeByName.get(f.name) match {
@@ -134,7 +137,7 @@ trait CdfSupport { self: LakeTable =>
           }
         }
       }
-    side.select((cols :+ col("_change_type")): _*)
+    df.select((cols ++ extra.map(col)): _*)
   }
 
   private def versionChanges(v: Long, schema: StructType): Option[DataFrame] = {
@@ -160,7 +163,8 @@ trait CdfSupport { self: LakeTable =>
         .schema(StructType(ColumnIds.strip(writeSchema).fields :+
           StructField("_change_type", StringType)))
         .parquet(paths: _*)
-      return Some(meta(remapSidecar(side, writeSchema, schema, v)))
+      return Some(meta(remapToEnd(side, writeSchema, schema, v,
+        extra = Seq("_change_type"))))
     }
     if (op == "REPLACE TABLE")
       // the schema may have been swapped wholesale; pre-replace rows are not
@@ -173,16 +177,27 @@ trait CdfSupport { self: LakeTable =>
       throw new IllegalStateException(
         s"version $v is a $op commit without CDF sidecars — " +
           "enable table property graft.enableChangeDataFeed before DML to read its changes")
+    // synthesized changes go through the same write-time-schema + id-remap
+    // discipline as sidecars: added files read under THIS commit's schema,
+    // removed files under the PREVIOUS version's, then both remap onto the
+    // range-end schema by field id — so a wholesale positional restamp
+    // (overwriteSchema) can never silently alias an old column's bytes
+    // under a new same-id column (type changes refuse loudly instead)
     val adds = actions.collect { case a: AddFile => a }
     val removes = actions.collect { case r: RemoveFile => r }
     val inserts =
       if (adds.isEmpty) None
-      else Some(readFiles(adds, schema).withColumn("_change_type", lit("insert")))
+      else {
+        val ws = snapshot(Some(v)).schema
+        Some(remapToEnd(readFiles(adds, ws), ws, schema, v)
+          .withColumn("_change_type", lit("insert")))
+      }
     val snapBefore = if (removes.isEmpty) None else Some(log.snapshot(Some(v - 1)))
     val deletes = snapBefore.map { sb =>
       val removedPaths = removes.map(_.path).toSet
       val removedAdds = sb.files.filter(f => removedPaths.contains(f.path))
-      readFilesMasked(sb, removedAdds, schema).withColumn("_change_type", lit("delete"))
+      remapToEnd(readFilesMasked(sb, removedAdds, sb.schema), sb.schema, schema, v)
+        .withColumn("_change_type", lit("delete"))
     }
     (inserts, deletes) match {
       case (Some(i), Some(d)) => Some(meta(i.unionByName(d)))

@@ -136,6 +136,36 @@ class CdfSpec extends SparkSpec {
     ch.filter(col("_change_type") === "update_preimage").select("k").as[Long].head() shouldBe 2L
   }
 
+  test("CDF across overwriteSchema: compatible positional swap projects, type change refuses") {
+    // overwriteSchema restamps ids POSITIONALLY (1..n). Columns that keep
+    // their position and type keep their id — old files project cleanly;
+    // a same-id TYPE change would alias old bytes under the new column,
+    // so it must refuse loudly instead of emitting garbage.
+    val t = cdfTable("cdf-owschema")
+    t.overwrite(Seq((10L, "x", 7L)).toDF("k", "v", "extra"), overwriteSchema = true) // v2
+    val ch = t.changes(0)
+    ch.schema.fieldNames.take(3) shouldBe Array("k", "v", "extra")
+    // pre-swap rows surface with extra = NULL; their k/v values resolve
+    val early = ch.filter(col("_commit_version") === 1)
+    early.count() shouldBe 3
+    early.filter(col("extra").isNotNull).count() shouldBe 0
+    early.select("v").as[String].collect().sorted shouldBe Array("a", "b", "c")
+    // the overwrite itself emits deletes (old rows) + inserts (new rows)
+    val ow = ch.filter(col("_commit_version") === 2)
+    ow.filter(col("_change_type") === "delete").count() shouldBe 3
+    ow.filter(col("_change_type") === "insert").count() shouldBe 1
+
+    val t2 = cdfTable("cdf-owschema-bad")
+    t2.overwrite(Seq((10L, 99L)).toDF("k", "v"), overwriteSchema = true) // v column: string -> long
+    val e = intercept[IllegalStateException] { t2.changes(0).collect() }
+    e.getMessage should include("changed type")
+    // the boundary version's own DELETES (pre-swap rows) are equally
+    // unrepresentable — the range must start AFTER the swap
+    intercept[IllegalStateException] { t2.changes(2).collect() }
+    t2.append(Seq((11L, 100L)).toDF("k", "v")) // v3
+    t2.changes(3).count() shouldBe 1
+  }
+
   test("replaying CDF from v0 reconstructs the snapshot") {
     val t = cdfTable("cdf-replay")
     t.update(col("k") === 1, Map("v" -> lit("A")))

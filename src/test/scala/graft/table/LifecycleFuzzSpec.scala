@@ -32,6 +32,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       Seq((0L, 0L)).toDF("id", "v").schema,
       properties = Map(
         "graft.checkpointInterval" -> "3",
+        "graft.enableChangeDataFeed" -> "true",
         "graft.enableDeletionVectors" -> dv.toString))
     // model state AS OF each committed version (v0 = empty)
     val history = scala.collection.mutable.Map[Long, Map[Long, Long]](
@@ -121,6 +122,35 @@ class LifecycleFuzzSpec extends SparkSpec {
       }
       record()
       check(s"step $step")
+    }
+    // CDF replay leg: roll the change feed forward over the randomized
+    // history (synthesized adds/removes, DML sidecars, restores, schema
+    // evolution — the id-remap discipline under COMPOSITION) and land on
+    // the live state exactly. A schema-swap boundary whose positional ids
+    // collide at different types refuses loudly; the walk then starts the
+    // range after the refused version, seeding from the model history.
+    locally {
+      var start = 0L
+      var ch: org.apache.spark.sql.DataFrame = null
+      while (ch == null && start <= table.version) {
+        try ch = table.changes(start)
+        catch { case _: IllegalStateException => start += 1 }
+      }
+      // ch == null only when the FINAL commit is itself a refused swap
+      // boundary (no representable non-empty range remains) — legal skip
+      info(s"seed=$seed dv=$dv: cdf replay ${if (ch == null) "SKIPPED (terminal swap)" else s"from v$start"}")
+      if (ch != null) withClue(s"seed=$seed dv=$dv cdf replay from $start: ") {
+        val base =
+          if (start == 0) Seq.empty[(Long, Long)].toDF("id", "v")
+          else history(start - 1).toSeq.toDF("id", "v")
+        val plus = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select("id", "v")
+        val minus = ch.filter(col("_change_type").isin("update_preimage", "delete"))
+          .select("id", "v")
+        val net = base.unionByName(plus).exceptAll(minus)
+          .as[(Long, Long)].collect().toSeq.sorted
+        net shouldBe model.toSeq.sorted
+      }
     }
     // a zero-retention vacuum reclaims history but must not touch the live
     // snapshot (restore targets are gone afterwards, by contract)
