@@ -111,23 +111,8 @@ object Similarity {
       labelCol: String = "label",
       bits: Int = 4,
       probeHamming: Int = 1): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
-    val q0 = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
-    val scored = (if (bits > 0) {
-      // candidate pruning: each corpus vector lives in exactly one sign-bit
-      // cell; each query probes every cell within `probeHamming` of its own
-      // (multi-probe LSH), so no (query, neighbor) pair can appear twice
-      val masks = (0 until (1 << bits))
-        .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
-      val c = c0.withColumn("cell", cell(col("cv"), bits))
-      val q = q0.withColumn("cell",
-        explode(array(masks.map(m => cell(col("qv"), bits).bitwiseXOR(lit(m))): _*)))
-      c.join(broadcast(q), "cell").filter(col("nl") =!= col("ql"))
-    } else {
-      c0.join(broadcast(q0), col("nl") =!= col("ql"))
-    }).withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val scored = labelDisjointScored(corpus, queries, idCol, vecCol, labelCol,
+      bits, probeHamming)
     val wq = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val wc = Window.partitionBy("neighbor_id").orderBy(col("cosine").desc, col("query_id"))
     val ranked = scored
@@ -154,29 +139,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("margin"))
   }
 
+  /** Label-disjoint scored candidate pairs — the shared front end of
+    * [[marginMining]] and [[hardNegatives]]. `bits > 0` prunes candidates
+    * by sign-bit cell with `probeHamming` multi-probe: a broadcast
+    * EQUI-join on the cell (the corpus never shuffles, candidate volume
+    * drops ~2^bits/probed-fold); each corpus vector lives in exactly one
+    * cell, so no (query, neighbor) pair can appear twice. `bits = 0` is
+    * the exact all-candidates scan (non-equi broadcast join). */
+  private def labelDisjointScored(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      bits: Int, probeHamming: Int): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
+    (if (bits > 0) {
+      val masks = (0 until (1 << bits))
+        .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      val c = c0.withColumn("cell", cell(col("cv"), bits))
+      val q = q0.withColumn("cell",
+        explode(array(masks.map(m => cell(col("qv"), bits).bitwiseXOR(lit(m))): _*)))
+      c.join(broadcast(q), "cell").filter(col("nl") =!= col("ql"))
+    } else {
+      c0.join(broadcast(q0), col("nl") =!= col("ql"))
+    }).withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+  }
+
   /** Contrastive-training hard-negative mining: for each query vector, the
     * top-k most-similar corpus vectors OUTSIDE the query's own label group
     * (same-label vectors are presumed positives — returning them would
     * poison the negative set). The exact shape of [[cosineTopK]] with a
     * label-disjointness predicate fused into the broadcast join: queries
     * broadcast, the corpus never shuffles, ties break on neighbor id, and
-    * the 6-dp cosine rounding keeps the ranking engine-portable. At 100 TB
-    * swap the brute scan for the IVF path with the same label predicate —
-    * the contract (top-k by cosine among other-label vectors) is
-    * unchanged. */
+    * the 6-dp cosine rounding keeps the ranking engine-portable. The
+    * default `bits = 0` is the documented-exact baseline tier (the q78
+    * gate's contract); at 100 TB pass `bits > 0` for the same sign-bit
+    * cell pruning [[marginMining]] defaults to — top-k by cosine among
+    * other-label vectors IN THE PROBED NEIGHBORHOOD. */
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
-    val scored = c.join(broadcast(q), col("nl") =!= col("ql"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      labelCol: String = "label",
+      bits: Int = 0,
+      probeHamming: Int = 1): DataFrame = {
+    val scored = labelDisjointScored(corpus, queries, idCol, vecCol, labelCol,
+      bits, probeHamming)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

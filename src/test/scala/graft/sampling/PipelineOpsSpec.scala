@@ -263,6 +263,22 @@ class PipelineOpsSpec extends SparkSpec {
     rows.head.getAs[Long]("neighbor_id") shouldBe 10L
   }
 
+  test("hardNegatives pruned tier (bits > 0) equi-joins on cells like marginMining") {
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f, 1f), 0), // query: cell 15, probes hamming<=1
+      (10L, Array(0.9f, 1f, 1f, 1f), 1), // cell 15 — probed
+      (11L, Array(-1f, -1f, -1f, 1f), 1), // cell 8 — NOT probed
+      (12L, Array(1f, 1f, 1f, -1f), 1) // cell 7 — probed
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.hardNegatives(
+      emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") === 0),
+      k = 5, bits = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    // only the probed neighborhood is mined
+    out.select("neighbor_id").as[Long].collect().sorted shouldBe Array(10L, 12L)
+  }
+
   test("hardNegatives excludes the query's own label group and ranks by cosine") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0), // label 0 (positives)
