@@ -390,6 +390,16 @@ object DataOps {
       emb.filter(col("vec_id") >= 60 && col("vec_id") < 70), k = 5)
   }
 
+  /** Pruned hard-negative mining gate (q91): the same contract as q78 but
+    * through the sign-bit cell tier (bits=4, hamming-1 multi-probe) — the
+    * 100 TB plan shape, whose cell join the oracle replays verbatim.
+    * Queries 80..90 (disjoint from every other ANN gate's range). */
+  def hardNegativesPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.hardNegatives(emb,
+      emb.filter(col("vec_id") >= 80 && col("vec_id") < 90), k = 5, bits = 4)
+  }
+
   /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
     * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
     * survivors are exactly the batch docs whose text the corpus lacks,
@@ -1069,6 +1079,25 @@ object DataOps {
              ROUND(list_dot_product(q.qv, e.v) /
                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
            FROM e, q WHERE e.label <> q.ql),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q91_hard_negatives_pruned" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, label, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+           FROM e),
+         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv, cell AS qcell FROM c
+           WHERE vec_id >= 80 AND vec_id < 90),
+         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM c JOIN q ON c.cell IN
+             (xor(q.qcell, 0), xor(q.qcell, 1), xor(q.qcell, 2), xor(q.qcell, 4), xor(q.qcell, 8))
+           WHERE c.label <> q.ql),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
