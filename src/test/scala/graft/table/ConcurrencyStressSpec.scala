@@ -83,6 +83,41 @@ abstract class ConcurrencyStressBase extends SparkSpec {
     hist.select("version").as[Long].collect().toSet shouldBe (0L to 20L).toSet
   }
 
+  test("checkpoints racing contended writers never corrupt replay") {
+    // checkpoint publication is overwrite-mode and content-deterministic, so
+    // a checkpointer racing live commits (and other checkpointers) must be
+    // harmless: every later replay — from whatever checkpoint is newest —
+    // reconstructs the same state the per-version files define
+    val t = mk("conc-ckpt")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ckptErrs = new java.util.concurrent.atomic.AtomicInteger
+    val checkpointer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val v = t.version
+          if (v >= 0) t.log.writeCheckpoint(v)
+        } catch { case _: Throwable => ckptErrs.incrementAndGet(): Unit }
+        Thread.sleep(5)
+      }
+    })
+    checkpointer.start()
+    race((0 until 4).map { w => () =>
+      (0 until 5).foreach { i =>
+        t.append(batch(w * 1000 + i * 100 until w * 1000 + i * 100 + 100, s"p$w"))
+      }
+    })
+    stop.set(true); checkpointer.join()
+    ckptErrs.get() shouldBe 0
+    t.version shouldBe 20
+    // a FRESH resolution replays from the newest checkpoint + log tail
+    val fresh = LakeTable.forPath(spark, t.dir.toString)
+    fresh.read().count() shouldBe 2000
+    fresh.read().select("id").distinct().count() shouldBe 2000
+    fresh.snapshot().commits.size shouldBe 21
+    // time travel back through checkpointed history still works
+    fresh.versionAsOf(10).count() shouldBe 1000
+  }
+
   test("a reader racing the writers only observes committed atomic states") {
     val t = mk("conc-reader")
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
