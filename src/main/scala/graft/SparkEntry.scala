@@ -79,6 +79,7 @@ object SparkEntry {
     "q77_alpha_mixture" -> (DataOps.alphaMixture _),
     "q78_hard_negatives" -> (DataOps.hardNegatives _),
     "q91_hard_negatives_pruned" -> (DataOps.hardNegativesPruned _),
+    "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),
     "q81_normalized_dedup" -> (DataOps.normalizedDedup _),
     "q82_corpus_stats" -> (DataOps.corpusStats _),

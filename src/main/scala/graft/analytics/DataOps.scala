@@ -390,6 +390,21 @@ object DataOps {
       emb.filter(col("vec_id") >= 60 && col("vec_id") < 70), k = 5)
   }
 
+  /** Video fingerprint gate (q92): every synthetic MJPEG AVI decoded
+    * through the REAL RIFF-container walk + JDK JPEG codec, one aHash per
+    * sampled frame. The oracle re-derives all 4 frame hashes arithmetically
+    * from doc_id (quadrant grays → threshold bits → hex), so a pass proves
+    * container parse + frame decode + hash bit-for-bit — the video
+    * analogue of q85/q87. */
+  def videoFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesize( // doc_id pre-filter: see imageDedup
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 2))
+    Multimodal.videoFrameHashes(media).toDF()
+      .withColumn("ahash_hex", format_string("%016x", col("ahash")))
+      .select(col("media_id"), col("frame_idx"), col("ahash_hex"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Pruned hard-negative mining gate (q91): the same contract as q78 but
     * through the sign-bit cell tier (bits=4, hamming-1 multi-probe) — the
     * 100 TB plan shape, whose cell join the oracle replays verbatim.
@@ -561,9 +576,7 @@ object DataOps {
     media.select(col("media_id"), col("kind"),
         col("meta.mime").as("mime"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.durationMs").as("duration_ms"),
-        when(col("kind") === "video", length(col("content")))
-          .otherwise(lit(null).cast("int")).as("content_len"))
+        col("meta.durationMs").as("duration_ms"))
       .join(feats, Seq("media_id"))
       .join(thumbs, Seq("media_id"))
       .join(frames, Seq("media_id"), "left")
@@ -1083,6 +1096,24 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q92_video_fingerprint" ->
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT doc_id, f FROM v, (VALUES (0),(1),(2),(3)) AS t(f)),
+         g AS (SELECT doc_id, f,
+             [40,90,160,220][CAST((doc_id + f + 0) % 4 AS INT) + 1] AS g0,
+             [40,90,160,220][CAST((doc_id + f + 1) % 4 AS INT) + 1] AS g1,
+             [40,90,160,220][CAST((doc_id + f + 2) % 4 AS INT) + 1] AS g2,
+             [40,90,160,220][CAST((doc_id + f + 3) % 4 AS INT) + 1] AS g3
+           FROM fr),
+         b AS (SELECT doc_id, f,
+             (CASE WHEN g0 >= 128 THEN 240 ELSE 0 END +
+              CASE WHEN g1 >= 128 THEN 15 ELSE 0 END) AS bt,
+             (CASE WHEN g2 >= 128 THEN 240 ELSE 0 END +
+              CASE WHEN g3 >= 128 THEN 15 ELSE 0 END) AS bb
+           FROM g)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           repeat(printf('%02x', bt), 4) || repeat(printf('%02x', bb), 4) AS ahash_hex
+         FROM b ORDER BY media_id, frame_idx""",
     "q91_hard_negatives_pruned" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1328,20 +1359,17 @@ object DataOps {
               ELSE 'video' END AS kind,
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
               WHEN doc_id % 3 = 1 THEN 'audio/wav'
-              ELSE 'application/octet-stream' END AS mime,
-         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END AS INT) AS width,
-         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END AS INT) AS height,
-         CAST(CASE WHEN doc_id % 3 = 1 THEN 375 ELSE 0 END AS BIGINT) AS duration_ms,
-         CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) END AS INT) AS content_len,
+              ELSE 'video/avi' END AS mime,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 END AS INT) AS width,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 END AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 375
+                   WHEN doc_id % 3 = 2 THEN 500 ELSE 0 END AS BIGINT) AS duration_ms,
          CAST(12 AS INT) AS feature_dim,
          TRUE AS norm_in_range,
-         CAST(CASE WHEN doc_id % 3 = 1 THEN 64
-                   WHEN doc_id % 3 = 2 THEN least(64, octet_length(encode(text)))
-              END AS INT) AS thumb_len,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 64 END AS INT) AS thumb_len,
          CAST(CASE WHEN doc_id % 3 = 0 THEN 4 END AS INT) AS thumb_w,
          CAST(CASE WHEN doc_id % 3 = 0 THEN 4 END AS INT) AS thumb_h,
-         CAST(CASE WHEN doc_id % 3 = 2
-              THEN least(4, octet_length(encode(text))) ELSE 0 END AS BIGINT) AS frame_count,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END AS BIGINT) AS frame_count,
          CASE WHEN doc_id % 3 = 0 THEN array_to_string(list_transform([
              ((7*doc_id + 13*0) % 256) / 256.0, ((11*doc_id + 17*0) % 256) / 256.0, ((19*doc_id + 23*0) % 256) / 256.0,
              ((7*doc_id + 13*1) % 256) / 256.0, ((11*doc_id + 17*1) % 256) / 256.0, ((19*doc_id + 23*1) % 256) / 256.0,

@@ -14,10 +14,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * Codec reality in this container: the JDK itself ships real codecs for
   * the two most common still formats — `javax.imageio` decodes/encodes
-  * PNG/JPEG/GIF/BMP and `javax.sound.sampled` reads/writes WAV PCM — so
-  * the image and uncompressed-audio legs below are REAL decode paths
-  * (bytes → pixels/samples → features/thumbnails). Only video and
-  * compressed audio (no ffmpeg/libopus here) fall back to a clearly-marked
+  * PNG/JPEG/GIF/BMP and `javax.sound.sampled` reads/writes WAV PCM — and
+  * Motion-JPEG needs no inter-frame state, so VIDEO is a real decode path
+  * too: [[Codecs.aviFrames]] walks the RIFF/AVI container and each frame
+  * decodes through the JDK JPEG codec. Image, uncompressed-audio, and
+  * MJPEG-video legs below are therefore all REAL (bytes → pixels/samples/
+  * frames → features/thumbnails). Only compressed audio and non-MJPEG
+  * video (no ffmpeg/libopus here) fall back to the clearly-marked
   * deterministic stand-in, [[Codecs.hashFeatures]].
   */
 object Multimodal {
@@ -27,10 +30,11 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, feature: Array[Float], featureNorm: Double)
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Codec boundary. Image and WAV-audio functions call the JDK's real
-    * decoders; [[hashFeatures]]/[[sampleFrames]] are the deterministic
-    * stand-ins for formats this container cannot decode (video, compressed
-    * audio) — kept honest and clearly named. */
+  /** Codec boundary. Image, WAV-audio, and MJPEG-AVI video functions call
+    * the JDK's real decoders; [[hashFeatures]] (and [[sampleFrames]]'
+    * byte-slice branch) are the deterministic stand-ins for formats this
+    * container cannot decode (compressed audio, non-MJPEG video) — kept
+    * honest and clearly named. */
   object Codecs {
 
     // ImageIO's default stream cache spills every (de)coder stream through
@@ -321,7 +325,169 @@ object Multimodal {
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    // ---- fallback (video / compressed audio: NOT decodable here) ----
+    // ---- video (real: MJPEG-in-AVI — RIFF container + JDK JPEG codec) ----
+
+    /** Encode frames as a minimal, structurally valid AVI (RIFF) carrying
+      * Motion-JPEG: hdrl (avih + one 'vids'/'MJPG' stream) + movi ('00dc'
+      * chunks, one JPEG per frame) + idx1. Everything little-endian,
+      * chunks word-aligned. MJPEG needs no inter-frame state, so the JDK's
+      * own JPEG codec is a REAL video decode path — no ffmpeg required. */
+    def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need frames and a positive fps")
+      val jpegs = frames.map(encodeJpeg)
+      val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+      def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def dwords(vs: Int*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putInt); bb.array()
+      }
+      // builders render into whichever buffer is current, so a LIST can
+      // render its body first and learn its own size
+      var target = new ByteArrayOutputStream()
+      def wChunk(id: String, body: Array[Byte]): Unit = {
+        target.write(fourcc(id)); target.write(dwords(body.length)); target.write(body)
+        if (body.length % 2 == 1) target.write(0) // RIFF word alignment
+      }
+      def wList(listType: String)(fill: => Unit): Unit = {
+        val saved = target
+        target = new ByteArrayOutputStream()
+        try fill finally {
+          val b = target.toByteArray
+          target = saved
+          target.write(fourcc("LIST")); target.write(dwords(b.length + 4))
+          target.write(fourcc(listType)); target.write(b)
+        }
+      }
+      val usPerFrame = 1000000 / fps
+      val maxJpeg = jpegs.map(_.length).max
+      wList("hdrl") {
+        wChunk("avih", dwords(usPerFrame, maxJpeg * fps, 0, 0x10 /*HASINDEX*/,
+          jpegs.length, 0, 1, maxJpeg, w, h, 0, 0, 0, 0))
+        wList("strl") {
+          val strh = new ByteArrayOutputStream()
+          strh.write(fourcc("vids")); strh.write(fourcc("MJPG"))
+          strh.write(dwords(0, 0, 0, 1 /*scale*/, fps /*rate*/, 0,
+            jpegs.length, maxJpeg, -1 /*quality: default*/, 0))
+          strh.write(dwords((h << 16) | w)) // rcFrame right/bottom packed
+          wChunk("strh", strh.toByteArray.take(56).padTo(56, 0.toByte))
+          val strf = new ByteArrayOutputStream()
+          strf.write(dwords(40, w, h, (24 << 16) | 1 /*planes+bitcount*/))
+          strf.write(fourcc("MJPG")); strf.write(dwords(w * h * 3, 0, 0, 0, 0))
+          wChunk("strf", strf.toByteArray)
+        }
+      }
+      wList("movi") { jpegs.foreach(j => wChunk("00dc", j)) }
+      // idx1: one keyframe entry per chunk; offsets start at 4 (past 'movi')
+      val idx = new ByteArrayOutputStream()
+      var off = 4
+      jpegs.foreach { j =>
+        idx.write(fourcc("00dc")); idx.write(dwords(0x10, off, j.length))
+        off += 8 + j.length + (j.length % 2)
+      }
+      wChunk("idx1", idx.toByteArray)
+      val body = target.toByteArray
+      val out = new ByteArrayOutputStream()
+      out.write(fourcc("RIFF")); out.write(dwords(body.length + 4))
+      out.write(fourcc("AVI ")); out.write(body)
+      out.toByteArray
+    }
+
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      // explicit quality: deterministic quantization tables across runs
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    private def le32At(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def fourccAt(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    /** Header-only AVI parse: (mime, width, height, durationMs) from the
+      * avih main header. None for non-AVI payloads. */
+    def aviMeta(content: Array[Byte]): Option[(String, Int, Int, Long)] =
+      try {
+        if (content.length < 24 || fourccAt(content, 0) != "RIFF" ||
+            fourccAt(content, 8) != "AVI ") return None
+        // hdrl is the first LIST; avih its first chunk
+        var i = 12
+        while (i + 8 <= content.length) {
+          val id = fourccAt(content, i); val sz = le32At(content, i + 4)
+          if (id == "LIST" && fourccAt(content, i + 8) == "hdrl") {
+            val a = i + 12
+            if (fourccAt(content, a) == "avih") {
+              val usPerFrame = le32At(content, a + 8)
+              val frames = le32At(content, a + 24)
+              val w = le32At(content, a + 40); val h = le32At(content, a + 44)
+              return Some(("video/avi", w, h, frames.toLong * usPerFrame / 1000L))
+            }
+            return None
+          }
+          i += 8 + sz + (sz % 2)
+        }
+        None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** The movi payloads ('00dc'/'00db' chunks) — one JPEG per frame for
+      * MJPEG. Real container walk, word-alignment respected. */
+    def aviFrames(content: Array[Byte]): Seq[Array[Byte]] =
+      try {
+        if (content.length < 24 || fourccAt(content, 0) != "RIFF" ||
+            fourccAt(content, 8) != "AVI ") return Seq.empty
+        var i = 12
+        while (i + 8 <= content.length) {
+          val id = fourccAt(content, i); val sz = le32At(content, i + 4)
+          if (id == "LIST" && fourccAt(content, i + 8) == "movi") {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            var j = i + 12
+            val end = i + 8 + sz
+            while (j + 8 <= end) {
+              val cid = fourccAt(content, j); val csz = le32At(content, j + 4)
+              if (cid.endsWith("dc") || cid.endsWith("db"))
+                out += java.util.Arrays.copyOfRange(content, j + 8, j + 8 + csz)
+              j += 8 + csz + (csz % 2)
+            }
+            return out.toSeq
+          }
+          i += 8 + sz + (sz % 2)
+        }
+        Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+    /** REAL video features: decode each MJPEG frame through the container
+      * walk + JDK JPEG codec, aHash it, and emit the first `dim` bits of
+      * the concatenated frame hashes as 0/1 floats — engine-exact (the
+      * synthesis aligns constant-gray quadrants with JPEG's 8×8 DCT
+      * blocks, so the round-trip is DC-only and the threshold margins
+      * dwarf quantization error). None for non-AVI payloads. */
+    def videoFeatures(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val frames = aviFrames(content)
+      if (frames.isEmpty) return None
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val f = frames((d / 64) % frames.length)
+        aHash(f) match {
+          case Some(hsh) => out(d) = if (((hsh >> (63 - (d % 64))) & 1L) == 1L) 1f else 0f
+          case None => return None
+        }
+        d += 1
+      }
+      Some(out)
+    }
+
+    // ---- fallback (compressed audio / unknown: NOT decodable here) ----
 
     /** Deterministic stand-in features for payloads no installed codec can
       * decode (video, compressed audio): dim floats derived from a rolling
@@ -341,11 +507,12 @@ object Multimodal {
       out
     }
 
-    /** Feature dispatch: real image decode, else real WAV decode, else the
-      * hash stand-in. */
+    /** Feature dispatch: real image decode, else real WAV decode, else real
+      * MJPEG-AVI decode, else the hash stand-in. */
     def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] =
       imageFeatures(content, dim)
         .orElse(wavFeatures(content, dim))
+        .orElse(videoFeatures(content, dim))
         .getOrElse(hashFeatures(content, dim))
 
     /** Resize dispatch: real image thumbnail (4×4 block-mean PNG by
@@ -354,9 +521,16 @@ object Multimodal {
         thumbW: Int = 4, thumbH: Int = 4): Array[Byte] =
       resizeImage(content, thumbW, thumbH).getOrElse(content.take(maxBytes))
 
-    /** Stub frame sampling: n evenly-spaced byte slices ("frames") — the
-      * video-decode boundary (no ffmpeg in this container). */
+    /** Frame sampling: REAL for MJPEG-AVI payloads — n evenly-spaced
+      * decoded-container frames (each a standalone JPEG); the byte-slice
+      * stand-in remains only for formats the JDK cannot open (no ffmpeg
+      * in this container — that boundary stays documented). */
     def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val frames = aviFrames(content)
+      if (frames.nonEmpty) {
+        val take = math.min(n, frames.size)
+        return (0 until take).map(i => frames(i * frames.size / take))
+      }
       if (content.isEmpty) return Seq.empty
       val step = math.max(1, content.length / n)
       (0 until math.min(n, content.length)).map { i =>
@@ -371,9 +545,10 @@ object Multimodal {
     * PNG (quadrant q channel values are pure functions of doc_id, so a
     * SQL oracle can predict the decoded pixel statistics), audio rows an
     * actual WAV (12 constant-amplitude windows × 250 samples, 8 kHz PCM16
-    * — window RMS equals the amplitude), video rows the raw text bytes
-    * (the undecodable-payload case). MediaMeta comes from header-parsing
-    * the generated bytes — the parser is exercised at synthesis time. */
+    * — window RMS equals the amplitude), video rows an actual 4-frame
+    * MJPEG AVI (DCT-block-aligned quadrant grays — see the case below).
+    * MediaMeta comes from header-parsing the generated bytes — every
+    * parser is exercised at synthesis time. */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -411,8 +586,34 @@ object Multimodal {
           val (mime, ms) = Codecs.wavMeta(bytes).getOrElse(("audio/unknown", 0L))
           MediaRecord(id, "audio", bytes, MediaMeta(mime, 0, 0, ms))
         case _ =>
-          MediaRecord(id, "video", text.getBytes("UTF-8"),
-            MediaMeta("application/octet-stream", 0, 0, 0L))
+          // REAL video payload: a 4-frame 16×16 grayscale MJPEG AVI whose
+          // quadrant grays are pure functions of (doc_id, frame) drawn from
+          // {40, 90, 160, 220} — each constant-gray 8×8 quadrant aligns
+          // exactly with one JPEG DCT block, so the lossy round-trip is
+          // DC-only and every aHash threshold margin (≥ 32 gray levels)
+          // dwarfs quantization error: the oracle re-derives the per-frame
+          // hashes arithmetically, proving container walk + JPEG decode
+          val grays = Array(40, 90, 160, 220)
+          val frames = (0 until 4).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val q = (y / 8) * 2 + (x / 8)
+                val g = grays(((id + f + q) % 4).toInt)
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          val bytes = Codecs.encodeAviMjpeg(frames, fps = 8)
+          val (mime, w, h, ms) = Codecs.aviMeta(bytes)
+            .getOrElse(("video/unknown", 0, 0, 0L))
+          MediaRecord(id, "video", bytes, MediaMeta(mime, w, h, ms))
       }
     }.toDF()
   }
@@ -440,6 +641,21 @@ object Multimodal {
       Codecs.sampleFrames(m.content, framesPerVideo).zipWithIndex.map {
         case (bytes, i) => MediaFrame(m.media_id, i, bytes)
       }
+    }
+  }
+
+  case class FrameHash(media_id: Long, frame_idx: Int, ahash: Long)
+
+  /** Per-frame perceptual hashes for video media: REAL container walk +
+    * JPEG decode per frame, then the same [[Codecs.aHash]] the image
+    * pipeline uses — video near-dup mining reuses the identical banded
+    * Hamming machinery ([[imageNearDupPairs]]) over (media_id, frame) keys.
+    * Narrow codec-boundary mapPartitions; downstream joins are ints. */
+  def videoFrameHashes(media: DataFrame, framesPerVideo: Int = 4): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleVideoFrames(media, framesPerVideo).flatMap { f =>
+      Codecs.aHash(f.frame).map(h => FrameHash(f.media_id, f.frame_idx, h))
     }
   }
 

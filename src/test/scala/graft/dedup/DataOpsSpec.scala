@@ -344,7 +344,7 @@ class DataOpsSpec extends SparkSpec {
     nearInputs.exists(_.contains("band_index")) shouldBe true
   }
 
-  test("multimodal: real PNG/WAV codecs round-trip; video stays the documented stub") {
+  test("multimodal: real PNG/WAV/MJPEG-AVI codecs round-trip") {
     val media = Multimodal.synthesize(docs)
     media.count() shouldBe 6
     val byId = media.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
@@ -380,7 +380,37 @@ class DataOpsSpec extends SparkSpec {
     for (w <- 0 until 12)
       feats(1L).feature(w) shouldBe
         (math.abs((1L * 37 + w * 101) % 30000 - 15000) / 32768.0).toFloat
-    feats(2L).feature.length shouldBe 12 // video: deterministic stub
+    // video leg (doc_id % 3 == 2): REAL RIFF/AVI bytes, header-parsed meta
+    val avi = byId(2L)
+    avi.getAs[String]("kind") shouldBe "video"
+    val vmeta = avi.getStruct(avi.fieldIndex("meta"))
+    vmeta.getAs[String]("mime") shouldBe "video/avi"
+    vmeta.getAs[Int]("width") shouldBe 16
+    vmeta.getAs[Long]("durationMs") shouldBe 500L
+    val aviBytes = avi.getAs[Array[Byte]]("content")
+    new String(aviBytes.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(aviBytes.slice(8, 12), "US-ASCII") shouldBe "AVI "
+    // the container walk yields 4 standalone JPEGs the JDK codec decodes
+    val vFrames = Multimodal.Codecs.aviFrames(aviBytes)
+    vFrames.size shouldBe 4
+    vFrames.foreach { j =>
+      (j(0) & 0xff, j(1) & 0xff) shouldBe ((0xff, 0xd8)) // JPEG SOI
+      Multimodal.Codecs.decodeImage(j).get.getWidth shouldBe 16
+    }
+    // per-frame aHash matches the arithmetic model (DCT-aligned quadrants:
+    // bit(q) = gray(q) >= 128, rows 0-3 from q0/q1, rows 4-7 from q2/q3)
+    val grays = Array(40, 90, 160, 220)
+    for (f <- 0 until 4) {
+      def bit(q: Int): Boolean = grays(((2 + f + q) % 4)) >= 128
+      def rowByte(a: Boolean, b: Boolean): Long =
+        (if (a) 0xf0L else 0L) | (if (b) 0x0fL else 0L)
+      val expected = (0 until 8).foldLeft(0L)((acc, row) =>
+        (acc << 8) | (if (row < 4) rowByte(bit(0), bit(1)) else rowByte(bit(2), bit(3))))
+      Multimodal.Codecs.aHash(vFrames(f)) shouldBe Some(expected)
+    }
+    // video features are the leading aHash bits as 0/1 floats (exact)
+    feats(2L).feature.length shouldBe 12
+    feats(2L).feature.foreach(v => Set(0f, 1f) should contain(v))
     feats(2L).featureNorm should be >= 0.0
 
     // thumbnails: image rows re-decode as a REAL 4x4 PNG whose top-left

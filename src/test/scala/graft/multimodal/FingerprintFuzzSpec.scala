@@ -95,6 +95,44 @@ class FingerprintFuzzSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- video (MJPEG/AVI)
+
+  test("MJPEG-AVI round-trip: random quadrant permutations match the aHash model per frame") {
+    val rnd = new scala.util.Random(0x51DE0L)
+    val grays = Array(40, 90, 160, 220)
+    for (trial <- 0 until 12) {
+      val nFrames = 1 + rnd.nextInt(6)
+      val perms = Seq.fill(nFrames)(rnd.shuffle(grays.toList))
+      val frames = perms.map { p =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val g = p((y / 8) * 2 + (x / 8))
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        img
+      }
+      val fps = 1 + rnd.nextInt(30)
+      val avi = Codecs.encodeAviMjpeg(frames, fps)
+      withClue(s"trial $trial (frames=$nFrames fps=$fps): ") {
+        Codecs.aviMeta(avi) shouldBe
+          Some(("video/avi", 16, 16, nFrames.toLong * (1000000 / fps) / 1000L))
+        val decoded = Codecs.aviFrames(avi)
+        decoded.size shouldBe nFrames
+        decoded.zip(perms).foreach { case (j, p) =>
+          // model: 8 block-rows; rows 0-3 carry quadrants 0/1, 4-7 carry 2/3
+          def bit(q: Int): Boolean = p(q) >= 128
+          def rowByte(a: Boolean, b: Boolean): Long =
+            (if (a) 0xf0L else 0L) | (if (b) 0x0fL else 0L)
+          val expected = (0 until 8).foldLeft(0L)((acc, row) =>
+            (acc << 8) | (if (row < 4) rowByte(bit(0), bit(1))
+                          else rowByte(bit(2), bit(3))))
+          Codecs.aHash(j) shouldBe Some(expected)
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------- banding recall
 
   test("banded mining finds EVERY pair within Hamming 7; an 8-bit evader can slip") {
