@@ -15,7 +15,8 @@ import scala.jdk.CollectionConverters._
   * Two production roles:
   *   - the reference implementation an S3/GCS/ADLS store is written
   *     against (swap the map operations for the corresponding object-store
-  *     calls — the CAS row is the conditional PUT);
+  *     calls — the CAS row is the conditional PUT); [[S3LogStore]] is that
+  *     store, written over the four-call [[S3ObjectClient]] seam;
   *   - a real in-process store for ephemeral tables (tests, scratch
   *     pipelines) whose LOG should never touch disk. Data files are
   *     written by Spark wherever the table's `dir` points; only the

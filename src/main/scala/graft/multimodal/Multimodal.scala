@@ -424,6 +424,7 @@ object Multimodal {
         var i = 12
         while (i + 8 <= content.length) {
           val id = fourccAt(content, i); val sz = le32At(content, i + 4)
+          if (sz < 0) return None // corrupt size would walk backwards
           if (id == "LIST" && fourccAt(content, i + 8) == "hdrl") {
             val a = i + 12
             if (fourccAt(content, a) == "avih") {
@@ -448,12 +449,14 @@ object Multimodal {
         var i = 12
         while (i + 8 <= content.length) {
           val id = fourccAt(content, i); val sz = le32At(content, i + 4)
+          if (sz < 0) return Seq.empty // corrupt size would walk backwards
           if (id == "LIST" && fourccAt(content, i + 8) == "movi") {
             val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
             var j = i + 12
-            val end = i + 8 + sz
+            val end = math.min(i + 8 + sz, content.length)
             while (j + 8 <= end) {
               val cid = fourccAt(content, j); val csz = le32At(content, j + 4)
+              if (csz < 0 || j + 8 + csz > end) return out.toSeq // corrupt chunk
               if (cid.endsWith("dc") || cid.endsWith("db"))
                 out += java.util.Arrays.copyOfRange(content, j + 8, j + 8 + csz)
               j += 8 + csz + (csz % 2)

@@ -133,6 +133,37 @@ class FingerprintFuzzSpec extends SparkSpec {
     }
   }
 
+  test("AVI parsers never throw on corrupted, truncated, or random payloads") {
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val valid = Codecs.encodeAviMjpeg(Seq(img, img), fps = 8)
+    for (trial <- 0 until 60) {
+      val payload = trial % 3 match {
+        case 0 => // random bytes (often with a RIFF prefix to get past the gate)
+          val b = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+          if (b.length >= 12 && rnd.nextBoolean()) {
+            "RIFF".getBytes.copyToArray(b, 0); "AVI ".getBytes.copyToArray(b, 8)
+          }
+          b
+        case 1 => valid.take(rnd.nextInt(valid.length + 1)) // truncation
+        case 2 => // bit flips inside a valid file (sizes, fourccs, payloads)
+          val b = valid.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            val i = rnd.nextInt(b.length)
+            b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          b
+      }
+      withClue(s"trial $trial: ") {
+        noException should be thrownBy Codecs.aviMeta(payload)
+        noException should be thrownBy Codecs.aviFrames(payload)
+        noException should be thrownBy Codecs.videoFeatures(payload, 12)
+        noException should be thrownBy Codecs.sampleFrames(payload, 4)
+      }
+    }
+  }
+
   // ------------------------------------------------------- banding recall
 
   test("banded mining finds EVERY pair within Hamming 7; an 8-bit evader can slip") {
