@@ -80,6 +80,7 @@ object SparkEntry {
     "q78_hard_negatives" -> (DataOps.hardNegatives _),
     "q91_hard_negatives_pruned" -> (DataOps.hardNegativesPruned _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
+    "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),
     "q81_normalized_dedup" -> (DataOps.normalizedDedup _),
     "q82_corpus_stats" -> (DataOps.corpusStats _),

@@ -390,6 +390,35 @@ object DataOps {
       emb.filter(col("vec_id") >= 60 && col("vec_id") < 70), k = 5)
   }
 
+  /** μ-law fingerprint gate (q93): COMPRESSED audio decoded for real —
+    * G.711 μ-law WAVs (format tag 7, the telephony codec) decode through
+    * the JDK's own ULAW converter, whose table is exactly the closed-form
+    * G.711 expansion; the oracle replays that formula arithmetically per
+    * (doc_id, window), so a pass proves container parse + μ-law expansion
+    * + energy thresholding bit-for-bit. 8 windows × 100 samples, each
+    * window one constant μ-law byte. */
+  def ulawFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1).select("doc_id").as[Long]
+      .map { id =>
+        val ulaw = new Array[Byte](8 * 100)
+        var w = 0
+        while (w < 8) {
+          val b = ((id * 31 + w * 47) % 256).toByte
+          var i = 0
+          while (i < 100) { ulaw(w * 100 + i) = b; i += 1 }
+          w += 1
+        }
+        val bytes = Multimodal.Codecs.encodeWavUlaw(ulaw, 8000f)
+        Multimodal.MediaRecord(id, "audio", bytes,
+          Multimodal.MediaMeta("audio/wav", 0, 0, 100L))
+      }.toDF()
+    Multimodal.audioHashes(media, windows = 8).toDF()
+      .select(col("media_id"), col("ahash"))
+      .orderBy("media_id")
+  }
+
   /** Video fingerprint gate (q92): every synthetic MJPEG AVI decoded
     * through the REAL RIFF-container walk + JDK JPEG codec, one aHash per
     * sampled frame. The oracle re-derives all 4 frame hashes arithmetically
@@ -1096,6 +1125,23 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    "q93_ulaw_fingerprint" ->
+      """WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         w AS (SELECT doc_id, u FROM aud, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS t(u)),
+         -- G.711 mu-law expansion, closed form (the JDK table is exactly this)
+         d AS (SELECT doc_id, u,
+             255 - CAST((doc_id * 31 + u * 47) % 256 AS INT) AS uinv FROM w),
+         l AS (SELECT doc_id, u,
+             (CASE WHEN uinv >= 128 THEN -1 ELSE 1 END) *
+               ((((uinv % 16) * 8 + 132) << ((uinv // 16) % 8)) - 132) AS lin
+           FROM d),
+         e AS (SELECT doc_id, u, CAST(lin AS BIGINT) * lin AS esq FROM l),
+         s AS (SELECT doc_id, SUM(esq) AS tot FROM e GROUP BY doc_id),
+         h AS (SELECT e.doc_id AS media_id,
+             CAST(SUM(CASE WHEN e.esq * 8 >= s.tot THEN 1 << (7 - e.u) ELSE 0 END)
+               AS BIGINT) AS ahash
+           FROM e JOIN s ON e.doc_id = s.doc_id GROUP BY e.doc_id)
+         SELECT media_id, ahash FROM h ORDER BY media_id""",
     "q92_video_fingerprint" ->
       """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
          fr AS (SELECT doc_id, f FROM v, (VALUES (0),(1),(2),(3)) AS t(f)),

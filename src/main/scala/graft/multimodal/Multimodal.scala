@@ -213,6 +213,40 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode raw G.711 μ-law bytes as a WAV (format tag 7) — the
+      * ubiquitous telephony codec, and a COMPRESSED encoding the JDK can
+      * both container-write and decode. */
+    def encodeWavUlaw(ulaw: Array[Byte], sampleRate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        sampleRate, 8, 1, 1, sampleRate, false)
+      val bos = new ByteArrayOutputStream()
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(ulaw), fmt, ulaw.length.toLong)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** View a decoded audio stream as 16-bit signed PCM: already-PCM16
+      * streams pass through; G.711 μ-law/A-law streams convert through the
+      * JDK's REAL codec (whose table is exactly the closed-form G.711
+      * decode — what makes the μ-law gates arithmetically replayable).
+      * Other encodings are not decodable here. */
+    private def asPcm16(ais: javax.sound.sampled.AudioInputStream)
+        : Option[javax.sound.sampled.AudioInputStream] = {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16) Some(ais)
+      else if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.ALAW)
+        Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new javax.sound.sampled.AudioFormat(
+            fmt.getSampleRate, 16, fmt.getChannels, true, false), ais))
+      else None
+    }
+
     /** Header-only parse: (mime, durationMs). */
     def wavMeta(content: Array[Byte]): Option[(String, Long)] =
       try {
@@ -230,14 +264,12 @@ object Multimodal {
       * amplitude windows reproduce bit-for-bit in an external oracle. */
     def wavFeatures(content: Array[Byte], dim: Int): Option[Array[Float]] =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(content))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 ||
-              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            None
-          else {
+        try asPcm16(src) match {
+          case None => None
+          case Some(ais) =>
+            val fmt = ais.getFormat
             val raw = ais.readAllBytes()
             val n = raw.length / 2
             val out = new Array[Float](dim)
@@ -264,8 +296,7 @@ object Multimodal {
               }
               Some(out)
             }
-          }
-        } finally ais.close()
+        } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Audio energy fingerprint: split the PCM sample stream into
@@ -279,14 +310,12 @@ object Multimodal {
       * small-Hamming fingerprints. None for undecodable payloads. */
     def audioHash(content: Array[Byte], windows: Int = 16): Option[Long] =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(content))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 ||
-              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            None
-          else {
+        try asPcm16(src) match {
+          case None => None
+          case Some(ais) =>
+            val fmt = ais.getFormat
             val raw = ais.readAllBytes()
             val n = raw.length / 2
             if (n == 0) return Some(0L)
@@ -321,8 +350,7 @@ object Multimodal {
               b += 1
             }
             Some(hash)
-          }
-        } finally ais.close()
+        } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
     // ---- video (real: MJPEG-in-AVI — RIFF container + JDK JPEG codec) ----

@@ -95,6 +95,30 @@ class FingerprintFuzzSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- audio (G.711 μ-law)
+
+  /** Closed-form G.711 μ-law expansion — the independent model the JDK's
+    * ULAW converter must match byte-for-byte. */
+  private def g711(u: Int): Int = {
+    val uInv = ~u & 0xff
+    val mag = ((((uInv & 0xf) << 3) + 0x84) << ((uInv >> 4) & 7)) - 0x84
+    if ((uInv & 0x80) != 0) -mag else mag
+  }
+
+  test("audioHash of random mu-law WAVs matches the G.711 formula model, any length") {
+    val rnd = new scala.util.Random(0x6711L)
+    for (trial <- 0 until 30) {
+      val windows = Seq(8, 12, 16)(trial % 3)
+      val n = 1 + rnd.nextInt(300) // deliberately not window-aligned
+      val ulaw = Array.fill(n)(rnd.nextInt(256).toByte)
+      val wav = Codecs.encodeWavUlaw(ulaw, 8000f)
+      val samples = ulaw.map(b => g711(b & 0xff).toShort)
+      withClue(s"trial $trial (n=$n windows=$windows): ") {
+        Codecs.audioHash(wav, windows) shouldBe Some(modelAudioHash(samples, windows))
+      }
+    }
+  }
+
   // --------------------------------------------------- video (MJPEG/AVI)
 
   test("MJPEG-AVI round-trip: random quadrant permutations match the aHash model per frame") {
