@@ -119,6 +119,35 @@ class FingerprintFuzzSpec extends SparkSpec {
     }
   }
 
+  /** Closed-form G.711 A-law expansion in the JDK's sign convention
+    * (bit 7 of the toggled byte CLEAR → negative). */
+  private def g711a(a: Int): Int = {
+    val ai = (a ^ 0x55) & 0xff
+    val exp = (ai >> 4) & 7
+    val man = ai & 0xf
+    val mag = if (exp == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (exp - 1)
+    if ((ai & 0x80) != 0) mag else -mag
+  }
+
+  test("audioHash of random A-law WAVs matches the G.711 A-law formula model") {
+    val rnd = new scala.util.Random(0xA1A3L)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(300)
+      val alaw = Array.fill(n)(rnd.nextInt(256).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(alaw), fmt, n.toLong)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val samples = alaw.map(b => g711a(b & 0xff).toShort)
+      withClue(s"trial $trial (n=$n): ") {
+        Codecs.audioHash(bos.toByteArray, 12) shouldBe Some(modelAudioHash(samples, 12))
+      }
+    }
+  }
+
   // --------------------------------------------------- video (MJPEG/AVI)
 
   test("MJPEG-AVI round-trip: random quadrant permutations match the aHash model per frame") {
