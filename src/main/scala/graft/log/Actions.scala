@@ -32,6 +32,15 @@ case class ColStats(min: String, max: String, nullCount: Long)
   * ZORDER/CLUSTER BY and clustered ingest, which lets a later OPTIMIZE
   * skip files already in curve order for the same column set (incremental
   * clustering). Null/absent on files from older versions and plain writes. */
+/** `baseRowId`/`defaultRowCommitVersion` (row tracking, the Delta feature
+  * of the same name): the file's rows carry stable ids `baseRowId + i`
+  * (i = physical row index) unless the file MATERIALIZES ids in its own
+  * columns (rewrites preserve ids that way — see
+  * [[graft.table.RowTrackingSupport]]); `defaultRowCommitVersion` is the
+  * commit that produced the file, the default "row last changed at"
+  * version for rows without a materialized one. Null on files written
+  * before row tracking was enabled (the enable commit backfills by
+  * re-emitting them — metadata-only, no data rewrite). */
 case class AddFile(
     path: String, // relative to table root
     partitionValues: Map[String, String],
@@ -40,7 +49,9 @@ case class AddFile(
     stats: Map[String, ColStats],
     modificationTime: Long,
     bloom: Map[String, String] = null,
-    tags: Map[String, String] = null) extends Action {
+    tags: Map[String, String] = null,
+    baseRowId: java.lang.Long = null,
+    defaultRowCommitVersion: java.lang.Long = null) extends Action {
   def tag(key: String): Option[String] = Option(tags).flatMap(_.get(key))
 }
 
@@ -129,7 +140,8 @@ object Protocol {
     Set("deletionVectors", "columnMapping", "changeDataFeed", "timeTravel")
   val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++ Set("generatedColumns", "identityColumns",
-      "checkConstraints", "defaultColumns", "clustering", "bloomFilters")
+      "checkConstraints", "defaultColumns", "clustering", "bloomFilters",
+      "rowTracking", "domainMetadata")
 
   /** Merge two protocols: max versions, union of named features (the CLONE
     * / upgrade composition rule — capabilities only ever accumulate). */
@@ -145,6 +157,19 @@ object Protocol {
       union(a.writerFeatures, b.writerFeatures))
   }
 }
+
+/** Named per-domain table state outside the schema/properties (the Delta
+  * protocol's domainMetadata action): `domain` → an opaque `config` JSON
+  * string, replaced wholesale by the latest action for the domain;
+  * `removed = true` deletes it. Today's single producer is row tracking,
+  * whose `graft.rowTracking` domain persists the row-id high-water mark —
+  * it must survive REMOVEs of the files that consumed the ids (ids are
+  * never reused), which is exactly why it cannot be derived from the live
+  * file list and needs commit-level state of its own. */
+case class DomainMetadata(
+    domain: String,
+    config: String,
+    removed: Boolean = false) extends Action
 
 /** Checkpoint self-validation header (always the checkpoint's FIRST line):
   * `numActions` = how many action lines follow. A checkpoint prefix cut
@@ -163,7 +188,8 @@ private[log] case class ActionEnvelope(
     cdf: CdfFile = null,
     deletionVector: DeletionVector = null,
     protocol: Protocol = null,
-    checkpointMeta: CheckpointMeta = null)
+    checkpointMeta: CheckpointMeta = null,
+    domainMetadata: DomainMetadata = null)
 
 object Actions {
   private val mapper: ObjectMapper = {
@@ -186,6 +212,7 @@ object Actions {
     case x: DeletionVector => mapper.writeValueAsString(ActionEnvelope(deletionVector = x))
     case x: Protocol   => mapper.writeValueAsString(ActionEnvelope(protocol = x))
     case x: CheckpointMeta => mapper.writeValueAsString(ActionEnvelope(checkpointMeta = x))
+    case x: DomainMetadata => mapper.writeValueAsString(ActionEnvelope(domainMetadata = x))
   }
 
   def fromJson(line: String): Action = {
@@ -208,6 +235,7 @@ object Actions {
           if (p.writerFeatures == null || p.writerFeatures.isEmpty) null else p.writerFeatures)
     }
     else if (e.checkpointMeta != null) e.checkpointMeta
+    else if (e.domainMetadata != null) e.domainMetadata
     else throw new IllegalArgumentException(s"unrecognized action: $line")
   }
 }

@@ -13,7 +13,8 @@ case class Snapshot(
     files: Seq[AddFile],
     commits: Seq[CommitInfo],
     dvs: Map[String, DeletionVector] = Map.empty,
-    protocol: Protocol = Protocol.Current) {
+    protocol: Protocol = Protocol.Current,
+    domains: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(metadata.schemaJson).asInstanceOf[StructType]
   def numFiles: Int = files.size
   def sizeInBytes: Long = files.map(_.size).sum
@@ -171,7 +172,9 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
     val actions: Seq[Action] =
-      Seq(snap.protocol, snap.metadata) ++ (snap.commits ++ snap.files ++ snap.dvs.values)
+      Seq(snap.protocol, snap.metadata) ++
+        snap.domains.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadata(d, c) } ++
+        (snap.commits ++ snap.files ++ snap.dvs.values)
     // self-validation header first: reads reject any checkpoint whose line
     // count disagrees (a prefix cut at a line boundary parses cleanly but
     // is incomplete — the count is what catches it)
@@ -194,6 +197,9 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DeletionVector]
     val commits = scala.collection.mutable.ArrayBuffer.empty[CommitInfo]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def applyDomain(d: DomainMetadata): Unit =
+      if (d.removed) domains.remove(d.domain): Unit else domains(d.domain) = d.config
     def applyDv(d: DeletionVector): Unit =
       if (d.dvPath == null || d.dvPath.isEmpty) dvs.remove(d.forFile): Unit
       else dvs(d.forFile) = d
@@ -225,6 +231,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case c: CommitInfo      => commits += c
         case d: DeletionVector  => applyDv(d)
         case p: Protocol        => proto = p
+        case d: DomainMetadata  => applyDomain(d)
         case _                  =>
       }
     }
@@ -236,6 +243,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case c: CommitInfo     => commits += c
         case d: DeletionVector => applyDv(d)
         case p: Protocol       => proto = p
+        case d: DomainMetadata => applyDomain(d)
         case _: CdfFile        => // only consumed by cdf scans
         case _: CheckpointMeta => // checkpoint-file header, never in commits
       }
@@ -252,7 +260,8 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       throw new IllegalStateException(
         s"table $tableDir requires reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")} " +
           "this engine does not implement — upgrade the library")
-    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap, proto)
+    Snapshot(upTo, meta, live.values.toSeq, commits.toSeq, dvs.toMap, proto,
+      domains.toMap)
   }
 
   /** Latest version whose commit timestamp <= ts (time travel by timestamp,

@@ -33,7 +33,8 @@ import graft.log._
   */
 class LakeTable private[table] (
     val spark: SparkSession,
-    val dir: Path) extends DmlSupport with MaintenanceSupport with CdfSupport {
+    val dir: Path) extends DmlSupport with MaintenanceSupport with CdfSupport
+    with RowTrackingSupport {
 
   val log = new TxLog(dir)
 
@@ -1045,7 +1046,18 @@ class LakeTable private[table] (
         throw new IllegalStateException(
           s"table $dir requires writer feature(s) ${unknownWriter.toSeq.sorted.mkString(", ")} " +
             "this engine does not implement — upgrade the library")
-      val actions = build(snap)
+      val built = build(snap)
+      // Row tracking rides every commit through this one choke point:
+      // fresh AddFiles get id ranges from the persisted high-water mark,
+      // preserved ones (RESTORE/CLONE re-adds) only advance it, and
+      // the first enabled commit backfills pre-tracking files by
+      // re-emitting their AddFile actions (metadata-only). Runs per CAS
+      // attempt, so a lost race re-assigns against the fresh snapshot.
+      val rtProps = built.collectFirst { case m: graft.log.Metadata => m.properties }
+        .getOrElse(snap.metadata.properties)
+      val actions =
+        if (rowTrackingOn(rtProps)) RowTracking.assign(snap, built, snap.version + 1)
+        else built
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
       val autoMetrics = Map(
@@ -1250,7 +1262,7 @@ class LakeTable private[table] (
     require(pcols.nonEmpty,
       s"SHOW PARTITIONS is not allowed on a table that is not partitioned: $dir")
     val rows = snap.files.groupBy(_.partitionValues).toSeq
-      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(c, "")).mkString(" ") }
+      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(c, "")).mkString("\u0000") }
       .map { case (pv, fs) =>
         Row.fromSeq(pcols.map(c => pv.getOrElse(c, null)) ++ Seq(
           fs.size.toLong,
@@ -1613,9 +1625,14 @@ class LakeTable private[table] (
     // current: max versions, union of named features) — cloning a
     // protocol-upgraded table must not downgrade its gate, same as Delta.
     val cloneProto = graft.log.Protocol.merge(snap.protocol, graft.log.Protocol.Current)
+    // domain state rides along (the row-id high-water mark in particular:
+    // cloned AddFiles keep their baseRowIds, so the clone must inherit the
+    // mark that makes future allocations collision-free)
+    val domainActions: Seq[Action] =
+      snap.domains.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadata(d, c) }
     val tlog = new TxLog(tgt)
     require(tlog.tryCommit(0L,
-      (ci +: cloneProto +: meta +: adds) ++ dvActions),
+      (ci +: cloneProto +: meta +: adds) ++ domainActions ++ dvActions),
       s"concurrent clone into $targetDir")
     new LakeTable(spark, tgt)
   }
@@ -1646,7 +1663,13 @@ object LakeTable {
       if (props.keys.exists(_.startsWith("graft.generated.")))
         Some("generatedColumns") else None,
       if (props.keys.exists(_.startsWith("graft.identity.")))
-        Some("identityColumns") else None).flatten
+        Some("identityColumns") else None,
+      // row tracking persists its id high-water mark in domain metadata,
+      // so enabling it demands BOTH writer features (Delta's dependency)
+      if (props.get("graft.enableRowTracking").contains("true"))
+        Some("rowTracking") else None,
+      if (props.get("graft.enableRowTracking").contains("true"))
+        Some("domainMetadata") else None).flatten
     graft.log.Protocol(
       graft.log.Protocol.SupportedReader, graft.log.Protocol.SupportedWriter,
       readerFeatures = if (dv) Seq("deletionVectors") else null,

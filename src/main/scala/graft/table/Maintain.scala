@@ -16,6 +16,19 @@ import graft.log._
   */
 trait MaintenanceSupport { self: LakeTable =>
 
+  /** Maintenance read: the three rewrites here (compact / cluster / purge)
+    * are data-identical, so under row tracking they read with each row's
+    * id and commit-version MATERIALIZED as physical parquet columns — the
+    * rewritten files carry row identity forward and a compaction does not
+    * disturb `_row_id` (the Delta rowTracking preservation rule). Plain
+    * masked read otherwise. */
+  private def rewriteRead(snap: graft.log.Snapshot, files: Seq[AddFile]): DataFrame =
+    if (rowTrackingOn(snap.metadata.properties) && files.forall(_.baseRowId != null))
+      resolveRowIds(snap, files)
+        .withColumnRenamed("_row_id", RowTracking.MatRowId)
+        .withColumnRenamed("_row_commit_version", RowTracking.MatRcv)
+    else readFilesMasked(snap, files, snap.schema)
+
   /** Bin-pack files smaller than `targetFileSize` into ~target-sized files.
     * One distributed job: small files are read together and repartitioned on
     * the partition columns so each output task writes into few hive dirs. */
@@ -36,7 +49,7 @@ trait MaintenanceSupport { self: LakeTable =>
     if (doomed.isEmpty) return snap.version
     val totalBytes = doomed.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
-    val df = readFilesMasked(snap, doomed, snap.schema)
+    val df = rewriteRead(snap, doomed)
     val pcols = snap.metadata.partitionColumns
     val packed =
       if (pcols.nonEmpty) df.repartition(n, pcols.map(col): _*)
@@ -101,7 +114,7 @@ trait MaintenanceSupport { self: LakeTable =>
     // layout is still valid, so DVs don't force a rewrite here
     val scoped = if (full) inScope else inScope.filter(!_.tag("clusteredBy").contains(tag))
     if (scoped.isEmpty) return snap.version
-    val df = readFilesMasked(snap, scoped, snap.schema)
+    val df = rewriteRead(snap, scoped)
     val typed = cols.map(c => col(c) -> snap.schema(c).dataType)
     val key = if (curve == "hilbert") ZOrder.hvalue(df, typed) else ZOrder.zvalue(df, typed)
     val totalBytes = scoped.map(_.size).sum
@@ -239,7 +252,7 @@ trait MaintenanceSupport { self: LakeTable =>
       }
     }
     if (doomed.isEmpty) return snap.version
-    val df = readFilesMasked(snap, doomed, snap.schema)
+    val df = rewriteRead(snap, doomed)
     val totalBytes = doomed.map(_.size).sum
     val n = math.max(1, (totalBytes.toDouble / targetFileSize).ceil.toInt)
     val pcols = snap.metadata.partitionColumns
