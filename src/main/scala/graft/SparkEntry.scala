@@ -46,6 +46,7 @@ object SparkEntry {
     "q16_zorder_identity" -> (TableOps.zorderIdentity _),
     "q70_hilbert_identity" -> (TableOps.hilbertIdentity _),
     "q76_cluster_incremental" -> (TableOps.clusterIncremental _),
+    "q94_row_tracking" -> (TableOps.rowTracking _),
     "q79_stream_dedup_ingest" -> (MetaOps.streamDedupIngest _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),

@@ -266,12 +266,48 @@ object TableOps {
       .orderBy("o_orderkey")
   }
 
+  /** Row tracking end-to-end (q94, the Delta rowTracking feature): two
+    * deterministic single-file appends (evens then odds, each sorted by
+    * doc_id) make id assignment arithmetically replayable — `_row_id` =
+    * row_number over (doc_id % 2, doc_id) − 1 and `_row_commit_version`
+    * = the producing append's version — then OPTIMIZE must preserve both
+    * through the rewrite (materialized columns) and a DV DELETE must
+    * drop rows without moving any survivor's id. The oracle recomputes
+    * all of it from the source parquet, so the gate proves assignment
+    * order, high-water-mark continuation across commits, materialization,
+    * and DV stability bit-for-bit. */
+  def rowTracking(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val t = LakeTable.create(spark, scratch("rowtrack"), docs.schema,
+      properties = Map(
+        "graft.enableRowTracking" -> "true",
+        "graft.enableDeletionVectors" -> "true"), ifNotExists = false)
+    t.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id")) // v1: ids 0..nEven-1
+    t.append(docs.filter(col("doc_id") % 2 === 1)
+      .repartition(1).sortWithinPartitions("doc_id")) // v2: continues
+    t.optimizeCompact() // materializes ids; must be an identity on them
+    t.delete(col("doc_id") % 7 === 0) // DV mask — survivor ids untouched
+    t.withRowIds().select(col("_row_id"), col("_row_commit_version"),
+      col("doc_id"), col("source"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val ordersCols =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "q94_row_tracking" ->
+      """WITH ids AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (ORDER BY doc_id % 2, doc_id) - 1
+                       AS BIGINT) AS _row_id,
+                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                       AS BIGINT) AS _row_commit_version
+           FROM documents)
+         SELECT _row_id, _row_commit_version, doc_id, source
+         FROM ids WHERE doc_id % 7 <> 0""",
     "q54_bloom_lookup" ->
       """SELECT * FROM orders WHERE o_orderkey IN (32, 4000, 9988, 14977)
          ORDER BY o_orderkey""",
