@@ -48,8 +48,19 @@ trait DmlSupport { self: LakeTable =>
     // LakeTable.onStreamExecutionThread); recount narrowly there instead.
     val observable = !LakeTable.onStreamExecutionThread
     val obs = org.apache.spark.sql.Observation()
-    val observed = if (!observable) touchedDf else touchedDf.observe(obs,
+    // row tracking: the rewrite reads resolved ids and writes them back as
+    // materialized columns — unmodified rows keep id AND commit version,
+    // updated rows keep id with a bumped version (null materialized value
+    // falls back to the new file's defaultRowCommitVersion = this commit)
+    val rt = rowsTracked(snap, touched)
+    val rewriteSrc =
+      if (rt) posWithRowIds(snap, touched).drop("__file", "__idx") else touchedDf
+    val observed = if (!observable) rewriteSrc else rewriteSrc.observe(obs,
       sum(when(matchPred, 1L).otherwise(0L)).as("updated"))
+    val rtExtra: Seq[Column] = if (!rt) Nil else Seq(
+      col(RowTracking.MatRowId),
+      when(matchPred, lit(null).cast(org.apache.spark.sql.types.LongType))
+        .otherwise(col(RowTracking.MatRcv)).as(RowTracking.MatRcv))
     val rewritten = observed.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
       val newVal = set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
       newVal match {
@@ -57,7 +68,7 @@ trait DmlSupport { self: LakeTable =>
           .otherwise(col(c)).as(c, snap.schema(c).metadata)
         case None => col(c)
       }
-    }: _*)
+    } ++ rtExtra: _*)
     val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
       set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
         v.cast(snap.schema(c).dataType).as(c, snap.schema(c).metadata) }
@@ -144,7 +155,13 @@ trait DmlSupport { self: LakeTable =>
     if (touched.isEmpty) return snap.version
     val touchedDf = readFilesMasked(snap, touched, snap.schema)
     val matchPred = coalesce(cond, lit(false))
-    val rewritten = touchedDf.filter(!matchPred)
+    // row tracking: survivors pass their resolved id AND commit version
+    // straight through as materialized columns — a delete never changes
+    // the rows it keeps
+    val rewriteSrc =
+      if (rowsTracked(snap, touched)) posWithRowIds(snap, touched).drop("__file", "__idx")
+      else touchedDf
+    val rewritten = rewriteSrc.filter(!matchPred)
     val sidecars = if (cdfEnabled)
       writeCdfSidecar(touchedDf.filter(matchPred).withColumn("_change_type", lit("delete")))
     else Nil
@@ -182,8 +199,16 @@ trait DmlSupport { self: LakeTable =>
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version
     val matchPred = coalesce(cond, lit(false))
-    val matched = readFilesMaskedPos(snap, touched, snap.schema).filter(matchPred)
-    val plain = matched.drop("__file", "__idx")
+    // row tracking: the masked originals' resolved ids ride into the
+    // appended post-image file as a materialized column, so an updated row
+    // KEEPS its id across the mask+append; the commit version is left to
+    // the new file's default (= this commit), which is the bump Delta makes
+    val rt = rowsTracked(snap, touched)
+    val matched =
+      (if (rt) posWithRowIds(snap, touched)
+      else readFilesMaskedPos(snap, touched, snap.schema)).filter(matchPred)
+    val plain = matched
+      .drop("__file", "__idx", RowTracking.MatRowId, RowTracking.MatRcv)
     val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
       set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
         v.cast(snap.schema(c).dataType).as(c, snap.schema(c).metadata) }
@@ -194,7 +219,10 @@ trait DmlSupport { self: LakeTable =>
       val post = plain.select(setExprs: _*).withColumn("_change_type", lit("update_postimage"))
       writeCdfSidecar(pre.unionByName(post))
     } else Nil
-    val adds = stageWrite(plain.select(setExprs: _*), snap.metadata.partitionColumns)
+    val rtExtra: Seq[Column] = if (rt) Seq(col(RowTracking.MatRowId)) else Nil
+    val adds = stageWrite(
+      matched.drop("__file", "__idx").select(setExprs ++ rtExtra: _*),
+      snap.metadata.partitionColumns)
     maskAndCommit(snap, "UPDATE", Map("predicate" -> cond.toString),
       touched, matched, adds, sidecars,
       newlyMasked => Map("numUpdatedRows" -> adds.map(_.numRecords).sum))
@@ -879,7 +907,14 @@ class MergeBuilder private[table] (
         mark("commit")
         return v
       }
-      val tgtF = table.readFilesMasked(snap, touched, schema).alias("target")
+      // row tracking: target rows carry resolved ids through the join and
+      // back out as materialized columns — updates/copies keep their id
+      // (copies keep the commit version too); inserts land with null
+      // materialized values and resolve to the new file's fresh range
+      val rt = table.rowsTracked(snap, touched)
+      val tgtF = (if (rt) table.posWithRowIds(snap, touched, schema)
+          .drop("__file", "__idx")
+        else table.readFilesMasked(snap, touched, schema)).alias("target")
       val srcF = src.withColumn("__src", lit(true)).alias("source")
       val lo = tgtF.join(srcF, condition, "left_outer")
       val matchedP = col("source.__src").isNotNull
@@ -899,14 +934,22 @@ class MergeBuilder private[table] (
             tagCountA(Seq("copy")).as("copied"))
         else keptA0)
         .filter(!col("__action").isin(deleteTagsA: _*))
-        .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol) ++
+          (if (!rt) Nil else Seq(
+            col(s"target.${RowTracking.MatRowId}").as(RowTracking.MatRowId),
+            when(col("__action") === "copy", col(s"target.${RowTracking.MatRcv}"))
+              .otherwise(lit(null)
+                .cast(org.apache.spark.sql.types.LongType))
+              .as(RowTracking.MatRcv))): _*)
 
       val (rewritten, numInserted: (() => Long)) =
         if (notMatchedClauses.isEmpty ||
             matchedSourceRows.contains(numSourceRows)) (keptA, () => 0L)
         else {
           val (keptB, inserted) = fastInsertSide()
-          (keptA.unionByName(keptB), inserted)
+          // inserts carry no materialized ids (allowMissingColumns fills
+          // null) — they resolve to the staged file's fresh base range
+          (keptA.unionByName(keptB, allowMissingColumns = true), inserted)
         }
       if (timingOn) System.err.println(rewritten.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
@@ -954,13 +997,20 @@ class MergeBuilder private[table] (
     // part that would dominate; this path never pays it.
     if (srcKeysDistinct && pureEqui && !cdfOn && dvOn &&
         notMatchedBySourceClauses.isEmpty && matchedClauses.nonEmpty) {
-      val tgtF = table.readFilesMaskedPos(snap, touched, schema).alias("target")
+      // row tracking: an updated row's resolved id rides into the appended
+      // post-image file (the mask+append analogue of the DV UPDATE path);
+      // the commit version is left to the new file's default (= this commit)
+      val rt = table.rowsTracked(snap, touched)
+      val tgtF = (if (rt) table.posWithRowIds(snap, touched, schema)
+        else table.readFilesMaskedPos(snap, touched, schema)).alias("target")
       val changed = tgtF.join(src.alias("source"), condition, "inner")
         .withColumn("__action", matchedActionCol(lit(true)))
         .filter(col("__action") =!= "copy")
         .select(schema.fieldNames.toIndexedSeq.map(matchedOutCol) ++ Seq(
           col("target.__file").as("__file"), col("target.__idx").as("__idx"),
-          col("__action")): _*)
+          col("__action")) ++
+          (if (rt) Seq(col(s"target.${RowTracking.MatRowId}")
+            .as(RowTracking.MatRowId)) else Nil): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val counts = changed.groupBy("__action").count().collect()
@@ -969,13 +1019,14 @@ class MergeBuilder private[table] (
         val numDeleted = fastDeleteTags.map(t => counts.getOrElse(t, 0L)).sum
         val updatedRows = changed.filter(col("__action").isin(fastUpdateTags: _*))
           .select(schema.fieldNames.toIndexedSeq.map(c =>
-            col(c).as(c, schema(c).metadata)): _*)
+            col(c).as(c, schema(c).metadata)) ++
+            (if (rt) Seq(col(RowTracking.MatRowId)) else Nil): _*)
         val (toWrite, numInserted: (() => Long)) =
           if (notMatchedClauses.isEmpty ||
               matchedSourceRows.contains(numSourceRows)) (updatedRows, () => 0L)
           else {
             val (keptB, inserted) = fastInsertSide()
-            (updatedRows.unionByName(keptB), inserted)
+            (updatedRows.unionByName(keptB, allowMissingColumns = true), inserted)
           }
         val adds = table.stageWrite(toWrite, snap.metadata.partitionColumns)
         mark("phase2 dv low-shuffle write")
@@ -1007,7 +1058,15 @@ class MergeBuilder private[table] (
     // (__file/__idx): matched rows are masked rather than rewritten, and
     // only updated + inserted rows are written — merge write volume becomes
     // proportional to CHANGED rows, not to the touched files' size.
-    val tgtT = (if (dvOn) table.readFilesMaskedPos(snap, touched, schema)
+    // row tracking: resolved ids ride the full-outer join as target-side
+    // columns; they are null on insert (source-only) rows, which is
+    // exactly the "resolve to the new file's fresh range" representation
+    val rtG = table.rowsTracked(snap, touched)
+    val tgtT = (if (rtG) {
+        val p = table.posWithRowIds(snap, touched, schema)
+        if (dvOn) p else p.drop("__file", "__idx")
+      }
+      else if (dvOn) table.readFilesMaskedPos(snap, touched, schema)
       else table.readFilesMasked(snap, touched, schema))
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__tgt", lit(true)).alias("target")
@@ -1142,21 +1201,31 @@ class MergeBuilder private[table] (
       val keepPred =
         if (dvOn) col("__action").isin((updateTags ++ insertTags): _*)
         else !col("__action").isin(("drop" +: deleteTags): _*)
+      // materialized-id passthrough (row tracking): updates/copies keep
+      // their id, copies alone keep the commit version, inserts stay null
+      val rtExtraG: Seq[Column] = if (!rtG) Nil else Seq(
+        col(s"target.${RowTracking.MatRowId}").as(RowTracking.MatRowId),
+        when(col("__action") === "copy", col(s"target.${RowTracking.MatRcv}"))
+          .otherwise(lit(null).cast(org.apache.spark.sql.types.LongType))
+          .as(RowTracking.MatRcv))
       val dvChanged =
         if (!dvOn) None
         else Some(actedObs
           .filter(col("__action").isin((updateTags ++ deleteTags ++ insertTags): _*))
           .select(schema.fieldNames.toIndexedSeq.map(outCol) ++ Seq(
             col("target.__file").as("__file"), col("target.__idx").as("__idx"),
-            col("__action")): _*)
+            col("__action")) ++
+            (if (rtG) Seq(col(s"target.${RowTracking.MatRowId}")
+              .as(RowTracking.MatRowId)) else Nil): _*)
           .persist(StorageLevel.MEMORY_AND_DISK))
       dvChangedRef = dvChanged
       val rewritten = dvChanged match {
         case Some(ch) => ch.filter(keepPred)
           .select(schema.fieldNames.toIndexedSeq.map(c =>
-            col(c).as(c, schema(c).metadata)): _*)
+            col(c).as(c, schema(c).metadata)) ++
+            (if (rtG) Seq(col(RowTracking.MatRowId)) else Nil): _*)
         case None => actedObs.filter(keepPred)
-          .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(outCol) ++ rtExtraG: _*)
       }
 
       val sidecars = if (!cdfOn) Nil else {

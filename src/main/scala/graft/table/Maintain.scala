@@ -23,10 +23,8 @@ trait MaintenanceSupport { self: LakeTable =>
     * disturb `_row_id` (the Delta rowTracking preservation rule). Plain
     * masked read otherwise. */
   private def rewriteRead(snap: graft.log.Snapshot, files: Seq[AddFile]): DataFrame =
-    if (rowTrackingOn(snap.metadata.properties) && files.forall(_.baseRowId != null))
-      resolveRowIds(snap, files)
-        .withColumnRenamed("_row_id", RowTracking.MatRowId)
-        .withColumnRenamed("_row_commit_version", RowTracking.MatRcv)
+    if (rowsTracked(snap, files))
+      posWithRowIds(snap, files).drop("__file", "__idx")
     else readFilesMasked(snap, files, snap.schema)
 
   /** Bin-pack files smaller than `targetFileSize` into ~target-sized files.

@@ -24,11 +24,17 @@ import graft.log._
   *    `graft.rowTracking` domain ([[graft.log.DomainMetadata]]): REMOVE of
   *    a file never frees its ids (the domain survives the files), so an id
   *    observed once can never mean a different row later.
-  *  - Deletion-vector DML leaves files in place, so row ids are stable
-  *    under DV UPDATE/DELETE by construction. Rewrite-mode DML reassigns
-  *    ids for rewritten files (fresh ids, honest `rowIdsPreserved=false`
-  *    marker in the commit) — the materialization seam is there if a
-  *    future round threads ids through those rewrites too.
+  *  - ALL DML preserves ids. DV paths mask files in place (stability by
+  *    construction; re-appended post-image rows carry their ids as
+  *    materialized columns). Rewrite paths — UPDATE, DELETE, and every
+  *    MERGE variant (low-shuffle, DV low-shuffle, general full-outer) —
+  *    read resolved ids and materialize them into the rewritten files:
+  *    updated rows keep their id with a bumped commit version, copies
+  *    keep both, inserts carry null materialized values and resolve to
+  *    the staged file's fresh base range. A file may MIX preserved and
+  *    fresh rows safely: the fallback `baseRowId + row_index` always
+  *    stays inside the file's own allocated range, so a fresh row can
+  *    never collide with a preserved id from another range.
   *
   * Scale: id assignment is pure driver arithmetic on the commit's AddFile
   * actions (O(#files), no job); the read path resolves ids from
@@ -62,14 +68,19 @@ trait RowTrackingSupport { self: LakeTable =>
     resolveRowIds(snap, snap.files)
   }
 
-  /** `files` read under `snap`'s schema + materialized-id columns, DV
-    * masks applied, with `_row_id`/`_row_commit_version` resolved
-    * (materialized wins over computed). Internal columns are dropped. */
-  private[table] def resolveRowIds(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
-    // request the materialized columns alongside the logical schema: files
-    // written before materialization simply read them as null (parquet
-    // missing-column semantics), which is what coalesce wants
-    val matSchema = StructType(snap.schema.fields ++ Seq(
+  /** Position-carrying read with resolved id columns: `files` read under
+    * `snap`'s schema + the materialized-id columns (files written before
+    * materialization read them as null — parquet missing-column
+    * semantics), DV masks applied, and [[RowTracking.MatRowId]]/
+    * [[RowTracking.MatRcv]] rewritten to each row's RESOLVED id and
+    * commit version (materialized wins over `baseRowId + row_index`).
+    * Keeps `__file`/`__idx` so DV DML can keep masking; rewrite paths
+    * drop them and write the resolved columns straight through. */
+  private[table] def posWithRowIds(snap: Snapshot, files: Seq[AddFile],
+      readSchema: StructType = null): DataFrame = {
+    // MERGE reads under its (possibly evolved) effective schema
+    val logical = Option(readSchema).getOrElse(snap.schema)
+    val matSchema = StructType(logical.fields ++ Seq(
       StructField(MatRowId, LongType), StructField(MatRcv, LongType)))
     val masked = readFilesMaskedPos(snap, files, matSchema)
     val spark0 = spark
@@ -84,10 +95,25 @@ trait RowTrackingSupport { self: LakeTable =>
     masked
       .withColumn(FnameCol, element_at(split(col("__file"), "/"), -1))
       .join(broadcast(baseMap), Seq(FnameCol))
-      .withColumn("_row_id", coalesce(col(MatRowId), col(BaseCol) + col("__idx")))
-      .withColumn("_row_commit_version", coalesce(col(MatRcv), col(DcvCol)))
-      .drop(FnameCol, BaseCol, DcvCol, MatRowId, MatRcv, "__file", "__idx")
+      .withColumn(MatRowId, coalesce(col(MatRowId), col(BaseCol) + col("__idx")))
+      .withColumn(MatRcv, coalesce(col(MatRcv), col(DcvCol)))
+      .drop(FnameCol, BaseCol, DcvCol)
   }
+
+  /** `files` read under `snap`'s schema + materialized-id columns, DV
+    * masks applied, with `_row_id`/`_row_commit_version` resolved
+    * (materialized wins over computed). Internal columns are dropped. */
+  private[table] def resolveRowIds(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    posWithRowIds(snap, files)
+      .drop("__file", "__idx")
+      .withColumnRenamed(MatRowId, "_row_id")
+      .withColumnRenamed(MatRcv, "_row_commit_version")
+
+  /** Should this rewrite carry ids through? On iff tracking is enabled and
+    * every input file has an assigned base (always true after the enable
+    * commit's backfill — the guard covers half-corrupt states). */
+  private[table] def rowsTracked(snap: Snapshot, files: Seq[AddFile]): Boolean =
+    rowTrackingOn(snap.metadata.properties) && files.forall(_.baseRowId != null)
 }
 
 private[table] object RowTracking {

@@ -33,16 +33,33 @@ class LifecycleFuzzSpec extends SparkSpec {
       properties = Map(
         "graft.checkpointInterval" -> "3",
         "graft.enableChangeDataFeed" -> "true",
+        "graft.enableRowTracking" -> "true",
         "graft.enableDeletionVectors" -> dv.toString))
     // model state AS OF each committed version (v0 = empty)
     val history = scala.collection.mutable.Map[Long, Map[Long, Long]](
       table.version -> model)
 
     def record(): Unit = history(table.version) = model
+    // row-tracking invariants ride every step: ids stay UNIQUE under any
+    // composition, and the high-water mark never regresses (regression =
+    // a future allocation could reuse a burned id)
+    var lastHwm = -1L
+    def rowPairs(): Map[Long, (Long, Long)] =
+      table.withRowIds().select("_row_id", "id", "v").as[(Long, Long, Long)]
+        .collect().map { case (r, i, x) => r -> ((i, x)) }.toMap
     def check(clue: String): Unit = {
       // core-column integrity; evolved extras are checked in the evolution op
       val got = table.read().select("id", "v").as[(Long, Long)].collect().toMap
       withClue(s"seed=$seed dv=$dv $clue: ") { got shouldBe model }
+      val ids = table.withRowIds().select("_row_id").as[Long].collect()
+      val hwm = RowTracking.highWaterMark(table.log.snapshot())
+      withClue(s"seed=$seed dv=$dv $clue row-tracking: ") {
+        ids.length shouldBe model.size
+        ids.toSet.size shouldBe ids.length // never a collision
+        if (ids.nonEmpty) ids.max should be <= hwm
+        hwm should be >= lastHwm
+      }
+      lastHwm = hwm
     }
     // writes always carry the CURRENT schema (evolved extras as NULLs) —
     // the production writer shape after an ALTER TABLE
@@ -55,25 +72,44 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     for (step <- 0 until 18) {
-      rnd.nextInt(13) match {
+      rnd.nextInt(14) match {
         case 0 | 1 => // append
           val rows = mk(rnd.nextInt(40) + 1)
           table.append(df(rows))
           model ++= rows
-        case 2 => // predicate update
+        case 2 => // predicate update — row ids survive in BOTH modes (the
+          // rewrite materializes them; the DV path masks + re-appends them)
           val (k, r, d) = (rnd.nextInt(5) + 2, rnd.nextInt(3), rnd.nextInt(50) + 1)
+          val beforeIds = rowPairs().map { case (rid, (id, _)) => rid -> id }
           table.update(col("id") % k === r, Map("v" -> (col("v") + d)))
           model = model.map { case (id, v) =>
             id -> (if (id % k == r) v + d else v)
           }
-        case 3 => // predicate delete
+          withClue(s"seed=$seed dv=$dv update moved a row id: ") {
+            rowPairs().map { case (rid, (id, _)) => rid -> id } shouldBe beforeIds
+          }
+        case 3 => // predicate delete — survivors keep ids in BOTH modes
           val (k, r) = (rnd.nextInt(6) + 3, rnd.nextInt(3))
+          val before = rowPairs()
           table.delete(col("id") % k === r)
           model = model.filter { case (id, _) => id % k != r }
-        case 4 => // compaction: data-identical
+          rowPairs().foreach { case (rid, row) =>
+            withClue(s"seed=$seed dv=$dv delete moved a survivor's row id: ") {
+              before(rid) shouldBe row
+            }
+          }
+        case 4 => // compaction: data-identical, row ids must not move
+          val before = rowPairs()
           table.optimizeCompact(targetFileSize = 32 * 1024): Unit
-        case 5 => // clustering rewrite: data-identical
+          withClue(s"seed=$seed compaction disturbed row ids: ") {
+            rowPairs() shouldBe before
+          }
+        case 5 => // clustering rewrite: data-identical, row ids must not move
+          val before = rowPairs()
           table.optimizeZOrder(Seq("id", "v"), targetFileSize = 32 * 1024): Unit
+          withClue(s"seed=$seed zorder disturbed row ids: ") {
+            rowPairs() shouldBe before
+          }
         case 6 => // restore to a random earlier version
           val versions = history.keys.toSeq.sorted
           val target = versions(rnd.nextInt(versions.size))
@@ -110,6 +146,25 @@ class LifecycleFuzzSpec extends SparkSpec {
           val expect = target.map(history).getOrElse(model)
           withClue(s"seed=$seed dv=$dv clone@$target step $step: ") {
             cl.read().select("id", "v").as[(Long, Long)].collect().toMap shouldBe expect
+          }
+        case 13 => // MERGE upsert: update a key-deterministic slice of the
+          // live rows, insert fresh ids — every pre-existing row must keep
+          // its row id through whichever merge path fires
+          val (k, r, d) = (rnd.nextInt(4) + 2, rnd.nextInt(2), rnd.nextInt(40) + 1L)
+          val hit = model.keys.filter(id => id % k == r).toSeq.sorted
+          val fresh = mk(rnd.nextInt(10) + 1)
+          val srcRows = hit.map(id => (id, model(id) + d)) ++ fresh
+          if (srcRows.nonEmpty) {
+            val beforeIds = rowPairs().map { case (rid, (id, _)) => rid -> id }
+            table.merge(df(srcRows), col("target.id") === col("source.id"))
+              .whenMatchedUpdateAll()
+              .whenNotMatchedInsertAll()
+              .execute()
+            model = model ++ srcRows.toMap
+            val afterIds = rowPairs().map { case (rid, (id, _)) => rid -> id }
+            withClue(s"seed=$seed dv=$dv merge moved a pre-existing row id: ") {
+              beforeIds.foreach { case (rid, id) => afterIds(rid) shouldBe id }
+            }
           }
         case 12 => // schema-SWAP overwrite (overwriteSchema: metadata replaced
           // wholesale, like REPLACE TABLE) — a later RESTORE crossing this
@@ -186,7 +241,11 @@ class LifecycleFuzzSpec extends SparkSpec {
     graft.log.LogStore.default = store
     try {
       val dir = tmpDir(s"concfuzz-$storeName").resolve("t").toString
-      val t0 = LakeTable.create(spark, dir, Seq((0L, 0L)).toDF("id", "v").schema)
+      // row tracking ON: contended CAS retries must re-assign id ranges
+      // against the fresh snapshot — overlapping allocations from racing
+      // writers would surface as duplicate row ids below
+      val t0 = LakeTable.create(spark, dir, Seq((0L, 0L)).toDF("id", "v").schema,
+        properties = Map("graft.enableRowTracking" -> "true"))
       t0.append((0L until 90L).map(i => (i, 0L)).toDF("id", "v")) // v1 seed
       val ledger = new java.util.concurrent.ConcurrentHashMap[Long, Eff]()
       ledger.put(1L, Add((0L until 90L).map(i => i -> 0L).toMap))
@@ -280,6 +339,14 @@ class LifecycleFuzzSpec extends SparkSpec {
       }.mkString("\n")
       withClue(s"store=$storeName serial replay of ${ledger.size} committed ops:\n$trace\n") {
         table.read().select("id", "v").as[(Long, Long)].collect().toMap shouldBe model
+      }
+      // contended row-id allocation: three racing writers (appends, DML
+      // rewrites, compactions, a restore) must never hand out overlapping
+      // ranges — every live row id is unique at the end
+      val rids = table.withRowIds().select("_row_id").as[Long].collect()
+      withClue(s"store=$storeName contended row-id allocation: ") {
+        rids.length shouldBe model.size
+        rids.toSet.size shouldBe rids.length
       }
     } finally graft.log.LogStore.default = prev
   }

@@ -98,16 +98,94 @@ class RowTrackingSpec extends SparkSpec {
     p.size shouldBe 10
   }
 
-  test("rewrite-mode UPDATE reassigns fresh non-colliding ids") {
+  test("rewrite-mode UPDATE preserves ids; only updated rows bump commit version") {
     val t = freshTable("rt-upd",
       rtProps + ("graft.enableDeletionVectors" -> "false"))
     t.append(oneFile(0 until 30))
     t.append(oneFile(30 until 60))
-    t.update(col("id") < 10, Map("name" -> lit("x")))
+    val before = pairs(t)
+    val v = t.update(col("id") < 10, Map("name" -> lit("x")))
+    pairs(t) shouldBe before // every row keeps its id through the rewrite
+    val rcv = t.withRowIds().select(col("id"), col("_row_commit_version"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach(i => rcv(i) shouldBe v)   // updated: bumped
+    (10L until 30L).foreach(i => rcv(i) shouldBe 1L) // co-located survivors: kept
+    (30L until 60L).foreach(i => rcv(i) shouldBe 2L) // untouched file: kept
+  }
+
+  test("rewrite-mode DELETE preserves survivor ids and commit versions") {
+    val t = freshTable("rt-del",
+      rtProps + ("graft.enableDeletionVectors" -> "false"))
+    t.append(oneFile(0 until 40))
+    val before = pairs(t)
+    t.delete(col("id") % 4 === 0)
+    val after = pairs(t)
+    after.size shouldBe 30
+    after.foreach { case (rid, id) => before(rid) shouldBe id }
+  }
+
+  test("DV-mode UPDATE: post-image rows keep their ids with a bumped version") {
+    val t = freshTable("rt-dvupd",
+      rtProps + ("graft.enableDeletionVectors" -> "true"))
+    t.append(oneFile(0 until 25))
+    val before = pairs(t)
+    val v = t.update(col("id") % 5 === 1, Map("name" -> lit("upd")))
+    pairs(t) shouldBe before // mask+append moved rows, never ids
+    val rcv = t.withRowIds().select(col("id"), col("_row_commit_version"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 25L).foreach { i =>
+      rcv(i) shouldBe (if (i % 5 == 1) v else 1L)
+    }
+  }
+
+  private def rcvMap(t: LakeTable): Map[Long, Long] =
+    t.withRowIds().select(col("id"), col("_row_commit_version"))
+      .as[(Long, Long)].collect().toMap
+
+  private def mergeCase(t: LakeTable): Long = {
+    t.append(oneFile(0 until 30)) // v1
+    val src = (20 until 40).map(i => (i.toLong, s"s$i")).toDF("id", "name")
+    t.merge(src, col("target.id") === col("source.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+  }
+
+  private def assertMergePreserved(t: LakeTable, v: Long): Unit = {
     val p = pairs(t)
-    p.size shouldBe 60 // no id collisions across rewritten + untouched files
-    // untouched file's ids survive verbatim
-    (30L until 60L).foreach(i => p.values.toSet should contain(i))
+    p.size shouldBe 40
+    p.keySet.size shouldBe 40 // unique, inserts included
+    // every pre-existing row (copied or updated) keeps its id
+    val idsBefore = (0L until 30L)
+    idsBefore.foreach(i => p.values.toSet should contain(i))
+    val rcv = rcvMap(t)
+    (0L until 20L).foreach(i => rcv(i) shouldBe 1L) // copies keep version
+    (20L until 40L).foreach(i => rcv(i) shouldBe v) // updates+inserts bump
+  }
+
+  test("MERGE (low-shuffle path) preserves target ids; inserts get fresh ones") {
+    val t = freshTable("rt-merge")
+    val before = { t.append(oneFile(0 until 30)); pairs(t) }
+    val src = (20 until 40).map(i => (i.toLong, s"s$i")).toDF("id", "name")
+    val v = t.merge(src, col("target.id") === col("source.id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val p = pairs(t)
+    before.foreach { case (rid, id) => p(rid) shouldBe id }
+    assertMergePreserved(t, v)
+  }
+
+  test("MERGE (DV low-shuffle path) preserves ids under mask+append") {
+    val t = freshTable("rt-merge-dv",
+      rtProps + ("graft.enableDeletionVectors" -> "true"))
+    val v = mergeCase(t)
+    assertMergePreserved(t, v)
+  }
+
+  test("MERGE (general full-outer path, CDF on) preserves ids") {
+    val t = freshTable("rt-merge-cdf",
+      rtProps + ("graft.enableChangeDataFeed" -> "true"))
+    val v = mergeCase(t)
+    assertMergePreserved(t, v)
   }
 
   test("enabling on an existing table backfills metadata-only") {
