@@ -47,6 +47,7 @@ object SparkEntry {
     "q70_hilbert_identity" -> (TableOps.hilbertIdentity _),
     "q76_cluster_incremental" -> (TableOps.clusterIncremental _),
     "q94_row_tracking" -> (TableOps.rowTracking _),
+    "q95_type_widening" -> (TableOps.typeWidening _),
     "q79_stream_dedup_ingest" -> (MetaOps.streamDedupIngest _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),

@@ -292,12 +292,48 @@ object TableOps {
       col("doc_id"), col("source"))
   }
 
+  /** Type widening end-to-end (Delta's `typeWidening` feature): INT/FLOAT
+    * files are written first, the columns widen to BIGINT/DOUBLE through
+    * the SQL surface (METADATA-ONLY — the files never move), a second
+    * append lands values beyond the int range, and an UPDATE rewrite then
+    * touches BOTH generations — its read resolves the old INT parquet
+    * under the LONG schema (Spark 4's widening scan), the exact path a
+    * 100 TB table takes when its ids outgrow INT without a rewrite. The
+    * oracle recomputes every value from the source parquet; the float leg
+    * uses small integral values so float→double is bit-exact on both
+    * engines. */
+  def typeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders
+      .withColumn("val", col("o_custkey").cast("int"))
+      .withColumn("ratio", (col("o_custkey") % 1024).cast("float"))
+      .select("o_orderkey", "val", "ratio")
+    val dir = scratch("widen")
+    val t = LakeTable.create(spark, dir, base.schema,
+      properties = Map("delta.enableTypeWidening" -> "true"), ifNotExists = false)
+    t.append(base.filter(col("o_orderkey") % 2 === 0)) // v1: INT + FLOAT files
+    val sql = graft.table.GraftSql(spark)
+    sql.run(s"ALTER TABLE '$dir' ALTER COLUMN val TYPE BIGINT")
+    sql.run(s"ALTER TABLE '$dir' ALTER COLUMN ratio TYPE DOUBLE")
+    t.append(base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("val", col("val") + lit(3000000000L))) // needs BIGINT now
+    t.update(col("o_orderkey") % 5 === 0, Map("val" -> (col("val") + 1L)))
+    LakeTable.forPath(spark, dir).read().select("o_orderkey", "val", "ratio")
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val ordersCols =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "q95_type_widening" ->
+      """SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+                     ELSE o_custkey + 3000000000 END
+                + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS val,
+           CAST(CAST(o_custkey % 1024 AS REAL) AS DOUBLE) AS ratio
+         FROM orders""",
     "q94_row_tracking" ->
       """WITH ids AS (
            SELECT doc_id, source,

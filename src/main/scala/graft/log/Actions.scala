@@ -137,7 +137,8 @@ object Protocol {
     * feature-name vocabulary where one exists). A table may demand any
     * subset; anything outside these sets refuses loudly. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "changeDataFeed", "timeTravel")
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "timeTravel",
+      "typeWidening")
   val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++ Set("generatedColumns", "identityColumns",
       "checkConstraints", "defaultColumns", "clustering", "bloomFilters",

@@ -124,6 +124,10 @@ object Stats {
     * exactness is the CALLER's concern: a DV could mask the extreme row. */
   def exactBounds(files: Seq[AddFile], field: StructField): Option[(String, String)] = {
     if (!isStatsType(field.dataType)) return None
+    // after a stat-lossy type widening, old files' encodings are no longer
+    // exact extremes under the current type — metadata-only min/max must
+    // fall back to a scan (see TypeWidening)
+    if (TypeWidening.hasLossyChange(field)) return None
     if (files.isEmpty) return Some((null, null))
     val perFile = files.map(f =>
       f.stats.get(field.name).orElse(f.stats.collectFirst {
@@ -403,13 +407,26 @@ object Pruner {
       schema: StructType,
       bloom: BloomIndex = BloomIndex.disabled): Boolean = {
     def field(n: String): Option[StructField] = schema.fields.find(_.name.equalsIgnoreCase(n))
+    // A stat-lossy type widening (float→double, date→timestamp_ntz)
+    // leaves old files' min/max encodings no longer exact bounds under
+    // the current type (see graft.log.TypeWidening) — pruning on that
+    // column must stand down entirely: a file's write type is not
+    // recorded, so no per-file discrimination is possible.
     def stats(n: String): Option[(ColStats, DataType)] =
-      for { fl <- field(n); s <- f.stats.get(fl.name) } yield (s, fl.dataType)
+      for {
+        fl <- field(n)
+        if !TypeWidening.hasLossyChange(fl)
+        s <- f.stats.get(fl.name)
+      } yield (s, fl.dataType)
     // Bloom membership for an equality literal: cast the literal to the
     // COLUMN's type (the build side hashed column-typed values) and replay
     // Spark's xxhash64. Any failure to cast/hash keeps the file.
     def bloomMightHave(n: String, v: Any, dt: DataType): Boolean =
       field(n).forall { fl =>
+        // blooms hash COLUMN-TYPED values and xxhash64(1: int) ≠
+        // xxhash64(1L): after ANY type widening, sidecars built under the
+        // old type answer a different hash domain — keep the file
+        TypeWidening.hasChanges(fl) || {
         val casted =
           if (fl.dataType == dt) Some(v)
           else scala.util.Try(Cast(Literal(v, dt), fl.dataType,
@@ -420,6 +437,7 @@ object Pruner {
               .asInstanceOf[Long]
             bloom.mightContain(f, fl.name, h)
           case _ => true
+        }
         }
       }
     def nonNullCount(n: String): Option[Long] =

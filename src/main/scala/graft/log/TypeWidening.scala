@@ -1,0 +1,106 @@
+package graft.log
+
+import org.apache.spark.sql.types._
+
+/** Type widening (Delta's `typeWidening` table feature): a column's type
+  * may grow to a strictly-wider one in a METADATA-ONLY commit — bytes
+  * never move; readers upcast old files at scan time (Spark 4's parquet
+  * reader performs every conversion in the matrix below on both the
+  * vectorized and row-based paths). At 100 TB this is the difference
+  * between an instant DDL and rewriting the table because ids outgrew
+  * INT.
+  *
+  * The supported matrix is Delta's (PROTOCOL.md, Type Widening):
+  *  - integer family upward: byte → short → int → long
+  *  - byte/short/int → double; float → double
+  *  - date → timestamp_ntz
+  *  - byte/short/int → decimal(p,s) with p−s ≥ 10; long → decimal with
+  *    p−s ≥ 20; decimal(p,s) → decimal(p',s') with s' ≥ s and
+  *    p'−s' ≥ p−s (value range and scale both only grow)
+  *
+  * Every applied change is recorded in the FIELD's metadata
+  * ([[ChangesKey]]: array of {fromType,toType,tableVersion}); the record
+  * is what lets the engine stay honest about artifacts built under the
+  * old type:
+  *  - file-level MIN/MAX stats are exact strings for every integer/
+  *    decimal widening, but a float's shortest-decimal encoding parsed as
+  *    a double can sit strictly INSIDE the file's true upcast range
+  *    (0.1f's stat "0.1" < (double)0.1f), and a date stat does not parse
+  *    as a timestamp at all — [[statLossy]] changes disable min/max
+  *    pruning for the column (stats resume for files written after a
+  *    rewrite, which re-collects under the new type — but a file's write
+  *    type is not recorded, so the engine keeps the conservative blanket
+  *    rule);
+  *  - bloom sidecars hash COLUMN-TYPED values, and xxhash64(1: int) ≠
+  *    xxhash64(1L) — ANY recorded change disables bloom pruning for the
+  *    column ([[hasChanges]]); sidecars built after the change would be
+  *    consistent, but per-file build types are not recorded.
+  */
+object TypeWidening {
+
+  /** Field-metadata key: JSON array of {fromType, toType, tableVersion}. */
+  val ChangesKey = "graft.typeChanges"
+
+  private def intRank(dt: DataType): Int = dt match {
+    case _: ByteType => 1
+    case _: ShortType => 2
+    case _: IntegerType => 3
+    case _: LongType => 4
+    case _ => -1
+  }
+
+  /** Is `from` → `to` in the supported widening matrix? */
+  def isWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if intRank(f) > 0 && intRank(t) > 0 => intRank(f) < intRank(t)
+    case (_: ByteType | _: ShortType | _: IntegerType, _: DoubleType) => true
+    case (_: FloatType, _: DoubleType) => true
+    case (_: DateType, _: TimestampNTZType) => true
+    case (_: ByteType | _: ShortType | _: IntegerType, d: DecimalType) =>
+      d.precision - d.scale >= 10
+    case (_: LongType, d: DecimalType) => d.precision - d.scale >= 20
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    case _ => false
+  }
+
+  /** Changes whose OLD stat encodings are not exact bounds under the new
+    * type (see object doc): float → double, date → timestamp_ntz. */
+  def statLossy(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (_: FloatType, _: DoubleType) => true
+    case (_: DateType, _: TimestampNTZType) => true
+    case _ => false
+  }
+
+  /** Field metadata with the change appended to any existing record. */
+  def recordChange(f: StructField, to: DataType, tableVersion: Long): Metadata = {
+    // DDL spellings (INT/BIGINT/DECIMAL(p,s)/TIMESTAMP_NTZ): typeName's
+    // "byte"/"integer" forms do not all round-trip through fromDDL
+    val entry = new MetadataBuilder()
+      .putString("fromType", f.dataType.sql)
+      .putString("toType", to.sql)
+      .putLong("tableVersion", tableVersion)
+      .build()
+    val prior =
+      if (f.metadata.contains(ChangesKey)) f.metadata.getMetadataArray(ChangesKey)
+      else Array.empty[Metadata]
+    new MetadataBuilder().withMetadata(f.metadata)
+      .putMetadataArray(ChangesKey, prior :+ entry)
+      .build()
+  }
+
+  private def changeTypes(f: StructField): Seq[(DataType, DataType)] =
+    if (!f.metadata.contains(ChangesKey)) Nil
+    else f.metadata.getMetadataArray(ChangesKey).toIndexedSeq.flatMap { m =>
+      for {
+        from <- scala.util.Try(DataType.fromDDL(m.getString("fromType"))).toOption
+        to <- scala.util.Try(DataType.fromDDL(m.getString("toType"))).toOption
+      } yield (from, to)
+    }
+
+  /** Any recorded widening on this field (disables bloom pruning). */
+  def hasChanges(f: StructField): Boolean = f.metadata.contains(ChangesKey)
+
+  /** Any recorded STAT-LOSSY widening (disables min/max pruning). */
+  def hasLossyChange(f: StructField): Boolean =
+    changeTypes(f).exists { case (from, to) => statLossy(from, to) }
+}

@@ -36,7 +36,10 @@ trait CdfSupport { self: LakeTable =>
     "UNSET TBLPROPERTIES", "ADD COLUMNS", "RENAME COLUMN", "DROP COLUMN",
     "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
     "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE", "UPGRADE PROTOCOL",
-    "ADD FEATURE")
+    "ADD FEATURE",
+    // type widening is metadata-only; earlier sidecars/files present under
+    // the range end via the same upcast the live scan performs
+    "ALTER COLUMN TYPE")
 
   /** Write a CDF sidecar parquet for the in-flight commit; returns the
     * actions to attach. `df` = table-schema columns + `_change_type`. */
@@ -120,6 +123,10 @@ trait CdfSupport { self: LakeTable =>
         endSchema.fields.toIndexedSeq.map { f =>
           byId.get(ColumnIds.idOf(f).get) match {
             case Some(old) if old.dataType == f.dataType => col(old.name).as(f.name, f.metadata)
+            // a type WIDENING between the write and the range end is safe
+            // to present: the upcast is exactly what the live scan does
+            case Some(old) if graft.log.TypeWidening.isWidening(old.dataType, f.dataType) =>
+              col(old.name).cast(f.dataType).as(f.name, f.metadata)
             case Some(old) => refuse(s"column ${f.name} changed type ${old.dataType} -> ${f.dataType}")
             case None => lit(null).cast(f.dataType).as(f.name, f.metadata)
           }
@@ -132,6 +139,8 @@ trait CdfSupport { self: LakeTable =>
         endSchema.fields.toIndexedSeq.map { f =>
           writeByName.get(f.name) match {
             case Some(old) if old.dataType == f.dataType => col(f.name)
+            case Some(old) if graft.log.TypeWidening.isWidening(old.dataType, f.dataType) =>
+              col(f.name).cast(f.dataType)
             case Some(old) => refuse(s"column ${f.name} changed type ${old.dataType} -> ${f.dataType}")
             case None => lit(null).cast(f.dataType).as(f.name)
           }

@@ -58,6 +58,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
   private val dropDefaultCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
+  // ALTER TABLE t ALTER COLUMN c TYPE <wider-type> — type widening
+  // (metadata-only; see LakeTable.widenColumn)
+  private val alterColumnTypeCmd =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*""".r
   private val addConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
@@ -356,6 +360,9 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).setColumnDefault(c, Some(dflt.trim)))
     case dropDefaultCmd(t, c) =>
       oneRow("version" -> table(t).setColumnDefault(c, None))
+    case alterColumnTypeCmd(t, c, ddlType) =>
+      oneRow("version" -> table(t).widenColumn(c,
+        org.apache.spark.sql.types.DataType.fromDDL(ddlType.trim)))
     case addConstraintCmd(t, name, check) =>
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>

@@ -1446,6 +1446,58 @@ class LakeTable private[table] (
         partitionColumns = pcols, properties = props))
     }
 
+  /** ALTER TABLE ALTER COLUMN ... TYPE — type widening (Delta's
+    * `typeWidening` feature): METADATA-ONLY commit growing a column to a
+    * strictly-wider type from [[graft.log.TypeWidening]]'s matrix; bytes
+    * never move, readers upcast old files at scan time (Spark 4's parquet
+    * reader handles every conversion in the matrix on both reader paths).
+    * The change is recorded in the field's metadata so stats/bloom pruning
+    * stay honest about artifacts built under the old type (see
+    * [[graft.log.TypeWidening]]). Gated on `graft.enableTypeWidening`
+    * (accepting the delta.-prefixed spelling), which stamps the
+    * typeWidening reader+writer features — a reader that would NOT upcast
+    * old files must refuse by name rather than crash on the scan.
+    *
+    * Refused on partition columns (partition values are stored as strings
+    * and re-parsed under the CURRENT type — the integer family would
+    * survive that, but date→timestamp_ntz would not, and the directory
+    * layout is the column's on-disk identity), on identity columns (the
+    * generator produces longs), and on columns referenced by a constraint
+    * or generated-column expression (widening can change the expression's
+    * result type out from under the recorded rule). */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Long =
+    commitWithRetry("ALTER COLUMN TYPE", Map("column" -> name, "type" -> to.sql),
+      snapshot()) { s =>
+      require(s.metadata.properties.get("graft.enableTypeWidening").contains("true"),
+        "type widening is disabled — SET TBLPROPERTIES " +
+          "('delta.enableTypeWidening' = 'true') first")
+      val f = s.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $name (have ${s.schema.fieldNames.mkString(",")})"))
+      require(f.dataType != to, s"column $name is already ${to.sql}")
+      require(graft.log.TypeWidening.isWidening(f.dataType, to),
+        s"unsupported type change for $name: ${f.dataType.sql} -> ${to.sql} " +
+          "(only widening conversions are allowed)")
+      require(!s.metadata.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"cannot change the type of partition column $name")
+      require(!s.metadata.properties.contains(s"graft.identity.${f.name}"),
+        s"cannot change the type of identity column $name")
+      require(!s.metadata.properties.contains(s"graft.generated.${f.name}"),
+        s"cannot change the type of generated column $name " +
+          "(its type is the generation expression's)")
+      val refs = s.metadata.properties.filter { case (k, v) =>
+        (k.startsWith("graft.constraints.") || k.startsWith("graft.generated.")) &&
+          v.toLowerCase.contains(name.toLowerCase)
+      }
+      require(refs.isEmpty,
+        s"cannot change the type of $name: referenced by ${refs.keys.mkString(", ")}")
+      val widened = f.copy(dataType = to,
+        metadata = graft.log.TypeWidening.recordChange(f, to, s.version + 1))
+      val fields = s.schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) widened else x)
+      Seq(s.metadata.copy(schemaJson = StructType(fields).json))
+    }
+
   /** ALTER TABLE DROP COLUMN — metadata-only on a mapped table; the id is
     * retired (never reused) so old files' bytes can never resurface under
     * a future column. */
@@ -1669,10 +1721,19 @@ object LakeTable {
       if (props.get("graft.enableRowTracking").contains("true"))
         Some("rowTracking") else None,
       if (props.get("graft.enableRowTracking").contains("true"))
-        Some("domainMetadata") else None).flatten
+        Some("domainMetadata") else None,
+      // type widening gates READERS too: a reader that would not upcast
+      // old files under the widened schema must refuse by name instead of
+      // crashing (or worse, miscasting) on the scan
+      if (props.get("graft.enableTypeWidening").contains("true"))
+        Some("typeWidening") else None).flatten
+    val reader = Seq(
+      if (dv) Some("deletionVectors") else None,
+      if (props.get("graft.enableTypeWidening").contains("true"))
+        Some("typeWidening") else None).flatten
     graft.log.Protocol(
       graft.log.Protocol.SupportedReader, graft.log.Protocol.SupportedWriter,
-      readerFeatures = if (dv) Seq("deletionVectors") else null,
+      readerFeatures = if (reader.isEmpty) null else reader,
       writerFeatures = if (writer.isEmpty) null else writer)
   }
 
