@@ -48,6 +48,7 @@ object SparkEntry {
     "q76_cluster_incremental" -> (TableOps.clusterIncremental _),
     "q94_row_tracking" -> (TableOps.rowTracking _),
     "q95_type_widening" -> (TableOps.typeWidening _),
+    "q96_in_commit_timestamp" -> (TableOps.inCommitTimestamp _),
     "q79_stream_dedup_ingest" -> (MetaOps.streamDedupIngest _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),

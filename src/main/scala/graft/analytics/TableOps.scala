@@ -321,12 +321,43 @@ object TableOps {
     LakeTable.forPath(spark, dir).read().select("o_orderkey", "val", "ratio")
   }
 
+  /** In-commit timestamps: timestamp time travel against a SKEWED writer
+    * clock. Commit timestamps live in the CommitInfo action and are
+    * clamped to strictly increase (`max(clock, last+1)` — Delta's
+    * `inCommitTimestamp` discipline, inherent here), so when the odd-keys
+    * append arrives with its wall clock 5 s BEHIND the even-keys commit,
+    * its timestamp lands one past the previous commit and
+    * `timestampAsOf(T1)` still resolves to exactly the even-keys version.
+    * An engine trusting raw clocks (or file mtimes, as pre-ICT Delta)
+    * would include the backdated odd rows. The injected clock makes the
+    * whole sequence deterministic; a later DELETE proves the probe reads
+    * history, not the live state. */
+  def inCommitTimestamp(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = LakeTable.create(spark, scratch("ict"), orders.schema,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"),
+      ifNotExists = false)
+    val t0 = t.log.snapshot().commits.last.timestamp
+    val T1 = t0 + 10000L
+    t.clockMillis = () => T1
+    t.append(orders.filter(col("o_orderkey") % 2 === 0)) // v1 @ T1
+    t.clockMillis = () => T1 - 5000L // writer clock skewed BACKWARD
+    t.append(orders.filter(col("o_orderkey") % 2 === 1)) // v2: clamps to T1+1
+    t.clockMillis = () => T1 + 20000L
+    t.delete(col("o_custkey") % 3 === 0) // v3: live state differs from T1
+    t.timestampAsOf(T1) // resolves v1: evens only, pre-delete
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val ordersCols =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "q96_in_commit_timestamp" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0""",
     "q95_type_widening" ->
       """SELECT o_orderkey,
            CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey

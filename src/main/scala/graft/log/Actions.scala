@@ -142,7 +142,7 @@ object Protocol {
   val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++ Set("generatedColumns", "identityColumns",
       "checkConstraints", "defaultColumns", "clustering", "bloomFilters",
-      "rowTracking", "domainMetadata")
+      "rowTracking", "domainMetadata", "inCommitTimestamp")
 
   /** Merge two protocols: max versions, union of named features (the CLONE
     * / upgrade composition rule — capabilities only ever accumulate). */

@@ -194,25 +194,68 @@ trait CdfSupport { self: LakeTable =>
     // under a new same-id column (type changes refuse loudly instead)
     val adds = actions.collect { case a: AddFile => a }
     val removes = actions.collect { case r: RemoveFile => r }
+    val snapAtV = log.snapshot(Some(v))
+    lazy val snapBefore = log.snapshot(Some(v - 1)) // only touched when v >= 1
     val inserts =
       if (adds.isEmpty) None
-      else {
-        val ws = snapshot(Some(v)).schema
-        Some(remapToEnd(readFiles(adds, ws), ws, schema, v)
+      else
+        // read added files under the DV state AT v, not raw: a RESTORE that
+        // re-adds a file may re-establish its deletion-vector mask in the
+        // SAME commit — the masked rows were never resurrected, so they
+        // must not synthesize as inserts (for plain appends/overwrites the
+        // at-v snapshot carries no mask for fresh files and this is the
+        // identity)
+        Some(remapToEnd(readFilesMasked(snapAtV, adds, snapAtV.schema),
+            snapAtV.schema, schema, v)
           .withColumn("_change_type", lit("insert")))
+    val deletes =
+      if (removes.isEmpty) None
+      else {
+        val removedPaths = removes.map(_.path).toSet
+        val removedAdds = snapBefore.files.filter(f => removedPaths.contains(f.path))
+        Some(remapToEnd(
+            readFilesMasked(snapBefore, removedAdds, snapBefore.schema),
+            snapBefore.schema, schema, v)
+          .withColumn("_change_type", lit("delete")))
       }
-    val snapBefore = if (removes.isEmpty) None else Some(log.snapshot(Some(v - 1)))
-    val deletes = snapBefore.map { sb =>
-      val removedPaths = removes.map(_.path).toSet
-      val removedAdds = sb.files.filter(f => removedPaths.contains(f.path))
-      remapToEnd(readFilesMasked(sb, removedAdds, sb.schema), sb.schema, schema, v)
-        .withColumn("_change_type", lit("delete"))
-    }
-    (inserts, deletes) match {
-      case (Some(i), Some(d)) => Some(meta(i.unionByName(d)))
-      case (Some(i), None) => Some(meta(i))
-      case (None, Some(d)) => Some(meta(d))
-      case _ => None
-    }
+    // DV-delta synthesis: a RESTORE can change ONLY a surviving file's
+    // deletion-vector pointer — no add/remove for the file, yet rows were
+    // resurrected (mask reverted) or re-masked. Diff the mask membership
+    // across the commit: newly-masked rows are deletes, unmasked rows are
+    // inserts. (DML mask changes never reach here — they carry sidecars.)
+    val addPaths = adds.map(_.path).toSet
+    val dvChanged =
+      if (v == 0) Nil
+      else snapAtV.files.filter { f =>
+        !addPaths.contains(f.path) &&
+          snapBefore.dvs.get(f.path).map(_.dvPath) !=
+            snapAtV.dvs.get(f.path).map(_.dvPath)
+      }
+    val dvDelta =
+      if (dvChanged.isEmpty) None
+      else {
+        def maskedBy(dvs: Seq[DeletionVector]): org.apache.spark.sql.Column =
+          if (dvs.isEmpty) lit(false)
+          else {
+            val bc = spark.sparkContext.broadcast(
+              dvBitmapDf(dvs).collect()
+                .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+            !DvBitmap.notMasked(col("__file"), col("__idx"), bc,
+              dvs.map(_.numDeleted).sum)
+          }
+        val pos = readFiles(dvChanged, snapAtV.schema)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__idx", col("_metadata.row_index"))
+        val mBefore = maskedBy(dvChanged.flatMap(f => snapBefore.dvs.get(f.path)))
+        val mAfter = maskedBy(dvChanged.flatMap(f => snapAtV.dvs.get(f.path)))
+        val masked = pos.filter(mAfter && !mBefore).drop("__file", "__idx")
+        val resurrected = pos.filter(mBefore && !mAfter).drop("__file", "__idx")
+        Some(remapToEnd(masked, snapAtV.schema, schema, v)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(remapToEnd(resurrected, snapAtV.schema, schema, v)
+            .withColumn("_change_type", lit("insert"))))
+      }
+    Seq(inserts, deletes, dvDelta).flatten
+      .reduceOption(_.unionByName(_)).map(meta)
   }
 }

@@ -289,7 +289,7 @@ trait DmlSupport { self: LakeTable =>
               s"$op conflicts with a concurrent deletion-vector change")
         }
       }
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       val future = ((s.dvs -- newKeys).values.map(_.dvPath) ++ Seq(dvRel)).toSet
       newActions ++ adds ++ sidecars ++ dvTombstones(s, newKeys, future, now)
     }
@@ -361,7 +361,7 @@ trait DmlSupport { self: LakeTable =>
               s"$op conflicts with a concurrent deletion-vector change")
         }
       }
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       touched.map(f => RemoveFile(f.path, now)) ++ adds ++ extra ++
         dvTombstones(s, touchedPaths, (s.dvs -- touchedPaths).values.map(_.dvPath).toSet, now)
     }

@@ -19,7 +19,7 @@ import scala.jdk.CollectionConverters._
   *   ALTER TABLE <t> ADD COLUMN <c> <type> GENERATED ALWAYS AS (<expr>)
   *   ALTER TABLE <t> ADD COLUMN <c> BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n [INCREMENT BY m])]
   *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1[, c2...]) | CLUSTER BY (c1[, c2...])]
-  *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
+  *   VACUUM <t> [LITE] [RETAIN <n> HOURS] [DRY RUN]
   *   CREATE TABLE [IF NOT EXISTS] <dst> {DEEP|SHALLOW} CLONE <src>
   *   CONVERT TO GRAFT [parquet.]'<path>'
   *
@@ -51,7 +51,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val generateCmd =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
   private val vacuumCmd =
-    """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val setDefaultCmd =
@@ -421,11 +421,11 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case reorgCmd(t, where) =>
       oneRow("version" ->
         table(t).reorgPurge(where = Option(where).map(w => expr(w))))
-    case vacuumCmd(t, retain, dry) =>
+    case vacuumCmd(t, liteKw, retain, dry) =>
       // no RETAIN clause -> -1: the table's retention property (or the
       // 168 h default) decides inside vacuum()
       val hours = Option(retain).map(_.toDouble).getOrElse(-1.0)
-      val paths = table(t).vacuum(hours, dryRun = dry != null)
+      val paths = table(t).vacuum(hours, dryRun = dry != null, lite = liteKw != null)
       spark.createDataFrame(
         paths.map(Row(_)).asJava,
         StructType(Seq(StructField("path", StringType))))

@@ -507,7 +507,7 @@ class LakeTable private[table] (
         if (s.schema != target)
           throw new java.util.ConcurrentModificationException(
             s"stream overwrite conflicts with a concurrent schema change on $dir")
-        val now = System.currentTimeMillis()
+        val now = clockMillis()
         s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
           dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
       }
@@ -546,7 +546,7 @@ class LakeTable private[table] (
       if (!overwriteSchema && s.schema != target)
         throw new java.util.ConcurrentModificationException(
           s"overwrite conflicts with a concurrent schema change on $dir")
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       evolveMeta(s, target) ++ s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
         dvTombstones(s, s.files.map(_.path).toSet, Set.empty, now)
     }
@@ -583,7 +583,7 @@ class LakeTable private[table] (
     }.getOrElse(Nil)
     commitWithRetry("REPLACE TABLE",
       Map("partitionBy" -> newPartitionColumns.mkString(",")), snap) { s =>
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       Seq(s.metadata.copy(schemaJson = stamped.json,
         partitionColumns = newPartitionColumns, properties = props)) ++
         s.files.map(f => RemoveFile(f.path, now)) ++ adds ++
@@ -607,7 +607,7 @@ class LakeTable private[table] (
     val adds = stageIngestWrite(align(df, snap.schema, strict = true),
       snap.metadata.partitionColumns)
     commitWithRetry("WRITE", Map("mode" -> "Overwrite", "replaceWhere" -> pred.toString), snap) { s =>
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       val doomed = partitionValuesMatching(s.files, Seq(pred), s.schema)
       s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++ adds ++
         dvTombstones(s, doomed, (s.dvs -- doomed).values.map(_.dvPath).toSet, now)
@@ -632,7 +632,7 @@ class LakeTable private[table] (
       if (s.schema != snap.schema)
         throw new java.util.ConcurrentModificationException(
           s"dynamic overwrite conflicts with a concurrent schema change on $dir")
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       val doomed = s.files.filter(f => touched.contains(f.partitionValues))
         .map(_.path).toSet
       s.files.filter(f => doomed.contains(f.path)).map(f => RemoveFile(f.path, now)) ++
@@ -1105,9 +1105,22 @@ class LakeTable private[table] (
     -1L // unreachable
   }
 
+  /** Clock for commit timestamps — injectable so tests and oracle gates
+    * can prove the monotonic clamp deterministically (and so a skewed
+    * host clock is observable in tests rather than theoretical). */
+  private[graft] var clockMillis: () => Long = () => System.currentTimeMillis()
+
+  /** In-commit timestamps (Delta's `inCommitTimestamp` writer feature —
+    * inherent here, not opt-in): every commit's timestamp is stored IN
+    * the CommitInfo action and clamped to `last + 1`, so the sequence is
+    * strictly monotonic no matter how writers' wall clocks skew. Delta
+    * needs the opt-in because its default timestamp is the commit FILE's
+    * modification time (rewritten by copies, skewed across writers);
+    * this log never used file mtime, so timestamp time travel, RESTORE
+    * TIMESTAMP, and CDF ranges always binary-search a monotone sequence. */
   private[table] def nextTimestamp(snap: Snapshot): Long = {
     val last = snap.commits.lastOption.map(_.timestamp).getOrElse(0L)
-    math.max(System.currentTimeMillis(), last + 1)
+    math.max(clockMillis(), last + 1)
   }
 
   // ------------------------------------------------- metadata operations
@@ -1551,7 +1564,7 @@ class LakeTable private[table] (
   def restoreToVersion(v: Long): Long = {
     val old = log.snapshot(Some(v))
     commitWithRetry("RESTORE", Map("version" -> v.toString), snapshot()) { s =>
-      val now = System.currentTimeMillis()
+      val now = clockMillis()
       val oldPaths = old.files.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
       val removed = s.files.filterNot(f => oldPaths.contains(f.path)).map(_.path).toSet
@@ -1580,8 +1593,23 @@ class LakeTable private[table] (
 
   /** VACUUM (M10, src/delta_utils.py:337-370): delete files tombstoned before
     * the horizon plus orphaned (never-committed) files; never touches the
-    * current snapshot. Returns the affected paths (always, mirroring DRY RUN). */
-  def vacuum(retainHours: Double = -1.0, dryRun: Boolean = false): Seq[String] = {
+    * current snapshot. Returns the affected paths (always, mirroring DRY RUN).
+    *
+    * `lite` = Delta's VACUUM LITE: candidates come from the transaction
+    * log's RemoveFile tombstones ONLY — no storage listing. At 100 TB the
+    * full mode's recursive listing of millions of data files is the
+    * dominant cost (and on object stores, the dominant request bill); the
+    * log replay is O(#versions) of small JSON instead. The trade is that
+    * LITE cannot see ORPHANS (files a crashed writer staged but never
+    * committed — they are in no log entry), so an occasional full vacuum
+    * still collects those.
+    *
+    * Both modes key tombstones by the LATEST deletionTimestamp per path:
+    * a file removed long ago, re-added by RESTORE, and removed again
+    * within the retention window must survive — time travel inside the
+    * window still resolves it. */
+  def vacuum(retainHours: Double = -1.0, dryRun: Boolean = false,
+      lite: Boolean = false): Seq[String] = {
     // negative = caller did not specify: resolve the default from the
     // table property graft.deletedFileRetentionDuration (Delta's
     // delta.deletedFileRetentionDuration, accepted via prefix
@@ -1592,7 +1620,7 @@ class LakeTable private[table] (
       else properties.get("graft.deletedFileRetentionDuration")
         .flatMap(LakeTable.parseRetentionHours)
         .getOrElse(168.0)
-    val horizon = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
+    val horizon = clockMillis() - (effectiveHours * 3600 * 1000).toLong
     val snap = snapshot()
     // deletion-vector paths are directories — membership is prefix-based
     def underAny(p: String, prefixes: Set[String]): Boolean =
@@ -1609,21 +1637,33 @@ class LakeTable private[table] (
       case d: DeletionVector if d.dvPath != null && d.dvPath.nonEmpty =>
         dir.resolve(d.dvPath).toString
     }.toSet
-    val tombstoned = history.collect {
+    // LATEST tombstone per path decides: an old remove superseded by a
+    // re-add + recent re-remove keeps the file inside the window
+    val latestRemove = history.collect { case r: RemoveFile =>
+      absPath(AddFile(r.path, Map.empty, 0, 0, Map.empty, 0)) -> r.deletionTimestamp
+    }.groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2).max }
+    val tombstoned = latestRemove.collect {
       // <= so retainHours=0 ("retain nothing") catches a same-millisecond tombstone
-      case r: RemoveFile if r.deletionTimestamp <= horizon => absPath(AddFile(r.path, Map.empty, 0, 0, Map.empty, 0))
+      case (p, ts) if ts <= horizon => p
     }.toSet
-    val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
-      listParquet(dir.resolve("dv"))).map(_.toString)
-    val doomed = physical.filter { p =>
-      !live.contains(p) && !underAny(p, liveDv) && (
-        tombstoned.contains(p) || underAny(p, tombstoned) ||
-        (!referenced.contains(p) && !underAny(p, referencedDv) &&
-          Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
-    }
+    val doomed =
+      if (lite)
+        tombstoned.toSeq.sorted.filter(p =>
+          !live.contains(p) && !underAny(p, liveDv) && Files.exists(Paths.get(p)))
+      else {
+        val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
+          listParquet(dir.resolve("dv"))).map(_.toString)
+        physical.filter { p =>
+          !live.contains(p) && !underAny(p, liveDv) && (
+            tombstoned.contains(p) || underAny(p, tombstoned) ||
+            (!referenced.contains(p) && !underAny(p, referencedDv) &&
+              Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
+        }
+      }
     if (!dryRun) {
       doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
       commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
+        "mode" -> (if (lite) "LITE" else "FULL"),
         "numDeletedFiles" -> doomed.size.toString), snapshot())(_ => Nil)
     }
     doomed
@@ -1726,7 +1766,12 @@ object LakeTable {
       // old files under the widened schema must refuse by name instead of
       // crashing (or worse, miscasting) on the scan
       if (props.get("graft.enableTypeWidening").contains("true"))
-        Some("typeWidening") else None).flatten
+        Some("typeWidening") else None,
+      // declarable for Delta parity; this engine's commits ALWAYS carry
+      // monotonic in-commit timestamps (see nextTimestamp) — the stamp
+      // demands the same discipline of other writers
+      if (props.get("graft.enableInCommitTimestamps").contains("true"))
+        Some("inCommitTimestamp") else None).flatten
     val reader = Seq(
       if (dv) Some("deletionVectors") else None,
       if (props.get("graft.enableTypeWidening").contains("true"))

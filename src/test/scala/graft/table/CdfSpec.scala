@@ -193,6 +193,48 @@ class CdfSpec extends SparkSpec {
     all.filter(col("_commit_version") === 3).count() shouldBe 0
   }
 
+  test("RESTORE across DV state synthesizes mask deltas (resurrections + re-masks)") {
+    // found by the lifecycle fuzz (seed 23, DV mode): a RESTORE that only
+    // moves deletion-vector pointers — or re-adds a file together with its
+    // mask — used to synthesize either nothing or UNMASKED inserts
+    val dir = tmpDir("cdf-dvrestore").resolve("t").toString
+    val t = LakeTable.create(spark, dir,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      properties = Map(
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.enableDeletionVectors" -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v1
+    t.delete(col("k") === 2) // v2: DV mask, sidecar delete
+    // v3: RESTORE to v1 — the file survives, only its mask reverts; row 2
+    // is resurrected and MUST synthesize as an insert
+    t.restoreToVersion(1)
+    val resurrect = t.changes(3, Some(3))
+    resurrect.select("k", "_change_type").as[(Long, String)].collect() shouldBe
+      Array((2L, "insert"))
+    // v4: RESTORE back to v2 — same file, mask re-established; row 2 is
+    // re-masked and MUST synthesize as a delete
+    t.restoreToVersion(2)
+    val remask = t.changes(4, Some(4))
+    remask.select("k", "_change_type").as[(Long, String)].collect() shouldBe
+      Array((2L, "delete"))
+    // replay of the whole feed still lands on the live state
+    val ch = t.changes(0)
+    val plus = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "v")
+    val minus = ch.filter(col("_change_type").isin("update_preimage", "delete"))
+      .select("k", "v")
+    plus.exceptAll(minus).as[(Long, String)].collect().sorted shouldBe
+      t.read().as[(Long, String)].collect().sorted
+    // re-added file + mask in ONE commit: optimize rewrites (drops masks),
+    // then restore to the masked version re-adds the ORIGINAL file along
+    // with its mask — the masked row must not resurface as an insert
+    t.optimizeCompact() // v5: fresh file, no masks
+    t.restoreToVersion(2) // v6: re-adds original file WITH its v2 mask
+    val readd = t.changes(6, Some(6))
+    readd.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
   test("timestamp-bounded CDF read") {
     val t = cdfTable("cdf-ts")
     val afterV1 = t.snapshot().commits.last.timestamp

@@ -259,6 +259,51 @@ class LakeTableSpec extends SparkSpec {
     t.vacuum(dryRun = true) shouldBe empty
   }
 
+  test("VACUUM LITE deletes log-tombstoned files without a listing; orphans stay") {
+    val t = freshTable("lt-vaclite")
+    t.append(rows(0 until 50))
+    t.overwrite(rows(50 until 60)) // tombstones the first generation
+    // an orphan a crashed writer staged but never committed: in no log
+    // entry, so LITE must not see it (full vacuum collects it)
+    val orphan = t.dir.resolve("data/orphan-never-committed.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val doomed = t.vacuum(retainHours = 0.0, dryRun = true, lite = true)
+    doomed should not be empty
+    doomed should not contain orphan.toString
+    GraftSql(spark).run(s"VACUUM '${t.dir}' LITE RETAIN 0 HOURS")
+    t.read().count() shouldBe 10
+    java.nio.file.Files.exists(orphan) shouldBe true
+    // nothing tombstoned remains for a full pass except the orphan
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    t.vacuum(retainHours = 0.0) should contain only orphan.toString
+  }
+
+  test("re-added then recently re-removed file survives vacuum (latest tombstone wins)") {
+    val t = freshTable("lt-vac-readd")
+    t.append(rows(0 until 10)) // v1
+    val v1Names = t.log.snapshot().files
+      .map(f => java.nio.file.Paths.get(f.path).getFileName.toString)
+    // v2's tombstone is BACK-DATED two days — far past a 1h horizon
+    t.clockMillis = () => System.currentTimeMillis() - 48 * 3600_000L
+    t.overwrite(rows(10 until 15)) // v2: ancient tombstone for v1's file
+    t.clockMillis = () => System.currentTimeMillis()
+    t.restoreToVersion(1) // v3: re-adds v1's file
+    t.overwrite(rows(20 until 25)) // v4: re-removes it, tombstone = now
+    // a 1h-retention vacuum must keep the file: its LATEST tombstone is
+    // fresh even though an ancient one exists for the same path, and time
+    // travel to v3 still needs the bytes
+    for (lite <- Seq(true, false)) {
+      val doomed = t.vacuum(retainHours = 1.0, dryRun = true, lite = lite)
+      withClue(s"lite=$lite: ") {
+        doomed.map(p => java.nio.file.Paths.get(p).getFileName.toString) should
+          contain noElementsOf v1Names
+      }
+    }
+    t.versionAsOf(3).count() shouldBe 10
+  }
+
   test("concurrent appends both land (optimistic retry)") {
     val t = freshTable("lt-conc")
     val threads = (0 until 4).map { i =>

@@ -28,12 +28,16 @@ class LifecycleFuzzSpec extends SparkSpec {
       val id = nextId; nextId += 1
       (id, rnd.nextInt(1000).toLong)
     }
+    // "n" starts NARROW (int) and may widen to long mid-history (case 14);
+    // every row carries n = id % 1000, so a mis-upcast of pre-widen bytes
+    // is visible at every step
     var table = LakeTable.create(spark, dir,
-      Seq((0L, 0L)).toDF("id", "v").schema,
+      Seq((0L, 0L, 0)).toDF("id", "v", "n").schema,
       properties = Map(
         "graft.checkpointInterval" -> "3",
         "graft.enableChangeDataFeed" -> "true",
         "graft.enableRowTracking" -> "true",
+        "graft.enableTypeWidening" -> "true",
         "graft.enableDeletionVectors" -> dv.toString))
     // model state AS OF each committed version (v0 = empty)
     val history = scala.collection.mutable.Map[Long, Map[Long, Long]](
@@ -51,6 +55,16 @@ class LifecycleFuzzSpec extends SparkSpec {
       // core-column integrity; evolved extras are checked in the evolution op
       val got = table.read().select("id", "v").as[(Long, Long)].collect().toMap
       withClue(s"seed=$seed dv=$dv $clue: ") { got shouldBe model }
+      // the widenable column: whatever its current width (int, or long
+      // after case 14 — or absent after a schema swap), every non-null
+      // value must still equal id % 1000 — a wrong upcast of pre-widen
+      // bytes through any path (scan, DML rewrite, OPTIMIZE, CDF sidecar,
+      // restore, clone) garbles this immediately
+      if (table.schema.fieldNames.contains("n"))
+        withClue(s"seed=$seed dv=$dv $clue widened-column integrity: ") {
+          table.read().filter(col("n").isNotNull &&
+            col("n").cast("long") =!= col("id") % 1000).count() shouldBe 0
+        }
       val ids = table.withRowIds().select("_row_id").as[Long].collect()
       val hwm = RowTracking.highWaterMark(table.log.snapshot())
       withClue(s"seed=$seed dv=$dv $clue row-tracking: ") {
@@ -66,13 +80,18 @@ class LifecycleFuzzSpec extends SparkSpec {
     def df(rows: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame = {
       var d = rows.toDF("id", "v")
       table.schema.fields.filterNot(f => Set("id", "v")(f.name)).foreach { f =>
-        d = d.withColumn(f.name, lit(null).cast(f.dataType))
+        d = d.withColumn(f.name,
+          if (f.name == "n") (col("id") % 1000).cast(f.dataType)
+          else lit(null).cast(f.dataType))
       }
       d
     }
 
     for (step <- 0 until 18) {
-      rnd.nextInt(14) match {
+      val opKind = rnd.nextInt(15)
+      if (sys.env.contains("FUZZ_DEBUG"))
+        println(s"FUZZDBG seed=$seed dv=$dv step=$step op=$opKind version=${table.version}")
+      opKind match {
         case 0 | 1 => // append
           val rows = mk(rnd.nextInt(40) + 1)
           table.append(df(rows))
@@ -165,6 +184,19 @@ class LifecycleFuzzSpec extends SparkSpec {
             withClue(s"seed=$seed dv=$dv merge moved a pre-existing row id: ") {
               beforeIds.foreach { case (rid, id) => afterIds(rid) shouldBe id }
             }
+          }
+        case 14 => // type widening: metadata-only INT→BIGINT on the carried
+          // column — bytes never move, every later op reads mixed-width
+          // generations; a RESTORE may revert the schema to INT (dropping
+          // the post-widen files with it), after which this can fire again
+          table.schema.fields.find(_.name == "n")
+            .filter(_.dataType == org.apache.spark.sql.types.IntegerType) match {
+            case Some(_) =>
+              table.widenColumn("n", org.apache.spark.sql.types.LongType): Unit
+            case None => // already wide or swapped away — append instead
+              val rows = mk(rnd.nextInt(10) + 1)
+              table.append(df(rows))
+              model ++= rows
           }
         case 12 => // schema-SWAP overwrite (overwriteSchema: metadata replaced
           // wholesale, like REPLACE TABLE) — a later RESTORE crossing this
