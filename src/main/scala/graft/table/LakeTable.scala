@@ -1648,8 +1648,20 @@ class LakeTable private[table] (
     }.toSet
     val doomed =
       if (lite)
-        tombstoned.toSeq.sorted.filter(p =>
-          !live.contains(p) && !underAny(p, liveDv) && Files.exists(Paths.get(p)))
+        // a tombstone may name a deletion-vector DIRECTORY — expand it to
+        // its parquet files (matching the full mode's file-level answers);
+        // listing only DOOMED directories keeps the cost proportional to
+        // what gets deleted, never to the table
+        tombstoned.toSeq.sorted
+          .filter(p => !live.contains(p) && !underAny(p, liveDv))
+          .flatMap { p =>
+            val path = Paths.get(p)
+            if (Files.isDirectory(path))
+              listParquet(path).map(_.toString)
+                .filterNot(q => live.contains(q) || underAny(q, liveDv))
+            else if (Files.exists(path)) Seq(p)
+            else Nil
+          }
       else {
         val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
           listParquet(dir.resolve("dv"))).map(_.toString)

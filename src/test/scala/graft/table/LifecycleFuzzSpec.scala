@@ -240,7 +240,14 @@ class LifecycleFuzzSpec extends SparkSpec {
       }
     }
     // a zero-retention vacuum reclaims history but must not touch the live
-    // snapshot (restore targets are gone afterwards, by contract)
+    // snapshot (restore targets are gone afterwards, by contract). LITE
+    // (log-tombstones only) must propose a SUBSET of FULL's candidates on
+    // any history — it can only miss orphans, never invent a victim
+    val liteDoomed = table.vacuum(retainHours = 0.0, dryRun = true, lite = true).toSet
+    val fullDoomed = table.vacuum(retainHours = 0.0, dryRun = true).toSet
+    withClue(s"seed=$seed dv=$dv LITE proposed a non-FULL victim: ") {
+      liteDoomed.diff(fullDoomed) shouldBe empty
+    }
     table.vacuum(retainHours = 0.0)
     check("after vacuum")
     if (dv) table.reorgPurge(): Unit
@@ -248,11 +255,11 @@ class LifecycleFuzzSpec extends SparkSpec {
   }
 
   test("random lifecycle interleavings match the per-version model (rewrite mode)") {
-    Seq(11, 23).foreach(runFuzz(_, dv = false))
+    Seq(11, 23, 31).foreach(runFuzz(_, dv = false))
   }
 
   test("random lifecycle interleavings match the per-version model (DV mode)") {
-    Seq(11, 23).foreach(runFuzz(_, dv = true))
+    Seq(11, 23, 31).foreach(runFuzz(_, dv = true))
   }
 
   // ------------------------------------------------- multi-writer fuzz
