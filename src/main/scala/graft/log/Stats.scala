@@ -124,10 +124,11 @@ object Stats {
     * exactness is the CALLER's concern: a DV could mask the extreme row. */
   def exactBounds(files: Seq[AddFile], field: StructField): Option[(String, String)] = {
     if (!isStatsType(field.dataType)) return None
-    // after a stat-lossy type widening, old files' encodings are no longer
-    // exact extremes under the current type — metadata-only min/max must
-    // fall back to a scan (see TypeWidening)
-    if (TypeWidening.hasLossyChange(field)) return None
+    // after a stat-lossy type widening, a file's encodings are exact
+    // extremes only if its change-count tag proves they were collected
+    // under the current type — otherwise metadata-only min/max must fall
+    // back to a scan (see TypeWidening)
+    if (files.exists(f => !TypeWidening.statsExact(f, field))) return None
     if (files.isEmpty) return Some((null, null))
     val perFile = files.map(f =>
       f.stats.get(field.name).orElse(f.stats.collectFirst {
@@ -408,14 +409,15 @@ object Pruner {
       bloom: BloomIndex = BloomIndex.disabled): Boolean = {
     def field(n: String): Option[StructField] = schema.fields.find(_.name.equalsIgnoreCase(n))
     // A stat-lossy type widening (float→double, date→timestamp_ntz)
-    // leaves old files' min/max encodings no longer exact bounds under
-    // the current type (see graft.log.TypeWidening) — pruning on that
-    // column must stand down entirely: a file's write type is not
-    // recorded, so no per-file discrimination is possible.
+    // leaves OLD files' min/max encodings no longer exact bounds under
+    // the current type (see graft.log.TypeWidening) — pruning trusts a
+    // file's stats for the column only when its change-count tag proves
+    // they were collected under the current type (post-widen writes and
+    // OPTIMIZE rewrites carry it, so pruning heals as data rewrites).
     def stats(n: String): Option[(ColStats, DataType)] =
       for {
         fl <- field(n)
-        if !TypeWidening.hasLossyChange(fl)
+        if TypeWidening.statsExact(f, fl)
         s <- f.stats.get(fl.name)
       } yield (s, fl.dataType)
     // Bloom membership for an equality literal: cast the literal to the
@@ -424,9 +426,10 @@ object Pruner {
     def bloomMightHave(n: String, v: Any, dt: DataType): Boolean =
       field(n).forall { fl =>
         // blooms hash COLUMN-TYPED values and xxhash64(1: int) ≠
-        // xxhash64(1L): after ANY type widening, sidecars built under the
-        // old type answer a different hash domain — keep the file
-        TypeWidening.hasChanges(fl) || {
+        // xxhash64(1L): a sidecar built under an unseen widening answers a
+        // different hash domain — keep the file unless its change-count
+        // tag proves the bloom hashed the current type
+        !TypeWidening.bloomValid(f, fl) || {
         val casted =
           if (fl.dataType == dt) Some(v)
           else scala.util.Try(Cast(Literal(v, dt), fl.dataType,

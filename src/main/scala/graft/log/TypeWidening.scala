@@ -103,4 +103,33 @@ object TypeWidening {
   /** Any recorded STAT-LOSSY widening (disables min/max pruning). */
   def hasLossyChange(f: StructField): Boolean =
     changeTypes(f).exists { case (from, to) => statLossy(from, to) }
+
+  /** How many widenings this field has accumulated. */
+  def changeCount(f: StructField): Int =
+    if (!f.metadata.contains(ChangesKey)) 0
+    else f.metadata.getMetadataArray(ChangesKey).length
+
+  /** Per-file tag key recording how many of the column's widenings the
+    * writer had seen — keyed by the column-mapping field id (stable across
+    * renames), name as the unmapped fallback. */
+  def tagKey(f: StructField): String =
+    "tc:" + ColumnIds.idOf(f).map(_.toString).getOrElse(f.name)
+
+  /** Were this file's stats for `f` collected under the column's CURRENT
+    * type? True when the writer saw every recorded change (count match) or
+    * no change is stat-lossy. The count comparison is sound under RESTORE
+    * and CLONE because both move the schema's change history and the file
+    * set together, wholesale; files without the tag (or with a stale
+    * count) simply keep conservative no-pruning behavior. This is how
+    * pruning HEALS after a float→double widen: every post-widen write and
+    * every OPTIMIZE rewrite re-collects stats under the new type and tags
+    * the files accordingly. */
+  def statsExact(file: AddFile, f: StructField): Boolean =
+    !hasLossyChange(f) || file.tag(tagKey(f)).contains(changeCount(f).toString)
+
+  /** Was this file's bloom sidecar for `f` built hashing the CURRENT
+    * type? Any unseen widening changes the hash domain (xxhash64(1: int)
+    * ≠ xxhash64(1L)), so here even exact-stat widenings count. */
+  def bloomValid(file: AddFile, f: StructField): Boolean =
+    !hasChanges(f) || file.tag(tagKey(f)).contains(changeCount(f).toString)
 }

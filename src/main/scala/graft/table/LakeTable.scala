@@ -810,6 +810,24 @@ class LakeTable private[table] (
         Stats.collect(spark.read.parquet(absDir.toString).drop(pcols: _*))
       }
     val blooms = buildBloomSidecars(absDir, commitId, stats, df.schema)
+    // Per-column change-count tags let pruning HEAL after a type widening:
+    // this write's stats/blooms were computed from values of df.schema's
+    // types, so a widened column's stats are exact under the CURRENT type
+    // exactly when the two types are EQUAL — the type-equality guard also
+    // makes the tag race-free (a widen landing after the caller resolved
+    // its schema leaves df at the old type → no tag → conservative).
+    // Pruning trusts a file's stats/bloom for the column iff the counts
+    // match (TypeWidening.statsExact/bloomValid). Tables that never widen
+    // get no tags — their wire format is unchanged.
+    val tcTags = scala.util.Try(snapshot().schema).toOption.toSeq
+      .flatMap(_.fields.toSeq)
+      .filter(graft.log.TypeWidening.hasChanges)
+      .flatMap { sf =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(sf.name))
+          .filter(_.dataType == sf.dataType)
+          .map(_ => graft.log.TypeWidening.tagKey(sf) ->
+            graft.log.TypeWidening.changeCount(sf).toString)
+      }.toMap
     files.map { p =>
       val rel = dir.relativize(p).toString
       val (cnt, st) = stats.getOrElse(p.toString, (0L, Map.empty[String, ColStats]))
@@ -820,7 +838,8 @@ class LakeTable private[table] (
         numRecords = cnt,
         stats = st,
         modificationTime = Files.getLastModifiedTime(p).toMillis,
-        bloom = blooms.get(p.toString).orNull)
+        bloom = blooms.get(p.toString).orNull,
+        tags = if (tcTags.isEmpty) null else tcTags)
     }
   }
 

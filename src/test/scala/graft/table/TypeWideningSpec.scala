@@ -129,6 +129,26 @@ class TypeWideningSpec extends SparkSpec {
       t2.log.snapshot().schema("v")).map(_._2) shouldBe Some("5")
   }
 
+  test("pruning HEALS: rewrites and fresh writes regain exact stats via change-count tags") {
+    val t = fresh("tw-heal", StructType(Seq(
+      StructField("k", LongType), StructField("r", FloatType))))
+    t.append(Seq((1L, 0.25f)).toDF("k", "r")) // pre-widen: no tag
+    t.append(Seq((3L, 0.125f)).toDF("k", "r")) // second small file → compactable
+    t.widenColumn("r", DoubleType)
+    val fld = t.log.snapshot().schema("r")
+    Stats.exactBounds(t.log.snapshot().files, fld) shouldBe None // stale bounds
+    // OPTIMIZE rewrites under the widened schema and re-collects stats —
+    // the rewritten file carries the change-count tag, bounds are exact
+    t.optimizeCompact()
+    t.log.snapshot().files.size shouldBe 1 // the rewrite actually fired
+    val files = t.log.snapshot().files
+    files.foreach(_.tag(TypeWidening.tagKey(fld)) shouldBe Some("1"))
+    Stats.exactBounds(files, fld).map(_._2) shouldBe Some("0.25")
+    // a fresh append is exact immediately too
+    t.append(Seq((2L, 0.5d)).toDF("k", "r"))
+    Stats.exactBounds(t.log.snapshot().files, fld).map(_._2) shouldBe Some("0.5")
+  }
+
   test("widen disables bloom pruning built under the old type (hash honesty)") {
     val t = fresh("tw-bloom", StructType(Seq(
       StructField("k", LongType), StructField("v", IntegerType))))
