@@ -242,6 +242,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames.length == 1 =>
         t.setColumnDefault(ud.fieldNames.head,
           Option(ud.newDefaultValue()).filter(_.nonEmpty)): Unit
+      case ut: TableChange.UpdateColumnType if ut.fieldNames.length == 1 =>
+        // native `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` — type
+        // widening (metadata-only; widenColumn enforces the matrix/guards)
+        t.widenColumn(ut.fieldNames.head, ut.newDataType): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER not supported through the catalog: $other (use GraftSql / the table API)")
     }

@@ -93,6 +93,23 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DESCRIBE HISTORY gcat.meta.hist LIMIT 1 AS JSON").count() shouldBe 1
   }
 
+  test("native ALTER COLUMN TYPE widens through the V2 catalog") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.widen")
+    spark.sql("""CREATE TABLE gcat.widen.t (k BIGINT, v INT) USING graft
+      TBLPROPERTIES ('delta.enableTypeWidening' = 'true')""")
+    spark.sql("INSERT INTO gcat.widen.t SELECT id, CAST(id AS INT) FROM range(5)")
+    spark.sql("ALTER TABLE gcat.widen.t ALTER COLUMN v TYPE BIGINT")
+    spark.sql("INSERT INTO gcat.widen.t VALUES (99, 3000000000)")
+    spark.table("gcat.widen.t").schema("v").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    spark.sql("SELECT sum(v) FROM gcat.widen.t").collect().head.getLong(0) shouldBe
+      (0L + 1 + 2 + 3 + 4 + 3000000000L)
+    // a narrowing through the same surface refuses
+    an[Exception] should be thrownBy
+      spark.sql("ALTER TABLE gcat.widen.t ALTER COLUMN v TYPE INT")
+  }
+
   test("column DEFAULT values: CREATE DDL, INSERT fill, ALTER SET/DROP, path-API append") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dflt")
