@@ -159,6 +159,40 @@ class GraftStreamSourceSpec extends SparkSpec {
       (0L until 9L).toArray
   }
 
+  test("mid-run type widening fails the stream loudly; a restart serves the widened schema") {
+    val base = tmpDir("gss-widen")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ck").toString
+    val out = base.resolve("out").toString
+    val t = LakeTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType))),
+      properties = Map("graft.enableTypeWidening" -> "true"))
+    t.append(Seq((1L, 10)).toDF("k", "v"))
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // widen MID-RUN, then land a value only the wide type can hold: the
+    // run-pinned INT schema cannot narrow the new LONG file — the running
+    // query must fail loudly, never truncate (Delta's restart contract)
+    t.widenColumn("v", org.apache.spark.sql.types.LongType)
+    t.append(Seq((2L, Int.MaxValue.toLong + 5L)).toDF("k", "v"))
+    an[Exception] should be thrownBy { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // fresh source: schema re-resolves to the WIDENED one
+    q2.processAllAvailable(); q2.stop()
+    // the restart served the failed batch under BIGINT; the sink dir now
+    // mixes INT and BIGINT files — exactly what the widening read handles
+    spark.read.schema("k BIGINT, v BIGINT").parquet(out)
+      .select("v").as[Long]
+      .collect().sorted shouldBe Array(10L, Int.MaxValue.toLong + 5L)
+  }
+
   test("maxFilesPerTrigger bounds every micro-batch; rows arrive exactly once") {
     val dir = tmpDir("gss-rate").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 5))
