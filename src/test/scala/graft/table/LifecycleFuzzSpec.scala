@@ -48,6 +48,9 @@ class LifecycleFuzzSpec extends SparkSpec {
     // composition, and the high-water mark never regresses (regression =
     // a future allocation could reuse a burned id)
     var lastHwm = -1L
+    // a mid-history VACUUM(0) reclaims every tombstone: versions before it
+    // are no longer restorable/clonable/CDF-replayable BY CONTRACT
+    var vacuumFloor = 0L
     def rowPairs(): Map[Long, (Long, Long)] =
       table.withRowIds().select("_row_id", "id", "v").as[(Long, Long, Long)]
         .collect().map { case (r, i, x) => r -> ((i, x)) }.toMap
@@ -88,7 +91,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     for (step <- 0 until 18) {
-      val opKind = rnd.nextInt(15)
+      val opKind = rnd.nextInt(16)
       if (sys.env.contains("FUZZ_DEBUG"))
         println(s"FUZZDBG seed=$seed dv=$dv step=$step op=$opKind version=${table.version}")
       opKind match {
@@ -129,8 +132,8 @@ class LifecycleFuzzSpec extends SparkSpec {
           withClue(s"seed=$seed zorder disturbed row ids: ") {
             rowPairs() shouldBe before
           }
-        case 6 => // restore to a random earlier version
-          val versions = history.keys.toSeq.sorted
+        case 6 => // restore to a random earlier (still-restorable) version
+          val versions = history.keys.toSeq.filter(_ >= vacuumFloor).sorted
           val target = versions(rnd.nextInt(versions.size))
           table.restoreToVersion(target)
           model = history(target)
@@ -156,7 +159,7 @@ class LifecycleFuzzSpec extends SparkSpec {
           table.read().filter(col(cName).isNotNull).count() shouldBe 0
         case 11 => // clone leg: head or VERSION AS OF, shallow or deep — the
           // clone must reproduce exactly the state the source had then
-          val versions = history.keys.toSeq.sorted
+          val versions = history.keys.toSeq.filter(_ >= vacuumFloor).sorted
           val target =
             if (rnd.nextBoolean()) Some(versions(rnd.nextInt(versions.size)))
             else None
@@ -185,6 +188,12 @@ class LifecycleFuzzSpec extends SparkSpec {
               beforeIds.foreach { case (rid, id) => afterIds(rid) shouldBe id }
             }
           }
+        case 15 => // mid-history VACUUM(0): every tombstone reclaimed NOW.
+          // The live state must be untouched, and every later restore/
+          // clone/CDF-replay target must respect the floor — this is the
+          // composition that catches a vacuum victim something still needs
+          table.vacuum(retainHours = 0.0)
+          vacuumFloor = table.version // includes the VACUUM commit itself
         case 14 => // type widening: metadata-only INT→BIGINT on the carried
           // column — bytes never move, every later op reads mixed-width
           // generations; a RESTORE may revert the schema to INT (dropping
@@ -217,7 +226,9 @@ class LifecycleFuzzSpec extends SparkSpec {
     // collide at different types refuses loudly; the walk then starts the
     // range after the refused version, seeding from the model history.
     locally {
-      var start = 0L
+      // replay can only start at the vacuum floor: synthesized reads for
+      // earlier versions need file bytes a mid-history VACUUM(0) reclaimed
+      var start = vacuumFloor
       var ch: org.apache.spark.sql.DataFrame = null
       while (ch == null && start <= table.version) {
         try ch = table.changes(start)
