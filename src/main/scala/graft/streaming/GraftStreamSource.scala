@@ -16,6 +16,7 @@ import graft.table.LakeTable
   * {{{
   * spark.readStream.format("graft").load(path)            // snapshot + appends
   *   .option("startingVersion", 3)                        // appends from v3 on
+  *   .option("startingTimestamp", "2026-01-01 00:00:00")  // first commit at/after
   *   .option("ignoreChanges", "true")                     // tolerate rewrites
   *   .option("ignoreDeletes", "true")                     // skip delete-only commits
   * }}}
@@ -43,7 +44,18 @@ class GraftStreamSource(
     with SupportsAdmissionControl with SupportsTriggerAvailableNow
     with org.apache.spark.internal.Logging {
 
-  private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+  // startingTimestamp mirrors Delta's stream option: the FIRST commit at
+  // or after the timestamp (same rule as the batch CDF reader), resolved
+  // once at stream start against the monotone in-commit timestamps, then
+  // behaves exactly like startingVersion
+  private val startingVersion: Option[Long] =
+    options.get("startingVersion").map(_.toLong).orElse(
+      options.get("startingTimestamp").map { ts =>
+        val ms = scala.util.Try(ts.toLong)
+          .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
+        table.snapshot().commits.filter(_.timestamp >= ms).map(_.version)
+          .minOption.getOrElse(table.version + 1)
+      })
   private val ignoreChanges = options.get("ignoreChanges").contains("true")
   private val ignoreDeletes = options.get("ignoreDeletes").contains("true")
 

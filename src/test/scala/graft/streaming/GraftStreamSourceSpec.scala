@@ -50,6 +50,22 @@ class GraftStreamSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("startingTimestamp resolves to the first commit at or after it (epoch millis form)") {
+    val dir = tmpDir("gss-sts").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 10)) // v0 create, v1 append
+    val t1 = t.log.snapshot().commits.last.timestamp
+    t.clockMillis = () => t1 + 10000L
+    t.append(df(10 until 15)) // v2 @ t1+10000
+    // a probe strictly between v1 and v2 must start the stream at v2
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", (t1 + 1).toString).load(dir)
+      .writeStream.format("memory").queryName("gsssts").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gsssts").select("id").as[Long].collect().sorted shouldBe
+      (10L until 15L).toArray
+    q.stop()
+  }
+
   test("data-changing commit fails the stream without ignoreChanges") {
     val dir = tmpDir("gss-fail").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 10))
