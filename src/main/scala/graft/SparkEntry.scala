@@ -49,6 +49,7 @@ object SparkEntry {
     "q94_row_tracking" -> (TableOps.rowTracking _),
     "q95_type_widening" -> (TableOps.typeWidening _),
     "q96_in_commit_timestamp" -> (TableOps.inCommitTimestamp _),
+    "q97_cdf_row_ids" -> (TableOps.cdfRowIds _),
     "q79_stream_dedup_ingest" -> (MetaOps.streamDedupIngest _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),

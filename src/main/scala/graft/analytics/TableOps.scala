@@ -321,6 +321,32 @@ object TableOps {
     LakeTable.forPath(spark, dir).read().select("o_orderkey", "val", "ratio")
   }
 
+  /** Row ids in the Change Data Feed (row tracking × CDF): the same
+    * deterministic id assignment as q94 (single sorted file per append —
+    * `_row_id` = row_number over (doc_id % 2, doc_id) − 1), then a DV
+    * UPDATE and a DV DELETE whose sidecars must record each image's
+    * resolved id — updates keep their id across pre/post, deletes name the
+    * exact rows the mask killed, and the synthesized inserts resolve
+    * through the broadcast base map. The oracle replays the entire feed
+    * arithmetically: ids, change types, and the post-update values the
+    * delete images must reflect. */
+  def cdfRowIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val t = LakeTable.create(spark, scratch("cdfrowid"), docs.schema,
+      properties = Map(
+        "graft.enableRowTracking" -> "true",
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.enableDeletionVectors" -> "true"), ifNotExists = false)
+    t.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id")) // v1: ids 0..nEven-1
+    t.append(docs.filter(col("doc_id") % 2 === 1)
+      .repartition(1).sortWithinPartitions("doc_id")) // v2: continues
+    t.update(col("doc_id") % 10 === 0,
+      Map("source" -> concat(col("source"), lit("!")))) // v3: DV sidecar
+    t.delete(col("doc_id") % 7 === 0) // v4: DV sidecar, post-update values
+    t.changes(0).select("_row_id", "doc_id", "source", "_change_type")
+  }
+
   /** In-commit timestamps: timestamp time travel against a SKEWED writer
     * clock. Commit timestamps live in the CommitInfo action and are
     * clamped to strictly increase (`max(clock, last+1)` — Delta's
@@ -355,6 +381,24 @@ object TableOps {
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "q97_cdf_row_ids" ->
+      """WITH ids AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (ORDER BY doc_id % 2, doc_id) - 1
+                       AS BIGINT) AS _row_id
+           FROM documents)
+         SELECT _row_id, doc_id, source, 'insert' AS _change_type FROM ids
+         UNION ALL
+         SELECT _row_id, doc_id, source, 'update_preimage' FROM ids
+         WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT _row_id, doc_id, source || '!', 'update_postimage' FROM ids
+         WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT _row_id, doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN source || '!' ELSE source END,
+                'delete'
+         FROM ids WHERE doc_id % 7 = 0""",
     "q96_in_commit_timestamp" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_orderkey % 2 = 0""",

@@ -73,7 +73,18 @@ trait CdfSupport { self: LakeTable =>
       versionChanges(v, schema)
     }
     if (perVersion.isEmpty) emptyCdf(schema)
-    else perVersion.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else {
+      val out = perVersion.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      if (!cdfRowIds) out
+      else {
+        // canonical shape: the column present (null where unresolvable —
+        // e.g. pre-tracking sidecars) and in the declared cdfSchema order
+        val withId =
+          if (out.columns.contains(Cdf.RowIdCol)) out
+          else out.withColumn(Cdf.RowIdCol, lit(null).cast(LongType))
+        withId.select(cdfSchema(schema).fieldNames.toIndexedSeq.map(col): _*)
+      }
+    }
   }
 
   def changesBetweenTimestamps(startMillis: Long, endMillis: Option[Long] = None): DataFrame = {
@@ -94,10 +105,22 @@ trait CdfSupport { self: LakeTable =>
   private[graft] def emptyCdfFrame: DataFrame = emptyCdf(snapshot().schema)
 
   private def cdfSchema(schema: StructType): StructType =
-    StructType(schema.fields ++ Seq(
+    StructType(schema.fields ++
+      (if (cdfRowIds) Seq(StructField(Cdf.RowIdCol, LongType)) else Nil) ++ Seq(
       StructField("_change_type", StringType),
       StructField("_commit_version", LongType),
       StructField("_commit_timestamp", TimestampType)))
+
+  /** Row ids in the change feed (row tracking × CDF): when the table
+    * tracks rows, every change row carries `_row_id` where the id is
+    * resolvable — synthesized inserts/deletes/DV-deltas resolve through
+    * the same broadcast base map as `withRowIds`, and DML sidecars record
+    * the id at write time for pre/post/delete images. MERGE-insert change
+    * rows are null (a fresh row's id is assigned at COMMIT, after the
+    * sidecar is staged — read it from the table). Sidecars written before
+    * tracking was enabled read the column as null (parquet
+    * missing-column semantics). */
+  private def cdfRowIds: Boolean = rowTrackingOn(snapshot().metadata.properties)
 
   /** Project a frame read under its write-time schema onto the range-end
     * schema. Mapped tables match columns by field id: renamed columns
@@ -168,12 +191,17 @@ trait CdfSupport { self: LakeTable =>
       // and the range end becomes a projection instead of a silent NULL
       // (and a DROP+re-ADD of the same name correctly reads NULL: new id)
       val writeSchema = snapshot(Some(v)).schema
+      // request _row_id on row-tracked tables: DML sidecars written after
+      // tracking record it; older ones read it as null
+      val sideExtra =
+        if (cdfRowIds) Seq(StructField("_change_type", StringType),
+          StructField(Cdf.RowIdCol, LongType))
+        else Seq(StructField("_change_type", StringType))
       val side = spark.read
-        .schema(StructType(ColumnIds.strip(writeSchema).fields :+
-          StructField("_change_type", StringType)))
+        .schema(StructType(ColumnIds.strip(writeSchema).fields ++ sideExtra))
         .parquet(paths: _*)
       return Some(meta(remapToEnd(side, writeSchema, schema, v,
-        extra = Seq("_change_type"))))
+        extra = sideExtra.map(_.name))))
     }
     if (op == "REPLACE TABLE")
       // the schema may have been swapped wholesale; pre-replace rows are not
@@ -196,26 +224,38 @@ trait CdfSupport { self: LakeTable =>
     val removes = actions.collect { case r: RemoveFile => r }
     val snapAtV = log.snapshot(Some(v))
     lazy val snapBefore = log.snapshot(Some(v - 1)) // only touched when v >= 1
+    // resolvable-id read for a synthesized leg: masked rows of `files`
+    // under `snap`, with `_row_id` resolved via the broadcast base map
+    // when the table tracks rows and every file has a base (else the
+    // plain masked read — the union null-fills the column)
+    def maskedWithIds(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+      if (cdfRowIds && files.forall(_.baseRowId != null))
+        posWithRowIds(snap, files)
+          .drop("__file", "__idx", RowTracking.MatRcv)
+          .withColumnRenamed(RowTracking.MatRowId, Cdf.RowIdCol)
+      else readFilesMasked(snap, files, snap.schema)
+    def idExtra(df: DataFrame): Seq[String] =
+      if (df.columns.contains(Cdf.RowIdCol)) Seq(Cdf.RowIdCol) else Nil
     val inserts =
       if (adds.isEmpty) None
-      else
+      else {
         // read added files under the DV state AT v, not raw: a RESTORE that
         // re-adds a file may re-establish its deletion-vector mask in the
         // SAME commit — the masked rows were never resurrected, so they
         // must not synthesize as inserts (for plain appends/overwrites the
         // at-v snapshot carries no mask for fresh files and this is the
         // identity)
-        Some(remapToEnd(readFilesMasked(snapAtV, adds, snapAtV.schema),
-            snapAtV.schema, schema, v)
+        val df = maskedWithIds(snapAtV, adds)
+        Some(remapToEnd(df, snapAtV.schema, schema, v, extra = idExtra(df))
           .withColumn("_change_type", lit("insert")))
+      }
     val deletes =
       if (removes.isEmpty) None
       else {
         val removedPaths = removes.map(_.path).toSet
         val removedAdds = snapBefore.files.filter(f => removedPaths.contains(f.path))
-        Some(remapToEnd(
-            readFilesMasked(snapBefore, removedAdds, snapBefore.schema),
-            snapBefore.schema, schema, v)
+        val df = maskedWithIds(snapBefore, removedAdds)
+        Some(remapToEnd(df, snapBefore.schema, schema, v, extra = idExtra(df))
           .withColumn("_change_type", lit("delete")))
       }
     // DV-delta synthesis: a RESTORE can change ONLY a surviving file's
@@ -243,19 +283,39 @@ trait CdfSupport { self: LakeTable =>
             !DvBitmap.notMasked(col("__file"), col("__idx"), bc,
               dvs.map(_.numDeleted).sum)
           }
-        val pos = readFiles(dvChanged, snapAtV.schema)
+        val resolveIds = cdfRowIds && dvChanged.forall(_.baseRowId != null)
+        val readSchema =
+          if (resolveIds)
+            StructType(snapAtV.schema.fields ++ Seq(
+              StructField(RowTracking.MatRowId, LongType),
+              StructField(RowTracking.MatRcv, LongType)))
+          else snapAtV.schema
+        val pos0 = readFiles(dvChanged, readSchema)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__idx", col("_metadata.row_index"))
+        // ids resolve UNMASKED here on purpose: the delete side IS the
+        // newly-masked rows
+        val pos =
+          if (resolveIds) resolveIdCols(pos0, dvChanged)
+            .drop(RowTracking.MatRcv)
+            .withColumnRenamed(RowTracking.MatRowId, Cdf.RowIdCol)
+          else pos0
+        val extra = if (resolveIds) Seq(Cdf.RowIdCol) else Nil
         val mBefore = maskedBy(dvChanged.flatMap(f => snapBefore.dvs.get(f.path)))
         val mAfter = maskedBy(dvChanged.flatMap(f => snapAtV.dvs.get(f.path)))
         val masked = pos.filter(mAfter && !mBefore).drop("__file", "__idx")
         val resurrected = pos.filter(mBefore && !mAfter).drop("__file", "__idx")
-        Some(remapToEnd(masked, snapAtV.schema, schema, v)
+        Some(remapToEnd(masked, snapAtV.schema, schema, v, extra = extra)
           .withColumn("_change_type", lit("delete"))
-          .unionByName(remapToEnd(resurrected, snapAtV.schema, schema, v)
+          .unionByName(remapToEnd(resurrected, snapAtV.schema, schema, v, extra = extra)
             .withColumn("_change_type", lit("insert"))))
       }
     Seq(inserts, deletes, dvDelta).flatten
       .reduceOption(_.unionByName(_)).map(meta)
   }
+}
+
+private[table] object Cdf {
+  /** Row-id column surfaced in the change feed on row-tracked tables. */
+  val RowIdCol = "_row_id"
 }

@@ -75,8 +75,14 @@ trait DmlSupport { self: LakeTable =>
         .getOrElse(col(c).as(c, snap.schema(c).metadata))
     }
     val sidecars = if (cdfEnabled) {
-      val pre = touchedDf.filter(matchPred).withColumn("_change_type", lit("update_preimage"))
-      val post = touchedDf.filter(matchPred).select(setExprs: _*)
+      // row tracking: the sidecar records each image's resolved id — the
+      // post image carries the SAME id (an update never moves a row's id)
+      val idCol: Seq[Column] =
+        if (rt) Seq(col(RowTracking.MatRowId).as(Cdf.RowIdCol)) else Nil
+      val hit = rewriteSrc.filter(matchPred)
+      val pre = hit.select(snap.schema.fieldNames.toIndexedSeq.map(col) ++ idCol: _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = hit.select(setExprs ++ idCol: _*)
         .withColumn("_change_type", lit("update_postimage"))
       writeCdfSidecar(pre.unionByName(post))
     } else Nil
@@ -158,13 +164,18 @@ trait DmlSupport { self: LakeTable =>
     // row tracking: survivors pass their resolved id AND commit version
     // straight through as materialized columns — a delete never changes
     // the rows it keeps
+    val rt = rowsTracked(snap, touched)
     val rewriteSrc =
-      if (rowsTracked(snap, touched)) posWithRowIds(snap, touched).drop("__file", "__idx")
+      if (rt) posWithRowIds(snap, touched).drop("__file", "__idx")
       else touchedDf
     val rewritten = rewriteSrc.filter(!matchPred)
-    val sidecars = if (cdfEnabled)
-      writeCdfSidecar(touchedDf.filter(matchPred).withColumn("_change_type", lit("delete")))
-    else Nil
+    val sidecars = if (cdfEnabled) {
+      val idCol: Seq[Column] =
+        if (rt) Seq(col(RowTracking.MatRowId).as(Cdf.RowIdCol)) else Nil
+      writeCdfSidecar(rewriteSrc.filter(matchPred)
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col) ++ idCol: _*)
+        .withColumn("_change_type", lit("delete")))
+    } else Nil
     val adds = stageWrite(rewritten, snap.metadata.partitionColumns)
     // deleted-row count falls out of the file metadata — no extra job
     // (touched files' live counts = base counts minus their DV masks)
@@ -183,11 +194,18 @@ trait DmlSupport { self: LakeTable =>
     val touched = filesContaining(snap, cond)
     if (touched.isEmpty) return snap.version
     val matchPred = coalesce(cond, lit(false))
-    val matched = readFilesMaskedPos(snap, touched, snap.schema).filter(matchPred)
-    val sidecars = if (cdfEnabled)
-      writeCdfSidecar(matched.drop("__file", "__idx")
+    // row tracking: resolve ids alongside the positions so the CDF
+    // sidecar records which rows the mask deleted
+    val rt = rowsTracked(snap, touched)
+    val matched = (if (rt) posWithRowIds(snap, touched)
+      else readFilesMaskedPos(snap, touched, snap.schema)).filter(matchPred)
+    val sidecars = if (cdfEnabled) {
+      val idCol: Seq[Column] =
+        if (rt) Seq(col(RowTracking.MatRowId).as(Cdf.RowIdCol)) else Nil
+      writeCdfSidecar(matched
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col) ++ idCol: _*)
         .withColumn("_change_type", lit("delete")))
-    else Nil
+    } else Nil
     maskAndCommit(snap, "DELETE", Map("predicate" -> cond.toString),
       touched, matched, Nil, sidecars,
       newlyMasked => Map("numDeletedRows" -> newlyMasked))
@@ -207,16 +225,20 @@ trait DmlSupport { self: LakeTable =>
     val matched =
       (if (rt) posWithRowIds(snap, touched)
       else readFilesMaskedPos(snap, touched, snap.schema)).filter(matchPred)
-    val plain = matched
-      .drop("__file", "__idx", RowTracking.MatRowId, RowTracking.MatRcv)
     val setExprs = snap.schema.fieldNames.toIndexedSeq.map { c =>
       set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
         v.cast(snap.schema(c).dataType).as(c, snap.schema(c).metadata) }
         .getOrElse(col(c).as(c, snap.schema(c).metadata))
     }
     val sidecars = if (cdfEnabled) {
-      val pre = plain.withColumn("_change_type", lit("update_preimage"))
-      val post = plain.select(setExprs: _*).withColumn("_change_type", lit("update_postimage"))
+      // both images carry the row's resolved id (updates keep ids)
+      val idCol: Seq[Column] =
+        if (rt) Seq(col(RowTracking.MatRowId).as(Cdf.RowIdCol)) else Nil
+      val base = matched.drop("__file", "__idx")
+      val pre = base.select(snap.schema.fieldNames.toIndexedSeq.map(col) ++ idCol: _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = base.select(setExprs ++ idCol: _*)
+        .withColumn("_change_type", lit("update_postimage"))
       writeCdfSidecar(pre.unionByName(post))
     } else Nil
     val rtExtra: Seq[Column] = if (rt) Seq(col(RowTracking.MatRowId)) else Nil
@@ -1230,17 +1252,26 @@ class MergeBuilder private[table] (
 
       val sidecars = if (!cdfOn) Nil else {
         val metaCols = Seq("__rid", "__tgt", "__src", "__action")
+        // row tracking: pre/post/delete images carry the TARGET row's
+        // resolved id (updates keep ids); insert images are null — a fresh
+        // row's id is assigned at commit, after this sidecar is staged
+        val tgtId: Seq[Column] = if (!rtG) Nil else Seq(
+          col(s"target.${RowTracking.MatRowId}").as(Cdf.RowIdCol))
+        val nullId: Seq[Column] = if (!rtG) Nil else Seq(
+          lit(null).cast(org.apache.spark.sql.types.LongType).as(Cdf.RowIdCol))
         val pre = acted.filter(col("__action").isin(updateTags: _*))
-          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)) ++
+            tgtId: _*)
           .withColumn("_change_type", lit("update_preimage"))
         val post = acted.filter(col("__action").isin(updateTags: _*))
-          .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(outCol) ++ tgtId: _*)
           .withColumn("_change_type", lit("update_postimage"))
         val del = acted.filter(col("__action").isin(deleteTags: _*))
-          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(c => col(s"target.$c").as(c)) ++
+            tgtId: _*)
           .withColumn("_change_type", lit("delete"))
         val ins = acted.filter(col("__action").isin(insertTags: _*))
-          .select(schema.fieldNames.toIndexedSeq.map(outCol): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(outCol) ++ nullId: _*)
           .withColumn("_change_type", lit("insert"))
         table.writeCdfSidecar(pre.unionByName(post).unionByName(del).unionByName(ins))
       }

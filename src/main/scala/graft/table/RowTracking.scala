@@ -82,7 +82,17 @@ trait RowTrackingSupport { self: LakeTable =>
     val logical = Option(readSchema).getOrElse(snap.schema)
     val matSchema = StructType(logical.fields ++ Seq(
       StructField(MatRowId, LongType), StructField(MatRcv, LongType)))
-    val masked = readFilesMaskedPos(snap, files, matSchema)
+    resolveIdCols(readFilesMaskedPos(snap, files, matSchema), files)
+  }
+
+  /** Rewrite a position-carrying frame's [[RowTracking.MatRowId]]/
+    * [[RowTracking.MatRcv]] columns to each row's RESOLVED id and commit
+    * version via the broadcast per-file base map (materialized value wins
+    * over `baseRowId + row_index`). The frame must carry `__file`/`__idx`
+    * and the two materialized columns; masking (or not) is the caller's
+    * choice — CDF's deletion-vector delta legs resolve ids for rows that
+    * ARE masked. */
+  private[table] def resolveIdCols(withPos: DataFrame, files: Seq[AddFile]): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val names = files.map(f => fileName(f.path))
@@ -92,7 +102,7 @@ trait RowTrackingSupport { self: LakeTable =>
       (fileName(f.path), Option(f.baseRowId).map(_.toLong).getOrElse(-1L),
         Option(f.defaultRowCommitVersion).map(_.toLong).getOrElse(-1L))
     }.toDF(FnameCol, BaseCol, DcvCol)
-    masked
+    withPos
       .withColumn(FnameCol, element_at(split(col("__file"), "/"), -1))
       .join(broadcast(baseMap), Seq(FnameCol))
       .withColumn(MatRowId, coalesce(col(MatRowId), col(BaseCol) + col("__idx")))

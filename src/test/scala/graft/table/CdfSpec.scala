@@ -235,6 +235,56 @@ class CdfSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted shouldBe Array(1L, 3L)
   }
 
+  test("row-tracked tables surface _row_id in the change feed") {
+    val t = LakeTable.create(spark, tmpDir("cdf-rowid").resolve("t").toString,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      properties = Map(
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.enableRowTracking" -> "true",
+        "graft.enableDeletionVectors" -> "true"))
+    // one sorted file → row k carries id k-1, arithmetically checkable
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // v1: synthesized inserts
+    t.update(col("k") === 2, Map("v" -> lit("B"))) // v2: DV sidecar pre/post
+    t.delete(col("k") === 3) // v3: DV sidecar delete
+    t.restoreToVersion(2) // v4: DV-delta resurrection of k=3
+    val ch = t.changes(0)
+    ch.columns should contain("_row_id")
+    val rows = ch.select("_row_id", "k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, String, Long)].collect().sortBy(r => (r._5, r._4, r._2))
+    rows shouldBe Array(
+      (0L, 1L, "a", "insert", 1L), (1L, 2L, "b", "insert", 1L),
+      (2L, 3L, "c", "insert", 1L), (3L, 4L, "d", "insert", 1L),
+      (1L, 2L, "B", "update_postimage", 2L), (1L, 2L, "b", "update_preimage", 2L),
+      (2L, 3L, "c", "delete", 3L),
+      (2L, 3L, "c", "insert", 4L)).sortBy(r => (r._5, r._4, r._2))
+    // rewrite-mode DML records ids too
+    val t2 = LakeTable.create(spark, tmpDir("cdf-rowid-rw").resolve("t").toString,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      properties = Map(
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.enableRowTracking" -> "true"))
+    t2.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k"))
+    t2.update(col("k") === 1, Map("v" -> lit("A")))
+    t2.delete(col("k") === 2)
+    t2.changes(2).filter(col("_change_type") =!= "insert")
+      .select("_row_id", "_change_type").as[(Long, String)].collect().sorted shouldBe
+      Array((0L, "update_postimage"), (0L, "update_preimage"), (1L, "delete")).sorted
+    // MERGE: pre-existing rows carry ids; fresh inserts are null in the
+    // FEED (their id is assigned at commit) and resolve at the table
+    val src = Seq((1L, "A2"), (9L, "i")).toDF("k", "v")
+    t2.merge(src, col("target.k") === col("source.k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val mch = t2.changes(t2.version, Some(t2.version))
+    mch.filter(col("_change_type") === "update_postimage")
+      .select("_row_id").as[Long].collect() shouldBe Array(0L)
+    mch.filter(col("_change_type") === "insert")
+      .select("_row_id").as[java.lang.Long].collect() shouldBe Array(null)
+    t2.withRowIds().filter(col("k") === 9).select("_row_id")
+      .as[Long].head() should be >= 2L
+  }
+
   test("timestamp-bounded CDF read") {
     val t = cdfTable("cdf-ts")
     val afterV1 = t.snapshot().commits.last.timestamp
