@@ -127,6 +127,32 @@ class GraftStreamSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("readChangeFeed on a row-tracked table streams _row_id") {
+    val dir = tmpDir("gss-cdfrid").resolve("t").toString
+    val t = LakeTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      properties = Map(
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.enableRowTracking" -> "true"))
+    t.append(df(0 until 3)) // v1: one sorted file -> row i has id i
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName("gcdfrid").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gcdfrid").select("_row_id", "id")
+      .as[(Long, Long)].collect().sorted shouldBe Array((0L, 0L), (1L, 1L), (2L, 2L))
+    t.update(col("id") === 1L, Map("v" -> lit("upd"))) // sidecar with ids
+    q.processAllAvailable()
+    spark.table("gcdfrid")
+      .filter(col("_change_type").startsWith("update"))
+      .select("_row_id").as[Long].collect() shouldBe Array(1L, 1L)
+    q.stop()
+  }
+
   test("readChangeFeed with maxFilesPerTrigger drains history in version-bounded batches") {
     val dir = tmpDir("gss-cdfcap").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 4))           // v0, v1
