@@ -25,10 +25,21 @@ object Strain {
       .withColumn("amount", (col("id") % 1000).cast("decimal(18,2)"))
       .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")), (col("id") % 30).cast("int")))
     val dir = Files.createTempDirectory("strain").resolve("t").toString
-    val t = LakeTable.create(spark, dir, gen.schema)
+    // row tracking ON: the write path pays the id-assignment arithmetic
+    // (driver-side, O(#files)) and the resolution leg below proves the
+    // broadcast-map claim at strain scale
+    val t = LakeTable.create(spark, dir, gen.schema,
+      properties = Map("graft.enableRowTracking" -> "true"))
     val (_, wSec) = timed(s"write $n rows")(t.append(gen))
     println(f"[strain] write_rows_per_sec=${n / wSec}%.0f files=${t.snapshot().numFiles}")
     timed("full read agg")(t.read().agg(sum("amount")).collect())
+    // row-id resolution at scale: ids resolve via ONE broadcast of the
+    // per-file base map (O(#files) driver bytes) — the scan itself never
+    // shuffles; distinct-count forces every id to materialize
+    val (rids, ridSec) = timed(s"withRowIds distinct over $n")(
+      t.withRowIds().agg(countDistinct("_row_id")).collect()(0).getLong(0))
+    require(rids == n, s"row-id resolution lost rows: $rids of $n")
+    println(f"[strain] rowid_resolve_rows_per_sec=${n / ridSec}%.0f")
 
     def src(tag: String) = spark.range(0, n, 10)
       .withColumn("user_id", concat(lit(tag), col("id")))
