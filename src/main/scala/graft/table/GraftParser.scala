@@ -66,8 +66,9 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
     "version", "numFilesAdded", "numFilesRemoved", "numOutputRows").map(n =>
     org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
   private val restoredOut = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("restored_version",
-      org.apache.spark.sql.types.LongType)))
+    "restored_version", "num_restored_files", "num_removed_files",
+    "num_of_files_after_restore", "table_size_after_restore").map(n =>
+    org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
   private val pathOut = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("path",
       org.apache.spark.sql.types.StringType)))

@@ -115,6 +115,20 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   }
   private def table(id: String): LakeTable = resolve(unquote(id))
 
+  /** RESTORE result row (Delta's restore-metrics shape): the restore
+    * commit's own add/remove counts plus the table's post-restore size. */
+  private def restoredRow(tbl: LakeTable, ver: Long): DataFrame = {
+    val m = tbl.log.readVersion(ver)
+      .collectFirst { case c: graft.log.CommitInfo => c }
+      .map(_.operationMetrics).getOrElse(Map.empty[String, Long])
+    val snap = tbl.log.snapshot()
+    oneRow("restored_version" -> ver,
+      "num_restored_files" -> m.getOrElse("numAddedFiles", 0L),
+      "num_removed_files" -> m.getOrElse("numRemovedFiles", 0L),
+      "num_of_files_after_restore" -> snap.numFiles.toLong,
+      "table_size_after_restore" -> snap.sizeInBytes)
+  }
+
   private def oneRow(fields: (String, Any)*): DataFrame = {
     val schema = StructType(fields.map {
       case (n, _: Long) => StructField(n, LongType)
@@ -389,10 +403,12 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)
     case restoreVersion(t, v) =>
-      oneRow("restored_version" -> table(t).restoreToVersion(v.toLong))
+      val tbl = table(t)
+      restoredRow(tbl, tbl.restoreToVersion(v.toLong))
     case restoreTs(t, ts) =>
-      oneRow("restored_version" ->
-        table(t).restoreToTimestamp(java.sql.Timestamp.valueOf(ts).getTime))
+      val tbl = table(t)
+      restoredRow(tbl,
+        tbl.restoreToTimestamp(java.sql.Timestamp.valueOf(ts).getTime))
     case cloneCmd(dst, kind, src, version) =>
       val cloned = table(src).cloneTo(unquote(dst),
         shallow = kind.equalsIgnoreCase("SHALLOW"),

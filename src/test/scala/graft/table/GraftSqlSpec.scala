@@ -93,8 +93,15 @@ class GraftSqlSpec extends SparkSpec {
     val v = t.version
     t.delete(col("id") <= 100L)
     t.read().count() shouldBe 100
-    sql.run(s"RESTORE TABLE '$dir' TO VERSION AS OF $v")
+    val out = sql.run(s"RESTORE TABLE '$dir' TO VERSION AS OF $v").collect().head
     t.read().count() shouldBe 200
+    // Delta-style restore metrics: the commit's own add/remove counts +
+    // the post-restore table shape
+    out.getAs[Long]("restored_version") shouldBe t.version
+    out.getAs[Long]("num_restored_files") should be >= 1L
+    out.getAs[Long]("num_of_files_after_restore") shouldBe
+      t.log.snapshot().numFiles.toLong
+    out.getAs[Long]("table_size_after_restore") should be > 0L
   }
 
   test("OPTIMIZE and OPTIMIZE ZORDER BY") {
