@@ -16,7 +16,7 @@ import scala.jdk.CollectionConverters._
   *   - the reference implementation an S3/GCS/ADLS store is written
   *     against (swap the map operations for the corresponding object-store
   *     calls — the CAS row is the conditional PUT); [[S3LogStore]] is that
-  *     store, written over the four-call [[S3ObjectClient]] seam;
+  *     store, written over the five-call [[S3ObjectClient]] seam;
   *   - a real in-process store for ephemeral tables (tests, scratch
   *     pipelines) whose LOG should never touch disk. Data files are
   *     written by Spark wherever the table's `dir` points; only the
@@ -48,6 +48,8 @@ class InMemoryLogStore extends LogStore {
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
     if (overwrite) { objects.put(path, body); true }
     else objects.putIfAbsent(path, body) == null
+
+  def delete(path: Path): Boolean = objects.remove(path) != null
 
   /** Number of stored log objects (diagnostics). */
   def size: Int = objects.size()

@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   *     temp file + hard-link CAS, see below.
   *   - S3: [[S3LogStore]] — `writeAtomic(overwrite = false)` maps to a
   *     conditional PUT (`If-None-Match: *`, which S3 exposes natively
-  *     since Nov 2024); the production binding is a four-call SDK adapter
+  *     since Nov 2024); the production binding is a five-call SDK adapter
   *     over [[S3ObjectClient]]. Before conditional writes, OSS Delta
   *     shipped the same seam backed by a DynamoDB lock table
   *     (delta-storage-s3-dynamodb). Either strategy plugs in here without
@@ -36,6 +36,10 @@ trait LogStore {
   def listFileNames(dir: Path): Seq[String]
   def read(path: Path): Seq[String]
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean
+  /** Remove one log object (DROP FEATURE ... TRUNCATE HISTORY's boundary
+    * sweep); true iff it existed. Never part of the commit CAS — deletes
+    * only ever target files strictly below a verified checkpoint. */
+  def delete(path: Path): Boolean
 }
 
 /** Local-filesystem implementation: write a temp file in the log dir, then
@@ -71,6 +75,8 @@ object LocalLogStore extends LogStore {
       }
     } finally { Files.deleteIfExists(tmp): Unit }
   }
+
+  def delete(path: Path): Boolean = Files.deleteIfExists(path)
 }
 
 object LogStore {

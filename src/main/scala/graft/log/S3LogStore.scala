@@ -63,6 +63,10 @@ trait S3ObjectClient {
   /** Conditional create: false iff the key already exists (412) —
     * PutObject + If-None-Match: *. */
   def putIfNoneMatch(key: String, body: Array[Byte]): Boolean
+  /** Remove one object; true iff it existed — DeleteObject (S3 returns
+    * 204 either way; implementations may probe first or just return the
+    * best-effort answer, the caller never depends on it). */
+  def delete(key: String): Boolean
 }
 
 /** [[LogStore]] over an [[S3ObjectClient]]: log "paths" map to object keys
@@ -91,4 +95,6 @@ class S3LogStore(client: S3ObjectClient) extends LogStore {
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
     if (overwrite) { client.put(keyOf(path), body); true }
     else client.putIfNoneMatch(keyOf(path), body)
+
+  def delete(path: Path): Boolean = client.delete(keyOf(path))
 }

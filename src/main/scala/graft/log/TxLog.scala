@@ -184,6 +184,33 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       overwrite = true): Unit
   }
 
+  /** TRUNCATE HISTORY (DROP FEATURE's boundary sweep): checkpoint the
+    * state AT `v`, verify the checkpoint reads back complete, then delete
+    * every per-version and checkpoint file strictly below `v`. The
+    * boundary version's own file stays (the log is never empty); the
+    * checkpoint is self-contained (protocol, metadata, domains, the FULL
+    * commit-info history, files, DVs), so HEAD reads and DESCRIBE HISTORY
+    * are unaffected — what is lost, BY CONTRACT, is time travel and CDF
+    * below the boundary (they refuse with a clean missing-version error).
+    * Deletion happens only AFTER the checkpoint validates, so a crash
+    * mid-sweep leaves a table that still resolves from the checkpoint. */
+  def truncateBefore(v: Long): Unit = {
+    val versions = listVersions()
+    require(versions.contains(v), s"version $v does not exist in $tableDir")
+    writeCheckpoint(v)
+    // same validation a reader applies — never delete on a bad checkpoint
+    val as = store.read(checkpointFile(v)).filter(_.nonEmpty).map(Actions.fromJson)
+    as.headOption match {
+      case Some(CheckpointMeta(n)) =>
+        require(as.size - 1 == n,
+          s"refusing to truncate: checkpoint $v is incomplete (${as.size - 1} of $n)")
+      case _ => throw new IllegalStateException(
+        s"refusing to truncate: checkpoint $v has no self-validation header")
+    }
+    versions.filter(_ < v).foreach(x => store.delete(versionFile(x)))
+    listCheckpoints().filter(_ < v).foreach(x => store.delete(checkpointFile(x)))
+  }
+
   /** Replay actions up to and including `version` (None = latest), starting
     * from the newest checkpoint at or below the target when one exists. */
   def snapshot(version: Option[Long] = None): Snapshot = {

@@ -36,7 +36,7 @@ trait CdfSupport { self: LakeTable =>
     "UNSET TBLPROPERTIES", "ADD COLUMNS", "RENAME COLUMN", "DROP COLUMN",
     "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
     "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE", "UPGRADE PROTOCOL",
-    "ADD FEATURE",
+    "ADD FEATURE", "DROP FEATURE",
     // type widening is metadata-only; earlier sidecars/files present under
     // the range end via the same upcast the live scan performs
     "ALTER COLUMN TYPE")
@@ -64,6 +64,10 @@ trait CdfSupport { self: LakeTable =>
     val end = endingVersion.getOrElse(latest)
     require(startingVersion >= 0 && end <= latest && startingVersion <= end,
       s"invalid CDF range [$startingVersion,$end] for table at version $latest")
+    val earliest = log.listVersions().head
+    require(startingVersion >= earliest,
+      s"history before version $earliest was truncated " +
+        "(DROP FEATURE ... TRUNCATE HISTORY) — start the range at or after it")
     // the schema AS OF the range's END, not the head: a range ending
     // before a later REPLACE TABLE must read its files under the schema
     // (and column-mapping field ids) that wrote them — the head schema's

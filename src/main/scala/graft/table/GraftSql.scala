@@ -66,6 +66,11 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val dropConstraintCmd =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  // ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY] — Delta 3.4's feature
+  // removal (see LakeTable.dropFeature)
+  private val dropFeatureCmd =
+    ("""(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+FEATURE\s+""" +
+      """([A-Za-z][A-Za-z0-9_-]*)(\s+TRUNCATE\s+HISTORY)?\s*""").r
   // ALTER TABLE t ADD COLUMNS (c1 TYPE [COMMENT '...'], ...) —
   // the reference's schema-evolution DDL (notebooks/04_acid_operations.py:289-295)
   private val addColumnsCmd =
@@ -381,6 +386,8 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
       oneRow("version" -> table(t).addConstraint(name, check))
     case dropConstraintCmd(t, name) =>
       oneRow("version" -> table(t).dropConstraint(name))
+    case dropFeatureCmd(t, f, trunc) =>
+      oneRow("version" -> table(t).dropFeature(f, truncateHistory = trunc != null))
     case addIdentityColumnCmd(t, c, start, step) =>
       oneRow("version" -> table(t).addIdentityColumn(c,
         Option(start).map(_.toLong).getOrElse(1L),

@@ -1213,6 +1213,71 @@ class LakeTable private[table] (
     }
   }
 
+  /** DROP FEATURE (Delta 3.4's feature removal): the inverse of feature
+    * adoption — remove a named capability from the table's protocol once
+    * NOTHING depends on it anymore, so engines without the capability can
+    * read/write the table again. Each droppable feature names its own
+    * no-traces precondition (below); features whose traces ARE the data
+    * contract (rowTracking, columnMapping, domainMetadata) refuse.
+    *
+    * `truncateHistory` = Delta's TRUNCATE HISTORY: deletionVectors can be
+    * absent from the LIVE state (REORG APPLY (PURGE)) while historical
+    * commits still carry DV actions an old reader would choke on — the
+    * sweep checkpoints the post-drop state and deletes all older
+    * per-version files. DESCRIBE HISTORY survives (the checkpoint carries
+    * the commit infos); time travel and CDF below the boundary refuse
+    * with a clean missing-version error, by contract. */
+  def dropFeature(name: String, truncateHistory: Boolean = false): Long = {
+    val snap = snapshot()
+    val p = snap.protocol
+    require(p.writerSet.contains(name) || p.readerSet.contains(name),
+      s"feature $name is not present on this table " +
+        s"(has: ${(p.readerSet ++ p.writerSet).toSeq.sorted.mkString(", ")})")
+    def propOff(key: String): Unit =
+      require(!snap.metadata.properties.get(key).contains("true"),
+        s"disable the feature first: ALTER TABLE ... SET TBLPROPERTIES ('$key' = 'false')")
+    name match {
+      case "checkConstraints" =>
+        require(!snap.metadata.properties.keys.exists(_.startsWith("graft.constraints.")),
+          "constraints still defined — DROP CONSTRAINT each first")
+      case "inCommitTimestamp" =>
+        propOff("graft.enableInCommitTimestamps")
+      case "typeWidening" =>
+        propOff("graft.enableTypeWidening")
+        val widened = snap.schema.fields.filter(graft.log.TypeWidening.hasChanges)
+        require(widened.isEmpty,
+          s"columns ${widened.map(_.name).mkString(", ")} carry applied type " +
+            "changes — old files need the widened read forever; the feature " +
+            "cannot be dropped without rewriting them")
+      case "deletionVectors" =>
+        propOff("graft.enableDeletionVectors")
+        require(snap.dvs.isEmpty,
+          "live deletion vectors present — run REORG TABLE ... APPLY (PURGE) first")
+        require(truncateHistory,
+          "historical commits still carry deletion-vector actions — use " +
+            "DROP FEATURE deletionVectors TRUNCATE HISTORY")
+      case "bloomFilters" =>
+        require(snap.files.forall(_.bloom == null),
+          "files still carry bloom sidecar references — rewrite (OPTIMIZE FULL) first")
+      case other => throw new UnsupportedOperationException(
+        s"feature $other cannot be dropped (its traces are part of the data contract)")
+    }
+    val v = commitWithRetry("DROP FEATURE",
+      Map("feature" -> name, "truncateHistory" -> truncateHistory.toString),
+      snap) { s =>
+      val sp = s.protocol
+      def minus(fs: Seq[String]): Seq[String] = Option(fs) match {
+        case Some(xs) =>
+          val left = xs.filterNot(_ == name); if (left.isEmpty) null else left
+        case None => null
+      }
+      Seq(graft.log.Protocol(sp.minReaderVersion, sp.minWriterVersion,
+        minus(sp.readerFeatures), minus(sp.writerFeatures)))
+    }
+    if (truncateHistory) log.truncateBefore(v)
+    v
+  }
+
   /** DESCRIBE HISTORY (M14, src/delta_utils.py:168-174). `userName` /
     * `isBlindAppend` follow Delta's history column names; commits written
     * by older versions of this library surface them as null. */

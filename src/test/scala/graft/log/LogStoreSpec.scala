@@ -24,6 +24,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
       (if (overwrite) overwrites else casWrites).incrementAndGet()
       LocalLogStore.writeAtomic(path, body, overwrite)
     }
+    def delete(path: Path): Boolean = LocalLogStore.delete(path)
   }
 
   private def meta = Metadata(
@@ -127,6 +128,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     val store = new LogStore {
       def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
       def read(p: Path): Seq[String] = inner.read(p)
+      def delete(p: Path): Boolean = inner.delete(p)
       def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
         val ok = inner.writeAtomic(p, b, ow)
         if (ok && !ow && failMode != null) {
@@ -153,6 +155,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     val dropping = new LogStore {
       def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
       def read(p: Path): Seq[String] = inner.read(p)
+      def delete(p: Path): Boolean = inner.delete(p)
       def writeAtomic(p: Path, b: Array[Byte], ow: Boolean): Boolean = {
         if (!ow && drops > 0) { drops -= 1; throw new RuntimeException("store blip") }
         inner.writeAtomic(p, b, ow)
@@ -176,6 +179,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     var trapped: Path = null
     val store = new LogStore {
       def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def delete(p: Path): Boolean = inner.delete(p)
       def read(p: Path): Seq[String] = {
         if (p == trapped && failReads > 0) {
           failReads -= 1; throw new RuntimeException("simulated read blip")
@@ -215,6 +219,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     val rnd = new java.util.Random(20260814L)
     val store = new LogStore {
       def listFileNames(d: Path): Seq[String] = inner.listFileNames(d)
+      def delete(p: Path): Boolean = inner.delete(p)
       def read(p: Path): Seq[String] = {
         if (rnd.synchronized(rnd.nextInt(10)) == 0)
           throw new RuntimeException("read blip")

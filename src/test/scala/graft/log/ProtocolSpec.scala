@@ -88,6 +88,7 @@ class ProtocolSpec extends SparkSpec {
     val interposer = new LogStore {
       def listFileNames(d: java.nio.file.Path): Seq[String] = LocalLogStore.listFileNames(d)
       def read(p: java.nio.file.Path): Seq[String] = LocalLogStore.read(p)
+      def delete(p: java.nio.file.Path): Boolean = LocalLogStore.delete(p)
       def writeAtomic(p: java.nio.file.Path, b: Array[Byte], ow: Boolean): Boolean = {
         if (!ow && !poisoned) {
           poisoned = true

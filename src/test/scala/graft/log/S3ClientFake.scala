@@ -56,5 +56,7 @@ class S3ClientFake extends S3ObjectClient {
     landed
   }
 
+  def delete(key: String): Boolean = objects.remove(key) != null
+
   def size: Int = objects.size()
 }

@@ -217,6 +217,7 @@ abstract class ConcurrencyStressBase extends SparkSpec {
       @volatile var armed = false
       def listFileNames(d: java.nio.file.Path): Seq[String] = inner.listFileNames(d)
       def read(p: java.nio.file.Path): Seq[String] = inner.read(p)
+      def delete(p: java.nio.file.Path): Boolean = inner.delete(p)
       def writeAtomic(p: java.nio.file.Path, b: Array[Byte], ow: Boolean): Boolean = {
         val ok = inner.writeAtomic(p, b, ow)
         if (ok && !ow && armed) { armed = false; false } else ok
