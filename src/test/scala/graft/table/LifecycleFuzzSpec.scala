@@ -261,8 +261,26 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
     table.vacuum(retainHours = 0.0)
     check("after vacuum")
-    if (dv) table.reorgPurge(): Unit
-    check("after reorg")
+    if (dv) {
+      table.reorgPurge(): Unit
+      check("after reorg")
+      // feature-removal epilogue: after the purge the DV feature can leave
+      // the protocol entirely (TRUNCATE HISTORY sweeps the randomized
+      // history's DV actions behind a verified checkpoint) — the live
+      // state, row ids, and subsequent writes must all survive, and
+      // re-adopting the feature afterwards must work
+      table.setProperties(Map("graft.enableDeletionVectors" -> "false"))
+      table.dropFeature("deletionVectors", truncateHistory = true)
+      table = LakeTable.forPath(spark, dir) // fresh checkpoint-based replay
+      table.log.snapshot().protocol.writerSet should not contain "deletionVectors"
+      check("after drop feature + truncate")
+      val rows = mk(5)
+      table.append(df(rows))
+      model ++= rows
+      table.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+      table.delete(col("id") % 1000 === -1) // no-op DML under re-adopted DVs
+      check("after feature re-adoption")
+    } else check("after (no-op) reorg")
   }
 
   test("random lifecycle interleavings match the per-version model (rewrite mode)") {
