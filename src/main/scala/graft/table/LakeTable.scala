@@ -1245,10 +1245,17 @@ class LakeTable private[table] (
       case "typeWidening" =>
         propOff("graft.enableTypeWidening")
         val widened = snap.schema.fields.filter(graft.log.TypeWidening.hasChanges)
-        require(widened.isEmpty,
-          s"columns ${widened.map(_.name).mkString(", ")} carry applied type " +
-            "changes — old files need the widened read forever; the feature " +
-            "cannot be dropped without rewriting them")
+        if (widened.nonEmpty)
+          // applied changes: old files need the widened read forever —
+          // droppable only by REWRITING stale-typed files to the current
+          // types and sweeping the pre-widen schema history (what Delta's
+          // drop performs); files whose change-count tags already prove a
+          // current-type write are left in place
+          require(truncateHistory,
+            s"columns ${widened.map(_.name).mkString(", ")} carry applied " +
+              "type changes — use DROP FEATURE typeWidening TRUNCATE HISTORY " +
+              "(rewrites files written under the old types, then sweeps the " +
+              "old schema history)")
       case "deletionVectors" =>
         propOff("graft.enableDeletionVectors")
         require(snap.dvs.isEmpty,
@@ -1262,17 +1269,48 @@ class LakeTable private[table] (
       case other => throw new UnsupportedOperationException(
         s"feature $other cannot be dropped (its traces are part of the data contract)")
     }
+    // typeWidening with applied changes: rewrite every live file whose
+    // change-count tags do not prove a current-type write, so after the
+    // drop NO file needs the widening conversion
+    if (name == "typeWidening") {
+      val cur = snapshot()
+      val widened = cur.schema.fields.filter(graft.log.TypeWidening.hasChanges)
+      val stale = cur.files.filter(f =>
+        widened.exists(sf => !graft.log.TypeWidening.bloomValid(f, sf)))
+      if (stale.nonEmpty) {
+        val adds = stageWrite(rewriteRead(cur, stale), cur.metadata.partitionColumns)
+        commitRewrite(cur, "REORG",
+          Map("purpose" -> "dropFeature:typeWidening",
+            "numRewrittenFiles" -> stale.size.toString),
+          stale, adds, Nil, Map(
+            "numFilesRemoved" -> stale.size.toLong,
+            "numFilesAdded" -> adds.size.toLong)): Unit
+      }
+    }
     val v = commitWithRetry("DROP FEATURE",
       Map("feature" -> name, "truncateHistory" -> truncateHistory.toString),
-      snap) { s =>
+      snapshot()) { s =>
       val sp = s.protocol
       def minus(fs: Seq[String]): Seq[String] = Option(fs) match {
         case Some(xs) =>
           val left = xs.filterNot(_ == name); if (left.isEmpty) null else left
         case None => null
       }
-      Seq(graft.log.Protocol(sp.minReaderVersion, sp.minWriterVersion,
-        minus(sp.readerFeatures), minus(sp.writerFeatures)))
+      val proto = graft.log.Protocol(sp.minReaderVersion, sp.minWriterVersion,
+        minus(sp.readerFeatures), minus(sp.writerFeatures))
+      // typeWidening: the change records leave WITH the feature — every
+      // live file now carries the current types, so the conversion (and
+      // the pruning guards keyed off the records) are no longer needed
+      if (name == "typeWidening" &&
+          s.schema.fields.exists(graft.log.TypeWidening.hasChanges)) {
+        val cleared = s.schema.fields.map { f =>
+          if (!graft.log.TypeWidening.hasChanges(f)) f
+          else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(graft.log.TypeWidening.ChangesKey).build())
+        }
+        Seq(proto, s.metadata.copy(schemaJson = StructType(cleared).json))
+      } else Seq(proto)
     }
     if (truncateHistory) log.truncateBefore(v)
     v
