@@ -1228,47 +1228,57 @@ class LakeTable private[table] (
     * the commit infos); time travel and CDF below the boundary refuse
     * with a clean missing-version error, by contract. */
   def dropFeature(name: String, truncateHistory: Boolean = false): Long = {
-    val snap = snapshot()
-    val p = snap.protocol
-    require(p.writerSet.contains(name) || p.readerSet.contains(name),
-      s"feature $name is not present on this table " +
-        s"(has: ${(p.readerSet ++ p.writerSet).toSeq.sorted.mkString(", ")})")
-    def propOff(key: String): Unit =
-      require(!snap.metadata.properties.get(key).contains("true"),
-        s"disable the feature first: ALTER TABLE ... SET TBLPROPERTIES ('$key' = 'false')")
-    name match {
-      case "checkConstraints" =>
-        require(!snap.metadata.properties.keys.exists(_.startsWith("graft.constraints.")),
-          "constraints still defined — DROP CONSTRAINT each first")
-      case "inCommitTimestamp" =>
-        propOff("graft.enableInCommitTimestamps")
-      case "typeWidening" =>
-        propOff("graft.enableTypeWidening")
-        val widened = snap.schema.fields.filter(graft.log.TypeWidening.hasChanges)
-        if (widened.nonEmpty)
-          // applied changes: old files need the widened read forever —
-          // droppable only by REWRITING stale-typed files to the current
-          // types and sweeping the pre-widen schema history (what Delta's
-          // drop performs); files whose change-count tags already prove a
-          // current-type write are left in place
+    // The no-traces preconditions run TWICE: here, against the current
+    // snapshot, for a fast loud failure before any rewrite work — and again
+    // inside the commit closure against the snapshot each CAS attempt
+    // actually lands on. Without the second run, a concurrent DV DELETE /
+    // ADD CONSTRAINT / widen landing between the check and the winning
+    // commit would yield a table whose protocol no longer declares the
+    // feature while live traces remain — an external engine trusting the
+    // protocol would silently skip DV masks or trust stale-typed stats.
+    def validate(snap: graft.log.Snapshot): Unit = {
+      val p = snap.protocol
+      require(p.writerSet.contains(name) || p.readerSet.contains(name),
+        s"feature $name is not present on this table " +
+          s"(has: ${(p.readerSet ++ p.writerSet).toSeq.sorted.mkString(", ")})")
+      def propOff(key: String): Unit =
+        require(!snap.metadata.properties.get(key).contains("true"),
+          s"disable the feature first: ALTER TABLE ... SET TBLPROPERTIES ('$key' = 'false')")
+      name match {
+        case "checkConstraints" =>
+          require(!snap.metadata.properties.keys.exists(_.startsWith("graft.constraints.")),
+            "constraints still defined — DROP CONSTRAINT each first")
+        case "inCommitTimestamp" =>
+          propOff("graft.enableInCommitTimestamps")
+        case "typeWidening" =>
+          propOff("graft.enableTypeWidening")
+          val widened = snap.schema.fields.filter(graft.log.TypeWidening.hasChanges)
+          if (widened.nonEmpty)
+            // applied changes: old files need the widened read forever —
+            // droppable only by REWRITING stale-typed files to the current
+            // types and sweeping the pre-widen schema history (what Delta's
+            // drop performs); files whose change-count tags already prove a
+            // current-type write are left in place
+            require(truncateHistory,
+              s"columns ${widened.map(_.name).mkString(", ")} carry applied " +
+                "type changes — use DROP FEATURE typeWidening TRUNCATE HISTORY " +
+                "(rewrites files written under the old types, then sweeps the " +
+                "old schema history)")
+        case "deletionVectors" =>
+          propOff("graft.enableDeletionVectors")
+          require(snap.dvs.isEmpty,
+            "live deletion vectors present — run REORG TABLE ... APPLY (PURGE) first")
           require(truncateHistory,
-            s"columns ${widened.map(_.name).mkString(", ")} carry applied " +
-              "type changes — use DROP FEATURE typeWidening TRUNCATE HISTORY " +
-              "(rewrites files written under the old types, then sweeps the " +
-              "old schema history)")
-      case "deletionVectors" =>
-        propOff("graft.enableDeletionVectors")
-        require(snap.dvs.isEmpty,
-          "live deletion vectors present — run REORG TABLE ... APPLY (PURGE) first")
-        require(truncateHistory,
-          "historical commits still carry deletion-vector actions — use " +
-            "DROP FEATURE deletionVectors TRUNCATE HISTORY")
-      case "bloomFilters" =>
-        require(snap.files.forall(_.bloom == null),
-          "files still carry bloom sidecar references — rewrite (OPTIMIZE FULL) first")
-      case other => throw new UnsupportedOperationException(
-        s"feature $other cannot be dropped (its traces are part of the data contract)")
+            "historical commits still carry deletion-vector actions — use " +
+              "DROP FEATURE deletionVectors TRUNCATE HISTORY")
+        case "bloomFilters" =>
+          require(snap.files.forall(_.bloom == null),
+            "files still carry bloom sidecar references — rewrite (OPTIMIZE FULL) first")
+        case other => throw new UnsupportedOperationException(
+          s"feature $other cannot be dropped (its traces are part of the data contract)")
+      }
     }
+    validate(snapshot())
     // typeWidening with applied changes: rewrite every live file whose
     // change-count tags do not prove a current-type write, so after the
     // drop NO file needs the widening conversion
@@ -1290,6 +1300,20 @@ class LakeTable private[table] (
     val v = commitWithRetry("DROP FEATURE",
       Map("feature" -> name, "truncateHistory" -> truncateHistory.toString),
       snapshot()) { s =>
+      validate(s) // re-validate on the snapshot this attempt lands on
+      // typeWidening: the records are about to be cleared, so the landing
+      // snapshot must carry NO stale-typed file — a concurrent widen (or a
+      // write racing the REORG above) would otherwise leave files whose
+      // stat/bloom artifacts silently lose their conservative guards
+      if (name == "typeWidening") {
+        val widened = s.schema.fields.filter(graft.log.TypeWidening.hasChanges)
+        val stillStale = s.files.filter(f =>
+          widened.exists(sf => !graft.log.TypeWidening.bloomValid(f, sf)))
+        require(stillStale.isEmpty,
+          s"${stillStale.size} file(s) still carry pre-widen artifacts " +
+            "(a concurrent type change landed?) — re-run DROP FEATURE " +
+            "typeWidening TRUNCATE HISTORY")
+      }
       val sp = s.protocol
       def minus(fs: Seq[String]): Seq[String] = Option(fs) match {
         case Some(xs) =>

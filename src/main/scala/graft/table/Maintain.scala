@@ -22,7 +22,7 @@ trait MaintenanceSupport { self: LakeTable =>
     * rewritten files carry row identity forward and a compaction does not
     * disturb `_row_id` (the Delta rowTracking preservation rule). Plain
     * masked read otherwise. */
-  private def rewriteRead(snap: graft.log.Snapshot, files: Seq[AddFile]): DataFrame =
+  private[table] def rewriteRead(snap: graft.log.Snapshot, files: Seq[AddFile]): DataFrame =
     if (rowsTracked(snap, files))
       posWithRowIds(snap, files).drop("__file", "__idx")
     else readFilesMasked(snap, files, snap.schema)
@@ -159,16 +159,27 @@ trait MaintenanceSupport { self: LakeTable =>
     // (Tables whose manifest predates the symlink layout take one legacy
     // two-step retire below, once.)
     // Start-of-run sweep: generations/staging/retired dirs orphaned by a
-    // crashed prior run are deterministically reclaimable here because the
-    // live generation is exactly the one the current link names. Generation
-    // is a single-maintenance-runner op (like OPTIMIZE) — the manifest is
-    // derived data, so a racing sweep can at worst force a regenerate.
+    // crashed prior run are reclaimable because the live generation is
+    // exactly the one the current link names — but ONLY once they are old
+    // enough that no racing GENERATE can still be building them. Without
+    // the age threshold two concurrent runs would delete each other's
+    // in-flight staging mid-build; with it, a racing run's fresh dirs are
+    // untouchable and a crashed run's orphans are reclaimed by any run an
+    // hour later. (The manifest is derived data, so the worst cost of a
+    // conservative skip is a lingering orphan until the next run.)
+    val sweepAgeMs = 60L * 60 * 1000L
+    def oldEnough(n: String): Boolean =
+      scala.util.Try(
+        java.nio.file.Files.getLastModifiedTime(dir.resolve(n),
+          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis)
+        .toOption.forall(System.currentTimeMillis() - _ > sweepAgeMs)
     val liveGen: Option[String] =
       if (java.nio.file.Files.isSymbolicLink(root))
         Some(java.nio.file.Files.readSymbolicLink(root).getFileName.toString)
       else None
     listDirNames(dir)
-      .filter(n => n.startsWith("_symlink_format_manifest.") && !liveGen.contains(n))
+      .filter(n => n.startsWith("_symlink_format_manifest.") &&
+        !liveGen.contains(n) && oldEnough(n))
       .foreach(n => graft.log.TxLog.deleteRecursively(dir.resolve(n)))
     val staging = dir.resolve(s"_symlink_format_manifest.gen-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(staging) // empty table → empty tree
@@ -198,21 +209,27 @@ trait MaintenanceSupport { self: LakeTable =>
     // at the root cannot be renamed over; retire it first (one legacy
     // two-step per table — the retired copy is swept by the next run if
     // this one crashes between the two renames).
+    var retiredName: Option[String] = None
     if (java.nio.file.Files.exists(root,
         java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
         !java.nio.file.Files.isSymbolicLink(root)) {
       val retired = dir.resolve(s"_symlink_format_manifest.old-${java.util.UUID.randomUUID()}")
       java.nio.file.Files.move(root, retired)
+      retiredName = Some(retired.getFileName.toString)
     }
     val tmpLink = dir.resolve(s"_symlink_format_manifest.link-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createSymbolicLink(tmpLink, staging.getFileName)
     java.nio.file.Files.move(tmpLink, root,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // reclaim everything but the generation the root now names
+    // Reclaim what THIS run is sure about: the generation it just replaced
+    // and the legacy dir it just retired (both complete, published state —
+    // ours to retire), plus anything old enough to be a crashed run's
+    // orphan. A racing run's fresh staging survives (same guard as above).
     listDirNames(dir)
       .filter(n => n.startsWith("_symlink_format_manifest.") &&
-        n != staging.getFileName.toString)
+        n != staging.getFileName.toString &&
+        (liveGen.contains(n) || retiredName.contains(n) || oldEnough(n)))
       .foreach(n => graft.log.TxLog.deleteRecursively(dir.resolve(n)))
     root
   }

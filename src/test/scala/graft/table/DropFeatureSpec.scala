@@ -82,7 +82,8 @@ class DropFeatureSpec extends SparkSpec {
     val p = t.log.snapshot().protocol
     p.writerSet should not contain "typeWidening"
     p.writerSet should not contain "inCommitTimestamp"
-    // a table that APPLIED a widen can never drop the feature
+    // a table that APPLIED a widen refuses the plain drop (needs TRUNCATE
+    // HISTORY — the rewrite+sweep path, covered below)
     val t2 = fresh("df-tw2", Map("graft.enableTypeWidening" -> "true"))
     t2.addColumns(Seq(StructField("n", IntegerType)))
     t2.widenColumn("n", LongType)
@@ -93,6 +94,60 @@ class DropFeatureSpec extends SparkSpec {
     an[UnsupportedOperationException] should be thrownBy t3.dropFeature("rowTracking")
     // and an absent feature refuses by name
     an[IllegalArgumentException] should be thrownBy t2.dropFeature("columnMapping")
+  }
+
+  test("typeWidening TRUNCATE HISTORY: rewrites stale-typed files, clears records, sweeps history") {
+    import graft.log.{Stats, TypeWidening}
+    val t = LakeTable.create(spark, tmpDir("df-tw-th").resolve("t").toString,
+      StructType(Seq(StructField("k", LongType), StructField("v", IntegerType),
+        StructField("r", FloatType))),
+      partitionColumns = Nil, properties = Map("graft.enableTypeWidening" -> "true"))
+    t.append(Seq((1L, 10, 0.1f), (2L, 20, 0.25f)).toDF("k", "v", "r")) // pre-widen (INT/FLOAT parquet)
+    t.widenColumn("v", LongType)
+    t.widenColumn("r", DoubleType) // stat-lossy: pruning disabled for stale files
+    t.append(Seq((3L, Int.MaxValue.toLong + 5L, 0.5d)).toDF("k", "v", "r")) // post-widen, tagged
+    val snap0 = t.log.snapshot()
+    // the post-widen file's change-count tags prove a current-type write
+    val tagged = snap0.files.filter(f =>
+      f.tag(TypeWidening.tagKey(snap0.schema("v"))).contains("1") &&
+        f.tag(TypeWidening.tagKey(snap0.schema("r"))).contains("1")).map(_.path)
+    tagged should have size 1
+    // property still on → refuse even with TRUNCATE HISTORY
+    an[IllegalArgumentException] should be thrownBy
+      t.dropFeature("typeWidening", truncateHistory = true)
+    t.setProperties(Map("graft.enableTypeWidening" -> "false"))
+    // applied changes → the plain drop refuses and names the escape hatch
+    val e = the[IllegalArgumentException] thrownBy t.dropFeature("typeWidening")
+    e.getMessage should include("TRUNCATE HISTORY")
+    val before = t.read().orderBy("k").as[(Long, Long, Double)].collect()
+    t.dropFeature("typeWidening", truncateHistory = true)
+    val t2 = LakeTable.forPath(spark, t.dir.toString) // fresh checkpoint-based replay
+    val snap = t2.log.snapshot()
+    snap.protocol.writerSet should not contain "typeWidening"
+    snap.protocol.readerSet should not contain "typeWidening"
+    // the change records left with the feature
+    TypeWidening.hasChanges(snap.schema("v")) shouldBe false
+    TypeWidening.hasChanges(snap.schema("r")) shouldBe false
+    // live state bit-identical
+    t2.read().orderBy("k").as[(Long, Long, Double)].collect() shouldBe before
+    // the current-type file was left in place; only the stale file rewrote
+    snap.files.map(_.path) should contain allElementsOf tagged
+    // EVERY live file now physically carries the current types — no file
+    // needs the widening conversion an old reader lacks
+    snap.files.foreach { f =>
+      val ps = spark.read.parquet(t2.dir.resolve(f.path).toString).schema
+      withClue(s"${f.path}: ") {
+        ps("v").dataType shouldBe LongType
+        ps("r").dataType shouldBe DoubleType
+      }
+    }
+    // pruning is re-enabled: exact min/max on the float→double column again
+    Stats.exactBounds(snap.files, snap.schema("r")) should not be None
+    // history below the boundary swept (the pre-widen schema is unreadable)
+    an[IllegalArgumentException] should be thrownBy t2.versionAsOf(0).collect()
+    // and the table keeps working
+    t2.append(Seq((4L, 40L, 1.5d)).toDF("k", "v", "r"))
+    t2.read().count() shouldBe 4
   }
 
   test("truncation works on the in-memory store (object-store semantics)") {

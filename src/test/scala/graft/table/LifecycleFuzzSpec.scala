@@ -250,6 +250,27 @@ class LifecycleFuzzSpec extends SparkSpec {
         net shouldBe model.toSeq.sorted
       }
     }
+    // retention-WINDOW epilogue (the production vacuum mode): age the
+    // whole randomized history 10h via the commit-clock seam, delete a
+    // fresh slice (tombstones stamped at the aged clock), then VACUUM
+    // RETAIN 5 HOURS — every pre-aging tombstone is reclaimable, the
+    // fresh delete's files sit INSIDE the window and must survive, so the
+    // pre-delete version stays fully restorable afterwards
+    locally {
+      val aged = System.currentTimeMillis() + 10L * 3600 * 1000
+      table.clockMillis = () => aged
+      val vPre = table.version
+      val victims = model.keys.toSeq.sorted.take(3)
+      if (victims.nonEmpty) {
+        table.delete(col("id").isin(victims: _*))
+        history(table.version) = model -- victims
+        table.vacuum(retainHours = 5.0)
+        vacuumFloor = vPre // older targets may reference reclaimed bytes
+        table.restoreToVersion(vPre) // inside the window: must resolve
+        history(table.version) = model
+        check("after retention-window vacuum + restore")
+      }
+    }
     // a zero-retention vacuum reclaims history but must not touch the live
     // snapshot (restore targets are gone afterwards, by contract). LITE
     // (log-tombstones only) must propose a SUBSET of FULL's candidates on
@@ -281,6 +302,26 @@ class LifecycleFuzzSpec extends SparkSpec {
       table.delete(col("id") % 1000 === -1) // no-op DML under re-adopted DVs
       check("after feature re-adoption")
     } else check("after (no-op) reorg")
+    // typeWidening feature-removal epilogue: whatever widen history the
+    // randomized run applied (case 14 may have fired, been reverted by a
+    // RESTORE, or never fired), TRUNCATE HISTORY must take the feature out —
+    // stale-typed files rewrite (preserving row ids), the change records
+    // leave the schema with the protocol, and the live state survives a
+    // fresh checkpoint-based replay
+    table.setProperties(Map("graft.enableTypeWidening" -> "false"))
+    val preDrop = rowPairs()
+    table.dropFeature("typeWidening", truncateHistory = true)
+    table = LakeTable.forPath(spark, dir)
+    table.log.snapshot().protocol.writerSet should not contain "typeWidening"
+    table.log.snapshot().schema.fields.foreach { f =>
+      withClue(s"seed=$seed dv=$dv ${f.name} kept widen records past the drop: ") {
+        graft.log.TypeWidening.hasChanges(f) shouldBe false
+      }
+    }
+    withClue(s"seed=$seed dv=$dv widen-drop rewrite moved a row id: ") {
+      rowPairs() shouldBe preDrop
+    }
+    check("after typeWidening drop + truncate")
   }
 
   test("random lifecycle interleavings match the per-version model (rewrite mode)") {

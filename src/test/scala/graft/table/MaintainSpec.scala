@@ -131,10 +131,17 @@ class MaintainSpec extends SparkSpec {
     // manifest, never a missing one; regeneration keeps exactly ONE live
     // generation and sweeps leftovers from crashed prior runs
     java.nio.file.Files.isSymbolicLink(root) shouldBe true
+    // crashed-run orphans (OLD mtimes) are reclaimed; a FRESH dir — a
+    // racing GENERATE's in-flight staging — must survive the sweep
+    val ancient = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    for (n <- Seq("staging-deadbeef", "old-deadbeef")) {
+      val p = t.dir.resolve(s"_symlink_format_manifest.$n")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.setLastModifiedTime(p, ancient)
+    }
     java.nio.file.Files.createDirectories(
-      t.dir.resolve("_symlink_format_manifest.staging-deadbeef"))
-    java.nio.file.Files.createDirectories(
-      t.dir.resolve("_symlink_format_manifest.old-deadbeef"))
+      t.dir.resolve("_symlink_format_manifest.gen-racing-fresh"))
     t.generateSymlinkManifest(): Unit
     locally {
       import scala.jdk.CollectionConverters._
@@ -143,10 +150,14 @@ class MaintainSpec extends SparkSpec {
         try s.iterator().asScala.map(_.getFileName.toString)
           .filter(_.startsWith("_symlink_format_manifest")).toSeq
         finally s.close()
-      leftovers.toSet.size shouldBe 2 // the root link + its one generation
       leftovers should not contain "_symlink_format_manifest.staging-deadbeef"
       leftovers should not contain "_symlink_format_manifest.old-deadbeef"
+      leftovers should contain("_symlink_format_manifest.gen-racing-fresh")
+      // root link + its one generation + the protected fresh dir
+      leftovers.toSet.size shouldBe 3
     }
+    graft.log.TxLog.deleteRecursively(
+      t.dir.resolve("_symlink_format_manifest.gen-racing-fresh"))
     // live deletion vectors refuse (masks are invisible to manifest readers)
     t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     t.delete(col("id") === 60L)
