@@ -108,26 +108,27 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     * mechanism. */
   def commit(buildActions: Long => Seq[Action], maxAttempts: Int = 10000): Long = {
     var attempt = 0
-    // the commit's stable id (one per LOGICAL commit, reused across CAS
-    // retries), read off the first built actions
-    var ourId: String = null
     // versions we CAS'd at whose outcome is still unknown: the PUT can land
     // while BOTH the CAS response and the recovery read of that version fail
     // — proceeding as if it lost would re-commit the same logical actions at
-    // the next version (double-applied DML). Each version stays queued until
-    // a successful read rules it ours (return) or theirs (drop), or the
-    // listing proves nothing landed there (drop — [[LogStore.listFileNames]]
-    // is contractually complete, and writeAtomic's outcome is settled once
+    // the next version (double-applied DML). Each entry carries THAT
+    // attempt's commitId (not a once-captured global): a caller whose
+    // builder mints a fresh id per invocation still gets its
+    // ambiguously-landed attempt recognized as its own instead of
+    // double-applied. Each version stays queued until a successful read
+    // rules it ours (return) or theirs (drop), or the listing proves
+    // nothing landed there (drop — [[LogStore.listFileNames]] is
+    // contractually complete, and writeAtomic's outcome is settled once
     // the call returns).
-    val unresolved = scala.collection.mutable.Queue.empty[Long]
+    val unresolved = scala.collection.mutable.Queue.empty[(Long, String)]
     while (attempt < maxAttempts) {
       var blocked = false
       while (unresolved.nonEmpty && !blocked) {
-        val v = unresolved.head
+        val (v, attemptId) = unresolved.head
         scala.util.Try(readVersion(v)) match {
           case scala.util.Success(landed) =>
             val id = landed.collectFirst { case c: CommitInfo => c.commitId }.flatMap(Option(_))
-            if (id.contains(ourId)) return v // our earlier "failed" CAS actually landed
+            if (id.contains(attemptId)) return v // our earlier "failed" CAS actually landed
             unresolved.dequeue(): Unit // definitively another writer's commit
           case scala.util.Failure(_) =>
             if (listVersions().contains(v)) blocked = true // landed but unreadable: wait
@@ -137,10 +138,10 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       if (!blocked) {
         val next = latestVersion().map(_ + 1).getOrElse(0L)
         val actions = buildActions(next)
-        if (ourId == null)
-          ourId = actions.collectFirst { case c: CommitInfo => c.commitId }.flatMap(Option(_)).orNull
+        val attemptId =
+          actions.collectFirst { case c: CommitInfo => c.commitId }.flatMap(Option(_)).orNull
         if (tryCommitRecovering(next, actions)) return next
-        if (ourId != null) unresolved.enqueue(next)
+        if (attemptId != null) unresolved.enqueue((next, attemptId))
       }
       attempt += 1
       val capMs = math.min(64L, 1L << math.min(attempt, 6))

@@ -47,13 +47,24 @@ class GraftStreamSource(
   // startingTimestamp mirrors Delta's stream option: the FIRST commit at
   // or after the timestamp (same rule as the batch CDF reader), resolved
   // once at stream start against the monotone in-commit timestamps, then
-  // behaves exactly like startingVersion
+  // behaves exactly like startingVersion. Accepts epoch millis, full
+  // timestamps, and date-only strings ('2026-01-01'), like Delta.
   private val startingVersion: Option[Long] =
     options.get("startingVersion").map(_.toLong).orElse(
       options.get("startingTimestamp").map { ts =>
-        val ms = scala.util.Try(ts.toLong)
-          .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
-        table.snapshot().commits.filter(_.timestamp >= ms).map(_.version)
+        val ms = scala.util.Try(ts.toLong).toOption
+          .orElse(scala.util.Try(java.sql.Timestamp.valueOf(ts).getTime).toOption)
+          .getOrElse(java.sql.Date.valueOf(ts).getTime)
+        val commits = table.snapshot().commits
+        val latest = commits.map(_.timestamp).maxOption.getOrElse(Long.MinValue)
+        // a timestamp beyond the newest commit is almost always a typo —
+        // fail loudly (Delta raises here too) instead of silently serving
+        // an empty future-appends-only stream
+        require(ms <= latest,
+          s"startingTimestamp '$ts' is after the table's latest commit " +
+            s"(${new java.sql.Timestamp(latest)}); to stream only future " +
+            "changes use startingVersion=<latest version + 1>")
+        commits.filter(_.timestamp >= ms).map(_.version)
           .minOption.getOrElse(table.version + 1)
       })
   private val ignoreChanges = options.get("ignoreChanges").contains("true")

@@ -170,7 +170,10 @@ private[table] object RowTracking {
     val out = (actions ++ backfill).map {
       case a: AddFile if a.baseRowId == null =>
         val assigned = a.copy(baseRowId = hwm + 1, defaultRowCommitVersion = v)
-        hwm += math.max(a.numRecords, 0L)
+        // an empty file still occupies one id so base ranges stay disjoint
+        // (matching the preserved-file accounting below) — two empty files
+        // in one commit must not share a baseRowId
+        hwm += math.max(a.numRecords, 1L)
         assigned
       case a: AddFile =>
         hwm = math.max(hwm, a.baseRowId + math.max(a.numRecords, 1L) - 1)

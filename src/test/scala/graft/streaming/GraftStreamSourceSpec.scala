@@ -66,6 +66,30 @@ class GraftStreamSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("startingTimestamp accepts date-only strings and refuses future timestamps") {
+    val dir = tmpDir("gss-sts2").resolve("t").toString
+    val t = LakeTable.createFrom(spark, dir, df(0 until 5))
+    // date-only form (Delta accepts '2020-01-01'): far in the past → serves
+    // the table's full history like startingVersion=0
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", "2020-01-01").load(dir)
+      .writeStream.format("memory").queryName("gsssts2").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gsssts2").count() shouldBe 5
+    q.stop()
+    // a timestamp beyond the latest commit fails loudly (a typo'd
+    // far-future probe must not silently yield an empty stream)
+    val latest = t.log.snapshot().commits.map(_.timestamp).max
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingTimestamp", (latest + 3600000L).toString).load(dir)
+        .writeStream.format("memory").queryName("gsssts3").outputMode("append").start()
+        .processAllAvailable()
+    }
+    (e.getMessage + Option(e.getCause).map(_.getMessage).mkString) should
+      include("after the table's latest commit")
+  }
+
   test("data-changing commit fails the stream without ignoreChanges") {
     val dir = tmpDir("gss-fail").resolve("t").toString
     val t = LakeTable.createFrom(spark, dir, df(0 until 10))
