@@ -83,6 +83,8 @@ object SparkEntry {
     "q77_alpha_mixture" -> (DataOps.alphaMixture _),
     "q78_hard_negatives" -> (DataOps.hardNegatives _),
     "q91_hard_negatives_pruned" -> (DataOps.hardNegativesPruned _),
+    "q98_hard_negatives_trained" -> (DataOps.hardNegativesTrained _),
+    "q99_margin_mining_trained" -> (DataOps.marginMiningTrained _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

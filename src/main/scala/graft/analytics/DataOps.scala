@@ -444,6 +444,33 @@ object DataOps {
       emb.filter(col("vec_id") >= 80 && col("vec_id") < 90), k = 5, bits = 4)
   }
 
+  /** Trained-codebook hard-negative gate (q98): the pruned tier routed
+    * through the deterministic SAMPLED IVF codebook (nlist=16, nprobe=4) —
+    * data-ADAPTIVE cells instead of sign bits, so recall tracks the data
+    * distribution; the oracle replays the full pipeline (L2 assignment
+    * with lowest-index tie-break, nprobe probing, label-disjoint in-cell
+    * top-k). Queries 90..100 (disjoint from every other ANN gate). */
+  def hardNegativesTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    Similarity.hardNegatives(emb,
+      emb.filter(col("vec_id") >= 90 && col("vec_id") < 100), k = 5,
+      centroids = centroids, nprobe = 4)
+  }
+
+  /** Trained-codebook margin-mining gate (q99): the ratio-margin criterion
+    * on candidates from the sampled-IVF tier — the LASER/CCMatrix shape
+    * with a data-adaptive coarse quantizer; margins still computed on the
+    * probed-cell kNN lists only. Queries 100..110. */
+  def marginMiningTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    Similarity.marginMining(emb,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      k = 4, minMargin = 0.0, centroids = centroids, nprobe = 4)
+      .orderBy("query_id")
+  }
+
   /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
     * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
     * survivors are exactly the batch docs whose text the corpus lacks,
@@ -1179,6 +1206,76 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    // algorithmic oracle: sampled codebook (lowest-16 ids), L2 assignment
+    // with lowest-index tie-break, nprobe=4 probing, label-disjoint
+    // in-cell top-k — q39's assignment CTEs composed with q91's contract
+    "q98_hard_negatives_trained" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         ranked AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM ranked WHERE rn = 1),
+         qprobe AS (SELECT vec_id AS query_id, cidx AS cell FROM ranked
+           WHERE rn <= 4 AND vec_id >= 90 AND vec_id < 100),
+         s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cosine
+           FROM qprobe q
+           JOIN assign a ON a.cell = q.cell
+           JOIN e qe ON qe.vec_id = q.query_id
+           JOIN e ne ON ne.vec_id = a.vec_id
+           WHERE ne.label <> qe.label),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    // q84's margin machinery on candidates from the trained-codebook tier
+    "q99_margin_mining_trained" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         ranked AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM ranked WHERE rn = 1),
+         qprobe AS (SELECT vec_id AS query_id, cidx AS cell FROM ranked
+           WHERE rn <= 4 AND vec_id >= 100 AND vec_id < 110),
+         s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cosine
+           FROM qprobe q
+           JOIN assign a ON a.cell = q.cell
+           JOIN e qe ON qe.vec_id = q.query_id
+           JOIN e ne ON ne.vec_id = a.vec_id
+           WHERE ne.label <> qe.label),
+         r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY cosine DESC, query_id) AS rc
+           FROM s),
+         a AS (SELECT *,
+             CAST(SUM(CASE WHEN rq <= 4 THEN CAST(cosine AS DECIMAL(10,6))
+                 ELSE CAST(0 AS DECIMAL(10,6)) END) OVER (PARTITION BY query_id) AS DOUBLE)
+               / SUM(CASE WHEN rq <= 4 THEN 1 ELSE 0 END) OVER (PARTITION BY query_id) AS avg_q,
+             CAST(SUM(CASE WHEN rc <= 4 THEN CAST(cosine AS DECIMAL(10,6))
+                 ELSE CAST(0 AS DECIMAL(10,6)) END) OVER (PARTITION BY neighbor_id) AS DOUBLE)
+               / SUM(CASE WHEN rc <= 4 THEN 1 ELSE 0 END) OVER (PARTITION BY neighbor_id) AS avg_c
+           FROM r),
+         m AS (SELECT query_id, neighbor_id, cosine,
+             ROUND(cosine / ((avg_q + avg_c) / 2.0), 6) AS margin FROM a),
+         b AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY margin DESC, neighbor_id) AS mrank FROM m)
+         SELECT query_id, neighbor_id, cosine, margin FROM b
+         WHERE mrank = 1 AND margin >= 0.0 ORDER BY query_id""",
     "q46_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS INT) AS token_count
            FROM documents),

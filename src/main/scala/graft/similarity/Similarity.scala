@@ -110,9 +110,11 @@ object Similarity {
       vecCol: String = "embedding",
       labelCol: String = "label",
       bits: Int = 4,
-      probeHamming: Int = 1): DataFrame = {
+      probeHamming: Int = 1,
+      centroids: Array[Array[Double]] = null,
+      nprobe: Int = 2): DataFrame = {
     val scored = labelDisjointScored(corpus, queries, idCol, vecCol, labelCol,
-      bits, probeHamming)
+      bits, probeHamming, centroids, nprobe)
     val wq = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val wc = Window.partitionBy("neighbor_id").orderBy(col("cosine").desc, col("query_id"))
     val ranked = scored
@@ -140,21 +142,34 @@ object Similarity {
   }
 
   /** Label-disjoint scored candidate pairs — the shared front end of
-    * [[marginMining]] and [[hardNegatives]]. `bits > 0` prunes candidates
-    * by sign-bit cell with `probeHamming` multi-probe: a broadcast
-    * EQUI-join on the cell (the corpus never shuffles, candidate volume
-    * drops ~2^bits/probed-fold); each corpus vector lives in exactly one
-    * cell, so no (query, neighbor) pair can appear twice. `bits = 0` is
-    * the exact all-candidates scan (non-equi broadcast join). */
+    * [[marginMining]] and [[hardNegatives]]. With `centroids` supplied the
+    * pruned tier is data-ADAPTIVE: corpus rows live in their nearest
+    * trained cell ([[trainCentroids]]/[[sampleCentroids]], the IVF
+    * codebook) and each query probes its `nprobe` nearest cells — same
+    * broadcast EQUI-join shape, recall now tracks the data distribution
+    * instead of the first sign bits. Otherwise `bits > 0` prunes by the
+    * data-independent sign-bit cell with `probeHamming` multi-probe. In
+    * both pruned forms the corpus never shuffles and candidate volume
+    * drops ~cells/probed-fold; each corpus vector lives in exactly one
+    * cell, so no (query, neighbor) pair can appear twice. `bits = 0` (no
+    * centroids) is the exact all-candidates scan (non-equi broadcast
+    * join). */
   private def labelDisjointScored(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
-      bits: Int, probeHamming: Int): DataFrame = {
+      bits: Int, probeHamming: Int,
+      centroids: Array[Array[Double]] = null, nprobe: Int = 2): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"), col(labelCol).as("nl"))
     val q0 = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), col(labelCol).as("ql"))
-    (if (bits > 0) {
+    (if (centroids != null) {
+      import graft.functions.VectorFunctions
+      val c = c0.withColumn("cell", VectorFunctions.cellOf(col("cv"), centroids))
+      val q = q0.withColumn("cell",
+        explode(VectorFunctions.nearestCentroids(col("qv"), centroids, nprobe)))
+      c.join(broadcast(q), "cell").filter(col("nl") =!= col("ql"))
+    } else if (bits > 0) {
       val masks = (0 until (1 << bits))
         .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
       val c = c0.withColumn("cell", cell(col("cv"), bits))
@@ -185,9 +200,11 @@ object Similarity {
       vecCol: String = "embedding",
       labelCol: String = "label",
       bits: Int = 0,
-      probeHamming: Int = 1): DataFrame = {
+      probeHamming: Int = 1,
+      centroids: Array[Array[Double]] = null,
+      nprobe: Int = 2): DataFrame = {
     val scored = labelDisjointScored(corpus, queries, idCol, vecCol, labelCol,
-      bits, probeHamming)
+      bits, probeHamming, centroids, nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -279,6 +279,46 @@ class PipelineOpsSpec extends SparkSpec {
     out.select("neighbor_id").as[Long].collect().sorted shouldBe Array(10L, 12L)
   }
 
+  test("trained-codebook pruned tier holds a recall bound against the exact tier") {
+    // clustered data where a trained codebook is data-adaptive: 4 Gaussian
+    // clusters in 8 dims, deterministic seed. The pruned tier routed
+    // through sampled IVF centroids must recover most of the exact tier's
+    // hard negatives, with the candidate join still a broadcast EQUI-join.
+    val rnd = new scala.util.Random(7)
+    def vec(c: Int): Array[Float] = Array.tabulate(8) { i =>
+      ((if (i % 4 == c) 1.0 else 0.0) + rnd.nextGaussian() * 0.3).toFloat
+    }
+    val emb = (0 until 220).map(i => (i.toLong, vec(i % 4), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val S = graft.similarity.Similarity
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(S.hardNegatives(corpus, queries, k = 5)) // bits=0 baseline
+    val cents = S.sampleCentroids(corpus, nlist = 8)
+    val prunedDf = S.hardNegatives(corpus, queries, k = 5, centroids = cents, nprobe = 3)
+    prunedDf.queryExecution.executedPlan.toString should
+      not include "BroadcastNestedLoopJoin"
+    val pruned = topSets(prunedDf)
+    val recall = exact.map { case (q, ex) =>
+      pruned.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    withClue(s"recall=$recall: ") { recall should be >= 0.7 }
+    // marginMining rides the same trained tier: sane mined pairs, equi-join
+    val mined = S.marginMining(corpus, queries, k = 3, minMargin = 0.0,
+      centroids = cents, nprobe = 3)
+    mined.queryExecution.executedPlan.toString should
+      not include "BroadcastNestedLoopJoin"
+    val rows = mined.collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Double]("margin").isNaN shouldBe false
+      (r.getAs[Long]("neighbor_id") % 4) should not be (r.getAs[Long]("query_id") % 4)
+    }
+  }
+
   test("hardNegatives excludes the query's own label group and ranks by cosine") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0), // label 0 (positives)
