@@ -3,27 +3,14 @@ package graft.log
 import java.nio.charset.StandardCharsets
 import java.nio.file.Path
 
-/** The minimal slice of the S3 object API the transaction log needs — four
+/** The minimal slice of the S3 object API the transaction log needs — five
   * calls, mirroring AWS SDK v2 1:1 so a production binding is a thin
-  * adapter with no protocol logic in it:
-  *
-  * {{{
-  * class AwsS3Client(s3: software.amazon.awssdk.services.s3.S3Client,
-  *     bucket: String) extends S3ObjectClient {
-  *   def list(prefix: String): Seq[String] =
-  *     s3.listObjectsV2Paginator(b => b.bucket(bucket).prefix(prefix))
-  *       .contents().asScala.map(_.key()).toSeq
-  *   def get(key: String): Array[Byte] =
-  *     s3.getObjectAsBytes(b => b.bucket(bucket).key(key)).asByteArray()
-  *   def put(key: String, body: Array[Byte]): Unit =
-  *     s3.putObject(b => b.bucket(bucket).key(key),
-  *       RequestBody.fromBytes(body)): Unit
-  *   def putIfNoneMatch(key: String, body: Array[Byte]): Boolean =
-  *     try { s3.putObject(b => b.bucket(bucket).key(key).ifNoneMatch("*"),
-  *       RequestBody.fromBytes(body)); true }
-  *     catch { case e: S3Exception if e.statusCode() == 412 => false }
-  * }
-  * }}}
+  * adapter with no protocol logic in it. That binding EXISTS, as code:
+  * `src/aws/scala/graft/log/AwsS3Client.scala` spells out the 1:1 SDK-v2
+  * calls (paginator listing, conditional PUT with the 412/ambiguous-outcome
+  * split) and is excluded from the default build only because the SDK jar
+  * cannot resolve in the zero-egress environment — enabling it is the
+  * two-line build.sbt change documented at the top of that file.
   *
   * Store-capability requirements (all true of the targets that have
   * conditional writes at all):
