@@ -708,7 +708,7 @@ class MergeBuilder private[table] (
           .withColumn("_change_type", lit("insert")))
       else Nil
       return table.commitRewrite(snap, "MERGE",
-        Map("condition" -> condition.toString, "matchedClauses" -> "0",
+        Map("predicate" -> condition.toString, "matchedClauses" -> "0",
           "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
         Nil, adds, evolution ++ sidecars,
         Map("numTargetRowsInserted" -> numInserted,
@@ -919,7 +919,7 @@ class MergeBuilder private[table] (
           .getOrElse(Nil)
         mark("phase2 insert-only write")
         val v = table.commitRewrite(snap, "MERGE",
-          Map("condition" -> condition.toString,
+          Map("predicate" -> condition.toString,
             "matchedClauses" -> matchedClauses.size.toString,
             "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
           Nil, adds, evolution,
@@ -993,7 +993,7 @@ class MergeBuilder private[table] (
           case _ => recountA.getOrElse("copy", 0L)
         }
       val v = table.commitRewrite(snap, "MERGE",
-        Map("condition" -> condition.toString,
+        Map("predicate" -> condition.toString,
           "matchedClauses" -> matchedClauses.size.toString,
           "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
         touched, adds, evolution,
@@ -1054,7 +1054,7 @@ class MergeBuilder private[table] (
         mark("phase2 dv low-shuffle write")
         val maskedRows = changed.select(col("__file"), col("__idx"))
         val v = table.maskAndCommit(snap, "MERGE",
-          Map("condition" -> condition.toString,
+          Map("predicate" -> condition.toString,
             "matchedClauses" -> matchedClauses.size.toString,
             "notMatchedClauses" -> notMatchedClauses.size.toString) ++ txnParams,
           touched, maskedRows, adds, evolution,
@@ -1310,7 +1310,7 @@ class MergeBuilder private[table] (
           "numTargetRowsNotMatchedBySourceUpdated" -> metric("nmbsUpdated"),
           "numTargetRowsNotMatchedBySourceDeleted" -> metric("nmbsDeleted"))
         else Map.empty)
-      val params = Map("condition" -> condition.toString,
+      val params = Map("predicate" -> condition.toString,
         "matchedClauses" -> matchedClauses.size.toString,
         "notMatchedClauses" -> notMatchedClauses.size.toString) ++
         (if (nmbsOn) Map("notMatchedBySourceClauses" ->

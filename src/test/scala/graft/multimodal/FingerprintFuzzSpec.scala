@@ -217,6 +217,81 @@ class FingerprintFuzzSpec extends SparkSpec {
     }
   }
 
+  test("AVI walk survives adversarial-but-valid layouts: junk chunks, idx1, odd padding, truncated movi") {
+    // random VALID RIFF layouts (not our own encoder's): JUNK chunks with
+    // odd-sized bodies before/inside/after the lists, extra non-frame
+    // stream chunks ('01wb' audio), an idx1 index, a trailing JUNK — the
+    // frames must come back byte-identical and in order; a movi cut mid-
+    // chunk must yield exactly the frames that fully fit, never a throw
+    val rnd = new scala.util.Random(0xAD1AL)
+    def dwords(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII")); out.write(dwords(body.length)); out.write(body)
+      if (body.length % 2 == 1) out.write(0) // RIFF word alignment
+      out.toByteArray
+    }
+    def list(tpe: String, parts: Seq[Array[Byte]]): Array[Byte] = {
+      val body = parts.flatten.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("LIST".getBytes("US-ASCII")); out.write(dwords(body.length + 4))
+      out.write(tpe.getBytes("US-ASCII")); out.write(body)
+      out.toByteArray
+    }
+    def junk(): Array[Byte] = // odd sizes on purpose: padding must be walked
+      chunk("JUNK", Array.fill(1 + rnd.nextInt(37))(rnd.nextInt(256).toByte))
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (trial <- 0 until 25) {
+      val nFrames = 1 + rnd.nextInt(5)
+      val jpegs = (0 until nFrames).map { f =>
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val g = (f * 37 + ((x / 8) * 2 + y / 8) * 53 + 40) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        Codecs.encodeJpeg(img)
+      }
+      val usPerFrame = 1000 + rnd.nextInt(100000)
+      val avih = chunk("avih", dwords(usPerFrame, 0, 0, 0x10,
+        nFrames, 0, 1, 0, 16, 16, 0, 0, 0, 0))
+      val moviParts = jpegs.flatMap { j =>
+        val junks = Seq.fill(rnd.nextInt(2))(junk()) ++
+          Seq.fill(rnd.nextInt(2))(chunk("01wb", // audio chunk: not a frame
+            Array.fill(1 + rnd.nextInt(19))(rnd.nextInt(256).toByte)))
+        rnd.shuffle(junks) :+ chunk("00dc", j)
+      }
+      val idx1 = chunk("idx1",
+        jpegs.flatMap(j => dwords(0x63643030, 0x10, 4, j.length)).toArray)
+      val body = Seq.fill(rnd.nextInt(3))(junk()) ++
+        Seq(list("hdrl", Seq(avih))) ++
+        Seq.fill(rnd.nextInt(3))(junk()) ++
+        Seq(list("movi", moviParts)) ++
+        Seq(idx1) ++ Seq.fill(rnd.nextInt(2))(junk())
+      val payload = body.flatten.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); out.write(dwords(payload.length + 4))
+      out.write("AVI ".getBytes("US-ASCII")); out.write(payload)
+      val avi = out.toByteArray
+      withClue(s"trial $trial (frames=$nFrames): ") {
+        Codecs.aviMeta(avi) shouldBe
+          Some(("video/avi", 16, 16, nFrames.toLong * usPerFrame / 1000L))
+        val decoded = Codecs.aviFrames(avi)
+        decoded.size shouldBe nFrames
+        decoded.zip(jpegs).foreach { case (d, j) => d shouldBe j }
+        // a cut anywhere inside the file yields a PREFIX of the frames
+        val cut = avi.take(rnd.nextInt(avi.length))
+        val partial = Codecs.aviFrames(cut)
+        partial.size should be <= nFrames
+        partial.zip(jpegs).foreach { case (d, j) => d shouldBe j }
+        noException should be thrownBy Codecs.videoFeatures(cut, 12)
+      }
+    }
+  }
+
   // ------------------------------------------------------- banding recall
 
   test("banded mining finds EVERY pair within Hamming 7; an 8-bit evader can slip") {

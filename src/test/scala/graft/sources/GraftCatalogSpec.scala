@@ -93,6 +93,67 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DESCRIBE HISTORY gcat.meta.hist LIMIT 1 AS JSON").count() shouldBe 1
   }
 
+  test("history operation names and parameter maps match Delta's documented vocabulary") {
+    // External tooling (lineage scrapers, audit dashboards) keys off
+    // Delta's operation strings and parameter names — pin the op sequence
+    // a typical table accumulates to the exact vocabulary Delta documents:
+    // operation names are identical and the parameter maps carry Delta's
+    // key names (mode, partitionBy, predicate, zOrderBy, version).
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.par")
+    spark.sql("CREATE TABLE gcat.par.ops (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gcat.par.ops SELECT id, 'a' FROM range(10)")
+    spark.sql("UPDATE gcat.par.ops SET v = 'b' WHERE id = 1")
+    spark.sql("DELETE FROM gcat.par.ops WHERE id = 2")
+    spark.sql("""MERGE INTO gcat.par.ops t USING (SELECT CAST(99 AS BIGINT) id, 'm' v) s
+      ON t.id = s.id WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("ALTER TABLE gcat.par.ops SET TBLPROPERTIES ('owner.team' = 'x')")
+    spark.sql("ALTER TABLE gcat.par.ops ADD COLUMNS (w INT)")
+    val t = LakeTable.forPath(spark, s"$warehouse/par/ops")
+    GraftSql(spark).run(s"OPTIMIZE '${t.dir}' ZORDER BY (id)")
+    t.restoreToVersion(2)
+    t.vacuum(retainHours = 0.0)
+    val hist = t.history().select("version", "operation", "operationParameters")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Map[String, String]](2)))).toMap
+    // exact Delta operation strings, oldest → newest
+    hist(0)._1 shouldBe "CREATE TABLE"
+    hist(0)._2.keySet should contain("partitionBy")
+    hist(1)._1 shouldBe "WRITE"
+    hist(1)._2.get("mode") shouldBe Some("Append")
+    hist(2)._1 shouldBe "UPDATE"
+    hist(2)._2.keySet should contain("predicate")
+    hist(3)._1 shouldBe "DELETE"
+    hist(3)._2.keySet should contain("predicate")
+    hist(4)._1 shouldBe "MERGE"
+    hist(4)._2.keySet should contain("predicate")
+    hist(5)._1 shouldBe "SET TBLPROPERTIES"
+    hist(6)._1 shouldBe "ADD COLUMNS"
+    hist(7)._1 shouldBe "OPTIMIZE"
+    hist(7)._2.get("zOrderBy") shouldBe Some("id")
+    hist(8)._1 shouldBe "RESTORE"
+    hist(8)._2.get("version") shouldBe Some("2")
+    hist(9)._1 shouldBe "VACUUM"
+    // every name the table can ever write is inside Delta's documented
+    // vocabulary (ours adds none; REORG/DROP FEATURE exist there too)
+    val deltaVocabulary = Set(
+      "WRITE", "STREAMING UPDATE", "DELETE", "MERGE", "UPDATE",
+      "CREATE TABLE", "REPLACE TABLE", "COPY INTO", "CLONE", "CONVERT",
+      "OPTIMIZE", "RESTORE", "VACUUM", "REORG",
+      "ADD COLUMNS", "DROP COLUMN", "RENAME COLUMN", "ALTER COLUMN TYPE",
+      "ALTER COLUMN DEFAULT", "ADD GENERATED COLUMN", "ADD IDENTITY COLUMN",
+      "SET TBLPROPERTIES", "UNSET TBLPROPERTIES",
+      "ADD CONSTRAINT", "DROP CONSTRAINT", "ANALYZE",
+      "UPGRADE PROTOCOL", "ADD FEATURE", "DROP FEATURE")
+    hist.values.map(_._1).toSet.subsetOf(deltaVocabulary) shouldBe true
+    // the AS JSON surface serializes the same names/params machine-readably
+    val js = GraftSql(spark).run(s"DESCRIBE HISTORY '${t.dir}' AS JSON")
+      .as[String].collect()
+    js.length shouldBe 10
+    js.last should include("\"operation\":\"CREATE TABLE\"")
+    js.find(_.contains("\"OPTIMIZE\"")).get should include("\"zOrderBy\":\"id\"")
+  }
+
   test("native ALTER COLUMN TYPE widens through the V2 catalog") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.widen")
