@@ -155,18 +155,80 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
   // ------------------------------------------------------------ checkpoints
 
   /** Checkpoint = the full snapshot state (metadata + commit history + live
-    * files) at one version, in one NDJSON file. `snapshot()` replays from
-    * the newest eligible checkpoint plus the log tail instead of from v0 —
-    * without this, planning cost grows linearly with table history (the
-    * same reason Delta checkpoints every 10 commits). Time travel and CDF
-    * still read the per-version files, which are never deleted. */
+    * files) at one version. `snapshot()` replays from the newest eligible
+    * checkpoint plus the log tail instead of from v0 — without this,
+    * planning cost grows linearly with table history (the same reason
+    * Delta checkpoints every 10 commits). Time travel and CDF still read
+    * the per-version files, which are never deleted.
+    *
+    * Two layouts, chosen at write time by action count:
+    *  - single NDJSON file `<v>.checkpoint.json` (the default);
+    *  - MULTI-PART `<v>.checkpoint.<part>.<of>.json` (Delta's multi-part
+    *    checkpoint discipline) once the action count exceeds the
+    *    `graft.checkpoint.partSize` table property — at 100 TB a table's
+    *    live-file set runs to millions of AddFiles and one monolithic
+    *    checkpoint becomes both the write-amplification and the
+    *    single-object-size bottleneck (S3 caps single PUTs at 5 GB).
+    * A multi-part checkpoint EXISTS only when every part 0..of-1 is
+    * present for one consistent `of` (the filename carries both), so a
+    * crash mid-write leaves an invisible partial set, never a readable
+    * half-checkpoint; each part carries its own count header. Parts are
+    * idempotent (deterministic content + overwrite publish), safe under
+    * concurrent checkpointers. */
   private def checkpointFile(v: Long): Path = logDir.resolve(f"$v%020d.checkpoint.json")
+  private def checkpointPartFile(v: Long, part: Int, of: Int): Path =
+    logDir.resolve(f"$v%020d.checkpoint.$part%010d.$of%010d.json")
+  private val PartName = raw"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.json".r
 
+  /** Versions with a COMPLETE checkpoint: a single file, or a full part
+    * set for one consistent part count. */
   def listCheckpoints(): Seq[Long] =
+    (singleCheckpoints() ++ completeMultiparts().keys).distinct.sorted
+
+  private def singleCheckpoints(): Seq[Long] =
     store.listFileNames(logDir)
       .filter(_.endsWith(".checkpoint.json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
-      .sorted
+
+  /** version -> smallest complete part count (a re-checkpoint under a
+    * changed partSize can leave two complete sets; both hold identical
+    * content, the choice is just determinism). */
+  private def completeMultiparts(): Map[Long, Int] =
+    store.listFileNames(logDir)
+      .collect { case PartName(v, p, of) => (v.toLong, p.toInt, of.toInt) }
+      .groupBy(t => (t._1, t._3))
+      .collect { case ((v, of), ps) if ps.map(_._2).toSet == (0 until of).toSet =>
+        (v, of)
+      }
+      .groupBy(_._1).map { case (v, sets) => v -> sets.map(_._2).min }
+
+  /** All files of version `cp`'s checkpoint, parts in order (single-file
+    * preferred when both layouts exist). */
+  private def checkpointFiles(cp: Long): Seq[Path] =
+    if (singleCheckpoints().contains(cp)) Seq(checkpointFile(cp))
+    else completeMultiparts().get(cp) match {
+      case Some(of) => (0 until of).map(p => checkpointPartFile(cp, p, of))
+      case None => throw new IllegalStateException(
+        s"no complete checkpoint at version $cp in $tableDir")
+    }
+
+  /** Read + validate checkpoint `cp` (all layouts): every line parses and
+    * every count header matches, else throw (callers fall back). */
+  private[log] def readCheckpoint(cp: Long): Seq[Action] = {
+    val files = checkpointFiles(cp)
+    files.flatMap { f =>
+      val as = store.read(f).filter(_.nonEmpty).map(Actions.fromJson)
+      as.headOption match {
+        case Some(CheckpointMeta(n)) =>
+          require(as.size - 1 == n,
+            s"checkpoint $cp (${f.getFileName}) is incomplete: ${as.size - 1} of $n actions")
+          as.tail
+        case _ if files.size == 1 => as // header-less legacy single-file
+        case _ => throw new IllegalStateException(
+          s"checkpoint $cp part ${f.getFileName} has no self-validation header")
+      }
+    }
+  }
 
   /** Write the checkpoint for `v` (idempotent — content is deterministic,
     * so overwrite-mode publish is safe under concurrent checkpointers). */
@@ -176,13 +238,26 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       Seq(snap.protocol, snap.metadata) ++
         snap.domains.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadata(d, c) } ++
         (snap.commits ++ snap.files ++ snap.dvs.values)
+    val partSize = Option(snap.metadata.properties)
+      .flatMap(_.get("graft.checkpoint.partSize"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(Int.MaxValue)
     // self-validation header first: reads reject any checkpoint whose line
     // count disagrees (a prefix cut at a line boundary parses cleanly but
     // is incomplete — the count is what catches it)
-    val body = (CheckpointMeta(actions.size.toLong) +: actions)
-      .map(Actions.toJson).mkString("", "\n", "\n")
-    store.writeAtomic(checkpointFile(v), body.getBytes(StandardCharsets.UTF_8),
-      overwrite = true): Unit
+    def body(as: Seq[Action]): Array[Byte] =
+      (CheckpointMeta(as.size.toLong) +: as)
+        .map(Actions.toJson).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8)
+    if (actions.size <= partSize)
+      store.writeAtomic(checkpointFile(v), body(actions), overwrite = true): Unit
+    else {
+      val parts = actions.grouped(partSize).toSeq
+      parts.zipWithIndex.foreach { case (p, i) =>
+        store.writeAtomic(checkpointPartFile(v, i, parts.size), body(p),
+          overwrite = true): Unit
+      }
+    }
   }
 
   /** TRUNCATE HISTORY (DROP FEATURE's boundary sweep): checkpoint the
@@ -199,17 +274,23 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     val versions = listVersions()
     require(versions.contains(v), s"version $v does not exist in $tableDir")
     writeCheckpoint(v)
-    // same validation a reader applies — never delete on a bad checkpoint
-    val as = store.read(checkpointFile(v)).filter(_.nonEmpty).map(Actions.fromJson)
-    as.headOption match {
-      case Some(CheckpointMeta(n)) =>
-        require(as.size - 1 == n,
-          s"refusing to truncate: checkpoint $v is incomplete (${as.size - 1} of $n)")
-      case _ => throw new IllegalStateException(
-        s"refusing to truncate: checkpoint $v has no self-validation header")
-    }
+    // same validation a reader applies (all layouts: line parse + count
+    // headers + part completeness) — never delete on a bad checkpoint
+    require(readCheckpoint(v).nonEmpty,
+      s"refusing to truncate: checkpoint $v read back empty")
     versions.filter(_ < v).foreach(x => store.delete(versionFile(x)))
-    listCheckpoints().filter(_ < v).foreach(x => store.delete(checkpointFile(x)))
+    // sweep BOTH checkpoint layouts below the boundary, including partial
+    // part sets a crashed writer may have left
+    store.listFileNames(logDir).foreach { n =>
+      val below = n match {
+        case PartName(cv, _, _) => cv.toLong < v
+        case _ if n.endsWith(".checkpoint.json") =>
+          scala.util.Try(n.stripSuffix(".checkpoint.json").toLong)
+            .toOption.exists(_ < v)
+        case _ => false
+      }
+      if (below) store.delete(logDir.resolve(n)): Unit
+    }
   }
 
   /** Replay actions up to and including `version` (None = latest), starting
@@ -240,18 +321,9 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     // a line boundary parses cleanly but is incomplete; header-less
     // checkpoints from older versions are accepted as-is).
     val base: Option[(Long, Seq[Action])] =
-      listCheckpoints().filter(_ <= upTo).reverseIterator.map { cp =>
-        cp -> scala.util.Try {
-          val as = store.read(checkpointFile(cp)).filter(_.nonEmpty).map(Actions.fromJson)
-          as.headOption match {
-            case Some(CheckpointMeta(n)) =>
-              require(as.size - 1 == n,
-                s"checkpoint $cp is incomplete: ${as.size - 1} of $n actions")
-              as.tail
-            case _ => as
-          }
-        }
-      }.collectFirst { case (cp, scala.util.Success(as)) => (cp, as) }
+      listCheckpoints().filter(_ <= upTo).reverseIterator
+        .map(cp => cp -> scala.util.Try(readCheckpoint(cp)))
+        .collectFirst { case (cp, scala.util.Success(as)) => (cp, as) }
     base.foreach { case (_, actions) =>
       actions.foreach {
         case m: Metadata        => meta = m

@@ -28,7 +28,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val vacuumCmd =
-    """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+USING\s+INVENTORY\s+\((.+)\))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   // EXACTLY GraftSql's two restore forms: a broader match here would loop
   // (GraftSql falls back to spark.sql for statements it can't parse, which
   // would re-enter this parser)
@@ -93,7 +93,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
       }
     case optimizeCmd(_, _, _, _, _) => command(sqlText, optimizeOut)
     case reorgCmd(_, _) => command(sqlText, versionOut)
-    case vacuumCmd(_, _, _, _) => command(sqlText, pathOut)
+    case vacuumCmd(_, _, _, _, _) => command(sqlText, pathOut)
     case restoreCmd(_) => command(sqlText, restoredOut)
     case generateCmd(_) => command(sqlText, manifestOut)
     // never parses as Spark SQL (OPTIMIZE/VACUUM/... are not grammar words),
@@ -122,7 +122,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
       sqlText: String, parameterContext: ParameterContext): LogicalPlan =
     sqlText match {
       case describeHistory(_, _, _) | describeDetail(_) | optimizeCmd(_, _, _, _, _) |
-           reorgCmd(_, _) | vacuumCmd(_, _, _, _) | restoreCmd(_) | generateCmd(_) |
+           reorgCmd(_, _) | vacuumCmd(_, _, _, _, _) | restoreCmd(_) | generateCmd(_) |
            showPartitionsCmd(_) =>
         parsePlan(sqlText)
       case _ => delegate.parsePlanWithParameters(sqlText, parameterContext)

@@ -51,7 +51,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val generateCmd =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
   private val vacuumCmd =
-    """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+USING\s+INVENTORY\s+\((.+)\))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+(DEEP|SHALLOW)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val setDefaultCmd =
@@ -444,11 +444,14 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case reorgCmd(t, where) =>
       oneRow("version" ->
         table(t).reorgPurge(where = Option(where).map(w => expr(w))))
-    case vacuumCmd(t, liteKw, retain, dry) =>
+    case vacuumCmd(t, liteKw, inv, retain, dry) =>
       // no RETAIN clause -> -1: the table's retention property (or the
-      // 168 h default) decides inside vacuum()
+      // 168 h default) decides inside vacuum(). USING INVENTORY (<query>)
+      // supplies the physical file listing (path [, modificationTime])
+      // instead of walking storage — Delta 3.3's surface.
       val hours = Option(retain).map(_.toDouble).getOrElse(-1.0)
-      val paths = table(t).vacuum(hours, dryRun = dry != null, lite = liteKw != null)
+      val paths = table(t).vacuum(hours, dryRun = dry != null,
+        lite = liteKw != null, inventory = Option(inv).map(q => spark.sql(q)))
       spark.createDataFrame(
         paths.map(Row(_)).asJava,
         StructType(Seq(StructField("path", StringType))))

@@ -1755,7 +1755,8 @@ class LakeTable private[table] (
     * within the retention window must survive — time travel inside the
     * window still resolves it. */
   def vacuum(retainHours: Double = -1.0, dryRun: Boolean = false,
-      lite: Boolean = false): Seq[String] = {
+      lite: Boolean = false,
+      inventory: Option[DataFrame] = None): Seq[String] = {
     // negative = caller did not specify: resolve the default from the
     // table property graft.deletedFileRetentionDuration (Delta's
     // delta.deletedFileRetentionDuration, accepted via prefix
@@ -1809,19 +1810,49 @@ class LakeTable private[table] (
             else Nil
           }
       else {
-        val physical = (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
-          listParquet(dir.resolve("dv"))).map(_.toString)
-        physical.filter { p =>
-          !live.contains(p) && !underAny(p, liveDv) && (
+        // USING INVENTORY (Delta 3.3): the caller supplies the file listing
+        // (an S3 Inventory report, a storage-team manifest) instead of this
+        // engine walking the tree — at 100 TB the recursive listing of
+        // millions of objects is the dominant cost and the request bill;
+        // the inventory also carries each file's modificationTime, so the
+        // orphan-age clause needs zero stat calls. Schema: `path`
+        // (absolute, or relative to the table root) and optionally
+        // `modificationTime` (epoch millis). Rows outside the table's
+        // data/cdf/dv subtrees are ignored — feeding one bucket-wide
+        // inventory to every table's vacuum is the intended usage.
+        val physical: Seq[(String, Option[Long])] = inventory match {
+          case Some(inv) =>
+            val hasMtime = inv.columns.contains("modificationTime")
+            val cols =
+              if (hasMtime) inv.select("path", "modificationTime")
+              else inv.select("path")
+            cols.collect().toSeq.map { r =>
+              val p = absPathStr(r.getString(0))
+              p -> (if (hasMtime && !r.isNullAt(1)) Some(r.getLong(1)) else None)
+            }.filter { case (p, _) =>
+              Seq("data", "cdf", "dv").exists(sub =>
+                p.startsWith(dir.resolve(sub).toString + "/"))
+            }
+          case None =>
+            (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
+              listParquet(dir.resolve("dv"))).map(p => p.toString -> None)
+        }
+        physical.collect { case (p, mtime)
+          if !live.contains(p) && !underAny(p, liveDv) && (
             tombstoned.contains(p) || underAny(p, tombstoned) ||
             (!referenced.contains(p) && !underAny(p, referencedDv) &&
-              Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
+              // a stale inventory row whose file is already gone stats as
+              // MaxValue — never doomed, deleteIfExists would no-op anyway
+              mtime.getOrElse(scala.util.Try(
+                Files.getLastModifiedTime(Paths.get(p)).toMillis)
+                .getOrElse(Long.MaxValue)) < horizon)) => p
         }
       }
     if (!dryRun) {
       doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
       commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
         "mode" -> (if (lite) "LITE" else "FULL"),
+        "usingInventory" -> inventory.isDefined.toString,
         "numDeletedFiles" -> doomed.size.toString), snapshot())(_ => Nil)
     }
     doomed

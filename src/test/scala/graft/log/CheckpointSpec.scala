@@ -87,6 +87,77 @@ class CheckpointSpec extends SparkSpec {
     viaReplay.metadata shouldBe reference.metadata
   }
 
+  test("multi-part checkpoints: written above partSize, read back, invisible when partial") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-mp").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpointInterval" -> "5",
+        "graft.checkpoint.partSize" -> "7"))
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.log.listCheckpoints() shouldBe Seq(5L, 10L)
+    // the v10 checkpoint carries > 7 actions (protocol + metadata + domains
+    // + 11 commit infos + 10 files): it must be multi-part, no single file
+    import scala.jdk.CollectionConverters._
+    def logNames() = {
+      val s = Files.list(t.log.logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    val v10parts = logNames().filter(_.startsWith(f"${10L}%020d.checkpoint."))
+    v10parts should not be empty
+    v10parts.foreach(_ should fullyMatch regex raw"\d{20}\.checkpoint\.\d{10}\.\d{10}\.json")
+    v10parts.size should be > 1
+    // a fresh replay resolves THROUGH the multi-part base exactly
+    val reference = t.snapshot()
+    val viaParts = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaParts.version shouldBe reference.version
+    viaParts.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaParts.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    viaParts.metadata shouldBe reference.metadata
+    // delete ONE part: the checkpoint must become INVISIBLE (fall back to
+    // v5 + tail), never a half-applied base
+    Files.delete(t.log.logDir.resolve(v10parts.sorted.head))
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    t2.log.listCheckpoints() shouldBe Seq(5L)
+    val viaFallback = t2.snapshot()
+    viaFallback.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaFallback.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    // a torn PART (cut at a line boundary: parses, count disagrees) on the
+    // v5 checkpoint... v5 is single-layout here only if small; instead tear
+    // a freshly rewritten multi-part at v10 and assert fallback again
+    t2.log.writeCheckpoint(10L)
+    val rewritten = logNames().filter(_.startsWith(f"${10L}%020d.checkpoint."))
+    rewritten.size should be > 1
+    val victim = t.log.logDir.resolve(rewritten.sorted.last)
+    val lines = new String(Files.readAllBytes(victim), "UTF-8").split("\n").toSeq
+    Files.write(victim, lines.dropRight(2).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val viaTorn = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaTorn.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+  }
+
+  test("TRUNCATE HISTORY sweeps below a multi-part boundary checkpoint") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-mp-tr").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpoint.partSize" -> "5",
+        "graft.enableDeletionVectors" -> "true"))
+    (1 to 8).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.delete(col("k") === 3L)
+    t.setProperties(Map("graft.enableDeletionVectors" -> "false"))
+    t.reorgPurge()
+    val before = t.read().orderBy("k").as[(Long, String)].collect()
+    val historyBefore = t.history().count()
+    t.dropFeature("deletionVectors", truncateHistory = true)
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    // the boundary checkpoint is multi-part and the earliest version file
+    // is the boundary itself
+    t2.log.listVersions().head should be > 0L
+    t2.read().orderBy("k").as[(Long, String)].collect() shouldBe before
+    t2.history().count() shouldBe historyBefore + 1
+    // and the table keeps working past the boundary
+    t2.append(Seq((99L, "z")).toDF("k", "v"))
+    t2.read().count() shouldBe before.length + 1
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

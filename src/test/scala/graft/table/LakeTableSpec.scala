@@ -280,6 +280,62 @@ class LakeTableSpec extends SparkSpec {
     t.vacuum(retainHours = 0.0) should contain only orphan.toString
   }
 
+  test("VACUUM USING INVENTORY: caller-supplied listing replaces the storage walk") {
+    import spark.implicits._
+    val t = freshTable("lt-vacinv")
+    t.append(rows(0 until 50))
+    t.overwrite(rows(50 until 60)) // tombstones the first generation
+    val orphan = t.dir.resolve("data/orphan-from-crashed-writer.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val oldMs = System.currentTimeMillis() - 3600_000L
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(oldMs))
+    // a COMPLETE inventory (every physical file + mtimes, the S3 Inventory
+    // shape) must propose exactly what the storage walk proposes
+    def walk(): Seq[(String, Long)] = {
+      val s = java.nio.file.Files.walk(t.dir.resolve("data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toList
+      } finally s.close()
+    }
+    val full = t.vacuum(retainHours = 0.0, dryRun = true).toSet
+    val inv = walk().toDF("path", "modificationTime")
+    t.vacuum(retainHours = 0.0, dryRun = true,
+      inventory = Some(inv)).toSet shouldBe full
+    full should contain(orphan.toString)
+    // an INCOMPLETE inventory is blind to what it omits (the documented
+    // trade): without the orphan's row, the orphan is never proposed
+    val partial = walk().filterNot(_._1 == orphan.toString)
+      .toDF("path", "modificationTime")
+    val viaPartial = t.vacuum(retainHours = 0.0, dryRun = true,
+      inventory = Some(partial)).toSet
+    viaPartial shouldBe full - orphan.toString
+    // rows OUTSIDE the table's subtrees are ignored (one bucket-wide
+    // inventory feeds every table), and an inside-the-window row for a
+    // file that is already gone proposes nothing
+    val noisy = (walk() ++ Seq(
+      ("/somewhere/else/file.parquet", 0L),
+      (t.dir.resolve("data/already-gone.parquet").toString,
+        System.currentTimeMillis() + 3600_000L))) // inside any window
+      .toDF("path", "modificationTime")
+    t.vacuum(retainHours = 0.0, dryRun = true,
+      inventory = Some(noisy)).toSet shouldBe full
+    // SQL surface: USING INVENTORY (<query>) composes with RETAIN/DRY RUN
+    inv.createOrReplaceTempView("vac_inv")
+    val viaSql = GraftSql(spark).run(
+      s"VACUUM '${t.dir}' USING INVENTORY (SELECT path, modificationTime " +
+        "FROM vac_inv) RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    viaSql shouldBe full
+    // the real (non-dry) inventory vacuum deletes and the table survives
+    t.vacuum(retainHours = 0.0, inventory = Some(inv))
+    t.read().count() shouldBe 10
+    java.nio.file.Files.exists(orphan) shouldBe false
+  }
+
   test("re-added then recently re-removed file survives vacuum (latest tombstone wins)") {
     val t = freshTable("lt-vac-readd")
     t.append(rows(0 until 10)) // v1
