@@ -85,6 +85,7 @@ object SparkEntry {
     "q91_hard_negatives_pruned" -> (DataOps.hardNegativesPruned _),
     "q98_hard_negatives_trained" -> (DataOps.hardNegativesTrained _),
     "q99_margin_mining_trained" -> (DataOps.marginMiningTrained _),
+    "q100_dsir_selection" -> (DataOps.dsirSelection _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

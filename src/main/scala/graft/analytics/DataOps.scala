@@ -471,6 +471,17 @@ object DataOps {
       .orderBy("query_id")
   }
 
+  /** DSIR importance-selection gate (q100): hashed-unigram importance
+    * weights against a target slice (sources src0/src1 play the
+    * high-quality reference), top-100 kept. The oracle recomputes the
+    * bucket distributions, the micro-unit log ratios, and the exact
+    * integer score sums from the same tables. */
+  def dsirSelection(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.sampling.Sampling.dsirSelect(docs,
+      docs.filter(col("source").isin("src0", "src1")), budget = 100)
+  }
+
   /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
     * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
     * survivors are exactly the batch docs whose text the corpus lacks,
@@ -1206,6 +1217,38 @@ object DataOps {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
            FROM s)
          SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""",
+    // algorithmic oracle: md5-bucketed unigrams, add-1-smoothed bucket
+    // distributions over corpus (p) and target (q), per-bucket log ratio
+    // in integer micro-units (floor(x*1e6 + 0.5) = JVM Math.round), exact
+    // integer score sums, deterministic top-100
+    "q100_dsir_selection" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest($toks) AS tok FROM documents),
+         b AS (SELECT doc_id, source,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+           FROM t),
+         spine AS (SELECT unnest(range(0, 256)) AS bucket),
+         p AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+         q AS (SELECT bucket, count(*) AS c FROM b
+           WHERE source IN ('src0', 'src1') GROUP BY bucket),
+         tot AS (SELECT (SELECT count(*) FROM b) AS pt,
+             (SELECT count(*) FROM b WHERE source IN ('src0', 'src1')) AS qt),
+         r AS (SELECT s.bucket,
+             CAST(FLOOR((ln((COALESCE(q.c, 0) + 1) / (tot.qt + 256.0)) -
+                         ln((COALESCE(p.c, 0) + 1) / (tot.pt + 256.0)))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM spine s CROSS JOIN tot
+           LEFT JOIN p ON p.bucket = s.bucket
+           LEFT JOIN q ON q.bucket = s.bucket),
+         sc AS (SELECT d.doc_id,
+             ROUND(COALESCE(SUM(r.micro), 0) / 1000000.0, 6) AS score
+           FROM documents d
+           LEFT JOIN b ON b.doc_id = d.doc_id
+           LEFT JOIN r ON r.bucket = b.bucket
+           GROUP BY d.doc_id),
+         rk AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+         SELECT doc_id, score, rank FROM rk WHERE rank <= 100""",
     // algorithmic oracle: sampled codebook (lowest-16 ids), L2 assignment
     // with lowest-index tie-break, nprobe=4 probing, label-disjoint
     // in-cell top-k — q39's assignment CTEs composed with q91's contract

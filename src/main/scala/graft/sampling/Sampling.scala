@@ -265,4 +265,63 @@ object Sampling {
       .drop("shard_pos")
       .withColumnRenamed("__score", "score")
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus doc
+    * by how much more likely its hashed-unigram bag is under the TARGET
+    * distribution than under the raw-corpus distribution — log q(doc) −
+    * log p(doc) over hashed n-gram features — and keep the top `budget`.
+    *
+    * Engine-portable and scale-correct by construction:
+    *  - features are md5-hashed token buckets (two hex chars → 256
+    *    buckets), the same cross-engine determinism the split/sample
+    *    family uses;
+    *  - the two bucket distributions are K-row aggregates (partial-agged
+    *    shuffles of ints; the K-row collect is a constant, never
+    *    data-sized);
+    *  - per-bucket smoothed log ratios ship to executors as a LITERAL
+    *    array in integer MICRO-units (1e-6), so per-doc scoring is a
+    *    narrow codegen projection with exact integer sums — no float
+    *    accumulation-order dependence, and the corpus never shuffles;
+    *  - selection is orderBy+limit (TakeOrderedAndProject: distributed
+    *    per-partition top-k, no global sort), with the rank window only
+    *    over the `budget` survivors.
+    * Add-1 smoothing keeps never-seen buckets finite. The deterministic
+    * top-k-by-weight variant of DSIR's Gumbel resampling — reproducible
+    * across engines, which is what the oracle gate requires. */
+  def dsirSelect(
+      corpus: DataFrame,
+      target: DataFrame,
+      budget: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val buckets = 256
+    def bucketOf(t: Column): Column =
+      conv(substring(md5(t), 1, 2), 16, 10).cast("int")
+    def dist(df: DataFrame): (Map[Int, Long], Long) = {
+      val rows = df
+        .select(explode(graft.text.TextAnalysis.tokens(col(textCol))).as("tok"))
+        .groupBy(bucketOf(col("tok")).as("bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (rows, rows.values.sum)
+    }
+    val (pc, pTotal) = dist(corpus)
+    val (qc, qTotal) = dist(target)
+    val micro: Seq[Long] = (0 until buckets).map { b =>
+      val p = (pc.getOrElse(b, 0L) + 1).toDouble / (pTotal + buckets)
+      val q = (qc.getOrElse(b, 0L) + 1).toDouble / (qTotal + buckets)
+      math.round((math.log(q) - math.log(p)) * 1e6)
+    }
+    val ratioArr = array(micro.map(lit): _*)
+    val scoreMicro = aggregate(
+      transform(graft.text.TextAnalysis.tokens(col(textCol)),
+        t => element_at(ratioArr, bucketOf(t) + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val top = corpus
+      .withColumn("score", round(scoreMicro.cast("double") / 1e6, 6))
+      .orderBy(col("score").desc, col(idCol)).limit(budget)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
 }

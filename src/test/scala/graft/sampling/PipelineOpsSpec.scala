@@ -279,6 +279,27 @@ class PipelineOpsSpec extends SparkSpec {
     out.select("neighbor_id").as[Long].collect().sorted shouldBe Array(10L, 12L)
   }
 
+  test("dsirSelect ranks target-distribution-like docs first, exact and deterministic") {
+    // target: 30 docs over a small shared vocabulary; corpus: 10 docs that
+    // share it and 30 noise docs with per-doc-unique tokens (plus one
+    // empty). Importance weights must put every target-like doc ahead of
+    // every noise doc, with positive scores for the former.
+    val target = (0 until 30).map(i => (1000L + i, "alpha beta gamma delta", "tgt"))
+      .toDF("doc_id", "text", "source")
+    val corpus = ((0 until 10).map(i => (i.toLong, "alpha beta gamma", "w")) ++
+      (10 until 40).map(i => (i.toLong, s"zeta$i eta$i theta$i", "w")) :+
+      ((40L, "", "w"))).toDF("doc_id", "text", "source")
+    val out = Sampling.dsirSelect(corpus, target, budget = 10)
+      .as[(Long, Double, Int)].collect()
+    out.length shouldBe 10
+    out.map(_._1).toSet shouldBe (0L until 10L).toSet
+    out.foreach(_._2 should be > 0.0)
+    out.map(_._3).sorted shouldBe (1 to 10).toArray
+    // deterministic: a second run returns the identical selection
+    Sampling.dsirSelect(corpus, target, budget = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3) shouldBe out.sortBy(_._3)
+  }
+
   test("trained-codebook pruned tier holds a recall bound against the exact tier") {
     // clustered data where a trained codebook is data-adaptive: 4 Gaussian
     // clusters in 8 dims, deterministic seed. The pruned tier routed
