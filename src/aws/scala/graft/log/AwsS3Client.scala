@@ -44,6 +44,16 @@ final class AwsS3Client(s3: S3Client, bucket: String) extends S3ObjectClient {
       .flatMap(_.contents().asScala.map(_.key()))
       .toSeq
 
+  /** Tail listing via ListObjectsV2's native StartAfter — the primitive
+    * behind the `_last_checkpoint` fast path: resolving a long-history
+    * table's latest snapshot lists O(tail) keys, not O(history). */
+  override def list(prefix: String, startAfter: String): Seq[String] =
+    s3.listObjectsV2Paginator(
+        b => { b.bucket(bucket).prefix(prefix).startAfter(startAfter); () })
+      .iterator().asScala
+      .flatMap(_.contents().asScala.map(_.key()))
+      .toSeq
+
   /** GetObject; absent keys throw the SDK's NoSuchKeyException, which
     * satisfies the trait's "throws when absent" contract as-is. */
   override def get(key: String): Array[Byte] =

@@ -34,6 +34,15 @@ import scala.jdk.CollectionConverters._
   */
 trait LogStore {
   def listFileNames(dir: Path): Seq[String]
+  /** Names under `dir` strictly AFTER `startAfter` (lexicographic) — the
+    * tail listing behind the `_last_checkpoint` fast path. The default
+    * filters a full listing (correct everywhere); object-store
+    * implementations override with the native start-after parameter
+    * (S3 ListObjectsV2 `StartAfter`) so resolving the latest snapshot of
+    * a long-history table lists O(tail) names, not O(history). Same
+    * completeness contract as [[listFileNames]]. */
+  def listFileNamesAfter(dir: Path, startAfter: String): Seq[String] =
+    listFileNames(dir).filter(_ > startAfter)
   def read(path: Path): Seq[String]
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean
   /** Remove one log object (DROP FEATURE ... TRUNCATE HISTORY's boundary

@@ -43,6 +43,11 @@ import java.nio.file.Path
 trait S3ObjectClient {
   /** All keys with this prefix (complete, lexicographic — ListObjectsV2). */
   def list(prefix: String): Seq[String]
+  /** Keys with this prefix strictly after `startAfter` — ListObjectsV2's
+    * native `StartAfter`. The default filters a full listing; the SDK
+    * adapter overrides so tail listings cost O(tail) requests. */
+  def list(prefix: String, startAfter: String): Seq[String] =
+    list(prefix).filter(_ > startAfter)
   /** Object bytes; throws (NoSuchKey) when absent — GetObject. */
   def get(key: String): Array[Byte]
   /** Unconditional write — PutObject. */
@@ -71,6 +76,14 @@ class S3LogStore(client: S3ObjectClient) extends LogStore {
       val rest = k.stripPrefix(prefix)
       // direct children only: the log dir is flat, anything nested is not a
       // commit file (mirrors a delimiter-less listing filtered client-side)
+      if (rest.nonEmpty && !rest.contains("/")) Some(rest) else None
+    }
+  }
+
+  override def listFileNamesAfter(dir: Path, startAfter: String): Seq[String] = {
+    val prefix = keyOf(dir) + "/"
+    client.list(prefix, prefix + startAfter).flatMap { k =>
+      val rest = k.stripPrefix(prefix)
       if (rest.nonEmpty && !rest.contains("/")) Some(rest) else None
     }
   }

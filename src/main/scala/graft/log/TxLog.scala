@@ -42,7 +42,26 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
       .sorted
 
-  def latestVersion(): Option[Long] = listVersions().lastOption
+  /** Commit versions strictly after `v` — the pointer-bounded tail. */
+  private def versionsAfter(v: Long): Seq[Long] =
+    store.listFileNamesAfter(logDir, f"$v%020d.json")
+      .filter(n => n.endsWith(".json") && !n.contains(".checkpoint."))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .sorted
+
+  def latestVersion(): Option[Long] = {
+    // _last_checkpoint-bounded: list only the tail. The pointer is trusted
+    // only when the tail is non-empty or the pointed version's file reads
+    // back — a corrupt/future-dated pointer degrades to the full listing,
+    // never to a phantom version.
+    val fast = lastCheckpoint().flatMap { cp =>
+      val tail = versionsAfter(cp)
+      if (tail.nonEmpty) Some(tail.last)
+      else if (scala.util.Try(readVersion(cp)).isSuccess) Some(cp)
+      else None
+    }
+    fast.orElse(listVersions().lastOption)
+  }
 
   def readVersion(v: Long): Seq[Action] =
     store.read(versionFile(v)).filter(_.nonEmpty).map(Actions.fromJson)
@@ -258,7 +277,28 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
           overwrite = true): Unit
       }
     }
+    // pointer LAST: _last_checkpoint only ever names a fully-written
+    // checkpoint. Best effort — a lost/stale/corrupt pointer degrades to
+    // the listing-scan path, never to a wrong answer.
+    scala.util.Try(store.writeAtomic(lastCheckpointPath,
+      s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8),
+      overwrite = true)): Unit
   }
+
+  /** `_last_checkpoint` (Delta's pointer file): names the newest
+    * checkpoint so latest-snapshot resolution is one GET + a start-after
+    * TAIL listing instead of two full-history directory scans — at
+    * millions of commits the full listing is thousands of paginated LIST
+    * requests per resolution, the dominant metadata cost. Strictly an
+    * optimization: any defect (missing, stale, corrupt, pointing at a
+    * deleted or torn checkpoint) falls back to the scan path. */
+  private val lastCheckpointPath: Path = logDir.resolve("_last_checkpoint")
+
+  private[log] def lastCheckpoint(): Option[Long] =
+    scala.util.Try {
+      val text = store.read(lastCheckpointPath).mkString
+      """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }.toOption.flatten
 
   /** TRUNCATE HISTORY (DROP FEATURE's boundary sweep): checkpoint the
     * state AT `v`, verify the checkpoint reads back complete, then delete
@@ -296,10 +336,33 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
   /** Replay actions up to and including `version` (None = latest), starting
     * from the newest checkpoint at or below the target when one exists. */
   def snapshot(version: Option[Long] = None): Snapshot = {
-    val versions = listVersions()
-    require(versions.nonEmpty, s"not a graft table (empty log): $tableDir")
-    val upTo = version.getOrElse(versions.last)
-    require(versions.contains(upTo), s"version $upTo does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
+    // Fast path through _last_checkpoint: one pointer GET, one checkpoint
+    // read, one start-after TAIL listing — O(tail) instead of O(history)
+    // metadata requests. Serves the latest snapshot and any target at or
+    // above the pointed checkpoint (the hot cases — planners resolve
+    // HEAD); time travel below the pointer and any pointer defect
+    // (missing, stale, corrupt, torn checkpoint, absent target version)
+    // take the full scan path below, which is also what produces the
+    // loud does-not-exist error for a genuinely missing version.
+    val viaPointer: Option[(Option[(Long, Seq[Action])], Seq[Long], Long)] =
+      lastCheckpoint().filter(cp => version.forall(_ >= cp)).flatMap { cp =>
+        scala.util.Try(readCheckpoint(cp)).toOption.flatMap { as =>
+          val tail = versionsAfter(cp)
+          version match {
+            case Some(t) if t != cp && !tail.contains(t) => None
+            case _ =>
+              Some((Some(cp -> as), tail,
+                version.getOrElse(tail.lastOption.getOrElse(cp))))
+          }
+        }
+      }
+    val (pointerBase, pointerTail, upTo) = viaPointer.getOrElse {
+      val versions = listVersions()
+      require(versions.nonEmpty, s"not a graft table (empty log): $tableDir")
+      val target = version.getOrElse(versions.last)
+      require(versions.contains(target), s"version $target does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
+      (None, versions, target)
+    }
     var meta: Metadata = null
     // pre-protocol tables (no action anywhere in the log) read as (1, 1)
     var proto: Protocol = Protocol(1, 1)
@@ -320,10 +383,11 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     // CheckpointMeta header's action count matches (a prefix cut exactly at
     // a line boundary parses cleanly but is incomplete; header-less
     // checkpoints from older versions are accepted as-is).
-    val base: Option[(Long, Seq[Action])] =
+    val base: Option[(Long, Seq[Action])] = pointerBase.orElse {
       listCheckpoints().filter(_ <= upTo).reverseIterator
         .map(cp => cp -> scala.util.Try(readCheckpoint(cp)))
         .collectFirst { case (cp, scala.util.Success(as)) => (cp, as) }
+    }
     base.foreach { case (_, actions) =>
       actions.foreach {
         case m: Metadata        => meta = m
@@ -335,7 +399,7 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case _                  =>
       }
     }
-    versions.filter(v => v > base.map(_._1).getOrElse(-1L) && v <= upTo).foreach { v =>
+    pointerTail.filter(v => v > base.map(_._1).getOrElse(-1L) && v <= upTo).foreach { v =>
       readVersion(v).foreach {
         case m: Metadata       => meta = m
         case a: AddFile        => live(a.path) = a

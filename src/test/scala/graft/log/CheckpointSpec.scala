@@ -158,6 +158,44 @@ class CheckpointSpec extends SparkSpec {
     t2.read().count() shouldBe before.length + 1
   }
 
+  test("_last_checkpoint pointer: fast-path resolution, defect falls back, below-pointer time travel intact") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-lcp").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema)
+    (1 to 23).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    // the pointer names the newest checkpoint
+    t.log.lastCheckpoint() shouldBe Some(20L)
+    val reference = t.snapshot()
+    // fresh replay resolves through the pointer (same answer)
+    val viaPointer = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaPointer.version shouldBe 23L
+    viaPointer.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaPointer.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    // time travel BELOW the pointer still replays exactly (scan path)
+    t.versionAsOf(5).count() shouldBe 5
+    // a missing target version still errors loudly despite the pointer
+    an[IllegalArgumentException] should be thrownBy t.log.snapshot(Some(99L))
+    // a CORRUPT pointer degrades to the listing scan, never a wrong answer
+    Files.write(t.log.logDir.resolve("_last_checkpoint"), "garbage".getBytes)
+    val viaScan = LakeTable.forPath(spark, t.dir.toString)
+    viaScan.version shouldBe 23L
+    viaScan.snapshot().files.map(_.path).sorted shouldBe
+      reference.files.map(_.path).sorted
+    // a FUTURE-DATED pointer (names a checkpoint that does not exist)
+    // likewise falls back, for both latestVersion and snapshot
+    Files.write(t.log.logDir.resolve("_last_checkpoint"),
+      """{"version":999}""".getBytes)
+    val viaBogus = LakeTable.forPath(spark, t.dir.toString)
+    viaBogus.version shouldBe 23L
+    viaBogus.read().count() shouldBe 23L
+    // a STALE pointer (older checkpoint) is just a longer tail — correct
+    Files.write(t.log.logDir.resolve("_last_checkpoint"),
+      """{"version":10}""".getBytes)
+    val viaStale = LakeTable.forPath(spark, t.dir.toString)
+    viaStale.version shouldBe 23L
+    viaStale.snapshot().commits.map(_.version) shouldBe
+      reference.commits.map(_.version)
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

@@ -70,7 +70,7 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     // checkpoints publish through the seam's overwrite mode
     val log3 = new TxLog(dir, store)
     log3.writeCheckpoint(2L)
-    store.overwrites.get() shouldBe 1
+    store.overwrites.get() shouldBe 2 // the checkpoint + its pointer
     log3.listCheckpoints() shouldBe Seq(2L)
     log3.snapshot().version shouldBe 2L
   }
@@ -256,6 +256,27 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
       .collectFirst { case c: CommitInfo => c.operation })
     ops.size shouldBe 61
     ops.distinct.size shouldBe 61
+  }
+
+  test("listFileNamesAfter returns exactly the strictly-later names on every store") {
+    val stores: Seq[(String, LogStore, java.nio.file.Path)] = Seq(
+      ("local", LocalLogStore, Files.createTempDirectory("lfa-local")),
+      ("mem", new InMemoryLogStore, java.nio.file.Paths.get("/lfa/mem")),
+      ("s3", new S3LogStore(new S3ClientFake),
+        java.nio.file.Paths.get("/lfa/s3")))
+    for ((name, store, dir) <- stores) {
+      val names = Seq("00000000000000000003.json", "00000000000000000010.json",
+        "00000000000000000010.checkpoint.json", "00000000000000000011.json",
+        "_last_checkpoint")
+      names.foreach(n =>
+        store.writeAtomic(dir.resolve(n), "x\n".getBytes("UTF-8"), overwrite = true))
+      withClue(s"store=$name: ") {
+        store.listFileNamesAfter(dir, "00000000000000000010.json").sorted shouldBe
+          Seq("00000000000000000011.json", "_last_checkpoint")
+        store.listFileNamesAfter(dir, "").sorted shouldBe names.sorted
+        store.listFileNamesAfter(dir, "zzz") shouldBe empty
+      }
+    }
   }
 
   test("writeAtomic(overwrite=false) is a true put-if-absent under racing writers") {

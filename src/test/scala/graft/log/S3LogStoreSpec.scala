@@ -35,7 +35,8 @@ class S3LogStoreSpec extends AnyFunSuite with Matchers {
     snap.version shouldBe 12L
     snap.commits.size shouldBe 13
     // keys live under the stripped table prefix, flat in the log dir
-    client.list("bucket/tables/t/_txlog/").size shouldBe 14 // 13 commits + 1 checkpoint
+    client.list("bucket/tables/t/_txlog/").size shouldBe
+      15 // 13 commits + 1 checkpoint + _last_checkpoint pointer
   }
 
   test("each lying conditional-PUT outcome recovers exactly-once") {
