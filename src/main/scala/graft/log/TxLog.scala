@@ -221,21 +221,25 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       }
       .groupBy(_._1).map { case (v, sets) => v -> sets.map(_._2).min }
 
-  /** All files of version `cp`'s checkpoint, parts in order (single-file
-    * preferred when both layouts exist). */
-  private def checkpointFiles(cp: Long): Seq[Path] =
-    if (singleCheckpoints().contains(cp)) Seq(checkpointFile(cp))
-    else completeMultiparts().get(cp) match {
-      case Some(of) => (0 until of).map(p => checkpointPartFile(cp, p, of))
-      case None => throw new IllegalStateException(
-        s"no complete checkpoint at version $cp in $tableDir")
-    }
+  /** The complete part set for `cp`'s multi-part checkpoint, discovered
+    * with a TAIL listing bounded to the checkpoint's own name range — the
+    * fast path stays free of full-history LISTs. */
+  private def multipartFiles(cp: Long): Option[Seq[Path]] = {
+    val stem = f"$cp%020d.checkpoint."
+    val names = store.listFileNamesAfter(logDir, stem).filter(_.startsWith(stem))
+    val complete = names
+      .collect { case PartName(v, p, of) if v.toLong == cp => (p.toInt, of.toInt) }
+      .groupBy(_._2)
+      .collect { case (of, ps) if ps.map(_._1).toSet == (0 until of).toSet => of }
+    complete.toSeq.sorted.headOption
+      .map(of => (0 until of).map(p => checkpointPartFile(cp, p, of)))
+  }
 
   /** Read + validate checkpoint `cp` (all layouts): every line parses and
-    * every count header matches, else throw (callers fall back). */
+    * every count header matches, else throw (callers fall back). The
+    * single-file layout is one GET with no listing at all. */
   private[log] def readCheckpoint(cp: Long): Seq[Action] = {
-    val files = checkpointFiles(cp)
-    files.flatMap { f =>
+    def readAll(files: Seq[Path]): Seq[Action] = files.flatMap { f =>
       val as = store.read(f).filter(_.nonEmpty).map(Actions.fromJson)
       as.headOption match {
         case Some(CheckpointMeta(n)) =>
@@ -245,6 +249,13 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case _ if files.size == 1 => as // header-less legacy single-file
         case _ => throw new IllegalStateException(
           s"checkpoint $cp part ${f.getFileName} has no self-validation header")
+      }
+    }
+    scala.util.Try(readAll(Seq(checkpointFile(cp)))).getOrElse {
+      multipartFiles(cp) match {
+        case Some(fs) => readAll(fs)
+        case None => throw new IllegalStateException(
+          s"no complete checkpoint at version $cp in $tableDir")
       }
     }
   }

@@ -27,8 +27,23 @@ class S3ClientFake extends S3ObjectClient {
   private def hit(): Boolean =
     rnd != null && rnd.synchronized(rnd.nextInt(100)) < pct
 
-  def list(prefix: String): Seq[String] =
+  // request accounting: full-history LISTs vs StartAfter tail LISTs (the
+  // _last_checkpoint fast path's claim is observable here)
+  val fullLists = new java.util.concurrent.atomic.AtomicInteger
+  val tailLists = new java.util.concurrent.atomic.AtomicInteger
+
+  def list(prefix: String): Seq[String] = {
+    fullLists.incrementAndGet(): Unit
     objects.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+  }
+
+  /** Native StartAfter (ListObjectsV2 semantics): keys with the prefix,
+    * strictly after `startAfter`, lexicographic. */
+  override def list(prefix: String, startAfter: String): Seq[String] = {
+    tailLists.incrementAndGet(): Unit
+    objects.keySet().asScala.toSeq
+      .filter(k => k.startsWith(prefix) && k > startAfter).sorted
+  }
 
   def get(key: String): Array[Byte] = {
     if (hit()) throw new RuntimeException(s"S3 500: transient GET failure for $key")

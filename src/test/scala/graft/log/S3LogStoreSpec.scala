@@ -39,6 +39,29 @@ class S3LogStoreSpec extends AnyFunSuite with Matchers {
       15 // 13 commits + 1 checkpoint + _last_checkpoint pointer
   }
 
+  test("pointer-based resolution issues ZERO full-history LISTs, only tail LISTs") {
+    val client = new S3ClientFake
+    val log = new TxLog(dir, new S3LogStore(client))
+    log.commit(v => Seq(meta, ci(v, "CREATE")))
+    (1 to 12).foreach(i => log.commit(v => Seq(ci(v, s"A$i"))))
+    log.writeCheckpoint(10L)
+    // a fresh reader resolving the latest snapshot: the pointer GET + the
+    // checkpoint read + StartAfter tail LISTs — never a full-history LIST.
+    // At millions of commits this is the difference between 2 requests and
+    // thousands of paginated LIST pages per resolution.
+    val reader = new TxLog(dir, new S3LogStore(client))
+    client.fullLists.set(0); client.tailLists.set(0)
+    val snap = reader.snapshot()
+    snap.version shouldBe 12L
+    snap.commits.size shouldBe 13
+    client.fullLists.get() shouldBe 0
+    client.tailLists.get() should be >= 1
+    // latestVersion rides the same tail
+    client.fullLists.set(0)
+    reader.latestVersion() shouldBe Some(12L)
+    client.fullLists.get() shouldBe 0
+  }
+
   test("each lying conditional-PUT outcome recovers exactly-once") {
     val client = new S3ClientFake
     val log = new TxLog(dir, new S3LogStore(client))
