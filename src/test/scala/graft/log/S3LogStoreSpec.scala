@@ -88,9 +88,18 @@ class S3LogStoreSpec extends AnyFunSuite with Matchers {
       new Thread(() => {
         start.await()
         try (1 to 10).foreach { i =>
-          new TxLog(dir, store).commit(v =>
+          val log = new TxLog(dir, store)
+          val v = log.commit(v =>
             Seq(CommitInfo(v, v, s"W$t-$i", Map.empty, Map.empty, v - 1,
-              commitId = s"W$t-$i"))): Unit
+              commitId = s"W$t-$i")))
+          // concurrent checkpointers ride the same chaos: idempotent
+          // overwrite publishes + a best-effort pointer; one writer also
+          // CORRUPTS the pointer mid-contention — resolution must degrade
+          // to the scan path, never misresolve
+          if (v % 7 == 0) scala.util.Try(log.writeCheckpoint(v)): Unit
+          if (t == 1 && i == 5)
+            client.put("bucket/tables/t/_txlog/_last_checkpoint",
+              "NOT JSON".getBytes("UTF-8"))
         } catch { case _: Throwable => errs.incrementAndGet(): Unit }
       })
     }
@@ -112,5 +121,9 @@ class S3LogStoreSpec extends AnyFunSuite with Matchers {
       .collectFirst { case c: CommitInfo => c.operation })
     ops.size shouldBe 61
     ops.distinct.size shouldBe 61
+    // full resolution agrees regardless of what the chaos run left in the
+    // pointer or in racing checkpoints — commits are the source of truth
+    cleanLog.snapshot().version shouldBe 60L
+    cleanLog.snapshot().commits.size shouldBe 61
   }
 }
