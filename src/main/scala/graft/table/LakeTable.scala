@@ -1757,6 +1757,12 @@ class LakeTable private[table] (
   def vacuum(retainHours: Double = -1.0, dryRun: Boolean = false,
       lite: Boolean = false,
       inventory: Option[DataFrame] = None): Seq[String] = {
+    // LITE never lists storage at all (log tombstones only) — an inventory
+    // would be silently ignored; refuse instead of letting the caller
+    // believe it narrowed anything
+    require(!(lite && inventory.isDefined),
+      "VACUUM LITE does not take USING INVENTORY (LITE reads only the " +
+        "transaction log's tombstones; the inventory replaces FULL's listing)")
     // negative = caller did not specify: resolve the default from the
     // table property graft.deletedFileRetentionDuration (Delta's
     // delta.deletedFileRetentionDuration, accepted via prefix

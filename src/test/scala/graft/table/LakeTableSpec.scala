@@ -330,6 +330,10 @@ class LakeTableSpec extends SparkSpec {
         "FROM vac_inv) RETAIN 0 HOURS DRY RUN")
       .collect().map(_.getString(0)).toSet
     viaSql shouldBe full
+    // LITE + inventory refuses (LITE never lists; the inventory replaces
+    // FULL's listing — composing them would silently ignore it)
+    an[IllegalArgumentException] should be thrownBy
+      t.vacuum(retainHours = 0.0, dryRun = true, lite = true, inventory = Some(inv))
     // the real (non-dry) inventory vacuum deletes and the table survives
     t.vacuum(retainHours = 0.0, inventory = Some(inv))
     t.read().count() shouldBe 10

@@ -35,6 +35,9 @@ class LifecycleFuzzSpec extends SparkSpec {
       Seq((0L, 0L, 0)).toDF("id", "v", "n").schema,
       properties = Map(
         "graft.checkpointInterval" -> "3",
+        // small partSize: the ENTIRE randomized lifecycle (replays,
+        // restores, clones, truncates) runs over MULTI-PART checkpoints
+        "graft.checkpoint.partSize" -> "10",
         "graft.enableChangeDataFeed" -> "true",
         "graft.enableRowTracking" -> "true",
         "graft.enableTypeWidening" -> "true",
