@@ -180,6 +180,19 @@ case class DomainMetadata(
   * Never appears in per-version commit files. */
 case class CheckpointMeta(numActions: Long) extends Action
 
+/** V2-checkpoint sidecar reference (Delta's v2Checkpoint sidecar idea):
+  * the manifest checkpoint carries table-level state plus `sidecar` refs,
+  * and the per-file actions (AddFile + DeletionVector) live in
+  * CONTENT-ADDRESSED files under `_txlog/_sidecars/` — a bucket whose
+  * content did not change between checkpoints hashes to the SAME name and
+  * is reused via put-if-absent instead of rewritten, so checkpoint write
+  * amplification is O(churned buckets + commits), not O(live files). At
+  * 100 TB (millions of AddFiles, checkpoint every 10 commits) that is the
+  * difference between rewriting ~500 MB of metadata per cadence and a few
+  * bucket files. `numActions` double-checks the sidecar's own header.
+  * Only ever appears inside checkpoint manifests, never in commits. */
+case class Sidecar(path: String, numActions: Long) extends Action
+
 /** Envelope for one NDJSON line. Exactly one field is set. */
 private[log] case class ActionEnvelope(
     add: AddFile = null,
@@ -190,7 +203,8 @@ private[log] case class ActionEnvelope(
     deletionVector: DeletionVector = null,
     protocol: Protocol = null,
     checkpointMeta: CheckpointMeta = null,
-    domainMetadata: DomainMetadata = null)
+    domainMetadata: DomainMetadata = null,
+    sidecar: Sidecar = null)
 
 object Actions {
   private val mapper: ObjectMapper = {
@@ -214,6 +228,7 @@ object Actions {
     case x: Protocol   => mapper.writeValueAsString(ActionEnvelope(protocol = x))
     case x: CheckpointMeta => mapper.writeValueAsString(ActionEnvelope(checkpointMeta = x))
     case x: DomainMetadata => mapper.writeValueAsString(ActionEnvelope(domainMetadata = x))
+    case x: Sidecar        => mapper.writeValueAsString(ActionEnvelope(sidecar = x))
   }
 
   def fromJson(line: String): Action = {
@@ -237,6 +252,7 @@ object Actions {
     }
     else if (e.checkpointMeta != null) e.checkpointMeta
     else if (e.domainMetadata != null) e.domainMetadata
+    else if (e.sidecar != null) e.sidecar
     else throw new IllegalArgumentException(s"unrecognized action: $line")
   }
 }

@@ -251,12 +251,31 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
           s"checkpoint $cp part ${f.getFileName} has no self-validation header")
       }
     }
-    scala.util.Try(readAll(Seq(checkpointFile(cp)))).getOrElse {
+    val raw = scala.util.Try(readAll(Seq(checkpointFile(cp)))).getOrElse {
       multipartFiles(cp) match {
         case Some(fs) => readAll(fs)
         case None => throw new IllegalStateException(
           s"no complete checkpoint at version $cp in $tableDir")
       }
+    }
+    // v2 manifests carry Sidecar refs: inline each sidecar's actions,
+    // validating its own count header AND the manifest's recorded count —
+    // any defect throws and the caller falls back (older checkpoint, then
+    // full replay), same contract as every other checkpoint defect
+    raw.flatMap {
+      case s: Sidecar =>
+        val lines = store.read(sidecarDir.resolve(s.path))
+          .filter(_.nonEmpty).map(Actions.fromJson)
+        lines.headOption match {
+          case Some(CheckpointMeta(n)) =>
+            require(lines.size - 1 == n && n == s.numActions,
+              s"checkpoint $cp sidecar ${s.path} incomplete: " +
+                s"${lines.size - 1} of $n (manifest says ${s.numActions})")
+            lines.tail
+          case _ => throw new IllegalStateException(
+            s"checkpoint $cp sidecar ${s.path} has no self-validation header")
+        }
+      case a => Seq(a)
     }
   }
 
@@ -279,7 +298,39 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       (CheckpointMeta(as.size.toLong) +: as)
         .map(Actions.toJson).mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8)
-    if (actions.size <= partSize)
+    val v2 = Option(snap.metadata.properties)
+      .exists(_.get("graft.checkpoint.v2").contains("true"))
+    if (v2) {
+      // V2 INCREMENTAL layout: per-file actions live in content-addressed
+      // sidecar buckets; unchanged buckets hash to the same name and the
+      // put-if-absent write no-ops — checkpoint write amplification is
+      // O(churned buckets + commits), not O(live files). Bucket membership
+      // is hash(path) % B with a FIXED per-table B (stable buckets are
+      // what make reuse possible; size B to the table via the property).
+      val buckets = Option(snap.metadata.properties)
+        .flatMap(_.get("graft.checkpoint.v2.buckets"))
+        .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+        .getOrElse(64)
+      def bucketOf(path: String): Int =
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(path), buckets)
+      // a DV rides in its data file's bucket, ordered right after it
+      val fileActs: Seq[(Int, String, Action)] =
+        snap.files.map(f => (bucketOf(f.path), f.path + "#a", f: Action)) ++
+          snap.dvs.values.map(d => (bucketOf(d.forFile), d.forFile + "#d", d: Action))
+      val refs = fileActs.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, as) =>
+        val acts = as.sortBy(_._2).map(_._3)
+        val bytes = body(acts)
+        val name = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString + ".json"
+        store.writeAtomic(sidecarDir.resolve(name), bytes, overwrite = false): Unit
+        Sidecar(name, acts.size.toLong)
+      }
+      val manifest: Seq[Action] =
+        Seq(snap.protocol, snap.metadata) ++
+          snap.domains.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadata(d, c) } ++
+          snap.commits ++ refs
+      store.writeAtomic(checkpointFile(v), body(manifest), overwrite = true): Unit
+    } else if (actions.size <= partSize)
       store.writeAtomic(checkpointFile(v), body(actions), overwrite = true): Unit
     else {
       val parts = actions.grouped(partSize).toSeq
@@ -295,6 +346,8 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8),
       overwrite = true)): Unit
   }
+
+  private val sidecarDir: Path = logDir.resolve("_sidecars")
 
   /** `_last_checkpoint` (Delta's pointer file): names the newest
     * checkpoint so latest-snapshot resolution is one GET + a start-after
@@ -341,6 +394,19 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case _ => false
       }
       if (below) store.delete(logDir.resolve(n)): Unit
+    }
+    // v2 sidecar sweep: keep exactly the sidecars some SURVIVING checkpoint
+    // manifest still references (content-addressing shares sidecars across
+    // checkpoints, so deletion must be reference-driven, not age-driven)
+    val sidecars = store.listFileNames(sidecarDir)
+    if (sidecars.nonEmpty) {
+      val referenced = listCheckpoints().filter(_ >= v).flatMap { cp =>
+        scala.util.Try(store.read(checkpointFile(cp)).filter(_.nonEmpty)
+          .map(Actions.fromJson).collect { case s: Sidecar => s.path })
+          .getOrElse(Nil)
+      }.toSet
+      sidecars.filterNot(referenced)
+        .foreach(n => store.delete(sidecarDir.resolve(n)): Unit)
     }
   }
 

@@ -196,6 +196,86 @@ class CheckpointSpec extends SparkSpec {
       reference.commits.map(_.version)
   }
 
+  test("v2 checkpoints: content-addressed sidecars, reuse across checkpoints, defect fallback") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("ckpt-v2").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpointInterval" -> "5",
+        "graft.checkpoint.v2" -> "true",
+        "graft.checkpoint.v2.buckets" -> "4"))
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.log.listCheckpoints() shouldBe Seq(5L, 10L)
+    val scDir = t.log.logDir.resolve("_sidecars")
+    def sidecarsOnDisk(): Set[String] = {
+      val s = Files.list(scDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet finally s.close()
+    }
+    def refsOf(cp: Long): Seq[String] =
+      Files.readAllLines(t.log.logDir.resolve(f"$cp%020d.checkpoint.json")).asScala
+        .filter(_.nonEmpty).map(Actions.fromJson)
+        .collect { case s: Sidecar => s.path }.toSeq
+    // the manifest references content-addressed sidecars that exist on disk
+    val refs10 = refsOf(10L)
+    refs10 should not be empty
+    refs10.foreach(_ should fullyMatch regex raw"[0-9a-f]{32}\.json")
+    refs10.toSet.subsetOf(sidecarsOnDisk()) shouldBe true
+    // REUSE: one more append churns exactly one bucket — a re-checkpoint
+    // shares every other bucket's sidecar with the previous checkpoint
+    t.log.writeCheckpoint(12L)
+    val refs12 = refsOf(12L)
+    refs12.toSet.intersect(refs10.toSet).size should be >= refs10.size - 1
+    // and a BYTE-IDENTICAL state re-checkpoints with zero new sidecars
+    val before = sidecarsOnDisk()
+    t.log.writeCheckpoint(12L)
+    sidecarsOnDisk() shouldBe before
+    // fresh replay resolves through the v2 manifest exactly
+    val reference = t.snapshot()
+    val viaV2 = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaV2.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaV2.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    viaV2.metadata shouldBe reference.metadata
+    // a corrupt sidecar invalidates the checkpoint; resolution falls back
+    // (older checkpoint / full replay), never a half-applied base
+    refs12.foreach(n => Files.write(scDir.resolve(n), "garbage".getBytes))
+    val viaFallback = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaFallback.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaFallback.version shouldBe reference.version
+  }
+
+  test("TRUNCATE HISTORY over v2 checkpoints keeps referenced sidecars, sweeps orphans") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("ckpt-v2-tr").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpoint.v2" -> "true",
+        "graft.checkpoint.v2.buckets" -> "4",
+        "graft.enableDeletionVectors" -> "true"))
+    (1 to 8).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    t.delete(col("k") === 3L) // a DV rides in its file's bucket
+    t.setProperties(Map("graft.enableDeletionVectors" -> "false"))
+    t.reorgPurge()
+    val before = t.read().orderBy("k").as[(Long, String)].collect()
+    t.dropFeature("deletionVectors", truncateHistory = true)
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    t2.read().orderBy("k").as[(Long, String)].collect() shouldBe before
+    // on-disk sidecars == exactly the surviving manifest's references
+    val scDir = t2.log.logDir.resolve("_sidecars")
+    val onDisk = {
+      val s = Files.list(scDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet finally s.close()
+    }
+    val boundary = t2.log.listCheckpoints().max
+    val referenced =
+      Files.readAllLines(t2.log.logDir.resolve(f"$boundary%020d.checkpoint.json"))
+        .asScala.filter(_.nonEmpty).map(Actions.fromJson)
+        .collect { case s: Sidecar => s.path }.toSet
+    onDisk shouldBe referenced
+    // the table keeps working past the boundary
+    t2.append(Seq((99L, "z")).toDF("k", "v"))
+    t2.read().count() shouldBe before.length + 1
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

@@ -35,9 +35,13 @@ class LifecycleFuzzSpec extends SparkSpec {
       Seq((0L, 0L, 0)).toDF("id", "v", "n").schema,
       properties = Map(
         "graft.checkpointInterval" -> "3",
-        // small partSize: the ENTIRE randomized lifecycle (replays,
-        // restores, clones, truncates) runs over MULTI-PART checkpoints
+        // the ENTIRE randomized lifecycle (replays, restores, clones,
+        // truncates) runs over a non-default checkpoint layout — MULTI-PART
+        // in rewrite mode, V2 content-addressed sidecars in DV mode (DVs
+        // ride their file's bucket, so the DV mode exercises that too)
         "graft.checkpoint.partSize" -> "10",
+        "graft.checkpoint.v2" -> dv.toString,
+        "graft.checkpoint.v2.buckets" -> "4",
         "graft.enableChangeDataFeed" -> "true",
         "graft.enableRowTracking" -> "true",
         "graft.enableTypeWidening" -> "true",
