@@ -86,6 +86,7 @@ object SparkEntry {
     "q98_hard_negatives_trained" -> (DataOps.hardNegativesTrained _),
     "q99_margin_mining_trained" -> (DataOps.marginMiningTrained _),
     "q100_dsir_selection" -> (DataOps.dsirSelection _),
+    "q101_dsir_resample" -> (DataOps.dsirResampling _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

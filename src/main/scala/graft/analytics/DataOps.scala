@@ -482,6 +482,18 @@ object DataOps {
       docs.filter(col("source").isin("src0", "src1")), budget = 100)
   }
 
+  /** DSIR Gumbel-top-k resampling gate (q101): the paper's actual sampler
+    * — budget docs drawn ∝ exp(score/T) without replacement via seeded
+    * Gumbel noise (a pure md5 function of the key), T = 0.5. The oracle
+    * replays scores, the 32-bit uniform, the Gumbel transform, and the
+    * ranking exactly. */
+  def dsirResampling(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.sampling.Sampling.dsirResample(docs,
+      docs.filter(col("source").isin("src0", "src1")),
+      budget = 100, temperature = 0.5)
+  }
+
   /** Incremental-dedup gate: a re-crawl batch (even doc ids) probes the
     * fingerprint index of the already-ingested corpus (doc_id % 10 < 6);
     * survivors are exactly the batch docs whose text the corpus lacks,
@@ -1249,6 +1261,41 @@ object DataOps {
          rk AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
              (ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
          SELECT doc_id, score, rank FROM rk WHERE rank <= 100""",
+    // q100's score machinery + the Gumbel-max trick: u from 32 md5 bits,
+    // key = score/T - ln(-ln(u)), deterministic seeded "randomness"
+    "q101_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest($toks) AS tok FROM documents),
+         b AS (SELECT doc_id, source,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+           FROM t),
+         spine AS (SELECT unnest(range(0, 256)) AS bucket),
+         p AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+         q AS (SELECT bucket, count(*) AS c FROM b
+           WHERE source IN ('src0', 'src1') GROUP BY bucket),
+         tot AS (SELECT (SELECT count(*) FROM b) AS pt,
+             (SELECT count(*) FROM b WHERE source IN ('src0', 'src1')) AS qt),
+         r AS (SELECT s.bucket,
+             CAST(FLOOR((ln((COALESCE(q.c, 0) + 1) / (tot.qt + 256.0)) -
+                         ln((COALESCE(p.c, 0) + 1) / (tot.pt + 256.0)))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM spine s CROSS JOIN tot
+           LEFT JOIN p ON p.bucket = s.bucket
+           LEFT JOIN q ON q.bucket = s.bucket),
+         sc AS (SELECT d.doc_id,
+             ROUND(COALESCE(SUM(r.micro), 0) / 1000000.0, 6) AS score
+           FROM documents d
+           LEFT JOIN b ON b.doc_id = d.doc_id
+           LEFT JOIN r ON r.bucket = b.bucket
+           GROUP BY d.doc_id),
+         g AS (SELECT doc_id, score,
+             ROUND(score / 0.5 - ln(-ln(
+               ((('0x' || substr(md5(doc_id || ':graft-dsir'), 1, 8))::BIGINT) + 0.5)
+                 / 4294967296.0)), 6) AS gumbel_key
+           FROM sc),
+         rk AS (SELECT doc_id, score, gumbel_key, CAST(ROW_NUMBER() OVER
+             (ORDER BY gumbel_key DESC, doc_id) AS INT) AS rank FROM g)
+         SELECT doc_id, score, gumbel_key, rank FROM rk WHERE rank <= 100""",
     // algorithmic oracle: sampled codebook (lowest-16 ids), L2 assignment
     // with lowest-index tie-break, nprobe=4 probing, label-disjoint
     // in-cell top-k — q39's assignment CTEs composed with q91's contract

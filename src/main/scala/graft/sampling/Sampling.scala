@@ -295,6 +295,50 @@ object Sampling {
       budget: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val top = dsirScored(corpus, target, textCol)
+      .orderBy(col("score").desc, col(idCol)).limit(budget)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
+  /** DSIR's actual sampler — GUMBEL-TOP-K resampling: keep `budget` docs
+    * sampled ∝ exp(score/temperature) WITHOUT replacement via the
+    * Gumbel-max trick (rank by score/T + Gumbel(0,1) noise). The noise is
+    * a pure function of md5(key:salt), so the "random" sample is
+    * deterministic, engine-portable, and reproducible for the lifetime of
+    * a model line — the same property as the split/sample family, and
+    * what lets an external engine replay the draw exactly. T → 0 recovers
+    * [[dsirSelect]]'s deterministic top-k; large T approaches uniform.
+    * Same narrow-projection scoring, same distributed top-k selection. */
+  def dsirResample(
+      corpus: DataFrame,
+      target: DataFrame,
+      budget: Int,
+      temperature: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "graft-dsir"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    // u in (0,1) from 32 key-derived md5 bits (the +0.5 keeps both
+    // endpoints out, so -ln(-ln(u)) is always finite)
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val key = round(col("score") / temperature - log(-log(u)), 6)
+    val top = dsirScored(corpus, target, textCol)
+      .withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol)).limit(budget)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("gumbel_key").desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("score"), col("gumbel_key"), col("rank"))
+  }
+
+  /** Shared DSIR scorer: `corpus` + an exact 6-dp `score` column (see
+    * [[dsirSelect]]'s scaladoc for the micro-unit construction). */
+  private def dsirScored(
+      corpus: DataFrame, target: DataFrame, textCol: String): DataFrame = {
     val buckets = 256
     def bucketOf(t: Column): Column =
       conv(substring(md5(t), 1, 2), 16, 10).cast("int")
@@ -317,11 +361,6 @@ object Sampling {
       transform(graft.text.TextAnalysis.tokens(col(textCol)),
         t => element_at(ratioArr, bucketOf(t) + 1)),
       lit(0L), (acc, x) => acc + x)
-    val top = corpus
-      .withColumn("score", round(scoreMicro.cast("double") / 1e6, 6))
-      .orderBy(col("score").desc, col(idCol)).limit(budget)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
-      .select(col(idCol), col("score"), col("rank"))
+    corpus.withColumn("score", round(scoreMicro.cast("double") / 1e6, 6))
   }
 }

@@ -300,6 +300,36 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().sortBy(_._3) shouldBe out.sortBy(_._3)
   }
 
+  test("dsirResample: Gumbel-top-k is deterministic; tiny temperature recovers top-k") {
+    val target = (0 until 30).map(i => (1000L + i, "alpha beta gamma delta", "tgt"))
+      .toDF("doc_id", "text", "source")
+    val corpus = ((0 until 10).map(i => (i.toLong, "alpha beta gamma", "w")) ++
+      (10 until 40).map(i => (i.toLong, s"zeta$i eta$i theta$i", "w")))
+      .toDF("doc_id", "text", "source")
+    // deterministic: two runs return the identical draw
+    val a = Sampling.dsirResample(corpus, target, budget = 15, temperature = 1.0)
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._4)
+    val b = Sampling.dsirResample(corpus, target, budget = 15, temperature = 1.0)
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._4)
+    a shouldBe b
+    a.length shouldBe 15
+    a.map(_._4) shouldBe (1 to 15).toArray
+    // T -> 0: the score term dominates the bounded Gumbel noise, so the
+    // SELECTED SET equals the deterministic top-k's (order inside equal-
+    // score groups is the noise's to pick)
+    val tiny = Sampling.dsirResample(corpus, target, budget = 10, temperature = 1e-6)
+      .select("doc_id").as[Long].collect().toSet
+    val topk = Sampling.dsirSelect(corpus, target, budget = 10)
+      .select("doc_id").as[Long].collect().toSet
+    tiny shouldBe topk
+    // larger T admits noise-lucky docs the pure top-k would exclude — the
+    // draw must still be a valid sample (all from the corpus, dense ranks)
+    val warm = Sampling.dsirResample(corpus, target, budget = 15, temperature = 5.0)
+      .as[(Long, Double, Double, Int)].collect()
+    warm.map(_._1).toSet.subsetOf((0L until 40L).toSet) shouldBe true
+    warm.map(_._4).sorted shouldBe (1 to 15).toArray
+  }
+
   test("trained-codebook pruned tier holds a recall bound against the exact tier") {
     // clustered data where a trained codebook is data-adaptive: 4 Gaussian
     // clusters in 8 dims, deterministic seed. The pruned tier routed

@@ -359,9 +359,15 @@ class LifecycleFuzzSpec extends SparkSpec {
       val dir = tmpDir(s"concfuzz-$storeName").resolve("t").toString
       // row tracking ON: contended CAS retries must re-assign id ranges
       // against the fresh snapshot — overlapping allocations from racing
-      // writers would surface as duplicate row ids below
+      // writers would surface as duplicate row ids below. V2 checkpoints
+      // ON: racing checkpointers of the same state write content-addressed
+      // sidecars whose put-if-absent publishes dedup by construction
       val t0 = LakeTable.create(spark, dir, Seq((0L, 0L)).toDF("id", "v").schema,
-        properties = Map("graft.enableRowTracking" -> "true"))
+        properties = Map(
+          "graft.enableRowTracking" -> "true",
+          "graft.checkpointInterval" -> "5",
+          "graft.checkpoint.v2" -> "true",
+          "graft.checkpoint.v2.buckets" -> "4"))
       t0.append((0L until 90L).map(i => (i, 0L)).toDF("id", "v")) // v1 seed
       val ledger = new java.util.concurrent.ConcurrentHashMap[Long, Eff]()
       ledger.put(1L, Add((0L until 90L).map(i => i -> 0L).toMap))
