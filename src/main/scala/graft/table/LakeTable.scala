@@ -1815,7 +1815,7 @@ class LakeTable private[table] (
             else if (Files.exists(path)) Seq(p)
             else Nil
           }
-      else {
+      else inventory match {
         // USING INVENTORY (Delta 3.3): the caller supplies the file listing
         // (an S3 Inventory report, a storage-team manifest) instead of this
         // engine walking the tree — at 100 TB the recursive listing of
@@ -1826,36 +1826,72 @@ class LakeTable private[table] (
         // `modificationTime` (epoch millis). Rows outside the table's
         // data/cdf/dv subtrees are ignored — feeding one bucket-wide
         // inventory to every table's vacuum is the intended usage.
-        val physical: Seq[(String, Option[Long])] = inventory match {
-          case Some(inv) =>
-            val hasMtime = inv.columns.contains("modificationTime")
-            val cols =
-              if (hasMtime) inv.select("path", "modificationTime")
-              else inv.select("path")
-            cols.collect().toSeq.map { r =>
-              val p = absPathStr(r.getString(0))
-              p -> (if (hasMtime && !r.isNullAt(1)) Some(r.getLong(1)) else None)
-            }.filter { case (p, _) =>
-              Seq("data", "cdf", "dv").exists(sub =>
-                p.startsWith(dir.resolve(sub).toString + "/"))
-            }
-          case None =>
+        //
+        // Classification runs DISTRIBUTED: a bucket-wide inventory has
+        // millions of rows and must never be collected to the driver —
+        // the O(#files)/O(log) classification sets ride to executors in
+        // the task closure and only the DOOMED list (bounded by actual
+        // deletions) comes back.
+        case Some(inv) =>
+          val hasMtime = inv.columns.contains("modificationTime")
+          val dirStr = dir.toString
+          val subtrees = Seq("data", "cdf", "dv").map(s => dirStr + "/" + s + "/")
+          val (liveC, liveDvC, tombC, refC, refDvC, horizonC) =
+            (live, liveDv, tombstoned, referenced, referencedDv, horizon)
+          val doomedUdf = org.apache.spark.sql.functions.udf {
+            (rawPath: String, mtime: java.lang.Long) =>
+              if (rawPath == null) false
+              else {
+                val p = if (rawPath.startsWith("/")) rawPath else dirStr + "/" + rawPath
+                def under(prefixes: Set[String]): Boolean =
+                  prefixes.exists(pre => p == pre || p.startsWith(pre + "/"))
+                subtrees.exists(p.startsWith) &&
+                  !liveC.contains(p) && !under(liveDvC) && (
+                    tombC.contains(p) || under(tombC) ||
+                    (!refC.contains(p) && !under(refDvC) &&
+                      // a stale inventory row whose file is already gone
+                      // stats as MaxValue — never doomed
+                      Option(mtime).map(_.toLong).getOrElse(scala.util.Try(
+                        Files.getLastModifiedTime(Paths.get(p)).toMillis)
+                        .getOrElse(Long.MaxValue)) < horizonC))
+              }
+          }
+          val mtimeCol =
+            if (hasMtime) col("modificationTime").cast("long")
+            else lit(null).cast("long")
+          val doomedDf = inv
+            .filter(doomedUdf(col("path"), mtimeCol))
+            .select(col("path")).persist()
+          try {
+            if (!dryRun)
+              // deletion is distributed too — millions of doomed objects
+              // must not serialize through one driver loop
+              doomedDf.foreachPartition { rows: Iterator[Row] =>
+                rows.foreach { r =>
+                  val raw = r.getString(0)
+                  val p = if (raw.startsWith("/")) raw else dirStr + "/" + raw
+                  Files.deleteIfExists(Paths.get(p)): Unit
+                }
+              }
+            doomedDf.collect().map { r =>
+              val raw = r.getString(0)
+              if (raw.startsWith("/")) raw else dirStr + "/" + raw
+            }.toSeq
+          } finally { doomedDf.unpersist(): Unit }
+        case None =>
+          val physical =
             (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
-              listParquet(dir.resolve("dv"))).map(p => p.toString -> None)
-        }
-        physical.collect { case (p, mtime)
-          if !live.contains(p) && !underAny(p, liveDv) && (
-            tombstoned.contains(p) || underAny(p, tombstoned) ||
-            (!referenced.contains(p) && !underAny(p, referencedDv) &&
-              // a stale inventory row whose file is already gone stats as
-              // MaxValue — never doomed, deleteIfExists would no-op anyway
-              mtime.getOrElse(scala.util.Try(
-                Files.getLastModifiedTime(Paths.get(p)).toMillis)
-                .getOrElse(Long.MaxValue)) < horizon)) => p
-        }
+              listParquet(dir.resolve("dv"))).map(_.toString)
+          physical.filter { p =>
+            !live.contains(p) && !underAny(p, liveDv) && (
+              tombstoned.contains(p) || underAny(p, tombstoned) ||
+              (!referenced.contains(p) && !underAny(p, referencedDv) &&
+                Files.getLastModifiedTime(Paths.get(p)).toMillis < horizon))
+          }
       }
     if (!dryRun) {
-      doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // the inventory path already deleted distributed, inside its job
+      if (inventory.isEmpty) doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
       commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
         "mode" -> (if (lite) "LITE" else "FULL"),
         "usingInventory" -> inventory.isDefined.toString,
