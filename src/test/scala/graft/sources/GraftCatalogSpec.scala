@@ -93,6 +93,25 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DESCRIBE HISTORY gcat.meta.hist LIMIT 1 AS JSON").count() shouldBe 1
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE EXTENDED work through the V2 catalog") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.props")
+    spark.sql("""CREATE TABLE gcat.props.t (id BIGINT) USING graft
+      TBLPROPERTIES ('owner.team' = 'curation', 'delta.enableTypeWidening' = 'true')""")
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.props.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("owner.team") shouldBe Some("curation")
+    // delta.-prefixed spellings normalize to the graft namespace at set time
+    props.get("graft.enableTypeWidening") shouldBe Some("true")
+    // single-property form
+    spark.sql("SHOW TBLPROPERTIES gcat.props.t ('owner.team')")
+      .collect().head.getString(1) shouldBe "curation"
+    // DESCRIBE EXTENDED resolves through the catalog (schema + metadata)
+    val desc = spark.sql("DESCRIBE EXTENDED gcat.props.t").collect()
+      .map(_.getString(0))
+    desc should contain("id")
+  }
+
   test("history operation names and parameter maps match Delta's documented vocabulary") {
     // External tooling (lineage scrapers, audit dashboards) keys off
     // Delta's operation strings and parameter names — pin the op sequence
