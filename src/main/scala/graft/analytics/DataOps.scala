@@ -578,6 +578,13 @@ object DataOps {
     TextAnalysis.perplexity(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail tiering gate (q102): per-language perplexity
+    * thirds over the exact integer NLL ratio — the oracle replays the LM,
+    * the IEEE-division rank key, and the NTILE cut verbatim. */
+  def perplexityTiering(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.perplexityTiers(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
   /** Sign-bit IVF with hamming-1 multi-probe. The quantizer is a pure
     * function of the vector, so the oracle replicates the APPROXIMATION
     * itself (cell assignment, probing, in-cell top-k) — the driver gates
@@ -846,6 +853,33 @@ object DataOps {
          SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
            COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    "q102_perplexity_tiers" -> {
+      val bg = bigramsSql("[tk[i], tk[i+1]]", "VARCHAR[][]")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         tb AS (SELECT doc_id, $bg AS bg FROM t),
+         px AS (SELECT doc_id, p[1] AS head, p[2] AS nxt FROM (
+           SELECT doc_id, unnest(bg) AS p FROM tb)),
+         dp AS (SELECT doc_id, head, nxt, CAST(count(*) AS BIGINT) AS m FROM px GROUP BY 1,2,3),
+         pc AS (SELECT head, nxt, CAST(sum(m) AS BIGINT) AS c FROM dp GROUP BY 1,2),
+         ht AS (SELECT head, CAST(sum(c) AS BIGINT) AS total FROM pc GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(tk) AS w FROM t)),
+         sc AS (SELECT dp.doc_id, dp.m,
+             CAST(round(ln(CAST(pc.c + 1 AS DOUBLE) / CAST(ht.total + vv.V AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lp
+           FROM dp JOIN pc USING (head, nxt) JOIN ht USING (head) CROSS JOIN vv),
+         pd AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             CAST(sum(m * lp) AS BIGINT) AS slp FROM sc GROUP BY 1),
+         k AS (SELECT d.doc_id, d.lang,
+             COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+             CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 1e308
+                  ELSE CAST(-pd.slp AS DOUBLE) / pd.n_bigrams END AS key
+           FROM documents d LEFT JOIN pd USING (doc_id)),
+         n AS (SELECT doc_id, lang, n_bigrams, ROUND(key, 6) AS ppl_key,
+             CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY key, doc_id) AS INT) AS tier_idx
+           FROM k)
+         SELECT doc_id, lang, n_bigrams, ppl_key, tier_idx,
+           CASE tier_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         FROM n"""
+    },
     "q64_perplexity" -> {
       val bg = bigramsSql("[tk[i], tk[i+1]]", "VARCHAR[][]")
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

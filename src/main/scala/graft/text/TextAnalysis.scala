@@ -341,6 +341,39 @@ object TextAnalysis {
             4)).as("perplexity"))
   }
 
+  /** CCNet perplexity tiering (Wenzek et al. 2020 — the CCNet pipeline's
+    * head/middle/tail split): per LANGUAGE, documents rank by LM
+    * perplexity and cut into thirds — "head" is the cleanest slice a
+    * pretraining mix keeps wholesale, "tail" is dropped or aggressively
+    * filtered. The rank key is nll_scaled / n_bigrams in DOUBLE: both
+    * operands are exact integers (see [[perplexity]]) and IEEE division
+    * is correctly rounded, so the total order is engine-portable with no
+    * epsilon games — exp() never enters the ordering. Bigram-less docs
+    * key at 1e308 (deterministic tail placement on any engine; NULL
+    * ordering defaults differ across engines, a literal does not).
+    *
+    * Plan shape: the LM statistics reuse [[perplexity]]'s partial-agged
+    * shuffles; the tier assignment is ONE window over the per-language
+    * exchange (ntile), no global sort. */
+  def perplexityTiers(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val px = perplexity(docs, idCol, textCol)
+    val key = when(col("n_bigrams") === 0, lit(1e308))
+      .otherwise(col("nll_scaled").cast("double") / col("n_bigrams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), col(langCol)).join(px, Seq(idCol))
+      .withColumn("__key", key)
+      .withColumn("tier_idx", ntile(3).over(w).cast("int"))
+      .withColumn("tier",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("tier_idx")))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        round(col("__key"), 6).as("ppl_key"), col("tier_idx"), col("tier"))
+  }
+
   /** Fixed-width character chunking with overlap — the document→context
     * splitting step of a training/RAG pipeline. Each document yields
     * `max(1, ceil((len − overlap) / stride))` chunks (stride = chunkChars −

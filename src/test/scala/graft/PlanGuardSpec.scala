@@ -30,6 +30,8 @@ class PlanGuardSpec extends SparkSpec {
     "q58_pq_adc" -> "broadcast sub-codebook crossJoin, O(rows)",
     // vocabulary size joins in as a broadcast single-row aggregate
     "q64_perplexity" -> "1-row broadcast vocab crossJoin, O(rows)",
+    // same LM machinery as q64 (the vocab-size single row), tier window on top
+    "q102_perplexity_tiers" -> "1-row broadcast vocab crossJoin, O(rows)",
     // hard negatives: q25's broadcast query-side shape with the label
     // disjointness fused into the join predicate (non-equi by nature)
     "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)")

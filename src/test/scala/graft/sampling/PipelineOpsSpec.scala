@@ -300,6 +300,33 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().sortBy(_._3) shouldBe out.sortBy(_._3)
   }
 
+  test("perplexityTiers: per-language head/middle/tail thirds by LM perplexity") {
+    val docs = (
+      (0 until 3).map(i => (i.toLong, "the cat sat the cat sat the cat sat", "A")) ++
+        (3 until 6).map(i => (i.toLong, s"the cat sat on mat$i", "A")) ++
+        (6 until 9).map(i => (i.toLong, s"zx$i qw$i er$i ty$i", "A")) ++
+        (9 until 12).map(i => (i.toLong, "le chat dort le chat dort", "B")) ++
+        (12 until 15).map(i => (i.toLong, s"ab$i cd$i ef$i gh$i", "B"))
+      ).toDF("doc_id", "text", "lang")
+    val out = graft.text.TextAnalysis.perplexityTiers(docs)
+      .select("doc_id", "lang", "tier").as[(Long, String, String)].collect()
+    out.length shouldBe 15
+    val byLang = out.groupBy(_._2)
+    // A: 9 docs -> 3/3/3; repeated-common-bigram docs are the head,
+    // all-unique-bigram docs the tail
+    val a = byLang("A")
+    a.count(_._3 == "head") shouldBe 3
+    a.count(_._3 == "middle") shouldBe 3
+    a.count(_._3 == "tail") shouldBe 3
+    a.filter(_._3 == "head").map(_._1).toSet shouldBe Set(0L, 1L, 2L)
+    a.filter(_._3 == "tail").map(_._1).toSet shouldBe Set(6L, 7L, 8L)
+    // B: 6 docs -> 2/2/2; the clean docs fill the head, noisy fill the tail
+    val bLang = byLang("B")
+    bLang.count(_._3 == "head") shouldBe 2
+    bLang.filter(_._3 == "head").map(_._1).forall(_ < 12L) shouldBe true
+    bLang.filter(_._3 == "tail").map(_._1).forall(_ >= 12L) shouldBe true
+  }
+
   test("dsirResample: Gumbel-top-k is deterministic; tiny temperature recovers top-k") {
     val target = (0 until 30).map(i => (1000L + i, "alpha beta gamma delta", "tgt"))
       .toDF("doc_id", "text", "source")
