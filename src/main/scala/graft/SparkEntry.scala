@@ -88,6 +88,7 @@ object SparkEntry {
     "q100_dsir_selection" -> (DataOps.dsirSelection _),
     "q101_dsir_resample" -> (DataOps.dsirResampling _),
     "q102_perplexity_tiers" -> (DataOps.perplexityTiering _),
+    "q103_bm25_topk" -> (DataOps.bm25Retrieval _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

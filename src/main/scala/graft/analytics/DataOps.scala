@@ -578,6 +578,17 @@ object DataOps {
     TextAnalysis.perplexity(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** BM25 lexical-retrieval gate (q103): every 50th doc queries the rest
+    * of the corpus, Okapi BM25 with k1=1.2/b=0.75, top-5 per query — the
+    * oracle replays the inverted index, the micro-unit partial scores,
+    * and the exact integer sums. */
+  def bm25Retrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.bm25TopK(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 5)
+  }
+
   /** CCNet head/middle/tail tiering gate (q102): per-language perplexity
     * thirds over the exact integer NLL ratio — the oracle replays the LM,
     * the IEEE-division rank key, and the NTILE cut verbatim. */
@@ -853,6 +864,35 @@ object DataOps {
          SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
            COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    // inverted index + Okapi BM25 with micro-unit partial scores (the
+    // FLOOR(x*1e6 + 0.5) = JVM Math.round discipline), exact integer sums;
+    // (1.2 + 1) is written as the SUM so both engines fold it in IEEE
+    // doubles identically
+    "q103_bm25_topk" ->
+      s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
+         qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
+           FROM documents WHERE doc_id % 50 = 0),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM c) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(tk)) AS BIGINT) AS total FROM c),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         qe AS (SELECT query_id, unnest(qt) AS term FROM qdocs),
+         ms AS (SELECT qe.query_id, dt.doc_id,
+             CAST(FLOOR(
+               ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+               ((dt.tf * (1.2 + 1)) /
+                (dt.tf + 1.2 * (0.25 + 0.75 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM qe JOIN dt USING (term) JOIN dfr USING (term)
+           JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id,
+             ROUND(SUM(micro) / 1000000.0, 6) AS score FROM ms GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5""",
     "q102_perplexity_tiers" -> {
       val bg = bigramsSql("[tk[i], tk[i+1]]", "VARCHAR[][]")
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -374,6 +374,60 @@ object TextAnalysis {
         round(col("__key"), 6).as("ppl_key"), col("tier_idx"), col("tier"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson–Spärck Jones; the sparse
+    * counterpart of the embedding-ANN family, and the classic source of
+    * LEXICAL hard negatives for retrieval training — BM25-mined negatives
+    * are the standard DPR/ColBERT recipe). Okapi BM25 with the usual
+    * k1/b defaults; per-(query, doc, term) partial scores round to
+    * integer MICRO-units before the per-doc sum, so the aggregation is
+    * exact and engine-portable regardless of float fold order (the same
+    * discipline as the DSIR scorer).
+    *
+    * Plan shape at scale: postings = one (doc, term) partial-agged
+    * shuffle (the inverted index — inherent); document frequencies are a
+    * bounded term-level aggregate; the query side is DISTINCT terms and
+    * broadcasts; candidates = postings ⋈ broadcast(query terms) — an
+    * EQUI-join, so only matching postings flow into the per-(query, doc)
+    * sum; top-k is a window over each query's candidate set only. The
+    * corpus-level (N, total length) pair is a 1-row aggregate collected
+    * to the driver and folded into the score expression as literals. */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dt = corpus
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = corpus.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("len"))
+    val (n, total) = {
+      val r = dl.agg(count(lit(1)), sum("len")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val avg = total.toDouble / n // IEEE division: identical in any engine
+    val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val qe = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val tfn = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avg))
+    val micro = floor(idf * tfn * 1e6 + 0.5).cast("long")
+    val sc = dt.join(dfT, "term").join(broadcast(qe), "term")
+      .join(dl, "doc_id")
+      .withColumn("micro", micro)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("micro") / 1e6, 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    sc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
   /** Fixed-width character chunking with overlap — the document→context
     * splitting step of a training/RAG pipeline. Each document yields
     * `max(1, ceil((len − overlap) / stride))` chunks (stride = chunkChars −

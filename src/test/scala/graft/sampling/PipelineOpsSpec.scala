@@ -300,6 +300,31 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().sortBy(_._3) shouldBe out.sortBy(_._3)
   }
 
+  test("bm25TopK: rare-term matches outrank common-term matches; tf saturates") {
+    // 'apple' appears in most docs (low idf), 'cherry' in exactly one
+    // (high idf): for the query "apple cherry" the cherry doc must win
+    // even though other docs repeat apple many times (k1 saturation)
+    val corpus = (
+      Seq((1L, "apple banana"), (2L, "apple apple apple apple apple"),
+        (3L, "cherry banana"), (4L, "apple pear"), (5L, "apple plum")) ++
+        (6 until 20).map(i => (i.toLong, s"apple filler$i"))
+      ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.bm25TopK(corpus, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    out.length shouldBe 3
+    out.head._1 shouldBe 100L
+    out.head._2 shouldBe 3L // the cherry doc
+    // repeated 'apple' saturates: doc 2 cannot beat the rare-term match
+    out.head._3 should be > out(1)._3
+    // every score positive, ranks dense
+    out.foreach(_._3 should be > 0.0)
+    out.map(_._4) shouldBe Array(1, 2, 3)
+    // deterministic across runs
+    graft.text.TextAnalysis.bm25TopK(corpus, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4) shouldBe out
+  }
+
   test("perplexityTiers: per-language head/middle/tail thirds by LM perplexity") {
     val docs = (
       (0 until 3).map(i => (i.toLong, "the cat sat the cat sat the cat sat", "A")) ++
