@@ -4,11 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** The commit protocol end-to-end on [[S3LogStore]] over the contract fake
-  * — put-if-absent via conditional PUT, complete lexicographic listing,
-  * NoSuchKey gets — including every lying-outcome the real store produces.
-  * With this green (plus the LakeTable-level S3 leg of the concurrency
-  * matrix), the production binding is a four-call SDK adapter with no
-  * protocol logic left to get wrong. */
+  * — put-if-absent via conditional PUT, complete lexicographic listing
+  * (full and StartAfter-tail forms), NoSuchKey gets — including every
+  * lying-outcome the real store produces. With this green (plus the
+  * LakeTable-level S3 leg of the concurrency matrix), the production
+  * binding is the thin SDK adapter in src/aws with no protocol logic
+  * left to get wrong. */
 class S3LogStoreSpec extends AnyFunSuite with Matchers {
 
   private def meta = Metadata(
