@@ -89,6 +89,7 @@ object SparkEntry {
     "q101_dsir_resample" -> (DataOps.dsirResampling _),
     "q102_perplexity_tiers" -> (DataOps.perplexityTiering _),
     "q103_bm25_topk" -> (DataOps.bm25Retrieval _),
+    "q104_hybrid_rrf" -> (DataOps.hybridRetrieval _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

@@ -589,6 +589,25 @@ object DataOps {
       docs.filter(col("doc_id") % 50 === 0), k = 5)
   }
 
+  /** Hybrid-retrieval gate (q104): BM25 over the documents table and
+    * exact cosine ANN over the aligned embeddings table, each top-10 for
+    * the every-50th queries, fused with reciprocal-rank fusion (rrfK=60)
+    * to a top-5 — the standard lexical+dense hybrid search recipe. The
+    * oracle replays both rankings and the nano-unit fusion sums. */
+  def hybridRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val bm25 = TextAnalysis.bm25TopK(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 10)
+    val dense = Similarity.cosineTopK(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0), k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(
+      Seq(bm25.select("query_id", "doc_id", "rank"), dense), k = 5)
+  }
+
   /** CCNet head/middle/tail tiering gate (q102): per-language perplexity
     * thirds over the exact integer NLL ratio — the oracle replays the LM,
     * the IEEE-division rank key, and the NTILE cut verbatim. */
@@ -864,6 +883,53 @@ object DataOps {
          SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
            COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    // q103's BM25 ranking + the exact cosine ranking, fused with RRF in
+    // integer NANO-units — fold-order-free for any number of systems
+    "q104_hybrid_rrf" ->
+      s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
+         qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
+           FROM documents WHERE doc_id % 50 = 0),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM c) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(tk)) AS BIGINT) AS total FROM c),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         qe AS (SELECT query_id, unnest(qt) AS term FROM qdocs),
+         bms AS (SELECT qe.query_id, dt.doc_id,
+             CAST(FLOOR(
+               ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+               ((dt.tf * (1.2 + 1)) /
+                (dt.tf + 1.2 * (0.25 + 0.75 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM qe JOIN dt USING (term) JOIN dfr USING (term)
+           JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),
+         bsc AS (SELECT query_id, doc_id,
+             ROUND(SUM(micro) / 1000000.0, 6) AS score FROM bms GROUP BY 1, 2),
+         bm AS (SELECT query_id, doc_id, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM bsc) WHERE rank <= 10),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         cs AS (SELECT q.query_id, e.vec_id AS doc_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+           FROM e CROSS JOIN qv q WHERE e.vec_id % 50 <> 0),
+         an AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank
+           FROM cs) WHERE rank <= 10),
+         u AS (SELECT * FROM bm UNION ALL SELECT * FROM an),
+         f AS (SELECT query_id, doc_id,
+             ROUND(SUM(CAST(FLOOR(1000000000.0 / (rank + 60) + 0.5) AS BIGINT))
+               / 1000000000.0, 9) AS rrf_score
+           FROM u GROUP BY 1, 2),
+         fout AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+           FROM f)
+         SELECT query_id, doc_id, rrf_score, rank FROM fout WHERE rank <= 5""",
     // inverted index + Okapi BM25 with micro-unit partial scores (the
     // FLOOR(x*1e6 + 0.5) = JVM Math.round discipline), exact integer sums;
     // (1.2 + 1) is written as the SUM so both engines fold it in IEEE

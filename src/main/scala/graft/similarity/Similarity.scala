@@ -212,6 +212,36 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard hybrid-
+    * retrieval combiner: BM25 lexical + dense ANN rankings fused without
+    * score calibration): fused score = Σ_systems 1/(rrfK + rank). Each
+    * reciprocal rounds to integer NANO-units before the per-doc sum, so
+    * the fusion is exact and engine-portable for ANY number of input
+    * rankings (float fold order never enters). Inputs are (query_id,
+    * doc_id, rank) frames — the shape [[graft.text.TextAnalysis.bm25TopK]]
+    * and [[cosineTopK]] already emit; a doc absent from a system simply
+    * contributes nothing (the RRF convention). The union carries only the
+    * top-k'd candidate lists, so the fusion window is tiny per query. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val union = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = union
+      .withColumn("__m",
+        floor(lit(1e9) / (col("rank") + lit(rrfK)) + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("__m") / 1e9, 9).as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
+
   /** Coarse quantizer: sign bits of the first `bits` dimensions → cell id.
     * A data-independent stand-in for trained IVF centroids — the pipeline
     * shape (assign → co-partition → in-cell search) is identical. */

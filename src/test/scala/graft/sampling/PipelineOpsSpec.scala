@@ -325,6 +325,19 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4) shouldBe out
   }
 
+  test("rrfFuse: consensus docs outrank single-system leaders; absent docs contribute nothing") {
+    // doc 5 is rank 2 in BOTH systems -> 1/62 + 1/62 ~ 0.0323 beats doc 1
+    // (rank 1 in one system only -> 1/61 ~ 0.0164)
+    val sysA = Seq((9L, 1L, 1), (9L, 5L, 2), (9L, 2L, 3)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((9L, 3L, 1), (9L, 5L, 2), (9L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = graft.similarity.Similarity.rrfFuse(Seq(sysA, sysB), k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    out.map(_._2) shouldBe Array(5L, 1L, 3L) // consensus first, then rank-1s (doc_id tiebreak)
+    out.head._3 shouldBe (math.floor(1e9 / 62 + 0.5) * 2 / 1e9) +- 1e-12
+    // ranks dense, deterministic
+    out.map(_._4) shouldBe Array(1, 2, 3)
+  }
+
   test("perplexityTiers: per-language head/middle/tail thirds by LM perplexity") {
     val docs = (
       (0 until 3).map(i => (i.toLong, "the cat sat the cat sat the cat sat", "A")) ++
