@@ -589,6 +589,25 @@ object DataOps {
       docs.filter(col("doc_id") % 50 === 0), k = 5)
   }
 
+  /** Cluster-balanced sampling gate (q105): topic balance for a training
+    * mixture — embeddings assign to their nearest trained-codebook
+    * cluster (the deterministic sampled codebook), and the temperature
+    * mixture (α = 0.5) draws per-CLUSTER quotas ∝ n^α, flattening
+    * over-represented topics exactly the way per-source α-mixing
+    * flattens over-represented sources. Pure composition of two gated
+    * primitives (q39's assignment + q77's quota sampler); the oracle
+    * replays both. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    val assigned = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.cellOf(
+        transform(col("embedding"), x => x.cast("double")), centroids)
+        .cast("string").as("cluster"))
+    graft.sampling.Sampling.alphaMixture(assigned, budget = 200, alpha = 0.5,
+      keyCol = "vec_id", groupCol = "cluster")
+  }
+
   /** Hybrid-retrieval gate (q104): BM25 over the documents table and
     * exact cosine ANN over the aligned embeddings table, each top-10 for
     * the every-50th queries, fused with reciprocal-rank fusion (rrfK=60)
@@ -883,6 +902,30 @@ object DataOps {
          SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
            COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    // q39's codebook assignment + q77's alpha-quota sampler, composed
+    "q105_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         ranked AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM ranked WHERE rn = 1),
+         counts AS (SELECT CAST(cell AS VARCHAR) AS cluster,
+             CAST(COUNT(*) AS DOUBLE) AS n FROM assign GROUP BY 1),
+         q AS (SELECT cluster,
+             CAST(FLOOR(200 * POWER(n, 0.5) / SUM(POWER(n, 0.5)) OVER () + 1e-6) AS BIGINT) AS quota
+           FROM counts),
+         r AS (SELECT vec_id, CAST(cell AS VARCHAR) AS cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':graft-alpha'), vec_id) AS BIGINT) AS sample_rank
+           FROM assign)
+         SELECT r.vec_id, r.cluster, r.sample_rank
+         FROM r JOIN q USING (cluster) WHERE sample_rank <= quota""",
     // q103's BM25 ranking + the exact cosine ranking, fused with RRF in
     // integer NANO-units — fold-order-free for any number of systems
     "q104_hybrid_rrf" ->
