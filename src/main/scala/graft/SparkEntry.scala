@@ -91,6 +91,7 @@ object SparkEntry {
     "q103_bm25_topk" -> (DataOps.bm25Retrieval _),
     "q104_hybrid_rrf" -> (DataOps.hybridRetrieval _),
     "q105_cluster_balanced" -> (DataOps.clusterBalancedSample _),
+    "q106_stratified_split" -> (DataOps.stratifiedSplitGate _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

@@ -589,6 +589,15 @@ object DataOps {
       docs.filter(col("doc_id") % 50 === 0), k = 5)
   }
 
+  /** Exact stratified split gate (q106): per-source splits with exactly
+    * floor(0.8·n) train rows per stratum — the small-stratum guarantee
+    * the expectation-only hash split cannot give. The oracle replays the
+    * md5 rank and the floor cut verbatim. */
+  def stratifiedSplitGate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sampling.Sampling.stratifiedSplit(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      keyCol = "doc_id", groupCol = "source", trainFraction = 0.8)
+
   /** Cluster-balanced sampling gate (q105): topic balance for a training
     * mixture — embeddings assign to their nearest trained-codebook
     * cluster (the deterministic sampled codebook), and the temperature
@@ -902,6 +911,16 @@ object DataOps {
          SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
            COALESCE(r.n_segments, 0) AS n_segments, COALESCE(r.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN ct USING (doc_id)""",
+    // per-stratum md5 rank + IEEE floor cut
+    "q106_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rr,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT doc_id, source,
+           CASE WHEN rr <= FLOOR(n * 0.8) THEN 'train' ELSE 'test' END AS split
+         FROM r""",
     // q39's codebook assignment + q77's alpha-quota sampler, composed
     "q105_cluster_balanced" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -40,6 +40,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** EXACT stratified split: within every stratum, exactly
+    * floor(trainFraction · n) rows land in "train" — the md5-lowest keys,
+    * the same key-derived determinism as [[trainTestSplit]]. The hash
+    * split hits its fraction only in EXPECTATION, which is fine for large
+    * strata and wrong for small ones (a 10-row language can easily come
+    * out 4/10 instead of 8/10); evaluation sets and per-domain ablations
+    * need the exact guarantee. Cost: one per-stratum window on the group
+    * exchange (the hash split is a narrow projection — use it when strata
+    * are large and the shuffle matters). floor(n · fraction) is an IEEE
+    * multiply + floor — engine-portable with no epsilon. */
+  def stratifiedSplit(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      trainFraction: Double = 0.9,
+      salt: String = "graft"): DataFrame = {
+    require(trainFraction > 0 && trainFraction < 1, s"bad fraction $trainFraction")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+    df.withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("split",
+        when(col("__r") <= floor(col("__n") * trainFraction), "train")
+          .otherwise("test"))
+      .drop("__r", "__n")
+  }
+
   /** Keep a stable ~`fraction` of rows, chosen by key hash — the
     * deterministic counterpart of df.sample (which depends on partitioning
     * and seed plumbing). */

@@ -325,6 +325,22 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4) shouldBe out
   }
 
+  test("stratifiedSplit: EXACT floor(f*n) train rows in every stratum, deterministic") {
+    // small uneven strata — exactly where the expectation-only hash split
+    // misses its fraction
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (13 until 20).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = Sampling.stratifiedSplit(df, "doc_id", "source", trainFraction = 0.8)
+      .as[(Long, String, String)].collect()
+    out.length shouldBe 20
+    val byGroup = out.groupBy(_._2).view.mapValues(_.count(_._3 == "train")).toMap
+    byGroup shouldBe Map("a" -> 8, "b" -> 2, "c" -> 5) // floor(0.8 * {10,3,7})
+    // deterministic: identical assignment on a second run
+    Sampling.stratifiedSplit(df, "doc_id", "source", trainFraction = 0.8)
+      .as[(Long, String, String)].collect().sortBy(_._1) shouldBe out.sortBy(_._1)
+  }
+
   test("rrfFuse: consensus docs outrank single-system leaders; absent docs contribute nothing") {
     // doc 5 is rank 2 in BOTH systems -> 1/62 + 1/62 ~ 0.0323 beats doc 1
     // (rank 1 in one system only -> 1/61 ~ 0.0164)
