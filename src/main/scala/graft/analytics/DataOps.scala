@@ -1039,12 +1039,15 @@ object DataOps {
          k AS (SELECT d.doc_id, d.lang,
              COALESCE(pd.n_bigrams, 0) AS n_bigrams,
              CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 1e308
-                  ELSE CAST(-pd.slp AS DOUBLE) / pd.n_bigrams END AS key
+                  ELSE CAST(-pd.slp AS DOUBLE) / pd.n_bigrams END AS key,
+             CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN NULL
+                  ELSE CAST((-pd.slp) * 1000 // pd.n_bigrams AS BIGINT)
+                  END AS ppl_key_milli
            FROM documents d LEFT JOIN pd USING (doc_id)),
-         n AS (SELECT doc_id, lang, n_bigrams, ROUND(key, 6) AS ppl_key,
+         n AS (SELECT doc_id, lang, n_bigrams, ppl_key_milli,
              CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY key, doc_id) AS INT) AS tier_idx
            FROM k)
-         SELECT doc_id, lang, n_bigrams, ppl_key, tier_idx,
+         SELECT doc_id, lang, n_bigrams, ppl_key_milli, tier_idx,
            CASE tier_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
          FROM n"""
     },

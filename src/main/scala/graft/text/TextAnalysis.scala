@@ -352,6 +352,14 @@ object TextAnalysis {
     * key at 1e308 (deterministic tail placement on any engine; NULL
     * ordering defaults differ across engines, a literal does not).
     *
+    * The OUTPUT key column is `ppl_key_milli` = nll_scaled*1000 div
+    * n_bigrams in BIGINT arithmetic (≤ ~2.4e14, well inside int64) —
+    * exact on any engine. A double rounded to 6 decimals at ~3.4e9
+    * magnitude sits at the ulp boundary (ulp ≈ 4.8e-7), where
+    * HALF_UP-on-shortest-decimal engines disagree with float-path
+    * rounders in the last digit; integer milli-units side-step that
+    * entirely. Bigram-less docs emit NULL (they carry no key).
+    *
     * Plan shape: the LM statistics reuse [[perplexity]]'s partial-agged
     * shuffles; the tier assignment is ONE window over the per-language
     * exchange (ntile), no global sort. */
@@ -371,7 +379,10 @@ object TextAnalysis {
       .withColumn("tier",
         element_at(array(lit("head"), lit("middle"), lit("tail")), col("tier_idx")))
       .select(col(idCol), col(langCol), col("n_bigrams"),
-        round(col("__key"), 6).as("ppl_key"), col("tier_idx"), col("tier"))
+        when(col("n_bigrams") === 0, lit(null).cast("long"))
+          .otherwise(expr("nll_scaled * 1000L div n_bigrams"))
+          .as("ppl_key_milli"),
+        col("tier_idx"), col("tier"))
   }
 
   /** BM25 top-k lexical retrieval (Robertson–Spärck Jones; the sparse
@@ -384,13 +395,18 @@ object TextAnalysis {
     * discipline as the DSIR scorer).
     *
     * Plan shape at scale: postings = one (doc, term) partial-agged
-    * shuffle (the inverted index — inherent); document frequencies are a
-    * bounded term-level aggregate; the query side is DISTINCT terms and
-    * broadcasts; candidates = postings ⋈ broadcast(query terms) — an
-    * EQUI-join, so only matching postings flow into the per-(query, doc)
-    * sum; top-k is a window over each query's candidate set only. The
-    * corpus-level (N, total length) pair is a 1-row aggregate collected
-    * to the driver and folded into the score expression as literals. */
+    * shuffle (the inverted index — inherent), carrying the document
+    * length so no corpus-sized doc_id join follows; the query side is
+    * DISTINCT terms and BROADCASTS, and it filters the postings FIRST —
+    * only query-term postings ever leave the index scan. Document
+    * frequencies are computed for QUERY TERMS ONLY (the same broadcast
+    * semi-filter below the term-level count), yielding a ≤|query terms|
+    * frame that itself broadcasts — the corpus never shuffles on the
+    * Zipf-skewed term key. Catalyst reuses the single postings exchange
+    * across the candidate and df branches. Top-k is a window over each
+    * query's candidate set only. The corpus-level (N, total length) pair
+    * is a 1-row aggregate collected to the driver and folded into the
+    * score expression as literals. */
   def bm25TopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -399,25 +415,28 @@ object TextAnalysis {
       b: Double = 0.75,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val dt = corpus
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = corpus.select(col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).cast("long").as("len"))
+    val tok = corpus.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val dt = tok
+      .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
     val (n, total) = {
-      val r = dl.agg(count(lit(1)), sum("len")).collect()(0)
+      val r = tok.agg(count(lit(1)), sum(size(col("tk")).cast("long"))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
     val avg = total.toDouble / n // IEEE division: identical in any engine
-    val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val qe = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
+    // df for QUERY TERMS ONLY: the broadcast semi-filter sits below the
+    // term-level count, so the Zipf-skewed full-vocabulary aggregate never
+    // runs; the result is ≤ |distinct query terms| rows and broadcasts.
+    val dfQ = dt.join(broadcast(qe.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val tfn = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avg))
     val micro = floor(idf * tfn * 1e6 + 0.5).cast("long")
-    val sc = dt.join(dfT, "term").join(broadcast(qe), "term")
-      .join(dl, "doc_id")
+    val sc = dt.join(broadcast(qe), "term").join(broadcast(dfQ), "term")
       .withColumn("micro", micro)
       .groupBy("query_id", "doc_id")
       .agg(round(sum("micro") / 1e6, 6).as("score"))

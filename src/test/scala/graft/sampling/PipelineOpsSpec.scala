@@ -325,6 +325,23 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4) shouldBe out
   }
 
+  test("bm25TopK plan: every join is broadcast — the corpus never shuffles on term") {
+    // the Zipf-skewed term key must never be a shuffle-join key: the query
+    // side broadcasts into the postings, and df (query terms only) is a
+    // bounded broadcast frame. A refactor that reintroduces the
+    // postings-by-term shuffle (the round-9 defect) fails here.
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"alpha beta w$i x${i % 7} y${i % 3}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((900L, "alpha x3"), (901L, "beta y1")).toDF("doc_id", "text")
+    val plan = graft.text.TextAnalysis.bm25TopK(corpus, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach { op =>
+      withClue(s"$op in bm25 plan:\n$plan\n") { plan.contains(op) shouldBe false }
+    }
+  }
+
   test("stratifiedSplit: EXACT floor(f*n) train rows in every stratum, deterministic") {
     // small uneven strata — exactly where the expectation-only hash split
     // misses its fraction
