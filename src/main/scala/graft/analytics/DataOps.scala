@@ -618,9 +618,13 @@ object DataOps {
   }
 
   /** Hybrid-retrieval gate (q104): BM25 over the documents table and
-    * exact cosine ANN over the aligned embeddings table, each top-10 for
-    * the every-50th queries, fused with reciprocal-rank fusion (rrfK=60)
-    * to a top-5 — the standard lexical+dense hybrid search recipe. The
+    * IVF-pruned cosine ANN over the aligned embeddings table (the q39
+    * trained-codebook tier — deterministic sampled codebook, nprobe=4, so
+    * the oracle replays the approximation itself), each top-10 for the
+    * every-50th queries, fused with reciprocal-rank fusion (rrfK=60) to a
+    * top-5 — the standard lexical+dense hybrid search recipe, with BOTH
+    * legs index-pruned: the BM25 leg broadcasts query terms into the
+    * postings, the dense leg compares only probed-cell candidates. The
     * oracle replays both rankings and the nano-unit fusion sums. */
   def hybridRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -628,9 +632,11 @@ object DataOps {
     val bm25 = TextAnalysis.bm25TopK(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0), k = 10)
-    val dense = Similarity.cosineTopK(
+    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+    val dense = Similarity.ivfTopKTrained(
       emb.filter(col("vec_id") % 50 =!= 0),
-      emb.filter(col("vec_id") % 50 === 0), k = 10)
+      emb.filter(col("vec_id") % 50 === 0), k = 10,
+      centroids, nprobe = 4)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Similarity.rrfFuse(
       Seq(bm25.select("query_id", "doc_id", "rank"), dense), k = 5)
@@ -945,8 +951,10 @@ object DataOps {
            FROM assign)
          SELECT r.vec_id, r.cluster, r.sample_rank
          FROM r JOIN q USING (cluster) WHERE sample_rank <= quota""",
-    // q103's BM25 ranking + the exact cosine ranking, fused with RRF in
-    // integer NANO-units — fold-order-free for any number of systems
+    // q103's BM25 ranking + q39's IVF-pruned cosine ranking (sampled
+    // 16-centroid codebook, nprobe=4 — the oracle replays the
+    // approximation itself), fused with RRF in integer NANO-units —
+    // fold-order-free for any number of systems
     "q104_hybrid_rrf" ->
       s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
          qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
@@ -974,11 +982,26 @@ object DataOps {
            FROM bsc) WHERE rank <= 10),
          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-         qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-         cs AS (SELECT q.query_id, e.vec_id AS doc_id,
-             ROUND(list_dot_product(q.qv, e.v) /
-               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
-           FROM e CROSS JOIN qv q WHERE e.vec_id % 50 <> 0),
+         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM e ORDER BY vec_id LIMIT 16),
+         dist AS (SELECT vec_id, cidx, list_dot_product(diff, diff) AS d FROM (
+           SELECT e.vec_id, c.cidx,
+             list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS diff
+           FROM e, cent c)),
+         rkd AS (SELECT vec_id, cidx, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM dist),
+         assign AS (SELECT vec_id, cidx AS cell FROM rkd
+           WHERE rn = 1 AND vec_id % 50 <> 0),
+         qprobe AS (SELECT vec_id AS query_id, cidx AS cell FROM rkd
+           WHERE rn <= 4 AND vec_id % 50 = 0),
+         cs AS (SELECT q.query_id, a.vec_id AS doc_id,
+             ROUND(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cosine
+           FROM qprobe q
+           JOIN assign a ON a.cell = q.cell
+           JOIN e qe ON qe.vec_id = q.query_id
+           JOIN e ne ON ne.vec_id = a.vec_id
+           WHERE a.vec_id <> q.query_id),
          an AS (SELECT query_id, doc_id, rank FROM (
            SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER
                (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank

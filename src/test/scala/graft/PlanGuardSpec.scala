@@ -34,10 +34,12 @@ class PlanGuardSpec extends SparkSpec {
     "q102_perplexity_tiers" -> "1-row broadcast vocab crossJoin, O(rows)",
     // hard negatives: q25's broadcast query-side shape with the label
     // disjointness fused into the join predicate (non-equi by nature)
-    "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)",
-    // hybrid RRF's dense leg is q25's exact-cosine broadcast scan; the
-    // BM25 leg and the fusion itself are equi-joins/windows
-    "q104_hybrid_rrf" -> "broadcast query-side crossJoin (dense leg), O(n*q)")
+    "q78_hard_negatives" -> "broadcast query-side label-disjoint scan, O(n*q)")
+  // q104_hybrid_rrf is deliberately NOT allowed here (round 10): its dense
+  // leg moved from the exact-cosine crossJoin to the q39 trained-codebook
+  // IVF tier — a broadcast EQUI-join on the probed cell — and its BM25 leg
+  // broadcasts query terms into the postings, so a refactor reintroducing
+  // either nested-loop scan fails this guard.
   // q84_margin_mining is deliberately NOT allowed here: its candidate join
   // is a broadcast EQUI-join on the sign-bit cell (the pruned LASER shape),
   // so a refactor reintroducing the all-candidates nested-loop scan fails
