@@ -86,4 +86,11 @@ final class AwsS3Client(s3: S3Client, bucket: String) extends S3ObjectClient {
     s3.deleteObject(b => { b.bucket(bucket).key(key); () })
     true
   }
+
+  /** HeadObject LastModified — the age source for age-gated sweeps
+    * (TRUNCATE HISTORY's orphan-sidecar GC). NoSuchKey → None. */
+  override def modified(key: String): Option[Long] =
+    try Some(s3.headObject(b => { b.bucket(bucket).key(key); () })
+      .lastModified.toEpochMilli)
+    catch { case _: software.amazon.awssdk.services.s3.model.NoSuchKeyException => None }
 }

@@ -33,6 +33,7 @@ import scala.jdk.CollectionConverters._
   */
 class InMemoryLogStore extends LogStore {
   private val objects = new ConcurrentHashMap[Path, Array[Byte]]()
+  private val putTimes = new ConcurrentHashMap[Path, java.lang.Long]()
 
   def listFileNames(dir: Path): Seq[String] =
     objects.keySet().asScala.toSeq
@@ -45,11 +46,25 @@ class InMemoryLogStore extends LogStore {
       .split("\n", -1).toSeq
   }
 
-  def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
-    if (overwrite) { objects.put(path, body); true }
-    else objects.putIfAbsent(path, body) == null
+  def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean = {
+    val landed =
+      if (overwrite) { objects.put(path, body); true }
+      else objects.putIfAbsent(path, body) == null
+    if (landed) putTimes.put(path, System.currentTimeMillis()): Unit
+    landed
+  }
 
-  def delete(path: Path): Boolean = objects.remove(path) != null
+  def delete(path: Path): Boolean = {
+    putTimes.remove(path): Unit
+    objects.remove(path) != null
+  }
+
+  override def modifiedMillis(path: Path): Option[Long] =
+    Option(putTimes.get(path)).map(_.toLong)
+
+  /** Test hook: rewrite a stored object's put time (age-gated sweeps). */
+  def setModifiedMillis(path: Path, millis: Long): Unit =
+    putTimes.put(path, millis): Unit
 
   /** Number of stored log objects (diagnostics). */
   def size: Int = objects.size()

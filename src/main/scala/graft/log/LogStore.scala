@@ -49,6 +49,12 @@ trait LogStore {
     * sweep); true iff it existed. Never part of the commit CAS — deletes
     * only ever target files strictly below a verified checkpoint. */
   def delete(path: Path): Boolean
+  /** Last-modified epoch millis of one log object, when the store can say
+    * (local: file mtime; S3: HeadObject/ListObjectsV2 LastModified;
+    * in-memory: the tracked put time). None when unknown or absent —
+    * callers gating a DELETE on age must treat unknown as "too recent"
+    * (skip), never as "old enough". */
+  def modifiedMillis(path: Path): Option[Long] = None
 }
 
 /** Local-filesystem implementation: write a temp file in the log dir, then
@@ -86,6 +92,9 @@ object LocalLogStore extends LogStore {
   }
 
   def delete(path: Path): Boolean = Files.deleteIfExists(path)
+
+  override def modifiedMillis(path: Path): Option[Long] =
+    scala.util.Try(Files.getLastModifiedTime(path).toMillis).toOption
 }
 
 object LogStore {

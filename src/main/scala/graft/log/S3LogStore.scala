@@ -59,6 +59,10 @@ trait S3ObjectClient {
     * 204 either way; implementations may probe first or just return the
     * best-effort answer, the caller never depends on it). */
   def delete(key: String): Boolean
+  /** Last-modified epoch millis — HeadObject's LastModified (also carried
+    * by every ListObjectsV2 row). Default None: an adapter that cannot
+    * answer makes age-gated sweeps skip, never delete. */
+  def modified(key: String): Option[Long] = None
 }
 
 /** [[LogStore]] over an [[S3ObjectClient]]: log "paths" map to object keys
@@ -97,4 +101,7 @@ class S3LogStore(client: S3ObjectClient) extends LogStore {
     else client.putIfNoneMatch(keyOf(path), body)
 
   def delete(path: Path): Boolean = client.delete(keyOf(path))
+
+  override def modifiedMillis(path: Path): Option[Long] =
+    client.modified(keyOf(path))
 }

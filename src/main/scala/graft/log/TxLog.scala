@@ -395,9 +395,17 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       }
       if (below) store.delete(logDir.resolve(n)): Unit
     }
-    // v2 sidecar sweep: keep exactly the sidecars some SURVIVING checkpoint
+    // v2 sidecar sweep: keep every sidecar some SURVIVING checkpoint
     // manifest still references (content-addressing shares sidecars across
-    // checkpoints, so deletion must be reference-driven, not age-driven)
+    // checkpoints, so retention is reference-driven) — but only GC an
+    // unreferenced sidecar once it is OLDER than the grace window. A
+    // concurrent v2 checkpointer publishes sidecars BEFORE its manifest;
+    // sweeping its seconds-old in-flight sidecars would permanently tear
+    // the checkpoint it is about to publish (degrading every subsequent
+    // read to a full log scan until the next checkpoint). Unknown age
+    // (store cannot say) counts as too recent — skip, never delete; an
+    // orphan sidecar is derived data, so the worst cost of a conservative
+    // skip is a lingering object until a later truncate.
     val sidecars = store.listFileNames(sidecarDir)
     if (sidecars.nonEmpty) {
       val referenced = listCheckpoints().filter(_ >= v).flatMap { cp =>
@@ -405,7 +413,10 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
           .map(Actions.fromJson).collect { case s: Sidecar => s.path })
           .getOrElse(Nil)
       }.toSet
+      val now = System.currentTimeMillis()
       sidecars.filterNot(referenced)
+        .filter(n => store.modifiedMillis(sidecarDir.resolve(n))
+          .exists(now - _ > TxLog.sidecarSweepGraceMs))
         .foreach(n => store.delete(sidecarDir.resolve(n)): Unit)
     }
   }
@@ -530,6 +541,12 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
 
 object TxLog {
   def apply(tableDir: String): TxLog = new TxLog(Paths.get(tableDir))
+  /** Grace window for TRUNCATE HISTORY's orphan-sidecar GC: an
+    * unreferenced sidecar younger than this may be a concurrent
+    * checkpointer's in-flight publish (sidecars land before their
+    * manifest) and is left alone. One hour — the same crashed-run/racing-
+    * run threshold as the symlink-manifest sweep in Maintain. */
+  val sidecarSweepGraceMs: Long = 60L * 60 * 1000
   /** Does a table's log exist HERE — asked through the configured
     * [[LogStore]], not the filesystem: with a virtualized log (in-memory,
     * S3) there is no `_txlog` directory on disk to probe. */

@@ -1831,21 +1831,45 @@ class LakeTable private[table] (
         // millions of rows and must never be collected to the driver —
         // the O(#files)/O(log) classification sets ride to executors in
         // the task closure and only the DOOMED list (bounded by actual
-        // deletions) comes back.
+        // deletions) comes back. Deletion then runs from that
+        // MATERIALIZED list on the driver: the commit metadata and the
+        // return value force the collect anyway, so a distributed delete
+        // pass buys nothing and would re-evaluate the classification
+        // (post-deletion!) on any cache eviction.
         case Some(inv) =>
           val hasMtime = inv.columns.contains("modificationTime")
+          // Without inventory mtimes the orphan-age clause stats files
+          // with java.nio ON EXECUTORS — only valid where executors share
+          // the driver's filesystem view. On a real cluster every stat
+          // would silently resolve to MaxValue (never doomed), so refuse
+          // loudly instead of reporting a successful no-op VACUUM.
+          if (!hasMtime && !inv.sparkSession.sparkContext.isLocal)
+            throw new IllegalArgumentException(
+              "VACUUM USING INVENTORY on a cluster requires a " +
+                "modificationTime column in the inventory (executors " +
+                "cannot stat table storage through the local filesystem)")
           val dirStr = dir.toString
           val subtrees = Seq("data", "cdf", "dv").map(s => dirStr + "/" + s + "/")
           val (liveC, liveDvC, tombC, refC, refDvC, horizonC) =
             (live, liveDv, tombstoned, referenced, referencedDv, horizon)
+          // Normalize BEFORE every membership check: an inventory path
+          // spelled 'data//x.parquet' or with './'-segments passes a raw
+          // prefix test yet misses the live/referenced string sets — a
+          // LIVE file would classify as an orphan and be deleted. Rows
+          // that do not normalize to a location under the table root are
+          // ignored.
+          def canon(rawPath: String): String = scala.util.Try(
+            Paths.get(if (rawPath.startsWith("/")) rawPath
+                      else dirStr + "/" + rawPath).normalize().toString)
+            .getOrElse("")
           val doomedUdf = org.apache.spark.sql.functions.udf {
             (rawPath: String, mtime: java.lang.Long) =>
               if (rawPath == null) false
               else {
-                val p = if (rawPath.startsWith("/")) rawPath else dirStr + "/" + rawPath
+                val p = canon(rawPath)
                 def under(prefixes: Set[String]): Boolean =
                   prefixes.exists(pre => p == pre || p.startsWith(pre + "/"))
-                subtrees.exists(p.startsWith) &&
+                p.nonEmpty && subtrees.exists(p.startsWith) &&
                   !liveC.contains(p) && !under(liveDvC) && (
                     tombC.contains(p) || under(tombC) ||
                     (!refC.contains(p) && !under(refDvC) &&
@@ -1859,25 +1883,9 @@ class LakeTable private[table] (
           val mtimeCol =
             if (hasMtime) col("modificationTime").cast("long")
             else lit(null).cast("long")
-          val doomedDf = inv
-            .filter(doomedUdf(col("path"), mtimeCol))
-            .select(col("path")).persist()
-          try {
-            if (!dryRun)
-              // deletion is distributed too — millions of doomed objects
-              // must not serialize through one driver loop
-              doomedDf.foreachPartition { rows: Iterator[Row] =>
-                rows.foreach { r =>
-                  val raw = r.getString(0)
-                  val p = if (raw.startsWith("/")) raw else dirStr + "/" + raw
-                  Files.deleteIfExists(Paths.get(p)): Unit
-                }
-              }
-            doomedDf.collect().map { r =>
-              val raw = r.getString(0)
-              if (raw.startsWith("/")) raw else dirStr + "/" + raw
-            }.toSeq
-          } finally { doomedDf.unpersist(): Unit }
+          inv.filter(doomedUdf(col("path"), mtimeCol))
+            .select(col("path")).collect()
+            .map(r => canon(r.getString(0))).toSeq
         case None =>
           val physical =
             (listParquet(dir.resolve("data")) ++ listParquet(dir.resolve("cdf")) ++
@@ -1890,8 +1898,7 @@ class LakeTable private[table] (
           }
       }
     if (!dryRun) {
-      // the inventory path already deleted distributed, inside its job
-      if (inventory.isEmpty) doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
       commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
         "mode" -> (if (lite) "LITE" else "FULL"),
         "usingInventory" -> inventory.isDefined.toString,

@@ -257,6 +257,14 @@ class CheckpointSpec extends SparkSpec {
     t.setProperties(Map("graft.enableDeletionVectors" -> "false"))
     t.reorgPurge()
     val before = t.read().orderBy("k").as[(Long, String)].collect()
+    // age every pre-existing sidecar past the GC grace window: the sweep
+    // treats younger orphans as a concurrent checkpointer's in-flight
+    // publish and leaves them (graced-orphan case pinned separately below)
+    val scDir0 = t.log.logDir.resolve("_sidecars")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.log.TxLog.sidecarSweepGraceMs)
+    Files.list(scDir0).iterator().asScala.foreach(p =>
+      Files.setLastModifiedTime(p, old): Unit)
     t.dropFeature("deletionVectors", truncateHistory = true)
     val t2 = LakeTable.forPath(spark, t.dir.toString)
     t2.read().orderBy("k").as[(Long, String)].collect() shouldBe before
@@ -275,6 +283,29 @@ class CheckpointSpec extends SparkSpec {
     // the table keeps working past the boundary
     t2.append(Seq((99L, "z")).toDF("k", "v"))
     t2.read().count() shouldBe before.length + 1
+  }
+
+  test("sidecar GC grace window: fresh orphans survive (in-flight concurrent " +
+    "checkpointer), aged orphans sweep") {
+    val t = LakeTable.create(spark, tmpDir("ckpt-v2-grace").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map("graft.checkpoint.v2" -> "true",
+        "graft.checkpoint.v2.buckets" -> "4"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    val scDir = t.log.logDir.resolve("_sidecars")
+    Files.createDirectories(scDir)
+    // a concurrent checkpointer publishes sidecars BEFORE its manifest:
+    // model its in-flight object as a fresh unreferenced sidecar
+    val fresh = scDir.resolve("zz-inflight-concurrent.json")
+    Files.writeString(fresh, "")
+    // and a genuinely orphaned one from a long-dead writer
+    val stale = scDir.resolve("zz-orphan-crashed.json")
+    Files.writeString(stale, "")
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.log.TxLog.sidecarSweepGraceMs))
+    t.log.truncateBefore(t.log.listVersions().max)
+    Files.exists(fresh) shouldBe true  // grace-window protected
+    Files.exists(stale) shouldBe false // reclaimed
   }
 
   test("snapshot resolution cost is bounded by the checkpoint interval") {

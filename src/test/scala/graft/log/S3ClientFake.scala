@@ -12,6 +12,7 @@ import scala.jdk.CollectionConverters._
   * the one-shot vars arm a single deterministic fault. */
 class S3ClientFake extends S3ObjectClient {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  private val putTimes = new ConcurrentHashMap[String, java.lang.Long]()
 
   // one-shot deterministic faults
   @volatile var nextPutLandsThenThrows = false
@@ -52,7 +53,10 @@ class S3ClientFake extends S3ObjectClient {
     b
   }
 
-  def put(key: String, body: Array[Byte]): Unit = { objects.put(key, body): Unit }
+  def put(key: String, body: Array[Byte]): Unit = {
+    objects.put(key, body): Unit
+    putTimes.put(key, System.currentTimeMillis()): Unit
+  }
 
   def putIfNoneMatch(key: String, body: Array[Byte]): Boolean = {
     if (nextPutThrowsBeforeLanding || hit()) {
@@ -60,6 +64,7 @@ class S3ClientFake extends S3ObjectClient {
       throw new RuntimeException("S3 503: request never reached the bucket")
     }
     val landed = objects.putIfAbsent(key, body) == null
+    if (landed) putTimes.put(key, System.currentTimeMillis()): Unit
     if (landed && (nextPutLandsThenThrows || hit())) {
       nextPutLandsThenThrows = false
       throw new RuntimeException("S3 timeout: PUT landed, response lost")
@@ -71,7 +76,17 @@ class S3ClientFake extends S3ObjectClient {
     landed
   }
 
-  def delete(key: String): Boolean = objects.remove(key) != null
+  def delete(key: String): Boolean = {
+    putTimes.remove(key): Unit
+    objects.remove(key) != null
+  }
+
+  override def modified(key: String): Option[Long] =
+    Option(putTimes.get(key)).map(_.toLong)
+
+  /** Test hook: rewrite an object's LastModified (age-gated sweeps). */
+  def backdate(key: String, millis: Long): Unit =
+    putTimes.put(key, millis): Unit
 
   def size: Int = objects.size()
 }

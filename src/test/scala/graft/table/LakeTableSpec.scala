@@ -323,6 +323,18 @@ class LakeTableSpec extends SparkSpec {
       .toDF("path", "modificationTime")
     t.vacuum(retainHours = 0.0, dryRun = true,
       inventory = Some(noisy)).toSet shouldBe full
+    // NON-CANONICAL spellings ('./'-segments, doubled separators) normalize
+    // BEFORE classification: a LIVE file spelled 'data//x.parquet' must
+    // never miss the live-set membership test and classify as an orphan —
+    // that would be irreversible data loss from a plausibly-shaped
+    // inventory. Proposed paths come back canonical.
+    val liveOne = walk().map(_._1).filterNot(full.contains).head
+    val sneaky = (walk().map { case (p, m) =>
+      (p.replaceFirst("/data/", "/data/./"), m) } ++ Seq(
+      (liveOne.replaceFirst("/data/", "/data//"), oldMs)))
+      .toDF("path", "modificationTime")
+    t.vacuum(retainHours = 0.0, dryRun = true,
+      inventory = Some(sneaky)).toSet shouldBe full
     // SQL surface: USING INVENTORY (<query>) composes with RETAIN/DRY RUN
     inv.createOrReplaceTempView("vac_inv")
     val viaSql = GraftSql(spark).run(
