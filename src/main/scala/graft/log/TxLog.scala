@@ -42,12 +42,21 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
       .sorted
 
-  /** Commit versions strictly after `v` — the pointer-bounded tail. */
-  private def versionsAfter(v: Long): Seq[Long] =
+  /** One tail listing serves both the commit versions and the compacted
+    * ranges after `v` — the pointer fast path stays at a single LIST. */
+  private def tailNamesAfter(v: Long): Seq[String] =
     store.listFileNamesAfter(logDir, f"$v%020d.json")
-      .filter(n => n.endsWith(".json") && !n.contains(".checkpoint."))
+
+  private def versionsIn(names: Seq[String]): Seq[Long] =
+    names
+      .filter(n => n.endsWith(".json") && !n.contains(".checkpoint.") &&
+        !n.contains(".compacted."))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
       .sorted
+
+  /** Commit versions strictly after `v` — the pointer-bounded tail. */
+  private def versionsAfter(v: Long): Seq[Long] =
+    versionsIn(tailNamesAfter(v))
 
   def latestVersion(): Option[Long] = {
     // _last_checkpoint-bounded: list only the tail. The pointer is trusted
@@ -364,6 +373,57 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
       """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
     }.toOption.flatten
 
+  // ------------------------------------------------------- log compaction
+
+  /** Minor log compaction (Delta 3.x's `<start>.<end>.compacted.json`):
+    * the concatenated actions of commits `s..e`, in commit order, behind
+    * ONE object. Between checkpoint cadences a reader tails per-commit
+    * JSON files one GET each — at commit rates above the checkpoint
+    * interval that tail dominates snapshot-resolution cost (the same
+    * 100-TB metadata argument as `_last_checkpoint`); a compacted range
+    * replaces N tail GETs with one. Strictly an optimization: the
+    * per-commit files remain the source of truth (time travel, CDF, and
+    * any defect fall back to them), and the content is deterministic, so
+    * the overwrite-mode publish is idempotent and safe under concurrent
+    * compactors. */
+  private def compactedFile(s: Long, e: Long): Path =
+    logDir.resolve(f"$s%020d.$e%020d.compacted.json")
+  private val CompactedName = raw"(\d{20})\.(\d{20})\.compacted\.json".r
+
+  /** Write the compacted range `[s, e]` (both inclusive). Throws if any
+    * commit in the range is unreadable — a compaction must never publish
+    * a hole it would later replay as "nothing happened". */
+  def writeCompacted(s: Long, e: Long): Unit = {
+    require(s >= 0 && s <= e, s"bad compaction range [$s, $e]")
+    val actions = (s to e).flatMap(readVersion)
+    val body = (CheckpointMeta(actions.size.toLong) +: actions)
+      .map(Actions.toJson).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    store.writeAtomic(compactedFile(s, e), body, overwrite = true): Unit
+  }
+
+  /** Read + validate the compacted range `[s, e]`: the count header must
+    * match (a prefix cut at a line boundary parses cleanly but is
+    * incomplete), else throw — callers fall back to per-commit replay. */
+  private[log] def readCompacted(s: Long, e: Long): Seq[Action] = {
+    val lines = store.read(compactedFile(s, e)).filter(_.nonEmpty)
+      .map(Actions.fromJson)
+    lines.headOption match {
+      case Some(CheckpointMeta(n)) =>
+        require(lines.size - 1 == n,
+          s"compacted range [$s, $e] incomplete: ${lines.size - 1} of $n actions")
+        lines.tail
+      case _ => throw new IllegalStateException(
+        s"compacted range [$s, $e] has no self-validation header")
+    }
+  }
+
+  /** start -> candidate end versions (longest first), from one listing. */
+  private def compactedRangesIn(names: Seq[String]): Map[Long, Seq[Long]] =
+    names.collect { case CompactedName(s, e) => (s.toLong, e.toLong) }
+      .groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._2).distinct.sorted.reverse }
+
   /** TRUNCATE HISTORY (DROP FEATURE's boundary sweep): checkpoint the
     * state AT `v`, verify the checkpoint reads back complete, then delete
     * every per-version and checkpoint file strictly below `v`. The
@@ -388,6 +448,10 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     store.listFileNames(logDir).foreach { n =>
       val below = n match {
         case PartName(cv, _, _) => cv.toLong < v
+        // a compacted range STARTING below the boundary can never sit in a
+        // surviving tail again (its start version's file is gone) — sweep,
+        // straddling or not
+        case CompactedName(cs, _) => cs.toLong < v
         case _ if n.endsWith(".checkpoint.json") =>
           scala.util.Try(n.stripSuffix(".checkpoint.json").toLong)
             .toOption.exists(_ < v)
@@ -432,24 +496,28 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     // (missing, stale, corrupt, torn checkpoint, absent target version)
     // take the full scan path below, which is also what produces the
     // loud does-not-exist error for a genuinely missing version.
-    val viaPointer: Option[(Option[(Long, Seq[Action])], Seq[Long], Long)] =
+    val viaPointer: Option[(Option[(Long, Seq[Action])], Seq[Long], Long,
+        Map[Long, Seq[Long]])] =
       lastCheckpoint().filter(cp => version.forall(_ >= cp)).flatMap { cp =>
         scala.util.Try(readCheckpoint(cp)).toOption.flatMap { as =>
-          val tail = versionsAfter(cp)
+          val names = tailNamesAfter(cp)
+          val tail = versionsIn(names)
           version match {
             case Some(t) if t != cp && !tail.contains(t) => None
             case _ =>
               Some((Some(cp -> as), tail,
-                version.getOrElse(tail.lastOption.getOrElse(cp))))
+                version.getOrElse(tail.lastOption.getOrElse(cp)),
+                compactedRangesIn(names)))
           }
         }
       }
-    val (pointerBase, pointerTail, upTo) = viaPointer.getOrElse {
-      val versions = listVersions()
+    val (pointerBase, pointerTail, upTo, ranges) = viaPointer.getOrElse {
+      val names = store.listFileNames(logDir)
+      val versions = versionsIn(names)
       require(versions.nonEmpty, s"not a graft table (empty log): $tableDir")
       val target = version.getOrElse(versions.last)
       require(versions.contains(target), s"version $target does not exist in $tableDir (have ${versions.headOption}..${versions.lastOption})")
-      (None, versions, target)
+      (None, versions, target, compactedRangesIn(names))
     }
     var meta: Metadata = null
     // pre-protocol tables (no action anywhere in the log) read as (1, 1)
@@ -487,17 +555,39 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
         case _                  =>
       }
     }
-    pointerTail.filter(v => v > base.map(_._1).getOrElse(-1L) && v <= upTo).foreach { v =>
-      readVersion(v).foreach {
-        case m: Metadata       => meta = m
-        case a: AddFile        => live(a.path) = a
-        case r: RemoveFile     => live.remove(r.path); dvs.remove(r.path): Unit
-        case c: CommitInfo     => commits += c
-        case d: DeletionVector => applyDv(d)
-        case p: Protocol       => proto = p
-        case d: DomainMetadata => applyDomain(d)
-        case _: CdfFile        => // only consumed by cdf scans
-        case _: CheckpointMeta => // checkpoint-file header, never in commits
+    def applyTail(a: Action): Unit = a match {
+      case m: Metadata       => meta = m
+      case a: AddFile        => live(a.path) = a
+      case r: RemoveFile     => live.remove(r.path); dvs.remove(r.path): Unit
+      case c: CommitInfo     => commits += c
+      case d: DeletionVector => applyDv(d)
+      case p: Protocol       => proto = p
+      case d: DomainMetadata => applyDomain(d)
+      case _: CdfFile        => // only consumed by cdf scans
+      case _: CheckpointMeta => // file-level header, never in commits
+    }
+    // Tail replay PREFERS a compacted range whose whole span fits inside
+    // the pending tail — one GET replaces (end - start + 1) per-commit
+    // reads. Any defect (torn file, count mismatch) falls back to the
+    // per-commit files for that range; commit versions are contiguous, so
+    // range content and per-commit replay are action-for-action identical.
+    val tailVs = pointerTail
+      .filter(v => v > base.map(_._1).getOrElse(-1L) && v <= upTo)
+    var ti = 0
+    while (ti < tailVs.length) {
+      val v = tailVs(ti)
+      val viaRange =
+        if (ranges.isEmpty) None
+        else ranges.getOrElse(v, Nil).find(_ <= upTo).flatMap { e =>
+          scala.util.Try((e, readCompacted(v, e))).toOption
+        }
+      viaRange match {
+        case Some((e, as)) =>
+          as.foreach(applyTail)
+          while (ti < tailVs.length && tailVs(ti) <= e) ti += 1
+        case None =>
+          readVersion(v).foreach(applyTail)
+          ti += 1
       }
     }
     require(meta != null, s"no metadata action found in $tableDir")

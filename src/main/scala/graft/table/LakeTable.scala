@@ -1107,6 +1107,19 @@ class LakeTable private[table] (
         if (v > 0 && v % interval == 0)
           try log.writeCheckpoint(v)
           catch { case scala.util.control.NonFatal(_) => }
+        // minor log compaction (Delta 3.x `<s>.<e>.compacted.json`): at
+        // commit rates above the checkpoint cadence the per-commit tail
+        // dominates resolution cost; every Nth commit the last N commits
+        // compact behind one GET (graft.log.compactionInterval, also
+        // delta.logCompaction.interval; 0/absent = off). Best effort —
+        // per-commit files stay the source of truth.
+        val compactEvery = snap.metadata.properties
+          .get("graft.log.compactionInterval")
+          .orElse(snap.metadata.properties.get("delta.logCompaction.interval"))
+          .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1)
+        if (compactEvery.exists(n => v >= n && v % n == 0))
+          try log.writeCompacted(v - compactEvery.get + 1, v)
+          catch { case scala.util.control.NonFatal(_) => }
         return v
       }
       attempts += 1

@@ -308,6 +308,101 @@ class CheckpointSpec extends SparkSpec {
     Files.exists(stale) shouldBe false // reclaimed
   }
 
+  /** Interposing store for request accounting (same pattern as
+    * LogStoreSpec): compactions exist purely to cut tail GETs, so the
+    * test pins the read count, not just the answer. */
+  private class CountingStore extends LogStore {
+    val lists = new java.util.concurrent.atomic.AtomicInteger
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    def listFileNames(dir: java.nio.file.Path): Seq[String] =
+      { lists.incrementAndGet(); LocalLogStore.listFileNames(dir) }
+    override def listFileNamesAfter(dir: java.nio.file.Path,
+        startAfter: String): Seq[String] =
+      { lists.incrementAndGet(); LocalLogStore.listFileNamesAfter(dir, startAfter) }
+    def read(path: java.nio.file.Path): Seq[String] =
+      { reads.incrementAndGet(); LocalLogStore.read(path) }
+    def writeAtomic(path: java.nio.file.Path, body: Array[Byte],
+        overwrite: Boolean): Boolean =
+      LocalLogStore.writeAtomic(path, body, overwrite)
+    def delete(path: java.nio.file.Path): Boolean = LocalLogStore.delete(path)
+    override def modifiedMillis(path: java.nio.file.Path): Option[Long] =
+      LocalLogStore.modifiedMillis(path)
+  }
+
+  test("minor log compactions: written at cadence, one GET replaces the " +
+    "compacted tail span, torn file falls back per-commit") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("ckpt-compact").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpointInterval" -> "20",
+        "graft.log.compactionInterval" -> "5"))
+    (1 to 27).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    // cadence: every 5th commit compacts the 5 commits ending there
+    def logNames() = {
+      val s = Files.list(t.log.logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    val compacted = logNames().filter(_.endsWith(".compacted.json")).sorted
+    compacted shouldBe Seq(1L -> 5L, 6L -> 10L, 11L -> 15L, 16L -> 20L, 21L -> 25L)
+      .map { case (s, e) => f"$s%020d.$e%020d.compacted.json" }
+    val reference = t.snapshot()
+    // pointer fast path with the range: _last_checkpoint GET + checkpoint
+    // GET + compacted [21,25] GET + v26 + v27 = 5 reads, ONE tail LIST
+    // (without the compaction the tail alone is 7 per-commit reads)
+    val counting = new CountingStore
+    val viaRange = new TxLog(t.dir, counting).snapshot()
+    counting.reads.get() shouldBe 5
+    counting.lists.get() shouldBe 1
+    viaRange.version shouldBe reference.version
+    viaRange.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaRange.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    viaRange.metadata shouldBe reference.metadata
+    // time travel INTO a compacted span (upTo=23 < range end 25): the
+    // range is unusable, per-commit replay still answers exactly
+    t.log.snapshot(Some(23L)).commits.map(_.version) shouldBe (0L to 23L)
+    // torn compacted file (cut at a line boundary: parses, count header
+    // disagrees) — resolution falls back to the per-commit files
+    val victim = t.log.logDir.resolve(f"${21L}%020d.${25L}%020d.compacted.json")
+    val lines = new String(Files.readAllBytes(victim), "UTF-8").split("\n").toSeq
+    lines.head should include("checkpointMeta")
+    Files.write(victim, lines.dropRight(2).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val viaFallback = LakeTable.forPath(spark, t.dir.toString).snapshot()
+    viaFallback.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaFallback.commits.map(_.version) shouldBe reference.commits.map(_.version)
+  }
+
+  test("minor log compactions serve the scan path (no checkpoint yet) and " +
+    "TRUNCATE HISTORY sweeps ranges starting below the boundary") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("ckpt-compact2").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpointInterval" -> "1000",
+        "graft.log.compactionInterval" -> "5"))
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    val reference = t.snapshot()
+    // no checkpoint exists: the scan path replays v0 + [1,5] + [6,10] +
+    // v11 + v12 = 5 reads (+1 failed _last_checkpoint probe), one LIST —
+    // versus 13 per-commit reads without the ranges
+    val counting = new CountingStore
+    val viaRanges = new TxLog(t.dir, counting).snapshot()
+    counting.reads.get() shouldBe 6
+    viaRanges.files.map(_.path).sorted shouldBe reference.files.map(_.path).sorted
+    viaRanges.commits.map(_.version) shouldBe reference.commits.map(_.version)
+    // truncate at 11: both fully-below ranges sweep; the boundary
+    // checkpoint + tail still resolve exactly
+    t.log.truncateBefore(11L)
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    val names = {
+      val s = Files.list(t2.log.logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    names.filter(_.endsWith(".compacted.json")) shouldBe empty
+    t2.read().count() shouldBe 12
+    t2.snapshot().commits.map(_.version) shouldBe reference.commits.map(_.version)
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

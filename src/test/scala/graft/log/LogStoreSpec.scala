@@ -279,6 +279,36 @@ class LogStoreSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("minor log compactions write, resolve, and truncate on every store") {
+    val stores: Seq[(String, LogStore, java.nio.file.Path)] = Seq(
+      ("local", LocalLogStore, Files.createTempDirectory("compact-local")),
+      ("mem", new InMemoryLogStore, java.nio.file.Paths.get("/compact/mem")),
+      ("s3", new S3LogStore(new S3ClientFake),
+        java.nio.file.Paths.get("/compact/s3")))
+    for ((name, store, dir) <- stores) withClue(s"store=$name: ") {
+      val log = new TxLog(dir, store)
+      log.commit(v => Seq(meta, ci(v, "CREATE", 0L)))
+      (1 to 9).foreach(i => log.commit(v => Seq(ci(v, s"APPEND-$i", i.toLong))))
+      log.writeCompacted(1L, 5L)
+      log.writeCompacted(6L, 9L)
+      // the compacted names never parse as commit versions
+      log.listVersions() shouldBe (0L to 9L)
+      log.latestVersion() shouldBe Some(9L)
+      // resolution through the ranges equals per-commit replay
+      val snap = log.snapshot()
+      snap.version shouldBe 9L
+      snap.commits.map(_.version) shouldBe (0L to 9L)
+      snap.commits.map(_.operation) shouldBe
+        ("CREATE" +: (1 to 9).map(i => s"APPEND-$i"))
+      // truncation sweeps ranges starting below the boundary; a range
+      // starting AT the boundary survives (its whole span is still live)
+      log.truncateBefore(6L)
+      store.listFileNames(log.logDir).filter(_.endsWith(".compacted.json")) shouldBe
+        Seq(f"${6L}%020d.${9L}%020d.compacted.json")
+      log.snapshot().commits.map(_.version) shouldBe (0L to 9L)
+    }
+  }
+
   test("writeAtomic(overwrite=false) is a true put-if-absent under racing writers") {
     val dir = Files.createTempDirectory("logstore-race")
     val target = dir.resolve("00000000000000000000.json")
