@@ -92,6 +92,7 @@ object SparkEntry {
     "q104_hybrid_rrf" -> (DataOps.hybridRetrieval _),
     "q105_cluster_balanced" -> (DataOps.clusterBalancedSample _),
     "q106_stratified_split" -> (DataOps.stratifiedSplitGate _),
+    "q107_bm25_indexed" -> (DataOps.bm25IndexedRetrieval _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

@@ -589,6 +589,26 @@ object DataOps {
       docs.filter(col("doc_id") % 50 === 0), k = 5)
   }
 
+  /** Persisted-BM25-index gate (q107): the corpus splits into a base
+    * build (doc_id % 7 ≠ 3 of the non-queries) and an appended batch
+    * (doc_id % 7 = 3) — the batch tokenizes WITHOUT re-touching the base
+    * — then the every-50th queries probe the bucket-partitioned index at
+    * NON-default parameters (k1=1.5, b=0.4), so the micro-unit discipline
+    * is gated under parameter variation too. The oracle replays Okapi
+    * over the logical union corpus; index search is score-identical to
+    * the direct scan by construction (pinned in Bm25IndexSpec). */
+  def bm25IndexedRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 7 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("bm25index")
+      .resolve("t").toString
+    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 16)
+    TextAnalysis.appendBm25Batch(idx, batch)
+    TextAnalysis.bm25SearchIndex(idx,
+      docs.filter(col("doc_id") % 50 === 0), k = 5, k1 = 1.5, b = 0.4)
+  }
+
   /** Exact stratified split gate (q106): per-source splits with exactly
     * floor(0.8·n) train rows per stratum — the small-stratum guarantee
     * the expectation-only hash split cannot give. The oracle replays the
@@ -1035,6 +1055,36 @@ object DataOps {
                ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
                ((dt.tf * (1.2 + 1)) /
                 (dt.tf + 1.2 * (0.25 + 0.75 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM qe JOIN dt USING (term) JOIN dfr USING (term)
+           JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id,
+             ROUND(SUM(micro) / 1000000.0, 6) AS score FROM ms GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5""",
+    // the q103 machinery probed through the PERSISTED index (base build +
+    // appended batch = the same logical corpus) at NON-default k1=1.5 /
+    // b=0.4 — the oracle replays Okapi over the union corpus; (1.5 + 1)
+    // and (1 - 0.4 + ...) are written as the arithmetic Spark folds so
+    // both engines produce bit-identical IEEE constants
+    "q107_bm25_indexed" ->
+      s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
+         qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
+           FROM documents WHERE doc_id % 50 = 0),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM c) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(tk)) AS BIGINT) AS total FROM c),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         qe AS (SELECT query_id, unnest(qt) AS term FROM qdocs),
+         ms AS (SELECT qe.query_id, dt.doc_id,
+             CAST(FLOOR(
+               ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+               ((dt.tf * (1.5 + 1)) /
+                (dt.tf + 1.5 * (1 - 0.4 + 0.4 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
                * 1000000 + 0.5) AS BIGINT) AS micro
            FROM qe JOIN dt USING (term) JOIN dfr USING (term)
            JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),

@@ -415,23 +415,46 @@ object TextAnalysis {
       b: Double = 0.75,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tok = corpus.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-    val dt = tok
-      .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
-        explode(col("tk")).as("term"))
-      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-    val (n, total) = {
-      val r = tok.agg(count(lit(1)), sum(size(col("tk")).cast("long"))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val avg = total.toDouble / n // IEEE division: identical in any engine
-    val qe = queries.select(col(idCol).as("query_id"),
-      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dt = postingsOf(corpus, idCol, textCol)
+    val (n, total) = corpusLenStats(corpus, textCol)
+    val qe = queryTerms(queries, idCol, textCol)
     // df for QUERY TERMS ONLY: the broadcast semi-filter sits below the
     // term-level count, so the Zipf-skewed full-vocabulary aggregate never
     // runs; the result is ≤ |distinct query terms| rows and broadcasts.
     val dfQ = dt.join(broadcast(qe.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
+    okapiTopK(dt, qe, dfQ, n, total, k, k1, b)
+  }
+
+  /** Postings frame for one document set: (doc_id, len, term, tf). The
+    * document length rides on every posting so scoring never joins a
+    * corpus-sized doc table. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+
+  /** (doc count, total token length) — a 1-row aggregate. Token-less docs
+    * count toward N (they are part of the collection BM25 ranks over). */
+  private def corpusLenStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.select(tokens(col(textCol)).as("tk"))
+      .agg(count(lit(1)), coalesce(sum(size(col("tk")).cast("long")), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+
+  /** Shared Okapi scorer over a postings frame: per-(query, doc, term)
+    * partial scores in integer MICRO-units (exact, fold-order-free),
+    * broadcast query/df joins, per-query top-k window. */
+  private def okapiTopK(
+      dt: DataFrame, qe: DataFrame, dfQ: DataFrame,
+      n: Long, total: Long, k: Int, k1: Double, b: Double): DataFrame = {
+    val avg = total.toDouble / n // IEEE division: identical in any engine
     val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val tfn = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avg))
@@ -445,6 +468,95 @@ object TextAnalysis {
     sc.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Persisted BM25 inverted index as a graft lake table — the lexical
+    * counterpart of [[graft.similarity.Similarity.buildIvfIndex]], and
+    * the incremental-corpus shape of the fingerprint/shingle dedup
+    * indexes: the corpus is tokenized ONCE at build, each new batch
+    * appends its own postings without re-tokenizing anything, and
+    * queries probe the index only.
+    *
+    * Layout: one row per (doc, term) posting carrying the document
+    * length, PARTITIONED by `bucket = pmod(hash(term), buckets)` — a
+    * query's terms resolve to their buckets and the scan reads only
+    * those partitions' files (partition pruning), so search IO is
+    * O(matching buckets), never a corpus or full-index scan. Corpus
+    * stats (doc count, total token length) live in table properties,
+    * updated transactionally with each batch; document frequencies are
+    * computed AT QUERY TIME from the already-pruned probe — a term's
+    * postings live wholly inside its bucket, so the pruned df equals
+    * the full-corpus df, and a materialized df table would need a MERGE
+    * per batch while saving nothing the probe has not already read. */
+  def buildBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 64): graft.table.LakeTable = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val post = postingsOf(corpus, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+    val (n, total) = corpusLenStats(corpus, textCol)
+    val t = graft.table.LakeTable.create(spark, dir, post.schema,
+      partitionColumns = Seq("bucket"),
+      properties = Map(
+        "graft.bm25.buckets" -> buckets.toString,
+        "graft.bm25.numDocs" -> n.toString,
+        "graft.bm25.totalLen" -> total.toString),
+      ifNotExists = false)
+    t.append(post)
+    t
+  }
+
+  /** Append a new document batch to a [[buildBm25Index]] table: only the
+    * BATCH tokenizes; its postings land in the same hash buckets (the
+    * stored bucket count pins the layout) and the corpus stats advance.
+    * Two commits (postings, then stats) — a crash between them leaves
+    * the stats one batch stale, which skews avgdl slightly until the
+    * re-run completes; postings themselves are never torn. */
+  def appendBm25Batch(
+      index: graft.table.LakeTable,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val props = index.properties
+    val buckets = props("graft.bm25.buckets").toInt
+    val post = postingsOf(batch, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+    val (n, total) = corpusLenStats(batch, textCol)
+    index.append(post)
+    index.setProperties(Map(
+      "graft.bm25.numDocs" -> (props("graft.bm25.numDocs").toLong + n).toString,
+      "graft.bm25.totalLen" -> (props("graft.bm25.totalLen").toLong + total).toString)): Unit
+  }
+
+  /** Search a [[buildBm25Index]] table: query terms hash to their buckets
+    * (a bounded driver-side list, like the IVF probed-cell collect), the
+    * postings scan prunes to those partitions, df aggregates over the
+    * pruned probe, and the shared micro-unit Okapi scorer ranks. Scores
+    * are identical to [[bm25TopK]] over the same logical corpus. */
+  def bm25SearchIndex(
+      index: graft.table.LakeTable,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val props = index.properties
+    val n = props("graft.bm25.numDocs").toLong
+    val total = props("graft.bm25.totalLen").toLong
+    val buckets = props("graft.bm25.buckets").toInt
+    val qe = queryTerms(queries, idCol, textCol).persist()
+    val probed = qe.select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = index.toDf.filter(col("bucket").isin(probed: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("len"))
+    val dfQ = post.join(broadcast(qe.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    okapiTopK(post, qe, dfQ, n, total, k, k1, b)
   }
 
   /** Fixed-width character chunking with overlap — the document→context

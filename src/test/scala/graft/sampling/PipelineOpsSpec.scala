@@ -342,6 +342,68 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted BM25 index: build + incremental append is score-identical " +
+    "to the direct scan at non-default k1/b") {
+    val base = (
+      Seq((1L, "apple banana"), (2L, "apple apple apple apple apple"),
+        (3L, "cherry banana"), (4L, "apple pear"), (5L, "apple plum")) ++
+        (6 until 20).map(i => (i.toLong, s"apple filler$i"))
+      ).toDF("doc_id", "text")
+    val batch = Seq((20L, "cherry plum"), (21L, "banana cherry cherry"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry"), (101L, "banana plum"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx").resolve("t").toString
+    val idx = graft.text.TextAnalysis.buildBm25Index(spark, dir, base, buckets = 8)
+    graft.text.TextAnalysis.appendBm25Batch(idx, batch)
+    // non-default parameters: the micro-unit discipline must hold under
+    // parameter variation, not just the k1=1.2/b=0.75 defaults q103 pins
+    val viaIndex = graft.text.TextAnalysis
+      .bm25SearchIndex(idx, queries, k = 4, k1 = 1.5, b = 0.4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val direct = graft.text.TextAnalysis
+      .bm25TopK(base.union(batch), queries, k = 4, k1 = 1.5, b = 0.4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    viaIndex shouldBe direct
+    // the appended docs are live (cherry-rich doc 21 wins the cherry query)
+    viaIndex.filter(_._1 == 100L).head._2 shouldBe 21L
+  }
+
+  test("persisted BM25 index search reads ONLY the probed buckets' files") {
+    val corpus = (0 until 64)
+      .map(i => (i.toLong, s"alpha w$i x${i % 7} y${i % 3} z${i % 5}"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx-prune").resolve("t").toString
+    val idx = graft.text.TextAnalysis.buildBm25Index(spark, dir, corpus, buckets = 16)
+    val all = idx.toDf.inputFiles
+    all.length should be >= 16 // one+ file per populated bucket partition
+    val out = graft.text.TextAnalysis.bm25SearchIndex(idx,
+      Seq((900L, "alpha")).toDF("doc_id", "text"), k = 3)
+    out.count() shouldBe 3
+    // the single-term query resolves to ONE bucket; the pruned file-index
+    // path (what bm25SearchIndex's toDf.filter hits at execution through
+    // GraftFileIndex.listFiles) reads only that bucket's files — the
+    // corpus parquet is never rescanned (index files only by construction)
+    val bucket = Seq("alpha").toDF("term")
+      .select(pmod(hash(col("term")), lit(16))).collect()(0).getInt(0)
+    val pruned = idx.read(Seq(col("bucket") === bucket)).inputFiles
+    pruned.length should be >= 1
+    pruned.length should be < all.length
+    pruned.foreach(_ should include(s"bucket=$bucket"))
+  }
+
+  test("rrfFuse at non-default rrfK: nano-unit sums replay exactly") {
+    val sysA = Seq((9L, 1L, 1), (9L, 5L, 2), (9L, 2L, 3)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((9L, 3L, 1), (9L, 5L, 2), (9L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = graft.similarity.Similarity.rrfFuse(Seq(sysA, sysB), k = 3, rrfK = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // smaller rrfK weights top ranks harder; consensus doc 5 still wins:
+    // 2 * floor(1e9/12 + 0.5) vs doc 1's floor(1e9/11 + 0.5)
+    out.map(_._2) shouldBe Array(5L, 1L, 3L)
+    out.head._3 shouldBe (math.floor(1e9 / 12 + 0.5) * 2 / 1e9) +- 1e-12
+    out(1)._3 shouldBe (math.floor(1e9 / 11 + 0.5) / 1e9) +- 1e-12
+  }
+
   test("stratifiedSplit: EXACT floor(f*n) train rows in every stratum, deterministic") {
     // small uneven strata — exactly where the expectation-only hash split
     // misses its fraction
