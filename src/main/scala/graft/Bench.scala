@@ -58,8 +58,28 @@ object Bench {
     d
   }
 
+  /** Host-contention snapshot: 1-minute loadavg (from /proc/loadavg) and
+    * the machine's running-process count, recorded at bench start AND end
+    * and emitted in the result JSON. Rationale: the r10 driver run billed
+    * untouched queries 2–7× their r9 times while every plan-shape metric
+    * stayed bit-identical — pure host contention — and the only evidence
+    * was circumstantial. With load in the JSON, a contended run flags
+    * itself. Best-effort: absent /proc (non-Linux) emits nulls. */
+  private def hostLoad(): (Double, Long) = {
+    val load =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => Double.NaN }
+    val procs =
+      try Files.list(java.nio.file.Paths.get("/proc")).iterator().asScala
+        .count(p => p.getFileName.toString.forall(_.isDigit)).toLong
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    (load, procs)
+  }
+
   def main(args: Array[String]): Unit = {
     val runTmp = claimRunTmpdir()
+    val loadStart = hostLoad()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // child mode (SPARK_GRAFT_OPS_CHILD=1): this JVM was forked by a parent
@@ -182,7 +202,7 @@ object Bench {
         runOpsInline(spark, sfDir)
       }
 
-    emitResult(results, ops, sfDir, spark, runTmp)
+    emitResult(results, ops, sfDir, spark, runTmp, loadStart, hostLoad())
   }
 
   /** The BASELINE.md ops sections, measured in THIS JVM. Called directly in
@@ -591,7 +611,9 @@ object Bench {
       ops: scala.collection.Map[String, Double],
       sfDir: String,
       spark: SparkSession,
-      runTmp: java.nio.file.Path): Unit = {
+      runTmp: java.nio.file.Path,
+      loadStart: (Double, Long),
+      loadEnd: (Double, Long)): Unit = {
 
     // Locale.ROOT everywhere: a non-English default locale would format
     // decimal commas ("52,19") and break the machine-parsed JSON
@@ -615,8 +637,15 @@ object Bench {
     // the run tmpdir is entirely this run's scratch; leave the machine clean
     try graft.log.TxLog.deleteRecursively(runTmp)
     catch { case scala.util.control.NonFatal(_) => }
+    // contention self-flagging (see hostLoad): loadavg + process count at
+    // start/end ride both lines; a run billed at 2× with load >> ncpu is
+    // machine noise, not a regression, without needing a re-run to prove it
+    val loadJson = {
+      def p(l: (Double, Long)) = s"""[${jnum(l._1)},${l._2}]"""
+      s""""load":{"start":${p(loadStart)},"end":${p(loadEnd)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
+    }
     // same sf spelling on both lines (full path kept as sf_dir for humans)
-    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir"}""")
+    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir",$loadJson}""")
     // final line: every query plus the BASELINE.md-comparable ops, sized to
     // fit the tail window with ~200 chars to spare for the sbt epilogue
     val headline = Seq(
@@ -654,12 +683,12 @@ object Bench {
       val qsShort = results.map { case (k, v) =>
         s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort",$loadJson}"""
     }
     // degrade in steps, keeping per-query timings as long as possible:
     // full precision -> coarse queries -> essential ops -> ops only
     val opsOnlyLine =
-      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":{},"ops":$headline,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":{},"ops":$headline,"sf":"$sfShort",$loadJson}"""
     val line = Seq(finalLine("%.2f", headline), finalLine("%.1f", headline),
         finalLine("%.1f", essentialHeadline))
       .find(_.length <= 1750)

@@ -93,6 +93,7 @@ object SparkEntry {
     "q105_cluster_balanced" -> (DataOps.clusterBalancedSample _),
     "q106_stratified_split" -> (DataOps.stratifiedSplitGate _),
     "q107_bm25_indexed" -> (DataOps.bm25IndexedRetrieval _),
+    "q108_bm25_dfcapped" -> (DataOps.bm25DfCappedRetrieval _),
     "q92_video_fingerprint" -> (DataOps.videoFingerprint _),
     "q93_ulaw_fingerprint" -> (DataOps.ulawFingerprint _),
     "q80_matryoshka" -> (DataOps.matryoshka _),

@@ -601,12 +601,77 @@ object DataOps {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 7 =!= 3)
     val batch = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 7 === 3)
-    val dir = java.nio.file.Files.createTempDirectory("bm25index")
-      .resolve("t").toString
-    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 16)
-    TextAnalysis.appendBm25Batch(idx, batch)
+    val dir = cachedIndexDir(spark, sfDir, "bm25", { d =>
+      val idx = TextAnalysis.buildBm25Index(spark, d, base, buckets = 16)
+      // fixed batchId: on a reused cached index the re-append is a NO-OP
+      // (idempotency ledger) instead of silently duplicating postings
+      TextAnalysis.appendBm25Batch(idx, batch, batchId = Some("gate-q107"))
+    })
+    val idx = graft.table.LakeTable.forPath(spark, dir)
+    // the append replays against the cached index too — proving the
+    // ledger no-op in the exact production shape (a second run must not
+    // double df or stats)
+    TextAnalysis.appendBm25Batch(idx, batch, batchId = Some("gate-q107"))
     TextAnalysis.bm25SearchIndex(idx,
       docs.filter(col("doc_id") % 50 === 0), k = 5, k1 = 1.5, b = 0.4)
+  }
+
+  /** Df-capped persisted-BM25 gate (q108): the same indexed-search recipe
+    * with stopword pruning at build — terms whose df over the indexed
+    * corpus exceeds cap = 3·N/4 (integer arithmetic, engine-portable)
+    * are dropped from the index and from scoring; doc lengths still count
+    * capped tokens. The oracle recomputes the capped set and excludes the
+    * same terms, so a pass proves the cap semantics, not just plumbing. */
+  def bm25DfCappedRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 50 =!= 0)
+    val cap = 3L * base.count() / 4L
+    val dir = cachedIndexDir(spark, sfDir, s"bm25cap$cap", { d =>
+      TextAnalysis.buildBm25Index(spark, d, base, buckets = 16, dfCap = cap): Unit
+    })
+    TextAnalysis.bm25SearchIndex(graft.table.LakeTable.forPath(spark, dir),
+      docs.filter(col("doc_id") % 50 === 0), k = 5)
+  }
+
+  /** Content-keyed persisted-index cache under the process tmpdir (the
+    * q68 pattern): the key hashes sfDir + the documents file's size/mtime,
+    * so the same data reuses one index across gate invocations instead of
+    * accumulating a fresh temp directory per call (and a data change
+    * rebuilds). Race-safe: build into private staging, publish with one
+    * atomic rename. Driver-local tmp is fine — the gates run local-mode
+    * by contract; a cluster deployment passes explicit table paths. */
+  private def cachedIndexDir(
+      spark: SparkSession, sfDir: String, kind: String,
+      build: String => Unit): String = {
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val sig = scala.util.Try(
+      java.nio.file.Files.size(src) + ":" +
+        java.nio.file.Files.getLastModifiedTime(src).toMillis).getOrElse("na")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + "#" + kind + "#" + sig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = tmpRoot.resolve(s"graft-$kind-$key")
+    val dir = root.resolve("t").toString
+    // half-built (create landed, append didn't) must rebuild: the build
+    // closure's LAST commit defines usability via the table version
+    def usable = graft.table.LakeTable.isTable(dir) &&
+      graft.table.LakeTable.forPath(spark, dir).version >= 1
+    if (!usable) {
+      val staging = java.nio.file.Files.createTempDirectory(
+        tmpRoot, s"graft-$kind-build-")
+      build(staging.resolve("t").toString)
+      graft.log.TxLog.deleteRecursively(root)
+      try java.nio.file.Files.move(staging, root,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          graft.log.TxLog.deleteRecursively(staging)
+      }
+    }
+    dir
   }
 
   /** Exact stratified split gate (q106): per-source splits with exactly
@@ -1088,6 +1153,37 @@ object DataOps {
                * 1000000 + 0.5) AS BIGINT) AS micro
            FROM qe JOIN dt USING (term) JOIN dfr USING (term)
            JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id,
+             ROUND(SUM(micro) / 1000000.0, 6) AS score FROM ms GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5""",
+    // df-capped (stopword-pruned) indexed BM25: terms whose df over the
+    // indexed corpus exceeds cap = 3·N/4 (integer floor division — both
+    // engines compute the identical BIGINT) are absent from the index and
+    // from scoring; doc lengths still count capped tokens, so avgdl is
+    // cap-independent. Everything else is the q103 Okapi micro-unit recipe
+    "q108_bm25_dfcapped" ->
+      s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
+         qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
+           FROM documents WHERE doc_id % 50 = 0),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM c) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(tk)) AS BIGINT) AS total FROM c),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         qe AS (SELECT query_id, unnest(qt) AS term FROM qdocs),
+         ms AS (SELECT qe.query_id, dt.doc_id,
+             CAST(FLOOR(
+               ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+               ((dt.tf * (1.2 + 1)) /
+                (dt.tf + 1.2 * (0.25 + 0.75 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM qe JOIN dt USING (term) JOIN dfr USING (term)
+           JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st
+           WHERE dfr.df <= (3 * st.n) // 4),
          sc AS (SELECT query_id, doc_id,
              ROUND(SUM(micro) / 1000000.0, 6) AS score FROM ms GROUP BY 1, 2),
          rk AS (SELECT *, CAST(ROW_NUMBER() OVER

@@ -402,6 +402,21 @@ class TxLog(val tableDir: Path, val store: LogStore = LogStore.default) {
     store.writeAtomic(compactedFile(s, e), body, overwrite = true): Unit
   }
 
+  /** [[writeCompacted]] with the start clamped to the oldest SURVIVING
+    * version — the post-TRUNCATE-HISTORY shape: the natural cadence range
+    * `[v-n+1, v]` can start below the truncation boundary, where the
+    * per-commit files no longer exist and the plain write throws. Clamping
+    * keeps the cadence productive immediately after a truncate instead of
+    * silently skipping every Nth commit until the window clears the
+    * boundary. Degenerate results (≤ 1 surviving commit in range, or no
+    * clamp needed — the plain write already failed for another reason)
+    * skip: one range GET replacing one per-commit GET buys nothing. */
+  def writeCompactedClamped(s: Long, e: Long): Unit = {
+    val oldest = listVersions().minOption
+    val start = oldest.map(m => math.max(s, m)).getOrElse(s)
+    if (start > s && start < e) writeCompacted(start, e)
+  }
+
   /** Read + validate the compacted range `[s, e]`: the count header must
     * match (a prefix cut at a line boundary parses cleanly but is
     * incomplete), else throw — callers fall back to per-commit replay. */

@@ -187,6 +187,48 @@ object StreamIngest {
     (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
   }
 
+  /** BM25-index-at-ingest — the production shape for a continuously
+    * ingested searchable corpus: each micro-batch appends to BOTH the
+    * corpus table and the persisted BM25 inverted index
+    * ([[graft.text.TextAnalysis.buildBm25Index]]) inside the same
+    * foreachBatch, so the next search sees it. Only the batch tokenizes —
+    * the corpus is never re-read.
+    *
+    * Exactly-once: the corpus append rides the (txnAppId, epochId) ledger
+    * ([[LakeTable.appendStream]]); the index append rides the SAME epoch
+    * through [[graft.text.TextAnalysis.appendBm25Batch]]'s batchId — one
+    * atomic commit carrying postings AND the corpus-stats property
+    * advance, so a replayed epoch no-ops on both tables and the stats
+    * advance exactly once. A crash between the two appends replays into
+    * "corpus no-op + index append" and converges.
+    *
+    * Scale: per batch one tokenize + one bucket-partitioned append;
+    * search cost is unchanged (partition-pruned probe). */
+  def startBm25Ingest(
+      source: DataFrame,
+      corpus: LakeTable,
+      index: LakeTable,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: StreamConfig = StreamConfig(),
+      queryName: String = ""): StreamingQuery = {
+    val appId = txnAppIdFor(checkpointDir)
+    val w = source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(config.trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          corpus.appendStream(b, s"$appId-corpus", epochId)
+          graft.text.TextAnalysis.appendBm25Batch(index, b, idCol, textCol,
+            batchId = Some(s"$appId-index"), batchVersion = epochId)
+        } finally { b.unpersist(): Unit }
+      }
+    (if (queryName.nonEmpty) w.queryName(queryName) else w).start()
+  }
+
   /** Auto Loader schema-location parity (cloudFiles.schemaLocation +
     * inferColumnTypes, notebooks/01_bronze_ingestion.py:213-214): infer the
     * schema from the files present, persist it under `schemaLocation`, and

@@ -35,7 +35,7 @@ class GraftParser(spark: SparkSession, delegate: ParserInterface) extends Parser
   private val restoreCmd =
     """(?is)\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+\d+|TIMESTAMP\s+AS\s+OF\s+'[^']+')\s*""".r
   private val generateCmd =
-    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
+    """(?is)\s*GENERATE\s+(?:symlink_format_manifest|uniform_iceberg)\s+FOR\s+TABLE\s+(\S+)\s*""".r
   // SHOW PARTITIONS is valid Spark grammar (unlike the statements above),
   // so it is intercepted ONLY when the target resolves to a graft table —
   // hive/parquet tables keep Spark's own implementation

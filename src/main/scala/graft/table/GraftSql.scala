@@ -49,7 +49,7 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
   private val reorgCmd =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val generateCmd =
-    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*""".r
+    """(?is)\s*GENERATE\s+(symlink_format_manifest|uniform_iceberg)\s+FOR\s+TABLE\s+(\S+)\s*""".r
   private val vacuumCmd =
     """(?is)\s*VACUUM\s+(\S+?)(\s+LITE)?(?:\s+USING\s+INVENTORY\s+\((.+)\))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val cloneCmd =
@@ -404,8 +404,10 @@ class GraftSql(spark: SparkSession, resolve: String => LakeTable) {
     case convertCmd(path) =>
       val t = LakeTable.convert(spark, unquote(path))
       oneRow("location" -> t.dir.toString, "version" -> t.version)
-    case generateCmd(t) =>
-      oneRow("manifest" -> table(t).generateSymlinkManifest().toString)
+    case generateCmd(mode, t) =>
+      if (mode.equalsIgnoreCase("uniform_iceberg"))
+        oneRow("manifest" -> table(t).generateIcebergMetadata().toString)
+      else oneRow("manifest" -> table(t).generateSymlinkManifest().toString)
     case setProps(t, body) =>
       val v = table(t).setProperties(parseProps(body))
       oneRow("version" -> v)

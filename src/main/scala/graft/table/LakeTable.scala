@@ -34,7 +34,7 @@ import graft.log._
 class LakeTable private[table] (
     val spark: SparkSession,
     val dir: Path) extends DmlSupport with MaintenanceSupport with CdfSupport
-    with RowTrackingSupport {
+    with RowTrackingSupport with UniformSupport {
 
   val log = new TxLog(dir)
 
@@ -372,6 +372,60 @@ class LakeTable private[table] (
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Append + table-property update in ONE atomic commit — the shape for a
+    * persisted-index batch append, where the data (postings) and the
+    * aggregate metadata it implies (corpus stats) must never be observable
+    * separately: a reader either sees neither or both, and a crash between
+    * them is impossible by construction.
+    *
+    * The property map is RECOMPUTED from the fresh snapshot inside the CAS
+    * retry loop, so a read-modify-write delta (`counter -> old + n`)
+    * survives a lost race with a concurrent appender instead of clobbering
+    * its update (the classic lost-update CAS alone does not prevent).
+    *
+    * Optional (txnAppId, txnVersion) rides the same idempotency ledger as
+    * [[appendStream]]: a replayed (app, version) no-ops entirely — the data
+    * is never double-appended and the properties never double-advance. The
+    * ledger check re-runs against the fresh snapshot inside the retry loop,
+    * so a lost CAS race with the replayed twin cannot double-commit.
+    *
+    * Identity columns are not allocated here (an index table has none);
+    * schema evolution is strict. */
+  def appendWithProps(
+      df: DataFrame,
+      props: Snapshot => Map[String, String],
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): Long = {
+    require(identityColumns.isEmpty,
+      s"appendWithProps does not allocate identity columns (table $dir has some)")
+    def replayed(s: Snapshot): Boolean = (txnAppId, txnVersion) match {
+      case (Some(a), Some(v)) => lastTxnVersion(s, a).exists(_ >= v)
+      case _ => false
+    }
+    val snap = snapshot()
+    if (replayed(snap)) return snap.version
+    val target = snap.schema
+    val adds = stageIngestWrite(align(df, target, strict = true),
+      snap.metadata.partitionColumns)
+    val params = Map("mode" -> "Append") ++
+      txnAppId.map("txnAppId" -> _) ++ txnVersion.map(v => "txnVersion" -> v.toString)
+    try {
+      commitWithRetry("WRITE", params, snap) { s =>
+        if (replayed(s)) throw new LakeTable.EpochAlreadyCommitted
+        if (s.schema != target)
+          throw new java.util.ConcurrentModificationException(
+            s"append conflicts with a concurrent schema change on $dir")
+        val normalized = LakeTable.normalizeProps(props(s))
+        val meta = s.metadata.copy(properties = s.metadata.properties ++ normalized)
+        val proto = graft.log.Protocol.merge(s.protocol,
+          LakeTable.impliedFeatures(meta.properties))
+        (if (proto == s.protocol) Seq(meta) else Seq(proto, meta)) ++ adds
+      }
+    } catch {
+      case _: LakeTable.EpochAlreadyCommitted => snapshot().version
+    }
   }
 
   /** Idempotent batch file loading — Delta's COPY INTO. Every source file
@@ -1099,9 +1153,12 @@ class LakeTable private[table] (
         // delta.checkpointInterval; default 10) so snapshot resolution
         // stays O(interval) regardless of table history (best effort —
         // replay still works)
-        val interval = snap.metadata.properties
+        // cadence properties come from rtProps — THIS commit's metadata when
+        // it carries one — so SET TBLPROPERTIES of an interval takes effect
+        // from its own commit, not the one after
+        val interval = rtProps
           .get("graft.checkpointInterval")
-          .orElse(snap.metadata.properties.get("delta.checkpointInterval"))
+          .orElse(rtProps.get("delta.checkpointInterval"))
           .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
           .getOrElse(10)
         if (v > 0 && v % interval == 0)
@@ -1113,13 +1170,22 @@ class LakeTable private[table] (
         // compact behind one GET (graft.log.compactionInterval, also
         // delta.logCompaction.interval; 0/absent = off). Best effort —
         // per-commit files stay the source of truth.
-        val compactEvery = snap.metadata.properties
+        val compactEvery = rtProps
           .get("graft.log.compactionInterval")
-          .orElse(snap.metadata.properties.get("delta.logCompaction.interval"))
+          .orElse(rtProps.get("delta.logCompaction.interval"))
           .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1)
-        if (compactEvery.exists(n => v >= n && v % n == 0))
-          try log.writeCompacted(v - compactEvery.get + 1, v)
-          catch { case scala.util.control.NonFatal(_) => }
+        if (compactEvery.exists(n => v >= n && v % n == 0)) {
+          val s0 = v - compactEvery.get + 1
+          try log.writeCompacted(s0, v)
+          catch { case scala.util.control.NonFatal(_) =>
+            // after TRUNCATE HISTORY the natural range can start below the
+            // boundary (its per-commit files are gone): retry clamped to
+            // the oldest surviving version instead of silently skipping
+            // every cadence hit until the window clears the boundary
+            try log.writeCompactedClamped(s0, v)
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        }
         return v
       }
       attempts += 1
@@ -1845,10 +1911,12 @@ class LakeTable private[table] (
         // the O(#files)/O(log) classification sets ride to executors in
         // the task closure and only the DOOMED list (bounded by actual
         // deletions) comes back. Deletion then runs from that
-        // MATERIALIZED list on the driver: the commit metadata and the
-        // return value force the collect anyway, so a distributed delete
-        // pass buys nothing and would re-evaluate the classification
-        // (post-deletion!) on any cache eviction.
+        // MATERIALIZED list via a bounded driver thread pool
+        // (parallelDelete): collecting first keeps classification
+        // strictly before deletion (a distributed delete over the lazy
+        // frame would re-evaluate it post-deletion on cache eviction),
+        // and the pool keeps a millions-of-objects sweep at minutes, not
+        // serial-driver hours.
         case Some(inv) =>
           val hasMtime = inv.columns.contains("modificationTime")
           // Without inventory mtimes the orphan-age clause stats files
@@ -1911,13 +1979,45 @@ class LakeTable private[table] (
           }
       }
     if (!dryRun) {
-      doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      parallelDelete(doomed)
       commitWithRetry("VACUUM", Map("retainHours" -> effectiveHours.toString,
         "mode" -> (if (lite) "LITE" else "FULL"),
         "usingInventory" -> inventory.isDefined.toString,
         "numDeletedFiles" -> doomed.size.toString), snapshot())(_ => Nil)
     }
     doomed
+  }
+
+  /** Storage deletes from the MATERIALIZED doomed list, issued from a
+    * bounded driver thread pool instead of one serial loop: a retention
+    * sweep on a 100 TB table dooms millions of objects, and object-store
+    * deletes are ~50 ms round trips — one driver thread is hours, 32-wide
+    * is minutes. Classification stays strictly BEFORE deletion (the list
+    * is already collected — the r10 fix), so nothing can re-evaluate the
+    * doomed set mid-delete. Driver-side by design: deletes go through the
+    * same filesystem view the transaction log writes through, with no
+    * executor-storage-visibility assumption (the same reason the log's own
+    * IO is driver-issued). Small sweeps (≤ 32 paths) stay inline — a pool
+    * would cost more than it saves. Returns the pool width used (pinned in
+    * LakeTableSpec). */
+  private[table] def parallelDelete(paths: Seq[String]): Int = {
+    val width = if (paths.size <= 32) 1 else 32
+    if (width == 1) {
+      paths.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      return 1
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+    try {
+      val chunk = (paths.size + width - 1) / width
+      val futures = paths.grouped(chunk).map { part =>
+        pool.submit(new Runnable {
+          def run(): Unit = part.foreach(p => Files.deleteIfExists(Paths.get(p)))
+        })
+      }.toSeq
+      try futures.foreach(_.get())
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    } finally { pool.shutdown(): Unit }
+    width
   }
 
   /** CLONE (M11, src/delta_utils.py:79-105). Shallow = new log referencing

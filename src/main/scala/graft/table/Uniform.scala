@@ -1,0 +1,412 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.types._
+
+import graft.log.{AddFile, ColumnIds}
+
+/** UniForm-style Iceberg metadata export (Delta 3.x "UniForm": Iceberg
+  * metadata materialized over the live Delta snapshot so Iceberg-reading
+  * engines — Trino, Spark-Iceberg, DuckDB iceberg, BigQuery — consume the
+  * SAME parquet files with zero data copies; the reference's tables get
+  * this from the Databricks platform). This is the GENERATE analogue for
+  * modern engines: [[MaintenanceSupport.generateSymlinkManifest]] serves
+  * Hive-connector readers, this serves Iceberg readers.
+  *
+  * Layout (Iceberg HadoopTables convention, format-version 2):
+  * {{{
+  *   <table>/metadata/v<N>.metadata.json    table metadata + current snapshot
+  *   <table>/metadata/version-hint.text     N (the HadoopCatalog pointer)
+  *   <table>/metadata/snap-<id>.avro        manifest LIST (Avro, field-ids)
+  *   <table>/metadata/<uuid>-m0.avro        manifest (Avro, one entry/file)
+  * }}}
+  *
+  * Each export is METADATA-ONLY over the live snapshot: one manifest
+  * carrying every live data file (absolute path, record count, byte size,
+  * typed partition tuple), one manifest list, one metadata JSON naming them
+  * as the current snapshot — and one graft commit recording the export in
+  * DESCRIBE HISTORY. Data files are never touched. Exports keep only the
+  * CURRENT snapshot in the metadata (the expire-snapshots shape): time
+  * travel stays the transaction log's job; the Iceberg view is "the live
+  * table, now".
+  *
+  * Like GENERATE (and like Delta UniForm, which materializes DVs via
+  * Iceberg delete files this engine does not emit), tables with live
+  * deletion vectors REFUSE — an Iceberg reader of the manifest would
+  * resurrect masked rows. Run REORG APPLY (PURGE) first.
+  *
+  * Field ids: a column-mapped table exports its REAL parquet field ids
+  * (Iceberg resolves columns by id, so by-id reads line up with the bytes);
+  * unmapped tables export ordinal ids 1..n, matching parquet column order.
+  * Nested types get deterministic ids above the top-level range.
+  *
+  * Concurrency: manifest + list land under fresh UUID names, then
+  * `v<N>.metadata.json` publishes via CREATE_NEW (bumping N on collision),
+  * then `version-hint.text` swaps atomically — two racing exports serialize
+  * on the metadata version file and both leave a complete, consistent view.
+  *
+  * At 100 TB the export is one pass over the log's AddFiles (driver
+  * metadata work, no Spark job) and writes O(live files) manifest rows —
+  * the same cost class as a checkpoint write.
+  */
+trait UniformSupport { self: LakeTable =>
+
+  /** Export Iceberg metadata for the current snapshot; returns the
+    * `v<N>.metadata.json` path. */
+  def generateIcebergMetadata(): Path = {
+    val snap = snapshot()
+    require(snap.dvs.isEmpty,
+      "GENERATE uniform_iceberg is not supported with live deletion vectors " +
+        "(an Iceberg manifest reader cannot apply row masks) — run REORG APPLY (PURGE) first")
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+
+    val schema = snap.schema
+    val pcols = snap.metadata.partitionColumns
+    val ids = Uniform.fieldIds(schema)
+    val icebergSchemaJson = Uniform.schemaJson(schema, ids)
+    val specJson = Uniform.partitionSpecJson(pcols, ids)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val seq = snap.version + 1 // strictly increasing with the table
+
+    // ---- manifest (one Avro entry per live data file) ----
+    val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestPath = metaDir.resolve(manifestName)
+    val entrySchema = Uniform.manifestEntrySchema(schema, pcols, ids)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    writer.setMeta("schema", icebergSchemaJson)
+    writer.setMeta("schema-id", "0")
+    writer.setMeta("partition-spec", specJson)
+    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "data")
+    writer.create(entrySchema, manifestPath.toFile)
+    var totalRows = 0L
+    try snap.files.foreach { f =>
+      val part = new GenericData.Record(partSchema)
+      pcols.foreach { c =>
+        part.put(c, Uniform.partitionValue(
+          f.partitionValues.getOrElse(c, null),
+          schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+            .getOrElse(StringType)))
+      }
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0) // data
+      df.put("file_path", dir.resolve(f.path).toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", f.numRecords)
+      df.put("file_size_in_bytes", f.size)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED (this snapshot carries the full live set)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", df)
+      writer.append(e)
+      totalRows += f.numRecords
+    } finally writer.close()
+
+    // ---- manifest list ----
+    val listName = s"snap-$snapshotId.avro"
+    val listPath = metaDir.resolve(listName)
+    val mfSchema = Uniform.manifestFileSchema
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mfSchema))
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", seq.toString)
+    lw.setMeta("format-version", "2")
+    lw.create(mfSchema, listPath.toFile)
+    try {
+      val m = new GenericData.Record(mfSchema)
+      m.put("manifest_path", listPath.getParent.resolve(manifestName).toString)
+      m.put("manifest_length", Files.size(manifestPath))
+      m.put("partition_spec_id", 0)
+      m.put("content", 0) // data manifest
+      m.put("sequence_number", seq)
+      m.put("min_sequence_number", seq)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_data_files_count", snap.files.size)
+      m.put("existing_data_files_count", 0)
+      m.put("deleted_data_files_count", 0)
+      m.put("added_rows_count", totalRows)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
+
+    // ---- table metadata JSON, published with CREATE_NEW (bump on race) ----
+    val nowMs = System.currentTimeMillis()
+    def metadataJson(lastSeq: Long): String = Uniform.json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> snap.metadata.id,
+      "location" -> dir.toString,
+      "last-sequence-number" -> lastSeq,
+      "last-updated-ms" -> nowMs,
+      "last-column-id" -> ids.values.foldLeft(0L)(math.max),
+      "current-schema-id" -> 0,
+      "schemas" -> Seq(Uniform.parsed(icebergSchemaJson)),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Uniform.parsed(specJson)),
+      "last-partition-id" -> (999 + pcols.size),
+      "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map("write.format.default" -> "parquet"),
+      "current-snapshot-id" -> snapshotId,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> snapshotId,
+        "timestamp-ms" -> nowMs,
+        "sequence-number" -> seq,
+        "schema-id" -> 0,
+        "summary" -> Map(
+          "operation" -> "overwrite",
+          "total-data-files" -> snap.files.size.toString,
+          "total-records" -> totalRows.toString,
+          "graft-version" -> snap.version.toString),
+        "manifest-list" -> listPath.toString)),
+      "snapshot-log" -> Seq(Map(
+        "timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId)),
+      "metadata-log" -> Nil))
+    var n = 1 + Uniform.latestMetadataVersion(metaDir).getOrElse(0L)
+    var published: Path = null
+    while (published == null) {
+      val candidate = metaDir.resolve(s"v$n.metadata.json")
+      try {
+        Files.write(candidate,
+          metadataJson(seq).getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        published = candidate
+      } catch { // a racing export claimed N first
+        case _: java.nio.file.FileAlreadyExistsException => n += 1
+      }
+    }
+    // the version hint swaps atomically so readers never see a torn pointer
+    val hintTmp = metaDir.resolve(s".version-hint-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(hintTmp, n.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(hintTmp, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+
+    // the export rides DESCRIBE HISTORY (metadata-only commit, no actions)
+    commitWithRetry("GENERATE",
+      Map("mode" -> "uniform_iceberg",
+        "icebergSnapshotId" -> snapshotId.toString,
+        "icebergMetadataVersion" -> n.toString,
+        "sourceVersion" -> snap.version.toString), snapshot(),
+      Map("numExportedFiles" -> snap.files.size.toLong))(_ => Nil): Unit
+    published
+  }
+}
+
+/** Iceberg schema/manifest construction — pure functions over the Spark
+  * schema, shared by the exporter and its tests. */
+object Uniform {
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  private[table] def json(v: Any): String = mapper.writeValueAsString(v)
+  private[table] def parsed(s: String): Any =
+    mapper.readValue(s, classOf[Object])
+
+  /** Top-level field ids: the table's real column-mapping ids when mapped
+    * (Iceberg resolves by id, so by-id reads line up with the parquet
+    * footers this engine writes), else ordinals 1..n. */
+  private[table] def fieldIds(schema: StructType): Map[String, Long] =
+    if (ColumnIds.mapped(schema))
+      schema.fields.map(f => f.name -> ColumnIds.idOf(f).get).toMap
+    else schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1L) }.toMap
+
+  /** Iceberg type name for a Spark type (primitives; nested handled in
+    * [[schemaJson]]). */
+  private[table] def icebergType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case StringType | VarcharType(_) | CharType(_) => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg mapping for Spark type $other")
+  }
+
+  /** Iceberg schema JSON. Nested element/key/value/field ids are allocated
+    * deterministically above the top-level range (same traversal order on
+    * every export → stable ids). */
+  private[table] def schemaJson(schema: StructType, ids: Map[String, Long]): String = {
+    var next = ids.values.foldLeft(0L)(math.max)
+    def fresh(): Long = { next += 1; next }
+    def typeOf(dt: DataType): Any = dt match {
+      case s: StructType => Map(
+        "type" -> "struct",
+        "fields" -> s.fields.map(f => Map(
+          "id" -> fresh(), "name" -> f.name, "required" -> !f.nullable,
+          "type" -> typeOf(f.dataType))).toSeq)
+      case a: ArrayType => Map(
+        "type" -> "list", "element-id" -> fresh(),
+        "element" -> typeOf(a.elementType),
+        "element-required" -> !a.containsNull)
+      case m: MapType => Map(
+        "type" -> "map", "key-id" -> fresh(), "value-id" -> fresh(),
+        "key" -> typeOf(m.keyType), "value" -> typeOf(m.valueType),
+        "value-required" -> !m.valueContainsNull)
+      case p => icebergType(p)
+    }
+    json(Map(
+      "type" -> "struct",
+      "schema-id" -> 0,
+      "fields" -> schema.fields.map(f => Map(
+        "id" -> ids(f.name), "name" -> f.name, "required" -> !f.nullable,
+        "type" -> typeOf(f.dataType))).toSeq))
+  }
+
+  /** Identity partition spec over the graft partition columns; partition
+    * field ids start at 1000 (the Iceberg convention). */
+  private[table] def partitionSpecJson(pcols: Seq[String], ids: Map[String, Long]): String =
+    json(Map(
+      "spec-id" -> 0,
+      "fields" -> pcols.zipWithIndex.map { case (c, i) => Map(
+        "name" -> c, "transform" -> "identity",
+        "source-id" -> ids(c), "field-id" -> (1000 + i)) }))
+
+  /** Avro type (as JSON fragment) for a partition source column. */
+  private def avroPartType(dt: DataType): String = dt match {
+    case LongType => "\"long\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case StringType => "\"string\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg identity-partition source type: $other")
+  }
+
+  /** Typed partition value from the log's string encoding. */
+  private[table] def partitionValue(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case LongType => raw.toLong
+      case IntegerType | ShortType | ByteType => raw.toInt
+      case StringType => raw
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg identity-partition source type: $other")
+    }
+
+  /** Avro schema for manifest entries (Iceberg spec field-ids; v2). */
+  private[table] def manifestEntrySchema(
+      schema: StructType, pcols: Seq[String],
+      ids: Map[String, Long]): org.apache.avro.Schema = {
+    val partFields = pcols.map { c =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(StringType)
+      s"""{"name":"$c","type":["null",${avroPartType(dt)}],"default":null,"field-id":${1000 + pcols.indexOf(c)}}"""
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(s"""{
+      "type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","field-id":2,"type":{
+          "type":"record","name":"r2","fields":[
+            {"name":"content","type":"int","field-id":134},
+            {"name":"file_path","type":"string","field-id":100},
+            {"name":"file_format","type":"string","field-id":101},
+            {"name":"partition","field-id":102,"type":{
+              "type":"record","name":"r102","fields":[$partFields]}},
+            {"name":"record_count","type":"long","field-id":103},
+            {"name":"file_size_in_bytes","type":"long","field-id":104}
+          ]}}
+      ]}""")
+  }
+
+  /** Avro schema for manifest-list entries (Iceberg `manifest_file`, v2). */
+  private[table] val manifestFileSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string","field-id":500},
+        {"name":"manifest_length","type":"long","field-id":501},
+        {"name":"partition_spec_id","type":"int","field-id":502},
+        {"name":"content","type":"int","field-id":517},
+        {"name":"sequence_number","type":"long","field-id":515},
+        {"name":"min_sequence_number","type":"long","field-id":516},
+        {"name":"added_snapshot_id","type":"long","field-id":503},
+        {"name":"added_data_files_count","type":"int","field-id":504},
+        {"name":"existing_data_files_count","type":"int","field-id":505},
+        {"name":"deleted_data_files_count","type":"int","field-id":506},
+        {"name":"added_rows_count","type":"long","field-id":512},
+        {"name":"existing_rows_count","type":"long","field-id":513},
+        {"name":"deleted_rows_count","type":"long","field-id":514}
+      ]}""")
+
+  /** Highest v<N>.metadata.json present (None on first export). */
+  private[table] def latestMetadataVersion(metaDir: Path): Option[Long] = {
+    if (!Files.isDirectory(metaDir)) return None
+    val s = Files.list(metaDir)
+    val re = raw"v(\d+)\.metadata\.json".r
+    try s.iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case re(v) => Some(v.toLong); case _ => None
+      }).maxOption
+    finally s.close()
+  }
+
+  /** Hand-walk an exported Iceberg view: version hint → metadata JSON →
+    * manifest list → manifests → data-file records. Independent of the
+    * writer above (plain Avro container reads + JSON parse); used by
+    * MaintainSpec to prove the exported file set equals the live snapshot
+    * across churn. Returns (metadata map, data-file records). */
+  def readExport(tableDir: Path): (Map[String, Any], Seq[Map[String, Any]]) = {
+    val metaDir = tableDir.resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val metaJson = new String(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")), StandardCharsets.UTF_8)
+    // plain (non-Scala-module) mapper: the hand-walk stays in java.util
+    // types, independent of the writer's serialization config
+    val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = plain.readValue(metaJson, classOf[java.util.Map[String, Object]])
+      .asScala.toMap
+    val snaps = meta("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+      .asScala
+    val current = meta("current-snapshot-id") match {
+      case n: java.lang.Number => n.longValue()
+    }
+    val snap = snaps.find(s =>
+      s.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == current).get
+    val listPath = java.nio.file.Paths.get(snap.get("manifest-list").toString)
+    def avroRecords(p: Path): Seq[GenericRecord] = {
+      val r = new DataFileReader[GenericRecord](
+        p.toFile, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val dataFiles = avroRecords(listPath).flatMap { mf =>
+      avroRecords(java.nio.file.Paths.get(mf.get("manifest_path").toString))
+        .map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          Map[String, Any](
+            "status" -> e.get("status"),
+            "file_path" -> df.get("file_path").toString,
+            "file_format" -> df.get("file_format").toString,
+            "record_count" -> df.get("record_count"),
+            "file_size_in_bytes" -> df.get("file_size_in_bytes"),
+            "partition" -> df.get("partition"))
+        }
+    }
+    (meta.map { case (k, v) => k -> (v: Any) }, dataFiles)
+  }
+}

@@ -494,42 +494,93 @@ object TextAnalysis {
       corpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      buckets: Int = 64): graft.table.LakeTable = {
+      buckets: Int = 64,
+      dfCap: Long = Long.MaxValue): graft.table.LakeTable = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
+    require(dfCap > 0, s"need dfCap > 0, got $dfCap")
     val post = postingsOf(corpus, idCol, textCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+    // df-cap (stopword pruning at build): Zipf-head terms dominate postings
+    // volume but contribute near-zero IDF — terms whose BUILD-corpus df
+    // exceeds the cap are dropped from the index and FROZEN into the
+    // capped-term list (table property), so appended batches drop the same
+    // terms and search stays score-identical to an oracle that excludes
+    // them. The list is the Zipf head — small by construction at any sane
+    // cap — and frozen-at-build is the standard stopword-list contract
+    // (a term crossing the cap later is not retroactively capped). Document
+    // LENGTHS keep counting capped tokens, so the stats properties are
+    // cap-independent and the append path never needs the capped set to
+    // advance them.
+    val capped: Seq[String] =
+      if (dfCap == Long.MaxValue) Nil
+      else {
+        val c = post.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("term")
+          .collect().map(_.getString(0)).toSeq.sorted
+        require(c.size <= 10000,
+          s"dfCap=$dfCap caps ${c.size} terms — a cap this low prunes the " +
+            "vocabulary body, not the Zipf head; raise it")
+        c
+      }
+    val kept = if (capped.isEmpty) post else post.filter(!col("term").isin(capped: _*))
     val (n, total) = corpusLenStats(corpus, textCol)
     val t = graft.table.LakeTable.create(spark, dir, post.schema,
       partitionColumns = Seq("bucket"),
       properties = Map(
         "graft.bm25.buckets" -> buckets.toString,
         "graft.bm25.numDocs" -> n.toString,
-        "graft.bm25.totalLen" -> total.toString),
+        "graft.bm25.totalLen" -> total.toString) ++
+        (if (capped.isEmpty) Map.empty[String, String]
+         else Map(
+           "graft.bm25.dfCap" -> dfCap.toString,
+           // whitespace-joined is unambiguous: tokens come from a \s+ split
+           "graft.bm25.cappedTerms" -> capped.mkString(" "))),
       ifNotExists = false)
-    t.append(post)
+    t.append(kept)
     t
   }
 
+  /** Capped-term list frozen at [[buildBm25Index]] time (empty without a
+    * df-cap). */
+  private def cappedTerms(props: Map[String, String]): Seq[String] =
+    props.get("graft.bm25.cappedTerms").toSeq
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+
   /** Append a new document batch to a [[buildBm25Index]] table: only the
     * BATCH tokenizes; its postings land in the same hash buckets (the
-    * stored bucket count pins the layout) and the corpus stats advance.
-    * Two commits (postings, then stats) — a crash between them leaves
-    * the stats one batch stale, which skews avgdl slightly until the
-    * re-run completes; postings themselves are never torn. */
+    * stored bucket count pins the layout), capped terms are dropped, and
+    * the corpus stats advance — all in ONE commit
+    * ([[graft.table.LakeTable.appendWithProps]]), so no reader ever sees
+    * postings without their stats and a crash can never tear them. The
+    * stats delta is recomputed from the FRESH snapshot inside the CAS
+    * retry loop, so two concurrent appends both land with correct totals.
+    *
+    * `batchId` (optional) makes the append idempotent: a replay with the
+    * same id is a full no-op — postings never duplicate and stats never
+    * double-advance. This is the handle the streaming ingest
+    * ([[graft.streaming.StreamIngest.startBm25Ingest]]) keys by epoch. */
   def appendBm25Batch(
       index: graft.table.LakeTable,
       batch: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      batchId: Option[String] = None,
+      batchVersion: Long = 0L): Unit = {
     val props = index.properties
     val buckets = props("graft.bm25.buckets").toInt
-    val post = postingsOf(batch, idCol, textCol)
+    val capped = cappedTerms(props)
+    val post0 = postingsOf(batch, idCol, textCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+    val post = if (capped.isEmpty) post0 else post0.filter(!col("term").isin(capped: _*))
     val (n, total) = corpusLenStats(batch, textCol)
-    index.append(post)
-    index.setProperties(Map(
-      "graft.bm25.numDocs" -> (props("graft.bm25.numDocs").toLong + n).toString,
-      "graft.bm25.totalLen" -> (props("graft.bm25.totalLen").toLong + total).toString)): Unit
+    index.appendWithProps(post,
+      s => Map(
+        "graft.bm25.numDocs" ->
+          (s.metadata.properties("graft.bm25.numDocs").toLong + n).toString,
+        "graft.bm25.totalLen" ->
+          (s.metadata.properties("graft.bm25.totalLen").toLong + total).toString),
+      txnAppId = batchId.map(id => s"graft.bm25.$id"),
+      txnVersion = batchId.map(_ => batchVersion)): Unit
   }
 
   /** Search a [[buildBm25Index]] table: query terms hash to their buckets
@@ -549,7 +600,12 @@ object TextAnalysis {
     val n = props("graft.bm25.numDocs").toLong
     val total = props("graft.bm25.totalLen").toLong
     val buckets = props("graft.bm25.buckets").toInt
-    val qe = queryTerms(queries, idCol, textCol).persist()
+    // No persist: qe is evaluated three times (probed-bucket collect, df
+    // semi-filter, scorer join) but it is broadcast-sized by contract —
+    // re-tokenizing a query batch is cheaper than pinning cached partitions
+    // in the block manager for the session's lifetime (a retrieval service
+    // calling this per request would accumulate them unboundedly).
+    val qe = queryTerms(queries, idCol, textCol)
     val probed = qe.select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val post = index.toDf.filter(col("bucket").isin(probed: _*))

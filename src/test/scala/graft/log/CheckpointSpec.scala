@@ -403,6 +403,45 @@ class CheckpointSpec extends SparkSpec {
     t2.snapshot().commits.map(_.version) shouldBe reference.commits.map(_.version)
   }
 
+  test("post-truncate compaction cadence clamps to the oldest surviving " +
+    "version; a cadence property takes effect in its own commit") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("ckpt-compact3").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map(
+        "graft.checkpointInterval" -> "1000",
+        "graft.log.compactionInterval" -> "5"))
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    // truncate mid-window: the next cadence hit's natural range [11,15]
+    // starts below the boundary (v11's file is gone) — before the clamp
+    // the write silently no-op'd every Nth commit until the window
+    // cleared the boundary
+    t.log.truncateBefore(12L)
+    (13 to 15).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    def logNames() = {
+      val s = Files.list(t.log.logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    logNames() should contain(f"${12L}%020d.${15L}%020d.compacted.json")
+    // the clamped range serves resolution exactly
+    val t2 = LakeTable.forPath(spark, t.dir.toString)
+    t2.read().count() shouldBe 15
+    t2.snapshot().commits.map(_.version).max shouldBe 15L
+    // cadence property set via TBLPROPERTIES compacts from ITS OWN commit
+    // (the interval used to come from the pre-commit snapshot, so the
+    // setting commit itself never participated)
+    val u = LakeTable.create(spark, tmpDir("ckpt-compact4").resolve("t").toString,
+      Seq((1L, "x")).toDF("k", "v").schema,
+      properties = Map("graft.checkpointInterval" -> "1000"))
+    (1 to 3).foreach(i => u.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    u.setProperties(Map("graft.log.compactionInterval" -> "4")) // v4: 4 % 4 == 0
+    val names = {
+      val s = Files.list(u.log.logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    names should contain(f"${1L}%020d.${4L}%020d.compacted.json")
+  }
+
   test("snapshot resolution cost is bounded by the checkpoint interval") {
     val t = LakeTable.create(spark, tmpDir("ckpt3").resolve("t").toString,
       Seq((1L, "x")).toDF("k", "v").schema)

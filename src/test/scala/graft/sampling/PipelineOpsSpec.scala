@@ -392,6 +392,115 @@ class PipelineOpsSpec extends SparkSpec {
     pruned.foreach(_ should include(s"bucket=$bucket"))
   }
 
+  test("BM25 index append is atomic (one commit) and leaves no cached RDDs") {
+    import graft.text.TextAnalysis
+    val base = Seq((1L, "apple banana"), (2L, "cherry plum")).toDF("doc_id", "text")
+    val batch = Seq((3L, "banana cherry cherry")).toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx-atomic").resolve("t").toString
+    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 4)
+    val v0 = idx.version
+    TextAnalysis.appendBm25Batch(idx, batch)
+    // postings AND stats land in ONE commit: exactly one version advanced,
+    // and the pre-append version still shows the OLD stats with the OLD
+    // postings — no intermediate postings-without-stats state exists
+    idx.version shouldBe v0 + 1
+    idx.properties("graft.bm25.numDocs").toLong shouldBe 3L
+    idx.properties("graft.bm25.totalLen").toLong shouldBe 7L
+    // batch "banana cherry cherry" = 2 new (doc,term) postings rows
+    idx.versionAsOf(v0).count() shouldBe idx.toDf.count() - 2
+    // search leaves nothing pinned in the block manager (the r10 leak)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    TextAnalysis.bm25SearchIndex(idx,
+      Seq((9L, "cherry")).toDF("doc_id", "text"), k = 2).collect()
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
+  }
+
+  test("BM25 index append with a batchId is idempotent: replay is a full no-op") {
+    import graft.text.TextAnalysis
+    val base = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val batch = Seq((2L, "banana cherry")).toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx-idem").resolve("t").toString
+    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 4)
+    TextAnalysis.appendBm25Batch(idx, batch, batchId = Some("b-1"))
+    val v1 = idx.version
+    val rows1 = idx.toDf.count()
+    val stats1 = (idx.properties("graft.bm25.numDocs"),
+      idx.properties("graft.bm25.totalLen"))
+    // the crash-replay twin: same batchId → postings never duplicate and
+    // the stats never double-advance (df would silently double otherwise)
+    TextAnalysis.appendBm25Batch(idx, batch, batchId = Some("b-1"))
+    idx.version shouldBe v1
+    idx.toDf.count() shouldBe rows1
+    (idx.properties("graft.bm25.numDocs"),
+      idx.properties("graft.bm25.totalLen")) shouldBe stats1
+    // a DIFFERENT batchId appends normally
+    TextAnalysis.appendBm25Batch(idx,
+      Seq((3L, "plum")).toDF("doc_id", "text"), batchId = Some("b-2"))
+    idx.properties("graft.bm25.numDocs").toLong shouldBe 3L
+  }
+
+  test("BM25 concurrent appends: stats deltas both land (no lost update)") {
+    import graft.text.TextAnalysis
+    val base = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx-conc").resolve("t").toString
+    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 4)
+    // two appenders race: the property delta recomputes from the FRESH
+    // snapshot inside the CAS retry loop, so neither batch's numDocs /
+    // totalLen advance is lost (the r10 read-modify-write hazard)
+    val batches = Seq(
+      Seq((10L, "cherry plum")).toDF("doc_id", "text"),
+      Seq((11L, "fig date olive")).toDF("doc_id", "text"))
+    val threads = batches.zipWithIndex.map { case (b, i) =>
+      new Thread(() => TextAnalysis.appendBm25Batch(
+        graft.table.LakeTable.forPath(spark, dir), b, batchId = Some(s"conc-$i")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val t = graft.table.LakeTable.forPath(spark, dir)
+    t.properties("graft.bm25.numDocs").toLong shouldBe 3L
+    t.properties("graft.bm25.totalLen").toLong shouldBe 2L + 2L + 3L
+  }
+
+  test("df-capped BM25 index: head terms pruned from postings and scoring") {
+    import graft.text.TextAnalysis
+    // 'common' is in every doc (df=8 > cap=6); 'rare*' terms survive
+    val corpus = (1 to 8)
+      .map(i => (i.toLong, s"common rare$i shared${i % 2}"))
+      .toDF("doc_id", "text")
+    val capDir = tmpDir("bm25idx-cap").resolve("t").toString
+    val capIdx = TextAnalysis.buildBm25Index(spark, capDir, corpus,
+      buckets = 4, dfCap = 6)
+    val fullDir = tmpDir("bm25idx-full").resolve("t").toString
+    val fullIdx = TextAnalysis.buildBm25Index(spark, fullDir, corpus, buckets = 4)
+    // the cap is recorded, the capped list is exactly the Zipf head, and
+    // the index physically shrinks (that is the point of the cap)
+    capIdx.properties("graft.bm25.dfCap") shouldBe "6"
+    capIdx.properties("graft.bm25.cappedTerms") shouldBe "common"
+    capIdx.toDf.count() shouldBe fullIdx.toDf.count() - 8
+    // stats are cap-independent: doc lengths still count capped tokens
+    capIdx.properties("graft.bm25.numDocs") shouldBe
+      fullIdx.properties("graft.bm25.numDocs")
+    capIdx.properties("graft.bm25.totalLen") shouldBe
+      fullIdx.properties("graft.bm25.totalLen")
+    // scoring: a capped term contributes nothing, so a mixed query on the
+    // capped index scores EXACTLY like the surviving terms alone on the
+    // full index (same n/total/len/df for every surviving term)
+    val mixed = TextAnalysis.bm25SearchIndex(capIdx,
+      Seq((90L, "common rare3")).toDF("doc_id", "text"), k = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val survivingOnly = TextAnalysis.bm25SearchIndex(fullIdx,
+      Seq((90L, "rare3")).toDF("doc_id", "text"), k = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    mixed shouldBe survivingOnly
+    // a query of ONLY capped terms matches nothing
+    TextAnalysis.bm25SearchIndex(capIdx,
+      Seq((91L, "common")).toDF("doc_id", "text"), k = 4).count() shouldBe 0L
+    // appended batches drop the frozen capped terms too
+    TextAnalysis.appendBm25Batch(capIdx,
+      Seq((9L, "common rare9")).toDF("doc_id", "text"))
+    capIdx.toDf.filter(col("term") === "common").count() shouldBe 0L
+    capIdx.toDf.filter(col("term") === "rare9").count() shouldBe 1L
+  }
+
   test("rrfFuse at non-default rrfK: nano-unit sums replay exactly") {
     val sysA = Seq((9L, 1L, 1), (9L, 5L, 2), (9L, 2L, 3)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq((9L, 3L, 1), (9L, 5L, 2), (9L, 4L, 3)).toDF("query_id", "doc_id", "rank")

@@ -60,6 +60,69 @@ class StreamingSpec extends SparkSpec {
     index.read().count() shouldBe 4
   }
 
+  test("bm25-index-at-ingest: postings+stats advance per batch exactly once, " +
+    "replayed epochs no-op, search matches the direct scan") {
+    import graft.text.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = tmpDir("bm25ing-src")
+    val ckDir = tmpDir("bm25ing-ck")
+    val ck = ckDir.toString
+    val corpus = LakeTable.create(spark,
+      tmpDir("bm25ing-corpus").resolve("t").toString, docSchema)
+    import spark.implicits._
+    val seed = Seq((100L, "seed alpha gamma")).toDF("doc_id", "text")
+    val index = TextAnalysis.buildBm25Index(spark,
+      tmpDir("bm25ing-idx").resolve("t").toString, seed, buckets = 8)
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(src.resolve(name),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    def drain(): Unit = {
+      val cfg = StreamIngest.StreamConfig(
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = StreamIngest.startBm25Ingest(
+        StreamIngest.fileSource(spark, src.toString, docSchema, cfg),
+        corpus, index, ck, config = cfg)
+      try { require(q.awaitTermination(120000), "stream did not drain") }
+      finally if (q.isActive) q.stop()
+    }
+    writeDocs("b1.json", Seq((1L, "alpha beta"), (2L, "beta gamma delta")))
+    drain()
+    corpus.read().count() shouldBe 2
+    index.properties("graft.bm25.numDocs").toLong shouldBe 3L // seed + 2
+    index.properties("graft.bm25.totalLen").toLong shouldBe 3L + 2L + 3L
+    // second batch through the same checkpoint
+    writeDocs("b2.json", Seq((3L, "delta epsilon")))
+    drain()
+    corpus.read().count() shouldBe 3
+    index.properties("graft.bm25.numDocs").toLong shouldBe 4L
+    index.properties("graft.bm25.totalLen").toLong shouldBe 10L
+    // drain with no new files: a no-op on both tables
+    drain()
+    corpus.read().count() shouldBe 3
+    index.properties("graft.bm25.numDocs").toLong shouldBe 4L
+    // the crash-replay twin: re-running epoch 0's index append under the
+    // checkpoint's real (txnAppId, epochId) must be a FULL no-op — the
+    // sink committed but the offset write was lost, Spark replays
+    val appId = new String(Files.readAllBytes(
+      ckDir.resolve("_graft_txn_app_id")), StandardCharsets.UTF_8).trim
+    val rowsBefore = index.toDf.count()
+    TextAnalysis.appendBm25Batch(index,
+      Seq((1L, "alpha beta"), (2L, "beta gamma delta")).toDF("doc_id", "text"),
+      batchId = Some(s"$appId-index"), batchVersion = 0L)
+    index.toDf.count() shouldBe rowsBefore
+    index.properties("graft.bm25.numDocs").toLong shouldBe 4L
+    // search over the streamed index == direct bm25TopK over the union
+    val queries = Seq((900L, "beta delta"), (901L, "alpha epsilon"))
+      .toDF("doc_id", "text")
+    val viaIndex = TextAnalysis.bm25SearchIndex(index, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val direct = TextAnalysis.bm25TopK(seed.union(corpus.read()), queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    viaIndex shouldBe direct
+  }
+
   test("file stream ingests into a table exactly-once across restarts (S11+W7)") {
     val src = tmpDir("stream-src")
     val ck = tmpDir("stream-ck").toString

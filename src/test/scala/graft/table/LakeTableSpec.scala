@@ -238,6 +238,43 @@ class LakeTableSpec extends SparkSpec {
     LakeTable.forPath(spark, dst).read().count() shouldBe 20
   }
 
+  test("vacuum deletion runs from a bounded parallel pool above 32 paths") {
+    val t = freshTable("lt-vac-par")
+    // the pool path engages above 32 doomed paths (a retention sweep on a
+    // big table dooms millions; one serial driver thread would take hours)
+    val many = tmpDir("lt-vac-par-files")
+    val paths = (0 until 100).map { i =>
+      val p = many.resolve(s"f$i.parquet")
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      p.toString
+    }
+    t.parallelDelete(paths) shouldBe 32
+    paths.foreach(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)) shouldBe false)
+    // small sweeps stay inline — no pool churn for a handful of files
+    val few = (0 until 3).map { i =>
+      val p = many.resolve(s"g$i.parquet")
+      java.nio.file.Files.write(p, Array[Byte](1))
+      p.toString
+    }
+    t.parallelDelete(few) shouldBe 1
+    few.foreach(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)) shouldBe false)
+    // end-to-end: a >32-file sweep through vacuum() itself deletes all and
+    // records the same commit metrics as before (numDeletedFiles intact)
+    t.append(rows(0 until 2000).repartition(40))
+    t.overwrite(rows(0 until 1))
+    val doomed = t.vacuum(retainHours = 0.0, dryRun = true)
+    doomed.size should be > 32
+    t.vacuum(retainHours = 0.0).size shouldBe doomed.size
+    doomed.foreach(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)) shouldBe false)
+    t.read().count() shouldBe 1
+    val ci = t.history(Some(1)).collect()(0)
+    ci.getString(3) shouldBe "VACUUM"
+    ci.getMap[String, String](4)("numDeletedFiles") shouldBe doomed.size.toString
+  }
+
   test("vacuum removes tombstoned files after the horizon, never live ones") {
     val t = freshTable("lt-vac")
     t.append(rows(0 until 50))

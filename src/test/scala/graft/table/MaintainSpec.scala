@@ -98,6 +98,53 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("uniform_iceberg export: an independent hand-walk (hint -> metadata " +
+    "JSON -> Avro manifest list -> Avro manifest) sees exactly the live " +
+    "file set across churn; DVs refuse") {
+    val t = LakeTable.create(spark, tmpDir("uniform").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      partitionColumns = Seq("p"))
+    (0 until 3).foreach { i =>
+      t.append(spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), concat(lit("p"), col("id") % 2).as("p")))
+    }
+    t.optimizeCompact() // tombstones files — the export must skip them
+    val metaPath = t.generateIcebergMetadata()
+    java.nio.file.Files.exists(metaPath) shouldBe true
+    def liveSet() = t.snapshot().files
+      .map(f => t.dir.resolve(f.path).toString).toSet
+    val (meta1, files1) = Uniform.readExport(t.dir)
+    files1.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
+    // counts and formats ride each data_file record
+    files1.map(_("record_count").asInstanceOf[Long]).sum shouldBe 300L
+    files1.foreach(_("file_format") shouldBe "PARQUET")
+    // typed identity-partition tuples: every record's p is p0 or p1
+    val parts = files1.map(_("partition")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].get("p").toString)
+    parts.toSet shouldBe Set("p0", "p1")
+    meta1("format-version") shouldBe 2
+    // churn: delete + re-export — the NEW current snapshot sees the new set
+    t.delete(col("id") < 50)
+    t.generateIcebergMetadata()
+    val (_, files2) = Uniform.readExport(t.dir)
+    files2.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
+    files2.map(_("record_count").asInstanceOf[Long]).sum shouldBe
+      t.read().count()
+    // the export rides DESCRIBE HISTORY as a metadata-only commit
+    val h = t.history(Some(1)).collect()(0)
+    h.getString(3) shouldBe "GENERATE"
+    h.getMap[String, String](4)("mode") shouldBe "uniform_iceberg"
+    // SQL surface
+    val viaSql = GraftSql(spark)
+      .run(s"GENERATE uniform_iceberg FOR TABLE '${t.dir}'").collect()
+    viaSql.length shouldBe 1
+    // live deletion vectors refuse (a manifest reader cannot apply masks)
+    t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    t.delete(col("id") === 60L)
+    val ex = intercept[IllegalArgumentException] { t.generateIcebergMetadata() }
+    ex.getMessage should include("deletion vectors")
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
