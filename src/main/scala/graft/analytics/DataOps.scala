@@ -642,8 +642,8 @@ object DataOps {
     * by contract; a cluster deployment passes explicit table paths. */
   private def cachedIndexDir(
       spark: SparkSession, sfDir: String, kind: String,
-      build: String => Unit): String = {
-    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+      build: String => Unit, srcTable: String = "documents"): String = {
+    val src = java.nio.file.Paths.get(sfDir, s"$srcTable.parquet")
     val sig = scala.util.Try(
       java.nio.file.Files.size(src) + ":" +
         java.nio.file.Files.getLastModifiedTime(src).toMillis).getOrElse("na")
@@ -768,9 +768,12 @@ object DataOps {
   def annIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.sampleCentroids(emb, nlist = 16)
-    val dir = java.nio.file.Files.createTempDirectory("ivfindex").resolve("t").toString
-    val idx = Similarity.buildIvfIndex(spark, dir, emb, centroids)
-    Similarity.searchIvfIndex(idx,
+    // content-keyed cache (the q68/q107 pattern): repeated gate invocations
+    // reuse one index instead of accumulating a temp directory per call
+    val dir = cachedIndexDir(spark, sfDir, "ivfgate", { d =>
+      Similarity.buildIvfIndex(spark, d, emb, centroids): Unit
+    }, srcTable = "embeddings")
+    Similarity.searchIvfIndex(graft.table.LakeTable.forPath(spark, dir),
       emb.filter(col("vec_id") >= 30 && col("vec_id") < 40), k = 5, nprobe = 4)
   }
 

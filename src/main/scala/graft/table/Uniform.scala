@@ -106,6 +106,14 @@ trait UniformSupport { self: LakeTable =>
       df.put("partition", part)
       df.put("record_count", f.numRecords)
       df.put("file_size_in_bytes", f.size)
+      // per-column null counts + min/max bounds from the log's footer
+      // stats, so Iceberg readers get file skipping too — the same stats
+      // that drive this engine's own Pruner
+      val (nulls, lows, highs) =
+        Uniform.columnMetrics(dataFileSchema, schema, ids, f)
+      df.put("null_value_counts", nulls)
+      df.put("lower_bounds", lows)
+      df.put("upper_bounds", highs)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED (this snapshot carries the full live set)
       e.put("snapshot_id", snapshotId)
@@ -202,13 +210,76 @@ trait UniformSupport { self: LakeTable =>
         "icebergMetadataVersion" -> n.toString,
         "sourceVersion" -> snap.version.toString), snapshot(),
       Map("numExportedFiles" -> snap.files.size.toLong))(_ => Nil): Unit
+    expireExports(metaDir, n)
     published
+  }
+
+  /** Expire-snapshots analogue for the export layer: every export adds one
+    * metadata JSON + two Avro objects, and a table exported per ingest
+    * batch would accrue unbounded metadata. Keep the newest
+    * `graft.uniform.metadataRetention` metadata versions (default 10),
+    * then GC Avro objects no SURVIVING metadata references — but, like the
+    * checkpoint-sidecar GC, only once they are older than a grace window:
+    * a concurrent export publishes its Avro BEFORE its metadata JSON, and
+    * sweeping its in-flight objects would permanently tear the snapshot it
+    * is about to publish. Unknown age counts as too recent. Exports are
+    * derived data, so a conservative skip costs a lingering object until
+    * the next export, never correctness. */
+  private def expireExports(metaDir: Path, latest: Long): Unit = {
+    val keep = snapshot().metadata.properties
+      .get("graft.uniform.metadataRetention")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(10)
+    val all = {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val re = raw"v(\d+)\.metadata\.json".r
+    val versions = all.collect { case n @ re(v) => (v.toLong, n) }.sortBy(-_._1)
+    val (survivors, expired) = versions.splitAt(keep)
+    expired.filter(_._1 < latest) // never the one just published
+      .foreach { case (_, name) => Files.deleteIfExists(metaDir.resolve(name)): Unit }
+    // Avro objects referenced by ANY surviving metadata stay; the rest GC
+    // past the grace window. Reference resolution is bounded: `keep`
+    // metadata JSONs + their manifest lists.
+    val referenced = survivors.flatMap { case (_, name) =>
+      scala.util.Try {
+        val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+        val meta = plain.readValue(
+          new String(Files.readAllBytes(metaDir.resolve(name)), StandardCharsets.UTF_8),
+          classOf[java.util.Map[String, Object]])
+        meta.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+          .asScala.flatMap { s =>
+            val list = java.nio.file.Paths.get(s.get("manifest-list").toString)
+            val manifests = scala.util.Try {
+              val r = new DataFileReader[GenericRecord](
+                list.toFile, new GenericDatumReader[GenericRecord]())
+              try r.iterator().asScala.map(_.get("manifest_path").toString).toList
+              finally r.close()
+            }.getOrElse(Nil)
+            list.getFileName.toString +: manifests.map(m =>
+              java.nio.file.Paths.get(m).getFileName.toString)
+          }
+      }.getOrElse(Nil)
+    }.toSet
+    val now = System.currentTimeMillis()
+    all.filter(_.endsWith(".avro")).filterNot(referenced).foreach { name =>
+      val p = metaDir.resolve(name)
+      val oldEnough = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+        .toOption.exists(now - _ > Uniform.exportSweepGraceMs)
+      if (oldEnough) Files.deleteIfExists(p): Unit
+    }
   }
 }
 
 /** Iceberg schema/manifest construction — pure functions over the Spark
   * schema, shared by the exporter and its tests. */
 object Uniform {
+
+  /** Grace window before an unreferenced export Avro object may be GC'd
+    * (see [[UniformSupport]]'s expireExports). */
+  private[table] val exportSweepGraceMs: Long = 60L * 60 * 1000
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -329,9 +400,87 @@ object Uniform {
             {"name":"partition","field-id":102,"type":{
               "type":"record","name":"r102","fields":[$partFields]}},
             {"name":"record_count","type":"long","field-id":103},
-            {"name":"file_size_in_bytes","type":"long","field-id":104}
+            {"name":"file_size_in_bytes","type":"long","field-id":104},
+            {"name":"null_value_counts","type":["null",${intMapSchema("k121_v122", 121, 122, "long")}],"default":null,"field-id":110},
+            {"name":"lower_bounds","type":["null",${intMapSchema("k126_v127", 126, 127, "bytes")}],"default":null,"field-id":125},
+            {"name":"upper_bounds","type":["null",${intMapSchema("k129_v130", 129, 130, "bytes")}],"default":null,"field-id":128}
           ]}}
       ]}""")
+  }
+
+  /** Iceberg's Avro encoding of map<int, V>: an array of key/value records
+    * with logicalType "map" (Avro maps demand string keys). */
+  private def intMapSchema(rec: String, keyId: Int, valId: Int, v: String): String =
+    s"""{"type":"array","logicalType":"map","items":{
+       "type":"record","name":"$rec","fields":[
+         {"name":"key","type":"int","field-id":$keyId},
+         {"name":"value","type":"$v","field-id":$valId}]}}"""
+
+  /** Iceberg single-value binary serialization for bounds (spec appendix D):
+    * little-endian fixed width for numerics/temporal, UTF-8 for strings,
+    * minimal two's-complement big-endian for decimal unscaled values.
+    * None for types bounds do not serialize here. `raw` is the log's
+    * canonical stat string ([[graft.log.Stats]] encoding). */
+  private[table] def boundBytes(raw: String, dt: DataType): Option[java.nio.ByteBuffer] = {
+    if (raw == null) return None
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | ShortType | ByteType =>
+        Some(le(4).putInt(raw.toInt).flip().asInstanceOf[ByteBuffer])
+      case LongType => Some(le(8).putLong(raw.toLong).flip().asInstanceOf[ByteBuffer])
+      case FloatType => Some(le(4).putFloat(raw.toFloat).flip().asInstanceOf[ByteBuffer])
+      case DoubleType => Some(le(8).putDouble(raw.toDouble).flip().asInstanceOf[ByteBuffer])
+      case BooleanType =>
+        Some(ByteBuffer.wrap(Array[Byte](if (raw.toBoolean) 1 else 0)))
+      case StringType =>
+        Some(ByteBuffer.wrap(raw.getBytes(StandardCharsets.UTF_8)))
+      case DateType => Some(le(4)
+        .putInt(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        .flip().asInstanceOf[ByteBuffer])
+      case _: TimestampType | _: TimestampNTZType =>
+        scala.util.Try(graft.log.Stats.decodeInternal(raw, TimestampType)
+          .asInstanceOf[Long]).toOption
+          .map(micros => le(8).putLong(micros).flip().asInstanceOf[ByteBuffer])
+      case _: DecimalType =>
+        Some(ByteBuffer.wrap(
+          new java.math.BigDecimal(raw).unscaledValue().toByteArray))
+      case _ => None
+    }
+  }
+
+  /** Per-column metrics for one data_file record: (null_value_counts,
+    * lower_bounds, upper_bounds) as Iceberg's array-encoded int-keyed maps,
+    * built from the log's ColStats. Null when the file carries no stats. */
+  private[table] def columnMetrics(
+      dataFileSchema: org.apache.avro.Schema,
+      schema: StructType,
+      ids: Map[String, Long],
+      f: AddFile): (AnyRef, AnyRef, AnyRef) = {
+    def elem(field: String): org.apache.avro.Schema =
+      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
+    def entry(s: org.apache.avro.Schema, id: Long, v: Any): GenericRecord = {
+      val r = new GenericData.Record(s)
+      r.put("key", id.toInt)
+      r.put("value", v)
+      r
+    }
+    val nulls = new java.util.ArrayList[GenericRecord]()
+    val lows = new java.util.ArrayList[GenericRecord]()
+    val highs = new java.util.ArrayList[GenericRecord]()
+    schema.fields.foreach { fld =>
+      f.stats.get(fld.name).foreach { cs =>
+        val id = ids(fld.name)
+        nulls.add(entry(elem("null_value_counts"), id, cs.nullCount))
+        boundBytes(cs.min, fld.dataType)
+          .foreach(b => lows.add(entry(elem("lower_bounds"), id, b)))
+        boundBytes(cs.max, fld.dataType)
+          .foreach(b => highs.add(entry(elem("upper_bounds"), id, b)))
+      }
+    }
+    (if (nulls.isEmpty) null else nulls,
+      if (lows.isEmpty) null else lows,
+      if (highs.isEmpty) null else highs)
   }
 
   /** Avro schema for manifest-list entries (Iceberg `manifest_file`, v2). */
@@ -404,7 +553,10 @@ object Uniform {
             "file_format" -> df.get("file_format").toString,
             "record_count" -> df.get("record_count"),
             "file_size_in_bytes" -> df.get("file_size_in_bytes"),
-            "partition" -> df.get("partition"))
+            "partition" -> df.get("partition"),
+            "null_value_counts" -> df.get("null_value_counts"),
+            "lower_bounds" -> df.get("lower_bounds"),
+            "upper_bounds" -> df.get("upper_bounds"))
         }
     }
     (meta.map { case (k, v) => k -> (v: Any) }, dataFiles)

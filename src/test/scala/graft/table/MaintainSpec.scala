@@ -123,6 +123,20 @@ class MaintainSpec extends SparkSpec {
       .asInstanceOf[org.apache.avro.generic.GenericRecord].get("p").toString)
     parts.toSet shouldBe Set("p0", "p1")
     meta1("format-version") shouldBe 2
+    // per-column bounds ride each data_file (Iceberg single-value binary:
+    // little-endian long for id = field-id 1) — decoded over all files they
+    // must bracket exactly the table's real min/max, so Iceberg readers
+    // can file-skip off the same footer stats this engine prunes with
+    def idBounds(rec: Map[String, Any], which: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val arr = rec(which)
+        .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]].asScala
+      val bb = arr.find(_.get("key") == 1).get.get("value")
+        .asInstanceOf[java.nio.ByteBuffer].duplicate()
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    files1.map(idBounds(_, "lower_bounds")).min shouldBe 0L
+    files1.map(idBounds(_, "upper_bounds")).max shouldBe 299L
     // churn: delete + re-export — the NEW current snapshot sees the new set
     t.delete(col("id") < 50)
     t.generateIcebergMetadata()
@@ -138,6 +152,42 @@ class MaintainSpec extends SparkSpec {
     val viaSql = GraftSql(spark)
       .run(s"GENERATE uniform_iceberg FOR TABLE '${t.dir}'").collect()
     viaSql.length shouldBe 1
+    // retention: keep the newest K metadata versions; Avro objects no
+    // surviving metadata references GC past the grace window (backdated
+    // here), in-flight-aged ones survive (the racing-export guard)
+    t.setProperties(Map("graft.uniform.metadataRetention" -> "2"))
+    val metaDir = t.dir.resolve("metadata")
+    def metaNames() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(metaDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    val ancient = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * Uniform.exportSweepGraceMs)
+    // a racing export's in-flight object: unreferenced but FRESH — the
+    // grace window must protect it at every sweep
+    val inflight = metaDir.resolve("racing-inflight.avro")
+    java.nio.file.Files.write(inflight, Array[Byte](1, 2, 3))
+    (1 to 3).foreach { _ =>
+      metaNames().filter(n => n.endsWith(".avro") && n != inflight.getFileName.toString)
+        .foreach(n =>
+          java.nio.file.Files.setLastModifiedTime(metaDir.resolve(n), ancient))
+      t.generateIcebergMetadata()
+    }
+    val names = metaNames()
+    names.count(_.matches(raw"v\d+\.metadata\.json")) shouldBe 2
+    // the hand-walk still resolves through the retained metadata, and every
+    // object it touches survived the sweep
+    val (_, files3) = Uniform.readExport(t.dir)
+    files3.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
+    // exactly the last two exports' avro objects remain (2 per export),
+    // plus the protected in-flight orphan
+    names.count(_.endsWith(".avro")) shouldBe 5
+    java.nio.file.Files.exists(inflight) shouldBe true
+    // once old, the unreferenced orphan is reclaimed by the next export
+    java.nio.file.Files.setLastModifiedTime(inflight, ancient)
+    t.generateIcebergMetadata()
+    java.nio.file.Files.exists(inflight) shouldBe false
     // live deletion vectors refuse (a manifest reader cannot apply masks)
     t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
     t.delete(col("id") === 60L)
