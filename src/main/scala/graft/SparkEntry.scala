@@ -51,6 +51,7 @@ object SparkEntry {
     "q96_in_commit_timestamp" -> (TableOps.inCommitTimestamp _),
     "q97_cdf_row_ids" -> (TableOps.cdfRowIds _),
     "q79_stream_dedup_ingest" -> (MetaOps.streamDedupIngest _),
+    "q109_stream_bm25" -> (MetaOps.streamBm25Ingest _),
     "q17_scd2" -> (TableOps.scd2 _),
     "q43_dv_delete" -> (TableOps.dvDelete _),
     "q44_merge_full_sync" -> (TableOps.mergeFullSync _),

@@ -922,7 +922,7 @@ object DataOps {
   // from the payload bytes.
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
-  private val toks =
+  private[analytics] val toks =
     """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        ELSE string_split_regex(trim(text), '\s+') END"""
 

@@ -231,7 +231,70 @@ object MetaOps {
     corpus.read().orderBy("doc_id")
   }
 
+  /** Streamed-corpus BM25 retrieval gate (q109): the steady-state lexical
+    * search pipeline end-to-end — a seed corpus builds the persisted BM25
+    * index, the rest of the corpus STREAMS in through
+    * [[graft.streaming.StreamIngest.startBm25Ingest]] (multiple epochs,
+    * each one atomic postings+stats commit under the (txnAppId, epochId)
+    * ledger), and search probes the index. The oracle replays Okapi over
+    * the logical union corpus — identical to q103's direct scan, so a pass
+    * proves the streamed index IS the corpus: no lost batch, no double
+    * stats, no torn postings anywhere in the lifecycle. */
+  def streamBm25Ingest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamIngest
+    val docs = Tables.documents(spark, sfDir)
+    val seed = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 5 === 0)
+    val streamed = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 5 =!= 0)
+    val corpus = LakeTable.createFrom(spark, scratch("q109corpus"), seed)
+    val index = graft.text.TextAnalysis.buildBm25Index(
+      spark, scratch("q109index"), seed, buckets = 16)
+    val srcDir = Files.createTempDirectory("graft-q109-src").toString
+    (0 until 3).foreach { i =>
+      streamed.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val cfg = StreamIngest.StreamConfig(format = "parquet",
+      maxFilesPerTrigger = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = StreamIngest.startBm25Ingest(
+      StreamIngest.fileSource(spark, srcDir, docs.schema, cfg),
+      corpus, index, scratch("q109ckpt"), config = cfg)
+    try require(q.awaitTermination(300000), "stream did not drain")
+    finally if (q.isActive) q.stop()
+    graft.text.TextAnalysis.bm25SearchIndex(index,
+      docs.filter(col("doc_id") % 50 === 0), k = 5)
+  }
+
   val oracles: Map[String, String] = Map(
+    // the streamed index must answer EXACTLY like q103's direct scan over
+    // the same logical corpus (seed ∪ streamed batches = doc_id % 50 <> 0)
+    "q109_stream_bm25" -> {
+      val toks = DataOps.toks
+      s"""WITH c AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 <> 0),
+         qdocs AS (SELECT doc_id AS query_id, list_distinct($toks) AS qt
+           FROM documents WHERE doc_id % 50 = 0),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM c) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(tk)) AS BIGINT) AS total FROM c),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         qe AS (SELECT query_id, unnest(qt) AS term FROM qdocs),
+         ms AS (SELECT qe.query_id, dt.doc_id,
+             CAST(FLOOR(
+               ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+               ((dt.tf * (1.2 + 1)) /
+                (dt.tf + 1.2 * (0.25 + 0.75 * dl.len / (CAST(st.total AS DOUBLE) / st.n))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM qe JOIN dt USING (term) JOIN dfr USING (term)
+           JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id,
+             ROUND(SUM(micro) / 1000000.0, 6) AS score FROM ms GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5"""
+    },
     "q79_stream_dedup_ingest" ->
       """WITH batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0)
          SELECT doc_id, text, lang, source, n_chars FROM batch b
