@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.types._
 
 import graft.log.{AddFile, ColumnIds}
@@ -36,10 +37,12 @@ import graft.log.{AddFile, ColumnIds}
   * travel stays the transaction log's job; the Iceberg view is "the live
   * table, now".
   *
-  * Like GENERATE (and like Delta UniForm, which materializes DVs via
-  * Iceberg delete files this engine does not emit), tables with live
-  * deletion vectors REFUSE — an Iceberg reader of the manifest would
-  * resurrect masked rows. Run REORG APPLY (PURGE) first.
+  * Live deletion vectors export as an Iceberg POSITION-DELETE file
+  * (sorted (file_path, pos) parquet under the spec's reserved field ids,
+  * registered through a content=1 delete manifest under an unpartitioned
+  * spec — the Delta-UniForm shape for masked rows), so DV-bearing tables
+  * export without a REORG and an Iceberg reader applying the deletes sees
+  * exactly the engine's masked rowset.
   *
   * Field ids: a column-mapped table exports its REAL parquet field ids
   * (Iceberg resolves columns by id, so by-id reads line up with the bytes);
@@ -61,9 +64,6 @@ trait UniformSupport { self: LakeTable =>
     * `v<N>.metadata.json` path. */
   def generateIcebergMetadata(): Path = {
     val snap = snapshot()
-    require(snap.dvs.isEmpty,
-      "GENERATE uniform_iceberg is not supported with live deletion vectors " +
-        "(an Iceberg manifest reader cannot apply row masks) — run REORG APPLY (PURGE) first")
     val metaDir = dir.resolve("metadata")
     Files.createDirectories(metaDir)
 
@@ -74,6 +74,47 @@ trait UniformSupport { self: LakeTable =>
     val specJson = Uniform.partitionSpecJson(pcols, ids)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = snap.version + 1 // strictly increasing with the table
+
+    // ---- deletion vectors -> one Iceberg position-delete parquet ----
+    // Live DVs export as a GLOBAL position-delete file (sorted
+    // (file_path, pos) rows under the spec's reserved field ids
+    // 2147483546/2147483545, stamped into the parquet footer), registered
+    // through a DELETE manifest under an unpartitioned spec — the Delta
+    // UniForm shape for masked rows, replacing the GENERATE-style refusal.
+    // Delete rows are O(masked positions), written once per export.
+    val deleteFile: Option[(Path, Long)] =
+      if (snap.dvs.isEmpty) None
+      else {
+        val name = s"delete-${java.util.UUID.randomUUID()}.parquet"
+        val target = metaDir.resolve(name)
+        val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ColumnIds.FieldIdKey, 2147483546L).build()
+        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ColumnIds.FieldIdKey, 2147483545L).build()
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val rows = dvBitmapDf(snap.dvs.values.toSeq)
+          .select(col("__path").as("file_path", fpMeta),
+            explode(graft.log.DvBitmap.toLongArray(col("__bitmap")))
+              .as("pos", posMeta))
+          .repartition(1)
+          .sortWithinPartitions("file_path", "pos")
+        val staging = Files.createTempDirectory(metaDir, ".delete-staging")
+        rows.write.mode("overwrite").parquet(staging.resolve("out").toString)
+        val part = {
+          val s = Files.list(staging.resolve("out"))
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        graft.log.TxLog.deleteRecursively(staging)
+        Some((target, snap.dvs.values.map(_.numDeleted).sum))
+      }
+    // global deletes ride an UNPARTITIONED spec: spec 0 when the table is
+    // unpartitioned, else an extra empty spec 1 alongside the identity spec
+    val deleteSpecId = if (pcols.isEmpty) 0 else 1
+    val emptySpecJson = Uniform.json(Map(
+      "spec-id" -> deleteSpecId, "fields" -> Nil))
 
     // ---- manifest (one Avro entry per live data file) ----
     val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
@@ -124,6 +165,40 @@ trait UniformSupport { self: LakeTable =>
       totalRows += f.numRecords
     } finally writer.close()
 
+    // ---- delete manifest (only when DVs exported) ----
+    val deleteManifest: Option[(String, Long)] = deleteFile.map { case (p, nDel) =>
+      val name = s"${java.util.UUID.randomUUID()}-m1.avro"
+      val path = metaDir.resolve(name)
+      val es = Uniform.manifestEntrySchema(schema, Nil, ids) // empty partition
+      val dfs = es.getField("data_file").schema()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](es))
+      w.setMeta("schema", icebergSchemaJson)
+      w.setMeta("schema-id", "0")
+      w.setMeta("partition-spec", emptySpecJson)
+      w.setMeta("partition-spec-id", deleteSpecId.toString)
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "deletes")
+      w.create(es, path.toFile)
+      try {
+        val df = new GenericData.Record(dfs)
+        df.put("content", 1) // POSITION_DELETES
+        df.put("file_path", p.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfs.getField("partition").schema()))
+        df.put("record_count", nDel)
+        df.put("file_size_in_bytes", Files.size(p))
+        val e = new GenericData.Record(es)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      (name, nDel)
+    }
+
     // ---- manifest list ----
     val listName = s"snap-$snapshotId.avro"
     val listPath = metaDir.resolve(listName)
@@ -150,6 +225,23 @@ trait UniformSupport { self: LakeTable =>
       m.put("existing_rows_count", 0L)
       m.put("deleted_rows_count", 0L)
       lw.append(m)
+      deleteManifest.foreach { case (name, nDel) =>
+        val d = new GenericData.Record(mfSchema)
+        d.put("manifest_path", listPath.getParent.resolve(name).toString)
+        d.put("manifest_length", Files.size(metaDir.resolve(name)))
+        d.put("partition_spec_id", deleteSpecId)
+        d.put("content", 1) // delete manifest
+        d.put("sequence_number", seq)
+        d.put("min_sequence_number", seq)
+        d.put("added_snapshot_id", snapshotId)
+        d.put("added_data_files_count", 1)
+        d.put("existing_data_files_count", 0)
+        d.put("deleted_data_files_count", 0)
+        d.put("added_rows_count", nDel)
+        d.put("existing_rows_count", 0L)
+        d.put("deleted_rows_count", 0L)
+        lw.append(d)
+      }
     } finally lw.close()
 
     // ---- table metadata JSON, published with CREATE_NEW (bump on race) ----
@@ -164,7 +256,10 @@ trait UniformSupport { self: LakeTable =>
       "current-schema-id" -> 0,
       "schemas" -> Seq(Uniform.parsed(icebergSchemaJson)),
       "default-spec-id" -> 0,
-      "partition-specs" -> Seq(Uniform.parsed(specJson)),
+      "partition-specs" -> (
+        Seq(Uniform.parsed(specJson)) ++
+          (if (deleteManifest.isDefined && deleteSpecId == 1)
+            Seq(Uniform.parsed(emptySpecJson)) else Nil)),
       "last-partition-id" -> (999 + pcols.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
@@ -178,6 +273,9 @@ trait UniformSupport { self: LakeTable =>
         "summary" -> Map(
           "operation" -> "overwrite",
           "total-data-files" -> snap.files.size.toString,
+          "total-delete-files" -> deleteManifest.size.toString,
+          "total-position-deletes" ->
+            deleteFile.map(_._2).getOrElse(0L).toString,
           "total-records" -> totalRows.toString,
           "graft-version" -> snap.version.toString),
         "manifest-list" -> listPath.toString)),
@@ -258,18 +356,33 @@ trait UniformSupport { self: LakeTable =>
               try r.iterator().asScala.map(_.get("manifest_path").toString).toList
               finally r.close()
             }.getOrElse(Nil)
-            list.getFileName.toString +: manifests.map(m =>
-              java.nio.file.Paths.get(m).getFileName.toString)
+            // delete parquets are referenced from INSIDE manifests
+            // (content=1 data_file entries under metadata/)
+            val deleteRefs = manifests.flatMap { m =>
+              scala.util.Try {
+                val r = new DataFileReader[GenericRecord](
+                  java.nio.file.Paths.get(m).toFile,
+                  new GenericDatumReader[GenericRecord]())
+                try r.iterator().asScala.map(_.get("data_file")
+                    .asInstanceOf[GenericRecord].get("file_path").toString)
+                  .filter(_.endsWith(".parquet")).toList
+                finally r.close()
+              }.getOrElse(Nil)
+            }
+            (list.getFileName.toString +: manifests.map(m =>
+              java.nio.file.Paths.get(m).getFileName.toString)) ++
+              deleteRefs.map(d => java.nio.file.Paths.get(d).getFileName.toString)
           }
       }.getOrElse(Nil)
     }.toSet
     val now = System.currentTimeMillis()
-    all.filter(_.endsWith(".avro")).filterNot(referenced).foreach { name =>
-      val p = metaDir.resolve(name)
-      val oldEnough = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-        .toOption.exists(now - _ > Uniform.exportSweepGraceMs)
-      if (oldEnough) Files.deleteIfExists(p): Unit
-    }
+    all.filter(n => n.endsWith(".avro") || n.startsWith("delete-"))
+      .filterNot(referenced).foreach { name =>
+        val p = metaDir.resolve(name)
+        val oldEnough = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+          .toOption.exists(now - _ > Uniform.exportSweepGraceMs)
+        if (oldEnough) Files.deleteIfExists(p): Unit
+      }
   }
 }
 
@@ -549,6 +662,7 @@ object Uniform {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           Map[String, Any](
             "status" -> e.get("status"),
+            "content" -> df.get("content"),
             "file_path" -> df.get("file_path").toString,
             "file_format" -> df.get("file_format").toString,
             "record_count" -> df.get("record_count"),

@@ -188,11 +188,35 @@ class MaintainSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(inflight, ancient)
     t.generateIcebergMetadata()
     java.nio.file.Files.exists(inflight) shouldBe false
-    // live deletion vectors refuse (a manifest reader cannot apply masks)
+    // live deletion vectors export as a position-delete file: a reader
+    // applying (file_path, pos) deletes over the exported data files must
+    // see exactly the engine's masked rowset
     t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
-    t.delete(col("id") === 60L)
-    val ex = intercept[IllegalArgumentException] { t.generateIcebergMetadata() }
-    ex.getMessage should include("deletion vectors")
+    t.delete(col("id") >= 60L && col("id") < 70L)
+    t.snapshot().dvs should not be empty // masked, not rewritten
+    t.generateIcebergMetadata()
+    val (_, entries) = Uniform.readExport(t.dir)
+    val dataFiles = entries.filter(_("content") == 0)
+    val delFiles = entries.filter(_("content") == 1)
+    dataFiles.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
+    delFiles should have size 1
+    val delPath = delFiles.head("file_path").asInstanceOf[String]
+    delPath should include("/metadata/")
+    val del = spark.read.parquet(delPath)
+    del.columns.toSeq shouldBe Seq("file_path", "pos")
+    del.count() shouldBe delFiles.head("record_count")
+    // independent apply: data-file rows minus the delete positions == the
+    // engine's masked read
+    val withPos = spark.read
+      .parquet(dataFiles.map(_("file_path").asInstanceOf[String]): _*)
+      .select(col("id"),
+        graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")).as("__f"),
+        col("_metadata.row_index").as("__i"))
+    val applied = withPos.join(del,
+        withPos("__f") === del("file_path") && withPos("__i") === del("pos"),
+        "left_anti")
+      .select("id").as[Long].collect().sorted
+    applied shouldBe t.read().select("id").as[Long].collect().sorted
   }
 
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
