@@ -329,6 +329,38 @@ class LifecycleFuzzSpec extends SparkSpec {
       rowPairs() shouldBe preDrop
     }
     check("after typeWidening drop + truncate")
+    // uniform-export epilogue: whatever history the randomized run left
+    // behind (optimizes, restores, vacuums, DV churn), the Iceberg
+    // hand-walk must see exactly the live file set, and the exported
+    // data minus the exported position deletes must equal the masked read
+    table.generateIcebergMetadata()
+    val (_, entries) = Uniform.readExport(table.dir)
+    withClue(s"seed=$seed dv=$dv exported file set diverged: ") {
+      entries.filter(_("content") == 0)
+        .map(_("file_path").asInstanceOf[String]).toSet shouldBe
+        table.snapshot().files.map(f => table.dir.resolve(f.path).toString).toSet
+    }
+    val dataPaths = entries.filter(_("content") == 0)
+      .map(_("file_path").asInstanceOf[String])
+    val exportedVisible = if (dataPaths.isEmpty) Array.empty[Long] else {
+      val data = spark.read.parquet(dataPaths: _*)
+        .select(col("id"),
+          graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")).as("__f"),
+          col("_metadata.row_index").as("__i"))
+      val dels = entries.filter(_("content") == 1)
+        .map(_("file_path").asInstanceOf[String])
+      val applied =
+        if (dels.isEmpty) data
+        else {
+          val d = spark.read.parquet(dels: _*)
+          data.join(d, data("__f") === d("file_path") && data("__i") === d("pos"),
+            "left_anti")
+        }
+      applied.select("id").as[Long].collect().sorted
+    }
+    withClue(s"seed=$seed dv=$dv export+deletes diverged from masked read: ") {
+      exportedVisible shouldBe table.read().select("id").as[Long].collect().sorted
+    }
   }
 
   test("random lifecycle interleavings match the per-version model (rewrite mode)") {
