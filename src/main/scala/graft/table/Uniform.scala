@@ -116,54 +116,96 @@ trait UniformSupport { self: LakeTable =>
     val emptySpecJson = Uniform.json(Map(
       "spec-id" -> deleteSpecId, "fields" -> Nil))
 
-    // ---- manifest (one Avro entry per live data file) ----
-    val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
-    val manifestPath = metaDir.resolve(manifestName)
+    // ---- data manifests: incremental reuse — O(churn) writes ----
+    // A prior export's data manifest is REUSED VERBATIM (its manifest-list
+    // row copied with the ORIGINAL sequence numbers — Iceberg's standard
+    // manifest-reuse semantics; entries keep their adding snapshot) when
+    // every file it lists is still live. A manifest that lost any file is
+    // dropped from the list and its still-live files re-add through this
+    // export's new manifests. New manifests chunk at
+    // `graft.uniform.manifestMaxEntries` files (default 100k) so steady
+    // appends touch one small manifest and churn dirties few — at millions
+    // of live files the per-export write cost is O(changed files), not
+    // O(table), the same incremental discipline as v2 checkpoints.
     val entrySchema = Uniform.manifestEntrySchema(schema, pcols, ids)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val writer = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](entrySchema))
-    writer.setMeta("schema", icebergSchemaJson)
-    writer.setMeta("schema-id", "0")
-    writer.setMeta("partition-spec", specJson)
-    writer.setMeta("partition-spec-id", "0")
-    writer.setMeta("format-version", "2")
-    writer.setMeta("content", "data")
-    writer.create(entrySchema, manifestPath.toFile)
-    var totalRows = 0L
-    try snap.files.foreach { f =>
-      val part = new GenericData.Record(partSchema)
-      pcols.foreach { c =>
-        part.put(c, Uniform.partitionValue(
-          f.partitionValues.getOrElse(c, null),
-          schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-            .getOrElse(StringType)))
+    val livePaths: Set[String] =
+      snap.files.map(f => dir.resolve(f.path).toString).toSet
+    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
+    val priorDataPaths = new scala.collection.mutable.HashMap[String, Seq[String]]()
+    def dataPathsOf(m: GenericRecord): Seq[String] =
+      priorDataPaths.getOrElseUpdate(m.get("manifest_path").toString,
+        scala.util.Try(Uniform.manifestDataPaths(
+          java.nio.file.Paths.get(m.get("manifest_path").toString))).getOrElse(Nil))
+    val reused = priorList.filter { m =>
+      m.get("content").asInstanceOf[Int] == 0 && {
+        val paths = dataPathsOf(m)
+        paths.nonEmpty && paths.forall(livePaths.contains)
       }
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0) // data
-      df.put("file_path", dir.resolve(f.path).toString)
-      df.put("file_format", "PARQUET")
-      df.put("partition", part)
-      df.put("record_count", f.numRecords)
-      df.put("file_size_in_bytes", f.size)
-      // per-column null counts + min/max bounds from the log's footer
-      // stats, so Iceberg readers get file skipping too — the same stats
-      // that drive this engine's own Pruner
-      val (nulls, lows, highs) =
-        Uniform.columnMetrics(dataFileSchema, schema, ids, f)
-      df.put("null_value_counts", nulls)
-      df.put("lower_bounds", lows)
-      df.put("upper_bounds", highs)
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED (this snapshot carries the full live set)
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
-      e.put("data_file", df)
-      writer.append(e)
-      totalRows += f.numRecords
-    } finally writer.close()
+    }
+    val reusedPaths: Set[String] = reused.flatMap(dataPathsOf).toSet
+    val newFiles = snap.files
+      .filter(f => !reusedPaths.contains(dir.resolve(f.path).toString))
+    val maxEntries = snap.metadata.properties
+      .get("graft.uniform.manifestMaxEntries")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(100000)
+
+    /** Write one data manifest over `group`; returns (name, rows). */
+    def writeDataManifest(group: Seq[AddFile]): (String, Long) = {
+      val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
+      val manifestPath = metaDir.resolve(manifestName)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      writer.setMeta("schema", icebergSchemaJson)
+      writer.setMeta("schema-id", "0")
+      writer.setMeta("partition-spec", specJson)
+      writer.setMeta("partition-spec-id", "0")
+      writer.setMeta("format-version", "2")
+      writer.setMeta("content", "data")
+      writer.create(entrySchema, manifestPath.toFile)
+      var rows = 0L
+      try group.foreach { f =>
+        val part = new GenericData.Record(partSchema)
+        pcols.foreach { c =>
+          part.put(c, Uniform.partitionValue(
+            f.partitionValues.getOrElse(c, null),
+            schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+              .getOrElse(StringType)))
+        }
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0) // data
+        df.put("file_path", dir.resolve(f.path).toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", part)
+        df.put("record_count", f.numRecords)
+        df.put("file_size_in_bytes", f.size)
+        // per-column null counts + min/max bounds from the log's footer
+        // stats, so Iceberg readers get file skipping too — the same stats
+        // that drive this engine's own Pruner
+        val (nulls, lows, highs) =
+          Uniform.columnMetrics(dataFileSchema, schema, ids, f)
+        df.put("null_value_counts", nulls)
+        df.put("lower_bounds", lows)
+        df.put("upper_bounds", highs)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED by this snapshot
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", df)
+        writer.append(e)
+        rows += f.numRecords
+      } finally writer.close()
+      (manifestName, rows)
+    }
+    val newManifests: Seq[(String, Seq[AddFile], Long)] =
+      newFiles.grouped(maxEntries).toSeq.map { group =>
+        val (name, rows) = writeDataManifest(group)
+        (name, group, rows)
+      }
+    val totalRows = snap.files.map(_.numRecords).sum
 
     // ---- delete manifest (only when DVs exported) ----
     val deleteManifest: Option[(String, Long)] = deleteFile.map { case (p, nDel) =>
@@ -210,21 +252,35 @@ trait UniformSupport { self: LakeTable =>
     lw.setMeta("format-version", "2")
     lw.create(mfSchema, listPath.toFile)
     try {
-      val m = new GenericData.Record(mfSchema)
-      m.put("manifest_path", listPath.getParent.resolve(manifestName).toString)
-      m.put("manifest_length", Files.size(manifestPath))
-      m.put("partition_spec_id", 0)
-      m.put("content", 0) // data manifest
-      m.put("sequence_number", seq)
-      m.put("min_sequence_number", seq)
-      m.put("added_snapshot_id", snapshotId)
-      m.put("added_data_files_count", snap.files.size)
-      m.put("existing_data_files_count", 0)
-      m.put("deleted_data_files_count", 0)
-      m.put("added_rows_count", totalRows)
-      m.put("existing_rows_count", 0L)
-      m.put("deleted_rows_count", 0L)
-      lw.append(m)
+      // reused manifests: their list rows copy VERBATIM (original sequence
+      // numbers, adding snapshot, counts) — nothing about them changed
+      reused.foreach { src =>
+        val r = new GenericData.Record(mfSchema)
+        mfSchema.getFields.asScala.foreach { f =>
+          r.put(f.name(), src.get(f.name()) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          })
+        }
+        lw.append(r)
+      }
+      newManifests.foreach { case (name, group, rows) =>
+        val m = new GenericData.Record(mfSchema)
+        m.put("manifest_path", listPath.getParent.resolve(name).toString)
+        m.put("manifest_length", Files.size(metaDir.resolve(name)))
+        m.put("partition_spec_id", 0)
+        m.put("content", 0) // data manifest
+        m.put("sequence_number", seq)
+        m.put("min_sequence_number", seq)
+        m.put("added_snapshot_id", snapshotId)
+        m.put("added_data_files_count", group.size)
+        m.put("existing_data_files_count", 0)
+        m.put("deleted_data_files_count", 0)
+        m.put("added_rows_count", rows)
+        m.put("existing_rows_count", 0L)
+        m.put("deleted_rows_count", 0L)
+        lw.append(m)
+      }
       deleteManifest.foreach { case (name, nDel) =>
         val d = new GenericData.Record(mfSchema)
         d.put("manifest_path", listPath.getParent.resolve(name).toString)
@@ -614,6 +670,37 @@ object Uniform {
         {"name":"existing_rows_count","type":"long","field-id":513},
         {"name":"deleted_rows_count","type":"long","field-id":514}
       ]}""")
+
+  /** The CURRENT export's manifest-list records (empty on first export or
+    * any unreadable prior state — the export then writes from scratch). */
+  private[table] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
+    scala.util.Try {
+      val hint = new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+      val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+      val meta = plain.readValue(
+        new String(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+          StandardCharsets.UTF_8),
+        classOf[java.util.Map[String, Object]])
+      val current = meta.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
+      val snap = meta.get("snapshots")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+        .find(_.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == current).get
+      val r = new DataFileReader[GenericRecord](
+        java.nio.file.Paths.get(snap.get("manifest-list").toString).toFile,
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }.getOrElse(Nil)
+
+  /** data_file paths listed by one manifest Avro. */
+  private[table] def manifestDataPaths(manifest: Path): Seq[String] = {
+    val r = new DataFileReader[GenericRecord](
+      manifest.toFile, new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala
+      .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+      .toList
+    finally r.close()
+  }
 
   /** Highest v<N>.metadata.json present (None on first export). */
   private[table] def latestMetadataVersion(metaDir: Path): Option[Long] = {

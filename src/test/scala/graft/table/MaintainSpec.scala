@@ -180,9 +180,10 @@ class MaintainSpec extends SparkSpec {
     // object it touches survived the sweep
     val (_, files3) = Uniform.readExport(t.dir)
     files3.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
-    // exactly the last two exports' avro objects remain (2 per export),
+    // the retained exports SHARE one data manifest (no churn between them,
+    // so incremental reuse kicks in): 2 manifest lists + 1 shared manifest,
     // plus the protected in-flight orphan
-    names.count(_.endsWith(".avro")) shouldBe 5
+    names.count(_.endsWith(".avro")) shouldBe 4
     java.nio.file.Files.exists(inflight) shouldBe true
     // once old, the unreferenced orphan is reclaimed by the next export
     java.nio.file.Files.setLastModifiedTime(inflight, ancient)
@@ -217,6 +218,44 @@ class MaintainSpec extends SparkSpec {
         "left_anti")
       .select("id").as[Long].collect().sorted
     applied shouldBe t.read().select("id").as[Long].collect().sorted
+  }
+
+  test("uniform_iceberg incremental export: unchanged manifests are reused " +
+    "verbatim, appends write O(batch) manifests, removals drop only the " +
+    "dirty manifest") {
+    val t = LakeTable.create(spark, tmpDir("uniform-inc").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))),
+      // tiny manifest chunks force multiple manifests, so churn can dirty
+      // SOME of them and reuse stays observable
+      properties = Map("graft.uniform.manifestMaxEntries" -> "2"))
+    (0 until 4).foreach(i =>
+      t.append(spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1)))
+    t.generateIcebergMetadata()
+    def listRows() = Uniform.currentManifestList(t.dir.resolve("metadata"))
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .map(m => m.get("manifest_path").toString)
+    val first = listRows()
+    first.size shouldBe 2 // 4 files / 2-entry chunks
+    // pure append: every prior manifest reused VERBATIM, exactly one new
+    t.append(spark.range(100, 110).toDF("id").coalesce(1))
+    t.generateIcebergMetadata()
+    val second = listRows()
+    first.foreach(second should contain(_))
+    second.size shouldBe 3
+    val (_, files2) = Uniform.readExport(t.dir)
+    files2.map(_("file_path").asInstanceOf[String]).toSet shouldBe
+      t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // removal: only manifests that LOST a file drop; untouched ones persist
+    t.delete(col("id") === 0L) // rewrites one file -> dirties its manifest
+    t.read().filter(col("id") === 0L).count() shouldBe 0
+    t.generateIcebergMetadata()
+    val third = listRows()
+    // at least one pre-existing manifest survives unchanged, and the live
+    // set stays exact
+    third.intersect(second) should not be empty
+    val (_, files3) = Uniform.readExport(t.dir)
+    files3.map(_("file_path").asInstanceOf[String]).toSet shouldBe
+      t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
   }
 
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
