@@ -245,6 +245,23 @@ class MaintainSpec extends SparkSpec {
     val (_, files2) = Uniform.readExport(t.dir)
     files2.map(_("file_path").asInstanceOf[String]).toSet shouldBe
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // no-churn export: write amplification is exactly one manifest list +
+    // one metadata JSON — zero new manifests, zero rewritten objects
+    def metaObjects() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(t.dir.resolve("metadata"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("version-hint")).toSet
+      finally s.close()
+    }
+    val before = metaObjects()
+    t.generateIcebergMetadata()
+    val added = metaObjects() -- before
+    added.count(_.startsWith("snap-")) shouldBe 1
+    added.count(_.endsWith(".metadata.json")) shouldBe 1
+    added.size shouldBe 2
+    listRows().toSet shouldBe second.toSet // same manifests, reused
+
     // removal: only manifests that LOST a file drop; untouched ones persist
     t.delete(col("id") === 0L) // rewrites one file -> dirties its manifest
     t.read().filter(col("id") === 0L).count() shouldBe 0
