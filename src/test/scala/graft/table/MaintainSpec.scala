@@ -275,6 +275,44 @@ class MaintainSpec extends SparkSpec {
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
   }
 
+  test("uniform_iceberg export under column mapping: RENAME keeps the " +
+    "Iceberg field id stable, so by-id readers keep resolving old files") {
+    val dir = tmpDir("uniform-cm").resolve("t").toString
+    // column mapping (parquet field ids) is on from create for every table
+    val t = LakeTable.create(spark, dir,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    t.append(spark.range(10).select(col("id"), concat(lit("x"), col("id")).as("v")))
+    t.generateIcebergMetadata()
+    def schemaFields(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val metaDir = t.dir.resolve("metadata")
+      val hint = new String(java.nio.file.Files.readAllBytes(
+        metaDir.resolve("version-hint.text"))).trim
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        java.nio.file.Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+        classOf[java.util.Map[String, Object]])
+      m.get("schemas").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.head.get("fields")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+        .map(f => f.get("name").toString ->
+          f.get("id").asInstanceOf[java.lang.Number].longValue()).toMap
+    }
+    val before = schemaFields()
+    before.keySet shouldBe Set("id", "v")
+    t.renameColumn("v", "val")
+    t.generateIcebergMetadata()
+    val after = schemaFields()
+    after.keySet shouldBe Set("id", "val")
+    // the renamed column keeps its PARQUET field id — an Iceberg by-id
+    // reader resolves pre-rename files under the new name, like this engine
+    after("val") shouldBe before("v")
+    after("id") shouldBe before("id")
+    // and the hand-walk still sees the live set
+    val (_, files) = Uniform.readExport(t.dir)
+    files.map(_("file_path").asInstanceOf[String]).toSet shouldBe
+      t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
