@@ -64,16 +64,20 @@ object Bench {
     * untouched queries 2–7× their r9 times while every plan-shape metric
     * stayed bit-identical — pure host contention — and the only evidence
     * was circumstantial. With load in the JSON, a contended run flags
-    * itself. Best-effort: absent /proc (non-Linux) emits nulls. */
+    * itself. Best-effort: absent /proc (non-Linux) emits null load and a
+    * -1 process count. */
   private def hostLoad(): (Double, Long) = {
     val load =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => Double.NaN }
     val procs =
-      try Files.list(java.nio.file.Paths.get("/proc")).iterator().asScala
-        .count(p => p.getFileName.toString.forall(_.isDigit)).toLong
-      catch { case scala.util.control.NonFatal(_) => -1L }
+      try {
+        val s = Files.list(java.nio.file.Paths.get("/proc"))
+        try s.iterator().asScala
+          .count(p => p.getFileName.toString.forall(_.isDigit)).toLong
+        finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     (load, procs)
   }
 

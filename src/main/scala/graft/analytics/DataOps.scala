@@ -767,11 +767,14 @@ object DataOps {
     * two paths independently gated. */
   def annIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = Similarity.sampleCentroids(emb, nlist = 16)
     // content-keyed cache (the q68/q107 pattern): repeated gate invocations
-    // reuse one index instead of accumulating a temp directory per call
+    // reuse one index instead of accumulating a temp directory per call.
+    // Centroid sampling stays INSIDE the build closure — search reads the
+    // stored codebook from table properties, so a cache hit must not pay
+    // the embeddings scan
     val dir = cachedIndexDir(spark, sfDir, "ivfgate", { d =>
-      Similarity.buildIvfIndex(spark, d, emb, centroids): Unit
+      Similarity.buildIvfIndex(spark, d, emb,
+        Similarity.sampleCentroids(emb, nlist = 16)): Unit
     }, srcTable = "embeddings")
     Similarity.searchIvfIndex(graft.table.LakeTable.forPath(spark, dir),
       emb.filter(col("vec_id") >= 30 && col("vec_id") < 40), k = 5, nprobe = 4)

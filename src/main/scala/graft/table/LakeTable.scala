@@ -1141,9 +1141,14 @@ class LakeTable private[table] (
       val v = snap.version + 1
       // Blind append per Delta's history semantics: the commit only adds
       // data and never read the table (appends, streaming appends) — so it
-      // can never conflict on content. Overwrites/DML read state first.
+      // can never conflict on content. Overwrites/DML read state first —
+      // and so does any commit carrying a Metadata action (schema
+      // evolution, identity bumps, appendWithProps' read-modify-write
+      // property deltas): those are snapshot-dependent by construction
+      // and must not be classified as blind.
       val blind = adds.nonEmpty && removes.isEmpty &&
         !actions.exists(_.isInstanceOf[graft.log.DeletionVector]) &&
+        !actions.exists(_.isInstanceOf[graft.log.Metadata]) &&
         ((op == "WRITE" && params.get("mode").contains("Append")) ||
           op == "STREAMING UPDATE")
       val ci = CommitInfo(v, nextTimestamp(snap), op, params, autoMetrics ++ metrics,

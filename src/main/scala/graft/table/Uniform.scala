@@ -70,7 +70,7 @@ trait UniformSupport { self: LakeTable =>
     val schema = snap.schema
     val pcols = snap.metadata.partitionColumns
     val ids = Uniform.fieldIds(schema)
-    val icebergSchemaJson = Uniform.schemaJson(schema, ids)
+    val (icebergSchemaJson, lastColumnId) = Uniform.schemaJson(schema, ids)
     val specJson = Uniform.partitionSpecJson(pcols, ids)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = snap.version + 1 // strictly increasing with the table
@@ -308,7 +308,7 @@ trait UniformSupport { self: LakeTable =>
       "location" -> dir.toString,
       "last-sequence-number" -> lastSeq,
       "last-updated-ms" -> nowMs,
-      "last-column-id" -> ids.values.foldLeft(0L)(math.max),
+      "last-column-id" -> lastColumnId,
       "current-schema-id" -> 0,
       "schemas" -> Seq(Uniform.parsed(icebergSchemaJson)),
       "default-spec-id" -> 0,
@@ -406,15 +406,21 @@ trait UniformSupport { self: LakeTable =>
         meta.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
           .asScala.flatMap { s =>
             val list = java.nio.file.Paths.get(s.get("manifest-list").toString)
+            // (manifest path, content) pairs from the LIST row — only
+            // DELETE manifests (content=1) are opened below, so the sweep
+            // stays O(retained lists + delete manifests), never a read of
+            // every data manifest's O(live files) entries
             val manifests = scala.util.Try {
               val r = new DataFileReader[GenericRecord](
                 list.toFile, new GenericDatumReader[GenericRecord]())
-              try r.iterator().asScala.map(_.get("manifest_path").toString).toList
+              try r.iterator().asScala.map(m =>
+                  (m.get("manifest_path").toString,
+                    m.get("content").asInstanceOf[Int])).toList
               finally r.close()
             }.getOrElse(Nil)
-            // delete parquets are referenced from INSIDE manifests
+            // delete parquets are referenced from INSIDE delete manifests
             // (content=1 data_file entries under metadata/)
-            val deleteRefs = manifests.flatMap { m =>
+            val deleteRefs = manifests.filter(_._2 == 1).flatMap { case (m, _) =>
               scala.util.Try {
                 val r = new DataFileReader[GenericRecord](
                   java.nio.file.Paths.get(m).toFile,
@@ -425,8 +431,8 @@ trait UniformSupport { self: LakeTable =>
                 finally r.close()
               }.getOrElse(Nil)
             }
-            (list.getFileName.toString +: manifests.map(m =>
-              java.nio.file.Paths.get(m).getFileName.toString)) ++
+            (list.getFileName.toString +: manifests.map { case (m, _) =>
+              java.nio.file.Paths.get(m).getFileName.toString }) ++
               deleteRefs.map(d => java.nio.file.Paths.get(d).getFileName.toString)
           }
       }.getOrElse(Nil)
@@ -485,10 +491,16 @@ object Uniform {
       s"no Iceberg mapping for Spark type $other")
   }
 
-  /** Iceberg schema JSON. Nested element/key/value/field ids are allocated
-    * deterministically above the top-level range (same traversal order on
-    * every export → stable ids). */
-  private[table] def schemaJson(schema: StructType, ids: Map[String, Long]): String = {
+  /** Iceberg schema JSON plus the true last-column-id (INCLUDING nested
+    * element/key/value/field ids, which allocate deterministically above
+    * the top-level range — same traversal order on every export). Note:
+    * exports keep only the CURRENT snapshot, and each metadata version is
+    * internally consistent; nested ids can shift between exports when the
+    * top-level id range grows (a reader always resolves through the
+    * current metadata's schema, so this is observable only to a tool
+    * diffing expired metadata versions). */
+  private[table] def schemaJson(
+      schema: StructType, ids: Map[String, Long]): (String, Long) = {
     var next = ids.values.foldLeft(0L)(math.max)
     def fresh(): Long = { next += 1; next }
     def typeOf(dt: DataType): Any = dt match {
@@ -512,7 +524,7 @@ object Uniform {
       "schema-id" -> 0,
       "fields" -> schema.fields.map(f => Map(
         "id" -> ids(f.name), "name" -> f.name, "required" -> !f.nullable,
-        "type" -> typeOf(f.dataType))).toSeq))
+        "type" -> typeOf(f.dataType))).toSeq)) -> next
   }
 
   /** Identity partition spec over the graft partition columns; partition
@@ -607,9 +619,19 @@ object Uniform {
       case DateType => Some(le(4)
         .putInt(java.time.LocalDate.parse(raw).toEpochDay.toInt)
         .flip().asInstanceOf[ByteBuffer])
-      case _: TimestampType | _: TimestampNTZType =>
+      case _: TimestampType =>
         scala.util.Try(graft.log.Stats.decodeInternal(raw, TimestampType)
           .asInstanceOf[Long]).toOption
+          .map(micros => le(8).putLong(micros).flip().asInstanceOf[ByteBuffer])
+      case _: TimestampNTZType =>
+        // NTZ stats carry either raw micros digits (internal encoding) or
+        // an ISO LocalDateTime string (external encoding) — accept both
+        scala.util.Try(raw.toLong).toOption
+          .orElse(scala.util.Try {
+            val ldt = java.time.LocalDateTime.parse(raw)
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L
+          }.toOption)
           .map(micros => le(8).putLong(micros).flip().asInstanceOf[ByteBuffer])
       case _: DecimalType =>
         Some(ByteBuffer.wrap(

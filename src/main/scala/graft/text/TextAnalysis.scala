@@ -510,7 +510,12 @@ object TextAnalysis {
     // (a term crossing the cap later is not retroactively capped). Document
     // LENGTHS keep counting capped tokens, so the stats properties are
     // cap-independent and the append path never needs the capped set to
-    // advance them.
+    // advance them. Storage tradeoff, made deliberately: the list rides
+    // table properties — it follows CLONE/RESTORE and every reader sees it
+    // transactionally — at the cost of re-serializing inside each append's
+    // Metadata action (which the stats delta re-emits anyway); the
+    // 10k-term guard below bounds that amplification to ~100 KB/commit
+    // worst-case, and a real stopword head is 10-100x smaller.
     val capped: Seq[String] =
       if (dfCap == Long.MaxValue) Nil
       else {
