@@ -1191,6 +1191,10 @@ class LakeTable private[table] (
             catch { case scala.util.control.NonFatal(_) => }
           }
         }
+        // UniForm auto-export: refresh the Iceberg view when the committed
+        // properties enable it (never from a GENERATE commit — the manual
+        // export path writes its own history record and must not recurse)
+        if (op != "GENERATE") maybeAutoExportIceberg(rtProps)
         return v
       }
       attempts += 1

@@ -60,9 +60,27 @@ import graft.log.{AddFile, ColumnIds}
   */
 trait UniformSupport { self: LakeTable =>
 
+  /** Auto-export hook (Delta UniForm's
+    * `delta.universalFormat.enabledFormats = iceberg`, accepted via the
+    * delta.-prefix normalization): when the committed properties name
+    * iceberg, every data commit refreshes the Iceberg view as it lands —
+    * viable because exports are INCREMENTAL (O(churn) objects per
+    * commit). Best-effort like the checkpoint cadence: the table commit
+    * is already durable, a failed export just leaves the previous (still
+    * consistent) Iceberg view until the next commit or a manual GENERATE.
+    * No history commit is written in auto mode (the data commit itself is
+    * the history record); DV-bearing snapshots export their position
+    * deletes like the manual path. */
+  private[table] def maybeAutoExportIceberg(props: Map[String, String]): Unit =
+    if (props.get("graft.universalFormat.enabledFormats")
+        .exists(_.split(",").map(_.trim.toLowerCase).contains("iceberg")))
+      try generateIcebergMetadata(recordCommit = false): Unit
+      catch { case scala.util.control.NonFatal(_) => }
+
   /** Export Iceberg metadata for the current snapshot; returns the
-    * `v<N>.metadata.json` path. */
-  def generateIcebergMetadata(): Path = {
+    * `v<N>.metadata.json` path. `recordCommit = false` (the auto-export
+    * hook) skips the GENERATE history commit. */
+  def generateIcebergMetadata(recordCommit: Boolean = true): Path = {
     val snap = snapshot()
     val metaDir = dir.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -357,13 +375,15 @@ trait UniformSupport { self: LakeTable =>
     Files.move(hintTmp, metaDir.resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
 
-    // the export rides DESCRIBE HISTORY (metadata-only commit, no actions)
-    commitWithRetry("GENERATE",
-      Map("mode" -> "uniform_iceberg",
-        "icebergSnapshotId" -> snapshotId.toString,
-        "icebergMetadataVersion" -> n.toString,
-        "sourceVersion" -> snap.version.toString), snapshot(),
-      Map("numExportedFiles" -> snap.files.size.toLong))(_ => Nil): Unit
+    // the export rides DESCRIBE HISTORY (metadata-only commit, no actions);
+    // skipped in auto mode, where the data commit is the history record
+    if (recordCommit)
+      commitWithRetry("GENERATE",
+        Map("mode" -> "uniform_iceberg",
+          "icebergSnapshotId" -> snapshotId.toString,
+          "icebergMetadataVersion" -> n.toString,
+          "sourceVersion" -> snap.version.toString), snapshot(),
+        Map("numExportedFiles" -> snap.files.size.toLong))(_ => Nil): Unit
     expireExports(metaDir, n)
     published
   }

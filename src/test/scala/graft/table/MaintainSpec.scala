@@ -313,6 +313,28 @@ class MaintainSpec extends SparkSpec {
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
   }
 
+  test("UniForm auto-export: enabledFormats=iceberg refreshes the Iceberg " +
+    "view on every commit, with no extra history commits") {
+    val t = LakeTable.create(spark, tmpDir("uniform-auto").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))),
+      // the Delta spelling — prefix normalization maps it to graft.*
+      properties = Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    def liveSet() = t.snapshot().files
+      .map(f => t.dir.resolve(f.path).toString).toSet
+    def exported() = Uniform.readExport(t.dir)._2
+      .filter(_("content") == 0).map(_("file_path").asInstanceOf[String]).toSet
+    t.append(spark.range(20).toDF("id"))
+    exported() shouldBe liveSet() // the append itself refreshed the view
+    t.delete(col("id") < 5)
+    exported() shouldBe liveSet() // and so did the DML rewrite
+    // auto mode writes no GENERATE history commits — the data commits ARE
+    // the history; a MANUAL generate still records one
+    import scala.jdk.CollectionConverters._
+    t.history().collect().map(_.getString(3)) should not contain "GENERATE"
+    t.generateIcebergMetadata()
+    t.history(Some(1)).collect()(0).getString(3) shouldBe "GENERATE"
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
