@@ -501,6 +501,44 @@ class PipelineOpsSpec extends SparkSpec {
     capIdx.toDf.filter(col("term") === "rare9").count() shouldBe 1L
   }
 
+  test("OPTIMIZE on a BM25 index table: search identical, pruning intact") {
+    import graft.text.TextAnalysis
+    // the steady-state shape: many small appends fragment the index, then
+    // maintenance compacts it — scores, stats, and bucket pruning must all
+    // survive (the index is a normal lake table, so OPTIMIZE just works)
+    val base = Seq((1L, "apple banana"), (2L, "cherry plum")).toDF("doc_id", "text")
+    val dir = tmpDir("bm25idx-opt").resolve("t").toString
+    val idx = TextAnalysis.buildBm25Index(spark, dir, base, buckets = 4)
+    (3 to 10).foreach { i =>
+      TextAnalysis.appendBm25Batch(idx,
+        Seq((i.toLong, s"apple plum w$i")).toDF("doc_id", "text"),
+        batchId = Some(s"opt-$i"))
+    }
+    val queries = Seq((90L, "apple cherry"), (91L, "plum w7")).toDF("doc_id", "text")
+    val before = TextAnalysis.bm25SearchIndex(idx, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val filesBefore = idx.toDf.inputFiles.length
+    idx.optimizeCompact()
+    idx.toDf.inputFiles.length should be < filesBefore
+    // scores and stats identical through the rewrite
+    TextAnalysis.bm25SearchIndex(idx, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)) shouldBe before
+    idx.properties("graft.bm25.numDocs").toLong shouldBe 10L
+    // bucket partition pruning still engages on the compacted layout
+    val all = idx.toDf.inputFiles.length
+    val bucket = Seq(("apple", 1)).toDF("term", "x")
+      .select(pmod(hash(col("term")), lit(4))).collect()(0).getInt(0)
+    val pruned = idx.read(Seq(col("bucket") === bucket)).inputFiles.length
+    pruned should be < all
+    // and appends keep working after the rewrite (ledger included)
+    TextAnalysis.appendBm25Batch(idx,
+      Seq((11L, "banana")).toDF("doc_id", "text"), batchId = Some("opt-11"))
+    TextAnalysis.appendBm25Batch(idx,
+      Seq((11L, "banana")).toDF("doc_id", "text"), batchId = Some("opt-11"))
+    idx.properties("graft.bm25.numDocs").toLong shouldBe 11L
+  }
+
   test("rrfFuse at non-default rrfK: nano-unit sums replay exactly") {
     val sysA = Seq((9L, 1L, 1), (9L, 5L, 2), (9L, 2L, 3)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq((9L, 3L, 1), (9L, 5L, 2), (9L, 4L, 3)).toDF("query_id", "doc_id", "rank")
