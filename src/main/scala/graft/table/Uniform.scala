@@ -319,7 +319,42 @@ trait UniformSupport { self: LakeTable =>
     } finally lw.close()
 
     // ---- table metadata JSON, published with CREATE_NEW (bump on race) ----
+    // Snapshot HISTORY carries forward: the new snapshot links to the
+    // previous current via parent-snapshot-id, and up to retention-1 prior
+    // snapshots stay listed (their manifest lists + manifests are
+    // reference-protected by expireExports), so Iceberg readers can time
+    // travel across the retained exports — matching the metadata-version
+    // retention window.
     val nowMs = System.currentTimeMillis()
+    val retention = snap.metadata.properties
+      .get("graft.uniform.metadataRetention")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(10)
+    val priorMeta = Uniform.priorMetadata(metaDir)
+    val priorSnaps: Seq[Object] = priorMeta
+      .map(_.get("snapshots").asInstanceOf[java.util.List[Object]]
+        .asScala.toSeq).getOrElse(Nil)
+    val parentId: Option[Long] = priorMeta.map(
+      _.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue())
+    val priorLog: Seq[Object] = priorMeta
+      .flatMap(m => Option(m.get("snapshot-log")))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
+      .getOrElse(Nil)
+    val newSnapshot: Map[String, Any] = Map(
+      "snapshot-id" -> snapshotId,
+      "timestamp-ms" -> nowMs,
+      "sequence-number" -> seq,
+      "schema-id" -> 0,
+      "summary" -> Map(
+        "operation" -> "overwrite",
+        "total-data-files" -> snap.files.size.toString,
+        "total-delete-files" -> deleteManifest.size.toString,
+        "total-position-deletes" ->
+          deleteFile.map(_._2).getOrElse(0L).toString,
+        "total-records" -> totalRows.toString,
+        "graft-version" -> snap.version.toString),
+      "manifest-list" -> listPath.toString) ++
+      parentId.map(p => "parent-snapshot-id" -> p)
     def metadataJson(lastSeq: Long): String = Uniform.json(Map(
       "format-version" -> 2,
       "table-uuid" -> snap.metadata.id,
@@ -339,22 +374,10 @@ trait UniformSupport { self: LakeTable =>
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
       "properties" -> Map("write.format.default" -> "parquet"),
       "current-snapshot-id" -> snapshotId,
-      "snapshots" -> Seq(Map(
-        "snapshot-id" -> snapshotId,
-        "timestamp-ms" -> nowMs,
-        "sequence-number" -> seq,
-        "schema-id" -> 0,
-        "summary" -> Map(
-          "operation" -> "overwrite",
-          "total-data-files" -> snap.files.size.toString,
-          "total-delete-files" -> deleteManifest.size.toString,
-          "total-position-deletes" ->
-            deleteFile.map(_._2).getOrElse(0L).toString,
-          "total-records" -> totalRows.toString,
-          "graft-version" -> snap.version.toString),
-        "manifest-list" -> listPath.toString)),
-      "snapshot-log" -> Seq(Map(
-        "timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId)),
+      "snapshots" -> (priorSnaps.takeRight(retention - 1) :+
+        (newSnapshot: Any)),
+      "snapshot-log" -> (priorLog.takeRight(retention - 1) :+
+        (Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId): Any)),
       "metadata-log" -> Nil))
     var n = 1 + Uniform.latestMetadataVersion(metaDir).getOrElse(0L)
     var published: Path = null
@@ -713,17 +736,24 @@ object Uniform {
         {"name":"deleted_rows_count","type":"long","field-id":514}
       ]}""")
 
-  /** The CURRENT export's manifest-list records (empty on first export or
-    * any unreadable prior state — the export then writes from scratch). */
-  private[table] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
+  /** The prior export's table metadata, parsed as java.util types (None on
+    * first export or any unreadable prior state). */
+  private[table] def priorMetadata(metaDir: Path): Option[java.util.Map[String, Object]] =
     scala.util.Try {
       val hint = new String(Files.readAllBytes(
         metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
       val plain = new com.fasterxml.jackson.databind.ObjectMapper()
-      val meta = plain.readValue(
+      plain.readValue(
         new String(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
           StandardCharsets.UTF_8),
         classOf[java.util.Map[String, Object]])
+    }.toOption
+
+  /** The CURRENT export's manifest-list records (empty on first export or
+    * any unreadable prior state — the export then writes from scratch). */
+  private[table] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
+    scala.util.Try {
+      val meta = priorMetadata(metaDir).get
       val current = meta.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
       val snap = meta.get("snapshots")
         .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala

@@ -181,10 +181,11 @@ class MaintainSpec extends SparkSpec {
     // object it touches survived the sweep
     val (_, files3) = Uniform.readExport(t.dir)
     files3.map(_("file_path").asInstanceOf[String]).toSet shouldBe liveSet()
-    // the retained exports SHARE one data manifest (no churn between them,
-    // so incremental reuse kicks in): 2 manifest lists + 1 shared manifest,
-    // plus the protected in-flight orphan
-    names.count(_.endsWith(".avro")) shouldBe 4
+    // with retention 2, each metadata lists its snapshot plus one prior
+    // (Iceberg time travel across exports), so the two survivors reference
+    // THREE manifest lists; the no-churn exports all SHARE one data
+    // manifest (incremental reuse); plus the protected in-flight orphan
+    names.count(_.endsWith(".avro")) shouldBe 5
     java.nio.file.Files.exists(inflight) shouldBe true
     // once old, the unreferenced orphan is reclaimed by the next export
     java.nio.file.Files.setLastModifiedTime(inflight, ancient)
@@ -247,6 +248,8 @@ class MaintainSpec extends SparkSpec {
     val (_, files2) = Uniform.readExport(t.dir)
     files2.map(_("file_path").asInstanceOf[String]).toSet shouldBe
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    val postAppendLiveSet =
+      t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
     // no-churn export: write amplification is exactly one manifest list +
     // one metadata JSON — zero new manifests, zero rewritten objects
     def metaObjects() = {
@@ -275,6 +278,31 @@ class MaintainSpec extends SparkSpec {
     val (_, files3) = Uniform.readExport(t.dir)
     files3.map(_("file_path").asInstanceOf[String]).toSet shouldBe
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // Iceberg time travel across exports: the current snapshot links to
+    // its parent, and the PARENT's manifest list still resolves to the
+    // file set AS OF the previous export (pre-delete)
+    import scala.jdk.CollectionConverters._
+    val meta = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    val curId = meta.get("current-snapshot-id")
+      .asInstanceOf[java.lang.Number].longValue()
+    val cur = snaps.find(
+      _.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == curId).get
+    val parentId = cur.get("parent-snapshot-id")
+      .asInstanceOf[java.lang.Number].longValue()
+    val parent = snaps.find(
+      _.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == parentId).get
+    val parentFiles = {
+      val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        java.nio.file.Paths.get(parent.get("manifest-list").toString).toFile,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val manifests = try r.iterator().asScala
+        .map(_.get("manifest_path").toString).toList finally r.close()
+      manifests.flatMap(m =>
+        Uniform.manifestDataPaths(java.nio.file.Paths.get(m))).toSet
+    }
+    parentFiles shouldBe postAppendLiveSet // the pre-delete live set
   }
 
   test("uniform_iceberg export under column mapping: RENAME keeps the " +
