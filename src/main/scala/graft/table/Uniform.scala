@@ -28,14 +28,17 @@ import graft.log.{AddFile, ColumnIds}
   *   <table>/metadata/<uuid>-m0.avro        manifest (Avro, one entry/file)
   * }}}
   *
-  * Each export is METADATA-ONLY over the live snapshot: one manifest
-  * carrying every live data file (absolute path, record count, byte size,
-  * typed partition tuple), one manifest list, one metadata JSON naming them
-  * as the current snapshot — and one graft commit recording the export in
-  * DESCRIBE HISTORY. Data files are never touched. Exports keep only the
-  * CURRENT snapshot in the metadata (the expire-snapshots shape): time
-  * travel stays the transaction log's job; the Iceberg view is "the live
-  * table, now".
+  * Each export is METADATA-ONLY over the live snapshot: manifests carrying
+  * the live data files (absolute path, record count, byte size, typed
+  * partition tuple, per-column null counts + bounds), one manifest list,
+  * one metadata JSON naming them as the current snapshot — and one graft
+  * commit recording the export in DESCRIBE HISTORY (manual path only).
+  * Data files are never touched. Up to `graft.uniform.metadataRetention`
+  * snapshots stay listed with parent-snapshot-id links and THEIR OWN
+  * schema ids, so Iceberg readers time-travel across retained exports
+  * even over schema changes; older snapshots expire with their metadata
+  * versions (the expire-snapshots shape — deep history stays the
+  * transaction log's job).
   *
   * Live deletion vectors export as an Iceberg POSITION-DELETE file
   * (sorted (file_path, pos) parquet under the spec's reserved field ids,
@@ -60,6 +63,11 @@ import graft.log.{AddFile, ColumnIds}
   */
 trait UniformSupport { self: LakeTable =>
 
+  /** Manifest Avro files are immutable once written: their data-path lists
+    * memoize across exports (swept past 512 entries). */
+  @transient private lazy val manifestPathsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Auto-export hook (Delta UniForm's
     * `delta.universalFormat.enabledFormats = iceberg`, accepted via the
     * delta.-prefix normalization): when the committed properties name
@@ -70,12 +78,20 @@ trait UniformSupport { self: LakeTable =>
     * consistent) Iceberg view until the next commit or a manual GENERATE.
     * No history commit is written in auto mode (the data commit itself is
     * the history record); DV-bearing snapshots export their position
-    * deletes like the manual path. */
+    * deletes like the manual path. Failures are best-effort but NEVER
+    * silent: the Iceberg view is externally consumed, so a table that can
+    * never export (say, a partition type the export does not serialize)
+    * logs the cause on every commit instead of quietly serving a stale
+    * view forever. */
   private[table] def maybeAutoExportIceberg(props: Map[String, String]): Unit =
     if (props.get("graft.universalFormat.enabledFormats")
         .exists(_.split(",").map(_.trim.toLowerCase).contains("iceberg")))
       try generateIcebergMetadata(recordCommit = false): Unit
-      catch { case scala.util.control.NonFatal(_) => }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] uniform_iceberg auto-export failed for $dir " +
+            s"(the Iceberg view is now stale): ${e.getMessage}")
+      }
 
   /** Export Iceberg metadata for the current snapshot; returns the
     * `v<N>.metadata.json` path. `recordCommit = false` (the auto-export
@@ -88,10 +104,54 @@ trait UniformSupport { self: LakeTable =>
     val schema = snap.schema
     val pcols = snap.metadata.partitionColumns
     val ids = Uniform.fieldIds(schema)
-    val (icebergSchemaJson, lastColumnId) = Uniform.schemaJson(schema, ids)
+    // the prior export drives everything incremental: sequence numbering,
+    // schema history, manifest + delete-file reuse
+    val priorMeta = Uniform.priorMetadata(metaDir)
+    def metaLong(k: String): Option[Long] = priorMeta.flatMap(m =>
+      Option(m.get(k)).map(_.asInstanceOf[java.lang.Number].longValue()))
+    val priorLastSeq = metaLong("last-sequence-number").getOrElse(0L)
+    val priorLastColumnId = metaLong("last-column-id").getOrElse(0L)
+    // Schema history: an export whose fields match a prior schema REUSES it
+    // verbatim (same schema-id, same nested ids — stable across exports); a
+    // changed schema appends under a fresh schema-id, with nested ids
+    // allocated in a band disjoint from everything previously exported
+    // (>= prior last-column-id, floored at 10000 so the engine's top-level
+    // id allocator — which counts only real columns — can never catch up
+    // and alias a nested id to a different column). Retained snapshots
+    // keep resolving through THEIR schema, so time travel across a schema
+    // change reads old files under the old shape.
+    val plainCmp = new com.fasterxml.jackson.databind.ObjectMapper()
+    val priorSchemas: Seq[java.util.Map[String, Object]] = priorMeta
+      .flatMap(m => Option(m.get("schemas")))
+      .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala.toSeq)
+      .getOrElse(Nil)
+    val nestedBase = math.max(10000L, priorLastColumnId)
+    val (candidateSchemaJson, candidateLastCol) =
+      Uniform.schemaJson(schema, ids, schemaId = 0, nestedBase = nestedBase)
+    val candidateFields = plainCmp
+      .readValue(candidateSchemaJson, classOf[java.util.Map[String, Object]])
+      .get("fields")
+    val matched = priorSchemas.find(_.get("fields") == candidateFields)
+    val ourSchemaId: Long = matched match {
+      case Some(s) => s.get("schema-id").asInstanceOf[java.lang.Number].longValue()
+      case None => priorSchemas
+        .map(_.get("schema-id").asInstanceOf[java.lang.Number].longValue())
+        .foldLeft(-1L)(math.max) + 1
+    }
+    val (icebergSchemaJson, lastColumnId) = matched match {
+      case Some(s) => (plainCmp.writeValueAsString(s),
+        math.max(priorLastColumnId, candidateLastCol))
+      case None =>
+        val (j, lc) = Uniform.schemaJson(schema, ids,
+          schemaId = ourSchemaId, nestedBase = nestedBase)
+        (j, math.max(priorLastColumnId, lc))
+    }
     val specJson = Uniform.partitionSpecJson(pcols, ids)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
-    val seq = snap.version + 1 // strictly increasing with the table
+    // strictly increasing across BOTH triggers: table commits advance the
+    // version; a manual GENERATE between commits advances past the prior
+    // export's sequence (same-version exports must not collide)
+    val seq = math.max(snap.version + 1, priorLastSeq + 1)
 
     // ---- deletion vectors -> one Iceberg position-delete parquet ----
     // Live DVs export as a GLOBAL position-delete file (sorted
@@ -99,9 +159,34 @@ trait UniformSupport { self: LakeTable =>
     // 2147483546/2147483545, stamped into the parquet footer), registered
     // through a DELETE manifest under an unpartitioned spec — the Delta
     // UniForm shape for masked rows, replacing the GENERATE-style refusal.
-    // Delete rows are O(masked positions), written once per export.
-    val deleteFile: Option[(Path, Long)] =
+    // Delete rows are O(masked positions) — and written ONLY when the DV
+    // state changed since the prior export: an unchanged fingerprint
+    // (rides the snapshot summary) reuses the prior delete manifest
+    // verbatim, so auto-export on a DV-bearing table costs nothing per
+    // unrelated commit.
+    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
+    val dvFingerprint: Option[String] =
       if (snap.dvs.isEmpty) None
+      else Some(java.security.MessageDigest.getInstance("MD5")
+        .digest(snap.dvs.toSeq.sortBy(_._1)
+          .map { case (_, d) => s"${d.forFile}|${d.dvPath}|${d.numDeleted}" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString)
+    val priorDvFingerprint: Option[String] = priorMeta.flatMap { m =>
+      val cur = m.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
+      m.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.find(_.get("snapshot-id")
+          .asInstanceOf[java.lang.Number].longValue() == cur)
+        .flatMap(s => Option(s.get("summary"))
+          .map(_.asInstanceOf[java.util.Map[String, Object]])
+          .flatMap(sm => Option(sm.get("graft-dv-fingerprint")).map(_.toString)))
+    }
+    val reusedDeleteManifest: Option[GenericRecord] =
+      if (dvFingerprint.isDefined && dvFingerprint == priorDvFingerprint)
+        priorList.find(_.get("content").asInstanceOf[Int] == 1)
+      else None
+    val deleteFile: Option[(Path, Long)] =
+      if (snap.dvs.isEmpty || reusedDeleteManifest.isDefined) None
       else {
         val name = s"delete-${java.util.UUID.randomUUID()}.parquet"
         val target = metaDir.resolve(name)
@@ -150,12 +235,14 @@ trait UniformSupport { self: LakeTable =>
     val partSchema = dataFileSchema.getField("partition").schema()
     val livePaths: Set[String] =
       snap.files.map(f => dir.resolve(f.path).toString).toSet
-    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
-    val priorDataPaths = new scala.collection.mutable.HashMap[String, Seq[String]]()
+    // manifest files are immutable once written, so the path -> data-paths
+    // map memoizes ACROSS exports on this table handle — per-commit
+    // auto-export pays one Avro read per manifest ONCE, not per commit
+    if (manifestPathsCache.size > 512) manifestPathsCache.clear()
     def dataPathsOf(m: GenericRecord): Seq[String] =
-      priorDataPaths.getOrElseUpdate(m.get("manifest_path").toString,
-        scala.util.Try(Uniform.manifestDataPaths(
-          java.nio.file.Paths.get(m.get("manifest_path").toString))).getOrElse(Nil))
+      manifestPathsCache.computeIfAbsent(m.get("manifest_path").toString,
+        p => scala.util.Try(Uniform.manifestDataPaths(
+          java.nio.file.Paths.get(p))).getOrElse(Nil))
     val reused = priorList.filter { m =>
       m.get("content").asInstanceOf[Int] == 0 && {
         val paths = dataPathsOf(m)
@@ -270,9 +357,10 @@ trait UniformSupport { self: LakeTable =>
     lw.setMeta("format-version", "2")
     lw.create(mfSchema, listPath.toFile)
     try {
-      // reused manifests: their list rows copy VERBATIM (original sequence
+      // reused manifests (data, and the delete manifest when the DV state
+      // is unchanged): their list rows copy VERBATIM (original sequence
       // numbers, adding snapshot, counts) — nothing about them changed
-      reused.foreach { src =>
+      def copyRow(src: GenericRecord): Unit = {
         val r = new GenericData.Record(mfSchema)
         mfSchema.getFields.asScala.foreach { f =>
           r.put(f.name(), src.get(f.name()) match {
@@ -282,6 +370,8 @@ trait UniformSupport { self: LakeTable =>
         }
         lw.append(r)
       }
+      reused.foreach(copyRow)
+      reusedDeleteManifest.foreach(copyRow)
       newManifests.foreach { case (name, group, rows) =>
         val m = new GenericData.Record(mfSchema)
         m.put("manifest_path", listPath.getParent.resolve(name).toString)
@@ -330,9 +420,8 @@ trait UniformSupport { self: LakeTable =>
       .get("graft.uniform.metadataRetention")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
       .getOrElse(10)
-    val priorMeta = Uniform.priorMetadata(metaDir)
-    val priorSnaps: Seq[Object] = priorMeta
-      .map(_.get("snapshots").asInstanceOf[java.util.List[Object]]
+    val priorSnaps: Seq[java.util.Map[String, Object]] = priorMeta
+      .map(_.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
         .asScala.toSeq).getOrElse(Nil)
     val parentId: Option[Long] = priorMeta.map(
       _.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue())
@@ -340,19 +429,35 @@ trait UniformSupport { self: LakeTable =>
       .flatMap(m => Option(m.get("snapshot-log")))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
       .getOrElse(Nil)
+    val retainedSnaps = priorSnaps.takeRight(retention - 1)
+    // every schema some retained snapshot (or the new one) references
+    // survives; unreferenced ones drop with their snapshots
+    val referencedSchemaIds = retainedSnaps.flatMap(s =>
+      Option(s.get("schema-id")).map(_.asInstanceOf[java.lang.Number].longValue()))
+      .toSet + ourSchemaId
+    val schemaHistory: Seq[Any] =
+      (priorSchemas.filter(s => referencedSchemaIds.contains(
+        s.get("schema-id").asInstanceOf[java.lang.Number].longValue())) ++
+        (if (matched.isEmpty) Seq(plainCmp.readValue(icebergSchemaJson,
+          classOf[java.util.Map[String, Object]])) else Nil))
+        .map(s => s: Any)
     val newSnapshot: Map[String, Any] = Map(
       "snapshot-id" -> snapshotId,
       "timestamp-ms" -> nowMs,
       "sequence-number" -> seq,
-      "schema-id" -> 0,
-      "summary" -> Map(
+      "schema-id" -> ourSchemaId,
+      "summary" -> (Map(
         "operation" -> "overwrite",
         "total-data-files" -> snap.files.size.toString,
-        "total-delete-files" -> deleteManifest.size.toString,
+        "total-delete-files" ->
+          (deleteManifest.size + reusedDeleteManifest.size).toString,
         "total-position-deletes" ->
-          deleteFile.map(_._2).getOrElse(0L).toString,
+          snap.dvs.values.map(_.numDeleted).sum.toString,
         "total-records" -> totalRows.toString,
-        "graft-version" -> snap.version.toString),
+        "graft-version" -> snap.version.toString) ++
+        // the DV-state fingerprint lets the NEXT export reuse this delete
+        // manifest verbatim when no mask changed
+        dvFingerprint.map(f => "graft-dv-fingerprint" -> f)),
       "manifest-list" -> listPath.toString) ++
       parentId.map(p => "parent-snapshot-id" -> p)
     def metadataJson(lastSeq: Long): String = Uniform.json(Map(
@@ -362,23 +467,41 @@ trait UniformSupport { self: LakeTable =>
       "last-sequence-number" -> lastSeq,
       "last-updated-ms" -> nowMs,
       "last-column-id" -> lastColumnId,
-      "current-schema-id" -> 0,
-      "schemas" -> Seq(Uniform.parsed(icebergSchemaJson)),
+      "current-schema-id" -> ourSchemaId,
+      "schemas" -> schemaHistory,
       "default-spec-id" -> 0,
       "partition-specs" -> (
         Seq(Uniform.parsed(specJson)) ++
-          (if (deleteManifest.isDefined && deleteSpecId == 1)
+          (if ((deleteManifest.isDefined || reusedDeleteManifest.isDefined)
+              && deleteSpecId == 1)
             Seq(Uniform.parsed(emptySpecJson)) else Nil)),
       "last-partition-id" -> (999 + pcols.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
       "properties" -> Map("write.format.default" -> "parquet"),
       "current-snapshot-id" -> snapshotId,
-      "snapshots" -> (priorSnaps.takeRight(retention - 1) :+
-        (newSnapshot: Any)),
+      "snapshots" -> (retainedSnaps.map(s => s: Any) :+ (newSnapshot: Any)),
       "snapshot-log" -> (priorLog.takeRight(retention - 1) :+
         (Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId): Any)),
       "metadata-log" -> Nil))
+    // Outdated-export guard: with auto-export running per commit, a SLOW
+    // export started against an older table snapshot can publish AFTER a
+    // faster rival exported newer state — never regress the view. (A
+    // narrow TOCTOU window remains; the next commit's export self-heals,
+    // and the exported view is derived data either way.)
+    val rivalGraftVersion: Option[Long] = Uniform.priorMetadata(metaDir)
+      .flatMap { m =>
+        val cur = m.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
+        m.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+          .asScala.find(_.get("snapshot-id")
+            .asInstanceOf[java.lang.Number].longValue() == cur)
+          .flatMap(s => Option(s.get("summary"))
+            .map(_.asInstanceOf[java.util.Map[String, Object]])
+            .flatMap(sm => Option(sm.get("graft-version")))
+            .flatMap(v => scala.util.Try(v.toString.toLong).toOption))
+      }
+    if (rivalGraftVersion.exists(_ > snap.version))
+      return metaDir.resolve("version-hint.text")
     var n = 1 + Uniform.latestMetadataVersion(metaDir).getOrElse(0L)
     var published: Path = null
     while (published == null) {
@@ -392,11 +515,19 @@ trait UniformSupport { self: LakeTable =>
         case _: java.nio.file.FileAlreadyExistsException => n += 1
       }
     }
-    // the version hint swaps atomically so readers never see a torn pointer
-    val hintTmp = metaDir.resolve(s".version-hint-${java.util.UUID.randomUUID()}.tmp")
-    Files.write(hintTmp, n.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(hintTmp, metaDir.resolve("version-hint.text"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // the version hint swaps atomically so readers never see a torn
+    // pointer, and only moves FORWARD — a racing export that already
+    // published a higher metadata version keeps the hint
+    val hintFile = metaDir.resolve("version-hint.text")
+    val currentHint = scala.util.Try(new String(
+      Files.readAllBytes(hintFile), StandardCharsets.UTF_8).trim.toLong)
+      .getOrElse(0L)
+    if (n > currentHint) {
+      val hintTmp = metaDir.resolve(s".version-hint-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(hintTmp, n.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(hintTmp, hintFile,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
 
     // the export rides DESCRIBE HISTORY (metadata-only commit, no actions);
     // skipped in auto mode, where the data commit is the history record
@@ -535,16 +666,17 @@ object Uniform {
   }
 
   /** Iceberg schema JSON plus the true last-column-id (INCLUDING nested
-    * element/key/value/field ids, which allocate deterministically above
-    * the top-level range — same traversal order on every export). Note:
-    * exports keep only the CURRENT snapshot, and each metadata version is
-    * internally consistent; nested ids can shift between exports when the
-    * top-level id range grows (a reader always resolves through the
-    * current metadata's schema, so this is observable only to a tool
-    * diffing expired metadata versions). */
+    * element/key/value/field ids, allocated deterministically — same
+    * traversal order — starting above `nestedBase`, a band disjoint from
+    * every previously exported id so ids never alias across the retained
+    * schema history). An UNCHANGED schema is reused verbatim by the
+    * caller, keeping nested ids stable across exports. */
   private[table] def schemaJson(
-      schema: StructType, ids: Map[String, Long]): (String, Long) = {
-    var next = ids.values.foldLeft(0L)(math.max)
+      schema: StructType, ids: Map[String, Long],
+      schemaId: Long = 0, nestedBase: Long = 10000L): (String, Long) = {
+    val topMax = ids.values.foldLeft(0L)(math.max)
+    val base = math.max(nestedBase, topMax)
+    var next = base
     def fresh(): Long = { next += 1; next }
     def typeOf(dt: DataType): Any = dt match {
       case s: StructType => Map(
@@ -564,10 +696,11 @@ object Uniform {
     }
     json(Map(
       "type" -> "struct",
-      "schema-id" -> 0,
+      "schema-id" -> schemaId,
       "fields" -> schema.fields.map(f => Map(
         "id" -> ids(f.name), "name" -> f.name, "required" -> !f.nullable,
-        "type" -> typeOf(f.dataType))).toSeq)) -> next
+        "type" -> typeOf(f.dataType))).toSeq)) ->
+      (if (next == base) topMax else next) // flat schema: no nested band
   }
 
   /** Identity partition spec over the graft partition columns; partition
@@ -792,7 +925,9 @@ object Uniform {
     * last-sequence-number ≥ every snapshot/manifest sequence; every
     * manifest-list row's manifest_length matches the object's actual
     * size; every data_file's bounds decode with lower ≤ upper for
-    * numeric/temporal types; delete files sort by (file_path, pos). Used
+    * numeric/temporal types; referenced delete files exist (their
+    * (file_path, pos) sort order is parquet content — MaintainSpec checks
+    * it with a Spark read, outside this Spark-free walker). Used
     * by the uniform tests and the lifecycle fuzz so a regression in any
     * writer path fails loudly rather than producing a subtly-broken view. */
   def validateExport(tableDir: Path): Seq[String] = {
@@ -807,27 +942,32 @@ object Uniform {
       classOf[java.util.Map[String, Object]])
     def asLong(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
     val lastColumnId = asLong(meta.get("last-column-id"))
-    // field ids: unique, bounded by last-column-id (including nested)
-    val ids = scala.collection.mutable.ListBuffer.empty[Long]
-    def walkType(t: Object): Unit = t match {
-      case m: java.util.Map[_, _] =>
-        val tm = m.asInstanceOf[java.util.Map[String, Object]]
-        Seq("element-id", "key-id", "value-id").foreach { k =>
-          if (tm.containsKey(k)) ids += asLong(tm.get(k))
-        }
-        if (tm.containsKey("fields"))
-          tm.get("fields").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
-            .asScala.foreach { f => ids += asLong(f.get("id")); walkType(f.get("type")) }
-        Seq("element", "key", "value").foreach { k =>
-          if (tm.containsKey(k)) walkType(tm.get(k))
-        }
-      case _ => ()
+    // field ids: unique WITHIN each schema (the same logical column keeps
+    // its id ACROSS schema versions — that reuse is the contract, not a
+    // defect), all bounded by last-column-id (including nested)
+    meta.get("schemas").asInstanceOf[java.util.List[Object]].asScala.foreach { sch =>
+      val ids = scala.collection.mutable.ListBuffer.empty[Long]
+      def walkType(t: Object): Unit = t match {
+        case m: java.util.Map[_, _] =>
+          val tm = m.asInstanceOf[java.util.Map[String, Object]]
+          Seq("element-id", "key-id", "value-id").foreach { k =>
+            if (tm.containsKey(k)) ids += asLong(tm.get(k))
+          }
+          if (tm.containsKey("fields"))
+            tm.get("fields").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+              .asScala.foreach { f => ids += asLong(f.get("id")); walkType(f.get("type")) }
+          Seq("element", "key", "value").foreach { k =>
+            if (tm.containsKey(k)) walkType(tm.get(k))
+          }
+        case _ => ()
+      }
+      walkType(sch)
+      if (ids.distinct.size != ids.size)
+        out += s"duplicate field ids within one schema: " +
+          s"${ids.groupBy(identity).filter(_._2.size > 1).keys}"
+      ids.filter(_ > lastColumnId).foreach(i =>
+        out += s"field id $i exceeds last-column-id $lastColumnId")
     }
-    meta.get("schemas").asInstanceOf[java.util.List[Object]].asScala.foreach(walkType)
-    if (ids.distinct.size != ids.size)
-      out += s"duplicate field ids: ${ids.groupBy(identity).filter(_._2.size > 1).keys}"
-    ids.filter(_ > lastColumnId).foreach(i =>
-      out += s"field id $i exceeds last-column-id $lastColumnId")
     val lastSeq = asLong(meta.get("last-sequence-number"))
     val current = asLong(meta.get("current-snapshot-id"))
     val snaps = meta.get("snapshots")

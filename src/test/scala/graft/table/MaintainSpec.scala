@@ -209,6 +209,9 @@ class MaintainSpec extends SparkSpec {
     val del = spark.read.parquet(delPath)
     del.columns.toSeq shouldBe Seq("file_path", "pos")
     del.count() shouldBe delFiles.head("record_count")
+    // the Iceberg spec requires position deletes sorted by (file_path, pos)
+    val delRows = del.collect().map(r => (r.getString(0), r.getLong(1)))
+    delRows.toSeq shouldBe delRows.toSeq.sorted
     // independent apply: data-file rows minus the delete positions == the
     // engine's masked read
     val withPos = spark.read
@@ -321,8 +324,11 @@ class MaintainSpec extends SparkSpec {
       val m = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
         java.nio.file.Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
         classOf[java.util.Map[String, Object]])
+      val curId = m.get("current-schema-id").asInstanceOf[java.lang.Number].longValue()
       m.get("schemas").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
-        .asScala.head.get("fields")
+        .asScala
+        .find(_.get("schema-id").asInstanceOf[java.lang.Number].longValue() == curId)
+        .get.get("fields")
         .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
         .map(f => f.get("name").toString ->
           f.get("id").asInstanceOf[java.lang.Number].longValue()).toMap
@@ -341,6 +347,23 @@ class MaintainSpec extends SparkSpec {
     val (_, files) = Uniform.readExport(t.dir)
     files.map(_("file_path").asInstanceOf[String]).toSet shouldBe
       t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    // schema HISTORY: the rename produced a second schema under a fresh
+    // schema-id; the retained pre-rename snapshot keeps referencing the
+    // OLD one, so time travel reads old files under the old shape
+    import scala.jdk.CollectionConverters._
+    val meta = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+    val schemas = meta.get("schemas")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    schemas.size shouldBe 2
+    val curSchemaId = meta.get("current-schema-id")
+      .asInstanceOf[java.lang.Number].longValue()
+    val snapsList = meta.get("snapshots")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    val snapSchemaIds = snapsList
+      .map(_.get("schema-id").asInstanceOf[java.lang.Number].longValue())
+    snapSchemaIds.last shouldBe curSchemaId
+    snapSchemaIds.head should not be curSchemaId
+    Uniform.validateExport(t.dir) shouldBe empty
   }
 
   test("UniForm auto-export: enabledFormats=iceberg refreshes the Iceberg " +
@@ -363,6 +386,47 @@ class MaintainSpec extends SparkSpec {
     t.history().collect().map(_.getString(3)) should not contain "GENERATE"
     t.generateIcebergMetadata()
     t.history(Some(1)).collect()(0).getString(3) shouldBe "GENERATE"
+    // the manual export above ran at the SAME table version as the last
+    // auto-export: retained snapshots must still carry strictly increasing
+    // sequence numbers (Iceberg v2's ordering contract)
+    val meta = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+    val seqs = meta.get("snapshots")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+      .map(_.get("sequence-number").asInstanceOf[java.lang.Number].longValue())
+    seqs.toSeq shouldBe seqs.toSeq.sorted
+    seqs.toSet should have size seqs.size.toLong.toInt
+    Uniform.validateExport(t.dir) shouldBe empty
+  }
+
+  test("UniForm DV-manifest reuse: unrelated commits after a DELETE do not " +
+    "rewrite the position-delete parquet") {
+    val t = LakeTable.create(spark, tmpDir("uniform-dvreuse").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))),
+      properties = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg",
+        "graft.enableDeletionVectors" -> "true"))
+    t.append(spark.range(100).toDF("id"))
+    t.delete(col("id") < 10) // DV mask -> delete parquet exported
+    def deleteParquets() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(t.dir.resolve("metadata"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("delete-")).toSet
+      finally s.close()
+    }
+    val afterDelete = deleteParquets()
+    afterDelete should have size 1
+    // unrelated append: DV state unchanged -> the delete manifest is
+    // reused verbatim, no new Spark job, no new delete parquet
+    t.append(spark.range(100, 120).toDF("id"))
+    deleteParquets() shouldBe afterDelete
+    // the reused delete still applies in the exported view
+    val (_, entries) = Uniform.readExport(t.dir)
+    entries.filter(_("content") == 1) should have size 1
+    Uniform.validateExport(t.dir) shouldBe empty
+    // a SECOND delete changes the DV fingerprint -> fresh delete parquet
+    t.delete(col("id") === 50L)
+    deleteParquets().size should be >= 2 // old one GC's later (grace window)
   }
 
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
