@@ -480,6 +480,37 @@ object Bench {
     ops += "reorg_purge_sec" -> reorgSec
     ops += "reorg_purge_files" -> maskedFiles.toDouble
 
+    // UniForm Iceberg export at the strain table's file count: the FIRST
+    // export pays O(live files) manifest rows (the checkpoint cost class);
+    // the re-export after one small append must be O(churn) — the prior
+    // manifest is reused verbatim and only the new files write — which is
+    // what makes per-commit auto-export viable. reuse_pct is file-weighted:
+    // live files carried by reused manifests / all live files.
+    quiesce()
+    val exportFiles = st.snapshot().numFiles
+    val (_, uniformSec) = timed(st.generateIcebergMetadata(recordCommit = false))
+    st.append(spark.range(strainN, strainN + 1000)
+      .withColumn("user_id", concat(lit("x_"), col("id")))
+      .withColumn("amount", lit(java.math.BigDecimal.valueOf(3)).cast("decimal(18,2)"))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-04-01"))))
+    val (_, uniformIncrSec) = timed(st.generateIcebergMetadata(recordCommit = false))
+    ops += "uniform_export_sec" -> uniformSec
+    ops += "uniform_export_files" -> exportFiles.toDouble
+    ops += "uniform_incr_export_sec" -> uniformIncrSec
+    ops += "uniform_manifest_reuse_pct" -> {
+      val metaDir = st.dir.resolve("metadata")
+      val meta = graft.table.Uniform.priorMetadata(metaDir).get
+      val currentSnap = meta.get("current-snapshot-id")
+        .asInstanceOf[java.lang.Number].longValue()
+      val rows = graft.table.Uniform.currentManifestList(metaDir)
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+      val files = rows.map(_.get("added_data_files_count").asInstanceOf[Int].toLong)
+      val reused = rows.zip(files).collect {
+        case (r, f) if r.get("added_snapshot_id").asInstanceOf[Long] != currentSnap => f
+      }
+      if (files.sum == 0) 0.0 else reused.sum.toDouble * 100.0 / files.sum
+    }
+
     // ---- skew strain: the same job shapes, uniform keys vs 50% of all
     // rows on ONE hot key — proves the mitigation story empirically:
     //  * aggregation & exact dedup: partial (map-side) aggregation absorbs
@@ -664,6 +695,8 @@ object Bench {
       "optimize_file_reduction_pct" -> "%.1f",
       "delete_rewrite_mb_written" -> "%.1f", "delete_dv_mb_written" -> "%.1f",
       "reorg_purge_sec" -> "%.2f",
+      "uniform_export_sec" -> "%.2f", "uniform_incr_export_sec" -> "%.2f",
+      "uniform_manifest_reuse_pct" -> "%.1f",
       "skew_agg_x" -> "%.2f", "skew_dedup_x" -> "%.2f", "skew_join_x" -> "%.2f",
     ).collect { case (k, fmt) if ops.contains(k) => s""""$k":${jshort(ops(k), fmt)}""" }
       .mkString("{", ",", "}")

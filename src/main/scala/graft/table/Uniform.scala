@@ -264,7 +264,7 @@ trait UniformSupport { self: LakeTable =>
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](entrySchema))
       writer.setMeta("schema", icebergSchemaJson)
-      writer.setMeta("schema-id", "0")
+      writer.setMeta("schema-id", ourSchemaId.toString)
       writer.setMeta("partition-spec", specJson)
       writer.setMeta("partition-spec-id", "0")
       writer.setMeta("format-version", "2")
@@ -320,7 +320,7 @@ trait UniformSupport { self: LakeTable =>
       val dfs = es.getField("data_file").schema()
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](es))
       w.setMeta("schema", icebergSchemaJson)
-      w.setMeta("schema-id", "0")
+      w.setMeta("schema-id", ourSchemaId.toString)
       w.setMeta("partition-spec", emptySpecJson)
       w.setMeta("partition-spec-id", deleteSpecId.toString)
       w.setMeta("format-version", "2")
@@ -470,11 +470,27 @@ trait UniformSupport { self: LakeTable =>
       "current-schema-id" -> ourSchemaId,
       "schemas" -> schemaHistory,
       "default-spec-id" -> 0,
-      "partition-specs" -> (
-        Seq(Uniform.parsed(specJson)) ++
-          (if ((deleteManifest.isDefined || reusedDeleteManifest.isDefined)
-              && deleteSpecId == 1)
-            Seq(Uniform.parsed(emptySpecJson)) else Nil)),
+      // current specs PLUS any prior spec this export does not re-emit:
+      // retained snapshots' manifest lists resolve specs by id (the
+      // delete manifests carry partition_spec_id=1), so a DV-free export
+      // after a DV-bearing one must keep spec 1 listed or time travel to
+      // the retained snapshot dangles. Spec definitions are immutable on
+      // a graft table (partition columns fix at create), so carrying a
+      // prior entry verbatim is always consistent.
+      "partition-specs" -> {
+        val current: Seq[(Long, Any)] =
+          Seq(0L -> Uniform.parsed(specJson)) ++
+            (if ((deleteManifest.isDefined || reusedDeleteManifest.isDefined)
+                && deleteSpecId == 1)
+              Seq(1L -> Uniform.parsed(emptySpecJson)) else Nil)
+        val carried = priorMeta
+          .flatMap(m => Option(m.get("partition-specs")))
+          .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.toSeq).getOrElse(Nil)
+          .filter(s => !current.exists(_._1 ==
+            s.get("spec-id").asInstanceOf[java.lang.Number].longValue()))
+        current.map(_._2) ++ carried.map(s => s: Any)
+      },
       "last-partition-id" -> (999 + pcols.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
@@ -871,7 +887,7 @@ object Uniform {
 
   /** The prior export's table metadata, parsed as java.util types (None on
     * first export or any unreadable prior state). */
-  private[table] def priorMetadata(metaDir: Path): Option[java.util.Map[String, Object]] =
+  private[graft] def priorMetadata(metaDir: Path): Option[java.util.Map[String, Object]] =
     scala.util.Try {
       val hint = new String(Files.readAllBytes(
         metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
@@ -884,7 +900,7 @@ object Uniform {
 
   /** The CURRENT export's manifest-list records (empty on first export or
     * any unreadable prior state — the export then writes from scratch). */
-  private[table] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
+  private[graft] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
     scala.util.Try {
       val meta = priorMetadata(metaDir).get
       val current = meta.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
@@ -974,9 +990,27 @@ object Uniform {
       .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
     val cur = snaps.find(s => asLong(s.get("snapshot-id")) == current)
     if (cur.isEmpty) out += s"current-snapshot-id $current not in snapshots"
+    // every partition_spec_id any RETAINED snapshot's manifest list names
+    // must resolve in partition-specs (a DV-free export after a DV-bearing
+    // one must carry the delete spec forward, not drop it)
+    val specIds: Set[Long] = meta.get("partition-specs")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+      .map(s => asLong(s.get("spec-id"))).toSet
     snaps.foreach { s =>
       if (asLong(s.get("sequence-number")) > lastSeq)
         out += s"snapshot ${asLong(s.get("snapshot-id"))} sequence exceeds last-sequence-number"
+      val listPath = java.nio.file.Paths.get(s.get("manifest-list").toString)
+      if (Files.exists(listPath)) {
+        val r = new DataFileReader[GenericRecord](
+          listPath.toFile, new GenericDatumReader[GenericRecord]())
+        val rows = try r.iterator().asScala.toList finally r.close()
+        rows.foreach { m =>
+          val sid = m.get("partition_spec_id").asInstanceOf[Int].toLong
+          if (!specIds.contains(sid))
+            out += s"snapshot ${asLong(s.get("snapshot-id"))} references " +
+              s"partition_spec_id $sid absent from partition-specs"
+        }
+      }
     }
     cur.foreach { s =>
       val listPath = java.nio.file.Paths.get(s.get("manifest-list").toString)

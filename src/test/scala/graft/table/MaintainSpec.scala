@@ -429,6 +429,46 @@ class MaintainSpec extends SparkSpec {
     deleteParquets().size should be >= 2 // old one GC's later (grace window)
   }
 
+  test("UniForm spec history: a DV-free export after a DV-bearing one keeps " +
+    "the delete spec listed, so retained snapshots still resolve") {
+    import scala.jdk.CollectionConverters._
+    // PARTITIONED table: deletes export under the extra empty spec 1, and
+    // the regression is a later export dropping spec 1 from partition-specs
+    // while a retained snapshot's delete manifest still names it
+    val t = LakeTable.create(spark, tmpDir("uniform-spechist").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      partitionColumns = Seq("p"),
+      properties = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg",
+        "graft.enableDeletionVectors" -> "true"))
+    t.append(spark.range(100).select(col("id"), concat(lit("p"), col("id") % 2).as("p")))
+    t.delete(col("id") < 10) // DV mask -> exported under spec 1
+    def specIds(): Set[Long] = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+      .get("partition-specs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+      .asScala.map(_.get("spec-id").asInstanceOf[java.lang.Number].longValue()).toSet
+    specIds() shouldBe Set(0L, 1L)
+    // purge the masks: the NEXT export has no delete manifest of its own,
+    // but the prior (retained) snapshot still references spec 1
+    t.reorgPurge()
+    t.snapshot().dvs shouldBe empty
+    specIds() shouldBe Set(0L, 1L) // carried forward, not dropped
+    val meta = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+    val retainedSpecIds = meta.get("snapshots")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+      .flatMap { s =>
+        val list = java.nio.file.Paths.get(s.get("manifest-list").toString)
+        val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+          list.toFile,
+          new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        try r.iterator().asScala.map(_.get("partition_spec_id").asInstanceOf[Int].toLong).toList
+        finally r.close()
+      }.toSet
+    // every spec any retained snapshot references resolves in the metadata
+    retainedSpecIds.subsetOf(specIds()) shouldBe true
+    retainedSpecIds should contain(1L) // the retained DV snapshot is the point
+    Uniform.validateExport(t.dir) shouldBe empty
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
