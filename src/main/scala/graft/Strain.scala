@@ -74,6 +74,15 @@ object Strain {
     println(s"[strain] files=${t.snapshot().numFiles} rows=${t.read().count()}")
     timed("zorder (incremental)")(t.optimizeZOrder(Seq("user_id", "day")))
     timed("point query after zorder")(t.read(Seq(col("user_id") === "user_777")).count())
+    // UniForm Iceberg export at the strain table's file count: first export
+    // O(live files), re-export after one small append O(churn) — the
+    // manifest-reuse claim at 10-20x the bench shape's file count
+    val (_, expSec) = timed(s"uniform export (${t.snapshot().numFiles} files)")(
+      t.generateIcebergMetadata(recordCommit = false))
+    t.append(gen.limit(1000))
+    val (_, expIncrSec) = timed("uniform re-export after 1 append")(
+      t.generateIcebergMetadata(recordCommit = false))
+    println(f"[strain] uniform_export_sec=$expSec%.2f uniform_incr_export_sec=$expIncrSec%.2f")
     spark.stop()
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
   }

@@ -188,45 +188,14 @@ object DataOps {
     // KMeans — deterministic), reused verbatim on every later call, exactly
     // like a production vector index. Rebuilding per call would re-pay the
     // training cost this operator exists to amortize.
-    // cache key = corpus identity (path + file size/mtime, full 128-bit
-    // MD5), so regenerated testdata invalidates the index instead of
+    // the shared content-keyed cache (cachedIndexDir): corpus identity in
+    // the key, so regenerated testdata invalidates the index instead of
     // silently reusing stale centroids (stale blocking would cost recall
     // the oracle checks)
-    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-    val sig = scala.util.Try(
-      java.nio.file.Files.size(src) + ":" +
-        java.nio.file.Files.getLastModifiedTime(src).toMillis).getOrElse("na")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((sfDir + "#" + sig).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val root = tmpRoot.resolve(s"graft-sem-ivf-$key")
-    val dir = root.resolve("t").toString
-    // a half-built index (create landed, data append didn't) must rebuild,
-    // not be trusted: version >= 1 means the build's append committed
-    def usable = graft.table.LakeTable.isTable(dir) &&
-      graft.table.LakeTable.forPath(spark, dir).version >= 1
-    if (!usable) {
-      // race-safe fill: build into a process-private staging dir, then
-      // publish with one atomic rename — a concurrent run either wins the
-      // rename (we discard our build and read theirs) or sees our complete
-      // index; nobody ever reads a directory another process is writing
-      val staging = java.nio.file.Files.createTempDirectory(
-        tmpRoot, s"graft-sem-ivf-build-")
-      Similarity.buildIvfIndex(spark, staging.resolve("t").toString, emb,
+    val dir = cachedIndexDir(spark, sfDir, "sem-ivf", { d =>
+      Similarity.buildIvfIndex(spark, d, emb,
         Similarity.trainCentroids(emb, nlist = 16)): Unit
-      graft.log.TxLog.deleteRecursively(root)
-      try java.nio.file.Files.move(staging, root,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // lost the publish race (or a stale root reappeared): keep whatever
-        // is at root if usable, else fail loudly on the read below
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          graft.log.TxLog.deleteRecursively(staging)
-      }
-    }
+    }, srcTable = "embeddings")
     val index = graft.table.LakeTable.forPath(spark, dir)
     val centroids = Similarity.storedCentroids(index)
     val pairs = Dedup.embeddingNearDupPairs(emb, blockCol = "label", centroids,
@@ -625,21 +594,37 @@ object DataOps {
   def bm25DfCappedRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.filter(col("doc_id") % 50 =!= 0)
-    val cap = 3L * base.count() / 4L
-    val dir = cachedIndexDir(spark, sfDir, s"bm25cap$cap", { d =>
+    // the cap (3·N/4) is deterministic from the same corpus the cache key
+    // already fingerprints, so it computes INSIDE the build closure — a
+    // cache hit pays pure search, not a corpus count() per invocation
+    val dir = cachedIndexDir(spark, sfDir, "bm25cap", { d =>
+      val cap = 3L * base.count() / 4L
       TextAnalysis.buildBm25Index(spark, d, base, buckets = 16, dfCap = cap): Unit
     })
     TextAnalysis.bm25SearchIndex(graft.table.LakeTable.forPath(spark, dir),
       docs.filter(col("doc_id") % 50 === 0), k = 5)
   }
 
+  /** JVM-local build locks for [[cachedIndexDir]], keyed by cache root:
+    * two threads of one process never build (or delete) the same root
+    * concurrently. */
+  private val indexBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Content-keyed persisted-index cache under the process tmpdir (the
-    * q68 pattern): the key hashes sfDir + the documents file's size/mtime,
+    * q68 pattern): the key hashes sfDir + the source file's size/mtime,
     * so the same data reuses one index across gate invocations instead of
     * accumulating a fresh temp directory per call (and a data change
-    * rebuilds). Race-safe: build into private staging, publish with one
-    * atomic rename. Driver-local tmp is fine — the gates run local-mode
-    * by contract; a cluster deployment passes explicit table paths. */
+    * rebuilds). Race discipline: build into private staging, publish with
+    * one atomic rename; in-process builders serialize on a per-root lock;
+    * across processes, `usable` is RE-CHECKED after the build so a rival's
+    * just-published index is adopted (our staging discarded) instead of
+    * deleted out from under its reader — the root is only ever deleted
+    * when it exists in a non-usable (crashed half-build) state. A TOCTOU
+    * window remains across PROCESSES sharing a tmpdir, but the driver
+    * gates run with run-private tmpdirs by contract. Driver-local tmp is
+    * fine — the gates run local-mode; a cluster deployment passes explicit
+    * table paths. */
   private def cachedIndexDir(
       spark: SparkSession, sfDir: String, kind: String,
       build: String => Unit, srcTable: String = "documents"): String = {
@@ -658,17 +643,28 @@ object DataOps {
     def usable = graft.table.LakeTable.isTable(dir) &&
       graft.table.LakeTable.forPath(spark, dir).version >= 1
     if (!usable) {
-      val staging = java.nio.file.Files.createTempDirectory(
-        tmpRoot, s"graft-$kind-build-")
-      build(staging.resolve("t").toString)
-      graft.log.TxLog.deleteRecursively(root)
-      try java.nio.file.Files.move(staging, root,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          graft.log.TxLog.deleteRecursively(staging)
+      val lock = indexBuildLocks.computeIfAbsent(root.toString, _ => new Object)
+      lock.synchronized {
+        if (!usable) {
+          val staging = java.nio.file.Files.createTempDirectory(
+            tmpRoot, s"graft-$kind-build-")
+          build(staging.resolve("t").toString)
+          if (usable) {
+            // a rival process published while we built: adopt theirs —
+            // deleting root here would tear an index it may be reading
+            graft.log.TxLog.deleteRecursively(staging)
+          } else {
+            graft.log.TxLog.deleteRecursively(root) // crashed half-build
+            try java.nio.file.Files.move(staging, root,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException |
+                   _: java.nio.file.AccessDeniedException =>
+                graft.log.TxLog.deleteRecursively(staging)
+            }
+          }
+        }
       }
     }
     dir

@@ -30,10 +30,15 @@ object Stats {
     * any string extending the prefix (max). */
   private val MaxStrLen = 96
 
+  /** timestamp_ntz canonical encoding: the same fixed-width pattern as
+    * tsFmt but formatted/parsed as a LOCAL datetime (no zone shift) — the
+    * fixed width is what keeps [[compare]]'s byte order correct. */
+  private val ntzFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+
   def isStatsType(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: FloatType |
         _: DoubleType | _: DecimalType | _: StringType | _: BooleanType | _: DateType |
-        _: TimestampType => true
+        _: TimestampType | _: TimestampNTZType => true
     case _ => false
   }
 
@@ -42,6 +47,7 @@ object Stats {
     case null => null
     case ts: java.sql.Timestamp => tsFmt.format(ts.toInstant)
     case ts: Instant => tsFmt.format(ts)
+    case ldt: java.time.LocalDateTime => ntzFmt.format(ldt) // timestamp_ntz
     case d: java.sql.Date => d.toLocalDate.toString
     case d: LocalDate => d.toString
     case dec: java.math.BigDecimal => dec.toPlainString
@@ -59,6 +65,10 @@ object Stats {
     case (days: Int, DateType) => LocalDate.ofEpochDay(days.toLong).toString
     case (micros: Long, TimestampType) =>
       tsFmt.format(Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L))
+    case (micros: Long, TimestampNTZType) =>
+      ntzFmt.format(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC))
     case (d: Decimal, _) => d.toJavaBigDecimal.toPlainString
     case (other, _) => other.toString
   }
@@ -83,6 +93,7 @@ object Stats {
     case _: BooleanType => s.toBoolean
     case _: DateType => java.sql.Date.valueOf(LocalDate.parse(s))
     case _: TimestampType => java.sql.Timestamp.from(Instant.from(tsFmt.parse(s)))
+    case _: TimestampNTZType => java.time.LocalDateTime.parse(s, ntzFmt)
     case _ => s
   }
 
@@ -95,6 +106,9 @@ object Stats {
     case _: TimestampType =>
       val i = Instant.from(tsFmt.parse(s))
       i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case _: TimestampNTZType =>
+      val ldt = java.time.LocalDateTime.parse(s, ntzFmt)
+      ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
     case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
     case _: ByteType => s.toByte
     case _: ShortType => s.toShort
@@ -318,6 +332,19 @@ object Stats {
             }
             Some((encodeInternal(toMicros(st.genericGetMin.asInstanceOf[Long]), TimestampType),
               encodeInternal(toMicros(st.genericGetMax.asInstanceOf[Long]), TimestampType)))
+          case _ => None
+        }
+      case (_: TimestampNTZType, PrimitiveTypeName.INT64) =>
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val toMicros: Long => Long = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => _ / 1000L
+            }
+            Some((
+              encodeInternal(toMicros(st.genericGetMin.asInstanceOf[Long]), TimestampNTZType),
+              encodeInternal(toMicros(st.genericGetMax.asInstanceOf[Long]), TimestampNTZType)))
           case _ => None
         }
       case (d: DecimalType, _) =>

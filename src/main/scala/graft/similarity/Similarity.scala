@@ -369,13 +369,16 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions
     val centroids = decodeCentroids(index.properties("graft.ivf.centroids"))
-    // persisted: the assignment pipeline feeds both the driver-side probed-
-    // cell collect and the broadcast join side — without it the
-    // O(|queries| x nlist) distance pass runs twice
+    // No persist: the assignment pipeline feeds both the driver-side
+    // probed-cell collect and the broadcast join side, so the
+    // O(|queries| x nlist) distance pass runs twice — but the query batch
+    // is broadcast-sized by contract, and a persist with no unpersist pins
+    // cached partitions in the block manager for the session's lifetime
+    // (a retrieval service calling this per request accumulates them
+    // unboundedly — the same leak class fixed in bm25SearchIndex).
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("cell",
         explode(VectorFunctions.nearestCentroids(col("qv"), centroids, nprobe)))
-      .persist()
     val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val c = index.toDf.filter(col("cell").isin(cells: _*))
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))

@@ -107,6 +107,30 @@ trait UniformSupport { self: LakeTable =>
     // the prior export drives everything incremental: sequence numbering,
     // schema history, manifest + delete-file reuse
     val priorMeta = Uniform.priorMetadata(metaDir)
+    // graft source version recorded in a metadata map's current snapshot
+    // summary (None for pre-summary or foreign metadata)
+    def exportedGraftVersion(m: java.util.Map[String, Object]): Option[Long] = {
+      val cur = m.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
+      m.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.find(_.get("snapshot-id")
+          .asInstanceOf[java.lang.Number].longValue() == cur)
+        .flatMap(s => Option(s.get("summary"))
+          .map(_.asInstanceOf[java.util.Map[String, Object]]))
+    }.flatMap(sm => Option(sm.get("graft-version")))
+      .flatMap(v => scala.util.Try(v.toString.toLong).toOption)
+    // the view the caller gets back when this export stands down: the
+    // newest already-published metadata JSON (never the hint file — the
+    // documented return is a v<N>.metadata.json path)
+    def latestPublished: Path = Uniform.latestMetadataVersion(metaDir)
+      .map(v => metaDir.resolve(s"v$v.metadata.json"))
+      .getOrElse(metaDir.resolve("version-hint.text"))
+    // Outdated-export guard, checked BEFORE any object writes: with
+    // auto-export running per commit, a SLOW export started against an
+    // older table snapshot can run after a faster rival already exported
+    // newer state — standing down here writes no instant garbage. A
+    // narrower re-check runs again just before publishing.
+    if (priorMeta.flatMap(exportedGraftVersion).exists(_ > snap.version))
+      return latestPublished
     def metaLong(k: String): Option[Long] = priorMeta.flatMap(m =>
       Option(m.get(k)).map(_.asInstanceOf[java.lang.Number].longValue()))
     val priorLastSeq = metaLong("last-sequence-number").getOrElse(0L)
@@ -126,21 +150,30 @@ trait UniformSupport { self: LakeTable =>
       .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala.toSeq)
       .getOrElse(Nil)
     val nestedBase = math.max(10000L, priorLastColumnId)
-    val (candidateSchemaJson, candidateLastCol) =
+    val (candidateSchemaJson, _) =
       Uniform.schemaJson(schema, ids, schemaId = 0, nestedBase = nestedBase)
-    val candidateFields = plainCmp
-      .readValue(candidateSchemaJson, classOf[java.util.Map[String, Object]])
-      .get("fields")
-    val matched = priorSchemas.find(_.get("fields") == candidateFields)
+    // Matching IGNORES nested ids: element/key/value/struct-field ids are
+    // history-allocated (the band above moves with last-column-id), so
+    // comparing them would defeat reuse for ANY schema with a nested
+    // column — every export would append a structurally identical schema
+    // under a fresh id with drifted nested ids. Top-level ids participate:
+    // they are the engine's stable column identities, and a dropped-and-
+    // re-added column (same name, new id) must NOT match the old schema.
+    val candComparable = Uniform.comparableFields(candidateSchemaJson)
+    val matched = priorSchemas.find(s =>
+      Uniform.comparableFields(plainCmp.writeValueAsString(s)) == candComparable)
     val ourSchemaId: Long = matched match {
       case Some(s) => s.get("schema-id").asInstanceOf[java.lang.Number].longValue()
       case None => priorSchemas
         .map(_.get("schema-id").asInstanceOf[java.lang.Number].longValue())
         .foldLeft(-1L)(math.max) + 1
     }
+    val topMax = ids.values.foldLeft(0L)(math.max)
     val (icebergSchemaJson, lastColumnId) = matched match {
-      case Some(s) => (plainCmp.writeValueAsString(s),
-        math.max(priorLastColumnId, candidateLastCol))
+      case Some(s) =>
+        // reuse verbatim: nested ids stay exactly as first exported, and
+        // last-column-id does not inflate from the discarded candidate band
+        (plainCmp.writeValueAsString(s), math.max(priorLastColumnId, topMax))
       case None =>
         val (j, lc) = Uniform.schemaJson(schema, ids,
           schemaId = ourSchemaId, nestedBase = nestedBase)
@@ -153,6 +186,33 @@ trait UniformSupport { self: LakeTable =>
     // export's sequence (same-version exports must not collide)
     val seq = math.max(snap.version + 1, priorLastSeq + 1)
 
+    // ---- data-manifest reuse set (computed FIRST: the delete-manifest
+    // reuse decision below depends on which masked files it covers) ----
+    // A prior export's data manifest is REUSED VERBATIM (its manifest-list
+    // row copied with the ORIGINAL sequence numbers — Iceberg's standard
+    // manifest-reuse semantics; entries keep their adding snapshot) when
+    // every file it lists is still live. A manifest that lost any file is
+    // dropped from the list and its still-live files re-add through this
+    // export's new manifests.
+    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
+    val livePaths: Set[String] =
+      snap.files.map(f => dir.resolve(f.path).toString).toSet
+    // manifest files are immutable once written, so the path -> data-paths
+    // map memoizes ACROSS exports on this table handle — per-commit
+    // auto-export pays one Avro read per manifest ONCE, not per commit
+    if (manifestPathsCache.size > 512) manifestPathsCache.clear()
+    def dataPathsOf(m: GenericRecord): Seq[String] =
+      manifestPathsCache.computeIfAbsent(m.get("manifest_path").toString,
+        p => scala.util.Try(Uniform.manifestDataPaths(
+          java.nio.file.Paths.get(p))).getOrElse(Nil))
+    val reused = priorList.filter { m =>
+      m.get("content").asInstanceOf[Int] == 0 && {
+        val paths = dataPathsOf(m)
+        paths.nonEmpty && paths.forall(livePaths.contains)
+      }
+    }
+    val reusedPaths: Set[String] = reused.flatMap(dataPathsOf).toSet
+
     // ---- deletion vectors -> one Iceberg position-delete parquet ----
     // Live DVs export as a GLOBAL position-delete file (sorted
     // (file_path, pos) rows under the spec's reserved field ids
@@ -160,11 +220,11 @@ trait UniformSupport { self: LakeTable =>
     // through a DELETE manifest under an unpartitioned spec — the Delta
     // UniForm shape for masked rows, replacing the GENERATE-style refusal.
     // Delete rows are O(masked positions) — and written ONLY when the DV
-    // state changed since the prior export: an unchanged fingerprint
-    // (rides the snapshot summary) reuses the prior delete manifest
-    // verbatim, so auto-export on a DV-bearing table costs nothing per
-    // unrelated commit.
-    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
+    // state changed since the prior export AND every masked file rides a
+    // REUSED manifest: an unchanged fingerprint (rides the snapshot
+    // summary) then reuses the prior delete manifest verbatim, so
+    // auto-export on a DV-bearing table costs nothing per unrelated
+    // commit.
     val dvFingerprint: Option[String] =
       if (snap.dvs.isEmpty) None
       else Some(java.security.MessageDigest.getInstance("MD5")
@@ -182,7 +242,17 @@ trait UniformSupport { self: LakeTable =>
           .flatMap(sm => Option(sm.get("graft-dv-fingerprint")).map(_.toString)))
     }
     val reusedDeleteManifest: Option[GenericRecord] =
-      if (dvFingerprint.isDefined && dvFingerprint == priorDvFingerprint)
+      if (dvFingerprint.isDefined && dvFingerprint == priorDvFingerprint &&
+          // every masked file must ride a REUSED data manifest: a still-
+          // live masked file re-added through a NEW manifest carries THIS
+          // export's sequence number, and Iceberg applies a position
+          // delete only to data files whose data sequence number <= the
+          // delete file's — reusing the old (lower-sequence) delete
+          // manifest would silently resurrect that file's masked rows in
+          // the exported view. A fresh delete file at the current
+          // sequence covers reused and re-added files alike.
+          snap.dvs.values.forall(d =>
+            reusedPaths.contains(absPathStr(d.forFile))))
         priorList.find(_.get("content").asInstanceOf[Int] == 1)
       else None
     val deleteFile: Option[(Path, Long)] =
@@ -219,37 +289,15 @@ trait UniformSupport { self: LakeTable =>
     val emptySpecJson = Uniform.json(Map(
       "spec-id" -> deleteSpecId, "fields" -> Nil))
 
-    // ---- data manifests: incremental reuse — O(churn) writes ----
-    // A prior export's data manifest is REUSED VERBATIM (its manifest-list
-    // row copied with the ORIGINAL sequence numbers — Iceberg's standard
-    // manifest-reuse semantics; entries keep their adding snapshot) when
-    // every file it lists is still live. A manifest that lost any file is
-    // dropped from the list and its still-live files re-add through this
-    // export's new manifests. New manifests chunk at
-    // `graft.uniform.manifestMaxEntries` files (default 100k) so steady
-    // appends touch one small manifest and churn dirties few — at millions
-    // of live files the per-export write cost is O(changed files), not
-    // O(table), the same incremental discipline as v2 checkpoints.
+    // ---- data manifests: new files chunk into bounded manifests ----
+    // New manifests chunk at `graft.uniform.manifestMaxEntries` files
+    // (default 100k) so steady appends touch one small manifest and churn
+    // dirties few — at millions of live files the per-export write cost is
+    // O(changed files), not O(table), the same incremental discipline as
+    // v2 checkpoints.
     val entrySchema = Uniform.manifestEntrySchema(schema, pcols, ids)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val livePaths: Set[String] =
-      snap.files.map(f => dir.resolve(f.path).toString).toSet
-    // manifest files are immutable once written, so the path -> data-paths
-    // map memoizes ACROSS exports on this table handle — per-commit
-    // auto-export pays one Avro read per manifest ONCE, not per commit
-    if (manifestPathsCache.size > 512) manifestPathsCache.clear()
-    def dataPathsOf(m: GenericRecord): Seq[String] =
-      manifestPathsCache.computeIfAbsent(m.get("manifest_path").toString,
-        p => scala.util.Try(Uniform.manifestDataPaths(
-          java.nio.file.Paths.get(p))).getOrElse(Nil))
-    val reused = priorList.filter { m =>
-      m.get("content").asInstanceOf[Int] == 0 && {
-        val paths = dataPathsOf(m)
-        paths.nonEmpty && paths.forall(livePaths.contains)
-      }
-    }
-    val reusedPaths: Set[String] = reused.flatMap(dataPathsOf).toSet
     val newFiles = snap.files
       .filter(f => !reusedPaths.contains(dir.resolve(f.path).toString))
     val maxEntries = snap.metadata.properties
@@ -500,24 +548,15 @@ trait UniformSupport { self: LakeTable =>
       "snapshot-log" -> (priorLog.takeRight(retention - 1) :+
         (Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId): Any)),
       "metadata-log" -> Nil))
-    // Outdated-export guard: with auto-export running per commit, a SLOW
-    // export started against an older table snapshot can publish AFTER a
-    // faster rival exported newer state — never regress the view. (A
-    // narrow TOCTOU window remains; the next commit's export self-heals,
-    // and the exported view is derived data either way.)
-    val rivalGraftVersion: Option[Long] = Uniform.priorMetadata(metaDir)
-      .flatMap { m =>
-        val cur = m.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
-        m.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
-          .asScala.find(_.get("snapshot-id")
-            .asInstanceOf[java.lang.Number].longValue() == cur)
-          .flatMap(s => Option(s.get("summary"))
-            .map(_.asInstanceOf[java.util.Map[String, Object]])
-            .flatMap(sm => Option(sm.get("graft-version")))
-            .flatMap(v => scala.util.Try(v.toString.toLong).toOption))
-      }
-    if (rivalGraftVersion.exists(_ > snap.version))
-      return metaDir.resolve("version-hint.text")
+    // Outdated-export re-check just before publishing: a rival may have
+    // published newer state WHILE this export wrote its objects — never
+    // regress the view; the objects written above become unreferenced and
+    // GC after the grace window. (A narrow TOCTOU window remains; the next
+    // commit's export self-heals, and the exported view is derived data
+    // either way.)
+    if (Uniform.priorMetadata(metaDir).flatMap(exportedGraftVersion)
+        .exists(_ > snap.version))
+      return latestPublished
     var n = 1 + Uniform.latestMetadataVersion(metaDir).getOrElse(0L)
     var published: Path = null
     while (published == null) {
@@ -719,6 +758,34 @@ object Uniform {
       (if (next == base) topMax else next) // flat schema: no nested band
   }
 
+  /** The schema JSON's "fields" with every NESTED id stripped (struct-field
+    * ids below the top level, element-id/key-id/value-id) — the comparison
+    * key for schema reuse across exports. Nested ids are history-allocated
+    * in a band that moves with last-column-id, so including them would make
+    * a structurally unchanged nested schema unequal to its own prior
+    * export; top-level ids stay (stable engine column identities). */
+  private[table] def comparableFields(schemaJson: String): Object = {
+    val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = plain.readValue(schemaJson, classOf[java.util.Map[String, Object]])
+    def scrub(t: Object, top: Boolean): Unit = t match {
+      case mm: java.util.Map[_, _] =>
+        val tm = mm.asInstanceOf[java.util.Map[String, Object]]
+        Seq("element-id", "key-id", "value-id").foreach(tm.remove(_): Unit)
+        Option(tm.get("fields")).foreach { fs =>
+          fs.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.foreach { f =>
+              if (!top) f.remove("id"): Unit
+              scrub(f.get("type"), top = false)
+            }
+        }
+        Seq("element", "key", "value").foreach(k =>
+          Option(tm.get(k)).foreach(scrub(_, top = false)))
+      case _ => ()
+    }
+    scrub(m.asInstanceOf[Object], top = true)
+    m.get("fields")
+  }
+
   /** Identity partition spec over the graft partition columns; partition
     * field ids start at 1000 (the Iceberg convention). */
   private[table] def partitionSpecJson(pcols: Seq[String], ids: Map[String, Long]): String =
@@ -816,14 +883,11 @@ object Uniform {
           .asInstanceOf[Long]).toOption
           .map(micros => le(8).putLong(micros).flip().asInstanceOf[ByteBuffer])
       case _: TimestampNTZType =>
-        // NTZ stats carry either raw micros digits (internal encoding) or
-        // an ISO LocalDateTime string (external encoding) — accept both
-        scala.util.Try(raw.toLong).toOption
-          .orElse(scala.util.Try {
-            val ldt = java.time.LocalDateTime.parse(raw)
-            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-              ldt.getNano / 1000L
-          }.toOption)
+        // the canonical NTZ stat encoding (fixed-width local datetime);
+        // stale date-format strings from a date->ntz widening fail the
+        // parse and export no bounds — the safe direction
+        scala.util.Try(graft.log.Stats.decodeInternal(raw, TimestampNTZType)
+          .asInstanceOf[Long]).toOption
           .map(micros => le(8).putLong(micros).flip().asInstanceOf[ByteBuffer])
       case _: DecimalType =>
         Some(ByteBuffer.wrap(
@@ -855,10 +919,18 @@ object Uniform {
       f.stats.get(fld.name).foreach { cs =>
         val id = ids(fld.name)
         nulls.add(entry(elem("null_value_counts"), id, cs.nullCount))
-        boundBytes(cs.min, fld.dataType)
-          .foreach(b => lows.add(entry(elem("lower_bounds"), id, b)))
-        boundBytes(cs.max, fld.dataType)
-          .foreach(b => highs.add(entry(elem("upper_bounds"), id, b)))
+        // bounds export only when provably exact under the CURRENT type:
+        // after a stat-lossy widening (float->double, date->ntz) an
+        // un-rewritten file's stat string can sit strictly INSIDE the true
+        // upcast range, and an Iceberg reader skipping on it would drop
+        // matching rows — the same statsExact rule the engine's own Pruner
+        // obeys (null counts are type-independent and always export)
+        if (graft.log.TypeWidening.statsExact(f, fld)) {
+          boundBytes(cs.min, fld.dataType)
+            .foreach(b => lows.add(entry(elem("lower_bounds"), id, b)))
+          boundBytes(cs.max, fld.dataType)
+            .foreach(b => highs.add(entry(elem("upper_bounds"), id, b)))
+        }
       }
     }
     (if (nulls.isEmpty) null else nulls,
@@ -1101,6 +1173,7 @@ object Uniform {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           Map[String, Any](
             "status" -> e.get("status"),
+            "sequence_number" -> e.get("sequence_number"),
             "content" -> df.get("content"),
             "file_path" -> df.get("file_path").toString,
             "file_format" -> df.get("file_format").toString,

@@ -17,8 +17,13 @@ class IvfIndexSpec extends SparkSpec {
     val idx = Similarity.buildIvfIndex(spark,
       tmpDir("ivfidx").resolve("t").toString, emb, centroids)
     val queries = emb.filter(col("vec_id") < 8)
+    // search leaves nothing pinned in the block manager (the same leak
+    // class as the r10 bm25SearchIndex persist): a retrieval service
+    // calling this per request must not accumulate cached partitions
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val fromIndex = Similarity.searchIvfIndex(idx, queries, k = 5, nprobe = 4)
       .orderBy("query_id", "rank").collect()
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
     val inMemory = Similarity.ivfTopKTrained(emb, queries, k = 5, centroids, nprobe = 4)
       .orderBy("query_id", "rank").collect()
     fromIndex shouldBe inMemory

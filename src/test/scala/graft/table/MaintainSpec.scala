@@ -469,6 +469,97 @@ class MaintainSpec extends SparkSpec {
     Uniform.validateExport(t.dir) shouldBe empty
   }
 
+  test("UniForm delete-manifest reuse stands down when a masked file re-adds " +
+    "through a new manifest (sequence-number visibility)") {
+    // Iceberg applies a position delete only to data files whose data
+    // sequence number <= the delete file's. If churn dirties the manifest
+    // carrying a masked file (the mask itself unchanged), the file re-adds
+    // at THIS export's sequence — reusing the old lower-sequence delete
+    // manifest would resurrect its masked rows in the exported view.
+    val t = LakeTable.create(spark, tmpDir("uniform-delseq").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      partitionColumns = Seq("p"),
+      properties = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg",
+        "graft.enableDeletionVectors" -> "true"))
+    // two files (one per partition) listed by ONE export
+    t.append(spark.range(100).select(col("id"), concat(lit("p"), col("id") % 2).as("p")))
+    t.delete(col("p") === "p0" && col("id") < 10) // DV on the p0 file only
+    // churn p1 WITHOUT touching p0's mask: same DV fingerprint, but the
+    // shared manifest is dirtied and the masked p0 file re-adds
+    t.overwriteWhere(col("p") === "p1",
+      spark.range(200, 250).select((col("id") * 2 + 1).as("id"), lit("p1").as("p")))
+    val (_, entries) = Uniform.readExport(t.dir)
+    val dataSeqOfMasked = entries.filter(e => e("content") == 0 &&
+      t.snapshot().dvs.values.map(d => t.dir.resolve(d.forFile).toString).toSet
+        .contains(e("file_path").asInstanceOf[String]))
+      .map(_("sequence_number").asInstanceOf[Long])
+    dataSeqOfMasked should not be empty
+    val deleteSeqs = entries.filter(_("content") == 1)
+      .map(_("sequence_number").asInstanceOf[Long])
+    deleteSeqs should not be empty
+    // the delete file must be visible over every masked data file
+    deleteSeqs.min should be >= dataSeqOfMasked.max
+    // and the exported view still reads exactly like the engine
+    Uniform.validateExport(t.dir) shouldBe empty
+  }
+
+  test("UniForm schema reuse is stable for NESTED schemas: re-exports neither " +
+    "append duplicate schemas nor drift nested ids") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("uniform-nested").resolve("t").toString,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("tags", ArrayType(LongType)))),
+      properties = Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    def meta() = Uniform.priorMetadata(t.dir.resolve("metadata")).get
+    def schemas() = meta().get("schemas")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala.toSeq
+    def lastCol() = meta().get("last-column-id").asInstanceOf[java.lang.Number].longValue()
+    t.append(spark.range(10).select(col("id"), array(col("id")).as("tags")))
+    val (s1, lc1) = (schemas(), lastCol())
+    s1 should have size 1
+    t.append(spark.range(10, 20).select(col("id"), array(col("id")).as("tags")))
+    t.append(spark.range(20, 30).select(col("id"), array(col("id")).as("tags")))
+    val (s2, lc2) = (schemas(), lastCol())
+    // an UNCHANGED nested schema matches its own prior export: one schema
+    // entry, byte-identical (nested element-id included), stable
+    // last-column-id — no per-export drift
+    s2 should have size 1
+    s2.head shouldBe s1.head
+    lc2 shouldBe lc1
+    Uniform.validateExport(t.dir) shouldBe empty
+  }
+
+  test("UniForm exports timestamp_ntz bounds (now a stats type), decodable " +
+    "as little-endian micros") {
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(spark, tmpDir("uniform-ntz").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType), StructField("ts", TimestampNTZType))),
+      properties = Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    val lo = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    t.append(spark.range(5).select(col("id"),
+      expr("to_timestamp_ntz(concat('2024-01-01 0', id, ':00:00'))").as("ts")))
+    val (_, entries) = Uniform.readExport(t.dir)
+    val tsId = 2 // ordinal ids on an unmapped table: id=1, ts=2
+    val bounds = entries.filter(_("content") == 0).flatMap { e =>
+      def of(field: String): Option[Long] =
+        Option(e(field)).map(_.asInstanceOf[java.util.List[
+          org.apache.avro.generic.GenericRecord]].asScala
+          .find(_.get("key").asInstanceOf[Int] == tsId).map { kv =>
+            kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          }.get)
+      for (l <- of("lower_bounds"); u <- of("upper_bounds")) yield (l, u)
+    }
+    bounds should not be empty
+    val micros = (ldt: java.time.LocalDateTime) =>
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    bounds.map(_._1).min shouldBe micros(lo)
+    bounds.map(_._2).max shouldBe micros(lo.plusHours(4))
+    Uniform.validateExport(t.dir) shouldBe empty
+  }
+
   test("symlink manifest lists exactly the snapshot's live files, per partition") {
     val t = LakeTable.create(spark, tmpDir("manifest").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
