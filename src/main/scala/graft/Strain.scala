@@ -74,15 +74,27 @@ object Strain {
     println(s"[strain] files=${t.snapshot().numFiles} rows=${t.read().count()}")
     timed("zorder (incremental)")(t.optimizeZOrder(Seq("user_id", "day")))
     timed("point query after zorder")(t.read(Seq(col("user_id") === "user_777")).count())
-    // UniForm Iceberg export at the strain table's file count: first export
-    // O(live files), re-export after one small append O(churn) — the
-    // manifest-reuse claim at 10-20x the bench shape's file count
-    val (_, expSec) = timed(s"uniform export (${t.snapshot().numFiles} files)")(
-      t.generateIcebergMetadata(recordCommit = false))
-    t.append(gen.limit(1000))
-    val (_, expIncrSec) = timed("uniform re-export after 1 append")(
-      t.generateIcebergMetadata(recordCommit = false))
-    println(f"[strain] uniform_export_sec=$expSec%.2f uniform_incr_export_sec=$expIncrSec%.2f")
+    // UniForm export at METADATA scale: file count is the export's only
+    // cost axis (manifest rows, no Spark job), so strain it directly with
+    // a many-small-files table — the 100 TB shape is millions of files,
+    // and the claim that must hold is first export O(live files), every
+    // re-export O(churn) via manifest reuse
+    val mfiles = sys.env.getOrElse("STRAIN_EXPORT_FILES", "20000").toInt
+    val dir2 = Files.createTempDirectory("strain-export").resolve("t").toString
+    val gen2 = spark.range(mfiles.toLong)
+      .withColumn("payload", concat(lit("row_"), col("id")))
+    val t2 = LakeTable.create(spark, dir2, gen2.schema,
+      properties = Map("graft.uniform.manifestMaxEntries" -> "100000"))
+    timed(s"write $mfiles one-row files")(t2.append(gen2.repartition(mfiles)))
+    val (_, expSec) = timed(s"uniform export ($mfiles files)")(
+      t2.generateIcebergMetadata(recordCommit = false))
+    t2.append(spark.range(mfiles.toLong, mfiles + 1L)
+      .withColumn("payload", lit("tail")).coalesce(1))
+    val (_, expIncrSec) = timed("uniform re-export after 1-file append")(
+      t2.generateIcebergMetadata(recordCommit = false))
+    println(f"[strain] uniform_export_sec=$expSec%.2f " +
+      f"uniform_incr_export_sec=$expIncrSec%.2f files=$mfiles")
+    graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir2).getParent)
     spark.stop()
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
   }

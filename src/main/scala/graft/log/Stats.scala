@@ -143,8 +143,12 @@ object Stats {
     // under the current type — otherwise metadata-only min/max must fall
     // back to a scan (see TypeWidening)
     if (files.exists(f => !TypeWidening.statsExact(f, field))) return None
-    if (files.isEmpty) return Some((null, null))
-    val perFile = files.map(f =>
+    // zero-row files cannot move a min/max and often carry no column stats
+    // at all (an empty writer task) — skipping them is exact, refusing on
+    // them is not
+    val nonEmpty = files.filter(_.numRecords > 0)
+    if (nonEmpty.isEmpty) return Some((null, null))
+    val perFile = nonEmpty.map(f =>
       f.stats.get(field.name).orElse(f.stats.collectFirst {
         case (n, cs) if n.equalsIgnoreCase(field.name) => cs
       }).map(cs => (cs, f.numRecords)))

@@ -477,6 +477,24 @@ trait UniformSupport { self: LakeTable =>
       .flatMap(m => Option(m.get("snapshot-log")))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
       .getOrElse(Nil)
+    // metadata-log: the lineage of superseded metadata files (Iceberg's
+    // rollback/debugging trail). Each export appends the file it
+    // supersedes — the one the HINT named (what priorMeta parsed), not
+    // the highest version on disk (a crashed rival can leave a higher
+    // orphan). Trimmed with the same retention as expireExports, so every
+    // listed file survives the sweep.
+    val priorMetaLog: Seq[Object] = priorMeta
+      .flatMap(m => Option(m.get("metadata-log")))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
+      .getOrElse(Nil)
+    val supersededEntry: Option[Map[String, Any]] = priorMeta.flatMap { m =>
+      scala.util.Try(new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim.toLong)
+        .toOption.map(hint => Map[String, Any](
+          "timestamp-ms" ->
+            m.get("last-updated-ms").asInstanceOf[java.lang.Number].longValue(),
+          "metadata-file" -> metaDir.resolve(s"v$hint.metadata.json").toString))
+    }
     val retainedSnaps = priorSnaps.takeRight(retention - 1)
     // every schema some retained snapshot (or the new one) references
     // survives; unreferenced ones drop with their snapshots
@@ -547,7 +565,8 @@ trait UniformSupport { self: LakeTable =>
       "snapshots" -> (retainedSnaps.map(s => s: Any) :+ (newSnapshot: Any)),
       "snapshot-log" -> (priorLog.takeRight(retention - 1) :+
         (Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId): Any)),
-      "metadata-log" -> Nil))
+      "metadata-log" -> (priorMetaLog.takeRight(math.max(0, retention - 2))
+        .map(o => o: Any) ++ supersededEntry.toSeq.map(e => e: Any))))
     // Outdated-export re-check just before publishing: a rival may have
     // published newer state WHILE this export wrote its objects — never
     // regress the view; the objects written above become unreferenced and

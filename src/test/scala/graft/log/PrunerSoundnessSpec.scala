@@ -23,6 +23,10 @@ class PrunerSoundnessSpec extends SparkSpec {
     }
     val df = rows.toDF("id", "name", "score", "day", "amount")
       .withColumn("amount", col("amount").cast("decimal(18,2)"))
+      // timestamp_ntz, monotone with id: disjoint per-file ranges so NTZ
+      // stats can actually skip files (r11: NTZ became a stats type)
+      .withColumn("ts", expr(
+        "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)"))
     val t = LakeTable.create(spark, tmpDir("pruner-fuzz").resolve("t").toString, df.schema)
     // many small files with DISJOINT id ranges -> real pruning happens
     (0 until 8).foreach(b => t.append(
@@ -49,7 +53,11 @@ class PrunerSoundnessSpec extends SparkSpec {
     "negation" -> !(col("id") < 390L),
     "cross-column" -> (col("score") > 20.0 && col("day") < java.sql.Date.valueOf("2024-06-01")),
     "no match" -> (col("id") === -1L),
-    "tautology" -> (col("id") >= 0L))
+    "tautology" -> (col("id") >= 0L),
+    // id=123 -> +123h = 2024-01-06 03:00
+    "ntz point" -> (col("ts") === expr("timestamp_ntz'2024-01-06 03:00:00'")),
+    "ntz range" -> (col("ts") >= expr("timestamp_ntz'2024-01-11 00:00:00'")),
+    "ntz cross" -> (col("ts") < expr("timestamp_ntz'2024-01-03 00:00:00'") && col("score") > 1.0))
 
   test("pruned reads equal full-scan-plus-filter for every predicate shape") {
     val full = table.read()
@@ -65,6 +73,10 @@ class PrunerSoundnessSpec extends SparkSpec {
     snap.numFiles should be >= 8
     val kept = Pruner.prune(snap.files, Seq(col("id") === 123L), snap.schema)
     kept.size should be < snap.numFiles
+    // NTZ stats skip too: the ts ranges are disjoint per file by design
+    val keptNtz = Pruner.prune(snap.files,
+      Seq(col("ts") === expr("timestamp_ntz'2024-01-06 03:00:00'")), snap.schema)
+    keptNtz.size should be < snap.numFiles
   }
 
   test("soundness holds after zorder rewrites the layout") {

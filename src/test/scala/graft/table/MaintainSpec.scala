@@ -395,6 +395,19 @@ class MaintainSpec extends SparkSpec {
       .map(_.get("sequence-number").asInstanceOf[java.lang.Number].longValue())
     seqs.toSeq shouldBe seqs.toSeq.sorted
     seqs.toSet should have size seqs.size.toLong.toInt
+    // metadata-log carries the superseded-metadata lineage: every listed
+    // file exists (retention-trimmed in step with expireExports) and the
+    // newest entry names the file the current one replaced
+    val mlog = meta.get("metadata-log")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    mlog should not be empty
+    mlog.foreach { e =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        e.get("metadata-file").toString)) shouldBe true
+    }
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      t.dir.resolve("metadata").resolve("version-hint.text"))).trim.toLong
+    mlog.last.get("metadata-file").toString should endWith(s"v${hint - 1}.metadata.json")
     Uniform.validateExport(t.dir) shouldBe empty
   }
 

@@ -132,6 +132,29 @@ class MetadataAggSpec extends SparkSpec {
     scan.getTimestamp(0) shouldBe r.getTimestamp(2)
   }
 
+  test("min/max rule round-trips timestamp_ntz exactly (r11: NTZ stats)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = tmpDir("meta-ntz").resolve("t").toString
+    val rows = spark.range(3).select(expr(
+      """CASE id WHEN 0 THEN timestamp_ntz'2021-03-05 01:02:03.004005'
+                 WHEN 1 THEN timestamp_ntz'1969-12-31 23:00:00'
+                 ELSE timestamp_ntz'2026-08-13 23:59:59.999999' END""").as("ts"))
+    val t = LakeTable.createFrom(spark, dir, rows)
+    // (the write above also lands one ZERO-ROW file — exactBounds must
+    // skip it rather than refuse the whole answer)
+    val agg = t.toDf.agg(min(col("ts")), max(col("ts")))
+    agg.queryExecution.optimizedPlan shouldBe a[LocalRelation]
+    val r = agg.head()
+    r.getAs[java.time.LocalDateTime](0) shouldBe
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 0, 0)
+    r.getAs[java.time.LocalDateTime](1) shouldBe
+      java.time.LocalDateTime.of(2026, 8, 13, 23, 59, 59, 999999000)
+    // equals the scan answer
+    val scan = t.read().agg(min(col("ts")), max(col("ts"))).head()
+    scan.getAs[java.time.LocalDateTime](0) shouldBe r.getAs[java.time.LocalDateTime](0)
+    scan.getAs[java.time.LocalDateTime](1) shouldBe r.getAs[java.time.LocalDateTime](1)
+  }
+
   test("metadata count rule leaves filtered / DV / count(col) plans alone") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val t = freshTable("meta-rule-neg", Map("graft.enableDeletionVectors" -> "true"))
