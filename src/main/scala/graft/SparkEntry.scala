@@ -145,6 +145,8 @@ object SparkEntry {
     "q37_deep_clone" -> (MetaOps.deepClone _),
     "q38_schema_evolution" -> (MetaOps.schemaEvolution _),
     "q49_convert" -> (MetaOps.convertInPlace _),
+    "q110_convert_delta" -> (MetaOps.convertFromDelta _),
+    "q111_delta_sync" -> (MetaOps.deltaSync _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

@@ -84,6 +84,118 @@ object MetaOps {
     t.read()
   }
 
+  /** Delta-log import gate (q110): hand-craft a real Delta `_delta_log`
+    * (per the public protocol spec — newline-delimited JSON actions) over
+    * three parquet slices of orders, with the log REMOVING the middle
+    * slice; `LakeTable.convert` auto-detects the log and replays the LIVE
+    * set in place (zero copy), footer-deriving stats for the stat-less
+    * adds. Graft DML then runs on the imported table — proving the import
+    * yields a full ACID table, not a read-only view. The oracle replays
+    * the live subset minus the same delete. */
+  def convertFromDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-delta-import").resolve("t")
+    Files.createDirectories(dir)
+    def writeSlice(name: String, k: Int): Unit = {
+      val staging = Files.createTempDirectory("graft-delta-slice")
+      orders.filter(col("o_orderkey") % 3 === k).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
+        finally s.close()
+      }
+      Files.move(part, dir.resolve(name))
+      graft.log.TxLog.deleteRecursively(staging): Unit
+    }
+    writeSlice("f0.parquet", 0)
+    writeSlice("f1.parquet", 1)
+    writeSlice("f2.parquet", 2)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    def j(v: Any) = m.writeValueAsString(v)
+    def add(name: String) = j(Map("add" -> Map(
+      "path" -> name, "partitionValues" -> Map.empty,
+      "size" -> Files.size(dir.resolve(name)),
+      "modificationTime" -> 1700000000000L, "dataChange" -> true)))
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    commit(0, Seq(
+      j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
+      j(Map("metaData" -> Map(
+        "id" -> "0a1b2c3d-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> orders.schema.json,
+        "partitionColumns" -> Nil, "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L))),
+      add("f0.parquet"), add("f1.parquet")))
+    commit(1, Seq(add("f2.parquet"),
+      j(Map("remove" -> Map("path" -> "f1.parquet",
+        "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))))
+    val t = LakeTable.convert(spark, dir.toString) // auto-detects _delta_log
+    t.delete(col("o_orderkey") % 7 === 0)
+    t.read()
+  }
+
+  /** Delta continuous-migration gate (q111): import at Delta v1, then the
+    * source keeps writing (v2 swaps a slice), and [[DeltaImport.sync]]
+    * catches up as one net graft commit — convert once, sync on a cadence,
+    * cut over when ready. A second sync replays as a no-op inside the
+    * gate itself. Live set after sync: %6 slices {2,3,4}. */
+  def deltaSync(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-delta-sync").resolve("t")
+    Files.createDirectories(dir)
+    def writeSlice(name: String, k: Int): Unit = {
+      val staging = Files.createTempDirectory("graft-delta-slice")
+      orders.filter(col("o_orderkey") % 6 === k).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
+        finally s.close()
+      }
+      Files.move(part, dir.resolve(name))
+      graft.log.TxLog.deleteRecursively(staging): Unit
+    }
+    (0 to 4).foreach(k => writeSlice(s"f$k.parquet", k))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    def j(v: Any) = m.writeValueAsString(v)
+    def add(name: String) = j(Map("add" -> Map(
+      "path" -> name, "partitionValues" -> Map.empty,
+      "size" -> Files.size(dir.resolve(name)),
+      "modificationTime" -> 1700000000000L, "dataChange" -> true)))
+    def remove(name: String) = j(Map("remove" -> Map("path" -> name,
+      "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def commit(v: Long, lines: Seq[String]): Unit =
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    commit(0, Seq(
+      j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
+      j(Map("metaData" -> Map(
+        "id" -> "0a1b2c3d-0000-1111-2222-333344446666",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> orders.schema.json,
+        "partitionColumns" -> Nil, "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L))),
+      add("f0.parquet"), add("f1.parquet"), add("f2.parquet")))
+    commit(1, Seq(add("f3.parquet"), remove("f1.parquet")))
+    LakeTable.convert(spark, dir.toString) // consumes v0..v1
+    // the source keeps writing: v2 swaps f0 for f4
+    commit(2, Seq(add("f4.parquet"), remove("f0.parquet")))
+    graft.migrate.DeltaImport.sync(spark, dir.toString)
+    graft.migrate.DeltaImport.sync(spark, dir.toString) // replay: no-op
+    LakeTable.forPath(spark, dir.toString).read()
+  }
+
   /** COPY INTO idempotence: two incremental loads plus a full re-run
     * (no-op); a double-load of the first batch would duplicate the even
     * keys and fail the row/hash gate. */
@@ -323,6 +435,12 @@ object MetaOps {
       "SELECT * FROM orders",
     "q49_convert" ->
       "SELECT * FROM orders WHERE o_orderkey % 5 <> 0",
+    // live set = slices 0 and 2 (the log removed slice 1), then the DELETE
+    "q110_convert_delta" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 <> 1 AND o_orderkey % 7 <> 0",
+    // after the synced v2 swap the live %6 slices are {2, 3, 4}
+    "q111_delta_sync" ->
+      "SELECT * FROM orders WHERE o_orderkey % 6 IN (2, 3, 4)",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

@@ -1,0 +1,437 @@
+package graft.migrate
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.log.{AddFile, ColStats, CommitInfo, Stats, TxLog}
+import graft.table.LakeTable
+
+/** Zero-copy import of a Delta Lake table (the inverse of the reference's
+  * migration direction — `CONVERT` pointed at a directory with a
+  * `_delta_log` replays the DELTA log instead of listing parquet files).
+  *
+  * The public Delta protocol spec defines the log as newline-delimited JSON
+  * actions under `_delta_log/<20-digit-version>.json` plus parquet
+  * checkpoints (`<v>.checkpoint.parquet`, classic single or multi-part)
+  * named by `_last_checkpoint`. This importer reconstructs the LIVE
+  * snapshot — latest metaData/protocol, the add set minus removes — and
+  * materializes it as graft's own initial commit in `_txlog/`, sharing
+  * every data file in place. A 100 TB Delta table imports in
+  * driver-metadata time: one checkpoint read (a Spark job over metadata
+  * parquet) plus the JSON tail.
+  *
+  * Honest scope — refuse rather than silently mis-read:
+  *  - PARTITIONED tables: Delta stores partition values only in the log
+  *    and directory names, never in the data files; graft's read model
+  *    keeps partition columns as real data columns. Importing would
+  *    produce rows with missing columns → refuse, pointing at the
+  *    rewriting migrators.
+  *  - LIVE deletion vectors: masked rows live in DV sidecar bitmaps this
+  *    engine does not parse (Delta's z85/roaring container format).
+  *    Purge on the Delta side (`REORG … APPLY (PURGE)`) and re-import.
+  *    A table whose dv FEATURE is enabled but whose live adds carry no
+  *    vector imports fine.
+  *  - Column mapping `id`/`name` modes: physical parquet columns differ
+  *    from logical names → refuse (mode `none` or absent imports).
+  *  - Reader features beyond what this engine honors (`v2Checkpoint`
+  *    sidecar checkpoints, unknown future features) → refuse loudly,
+  *    exactly like the engine's own forward-compat gate.
+  *
+  * Stats carry over only where Delta's JSON encoding is EXACT:
+  * integer/long/float/double/decimal/boolean/date bounds convert to the
+  * canonical encodings (numbers parse as BigDecimal so decimals never
+  * round through a double); string and timestamp bounds are DROPPED —
+  * Delta truncates long strings and rounds timestamp maxima up to the
+  * millisecond, both directions safe for skipping but wrong for graft's
+  * metadata-only EXACT min/max answers, and a bound that cannot be
+  * trusted exactly is a bound this engine must not import. Null counts
+  * always carry over; files with no stats at all fall back to one
+  * driver-side footer read (the CONVERT path's machinery). Pruning on
+  * the dropped columns heals as files rewrite under graft.
+  */
+object DeltaImport {
+
+  private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+
+  /** Reader features this engine can honor on import (the live-DV and
+    * column-mapping-mode gates below are the real guards; the feature
+    * names alone do not make a table unreadable). */
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "columnMapping", "deletionVectors")
+
+  /** Table property recording the highest Delta version the import/sync
+    * has consumed. */
+  val SourceVersionKey = "graft.delta.sourceVersion"
+
+  def isDeltaTable(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, "_delta_log"))
+
+  /** Incremental catch-up after [[convert]]: apply the Delta commits that
+    * landed in `_delta_log` SINCE the last consumed version as ONE graft
+    * commit (net adds/removes across the range — a file added and removed
+    * within it never materializes), advancing [[SourceVersionKey]] in the
+    * same commit so the operation is atomic and a re-run is a no-op. The
+    * continuous-migration shape: convert once, sync on a cadence, cut over
+    * when ready. Per-commit cost is O(new JSON lines) driver work.
+    *
+    * Same honesty gates as the import, plus: a mid-stream `metaData`
+    * whose schema differs from the table's refuses (schema evolution is
+    * the cut-over moment, not a silent sync step), and a gap in the JSON
+    * chain (the Delta side checkpointed and cleaned past us) refuses with
+    * a pointer to re-import. Returns the new graft version (the current
+    * one when there was nothing to sync). */
+  def sync(spark: SparkSession, dir: String): Long = {
+    val t = LakeTable.forPath(spark, dir)
+    val root = Paths.get(dir)
+    val logDir = root.resolve("_delta_log")
+    val from = t.properties.get(SourceVersionKey).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir was not imported from Delta (no $SourceVersionKey property)"))
+    val entries = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val jsonRe = raw"(\d{20})\.json".r
+    val newer = entries.collect { case jsonRe(v) => v.toLong }
+      .filter(_ > from).sorted
+    if (newer.isEmpty) return t.version
+    require(newer.head == from + 1 &&
+      newer.zip(newer.tail).forall { case (a, b) => b == a + 1 },
+      s"Delta log advanced past the retained JSON tail (have $newer after " +
+        s"consumed $from) — the source checkpointed and cleaned; re-import")
+
+    val schema = t.snapshot().schema
+    val adds = mutable.LinkedHashMap.empty[String, (Long, Long, Option[String], Boolean)]
+    val removes = mutable.LinkedHashSet.empty[String]
+    newer.foreach { v =>
+      val lines = new String(Files.readAllBytes(
+        logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
+        .split("\n").filter(_.trim.nonEmpty)
+      lines.foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData")) {
+          val incoming = DataType.fromJson(
+            n.get("metaData").get("schemaString").asText()).asInstanceOf[StructType]
+          require(incoming == schema,
+            s"Delta commit $v changes the table schema — schema evolution " +
+              "is a cut-over moment, not a silent sync step; re-import")
+        }
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          val feats = Option(p.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+          val unknown = feats -- SupportedReaderFeatures
+          require(unknown.isEmpty, s"Delta commit $v enables reader " +
+            s"feature(s) ${unknown.toSeq.sorted.mkString(", ")} this " +
+            "importer does not honor")
+        }
+        if (n.has("add")) {
+          val a = n.get("add")
+          require(!a.hasNonNull("deletionVector"),
+            s"Delta commit $v writes a deletion vector — purge on the " +
+              "Delta side and re-sync")
+          val p = decodePath(a.get("path").asText())
+          removes.remove(p): Unit
+          adds.update(p, (a.get("size").asLong(),
+            a.get("modificationTime").asLong(),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+            false)): Unit
+        }
+        if (n.has("remove")) {
+          val p = decodePath(n.get("remove").get("path").asText())
+          // net out: added-and-removed inside the range never materializes
+          if (adds.remove(p).isEmpty) removes.add(p): Unit
+        }
+      }
+    }
+    val statless = adds.collect { case (p, (_, _, None, _)) => root.resolve(p) }.toSeq
+    val footerStats: Map[String, (Long, Map[String, ColStats])] =
+      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
+    val now = System.currentTimeMillis()
+    val graftAdds: Seq[graft.log.Action] = adds.toSeq.map {
+      case (path, (size, mtime, statsJson, _)) =>
+        val (numRecords, colStats) = statsJson.map(parseDeltaStats(_, schema))
+          .filter(_._1 >= 0)
+          .getOrElse(footerStats.get(root.resolve(path).toString)
+            .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
+              Map.empty[String, ColStats])))
+        AddFile(path = path, partitionValues = Map.empty, size = size,
+          numRecords = numRecords, stats = colStats, modificationTime = mtime)
+    }
+    try {
+      t.commitWithRetry("DELTA SYNC",
+        Map("fromVersion" -> from.toString, "toVersion" -> newer.max.toString),
+        t.snapshot(),
+        Map("numAddedFiles" -> graftAdds.size.toLong,
+          "numRemovedFiles" -> removes.size.toLong)) { s =>
+        // a racing sync already consumed past `from`: stand down, no-op
+        if (s.metadata.properties.get(SourceVersionKey).exists(_.toLong > from))
+          throw new LakeTable.EpochAlreadyCommitted
+        val live = s.files.map(_.path).toSet
+        val meta = s.metadata.copy(properties =
+          s.metadata.properties + (SourceVersionKey -> newer.max.toString))
+        Seq(meta) ++ graftAdds ++
+          removes.toSeq.filter(live.contains)
+            .map(p => graft.log.RemoveFile(p, now))
+      }
+    } catch { case _: LakeTable.EpochAlreadyCommitted => () }
+    t.version
+  }
+
+  /** Import `<dir>`'s Delta log as a graft table IN PLACE (idempotent: an
+    * already-imported directory returns the existing graft table). */
+  def convert(spark: SparkSession, dir: String): LakeTable = {
+    if (TxLog.isTable(dir)) return LakeTable.forPath(spark, dir)
+    val root = Paths.get(dir)
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $dir")
+
+    // ---- log layout: checkpoint base + JSON tail ----
+    val entries = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val jsonRe = raw"(\d{20})\.json".r
+    val jsonVersions = entries.collect { case jsonRe(v) => v.toLong }.sorted
+    val lastCheckpoint: Option[(Long, Int)] =
+      scala.util.Try {
+        val n = mapper.readTree(new String(Files.readAllBytes(
+          logDir.resolve("_last_checkpoint")), StandardCharsets.UTF_8))
+        val v = n.get("version").asLong()
+        val parts = Option(n.get("parts")).map(_.asInt()).getOrElse(1)
+        (v, parts)
+      }.toOption
+    val cpVersion = lastCheckpoint.map(_._1)
+    val tail = jsonVersions.filter(v => cpVersion.forall(v > _))
+    // replay needs an unbroken chain: from v0 without a checkpoint, from
+    // checkpoint+1 with one (Delta's own log-retention cleanup deletes
+    // pre-checkpoint JSON, which is fine — the checkpoint carries them)
+    val expectedStart = cpVersion.map(_ + 1).getOrElse(0L)
+    require(tail.isEmpty || (tail.head == expectedStart &&
+      tail.zip(tail.tail).forall { case (a, b) => b == a + 1 }),
+      s"broken Delta log chain under $logDir: have versions $tail, " +
+        s"expected contiguous from $expectedStart " +
+        "(missing commits cannot be replayed)")
+    require(cpVersion.nonEmpty || jsonVersions.headOption.contains(0L),
+      s"Delta log under $logDir has no checkpoint and does not start at " +
+        "version 0 — the table state cannot be reconstructed")
+    val sourceVersion = (cpVersion.toList ++ tail).max
+
+    // ---- state replay ----
+    var schemaString: String = null
+    var configuration: Map[String, String] = Map.empty
+    var partitionColumns: Seq[String] = Nil
+    var tableId: String = java.util.UUID.randomUUID().toString
+    var minReader = 1
+    var readerFeatures = Set.empty[String]
+    // path -> (size, modificationTime, statsJson, hasLiveDv)
+    val adds = mutable.LinkedHashMap.empty[String, (Long, Long, Option[String], Boolean)]
+
+    def applyAdd(path: String, size: Long, mtime: Long,
+        stats: Option[String], dv: Boolean): Unit =
+      adds.update(decodePath(path), (size, mtime, stats, dv)): Unit
+    def applyRemove(path: String): Unit = adds.remove(decodePath(path)): Unit
+    def applyMeta(id: String, schema: String, pcols: Seq[String],
+        conf: Map[String, String]): Unit = {
+      tableId = id; schemaString = schema
+      partitionColumns = pcols; configuration = conf
+    }
+
+    // checkpoint base (classic parquet, single or multi-part): a Spark
+    // read over metadata — the one distributed step, O(checkpoint rows)
+    lastCheckpoint.foreach { case (v, parts) =>
+      val names =
+        if (parts <= 1) Seq(f"$v%020d.checkpoint.parquet")
+        else (1 to parts).map(i => f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet")
+      val paths = names.map(logDir.resolve)
+      require(paths.forall(Files.exists(_)),
+        s"_last_checkpoint names version $v ($parts part(s)) but the " +
+          "checkpoint parquet is missing — cannot reconstruct state")
+      val cp = spark.read.parquet(paths.map(_.toString): _*)
+      val cols = cp.columns.toSet
+      require(!cols.contains("sidecar"),
+        s"$dir uses a v2 (sidecar) checkpoint this importer does not read")
+      import org.apache.spark.sql.functions.col
+      if (cols.contains("metaData"))
+        cp.select(col("metaData.*")).where(col("id").isNotNull).collect()
+          .foreach { r =>
+            applyMeta(r.getAs[String]("id"), r.getAs[String]("schemaString"),
+              r.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq,
+              Option(r.getAs[scala.collection.Map[String, String]]("configuration"))
+                .map(_.toMap).getOrElse(Map.empty))
+          }
+      if (cols.contains("protocol"))
+        cp.select(col("protocol.*")).where(col("minReaderVersion").isNotNull)
+          .collect().foreach { r =>
+            minReader = r.getAs[Int]("minReaderVersion")
+            readerFeatures =
+              if (r.schema.fieldNames.contains("readerFeatures"))
+                Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
+                  .map(_.toSet).getOrElse(Set.empty)
+              else Set.empty
+          }
+      if (cols.contains("add")) {
+        val a = cp.select(col("add.*")).where(col("path").isNotNull)
+        val hasStats = a.columns.contains("stats")
+        val hasDv = a.columns.contains("deletionVector")
+        a.collect().foreach { r =>
+          applyAdd(
+            r.getAs[String]("path"), r.getAs[Long]("size"),
+            r.getAs[Long]("modificationTime"),
+            if (hasStats) Option(r.getAs[String]("stats")) else None,
+            hasDv && r.getAs[AnyRef]("deletionVector") != null)
+        }
+      }
+      // checkpoint removes are expired-tombstone bookkeeping — the live
+      // add set is complete without them
+    }
+
+    // JSON tail, in order
+    tail.foreach { v =>
+      val lines = new String(Files.readAllBytes(
+        logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
+        .split("\n").filter(_.trim.nonEmpty)
+      lines.foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData")) {
+          val m = n.get("metaData")
+          applyMeta(m.get("id").asText(), m.get("schemaString").asText(),
+            Option(m.get("partitionColumns")).map(_.elements().asScala
+              .map(_.asText()).toSeq).getOrElse(Nil),
+            Option(m.get("configuration")).map(c => c.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty))
+        }
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          minReader = p.get("minReaderVersion").asInt()
+          readerFeatures = Option(p.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSet)
+            .getOrElse(Set.empty)
+        }
+        if (n.has("add")) {
+          val a = n.get("add")
+          applyAdd(a.get("path").asText(), a.get("size").asLong(),
+            a.get("modificationTime").asLong(),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+            a.hasNonNull("deletionVector"))
+        }
+        if (n.has("remove")) applyRemove(n.get("remove").get("path").asText())
+      }
+    }
+
+    // ---- honesty gates ----
+    require(schemaString != null, s"no metaData action found under $logDir")
+    require(partitionColumns.isEmpty,
+      s"$dir is a PARTITIONED Delta table (partition columns " +
+        s"${partitionColumns.mkString(", ")} live only in the log, not the " +
+        "data files) — import with the rewriting migrators instead")
+    val mappingMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mappingMode == "none",
+      s"$dir uses column mapping mode '$mappingMode' (physical parquet " +
+        "columns differ from logical names) — not importable in place")
+    require(!adds.valuesIterator.exists(_._4),
+      s"$dir has LIVE deletion vectors; purge them on the Delta side " +
+        "(REORG TABLE … APPLY (PURGE)) and re-import")
+    val unknown = readerFeatures -- SupportedReaderFeatures
+    require(minReader <= 3 && unknown.isEmpty,
+      s"$dir requires Delta reader version $minReader with feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this importer does not honor")
+
+    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+
+    // ---- stats conversion (exact-only) + footer fallback ----
+    val statless = adds.collect { case (p, (_, _, None, _)) => root.resolve(p) }.toSeq
+    val footerStats: Map[String, (Long, Map[String, ColStats])] =
+      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
+    val now = System.currentTimeMillis()
+    val graftAdds: Seq[AddFile] = adds.toSeq.map {
+      case (path, (size, mtime, statsJson, _)) =>
+        val (numRecords, colStats) = statsJson.map(parseDeltaStats(_, schema))
+          .filter(_._1 >= 0)
+          .getOrElse(footerStats.get(root.resolve(path).toString)
+            .map { case (n, st) => (n, st) }
+            .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
+              Map.empty[String, ColStats])))
+        AddFile(path = path, partitionValues = Map.empty, size = size,
+          numRecords = numRecords, stats = colStats, modificationTime = mtime)
+    }
+
+    // ---- one graft commit materializing the live snapshot ----
+    val meta = graft.log.Metadata(tableId, root.getFileName.toString,
+      schema.json, Nil,
+      // delta.* table properties carry over under the engine's own
+      // delta-prefix normalization (appendOnly, retention windows, …);
+      // the consumed source version rides as a property so [[sync]] can
+      // pick up exactly where the import stopped
+      LakeTable.normalizeProps(configuration) +
+        (SourceVersionKey -> sourceVersion.toString), now)
+    val ci = CommitInfo(0L, now, "CONVERT",
+      Map("numFiles" -> graftAdds.size.toString,
+        "sourceFormat" -> "delta",
+        "sourceVersion" -> sourceVersion.toString), Map.empty, -1L,
+      LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
+    val tlog = new TxLog(root)
+    if (!tlog.tryCommit(0L, ci +: graft.log.Protocol.Current +: meta +: graftAdds))
+      return LakeTable.forPath(spark, dir) // lost a concurrent import: theirs won
+    LakeTable.forPath(spark, dir)
+  }
+
+  /** Delta add.path is a percent-encoded relative URI (or an absolute one
+    * after shallow clones). */
+  private def decodePath(p: String): String =
+    scala.util.Try(new java.net.URI(p)).toOption
+      .flatMap(u => Option(u.getPath))
+      .filter(_.nonEmpty).getOrElse(p)
+
+  /** Parse Delta's per-file stats JSON into (numRecords, canonical
+    * ColStats), importing bounds only for types whose Delta encoding is
+    * exact (see the scaladoc above). Returns numRecords = -1 when the
+    * JSON carries none (caller falls back to footers). */
+  private[migrate] def parseDeltaStats(
+      statsJson: String, schema: StructType): (Long, Map[String, ColStats]) = {
+    val n = mapper.readTree(statsJson)
+    val numRecords =
+      if (n.hasNonNull("numRecords")) n.get("numRecords").asLong() else -1L
+    def boundsOf(section: String): Map[String, JsonNode] =
+      Option(n.get(section)).map(s => s.properties().asScala
+        .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
+    val mins = boundsOf("minValues")
+    val maxs = boundsOf("maxValues")
+    val nullsNode = boundsOf("nullCount")
+    def exact(dt: DataType, v: JsonNode): Option[String] = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType =>
+        // USE_BIG_DECIMAL_FOR_FLOATS: decimalValue is the exact literal
+        Some(if (v.isNumber) v.decimalValue().toPlainString else v.asText())
+      case _: BooleanType => Some(v.asBoolean().toString)
+      case _: DateType => Some(v.asText()) // ISO date, identical encoding
+      case _ => None // string (truncation), timestamp/ntz (ms rounding)
+    }
+    val stats = schema.fields.flatMap { f =>
+      val nc = nullsNode.get(f.name).filter(_.isNumber).map(_.asLong())
+      val mn = mins.get(f.name).filter(v => !v.isNull && !v.isContainerNode)
+        .flatMap(v => exact(f.dataType, v))
+      val mx = maxs.get(f.name).filter(v => !v.isNull && !v.isContainerNode)
+        .flatMap(v => exact(f.dataType, v))
+      // a half-bound would trip exactBounds' refusal for the whole table;
+      // import bounds only in (min, max) pairs
+      val (bmn, bmx) = (mn, mx) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => (null, null)
+      }
+      nc.map(c => f.name -> ColStats(bmn, bmx, c))
+    }.toMap
+    (numRecords, stats)
+  }
+}

@@ -1093,7 +1093,7 @@ class LakeTable private[table] (
   /** Compute actions from a snapshot and commit at snapshot.version+1; on a
     * lost race, re-resolve the snapshot and recompute (optimistic
     * concurrency, notebooks/04_acid_operations.py:430-460). */
-  private[table] def commitWithRetry(
+  private[graft] def commitWithRetry(
       op: String,
       params: Map[String, String],
       initial: Snapshot,
@@ -2094,7 +2094,7 @@ object LakeTable {
 
   /** Committing identity for CommitInfo.userName (no auth layer locally —
     * the JVM user is the honest equivalent of the reference's cluster user). */
-  private[table] def currentUser: String =
+  private[graft] def currentUser: String =
     sys.props.getOrElse("user.name", "unknown")
 
   /** Protocol demanded by feature-requiring properties (Delta stamps its
@@ -2169,7 +2169,7 @@ object LakeTable {
   private[graft] def normalizeProps(props: Map[String, String]): Map[String, String] =
     props.map { case (k, v) => normalizeKey(k) -> v }
 
-  private[table] class EpochAlreadyCommitted extends RuntimeException
+  private[graft] class EpochAlreadyCommitted extends RuntimeException
 
   /** True on a Structured Streaming microbatch thread (foreachBatch).
     * QueryExecutionListener events — which complete `Observation` promises —
@@ -2278,6 +2278,12 @@ object LakeTable {
     * sources. */
   def convert(spark: SparkSession, dir: String): LakeTable = {
     if (TxLog.isTable(dir)) return forPath(spark, dir)
+    // a directory carrying a _delta_log is a Delta Lake table: replay ITS
+    // log (exact live file set, schema, properties) instead of listing
+    // parquet — plain listing would double-count tombstoned files and
+    // sweep up checkpoint parquets
+    if (graft.migrate.DeltaImport.isDeltaTable(dir))
+      return graft.migrate.DeltaImport.convert(spark, dir)
     val p = Paths.get(dir)
     require(Files.isDirectory(p), s"not a directory: $dir")
     val probe = new LakeTable(spark, p)

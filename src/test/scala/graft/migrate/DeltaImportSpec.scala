@@ -1,0 +1,305 @@
+package graft.migrate
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+/** Importing a Delta Lake `_delta_log` in place (fixtures are hand-crafted
+  * to the public Delta protocol spec — the Delta library itself is not on
+  * the classpath, deliberately). */
+class DeltaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+  private def json(v: Any): String = mapper.writeValueAsString(v)
+
+  /** Write `df` as ONE parquet file named `name` under `dir`. */
+  private def dataFile(dir: Path, name: String, df: DataFrame): Unit = {
+    val staging = Files.createTempDirectory("delta-import-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.createDirectories(dir)
+    Files.move(part, dir.resolve(name))
+    graft.log.TxLog.deleteRecursively(staging)
+  }
+
+  private def writeCommit(logDir: Path, v: Long, lines: Seq[String]): Unit = {
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def metaLine(pcols: Seq[String] = Nil,
+      conf: Map[String, String] = Map.empty) = json(Map("metaData" -> Map(
+    "id" -> "11111111-2222-3333-4444-555555555555",
+    "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+    "schemaString" -> schema.json,
+    "partitionColumns" -> pcols,
+    "configuration" -> conf,
+    "createdTime" -> 1700000000000L)))
+
+  private def protoLine(reader: Int = 1, features: Seq[String] = null) =
+    json(Map("protocol" -> (Map(
+      "minReaderVersion" -> reader, "minWriterVersion" -> 2) ++
+      Option(features).map("readerFeatures" -> _).toMap)))
+
+  private def addLine(dir: Path, name: String, lo: Long, hi: Long,
+      stats: Boolean = true, dv: Boolean = false) = {
+    val statsJson = json(Map(
+      "numRecords" -> (hi - lo + 1),
+      "minValues" -> Map("id" -> lo, "name" -> s"n$lo"),
+      "maxValues" -> Map("id" -> hi, "name" -> s"n$hi"),
+      "nullCount" -> Map("id" -> 0, "name" -> 0)))
+    json(Map("add" -> (Map(
+      "path" -> name,
+      "partitionValues" -> Map.empty,
+      "size" -> (if (dir == null) 1000L else Files.size(dir.resolve(name))),
+      "modificationTime" -> 1700000001000L,
+      "dataChange" -> true) ++
+      (if (stats) Map("stats" -> statsJson) else Map.empty) ++
+      (if (dv) Map("deletionVector" -> Map(
+        "storageType" -> "u", "pathOrInlineDv" -> "ab^-aqEH.-t@S}K{",
+        "offset" -> 1, "sizeInBytes" -> 36, "cardinality" -> 2))
+       else Map.empty))))
+  }
+
+  private def removeLine(name: String) = json(Map("remove" -> Map(
+    "path" -> name, "deletionTimestamp" -> 1700000002000L, "dataChange" -> true)))
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi + 1).select(col("id"), concat(lit("n"), col("id")).as("name"))
+
+  test("imports a JSON-only Delta log: live file set, schema, properties, " +
+    "stats; graft DML works on the imported table") {
+    val dir = tmpDir("delta-basic").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(conf = Map(
+      "delta.deletedFileRetentionDuration" -> "interval 2 days")),
+      addLine(dir, "f0.parquet", 0, 4), addLine(dir, "f1.parquet", 5, 9)))
+    writeCommit(log, 1, Seq(
+      addLine(dir, "f2.parquet", 10, 14), removeLine("f1.parquet")))
+
+    val t = LakeTable.convert(spark, dir.toString) // auto-detects _delta_log
+    t.read().count() shouldBe 10
+    t.read().agg(sum("id")).head().getLong(0) shouldBe (0 to 4).sum + (10 to 14).sum
+    t.snapshot().files.map(_.path).toSet shouldBe Set("f0.parquet", "f2.parquet")
+    // delta.* properties carried over through prefix normalization
+    t.properties.keys.exists(_.contains("deletedFileRetentionDuration")) shouldBe true
+    // numeric bounds imported EXACTLY -> metadata-only min/max answers
+    t.statsMinMax("id") shouldBe Some((0L, 14L))
+    // string bounds are dropped (Delta truncation is not exactness-safe)
+    t.statsMinMax("name") shouldBe None
+    // history records the import
+    val h = t.history(Some(1)).collect()(0)
+    h.getString(3) shouldBe "CONVERT"
+    h.getMap[String, String](4)("sourceFormat") shouldBe "delta"
+    h.getMap[String, String](4)("sourceVersion") shouldBe "1"
+    // the imported table is a full graft table: DML works
+    t.delete(col("id") === 0L)
+    t.read().count() shouldBe 9
+    // idempotent: converting again returns the existing graft table
+    LakeTable.convert(spark, dir.toString).version shouldBe t.version
+  }
+
+  test("replays a classic parquet checkpoint plus the JSON tail (pre-" +
+    "checkpoint commits deleted, as Delta log retention leaves them)") {
+    val dir = tmpDir("delta-cp").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    val log = dir.resolve("_delta_log")
+    // checkpoint at v5 carrying protocol + metaData + adds f0, f1
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val cpSchema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+    def addRow(name: String, lo: Long, hi: Long) = Row(
+      Row(name, Map.empty[String, String], Files.size(dir.resolve(name)),
+        1700000001000L, true,
+        json(Map("numRecords" -> (hi - lo + 1),
+          "minValues" -> Map("id" -> lo), "maxValues" -> Map("id" -> hi),
+          "nullCount" -> Map("id" -> 0, "name" -> 0)))),
+      null, null)
+    val cpRows = Seq(
+      Row(null, Row("11111111-2222-3333-4444-555555555555", schema.json,
+        Seq.empty[String], Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2)),
+      addRow("f0.parquet", 0, 4), addRow("f1.parquet", 5, 9))
+    val staging = Files.createTempDirectory("delta-cp-stage")
+    spark.createDataFrame(cpRows.asJava, cpSchema).coalesce(1)
+      .write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.createDirectories(log)
+    Files.move(part, log.resolve(f"${5L}%020d.checkpoint.parquet"))
+    graft.log.TxLog.deleteRecursively(staging)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":5,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    // the JSON tail: v6 swaps f1 for f2 (v0..v5 json deliberately absent)
+    writeCommit(log, 6, Seq(
+      addLine(dir, "f2.parquet", 10, 14), removeLine("f1.parquet")))
+
+    val t = DeltaImport.convert(spark, dir.toString)
+    t.read().count() shouldBe 10
+    t.snapshot().files.map(_.path).toSet shouldBe Set("f0.parquet", "f2.parquet")
+    t.statsMinMax("id") shouldBe Some((0L, 14L))
+    val h = t.history(Some(1)).collect()(0)
+    h.getMap[String, String](4)("sourceVersion") shouldBe "6"
+  }
+
+  test("refuses what it cannot faithfully import: partitioned tables, live " +
+    "DVs, column mapping, unknown reader features, broken chains") {
+    def fresh(tag: String, commit0: Seq[String], moreCommits: Seq[Seq[String]] = Nil): Path = {
+      val dir = tmpDir(s"delta-refuse-$tag").resolve("t")
+      dataFile(dir, "f0.parquet", rows(0, 4))
+      writeCommit(dir.resolve("_delta_log"), 0, commit0)
+      moreCommits.zipWithIndex.foreach { case (c, i) =>
+        writeCommit(dir.resolve("_delta_log"), i + 1L, c)
+      }
+      dir
+    }
+    // partitioned
+    val part = fresh("part", Seq(protoLine(),
+      metaLine(pcols = Seq("name")), addLine(null, "f0.parquet", 0, 4, stats = false)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, part.toString)
+    }.getMessage should include("PARTITIONED")
+    // live deletion vector
+    val dv = fresh("dv", Seq(protoLine(reader = 3,
+      features = Seq("deletionVectors")), metaLine()))
+    writeCommit(dv.resolve("_delta_log"), 1,
+      Seq(addLine(dv, "f0.parquet", 0, 4, dv = true)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, dv.toString)
+    }.getMessage should include("deletion vectors")
+    // column mapping
+    val cm = fresh("cm", Seq(protoLine(reader = 2),
+      metaLine(conf = Map("delta.columnMapping.mode" -> "name")),
+      addLine(null, "f0.parquet", 0, 4, stats = false)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, cm.toString)
+    }.getMessage should include("column mapping")
+    // unknown reader feature
+    val feat = fresh("feat", Seq(protoLine(reader = 3,
+      features = Seq("futureMagic")), metaLine(),
+      addLine(null, "f0.parquet", 0, 4, stats = false)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, feat.toString)
+    }.getMessage should include("futureMagic")
+    // broken chain: no checkpoint and the log starts at v3
+    val gap = tmpDir("delta-refuse-gap").resolve("t")
+    dataFile(gap, "f0.parquet", rows(0, 4))
+    writeCommit(gap.resolve("_delta_log"), 3, Seq(protoLine(), metaLine(),
+      addLine(gap, "f0.parquet", 0, 4)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, gap.toString)
+    }.getMessage should include("broken Delta log chain")
+  }
+
+  test("incremental sync: new Delta commits apply as one net graft commit, " +
+    "idempotently; schema changes and log gaps refuse") {
+    val dir = tmpDir("delta-sync").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4), addLine(dir, "f1.parquet", 5, 9)))
+    writeCommit(log, 1, Seq(
+      addLine(dir, "f2.parquet", 10, 14), removeLine("f1.parquet")))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.properties(DeltaImport.SourceVersionKey) shouldBe "1"
+    val v0 = t.version
+    // nothing new: sync is a no-op
+    DeltaImport.sync(spark, dir.toString) shouldBe v0
+    // the Delta side keeps writing: v2 adds f3 + drops f0, v3 adds-and-
+    // removes f4 within the range (must never materialize)
+    dataFile(dir, "f3.parquet", rows(15, 19))
+    dataFile(dir, "f4.parquet", rows(20, 24))
+    writeCommit(log, 2, Seq(
+      addLine(dir, "f3.parquet", 15, 19), removeLine("f0.parquet")))
+    writeCommit(log, 3, Seq(addLine(dir, "f4.parquet", 20, 24)))
+    writeCommit(log, 4, Seq(removeLine("f4.parquet")))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().files.map(_.path).toSet shouldBe Set("f2.parquet", "f3.parquet")
+    t2.read().agg(sum("id")).head().getLong(0) shouldBe (10L to 19L).sum
+    t2.properties(DeltaImport.SourceVersionKey) shouldBe "4"
+    val synced = t2.version
+    // re-run: no-op (the consumed-version property gates it)
+    DeltaImport.sync(spark, dir.toString) shouldBe synced
+    // a mid-stream schema change refuses (cut-over moment, not a sync)
+    val otherSchema = StructType(Seq(StructField("id", LongType)))
+    writeCommit(log, 5, Seq(json(Map("metaData" -> Map(
+      "id" -> "11111111-2222-3333-4444-555555555555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> otherSchema.json,
+      "partitionColumns" -> Nil, "configuration" -> Map.empty,
+      "createdTime" -> 1700000000000L)))))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("schema")
+    // a gap in the chain refuses with a re-import pointer
+    Files.delete(log.resolve(f"${5L}%020d.json"))
+    writeCommit(log, 7, Seq(addLine(dir, "f4.parquet", 20, 24)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("re-import")
+  }
+
+  test("files without stats fall back to footer-derived stats (exact " +
+    "bounds, correct record counts)") {
+    val dir = tmpDir("delta-nostats").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    writeCommit(dir.resolve("_delta_log"), 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4, stats = false),
+      addLine(dir, "f1.parquet", 5, 9, stats = false)))
+    val t = DeltaImport.convert(spark, dir.toString)
+    t.read().count() shouldBe 10
+    t.snapshot().files.map(_.numRecords).sum shouldBe 10
+    // footer stats are exact for longs -> metadata min/max answers
+    t.statsMinMax("id") shouldBe Some((0L, 9L))
+  }
+}
