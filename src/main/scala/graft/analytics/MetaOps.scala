@@ -92,13 +92,20 @@ object MetaOps {
     * adds. Graft DML then runs on the imported table — proving the import
     * yields a full ACID table, not a read-only view. The oracle replays
     * the live subset minus the same delete. */
-  def convertFromDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val dir = Files.createTempDirectory("graft-delta-import").resolve("t")
-    Files.createDirectories(dir)
-    def writeSlice(name: String, k: Int): Unit = {
+  /** Shared fixture machinery for the Delta-import gates (q110/q111):
+    * slice writers and spec-shaped `_delta_log` JSON action lines. */
+  private object DeltaFixture {
+    private val m = {
+      val x = new com.fasterxml.jackson.databind.ObjectMapper()
+      x.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      x
+    }
+    private def j(v: Any): String = m.writeValueAsString(v)
+    /** Write `src WHERE key % mod = k` as ONE parquet file `name`. */
+    def writeSlice(dir: java.nio.file.Path, src: DataFrame,
+        name: String, mod: Int, k: Int): Unit = {
       val staging = Files.createTempDirectory("graft-delta-slice")
-      orders.filter(col("o_orderkey") % 3 === k).coalesce(1)
+      src.filter(col("o_orderkey") % mod === k).coalesce(1)
         .write.mode("overwrite").parquet(staging.resolve("out").toString)
       val part = {
         val s = Files.list(staging.resolve("out"))
@@ -109,33 +116,38 @@ object MetaOps {
       Files.move(part, dir.resolve(name))
       graft.log.TxLog.deleteRecursively(staging): Unit
     }
-    writeSlice("f0.parquet", 0)
-    writeSlice("f1.parquet", 1)
-    writeSlice("f2.parquet", 2)
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
-    def j(v: Any) = m.writeValueAsString(v)
-    def add(name: String) = j(Map("add" -> Map(
+    def add(dir: java.nio.file.Path, name: String): String = j(Map("add" -> Map(
       "path" -> name, "partitionValues" -> Map.empty,
       "size" -> Files.size(dir.resolve(name)),
       "modificationTime" -> 1700000000000L, "dataChange" -> true)))
-    val logDir = dir.resolve("_delta_log")
-    Files.createDirectories(logDir)
-    def commit(v: Long, lines: Seq[String]): Unit =
+    def remove(name: String): String = j(Map("remove" -> Map("path" -> name,
+      "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))
+    def protocol: String =
+      j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
+    def metaData(id: String, schemaJson: String): String = j(Map("metaData" -> Map(
+      "id" -> id,
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> schemaJson,
+      "partitionColumns" -> Nil, "configuration" -> Map.empty,
+      "createdTime" -> 1700000000000L)))
+    def commit(dir: java.nio.file.Path, v: Long, lines: Seq[String]): Unit = {
+      val logDir = dir.resolve("_delta_log")
+      Files.createDirectories(logDir)
       Files.write(logDir.resolve(f"$v%020d.json"),
         lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
-    commit(0, Seq(
-      j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
-      j(Map("metaData" -> Map(
-        "id" -> "0a1b2c3d-0000-1111-2222-333344445555",
-        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-        "schemaString" -> orders.schema.json,
-        "partitionColumns" -> Nil, "configuration" -> Map.empty,
-        "createdTime" -> 1700000000000L))),
-      add("f0.parquet"), add("f1.parquet")))
-    commit(1, Seq(add("f2.parquet"),
-      j(Map("remove" -> Map("path" -> "f1.parquet",
-        "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))))
+    }
+  }
+
+  def convertFromDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-delta-import").resolve("t")
+    Files.createDirectories(dir)
+    (0 to 2).foreach(k => writeSlice(dir, orders, s"f$k.parquet", 3, k))
+    commit(dir, 0, Seq(protocol,
+      metaData("0a1b2c3d-0000-1111-2222-333344445555", orders.schema.json),
+      add(dir, "f0.parquet"), add(dir, "f1.parquet")))
+    commit(dir, 1, Seq(add(dir, "f2.parquet"), remove("f1.parquet")))
     val t = LakeTable.convert(spark, dir.toString) // auto-detects _delta_log
     t.delete(col("o_orderkey") % 7 === 0)
     t.read()
@@ -147,50 +159,18 @@ object MetaOps {
     * cut over when ready. A second sync replays as a no-op inside the
     * gate itself. Live set after sync: %6 slices {2,3,4}. */
   def deltaSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
     val orders = Tables.orders(spark, sfDir)
     val dir = Files.createTempDirectory("graft-delta-sync").resolve("t")
     Files.createDirectories(dir)
-    def writeSlice(name: String, k: Int): Unit = {
-      val staging = Files.createTempDirectory("graft-delta-slice")
-      orders.filter(col("o_orderkey") % 6 === k).coalesce(1)
-        .write.mode("overwrite").parquet(staging.resolve("out").toString)
-      val part = {
-        val s = Files.list(staging.resolve("out"))
-        try { import scala.jdk.CollectionConverters._
-          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
-        finally s.close()
-      }
-      Files.move(part, dir.resolve(name))
-      graft.log.TxLog.deleteRecursively(staging): Unit
-    }
-    (0 to 4).foreach(k => writeSlice(s"f$k.parquet", k))
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
-    def j(v: Any) = m.writeValueAsString(v)
-    def add(name: String) = j(Map("add" -> Map(
-      "path" -> name, "partitionValues" -> Map.empty,
-      "size" -> Files.size(dir.resolve(name)),
-      "modificationTime" -> 1700000000000L, "dataChange" -> true)))
-    def remove(name: String) = j(Map("remove" -> Map("path" -> name,
-      "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))
-    val logDir = dir.resolve("_delta_log")
-    Files.createDirectories(logDir)
-    def commit(v: Long, lines: Seq[String]): Unit =
-      Files.write(logDir.resolve(f"$v%020d.json"),
-        lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
-    commit(0, Seq(
-      j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
-      j(Map("metaData" -> Map(
-        "id" -> "0a1b2c3d-0000-1111-2222-333344446666",
-        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-        "schemaString" -> orders.schema.json,
-        "partitionColumns" -> Nil, "configuration" -> Map.empty,
-        "createdTime" -> 1700000000000L))),
-      add("f0.parquet"), add("f1.parquet"), add("f2.parquet")))
-    commit(1, Seq(add("f3.parquet"), remove("f1.parquet")))
+    (0 to 4).foreach(k => writeSlice(dir, orders, s"f$k.parquet", 6, k))
+    commit(dir, 0, Seq(protocol,
+      metaData("0a1b2c3d-0000-1111-2222-333344446666", orders.schema.json),
+      add(dir, "f0.parquet"), add(dir, "f1.parquet"), add(dir, "f2.parquet")))
+    commit(dir, 1, Seq(add(dir, "f3.parquet"), remove("f1.parquet")))
     LakeTable.convert(spark, dir.toString) // consumes v0..v1
     // the source keeps writing: v2 swaps f0 for f4
-    commit(2, Seq(add("f4.parquet"), remove("f0.parquet")))
+    commit(dir, 2, Seq(add(dir, "f4.parquet"), remove("f0.parquet")))
     graft.migrate.DeltaImport.sync(spark, dir.toString)
     graft.migrate.DeltaImport.sync(spark, dir.toString) // replay: no-op
     LakeTable.forPath(spark, dir.toString).read()

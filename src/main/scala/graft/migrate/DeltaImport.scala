@@ -103,7 +103,20 @@ object DeltaImport {
     val jsonRe = raw"(\d{20})\.json".r
     val newer = entries.collect { case jsonRe(v) => v.toLong }
       .filter(_ > from).sorted
-    if (newer.isEmpty) return t.version
+    // "nothing newer" is only "up to date" when the CHECKPOINT agrees: a
+    // source that checkpointed past `from` and cleaned the JSON tail has
+    // advanced invisibly, and reporting freshness would be silently stale
+    val checkpointVersion: Option[Long] = scala.util.Try {
+      mapper.readTree(new String(Files.readAllBytes(
+        logDir.resolve("_last_checkpoint")), StandardCharsets.UTF_8))
+        .get("version").asLong()
+    }.toOption
+    if (newer.isEmpty) {
+      require(checkpointVersion.forall(_ <= from),
+        s"Delta source checkpointed at version ${checkpointVersion.get} and " +
+          s"cleaned the JSON tail past consumed $from — re-import")
+      return t.version
+    }
     require(newer.head == from + 1 &&
       newer.zip(newer.tail).forall { case (a, b) => b == a + 1 },
       s"Delta log advanced past the retained JSON tail (have $newer after " +
@@ -119,11 +132,21 @@ object DeltaImport {
       lines.foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("metaData")) {
+          val m = n.get("metaData")
           val incoming = DataType.fromJson(
-            n.get("metaData").get("schemaString").asText()).asInstanceOf[StructType]
+            m.get("schemaString").asText()).asInstanceOf[StructType]
           require(incoming == schema,
             s"Delta commit $v changes the table schema — schema evolution " +
               "is a cut-over moment, not a silent sync step; re-import")
+          // a same-schema REPLACE that introduces partitioning would make
+          // the new adds' values live only in the log — the import-time
+          // refusal, re-checked mid-stream
+          val pcols = Option(m.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          require(pcols.isEmpty,
+            s"Delta commit $v repartitions the table " +
+              s"(${pcols.mkString(", ")}) — not importable in place; re-import " +
+              "with the rewriting migrators")
         }
         if (n.has("protocol")) {
           val p = n.get("protocol")
@@ -136,15 +159,15 @@ object DeltaImport {
         }
         if (n.has("add")) {
           val a = n.get("add")
-          require(!a.hasNonNull("deletionVector"),
-            s"Delta commit $v writes a deletion vector — purge on the " +
-              "Delta side and re-sync")
           val p = decodePath(a.get("path").asText())
           removes.remove(p): Unit
+          // the DV flag nets like everything else: a mask written at v and
+          // purged at v+k inside the range never blocks the sync — only a
+          // LIVE mask at the end of the replay refuses (convert's rule)
           adds.update(p, (a.get("size").asLong(),
             a.get("modificationTime").asLong(),
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-            false)): Unit
+            a.hasNonNull("deletionVector"))): Unit
         }
         if (n.has("remove")) {
           val p = decodePath(n.get("remove").get("path").asText())
@@ -153,6 +176,9 @@ object DeltaImport {
         }
       }
     }
+    require(!adds.valuesIterator.exists(_._4),
+      s"the synced range leaves LIVE deletion vectors; purge them on the " +
+        "Delta side (REORG TABLE … APPLY (PURGE)) and sync again")
     val statless = adds.collect { case (p, (_, _, None, _)) => root.resolve(p) }.toSeq
     val footerStats: Map[String, (Long, Map[String, ColStats])] =
       if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
@@ -262,34 +288,35 @@ object DeltaImport {
       require(!cols.contains("sidecar"),
         s"$dir uses a v2 (sidecar) checkpoint this importer does not read")
       import org.apache.spark.sql.functions.col
-      if (cols.contains("metaData"))
-        cp.select(col("metaData.*")).where(col("id").isNotNull).collect()
-          .foreach { r =>
-            applyMeta(r.getAs[String]("id"), r.getAs[String]("schemaString"),
-              r.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq,
-              Option(r.getAs[scala.collection.Map[String, String]]("configuration"))
-                .map(_.toMap).getOrElse(Map.empty))
+      // ONE pass over the checkpoint parquet — per-action selects would
+      // rescan the (potentially multi-million-row) metadata file per kind
+      val want = Seq("metaData", "protocol", "add").filter(cols.contains)
+      cp.select(want.map(col): _*).collect().foreach { r =>
+        want.zipWithIndex.foreach { case (name, i) =>
+          if (!r.isNullAt(i)) name match {
+            case "metaData" =>
+              val m = r.getStruct(i)
+              applyMeta(m.getAs[String]("id"), m.getAs[String]("schemaString"),
+                m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq,
+                Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+                  .map(_.toMap).getOrElse(Map.empty))
+            case "protocol" =>
+              val p = r.getStruct(i)
+              minReader = p.getAs[Int]("minReaderVersion")
+              readerFeatures =
+                if (p.schema.fieldNames.contains("readerFeatures"))
+                  Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+                    .map(_.toSet).getOrElse(Set.empty)
+                else Set.empty
+            case "add" =>
+              val a = r.getStruct(i)
+              val hasStats = a.schema.fieldNames.contains("stats")
+              val hasDv = a.schema.fieldNames.contains("deletionVector")
+              applyAdd(a.getAs[String]("path"), a.getAs[Long]("size"),
+                a.getAs[Long]("modificationTime"),
+                if (hasStats) Option(a.getAs[String]("stats")) else None,
+                hasDv && a.getAs[AnyRef]("deletionVector") != null)
           }
-      if (cols.contains("protocol"))
-        cp.select(col("protocol.*")).where(col("minReaderVersion").isNotNull)
-          .collect().foreach { r =>
-            minReader = r.getAs[Int]("minReaderVersion")
-            readerFeatures =
-              if (r.schema.fieldNames.contains("readerFeatures"))
-                Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
-                  .map(_.toSet).getOrElse(Set.empty)
-              else Set.empty
-          }
-      if (cols.contains("add")) {
-        val a = cp.select(col("add.*")).where(col("path").isNotNull)
-        val hasStats = a.columns.contains("stats")
-        val hasDv = a.columns.contains("deletionVector")
-        a.collect().foreach { r =>
-          applyAdd(
-            r.getAs[String]("path"), r.getAs[Long]("size"),
-            r.getAs[Long]("modificationTime"),
-            if (hasStats) Option(r.getAs[String]("stats")) else None,
-            hasDv && r.getAs[AnyRef]("deletionVector") != null)
         }
       }
       // checkpoint removes are expired-tombstone bookkeeping — the live
@@ -381,18 +408,31 @@ object DeltaImport {
         "sourceFormat" -> "delta",
         "sourceVersion" -> sourceVersion.toString), Map.empty, -1L,
       LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
+    // property-implies-feature invariant: an imported
+    // delta.enableChangeDataFeed / enableDeletionVectors / … must stamp
+    // its table feature in the same commit, exactly as setProperties does
+    val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
+      LakeTable.impliedFeatures(meta.properties))
     val tlog = new TxLog(root)
-    if (!tlog.tryCommit(0L, ci +: graft.log.Protocol.Current +: meta +: graftAdds))
+    if (!tlog.tryCommit(0L, ci +: proto +: meta +: graftAdds))
       return LakeTable.forPath(spark, dir) // lost a concurrent import: theirs won
     LakeTable.forPath(spark, dir)
   }
 
-  /** Delta add.path is a percent-encoded relative URI (or an absolute one
-    * after shallow clones). */
-  private def decodePath(p: String): String =
-    scala.util.Try(new java.net.URI(p)).toOption
-      .flatMap(u => Option(u.getPath))
-      .filter(_.nonEmpty).getOrElse(p)
+  /** Delta add.path is a percent-encoded relative URI. Absolute or
+    * scheme-ful paths (shallow clones, external locations) REFUSE: silently
+    * stripping the scheme/authority would resolve to a wrong local path —
+    * a FileNotFound at best, someone else's bytes at worst. */
+  private def decodePath(p: String): String = {
+    val uri = scala.util.Try(new java.net.URI(p)).toOption
+    val decoded = uri.flatMap(u => Option(u.getPath)).filter(_.nonEmpty)
+      .getOrElse(p)
+    require(uri.forall(_.getScheme == null) && !decoded.startsWith("/"),
+      s"Delta add path '$p' is absolute (a shallow clone or external " +
+        "location) — its data does not live under this table root and " +
+        "cannot import in place")
+    decoded
+  }
 
   /** Parse Delta's per-file stats JSON into (numRecords, canonical
     * ColStats), importing bounds only for types whose Delta encoding is

@@ -2104,7 +2104,7 @@ object LakeTable {
     * or ignoring constraints. Deletion vectors gate READERS too (a mask-
     * blind reader would resurrect deleted rows); the rest are writer-side
     * disciplines. Expects normalized (graft.-prefixed) property keys. */
-  private[table] def impliedFeatures(props: Map[String, String]): graft.log.Protocol = {
+  private[graft] def impliedFeatures(props: Map[String, String]): graft.log.Protocol = {
     val dv = props.get("graft.enableDeletionVectors").contains("true")
     val writer = Seq(
       if (dv) Some("deletionVectors") else None,

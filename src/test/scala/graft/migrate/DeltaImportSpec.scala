@@ -269,9 +269,26 @@ class DeltaImportSpec extends SparkSpec {
     val synced = t2.version
     // re-run: no-op (the consumed-version property gates it)
     DeltaImport.sync(spark, dir.toString) shouldBe synced
+    // a TRANSIENT deletion vector inside the range (masked at v5, purged
+    // by a rewrite at v6) nets out and must NOT block the sync
+    dataFile(dir, "f5.parquet", rows(25, 29))
+    writeCommit(log, 5, Seq(addLine(dir, "f4.parquet", 20, 24, dv = true)))
+    writeCommit(log, 6, Seq(removeLine("f4.parquet"),
+      addLine(dir, "f5.parquet", 25, 29)))
+    DeltaImport.sync(spark, dir.toString)
+    LakeTable.forPath(spark, dir.toString).snapshot().files.map(_.path).toSet shouldBe
+      Set("f2.parquet", "f3.parquet", "f5.parquet")
+    // a LIVE deletion vector at the end of the range refuses — and a later
+    // purge commit makes the SAME sync succeed (the remedy works)
+    writeCommit(log, 7, Seq(addLine(dir, "f4.parquet", 20, 24, dv = true)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("deletion vectors")
+    writeCommit(log, 8, Seq(removeLine("f4.parquet")))
+    DeltaImport.sync(spark, dir.toString) // v7's mask netted out by v8
     // a mid-stream schema change refuses (cut-over moment, not a sync)
     val otherSchema = StructType(Seq(StructField("id", LongType)))
-    writeCommit(log, 5, Seq(json(Map("metaData" -> Map(
+    writeCommit(log, 9, Seq(json(Map("metaData" -> Map(
       "id" -> "11111111-2222-3333-4444-555555555555",
       "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
       "schemaString" -> otherSchema.json,
@@ -280,12 +297,40 @@ class DeltaImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("schema")
+    // a same-schema REPLACE that introduces partitioning refuses too
+    Files.delete(log.resolve(f"${9L}%020d.json"))
+    writeCommit(log, 9, Seq(metaLine(pcols = Seq("name"))))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("repartitions")
     // a gap in the chain refuses with a re-import pointer
-    Files.delete(log.resolve(f"${5L}%020d.json"))
-    writeCommit(log, 7, Seq(addLine(dir, "f4.parquet", 20, 24)))
+    Files.delete(log.resolve(f"${9L}%020d.json"))
+    writeCommit(log, 11, Seq(addLine(dir, "f4.parquet", 20, 24)))
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("re-import")
+    // and so does a checkpoint that advanced past the retained JSON tail
+    (2L to 11L).foreach(v =>
+      Files.deleteIfExists(log.resolve(f"$v%020d.json")): Unit)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":9,"size":1}""".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("re-import")
+  }
+
+  test("absolute add paths refuse: the data does not live under the table " +
+    "root and must not resolve to wrong local files") {
+    val dir = tmpDir("delta-abs").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    writeCommit(dir.resolve("_delta_log"), 0, Seq(protoLine(), metaLine(),
+      json(Map("add" -> Map(
+        "path" -> "s3://bucket/other/f.parquet",
+        "partitionValues" -> Map.empty, "size" -> 1000L,
+        "modificationTime" -> 1700000000000L, "dataChange" -> true)))))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, dir.toString)
+    }.getMessage should include("absolute")
   }
 
   test("files without stats fall back to footer-derived stats (exact " +
