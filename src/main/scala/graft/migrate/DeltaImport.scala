@@ -123,8 +123,13 @@ object DeltaImport {
         s"consumed $from) — the source checkpointed and cleaned; re-import")
 
     val schema = t.snapshot().schema
-    val adds = mutable.LinkedHashMap.empty[String, (Long, Long, Option[String], Boolean)]
-    val removes = mutable.LinkedHashSet.empty[String]
+    // FINAL disposition per path — last action wins, exactly like the log
+    // replay itself. (Pairwise netting is wrong: remove -> add -> remove of
+    // one path must still REMOVE the pre-existing live file, but netting
+    // the second remove against the in-range add silently dropped it —
+    // caught by DeltaImportFuzzSpec.)
+    val state = mutable.LinkedHashMap
+      .empty[String, Option[(Long, Long, Option[String], Boolean)]]
     newer.foreach { v =>
       val lines = new String(Files.readAllBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
@@ -159,23 +164,21 @@ object DeltaImport {
         }
         if (n.has("add")) {
           val a = n.get("add")
-          val p = decodePath(a.get("path").asText())
-          removes.remove(p): Unit
           // the DV flag nets like everything else: a mask written at v and
           // purged at v+k inside the range never blocks the sync — only a
           // LIVE mask at the end of the replay refuses (convert's rule)
-          adds.update(p, (a.get("size").asLong(),
-            a.get("modificationTime").asLong(),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-            a.hasNonNull("deletionVector"))): Unit
+          state.update(decodePath(a.get("path").asText()),
+            Some((a.get("size").asLong(),
+              a.get("modificationTime").asLong(),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+              a.hasNonNull("deletionVector")))): Unit
         }
-        if (n.has("remove")) {
-          val p = decodePath(n.get("remove").get("path").asText())
-          // net out: added-and-removed inside the range never materializes
-          if (adds.remove(p).isEmpty) removes.add(p): Unit
-        }
+        if (n.has("remove"))
+          state.update(decodePath(n.get("remove").get("path").asText()), None): Unit
       }
     }
+    val adds = state.collect { case (p, Some(t)) => p -> t }
+    val removes = state.collect { case (p, None) => p }.toSeq
     require(!adds.valuesIterator.exists(_._4),
       s"the synced range leaves LIVE deletion vectors; purge them on the " +
         "Delta side (REORG TABLE … APPLY (PURGE)) and sync again")
