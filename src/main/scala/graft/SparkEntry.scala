@@ -147,6 +147,7 @@ object SparkEntry {
     "q49_convert" -> (MetaOps.convertInPlace _),
     "q110_convert_delta" -> (MetaOps.convertFromDelta _),
     "q111_delta_sync" -> (MetaOps.deltaSync _),
+    "q112_delta_rewrite" -> (MetaOps.deltaRewrite _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

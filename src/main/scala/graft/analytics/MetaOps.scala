@@ -116,19 +116,21 @@ object MetaOps {
       Files.move(part, dir.resolve(name))
       graft.log.TxLog.deleteRecursively(staging): Unit
     }
-    def add(dir: java.nio.file.Path, name: String): String = j(Map("add" -> Map(
-      "path" -> name, "partitionValues" -> Map.empty,
+    def add(dir: java.nio.file.Path, name: String,
+        pv: Map[String, String] = Map.empty): String = j(Map("add" -> Map(
+      "path" -> name, "partitionValues" -> pv,
       "size" -> Files.size(dir.resolve(name)),
       "modificationTime" -> 1700000000000L, "dataChange" -> true)))
     def remove(name: String): String = j(Map("remove" -> Map("path" -> name,
       "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))
     def protocol: String =
       j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
-    def metaData(id: String, schemaJson: String): String = j(Map("metaData" -> Map(
+    def metaData(id: String, schemaJson: String,
+        pcols: Seq[String] = Nil): String = j(Map("metaData" -> Map(
       "id" -> id,
       "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
       "schemaString" -> schemaJson,
-      "partitionColumns" -> Nil, "configuration" -> Map.empty,
+      "partitionColumns" -> pcols, "configuration" -> Map.empty,
       "createdTime" -> 1700000000000L)))
     def commit(dir: java.nio.file.Path, v: Long, lines: Seq[String]): Unit = {
       val logDir = dir.resolve("_delta_log")
@@ -174,6 +176,47 @@ object MetaOps {
     graft.migrate.DeltaImport.sync(spark, dir.toString)
     graft.migrate.DeltaImport.sync(spark, dir.toString) // replay: no-op
     LakeTable.forPath(spark, dir.toString).read()
+  }
+
+  /** Partitioned-Delta rewrite-import gate (q112): a status-PARTITIONED
+    * Delta source whose data files carry no partition column (the Delta
+    * layout — values live only in the log); the in-place convert refuses
+    * it, and [[graft.migrate.DeltaImport.convertRewrite]] re-injects the
+    * values from the log in one scan + broadcast file→tuple join, writing
+    * a natively partitioned graft table. The oracle replays the live
+    * slices — a pass proves the values round-tripped exactly. */
+  def deltaRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    val orders = Tables.orders(spark, sfDir)
+    val src = Files.createTempDirectory("graft-delta-rewrite").resolve("src")
+    Files.createDirectories(src)
+    def writeStatus(name: String, status: String): Unit = {
+      val staging = Files.createTempDirectory("graft-delta-slice")
+      orders.filter(col("o_orderstatus") === status).drop("o_orderstatus")
+        .coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
+        finally s.close()
+      }
+      Files.move(part, src.resolve(name))
+      graft.log.TxLog.deleteRecursively(staging): Unit
+    }
+    writeStatus("fO.parquet", "O")
+    writeStatus("fF.parquet", "F")
+    writeStatus("fP.parquet", "P")
+    commit(src, 0, Seq(protocol,
+      metaData("0a1b2c3d-0000-1111-2222-333344447777", orders.schema.json,
+        pcols = Seq("o_orderstatus")),
+      add(src, "fO.parquet", Map("o_orderstatus" -> "O")),
+      add(src, "fF.parquet", Map("o_orderstatus" -> "F"))))
+    commit(src, 1, Seq(
+      add(src, "fP.parquet", Map("o_orderstatus" -> "P")),
+      remove("fF.parquet")))
+    val dest = Files.createTempDirectory("graft-delta-rewrite-dest")
+      .resolve("t").toString
+    graft.migrate.DeltaImport.convertRewrite(spark, src.toString, dest).read()
   }
 
   /** COPY INTO idempotence: two incremental loads plus a full re-run
@@ -421,6 +464,9 @@ object MetaOps {
     // after the synced v2 swap the live %6 slices are {2, 3, 4}
     "q111_delta_sync" ->
       "SELECT * FROM orders WHERE o_orderkey % 6 IN (2, 3, 4)",
+    // live partitions after the remove: statuses O and P (F dropped)
+    "q112_delta_rewrite" ->
+      "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'P')",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

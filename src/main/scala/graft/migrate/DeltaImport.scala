@@ -30,9 +30,9 @@ import graft.table.LakeTable
   * Honest scope — refuse rather than silently mis-read:
   *  - PARTITIONED tables: Delta stores partition values only in the log
   *    and directory names, never in the data files; graft's read model
-  *    keeps partition columns as real data columns. Importing would
-  *    produce rows with missing columns → refuse, pointing at the
-  *    rewriting migrators.
+  *    keeps partition columns as real data columns. The zero-copy import
+  *    would produce rows with missing columns → refuse, pointing at
+  *    [[convertRewrite]] (one scan + broadcast tuple join, O(data) once).
   *  - LIVE deletion vectors: masked rows live in DV sidecar bitmaps this
   *    engine does not parse (Delta's z85/roaring container format).
   *    Purge on the Delta side (`REORG … APPLY (PURGE)`) and re-import.
@@ -216,13 +216,152 @@ object DeltaImport {
     t.version
   }
 
+  /** One live add's replayed attributes. */
+  private case class AddInfo(size: Long, mtime: Long, statsJson: Option[String],
+      dv: Boolean, partitionValues: Map[String, String])
+
+  /** The Delta table's replayed live state. */
+  private case class ReplayedState(
+      tableId: String, schemaString: String,
+      configuration: Map[String, String], partitionColumns: Seq[String],
+      minReader: Int, readerFeatures: Set[String], sourceVersion: Long,
+      adds: mutable.LinkedHashMap[String, AddInfo])
+
   /** Import `<dir>`'s Delta log as a graft table IN PLACE (idempotent: an
     * already-imported directory returns the existing graft table). */
   def convert(spark: SparkSession, dir: String): LakeTable = {
     if (TxLog.isTable(dir)) return LakeTable.forPath(spark, dir)
     val root = Paths.get(dir)
+    val st = replay(spark, root)
+    // ---- honesty gates ----
+    require(st.partitionColumns.isEmpty,
+      s"$dir is a PARTITIONED Delta table (partition columns " +
+        s"${st.partitionColumns.mkString(", ")} live only in the log, not " +
+        "the data files) — import with convertRewrite instead")
+    gate(dir, st)
+
+    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    val now = System.currentTimeMillis()
+    val graftAdds: Seq[AddFile] = toAddFiles(spark, root, st.adds, schema)
+
+    // ---- one graft commit materializing the live snapshot ----
+    val meta = graft.log.Metadata(st.tableId, root.getFileName.toString,
+      schema.json, Nil,
+      // delta.* table properties carry over under the engine's own
+      // delta-prefix normalization (appendOnly, retention windows, …);
+      // the consumed source version rides as a property so [[sync]] can
+      // pick up exactly where the import stopped
+      LakeTable.normalizeProps(st.configuration) +
+        (SourceVersionKey -> st.sourceVersion.toString), now)
+    val ci = CommitInfo(0L, now, "CONVERT",
+      Map("numFiles" -> graftAdds.size.toString,
+        "sourceFormat" -> "delta",
+        "sourceVersion" -> st.sourceVersion.toString), Map.empty, -1L,
+      LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
+    // property-implies-feature invariant: an imported
+    // delta.enableChangeDataFeed / enableDeletionVectors / … must stamp
+    // its table feature in the same commit, exactly as setProperties does
+    val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
+      LakeTable.impliedFeatures(meta.properties))
+    val tlog = new TxLog(root)
+    if (!tlog.tryCommit(0L, ci +: proto +: meta +: graftAdds))
+      return LakeTable.forPath(spark, dir) // lost a concurrent import: theirs won
+    LakeTable.forPath(spark, dir)
+  }
+
+  /** Rewrite-import of a PARTITIONED Delta table into a NEW graft table at
+    * `destDir`: partition values live only in the Delta log (and directory
+    * names), never in the data files, so a zero-copy import cannot work —
+    * instead ONE scan reads every live file, a BROADCAST join attaches each
+    * file's partition tuple from the log (`_metadata.file_path` keyed — no
+    * shuffle of the data, no per-partition scan fan-out), values cast to
+    * the schema's declared types, and the result writes as a native graft
+    * table partitioned by the same columns. O(data) once — the migration
+    * rewrite the in-place refusal points at. The same honesty gates apply
+    * (DVs, column mapping, reader features). */
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable = {
+    val root = Paths.get(srcDir)
+    val st = replay(spark, root)
+    require(st.partitionColumns.nonEmpty,
+      s"$srcDir is unpartitioned — use the zero-copy convert instead")
+    gate(srcDir, st)
+    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    val pcols = st.partitionColumns
+    val dataFields = schema.fields.filterNot(f =>
+      pcols.exists(_.equalsIgnoreCase(f.name)))
+    val livePaths = st.adds.keysIterator
+      .map(p => root.resolve(p).toString).toSeq
+    require(livePaths.nonEmpty, s"$srcDir has no live files")
+    import org.apache.spark.sql.functions.{col, broadcast}
+    // file -> partition tuple (log-authoritative, layout-independent)
+    val pvSchema = StructType(
+      StructField("__file", StringType) +:
+        pcols.map(c => StructField(s"__pv_$c", StringType)))
+    val pvRows: java.util.List[org.apache.spark.sql.Row] =
+      st.adds.toSeq.map { case (p, info) =>
+        org.apache.spark.sql.Row.fromSeq(
+          root.resolve(p).toString +:
+            pcols.map(c => info.partitionValues.getOrElse(c, null)))
+      }.asJava
+    val pv = spark.createDataFrame(pvRows, pvSchema)
+    val raw = spark.read.schema(StructType(dataFields))
+      .parquet(livePaths: _*)
+      .withColumn("__file",
+        graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
+    val typed = raw.join(broadcast(pv), "__file")
+      .select(schema.fields.map { f =>
+        if (pcols.exists(_.equalsIgnoreCase(f.name)))
+          col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    val t = LakeTable.create(spark, destDir, schema,
+      partitionColumns = pcols,
+      properties = LakeTable.normalizeProps(st.configuration))
+    t.append(typed)
+    t
+  }
+
+  /** Shared honesty gates over a replayed state (everything except the
+    * partitioning decision, which differs between the two imports). */
+  private def gate(dir: String, st: ReplayedState): Unit = {
+    val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mappingMode == "none",
+      s"$dir uses column mapping mode '$mappingMode' (physical parquet " +
+        "columns differ from logical names) — not importable in place")
+    require(!st.adds.valuesIterator.exists(_.dv),
+      s"$dir has LIVE deletion vectors; purge them on the Delta side " +
+        "(REORG TABLE … APPLY (PURGE)) and re-import")
+    val unknown = st.readerFeatures -- SupportedReaderFeatures
+    require(st.minReader <= 3 && unknown.isEmpty,
+      s"$dir requires Delta reader version ${st.minReader} with feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this importer does not honor")
+  }
+
+  /** Live adds -> graft AddFiles with exact-only stats + footer fallback. */
+  private def toAddFiles(spark: SparkSession, root: Path,
+      adds: mutable.LinkedHashMap[String, AddInfo],
+      schema: StructType): Seq[AddFile] = {
+    val statless = adds.collect {
+      case (p, i) if i.statsJson.isEmpty => root.resolve(p) }.toSeq
+    val footerStats: Map[String, (Long, Map[String, ColStats])] =
+      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
+    adds.toSeq.map { case (path, info) =>
+      val (numRecords, colStats) = info.statsJson.map(parseDeltaStats(_, schema))
+        .filter(_._1 >= 0)
+        .getOrElse(footerStats.get(root.resolve(path).toString)
+          .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
+            Map.empty[String, ColStats])))
+      AddFile(path = path, partitionValues = Map.empty, size = info.size,
+        numRecords = numRecords, stats = colStats,
+        modificationTime = info.mtime)
+    }
+  }
+
+  /** Replay `<root>`'s Delta log (checkpoint base + JSON tail) into the
+    * live table state. */
+  private def replay(spark: SparkSession, root: Path): ReplayedState = {
     val logDir = root.resolve("_delta_log")
-    require(Files.isDirectory(logDir), s"no _delta_log under $dir")
+    require(Files.isDirectory(logDir), s"no _delta_log under $root")
 
     // ---- log layout: checkpoint base + JSON tail ----
     val entries = {
@@ -263,12 +402,11 @@ object DeltaImport {
     var tableId: String = java.util.UUID.randomUUID().toString
     var minReader = 1
     var readerFeatures = Set.empty[String]
-    // path -> (size, modificationTime, statsJson, hasLiveDv)
-    val adds = mutable.LinkedHashMap.empty[String, (Long, Long, Option[String], Boolean)]
+    val adds = mutable.LinkedHashMap.empty[String, AddInfo]
 
     def applyAdd(path: String, size: Long, mtime: Long,
-        stats: Option[String], dv: Boolean): Unit =
-      adds.update(decodePath(path), (size, mtime, stats, dv)): Unit
+        stats: Option[String], dv: Boolean, pv: Map[String, String]): Unit =
+      adds.update(decodePath(path), AddInfo(size, mtime, stats, dv, pv)): Unit
     def applyRemove(path: String): Unit = adds.remove(decodePath(path)): Unit
     def applyMeta(id: String, schema: String, pcols: Seq[String],
         conf: Map[String, String]): Unit = {
@@ -289,7 +427,7 @@ object DeltaImport {
       val cp = spark.read.parquet(paths.map(_.toString): _*)
       val cols = cp.columns.toSet
       require(!cols.contains("sidecar"),
-        s"$dir uses a v2 (sidecar) checkpoint this importer does not read")
+        s"$root uses a v2 (sidecar) checkpoint this importer does not read")
       import org.apache.spark.sql.functions.col
       // ONE pass over the checkpoint parquet — per-action selects would
       // rescan the (potentially multi-million-row) metadata file per kind
@@ -318,7 +456,9 @@ object DeltaImport {
               applyAdd(a.getAs[String]("path"), a.getAs[Long]("size"),
                 a.getAs[Long]("modificationTime"),
                 if (hasStats) Option(a.getAs[String]("stats")) else None,
-                hasDv && a.getAs[AnyRef]("deletionVector") != null)
+                hasDv && a.getAs[AnyRef]("deletionVector") != null,
+                Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+                  .map(_.toMap).getOrElse(Map.empty))
           }
         }
       }
@@ -354,72 +494,18 @@ object DeltaImport {
           applyAdd(a.get("path").asText(), a.get("size").asLong(),
             a.get("modificationTime").asLong(),
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-            a.hasNonNull("deletionVector"))
+            a.hasNonNull("deletionVector"),
+            Option(a.get("partitionValues")).map(pvn =>
+              pvn.properties().asScala.map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty))
         }
         if (n.has("remove")) applyRemove(n.get("remove").get("path").asText())
       }
     }
-
-    // ---- honesty gates ----
     require(schemaString != null, s"no metaData action found under $logDir")
-    require(partitionColumns.isEmpty,
-      s"$dir is a PARTITIONED Delta table (partition columns " +
-        s"${partitionColumns.mkString(", ")} live only in the log, not the " +
-        "data files) — import with the rewriting migrators instead")
-    val mappingMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mappingMode == "none",
-      s"$dir uses column mapping mode '$mappingMode' (physical parquet " +
-        "columns differ from logical names) — not importable in place")
-    require(!adds.valuesIterator.exists(_._4),
-      s"$dir has LIVE deletion vectors; purge them on the Delta side " +
-        "(REORG TABLE … APPLY (PURGE)) and re-import")
-    val unknown = readerFeatures -- SupportedReaderFeatures
-    require(minReader <= 3 && unknown.isEmpty,
-      s"$dir requires Delta reader version $minReader with feature(s) " +
-        s"${unknown.toSeq.sorted.mkString(", ")} this importer does not honor")
-
-    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
-
-    // ---- stats conversion (exact-only) + footer fallback ----
-    val statless = adds.collect { case (p, (_, _, None, _)) => root.resolve(p) }.toSeq
-    val footerStats: Map[String, (Long, Map[String, ColStats])] =
-      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
-    val now = System.currentTimeMillis()
-    val graftAdds: Seq[AddFile] = adds.toSeq.map {
-      case (path, (size, mtime, statsJson, _)) =>
-        val (numRecords, colStats) = statsJson.map(parseDeltaStats(_, schema))
-          .filter(_._1 >= 0)
-          .getOrElse(footerStats.get(root.resolve(path).toString)
-            .map { case (n, st) => (n, st) }
-            .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
-              Map.empty[String, ColStats])))
-        AddFile(path = path, partitionValues = Map.empty, size = size,
-          numRecords = numRecords, stats = colStats, modificationTime = mtime)
-    }
-
-    // ---- one graft commit materializing the live snapshot ----
-    val meta = graft.log.Metadata(tableId, root.getFileName.toString,
-      schema.json, Nil,
-      // delta.* table properties carry over under the engine's own
-      // delta-prefix normalization (appendOnly, retention windows, …);
-      // the consumed source version rides as a property so [[sync]] can
-      // pick up exactly where the import stopped
-      LakeTable.normalizeProps(configuration) +
-        (SourceVersionKey -> sourceVersion.toString), now)
-    val ci = CommitInfo(0L, now, "CONVERT",
-      Map("numFiles" -> graftAdds.size.toString,
-        "sourceFormat" -> "delta",
-        "sourceVersion" -> sourceVersion.toString), Map.empty, -1L,
-      LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
-    // property-implies-feature invariant: an imported
-    // delta.enableChangeDataFeed / enableDeletionVectors / … must stamp
-    // its table feature in the same commit, exactly as setProperties does
-    val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
-      LakeTable.impliedFeatures(meta.properties))
-    val tlog = new TxLog(root)
-    if (!tlog.tryCommit(0L, ci +: proto +: meta +: graftAdds))
-      return LakeTable.forPath(spark, dir) // lost a concurrent import: theirs won
-    LakeTable.forPath(spark, dir)
+    ReplayedState(tableId, schemaString, configuration, partitionColumns,
+      minReader, readerFeatures, sourceVersion, adds)
   }
 
   /** Delta add.path is a percent-encoded relative URI. Absolute or

@@ -65,7 +65,8 @@ class DeltaImportSpec extends SparkSpec {
       Option(features).map("readerFeatures" -> _).toMap)))
 
   private def addLine(dir: Path, name: String, lo: Long, hi: Long,
-      stats: Boolean = true, dv: Boolean = false) = {
+      stats: Boolean = true, dv: Boolean = false,
+      pv: Map[String, String] = Map.empty) = {
     val statsJson = json(Map(
       "numRecords" -> (hi - lo + 1),
       "minValues" -> Map("id" -> lo, "name" -> s"n$lo"),
@@ -73,7 +74,7 @@ class DeltaImportSpec extends SparkSpec {
       "nullCount" -> Map("id" -> 0, "name" -> 0)))
     json(Map("add" -> (Map(
       "path" -> name,
-      "partitionValues" -> Map.empty,
+      "partitionValues" -> pv,
       "size" -> (if (dir == null) 1000L else Files.size(dir.resolve(name))),
       "modificationTime" -> 1700000001000L,
       "dataChange" -> true) ++
@@ -317,6 +318,49 @@ class DeltaImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("re-import")
+  }
+
+  test("partitioned Delta tables rewrite-import: partition values re-inject " +
+    "from the log into a natively partitioned graft table") {
+    val src = tmpDir("delta-rewrite").resolve("src")
+    // data files carry ONLY the data column (Delta never stores partition
+    // columns in the files — they live in the log), so a correct import
+    // must re-inject them from partitionValues
+    dataFile(src, "f0.parquet", spark.range(0, 5).toDF("id"))
+    dataFile(src, "f1.parquet", spark.range(5, 10).toDF("id"))
+    dataFile(src, "f2.parquet", spark.range(10, 15).toDF("id"))
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    val log = src.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(),
+      json(Map("metaData" -> Map(
+        "id" -> "22222222-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> pSchema.json,
+        "partitionColumns" -> Seq("p"), "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L))),
+      addLine(src, "f0.parquet", 0, 4, stats = false, pv = Map("p" -> "a")),
+      addLine(src, "f1.parquet", 5, 9, stats = false, pv = Map("p" -> "b"))))
+    writeCommit(log, 1, Seq(
+      addLine(src, "f2.parquet", 10, 14, stats = false, pv = Map("p" -> "b")),
+      removeLine("f1.parquet")))
+    // in-place convert refuses and names the remedy
+    val err = intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, src.toString)
+    }.getMessage
+    err should include("PARTITIONED")
+    err should include("convertRewrite")
+    val dest = tmpDir("delta-rewrite").resolve("dest").toString
+    val t = DeltaImport.convertRewrite(spark, src.toString, dest)
+    t.snapshot().metadata.partitionColumns shouldBe Seq("p")
+    t.read().count() shouldBe 10
+    // partition values are the LOG's, per file
+    t.read().groupBy("p").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("p").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe Seq(("a", 5L, 10L), ("b", 5L, 60L))
+    // the destination is a real partitioned graft table: pruning works
+    val full = t.snapshot().numFiles
+    t.read(Seq(col("p") === "a")).inputFiles.length should be < full
   }
 
   test("absolute add paths refuse: the data does not live under the table " +
