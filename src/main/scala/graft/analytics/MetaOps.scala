@@ -101,11 +101,10 @@ object MetaOps {
       x
     }
     private def j(v: Any): String = m.writeValueAsString(v)
-    /** Write `src WHERE key % mod = k` as ONE parquet file `name`. */
-    def writeSlice(dir: java.nio.file.Path, src: DataFrame,
-        name: String, mod: Int, k: Int): Unit = {
+    /** Write `df` as ONE parquet file `name` under `dir`. */
+    def writeOne(dir: java.nio.file.Path, df: DataFrame, name: String): Unit = {
       val staging = Files.createTempDirectory("graft-delta-slice")
-      src.filter(col("o_orderkey") % mod === k).coalesce(1)
+      df.coalesce(1)
         .write.mode("overwrite").parquet(staging.resolve("out").toString)
       val part = {
         val s = Files.list(staging.resolve("out"))
@@ -116,6 +115,10 @@ object MetaOps {
       Files.move(part, dir.resolve(name))
       graft.log.TxLog.deleteRecursively(staging): Unit
     }
+    /** Write `src WHERE key % mod = k` as ONE parquet file `name`. */
+    def writeSlice(dir: java.nio.file.Path, src: DataFrame,
+        name: String, mod: Int, k: Int): Unit =
+      writeOne(dir, src.filter(col("o_orderkey") % mod === k), name)
     def add(dir: java.nio.file.Path, name: String,
         pv: Map[String, String] = Map.empty): String = j(Map("add" -> Map(
       "path" -> name, "partitionValues" -> pv,
@@ -190,19 +193,8 @@ object MetaOps {
     val orders = Tables.orders(spark, sfDir)
     val src = Files.createTempDirectory("graft-delta-rewrite").resolve("src")
     Files.createDirectories(src)
-    def writeStatus(name: String, status: String): Unit = {
-      val staging = Files.createTempDirectory("graft-delta-slice")
-      orders.filter(col("o_orderstatus") === status).drop("o_orderstatus")
-        .coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
-      val part = {
-        val s = Files.list(staging.resolve("out"))
-        try { import scala.jdk.CollectionConverters._
-          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
-        finally s.close()
-      }
-      Files.move(part, src.resolve(name))
-      graft.log.TxLog.deleteRecursively(staging): Unit
-    }
+    def writeStatus(name: String, status: String): Unit = writeOne(src,
+      orders.filter(col("o_orderstatus") === status).drop("o_orderstatus"), name)
     writeStatus("fO.parquet", "O")
     writeStatus("fF.parquet", "F")
     writeStatus("fP.parquet", "P")

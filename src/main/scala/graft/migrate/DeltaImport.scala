@@ -128,8 +128,7 @@ object DeltaImport {
     // one path must still REMOVE the pre-existing live file, but netting
     // the second remove against the in-range add silently dropped it —
     // caught by DeltaImportFuzzSpec.)
-    val state = mutable.LinkedHashMap
-      .empty[String, Option[(Long, Long, Option[String], Boolean)]]
+    val state = mutable.LinkedHashMap.empty[String, Option[AddInfo]]
     newer.foreach { v =>
       val lines = new String(Files.readAllBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
@@ -150,8 +149,8 @@ object DeltaImport {
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
           require(pcols.isEmpty,
             s"Delta commit $v repartitions the table " +
-              s"(${pcols.mkString(", ")}) — not importable in place; re-import " +
-              "with the rewriting migrators")
+              s"(${pcols.mkString(", ")}) — not syncable in place; " +
+              "re-import with convertRewrite")
         }
         if (n.has("protocol")) {
           val p = n.get("protocol")
@@ -168,34 +167,22 @@ object DeltaImport {
           // purged at v+k inside the range never blocks the sync — only a
           // LIVE mask at the end of the replay refuses (convert's rule)
           state.update(decodePath(a.get("path").asText()),
-            Some((a.get("size").asLong(),
+            Some(AddInfo(a.get("size").asLong(),
               a.get("modificationTime").asLong(),
               Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-              a.hasNonNull("deletionVector")))): Unit
+              a.hasNonNull("deletionVector"), Map.empty))): Unit
         }
         if (n.has("remove"))
           state.update(decodePath(n.get("remove").get("path").asText()), None): Unit
       }
     }
-    val adds = state.collect { case (p, Some(t)) => p -> t }
+    val adds = state.toSeq.collect { case (p, Some(info)) => p -> info }
     val removes = state.collect { case (p, None) => p }.toSeq
-    require(!adds.valuesIterator.exists(_._4),
+    require(!adds.exists(_._2.dv),
       s"the synced range leaves LIVE deletion vectors; purge them on the " +
         "Delta side (REORG TABLE … APPLY (PURGE)) and sync again")
-    val statless = adds.collect { case (p, (_, _, None, _)) => root.resolve(p) }.toSeq
-    val footerStats: Map[String, (Long, Map[String, ColStats])] =
-      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
     val now = System.currentTimeMillis()
-    val graftAdds: Seq[graft.log.Action] = adds.toSeq.map {
-      case (path, (size, mtime, statsJson, _)) =>
-        val (numRecords, colStats) = statsJson.map(parseDeltaStats(_, schema))
-          .filter(_._1 >= 0)
-          .getOrElse(footerStats.get(root.resolve(path).toString)
-            .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
-              Map.empty[String, ColStats])))
-        AddFile(path = path, partitionValues = Map.empty, size = size,
-          numRecords = numRecords, stats = colStats, modificationTime = mtime)
-    }
+    val graftAdds: Seq[graft.log.Action] = toAddFiles(spark, root, adds, schema)
     try {
       t.commitWithRetry("DELTA SYNC",
         Map("fromVersion" -> from.toString, "toVersion" -> newer.max.toString),
@@ -242,7 +229,7 @@ object DeltaImport {
 
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     val now = System.currentTimeMillis()
-    val graftAdds: Seq[AddFile] = toAddFiles(spark, root, st.adds, schema)
+    val graftAdds: Seq[AddFile] = toAddFiles(spark, root, st.adds.toSeq, schema)
 
     // ---- one graft commit materializing the live snapshot ----
     val meta = graft.log.Metadata(st.tableId, root.getFileName.toString,
@@ -280,18 +267,26 @@ object DeltaImport {
     * rewrite the in-place refusal points at. The same honesty gates apply
     * (DVs, column mapping, reader features). */
   def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable = {
-    val root = Paths.get(srcDir)
+    // absolutized + normalized: the join key below must match the path
+    // strings Spark reports for the planned files, and a relative or
+    // non-normalized srcDir would build keys NOTHING matches
+    val root = Paths.get(srcDir).toAbsolutePath.normalize
     val st = replay(spark, root)
     require(st.partitionColumns.nonEmpty,
       s"$srcDir is unpartitioned — use the zero-copy convert instead")
     gate(srcDir, st)
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     val pcols = st.partitionColumns
+    val props = LakeTable.normalizeProps(st.configuration)
+    // a fully deleted (or never-written) partitioned source imports as an
+    // empty partitioned graft table — schema and layout are fully known
+    if (st.adds.isEmpty)
+      return LakeTable.create(spark, destDir, schema,
+        partitionColumns = pcols, properties = props, ifNotExists = false)
     val dataFields = schema.fields.filterNot(f =>
       pcols.exists(_.equalsIgnoreCase(f.name)))
     val livePaths = st.adds.keysIterator
       .map(p => root.resolve(p).toString).toSeq
-    require(livePaths.nonEmpty, s"$srcDir has no live files")
     import org.apache.spark.sql.functions.{col, broadcast}
     // file -> partition tuple (log-authoritative, layout-independent)
     val pvSchema = StructType(
@@ -308,17 +303,29 @@ object DeltaImport {
       .parquet(livePaths: _*)
       .withColumn("__file",
         graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
+    // loud pre-write guard (driver-only, no Spark job): every file the
+    // scan plans must have a log tuple and vice versa — an inner join
+    // silently dropping unmatched rows here would be total data loss,
+    // the exact mis-read this module's gates exist to prevent
+    val planned = raw.inputFiles.map(Stats.stripScheme).toSet
+    val logged = st.adds.keysIterator
+      .map(p => Stats.stripScheme(root.resolve(p).toString)).toSet
+    require(planned == logged,
+      s"planned scan files diverge from the Delta log's live set " +
+        s"(only-planned: ${(planned -- logged).take(3)}, " +
+        s"only-logged: ${(logged -- planned).take(3)}) — refusing to " +
+        "write a silently incomplete import")
     val typed = raw.join(broadcast(pv), "__file")
       .select(schema.fields.map { f =>
         if (pcols.exists(_.equalsIgnoreCase(f.name)))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
-    val t = LakeTable.create(spark, destDir, schema,
-      partitionColumns = pcols,
-      properties = LakeTable.normalizeProps(st.configuration))
-    t.append(typed)
-    t
+    // createFrom uses ifNotExists = false: a retried migration fails
+    // LOUDLY on the existing destination instead of silently appending
+    // the whole dataset a second time
+    LakeTable.createFrom(spark, destDir, typed,
+      partitionColumns = pcols, properties = props)
   }
 
   /** Shared honesty gates over a replayed state (everything except the
@@ -327,7 +334,8 @@ object DeltaImport {
     val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(mappingMode == "none",
       s"$dir uses column mapping mode '$mappingMode' (physical parquet " +
-        "columns differ from logical names) — not importable in place")
+        "columns differ from logical names) — this importer does not " +
+        "translate physical schemas")
     require(!st.adds.valuesIterator.exists(_.dv),
       s"$dir has LIVE deletion vectors; purge them on the Delta side " +
         "(REORG TABLE … APPLY (PURGE)) and re-import")
@@ -339,7 +347,7 @@ object DeltaImport {
 
   /** Live adds -> graft AddFiles with exact-only stats + footer fallback. */
   private def toAddFiles(spark: SparkSession, root: Path,
-      adds: mutable.LinkedHashMap[String, AddInfo],
+      adds: Seq[(String, AddInfo)],
       schema: StructType): Seq[AddFile] = {
     val statless = adds.collect {
       case (p, i) if i.statsJson.isEmpty => root.resolve(p) }.toSeq
