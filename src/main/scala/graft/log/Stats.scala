@@ -288,6 +288,21 @@ object Stats {
     out.asScala.toMap
   }
 
+  /** Unit conversion to micros for parquet INT64 timestamp bounds, when the
+    * conversion is EXACT: MICROS pass through, MILLIS widen; NANOS would
+    * need rounding (floor for min, ceil for max — no longer the true bound
+    * of any readable value), so they carry no bounds at all. */
+  private def timestampToMicros(
+      t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+      : Option[Long => Long] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    t.getUnit match {
+      case TimeUnit.MICROS => Some(identity)
+      case TimeUnit.MILLIS => Some(v => Math.multiplyExact(v, 1000L))
+      case _ => None
+    }
+  }
+
   private def merge(a: String, b: String, dt: DataType, takeMin: Boolean): String =
     if (a == null) b else if (b == null) a
     else if ((compare(a, b, dt) <= 0) == takeMin) a else b
@@ -329,26 +344,20 @@ object Stats {
       case (_: TimestampType, PrimitiveTypeName.INT64) =>
         ann match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            val toMicros: Long => Long = t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
-              case LogicalTypeAnnotation.TimeUnit.NANOS  => _ / 1000L
-            }
-            Some((encodeInternal(toMicros(st.genericGetMin.asInstanceOf[Long]), TimestampType),
-              encodeInternal(toMicros(st.genericGetMax.asInstanceOf[Long]), TimestampType)))
+            // NANOS bounds that are not whole microseconds cannot be
+            // represented EXACTLY in micros — rounding either direction
+            // would violate the exact-bounds contract, so carry none
+            timestampToMicros(t).map(f =>
+              (encodeInternal(f(st.genericGetMin.asInstanceOf[Long]), TimestampType),
+                encodeInternal(f(st.genericGetMax.asInstanceOf[Long]), TimestampType)))
           case _ => None
         }
       case (_: TimestampNTZType, PrimitiveTypeName.INT64) =>
         ann match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            val toMicros: Long => Long = t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
-              case LogicalTypeAnnotation.TimeUnit.NANOS  => _ / 1000L
-            }
-            Some((
-              encodeInternal(toMicros(st.genericGetMin.asInstanceOf[Long]), TimestampNTZType),
-              encodeInternal(toMicros(st.genericGetMax.asInstanceOf[Long]), TimestampNTZType)))
+            timestampToMicros(t).map(f => (
+              encodeInternal(f(st.genericGetMin.asInstanceOf[Long]), TimestampNTZType),
+              encodeInternal(f(st.genericGetMax.asInstanceOf[Long]), TimestampNTZType)))
           case _ => None
         }
       case (d: DecimalType, _) =>

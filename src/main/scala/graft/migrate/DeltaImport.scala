@@ -71,6 +71,17 @@ object DeltaImport {
     * has consumed. */
   val SourceVersionKey = "graft.delta.sourceVersion"
 
+  /** Graft operations that cannot change the live data-file set. Anything
+    * else between the last CONVERT/DELTA SYNC and now means graft-side
+    * writes diverged from the Delta source — a Delta remove of a path graft
+    * already rewrote would be dropped by the live-set filter while the
+    * Delta-side replacement add still lands, silently duplicating rows —
+    * so [[sync]] refuses: local DML is the cut-over moment. */
+  private val FileSetNeutralOps = Set(
+    "CONVERT", "DELTA SYNC", "VACUUM", "ANALYZE", "GENERATE",
+    "SET TBLPROPERTIES", "UNSET TBLPROPERTIES", "UPGRADE PROTOCOL",
+    "ADD FEATURE")
+
   def isDeltaTable(dir: String): Boolean =
     Files.isDirectory(Paths.get(dir, "_delta_log"))
 
@@ -95,6 +106,22 @@ object DeltaImport {
     val from = t.properties.get(SourceVersionKey).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"$dir was not imported from Delta (no $SourceVersionKey property)"))
+    // divergence guard: graft-side commits since the last sync point must
+    // not have touched the live file set (see [[FileSetNeutralOps]])
+    locally {
+      val commits = t.snapshot().commits
+      val syncPoint = commits.filter(c =>
+          c.operation == "CONVERT" || c.operation == "DELTA SYNC")
+        .map(_.version).maxOption.getOrElse(-1L)
+      val diverging = commits.filter(_.version > syncPoint)
+        .filterNot(c => FileSetNeutralOps(c.operation))
+      require(diverging.isEmpty,
+        s"graft-side commit(s) ${diverging.map(c =>
+          s"v${c.version} ${c.operation}").mkString(", ")} changed the " +
+          "table since the last Delta sync — local writes are the " +
+          "cut-over moment; this table can no longer mirror the Delta " +
+          "source (re-import into a fresh directory to keep syncing)")
+    }
     val entries = {
       val s = Files.list(logDir)
       try s.iterator().asScala.map(_.getFileName.toString).toList
@@ -129,6 +156,12 @@ object DeltaImport {
     // the second remove against the in-range add silently dropped it —
     // caught by DeltaImportFuzzSpec.)
     val state = mutable.LinkedHashMap.empty[String, Option[AddInfo]]
+    // Delta-side configuration changes propagate: the LAST in-range
+    // metaData's configuration merges into the sync commit's properties
+    // (adds and updates; a Delta-side UNSET does not remove the graft key —
+    // provenance of non-delta-prefixed keys is unknowable, so removals are
+    // a manual unsetProperties after cut-over)
+    var syncedConf: Option[Map[String, String]] = None
     newer.foreach { v =>
       val lines = new String(Files.readAllBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
@@ -151,6 +184,10 @@ object DeltaImport {
             s"Delta commit $v repartitions the table " +
               s"(${pcols.mkString(", ")}) — not syncable in place; " +
               "re-import with convertRewrite")
+          syncedConf = Some(Option(m.get("configuration"))
+            .map(c => c.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty))
         }
         if (n.has("protocol")) {
           val p = n.get("protocol")
@@ -194,8 +231,16 @@ object DeltaImport {
           throw new LakeTable.EpochAlreadyCommitted
         val live = s.files.map(_.path).toSet
         val meta = s.metadata.copy(properties =
-          s.metadata.properties + (SourceVersionKey -> newer.max.toString))
-        Seq(meta) ++ graftAdds ++
+          s.metadata.properties ++
+            LakeTable.normalizeProps(syncedConf.getOrElse(Map.empty)) +
+            (SourceVersionKey -> newer.max.toString))
+        // property-implies-feature, exactly as setProperties stamps it: a
+        // synced delta.enableChangeDataFeed / enableDeletionVectors / …
+        // lands with its table feature in the same commit
+        val proto = graft.log.Protocol.merge(s.protocol,
+          LakeTable.impliedFeatures(meta.properties))
+        (if (proto == s.protocol) Seq(meta) else Seq(proto, meta)) ++
+          graftAdds ++
           removes.toSeq.filter(live.contains)
             .map(p => graft.log.RemoveFile(p, now))
       }

@@ -3,11 +3,11 @@ package graft.migrate
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,11 +15,13 @@ import graft.SparkSpec
 import graft.table.LakeTable
 
 /** Randomized Delta-log lifecycles vs a plain-Scala model: for ANY
-  * add/remove sequence, any import/sync split point, any mix of
+  * add/remove/compact sequence, any import/sync split point, any mix of
   * stats-bearing and stat-less adds, and percent-encoded names, the
   * imported table's live set, row count, and content must equal the
   * model's replay. A divergence here is silent data corruption in a
-  * migration tool, so it gets the fuzz treatment. */
+  * migration tool, so it gets the fuzz treatment. Compactions are Delta
+  * OPTIMIZE-shaped: one dataChange=false commit swapping N live files for
+  * their concatenation — the sync must treat it as a pure file swap. */
 class DeltaImportFuzzSpec extends SparkSpec {
 
   private val mapper = {
@@ -31,16 +33,17 @@ class DeltaImportFuzzSpec extends SparkSpec {
 
   private val schema = StructType(Seq(StructField("id", LongType)))
 
-  /** File k holds ids [k*10, k*10+10). Names exercise percent-encoding on
-    * odd k (a space in the file name). */
-  private def fileName(k: Int): String =
+  /** Pool file k holds ids [k*10, k*10+10). Names exercise percent-encoding
+    * on odd k (a space in the file name). */
+  private def poolName(k: Int): String =
     if (k % 2 == 1) s"part $k.parquet" else s"part$k.parquet"
-  private def encodedPath(k: Int): String =
-    if (k % 2 == 1) s"part%20$k.parquet" else s"part$k.parquet"
+  private def encoded(name: String): String = name.replace(" ", "%20")
 
-  private def writeFile(dir: Path, k: Int): Unit = {
+  import spark.implicits._
+
+  private def writeIds(dir: Path, name: String, ids: Seq[Long]): Unit = {
     val staging = Files.createTempDirectory("delta-fuzz-stage")
-    spark.range(k * 10L, k * 10L + 10).toDF("id").coalesce(1)
+    ids.toDF("id").coalesce(1)
       .write.mode("overwrite").parquet(staging.resolve("out").toString)
     val part = {
       val s = Files.list(staging.resolve("out"))
@@ -48,50 +51,70 @@ class DeltaImportFuzzSpec extends SparkSpec {
       finally s.close()
     }
     Files.createDirectories(dir)
-    Files.move(part, dir.resolve(fileName(k)))
+    Files.move(part, dir.resolve(name))
     graft.log.TxLog.deleteRecursively(staging)
   }
 
-  private def addLine(dir: Path, k: Int, withStats: Boolean): String = {
+  private def addLine(dir: Path, name: String, ids: Seq[Long],
+      withStats: Boolean, dataChange: Boolean = true): String = {
     val stats =
       if (!withStats) Map.empty[String, Any]
       else Map("stats" -> j(Map(
-        "numRecords" -> 10,
-        "minValues" -> Map("id" -> k * 10L),
-        "maxValues" -> Map("id" -> (k * 10L + 9)),
+        "numRecords" -> ids.size,
+        "minValues" -> Map("id" -> ids.min),
+        "maxValues" -> Map("id" -> ids.max),
         "nullCount" -> Map("id" -> 0))))
     j(Map("add" -> (Map(
-      "path" -> encodedPath(k),
+      "path" -> encoded(name),
       "partitionValues" -> Map.empty,
-      "size" -> Files.size(dir.resolve(fileName(k))),
+      "size" -> Files.size(dir.resolve(name)),
       "modificationTime" -> 1700000000000L,
-      "dataChange" -> true) ++ stats)))
+      "dataChange" -> dataChange) ++ stats)))
   }
 
-  private def removeLine(k: Int): String = j(Map("remove" -> Map(
-    "path" -> encodedPath(k), "deletionTimestamp" -> 1700000001000L,
-    "dataChange" -> true)))
+  private def removeLine(name: String, dataChange: Boolean = true): String =
+    j(Map("remove" -> Map(
+      "path" -> encoded(name), "deletionTimestamp" -> 1700000001000L,
+      "dataChange" -> dataChange)))
 
-  test("randomized add/remove logs with arbitrary sync split points match " +
-    "the model's live set exactly") {
+  test("randomized add/remove/compact logs with arbitrary sync split points " +
+    "match the model's live set exactly") {
     val rnd = new scala.util.Random(20260816L)
     (0 until 4).foreach { trial =>
       val dir = tmpDir(s"delta-fuzz-$trial").resolve("t")
-      val pool = 0 until 10
-      pool.foreach(writeFile(dir, _))
-      // model state + commit lines
-      val live = scala.collection.mutable.LinkedHashSet.empty[Int]
+      val contents = mutable.Map.empty[String, Seq[Long]]
+      (0 until 10).foreach { k =>
+        val ids = (k * 10L until k * 10L + 10).toSeq
+        contents(poolName(k)) = ids
+        writeIds(dir, poolName(k), ids)
+      }
+      val pool = (0 until 10).map(poolName)
+      val live = mutable.LinkedHashSet.empty[String]
+      var compactSeq = 0
       def randomCommit(): Seq[String] = {
         val n = 1 + rnd.nextInt(3)
         (0 until n).flatMap { _ =>
-          if (live.nonEmpty && rnd.nextBoolean() && rnd.nextBoolean()) {
-            val k = live.toSeq(rnd.nextInt(live.size))
-            live.remove(k)
-            Seq(removeLine(k))
-          } else {
-            val k = pool(rnd.nextInt(pool.size))
-            live.add(k)
-            Seq(addLine(dir, k, withStats = rnd.nextBoolean()))
+          val roll = rnd.nextInt(8)
+          if (roll < 2 && live.nonEmpty) { // remove
+            val name = live.toSeq(rnd.nextInt(live.size))
+            live.remove(name)
+            Seq(removeLine(name))
+          } else if (roll < 3 && live.size >= 2) { // OPTIMIZE-shaped compact
+            val picks = rnd.shuffle(live.toSeq).take(2)
+            compactSeq += 1
+            val name = s"compact-$trial-$compactSeq.parquet"
+            val ids = picks.flatMap(contents)
+            writeIds(dir, name, ids)
+            contents(name) = ids
+            picks.foreach(live.remove)
+            live.add(name)
+            picks.map(p => removeLine(p, dataChange = false)) :+
+              addLine(dir, name, ids, withStats = rnd.nextBoolean(),
+                dataChange = false)
+          } else { // add (or re-add) a pool file
+            val name = pool(rnd.nextInt(pool.size))
+            live.add(name)
+            Seq(addLine(dir, name, contents(name), withStats = rnd.nextBoolean()))
           }
         }
       }
@@ -113,15 +136,16 @@ class DeltaImportFuzzSpec extends SparkSpec {
       (1 until split).foreach(v => commit(v.toLong, randomCommit()))
       val liveAtImport = live.toSet
 
-      val t = LakeTable.convert(spark, dir.toString)
-      def check(expected: Set[Int], stage: String): Unit = {
+      LakeTable.convert(spark, dir.toString)
+      def check(expected: Set[String], stage: String): Unit = {
         val snap = LakeTable.forPath(spark, dir.toString).snapshot()
         withClue(s"trial=$trial stage=$stage expected=$expected: ") {
-          snap.files.map(_.path).toSet shouldBe expected.map(fileName)
-          snap.files.map(_.numRecords).sum shouldBe expected.size * 10L
+          snap.files.map(_.path).toSet shouldBe expected
+          snap.files.map(_.numRecords).sum shouldBe
+            expected.toSeq.map(contents(_).size.toLong).sum
           val got = LakeTable.forPath(spark, dir.toString).read()
             .agg(coalesce(sum("id"), lit(0L))).head().getLong(0)
-          got shouldBe expected.toSeq.map(k => (k * 10L until k * 10L + 10).sum).sum
+          got shouldBe expected.toSeq.flatMap(contents).sum
         }
       }
       check(liveAtImport, "import")

@@ -320,6 +320,97 @@ class DeltaImportSpec extends SparkSpec {
     }.getMessage should include("re-import")
   }
 
+  test("sync refuses after graft-side writes diverge (cut-over guard), but " +
+    "file-set-neutral graft ops do not block it") {
+    val dir = tmpDir("delta-diverge").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    val t = LakeTable.convert(spark, dir.toString)
+    // neutral graft ops (properties, vacuum) do not end the mirror
+    t.setProperties(Map("graft.custom.note" -> "mirroring"))
+    t.vacuum(retainHours = 1000.0)
+    writeCommit(log, 1, Seq(addLine(dir, "f1.parquet", 5, 9)))
+    DeltaImport.sync(spark, dir.toString)
+    LakeTable.forPath(spark, dir.toString).read().count() shouldBe 10
+    // graft-side DML is the cut-over: a later sync refuses LOUDLY instead
+    // of silently re-landing rows the local write already rewrote
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.delete(col("id") === 0L)
+    writeCommit(log, 2, Seq(removeLine("f0.parquet")))
+    val err = intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage
+    err should include("cut-over")
+    err should include("DELETE")
+  }
+
+  test("sync propagates Delta-side configuration changes, stamping implied " +
+    "table features in the same commit") {
+    val dir = tmpDir("delta-props").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.properties.get("graft.enableChangeDataFeed") shouldBe None
+    // the Delta side enables CDF (a full metaData with new configuration)
+    writeCommit(log, 1, Seq(
+      metaLine(conf = Map("delta.enableChangeDataFeed" -> "true",
+        "delta.deletedFileRetentionDuration" -> "interval 7 days")),
+      addLine(dir, "f1.parquet", 5, 9)))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.properties.get("graft.enableChangeDataFeed") shouldBe Some("true")
+    t2.properties.get("graft.deletedFileRetentionDuration") shouldBe
+      Some("interval 7 days")
+    // property-implies-feature rode the SAME commit
+    t2.snapshot().protocol.writerSet should contain("changeDataFeed")
+    t2.read().count() shouldBe 10
+  }
+
+  test("a Delta-side OPTIMIZE (dataChange=false file swap) syncs as a pure " +
+    "metadata swap — no data re-materialization") {
+    val dir = tmpDir("delta-optimize").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4), addLine(dir, "f1.parquet", 5, 9)))
+    val t = LakeTable.convert(spark, dir.toString)
+    // the Delta side compacts: one dataChange=false commit swaps f0+f1 for
+    // fc (their concatenation) — plus an ordinary append in the same range
+    dataFile(dir, "fc.parquet", rows(0, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    writeCommit(log, 1, Seq(
+      json(Map("add" -> Map("path" -> "fc.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("fc.parquet")),
+        "modificationTime" -> 1700000003000L, "dataChange" -> false,
+        "stats" -> json(Map("numRecords" -> 10,
+          "minValues" -> Map("id" -> 0), "maxValues" -> Map("id" -> 9),
+          "nullCount" -> Map("id" -> 0, "name" -> 0)))))),
+      json(Map("remove" -> Map("path" -> "f0.parquet",
+        "deletionTimestamp" -> 1700000003000L, "dataChange" -> false))),
+      json(Map("remove" -> Map("path" -> "f1.parquet",
+        "deletionTimestamp" -> 1700000003000L, "dataChange" -> false)))))
+    writeCommit(log, 2, Seq(addLine(dir, "f2.parquet", 10, 14)))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().files.map(_.path).toSet shouldBe Set("fc.parquet", "f2.parquet")
+    t2.read().agg(sum("id")).head().getLong(0) shouldBe (0L to 14L).sum
+    // pure swap: the synced adds are the Delta files IN PLACE (no graft
+    // data write), stats carried from the log (no footer re-read needed)
+    t2.snapshot().files.find(_.path == "fc.parquet").get.numRecords shouldBe 10
+    val h = t2.history(Some(1)).collect()(0)
+    h.getString(3) shouldBe "DELTA SYNC"
+    h.getMap[String, String](5)("numAddedFiles") shouldBe "2"
+    h.getMap[String, String](5)("numRemovedFiles") shouldBe "2"
+  }
+
   test("partitioned Delta tables rewrite-import: partition values re-inject " +
     "from the log into a natively partitioned graft table") {
     val src = tmpDir("delta-rewrite").resolve("src")
