@@ -148,6 +148,9 @@ object SparkEntry {
     "q110_convert_delta" -> (MetaOps.convertFromDelta _),
     "q111_delta_sync" -> (MetaOps.deltaSync _),
     "q112_delta_rewrite" -> (MetaOps.deltaRewrite _),
+    "q113_delta_dv" -> (MetaOps.convertDeltaDv _),
+    "q114_delta_mapped" -> (MetaOps.convertDeltaMapped _),
+    "q115_iceberg_import" -> (MetaOps.convertIceberg _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

@@ -120,20 +120,29 @@ object MetaOps {
         name: String, mod: Int, k: Int): Unit =
       writeOne(dir, src.filter(col("o_orderkey") % mod === k), name)
     def add(dir: java.nio.file.Path, name: String,
-        pv: Map[String, String] = Map.empty): String = j(Map("add" -> Map(
+        pv: Map[String, String] = Map.empty,
+        dv: Map[String, Any] = null): String = j(Map("add" -> (Map(
       "path" -> name, "partitionValues" -> pv,
       "size" -> Files.size(dir.resolve(name)),
-      "modificationTime" -> 1700000000000L, "dataChange" -> true)))
+      "modificationTime" -> 1700000000000L, "dataChange" -> true) ++
+      Option(dv).map("deletionVector" -> _).toMap)))
     def remove(name: String): String = j(Map("remove" -> Map("path" -> name,
       "deletionTimestamp" -> 1700000001000L, "dataChange" -> true)))
     def protocol: String =
       j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
+    def protocolV(reader: Int, writer: Int): String = j(Map("protocol" ->
+      Map("minReaderVersion" -> reader, "minWriterVersion" -> writer)))
+    def protocolDv: String = j(Map("protocol" -> Map(
+      "minReaderVersion" -> 3, "minWriterVersion" -> 7,
+      "readerFeatures" -> Seq("deletionVectors"),
+      "writerFeatures" -> Seq("deletionVectors"))))
     def metaData(id: String, schemaJson: String,
-        pcols: Seq[String] = Nil): String = j(Map("metaData" -> Map(
+        pcols: Seq[String] = Nil,
+        conf: Map[String, String] = Map.empty): String = j(Map("metaData" -> Map(
       "id" -> id,
       "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
       "schemaString" -> schemaJson,
-      "partitionColumns" -> pcols, "configuration" -> Map.empty,
+      "partitionColumns" -> pcols, "configuration" -> conf,
       "createdTime" -> 1700000000000L)))
     def commit(dir: java.nio.file.Path, v: Long, lines: Seq[String]): Unit = {
       val logDir = dir.resolve("_delta_log")
@@ -156,6 +165,115 @@ object MetaOps {
     val t = LakeTable.convert(spark, dir.toString) // auto-detects _delta_log
     t.delete(col("o_orderkey") % 7 === 0)
     t.read()
+  }
+
+  /** Delta deletion-vector import gate (q113): a Delta log whose live adds
+    * carry LIVE deletion vectors in both spec storage layouts — a
+    * file-backed `u` vector (z85-packed uuid under a random-prefix dir,
+    * CRC-checked ranged read) masking `o_orderkey % 11 = 0` on the even
+    * slice, and an inline `i` vector (z85-packed portable roaring) masking
+    * `% 13 = 0` on the odd slice. `convert` transcodes them bitmap-to-
+    * bitmap into graft masks (no purge needed), then graft DML deletes
+    * `% 7 = 0` ON TOP — proving imported masks and the engine's own DV
+    * merge compose. Masked row positions are derived from the written
+    * files themselves (`_metadata.row_index` under the same predicate the
+    * oracle uses), so the gate is deterministic. */
+  def convertDeltaDv(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-delta-dv").resolve("t")
+    Files.createDirectories(dir)
+    writeSlice(dir, orders, "f0.parquet", 2, 0)
+    writeSlice(dir, orders, "f1.parquet", 2, 1)
+    def positions(name: String, mod: Int): Seq[Long] =
+      spark.read.parquet(dir.resolve(name).toString)
+        .withColumn("__idx", col("_metadata.row_index"))
+        .filter(col("o_orderkey") % mod === 0)
+        .select("__idx").collect().map(_.getLong(0)).toSeq
+    val p0 = positions("f0.parquet", 11)
+    val p1 = positions("f1.parquet", 13)
+    val d0 = graft.migrate.DeltaDv.serializeArray(p0)
+    val uuid = java.util.UUID.fromString("9f8e7d6c-5b4a-3920-1807-f6e5d4c3b2a1")
+    val offs = graft.migrate.DeltaDv.writeDvFile(
+      dir.resolve(s"ab/deletion_vector_$uuid.bin"), Seq(d0))
+    val d1 = graft.migrate.DeltaDv.serializeArray(p1)
+    commit(dir, 0, Seq(protocolDv,
+      metaData("0a1b2c3d-0000-1111-2222-333344448888", orders.schema.json),
+      add(dir, "f0.parquet", dv = Map(
+        "storageType" -> "u",
+        "pathOrInlineDv" -> graft.migrate.DeltaDv.packUuid(uuid, "ab"),
+        "offset" -> offs.head, "sizeInBytes" -> d0.length,
+        "cardinality" -> p0.size)),
+      add(dir, "f1.parquet", dv = Map(
+        "storageType" -> "i",
+        "pathOrInlineDv" -> graft.migrate.DeltaDv.packInline(d1),
+        "sizeInBytes" -> d1.length, "cardinality" -> p1.size))))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.delete(col("o_orderkey") % 7 === 0)
+    t.read()
+  }
+
+  /** Delta column-mapping import gate (q114): a `name`-mode Delta table —
+    * every data file carries PHYSICAL column names (`col-1`…`col-9`) with
+    * parquet field ids, the log's schema carries the logical names plus
+    * `delta.columnMapping.{id,physicalName}` metadata. `convert`
+    * translates the mapping onto graft's own by-field-id resolution
+    * ([[graft.log.ColumnIds]]) after verifying every live footer actually
+    * carries agreeing ids, then graft DML runs on the imported table. The
+    * oracle replays with logical names — a pass proves physical columns
+    * bound to the right logical ones. */
+  def convertDeltaMapped(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-delta-mapped").resolve("t")
+    Files.createDirectories(dir)
+    val fields = orders.schema.fields
+    def phys(i: Int) = s"col-${i + 1}"
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val physSelect = fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(phys(i), fid(i + 1L)) }.toIndexedSeq
+    writeOne(dir, orders.filter(col("o_orderkey") % 2 === 0)
+      .select(physSelect: _*), "f0.parquet")
+    writeOne(dir, orders.filter(col("o_orderkey") % 2 === 1)
+      .select(physSelect: _*), "f1.parquet")
+    val mappedSchema = StructType(fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", phys(i)).build())
+    })
+    commit(dir, 0, Seq(protocolV(2, 5),
+      metaData("0a1b2c3d-0000-1111-2222-333344449999", mappedSchema.json,
+        conf = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> fields.length.toString)),
+      add(dir, "f0.parquet"), add(dir, "f1.parquet")))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.delete(col("o_orderkey") % 9 === 0)
+    t.read()
+  }
+
+  /** Iceberg import round-trip gate (q115): a graft table with deletion
+    * vectors exports its Iceberg view ([[graft.table.Uniform]] — real Avro
+    * manifests, position-delete parquet), the graft log is then DELETED
+    * (what remains is a pure Iceberg HadoopTables layout), and
+    * `LakeTable.convert` auto-detects `metadata/` and replays it back into
+    * a graft table: live files zero-copy, position deletes transcoded into
+    * graft masks, stats re-derived exactly from footers. Graft DML then
+    * runs on the re-import. Export and import are independent codebases
+    * over the PUBLIC Iceberg spec, so a hash-match here proves both. */
+  def convertIceberg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-iceberg-import").resolve("t")
+    val t = LakeTable.createFrom(spark, dir.toString, orders,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.delete(col("o_orderkey") % 6 === 0) // masked via DVs, not rewritten
+    t.generateIcebergMetadata()
+    // sever the graft identity: a pure Iceberg table remains
+    graft.log.TxLog.deleteRecursively(dir.resolve("_txlog"))
+    val t2 = LakeTable.convert(spark, dir.toString)
+    t2.delete(col("o_orderkey") % 11 === 3) // graft DML composes on import
+    t2.read()
   }
 
   /** Delta continuous-migration gate (q111): import at Delta v1, then the
@@ -459,6 +577,22 @@ object MetaOps {
     // live partitions after the remove: statuses O and P (F dropped)
     "q112_delta_rewrite" ->
       "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'P')",
+    // imported DVs mask %11 on the even slice and %13 on the odd slice;
+    // graft DML then deletes %7 on top
+    "q113_delta_dv" ->
+      """SELECT * FROM orders
+         WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 11 = 0)
+           AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 13 = 0)
+           AND o_orderkey % 7 <> 0""",
+    // physical col-N columns bind to logical names by field id; graft DML
+    // then deletes %9
+    "q114_delta_mapped" ->
+      "SELECT * FROM orders WHERE o_orderkey % 9 <> 0",
+    // DV-masked %6 rows survive the Iceberg round trip as position
+    // deletes -> re-imported masks; graft DML then deletes %11=3 on top
+    "q115_iceberg_import" ->
+      """SELECT * FROM orders
+         WHERE o_orderkey % 6 <> 0 AND o_orderkey % 11 <> 3""",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

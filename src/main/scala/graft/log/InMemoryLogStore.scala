@@ -39,11 +39,14 @@ class InMemoryLogStore extends LogStore {
     objects.keySet().asScala.toSeq
       .filter(_.getParent == dir).map(_.getFileName.toString)
 
-  def read(path: Path): Seq[String] = {
+  def read(path: Path): Seq[String] =
+    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq
+
+  override def readBytes(path: Path): Array[Byte] = {
     val bytes = objects.get(path)
     require(bytes != null, s"no such log object: $path")
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n", -1).toSeq
+    bytes
   }
 
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean = {

@@ -44,6 +44,13 @@ trait LogStore {
   def listFileNamesAfter(dir: Path, startAfter: String): Seq[String] =
     listFileNames(dir).filter(_ > startAfter)
   def read(path: Path): Seq[String]
+  /** Raw bytes of one log object — the binary twin of [[read]], for the
+    * metadata objects that are not line-oriented (Avro manifests, Iceberg
+    * metadata JSON, parquet checkpoints read driver-side). The default
+    * round-trips through [[read]] and is only correct for TEXT objects;
+    * every real store overrides it. */
+  def readBytes(path: Path): Array[Byte] =
+    read(path).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean
   /** Remove one log object (DROP FEATURE ... TRUNCATE HISTORY's boundary
     * sweep); true iff it existed. Never part of the commit CAS — deletes
@@ -74,6 +81,8 @@ object LocalLogStore extends LogStore {
 
   def read(path: Path): Seq[String] =
     Files.readAllLines(path, java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+
+  override def readBytes(path: Path): Array[Byte] = Files.readAllBytes(path)
 
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean = {
     Files.createDirectories(path.getParent)

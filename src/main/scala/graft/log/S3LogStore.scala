@@ -96,6 +96,8 @@ class S3LogStore(client: S3ObjectClient) extends LogStore {
     new String(client.get(keyOf(path)), StandardCharsets.UTF_8)
       .split("\n", -1).toSeq
 
+  override def readBytes(path: Path): Array[Byte] = client.get(keyOf(path))
+
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean =
     if (overwrite) { client.put(keyOf(path), body); true }
     else client.putIfNoneMatch(keyOf(path), body)

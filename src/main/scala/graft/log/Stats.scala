@@ -288,6 +288,31 @@ object Stats {
     out.asScala.toMap
   }
 
+  /** Per file, the parquet footer's top-level columns as (name, field id)
+    * pairs — id is None when the writer stamped none. The column-mapping
+    * import's honesty gate: by-id reads are only safe when every footer
+    * column carries an id that agrees with the mapped schema. Same
+    * parallel footer-read machinery as [[fromFooters]]. */
+  def footerFieldIds(
+      files: Seq[java.nio.file.Path]): Map[String, Seq[(String, Option[Int])]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Option[Int])]]()
+    files.asJava.parallelStream().forEach { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        out.put(p.toString,
+          fields.map(t => t.getName -> Option(t.getId).map(_.intValue())).toSeq)
+      } finally reader.close()
+    }
+    out.asScala.toMap
+  }
+
   /** Unit conversion to micros for parquet INT64 timestamp bounds, when the
     * conversion is EXACT: MICROS pass through, MILLIS widen; NANOS would
     * need rounding (floor for min, ceil for max — no longer the true bound

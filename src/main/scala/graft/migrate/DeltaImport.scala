@@ -33,16 +33,23 @@ import graft.table.LakeTable
   *    keeps partition columns as real data columns. The zero-copy import
   *    would produce rows with missing columns → refuse, pointing at
   *    [[convertRewrite]] (one scan + broadcast tuple join, O(data) once).
-  *  - LIVE deletion vectors: masked rows live in DV sidecar bitmaps this
-  *    engine does not parse (Delta's z85/roaring container format).
-  *    Purge on the Delta side (`REORG … APPLY (PURGE)`) and re-import.
-  *    A table whose dv FEATURE is enabled but whose live adds carry no
-  *    vector imports fine.
-  *  - Column mapping `id`/`name` modes: physical parquet columns differ
-  *    from logical names → refuse (mode `none` or absent imports).
-  *  - Reader features beyond what this engine honors (`v2Checkpoint`
-  *    sidecar checkpoints, unknown future features) → refuse loudly,
-  *    exactly like the engine's own forward-compat gate.
+  *  - LIVE deletion vectors IMPORT: descriptors parse per the public spec
+  *    ([[DeltaDv]] — z85 packing, CRC-checked `.bin` ranged reads, the
+  *    portable RoaringBitmapArray container) and transcode bitmap-to-bitmap
+  *    into the engine's own masks, decoded DISTRIBUTED on executors.
+  *    Absolute-path (`p`) vectors refuse like absolute add paths.
+  *  - Column mapping `id`/`name` modes IMPORT: `delta.columnMapping.id`
+  *    translates to the `parquet.field.id` resolution graft's own mapped
+  *    tables use ([[graft.log.ColumnIds]]), after a footer gate proves
+  *    every live file actually carries agreeing ids (an id-less file —
+  *    possible in upgraded `name`-mode tables — refuses toward
+  *    [[convertRewrite]], which resolves by physical NAME instead).
+  *    Stats and partition values translate from their physical-name keys.
+  *  - Reader features beyond what this engine honors (unknown future
+  *    features) → refuse loudly, exactly like the engine's own
+  *    forward-compat gate. `v2Checkpoint` IS honored: UUID-named json or
+  *    parquet manifests, classic-named v2 manifests, and
+  *    `_delta_log/_sidecars/` action files all replay.
   *
   * Stats carry over only where Delta's JSON encoding is EXACT:
   * integer/long/float/double/decimal/boolean/date bounds convert to the
@@ -65,7 +72,7 @@ object DeltaImport {
     * column-mapping-mode gates below are the real guards; the feature
     * names alone do not make a table unreadable). */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "deletionVectors")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
 
   /** Table property recording the highest Delta version the import/sync
     * has consumed. */
@@ -82,8 +89,15 @@ object DeltaImport {
     "SET TBLPROPERTIES", "UNSET TBLPROPERTIES", "UPGRADE PROTOCOL",
     "ADD FEATURE")
 
+  /** The Delta log reads ride the engine's [[graft.log.LogStore]] seam
+    * (swap [[graft.log.LogStore.default]] to route ALL import IO through
+    * an object store); data parquet, checkpoint parquet, and DV sidecars
+    * are data-plane reads through Spark/Hadoop FS, object-store capable
+    * by construction. */
+  private def store: graft.log.LogStore = graft.log.LogStore.default
+
   def isDeltaTable(dir: String): Boolean =
-    Files.isDirectory(Paths.get(dir, "_delta_log"))
+    store.listFileNames(Paths.get(dir, "_delta_log")).nonEmpty
 
   /** Incremental catch-up after [[convert]]: apply the Delta commits that
     * landed in `_delta_log` SINCE the last consumed version as ONE graft
@@ -122,11 +136,7 @@ object DeltaImport {
           "cut-over moment; this table can no longer mirror the Delta " +
           "source (re-import into a fresh directory to keep syncing)")
     }
-    val entries = {
-      val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
+    val entries = store.listFileNames(logDir)
     val jsonRe = raw"(\d{20})\.json".r
     val newer = entries.collect { case jsonRe(v) => v.toLong }
       .filter(_ > from).sorted
@@ -134,7 +144,7 @@ object DeltaImport {
     // source that checkpointed past `from` and cleaned the JSON tail has
     // advanced invisibly, and reporting freshness would be silently stale
     val checkpointVersion: Option[Long] = scala.util.Try {
-      mapper.readTree(new String(Files.readAllBytes(
+      mapper.readTree(new String(store.readBytes(
         logDir.resolve("_last_checkpoint")), StandardCharsets.UTF_8))
         .get("version").asLong()
     }.toOption
@@ -150,6 +160,15 @@ object DeltaImport {
         s"consumed $from) — the source checkpointed and cleaned; re-import")
 
     val schema = t.snapshot().schema
+    // a column-mapped import keeps resolving by field id; the physical
+    // names (kept in the schema metadata by translateMapping) key the
+    // incoming commits' stats
+    val mapped = graft.log.ColumnIds.mapped(schema)
+    val physicalOf: Map[String, String] =
+      if (!mapped) Map.empty
+      else schema.fields.map(f => f.name ->
+        (if (f.metadata.contains(MappingPhysKey))
+          f.metadata.getString(MappingPhysKey) else f.name)).toMap
     // FINAL disposition per path — last action wins, exactly like the log
     // replay itself. (Pairwise netting is wrong: remove -> add -> remove of
     // one path must still REMOVE the pre-existing live file, but netting
@@ -163,15 +182,23 @@ object DeltaImport {
     // a manual unsetProperties after cut-over)
     var syncedConf: Option[Map[String, String]] = None
     newer.foreach { v =>
-      val lines = new String(Files.readAllBytes(
+      val lines = new String(store.readBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
         .split("\n").filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("metaData")) {
           val m = n.get("metaData")
-          val incoming = DataType.fromJson(
+          val incoming0 = DataType.fromJson(
             m.get("schemaString").asText()).asInstanceOf[StructType]
+          // a mapped source's metaData carries the Delta-form schema:
+          // translate before comparing (a non-translatable one simply
+          // fails the equality below — the conservative refusal)
+          val incoming =
+            if (mapped && incoming0.fields.forall(
+                _.metadata.contains(MappingIdKey)))
+              translateMapping(incoming0)._1
+            else incoming0
           require(incoming == schema,
             s"Delta commit $v changes the table schema — schema evolution " +
               "is a cut-over moment, not a silent sync step; re-import")
@@ -200,14 +227,14 @@ object DeltaImport {
         }
         if (n.has("add")) {
           val a = n.get("add")
-          // the DV flag nets like everything else: a mask written at v and
-          // purged at v+k inside the range never blocks the sync — only a
-          // LIVE mask at the end of the replay refuses (convert's rule)
+          // DV descriptors net like everything else: a mask written at v
+          // and purged at v+k inside the range never decodes — only the
+          // FINAL disposition's masks materialize as graft vectors
           state.update(decodePath(a.get("path").asText()),
             Some(AddInfo(a.get("size").asLong(),
               a.get("modificationTime").asLong(),
               Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-              a.hasNonNull("deletionVector"), Map.empty))): Unit
+              dvOf(a), Map.empty))): Unit
         }
         if (n.has("remove"))
           state.update(decodePath(n.get("remove").get("path").asText()), None): Unit
@@ -215,11 +242,16 @@ object DeltaImport {
     }
     val adds = state.toSeq.collect { case (p, Some(info)) => p -> info }
     val removes = state.collect { case (p, None) => p }.toSeq
-    require(!adds.exists(_._2.dv),
-      s"the synced range leaves LIVE deletion vectors; purge them on the " +
-        "Delta side (REORG TABLE … APPLY (PURGE)) and sync again")
     val now = System.currentTimeMillis()
-    val graftAdds: Seq[graft.log.Action] = toAddFiles(spark, root, adds, schema)
+    val graftAdds: Seq[graft.log.Action] =
+      toAddFiles(spark, root, adds, schema, physicalOf)
+    // the FINAL disposition's live masks transcode into graft vectors
+    // (written before the commit loop, like every dv parquet); a final
+    // re-add WITHOUT a descriptor is a Delta-side purge — it must CLEAR
+    // any graft vector the path carried (computed in the closure, where
+    // the current dv state is known)
+    val dvActions = importDvActions(spark, root,
+      adds.collect { case (p, i) if i.dv.isDefined => p -> i.dv.get })
     try {
       t.commitWithRetry("DELTA SYNC",
         Map("fromVersion" -> from.toString, "toVersion" -> newer.max.toString),
@@ -236,11 +268,20 @@ object DeltaImport {
             (SourceVersionKey -> newer.max.toString))
         // property-implies-feature, exactly as setProperties stamps it: a
         // synced delta.enableChangeDataFeed / enableDeletionVectors / …
-        // lands with its table feature in the same commit
-        val proto = graft.log.Protocol.merge(s.protocol,
-          LakeTable.impliedFeatures(meta.properties))
+        // lands with its table feature in the same commit — and imported
+        // masks stamp deletionVectors even without the property (a Delta
+        // table can carry vectors after the property was unset)
+        val proto = graft.log.Protocol.merge(
+          graft.log.Protocol.merge(s.protocol,
+            LakeTable.impliedFeatures(meta.properties)),
+          if (dvActions.isEmpty) s.protocol
+          else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
+        val clears = adds.collect {
+          case (p, i) if i.dv.isEmpty && s.dvs.contains(p) =>
+            graft.log.DeletionVector(p, "", 0L)
+        }
         (if (proto == s.protocol) Seq(meta) else Seq(proto, meta)) ++
-          graftAdds ++
+          graftAdds ++ dvActions ++ clears ++
           removes.toSeq.filter(live.contains)
             .map(p => graft.log.RemoveFile(p, now))
       }
@@ -250,7 +291,7 @@ object DeltaImport {
 
   /** One live add's replayed attributes. */
   private case class AddInfo(size: Long, mtime: Long, statsJson: Option[String],
-      dv: Boolean, partitionValues: Map[String, String])
+      dv: Option[DvDescriptor], partitionValues: Map[String, String])
 
   /** The Delta table's replayed live state. */
   private case class ReplayedState(
@@ -272,31 +313,63 @@ object DeltaImport {
         "the data files) — import with convertRewrite instead")
     gate(dir, st)
 
-    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val (schema, physicalOf) =
+      if (mappingMode == "none")
+        (DataType.fromJson(st.schemaString).asInstanceOf[StructType],
+          Map.empty[String, String])
+      else {
+        // id/name modes both translate to graft's by-field-id resolution
+        // (the files' footers are verified to support it — an id-less file
+        // refuses here, pointing at the rewrite import)
+        val (s, phys) = translateMapping(
+          DataType.fromJson(st.schemaString).asInstanceOf[StructType])
+        verifyFooterIds(root, st.adds.keys.toSeq, s, phys)
+        (s, phys)
+      }
     val now = System.currentTimeMillis()
-    val graftAdds: Seq[AddFile] = toAddFiles(spark, root, st.adds.toSeq, schema)
+    val graftAdds: Seq[AddFile] =
+      toAddFiles(spark, root, st.adds.toSeq, schema, physicalOf)
+    // live Delta deletion vectors transcode into graft masks (one dv
+    // parquet + one DeletionVector action per masked file); written before
+    // the commit — a lost CAS leaves an orphan parquet, never a bad commit
+    val dvActions = importDvActions(spark, root,
+      st.adds.toSeq.collect { case (p, i) if i.dv.isDefined => p -> i.dv.get })
 
     // ---- one graft commit materializing the live snapshot ----
+    // a mapped import records the id high-water mark so graft-side ADD
+    // COLUMN never reuses a retired Delta id (same never-reuse rule)
+    val maxIdProp: Map[String, String] =
+      if (mappingMode == "none") Map.empty
+      else Map(graft.log.ColumnIds.MaxIdKey -> math.max(
+        st.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L),
+        graft.log.ColumnIds.maxId(Map.empty, schema)).toString)
     val meta = graft.log.Metadata(st.tableId, root.getFileName.toString,
       schema.json, Nil,
       // delta.* table properties carry over under the engine's own
       // delta-prefix normalization (appendOnly, retention windows, …);
       // the consumed source version rides as a property so [[sync]] can
       // pick up exactly where the import stopped
-      LakeTable.normalizeProps(st.configuration) +
+      LakeTable.normalizeProps(st.configuration) ++ maxIdProp +
         (SourceVersionKey -> st.sourceVersion.toString), now)
     val ci = CommitInfo(0L, now, "CONVERT",
       Map("numFiles" -> graftAdds.size.toString,
         "sourceFormat" -> "delta",
+        "numDeletionVectors" -> dvActions.size.toString,
         "sourceVersion" -> st.sourceVersion.toString), Map.empty, -1L,
       LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
     // property-implies-feature invariant: an imported
     // delta.enableChangeDataFeed / enableDeletionVectors / … must stamp
-    // its table feature in the same commit, exactly as setProperties does
-    val proto = graft.log.Protocol.merge(graft.log.Protocol.Current,
-      LakeTable.impliedFeatures(meta.properties))
+    // its table feature in the same commit, exactly as setProperties does;
+    // imported masks stamp deletionVectors even without the property
+    val proto = graft.log.Protocol.merge(
+      graft.log.Protocol.merge(graft.log.Protocol.Current,
+        LakeTable.impliedFeatures(meta.properties)),
+      if (dvActions.isEmpty) graft.log.Protocol.Current
+      else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
     val tlog = new TxLog(root)
-    if (!tlog.tryCommit(0L, ci +: proto +: meta +: graftAdds))
+    if (!tlog.tryCommit(0L, ci +: proto +: meta +: (graftAdds ++ dvActions)))
       return LakeTable.forPath(spark, dir) // lost a concurrent import: theirs won
     LakeTable.forPath(spark, dir)
   }
@@ -320,15 +393,35 @@ object DeltaImport {
     require(st.partitionColumns.nonEmpty,
       s"$srcDir is unpartitioned — use the zero-copy convert instead")
     gate(srcDir, st)
-    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    // column-mapped sources rewrite fine: the scan resolves the files'
+    // PHYSICAL column names (no field ids required — this is the remedy
+    // for id-less name-mode files) and the projection restores logical
+    // names; the destination is a fresh native table with its own ids
+    val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val (schema, physicalOf) =
+      if (mappingMode == "none")
+        (DataType.fromJson(st.schemaString).asInstanceOf[StructType],
+          Map.empty[String, String])
+      else translateMapping(
+        DataType.fromJson(st.schemaString).asInstanceOf[StructType])
+    def physName(logical: String) = physicalOf.getOrElse(logical, logical)
     val pcols = st.partitionColumns
-    val props = LakeTable.normalizeProps(st.configuration)
+    // the rewrite destination is NOT mapped to the source: drop the
+    // source's mapping config and schema metadata (fresh ids stamp at
+    // creation)
+    val props = LakeTable.normalizeProps(st.configuration.view
+      .filterKeys(!_.startsWith("delta.columnMapping.")).toMap)
+    val destSchema = graft.log.ColumnIds.strip(StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(MappingPhysKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(MappingPhysKey).build())
+    }))
     // a fully deleted (or never-written) partitioned source imports as an
     // empty partitioned graft table — schema and layout are fully known
     if (st.adds.isEmpty)
-      return LakeTable.create(spark, destDir, schema,
+      return LakeTable.create(spark, destDir, destSchema,
         partitionColumns = pcols, properties = props, ifNotExists = false)
-    val dataFields = schema.fields.filterNot(f =>
+    val dataFields = destSchema.fields.filterNot(f =>
       pcols.exists(_.equalsIgnoreCase(f.name)))
     val livePaths = st.adds.keysIterator
       .map(p => root.resolve(p).toString).toSeq
@@ -341,10 +434,15 @@ object DeltaImport {
       st.adds.toSeq.map { case (p, info) =>
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(p).toString +:
-            pcols.map(c => info.partitionValues.getOrElse(c, null)))
+            // mapped logs key partition values by PHYSICAL name
+            pcols.map(c => info.partitionValues.getOrElse(physName(c), null)))
       }.asJava
     val pv = spark.createDataFrame(pvRows, pvSchema)
-    val raw = spark.read.schema(StructType(dataFields))
+    // the scan asks for the files' PHYSICAL column names with NO field-id
+    // metadata (by-name resolution — works on id-less files too)
+    val readSchema = StructType(dataFields.map(f =>
+      StructField(physName(f.name), f.dataType, f.nullable)))
+    val raw = spark.read.schema(readSchema)
       .parquet(livePaths: _*)
       .withColumn("__file",
         graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
@@ -360,11 +458,45 @@ object DeltaImport {
         s"(only-planned: ${(planned -- logged).take(3)}, " +
         s"only-logged: ${(logged -- planned).take(3)}) — refusing to " +
         "write a silently incomplete import")
-    val typed = raw.join(broadcast(pv), "__file")
-      .select(schema.fields.map { f =>
+    // live deletion vectors: masked positions must NOT materialize in the
+    // rewrite — small mask totals broadcast per-file bitmaps probed by the
+    // codegen'd filter; large ones explode to rows and anti-join (the same
+    // two-tier strategy as the engine's own masked reads)
+    val dvAdds = st.adds.toSeq.collect {
+      case (p, i) if i.dv.isDefined => p -> i.dv.get }
+    val unmasked =
+      if (dvAdds.isEmpty) raw
+      else {
+        dvAdds.foreach { case (p, d) =>
+          require(d.storageType == "u" || d.storageType == "i",
+            s"deletion vector for $p has storageType '${d.storageType}' — " +
+              "only file-relative ('u') and inline ('i') vectors can import")
+        }
+        val totalMasked = dvAdds.map(_._2.cardinality).sum
+        val posed = raw.withColumn("__idx", col("_metadata.row_index"))
+        val dvDf = decodeDvs(spark, root, dvAdds)
+        val filtered =
+          if (totalMasked <= graft.log.DvBitmap.broadcastMaxMasks(spark)) {
+            val bc = spark.sparkContext.broadcast(
+              dvDf.collect().map(r =>
+                r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+            posed.filter(graft.log.DvBitmap.notMasked(
+              col("__file"), col("__idx"), bc, totalMasked))
+          } else {
+            val maskRows = dvDf.select(col("__path"),
+              org.apache.spark.sql.functions.explode(
+                graft.log.DvBitmap.toLongArray(col("__bitmap"))).as("__midx"))
+            posed.join(maskRows,
+              posed("__file") === maskRows("__path") &&
+                posed("__idx") === maskRows("__midx"), "left_anti")
+          }
+        filtered.drop("__idx")
+      }
+    val typed = unmasked.join(broadcast(pv), "__file")
+      .select(destSchema.fields.map { f =>
         if (pcols.exists(_.equalsIgnoreCase(f.name)))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-        else col(f.name)
+        else col(physName(f.name)).as(f.name) // physical -> logical
       }.toIndexedSeq: _*)
     // createFrom uses ifNotExists = false: a retried migration fails
     // LOUDLY on the existing destination instead of silently appending
@@ -377,56 +509,200 @@ object DeltaImport {
     * partitioning decision, which differs between the two imports). */
   private def gate(dir: String, st: ReplayedState): Unit = {
     val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mappingMode == "none",
-      s"$dir uses column mapping mode '$mappingMode' (physical parquet " +
-        "columns differ from logical names) — this importer does not " +
-        "translate physical schemas")
-    require(!st.adds.valuesIterator.exists(_.dv),
-      s"$dir has LIVE deletion vectors; purge them on the Delta side " +
-        "(REORG TABLE … APPLY (PURGE)) and re-import")
+    require(Set("none", "id", "name").contains(mappingMode),
+      s"$dir uses unknown column mapping mode '$mappingMode' — only " +
+        "none/id/name are specified")
+    // live deletion vectors IMPORT (transcoded to graft masks) — but only
+    // spec-shaped ones: an absolute-path ('p') vector does not live under
+    // the table root, so it refuses like an absolute add path
+    st.adds.valuesIterator.flatMap(_.dv).foreach(d =>
+      require(d.storageType == "u" || d.storageType == "i",
+        s"$dir carries a deletion vector with storageType " +
+          s"'${d.storageType}' — only file-relative ('u') and inline " +
+          "('i') vectors live under the table root and can import"))
     val unknown = st.readerFeatures -- SupportedReaderFeatures
     require(st.minReader <= 3 && unknown.isEmpty,
       s"$dir requires Delta reader version ${st.minReader} with feature(s) " +
         s"${unknown.toSeq.sorted.mkString(", ")} this importer does not honor")
   }
 
-  /** Live adds -> graft AddFiles with exact-only stats + footer fallback. */
+  /** Live adds -> graft AddFiles with exact-only stats + footer fallback.
+    * `physicalOf` (logical -> physical column name) is non-empty for
+    * column-mapped tables: the log's stats JSON and the files' footers are
+    * keyed by PHYSICAL names there; graft stats key by logical. */
   private def toAddFiles(spark: SparkSession, root: Path,
       adds: Seq[(String, AddInfo)],
-      schema: StructType): Seq[AddFile] = {
+      schema: StructType,
+      physicalOf: Map[String, String] = Map.empty): Seq[AddFile] = {
+    def physName(logical: String) = physicalOf.getOrElse(logical, logical)
     val statless = adds.collect {
       case (p, i) if i.statsJson.isEmpty => root.resolve(p) }.toSeq
+    val footerSchema =
+      if (physicalOf.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = physName(f.name))))
+    val logicalOf = schema.fields.map(f => physName(f.name) -> f.name).toMap
     val footerStats: Map[String, (Long, Map[String, ColStats])] =
-      if (statless.isEmpty) Map.empty else Stats.fromFooters(statless, schema)
+      if (statless.isEmpty) Map.empty
+      else Stats.fromFooters(statless, footerSchema).map { case (p, (n, st)) =>
+        p -> (n, st.map { case (k, v) => logicalOf.getOrElse(k, k) -> v })
+      }
     adds.toSeq.map { case (path, info) =>
-      val (numRecords, colStats) = info.statsJson.map(parseDeltaStats(_, schema))
-        .filter(_._1 >= 0)
-        .getOrElse(footerStats.get(root.resolve(path).toString)
-          .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
-            Map.empty[String, ColStats])))
+      val (numRecords, colStats) =
+        info.statsJson.map(parseDeltaStats(_, schema, physicalOf))
+          .filter(_._1 >= 0)
+          .getOrElse(footerStats.get(root.resolve(path).toString)
+            .getOrElse((spark.read.parquet(root.resolve(path).toString).count(),
+              Map.empty[String, ColStats])))
       AddFile(path = path, partitionValues = Map.empty, size = info.size,
         numRecords = numRecords, stats = colStats,
         modificationTime = info.mtime)
     }
   }
 
+  private val MappingIdKey = "delta.columnMapping.id"
+  private val MappingPhysKey = "delta.columnMapping.physicalName"
+
+  /** Translate a column-mapped Delta schema into the engine's native
+    * by-field-id form: logical names keep, each `delta.columnMapping.id`
+    * becomes the `parquet.field.id` graft's own mapped tables resolve by
+    * ([[graft.log.ColumnIds]]), and `delta.columnMapping.*` metadata
+    * strips (recursively — nested struct fields carry ids too). Returns
+    * the graft schema plus the logical -> physical top-level name map
+    * (the log keys stats and partition values by PHYSICAL name). Works
+    * for both `id` and `name` modes: resolution is by id either way, and
+    * [[verifyFooterIds]] proves the files support it. */
+  private[migrate] def translateMapping(
+      deltaSchema: StructType): (StructType, Map[String, String]) = {
+    // the id key strips (replaced by parquet.field.id); physicalName KEEPS
+    // riding the graft schema — [[sync]] recovers the logical->physical
+    // map from it when later Delta commits arrive with physically-keyed
+    // stats and partition values
+    def strip(m: org.apache.spark.sql.types.Metadata) = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+      mb.remove(MappingIdKey).build()
+    }
+    def walkType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(walkField))
+      case a: ArrayType => a.copy(elementType = walkType(a.elementType))
+      case m: MapType => m.copy(keyType = walkType(m.keyType),
+        valueType = walkType(m.valueType))
+      case other => other
+    }
+    def walkField(f: StructField): StructField = {
+      require(f.metadata.contains(MappingIdKey),
+        s"column-mapped schema field '${f.name}' carries no " +
+          s"$MappingIdKey — cannot translate")
+      val id = f.metadata.getLong(MappingIdKey)
+      graft.log.ColumnIds.withId(
+        f.copy(dataType = walkType(f.dataType), metadata = strip(f.metadata)), id)
+    }
+    val physicalOf = deltaSchema.fields.map { f =>
+      f.name -> (if (f.metadata.contains(MappingPhysKey))
+        f.metadata.getString(MappingPhysKey) else f.name)
+    }.toMap
+    (StructType(deltaSchema.fields.map(walkField)), physicalOf)
+  }
+
+  /** Column-mapping honesty gate over the LIVE files' parquet footers:
+    * by-id reads are only safe when (a) every footer column carries a
+    * field id (a file upgraded into `name` mode without ids would read
+    * silently NULL or throw at query time — refuse at import instead),
+    * (b) a footer column matching a live physical name carries THAT
+    * column's id, and (c) no footer id collides with a different live
+    * column's id (ids are never reused, but a hand-crafted log could). */
+  private def verifyFooterIds(root: Path, live: Seq[String],
+      schema: StructType, physicalOf: Map[String, String]): Unit = {
+    val idOfPhys: Map[String, Long] = schema.fields.map(f =>
+      physicalOf.getOrElse(f.name, f.name) ->
+        graft.log.ColumnIds.idOf(f).get).toMap
+    val footers = Stats.footerFieldIds(live.map(root.resolve))
+    live.foreach { p =>
+      val cols = footers(root.resolve(p).toString)
+      cols.foreach { case (name, id) =>
+        require(id.isDefined,
+          s"column-mapped import: file $p column '$name' carries no " +
+            "parquet field id — by-id resolution would be undefined; " +
+            "rewrite the file (or import with convertRewrite)")
+        idOfPhys.get(name) match {
+          case Some(expect) => require(id.get.toLong == expect,
+            s"file $p column '$name' has field id ${id.get}, the mapped " +
+              s"schema says $expect — refusing a mis-binding read")
+          case None => require(!idOfPhys.values.exists(_ == id.get.toLong),
+            s"file $p column '$name' (not in the live schema) reuses " +
+              s"live field id ${id.get} — by-id reads would bind its bytes")
+        }
+      }
+    }
+  }
+
+  /** Decode the given live adds' Delta DV descriptors and persist them as
+    * ONE graft dv parquet under the table root; returns the
+    * [[graft.log.DeletionVector]] actions pointing at it. The decode is
+    * DISTRIBUTED: descriptors (tiny — a path, offsets, a cardinality)
+    * parallelize to executors, each does the ranged sidecar read through
+    * the Hadoop FileSystem API (object-store capable) plus the
+    * bitmap-to-bitmap transcode, so import cost is O(DV bytes) spread
+    * across the cluster, never a driver bottleneck or a position
+    * explosion. */
+  private def importDvActions(spark: SparkSession, root: Path,
+      dvAdds: Seq[(String, DvDescriptor)]): Seq[graft.log.DeletionVector] = {
+    if (dvAdds.isEmpty) return Nil
+    dvAdds.foreach { case (p, d) =>
+      require(d.storageType == "u" || d.storageType == "i",
+        s"deletion vector for $p has storageType '${d.storageType}' — " +
+          "only file-relative ('u') and inline ('i') vectors can import")
+    }
+    val absRoot = root.toAbsolutePath.normalize
+    val rel = s"dv/import-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    decodeDvs(spark, absRoot, dvAdds)
+      .write.mode("errorifexists").parquet(absRoot.resolve(rel).toString)
+    dvAdds.map { case (p, d) => graft.log.DeletionVector(p, rel, d.cardinality) }
+  }
+
+  /** Distributed descriptor decode: one row per masked file —
+    * (`__path` canonical absolute data-file path, `__bitmap` the
+    * graft-serialized 64-bit roaring mask, `__n` cardinality) — graft's
+    * own dv parquet shape. Every decoded bitmap's cardinality is verified
+    * against its descriptor (a mismatch is corruption, refused loudly). */
+  private[migrate] def decodeDvs(spark: SparkSession, absRoot: Path,
+      dvAdds: Seq[(String, DvDescriptor)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rootStr = absRoot.toString
+    val rows = dvAdds.map { case (p, d) =>
+      (absRoot.resolve(p).toString, d.storageType, d.pathOrInlineDv,
+        d.offset, d.sizeInBytes, d.cardinality)
+    }
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val slices = math.max(1, math.min(rows.size, 32))
+    spark.createDataset(rows).repartition(slices).mapPartitions { it =>
+      val conf = bc.value.value
+      it.map { case (file, st, enc, off, size, card) =>
+        val d = DvDescriptor(st, enc, off, size, card)
+        val bm = DeltaDv.toRoaring64(DeltaDv.readData(rootStr, d, conf))
+        require(bm.getLongCardinality == card,
+          s"deletion vector for $file decodes to ${bm.getLongCardinality} " +
+            s"positions but its descriptor says $card — refusing a " +
+            "corrupt mask")
+        (file, graft.log.DvBitmap.serialize(bm), card)
+      }
+    }.toDF("__path", "__bitmap", "__n")
+  }
+
   /** Replay `<root>`'s Delta log (checkpoint base + JSON tail) into the
     * live table state. */
   private def replay(spark: SparkSession, root: Path): ReplayedState = {
     val logDir = root.resolve("_delta_log")
-    require(Files.isDirectory(logDir), s"no _delta_log under $root")
 
     // ---- log layout: checkpoint base + JSON tail ----
-    val entries = {
-      val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
+    val entries = store.listFileNames(logDir)
+    require(entries.nonEmpty, s"no _delta_log under $root")
     val jsonRe = raw"(\d{20})\.json".r
     val jsonVersions = entries.collect { case jsonRe(v) => v.toLong }.sorted
     val lastCheckpoint: Option[(Long, Int)] =
       scala.util.Try {
-        val n = mapper.readTree(new String(Files.readAllBytes(
+        val n = mapper.readTree(new String(store.readBytes(
           logDir.resolve("_last_checkpoint")), StandardCharsets.UTF_8))
         val v = n.get("version").asLong()
         val parts = Option(n.get("parts")).map(_.asInt()).getOrElse(1)
@@ -458,7 +734,8 @@ object DeltaImport {
     val adds = mutable.LinkedHashMap.empty[String, AddInfo]
 
     def applyAdd(path: String, size: Long, mtime: Long,
-        stats: Option[String], dv: Boolean, pv: Map[String, String]): Unit =
+        stats: Option[String], dv: Option[DvDescriptor],
+        pv: Map[String, String]): Unit =
       adds.update(decodePath(path), AddInfo(size, mtime, stats, dv, pv)): Unit
     def applyRemove(path: String): Unit = adds.remove(decodePath(path)): Unit
     def applyMeta(id: String, schema: String, pcols: Seq[String],
@@ -467,24 +744,44 @@ object DeltaImport {
       partitionColumns = pcols; configuration = conf
     }
 
-    // checkpoint base (classic parquet, single or multi-part): a Spark
-    // read over metadata — the one distributed step, O(checkpoint rows)
-    lastCheckpoint.foreach { case (v, parts) =>
-      val names =
-        if (parts <= 1) Seq(f"$v%020d.checkpoint.parquet")
-        else (1 to parts).map(i => f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet")
-      val paths = names.map(logDir.resolve)
-      require(paths.forall(Files.exists(_)),
-        s"_last_checkpoint names version $v ($parts part(s)) but the " +
-          "checkpoint parquet is missing — cannot reconstruct state")
-      val cp = spark.read.parquet(paths.map(_.toString): _*)
+    // JSON-node appliers, shared by the commit tail and v2 JSON manifests
+    def applyMetaNode(m: JsonNode): Unit =
+      applyMeta(m.get("id").asText(), m.get("schemaString").asText(),
+        Option(m.get("partitionColumns")).map(_.elements().asScala
+          .map(_.asText()).toSeq).getOrElse(Nil),
+        Option(m.get("configuration")).map(c => c.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty))
+    def applyProtoNode(p: JsonNode): Unit = {
+      minReader = p.get("minReaderVersion").asInt()
+      readerFeatures = Option(p.get("readerFeatures"))
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set.empty)
+    }
+    def applyAddNode(a: JsonNode): Unit =
+      applyAdd(a.get("path").asText(), a.get("size").asLong(),
+        a.get("modificationTime").asLong(),
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+        dvOf(a),
+        Option(a.get("partitionValues")).map(pvn =>
+          pvn.properties().asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty))
+
+    // One parquet action batch — classic checkpoint part(s), a v2
+    // manifest, or v2 sidecar files — applied in ONE pass (per-action
+    // selects would rescan the potentially multi-million-row metadata
+    // parquet per kind). Returns the sidecar file names a v2 manifest
+    // references; sidecar files themselves must not nest further.
+    def readActionsParquet(paths: Seq[String], sidecarsAllowed: Boolean): Seq[String] = {
+      val cp = spark.read.parquet(paths: _*)
       val cols = cp.columns.toSet
-      require(!cols.contains("sidecar"),
-        s"$root uses a v2 (sidecar) checkpoint this importer does not read")
+      require(sidecarsAllowed || !cols.contains("sidecar"),
+        s"a checkpoint sidecar under $logDir references further sidecars " +
+          "— malformed (the spec allows one level)")
+      val sidecars = mutable.Buffer.empty[String]
       import org.apache.spark.sql.functions.col
-      // ONE pass over the checkpoint parquet — per-action selects would
-      // rescan the (potentially multi-million-row) metadata file per kind
-      val want = Seq("metaData", "protocol", "add").filter(cols.contains)
+      val want = Seq("metaData", "protocol", "add", "sidecar").filter(cols.contains)
       cp.select(want.map(col): _*).collect().foreach { r =>
         want.zipWithIndex.foreach { case (name, i) =>
           if (!r.isNullAt(i)) name match {
@@ -505,54 +802,96 @@ object DeltaImport {
             case "add" =>
               val a = r.getStruct(i)
               val hasStats = a.schema.fieldNames.contains("stats")
-              val hasDv = a.schema.fieldNames.contains("deletionVector")
+              val dv: Option[DvDescriptor] =
+                if (!a.schema.fieldNames.contains("deletionVector")) None
+                else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector"))
+                  .map(d => DvDescriptor(
+                    d.getAs[String]("storageType"),
+                    d.getAs[String]("pathOrInlineDv"),
+                    Option(d.getAs[Any]("offset"))
+                      .map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+                    d.getAs[Number]("sizeInBytes").intValue(),
+                    d.getAs[Number]("cardinality").longValue()))
               applyAdd(a.getAs[String]("path"), a.getAs[Long]("size"),
                 a.getAs[Long]("modificationTime"),
                 if (hasStats) Option(a.getAs[String]("stats")) else None,
-                hasDv && a.getAs[AnyRef]("deletionVector") != null,
+                dv,
                 Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
                   .map(_.toMap).getOrElse(Map.empty))
+            case "sidecar" =>
+              sidecars += r.getStruct(i).getAs[String]("path")
           }
         }
       }
       // checkpoint removes are expired-tombstone bookkeeping — the live
       // add set is complete without them
+      sidecars.toSeq
+    }
+
+    // checkpoint base: classic parquet (single or multi-part), a v2
+    // UUID-named manifest (json or parquet), or a classic-named v2 (the
+    // spec's compat shape) — all resolve from the directory listing, so a
+    // v2 pointer never hits a misleading missing-classic-file error
+    lastCheckpoint.foreach { case (v, parts) =>
+      val singleName = f"$v%020d.checkpoint.parquet"
+      val multiNames =
+        (1 to parts).map(i => f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet")
+      val v2Re = (f"$v%020d" + raw"\.checkpoint\.[A-Za-z0-9-]+\.(json|parquet)").r
+      val v2Names = entries.filter(n => v2Re.pattern.matcher(n).matches()).sorted
+      val sidecarRefs: Seq[String] =
+        if (entries.contains(singleName))
+          readActionsParquet(Seq(logDir.resolve(singleName).toString),
+            sidecarsAllowed = true)
+        else if (parts > 1 && multiNames.forall(entries.contains))
+          readActionsParquet(multiNames.map(logDir.resolve(_).toString),
+            sidecarsAllowed = true)
+        else if (v2Names.nonEmpty) {
+          val chosen = v2Names.last // any complete manifest works; pin one
+          if (chosen.endsWith(".parquet"))
+            readActionsParquet(Seq(logDir.resolve(chosen).toString),
+              sidecarsAllowed = true)
+          else {
+            // v2 JSON manifest: newline-delimited actions
+            val sidecars = mutable.Buffer.empty[String]
+            new String(store.readBytes(logDir.resolve(chosen)),
+              StandardCharsets.UTF_8)
+              .split("\n").filter(_.trim.nonEmpty).foreach { line =>
+                val n = mapper.readTree(line)
+                if (n.has("metaData")) applyMetaNode(n.get("metaData"))
+                if (n.has("protocol")) applyProtoNode(n.get("protocol"))
+                if (n.has("add")) applyAddNode(n.get("add"))
+                if (n.has("sidecar"))
+                  sidecars += n.get("sidecar").get("path").asText()
+              }
+            sidecars.toSeq
+          }
+        } else {
+          throw new IllegalArgumentException(
+            s"_last_checkpoint names version $v but no classic or v2 " +
+              s"checkpoint file exists under $logDir — cannot reconstruct state")
+        }
+      if (sidecarRefs.nonEmpty) {
+        val paths = sidecarRefs.map { p =>
+          // the spec writes plain UUID file names under _delta_log/_sidecars
+          require(!p.contains("/") && !p.contains(":"),
+            s"checkpoint sidecar path '$p' is not a plain file name under " +
+              "_delta_log/_sidecars — cannot resolve safely")
+          logDir.resolve("_sidecars").resolve(p).toString
+        }
+        readActionsParquet(paths, sidecarsAllowed = false): Unit
+      }
     }
 
     // JSON tail, in order
     tail.foreach { v =>
-      val lines = new String(Files.readAllBytes(
+      val lines = new String(store.readBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
         .split("\n").filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = mapper.readTree(line)
-        if (n.has("metaData")) {
-          val m = n.get("metaData")
-          applyMeta(m.get("id").asText(), m.get("schemaString").asText(),
-            Option(m.get("partitionColumns")).map(_.elements().asScala
-              .map(_.asText()).toSeq).getOrElse(Nil),
-            Option(m.get("configuration")).map(c => c.properties().asScala
-              .map(e => e.getKey -> e.getValue.asText()).toMap)
-              .getOrElse(Map.empty))
-        }
-        if (n.has("protocol")) {
-          val p = n.get("protocol")
-          minReader = p.get("minReaderVersion").asInt()
-          readerFeatures = Option(p.get("readerFeatures"))
-            .map(_.elements().asScala.map(_.asText()).toSet)
-            .getOrElse(Set.empty)
-        }
-        if (n.has("add")) {
-          val a = n.get("add")
-          applyAdd(a.get("path").asText(), a.get("size").asLong(),
-            a.get("modificationTime").asLong(),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-            a.hasNonNull("deletionVector"),
-            Option(a.get("partitionValues")).map(pvn =>
-              pvn.properties().asScala.map(e => e.getKey ->
-                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty))
-        }
+        if (n.has("metaData")) applyMetaNode(n.get("metaData"))
+        if (n.has("protocol")) applyProtoNode(n.get("protocol"))
+        if (n.has("add")) applyAddNode(n.get("add"))
         if (n.has("remove")) applyRemove(n.get("remove").get("path").asText())
       }
     }
@@ -560,6 +899,17 @@ object DeltaImport {
     ReplayedState(tableId, schemaString, configuration, partitionColumns,
       minReader, readerFeatures, sourceVersion, adds)
   }
+
+  /** Parse an add action's `deletionVector` descriptor, if present. */
+  private def dvOf(add: JsonNode): Option[DvDescriptor] =
+    Option(add.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DvDescriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
 
   /** Delta add.path is a percent-encoded relative URI. Absolute or
     * scheme-ful paths (shallow clones, external locations) REFUSE: silently
@@ -581,7 +931,8 @@ object DeltaImport {
     * exact (see the scaladoc above). Returns numRecords = -1 when the
     * JSON carries none (caller falls back to footers). */
   private[migrate] def parseDeltaStats(
-      statsJson: String, schema: StructType): (Long, Map[String, ColStats]) = {
+      statsJson: String, schema: StructType,
+      physicalOf: Map[String, String] = Map.empty): (Long, Map[String, ColStats]) = {
     val n = mapper.readTree(statsJson)
     val numRecords =
       if (n.hasNonNull("numRecords")) n.get("numRecords").asLong() else -1L
@@ -601,10 +952,12 @@ object DeltaImport {
       case _ => None // string (truncation), timestamp/ntz (ms rounding)
     }
     val stats = schema.fields.flatMap { f =>
-      val nc = nullsNode.get(f.name).filter(_.isNumber).map(_.asLong())
-      val mn = mins.get(f.name).filter(v => !v.isNull && !v.isContainerNode)
+      // a mapped log keys its stats by PHYSICAL name; graft by logical
+      val key = physicalOf.getOrElse(f.name, f.name)
+      val nc = nullsNode.get(key).filter(_.isNumber).map(_.asLong())
+      val mn = mins.get(key).filter(v => !v.isNull && !v.isContainerNode)
         .flatMap(v => exact(f.dataType, v))
-      val mx = maxs.get(f.name).filter(v => !v.isNull && !v.isContainerNode)
+      val mx = maxs.get(key).filter(v => !v.isNull && !v.isContainerNode)
         .flatMap(v => exact(f.dataType, v))
       // a half-bound would trip exactBounds' refusal for the whole table;
       // import bounds only in (min, max) pairs

@@ -2284,6 +2284,10 @@ object LakeTable {
     // sweep up checkpoint parquets
     if (graft.migrate.DeltaImport.isDeltaTable(dir))
       return graft.migrate.DeltaImport.convert(spark, dir)
+    // likewise a metadata/v<N>.metadata.json directory is an Iceberg
+    // table: replay its manifests (live files, position deletes, schema)
+    if (graft.migrate.IcebergImport.isIcebergTable(dir))
+      return graft.migrate.IcebergImport.convert(spark, dir)
     val p = Paths.get(dir)
     require(Files.isDirectory(p), s"not a directory: $dir")
     val probe = new LakeTable(spark, p)

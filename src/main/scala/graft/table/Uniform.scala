@@ -99,14 +99,17 @@ trait UniformSupport { self: LakeTable =>
   def generateIcebergMetadata(recordCommit: Boolean = true): Path = {
     val snap = snapshot()
     val metaDir = dir.resolve("metadata")
-    Files.createDirectories(metaDir)
+    // ALL metadata IO below rides the table's LogStore — the same seam the
+    // transaction log earned in rounds 6–9, so the Iceberg view exports
+    // wherever the log lives (local FS, S3 conditional-PUT, in-memory)
+    val store = log.store
 
     val schema = snap.schema
     val pcols = snap.metadata.partitionColumns
     val ids = Uniform.fieldIds(schema)
     // the prior export drives everything incremental: sequence numbering,
     // schema history, manifest + delete-file reuse
-    val priorMeta = Uniform.priorMetadata(metaDir)
+    val priorMeta = Uniform.priorMetadata(metaDir, store)
     // graft source version recorded in a metadata map's current snapshot
     // summary (None for pre-summary or foreign metadata)
     def exportedGraftVersion(m: java.util.Map[String, Object]): Option[Long] = {
@@ -121,7 +124,7 @@ trait UniformSupport { self: LakeTable =>
     // the view the caller gets back when this export stands down: the
     // newest already-published metadata JSON (never the hint file — the
     // documented return is a v<N>.metadata.json path)
-    def latestPublished: Path = Uniform.latestMetadataVersion(metaDir)
+    def latestPublished: Path = Uniform.latestMetadataVersion(metaDir, store)
       .map(v => metaDir.resolve(s"v$v.metadata.json"))
       .getOrElse(metaDir.resolve("version-hint.text"))
     // Outdated-export guard, checked BEFORE any object writes: with
@@ -194,7 +197,7 @@ trait UniformSupport { self: LakeTable =>
     // every file it lists is still live. A manifest that lost any file is
     // dropped from the list and its still-live files re-add through this
     // export's new manifests.
-    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir)
+    val priorList: Seq[GenericRecord] = Uniform.currentManifestList(metaDir, store)
     val livePaths: Set[String] =
       snap.files.map(f => dir.resolve(f.path).toString).toSet
     // manifest files are immutable once written, so the path -> data-paths
@@ -204,7 +207,7 @@ trait UniformSupport { self: LakeTable =>
     def dataPathsOf(m: GenericRecord): Seq[String] =
       manifestPathsCache.computeIfAbsent(m.get("manifest_path").toString,
         p => scala.util.Try(Uniform.manifestDataPaths(
-          java.nio.file.Paths.get(p))).getOrElse(Nil))
+          java.nio.file.Paths.get(p), store)).getOrElse(Nil))
     val reused = priorList.filter { m =>
       m.get("content").asInstanceOf[Int] == 0 && {
         val paths = dataPathsOf(m)
@@ -255,7 +258,7 @@ trait UniformSupport { self: LakeTable =>
             reusedPaths.contains(absPathStr(d.forFile))))
         priorList.find(_.get("content").asInstanceOf[Int] == 1)
       else None
-    val deleteFile: Option[(Path, Long)] =
+    val deleteFile: Option[(Path, Long, Long)] =
       if (snap.dvs.isEmpty || reusedDeleteManifest.isDefined) None
       else {
         val name = s"delete-${java.util.UUID.randomUUID()}.parquet"
@@ -271,7 +274,9 @@ trait UniformSupport { self: LakeTable =>
               .as("pos", posMeta))
           .repartition(1)
           .sortWithinPartitions("file_path", "pos")
-        val staging = Files.createTempDirectory(metaDir, ".delete-staging")
+        // Spark stages the parquet on scratch FS; the bytes publish through
+        // the store (atomic, fresh UUID name — no collision possible)
+        val staging = Files.createTempDirectory(".delete-staging")
         rows.write.mode("overwrite").parquet(staging.resolve("out").toString)
         val part = {
           val s = Files.list(staging.resolve("out"))
@@ -279,9 +284,11 @@ trait UniformSupport { self: LakeTable =>
             .find(_.getFileName.toString.endsWith(".parquet")).get
           finally s.close()
         }
-        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        val bytes = Files.readAllBytes(part)
         graft.log.TxLog.deleteRecursively(staging)
-        Some((target, snap.dvs.values.map(_.numDeleted).sum))
+        require(store.writeAtomic(target, bytes, overwrite = false),
+          s"fresh delete-file name collided: $target")
+        Some((target, snap.dvs.values.map(_.numDeleted).sum, bytes.length.toLong))
       }
     // global deletes ride an UNPARTITIONED spec: spec 0 when the table is
     // unpartitioned, else an extra empty spec 1 alongside the identity spec
@@ -305,10 +312,11 @@ trait UniformSupport { self: LakeTable =>
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
       .getOrElse(100000)
 
-    /** Write one data manifest over `group`; returns (name, rows). */
-    def writeDataManifest(group: Seq[AddFile]): (String, Long) = {
+    /** Write one data manifest over `group`; returns (name, rows, bytes). */
+    def writeDataManifest(group: Seq[AddFile]): (String, Long, Long) = {
       val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
       val manifestPath = metaDir.resolve(manifestName)
+      val baos = new java.io.ByteArrayOutputStream()
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](entrySchema))
       writer.setMeta("schema", icebergSchemaJson)
@@ -317,7 +325,7 @@ trait UniformSupport { self: LakeTable =>
       writer.setMeta("partition-spec-id", "0")
       writer.setMeta("format-version", "2")
       writer.setMeta("content", "data")
-      writer.create(entrySchema, manifestPath.toFile)
+      writer.create(entrySchema, baos)
       var rows = 0L
       try group.foreach { f =>
         val part = new GenericData.Record(partSchema)
@@ -351,21 +359,26 @@ trait UniformSupport { self: LakeTable =>
         writer.append(e)
         rows += f.numRecords
       } finally writer.close()
-      (manifestName, rows)
+      val bytes = baos.toByteArray
+      require(store.writeAtomic(manifestPath, bytes, overwrite = false),
+        s"fresh manifest name collided: $manifestPath")
+      (manifestName, rows, bytes.length.toLong)
     }
-    val newManifests: Seq[(String, Seq[AddFile], Long)] =
+    val newManifests: Seq[(String, Seq[AddFile], Long, Long)] =
       newFiles.grouped(maxEntries).toSeq.map { group =>
-        val (name, rows) = writeDataManifest(group)
-        (name, group, rows)
+        val (name, rows, len) = writeDataManifest(group)
+        (name, group, rows, len)
       }
     val totalRows = snap.files.map(_.numRecords).sum
 
     // ---- delete manifest (only when DVs exported) ----
-    val deleteManifest: Option[(String, Long)] = deleteFile.map { case (p, nDel) =>
+    val deleteManifest: Option[(String, Long, Long)] =
+      deleteFile.map { case (p, nDel, pLen) =>
       val name = s"${java.util.UUID.randomUUID()}-m1.avro"
       val path = metaDir.resolve(name)
       val es = Uniform.manifestEntrySchema(schema, Nil, ids) // empty partition
       val dfs = es.getField("data_file").schema()
+      val baos = new java.io.ByteArrayOutputStream()
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](es))
       w.setMeta("schema", icebergSchemaJson)
       w.setMeta("schema-id", ourSchemaId.toString)
@@ -373,7 +386,7 @@ trait UniformSupport { self: LakeTable =>
       w.setMeta("partition-spec-id", deleteSpecId.toString)
       w.setMeta("format-version", "2")
       w.setMeta("content", "deletes")
-      w.create(es, path.toFile)
+      w.create(es, baos)
       try {
         val df = new GenericData.Record(dfs)
         df.put("content", 1) // POSITION_DELETES
@@ -382,7 +395,7 @@ trait UniformSupport { self: LakeTable =>
         df.put("partition",
           new GenericData.Record(dfs.getField("partition").schema()))
         df.put("record_count", nDel)
-        df.put("file_size_in_bytes", Files.size(p))
+        df.put("file_size_in_bytes", pLen)
         val e = new GenericData.Record(es)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
@@ -391,19 +404,23 @@ trait UniformSupport { self: LakeTable =>
         e.put("data_file", df)
         w.append(e)
       } finally w.close()
-      (name, nDel)
+      val bytes = baos.toByteArray
+      require(store.writeAtomic(path, bytes, overwrite = false),
+        s"fresh delete-manifest name collided: $path")
+      (name, nDel, bytes.length.toLong)
     }
 
     // ---- manifest list ----
     val listName = s"snap-$snapshotId.avro"
     val listPath = metaDir.resolve(listName)
     val mfSchema = Uniform.manifestFileSchema
+    val listBaos = new java.io.ByteArrayOutputStream()
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](mfSchema))
     lw.setMeta("snapshot-id", snapshotId.toString)
     lw.setMeta("sequence-number", seq.toString)
     lw.setMeta("format-version", "2")
-    lw.create(mfSchema, listPath.toFile)
+    lw.create(mfSchema, listBaos)
     try {
       // reused manifests (data, and the delete manifest when the DV state
       // is unchanged): their list rows copy VERBATIM (original sequence
@@ -420,10 +437,10 @@ trait UniformSupport { self: LakeTable =>
       }
       reused.foreach(copyRow)
       reusedDeleteManifest.foreach(copyRow)
-      newManifests.foreach { case (name, group, rows) =>
+      newManifests.foreach { case (name, group, rows, len) =>
         val m = new GenericData.Record(mfSchema)
         m.put("manifest_path", listPath.getParent.resolve(name).toString)
-        m.put("manifest_length", Files.size(metaDir.resolve(name)))
+        m.put("manifest_length", len)
         m.put("partition_spec_id", 0)
         m.put("content", 0) // data manifest
         m.put("sequence_number", seq)
@@ -437,10 +454,10 @@ trait UniformSupport { self: LakeTable =>
         m.put("deleted_rows_count", 0L)
         lw.append(m)
       }
-      deleteManifest.foreach { case (name, nDel) =>
+      deleteManifest.foreach { case (name, nDel, len) =>
         val d = new GenericData.Record(mfSchema)
         d.put("manifest_path", listPath.getParent.resolve(name).toString)
-        d.put("manifest_length", Files.size(metaDir.resolve(name)))
+        d.put("manifest_length", len)
         d.put("partition_spec_id", deleteSpecId)
         d.put("content", 1) // delete manifest
         d.put("sequence_number", seq)
@@ -455,6 +472,8 @@ trait UniformSupport { self: LakeTable =>
         lw.append(d)
       }
     } finally lw.close()
+    require(store.writeAtomic(listPath, listBaos.toByteArray, overwrite = false),
+      s"fresh manifest-list name collided: $listPath")
 
     // ---- table metadata JSON, published with CREATE_NEW (bump on race) ----
     // Snapshot HISTORY carries forward: the new snapshot links to the
@@ -488,7 +507,7 @@ trait UniformSupport { self: LakeTable =>
       .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
       .getOrElse(Nil)
     val supersededEntry: Option[Map[String, Any]] = priorMeta.flatMap { m =>
-      scala.util.Try(new String(Files.readAllBytes(
+      scala.util.Try(new String(store.readBytes(
         metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim.toLong)
         .toOption.map(hint => Map[String, Any](
           "timestamp-ms" ->
@@ -573,35 +592,31 @@ trait UniformSupport { self: LakeTable =>
     // GC after the grace window. (A narrow TOCTOU window remains; the next
     // commit's export self-heals, and the exported view is derived data
     // either way.)
-    if (Uniform.priorMetadata(metaDir).flatMap(exportedGraftVersion)
+    if (Uniform.priorMetadata(metaDir, store).flatMap(exportedGraftVersion)
         .exists(_ > snap.version))
       return latestPublished
-    var n = 1 + Uniform.latestMetadataVersion(metaDir).getOrElse(0L)
+    var n = 1 + Uniform.latestMetadataVersion(metaDir, store).getOrElse(0L)
     var published: Path = null
     while (published == null) {
       val candidate = metaDir.resolve(s"v$n.metadata.json")
-      try {
-        Files.write(candidate,
+      // writeAtomic(overwrite = false) IS the CREATE_NEW claim — the same
+      // put-if-absent CAS the transaction log's commits ride
+      if (store.writeAtomic(candidate,
           metadataJson(seq).getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW)
+          overwrite = false))
         published = candidate
-      } catch { // a racing export claimed N first
-        case _: java.nio.file.FileAlreadyExistsException => n += 1
-      }
+      else n += 1 // a racing export claimed N first
     }
     // the version hint swaps atomically so readers never see a torn
     // pointer, and only moves FORWARD — a racing export that already
     // published a higher metadata version keeps the hint
     val hintFile = metaDir.resolve("version-hint.text")
     val currentHint = scala.util.Try(new String(
-      Files.readAllBytes(hintFile), StandardCharsets.UTF_8).trim.toLong)
+      store.readBytes(hintFile), StandardCharsets.UTF_8).trim.toLong)
       .getOrElse(0L)
-    if (n > currentHint) {
-      val hintTmp = metaDir.resolve(s".version-hint-${java.util.UUID.randomUUID()}.tmp")
-      Files.write(hintTmp, n.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(hintTmp, hintFile,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    }
+    if (n > currentHint)
+      store.writeAtomic(hintFile,
+        n.toString.getBytes(StandardCharsets.UTF_8), overwrite = true): Unit
 
     // the export rides DESCRIBE HISTORY (metadata-only commit, no actions);
     // skipped in auto mode, where the data commit is the history record
@@ -628,20 +643,17 @@ trait UniformSupport { self: LakeTable =>
     * derived data, so a conservative skip costs a lingering object until
     * the next export, never correctness. */
   private def expireExports(metaDir: Path, latest: Long): Unit = {
+    val store = log.store
     val keep = snapshot().metadata.properties
       .get("graft.uniform.metadataRetention")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
       .getOrElse(10)
-    val all = {
-      val s = Files.list(metaDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
+    val all = store.listFileNames(metaDir)
     val re = raw"v(\d+)\.metadata\.json".r
     val versions = all.collect { case n @ re(v) => (v.toLong, n) }.sortBy(-_._1)
     val (survivors, expired) = versions.splitAt(keep)
     expired.filter(_._1 < latest) // never the one just published
-      .foreach { case (_, name) => Files.deleteIfExists(metaDir.resolve(name)): Unit }
+      .foreach { case (_, name) => store.delete(metaDir.resolve(name)): Unit }
     // Avro objects referenced by ANY surviving metadata stay; the rest GC
     // past the grace window. Reference resolution is bounded: `keep`
     // metadata JSONs + their manifest lists.
@@ -649,7 +661,7 @@ trait UniformSupport { self: LakeTable =>
       scala.util.Try {
         val plain = new com.fasterxml.jackson.databind.ObjectMapper()
         val meta = plain.readValue(
-          new String(Files.readAllBytes(metaDir.resolve(name)), StandardCharsets.UTF_8),
+          new String(store.readBytes(metaDir.resolve(name)), StandardCharsets.UTF_8),
           classOf[java.util.Map[String, Object]])
         meta.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
           .asScala.flatMap { s =>
@@ -659,24 +671,18 @@ trait UniformSupport { self: LakeTable =>
             // stays O(retained lists + delete manifests), never a read of
             // every data manifest's O(live files) entries
             val manifests = scala.util.Try {
-              val r = new DataFileReader[GenericRecord](
-                list.toFile, new GenericDatumReader[GenericRecord]())
-              try r.iterator().asScala.map(m =>
-                  (m.get("manifest_path").toString,
-                    m.get("content").asInstanceOf[Int])).toList
-              finally r.close()
+              Uniform.avroRecords(list, store).map(m =>
+                (m.get("manifest_path").toString,
+                  m.get("content").asInstanceOf[Int]))
             }.getOrElse(Nil)
             // delete parquets are referenced from INSIDE delete manifests
             // (content=1 data_file entries under metadata/)
             val deleteRefs = manifests.filter(_._2 == 1).flatMap { case (m, _) =>
               scala.util.Try {
-                val r = new DataFileReader[GenericRecord](
-                  java.nio.file.Paths.get(m).toFile,
-                  new GenericDatumReader[GenericRecord]())
-                try r.iterator().asScala.map(_.get("data_file")
+                Uniform.avroRecords(java.nio.file.Paths.get(m), store)
+                  .map(_.get("data_file")
                     .asInstanceOf[GenericRecord].get("file_path").toString)
-                  .filter(_.endsWith(".parquet")).toList
-                finally r.close()
+                  .filter(_.endsWith(".parquet"))
               }.getOrElse(Nil)
             }
             (list.getFileName.toString +: manifests.map { case (m, _) =>
@@ -689,9 +695,10 @@ trait UniformSupport { self: LakeTable =>
     all.filter(n => n.endsWith(".avro") || n.startsWith("delete-"))
       .filterNot(referenced).foreach { name =>
         val p = metaDir.resolve(name)
-        val oldEnough = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-          .toOption.exists(now - _ > Uniform.exportSweepGraceMs)
-        if (oldEnough) Files.deleteIfExists(p): Unit
+        // unknown age = too recent = skip (the LogStore contract)
+        val oldEnough = store.modifiedMillis(p)
+          .exists(now - _ > Uniform.exportSweepGraceMs)
+        if (oldEnough) store.delete(p): Unit
       }
   }
 }
@@ -978,52 +985,55 @@ object Uniform {
 
   /** The prior export's table metadata, parsed as java.util types (None on
     * first export or any unreadable prior state). */
-  private[graft] def priorMetadata(metaDir: Path): Option[java.util.Map[String, Object]] =
+  /** Every record of one Avro object, read through the store seam. */
+  private[graft] def avroRecords(p: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(store.readBytes(p)),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private[graft] def priorMetadata(metaDir: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore)
+      : Option[java.util.Map[String, Object]] =
     scala.util.Try {
-      val hint = new String(Files.readAllBytes(
+      val hint = new String(store.readBytes(
         metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
       val plain = new com.fasterxml.jackson.databind.ObjectMapper()
       plain.readValue(
-        new String(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+        new String(store.readBytes(metaDir.resolve(s"v$hint.metadata.json")),
           StandardCharsets.UTF_8),
         classOf[java.util.Map[String, Object]])
     }.toOption
 
   /** The CURRENT export's manifest-list records (empty on first export or
     * any unreadable prior state — the export then writes from scratch). */
-  private[graft] def currentManifestList(metaDir: Path): Seq[GenericRecord] =
+  private[graft] def currentManifestList(metaDir: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore): Seq[GenericRecord] =
     scala.util.Try {
-      val meta = priorMetadata(metaDir).get
+      val meta = priorMetadata(metaDir, store).get
       val current = meta.get("current-snapshot-id").asInstanceOf[java.lang.Number].longValue()
       val snap = meta.get("snapshots")
         .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
         .find(_.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == current).get
-      val r = new DataFileReader[GenericRecord](
-        java.nio.file.Paths.get(snap.get("manifest-list").toString).toFile,
-        new GenericDatumReader[GenericRecord]())
-      try r.iterator().asScala.toList finally r.close()
+      avroRecords(
+        java.nio.file.Paths.get(snap.get("manifest-list").toString), store)
     }.getOrElse(Nil)
 
   /** data_file paths listed by one manifest Avro. */
-  private[table] def manifestDataPaths(manifest: Path): Seq[String] = {
-    val r = new DataFileReader[GenericRecord](
-      manifest.toFile, new GenericDatumReader[GenericRecord]())
-    try r.iterator().asScala
+  private[table] def manifestDataPaths(manifest: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore): Seq[String] =
+    avroRecords(manifest, store)
       .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
-      .toList
-    finally r.close()
-  }
 
   /** Highest v<N>.metadata.json present (None on first export). */
-  private[table] def latestMetadataVersion(metaDir: Path): Option[Long] = {
-    if (!Files.isDirectory(metaDir)) return None
-    val s = Files.list(metaDir)
+  private[table] def latestMetadataVersion(metaDir: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore): Option[Long] = {
     val re = raw"v(\d+)\.metadata\.json".r
-    try s.iterator().asScala
-      .flatMap(p => p.getFileName.toString match {
-        case re(v) => Some(v.toLong); case _ => None
-      }).maxOption
-    finally s.close()
+    store.listFileNames(metaDir).flatMap {
+      case re(v) => Some(v.toLong); case _ => None
+    }.maxOption
   }
 
   /** Structural spec-invariant audit of an exported Iceberg view; returns
@@ -1037,14 +1047,17 @@ object Uniform {
     * it with a Spark read, outside this Spark-free walker). Used
     * by the uniform tests and the lifecycle fuzz so a regression in any
     * writer path fails loudly rather than producing a subtly-broken view. */
-  def validateExport(tableDir: Path): Seq[String] = {
+  def validateExport(tableDir: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    def readable(p: Path): Boolean =
+      scala.util.Try(store.readBytes(p)).isSuccess
     val metaDir = tableDir.resolve("metadata")
-    val hint = new String(Files.readAllBytes(
+    val hint = new String(store.readBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val plain = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = plain.readValue(
-      new String(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+      new String(store.readBytes(metaDir.resolve(s"v$hint.metadata.json")),
         StandardCharsets.UTF_8),
       classOf[java.util.Map[String, Object]])
     def asLong(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
@@ -1091,10 +1104,8 @@ object Uniform {
       if (asLong(s.get("sequence-number")) > lastSeq)
         out += s"snapshot ${asLong(s.get("snapshot-id"))} sequence exceeds last-sequence-number"
       val listPath = java.nio.file.Paths.get(s.get("manifest-list").toString)
-      if (Files.exists(listPath)) {
-        val r = new DataFileReader[GenericRecord](
-          listPath.toFile, new GenericDatumReader[GenericRecord]())
-        val rows = try r.iterator().asScala.toList finally r.close()
+      if (readable(listPath)) {
+        val rows = avroRecords(listPath, store)
         rows.foreach { m =>
           val sid = m.get("partition_spec_id").asInstanceOf[Int].toLong
           if (!specIds.contains(sid))
@@ -1105,15 +1116,14 @@ object Uniform {
     }
     cur.foreach { s =>
       val listPath = java.nio.file.Paths.get(s.get("manifest-list").toString)
-      if (!Files.exists(listPath)) out += s"manifest list missing: $listPath"
+      if (!readable(listPath)) out += s"manifest list missing: $listPath"
       else {
-        val r = new DataFileReader[GenericRecord](
-          listPath.toFile, new GenericDatumReader[GenericRecord]())
-        val rows = try r.iterator().asScala.toList finally r.close()
+        val rows = avroRecords(listPath, store)
         rows.foreach { m =>
           val mp = java.nio.file.Paths.get(m.get("manifest_path").toString)
-          if (!Files.exists(mp)) out += s"manifest missing: $mp"
-          else if (Files.size(mp) != m.get("manifest_length").asInstanceOf[Long])
+          if (!readable(mp)) out += s"manifest missing: $mp"
+          else if (store.readBytes(mp).length.toLong !=
+              m.get("manifest_length").asInstanceOf[Long])
             out += s"manifest_length mismatch for $mp"
           if (m.get("sequence_number").asInstanceOf[Long] > lastSeq)
             out += s"manifest $mp sequence exceeds last-sequence-number"
@@ -1121,10 +1131,8 @@ object Uniform {
         // bounds ordered; delete files sorted
         rows.foreach { m =>
           val mp = java.nio.file.Paths.get(m.get("manifest_path").toString)
-          if (Files.exists(mp)) {
-            val mr = new DataFileReader[GenericRecord](
-              mp.toFile, new GenericDatumReader[GenericRecord]())
-            val entries = try mr.iterator().asScala.toList finally mr.close()
+          if (readable(mp)) {
+            val entries = avroRecords(mp, store)
             entries.foreach { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
               def boundsOf(field: String): Map[Int, java.nio.ByteBuffer] =
@@ -1146,7 +1154,7 @@ object Uniform {
               }
               if (df.get("content").asInstanceOf[Int] == 1) {
                 val p = df.get("file_path").toString
-                if (!Files.exists(java.nio.file.Paths.get(p)))
+                if (!readable(java.nio.file.Paths.get(p)))
                   out += s"delete file missing: $p"
               }
             }
@@ -1162,11 +1170,13 @@ object Uniform {
     * writer above (plain Avro container reads + JSON parse); used by
     * MaintainSpec to prove the exported file set equals the live snapshot
     * across churn. Returns (metadata map, data-file records). */
-  def readExport(tableDir: Path): (Map[String, Any], Seq[Map[String, Any]]) = {
+  def readExport(tableDir: Path,
+      store: graft.log.LogStore = graft.log.LocalLogStore)
+      : (Map[String, Any], Seq[Map[String, Any]]) = {
     val metaDir = tableDir.resolve("metadata")
-    val hint = new String(Files.readAllBytes(
+    val hint = new String(store.readBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
-    val metaJson = new String(Files.readAllBytes(
+    val metaJson = new String(store.readBytes(
       metaDir.resolve(s"v$hint.metadata.json")), StandardCharsets.UTF_8)
     // plain (non-Scala-module) mapper: the hand-walk stays in java.util
     // types, independent of the writer's serialization config
@@ -1181,13 +1191,8 @@ object Uniform {
     val snap = snaps.find(s =>
       s.get("snapshot-id").asInstanceOf[java.lang.Number].longValue() == current).get
     val listPath = java.nio.file.Paths.get(snap.get("manifest-list").toString)
-    def avroRecords(p: Path): Seq[GenericRecord] = {
-      val r = new DataFileReader[GenericRecord](
-        p.toFile, new GenericDatumReader[GenericRecord]())
-      try r.iterator().asScala.toList finally r.close()
-    }
-    val dataFiles = avroRecords(listPath).flatMap { mf =>
-      avroRecords(java.nio.file.Paths.get(mf.get("manifest_path").toString))
+    val dataFiles = avroRecords(listPath, store).flatMap { mf =>
+      avroRecords(java.nio.file.Paths.get(mf.get("manifest_path").toString), store)
         .map { e =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           Map[String, Any](

@@ -56,7 +56,8 @@ class DeltaImportFuzzSpec extends SparkSpec {
   }
 
   private def addLine(dir: Path, name: String, ids: Seq[Long],
-      withStats: Boolean, dataChange: Boolean = true): String = {
+      withStats: Boolean, dataChange: Boolean = true,
+      maskedPositions: Set[Long] = Set.empty): String = {
     val stats =
       if (!withStats) Map.empty[String, Any]
       else Map("stats" -> j(Map(
@@ -64,12 +65,24 @@ class DeltaImportFuzzSpec extends SparkSpec {
         "minValues" -> Map("id" -> ids.min),
         "maxValues" -> Map("id" -> ids.max),
         "nullCount" -> Map("id" -> 0))))
+    // real inline (z85-packed portable roaring) descriptors — the sync
+    // decodes whichever survive to the range's final disposition
+    val dv =
+      if (maskedPositions.isEmpty) Map.empty[String, Any]
+      else {
+        val data = DeltaDv.serializeArray(maskedPositions.toSeq)
+        Map("deletionVector" -> Map(
+          "storageType" -> "i",
+          "pathOrInlineDv" -> DeltaDv.packInline(data),
+          "sizeInBytes" -> data.length,
+          "cardinality" -> maskedPositions.size))
+      }
     j(Map("add" -> (Map(
       "path" -> encoded(name),
       "partitionValues" -> Map.empty,
       "size" -> Files.size(dir.resolve(name)),
       "modificationTime" -> 1700000000000L,
-      "dataChange" -> dataChange) ++ stats)))
+      "dataChange" -> dataChange) ++ stats ++ dv)))
   }
 
   private def removeLine(name: String, dataChange: Boolean = true): String =
@@ -90,30 +103,54 @@ class DeltaImportFuzzSpec extends SparkSpec {
       }
       val pool = (0 until 10).map(poolName)
       val live = mutable.LinkedHashSet.empty[String]
+      val masked = mutable.Map.empty[String, Set[Long]] // row positions
+      def liveIds(name: String): Seq[Long] = {
+        val m = masked.getOrElse(name, Set.empty)
+        contents(name).zipWithIndex.collect {
+          case (id, i) if !m.contains(i.toLong) => id }
+      }
       var compactSeq = 0
       def randomCommit(): Seq[String] = {
         val n = 1 + rnd.nextInt(3)
         (0 until n).flatMap { _ =>
-          val roll = rnd.nextInt(8)
+          val roll = rnd.nextInt(10)
           if (roll < 2 && live.nonEmpty) { // remove
             val name = live.toSeq(rnd.nextInt(live.size))
             live.remove(name)
+            masked.remove(name)
             Seq(removeLine(name))
           } else if (roll < 3 && live.size >= 2) { // OPTIMIZE-shaped compact
             val picks = rnd.shuffle(live.toSeq).take(2)
             compactSeq += 1
             val name = s"compact-$trial-$compactSeq.parquet"
-            val ids = picks.flatMap(contents)
+            val ids = picks.flatMap(liveIds) // OPTIMIZE drops masked rows
             writeIds(dir, name, ids)
             contents(name) = ids
-            picks.foreach(live.remove)
+            picks.foreach { p => live.remove(p); masked.remove(p) }
             live.add(name)
             picks.map(p => removeLine(p, dataChange = false)) :+
               addLine(dir, name, ids, withStats = rnd.nextBoolean(),
                 dataChange = false)
-          } else { // add (or re-add) a pool file
+          } else if (roll < 5 && live.nonEmpty) { // DELETE: mask via a DV
+            val name = live.toSeq(rnd.nextInt(live.size))
+            val positions = (0 until contents(name).size)
+              .filter(_ => rnd.nextBoolean()).map(_.toLong).toSet
+            if (positions.isEmpty || positions.size == contents(name).size)
+              Nil // a no-op or full delete would be a remove, not a DV
+            else {
+              masked(name) = positions // vectors are cumulative-complete
+              Seq(addLine(dir, name, contents(name),
+                withStats = rnd.nextBoolean(), maskedPositions = positions))
+            }
+          } else if (roll < 6 && masked.nonEmpty &&
+              masked.keys.exists(live.contains)) { // PURGE: re-add, no DV
+            val name = masked.keys.filter(live.contains).toSeq.head
+            masked.remove(name)
+            Seq(addLine(dir, name, contents(name), withStats = rnd.nextBoolean()))
+          } else { // add (or re-add) a pool file — clears any stale mask
             val name = pool(rnd.nextInt(pool.size))
             live.add(name)
+            masked.remove(name)
             Seq(addLine(dir, name, contents(name), withStats = rnd.nextBoolean()))
           }
         }
@@ -135,28 +172,38 @@ class DeltaImportFuzzSpec extends SparkSpec {
       val split = 1 + rnd.nextInt(total) // commits < split exist at import
       (1 until split).foreach(v => commit(v.toLong, randomCommit()))
       val liveAtImport = live.toSet
+      val maskedAtImport = masked.toMap
 
       LakeTable.convert(spark, dir.toString)
-      def check(expected: Set[String], stage: String): Unit = {
+      def check(expected: Set[String], masks: Map[String, Set[Long]],
+          stage: String): Unit = {
+        def expectedLive(name: String): Seq[Long] = {
+          val m = masks.getOrElse(name, Set.empty)
+          contents(name).zipWithIndex.collect {
+            case (id, i) if !m.contains(i.toLong) => id }
+        }
         val snap = LakeTable.forPath(spark, dir.toString).snapshot()
-        withClue(s"trial=$trial stage=$stage expected=$expected: ") {
+        withClue(s"trial=$trial stage=$stage expected=$expected masks=$masks: ") {
           snap.files.map(_.path).toSet shouldBe expected
+          // numRecords stays PHYSICAL; masks ride DeletionVector actions
           snap.files.map(_.numRecords).sum shouldBe
             expected.toSeq.map(contents(_).size.toLong).sum
+          snap.dvs.values.map(_.numDeleted).sum shouldBe
+            expected.toSeq.map(n => masks.getOrElse(n, Set.empty).size.toLong).sum
           val got = LakeTable.forPath(spark, dir.toString).read()
             .agg(coalesce(sum("id"), lit(0L))).head().getLong(0)
-          got shouldBe expected.toSeq.flatMap(contents).sum
+          got shouldBe expected.toSeq.flatMap(expectedLive).sum
         }
       }
-      check(liveAtImport, "import")
+      check(liveAtImport, maskedAtImport, "import")
       // the source keeps writing: the rest of the commits land, then sync
       (split until total).foreach(v => commit(v.toLong, randomCommit()))
       DeltaImport.sync(spark, dir.toString)
-      check(live.toSet, "sync")
+      check(live.toSet, masked.toMap, "sync")
       // replayed sync is a no-op
       val v0 = LakeTable.forPath(spark, dir.toString).version
       DeltaImport.sync(spark, dir.toString) shouldBe v0
-      check(live.toSet, "re-sync")
+      check(live.toSet, masked.toMap, "re-sync")
     }
   }
 }

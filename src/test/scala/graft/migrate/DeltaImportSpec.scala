@@ -65,7 +65,7 @@ class DeltaImportSpec extends SparkSpec {
       Option(features).map("readerFeatures" -> _).toMap)))
 
   private def addLine(dir: Path, name: String, lo: Long, hi: Long,
-      stats: Boolean = true, dv: Boolean = false,
+      stats: Boolean = true, dv: Map[String, Any] = null,
       pv: Map[String, String] = Map.empty) = {
     val statsJson = json(Map(
       "numRecords" -> (hi - lo + 1),
@@ -79,10 +79,36 @@ class DeltaImportSpec extends SparkSpec {
       "modificationTime" -> 1700000001000L,
       "dataChange" -> true) ++
       (if (stats) Map("stats" -> statsJson) else Map.empty) ++
-      (if (dv) Map("deletionVector" -> Map(
-        "storageType" -> "u", "pathOrInlineDv" -> "ab^-aqEH.-t@S}K{",
-        "offset" -> 1, "sizeInBytes" -> 36, "cardinality" -> 2))
-       else Map.empty))))
+      Option(dv).map("deletionVector" -> _).toMap)))
+  }
+
+  /** A spec-shaped TRANSIENT descriptor (valid encoding, no backing file)
+    * for lifecycle cases where the vector nets out before any decode. */
+  private def fakeDv: Map[String, Any] = Map(
+    "storageType" -> "u",
+    "pathOrInlineDv" -> DeltaDv.packUuid(java.util.UUID.randomUUID()),
+    "offset" -> 1, "sizeInBytes" -> 36, "cardinality" -> 2)
+
+  /** Write a real `u`-storage vector file under `dir` masking `positions`,
+    * returning its descriptor map. */
+  private def realDv(dir: Path, positions: Seq[Long],
+      prefix: String = ""): Map[String, Any] = {
+    val data = DeltaDv.serializeArray(positions)
+    val uuid = java.util.UUID.randomUUID()
+    val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
+      s"deletion_vector_$uuid.bin"
+    val offsets = DeltaDv.writeDvFile(dir.resolve(rel), Seq(data))
+    Map("storageType" -> "u",
+      "pathOrInlineDv" -> DeltaDv.packUuid(uuid, prefix),
+      "offset" -> offsets.head, "sizeInBytes" -> data.length,
+      "cardinality" -> positions.size)
+  }
+
+  private def inlineDv(positions: Seq[Long]): Map[String, Any] = {
+    val data = DeltaDv.serializeArray(positions)
+    Map("storageType" -> "i",
+      "pathOrInlineDv" -> DeltaDv.packInline(data),
+      "sizeInBytes" -> data.length, "cardinality" -> positions.size)
   }
 
   private def removeLine(name: String) = json(Map("remove" -> Map(
@@ -206,21 +232,31 @@ class DeltaImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaImport.convert(spark, part.toString)
     }.getMessage should include("PARTITIONED")
-    // live deletion vector
+    // absolute-path ('p') deletion vector: bytes outside the table root
     val dv = fresh("dv", Seq(protoLine(reader = 3,
       features = Seq("deletionVectors")), metaLine()))
     writeCommit(dv.resolve("_delta_log"), 1,
-      Seq(addLine(dv, "f0.parquet", 0, 4, dv = true)))
+      Seq(addLine(dv, "f0.parquet", 0, 4, dv = Map(
+        "storageType" -> "p", "pathOrInlineDv" -> "/elsewhere/dv.bin",
+        "offset" -> 1, "sizeInBytes" -> 36, "cardinality" -> 2))))
     intercept[IllegalArgumentException] {
       DeltaImport.convert(spark, dv.toString)
-    }.getMessage should include("deletion vectors")
-    // column mapping
+    }.getMessage should include("storageType")
+    // column mapping declared but the schema carries no mapping ids —
+    // a malformed log this importer cannot translate
     val cm = fresh("cm", Seq(protoLine(reader = 2),
       metaLine(conf = Map("delta.columnMapping.mode" -> "name")),
       addLine(null, "f0.parquet", 0, 4, stats = false)))
     intercept[IllegalArgumentException] {
       DeltaImport.convert(spark, cm.toString)
-    }.getMessage should include("column mapping")
+    }.getMessage should include("columnMapping.id")
+    // an unknown mapping mode refuses by name
+    val cm2 = fresh("cm2", Seq(protoLine(reader = 2),
+      metaLine(conf = Map("delta.columnMapping.mode" -> "future")),
+      addLine(null, "f0.parquet", 0, 4, stats = false)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, cm2.toString)
+    }.getMessage should include("unknown column mapping mode")
     // unknown reader feature
     val feat = fresh("feat", Seq(protoLine(reader = 3,
       features = Seq("futureMagic")), metaLine(),
@@ -271,22 +307,25 @@ class DeltaImportSpec extends SparkSpec {
     // re-run: no-op (the consumed-version property gates it)
     DeltaImport.sync(spark, dir.toString) shouldBe synced
     // a TRANSIENT deletion vector inside the range (masked at v5, purged
-    // by a rewrite at v6) nets out and must NOT block the sync
+    // by a rewrite at v6) nets out — it is never even DECODED (the fake
+    // descriptor has no backing file, so a decode attempt would throw)
     dataFile(dir, "f5.parquet", rows(25, 29))
-    writeCommit(log, 5, Seq(addLine(dir, "f4.parquet", 20, 24, dv = true)))
+    writeCommit(log, 5, Seq(addLine(dir, "f4.parquet", 20, 24, dv = fakeDv)))
     writeCommit(log, 6, Seq(removeLine("f4.parquet"),
       addLine(dir, "f5.parquet", 25, 29)))
     DeltaImport.sync(spark, dir.toString)
     LakeTable.forPath(spark, dir.toString).snapshot().files.map(_.path).toSet shouldBe
       Set("f2.parquet", "f3.parquet", "f5.parquet")
-    // a LIVE deletion vector at the end of the range refuses — and a later
-    // purge commit makes the SAME sync succeed (the remedy works)
-    writeCommit(log, 7, Seq(addLine(dir, "f4.parquet", 20, 24, dv = true)))
-    intercept[IllegalArgumentException] {
-      DeltaImport.sync(spark, dir.toString)
-    }.getMessage should include("deletion vectors")
+    // a LIVE vector at the end of the range IMPORTS as a graft mask
+    writeCommit(log, 7,
+      Seq(addLine(dir, "f4.parquet", 20, 24, dv = realDv(dir, Seq(0L, 2L)))))
+    DeltaImport.sync(spark, dir.toString)
+    // f4 holds ids 20..24; positions {0,2} mask ids {20,22}
+    LakeTable.forPath(spark, dir.toString).read()
+      .agg(sum("id")).head().getLong(0) shouldBe
+      ((10L to 19L).sum + (25L to 29L).sum + 21L + 23L + 24L)
     writeCommit(log, 8, Seq(removeLine("f4.parquet")))
-    DeltaImport.sync(spark, dir.toString) // v7's mask netted out by v8
+    DeltaImport.sync(spark, dir.toString) // the remove drops mask + file
     // a mid-stream schema change refuses (cut-over moment, not a sync)
     val otherSchema = StructType(Seq(StructField("id", LongType)))
     writeCommit(log, 9, Seq(json(Map("metaData" -> Map(
@@ -318,6 +357,354 @@ class DeltaImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("re-import")
+  }
+
+  test("replays a v2 (UUID-named) parquet checkpoint manifest with " +
+    "_sidecars action files, plus the JSON tail") {
+    val dir = tmpDir("delta-v2cp").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    val log = dir.resolve("_delta_log")
+    Files.createDirectories(log.resolve("_sidecars"))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val cpMetaType = StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    def writeOneParquet(target: Path, schema: StructType,
+        rowSeq: Seq[Row]): Unit = {
+      val staging = Files.createTempDirectory("v2cp-stage")
+      spark.createDataFrame(rowSeq.asJava, schema).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.move(part, target)
+      graft.log.TxLog.deleteRecursively(staging)
+    }
+    def statsJson(lo: Long, hi: Long) = json(Map(
+      "numRecords" -> (hi - lo + 1), "minValues" -> Map("id" -> lo),
+      "maxValues" -> Map("id" -> hi), "nullCount" -> Map("id" -> 0, "name" -> 0)))
+    // two sidecar files, one live add each
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    writeOneParquet(log.resolve("_sidecars/s1.parquet"), sidecarSchema, Seq(
+      Row(Row("f0.parquet", Map.empty[String, String],
+        Files.size(dir.resolve("f0.parquet")), 1700000001000L, true,
+        statsJson(0, 4)))))
+    writeOneParquet(log.resolve("_sidecars/s2.parquet"), sidecarSchema, Seq(
+      Row(Row("f1.parquet", Map.empty[String, String],
+        Files.size(dir.resolve("f1.parquet")), 1700000001000L, true,
+        statsJson(5, 9)))))
+    // the UUID-named v2 manifest: checkpointMetadata + protocol +
+    // metaData + the sidecar references
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", cpMetaType),
+      StructField("metaData", metaType), StructField("protocol", protoType),
+      StructField("sidecar", sidecarType)))
+    writeOneParquet(
+      log.resolve(f"${5L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"),
+      manifestSchema, Seq(
+        Row(Row(5L, Map.empty[String, String]), null, null, null),
+        Row(null, Row("66666666-2222-3333-4444-555555555555", schema.json,
+          Seq.empty[String], Map.empty[String, String]), null, null),
+        Row(null, null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null),
+        Row(null, null, null, Row("s1.parquet", 100L, 1700000001000L)),
+        Row(null, null, null, Row("s2.parquet", 100L, 1700000001000L))))
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":5,"size":5}""".getBytes(StandardCharsets.UTF_8))
+    // the JSON tail: v6 swaps f1 for f2
+    writeCommit(log, 6, Seq(
+      addLine(dir, "f2.parquet", 10, 14), removeLine("f1.parquet")))
+
+    val t = DeltaImport.convert(spark, dir.toString)
+    t.snapshot().files.map(_.path).toSet shouldBe Set("f0.parquet", "f2.parquet")
+    t.read().count() shouldBe 10
+    t.statsMinMax("id") shouldBe Some((0L, 14L))
+    val h = t.history(Some(1)).collect()(0)
+    h.getMap[String, String](4)("sourceVersion") shouldBe "6"
+  }
+
+  test("replays a v2 JSON checkpoint manifest (inline adds, no sidecars)") {
+    val dir = tmpDir("delta-v2cp-json").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    val log = dir.resolve("_delta_log")
+    Files.createDirectories(log)
+    val manifest = Seq(
+      json(Map("checkpointMetadata" -> Map("version" -> 3))),
+      protoLine(reader = 3, features = Seq("v2Checkpoint")),
+      metaLine(),
+      addLine(dir, "f0.parquet", 0, 4))
+    Files.write(
+      log.resolve(f"${3L}%020d.checkpoint.13b6b576-a74b-4f5e-8e1f-3f2a39a9d001.json"),
+      manifest.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":3,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    writeCommit(log, 4, Seq(addLine(dir, "f1.parquet", 5, 9)))
+    val t = DeltaImport.convert(spark, dir.toString)
+    t.snapshot().files.map(_.path).toSet shouldBe Set("f0.parquet", "f1.parquet")
+    t.read().agg(sum("id")).head().getLong(0) shouldBe (0L to 9L).sum
+  }
+
+  test("imports live deletion vectors: a shared prefixed .bin at offsets + " +
+    "an inline vector; masked rows never surface; graft DML composes") {
+    val dir = tmpDir("delta-dv-import").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    // ONE .bin under a random-prefix dir holds BOTH f0's and f1's vectors
+    // at different offsets (the spec's sharing layout)
+    val dataA = DeltaDv.serializeArray(Seq(1L, 3L)) // f0: mask ids 1, 3
+    val dataB = DeltaDv.serializeArray(Seq(0L))     // f1: mask id 5
+    val uuid = java.util.UUID.randomUUID()
+    val offsets = DeltaDv.writeDvFile(
+      dir.resolve(s"xy/deletion_vector_$uuid.bin"), Seq(dataA, dataB))
+    def uDesc(off: Int, data: Array[Byte], card: Long) = Map(
+      "storageType" -> "u",
+      "pathOrInlineDv" -> DeltaDv.packUuid(uuid, prefix = "xy"),
+      "offset" -> off, "sizeInBytes" -> data.length, "cardinality" -> card)
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(reader = 3,
+      features = Seq("deletionVectors")), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4, dv = uDesc(offsets(0), dataA, 2)),
+      addLine(dir, "f1.parquet", 5, 9, dv = uDesc(offsets(1), dataB, 1)),
+      addLine(dir, "f2.parquet", 10, 14, dv = inlineDv(Seq(2L, 4L))))) // ids 12, 14
+    val t = LakeTable.convert(spark, dir.toString)
+    t.read().count() shouldBe 10
+    t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 2L, 4L, 6L, 7L, 8L, 9L, 10L, 11L, 13L)
+    // physical counts stay in the log; masks ride DeletionVector actions
+    t.snapshot().files.map(_.numRecords).sum shouldBe 15
+    t.snapshot().dvs.values.map(_.numDeleted).sum shouldBe 5
+    t.snapshot().protocol.writerSet should contain("deletionVectors")
+    // graft DML composes on top of the imported masks (its DV merge must
+    // OR into the transcoded bitmaps, not clobber them)
+    t.delete(col("id") % 2 === 0L)
+    t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(7L, 9L, 11L, 13L)
+  }
+
+  test("sync carries DV churn: a new mask on a live file lands; a purge " +
+    "(re-add without descriptor) clears it") {
+    val dir = tmpDir("delta-dv-churn").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.read().count() shouldBe 5
+    // Delta-side DELETE writes a same-path re-add WITH a vector
+    writeCommit(log, 1,
+      Seq(addLine(dir, "f0.parquet", 0, 4, dv = realDv(dir, Seq(1L, 2L)))))
+    DeltaImport.sync(spark, dir.toString)
+    LakeTable.forPath(spark, dir.toString).read()
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 3L, 4L)
+    // Delta-side purge re-adds the path WITHOUT a descriptor: the graft
+    // mask must CLEAR (not linger from the previous sync)
+    writeCommit(log, 2, Seq(addLine(dir, "f0.parquet", 0, 4)))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.read().count() shouldBe 5
+    t2.snapshot().dvs shouldBe empty
+  }
+
+  test("partitioned rewrite-import applies live deletion vectors: masked " +
+    "rows never materialize in the destination") {
+    val src = tmpDir("delta-dv-rewrite").resolve("src")
+    dataFile(src, "f0.parquet", spark.range(0, 5).toDF("id"))
+    dataFile(src, "f1.parquet", spark.range(5, 10).toDF("id"))
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    writeCommit(src.resolve("_delta_log"), 0, Seq(protoLine(),
+      json(Map("metaData" -> Map(
+        "id" -> "33333333-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> pSchema.json,
+        "partitionColumns" -> Seq("p"), "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L))),
+      addLine(null, "f0.parquet", 0, 4, stats = false,
+        dv = realDv(src, Seq(0L, 4L)), pv = Map("p" -> "a")),
+      addLine(null, "f1.parquet", 5, 9, stats = false,
+        dv = inlineDv(Seq(2L)), pv = Map("p" -> "b"))))
+    val dest = tmpDir("delta-dv-rewrite").resolve("dest").toString
+    val t = DeltaImport.convertRewrite(spark, src.toString, dest)
+    // f0 masks positions {0,4} = ids {0,4}; f1 masks position 2 = id 7
+    t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L)
+    t.read().groupBy("p").agg(count(lit(1)).as("n")).orderBy("p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("a", 3L), ("b", 4L))
+  }
+
+  test("imports a column-mapped (name-mode) Delta table: physical parquet " +
+    "names resolve by field id, stats translate from physical keys, sync " +
+    "keeps working, and the result is a real mapped graft table") {
+    val dir = tmpDir("delta-mapped").resolve("t")
+    // data files carry PHYSICAL column names + parquet field ids (what a
+    // name-mode Delta writer produces)
+    def fieldId(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    def physRows(lo: Long, hi: Long): DataFrame =
+      rows(lo, hi).select(
+        col("id").as("col-aaa111", fieldId(1)),
+        col("name").as("col-bbb222", fieldId(2)))
+    dataFile(dir, "f0.parquet", physRows(0, 4))
+    dataFile(dir, "f1.parquet", physRows(5, 9))
+    // the LOGICAL schema with the spec's mapping metadata
+    def mapMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapMeta(1, "col-aaa111")),
+      StructField("name", StringType, nullable = true, mapMeta(2, "col-bbb222"))))
+    val conf = Map("delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> "2")
+    val log = dir.resolve("_delta_log")
+    // f0's stats keyed by PHYSICAL names (as a mapped Delta writer emits);
+    // f1 stat-less to exercise the physical-schema footer fallback
+    val physStats = json(Map("numRecords" -> 5,
+      "minValues" -> Map("col-aaa111" -> 0),
+      "maxValues" -> Map("col-aaa111" -> 4),
+      "nullCount" -> Map("col-aaa111" -> 0, "col-bbb222" -> 0)))
+    writeCommit(log, 0, Seq(protoLine(reader = 2),
+      json(Map("metaData" -> Map(
+        "id" -> "44444444-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> mappedSchema.json,
+        "partitionColumns" -> Nil, "configuration" -> conf,
+        "createdTime" -> 1700000000000L))),
+      json(Map("add" -> Map("path" -> "f0.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f0.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true,
+        "stats" -> physStats))),
+      json(Map("add" -> Map("path" -> "f1.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f1.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true)))))
+    val t = LakeTable.convert(spark, dir.toString)
+    // LOGICAL names read; physical columns resolved by field id
+    t.read().columns.toSeq shouldBe Seq("id", "name")
+    t.read().agg(sum("id")).head().getLong(0) shouldBe (0L to 9L).sum
+    // stats translated from physical keys (log + footer fallback alike)
+    t.statsMinMax("id") shouldBe Some((0L, 9L))
+    // the import IS a mapped graft table: RENAME COLUMN is metadata-only
+    graft.log.ColumnIds.mapped(t.snapshot().schema) shouldBe true
+    // sync keeps working: a new physical-named file lands with
+    // physically-keyed stats
+    dataFile(dir, "f2.parquet", physRows(10, 14))
+    writeCommit(log, 1, Seq(
+      json(Map("add" -> Map("path" -> "f2.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f2.parquet")),
+        "modificationTime" -> 1700000002000L, "dataChange" -> true,
+        "stats" -> json(Map("numRecords" -> 5,
+          "minValues" -> Map("col-aaa111" -> 10),
+          "maxValues" -> Map("col-aaa111" -> 14),
+          "nullCount" -> Map("col-aaa111" -> 0, "col-bbb222" -> 0))))))))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.read().agg(sum("id")).head().getLong(0) shouldBe (0L to 14L).sum
+    t2.statsMinMax("id") shouldBe Some((0L, 14L))
+    // graft DML works on the mapped import (cut-over)
+    t2.delete(col("id") % 5 === 0L)
+    t2.read().count() shouldBe 12
+  }
+
+  test("column-mapped import refuses id-less data files (the name-mode " +
+    "upgrade hazard); the partitioned rewrite-import is the remedy") {
+    // files written with PHYSICAL names but NO field ids — a table
+    // upgraded into name mode keeps its old files like this
+    val src = tmpDir("delta-mapped-idless").resolve("src")
+    dataFile(src, "f0.parquet", spark.range(0, 5).toDF("col-xyz"))
+    def mapMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val conf = Map("delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> "2")
+    def commit0(schema: StructType, pcols: Seq[String],
+        pv: Map[String, String]) = Seq(protoLine(reader = 2),
+      json(Map("metaData" -> Map(
+        "id" -> "55555555-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> schema.json,
+        "partitionColumns" -> pcols, "configuration" -> conf,
+        "createdTime" -> 1700000000000L))),
+      json(Map("add" -> Map("path" -> "f0.parquet",
+        "partitionValues" -> pv,
+        "size" -> Files.size(src.resolve("f0.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true))))
+    // unpartitioned: the zero-copy convert refuses at the footer gate
+    val flat = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapMeta(1, "col-xyz"))))
+    writeCommit(src.resolve("_delta_log"), 0, commit0(flat, Nil, Map.empty))
+    intercept[IllegalArgumentException] {
+      DeltaImport.convert(spark, src.toString)
+    }.getMessage should include("field id")
+    // partitioned + id-less: convertRewrite resolves by PHYSICAL NAME
+    val src2 = tmpDir("delta-mapped-idless").resolve("src2")
+    dataFile(src2, "f0.parquet", spark.range(0, 5).toDF("col-xyz"))
+    val part = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapMeta(1, "col-xyz")),
+      StructField("p", StringType, nullable = true, mapMeta(2, "col-ppp"))))
+    writeCommit(src2.resolve("_delta_log"), 0,
+      commit0(part, Seq("p"), Map("col-ppp" -> "a")))
+    val dest = tmpDir("delta-mapped-idless").resolve("dest").toString
+    val t = DeltaImport.convertRewrite(spark, src2.toString, dest)
+    t.read().columns.toSeq shouldBe Seq("id", "p")
+    t.read().agg(sum("id")).head().getLong(0) shouldBe 10L
+    t.read().select("p").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+  }
+
+  test("the Delta log replay runs through the LogStore seam: an " +
+    "InMemoryLogStore-hosted _delta_log imports and syncs with zero " +
+    "local-FS log IO (data parquet stays data-plane)") {
+    val prev = graft.log.LogStore.default
+    val mem = new graft.log.InMemoryLogStore
+    graft.log.LogStore.default = mem
+    try {
+      val dir = tmpDir("delta-mem").resolve("t")
+      dataFile(dir, "f0.parquet", rows(0, 4)) // data files: real FS
+      dataFile(dir, "f1.parquet", rows(5, 9))
+      val log = dir.resolve("_delta_log")
+      def memCommit(v: Long, lines: Seq[String]): Unit =
+        mem.writeAtomic(log.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+          overwrite = false): Unit
+      memCommit(0, Seq(protoLine(), metaLine(),
+        addLine(dir, "f0.parquet", 0, 4)))
+      // auto-detection, replay, and the graft commit all ride the store
+      val t = LakeTable.convert(spark, dir.toString)
+      t.read().count() shouldBe 5
+      Files.exists(log) shouldBe false // the log never touched local FS
+      Files.exists(dir.resolve("_txlog")) shouldBe false
+      memCommit(1, Seq(addLine(dir, "f1.parquet", 5, 9)))
+      DeltaImport.sync(spark, dir.toString)
+      LakeTable.forPath(spark, dir.toString).read().count() shouldBe 10
+    } finally graft.log.LogStore.default = prev
   }
 
   test("sync refuses after graft-side writes diverge (cut-over guard), but " +

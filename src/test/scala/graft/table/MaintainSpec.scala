@@ -98,6 +98,42 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("uniform_iceberg export runs entirely through the LogStore seam: an " +
+    "InMemoryLogStore-backed table exports with ZERO local-FS metadata IO, " +
+    "incremental reuse and DV position-deletes included") {
+    val prev = graft.log.LogStore.default
+    val mem = new graft.log.InMemoryLogStore
+    graft.log.LogStore.default = mem
+    try {
+      val dir = tmpDir("uniform-mem").resolve("t")
+      val t = LakeTable.createFrom(spark, dir.toString,
+        spark.range(0, 100).select(col("id"),
+          (col("id") % 7).cast("double").as("v")),
+        properties = Map("graft.enableDeletionVectors" -> "true"))
+      t.delete(col("id") % 10 === 0L) // masks ride DVs -> delete-file export
+      t.generateIcebergMetadata()
+      // nothing of the metadata touched the local filesystem
+      java.nio.file.Files.exists(dir.resolve("metadata")) shouldBe false
+      mem.size should be > 0
+      // the store-aware hand-walk sees the full view: live set + deletes
+      val (meta, files) = Uniform.readExport(t.dir, mem)
+      Uniform.validateExport(t.dir, mem) shouldBe empty
+      val live = t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+      files.filter(_("content") == 0)
+        .map(_("file_path").asInstanceOf[String]).toSet shouldBe live
+      files.count(_("content") == 1) shouldBe 1 // the position-delete file
+      meta("format-version") shouldBe 2
+      // incremental second export reuses manifests through the store too
+      t.append(spark.range(100, 120).select(col("id"),
+        (col("id") % 7).cast("double").as("v")))
+      t.generateIcebergMetadata()
+      val (_, files2) = Uniform.readExport(t.dir, mem)
+      files2.filter(_("content") == 0)
+        .map(_("file_path").asInstanceOf[String]).toSet shouldBe
+        t.snapshot().files.map(f => t.dir.resolve(f.path).toString).toSet
+    } finally graft.log.LogStore.default = prev
+  }
+
   test("uniform_iceberg export: an independent hand-walk (hint -> metadata " +
     "JSON -> Avro manifest list -> Avro manifest) sees exactly the live " +
     "file set across churn; DVs refuse") {
