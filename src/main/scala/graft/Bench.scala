@@ -27,6 +27,53 @@ object Bench {
   private def scratch(name: String): String =
     Files.createTempDirectory(s"bench-$name").resolve("t").toString
 
+  /** Queries whose steady-state cost is legitimately high (streaming
+    * lifecycles: fixed per-epoch StreamingQuery startup × several epochs)
+    * — exempt from the absolute-anomaly trigger below. Keyed by the qNN
+    * prefix; extend when a new legitimately-heavy gate lands. */
+  private[graft] val KnownHeavyPrefixes = Set("q60", "q72", "q79", "q109")
+
+  /** Which queries deserve an isolated re-measurement — the contention
+    * self-healing trigger, pure for testability. Three independent flags:
+    *  - EXTERNAL load at start (loadavg > ncpu/4 before this run did any
+    *    work): the whole run is suspect; re-measure the `topN` most
+    *    expensive queries (they dominate the total and the adjudication);
+    *  - PER-QUERY warm-rep spread (max/min > `spreadX` across the reps
+    *    that produced the billed value, on a query billing > `minSec`):
+    *    something stole time mid-measurement for THAT query, whatever the
+    *    ambient load said;
+    *  - ABSOLUTE anomaly (billed > `anomalousSec` on a query outside
+    *    [[KnownHeavyPrefixes]]): no sf0.1 gate legitimately costs this
+    *    much warm — the r11 artifact billed q64 at 22 s (quiet envelope
+    *    2.1–2.4) under contention that neither other flag would have
+    *    caught (load was low at start, and a heavy query's single warm
+    *    rep carries no spread).
+    * Returned in billed-cost order, deduplicated, capped at `topN + 3` so
+    * a pathologically noisy run cannot double the bench's wall time. */
+  private[graft] def remeasureTargets(
+      results: Seq[(String, Double)],
+      warmReps: Map[String, Seq[Double]],
+      loadAtStart: Double,
+      ncpu: Int,
+      topN: Int = 5,
+      spreadX: Double = 3.0,
+      minSec: Double = 1.0,
+      anomalousSec: Double = 8.0): Seq[String] = {
+    val byCost = results.sortBy(-_._2)
+    val loadFlagged: Seq[String] =
+      if (loadAtStart > ncpu / 4.0) byCost.take(topN).map(_._1) else Nil
+    val spreadFlagged: Seq[String] = byCost.collect {
+      case (name, billed) if billed > minSec &&
+        warmReps.get(name).exists(r =>
+          r.size >= 2 && r.min > 0 && r.max / r.min > spreadX) => name
+    }
+    val anomalyFlagged: Seq[String] = byCost.collect {
+      case (name, billed) if billed > anomalousSec &&
+        !KnownHeavyPrefixes.contains(name.split('_').head) => name
+    }
+    (loadFlagged ++ spreadFlagged ++ anomalyFlagged).distinct.take(topN + 3)
+  }
+
   /** Section isolation, not a speedup: flush the PREVIOUS section's dirty
     * pages and retire its garbage before starting a timed section, so a
     * measurement isn't billed for its predecessor's deferred writeback/GC.
@@ -144,6 +191,11 @@ object Bench {
     else SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
     }
+    // per-query rep history (billed value + every warm rep) — the
+    // self-healing pass below re-measures queries whose own reps flag
+    // noise, so a contended run carries its adjudication data with it
+    val repHistory = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val queryFns = benchQueries
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = timed {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -162,9 +214,13 @@ object Bench {
       // reps in one JVM — the OLD median-of-3-including-cold mostly
       // measured JIT/shuffle-service/page-cache warmup, not plan cost.
       val first = rep()
-      val value =
-        if (first > 2.5) rep() // the warm second run
-        else Seq(rep(), rep(), rep()).sorted.apply(1)
+      val (value, warmReps) =
+        if (first > 2.5) { val w = rep(); (w, Seq(w)) } // the warm second run
+        else {
+          val reps = Seq(rep(), rep(), rep())
+          (reps.sorted.apply(1), reps)
+        }
+      repHistory(name) = warmReps
       // queries that persist() intermediates rely on the ContextCleaner to
       // drop the blocks once the frames are GC'd; under a 60-query run the
       // stale blocks outlive their query, fill storage memory, and evict
@@ -174,6 +230,31 @@ object Bench {
       spark.catalog.clearCache()
       name -> value
     }
+
+    // ---- contention self-healing (r11 verdict task 7) ----
+    // When the run flags itself as contended — external load at start, or
+    // a query's own warm reps spreading >3× — the suspects re-measure
+    // ISOLATED (sequentially, everything else done) and the result rides
+    // the JSON as a `remeasured` map alongside the billed `queries`, so
+    // the adjudication r10/r11 did by hand ships in the artifact itself.
+    // The billed values stay untouched (driver comparability).
+    val suspects = Bench.remeasureTargets(
+      results, repHistory.toMap, loadStart._1,
+      Runtime.getRuntime.availableProcessors())
+    val remeasured: Seq[(String, Double)] =
+      if (opsChild) Nil
+      else suspects.flatMap { name =>
+        queryFns.get(name).map { fn =>
+          def rep(): Double = timed {
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] remeasure $name failed: ${e.getMessage}") }
+          }._2
+          val v = math.min(rep(), rep()) // best-of-2, warm, isolated
+          spark.catalog.clearCache()
+          name -> v
+        }
+      }
 
     // The query section leaves GBs of scratch tables / checkpoints / CTAS
     // warehouses in the run tmpdir (75 queries × 3 reps); their dirty
@@ -206,7 +287,8 @@ object Bench {
         runOpsInline(spark, sfDir)
       }
 
-    emitResult(results, ops, sfDir, spark, runTmp, loadStart, hostLoad())
+    emitResult(results, ops, sfDir, spark, runTmp, loadStart, hostLoad(),
+      remeasured)
   }
 
   /** The BASELINE.md ops sections, measured in THIS JVM. Called directly in
@@ -648,7 +730,8 @@ object Bench {
       spark: SparkSession,
       runTmp: java.nio.file.Path,
       loadStart: (Double, Long),
-      loadEnd: (Double, Long)): Unit = {
+      loadEnd: (Double, Long),
+      remeasured: Seq[(String, Double)]): Unit = {
 
     // Locale.ROOT everywhere: a non-English default locale would format
     // decimal commas ("52,19") and break the machine-parsed JSON
@@ -679,8 +762,14 @@ object Bench {
       def p(l: (Double, Long)) = s"""[${jnum(l._1)},${l._2}]"""
       s""""load":{"start":${p(loadStart)},"end":${p(loadEnd)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
     }
+    // self-healed values (empty when nothing flagged): the isolated
+    // re-measurements of suspect queries, keyed like `queries`
+    val remeasuredJson = remeasured
+      .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+    val remeasuredField =
+      if (remeasured.isEmpty) "" else s""","remeasured":$remeasuredJson"""
     // same sf spelling on both lines (full path kept as sf_dir for humans)
-    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir",$loadJson}""")
+    println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir",$loadJson$remeasuredField}""")
     // final line: every query plus the BASELINE.md-comparable ops, sized to
     // fit the tail window with ~200 chars to spare for the sbt epilogue
     val headline = Seq(
@@ -720,7 +809,12 @@ object Bench {
       val qsShort = results.map { case (k, v) =>
         s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort",$loadJson}"""
+      val remShort =
+        if (remeasured.isEmpty) ""
+        else remeasured.map { case (k, v) =>
+          s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
+          .mkString(""","remeasured":{""", ",", "}")
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort",$loadJson$remShort}"""
     }
     // degrade in steps, keeping per-query timings as long as possible:
     // full precision -> coarse queries -> essential ops -> ops only

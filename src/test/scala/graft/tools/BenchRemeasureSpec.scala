@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench's contention self-healing trigger (pure function — the
+  * contrived contended-run cases the r11 verdict asked for). */
+class BenchRemeasureSpec extends AnyFunSuite with Matchers {
+
+  private val quiet = Seq(
+    "q1_agg" -> 0.5, "q17_scd2" -> 1.7, "q24_minhash" -> 2.8,
+    "q60_stream" -> 9.5, "q64_perplexity" -> 2.3, "q103_bm25" -> 4.3)
+  private val noSpread = quiet.map { case (n, v) => n -> Seq(v, v, v) }.toMap
+
+  test("a quiet run flags nothing") {
+    graft.Bench.remeasureTargets(quiet, noSpread,
+      loadAtStart = 1.5, ncpu = 32) shouldBe empty
+  }
+
+  test("external load at start flags the topN most expensive queries") {
+    val flagged = graft.Bench.remeasureTargets(quiet, noSpread,
+      loadAtStart = 20.0, ncpu = 32, topN = 3)
+    flagged shouldBe Seq("q60_stream", "q103_bm25", "q24_minhash")
+  }
+
+  test("a >3x warm-rep spread flags that query alone (cheap queries with " +
+    "sub-second billing stay exempt)") {
+    val reps = noSpread +
+      ("q24_minhash" -> Seq(2.1, 9.0, 2.8)) + // stolen mid-measurement
+      ("q1_agg" -> Seq(0.1, 0.5, 0.9)) // spread but billed < minSec
+    graft.Bench.remeasureTargets(quiet, reps,
+      loadAtStart = 1.5, ncpu = 32) shouldBe Seq("q24_minhash")
+  }
+
+  test("the r11 shape: a known-cheap query billed anomalously high flags " +
+    "even with low start load and no rep spread; known heavies are exempt") {
+    // q64 billed 22.0 s (quiet envelope 2.1-2.4) while load START was 1.55
+    // and its single warm rep carried no spread — exactly what the r11
+    // driver artifact produced
+    val contended = quiet.map {
+      case ("q64_perplexity", _) => "q64_perplexity" -> 22.0
+      case other => other
+    }
+    val reps = noSpread + ("q64_perplexity" -> Seq(22.0))
+    graft.Bench.remeasureTargets(contended, reps,
+      loadAtStart = 1.55, ncpu = 32) shouldBe Seq("q64_perplexity")
+    // q60 at 9.5 s is a streaming lifecycle (KnownHeavyPrefixes): exempt
+    graft.Bench.KnownHeavyPrefixes should contain("q60")
+  }
+
+  test("flags deduplicate and cap at topN + 3") {
+    val many = (1 to 20).map(i => s"q$i" + "_x" -> (30.0 + i))
+    val reps = many.map { case (n, v) => n -> Seq(v, v / 4, v) }.toMap
+    val flagged = graft.Bench.remeasureTargets(many, reps,
+      loadAtStart = 30.0, ncpu = 32, topN = 5)
+    flagged.size shouldBe 8
+    flagged.distinct.size shouldBe 8
+  }
+}
