@@ -48,8 +48,9 @@ object Bench {
     *    2.1–2.4) under contention that neither other flag would have
     *    caught (load was low at start, and a heavy query's single warm
     *    rep carries no spread).
-    * Returned in billed-cost order, deduplicated, capped at `topN + 3` so
-    * a pathologically noisy run cannot double the bench's wall time. */
+    * Returned anomaly-first (then spread, then load top-costs),
+    * deduplicated, capped at `topN + 3` so a pathologically noisy run
+    * cannot double the bench's wall time. */
   private[graft] def remeasureTargets(
       results: Seq[(String, Double)],
       warmReps: Map[String, Seq[Double]],
@@ -71,7 +72,10 @@ object Bench {
       case (name, billed) if billed > anomalousSec &&
         !KnownHeavyPrefixes.contains(name.split('_').head) => name
     }
-    (loadFlagged ++ spreadFlagged ++ anomalyFlagged).distinct.take(topN + 3)
+    // anomalies FIRST: they are the queries whose billed values most need
+    // adjudication, and must never be evicted by the cap when the load
+    // flag fills the slots with (possibly legitimately heavy) top-costs
+    (anomalyFlagged ++ spreadFlagged ++ loadFlagged).distinct.take(topN + 3)
   }
 
   /** Section isolation, not a speedup: flush the PREVIOUS section's dirty

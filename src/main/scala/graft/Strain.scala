@@ -94,6 +94,75 @@ object Strain {
       t2.generateIcebergMetadata(recordCommit = false))
     println(f"[strain] uniform_export_sec=$expSec%.2f " +
       f"uniform_incr_export_sec=$expIncrSec%.2f files=$mfiles")
+
+    // ---- import strain: the inverse direction at the same file count ----
+    // The 100-TB import claims to measure: a Delta log replay is driver-
+    // metadata time (stats embedded, zero data/footer IO), DV transcode is
+    // a distributed pass over descriptors, and an Iceberg import pays one
+    // parallel footer pass (stats + field ids in the same open).
+    val liveFiles = t2.snapshot().files
+      .map(f => java.nio.file.Paths.get(dir2).resolve(f.path))
+    // Hand-write spec-shaped Delta logs over HARDLINKS of the same parquet
+    // (stats embedded per add, the real Delta writer shape; the stat
+    // values are placeholders — this measures replay cost, not pruning)
+    def deltaFixture(tag: String, withDvs: Boolean): String = {
+      val root = Files.createTempDirectory(s"strain-delta-$tag").resolve("t")
+      Files.createDirectories(root)
+      val logDir = root.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      def j(v: Any) = m.writeValueAsString(v)
+      val sb = new StringBuilder
+      sb.append(j(Map("protocol" -> Map(
+        "minReaderVersion" -> (if (withDvs) 3 else 1),
+        "minWriterVersion" -> 2)))).append('\n')
+      sb.append(j(Map("metaData" -> Map(
+        "id" -> java.util.UUID.randomUUID().toString,
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> gen2.schema.json,
+        "partitionColumns" -> Nil, "configuration" -> Map.empty,
+        "createdTime" -> 0L)))).append('\n')
+      liveFiles.zipWithIndex.foreach { case (srcFile, i) =>
+        val name = f"f$i%06d.parquet"
+        Files.createLink(root.resolve(name), srcFile)
+        val dv =
+          if (withDvs && i % 2 == 0) {
+            val data = graft.migrate.DeltaDv.serializeArray(Seq(0L))
+            Map("deletionVector" -> Map("storageType" -> "i",
+              "pathOrInlineDv" -> graft.migrate.DeltaDv.packInline(data),
+              "sizeInBytes" -> data.length, "cardinality" -> 1))
+          } else Map.empty
+        sb.append(j(Map("add" -> (Map(
+          "path" -> name, "partitionValues" -> Map.empty,
+          "size" -> Files.size(srcFile), "modificationTime" -> 0L,
+          "dataChange" -> true,
+          "stats" -> j(Map("numRecords" -> 1,
+            "minValues" -> Map("id" -> i), "maxValues" -> Map("id" -> i),
+            "nullCount" -> Map("id" -> 0, "payload" -> 0)))) ++ dv))))
+          .append('\n')
+      }
+      Files.write(logDir.resolve(f"${0L}%020d.json"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      root.toString
+    }
+    val d3 = deltaFixture("plain", withDvs = false)
+    val (_, dImpSec) = timed(s"delta import ($mfiles adds, stats embedded)")(
+      graft.migrate.DeltaImport.convert(spark, d3))
+    val d4 = deltaFixture("dv", withDvs = true)
+    val (_, dImpDvSec) = timed(s"delta import + ${mfiles / 2} inline DVs")(
+      graft.migrate.DeltaImport.convert(spark, d4))
+    println(f"[strain] delta_import_sec=$dImpSec%.2f " +
+      f"delta_import_dv_sec=$dImpDvSec%.2f files=$mfiles dv_files=${mfiles / 2}")
+    // Iceberg re-import of the 20k-file export (sever the graft log; what
+    // remains is the pure HadoopTables layout the exporter just wrote)
+    graft.log.TxLog.deleteRecursively(
+      java.nio.file.Paths.get(dir2).resolve("_txlog"))
+    val (_, iImpSec) = timed(s"iceberg import ($mfiles files + footer pass)")(
+      graft.migrate.IcebergImport.convert(spark, dir2))
+    println(f"[strain] iceberg_import_sec=$iImpSec%.2f files=${mfiles + 1}")
+    graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(d3).getParent)
+    graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(d4).getParent)
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir2).getParent)
     spark.stop()
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir).getParent)

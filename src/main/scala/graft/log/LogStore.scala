@@ -46,11 +46,15 @@ trait LogStore {
   def read(path: Path): Seq[String]
   /** Raw bytes of one log object — the binary twin of [[read]], for the
     * metadata objects that are not line-oriented (Avro manifests, Iceberg
-    * metadata JSON, parquet checkpoints read driver-side). The default
-    * round-trips through [[read]] and is only correct for TEXT objects;
-    * every real store overrides it. */
+    * metadata JSON, parquet checkpoints read driver-side). No text-based
+    * default: a wrapper store that only forwards [[read]] would silently
+    * corrupt binary objects (UTF-8 round-trip + newline splitting), so a
+    * store that does not implement bytes fails LOUDLY at the call site. */
   def readBytes(path: Path): Array[Byte] =
-    read(path).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not implement readBytes — binary log " +
+        "objects (Avro/parquet/JSON metadata) cannot round-trip through " +
+        "the line-oriented read()")
   def writeAtomic(path: Path, body: Array[Byte], overwrite: Boolean): Boolean
   /** Remove one log object (DROP FEATURE ... TRUNCATE HISTORY's boundary
     * sweep); true iff it existed. Never part of the commit CAS — deletes

@@ -244,17 +244,30 @@ object Stats {
     * Returns (absolutePath -> (numRecords, colName -> ColStats)). */
   def fromFooters(
       files: Seq[java.nio.file.Path],
-      schema: StructType): Map[String, (Long, Map[String, ColStats])] = {
+      schema: StructType): Map[String, (Long, Map[String, ColStats])] =
+    fromFootersWithIds(files, schema)
+      .map { case (p, (n, st, _)) => p -> (n, st) }
+
+  /** One footer pass returning BOTH the exact stats and the top-level
+    * (column name, field id) pairs — import paths that need field-id
+    * verification AND stats must not pay two opens per file. */
+  def fromFootersWithIds(
+      files: Seq[java.nio.file.Path],
+      schema: StructType)
+      : Map[String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
-    val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, ColStats])]()
+    val out = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])]()
     files.asJava.parallelStream().forEach { p =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
       val reader = ParquetFileReader.open(in)
       try {
+        val fieldIds = reader.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.map(t => t.getName -> Option(t.getId).map(_.intValue())).toSeq
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val numRecords = blocks.map(_.getRowCount).sum
         // per top-level column: accumulated (min, max, nullCount, trustworthy)
@@ -282,7 +295,7 @@ object Stats {
         val stats = acc.collect { case (n, (mn, mx, nulls, true)) =>
           n -> ColStats(mn, mx, nulls)
         }.toMap
-        out.put(p.toString, (numRecords, stats))
+        out.put(p.toString, (numRecords, stats, fieldIds))
       } finally reader.close()
     }
     out.asScala.toMap
@@ -291,27 +304,11 @@ object Stats {
   /** Per file, the parquet footer's top-level columns as (name, field id)
     * pairs — id is None when the writer stamped none. The column-mapping
     * import's honesty gate: by-id reads are only safe when every footer
-    * column carries an id that agrees with the mapped schema. Same
-    * parallel footer-read machinery as [[fromFooters]]. */
+    * column carries an id that agrees with the mapped schema. */
   def footerFieldIds(
-      files: Seq[java.nio.file.Path]): Map[String, Seq[(String, Option[Int])]] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val out = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Option[Int])]]()
-    files.asJava.parallelStream().forEach { p =>
-      val in = HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri), conf)
-      val reader = ParquetFileReader.open(in)
-      try {
-        val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-        out.put(p.toString,
-          fields.map(t => t.getName -> Option(t.getId).map(_.intValue())).toSeq)
-      } finally reader.close()
-    }
-    out.asScala.toMap
-  }
+      files: Seq[java.nio.file.Path]): Map[String, Seq[(String, Option[Int])]] =
+    fromFootersWithIds(files, StructType(Nil))
+      .map { case (p, (_, _, ids)) => p -> ids }
 
   /** Unit conversion to micros for parquet INT64 timestamp bounds, when the
     * conversion is EXACT: MICROS pass through, MILLIS widen; NANOS would

@@ -121,9 +121,13 @@ object DeltaImport {
       throw new IllegalArgumentException(
         s"$dir was not imported from Delta (no $SourceVersionKey property)"))
     // divergence guard: graft-side commits since the last sync point must
-    // not have touched the live file set (see [[FileSetNeutralOps]])
-    locally {
-      val commits = t.snapshot().commits
+    // not have touched the live file set (see [[FileSetNeutralOps]]).
+    // Checked here for a fast loud failure AND re-checked inside the
+    // commit closure — a local DML landing between this check and the CAS
+    // would otherwise recreate the exact silent duplication the guard
+    // exists to prevent (the retry loop re-resolves the snapshot, so the
+    // closure sees the interloper).
+    def requireNotDiverged(commits: Seq[CommitInfo]): Unit = {
       val syncPoint = commits.filter(c =>
           c.operation == "CONVERT" || c.operation == "DELTA SYNC")
         .map(_.version).maxOption.getOrElse(-1L)
@@ -136,6 +140,7 @@ object DeltaImport {
           "cut-over moment; this table can no longer mirror the Delta " +
           "source (re-import into a fresh directory to keep syncing)")
     }
+    requireNotDiverged(t.snapshot().commits)
     val entries = store.listFileNames(logDir)
     val jsonRe = raw"(\d{20})\.json".r
     val newer = entries.collect { case jsonRe(v) => v.toLong }
@@ -261,6 +266,9 @@ object DeltaImport {
         // a racing sync already consumed past `from`: stand down, no-op
         if (s.metadata.properties.get(SourceVersionKey).exists(_.toLong > from))
           throw new LakeTable.EpochAlreadyCommitted
+        // TOCTOU closure re-check: a local write that landed after the
+        // entry guard makes this retry refuse instead of duplicating rows
+        requireNotDiverged(s.commits)
         val live = s.files.map(_.path).toSet
         val meta = s.metadata.copy(properties =
           s.metadata.properties ++
@@ -374,7 +382,8 @@ object DeltaImport {
     LakeTable.forPath(spark, dir)
   }
 
-  /** Rewrite-import of a PARTITIONED Delta table into a NEW graft table at
+  /** Rewrite-import of a Delta table (partitioned, or any table the
+    * zero-copy convert refuses for data-layout reasons) into a NEW graft table at
     * `destDir`: partition values live only in the Delta log (and directory
     * names), never in the data files, so a zero-copy import cannot work —
     * instead ONE scan reads every live file, a BROADCAST join attaches each
@@ -390,8 +399,10 @@ object DeltaImport {
     // non-normalized srcDir would build keys NOTHING matches
     val root = Paths.get(srcDir).toAbsolutePath.normalize
     val st = replay(spark, root)
-    require(st.partitionColumns.nonEmpty,
-      s"$srcDir is unpartitioned — use the zero-copy convert instead")
+    // works for UNPARTITIONED sources too: the zero-copy convert is the
+    // better path there, but id-less name-mode files refuse it (footer
+    // gate) and this rewrite is their only remedy — the partition-tuple
+    // join simply stands down
     gate(srcDir, st)
     // column-mapped sources rewrite fine: the scan resolves the files'
     // PHYSICAL column names (no field ids required — this is the remedy
@@ -492,7 +503,9 @@ object DeltaImport {
           }
         filtered.drop("__idx")
       }
-    val typed = unmasked.join(broadcast(pv), "__file")
+    val joined =
+      if (pcols.isEmpty) unmasked else unmasked.join(broadcast(pv), "__file")
+    val typed = joined
       .select(destSchema.fields.map { f =>
         if (pcols.exists(_.equalsIgnoreCase(f.name)))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
@@ -609,7 +622,10 @@ object DeltaImport {
     * silently NULL or throw at query time — refuse at import instead),
     * (b) a footer column matching a live physical name carries THAT
     * column's id, and (c) no footer id collides with a different live
-    * column's id (ids are never reused, but a hand-crafted log could). */
+    * column's id (ids are never reused, but a hand-crafted log could).
+    * Footer cost: one open per live file; only STAT-LESS adds (rare in
+    * real Delta logs — writers embed stats) pay a second open later in
+    * toAddFiles' fallback. */
   private def verifyFooterIds(root: Path, live: Seq[String],
       schema: StructType, physicalOf: Map[String, String]): Unit = {
     val idOfPhys: Map[String, Long] = schema.fields.map(f =>

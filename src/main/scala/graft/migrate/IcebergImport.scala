@@ -95,18 +95,35 @@ object IcebergImport {
         s"default-spec-id $specId not present in partition-specs"))
     val idToName = schemaWithIds.fields.map(f =>
       ColumnIds.idOf(f).get -> f.name).toMap
-    val pcols: Seq[String] = spec.get("fields")
+    // (spec FIELD name, source column name): the manifest partition
+    // record's Avro fields are named by the SPEC field, which a foreign
+    // writer may name differently from the source column
+    val partFields: Seq[(String, String)] = spec.get("fields")
       .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
       .map { f =>
         val transform = f.get("transform").toString
         require(transform == "identity",
           s"partition transform '$transform' is not identity — derived " +
             "partition values cannot import as layout columns")
-        idToName.getOrElse(num(f.get("source-id")),
+        val column = idToName.getOrElse(num(f.get("source-id")),
           throw new IllegalArgumentException(
             s"partition source-id ${f.get("source-id")} is not a " +
               "top-level schema column"))
+        f.get("name").toString -> column
       }.toSeq
+    val pcols: Seq[String] = partFields.map(_._2)
+    // graft's partition values are strings cast back to the column type;
+    // only types with a faithful string round-trip from the Avro encoding
+    // import (the same set the exporter writes)
+    pcols.foreach { c =>
+      val dt = schemaWithIds.fields.find(_.name == c).get.dataType
+      require(dt match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             DateType => true
+        case _ => false
+      }, s"identity partition column '$c' has type $dt — its Avro " +
+        "partition encoding has no faithful string form in this importer")
+    }
 
     // ---- current snapshot -> manifests -> live files + deletes ----
     val currentSnap = Option(meta.get("current-snapshot-id"))
@@ -165,27 +182,30 @@ object IcebergImport {
       s"duplicate live data-file paths in $dir's manifests — malformed")
 
     // ---- column binding: by id when the footers prove it, else by name --
+    // Iceberg field ids are never reused, so they are AUTHORITATIVE
+    // regardless of footer names: a footer column whose id matches a live
+    // schema id is that column (this is exactly how renames survive — old
+    // files keep the old NAME but the id binds them to the renamed
+    // column); an id outside the live set is a dropped column, unread.
+    // By-id is therefore safe precisely when EVERY footer column carries
+    // an id. Id-less files fall back to BY NAME, where every footer name
+    // must be a schema column (Iceberg's name-mapping fallback shape).
     val icebergIds: Map[String, Long] = schemaWithIds.fields.map(f =>
       f.name -> ColumnIds.idOf(f).get).toMap
-    val footers =
-      if (live.isEmpty) Map.empty[String, Seq[(String, Option[Int])]]
-      else Stats.footerFieldIds(live.map(p => root.resolve(p._1)))
-    val allIdsAgree = live.nonEmpty && live.forall { case (p, _) =>
-      footers(root.resolve(p).toString).forall { case (name, id) =>
-        id.isDefined && (icebergIds.get(name) match {
-          case Some(expect) => id.get.toLong == expect
-          // a column outside the schema (dropped) must not reuse a live
-          // id — by-id reads would bind its bytes; treat as disagreement
-          // (the by-name path then refuses it loudly)
-          case None => !icebergIds.values.exists(_ == id.get.toLong)
-        })
-      }
+    // ONE footer pass serves both the binding decision and the stats
+    // re-derivation (2N opens would double import metadata IO for nothing)
+    val footers: Map[String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])] =
+      if (live.isEmpty) Map.empty
+      else Stats.fromFootersWithIds(
+        live.map(p => root.resolve(p._1)), schemaWithIds)
+    val allIdsPresent = live.nonEmpty && live.forall { case (p, _) =>
+      footers(root.resolve(p).toString)._3.forall(_._2.isDefined)
     }
     val schema =
-      if (allIdsAgree) schemaWithIds
+      if (allIdsPresent) schemaWithIds
       else {
         live.foreach { case (p, _) =>
-          footers(root.resolve(p).toString).foreach { case (name, _) =>
+          footers(root.resolve(p).toString)._3.foreach { case (name, _) =>
             require(icebergIds.contains(name),
               s"file $p column '$name' is not a schema column and the " +
                 "files carry no usable field ids — name-mapping this " +
@@ -194,18 +214,13 @@ object IcebergImport {
         }
         ColumnIds.strip(schemaWithIds)
       }
-
-    // ---- stats: manifest record counts cross-checked, footer bounds ----
-    val footerStats: Map[String, (Long, Map[String, ColStats])] =
-      if (live.isEmpty) Map.empty
-      else Stats.fromFooters(live.map(p => root.resolve(p._1)), schema)
     val now = System.currentTimeMillis()
     // identity partition tuples carry into graft's string-encoded
     // partitionValues (pruning/replaceWhere run off them); dates decode
     // from the avro epoch-day int back to the ISO string graft casts
     val graftAdds: Seq[AddFile] = live.map { case (p, df) =>
       val abs = root.resolve(p).toString
-      val (footerCount, colStats) = footerStats(abs)
+      val (footerCount, colStats, _) = footers(abs)
       val manifestCount = df.get("record_count").asInstanceOf[Long]
       require(manifestCount == footerCount,
         s"manifest says $manifestCount records for $p, the footer says " +
@@ -214,8 +229,8 @@ object IcebergImport {
         if (pcols.isEmpty) Map.empty
         else {
           val part = df.get("partition").asInstanceOf[GenericRecord]
-          pcols.map { c =>
-            val v = part.get(c)
+          partFields.map { case (fieldName, c) =>
+            val v = part.get(fieldName) // keyed by the SPEC field name
             val dt = schemaWithIds.fields.find(_.name == c).get.dataType
             c -> (if (v == null) null else dt match {
               case DateType => java.time.LocalDate
@@ -236,9 +251,22 @@ object IcebergImport {
       else {
         val rel = s"dv/import-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
         import org.apache.spark.sql.functions.col
+        val liveAbs = graftAdds.map(f => root.resolve(f.path).toString).toSet
+        // file_path values may be scheme-ful URIs (foreign writers):
+        // canonicalize exactly like the data-file paths above. DANGLING
+        // delete rows — targets compacted away without a delete rewrite, a
+        // spec-valid state Iceberg readers ignore — drop here too, BEFORE
+        // the mask aggregate, so they never become phantom graft vectors.
+        val liveDf = {
+          import spark.implicits._
+          liveAbs.toSeq.toDF("__path")
+        }
         val masks = spark.read
           .parquet(deletePaths.map(p => Stats.stripScheme(p)): _*)
-          .select(col("file_path").cast(StringType).as("__path"), col("pos"))
+          .select(graft.log.DvBitmap.stripPathCol(
+            col("file_path").cast(StringType)).as("__path"), col("pos"))
+          .join(org.apache.spark.sql.functions.broadcast(liveDf),
+            Seq("__path"), "left_semi") // drops dangling rows, scalably
           .groupBy("__path")
           .agg(graft.log.DvBitmap.aggPositions(col("pos")).as("__bitmap"))
         masks.withColumn("__n", graft.log.DvBitmap.cardinality(col("__bitmap")))
@@ -247,9 +275,6 @@ object IcebergImport {
         val counts = spark.read.parquet(root.resolve(rel).toString)
           .select("__path", "__n").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val liveAbs = graftAdds.map(f => root.resolve(f.path).toString).toSet
-        counts.keys.foreach(p => require(liveAbs.contains(p),
-          s"position-delete rows target $p, which is not a live data file"))
         graftAdds.flatMap(f => counts.get(root.resolve(f.path).toString)
           .map(n => graft.log.DeletionVector(f.path, rel, n)))
       }
@@ -260,7 +285,7 @@ object IcebergImport {
         .map { case (k, v) => k -> String.valueOf(v) }.toMap)
       .getOrElse(Map.empty[String, String])
     val maxIdProp: Map[String, String] =
-      if (!allIdsAgree) Map.empty
+      if (!allIdsPresent) Map.empty
       else Map(ColumnIds.MaxIdKey -> math.max(
         Option(meta.get("last-column-id")).map(num).getOrElse(0L),
         ColumnIds.maxId(Map.empty, schema)).toString)
@@ -290,12 +315,8 @@ object IcebergImport {
 
   private def num(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
 
-  private def avroRecords(p: Path): Seq[GenericRecord] = {
-    val r = new DataFileReader[GenericRecord](
-      new org.apache.avro.file.SeekableByteArrayInput(store.readBytes(p)),
-      new GenericDatumReader[GenericRecord]())
-    try r.iterator().asScala.toList finally r.close()
-  }
+  private def avroRecords(p: Path): Seq[GenericRecord] =
+    graft.table.Uniform.avroRecords(p, store)
 
   /** Current metadata: `version-hint.text` names it; else the highest
     * `v<N>.metadata.json` present. */

@@ -657,13 +657,18 @@ class DeltaImportSpec extends SparkSpec {
         "partitionValues" -> pv,
         "size" -> Files.size(src.resolve("f0.parquet")),
         "modificationTime" -> 1700000001000L, "dataChange" -> true))))
-    // unpartitioned: the zero-copy convert refuses at the footer gate
+    // unpartitioned: the zero-copy convert refuses at the footer gate —
+    // and the rewrite IS the remedy it names, partitioned or not
     val flat = StructType(Seq(
       StructField("id", LongType, nullable = true, mapMeta(1, "col-xyz"))))
     writeCommit(src.resolve("_delta_log"), 0, commit0(flat, Nil, Map.empty))
     intercept[IllegalArgumentException] {
       DeltaImport.convert(spark, src.toString)
     }.getMessage should include("field id")
+    val flatDest = tmpDir("delta-mapped-idless").resolve("flat-dest").toString
+    val flatT = DeltaImport.convertRewrite(spark, src.toString, flatDest)
+    flatT.read().columns.toSeq shouldBe Seq("id")
+    flatT.read().agg(sum("id")).head().getLong(0) shouldBe 10L
     // partitioned + id-less: convertRewrite resolves by PHYSICAL NAME
     val src2 = tmpDir("delta-mapped-idless").resolve("src2")
     dataFile(src2, "f0.parquet", spark.range(0, 5).toDF("col-xyz"))

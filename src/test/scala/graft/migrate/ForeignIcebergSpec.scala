@@ -1,0 +1,218 @@
+package graft.migrate
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+/** Importing FOREIGN Iceberg metadata — fixtures hand-crafted to the public
+  * Iceberg v2 spec with avro schemas authored here, independent of the
+  * engine's own exporter, exercising the shapes a round-trip through
+  * [[graft.table.Uniform]] can never produce: partition spec FIELD names
+  * that differ from the source column, scheme-ful `file:` URIs throughout,
+  * and partition source types the importer must refuse. */
+class ForeignIcebergSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jackson = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  private def json(v: Any): String = jackson.writeValueAsString(v)
+
+  private def writeAvro(target: Path, schema: org.apache.avro.Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, target.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  /** Minimal spec-shaped manifest-list row schema (the importer reads by
+    * field name; a real foreign writer has more fields, which named access
+    * tolerates). */
+  private val listSchema = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"partition_spec_id","type":"int"},
+      {"name":"content","type":"int"},
+      {"name":"sequence_number","type":"long"},
+      {"name":"min_sequence_number","type":"long"},
+      {"name":"added_snapshot_id","type":"long"}]}""")
+
+  /** Manifest entry schema whose partition record field is named by the
+    * SPEC FIELD ("cat_part"), not the source column ("cat") — the foreign
+    * shape the importer must read correctly. */
+  private val entrySchema = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"data_file","type":{
+        "type":"record","name":"r2","fields":[
+          {"name":"content","type":"int"},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"partition","type":{
+            "type":"record","name":"r102","fields":[
+              {"name":"cat_part","type":["null","string"],"default":null}]}},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+
+  private def entry(df: (Int, String, String, Long, Long),
+      partValue: String): GenericRecord = {
+    val (content, path, fmt, count, size) = df
+    val part = new GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema())
+    part.put("cat_part", partValue)
+    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", fmt)
+    d.put("partition", part)
+    d.put("record_count", count)
+    d.put("file_size_in_bytes", size)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    e.put("data_file", d)
+    e
+  }
+
+  private def schemaJson(catType: String) = Map(
+    "type" -> "struct", "schema-id" -> 0,
+    "fields" -> Seq(
+      Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+      Map("id" -> 2, "name" -> "cat", "required" -> false, "type" -> catType)))
+
+  private def metadataJson(dir: Path, listPath: Path, snapId: Long,
+      catType: String = "string"): String = json(Map(
+    "format-version" -> 2,
+    "table-uuid" -> java.util.UUID.randomUUID().toString,
+    "location" -> dir.toString,
+    "last-sequence-number" -> 1,
+    "last-updated-ms" -> 1700000000000L,
+    "last-column-id" -> 2,
+    "current-schema-id" -> 0,
+    "schemas" -> Seq(schemaJson(catType)),
+    "default-spec-id" -> 0,
+    // the spec FIELD is named cat_part; its source is column 'cat' (id 2)
+    "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
+      "name" -> "cat_part", "transform" -> "identity",
+      "source-id" -> 2, "field-id" -> 1000)))),
+    "last-partition-id" -> 1000,
+    "default-sort-order-id" -> 0,
+    "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+    "properties" -> Map.empty,
+    "current-snapshot-id" -> snapId,
+    "snapshots" -> Seq(Map(
+      "snapshot-id" -> snapId, "timestamp-ms" -> 1700000000000L,
+      "sequence-number" -> 1, "schema-id" -> 0,
+      "summary" -> Map("operation" -> "append"),
+      "manifest-list" -> s"file:$listPath")),
+    "snapshot-log" -> Nil, "metadata-log" -> Nil))
+
+  /** One parquet data file (id long, cat string) with field ids stamped. */
+  private def dataFile(dir: Path, name: String, rows: Seq[(Long, String)]): Path = {
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val df = rows.toDF("id", "cat")
+      .select(col("id").as("id", fid(1)), col("cat").as("cat", fid(2)))
+    val staging = Files.createTempDirectory("foreign-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.createDirectories(dir)
+    Files.move(part, dir.resolve(name))
+    graft.log.TxLog.deleteRecursively(staging)
+    dir.resolve(name)
+  }
+
+  test("foreign layout: spec field name differs from the source column, " +
+    "every path a file: URI, position deletes included — partition values " +
+    "bind to the COLUMN, pruning works, masks apply") {
+    val dir = tmpDir("foreign-iceberg").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    val fb = dataFile(dir, "data-b.parquet", Seq((10L, "b"), (11L, "b")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // position-delete parquet masking position 1 of file A (id 2)
+    val del = {
+      val staging = Files.createTempDirectory("foreign-del")
+      Seq((s"file:$fa", 1L)).toDF("file_path", "pos").coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.move(part, metaDir.resolve("del-1.parquet"))
+      graft.log.TxLog.deleteRecursively(staging)
+      metaDir.resolve("del-1.parquet")
+    }
+    // manifests: one data (scheme-ful file_paths), one deletes
+    val mData = metaDir.resolve("m-data.avro")
+    writeAvro(mData, entrySchema, Seq(
+      entry((0, s"file:$fa", "PARQUET", 3L, Files.size(fa)), "a"),
+      entry((0, s"file:$fb", "parquet", 2L, Files.size(fb)), "b")))
+    val mDel = metaDir.resolve("m-del.avro")
+    writeAvro(mDel, entrySchema, Seq(
+      entry((1, s"file:$del", "PARQUET", 1L, Files.size(del)), null)))
+    val listPath = metaDir.resolve("snap-42.avro")
+    def listRow(path: Path, content: Int): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", s"file:$path")
+      r.put("manifest_length", Files.size(path))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 42L)
+      r
+    }
+    writeAvro(listPath, listSchema, Seq(listRow(mData, 0), listRow(mDel, 1)))
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metadataJson(dir, listPath, 42L).getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+
+    val t = LakeTable.convert(spark, dir.toString)
+    t.snapshot().metadata.partitionColumns shouldBe Seq("cat")
+    // partition tuples bound through the spec FIELD name to the column
+    t.snapshot().files.map(f =>
+      f.path -> f.partitionValues("cat")).toMap shouldBe
+      Map("data-a.parquet" -> "a", "data-b.parquet" -> "b")
+    // the position delete applied: id 2 masked
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 10L, 11L)
+    // partition pruning works off the imported tuples
+    val full = t.snapshot().numFiles
+    t.read(Seq(col("cat") === "b")).inputFiles.length should be < full
+    // files carry field ids agreeing with the schema -> mapped import
+    graft.log.ColumnIds.mapped(t.snapshot().schema) shouldBe true
+  }
+
+  test("identity partitions on types without a faithful string round-trip " +
+    "refuse (a foreign timestamptz partition would import garbage)") {
+    val dir = tmpDir("foreign-iceberg-ts").resolve("t")
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metadataJson(dir, metaDir.resolve("snap-0.avro"), -1L,
+        catType = "timestamptz").getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      LakeTable.convert(spark, dir.toString)
+    }.getMessage should include("faithful string")
+  }
+}

@@ -80,6 +80,59 @@ class IcebergImportSpec extends SparkSpec {
     t.snapshot().protocol.writerSet should contain("deletionVectors")
   }
 
+  test("a renamed column round-trips BY ID: old files keep the old footer " +
+    "name, the field id binds them to the renamed column") {
+    val dir = tmpDir("iceberg-rename").resolve("t")
+    val t = LakeTable.createFrom(spark, dir.toString,
+      df3((1L, "a", 10.0), (2L, "b", 20.0)))
+    t.renameColumn("amount", "total") // metadata-only: files keep 'amount'
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "total"))
+    t.generateIcebergMetadata()
+    graft.log.TxLog.deleteRecursively(dir.resolve("_txlog"))
+    val t2 = LakeTable.convert(spark, dir.toString)
+    t2.read().columns.toSeq shouldBe Seq("id", "name", "total")
+    // the pre-rename file's values surface under the NEW name — by-id
+    // binding, exactly what field ids exist for
+    t2.read().agg(sum("total")).head().getDouble(0) shouldBe 60.0
+    graft.log.ColumnIds.mapped(t2.snapshot().schema) shouldBe true
+  }
+
+  test("dangling position-delete rows (targets compacted away without a " +
+    "delete rewrite) are ignored, not fatal") {
+    val dir = icebergFixture("dangling",
+      props = Map("graft.enableDeletionVectors" -> "true")) { t =>
+      t.delete(col("id") === 1L)
+    }
+    // append a dangling row to the exported delete parquet: a path no
+    // live data file has (Iceberg readers ignore such rows)
+    val metaDir = dir.resolve("metadata")
+    val deleteFile = {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala.find(
+        _.getFileName.toString.startsWith("delete-")).get
+      finally s.close()
+    }
+    val rows = spark.read.parquet(deleteFile.toString)
+    val extra = rows.limit(1).select(
+      org.apache.spark.sql.functions.lit(s"$dir/compacted-away.parquet")
+        .as("file_path"),
+      org.apache.spark.sql.functions.lit(0L).as("pos"))
+    val staging = Files.createTempDirectory("iceberg-dangling")
+    rows.unionByName(extra).coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.move(part, deleteFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dropCrcSibling(deleteFile)
+    val t = LakeTable.convert(spark, dir.toString)
+    // the real mask applied; the dangling row vanished
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L)
+    t.snapshot().dvs.values.map(_.numDeleted).sum shouldBe 1
+  }
+
   test("identity-partitioned tables import with layout + partition values " +
     "(pruning works); non-identity transforms refuse") {
     val dir = icebergFixture("part", pcols = Seq("name"))(_ => ())

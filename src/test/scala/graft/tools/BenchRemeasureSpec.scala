@@ -56,4 +56,16 @@ class BenchRemeasureSpec extends AnyFunSuite with Matchers {
     flagged.size shouldBe 8
     flagged.distinct.size shouldBe 8
   }
+
+  test("an anomaly outside the cost top-N survives the cap (anomalies " +
+    "order first, never evicted by load-flagged heavies)") {
+    // ten known-heavy streaming-style costs dominate, plus one anomalous
+    // cheap query billed at 15 s that is NOT in the cost top-5
+    val results = (1 to 10).map(i => s"q60_stream$i" -> (20.0 + i)) :+
+      ("q64_perplexity" -> 15.0)
+    val reps = results.map { case (n, v) => n -> Seq(v) }.toMap
+    val flagged = graft.Bench.remeasureTargets(results, reps,
+      loadAtStart = 30.0, ncpu = 32, topN = 5)
+    flagged.head shouldBe "q64_perplexity"
+  }
 }
