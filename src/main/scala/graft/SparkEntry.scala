@@ -151,6 +151,7 @@ object SparkEntry {
     "q113_delta_dv" -> (MetaOps.convertDeltaDv _),
     "q114_delta_mapped" -> (MetaOps.convertDeltaMapped _),
     "q115_iceberg_import" -> (MetaOps.convertIceberg _),
+    "q116_iceberg_sync" -> (MetaOps.icebergSync _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

@@ -276,6 +276,148 @@ object MetaOps {
     t2.read()
   }
 
+  /** Hand-written Iceberg snapshot advancement — the stand-in for a
+    * FOREIGN writer committing to the table after graft imported it.
+    * Avro schemas are authored here (minimal spec shapes), independent of
+    * graft's own exporter, so the sync is tested against the public spec
+    * rather than against the engine's own output. */
+  private object IcebergFixture {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    private val listSchema = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"manifest_length","type":"long"},
+        {"name":"partition_spec_id","type":"int"},
+        {"name":"content","type":"int"},
+        {"name":"sequence_number","type":"long"},
+        {"name":"min_sequence_number","type":"long"},
+        {"name":"added_snapshot_id","type":"long"}]}""")
+    private val entrySchema = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{
+          "type":"record","name":"r2","fields":[
+            {"name":"content","type":"int"},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"partition","type":{
+              "type":"record","name":"r102","fields":[]}},
+            {"name":"record_count","type":"long"},
+            {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+    private def writeAvro(target: java.nio.file.Path,
+        schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, target.toFile)
+      try rows.foreach(w.append) finally w.close()
+    }
+    /** Append ONE new snapshot adding `name` (already on disk under
+      * `dir`): new manifest, new manifest list carrying every prior
+      * manifest forward, new v<N+1>.metadata.json, hint swap. */
+    def advance(dir: java.nio.file.Path, name: String, rows: Long): Unit = {
+      val metaDir = dir.resolve("metadata")
+      val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text"))).trim.toLong
+      val meta = plain.readValue(
+        Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+        classOf[java.util.Map[String, Object]])
+      def num(o: Object) = o.asInstanceOf[java.lang.Number].longValue()
+      import scala.jdk.CollectionConverters._
+      val snaps = meta.get("snapshots")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+      val current = num(meta.get("current-snapshot-id"))
+      val prevListPath = java.nio.file.Paths.get(graft.log.Stats.stripScheme(
+        snaps.asScala.find(s => num(s.get("snapshot-id")) == current).get
+          .get("manifest-list").toString))
+      val prevRows = graft.table.Uniform.avroRecords(prevListPath)
+      val seq = num(meta.get("last-sequence-number")) + 1
+      // new manifest: one added data file, unpartitioned
+      val mPath = metaDir.resolve(s"fx-m-$seq.avro")
+      val dfs = entrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfs)
+      df.put("content", 0)
+      df.put("file_path", dir.resolve(name).toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfs.getField("partition").schema()))
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", Files.size(dir.resolve(name)))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", df)
+      writeAvro(mPath, entrySchema, Seq(e))
+      // new manifest list: every prior manifest forward + the new one
+      val listPath = metaDir.resolve(s"fx-snap-$seq.avro")
+      def listRow(path: String, content: Int): GenericRecord = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path)
+        r.put("manifest_length",
+          Files.size(java.nio.file.Paths.get(graft.log.Stats.stripScheme(path))))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", current + 1)
+        r
+      }
+      writeAvro(listPath, listSchema,
+        prevRows.map(m => listRow(m.get("manifest_path").toString,
+          m.get("content").asInstanceOf[Int])) :+
+          listRow(mPath.toString, 0))
+      // new metadata json: sequence + snapshot advance, all else carried
+      val newSnap = new java.util.HashMap[String, Object]()
+      newSnap.put("snapshot-id", java.lang.Long.valueOf(current + 1))
+      newSnap.put("timestamp-ms", java.lang.Long.valueOf(1700000009000L))
+      newSnap.put("sequence-number", java.lang.Long.valueOf(seq))
+      newSnap.put("schema-id", meta.get("current-schema-id"))
+      newSnap.put("summary", new java.util.HashMap[String, Object]())
+      newSnap.put("manifest-list", listPath.toString)
+      snaps.add(newSnap)
+      meta.put("last-sequence-number", java.lang.Long.valueOf(seq))
+      meta.put("current-snapshot-id", java.lang.Long.valueOf(current + 1))
+      Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+        plain.writeValueAsBytes(meta))
+      Files.write(metaDir.resolve("version-hint.text"),
+        (hint + 1).toString.getBytes("UTF-8")): Unit
+    }
+  }
+
+  /** Iceberg continuous-migration gate (q116): the [[convertIceberg]]
+    * round-trip shape — DV-masked even half exported, log severed,
+    * imported — then the SOURCE keeps writing: a hand-crafted foreign
+    * snapshot (spec-faithful Avro + metadata JSON, independent of the
+    * exporter) appends the odd half, and [[graft.migrate.IcebergImport
+    * .sync]] applies the net difference as one graft commit; a second
+    * sync no-ops. Oracle: everything but the DV-masked `%6 = 0` keys. */
+  def icebergSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture.writeOne
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-iceberg-sync").resolve("t")
+    val t = LakeTable.createFrom(spark, dir.toString,
+      orders.filter(col("o_orderkey") % 2 === 0),
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    t.delete(col("o_orderkey") % 6 === 0) // %6=0 keys are all even
+    t.generateIcebergMetadata()
+    graft.log.TxLog.deleteRecursively(dir.resolve("_txlog"))
+    LakeTable.convert(spark, dir.toString)
+    // the foreign source appends the odd half — its file must carry field
+    // ids agreeing with the schema (the sync's by-id binding gate)
+    val fields = orders.schema.fields
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(fields.zipWithIndex.map { case (f, i) =>
+        col(f.name).as(f.name, fid(i + 1L)) }.toIndexedSeq: _*)
+    writeOne(dir, odd, "f-odd.parquet")
+    IcebergFixture.advance(dir, "f-odd.parquet",
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    graft.migrate.IcebergImport.sync(spark, dir.toString)
+    graft.migrate.IcebergImport.sync(spark, dir.toString) // replay: no-op
+    LakeTable.forPath(spark, dir.toString).read()
+  }
+
   /** Delta continuous-migration gate (q111): import at Delta v1, then the
     * source keeps writing (v2 swaps a slice), and [[DeltaImport.sync]]
     * catches up as one net graft commit — convert once, sync on a cadence,
@@ -593,6 +735,10 @@ object MetaOps {
     "q115_iceberg_import" ->
       """SELECT * FROM orders
          WHERE o_orderkey % 6 <> 0 AND o_orderkey % 11 <> 3""",
+    // even half imported with %6=0 masked (all such keys are even), then
+    // the foreign source appends the odd half and sync catches up
+    "q116_iceberg_sync" ->
+      "SELECT * FROM orders WHERE o_orderkey % 6 <> 0",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

@@ -78,17 +78,6 @@ object DeltaImport {
     * has consumed. */
   val SourceVersionKey = "graft.delta.sourceVersion"
 
-  /** Graft operations that cannot change the live data-file set. Anything
-    * else between the last CONVERT/DELTA SYNC and now means graft-side
-    * writes diverged from the Delta source — a Delta remove of a path graft
-    * already rewrote would be dropped by the live-set filter while the
-    * Delta-side replacement add still lands, silently duplicating rows —
-    * so [[sync]] refuses: local DML is the cut-over moment. */
-  private val FileSetNeutralOps = Set(
-    "CONVERT", "DELTA SYNC", "VACUUM", "ANALYZE", "GENERATE",
-    "SET TBLPROPERTIES", "UNSET TBLPROPERTIES", "UPGRADE PROTOCOL",
-    "ADD FEATURE")
-
   /** The Delta log reads ride the engine's [[graft.log.LogStore]] seam
     * (swap [[graft.log.LogStore.default]] to route ALL import IO through
     * an object store); data parquet, checkpoint parquet, and DV sidecars
@@ -120,27 +109,10 @@ object DeltaImport {
     val from = t.properties.get(SourceVersionKey).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"$dir was not imported from Delta (no $SourceVersionKey property)"))
-    // divergence guard: graft-side commits since the last sync point must
-    // not have touched the live file set (see [[FileSetNeutralOps]]).
-    // Checked here for a fast loud failure AND re-checked inside the
-    // commit closure — a local DML landing between this check and the CAS
-    // would otherwise recreate the exact silent duplication the guard
-    // exists to prevent (the retry loop re-resolves the snapshot, so the
-    // closure sees the interloper).
-    def requireNotDiverged(commits: Seq[CommitInfo]): Unit = {
-      val syncPoint = commits.filter(c =>
-          c.operation == "CONVERT" || c.operation == "DELTA SYNC")
-        .map(_.version).maxOption.getOrElse(-1L)
-      val diverging = commits.filter(_.version > syncPoint)
-        .filterNot(c => FileSetNeutralOps(c.operation))
-      require(diverging.isEmpty,
-        s"graft-side commit(s) ${diverging.map(c =>
-          s"v${c.version} ${c.operation}").mkString(", ")} changed the " +
-          "table since the last Delta sync — local writes are the " +
-          "cut-over moment; this table can no longer mirror the Delta " +
-          "source (re-import into a fresh directory to keep syncing)")
-    }
-    requireNotDiverged(t.snapshot().commits)
+    // divergence guard ([[SyncGuard]]): checked at entry for a fast loud
+    // failure AND re-checked inside the commit closure (TOCTOU)
+    val syncOps = Set("CONVERT", "DELTA SYNC")
+    SyncGuard.requireNotDiverged(t.snapshot().commits, syncOps, "Delta")
     val entries = store.listFileNames(logDir)
     val jsonRe = raw"(\d{20})\.json".r
     val newer = entries.collect { case jsonRe(v) => v.toLong }
@@ -268,7 +240,7 @@ object DeltaImport {
           throw new LakeTable.EpochAlreadyCommitted
         // TOCTOU closure re-check: a local write that landed after the
         // entry guard makes this retry refuse instead of duplicating rows
-        requireNotDiverged(s.commits)
+        SyncGuard.requireNotDiverged(s.commits, syncOps, "Delta")
         val live = s.files.map(_.path).toSet
         val meta = s.metadata.copy(properties =
           s.metadata.properties ++

@@ -5,8 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.file.DataFileReader
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.generic.GenericRecord
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
@@ -18,7 +17,8 @@ import graft.table.LakeTable
   * remaining interop quadrant. [[graft.table.Uniform]] exports TO Iceberg;
   * this replays Iceberg metadata INTO a graft table in place, sharing every
   * data file — so an exported table round-trips, and a foreign Iceberg
-  * table migrates without a rewrite.
+  * table migrates without a rewrite. [[sync]] then follows the source's
+  * NEW snapshots until cut-over, exactly like [[DeltaImport.sync]].
   *
   * Replayed state (Iceberg table spec, format-version 2): the current
   * metadata file (version-hint.text, else the highest `v<N>.metadata.json`),
@@ -30,30 +30,40 @@ import graft.table.LakeTable
   *
   * Honest scope — refuse rather than silently mis-read:
   *  - format-version 2 only (v1 manifests carry a different entry shape);
-  *  - identity partition transforms only (bucket/truncate/days values are
-  *    DERIVED — the source column is intact in the data files, but graft
-  *    models layout as identity columns; non-identity specs refuse);
-  *    identity-partitioned Iceberg data files CONTAIN their partition
-  *    columns, so the zero-copy import stays faithful (unlike Delta);
+  *  - identity partition transforms only, on types whose Avro partition
+  *    encoding has a faithful string form (string/int/long/date — the set
+  *    the exporter writes); identity-partitioned Iceberg data files
+  *    CONTAIN their partition columns, so zero-copy stays faithful
+  *    (unlike Delta), and the tuples import keyed by the SPEC FIELD name
+  *    (a foreign spec may name the field differently from the column);
   *  - equality deletes refuse (row-predicate deletes cannot transcode to
-  *    position masks without a scan);
+  *    position masks without a scan); DANGLING position deletes (targets
+  *    compacted away without a delete rewrite — spec-valid) are ignored,
+  *    exactly as Iceberg readers ignore them;
   *  - data files outside the table root refuse, like the Delta importer's
   *    absolute-path rule;
-  *  - column binding: when every live footer carries parquet field ids
-  *    agreeing with the Iceberg schema ids, the import keeps by-id
-  *    resolution (renames survive); otherwise it falls back to BY NAME and
-  *    requires every footer column to be a schema column (Iceberg's own
-  *    name-mapping fallback shape).
+  *  - column binding: Iceberg field ids are never reused, so they are
+  *    AUTHORITATIVE regardless of footer names — by-id resolution is safe
+  *    precisely when every live footer column carries an id (renames
+  *    survive: old files keep the old NAME, the id binds them); id-less
+  *    files fall back to BY NAME, refusing unknown footer columns.
   *
   * Stats: record counts come from the manifests and are CROSS-CHECKED
   * against the parquet footers; min/max bounds are re-derived from footers
   * (exact by construction) rather than trusted from manifests — the
   * Iceberg spec allows truncated (loose) bounds, which are safe for
   * skipping but would poison graft's metadata-only EXACT min/max answers.
-  * One parallel footer pass at import time buys exactness forever. */
+  * ONE parallel footer pass (stats + field ids together) buys exactness
+  * forever. */
 object IcebergImport {
 
   private val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Table properties recording the consumed source state: the source's
+    * last-sequence-number (monotonic — the sync ordering key) and the
+    * metadata version it was read from. */
+  val SourceSeqKey = "graft.iceberg.sourceSequence"
+  val SourceMetaVersionKey = "graft.iceberg.sourceMetadataVersion"
 
   /** Metadata IO rides [[graft.log.LogStore.default]] (the engine's store
     * seam); data/delete parquet and footer reads are data-plane Spark /
@@ -64,17 +74,214 @@ object IcebergImport {
     store.listFileNames(Paths.get(dir, "metadata")).exists(n =>
       n == "version-hint.text" || n.matches(raw"v\d+\.metadata\.json"))
 
+  /** The replayed current state of an Iceberg table's metadata. */
+  private case class IcebergState(
+      metaVersion: Long,
+      meta: java.util.Map[String, Object],
+      lastSeq: Long,
+      schemaWithIds: StructType,
+      partFields: Seq[(String, String)], // (spec field name, column name)
+      pcols: Seq[String],
+      live: Seq[(String, GenericRecord)], // (relative path, data_file record)
+      deletePaths: Seq[String])
+
   /** Import `<dir>`'s Iceberg metadata as a graft table IN PLACE
     * (idempotent: an already-imported directory returns the existing graft
     * table). */
   def convert(spark: SparkSession, dir: String): LakeTable = {
     if (TxLog.isTable(dir)) return LakeTable.forPath(spark, dir)
     val root = Paths.get(dir).toAbsolutePath.normalize
+    val st = replay(root)
+    val now = System.currentTimeMillis()
+
+    // ---- column binding + ONE footer pass (ids + exact stats) ----
+    val icebergIds: Map[String, Long] = st.schemaWithIds.fields.map(f =>
+      f.name -> ColumnIds.idOf(f).get).toMap
+    val footers: Map[String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])] =
+      if (st.live.isEmpty) Map.empty
+      else Stats.fromFootersWithIds(
+        st.live.map(p => root.resolve(p._1)), st.schemaWithIds)
+    val allIdsPresent = st.live.nonEmpty && st.live.forall { case (p, _) =>
+      footers(root.resolve(p).toString)._3.forall(_._2.isDefined)
+    }
+    val schema =
+      if (allIdsPresent) st.schemaWithIds
+      else {
+        st.live.foreach { case (p, _) =>
+          footers(root.resolve(p).toString)._3.foreach { case (name, _) =>
+            require(icebergIds.contains(name),
+              s"file $p column '$name' is not a schema column and the " +
+                "files carry no usable field ids — name-mapping this " +
+                "importer cannot resolve; rewrite the table")
+          }
+        }
+        ColumnIds.strip(st.schemaWithIds)
+      }
+    val graftAdds: Seq[AddFile] = st.live.map { case (p, df) =>
+      toAddFile(st, root, p, df, footers(root.resolve(p).toString), now)
+    }
+
+    // ---- position deletes -> graft deletion-vector masks ----
+    val liveAbs = graftAdds.map(f => root.resolve(f.path).toString).toSet
+    val masks = buildMasks(spark, root, st.deletePaths, liveAbs)
+    val dvActions: Seq[graft.log.Action] = masks.toSeq.flatMap {
+      case (rel, counts) =>
+        graftAdds.flatMap(f => counts.get(root.resolve(f.path).toString)
+          .map(n => graft.log.DeletionVector(f.path, rel, n)))
+    }
+
+    // ---- one graft commit materializing the snapshot ----
+    val properties = Option(st.meta.get("properties"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val maxIdProp: Map[String, String] =
+      if (!allIdsPresent) Map.empty
+      else Map(ColumnIds.MaxIdKey -> math.max(
+        Option(st.meta.get("last-column-id")).map(num).getOrElse(0L),
+        ColumnIds.maxId(Map.empty, schema)).toString)
+    val metaAction = graft.log.Metadata(
+      Option(st.meta.get("table-uuid")).map(_.toString)
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      root.getFileName.toString, schema.json, st.pcols,
+      LakeTable.normalizeProps(properties) ++ maxIdProp +
+        (SourceSeqKey -> st.lastSeq.toString) +
+        (SourceMetaVersionKey -> st.metaVersion.toString), now)
+    val ci = CommitInfo(0L, now, "CONVERT",
+      Map("numFiles" -> graftAdds.size.toString,
+        "sourceFormat" -> "iceberg",
+        "numDeletionVectors" -> dvActions.size.toString,
+        "sourceVersion" -> st.metaVersion.toString), Map.empty, -1L,
+      LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
+    val proto = graft.log.Protocol.merge(
+      graft.log.Protocol.merge(graft.log.Protocol.Current,
+        LakeTable.impliedFeatures(metaAction.properties)),
+      if (dvActions.isEmpty) graft.log.Protocol.Current
+      else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
+    val tlog = new TxLog(root)
+    if (!tlog.tryCommit(0L, ci +: proto +: metaAction +: (graftAdds ++ dvActions)))
+      return LakeTable.forPath(spark, dir) // lost a concurrent import
+    LakeTable.forPath(spark, dir)
+  }
+
+  /** Incremental catch-up after [[convert]]: when the source's
+    * last-sequence-number advanced, apply the NET difference between its
+    * current snapshot and the graft live set as ONE graft commit — new
+    * files add zero-copy (footer-verified binding + exact stats, O(new
+    * files) only), vanished files remove, and the deletion-vector state
+    * REBUILDS from the current position deletes (masks that appeared
+    * land, masks that vanished clear; cost O(current masked positions)
+    * per sync). The consumed sequence advances in the same commit, so a
+    * replay or racing sync no-ops. The continuous-migration shape:
+    * convert once, sync on a cadence, cut over when ready.
+    *
+    * Refusals mirror the Delta sync: graft-side commits that could have
+    * changed the live file set (the cut-over guard, re-checked inside the
+    * commit CAS), a schema or partition-spec change on the source (the
+    * cut-over moment, not a silent sync step). Source table properties do
+    * NOT propagate (Iceberg properties rarely map onto graft semantics —
+    * set them locally if needed). Returns the graft version. */
+  def sync(spark: SparkSession, dir: String): Long = {
+    val t = LakeTable.forPath(spark, dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val consumed = t.properties.get(SourceSeqKey).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir was not imported from Iceberg (no $SourceSeqKey property)"))
+    val syncOps = Set("CONVERT", "ICEBERG SYNC")
+    SyncGuard.requireNotDiverged(t.snapshot().commits, syncOps, "Iceberg")
+    val st = replay(root)
+    if (st.lastSeq <= consumed) return t.version
+    val snap0 = t.snapshot()
+    val mapped = ColumnIds.mapped(snap0.schema)
+    val incoming =
+      if (mapped) st.schemaWithIds else ColumnIds.strip(st.schemaWithIds)
+    require(incoming == snap0.schema,
+      s"the Iceberg source's schema changed — schema evolution is a " +
+        "cut-over moment, not a silent sync step; re-import")
+    require(st.pcols == snap0.metadata.partitionColumns,
+      s"the Iceberg source's partition spec changed " +
+        s"(${st.pcols.mkString(", ")}) — not syncable in place; re-import")
+
+    val graftLive: Set[String] = snap0.files.map(_.path).toSet
+    val currentLive: Set[String] = st.live.map(_._1).toSet
+    val newEntries = st.live.filterNot { case (p, _) => graftLive.contains(p) }
+    val removed = (graftLive -- currentLive).toSeq
+    // binding gate + exact stats for the NEW files only (O(churn) footers)
+    val footers =
+      if (newEntries.isEmpty)
+        Map.empty[String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])]
+      else Stats.fromFootersWithIds(
+        newEntries.map(p => root.resolve(p._1)), st.schemaWithIds)
+    newEntries.foreach { case (p, _) =>
+      val cols = footers(root.resolve(p).toString)._3
+      if (mapped) cols.foreach { case (name, id) =>
+        require(id.isDefined,
+          s"synced file $p column '$name' carries no field id — this " +
+            "by-id table cannot bind it; re-import")
+      } else cols.foreach { case (name, _) =>
+        require(snap0.schema.fieldNames.contains(name),
+          s"synced file $p column '$name' is not a schema column — " +
+            "name-mapping this importer cannot resolve")
+      }
+    }
+    val now = System.currentTimeMillis()
+    val newAdds: Seq[AddFile] = newEntries.map { case (p, df) =>
+      toAddFile(st, root, p, df, footers(root.resolve(p).toString), now)
+    }
+    // rebuild the CURRENT mask state (position deletes are snapshot-global)
+    val liveAbs = st.live.map(p => root.resolve(p._1).toString).toSet
+    val masks = buildMasks(spark, root, st.deletePaths, liveAbs)
+    try {
+      t.commitWithRetry("ICEBERG SYNC",
+        Map("fromSequence" -> consumed.toString,
+          "toSequence" -> st.lastSeq.toString,
+          "sourceVersion" -> st.metaVersion.toString),
+        snap0,
+        Map("numAddedFiles" -> newAdds.size.toLong,
+          "numRemovedFiles" -> removed.size.toLong)) { s =>
+        // a racing sync already consumed this state: stand down
+        if (s.metadata.properties.get(SourceSeqKey)
+            .exists(_.toLong >= st.lastSeq))
+          throw new LakeTable.EpochAlreadyCommitted
+        // TOCTOU re-check: local writes after the entry guard refuse here
+        SyncGuard.requireNotDiverged(s.commits, syncOps, "Iceberg")
+        val liveNow = s.files.map(_.path).toSet
+        val dvActions: Seq[graft.log.DeletionVector] = masks.toSeq.flatMap {
+          case (rel, counts) => st.live.flatMap { case (p, _) =>
+            counts.get(root.resolve(p).toString)
+              .map(n => graft.log.DeletionVector(p, rel, n))
+          }
+        }
+        val maskedNow = dvActions.map(_.forFile).toSet
+        // previously-masked files whose mask vanished: explicit clears
+        // (REMOVED files drop their vectors automatically)
+        val clears = s.dvs.keys
+          .filterNot(maskedNow).filter(currentLive.contains)
+          .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
+        val metaA = s.metadata.copy(properties = s.metadata.properties +
+          (SourceSeqKey -> st.lastSeq.toString) +
+          (SourceMetaVersionKey -> st.metaVersion.toString))
+        val proto = graft.log.Protocol.merge(s.protocol,
+          if (dvActions.isEmpty) s.protocol
+          else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
+        (if (proto == s.protocol) Seq(metaA) else Seq(proto, metaA)) ++
+          newAdds ++ dvActions ++ clears ++
+          removed.filter(liveNow.contains)
+            .map(p => graft.log.RemoveFile(p, now))
+      }
+    } catch { case _: LakeTable.EpochAlreadyCommitted => () }
+    t.version
+  }
+
+  // ------------------------------------------------------------ replay
+
+  /** Replay `<root>`'s current Iceberg metadata into its live state. */
+  private def replay(root: Path): IcebergState = {
     val metaDir = root.resolve("metadata")
     val (metaVersion, meta) = resolveMetadata(metaDir)
     val formatVersion = num(meta.get("format-version"))
     require(formatVersion == 2,
-      s"$dir is an Iceberg format-version $formatVersion table — this " +
+      s"$root is an Iceberg format-version $formatVersion table — this " +
         "importer replays version 2 (v1 manifests have a different shape)")
 
     // ---- schema (current-schema-id) ----
@@ -151,7 +358,7 @@ object IcebergImport {
                 case (0, 0) => data += df
                 case (1, 1) => deletes += df.get("file_path").toString
                 case (1, 2) => throw new IllegalArgumentException(
-                  s"$dir carries EQUALITY deletes — predicate deletes " +
+                  s"$root carries EQUALITY deletes — predicate deletes " +
                     "cannot transcode to position masks; compact them " +
                     "away on the Iceberg side and re-import")
                 case other => throw new IllegalArgumentException(
@@ -179,136 +386,73 @@ object IcebergImport {
       relativize(df.get("file_path").toString) -> df
     }
     require(live.map(_._1).distinct.size == live.size,
-      s"duplicate live data-file paths in $dir's manifests — malformed")
+      s"duplicate live data-file paths in $root's manifests — malformed")
+    IcebergState(metaVersion, meta,
+      Option(meta.get("last-sequence-number")).map(num).getOrElse(0L),
+      schemaWithIds, partFields, pcols, live, deletePaths)
+  }
 
-    // ---- column binding: by id when the footers prove it, else by name --
-    // Iceberg field ids are never reused, so they are AUTHORITATIVE
-    // regardless of footer names: a footer column whose id matches a live
-    // schema id is that column (this is exactly how renames survive — old
-    // files keep the old NAME but the id binds them to the renamed
-    // column); an id outside the live set is a dropped column, unread.
-    // By-id is therefore safe precisely when EVERY footer column carries
-    // an id. Id-less files fall back to BY NAME, where every footer name
-    // must be a schema column (Iceberg's name-mapping fallback shape).
-    val icebergIds: Map[String, Long] = schemaWithIds.fields.map(f =>
-      f.name -> ColumnIds.idOf(f).get).toMap
-    // ONE footer pass serves both the binding decision and the stats
-    // re-derivation (2N opens would double import metadata IO for nothing)
-    val footers: Map[String, (Long, Map[String, ColStats], Seq[(String, Option[Int])])] =
-      if (live.isEmpty) Map.empty
-      else Stats.fromFootersWithIds(
-        live.map(p => root.resolve(p._1)), schemaWithIds)
-    val allIdsPresent = live.nonEmpty && live.forall { case (p, _) =>
-      footers(root.resolve(p).toString)._3.forall(_._2.isDefined)
-    }
-    val schema =
-      if (allIdsPresent) schemaWithIds
+  /** One live entry -> graft AddFile: manifest count cross-checked against
+    * the footer, footer-exact stats, identity partition tuple decoded by
+    * the SPEC field name into graft's string encoding. */
+  private def toAddFile(st: IcebergState, root: Path, p: String,
+      df: GenericRecord,
+      footer: (Long, Map[String, ColStats], Seq[(String, Option[Int])]),
+      now: Long): AddFile = {
+    val (footerCount, colStats, _) = footer
+    val manifestCount = df.get("record_count").asInstanceOf[Long]
+    require(manifestCount == footerCount,
+      s"manifest says $manifestCount records for $p, the footer says " +
+        s"$footerCount — refusing inconsistent metadata")
+    val pv: Map[String, String] =
+      if (st.pcols.isEmpty) Map.empty
       else {
-        live.foreach { case (p, _) =>
-          footers(root.resolve(p).toString)._3.foreach { case (name, _) =>
-            require(icebergIds.contains(name),
-              s"file $p column '$name' is not a schema column and the " +
-                "files carry no usable field ids — name-mapping this " +
-                "importer cannot resolve; rewrite the table")
-          }
-        }
-        ColumnIds.strip(schemaWithIds)
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        st.partFields.map { case (fieldName, c) =>
+          val v = part.get(fieldName) // keyed by the SPEC field name
+          val dt = st.schemaWithIds.fields.find(_.name == c).get.dataType
+          c -> (if (v == null) null else dt match {
+            case DateType => java.time.LocalDate
+              .ofEpochDay(v.asInstanceOf[java.lang.Number].longValue()).toString
+            case _ => v.toString
+          })
+        }.toMap
       }
-    val now = System.currentTimeMillis()
-    // identity partition tuples carry into graft's string-encoded
-    // partitionValues (pruning/replaceWhere run off them); dates decode
-    // from the avro epoch-day int back to the ISO string graft casts
-    val graftAdds: Seq[AddFile] = live.map { case (p, df) =>
-      val abs = root.resolve(p).toString
-      val (footerCount, colStats, _) = footers(abs)
-      val manifestCount = df.get("record_count").asInstanceOf[Long]
-      require(manifestCount == footerCount,
-        s"manifest says $manifestCount records for $p, the footer says " +
-          s"$footerCount — refusing inconsistent metadata")
-      val pv: Map[String, String] =
-        if (pcols.isEmpty) Map.empty
-        else {
-          val part = df.get("partition").asInstanceOf[GenericRecord]
-          partFields.map { case (fieldName, c) =>
-            val v = part.get(fieldName) // keyed by the SPEC field name
-            val dt = schemaWithIds.fields.find(_.name == c).get.dataType
-            c -> (if (v == null) null else dt match {
-              case DateType => java.time.LocalDate
-                .ofEpochDay(v.asInstanceOf[java.lang.Number].longValue()).toString
-              case _ => v.toString
-            })
-          }.toMap
-        }
-      AddFile(path = p, partitionValues = pv, size =
-        df.get("file_size_in_bytes").asInstanceOf[Long],
-        numRecords = manifestCount, stats = colStats,
-        modificationTime = now)
+    AddFile(path = p, partitionValues = pv,
+      size = df.get("file_size_in_bytes").asInstanceOf[Long],
+      numRecords = manifestCount, stats = colStats,
+      modificationTime = now)
+  }
+
+  /** Decode the current position deletes into ONE graft dv parquet under
+    * `root`; returns (relative dv path, per-ABS-path mask counts), or None
+    * when there are no delete files. file_path values canonicalize like
+    * data paths (scheme-ful URIs); DANGLING rows drop via a broadcast
+    * semi-join against the live set — never phantom vectors, never fatal. */
+  private def buildMasks(spark: SparkSession, root: Path,
+      deletePaths: Seq[String],
+      liveAbs: Set[String]): Option[(String, Map[String, Long])] = {
+    if (deletePaths.isEmpty) return None
+    val rel = s"dv/import-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    import org.apache.spark.sql.functions.col
+    val liveDf = {
+      import spark.implicits._
+      liveAbs.toSeq.toDF("__path")
     }
-
-    // ---- position deletes -> graft deletion-vector masks ----
-    val dvActions: Seq[graft.log.Action] =
-      if (deletePaths.isEmpty) Nil
-      else {
-        val rel = s"dv/import-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-        import org.apache.spark.sql.functions.col
-        val liveAbs = graftAdds.map(f => root.resolve(f.path).toString).toSet
-        // file_path values may be scheme-ful URIs (foreign writers):
-        // canonicalize exactly like the data-file paths above. DANGLING
-        // delete rows — targets compacted away without a delete rewrite, a
-        // spec-valid state Iceberg readers ignore — drop here too, BEFORE
-        // the mask aggregate, so they never become phantom graft vectors.
-        val liveDf = {
-          import spark.implicits._
-          liveAbs.toSeq.toDF("__path")
-        }
-        val masks = spark.read
-          .parquet(deletePaths.map(p => Stats.stripScheme(p)): _*)
-          .select(graft.log.DvBitmap.stripPathCol(
-            col("file_path").cast(StringType)).as("__path"), col("pos"))
-          .join(org.apache.spark.sql.functions.broadcast(liveDf),
-            Seq("__path"), "left_semi") // drops dangling rows, scalably
-          .groupBy("__path")
-          .agg(graft.log.DvBitmap.aggPositions(col("pos")).as("__bitmap"))
-        masks.withColumn("__n", graft.log.DvBitmap.cardinality(col("__bitmap")))
-          .write.mode("errorifexists").parquet(root.resolve(rel).toString)
-        // per-file mask counts (one tiny row per masked file)
-        val counts = spark.read.parquet(root.resolve(rel).toString)
-          .select("__path", "__n").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        graftAdds.flatMap(f => counts.get(root.resolve(f.path).toString)
-          .map(n => graft.log.DeletionVector(f.path, rel, n)))
-      }
-
-    // ---- one graft commit materializing the snapshot ----
-    val properties = Option(meta.get("properties"))
-      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
-        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
-      .getOrElse(Map.empty[String, String])
-    val maxIdProp: Map[String, String] =
-      if (!allIdsPresent) Map.empty
-      else Map(ColumnIds.MaxIdKey -> math.max(
-        Option(meta.get("last-column-id")).map(num).getOrElse(0L),
-        ColumnIds.maxId(Map.empty, schema)).toString)
-    val metaAction = graft.log.Metadata(
-      Option(meta.get("table-uuid")).map(_.toString)
-        .getOrElse(java.util.UUID.randomUUID().toString),
-      root.getFileName.toString, schema.json, pcols,
-      LakeTable.normalizeProps(properties) ++ maxIdProp, now)
-    val ci = CommitInfo(0L, now, "CONVERT",
-      Map("numFiles" -> graftAdds.size.toString,
-        "sourceFormat" -> "iceberg",
-        "numDeletionVectors" -> dvActions.size.toString,
-        "sourceVersion" -> metaVersion.toString), Map.empty, -1L,
-      LakeTable.currentUser, false, java.util.UUID.randomUUID().toString)
-    val proto = graft.log.Protocol.merge(
-      graft.log.Protocol.merge(graft.log.Protocol.Current,
-        LakeTable.impliedFeatures(metaAction.properties)),
-      if (dvActions.isEmpty) graft.log.Protocol.Current
-      else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
-    val tlog = new TxLog(root)
-    if (!tlog.tryCommit(0L, ci +: proto +: metaAction +: (graftAdds ++ dvActions)))
-      return LakeTable.forPath(spark, dir) // lost a concurrent import
-    LakeTable.forPath(spark, dir)
+    val masks = spark.read
+      .parquet(deletePaths.map(p => Stats.stripScheme(p)): _*)
+      .select(graft.log.DvBitmap.stripPathCol(
+        col("file_path").cast(StringType)).as("__path"), col("pos"))
+      .join(org.apache.spark.sql.functions.broadcast(liveDf),
+        Seq("__path"), "left_semi")
+      .groupBy("__path")
+      .agg(graft.log.DvBitmap.aggPositions(col("pos")).as("__bitmap"))
+    masks.withColumn("__n", graft.log.DvBitmap.cardinality(col("__bitmap")))
+      .write.mode("errorifexists").parquet(root.resolve(rel).toString)
+    val counts = spark.read.parquet(root.resolve(rel).toString)
+      .select("__path", "__n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Some((rel, counts))
   }
 
   // ------------------------------------------------------------ helpers

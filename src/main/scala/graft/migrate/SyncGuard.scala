@@ -1,0 +1,37 @@
+package graft.migrate
+
+import graft.log.CommitInfo
+
+/** The shared cut-over guard for continuous-migration syncs (Delta and
+  * Iceberg alike): a mirror table must not have taken graft-side writes
+  * that could change the live file set since its last sync point — a
+  * source-side remove of a locally rewritten path would be dropped by the
+  * live-set filter while the source-side replacement add still landed,
+  * silently duplicating rows. Local DML is the cut-over moment. */
+private[migrate] object SyncGuard {
+
+  /** Graft operations that cannot change the live data-file set. */
+  val FileSetNeutralOps: Set[String] = Set(
+    "CONVERT", "DELTA SYNC", "ICEBERG SYNC", "VACUUM", "ANALYZE", "GENERATE",
+    "SET TBLPROPERTIES", "UNSET TBLPROPERTIES", "UPGRADE PROTOCOL",
+    "ADD FEATURE")
+
+  /** Refuse when any commit after the last sync point (`syncOps`) is not
+    * file-set-neutral. Called at sync entry for a fast loud failure AND
+    * inside the commit CAS closure — the retry loop re-resolves the
+    * snapshot, so a local write landing in between refuses instead of
+    * duplicating (TOCTOU). */
+  def requireNotDiverged(commits: Seq[CommitInfo], syncOps: Set[String],
+      sourceKind: String): Unit = {
+    val syncPoint = commits.filter(c => syncOps.contains(c.operation))
+      .map(_.version).maxOption.getOrElse(-1L)
+    val diverging = commits.filter(_.version > syncPoint)
+      .filterNot(c => FileSetNeutralOps(c.operation))
+    require(diverging.isEmpty,
+      s"graft-side commit(s) ${diverging.map(c =>
+        s"v${c.version} ${c.operation}").mkString(", ")} changed the " +
+        s"table since the last $sourceKind sync — local writes are the " +
+        "cut-over moment; this table can no longer mirror the source " +
+        "(re-import into a fresh directory to keep syncing)")
+  }
+}

@@ -92,11 +92,11 @@ class ForeignIcebergSpec extends SparkSpec {
       Map("id" -> 2, "name" -> "cat", "required" -> false, "type" -> catType)))
 
   private def metadataJson(dir: Path, listPath: Path, snapId: Long,
-      catType: String = "string"): String = json(Map(
+      catType: String = "string", seq: Long = 1L): String = json(Map(
     "format-version" -> 2,
     "table-uuid" -> java.util.UUID.randomUUID().toString,
     "location" -> dir.toString,
-    "last-sequence-number" -> 1,
+    "last-sequence-number" -> seq,
     "last-updated-ms" -> 1700000000000L,
     "last-column-id" -> 2,
     "current-schema-id" -> 0,
@@ -113,10 +113,38 @@ class ForeignIcebergSpec extends SparkSpec {
     "current-snapshot-id" -> snapId,
     "snapshots" -> Seq(Map(
       "snapshot-id" -> snapId, "timestamp-ms" -> 1700000000000L,
-      "sequence-number" -> 1, "schema-id" -> 0,
+      "sequence-number" -> seq, "schema-id" -> 0,
       "summary" -> Map("operation" -> "append"),
       "manifest-list" -> s"file:$listPath")),
     "snapshot-log" -> Nil, "metadata-log" -> Nil))
+
+  private def listRowOf(path: Path, content: Int): GenericRecord = {
+    val r = new GenericData.Record(listSchema)
+    r.put("manifest_path", s"file:$path")
+    r.put("manifest_length", Files.size(path))
+    r.put("partition_spec_id", 0)
+    r.put("content", content)
+    r.put("sequence_number", 1L)
+    r.put("min_sequence_number", 1L)
+    r.put("added_snapshot_id", 42L)
+    r
+  }
+
+  /** Publish metadata version `v` whose current snapshot lists exactly
+    * `manifests` — one foreign writer commit. */
+  private def publish(dir: Path, v: Long, snapId: Long, seq: Long,
+      manifests: Seq[(Path, Int)]): Unit = {
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val listPath = metaDir.resolve(s"snap-$snapId.avro")
+    writeAvro(listPath, listSchema,
+      manifests.map { case (p, c) => listRowOf(p, c) })
+    Files.write(metaDir.resolve(s"v$v.metadata.json"),
+      metadataJson(dir, listPath, snapId, seq = seq)
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      v.toString.getBytes(StandardCharsets.UTF_8)): Unit
+  }
 
   /** One parquet data file (id long, cat string) with field ids stamped. */
   private def dataFile(dir: Path, name: String, rows: Seq[(Long, String)]): Path = {
@@ -199,6 +227,95 @@ class ForeignIcebergSpec extends SparkSpec {
     t.read(Seq(col("cat") === "b")).inputFiles.length should be < full
     // files carry field ids agreeing with the schema -> mapped import
     graft.log.ColumnIds.mapped(t.snapshot().schema) shouldBe true
+  }
+
+  test("sync follows a foreign writer: net add/remove, masks appear and " +
+    "clear, replays no-op, local DML blocks, schema change refuses") {
+    val dir = tmpDir("foreign-sync").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    val fb = dataFile(dir, "data-b.parquet", Seq((10L, "b"), (11L, "b")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mAB = metaDir.resolve("m-ab.avro")
+    writeAvro(mAB, entrySchema, Seq(
+      entry((0, s"file:$fa", "PARQUET", 3L, Files.size(fa)), "a"),
+      entry((0, s"file:$fb", "PARQUET", 2L, Files.size(fb)), "b")))
+    publish(dir, 1, 42L, 1L, Seq(mAB -> 0))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.read().count() shouldBe 5
+    t.properties(IcebergImport.SourceSeqKey) shouldBe "1"
+    // v2: the source drops b, adds c, and masks position 0 of a (id 1)
+    val fc = dataFile(dir, "data-c.parquet", Seq((20L, "c"), (21L, "c")))
+    val del = {
+      val staging = Files.createTempDirectory("foreign-sync-del")
+      Seq((s"file:$fa", 0L)).toDF("file_path", "pos").coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.move(part, metaDir.resolve("del-2.parquet"))
+      graft.log.TxLog.deleteRecursively(staging)
+      metaDir.resolve("del-2.parquet")
+    }
+    val mAC = metaDir.resolve("m-ac.avro")
+    writeAvro(mAC, entrySchema, Seq(
+      entry((0, s"file:$fa", "PARQUET", 3L, Files.size(fa)), "a"),
+      entry((0, s"file:$fc", "PARQUET", 2L, Files.size(fc)), "c")))
+    val mDel = metaDir.resolve("m-del2.avro")
+    writeAvro(mDel, entrySchema, Seq(
+      entry((1, s"file:$del", "PARQUET", 1L, Files.size(del)), null)))
+    publish(dir, 2, 43L, 2L, Seq(mAC -> 0, mDel -> 1))
+    IcebergImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(2L, 3L, 20L, 21L)
+    t2.snapshot().files.map(_.path).toSet shouldBe
+      Set("data-a.parquet", "data-c.parquet")
+    t2.snapshot().dvs.keySet shouldBe Set("data-a.parquet")
+    t2.snapshot().files.find(_.path == "data-c.parquet").get
+      .partitionValues("cat") shouldBe "c"
+    // replay: no-op
+    val v2 = t2.version
+    IcebergImport.sync(spark, dir.toString) shouldBe v2
+    // v3: the source purges the mask (no delete manifest anymore)
+    publish(dir, 3, 44L, 3L, Seq(mAC -> 0))
+    IcebergImport.sync(spark, dir.toString)
+    val t3 = LakeTable.forPath(spark, dir.toString)
+    t3.snapshot().dvs shouldBe empty
+    t3.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 20L, 21L)
+    // local DML = cut-over: a later sync refuses
+    t3.delete(col("id") === 20L)
+    publish(dir, 4, 45L, 4L, Seq(mAC -> 0))
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, dir.toString)
+    }.getMessage should include("cut-over")
+  }
+
+  test("sync refuses a source-side schema change (the cut-over moment)") {
+    val dir = tmpDir("foreign-sync-schema").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m = metaDir.resolve("m-a.avro")
+    writeAvro(m, entrySchema,
+      Seq(entry((0, s"file:$fa", "PARQUET", 1L, Files.size(fa)), "a")))
+    publish(dir, 1, 42L, 1L, Seq(m -> 0))
+    LakeTable.convert(spark, dir.toString)
+    // v2 renames column 'id' -> 'ident' in the schema (same manifests)
+    val listPath = metaDir.resolve("snap-43.avro")
+    writeAvro(listPath, listSchema, Seq(listRowOf(m, 0)))
+    Files.write(metaDir.resolve("v2.metadata.json"),
+      metadataJson(dir, listPath, 43L, seq = 2L)
+        .replace("\"name\":\"id\"", "\"name\":\"ident\"")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "2".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, dir.toString)
+    }.getMessage should include("schema")
   }
 
   test("identity partitions on types without a faithful string round-trip " +
