@@ -98,10 +98,12 @@ object DeltaImport {
     *
     * Same honesty gates as the import, plus: a mid-stream `metaData`
     * whose schema differs from the table's refuses (schema evolution is
-    * the cut-over moment, not a silent sync step), and a gap in the JSON
-    * chain (the Delta side checkpointed and cleaned past us) refuses with
-    * a pointer to re-import. Returns the new graft version (the current
-    * one when there was nothing to sync). */
+    * the cut-over moment, not a silent sync step). A gap in the JSON
+    * chain (the Delta side checkpointed and CLEANED past us) falls back to
+    * [[snapshotDiffSync]] when a checkpoint covers it — O(checkpoint rows)
+    * for that one sync instead of a re-import — and refuses only when the
+    * intervening state is genuinely unreconstructable. Returns the new
+    * graft version (the current one when there was nothing to sync). */
   def sync(spark: SparkSession, dir: String): Long = {
     val t = LakeTable.forPath(spark, dir)
     val root = Paths.get(dir)
@@ -125,16 +127,24 @@ object DeltaImport {
         logDir.resolve("_last_checkpoint")), StandardCharsets.UTF_8))
         .get("version").asLong()
     }.toOption
-    if (newer.isEmpty) {
-      require(checkpointVersion.forall(_ <= from),
-        s"Delta source checkpointed at version ${checkpointVersion.get} and " +
-          s"cleaned the JSON tail past consumed $from — re-import")
-      return t.version
+    val chainIntact = newer.nonEmpty && newer.head == from + 1 &&
+      newer.zip(newer.tail).forall { case (a, b) => b == a + 1 }
+    if (!chainIntact) {
+      // the source checkpointed and cleaned the JSON tail past us. With a
+      // checkpoint AHEAD of the consumed version the state is still fully
+      // reconstructable — fall back to a SNAPSHOT DIFF (the Iceberg sync's
+      // shape): replay the full current state and apply the net difference.
+      // Cost degrades from O(new JSON lines) to O(checkpoint rows) for
+      // this one sync — still zero data IO.
+      if (checkpointVersion.exists(_ > from) ||
+          (newer.nonEmpty && checkpointVersion.exists(_ >= newer.head - 1)))
+        return snapshotDiffSync(spark, t, root, from, syncOps)
+      if (newer.isEmpty) return t.version // genuinely up to date
+      throw new IllegalArgumentException(
+        s"Delta log advanced past the retained JSON tail (have $newer " +
+          s"after consumed $from) and no checkpoint covers the gap — " +
+          "the intervening state is unreconstructable; re-import")
     }
-    require(newer.head == from + 1 &&
-      newer.zip(newer.tail).forall { case (a, b) => b == a + 1 },
-      s"Delta log advanced past the retained JSON tail (have $newer after " +
-        s"consumed $from) — the source checkpointed and cleaned; re-import")
 
     val schema = t.snapshot().schema
     // a column-mapped import keeps resolving by field id; the physical
@@ -263,6 +273,82 @@ object DeltaImport {
         (if (proto == s.protocol) Seq(meta) else Seq(proto, meta)) ++
           graftAdds ++ dvActions ++ clears ++
           removes.toSeq.filter(live.contains)
+            .map(p => graft.log.RemoveFile(p, now))
+      }
+    } catch { case _: LakeTable.EpochAlreadyCommitted => () }
+    t.version
+  }
+
+  /** Snapshot-diff fallback for [[sync]] when the source checkpointed and
+    * CLEANED the JSON tail past the consumed version: the incremental
+    * replay is impossible, but the checkpoint still reconstructs the full
+    * current state — so apply the NET difference against the graft live
+    * set as one commit (new files add zero-copy, vanished files remove,
+    * the DV state rebuilds with vanished masks cleared), exactly the
+    * [[IcebergImport.sync]] shape. Honesty gates match the import's; a
+    * schema or partitioning change still refuses as the cut-over moment. */
+  private def snapshotDiffSync(spark: SparkSession, t: LakeTable, root: Path,
+      from: Long, syncOps: Set[String]): Long = {
+    val st = replay(spark, root)
+    require(st.sourceVersion > from, // the pointer may lag the listing race
+      s"Delta checkpoint resolves to version ${st.sourceVersion}, not past " +
+        s"consumed $from — nothing to sync")
+    gate(root.toString, st)
+    require(st.partitionColumns.isEmpty,
+      s"the Delta source became PARTITIONED — not syncable in place; " +
+        "re-import with convertRewrite")
+    val snap0 = t.snapshot()
+    val schema = snap0.schema
+    val mapped = graft.log.ColumnIds.mapped(schema)
+    val deltaSchema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    val (incoming, physicalOf) =
+      if (mapped && deltaSchema.fields.forall(_.metadata.contains(MappingIdKey)))
+        translateMapping(deltaSchema)
+      else (deltaSchema, Map.empty[String, String])
+    require(incoming == schema,
+      "the Delta source's schema changed across the cleaned tail — schema " +
+        "evolution is a cut-over moment, not a silent sync step; re-import")
+    val graftLive: Set[String] = snap0.files.map(_.path).toSet
+    val currentLive: Set[String] = st.adds.keySet.toSet
+    val newEntries = st.adds.toSeq.filterNot { case (p, _) => graftLive(p) }
+    val removed = (graftLive -- currentLive).toSeq
+    if (mapped && newEntries.nonEmpty)
+      verifyFooterIds(root, newEntries.map(_._1), schema, physicalOf)
+    val now = System.currentTimeMillis()
+    val newAdds: Seq[graft.log.Action] =
+      toAddFiles(spark, root, newEntries, schema, physicalOf)
+    // the FULL current mask state rebuilds (O(current masked positions) —
+    // the price of the lost tail, paid once); vanished masks clear
+    val dvActions = importDvActions(spark, root,
+      st.adds.toSeq.collect { case (p, i) if i.dv.isDefined => p -> i.dv.get })
+    try {
+      t.commitWithRetry("DELTA SYNC",
+        Map("fromVersion" -> from.toString,
+          "toVersion" -> st.sourceVersion.toString,
+          "mode" -> "snapshot-diff"),
+        snap0,
+        Map("numAddedFiles" -> newAdds.size.toLong,
+          "numRemovedFiles" -> removed.size.toLong)) { s =>
+        if (s.metadata.properties.get(SourceVersionKey)
+            .exists(_.toLong >= st.sourceVersion))
+          throw new LakeTable.EpochAlreadyCommitted
+        SyncGuard.requireNotDiverged(s.commits, syncOps, "Delta")
+        val liveNow = s.files.map(_.path).toSet
+        val maskedNow = dvActions.map(_.forFile).toSet
+        val clears = s.dvs.keys
+          .filterNot(maskedNow).filter(currentLive.contains)
+          .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
+        val meta = s.metadata.copy(properties = s.metadata.properties ++
+          LakeTable.normalizeProps(st.configuration) +
+          (SourceVersionKey -> st.sourceVersion.toString))
+        val proto = graft.log.Protocol.merge(
+          graft.log.Protocol.merge(s.protocol,
+            LakeTable.impliedFeatures(meta.properties)),
+          if (dvActions.isEmpty) s.protocol
+          else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
+        (if (proto == s.protocol) Seq(meta) else Seq(proto, meta)) ++
+          newAdds ++ dvActions ++ clears ++
+          removed.filter(liveNow.contains)
             .map(p => graft.log.RemoveFile(p, now))
       }
     } catch { case _: LakeTable.EpochAlreadyCommitted => () }

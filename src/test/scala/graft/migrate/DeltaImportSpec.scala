@@ -343,20 +343,115 @@ class DeltaImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("repartitions")
-    // a gap in the chain refuses with a re-import pointer
+    // a gap in the chain with NO covering checkpoint is unreconstructable
     Files.delete(log.resolve(f"${9L}%020d.json"))
     writeCommit(log, 11, Seq(addLine(dir, "f4.parquet", 20, 24)))
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("re-import")
-    // and so does a checkpoint that advanced past the retained JSON tail
+    // a _last_checkpoint naming a MISSING checkpoint file refuses loudly
+    // (the snapshot-diff fallback needs the checkpoint to actually exist)
     (2L to 11L).foreach(v =>
       Files.deleteIfExists(log.resolve(f"$v%020d.json")): Unit)
     Files.write(log.resolve("_last_checkpoint"),
       """{"version":9,"size":1}""".getBytes(StandardCharsets.UTF_8))
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
-    }.getMessage should include("re-import")
+    }.getMessage should include("cannot reconstruct")
+  }
+
+  test("sync survives a cleaned JSON tail via snapshot diff: the source " +
+    "checkpointed past us — net add/remove applies, masks rebuild (a " +
+    "vanished mask CLEARS, a new one lands), one commit") {
+    val dir = tmpDir("delta-diffsync").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    dataFile(dir, "f2.parquet", rows(10, 14))
+    dataFile(dir, "f3.parquet", rows(15, 19))
+    val log = dir.resolve("_delta_log")
+    // import at v1: f0 live, f1 live WITH a mask on position 0 (id 5)
+    writeCommit(log, 0, Seq(protoLine(reader = 3,
+      features = Seq("deletionVectors")), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    writeCommit(log, 1,
+      Seq(addLine(dir, "f1.parquet", 5, 9, dv = inlineDv(Seq(0L)))))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.read().agg(sum("id")).head().getLong(0) shouldBe ((0L to 9L).sum - 5L)
+    // the source moves on and CHECKPOINTS at v4, then cleans the tail:
+    // the live state there is f1 (mask PURGED), f2, f3 (mask on pos 1)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val cpSchema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+    def statsJson(lo: Long, hi: Long) = json(Map(
+      "numRecords" -> (hi - lo + 1), "minValues" -> Map("id" -> lo),
+      "maxValues" -> Map("id" -> hi), "nullCount" -> Map("id" -> 0, "name" -> 0)))
+    def addRow(name: String, lo: Long, hi: Long, dv: Row = null) = Row(
+      Row(name, Map.empty[String, String], Files.size(dir.resolve(name)),
+        1700000001000L, true, statsJson(lo, hi), dv), null, null)
+    val f3Dv = {
+      val m = inlineDv(Seq(1L)) // masks id 16
+      Row(m("storageType"), m("pathOrInlineDv"), null,
+        m("sizeInBytes"), m("cardinality").asInstanceOf[Int].toLong)
+    }
+    val cpRows = Seq(
+      Row(null, Row("11111111-2222-3333-4444-555555555555", schema.json,
+        Seq.empty[String], Map.empty[String, String]), null),
+      Row(null, null, Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))),
+      addRow("f1.parquet", 5, 9), // mask gone: purged on the source
+      addRow("f2.parquet", 10, 14),
+      addRow("f3.parquet", 15, 19, f3Dv))
+    val staging = Files.createTempDirectory("delta-diffsync-cp")
+    spark.createDataFrame(cpRows.asJava, cpSchema).coalesce(1)
+      .write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.move(part, log.resolve(f"${4L}%020d.checkpoint.parquet"))
+    graft.log.TxLog.deleteRecursively(staging)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":4,"size":5}""".getBytes(StandardCharsets.UTF_8))
+    (0L to 1L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().files.map(_.path).toSet shouldBe
+      Set("f1.parquet", "f2.parquet", "f3.parquet")
+    // f1's mask CLEARED (5 back), f3's mask applied (16 gone)
+    t2.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      ((5L to 15L) ++ (17L to 19L))
+    t2.properties(DeltaImport.SourceVersionKey) shouldBe "4"
+    val h = t2.history(Some(1)).collect()(0)
+    h.getString(3) shouldBe "DELTA SYNC"
+    h.getMap[String, String](4)("mode") shouldBe "snapshot-diff"
+    // replay: no-op
+    val v = t2.version
+    DeltaImport.sync(spark, dir.toString) shouldBe v
   }
 
   test("replays a v2 (UUID-named) parquet checkpoint manifest with " +
