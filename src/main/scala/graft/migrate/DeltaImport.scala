@@ -136,8 +136,9 @@ object DeltaImport {
       // shape): replay the full current state and apply the net difference.
       // Cost degrades from O(new JSON lines) to O(checkpoint rows) for
       // this one sync — still zero data IO.
-      if (checkpointVersion.exists(_ > from) ||
-          (newer.nonEmpty && checkpointVersion.exists(_ >= newer.head - 1)))
+      // (a checkpoint at or below `from` cannot cover the missing
+      // commits, so cv > from is exactly the reconstructable case)
+      if (checkpointVersion.exists(_ > from))
         return snapshotDiffSync(spark, t, root, from, syncOps)
       if (newer.isEmpty) return t.version // genuinely up to date
       throw new IllegalArgumentException(
