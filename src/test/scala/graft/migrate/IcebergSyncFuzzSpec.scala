@@ -1,0 +1,241 @@
+package graft.migrate
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.LakeTable
+
+/** Randomized FOREIGN-writer Iceberg lifecycles vs a plain-Scala model:
+  * a sequence of hand-published snapshots (random live sets + random
+  * position-delete masks, spec-faithful Avro + metadata JSON authored
+  * here), an arbitrary convert point, then syncs at arbitrary later
+  * snapshots — the graft live set, record counts, masks, and content
+  * must equal the model at every stop. Syncs deliberately SKIP
+  * intermediate snapshots (the net-difference shape must not care). */
+class IcebergSyncFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jackson = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  private def json(v: Any): String = jackson.writeValueAsString(v)
+
+  private val listSchema = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"partition_spec_id","type":"int"},
+      {"name":"content","type":"int"},
+      {"name":"sequence_number","type":"long"},
+      {"name":"min_sequence_number","type":"long"},
+      {"name":"added_snapshot_id","type":"long"}]}""")
+  private val entrySchema = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"data_file","type":{
+        "type":"record","name":"r2","fields":[
+          {"name":"content","type":"int"},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"partition","type":{
+            "type":"record","name":"r102","fields":[]}},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+
+  private def writeAvro(target: Path, schema: org.apache.avro.Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, target.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  test("randomized foreign snapshots with arbitrary convert/sync points " +
+    "match the model's live set, masks, and content") {
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 3).foreach { trial =>
+      val dir = tmpDir(s"iceberg-fuzz-$trial").resolve("t")
+      Files.createDirectories(dir)
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      // pool: file k holds ids [k*10, k*10+10)
+      val contents: Map[String, Seq[Long]] = (0 until 8).map { k =>
+        s"f$k.parquet" -> (k * 10L until k * 10L + 10).toSeq
+      }.toMap
+      contents.foreach { case (name, ids) =>
+        val staging = Files.createTempDirectory("iceberg-fuzz-stage")
+        ids.toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(staging.resolve("out").toString)
+        val part = {
+          val s = Files.list(staging.resolve("out"))
+          try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        Files.move(part, dir.resolve(name))
+        graft.log.TxLog.deleteRecursively(staging)
+      }
+      // model: live set + per-file masked row positions
+      val live = mutable.LinkedHashSet.empty[String]
+      val masked = mutable.Map.empty[String, Set[Long]]
+      var version = 0L
+      def mutate(): Unit = {
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(4) match {
+            case 0 if live.size > 1 =>
+              val name = live.toSeq(rnd.nextInt(live.size))
+              live.remove(name); masked.remove(name): Unit
+            case 1 if live.nonEmpty => // (re)mask a live file
+              val name = live.toSeq(rnd.nextInt(live.size))
+              val m = (0 until 10).filter(_ => rnd.nextBoolean()).map(_.toLong).toSet
+              if (m.size < 10) { // a fully-masked file still has rows=0, fine
+                if (m.isEmpty) masked.remove(name) else masked(name) = m
+              }: Unit
+            case 2 if masked.nonEmpty => // purge one mask
+              masked.remove(masked.keys.toSeq(rnd.nextInt(masked.size))): Unit
+            case _ => // add a pool file
+              live.add(contents.keys.toSeq(rnd.nextInt(contents.size))): Unit
+          }
+        }
+        if (live.isEmpty) live.add("f0.parquet"): Unit
+      }
+      /** Publish the model state as the next foreign snapshot. */
+      def publish(): Unit = {
+        version += 1
+        val seq = version
+        val mData = metaDir.resolve(s"m-$seq.avro")
+        writeAvro(mData, entrySchema, live.toSeq.map { name =>
+          val dfs = entrySchema.getField("data_file").schema()
+          val d = new GenericData.Record(dfs)
+          d.put("content", 0)
+          d.put("file_path", dir.resolve(name).toString)
+          d.put("file_format", "PARQUET")
+          d.put("partition",
+            new GenericData.Record(dfs.getField("partition").schema()))
+          d.put("record_count", contents(name).size.toLong)
+          d.put("file_size_in_bytes", Files.size(dir.resolve(name)))
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("data_file", d)
+          e
+        })
+        val liveMasks = masked.toSeq.filter { case (n, _) => live.contains(n) }
+        val deleteManifest: Option[Path] =
+          if (liveMasks.isEmpty) None
+          else {
+            val rows = liveMasks.flatMap { case (n, ps) =>
+              ps.toSeq.map(p => (dir.resolve(n).toString, p)) }
+            val staging = Files.createTempDirectory("iceberg-fuzz-del")
+            rows.toDF("file_path", "pos").coalesce(1)
+              .write.mode("overwrite").parquet(staging.resolve("out").toString)
+            val part = {
+              val s = Files.list(staging.resolve("out"))
+              try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+              finally s.close()
+            }
+            val del = metaDir.resolve(s"del-$seq.parquet")
+            Files.move(part, del)
+            graft.log.TxLog.deleteRecursively(staging)
+            val mDel = metaDir.resolve(s"m-del-$seq.avro")
+            val dfs = entrySchema.getField("data_file").schema()
+            val d = new GenericData.Record(dfs)
+            d.put("content", 1)
+            d.put("file_path", del.toString)
+            d.put("file_format", "PARQUET")
+            d.put("partition",
+              new GenericData.Record(dfs.getField("partition").schema()))
+            d.put("record_count", rows.size.toLong)
+            d.put("file_size_in_bytes", Files.size(del))
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1)
+            e.put("data_file", d)
+            writeAvro(mDel, entrySchema, Seq(e))
+            Some(mDel)
+          }
+        val listPath = metaDir.resolve(s"snap-$seq.avro")
+        def row(p: Path, content: Int): GenericRecord = {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p.toString)
+          r.put("manifest_length", Files.size(p))
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", 1000 + seq)
+          r
+        }
+        writeAvro(listPath, listSchema,
+          Seq(row(mData, 0)) ++ deleteManifest.map(row(_, 1)))
+        Files.write(metaDir.resolve(s"v$version.metadata.json"), json(Map(
+          "format-version" -> 2,
+          "table-uuid" -> "fuzz-0000",
+          "location" -> dir.toString,
+          "last-sequence-number" -> seq,
+          "last-updated-ms" -> 1700000000000L,
+          "last-column-id" -> 1,
+          "current-schema-id" -> 0,
+          "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+            "fields" -> Seq(Map("id" -> 1, "name" -> "id",
+              "required" -> false, "type" -> "long")))),
+          "default-spec-id" -> 0,
+          "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+          "last-partition-id" -> 999,
+          "default-sort-order-id" -> 0,
+          "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+          "properties" -> Map.empty,
+          "current-snapshot-id" -> (1000 + seq),
+          "snapshots" -> Seq(Map(
+            "snapshot-id" -> (1000 + seq), "timestamp-ms" -> 1700000000000L,
+            "sequence-number" -> seq, "schema-id" -> 0,
+            "summary" -> Map.empty,
+            "manifest-list" -> listPath.toString)),
+          "snapshot-log" -> Nil, "metadata-log" -> Nil))
+          .getBytes(StandardCharsets.UTF_8))
+        Files.write(metaDir.resolve("version-hint.text"),
+          version.toString.getBytes(StandardCharsets.UTF_8)): Unit
+      }
+      def check(stage: String): Unit = {
+        val t = LakeTable.forPath(spark, dir.toString)
+        val snap = t.snapshot()
+        def expectedIds(name: String): Seq[Long] = {
+          val m = masked.getOrElse(name, Set.empty)
+          contents(name).zipWithIndex.collect {
+            case (id, i) if !m.contains(i.toLong) => id }
+        }
+        withClue(s"trial=$trial stage=$stage live=$live masked=$masked: ") {
+          snap.files.map(_.path).toSet shouldBe live.toSet
+          snap.dvs.values.map(_.numDeleted).sum shouldBe
+            live.toSeq.map(n => masked.getOrElse(n, Set.empty).size.toLong).sum
+          val got = t.read().agg(coalesce(sum("id"), lit(0L))).head().getLong(0)
+          got shouldBe live.toSeq.flatMap(expectedIds).sum
+        }
+      }
+
+      mutate(); publish()
+      val preConvert = 1 + rnd.nextInt(2)
+      (0 until preConvert).foreach { _ => mutate(); publish() }
+      LakeTable.convert(spark, dir.toString)
+      check("convert")
+      // the source keeps publishing; sync at random points (skipping
+      // intermediate snapshots is the norm, not the exception)
+      (0 until 3).foreach { round =>
+        (0 until 1 + rnd.nextInt(2)).foreach { _ => mutate(); publish() }
+        IcebergImport.sync(spark, dir.toString)
+        check(s"sync-$round")
+      }
+      // replayed sync is a no-op
+      val v = LakeTable.forPath(spark, dir.toString).version
+      IcebergImport.sync(spark, dir.toString) shouldBe v
+      check("re-sync")
+    }
+  }
+}
