@@ -230,6 +230,11 @@ object DeltaImport {
     }
     val adds = state.toSeq.collect { case (p, Some(info)) => p -> info }
     val removes = state.collect { case (p, None) => p }.toSeq
+    // the same footer honesty gate convert and snapshotDiffSync apply: a
+    // synced commit adding an id-less file (the upgraded name-mode hazard)
+    // must refuse HERE, not mis-read silently at query time (ADVICE r12)
+    if (mapped && adds.nonEmpty)
+      verifyFooterIds(root, adds.map(_._1), schema, physicalOf)
     val now = System.currentTimeMillis()
     val graftAdds: Seq[graft.log.Action] =
       toAddFiles(spark, root, adds, schema, physicalOf)
@@ -288,12 +293,14 @@ object DeltaImport {
     * the DV state rebuilds with vanished masks cleared), exactly the
     * [[IcebergImport.sync]] shape. Honesty gates match the import's; a
     * schema or partitioning change still refuses as the cut-over moment. */
-  private def snapshotDiffSync(spark: SparkSession, t: LakeTable, root: Path,
+  private[migrate] def snapshotDiffSync(spark: SparkSession, t: LakeTable, root: Path,
       from: Long, syncOps: Set[String]): Long = {
     val st = replay(spark, root)
-    require(st.sourceVersion > from, // the pointer may lag the listing race
-      s"Delta checkpoint resolves to version ${st.sourceVersion}, not past " +
-        s"consumed $from — nothing to sync")
+    // _last_checkpoint and the replayed listing can race (the fallback was
+    // entered off the pointer alone): a state resolving at-or-behind the
+    // consumed version means there is nothing to sync YET — a no-op for
+    // the caller's cadence, not an error (ADVICE r12)
+    if (st.sourceVersion <= from) return t.version
     gate(root.toString, st)
     require(st.partitionColumns.isEmpty,
       s"the Delta source became PARTITIONED — not syncable in place; " +
@@ -857,7 +864,12 @@ object DeltaImport {
       val sidecars = mutable.Buffer.empty[String]
       import org.apache.spark.sql.functions.col
       val want = Seq("metaData", "protocol", "add", "sidecar").filter(cols.contains)
-      cp.select(want.map(col): _*).collect().foreach { r =>
+      // toLocalIterator, not collect: a 10M-file source checkpoint is GBs
+      // of Row objects — stream it one partition at a time so the driver
+      // holds only the compact AddInfo state it is building, never the
+      // full raw action set (r12 verdict: the last eager O(#files)
+      // driver materialization in the import story)
+      cp.select(want.map(col): _*).toLocalIterator().asScala.foreach { r =>
         want.zipWithIndex.foreach { case (name, i) =>
           if (!r.isNullAt(i)) name match {
             case "metaData" =>

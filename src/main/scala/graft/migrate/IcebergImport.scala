@@ -117,8 +117,17 @@ object IcebergImport {
         }
         ColumnIds.strip(st.schemaWithIds)
       }
+    // stats landed by footer-column NAME, but a by-id import READS by field
+    // id — drop any per-file stats entry whose footer column name matches a
+    // schema column carrying a DIFFERENT id (Iceberg never reuses ids but
+    // MAY reuse a renamed-away name: that footer column's bytes are not
+    // what by-id reads return for the same-named schema column, so its
+    // min/max/nullCount would silently poison exact metadata-only answers)
+    val footersAttr =
+      if (!allIdsPresent) footers
+      else footers.view.mapValues(dropMisattributedStats(_, icebergIds)).toMap
     val graftAdds: Seq[AddFile] = st.live.map { case (p, df) =>
-      toAddFile(st, root, p, df, footers(root.resolve(p).toString), now)
+      toAddFile(st, root, p, df, footersAttr(root.resolve(p).toString), now)
     }
 
     // ---- position deletes -> graft deletion-vector masks ----
@@ -225,8 +234,15 @@ object IcebergImport {
       }
     }
     val now = System.currentTimeMillis()
+    // same stat-attribution honesty as convert: by-id tables drop stats
+    // for footer columns whose name matches a different-id schema column
+    val idOfName: Map[String, Long] = st.schemaWithIds.fields.map(f =>
+      f.name -> ColumnIds.idOf(f).get).toMap
+    val footersAttr =
+      if (!mapped) footers
+      else footers.view.mapValues(dropMisattributedStats(_, idOfName)).toMap
     val newAdds: Seq[AddFile] = newEntries.map { case (p, df) =>
-      toAddFile(st, root, p, df, footers(root.resolve(p).toString), now)
+      toAddFile(st, root, p, df, footersAttr(root.resolve(p).toString), now)
     }
     // rebuild the CURRENT mask state (position deletes are snapshot-global)
     val liveAbs = st.live.map(p => root.resolve(p._1).toString).toSet
@@ -456,6 +472,20 @@ object IcebergImport {
   }
 
   // ------------------------------------------------------------ helpers
+
+  /** One footer's (count, name-keyed stats, (name, id) pairs) with the
+    * stats entries whose footer NAME collides with a different-id schema
+    * column removed — by-id reads return a different column's bytes for
+    * that name, so name-attributed stats for it are poison, not data. */
+  private def dropMisattributedStats(
+      footer: (Long, Map[String, ColStats], Seq[(String, Option[Int])]),
+      idOfName: Map[String, Long])
+      : (Long, Map[String, ColStats], Seq[(String, Option[Int])]) = {
+    val (count, stats, ids) = footer
+    val poisoned = ids.collect { case (name, Some(id))
+      if idOfName.get(name).exists(_ != id.toLong) => name }.toSet
+    if (poisoned.isEmpty) footer else (count, stats -- poisoned, ids)
+  }
 
   private def num(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
 

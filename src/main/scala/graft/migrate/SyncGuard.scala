@@ -10,11 +10,24 @@ import graft.log.CommitInfo
   * silently duplicating rows. Local DML is the cut-over moment. */
 private[migrate] object SyncGuard {
 
-  /** Graft operations that cannot change the live data-file set. */
+  /** Graft operations that cannot change the live data-file set AND leave
+    * the table still able to mirror its source. Audited against every
+    * commit operation string LakeTable/Dml/Maintain emit (ADVICE r12: the
+    * original list refused constraint/default/feature commits that were
+    * actually safe, permanently breaking the mirror for no reason).
+    * Deliberately ABSENT: schema-shape ops (ADD/RENAME/DROP COLUMN,
+    * ALTER COLUMN TYPE, generated/identity columns) — they are metadata-
+    * only too, but a locally-evolved mirror can no longer follow the
+    * source (and must never be mistaken for SOURCE-side evolution), so
+    * divergence is the honest refusal; REORG/OPTIMIZE change the file set
+    * outright, and DROP FEATURE shares one operation name between its
+    * metadata-only form and the TRUNCATE HISTORY form that can REWRITE
+    * stale-typed files (typeWidening), so it stays out too. */
   val FileSetNeutralOps: Set[String] = Set(
     "CONVERT", "DELTA SYNC", "ICEBERG SYNC", "VACUUM", "ANALYZE", "GENERATE",
     "SET TBLPROPERTIES", "UNSET TBLPROPERTIES", "UPGRADE PROTOCOL",
-    "ADD FEATURE")
+    "ADD FEATURE", "ADD CONSTRAINT", "DROP CONSTRAINT",
+    "ALTER COLUMN DEFAULT")
 
   /** Refuse when any commit after the last sync point (`syncOps`) is not
     * file-set-neutral. Called at sync entry for a fast loud failure AND

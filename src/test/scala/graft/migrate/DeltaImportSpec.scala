@@ -816,9 +816,13 @@ class DeltaImportSpec extends SparkSpec {
     writeCommit(log, 0, Seq(protoLine(), metaLine(),
       addLine(dir, "f0.parquet", 0, 4)))
     val t = LakeTable.convert(spark, dir.toString)
-    // neutral graft ops (properties, vacuum) do not end the mirror
+    // neutral graft ops (properties, vacuum, constraints, column defaults)
+    // do not end the mirror — none can change the live data-file set
     t.setProperties(Map("graft.custom.note" -> "mirroring"))
     t.vacuum(retainHours = 1000.0)
+    t.addConstraint("nonneg", "id >= 0")
+    t.setColumnDefault("name", Some("'x'"))
+    t.dropConstraint("nonneg")
     writeCommit(log, 1, Seq(addLine(dir, "f1.parquet", 5, 9)))
     DeltaImport.sync(spark, dir.toString)
     LakeTable.forPath(spark, dir.toString).read().count() shouldBe 10
@@ -832,6 +836,68 @@ class DeltaImportSpec extends SparkSpec {
     }.getMessage
     err should include("cut-over")
     err should include("DELETE")
+  }
+
+  test("sync on a mapped import refuses an id-less synced file — the same " +
+    "footer gate convert applies (silent NULL reads are the alternative)") {
+    val dir = tmpDir("delta-mapped-sync-idless").resolve("t")
+    def fieldId(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    dataFile(dir, "f0.parquet", rows(0, 4).select(
+      col("id").as("col-aaa", fieldId(1)), col("name").as("col-bbb", fieldId(2))))
+    def mapMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapMeta(1, "col-aaa")),
+      StructField("name", StringType, nullable = true, mapMeta(2, "col-bbb"))))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(reader = 2),
+      json(Map("metaData" -> Map(
+        "id" -> "66666666-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> mappedSchema.json,
+        "partitionColumns" -> Nil,
+        "configuration" -> Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "2"),
+        "createdTime" -> 1700000000000L))),
+      json(Map("add" -> Map("path" -> "f0.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f0.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true)))))
+    LakeTable.convert(spark, dir.toString)
+    // the source appends a file with physical names but NO field ids (an
+    // upgraded-into-name-mode writer shape): sync must refuse, not import
+    // a file whose by-id reads would silently return NULL
+    dataFile(dir, "f1.parquet",
+      rows(5, 9).select(col("id").as("col-aaa"), col("name").as("col-bbb")))
+    writeCommit(log, 1, Seq(json(Map("add" -> Map("path" -> "f1.parquet",
+      "partitionValues" -> Map.empty,
+      "size" -> Files.size(dir.resolve("f1.parquet")),
+      "modificationTime" -> 1700000002000L, "dataChange" -> true)))))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("no parquet field id")
+    // the refusal left the table untouched and still in sync with v0
+    LakeTable.forPath(spark, dir.toString).read().count() shouldBe 5
+  }
+
+  test("snapshotDiffSync no-ops (returns the current version) when the " +
+    "replayed state resolves at-or-behind the consumed version — the " +
+    "_last_checkpoint pointer and the listing can race") {
+    val dir = tmpDir("delta-diff-race").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    val t = LakeTable.convert(spark, dir.toString) // consumed = 0
+    val v = t.version
+    // a raced fallback entry: the replay resolves to sourceVersion 0,
+    // not past the consumed 0 — nothing to sync is a no-op, not an error
+    DeltaImport.snapshotDiffSync(spark, t,
+      dir.toAbsolutePath.normalize, 0L,
+      Set("CONVERT", "DELTA SYNC")) shouldBe v
+    LakeTable.forPath(spark, dir.toString).version shouldBe v
   }
 
   test("sync propagates Delta-side configuration changes, stamping implied " +

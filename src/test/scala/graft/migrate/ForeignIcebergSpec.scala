@@ -318,6 +318,76 @@ class ForeignIcebergSpec extends SparkSpec {
     }.getMessage should include("schema")
   }
 
+  test("by-id import never attributes footer stats by a REUSED name: a " +
+    "footer column named like a schema column but carrying a different " +
+    "field id contributes no stats (its bytes are another column's)") {
+    val dir = tmpDir("foreign-iceberg-statpoison").resolve("t")
+    // spec-legal foreign shape: ids never reuse, names may. This old live
+    // file stores column id 1 under its RETIRED name 'b'; the CURRENT
+    // schema is a(id 1), b(id 2) — 'b' was renamed to 'a' and the name
+    // 'b' reused for a new column (stored as 'bx' in this file).
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val f = {
+      val df = Seq((100L, 0L), (101L, 1L), (104L, 4L)).toDF("va", "vb")
+        .select(col("va").as("b", fid(1)), col("vb").as("bx", fid(2)))
+      val staging = Files.createTempDirectory("foreign-poison-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.createDirectories(dir)
+      Files.move(part, dir.resolve("data-old.parquet"))
+      graft.log.TxLog.deleteRecursively(staging)
+      dir.resolve("data-old.parquet")
+    }
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m = metaDir.resolve("m-old.avro")
+    writeAvro(m, entrySchema,
+      Seq(entry((0, s"file:$f", "PARQUET", 3L, Files.size(f)), null)))
+    val listPath = metaDir.resolve("snap-42.avro")
+    writeAvro(listPath, listSchema, Seq(listRowOf(m, 0)))
+    Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir.toString,
+      "last-sequence-number" -> 1, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 2, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "a", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "b", "required" -> false, "type" -> "long")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+      "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> 42,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> 1, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "append"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+
+    val t = LakeTable.convert(spark, dir.toString)
+    graft.log.ColumnIds.mapped(t.snapshot().schema) shouldBe true
+    // by-id reads are correct: footer 'b' bytes surface as column 'a'
+    t.read().agg(max("a"), max("b")).head() match { case r =>
+      r.getLong(0) shouldBe 104L
+      r.getLong(1) shouldBe 4L
+    }
+    // the poison check: footer column 'b' (id 1) must NOT have landed its
+    // min/max under schema column 'b' (id 2) — exact metadata-only answers
+    // would have reported max(b) = 104 against a true max of 4
+    t.statsMinMax("b") shouldBe None
+  }
+
   test("identity partitions on types without a faithful string round-trip " +
     "refuse (a foreign timestamptz partition would import garbage)") {
     val dir = tmpDir("foreign-iceberg-ts").resolve("t")
