@@ -152,6 +152,8 @@ object SparkEntry {
     "q114_delta_mapped" -> (MetaOps.convertDeltaMapped _),
     "q115_iceberg_import" -> (MetaOps.convertIceberg _),
     "q116_iceberg_sync" -> (MetaOps.icebergSync _),
+    "q117_iceberg_rewrite" -> (MetaOps.icebergRewriteDays _),
+    "q118_iceberg_eqdelete" -> (MetaOps.icebergEqualityDelete _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

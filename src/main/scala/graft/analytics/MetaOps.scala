@@ -418,6 +418,212 @@ object MetaOps {
     LakeTable.forPath(spark, dir.toString).read()
   }
 
+  /** Hand-written FOREIGN Iceberg table builder for the rewrite-import
+    * gates (q117/q118): spec-faithful Avro manifests + metadata JSON with
+    * arbitrary partition transforms, per-manifest sequence numbers, and
+    * equality-delete entries — shapes the engine's own exporter never
+    * produces, so the gates test against the public spec. */
+  private object IcebergForeign {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    private val m = {
+      val x = new com.fasterxml.jackson.databind.ObjectMapper()
+      x.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      x
+    }
+    private def j(v: Any): String = m.writeValueAsString(v)
+    val listSchema = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"manifest_length","type":"long"},
+        {"name":"partition_spec_id","type":"int"},
+        {"name":"content","type":"int"},
+        {"name":"sequence_number","type":"long"},
+        {"name":"min_sequence_number","type":"long"},
+        {"name":"added_snapshot_id","type":"long"}]}""")
+    val entrySchema = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{
+          "type":"record","name":"r2","fields":[
+            {"name":"content","type":"int"},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"partition","type":{
+              "type":"record","name":"r102","fields":[
+                {"name":"p","type":["null","int"],"default":null}]}},
+            {"name":"record_count","type":"long"},
+            {"name":"file_size_in_bytes","type":"long"},
+            {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
+    def writeAvro(target: java.nio.file.Path,
+        schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.GenericDatumWriter
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, target.toFile)
+      try rows.foreach(w.append) finally w.close()
+    }
+    def entry(content: Int, path: java.nio.file.Path, count: Long,
+        eqIds: Seq[Int] = Nil): GenericRecord = {
+      import scala.jdk.CollectionConverters._
+      val dfs = entrySchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfs)
+      d.put("content", content)
+      d.put("file_path", path.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfs.getField("partition").schema()))
+      d.put("record_count", count)
+      d.put("file_size_in_bytes", Files.size(path))
+      if (eqIds.nonEmpty)
+        d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e
+    }
+    /** One manifest file holding `entries`; returns its path. */
+    def manifest(metaDir: java.nio.file.Path, name: String,
+        entries: Seq[GenericRecord]): java.nio.file.Path = {
+      val p = metaDir.resolve(name)
+      writeAvro(p, entrySchema, entries)
+      p
+    }
+    /** Publish v1.metadata.json whose snapshot lists `manifests` as
+      * (path, content, sequence) — one foreign table, one snapshot. */
+    def publish(dir: java.nio.file.Path,
+        fields: Seq[(Int, String, String)], // (id, name, iceberg type)
+        specField: (String, String, Int), // (name, transform, source-id)
+        manifests: Seq[(java.nio.file.Path, Int, Long)],
+        lastSeq: Long): Unit = {
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      val listPath = metaDir.resolve("snap-42.avro")
+      writeAvro(listPath, listSchema, manifests.map { case (p, content, seq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", 42L)
+        r
+      })
+      Files.write(metaDir.resolve("v1.metadata.json"), j(Map(
+        "format-version" -> 2,
+        "table-uuid" -> java.util.UUID.randomUUID().toString,
+        "location" -> dir.toString,
+        "last-sequence-number" -> lastSeq,
+        "last-updated-ms" -> 1700000000000L,
+        "last-column-id" -> fields.map(_._1).max,
+        "current-schema-id" -> 0,
+        "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+          "fields" -> fields.map { case (id, n, t) =>
+            Map("id" -> id, "name" -> n, "required" -> false, "type" -> t) })),
+        "default-spec-id" -> 0,
+        "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
+          "name" -> specField._1, "transform" -> specField._2,
+          "source-id" -> specField._3, "field-id" -> 1000)))),
+        "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+        "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+        "properties" -> Map.empty,
+        "current-snapshot-id" -> 42,
+        "snapshots" -> Seq(Map(
+          "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+          "sequence-number" -> lastSeq, "schema-id" -> 0,
+          "summary" -> Map("operation" -> "overwrite"),
+          "manifest-list" -> listPath.toString)),
+        "snapshot-log" -> Nil, "metadata-log" -> Nil))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(metaDir.resolve("version-hint.text"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    /** Orders columns as (id, name, iceberg type), ids 1..6. The testdata
+      * o_orderdate is naive micros (reads as NTZ) — Iceberg `timestamp`,
+      * not `timestamptz`. */
+    val ordersFields: Seq[(Int, String, String)] = Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "timestamp"), (6, "o_orderpriority", "string"))
+    /** Stamp parquet field ids 1..N onto `df`'s columns. */
+    def withIds(df: DataFrame): DataFrame = {
+      def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        col(f.name).as(f.name, fid(i + 1L)) }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Iceberg rewrite-import gate (q117): a FOREIGN `days(o_orderdate)`-
+    * partitioned table — the most common real-world Iceberg layout, which
+    * the zero-copy import refuses (derived partition values cannot import
+    * as layout columns) — rewrites into a native graft table in one scan,
+    * with the layout carried over as a GENERATED `CAST(o_orderdate AS
+    * DATE)` partition column, so day-pruning survives the migration. The
+    * manifests reference only the %3∈{0,2} slices; a third on-disk file
+    * outside the manifests must not leak in. */
+  def icebergRewriteDays(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture.writeOne
+    import IcebergForeign._
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-iceberg-rewrite").resolve("t")
+    Files.createDirectories(dir)
+    def slice(k: Int) = orders.filter(col("o_orderkey") % 3 === k)
+    (0 to 2).foreach(k => writeOne(dir, withIds(slice(k)), s"f$k.parquet"))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mData = manifest(metaDir, "m-data.avro", Seq(
+      entry(0, dir.resolve("f0.parquet"), slice(0).count()),
+      entry(0, dir.resolve("f2.parquet"), slice(2).count())))
+    publish(dir, ordersFields, ("od_day", "days", 5),
+      Seq((mData, 0, 1L)), lastSeq = 1L)
+    val dest = Files.createTempDirectory("graft-iceberg-rewrite-dest")
+      .resolve("t").toString
+    graft.migrate.IcebergImport.convertRewrite(spark, dir.toString, dest)
+      .read()
+  }
+
+  /** Iceberg equality-delete gate (q118): a `bucket(o_custkey)`-layout
+    * foreign table where a Flink-CDC-shaped EQUALITY delete (keys, not
+    * positions) at sequence 2 deletes every `%7 = 0` order key — which
+    * must hit the even slice (sequence 1, strictly smaller) but NOT the
+    * odd slice (sequence 3, written after the delete). The zero-copy
+    * import refuses equality deletes; the rewrite applies them as a
+    * sequence-gated anti-join. The generated bucket column is graft's own
+    * hash layout (asserted in specs), dropped here so the oracle compares
+    * pure data. */
+  def icebergEqualityDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture.writeOne
+    import IcebergForeign._
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-iceberg-eqdel").resolve("t")
+    Files.createDirectories(dir)
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    writeOne(dir, withIds(even), "f-even.parquet")
+    writeOne(dir, withIds(odd), "f-odd.parquet")
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // the equality-delete file: o_orderkey values (field id 1) to delete
+    writeOne(metaDir, withIds(
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")),
+      "del-eq.parquet")
+    val mEven = manifest(metaDir, "m-even.avro",
+      Seq(entry(0, dir.resolve("f-even.parquet"), even.count())))
+    val mOdd = manifest(metaDir, "m-odd.avro",
+      Seq(entry(0, dir.resolve("f-odd.parquet"), odd.count())))
+    val mEq = manifest(metaDir, "m-eq.avro",
+      Seq(entry(2, metaDir.resolve("del-eq.parquet"),
+        orders.filter(col("o_orderkey") % 7 === 0).count(), eqIds = Seq(1))))
+    publish(dir, ordersFields, ("ck_bucket", "bucket[8]", 2),
+      Seq((mEven, 0, 1L), (mEq, 1, 2L), (mOdd, 0, 3L)), lastSeq = 3L)
+    val dest = Files.createTempDirectory("graft-iceberg-eqdel-dest")
+      .resolve("t").toString
+    graft.migrate.IcebergImport.convertRewrite(spark, dir.toString, dest)
+      .read().drop("ck_bucket")
+  }
+
   /** Delta continuous-migration gate (q111): import at Delta v1, then the
     * source keeps writing (v2 swaps a slice), and [[DeltaImport.sync]]
     * catches up as one net graft commit — convert once, sync on a cadence,
@@ -739,6 +945,16 @@ object MetaOps {
     // the foreign source appends the odd half and sync catches up
     "q116_iceberg_sync" ->
       "SELECT * FROM orders WHERE o_orderkey % 6 <> 0",
+    // manifests reference only the %3 in {0,2} slices; the days layout
+    // becomes a generated CAST(o_orderdate AS DATE) partition column
+    "q117_iceberg_rewrite" ->
+      """SELECT *, CAST(o_orderdate AS DATE) AS od_day FROM orders
+         WHERE o_orderkey % 3 <> 1""",
+    // the seq-2 equality delete (%7=0 keys) hits the seq-1 even slice but
+    // NOT the seq-3 odd slice (strictly-smaller sequence rule)
+    "q118_iceberg_eqdelete" ->
+      """SELECT * FROM orders
+         WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 7 = 0)""",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

@@ -74,16 +74,59 @@ object IcebergImport {
     store.listFileNames(Paths.get(dir, "metadata")).exists(n =>
       n == "version-hint.text" || n.matches(raw"v\d+\.metadata\.json"))
 
+  /** One partition-spec field: the spec FIELD name (which keys the
+    * manifest partition tuple), the source column, and the transform. */
+  private[migrate] case class PartField(
+      specName: String, column: String, transform: String)
+
+  /** One equality-delete file: absolute (scheme-stripped) path, its data
+    * sequence number (equality deletes apply to data files with a STRICTLY
+    * smaller sequence), and the equality field ids it matches on. */
+  private[migrate] case class EqDelete(
+      path: String, seq: Long, equalityIds: Seq[Int])
+
   /** The replayed current state of an Iceberg table's metadata. */
   private case class IcebergState(
       metaVersion: Long,
       meta: java.util.Map[String, Object],
       lastSeq: Long,
+      formatVersion: Long,
       schemaWithIds: StructType,
-      partFields: Seq[(String, String)], // (spec field name, column name)
-      pcols: Seq[String],
+      partFields: Seq[PartField],
       live: Seq[(String, GenericRecord)], // (relative path, data_file record)
-      deletePaths: Seq[String])
+      liveSeq: Map[String, Long], // relative path -> data sequence number
+      deletePaths: Seq[String], // position-delete parquet (manifest form)
+      eqDeletes: Seq[EqDelete]) {
+    def pcols: Seq[String] = partFields.map(_.column)
+  }
+
+  /** The zero-copy imports' honesty gates over partition transforms,
+    * equality deletes, and partition-value string fidelity — everything
+    * [[convertRewrite]] CAN handle but an in-place import cannot. */
+  private def gateZeroCopy(root: Path, st: IcebergState): Unit = {
+    st.partFields.foreach { pf =>
+      require(pf.transform == "identity",
+        s"partition transform '${pf.transform}' is not identity — derived " +
+          "partition values cannot import as layout columns; import with " +
+          "convertRewrite (one scan, rewritten into graft layout)")
+    }
+    require(st.eqDeletes.isEmpty,
+      s"$root carries EQUALITY deletes — predicate deletes cannot " +
+        "transcode to position masks; import with convertRewrite (they " +
+        "apply as an anti-join during the rewrite)")
+    // graft's partition values are strings cast back to the column type;
+    // only types with a faithful string round-trip from the Avro encoding
+    // import (the same set the exporter writes)
+    st.pcols.foreach { c =>
+      val dt = st.schemaWithIds.fields.find(_.name == c).get.dataType
+      require(dt match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             DateType => true
+        case _ => false
+      }, s"identity partition column '$c' has type $dt — its Avro " +
+        "partition encoding has no faithful string form in this importer")
+    }
+  }
 
   /** Import `<dir>`'s Iceberg metadata as a graft table IN PLACE
     * (idempotent: an already-imported directory returns the existing graft
@@ -92,6 +135,7 @@ object IcebergImport {
     if (TxLog.isTable(dir)) return LakeTable.forPath(spark, dir)
     val root = Paths.get(dir).toAbsolutePath.normalize
     val st = replay(root)
+    gateZeroCopy(root, st)
     val now = System.currentTimeMillis()
 
     // ---- column binding + ONE footer pass (ids + exact stats) ----
@@ -200,6 +244,9 @@ object IcebergImport {
     SyncGuard.requireNotDiverged(t.snapshot().commits, syncOps, "Iceberg")
     val st = replay(root)
     if (st.lastSeq <= consumed) return t.version
+    // a source that adopted non-identity transforms or equality deletes
+    // since the import can no longer mirror in place (cut-over moment)
+    gateZeroCopy(root, st)
     val snap0 = t.snapshot()
     val mapped = ColumnIds.mapped(snap0.schema)
     val incoming =
@@ -289,102 +336,334 @@ object IcebergImport {
     t.version
   }
 
+  // ------------------------------------------------------ rewrite import
+
+  /** Parsed partition transform: name plus the bucket/truncate argument. */
+  private def parseTransform(t: String): (String, Int) = t match {
+    case b if b.startsWith("bucket[") =>
+      ("bucket", raw"bucket\[(\d+)\]".r.findFirstMatchIn(b).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad transform '$t'")))
+    case w if w.startsWith("truncate[") =>
+      ("truncate", raw"truncate\[(\d+)\]".r.findFirstMatchIn(w).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad transform '$t'")))
+    case other => (other, 0)
+  }
+
+  /** Destination layout for one spec field under the rewrite: either the
+    * source column itself (identity on a string-faithful type) or a graft
+    * GENERATED column mirroring the transform — None when the dimension
+    * cannot carry over (void, unknown future transforms, identity on
+    * types without a faithful partition-string form, truncate on types
+    * beyond string/int/long). Dropping a layout dimension never drops
+    * DATA — the source column is always present in the rewritten rows;
+    * OPTIMIZE ZORDER can re-cluster the dimension later. */
+  private def destPartOf(pf: PartField, src: StructField)
+      : Option[(StructField, Option[String])] = {
+    val c = s"`${src.name}`"
+    def gen(dt: DataType, expr: String): Option[(StructField, Option[String])] =
+      Some((StructField(pf.specName, dt), Some(expr)))
+    val stringFaithful = src.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DateType => true
+      case _ => false
+    }
+    parseTransform(pf.transform) match {
+      case ("identity", _) if stringFaithful => Some((src, None))
+      case ("identity", _) => None
+      case ("void", _) => None
+      case ("year" | "years", _) => gen(IntegerType, s"year($c)")
+      case ("month" | "months", _) =>
+        gen(StringType, s"date_format($c, 'yyyy-MM')")
+      case ("day" | "days", _) => gen(DateType, s"CAST($c AS DATE)")
+      case ("hour" | "hours", _) =>
+        gen(StringType, s"date_format($c, 'yyyy-MM-dd-HH')")
+      case ("bucket", n) =>
+        // graft's own hash layout, NOT Iceberg's murmur bucket function —
+        // the destination is a fresh native table; only the bucket COUNT
+        // and the clustering-by-this-column intent carry over
+        gen(IntegerType, s"pmod(hash($c), $n)")
+      case ("truncate", w) => src.dataType match {
+        case StringType => gen(StringType, s"substring($c, 1, $w)")
+        case LongType => gen(LongType, s"$c - ((($c % $w) + $w) % $w)")
+        case IntegerType =>
+          gen(IntegerType, s"CAST($c - ((($c % $w) + $w) % $w) AS INT)")
+        case _ => None
+      }
+      case _ => None // unknown future transform: data is complete either way
+    }
+  }
+
+  /** Rewrite-import of an Iceberg table into a NEW graft table at
+    * `destDir` — the remedy for everything the zero-copy [[convert]]
+    * refuses for data-layout reasons: non-identity partition transforms
+    * (`days`/`bucket`/`truncate`/… — the most common real-world Iceberg
+    * layouts), equality deletes, and identity partitions on types without
+    * a faithful string form. ONE scan reads every live data file (Iceberg
+    * data files always CONTAIN their partition source columns — unlike
+    * Delta, no tuple re-injection is needed); position deletes drop via a
+    * (file, position) anti-join; equality deletes drop via per-key-set
+    * anti-joins under the spec's sequence rule (a delete applies only to
+    * data files with a STRICTLY smaller data sequence number), delete-file
+    * key columns resolved by field id against each delete file's footer.
+    * The destination mirrors the source's layout: identity partitions
+    * carry over as real partition columns, derived transforms become graft
+    * GENERATED partition columns (`days(ts)` -> `CAST(ts AS DATE)`, …) so
+    * partition pruning survives the migration. O(data) once — the
+    * migration rewrite the in-place refusals point at. */
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val root = Paths.get(srcDir).toAbsolutePath.normalize
+    val st = replay(root)
+
+    // ---- destination layout from the partition spec ----
+    val fieldOf = st.schemaWithIds.fields.map(f => f.name -> f).toMap
+    val destParts: Seq[(StructField, Option[String])] = st.partFields.flatMap {
+      pf => destPartOf(pf, fieldOf(pf.column)) }
+    // a generated column name colliding with a schema column gets `_p`
+    val taken = scala.collection.mutable.Set(
+      st.schemaWithIds.fieldNames.map(_.toLowerCase).toIndexedSeq: _*)
+    val resolvedParts: Seq[(StructField, Option[String])] = destParts.map {
+      case (f, None) => (f, None) // identity: the schema column itself
+      case (f, expr) =>
+        var n = f.name
+        while (taken.contains(n.toLowerCase)) n = n + "_p"
+        taken += n.toLowerCase
+        (f.copy(name = n), expr)
+    }
+    val genFields = resolvedParts.collect { case (f, Some(_)) => f }
+    val genProps: Map[String, String] = resolvedParts.collect {
+      case (f, Some(e)) => s"graft.generated.${f.name}" -> e }.toMap
+    val destPcols = resolvedParts.map(_._1.name)
+    val dataSchema = ColumnIds.strip(st.schemaWithIds)
+    val destSchema = StructType(dataSchema.fields ++ genFields)
+    val properties = Option(st.meta.get("properties"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val props = LakeTable.normalizeProps(properties) ++ genProps
+    // a fully deleted (or never-written) source imports as an empty table —
+    // schema and layout are fully known
+    if (st.live.isEmpty)
+      return LakeTable.create(spark, destDir, destSchema,
+        partitionColumns = destPcols, properties = props, ifNotExists = false)
+
+    // ---- binding: by field id when every live footer carries ids ----
+    val livePaths = st.live.map(p => root.resolve(p._1).toString)
+    val footIds = Stats.footerFieldIds(st.live.map(p => root.resolve(p._1)))
+    val allIds = st.live.forall { case (p, _) =>
+      footIds(root.resolve(p).toString).forall(_._2.isDefined) }
+    if (!allIds) st.live.foreach { case (p, _) =>
+      footIds(root.resolve(p).toString).foreach { case (name, _) =>
+        require(st.schemaWithIds.fieldNames.contains(name),
+          s"file $p column '$name' is not a schema column and the files " +
+            "carry no usable field ids — a by-name rewrite would misread " +
+            "renamed columns; rewrite the table on the Iceberg side")
+      }
+    }
+    val readSchema = if (allIds) st.schemaWithIds else dataSchema
+    val raw = spark.read.schema(readSchema).parquet(livePaths: _*)
+      .withColumn("__file",
+        graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
+    // loud pre-write guard (driver-only): every file the scan plans must
+    // be a live manifest entry and vice versa — silent divergence here
+    // would be data loss
+    val planned = raw.inputFiles.map(Stats.stripScheme).toSet
+    val logged = livePaths.map(Stats.stripScheme).toSet
+    require(planned == logged,
+      s"planned scan files diverge from the manifests' live set " +
+        s"(only-planned: ${(planned -- logged).take(3)}, " +
+        s"only-logged: ${(logged -- planned).take(3)}) — refusing to " +
+        "write a silently incomplete import")
+
+    // ---- position deletes: (file, position) anti-join ----
+    var cur =
+      if (st.deletePaths.isEmpty && st.eqDeletes.isEmpty) raw
+      else raw.withColumn("__idx", col("_metadata.row_index"))
+    if (st.deletePaths.nonEmpty) {
+      val del = spark.read.parquet(st.deletePaths.map(Stats.stripScheme): _*)
+        .select(graft.log.DvBitmap.stripPathCol(
+          col("file_path").cast(StringType)).as("__dfile"),
+          col("pos").cast(LongType).as("__didx"))
+      cur = cur.join(del,
+        cur("__file") === del("__dfile") && cur("__idx") === del("__didx"),
+        "left_anti")
+    }
+
+    // ---- equality deletes: per-key-set anti-joins, sequence-gated ----
+    if (st.eqDeletes.nonEmpty) {
+      val seqDf = {
+        import spark.implicits._
+        st.live.map { case (p, _) =>
+          (root.resolve(p).toString, st.liveSeq(p)) }.toDF("__sfile", "__seq")
+      }
+      cur = cur.join(broadcast(seqDf), cur("__file") === seqDf("__sfile"))
+        .drop("__sfile")
+      val idToField: Map[Int, StructField] = st.schemaWithIds.fields
+        .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f)).toMap
+      st.eqDeletes.groupBy(_.equalityIds.sorted).toSeq
+        .sortBy(_._1.mkString(",")).foreach { case (ids, dels) =>
+          val keyFields = ids.map(i => idToField.getOrElse(i,
+            throw new IllegalArgumentException(
+              s"equality delete references field id $i, which is not a " +
+                "top-level schema column")))
+          val delDf = dels.sortBy(_.path).map { d =>
+            // key columns resolve by field id against the DELETE file's
+            // own footer (delete files written before a rename keep the
+            // old name; the id binds them), by name only when id-less
+            val footer = Stats.footerFieldIds(
+              Seq(Paths.get(d.path)))(Paths.get(d.path).toString)
+            val byId = footer.collect { case (n, Some(i)) => i -> n }.toMap
+            val sel = ids.zip(keyFields).map { case (i, f) =>
+              val srcName = byId.getOrElse(i, {
+                require(footer.exists(_._1 == f.name),
+                  s"equality-delete file ${d.path} carries neither field " +
+                    s"id $i nor a column named '${f.name}'")
+                f.name
+              })
+              col(srcName).cast(f.dataType).as(s"__eq_${f.name}")
+            }
+            spark.read.parquet(d.path).select(sel.toIndexedSeq: _*)
+              .withColumn("__dseq", lit(d.seq))
+          }.reduce(_.unionByName(_))
+          val cond = keyFields.map(f =>
+            cur(f.name) <=> delDf(s"__eq_${f.name}")).reduce(_ && _) &&
+            cur("__seq") < delDf("__dseq")
+          cur = cur.join(delDf, cond, "left_anti")
+        }
+    }
+
+    // ---- one native graft table, layout mirrored ----
+    val typed = cur.select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+    // ifNotExists = false: a retried migration fails LOUDLY on the
+    // existing destination instead of silently appending twice
+    val dest = LakeTable.create(spark, destDir, destSchema,
+      partitionColumns = destPcols, properties = props, ifNotExists = false)
+    dest.append(typed)
+    dest
+  }
+
   // ------------------------------------------------------------ replay
 
-  /** Replay `<root>`'s current Iceberg metadata into its live state. */
+  /** Replay `<root>`'s current Iceberg metadata into its live state.
+    * Format versions 1 AND 2 replay: v1 predates sequence numbers, delete
+    * manifests, and the `content` fields — absent fields default to their
+    * spec-defined v1 readings (content 0, sequence 0) via Avro's
+    * null-on-missing-field named access, and v1's legacy single `schema` /
+    * `partition-spec` metadata keys resolve when the modern lists are
+    * absent. A v1 table's sync ordering key is its metadata version
+    * (monotonic per commit), since `last-sequence-number` does not exist
+    * before v2. */
   private def replay(root: Path): IcebergState = {
     val metaDir = root.resolve("metadata")
     val (metaVersion, meta) = resolveMetadata(metaDir)
     val formatVersion = num(meta.get("format-version"))
-    require(formatVersion == 2,
+    require(formatVersion == 1 || formatVersion == 2,
       s"$root is an Iceberg format-version $formatVersion table — this " +
-        "importer replays version 2 (v1 manifests have a different shape)")
+        "importer replays versions 1 and 2")
 
-    // ---- schema (current-schema-id) ----
-    val schemaId = num(meta.get("current-schema-id"))
-    val schemaNode = meta.get("schemas")
-      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-      .find(s => num(s.get("schema-id")) == schemaId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"current-schema-id $schemaId not present in schemas"))
+    // ---- schema (current-schema-id; v1 fallback: the legacy `schema`) ----
+    val schemaNode = Option(meta.get("schemas")) match {
+      case Some(schemas) =>
+        val schemaId = num(meta.get("current-schema-id"))
+        schemas.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+          .asScala.find(s => num(s.get("schema-id")) == schemaId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $schemaId not present in schemas"))
+      case None => Option(meta.get("schema"))
+        .map(_.asInstanceOf[java.util.Map[String, Object]])
+        .getOrElse(throw new IllegalArgumentException(
+          s"$root metadata carries neither `schemas` nor the v1 `schema`"))
+    }
     val schemaWithIds = structOf(schemaNode, topLevelIds = true)
 
-    // ---- partition spec (default-spec-id; identity only) ----
-    val specId = num(meta.get("default-spec-id"))
-    val spec = meta.get("partition-specs")
-      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-      .find(s => num(s.get("spec-id")) == specId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"default-spec-id $specId not present in partition-specs"))
+    // ---- partition spec (default-spec-id; v1 fallback: partition-spec) ----
+    val spec: Seq[java.util.Map[String, Object]] =
+      Option(meta.get("partition-specs")) match {
+        case Some(specs) =>
+          val specId = num(meta.get("default-spec-id"))
+          specs.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.find(s => num(s.get("spec-id")) == specId)
+            .getOrElse(throw new IllegalArgumentException(
+              s"default-spec-id $specId not present in partition-specs"))
+            .get("fields")
+            .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.toSeq
+        case None => Option(meta.get("partition-spec"))
+          .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.toSeq)
+          .getOrElse(Nil)
+      }
     val idToName = schemaWithIds.fields.map(f =>
       ColumnIds.idOf(f).get -> f.name).toMap
-    // (spec FIELD name, source column name): the manifest partition
-    // record's Avro fields are named by the SPEC field, which a foreign
-    // writer may name differently from the source column
-    val partFields: Seq[(String, String)] = spec.get("fields")
-      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-      .map { f =>
-        val transform = f.get("transform").toString
-        require(transform == "identity",
-          s"partition transform '$transform' is not identity — derived " +
-            "partition values cannot import as layout columns")
-        val column = idToName.getOrElse(num(f.get("source-id")),
-          throw new IllegalArgumentException(
-            s"partition source-id ${f.get("source-id")} is not a " +
-              "top-level schema column"))
-        f.get("name").toString -> column
-      }.toSeq
-    val pcols: Seq[String] = partFields.map(_._2)
-    // graft's partition values are strings cast back to the column type;
-    // only types with a faithful string round-trip from the Avro encoding
-    // import (the same set the exporter writes)
-    pcols.foreach { c =>
-      val dt = schemaWithIds.fields.find(_.name == c).get.dataType
-      require(dt match {
-        case StringType | LongType | IntegerType | ShortType | ByteType |
-             DateType => true
-        case _ => false
-      }, s"identity partition column '$c' has type $dt — its Avro " +
-        "partition encoding has no faithful string form in this importer")
+    // the manifest partition record's Avro fields are named by the SPEC
+    // field, which a foreign writer may name differently from the column
+    val partFields: Seq[PartField] = spec.map { f =>
+      val column = idToName.getOrElse(num(f.get("source-id")),
+        throw new IllegalArgumentException(
+          s"partition source-id ${f.get("source-id")} is not a " +
+            "top-level schema column"))
+      PartField(f.get("name").toString, column, f.get("transform").toString)
     }
 
     // ---- current snapshot -> manifests -> live files + deletes ----
     val currentSnap = Option(meta.get("current-snapshot-id"))
       .map(num).filter(_ != -1L)
-    val (dataEntries, deletePaths) = currentSnap match {
-      case None => (Nil, Nil)
-      case Some(snapId) =>
-        val snap = meta.get("snapshots")
-          .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-          .find(s => num(s.get("snapshot-id")) == snapId)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-snapshot-id $snapId not present in snapshots"))
-        val manifests = avroRecords(
-          Paths.get(Stats.stripScheme(snap.get("manifest-list").toString)))
-        val data = scala.collection.mutable.ListBuffer.empty[GenericRecord]
-        val deletes = scala.collection.mutable.ListBuffer.empty[String]
-        manifests.foreach { m =>
-          val content = m.get("content").asInstanceOf[Int]
-          avroRecords(Paths.get(
-            Stats.stripScheme(m.get("manifest_path").toString))).foreach { e =>
-            if (e.get("status").asInstanceOf[Int] != 2) { // 2 = DELETED
-              val df = e.get("data_file").asInstanceOf[GenericRecord]
-              val fileContent = df.get("content").asInstanceOf[Int]
-              (content, fileContent) match {
-                case (0, 0) => data += df
-                case (1, 1) => deletes += df.get("file_path").toString
-                case (1, 2) => throw new IllegalArgumentException(
-                  s"$root carries EQUALITY deletes — predicate deletes " +
-                    "cannot transcode to position masks; compact them " +
-                    "away on the Iceberg side and re-import")
-                case other => throw new IllegalArgumentException(
-                  s"manifest/file content mismatch $other in " +
-                    s"${m.get("manifest_path")}")
-              }
+    // fields a writer's avro schema does not carry read as their spec
+    // defaults — exactly the v1/v2 evolution seam (`content`, sequence
+    // numbers). GenericData.Record.get(name) THROWS on an unknown field,
+    // so presence is checked against the record's own schema first.
+    def getOpt(r: GenericRecord, field: String): Option[Object] =
+      Option(r.getSchema.getField(field)).flatMap(f => Option(r.get(f.pos())))
+    def intOr(r: GenericRecord, field: String, dflt: Int): Int =
+      getOpt(r, field).map(_.asInstanceOf[Number].intValue()).getOrElse(dflt)
+    def longOr(r: GenericRecord, field: String, dflt: Long): Long =
+      getOpt(r, field).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
+    val data = scala.collection.mutable.ListBuffer.empty[(GenericRecord, Long)]
+    val posDeletes = scala.collection.mutable.ListBuffer.empty[String]
+    val eqDeletes = scala.collection.mutable.ListBuffer.empty[EqDelete]
+    currentSnap.foreach { snapId =>
+      val snap = meta.get("snapshots")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+        .find(s => num(s.get("snapshot-id")) == snapId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-snapshot-id $snapId not present in snapshots"))
+      val manifests = avroRecords(
+        Paths.get(Stats.stripScheme(snap.get("manifest-list").toString)))
+      manifests.foreach { m =>
+        val content = intOr(m, "content", 0)
+        val manifestSeq = longOr(m, "sequence_number", 0L)
+        avroRecords(Paths.get(
+          Stats.stripScheme(m.get("manifest_path").toString))).foreach { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          if (status != 2) { // 2 = DELETED
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val fileContent = intOr(df, "content", 0)
+            // v2 sequence inheritance: an ADDED entry with a null sequence
+            // inherits the manifest's; EXISTING entries carry it explicitly
+            // (v1 predates sequences entirely -> 0)
+            val seq = getOpt(e, "sequence_number")
+              .map(_.asInstanceOf[Number].longValue())
+              .getOrElse(if (status == 1) manifestSeq else 0L)
+            (content, fileContent) match {
+              case (0, 0) => data += ((df, seq))
+              case (1, 1) => posDeletes += df.get("file_path").toString
+              case (1, 2) =>
+                val ids = getOpt(df, "equality_ids")
+                  .map(_.asInstanceOf[java.util.List[_]].asScala
+                    .map(_.asInstanceOf[Number].intValue()).toSeq)
+                  .getOrElse(Nil)
+                require(ids.nonEmpty,
+                  s"equality-delete file ${df.get("file_path")} carries no " +
+                    "equality_ids — malformed")
+                eqDeletes += EqDelete(
+                  Stats.stripScheme(df.get("file_path").toString), seq, ids)
+              case other => throw new IllegalArgumentException(
+                s"manifest/file content mismatch $other in " +
+                  s"${m.get("manifest_path")}")
             }
           }
         }
-        (data.toList, deletes.toList)
+      }
     }
 
     // ---- paths relativize against the root (refuse external) ----
@@ -395,17 +674,21 @@ object IcebergImport {
           "— cannot import in place")
       root.relativize(abs).toString
     }
-    val live: Seq[(String, GenericRecord)] = dataEntries.map { df =>
+    val live: Seq[(String, GenericRecord)] = data.toList.map { case (df, _) =>
       val fmt = df.get("file_format").toString
       require(fmt.equalsIgnoreCase("parquet"),
         s"data file format '$fmt' is not parquet — cannot import")
       relativize(df.get("file_path").toString) -> df
     }
+    val liveSeq: Map[String, Long] = live.map(_._1)
+      .zip(data.toList.map(_._2)).toMap
     require(live.map(_._1).distinct.size == live.size,
       s"duplicate live data-file paths in $root's manifests — malformed")
     IcebergState(metaVersion, meta,
-      Option(meta.get("last-sequence-number")).map(num).getOrElse(0L),
-      schemaWithIds, partFields, pcols, live, deletePaths)
+      Option(meta.get("last-sequence-number")).map(num)
+        .getOrElse(if (formatVersion == 1) metaVersion else 0L),
+      formatVersion, schemaWithIds, partFields, live, liveSeq,
+      posDeletes.toList, eqDeletes.toList)
   }
 
   /** One live entry -> graft AddFile: manifest count cross-checked against
@@ -424,10 +707,10 @@ object IcebergImport {
       if (st.pcols.isEmpty) Map.empty
       else {
         val part = df.get("partition").asInstanceOf[GenericRecord]
-        st.partFields.map { case (fieldName, c) =>
-          val v = part.get(fieldName) // keyed by the SPEC field name
-          val dt = st.schemaWithIds.fields.find(_.name == c).get.dataType
-          c -> (if (v == null) null else dt match {
+        st.partFields.map { pf =>
+          val v = part.get(pf.specName) // keyed by the SPEC field name
+          val dt = st.schemaWithIds.fields.find(_.name == pf.column).get.dataType
+          pf.column -> (if (v == null) null else dt match {
             case DateType => java.time.LocalDate
               .ofEpochDay(v.asInstanceOf[java.lang.Number].longValue()).toString
             case _ => v.toString

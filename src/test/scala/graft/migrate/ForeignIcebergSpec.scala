@@ -388,6 +388,272 @@ class ForeignIcebergSpec extends SparkSpec {
     t.statsMinMax("b") shouldBe None
   }
 
+  // ---- rewrite-import fixtures: transforms + deletes + v1 shapes ----
+
+  /** Entry schema for transform/delete fixtures: INT partition field
+    * (days/bucket tuple form), equality_ids, explicit entry seq absent —
+    * sequence numbers inherit from the manifest list rows. */
+  private val entrySchema2 = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"data_file","type":{
+        "type":"record","name":"r2","fields":[
+          {"name":"content","type":"int"},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"partition","type":{
+            "type":"record","name":"r102","fields":[
+              {"name":"p_int","type":["null","int"],"default":null}]}},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":"long"},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
+
+  private def entry2(content: Int, path: Path, count: Long,
+      partValue: Integer = null, eqIds: Seq[Int] = Nil): GenericRecord = {
+    val dfs = entrySchema2.getField("data_file").schema()
+    val part = new GenericData.Record(dfs.getField("partition").schema())
+    part.put("p_int", partValue)
+    val d = new GenericData.Record(dfs)
+    d.put("content", content)
+    d.put("file_path", s"file:$path")
+    d.put("file_format", "PARQUET")
+    d.put("partition", part)
+    d.put("record_count", count)
+    d.put("file_size_in_bytes", Files.size(path))
+    if (eqIds.nonEmpty)
+      d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+    val e = new GenericData.Record(entrySchema2)
+    e.put("status", 1)
+    e.put("data_file", d)
+    e
+  }
+
+  private def listRowSeq(path: Path, content: Int, seq: Long): GenericRecord = {
+    val r = new GenericData.Record(listSchema)
+    r.put("manifest_path", s"file:$path")
+    r.put("manifest_length", Files.size(path))
+    r.put("partition_spec_id", 0)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r.put("min_sequence_number", seq)
+    r.put("added_snapshot_id", 42L)
+    r
+  }
+
+  /** One parquet file under `dir` from `df`, field ids via the caller. */
+  private def rawFile(dir: Path, name: String,
+      df: org.apache.spark.sql.DataFrame): Path = {
+    val staging = Files.createTempDirectory("foreign-raw-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val s = Files.list(staging.resolve("out"))
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.createDirectories(dir)
+    Files.move(part, dir.resolve(name))
+    graft.log.TxLog.deleteRecursively(staging)
+    dir.resolve(name)
+  }
+
+  private def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("parquet.field.id", id).build()
+
+  test("rewrite-import: days(ts) layout becomes a generated DATE partition " +
+    "column; position deletes and sequence-gated equality deletes apply") {
+    val dir = tmpDir("foreign-rewrite").resolve("t")
+    // schema: id(1 long), ts(2 timestamptz), v(3 string); days(ts) spec
+    def mk(rows: Seq[(Long, String, String)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("id", "ts0", "v")
+        .select(col("id").as("id", fid(1)),
+          col("ts0").cast("timestamp").as("ts", fid(2)),
+          col("v").as("v", fid(3)))
+    // f1 (seq 1): ids 1-4, two days; position 1 (id 2) will be pos-deleted
+    val f1 = rawFile(dir, "f1.parquet", mk(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    // f2 (seq 1): ids 10-13; id 12 equality-deleted at seq 2
+    val f2 = rawFile(dir, "f2.parquet", mk(Seq(
+      (10L, "2024-01-01 09:00:00", "e"), (11L, "2024-01-02 09:00:00", "f"),
+      (12L, "2024-01-01 08:00:00", "g"), (13L, "2024-01-02 08:00:00", "h"))))
+    // f3 (seq 3, AFTER the delete): carries id 21, which the seq-2 delete
+    // lists — the strictly-smaller rule must NOT delete it
+    val f3 = rawFile(dir, "f3.parquet", mk(Seq(
+      (20L, "2024-01-03 10:00:00", "i"), (21L, "2024-01-03 11:00:00", "j"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // position delete: position 1 of f1
+    val posDel = rawFile(metaDir, "del-pos.parquet",
+      Seq((s"file:$f1", 1L)).toDF("file_path", "pos"))
+    // equality delete (seq 2) on field id 1: ids {12, 21}
+    val eqDel = rawFile(metaDir, "del-eq.parquet",
+      Seq(12L, 21L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val m12 = metaDir.resolve("m-12.avro")
+    writeAvro(m12, entrySchema2, Seq(
+      entry2(0, f1, 4L, 19723), entry2(0, f2, 4L, 19723)))
+    val mEq = metaDir.resolve("m-eq.avro")
+    writeAvro(mEq, entrySchema2, Seq(entry2(2, eqDel, 2L, eqIds = Seq(1))))
+    val m3 = metaDir.resolve("m-3.avro")
+    writeAvro(m3, entrySchema2, Seq(entry2(0, f3, 2L, 19725)))
+    val mPos = metaDir.resolve("m-pos.avro")
+    writeAvro(mPos, entrySchema2, Seq(entry2(1, posDel, 1L)))
+    val listPath = metaDir.resolve("snap-42.avro")
+    writeAvro(listPath, listSchema, Seq(
+      listRowSeq(m12, 0, 1L), listRowSeq(mEq, 1, 2L),
+      listRowSeq(m3, 0, 3L), listRowSeq(mPos, 1, 3L)))
+    Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir.toString,
+      "last-sequence-number" -> 3, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 3, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "ts", "required" -> false, "type" -> "timestamptz"),
+          Map("id" -> 3, "name" -> "v", "required" -> false, "type" -> "string")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
+        "name" -> "p_int", "transform" -> "days",
+        "source-id" -> 2, "field-id" -> 1000)))),
+      "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map("write.metadata.compression-codec" -> "none"),
+      "current-snapshot-id" -> 42,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> 3, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "overwrite"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+
+    // zero-copy refuses the transform and names the remedy
+    intercept[IllegalArgumentException] {
+      LakeTable.convert(spark, dir.toString)
+    }.getMessage should include("convertRewrite")
+
+    val dest = tmpDir("foreign-rewrite").resolve("dest").toString
+    val t = IcebergImport.convertRewrite(spark, dir.toString, dest)
+    // pos-delete dropped id 2; eq-delete dropped 12 (seq 1 < 2) but NOT 21
+    // (seq 3 > 2 — strictly-smaller rule)
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 4L, 10L, 11L, 13L, 20L, 21L)
+    // the days layout carried over as a generated DATE partition column
+    t.snapshot().metadata.partitionColumns shouldBe Seq("p_int")
+    t.properties("graft.generated.p_int") shouldBe "CAST(`ts` AS DATE)"
+    t.read().filter(col("p_int") =!= col("ts").cast("date")).count() shouldBe 0
+    // partition pruning on the generated column works
+    val full = t.snapshot().numFiles
+    t.read(Seq(col("p_int") === java.sql.Date.valueOf("2024-01-03")))
+      .inputFiles.length should be < full
+    // appends keep computing the generated column
+    t.append(Seq((30L, "2024-01-04 10:00:00", "k")).toDF("id", "ts0", "v")
+      .select(col("id"), col("ts0").cast("timestamp").as("ts"), col("v")))
+    t.read().filter(col("p_int") === java.sql.Date.valueOf("2024-01-04"))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(30L)
+  }
+
+  test("a genuine v1 (legacy schema/partition-spec keys, no content or " +
+    "sequence fields anywhere) imports zero-copy; sync keys on the " +
+    "metadata version") {
+    val dir = tmpDir("foreign-v1").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a"), (2L, "a")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // v1 avro shapes: no content / sequence_number in either schema
+    val v1List = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"manifest_length","type":"long"},
+        {"name":"partition_spec_id","type":"int"},
+        {"name":"added_snapshot_id","type":"long"}]}""")
+    val v1Entry = new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{
+          "type":"record","name":"r2","fields":[
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"partition","type":{
+              "type":"record","name":"r102","fields":[
+                {"name":"cat","type":["null","string"],"default":null}]}},
+            {"name":"record_count","type":"long"},
+            {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+    def v1EntryOf(path: Path, count: Long, cat: String): GenericRecord = {
+      val dfs = v1Entry.getField("data_file").schema()
+      val part = new GenericData.Record(dfs.getField("partition").schema())
+      part.put("cat", cat)
+      val d = new GenericData.Record(dfs)
+      d.put("file_path", s"file:$path")
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", count)
+      d.put("file_size_in_bytes", Files.size(path))
+      val e = new GenericData.Record(v1Entry)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e
+    }
+    def v1ListRow(path: Path): GenericRecord = {
+      val r = new GenericData.Record(v1List)
+      r.put("manifest_path", s"file:$path")
+      r.put("manifest_length", Files.size(path))
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", 7L)
+      r
+    }
+    def v1Meta(v: Long, listPath: Path, snapId: Long): String = json(Map(
+      "format-version" -> 1,
+      "table-uuid" -> "11111111-2222-3333-4444-000000000001",
+      "location" -> dir.toString,
+      "last-updated-ms" -> 1700000000000L, "last-column-id" -> 2,
+      // v1 legacy keys: ONE schema, ONE flat partition-spec field list
+      "schema" -> Map("type" -> "struct", "fields" -> Seq(
+        Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+        Map("id" -> 2, "name" -> "cat", "required" -> false, "type" -> "string"))),
+      "partition-spec" -> Seq(Map(
+        "name" -> "cat", "transform" -> "identity",
+        "source-id" -> 2, "field-id" -> 1000)),
+      "properties" -> Map.empty,
+      "current-snapshot-id" -> snapId,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> snapId, "timestamp-ms" -> 1700000000000L,
+        "manifest-list" -> s"file:$listPath"))))
+    val mA = metaDir.resolve("m-a.avro")
+    writeAvro(mA, v1Entry, Seq(v1EntryOf(fa, 2L, "a")))
+    val l1 = metaDir.resolve("snap-7.avro")
+    writeAvro(l1, v1List, Seq(v1ListRow(mA)))
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      v1Meta(1, l1, 7L).getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    val t = LakeTable.convert(spark, dir.toString)
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    t.snapshot().metadata.partitionColumns shouldBe Seq("cat")
+    t.properties(IcebergImport.SourceSeqKey) shouldBe "1" // metadata version
+    // the v1 source commits again: new metadata version -> sync catches up
+    val fb = dataFile(dir, "data-b.parquet", Seq((10L, "b"), (11L, "b")))
+    val mB = metaDir.resolve("m-b.avro")
+    writeAvro(mB, v1Entry, Seq(v1EntryOf(fb, 2L, "b")))
+    val l2 = metaDir.resolve("snap-8.avro")
+    writeAvro(l2, v1List, Seq(v1ListRow(mA), v1ListRow(mB)))
+    Files.write(metaDir.resolve("v2.metadata.json"),
+      v1Meta(2, l2, 8L).getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "2".getBytes(StandardCharsets.UTF_8))
+    IcebergImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 10L, 11L)
+    t2.properties(IcebergImport.SourceSeqKey) shouldBe "2"
+    // replay: no-op
+    val v = t2.version
+    IcebergImport.sync(spark, dir.toString) shouldBe v
+  }
+
   test("identity partitions on types without a faithful string round-trip " +
     "refuse (a foreign timestamptz partition would import garbage)") {
     val dir = tmpDir("foreign-iceberg-ts").resolve("t")

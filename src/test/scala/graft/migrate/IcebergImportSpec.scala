@@ -154,19 +154,27 @@ class IcebergImportSpec extends SparkSpec {
     }.getMessage should include("identity")
   }
 
-  test("format-version 1 refuses; manifest/footer record-count mismatch " +
-    "refuses") {
+  test("format-version 1 imports (r13); future versions refuse; " +
+    "manifest/footer record-count mismatch refuses") {
     val dir = icebergFixture("v1")(_ => ())
     val metaDir = dir.resolve("metadata")
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text"))).trim
     val mj = metaDir.resolve(s"v$hint.metadata.json")
     val body = new String(Files.readAllBytes(mj))
-    Files.write(mj, body.replace("\"format-version\":2", "\"format-version\":1")
-      .replace("\"format-version\" : 2", "\"format-version\" : 1").getBytes)
+    // an unknown FUTURE version refuses loudly
+    Files.write(mj, body.replace("\"format-version\":2", "\"format-version\":3")
+      .replace("\"format-version\" : 2", "\"format-version\" : 3").getBytes)
     intercept[IllegalArgumentException] {
       LakeTable.convert(spark, dir.toString)
     }.getMessage should include("format-version")
+    // a v1 stamp imports: modern metadata keys still resolve, and the
+    // missing-in-true-v1 avro fields read as their defaults either way
+    // (the genuinely legacy-shaped v1 fixture lives in ForeignIcebergSpec)
+    Files.write(mj, body.replace("\"format-version\":2", "\"format-version\":1")
+      .replace("\"format-version\" : 2", "\"format-version\" : 1").getBytes)
+    LakeTable.convert(spark, dir.toString).read().count() shouldBe 3
+    graft.log.TxLog.deleteRecursively(dir.resolve("_txlog"))
     // restore, then tamper with a data file's row count (append a row by
     // rewriting): the manifest cross-check refuses
     Files.write(mj, body.getBytes)
