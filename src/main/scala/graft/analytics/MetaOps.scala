@@ -382,6 +382,35 @@ object MetaOps {
       Files.write(metaDir.resolve("version-hint.text"),
         (hint + 1).toString.getBytes("UTF-8")): Unit
     }
+    /** A foreign writer's RENAME commit: a new metadata version whose
+      * schema renames `from` -> `to` (same field id), sequence advanced,
+      * snapshot unchanged. */
+    def renameColumn(dir: java.nio.file.Path, from: String, to: String): Unit = {
+      val metaDir = dir.resolve("metadata")
+      val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text"))).trim.toLong
+      val meta = plain.readValue(
+        Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
+        classOf[java.util.Map[String, Object]])
+      def num(o: Object) = o.asInstanceOf[java.lang.Number].longValue()
+      import scala.jdk.CollectionConverters._
+      meta.put("last-sequence-number",
+        java.lang.Long.valueOf(num(meta.get("last-sequence-number")) + 1))
+      meta.get("schemas")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+        .foreach { s =>
+          s.get("fields")
+            .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+            .foreach { f =>
+              if (f.get("name").toString == from) f.put("name", to): Unit
+            }
+        }
+      Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+        plain.writeValueAsBytes(meta))
+      Files.write(metaDir.resolve("version-hint.text"),
+        (hint + 1).toString.getBytes("UTF-8")): Unit
+    }
   }
 
   /** Iceberg continuous-migration gate (q116): the [[convertIceberg]]
@@ -415,6 +444,10 @@ object MetaOps {
       orders.filter(col("o_orderkey") % 2 === 1).count())
     graft.migrate.IcebergImport.sync(spark, dir.toString)
     graft.migrate.IcebergImport.sync(spark, dir.toString) // replay: no-op
+    // the foreign writer RENAMES a non-partition column (r13): by-id
+    // binding makes the rename followable — sync applies it as metadata
+    IcebergFixture.renameColumn(dir, "o_orderpriority", "o_priority2")
+    graft.migrate.IcebergImport.sync(spark, dir.toString)
     LakeTable.forPath(spark, dir.toString).read()
   }
 
@@ -941,10 +974,13 @@ object MetaOps {
     "q115_iceberg_import" ->
       """SELECT * FROM orders
          WHERE o_orderkey % 6 <> 0 AND o_orderkey % 11 <> 3""",
-    // even half imported with %6=0 masked (all such keys are even), then
-    // the foreign source appends the odd half and sync catches up
+    // even half imported with %6=0 masked (all such keys are even), the
+    // foreign source appends the odd half and sync catches up, then a
+    // foreign RENAME of o_orderpriority follows by field id (r13)
     "q116_iceberg_sync" ->
-      "SELECT * FROM orders WHERE o_orderkey % 6 <> 0",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority AS o_priority2
+         FROM orders WHERE o_orderkey % 6 <> 0""",
     // manifests reference only the %3 in {0,2} slices; the days layout
     // becomes a generated CAST(o_orderdate AS DATE) partition column
     "q117_iceberg_rewrite" ->

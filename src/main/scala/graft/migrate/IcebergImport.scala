@@ -251,9 +251,16 @@ object IcebergImport {
     val mapped = ColumnIds.mapped(snap0.schema)
     val incoming =
       if (mapped) st.schemaWithIds else ColumnIds.strip(st.schemaWithIds)
-    require(incoming == snap0.schema,
-      s"the Iceberg source's schema changed — schema evolution is a " +
-        "cut-over moment, not a silent sync step; re-import")
+    // r13: by-id binding makes SOURCE-side renames and added nullable
+    // columns followable — they translate into this sync commit instead of
+    // refusing. Drops, type changes, required adds, partition-column
+    // renames, and any change on a name-bound import stay cut-over
+    // refusals (see requireFollowableEvolution).
+    val evolved = incoming != snap0.schema
+    if (evolved) requireFollowableEvolution(snap0.schema, incoming, mapped)
+    // partition-column renames land here too: stale partitionValues keys
+    // on existing AddFiles would break exact partition matching
+    // (replaceWhere after cut-over), so the spec's COLUMN NAMES must hold
     require(st.pcols == snap0.metadata.partitionColumns,
       s"the Iceberg source's partition spec changed " +
         s"(${st.pcols.mkString(", ")}) — not syncable in place; re-import")
@@ -321,7 +328,52 @@ object IcebergImport {
         val clears = s.dvs.keys
           .filterNot(maskedNow).filter(currentLive.contains)
           .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
-        val metaA = s.metadata.copy(properties = s.metadata.properties +
+        // a followable evolution applies onto the CURRENT schema by field
+        // id (renames change names, adds append), so LOCAL field metadata
+        // a file-set-neutral commit stamped meanwhile (a column DEFAULT)
+        // survives the sync
+        val mergedJson =
+          if (!evolved) s.metadata.schemaJson
+          else {
+            val sById = s.schema.fields.map(f =>
+              ColumnIds.idOf(f).get -> f).toMap
+            val renamed = incoming.fields.flatMap { nf =>
+              sById.get(ColumnIds.idOf(nf).get)
+                .filter(_.name != nf.name).map(_.name)
+            }
+            // a renamed column referenced by a local constraint/generated
+            // rule would leave that rule dangling — refuse, like graft's
+            // own RENAME COLUMN does
+            renamed.foreach { oldName =>
+              val refs = s.metadata.properties.filter { case (k, v) =>
+                (k.startsWith("graft.constraints.") ||
+                  k.startsWith("graft.generated.")) &&
+                  v.toLowerCase.contains(oldName.toLowerCase)
+              }
+              require(refs.isEmpty,
+                s"the source renamed column '$oldName', which is " +
+                  s"referenced by ${refs.keys.mkString(", ")} — drop the " +
+                  "rule first or re-import")
+            }
+            StructType(incoming.fields.map { nf =>
+              sById.get(ColumnIds.idOf(nf).get) match {
+                case Some(of) => of.copy(name = nf.name)
+                case None => nf
+              }
+            }).json
+          }
+        // an added column raises the field-id high-water mark so graft-side
+        // ADD COLUMN after cut-over never reuses a source id
+        val maxIdProp: Map[String, String] =
+          if (!mapped) Map.empty
+          else Map(ColumnIds.MaxIdKey -> math.max(
+            Option(st.meta.get("last-column-id")).map(num).getOrElse(0L),
+            math.max(
+              s.metadata.properties.get(ColumnIds.MaxIdKey)
+                .map(_.toLong).getOrElse(0L),
+              ColumnIds.maxId(Map.empty, incoming))).toString)
+        val metaA = s.metadata.copy(schemaJson = mergedJson,
+          properties = s.metadata.properties ++ maxIdProp +
           (SourceSeqKey -> st.lastSeq.toString) +
           (SourceMetaVersionKey -> st.metaVersion.toString))
         val proto = graft.log.Protocol.merge(s.protocol,
@@ -334,6 +386,40 @@ object IcebergImport {
       }
     } catch { case _: LakeTable.EpochAlreadyCommitted => () }
     t.version
+  }
+
+  /** Source schema evolution a by-id mirror can FOLLOW (r13): renames of
+    * non-partition columns (ids are never reused, so identity is
+    * unambiguous — proven by the rename round-trip test) and ADDED
+    * nullable columns (existing files read them as null, exactly like
+    * graft's own ADD COLUMNS). Everything else refuses as the cut-over
+    * moment: a dropped column or type change would break downstream graft
+    * consumers mid-cadence, a REQUIRED add cannot be satisfied by existing
+    * files, and a name-bound import has no ids to follow renames by.
+    * (Partition-column renames are refused separately by the caller.) */
+  private def requireFollowableEvolution(old: StructType,
+      incoming: StructType, mapped: Boolean): Unit = {
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"the Iceberg source's schema changed ($why) — this evolution is a " +
+        "cut-over moment, not a silent sync step; re-import")
+    if (!mapped)
+      refuse("and this import is name-bound — no field ids to follow " +
+        "renames by")
+    val oldById = old.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
+    val newById = incoming.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
+    val dropped = (oldById.keySet -- newById.keySet).toSeq.sorted
+    if (dropped.nonEmpty)
+      refuse(s"dropped column(s) ${dropped.map(oldById(_).name).mkString(", ")}")
+    oldById.foreach { case (id, of) =>
+      val nf = newById(id)
+      if (nf.dataType != of.dataType)
+        refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
+    }
+    (newById.keySet -- oldById.keySet).toSeq.sorted.foreach { id =>
+      if (!newById(id).nullable)
+        refuse(s"added column '${newById(id).name}' is REQUIRED — existing " +
+          "files cannot satisfy it")
+    }
   }
 
   // ------------------------------------------------------ rewrite import

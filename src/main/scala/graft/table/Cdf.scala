@@ -22,8 +22,13 @@ import graft.log._
   */
 trait CdfSupport { self: LakeTable =>
 
-  /** Ops whose add/remove actions change table contents (synthesizable). */
-  private val dataChangeOps = Set("WRITE", "RESTORE", "CREATE TABLE", "CLONE", "STREAMING UPDATE")
+  /** Ops whose add/remove actions change table contents (synthesizable).
+    * CONVERT and the continuous-migration syncs are here (r13): a mirror
+    * table's net add/remove/DV-delta commits synthesize like any append —
+    * so a `readChangeFeed` consumer can follow a Delta/Iceberg mirror
+    * instead of stopping at batch reads. */
+  private val dataChangeOps = Set("WRITE", "RESTORE", "CREATE TABLE", "CLONE",
+    "STREAMING UPDATE", "CONVERT", "DELTA SYNC", "ICEBERG SYNC")
   /** Ops that rearrange bytes or metadata without changing rows. Schema
     * evolution (ADD/RENAME/DROP COLUMN) is here too: a CDF range crossing
     * one presents every change under the range-end schema — old files

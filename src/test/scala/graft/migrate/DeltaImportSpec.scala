@@ -900,6 +900,30 @@ class DeltaImportSpec extends SparkSpec {
     LakeTable.forPath(spark, dir.toString).version shouldBe v
   }
 
+  test("CDF follows a mirror (r13): CONVERT synthesizes its live set as " +
+    "inserts, and a sync's net add/remove emits insert/delete change rows") {
+    val dir = tmpDir("delta-cdf-mirror").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    dataFile(dir, "f1.parquet", rows(5, 9))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    val t = LakeTable.convert(spark, dir.toString)
+    // the CONVERT commit reads as the initial inserts
+    t.changes(0).filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe (0L to 4L)
+    // the source swaps f0 for f1; the sync commit carries net add+remove
+    writeCommit(log, 1, Seq(addLine(dir, "f1.parquet", 5, 9),
+      removeLine("f0.parquet")))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    val ch = t2.changes(t2.version, Some(t2.version))
+    ch.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe (5L to 9L)
+    ch.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe (0L to 4L)
+  }
+
   test("sync propagates Delta-side configuration changes, stamping implied " +
     "table features in the same commit") {
     val dir = tmpDir("delta-props").resolve("t")

@@ -276,6 +276,14 @@ class ForeignIcebergSpec extends SparkSpec {
     t2.snapshot().dvs.keySet shouldBe Set("data-a.parquet")
     t2.snapshot().files.find(_.path == "data-c.parquet").get
       .partitionValues("cat") shouldBe "c"
+    // CDF follows the mirror (r13): the sync commit's net changes read as
+    // insert/delete rows — including the newly-masked position as a delete
+    val ch = t2.changes(t2.version, Some(t2.version))
+    ch.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(20L, 21L)
+    ch.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 10L, 11L) // masked pos 0 of a + the removed file b
     // replay: no-op
     val v2 = t2.version
     IcebergImport.sync(spark, dir.toString) shouldBe v2
@@ -286,6 +294,10 @@ class ForeignIcebergSpec extends SparkSpec {
     t3.snapshot().dvs shouldBe empty
     t3.read().select("id").as[Long].collect().sorted.toSeq shouldBe
       Seq(1L, 2L, 3L, 20L, 21L)
+    // the purge reads as a resurrection insert in the change feed
+    t3.changes(t3.version, Some(t3.version))
+      .filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
     // local DML = cut-over: a later sync refuses
     t3.delete(col("id") === 20L)
     publish(dir, 4, 45L, 4L, Seq(mAC -> 0))
@@ -294,7 +306,8 @@ class ForeignIcebergSpec extends SparkSpec {
     }.getMessage should include("cut-over")
   }
 
-  test("sync refuses a source-side schema change (the cut-over moment)") {
+  test("sync FOLLOWS source-side renames of non-partition columns (by-id); " +
+    "a type change and a partition-column rename refuse (cut-over)") {
     val dir = tmpDir("foreign-sync-schema").resolve("t")
     val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a")))
     val metaDir = dir.resolve("metadata")
@@ -304,7 +317,8 @@ class ForeignIcebergSpec extends SparkSpec {
       Seq(entry((0, s"file:$fa", "PARQUET", 1L, Files.size(fa)), "a")))
     publish(dir, 1, 42L, 1L, Seq(m -> 0))
     LakeTable.convert(spark, dir.toString)
-    // v2 renames column 'id' -> 'ident' in the schema (same manifests)
+    // v2 renames column 'id' -> 'ident' (same id 1, same manifests):
+    // by-id binding makes this followable — the sync applies the rename
     val listPath = metaDir.resolve("snap-43.avro")
     writeAvro(listPath, listSchema, Seq(listRowOf(m, 0)))
     Files.write(metaDir.resolve("v2.metadata.json"),
@@ -313,9 +327,115 @@ class ForeignIcebergSpec extends SparkSpec {
         .getBytes(StandardCharsets.UTF_8))
     Files.write(metaDir.resolve("version-hint.text"),
       "2".getBytes(StandardCharsets.UTF_8))
+    IcebergImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().schema.fieldNames.toSeq shouldBe Seq("ident", "cat")
+    t2.read().select("ident").as[Long].collect().toSeq shouldBe Seq(1L)
+    t2.properties(IcebergImport.SourceSeqKey) shouldBe "2"
+    // v3 changes the renamed column's TYPE: refuses as cut-over
+    val listPath3 = metaDir.resolve("snap-44.avro")
+    writeAvro(listPath3, listSchema, Seq(listRowOf(m, 0)))
+    Files.write(metaDir.resolve("v3.metadata.json"),
+      metadataJson(dir, listPath3, 44L, seq = 3L)
+        .replace("\"name\":\"id\",\"required\":false,\"type\":\"long\"",
+          "\"name\":\"id\",\"required\":false,\"type\":\"string\"")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "3".getBytes(StandardCharsets.UTF_8))
     intercept[IllegalArgumentException] {
       IcebergImport.sync(spark, dir.toString)
-    }.getMessage should include("schema")
+    }.getMessage should include("cut-over")
+    // v4 renames the PARTITION column instead: refuses (stale
+    // partitionValues keys on existing files would break exact matching)
+    val listPath4 = metaDir.resolve("snap-45.avro")
+    writeAvro(listPath4, listSchema, Seq(listRowOf(m, 0)))
+    Files.write(metaDir.resolve("v4.metadata.json"),
+      metadataJson(dir, listPath4, 45L, seq = 4L)
+        .replace("\"name\":\"cat\"", "\"name\":\"category\"")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "4".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, dir.toString)
+    }.getMessage should include("partition spec")
+  }
+
+  test("sync FOLLOWS an added nullable column: old rows read null, a new " +
+    "file carries values; a dropped column refuses") {
+    val dir = tmpDir("foreign-sync-add").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet", Seq((1L, "a"), (2L, "a")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    def meta3(v: Long, listPath: Path, snapId: Long, seq: Long,
+        fields: Seq[Map[String, Any]]): String = json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> "aaaaaaaa-bbbb-cccc-dddd-000000000001",
+      "location" -> dir.toString,
+      "last-sequence-number" -> seq, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> fields.map(_("id").asInstanceOf[Int]).max,
+      "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> fields)),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+      "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> snapId,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> snapId, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> seq, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "append"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+    def fld(id: Int, name: String, t: String): Map[String, Any] =
+      Map("id" -> id, "name" -> name, "required" -> false, "type" -> t)
+    val m = metaDir.resolve("m-a.avro")
+    writeAvro(m, entrySchema,
+      Seq(entry((0, s"file:$fa", "PARQUET", 2L, Files.size(fa)), null)))
+    val l1 = metaDir.resolve("snap-42.avro")
+    writeAvro(l1, listSchema, Seq(listRowOf(m, 0)))
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      meta3(1, l1, 42L, 1L, Seq(fld(1, "id", "long"), fld(2, "cat", "string")))
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    LakeTable.convert(spark, dir.toString)
+    // v2 ADDS nullable 'note' (id 3) + a data file carrying all 3 columns
+    val fb = {
+      val df = Seq((10L, "b", "hello")).toDF("id", "cat", "note")
+        .select(col("id").as("id", fid(1)), col("cat").as("cat", fid(2)),
+          col("note").as("note", fid(3)))
+      rawFile(dir, "data-b.parquet", df)
+    }
+    val mB = metaDir.resolve("m-b.avro")
+    writeAvro(mB, entrySchema,
+      Seq(entry((0, s"file:$fb", "PARQUET", 1L, Files.size(fb)), null)))
+    val l2 = metaDir.resolve("snap-43.avro")
+    writeAvro(l2, listSchema, Seq(listRowOf(m, 0), listRowOf(mB, 0)))
+    Files.write(metaDir.resolve("v2.metadata.json"),
+      meta3(2, l2, 43L, 2L, Seq(fld(1, "id", "long"), fld(2, "cat", "string"),
+        fld(3, "note", "string"))).getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "2".getBytes(StandardCharsets.UTF_8))
+    IcebergImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().schema.fieldNames.toSeq shouldBe Seq("id", "cat", "note")
+    t2.read().orderBy("id").select("id", "note")
+      .as[(Long, String)].collect().toSeq shouldBe
+      Seq((1L, null), (2L, null), (10L, "hello"))
+    // the id high-water mark rose with the added column
+    t2.properties(graft.log.ColumnIds.MaxIdKey).toLong should be >= 3L
+    // v3 DROPS 'cat': refuses as cut-over
+    val l3 = metaDir.resolve("snap-44.avro")
+    writeAvro(l3, listSchema, Seq(listRowOf(m, 0), listRowOf(mB, 0)))
+    Files.write(metaDir.resolve("v3.metadata.json"),
+      meta3(3, l3, 44L, 3L, Seq(fld(1, "id", "long"), fld(3, "note", "string")))
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "3".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, dir.toString)
+    }.getMessage should include("dropped")
   }
 
   test("by-id import never attributes footer stats by a REUSED name: a " +

@@ -238,4 +238,155 @@ class IcebergSyncFuzzSpec extends SparkSpec {
       check("re-sync")
     }
   }
+
+  /** Entry schema with equality_ids — the rewrite-fuzz shape (r13). */
+  private val eqEntrySchema = new org.apache.avro.Schema.Parser().parse("""{
+    "type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"data_file","type":{
+        "type":"record","name":"r2","fields":[
+          {"name":"content","type":"int"},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"partition","type":{
+            "type":"record","name":"r102","fields":[]}},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":"long"},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
+
+  test("randomized sequence-interleaved equality + position deletes " +
+    "rewrite-import to exactly the model's surviving rows (r13)") {
+    val rnd = new scala.util.Random(20260817L)
+    (0 until 4).foreach { trial =>
+      val dir = tmpDir(s"iceberg-eqfuzz-$trial").resolve("t")
+      Files.createDirectories(dir)
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      def writeOne(target: Path, df: org.apache.spark.sql.DataFrame): Unit = {
+        val staging = Files.createTempDirectory("iceberg-eqfuzz-stage")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("out").toString)
+        val part = {
+          val s = Files.list(staging.resolve("out"))
+          try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        Files.move(part, target)
+        graft.log.TxLog.deleteRecursively(staging): Unit
+      }
+      // data files: random seqs, disjoint id slices (order inside a file
+      // is the written order — position deletes index into it)
+      val nFiles = 3 + rnd.nextInt(3)
+      val dataFiles: Seq[(String, Seq[Long], Long)] = (0 until nFiles).map {
+        k => (s"f$k.parquet", (k * 10L until k * 10L + 10).toSeq,
+          1L + rnd.nextInt(5)) }
+      dataFiles.foreach { case (name, ids, _) =>
+        writeOne(dir.resolve(name),
+          ids.toDF("id0").select(col("id0").as("id", fid(1)))) }
+      // equality deletes: random key sets at random seqs; alternate
+      // with/without footer field ids (both resolution paths)
+      val nEq = 1 + rnd.nextInt(3)
+      val eqDels: Seq[(String, Set[Long], Long)] = (0 until nEq).map { j =>
+        val keys = (0 until nFiles * 10)
+          .filter(_ => rnd.nextInt(4) == 0).map(_.toLong).toSet + 1L
+        (s"eq$j.parquet", keys, 1L + rnd.nextInt(6))
+      }
+      eqDels.zipWithIndex.foreach { case ((name, keys, _), j) =>
+        val df0 = keys.toSeq.toDF("id0")
+        val df = if (j % 2 == 0) df0.select(col("id0").as("id", fid(1)))
+          else df0.select(col("id0").as("id"))
+        writeOne(metaDir.resolve(name), df) }
+      // one position delete file at a random seq (path-specific — applies
+      // regardless of sequence in this importer, like real paths do)
+      val posTargets: Seq[(String, Long)] = dataFiles
+        .filter(_ => rnd.nextBoolean())
+        .map { case (name, _, _) => (name, rnd.nextInt(10).toLong) }
+      if (posTargets.nonEmpty)
+        writeOne(metaDir.resolve("posdel.parquet"),
+          posTargets.map { case (n, p) => (dir.resolve(n).toString, p) }
+            .toDF("file_path", "pos"))
+      // manifests: one per data file (its own seq), one per delete
+      def mk(name: String, content: Int, path: Path, count: Long,
+          eqIds: Seq[Int]): Path = {
+        val dfs = eqEntrySchema.getField("data_file").schema()
+        val d = new GenericData.Record(dfs)
+        d.put("content", content)
+        d.put("file_path", path.toString)
+        d.put("file_format", "PARQUET")
+        d.put("partition",
+          new GenericData.Record(dfs.getField("partition").schema()))
+        d.put("record_count", count)
+        d.put("file_size_in_bytes", Files.size(path))
+        if (eqIds.nonEmpty)
+          d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+        val e = new GenericData.Record(eqEntrySchema)
+        e.put("status", 1)
+        e.put("data_file", d)
+        val m = metaDir.resolve(name)
+        writeAvro(m, eqEntrySchema, Seq(e))
+        m
+      }
+      val manifests: Seq[(Path, Int, Long)] =
+        dataFiles.map { case (n, ids, seq) =>
+          (mk(s"m-$n.avro", 0, dir.resolve(n), ids.size.toLong, Nil), 0, seq)
+        } ++ eqDels.map { case (n, keys, seq) =>
+          (mk(s"m-$n.avro", 2, metaDir.resolve(n), keys.size.toLong, Seq(1)),
+            1, seq)
+        } ++ (if (posTargets.isEmpty) Nil else Seq(
+          (mk("m-pos.avro", 1, metaDir.resolve("posdel.parquet"),
+            posTargets.size.toLong, Nil), 1, 6L)))
+      val listPath = metaDir.resolve("snap-1.avro")
+      writeAvro(listPath, listSchema, manifests.map { case (p, content, seq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", 1001L)
+        r
+      })
+      Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
+        "format-version" -> 2, "table-uuid" -> s"eqfuzz-$trial",
+        "location" -> dir.toString,
+        "last-sequence-number" -> 6, "last-updated-ms" -> 1700000000000L,
+        "last-column-id" -> 1, "current-schema-id" -> 0,
+        "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+          "fields" -> Seq(Map("id" -> 1, "name" -> "id",
+            "required" -> false, "type" -> "long")))),
+        "default-spec-id" -> 0,
+        "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+        "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+        "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+        "properties" -> Map.empty, "current-snapshot-id" -> 1001,
+        "snapshots" -> Seq(Map(
+          "snapshot-id" -> 1001, "timestamp-ms" -> 1700000000000L,
+          "sequence-number" -> 6, "schema-id" -> 0,
+          "summary" -> Map.empty, "manifest-list" -> listPath.toString)),
+        "snapshot-log" -> Nil, "metadata-log" -> Nil))
+        .getBytes(StandardCharsets.UTF_8))
+      Files.write(metaDir.resolve("version-hint.text"),
+        "1".getBytes(StandardCharsets.UTF_8))
+
+      // model: a row survives unless position-deleted, or equality-
+      // deleted by a delete with a STRICTLY larger sequence
+      val posSet = posTargets.toSet
+      val expected: Seq[Long] = dataFiles.flatMap { case (name, ids, dseq) =>
+        ids.zipWithIndex.collect {
+          case (id, pos) if !posSet.contains((name, pos.toLong)) &&
+            !eqDels.exists { case (_, keys, eseq) =>
+              keys.contains(id) && dseq < eseq } => id
+        }
+      }
+      val dest = tmpDir(s"iceberg-eqfuzz-$trial").resolve("dest").toString
+      val t = IcebergImport.convertRewrite(spark, dir.toString, dest)
+      withClue(s"trial=$trial files=$dataFiles eq=$eqDels pos=$posTargets: ") {
+        t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+          expected.sorted
+      }
+    }
+  }
 }
