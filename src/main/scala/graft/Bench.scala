@@ -78,6 +78,40 @@ object Bench {
     (anomalyFlagged ++ spreadFlagged ++ loadFlagged).distinct.take(topN + 3)
   }
 
+  /** Per-query envelope check (r13 — closing the two blind spots the r12
+    * artifact exposed): a COMMITTED quiet-run baseline makes every query
+    * self-adjudicating, including streaming lifecycles (exempt from the
+    * absolute trigger above) and the 2–6 s band invisible to the 8 s
+    * threshold (the r12 q28 shape: billed 5.9 s against a ~2.7 s quiet
+    * envelope, adjudicated by hand a round later). A query flags when
+    * billed > `factor` × its baseline AND above `minSec` (sub-second
+    * jitter never flags). Queries absent from the baseline — new gates —
+    * pass; they enter the baseline at the next quiet pin. */
+  private[graft] def envelopeTargets(
+      results: Seq[(String, Double)],
+      baseline: Map[String, Double],
+      factor: Double = 2.0,
+      minSec: Double = 1.0): Seq[String] =
+    results.collect { case (name, billed)
+      if billed > minSec && baseline.get(name).exists(b =>
+        b > 0 && billed / b > factor) => name }
+
+  /** The committed quiet-run baseline (`bench_envelope.json`, flat
+    * name→seconds; path overridable via SPARK_GRAFT_ENVELOPE). Empty when
+    * absent or unparseable — the envelope trigger simply stands down. */
+  private[graft] def loadEnvelope(): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_ENVELOPE", "bench_envelope.json"))
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        val body = java.nio.file.Files.readString(p)
+        val kv = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
+        kv.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** Section isolation, not a speedup: flush the PREVIOUS section's dirty
     * pages and retire its garbage before starting a timed section, so a
     * measurement isn't billed for its predecessor's deferred writeback/GC.
@@ -242,9 +276,13 @@ object Bench {
     // the JSON as a `remeasured` map alongside the billed `queries`, so
     // the adjudication r10/r11 did by hand ships in the artifact itself.
     // The billed values stay untouched (driver comparability).
-    val suspects = Bench.remeasureTargets(
+    // contention flags + committed-envelope flags (streaming and the sub-8s
+    // band self-adjudicate too); combined cap bounds the re-measure cost
+    val suspects = (Bench.remeasureTargets(
       results, repHistory.toMap, loadStart._1,
-      Runtime.getRuntime.availableProcessors())
+      Runtime.getRuntime.availableProcessors()) ++
+      Bench.envelopeTargets(results, Bench.loadEnvelope()))
+      .distinct.take(12)
     val remeasured: Seq[(String, Double)] =
       if (opsChild) Nil
       else suspects.flatMap { name =>

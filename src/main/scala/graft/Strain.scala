@@ -164,6 +164,87 @@ object Strain {
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(d3).getParent)
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(d4).getParent)
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir2).getParent)
+
+    // ---- checkpoint-shaped import strain (r13): a parquet CHECKPOINT with
+    // mfiles add rows replays via toLocalIterator — the driver holds the
+    // compact replay state, never the raw Row set — and the snapshot-diff
+    // sync (cleaned JSON tail) nets a second churned checkpoint against
+    // the live set. Stats embedded; pure metadata time, zero data IO.
+    val cpRoot = Files.createTempDirectory("strain-cp").resolve("t")
+    val cpLog = cpRoot.resolve("_delta_log")
+    Files.createDirectories(cpLog)
+    val metaT = "struct<id:string,schemaString:string," +
+      "partitionColumns:array<string>,configuration:map<string,string>>"
+    val protoT = "struct<minReaderVersion:int>"
+    val addT = "struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean,stats:string>"
+    val cpSchemaJson = gen2.schema.json
+    def writeCheckpoint(version: Long, names: org.apache.spark.sql.DataFrame): Unit = {
+      val emptyMap = map_from_arrays(
+        array().cast("array<string>"), array().cast("array<string>"))
+      val adds = names.select(
+        lit(null).cast(metaT).as("metaData"),
+        lit(null).cast(protoT).as("protocol"),
+        struct(col("name").as("path"), emptyMap.as("partitionValues"),
+          lit(100L).as("size"), lit(0L).as("modificationTime"),
+          lit(true).as("dataChange"),
+          lit("""{"numRecords":1,"minValues":{},"maxValues":{},"nullCount":{}}""")
+            .as("stats")).cast(addT).as("add"))
+      val head = spark.range(1).select(
+        struct(lit("cp-strain-0000").as("id"),
+          lit(cpSchemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"),
+          emptyMap.as("configuration")).cast(metaT).as("metaData"),
+        struct(lit(1).as("minReaderVersion")).cast(protoT).as("protocol"),
+        lit(null).cast(addT).as("add"))
+      val staging = Files.createTempDirectory("strain-cp-stage")
+      head.unionByName(adds).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("out").toString)
+      val part = {
+        val s = Files.list(staging.resolve("out"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
+        finally s.close()
+      }
+      Files.move(part, cpLog.resolve(f"$version%020d.checkpoint.parquet"))
+      graft.log.TxLog.deleteRecursively(staging)
+      Files.write(cpLog.resolve("_last_checkpoint"),
+        s"""{"version":$version}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    def cpNames(drop: Boolean) = {
+      val base = spark.range(mfiles.toLong)
+        .select(concat(lit("f"), lpad(col("id").cast("string"), 6, "0"),
+          lit(".parquet")).as("name"), col("id"))
+      if (!drop) base.select("name")
+      else base.filter(col("id") % 10 =!= 0).select("name")
+        .unionByName(spark.range(mfiles.toLong / 10)
+          .select(concat(lit("g"), col("id").cast("string"),
+            lit(".parquet")).as("name")))
+    }
+    writeCheckpoint(1L, cpNames(drop = false))
+    val (_, cpImpSec) = timed(s"delta import via $mfiles-add checkpoint")(
+      graft.migrate.DeltaImport.convert(spark, cpRoot.toString))
+    // the source checkpoints again (10% churn) and CLEANS the json tail:
+    // the sync falls back to the snapshot diff over the new checkpoint
+    writeCheckpoint(2L, cpNames(drop = true))
+    val (_, cpDiffSec) = timed("snapshot-diff sync over churned checkpoint")(
+      graft.migrate.DeltaImport.sync(spark, cpRoot.toString))
+    val cpT = LakeTable.forPath(spark, cpRoot.toString)
+    // assert the churn actually LANDED (a silently no-op diff sync would
+    // leave the same file count — check membership, not arithmetic)
+    val cpLive = cpT.snapshot().files.map(_.path).toSet
+    require(!cpLive.contains("f000000.parquet") && !cpLive.contains("f000010.parquet"),
+      "checkpoint diff sync failed to remove churned files")
+    require(cpLive.contains("g0.parquet") &&
+      cpLive.contains(s"g${mfiles / 10 - 1}.parquet"),
+      "checkpoint diff sync failed to add churned files")
+    require(cpLive.size == mfiles - mfiles / 10 + mfiles / 10,
+      s"checkpoint diff sync produced ${cpLive.size} files")
+    println(f"[strain] checkpoint_import_sec=$cpImpSec%.2f " +
+      f"checkpoint_diff_sync_sec=$cpDiffSec%.2f adds=$mfiles " +
+      f"churn=${2 * (mfiles / 10)}")
+    graft.log.TxLog.deleteRecursively(cpRoot.getParent)
     spark.stop()
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
   }

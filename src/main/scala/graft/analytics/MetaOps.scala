@@ -383,8 +383,9 @@ object MetaOps {
         (hint + 1).toString.getBytes("UTF-8")): Unit
     }
     /** A foreign writer's RENAME commit: a new metadata version whose
-      * schema renames `from` -> `to` (same field id), sequence advanced,
-      * snapshot unchanged. */
+      * schema renames `from` -> `to` (same field id). Spec-faithfully,
+      * the SEQUENCE does NOT advance — renames write metadata without a
+      * new snapshot; the sync must key on the metadata version (r13). */
     def renameColumn(dir: java.nio.file.Path, from: String, to: String): Unit = {
       val metaDir = dir.resolve("metadata")
       val plain = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -393,10 +394,7 @@ object MetaOps {
       val meta = plain.readValue(
         Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")),
         classOf[java.util.Map[String, Object]])
-      def num(o: Object) = o.asInstanceOf[java.lang.Number].longValue()
       import scala.jdk.CollectionConverters._
-      meta.put("last-sequence-number",
-        java.lang.Long.valueOf(num(meta.get("last-sequence-number")) + 1))
       meta.get("schemas")
         .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
         .foreach { s =>
@@ -523,25 +521,28 @@ object MetaOps {
       p
     }
     /** Publish v1.metadata.json whose snapshot lists `manifests` as
-      * (path, content, sequence) — one foreign table, one snapshot. */
+      * (path, content, sequence, partition-spec id) — one foreign table,
+      * one snapshot. Spec 0 is the partitioned layout spec; spec 1 is the
+      * UNPARTITIONED spec (the shape a global equality delete rides). */
     def publish(dir: java.nio.file.Path,
         fields: Seq[(Int, String, String)], // (id, name, iceberg type)
         specField: (String, String, Int), // (name, transform, source-id)
-        manifests: Seq[(java.nio.file.Path, Int, Long)],
+        manifests: Seq[(java.nio.file.Path, Int, Long, Int)],
         lastSeq: Long): Unit = {
       val metaDir = dir.resolve("metadata")
       Files.createDirectories(metaDir)
       val listPath = metaDir.resolve("snap-42.avro")
-      writeAvro(listPath, listSchema, manifests.map { case (p, content, seq) =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", p.toString)
-        r.put("manifest_length", Files.size(p))
-        r.put("partition_spec_id", 0)
-        r.put("content", content)
-        r.put("sequence_number", seq)
-        r.put("min_sequence_number", seq)
-        r.put("added_snapshot_id", 42L)
-        r
+      writeAvro(listPath, listSchema, manifests.map {
+        case (p, content, seq, specId) =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p.toString)
+          r.put("manifest_length", Files.size(p))
+          r.put("partition_spec_id", specId)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", 42L)
+          r
       })
       Files.write(metaDir.resolve("v1.metadata.json"), j(Map(
         "format-version" -> 2,
@@ -555,9 +556,11 @@ object MetaOps {
           "fields" -> fields.map { case (id, n, t) =>
             Map("id" -> id, "name" -> n, "required" -> false, "type" -> t) })),
         "default-spec-id" -> 0,
-        "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
-          "name" -> specField._1, "transform" -> specField._2,
-          "source-id" -> specField._3, "field-id" -> 1000)))),
+        "partition-specs" -> Seq(
+          Map("spec-id" -> 0, "fields" -> Seq(Map(
+            "name" -> specField._1, "transform" -> specField._2,
+            "source-id" -> specField._3, "field-id" -> 1000))),
+          Map("spec-id" -> 1, "fields" -> Nil)),
         "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
         "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
         "properties" -> Map.empty,
@@ -610,7 +613,7 @@ object MetaOps {
       entry(0, dir.resolve("f0.parquet"), slice(0).count()),
       entry(0, dir.resolve("f2.parquet"), slice(2).count())))
     publish(dir, ordersFields, ("od_day", "days", 5),
-      Seq((mData, 0, 1L)), lastSeq = 1L)
+      Seq((mData, 0, 1L, 0)), lastSeq = 1L)
     val dest = Files.createTempDirectory("graft-iceberg-rewrite-dest")
       .resolve("t").toString
     graft.migrate.IcebergImport.convertRewrite(spark, dir.toString, dest)
@@ -649,8 +652,10 @@ object MetaOps {
     val mEq = manifest(metaDir, "m-eq.avro",
       Seq(entry(2, metaDir.resolve("del-eq.parquet"),
         orders.filter(col("o_orderkey") % 7 === 0).count(), eqIds = Seq(1))))
+    // the equality delete rides the UNPARTITIONED spec (id 1): table-wide
+    // scope, the real Flink-CDC global-delete shape
     publish(dir, ordersFields, ("ck_bucket", "bucket[8]", 2),
-      Seq((mEven, 0, 1L), (mEq, 1, 2L), (mOdd, 0, 3L)), lastSeq = 3L)
+      Seq((mEven, 0, 1L, 0), (mEq, 1, 2L, 1), (mOdd, 0, 3L, 0)), lastSeq = 3L)
     val dest = Files.createTempDirectory("graft-iceberg-eqdel-dest")
       .resolve("t").toString
     graft.migrate.IcebergImport.convertRewrite(spark, dir.toString, dest)

@@ -257,6 +257,8 @@ object DeltaImport {
         // TOCTOU closure re-check: a local write that landed after the
         // entry guard makes this retry refuse instead of duplicating rows
         SyncGuard.requireNotDiverged(s.commits, syncOps, "Delta")
+        SyncGuard.requireNoConstraintsForAdds(s.metadata.properties,
+          graftAdds.size.toLong, "Delta")
         val live = s.files.map(_.path).toSet
         val meta = s.metadata.copy(properties =
           s.metadata.properties ++
@@ -341,6 +343,8 @@ object DeltaImport {
             .exists(_.toLong >= st.sourceVersion))
           throw new LakeTable.EpochAlreadyCommitted
         SyncGuard.requireNotDiverged(s.commits, syncOps, "Delta")
+        SyncGuard.requireNoConstraintsForAdds(s.metadata.properties,
+          newAdds.size.toLong, "Delta")
         val liveNow = s.files.map(_.path).toSet
         val maskedNow = dvActions.map(_.forFile).toSet
         val clears = s.dvs.keys

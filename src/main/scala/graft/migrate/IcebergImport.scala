@@ -20,26 +20,31 @@ import graft.table.LakeTable
   * table migrates without a rewrite. [[sync]] then follows the source's
   * NEW snapshots until cut-over, exactly like [[DeltaImport.sync]].
   *
-  * Replayed state (Iceberg table spec, format-version 2): the current
-  * metadata file (version-hint.text, else the highest `v<N>.metadata.json`),
-  * its current snapshot's manifest list, each DATA manifest's live entries
-  * (status != DELETED), and each DELETE manifest's position-delete files —
-  * which transcode into the engine's own deletion-vector masks (one Spark
-  * read of (file_path, pos) rows, aggregated into per-file roaring bitmaps,
-  * never a driver-side position explosion).
+  * Replayed state (Iceberg table spec, format versions 1 and 2): the
+  * current metadata file (version-hint.text, else the highest
+  * `v<N>.metadata.json`), its current snapshot's manifest list, each DATA
+  * manifest's live entries (status != DELETED), and each DELETE manifest's
+  * position-delete files — which transcode into the engine's own
+  * deletion-vector masks (one Spark read of (file_path, pos) rows,
+  * aggregated into per-file roaring bitmaps, never a driver-side position
+  * explosion). v1's legacy metadata keys and missing Avro fields read as
+  * their spec defaults (see [[replay]]).
   *
-  * Honest scope — refuse rather than silently mis-read:
-  *  - format-version 2 only (v1 manifests carry a different entry shape);
+  * Honest zero-copy scope — refuse rather than silently mis-read, with
+  * [[convertRewrite]] as the named remedy where a rewrite CAN honor the
+  * semantics:
   *  - identity partition transforms only, on types whose Avro partition
   *    encoding has a faithful string form (string/int/long/date — the set
   *    the exporter writes); identity-partitioned Iceberg data files
   *    CONTAIN their partition columns, so zero-copy stays faithful
   *    (unlike Delta), and the tuples import keyed by the SPEC FIELD name
   *    (a foreign spec may name the field differently from the column);
-  *  - equality deletes refuse (row-predicate deletes cannot transcode to
-  *    position masks without a scan); DANGLING position deletes (targets
-  *    compacted away without a delete rewrite — spec-valid) are ignored,
-  *    exactly as Iceberg readers ignore them;
+  *    derived transforms (days/bucket/truncate/…) → convertRewrite;
+  *  - equality deletes refuse in place (row-predicate deletes cannot
+  *    transcode to position masks without a scan) → convertRewrite
+  *    applies them as sequence-gated, partition-scoped anti-joins;
+  *    DANGLING position deletes (targets compacted away without a delete
+  *    rewrite — spec-valid) are ignored, exactly as Iceberg readers do;
   *  - data files outside the table root refuse, like the Delta importer's
   *    absolute-path rule;
   *  - column binding: Iceberg field ids are never reused, so they are
@@ -81,9 +86,14 @@ object IcebergImport {
 
   /** One equality-delete file: absolute (scheme-stripped) path, its data
     * sequence number (equality deletes apply to data files with a STRICTLY
-    * smaller sequence), and the equality field ids it matches on. */
+    * smaller sequence), the equality field ids it matches on, the manifest's
+    * partition spec id, and the entry's partition tuple (spec field name →
+    * string value, sorted; null values kept as null) — the spec scopes a
+    * partitioned-spec delete to its own partition, while an unpartitioned-
+    * spec delete applies table-wide. */
   private[migrate] case class EqDelete(
-      path: String, seq: Long, equalityIds: Seq[Int])
+      path: String, seq: Long, equalityIds: Seq[Int],
+      specId: Long, tuple: Seq[(String, String)])
 
   /** The replayed current state of an Iceberg table's metadata. */
   private case class IcebergState(
@@ -95,6 +105,8 @@ object IcebergImport {
       partFields: Seq[PartField],
       live: Seq[(String, GenericRecord)], // (relative path, data_file record)
       liveSeq: Map[String, Long], // relative path -> data sequence number
+      liveScope: Map[String, (Long, Seq[(String, String)])], // path -> (spec id, tuple)
+      specSizes: Map[Long, Int], // partition spec id -> field count
       deletePaths: Seq[String], // position-delete parquet (manifest form)
       eqDeletes: Seq[EqDelete]) {
     def pcols: Seq[String] = partFields.map(_.column)
@@ -243,7 +255,16 @@ object IcebergImport {
     val syncOps = Set("CONVERT", "ICEBERG SYNC")
     SyncGuard.requireNotDiverged(t.snapshot().commits, syncOps, "Iceberg")
     val st = replay(root)
-    if (st.lastSeq <= consumed) return t.version
+    // staleness is judged on BOTH ordering keys: the sequence number (data
+    // commits) and the metadata version (metadata-only commits — a rename
+    // writes new metadata WITHOUT a new snapshot, so its sequence does not
+    // move; and a v1→v2 format upgrade RESTARTS the sequence axis, which
+    // would otherwise stall the mirror silently until the source
+    // accumulated `consumed` data commits)
+    val consumedMeta = t.properties.get(SourceMetaVersionKey)
+      .map(_.toLong).getOrElse(-1L)
+    if (st.lastSeq <= consumed && st.metaVersion <= consumedMeta)
+      return t.version
     // a source that adopted non-identity transforms or equality deletes
     // since the import can no longer mirror in place (cut-over moment)
     gateZeroCopy(root, st)
@@ -309,12 +330,18 @@ object IcebergImport {
         snap0,
         Map("numAddedFiles" -> newAdds.size.toLong,
           "numRemovedFiles" -> removed.size.toLong)) { s =>
-        // a racing sync already consumed this state: stand down
+        // a racing sync already consumed this state (BOTH ordering keys
+        // at-or-past — seq alone would false-trigger across a v1→v2
+        // upgrade, whose sequence axis restarts): stand down
         if (s.metadata.properties.get(SourceSeqKey)
-            .exists(_.toLong >= st.lastSeq))
+            .exists(_.toLong >= st.lastSeq) &&
+          s.metadata.properties.get(SourceMetaVersionKey)
+            .exists(_.toLong >= st.metaVersion))
           throw new LakeTable.EpochAlreadyCommitted
         // TOCTOU re-check: local writes after the entry guard refuse here
         SyncGuard.requireNotDiverged(s.commits, syncOps, "Iceberg")
+        SyncGuard.requireNoConstraintsForAdds(s.metadata.properties,
+          newAdds.size.toLong, "Iceberg")
         val liveNow = s.files.map(_.path).toSet
         val dvActions: Seq[graft.log.DeletionVector] = masks.toSeq.flatMap {
           case (rel, counts) => st.live.flatMap { case (p, _) =>
@@ -343,12 +370,17 @@ object IcebergImport {
             }
             // a renamed column referenced by a local constraint/generated
             // rule would leave that rule dangling — refuse, like graft's
-            // own RENAME COLUMN does
+            // own RENAME COLUMN does. Identifier-boundary match, not
+            // substring: a column named 'id' inside 'valid_flag' must not
+            // permanently false-refuse every future sync
             renamed.foreach { oldName =>
+              val ref = ("(?i)(?<![A-Za-z0-9_])" +
+                java.util.regex.Pattern.quote(oldName) +
+                "(?![A-Za-z0-9_])").r
               val refs = s.metadata.properties.filter { case (k, v) =>
                 (k.startsWith("graft.constraints.") ||
                   k.startsWith("graft.generated.")) &&
-                  v.toLowerCase.contains(oldName.toLowerCase)
+                  ref.findFirstIn(v).isDefined
               }
               require(refs.isEmpty,
                 s"the source renamed column '$oldName', which is " +
@@ -357,7 +389,14 @@ object IcebergImport {
             }
             StructType(incoming.fields.map { nf =>
               sById.get(ColumnIds.idOf(nf).get) match {
-                case Some(of) => of.copy(name = nf.name)
+                // nullability may only WIDEN: a source making a required
+                // column optional must propagate (synced files may carry
+                // nulls — declaring them non-null would poison IsNotNull
+                // reasoning); the reverse tightening never propagates
+                // (existing data is not re-validated)
+                case Some(of) =>
+                  of.copy(name = nf.name,
+                    nullable = of.nullable || nf.nullable)
                 case None => nf
               }
             }).json
@@ -547,6 +586,12 @@ object IcebergImport {
       }
     }
     val readSchema = if (allIds) st.schemaWithIds else dataSchema
+    // by-id resolution must hold on ANY session (the refusal message sends
+    // users here directly): without this conf Spark resolves by NAME and a
+    // renamed column's old files would silently read all-NULL — the same
+    // guard LakeTable.readFiles carries
+    if (allIds)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val raw = spark.read.schema(readSchema).parquet(livePaths: _*)
       .withColumn("__file",
         graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
@@ -575,19 +620,34 @@ object IcebergImport {
         "left_anti")
     }
 
-    // ---- equality deletes: per-key-set anti-joins, sequence-gated ----
+    // ---- equality deletes: per-key-set anti-joins, sequence-gated and
+    // PARTITION-SCOPED (the spec: a delete under a partitioned spec
+    // applies only to data files in the SAME partition of the SAME spec;
+    // a delete under an unpartitioned spec applies table-wide) ----
     if (st.eqDeletes.nonEmpty) {
+      // one canonical scope key per file: spec id + sorted tuple (nulls
+      // marked) — partition identity across manifests of the same spec
+      def scopeKey(specId: Long, tuple: Seq[(String, String)]): String =
+        specId + "|" + tuple.map { case (k, v) =>
+          k + "=" + (if (v == null) "\u0000" else v) }.mkString(",")
       val seqDf = {
         import spark.implicits._
         st.live.map { case (p, _) =>
-          (root.resolve(p).toString, st.liveSeq(p)) }.toDF("__sfile", "__seq")
+          val (specId, tuple) = st.liveScope(p)
+          (root.resolve(p).toString, st.liveSeq(p), scopeKey(specId, tuple))
+        }.toDF("__sfile", "__seq", "__pscope")
       }
       cur = cur.join(broadcast(seqDf), cur("__file") === seqDf("__sfile"))
         .drop("__sfile")
       val idToField: Map[Int, StructField] = st.schemaWithIds.fields
         .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f)).toMap
-      st.eqDeletes.groupBy(_.equalityIds.sorted).toSeq
-        .sortBy(_._1.mkString(",")).foreach { case (ids, dels) =>
+      st.eqDeletes.groupBy(d => (d.equalityIds.sorted,
+        // scope: None = table-wide (the delete's spec is unpartitioned),
+        // Some(key) = only data files sharing the partition
+        if (st.specSizes.getOrElse(d.specId, 0) == 0) None
+        else Some(scopeKey(d.specId, d.tuple)))).toSeq
+        .sortBy(g => (g._1._1.mkString(","), g._1._2.getOrElse("")))
+        .foreach { case ((ids, scope), dels) =>
           val keyFields = ids.map(i => idToField.getOrElse(i,
             throw new IllegalArgumentException(
               s"equality delete references field id $i, which is not a " +
@@ -611,9 +671,13 @@ object IcebergImport {
             spark.read.parquet(d.path).select(sel.toIndexedSeq: _*)
               .withColumn("__dseq", lit(d.seq))
           }.reduce(_.unionByName(_))
-          val cond = keyFields.map(f =>
+          val cond0 = keyFields.map(f =>
             cur(f.name) <=> delDf(s"__eq_${f.name}")).reduce(_ && _) &&
             cur("__seq") < delDf("__dseq")
+          val cond = scope match {
+            case None => cond0
+            case Some(key) => cond0 && cur("__pscope") === lit(key)
+          }
           cur = cur.join(delDf, cond, "left_anti")
         }
     }
@@ -662,23 +726,26 @@ object IcebergImport {
     }
     val schemaWithIds = structOf(schemaNode, topLevelIds = true)
 
-    // ---- partition spec (default-spec-id; v1 fallback: partition-spec) ----
-    val spec: Seq[java.util.Map[String, Object]] =
+    // ---- partition specs (default for layout; ALL for delete scoping;
+    // v1 fallback: the flat legacy partition-spec, implicitly id 0) ----
+    val allSpecs: Map[Long, Seq[java.util.Map[String, Object]]] =
       Option(meta.get("partition-specs")) match {
         case Some(specs) =>
-          val specId = num(meta.get("default-spec-id"))
           specs.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
-            .asScala.find(s => num(s.get("spec-id")) == specId)
-            .getOrElse(throw new IllegalArgumentException(
-              s"default-spec-id $specId not present in partition-specs"))
-            .get("fields")
-            .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
-            .asScala.toSeq
-        case None => Option(meta.get("partition-spec"))
+            .asScala.map(s => num(s.get("spec-id")) -> s.get("fields")
+              .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+              .asScala.toSeq).toMap
+        case None => Map(0L -> Option(meta.get("partition-spec"))
           .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
             .asScala.toSeq)
-          .getOrElse(Nil)
+          .getOrElse(Nil))
       }
+    val defaultSpecId =
+      Option(meta.get("default-spec-id")).map(num).getOrElse(0L)
+    val spec: Seq[java.util.Map[String, Object]] =
+      allSpecs.getOrElse(defaultSpecId,
+        throw new IllegalArgumentException(
+          s"default-spec-id $defaultSpecId not present in partition-specs"))
     val idToName = schemaWithIds.fields.map(f =>
       ColumnIds.idOf(f).get -> f.name).toMap
     // the manifest partition record's Avro fields are named by the SPEC
@@ -704,7 +771,17 @@ object IcebergImport {
       getOpt(r, field).map(_.asInstanceOf[Number].intValue()).getOrElse(dflt)
     def longOr(r: GenericRecord, field: String, dflt: Long): Long =
       getOpt(r, field).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
-    val data = scala.collection.mutable.ListBuffer.empty[(GenericRecord, Long)]
+    // the entry's partition tuple as written (its OWN avro record fields,
+    // sorted by name; nulls kept) — the partition identity delete scoping
+    // compares, independent of the default spec's field names
+    def tupleOf(df: GenericRecord): Seq[(String, String)] = {
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      part.getSchema.getFields.asScala.map { fld =>
+        fld.name() -> Option(part.get(fld.pos())).map(String.valueOf).orNull
+      }.toSeq.sortBy(_._1)
+    }
+    val data = scala.collection.mutable.ListBuffer
+      .empty[(GenericRecord, Long, Long, Seq[(String, String)])]
     val posDeletes = scala.collection.mutable.ListBuffer.empty[String]
     val eqDeletes = scala.collection.mutable.ListBuffer.empty[EqDelete]
     currentSnap.foreach { snapId =>
@@ -718,6 +795,7 @@ object IcebergImport {
       manifests.foreach { m =>
         val content = intOr(m, "content", 0)
         val manifestSeq = longOr(m, "sequence_number", 0L)
+        val manifestSpecId = longOr(m, "partition_spec_id", 0L)
         avroRecords(Paths.get(
           Stats.stripScheme(m.get("manifest_path").toString))).foreach { e =>
           val status = e.get("status").asInstanceOf[Int]
@@ -731,7 +809,7 @@ object IcebergImport {
               .map(_.asInstanceOf[Number].longValue())
               .getOrElse(if (status == 1) manifestSeq else 0L)
             (content, fileContent) match {
-              case (0, 0) => data += ((df, seq))
+              case (0, 0) => data += ((df, seq, manifestSpecId, tupleOf(df)))
               case (1, 1) => posDeletes += df.get("file_path").toString
               case (1, 2) =>
                 val ids = getOpt(df, "equality_ids")
@@ -742,7 +820,8 @@ object IcebergImport {
                   s"equality-delete file ${df.get("file_path")} carries no " +
                     "equality_ids — malformed")
                 eqDeletes += EqDelete(
-                  Stats.stripScheme(df.get("file_path").toString), seq, ids)
+                  Stats.stripScheme(df.get("file_path").toString), seq, ids,
+                  manifestSpecId, tupleOf(df))
               case other => throw new IllegalArgumentException(
                 s"manifest/file content mismatch $other in " +
                   s"${m.get("manifest_path")}")
@@ -760,20 +839,24 @@ object IcebergImport {
           "— cannot import in place")
       root.relativize(abs).toString
     }
-    val live: Seq[(String, GenericRecord)] = data.toList.map { case (df, _) =>
-      val fmt = df.get("file_format").toString
-      require(fmt.equalsIgnoreCase("parquet"),
-        s"data file format '$fmt' is not parquet — cannot import")
-      relativize(df.get("file_path").toString) -> df
+    val live: Seq[(String, GenericRecord)] = data.toList.map {
+      case (df, _, _, _) =>
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"data file format '$fmt' is not parquet — cannot import")
+        relativize(df.get("file_path").toString) -> df
     }
     val liveSeq: Map[String, Long] = live.map(_._1)
       .zip(data.toList.map(_._2)).toMap
+    val liveScope: Map[String, (Long, Seq[(String, String)])] = live.map(_._1)
+      .zip(data.toList.map(d => (d._3, d._4))).toMap
     require(live.map(_._1).distinct.size == live.size,
       s"duplicate live data-file paths in $root's manifests — malformed")
     IcebergState(metaVersion, meta,
       Option(meta.get("last-sequence-number")).map(num)
         .getOrElse(if (formatVersion == 1) metaVersion else 0L),
-      formatVersion, schemaWithIds, partFields, live, liveSeq,
+      formatVersion, schemaWithIds, partFields, live, liveSeq, liveScope,
+      allSpecs.view.mapValues(_.size).toMap,
       posDeletes.toList, eqDeletes.toList)
   }
 

@@ -29,6 +29,26 @@ private[migrate] object SyncGuard {
     "ADD FEATURE", "ADD CONSTRAINT", "DROP CONSTRAINT",
     "ALTER COLUMN DEFAULT")
 
+  /** CHECK constraints cannot be enforced on FOREIGN files: graft
+    * validates constraints inside its own write jobs, but a sync imports
+    * the source's files zero-copy — a violating foreign row would land
+    * silently, breaking addConstraint's readers-never-see-bad-rows
+    * guarantee (ADD CONSTRAINT itself is file-set-neutral and keeps the
+    * mirror open; it is the next file-ADDING sync that must refuse).
+    * Removal-only and metadata-only syncs stay safe. Called inside the
+    * commit CAS closure — a constraint landing mid-sync refuses too. */
+  def requireNoConstraintsForAdds(properties: Map[String, String],
+      newFiles: Long, sourceKind: String): Unit =
+    if (newFiles > 0) {
+      val cs = properties.keys.filter(_.startsWith("graft.constraints."))
+        .toSeq.sorted
+      require(cs.isEmpty,
+        s"this mirror declares CHECK constraint(s) ${cs.map(
+          _.stripPrefix("graft.constraints.")).mkString(", ")} which " +
+          s"cannot be validated on files a $sourceKind sync imports " +
+          "zero-copy — drop the constraint(s) or cut over")
+    }
+
   /** Refuse when any commit after the last sync point (`syncOps`) is not
     * file-set-neutral. Called at sync entry for a fast loud failure AND
     * inside the commit CAS closure — the retry loop re-resolves the

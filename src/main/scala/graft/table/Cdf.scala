@@ -273,12 +273,35 @@ trait CdfSupport { self: LakeTable =>
     // across the commit: newly-masked rows are deletes, unmasked rows are
     // inserts. (DML mask changes never reach here — they carry sidecars.)
     val addPaths = adds.map(_.path).toSet
-    val dvChanged =
+    val dvPointerChanged =
       if (v == 0) Nil
       else snapAtV.files.filter { f =>
         !addPaths.contains(f.path) &&
           snapBefore.dvs.get(f.path).map(_.dvPath) !=
             snapAtV.dvs.get(f.path).map(_.dvPath)
+      }
+    // pointer churn is NOT content churn: mirror syncs rewrite the mask
+    // parquet every sync even when membership is unchanged — compare the
+    // bitmap BYTES (two small dv-parquet reads) and only data-scan files
+    // whose mask content actually moved. Unequal bytes for equal content
+    // merely falls through to the (empty) membership diff — still correct.
+    def bitmapBytes(dvs: Seq[DeletionVector]): Map[String, Array[Byte]] =
+      if (dvs.isEmpty) Map.empty
+      else dvBitmapDf(dvs).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val dvChanged =
+      if (dvPointerChanged.isEmpty) Nil
+      else {
+        val before = bitmapBytes(
+          dvPointerChanged.flatMap(f => snapBefore.dvs.get(f.path)))
+        val after = bitmapBytes(
+          dvPointerChanged.flatMap(f => snapAtV.dvs.get(f.path)))
+        dvPointerChanged.filter { f =>
+          val fp = absPathStr(f.path)
+          !java.util.Arrays.equals(
+            before.getOrElse(fp, Array.empty[Byte]),
+            after.getOrElse(fp, Array.empty[Byte]))
+        }
       }
     val dvDelta =
       if (dvChanged.isEmpty) None

@@ -822,8 +822,14 @@ class DeltaImportSpec extends SparkSpec {
     t.vacuum(retainHours = 1000.0)
     t.addConstraint("nonneg", "id >= 0")
     t.setColumnDefault("name", Some("'x'"))
-    t.dropConstraint("nonneg")
     writeCommit(log, 1, Seq(addLine(dir, "f1.parquet", 5, 9)))
+    // a LIVE constraint blocks a file-ADDING sync (foreign files import
+    // zero-copy — the constraint could never be validated), with a message
+    // naming the remedy; dropping it reopens the mirror
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("CHECK constraint")
+    t.dropConstraint("nonneg")
     DeltaImport.sync(spark, dir.toString)
     LakeTable.forPath(spark, dir.toString).read().count() shouldBe 10
     // graft-side DML is the cut-over: a later sync refuses LOUDLY instead

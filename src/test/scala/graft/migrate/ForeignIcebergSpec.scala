@@ -548,11 +548,12 @@ class ForeignIcebergSpec extends SparkSpec {
     e
   }
 
-  private def listRowSeq(path: Path, content: Int, seq: Long): GenericRecord = {
+  private def listRowSeq(path: Path, content: Int, seq: Long,
+      specId: Int = 0): GenericRecord = {
     val r = new GenericData.Record(listSchema)
     r.put("manifest_path", s"file:$path")
     r.put("manifest_length", Files.size(path))
-    r.put("partition_spec_id", 0)
+    r.put("partition_spec_id", specId)
     r.put("content", content)
     r.put("sequence_number", seq)
     r.put("min_sequence_number", seq)
@@ -618,8 +619,11 @@ class ForeignIcebergSpec extends SparkSpec {
     val mPos = metaDir.resolve("m-pos.avro")
     writeAvro(mPos, entrySchema2, Seq(entry2(1, posDel, 1L)))
     val listPath = metaDir.resolve("snap-42.avro")
+    // the equality delete rides the UNPARTITIONED spec (id 1) — the real
+    // Flink-CDC global-delete shape; a partitioned-spec delete would scope
+    // to its own partition (covered by the scoped-delete test below)
     writeAvro(listPath, listSchema, Seq(
-      listRowSeq(m12, 0, 1L), listRowSeq(mEq, 1, 2L),
+      listRowSeq(m12, 0, 1L), listRowSeq(mEq, 1, 2L, specId = 1),
       listRowSeq(m3, 0, 3L), listRowSeq(mPos, 1, 3L)))
     Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
       "format-version" -> 2,
@@ -633,9 +637,11 @@ class ForeignIcebergSpec extends SparkSpec {
           Map("id" -> 2, "name" -> "ts", "required" -> false, "type" -> "timestamptz"),
           Map("id" -> 3, "name" -> "v", "required" -> false, "type" -> "string")))),
       "default-spec-id" -> 0,
-      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
-        "name" -> "p_int", "transform" -> "days",
-        "source-id" -> 2, "field-id" -> 1000)))),
+      "partition-specs" -> Seq(
+        Map("spec-id" -> 0, "fields" -> Seq(Map(
+          "name" -> "p_int", "transform" -> "days",
+          "source-id" -> 2, "field-id" -> 1000))),
+        Map("spec-id" -> 1, "fields" -> Nil)),
       "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
       "properties" -> Map("write.metadata.compression-codec" -> "none"),
@@ -674,6 +680,68 @@ class ForeignIcebergSpec extends SparkSpec {
       .select(col("id"), col("ts0").cast("timestamp").as("ts"), col("v")))
     t.read().filter(col("p_int") === java.sql.Date.valueOf("2024-01-04"))
       .select("id").as[Long].collect().toSeq shouldBe Seq(30L)
+  }
+
+  test("rewrite-import: a PARTITIONED-spec equality delete scopes to its " +
+    "own partition — the same key in another partition survives") {
+    val dir = tmpDir("foreign-rewrite-scope").resolve("t")
+    def mk(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("id", "ts0")
+        .select(col("id").as("id", fid(1)),
+          col("ts0").cast("timestamp").as("ts", fid(2)))
+    // fA: day 100 (epoch-day tuple), ids {1,2}; fB: day 101, ids {2,3}
+    val fA = rawFile(dir, "fa.parquet", mk(Seq(
+      (1L, "1970-04-11 10:00:00"), (2L, "1970-04-11 11:00:00"))))
+    val fB = rawFile(dir, "fb.parquet", mk(Seq(
+      (2L, "1970-04-12 10:00:00"), (3L, "1970-04-12 11:00:00"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // scoped equality delete (day-100 partition, seq 2): key id=2 —
+    // deletes 2 from fA (same partition) but NOT from fB (day 101)
+    val eqDel = rawFile(metaDir, "del-eq.parquet",
+      Seq(2L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mData = metaDir.resolve("m-data.avro")
+    writeAvro(mData, entrySchema2, Seq(
+      entry2(0, fA, 2L, 100), entry2(0, fB, 2L, 101)))
+    val mEq = metaDir.resolve("m-eq.avro")
+    writeAvro(mEq, entrySchema2, Seq(entry2(2, eqDel, 1L, 100, Seq(1))))
+    val listPath = metaDir.resolve("snap-42.avro")
+    writeAvro(listPath, listSchema,
+      Seq(listRowSeq(mData, 0, 1L), listRowSeq(mEq, 1, 2L)))
+    Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir.toString,
+      "last-sequence-number" -> 2, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 2, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "ts", "required" -> false, "type" -> "timestamptz")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
+        "name" -> "p_int", "transform" -> "days",
+        "source-id" -> 2, "field-id" -> 1000)))),
+      "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> 42,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> 2, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "overwrite"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    val dest = tmpDir("foreign-rewrite-scope").resolve("dest").toString
+    val t = IcebergImport.convertRewrite(spark, dir.toString, dest)
+    // fA lost its id=2 (same partition, seq 1 < 2); fB's id=2 SURVIVES
+    // (day 101 — a different partition of the same spec)
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    t.read().filter(col("p_int") === java.sql.Date.valueOf("1970-04-12"))
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L)
   }
 
   test("a genuine v1 (legacy schema/partition-spec keys, no content or " +
@@ -772,6 +840,50 @@ class ForeignIcebergSpec extends SparkSpec {
     // replay: no-op
     val v = t2.version
     IcebergImport.sync(spark, dir.toString) shouldBe v
+    // the source UPGRADES to format-version 2 mid-cadence: the sequence
+    // axis RESTARTS (last-sequence-number 1, far below the consumed 2) —
+    // sync must key on the metadata version and keep following instead of
+    // silently stalling until the source accumulates 2+ data commits
+    val fc = dataFile(dir, "data-c.parquet", Seq((20L, "c"), (21L, "c")))
+    val mC = metaDir.resolve("m-c.avro")
+    writeAvro(mC, v1Entry, Seq(v1EntryOf(fc, 2L, "c")))
+    val l3 = metaDir.resolve("snap-9.avro")
+    writeAvro(l3, listSchema,
+      Seq(listRowOf(mA, 0), listRowOf(mB, 0), listRowOf(mC, 0)))
+    Files.write(metaDir.resolve("v3.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> "11111111-2222-3333-4444-000000000001",
+      "location" -> dir.toString,
+      "last-sequence-number" -> 1, "last-updated-ms" -> 1700000001000L,
+      "last-column-id" -> 2, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "cat", "required" -> false, "type" -> "string")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq(Map(
+        "name" -> "cat", "transform" -> "identity",
+        "source-id" -> 2, "field-id" -> 1000)))),
+      "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> 9,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 9, "timestamp-ms" -> 1700000001000L,
+        "sequence-number" -> 1, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "append"),
+        "manifest-list" -> s"file:$l3")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "3".getBytes(StandardCharsets.UTF_8))
+    IcebergImport.sync(spark, dir.toString)
+    val t3 = LakeTable.forPath(spark, dir.toString)
+    t3.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 10L, 11L, 20L, 21L)
+    t3.properties(IcebergImport.SourceMetaVersionKey) shouldBe "3"
+    // and the post-upgrade replay is a no-op again
+    val v3v = t3.version
+    IcebergImport.sync(spark, dir.toString) shouldBe v3v
   }
 
   test("identity partitions on types without a faithful string round-trip " +

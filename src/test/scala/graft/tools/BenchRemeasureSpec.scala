@@ -57,6 +57,33 @@ class BenchRemeasureSpec extends AnyFunSuite with Matchers {
     flagged.distinct.size shouldBe 8
   }
 
+  test("envelope: the r12 q28 shape — a 2x mover below the 8 s absolute " +
+    "threshold flags against its committed quiet baseline") {
+    val baseline = Map("q28_embedding_neardup" -> 2.7, "q109_stream_bm25" -> 7.3)
+    // billed 5.9 s: below the 8 s absolute trigger, no spread, quiet load —
+    // only the envelope can catch it (r12's artifact needed a manual pin)
+    graft.Bench.envelopeTargets(
+      Seq("q28_embedding_neardup" -> 5.9, "q109_stream_bm25" -> 7.4),
+      baseline) shouldBe Seq("q28_embedding_neardup")
+  }
+
+  test("envelope: streaming queries self-adjudicate too (exempt from the " +
+    "absolute trigger, covered by the baseline); new gates without a " +
+    "baseline never flag") {
+    val baseline = Map("q109_stream_bm25" -> 7.3)
+    // a contended streaming lifecycle billed 3x its quiet envelope flags
+    // even though KnownHeavyPrefixes exempts it from the absolute trigger
+    graft.Bench.envelopeTargets(
+      Seq("q109_stream_bm25" -> 25.0, "q119_new_gate" -> 9.0),
+      baseline) shouldBe Seq("q109_stream_bm25")
+    // quiet run: nothing flags
+    graft.Bench.envelopeTargets(
+      Seq("q109_stream_bm25" -> 7.1), baseline) shouldBe empty
+    // sub-second jitter never flags even at a large ratio
+    graft.Bench.envelopeTargets(
+      Seq("q1_agg" -> 0.9), Map("q1_agg" -> 0.2)) shouldBe empty
+  }
+
   test("an anomaly outside the cost top-N survives the cap (anomalies " +
     "order first, never evicted by load-flagged heavies)") {
     // ten known-heavy streaming-style costs dominate, plus one anomalous
