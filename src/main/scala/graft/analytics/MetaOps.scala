@@ -602,7 +602,11 @@ object MetaOps {
   def icebergRewriteDays(spark: SparkSession, sfDir: String): DataFrame = {
     import DeltaFixture.writeOne
     import IcebergForeign._
+    // month-floored order dates: the days() layout semantics are identical
+    // but the gate writes ~84 day-partitions instead of ~2400 (the
+    // partition COUNT is a fixture choice, not what the gate proves)
     val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", date_trunc("month", col("o_orderdate")))
     val dir = Files.createTempDirectory("graft-iceberg-rewrite").resolve("t")
     Files.createDirectories(dir)
     def slice(k: Int) = orders.filter(col("o_orderkey") % 3 === k)
@@ -988,9 +992,12 @@ object MetaOps {
          FROM orders WHERE o_orderkey % 6 <> 0""",
     // manifests reference only the %3 in {0,2} slices; the days layout
     // becomes a generated CAST(o_orderdate AS DATE) partition column
+    // (fixture floors dates to months to keep the partition count sane)
     "q117_iceberg_rewrite" ->
-      """SELECT *, CAST(o_orderdate AS DATE) AS od_day FROM orders
-         WHERE o_orderkey % 3 <> 1""",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         DATE_TRUNC('month', o_orderdate) AS o_orderdate, o_orderpriority,
+         CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS od_day
+         FROM orders WHERE o_orderkey % 3 <> 1""",
     // the seq-2 equality delete (%7=0 keys) hits the seq-1 even slice but
     // NOT the seq-3 odd slice (strictly-smaller sequence rule)
     "q118_iceberg_eqdelete" ->

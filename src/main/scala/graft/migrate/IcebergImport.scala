@@ -683,7 +683,20 @@ object IcebergImport {
     }
 
     // ---- one native graft table, layout mirrored ----
-    val typed = cur.select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+    val typed0 = cur.select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+    // REPARTITION BY THE DESTINATION PARTITION KEYS before the write:
+    // without this every write task touches every partition value and a
+    // days() layout explodes into #tasks × #days tiny files (measured:
+    // 51 s and ~76k files at sf0.1 vs ~3 s and #days files with the
+    // shuffle — and at 100 TB the no-shuffle shape is the scale killer,
+    // not the shuffle). Generated keys repartition by their expression;
+    // the write then computes the same value per row.
+    val typed =
+      if (resolvedParts.isEmpty) typed0
+      else typed0.repartition(resolvedParts.map {
+        case (f, None) => col(f.name)
+        case (_, Some(e)) => org.apache.spark.sql.functions.expr(e)
+      }: _*)
     // ifNotExists = false: a retried migration fails LOUDLY on the
     // existing destination instead of silently appending twice
     val dest = LakeTable.create(spark, destDir, destSchema,
