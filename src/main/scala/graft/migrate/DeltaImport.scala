@@ -97,8 +97,10 @@ object DeltaImport {
     * when ready. Per-commit cost is O(new JSON lines) driver work.
     *
     * Same honesty gates as the import, plus: a mid-stream `metaData`
-    * whose schema differs from the table's refuses (schema evolution is
-    * the cut-over moment, not a silent sync step). A gap in the JSON
+    * whose schema differs from the table's FOLLOWS when [[Evolution]]
+    * allows it (mapped: renames + added nullable columns by field id;
+    * name-bound: added nullable columns only) and refuses everything else
+    * as the cut-over moment. A gap in the JSON
     * chain (the Delta side checkpointed and CLEANED past us) falls back to
     * [[snapshotDiffSync]] when a checkpoint covers it — O(checkpoint rows)
     * for that one sync instead of a re-import — and refuses only when the
@@ -169,6 +171,11 @@ object DeltaImport {
     // provenance of non-delta-prefixed keys is unknowable, so removals are
     // a manual unsetProperties after cut-over)
     var syncedConf: Option[Map[String, String]] = None
+    // r13: SOURCE-side schema evolution follows when [[Evolution]] allows
+    // it (mapped: renames + added nullable columns; name-bound: adds
+    // only). Each in-range metaData must be followable from the PREVIOUS
+    // effective schema; the LAST one becomes the sync commit's schema.
+    var effSchema: StructType = schema
     newer.foreach { v =>
       val lines = new String(store.readBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
@@ -180,16 +187,23 @@ object DeltaImport {
           val incoming0 = DataType.fromJson(
             m.get("schemaString").asText()).asInstanceOf[StructType]
           // a mapped source's metaData carries the Delta-form schema:
-          // translate before comparing (a non-translatable one simply
-          // fails the equality below — the conservative refusal)
+          // translate before comparing
+          val sourceMapped = incoming0.fields.nonEmpty &&
+            incoming0.fields.forall(_.metadata.contains(MappingIdKey))
           val incoming =
-            if (mapped && incoming0.fields.forall(
-                _.metadata.contains(MappingIdKey)))
-              translateMapping(incoming0)._1
+            if (mapped && sourceMapped) translateMapping(incoming0)._1
             else incoming0
-          require(incoming == schema,
-            s"Delta commit $v changes the table schema — schema evolution " +
-              "is a cut-over moment, not a silent sync step; re-import")
+          if (incoming != effSchema) {
+            // a binding-mode flip is never followable: a name-bound mirror
+            // cannot see a mapped source's renames (new files' PHYSICAL
+            // columns would silently read null), and a mapped mirror
+            // cannot follow a source that dropped its ids
+            require(mapped == sourceMapped,
+              s"Delta commit $v changes the schema AND the column-mapping " +
+                "mode differs between source and mirror — re-import")
+            Evolution.requireFollowable(effSchema, incoming, mapped, "Delta")
+            effSchema = incoming
+          }
           // a same-schema REPLACE that introduces partitioning would make
           // the new adds' values live only in the log — the import-time
           // refusal, re-checked mid-stream
@@ -230,14 +244,23 @@ object DeltaImport {
     }
     val adds = state.toSeq.collect { case (p, Some(info)) => p -> info }
     val removes = state.collect { case (p, None) => p }.toSeq
+    // footer gate + stats bind against the EFFECTIVE (possibly evolved)
+    // schema — new files written after an in-range ADD COLUMN carry it
+    val evolvedSync = effSchema != schema
+    val effPhys: Map[String, String] =
+      if (!mapped) Map.empty
+      else if (!evolvedSync) physicalOf
+      else effSchema.fields.map(f => f.name ->
+        (if (f.metadata.contains(MappingPhysKey))
+          f.metadata.getString(MappingPhysKey) else f.name)).toMap
     // the same footer honesty gate convert and snapshotDiffSync apply: a
     // synced commit adding an id-less file (the upgraded name-mode hazard)
     // must refuse HERE, not mis-read silently at query time (ADVICE r12)
     if (mapped && adds.nonEmpty)
-      verifyFooterIds(root, adds.map(_._1), schema, physicalOf)
+      verifyFooterIds(root, adds.map(_._1), effSchema, effPhys)
     val now = System.currentTimeMillis()
     val graftAdds: Seq[graft.log.Action] =
-      toAddFiles(spark, root, adds, schema, physicalOf)
+      toAddFiles(spark, root, adds, effSchema, effPhys)
     // the FINAL disposition's live masks transcode into graft vectors
     // (written before the commit loop, like every dv parquet); a final
     // re-add WITHOUT a descriptor is a Delta-side purge — it must CLEAR
@@ -260,9 +283,26 @@ object DeltaImport {
         SyncGuard.requireNoConstraintsForAdds(s.metadata.properties,
           graftAdds.size.toLong, "Delta")
         val live = s.files.map(_.path).toSet
-        val meta = s.metadata.copy(properties =
+        // a followable evolution applies onto the CURRENT schema (by id
+        // when mapped) so local field metadata survives; the id high-water
+        // mark rises with added columns (never reuse a source id)
+        val mergedJson =
+          if (!evolvedSync) s.metadata.schemaJson
+          else Evolution.mergedSchema(s.schema, effSchema, mapped,
+            s.metadata.properties).json
+        val maxIdProp: Map[String, String] =
+          if (!mapped || !evolvedSync) Map.empty
+          else Map(graft.log.ColumnIds.MaxIdKey -> math.max(
+            s.metadata.properties.get(graft.log.ColumnIds.MaxIdKey)
+              .map(_.toLong).getOrElse(0L),
+            math.max(
+              syncedConf.flatMap(_.get("delta.columnMapping.maxColumnId"))
+                .map(_.toLong).getOrElse(0L),
+              graft.log.ColumnIds.maxId(Map.empty, effSchema))).toString)
+        val meta = s.metadata.copy(schemaJson = mergedJson, properties =
           s.metadata.properties ++
-            LakeTable.normalizeProps(syncedConf.getOrElse(Map.empty)) +
+            LakeTable.normalizeProps(syncedConf.getOrElse(Map.empty)) ++
+            maxIdProp +
             (SourceVersionKey -> newer.max.toString))
         // property-implies-feature, exactly as setProperties stamps it: a
         // synced delta.enableChangeDataFeed / enableDeletionVectors / …
@@ -311,22 +351,30 @@ object DeltaImport {
     val schema = snap0.schema
     val mapped = graft.log.ColumnIds.mapped(schema)
     val deltaSchema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    val sourceMapped = deltaSchema.fields.nonEmpty &&
+      deltaSchema.fields.forall(_.metadata.contains(MappingIdKey))
     val (incoming, physicalOf) =
-      if (mapped && deltaSchema.fields.forall(_.metadata.contains(MappingIdKey)))
-        translateMapping(deltaSchema)
+      if (mapped && sourceMapped) translateMapping(deltaSchema)
       else (deltaSchema, Map.empty[String, String])
-    require(incoming == schema,
-      "the Delta source's schema changed across the cleaned tail — schema " +
-        "evolution is a cut-over moment, not a silent sync step; re-import")
+    // r13: schema evolution across the cleaned tail follows when
+    // [[Evolution]] allows it, exactly like the incremental path
+    val evolvedSync = incoming != schema
+    if (evolvedSync) {
+      require(mapped == sourceMapped,
+        "the Delta source's schema changed across the cleaned tail AND " +
+          "the column-mapping mode differs between source and mirror — " +
+          "re-import")
+      Evolution.requireFollowable(schema, incoming, mapped, "Delta")
+    }
     val graftLive: Set[String] = snap0.files.map(_.path).toSet
     val currentLive: Set[String] = st.adds.keySet.toSet
     val newEntries = st.adds.toSeq.filterNot { case (p, _) => graftLive(p) }
     val removed = (graftLive -- currentLive).toSeq
     if (mapped && newEntries.nonEmpty)
-      verifyFooterIds(root, newEntries.map(_._1), schema, physicalOf)
+      verifyFooterIds(root, newEntries.map(_._1), incoming, physicalOf)
     val now = System.currentTimeMillis()
     val newAdds: Seq[graft.log.Action] =
-      toAddFiles(spark, root, newEntries, schema, physicalOf)
+      toAddFiles(spark, root, newEntries, incoming, physicalOf)
     // the FULL current mask state rebuilds (O(current masked positions) —
     // the price of the lost tail, paid once); vanished masks clear
     val dvActions = importDvActions(spark, root,
@@ -350,8 +398,22 @@ object DeltaImport {
         val clears = s.dvs.keys
           .filterNot(maskedNow).filter(currentLive.contains)
           .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
-        val meta = s.metadata.copy(properties = s.metadata.properties ++
-          LakeTable.normalizeProps(st.configuration) +
+        val mergedJson =
+          if (!evolvedSync) s.metadata.schemaJson
+          else Evolution.mergedSchema(s.schema, incoming, mapped,
+            s.metadata.properties).json
+        val maxIdProp: Map[String, String] =
+          if (!mapped || !evolvedSync) Map.empty
+          else Map(graft.log.ColumnIds.MaxIdKey -> math.max(
+            s.metadata.properties.get(graft.log.ColumnIds.MaxIdKey)
+              .map(_.toLong).getOrElse(0L),
+            math.max(
+              st.configuration.get("delta.columnMapping.maxColumnId")
+                .map(_.toLong).getOrElse(0L),
+              graft.log.ColumnIds.maxId(Map.empty, incoming))).toString)
+        val meta = s.metadata.copy(schemaJson = mergedJson,
+          properties = s.metadata.properties ++
+          LakeTable.normalizeProps(st.configuration) ++ maxIdProp +
           (SourceVersionKey -> st.sourceVersion.toString))
         val proto = graft.log.Protocol.merge(
           graft.log.Protocol.merge(s.protocol,

@@ -1,0 +1,107 @@
+package graft.migrate
+
+import org.apache.spark.sql.types.StructType
+
+import graft.log.ColumnIds
+
+/** Source schema evolution a MIRROR can follow mid-cadence — shared by the
+  * Delta and Iceberg syncs (r13).
+  *
+  * By-id tables (column-mapped Delta, id-carrying Iceberg) follow renames
+  * of non-partition columns and ADDED nullable columns: field ids are
+  * never reused, so the translation is unambiguous. Name-bound tables
+  * follow ADDED nullable columns only — a rename there is
+  * indistinguishable from a drop+add (the old name simply disappears),
+  * which refuses. Everything else stays a cut-over refusal: drops and
+  * type changes would break downstream graft consumers mid-cadence, and a
+  * REQUIRED add cannot be satisfied by existing files. */
+private[migrate] object Evolution {
+
+  /** Refuse (IllegalArgumentException) unless `old -> incoming` is a
+    * followable evolution under the binding mode. */
+  def requireFollowable(old: StructType, incoming: StructType,
+      mapped: Boolean, sourceKind: String): Unit = {
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"the $sourceKind source's schema changed ($why) — this evolution " +
+        "is a cut-over moment, not a silent sync step; re-import")
+    if (mapped) {
+      val oldById = old.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
+      val newById = incoming.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
+      val dropped = (oldById.keySet -- newById.keySet).toSeq.sorted
+      if (dropped.nonEmpty)
+        refuse(s"dropped column(s) ${dropped.map(oldById(_).name).mkString(", ")}")
+      oldById.foreach { case (id, of) =>
+        val nf = newById(id)
+        if (nf.dataType != of.dataType)
+          refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
+      }
+      (newById.keySet -- oldById.keySet).toSeq.sorted.foreach { id =>
+        if (!newById(id).nullable)
+          refuse(s"added column '${newById(id).name}' is REQUIRED — " +
+            "existing files cannot satisfy it")
+      }
+    } else {
+      // name-bound: pure ADDs only — every old column must survive
+      // identically (a renamed column would present as a drop)
+      val newByName = incoming.fields.map(f => f.name -> f).toMap
+      old.fields.foreach { of =>
+        newByName.get(of.name) match {
+          case None => refuse(s"column '${of.name}' disappeared — renames " +
+            "are not followable without field ids")
+          case Some(nf) if nf.dataType != of.dataType =>
+            refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
+          case _ => ()
+        }
+      }
+      val oldNames = old.fieldNames.toSet
+      incoming.fields.filterNot(f => oldNames.contains(f.name)).foreach { nf =>
+        if (!nf.nullable)
+          refuse(s"added column '${nf.name}' is REQUIRED — existing files " +
+            "cannot satisfy it")
+      }
+    }
+  }
+
+  /** Apply a followable evolution onto the CURRENT schema (which may carry
+    * local field metadata a file-set-neutral commit stamped — a column
+    * DEFAULT — that must survive): by id when mapped (renames change
+    * names, nullability may only WIDEN, adds append in source order), by
+    * name otherwise. Refuses a rename of any column referenced by a local
+    * constraint/generated rule (identifier-boundary match), like graft's
+    * own RENAME COLUMN. */
+  def mergedSchema(current: StructType, incoming: StructType,
+      mapped: Boolean, properties: Map[String, String]): StructType =
+    if (!mapped) {
+      val curByName = current.fields.map(f => f.name -> f).toMap
+      StructType(incoming.fields.map { nf =>
+        curByName.get(nf.name) match {
+          case Some(of) =>
+            of.copy(nullable = of.nullable || nf.nullable)
+          case None => nf
+        }
+      })
+    } else {
+      val sById = current.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
+      val renamed = incoming.fields.flatMap { nf =>
+        sById.get(ColumnIds.idOf(nf).get).filter(_.name != nf.name).map(_.name)
+      }
+      renamed.foreach { oldName =>
+        val ref = ("(?i)(?<![A-Za-z0-9_])" +
+          java.util.regex.Pattern.quote(oldName) + "(?![A-Za-z0-9_])").r
+        val refs = properties.filter { case (k, v) =>
+          (k.startsWith("graft.constraints.") ||
+            k.startsWith("graft.generated.")) && ref.findFirstIn(v).isDefined
+        }
+        require(refs.isEmpty,
+          s"the source renamed column '$oldName', which is referenced by " +
+            s"${refs.keys.mkString(", ")} — drop the rule first or re-import")
+      }
+      StructType(incoming.fields.map { nf =>
+        sById.get(ColumnIds.idOf(nf).get) match {
+          case Some(of) =>
+            of.copy(name = nf.name, nullable = of.nullable || nf.nullable)
+          case None => nf
+        }
+      })
+    }
+}

@@ -272,13 +272,14 @@ object IcebergImport {
     val mapped = ColumnIds.mapped(snap0.schema)
     val incoming =
       if (mapped) st.schemaWithIds else ColumnIds.strip(st.schemaWithIds)
-    // r13: by-id binding makes SOURCE-side renames and added nullable
-    // columns followable — they translate into this sync commit instead of
+    // r13: SOURCE-side renames (by-id) and added nullable columns are
+    // followable — they translate into this sync commit instead of
     // refusing. Drops, type changes, required adds, partition-column
-    // renames, and any change on a name-bound import stay cut-over
-    // refusals (see requireFollowableEvolution).
+    // renames, and renames on a name-bound import stay cut-over refusals
+    // (see [[Evolution]]).
     val evolved = incoming != snap0.schema
-    if (evolved) requireFollowableEvolution(snap0.schema, incoming, mapped)
+    if (evolved)
+      Evolution.requireFollowable(snap0.schema, incoming, mapped, "Iceberg")
     // partition-column renames land here too: stale partitionValues keys
     // on existing AddFiles would break exact partition matching
     // (replaceWhere after cut-over), so the spec's COLUMN NAMES must hold
@@ -355,52 +356,13 @@ object IcebergImport {
         val clears = s.dvs.keys
           .filterNot(maskedNow).filter(currentLive.contains)
           .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
-        // a followable evolution applies onto the CURRENT schema by field
-        // id (renames change names, adds append), so LOCAL field metadata
-        // a file-set-neutral commit stamped meanwhile (a column DEFAULT)
-        // survives the sync
+        // a followable evolution applies onto the CURRENT schema (by field
+        // id when mapped), so LOCAL field metadata a file-set-neutral
+        // commit stamped meanwhile (a column DEFAULT) survives the sync
         val mergedJson =
           if (!evolved) s.metadata.schemaJson
-          else {
-            val sById = s.schema.fields.map(f =>
-              ColumnIds.idOf(f).get -> f).toMap
-            val renamed = incoming.fields.flatMap { nf =>
-              sById.get(ColumnIds.idOf(nf).get)
-                .filter(_.name != nf.name).map(_.name)
-            }
-            // a renamed column referenced by a local constraint/generated
-            // rule would leave that rule dangling — refuse, like graft's
-            // own RENAME COLUMN does. Identifier-boundary match, not
-            // substring: a column named 'id' inside 'valid_flag' must not
-            // permanently false-refuse every future sync
-            renamed.foreach { oldName =>
-              val ref = ("(?i)(?<![A-Za-z0-9_])" +
-                java.util.regex.Pattern.quote(oldName) +
-                "(?![A-Za-z0-9_])").r
-              val refs = s.metadata.properties.filter { case (k, v) =>
-                (k.startsWith("graft.constraints.") ||
-                  k.startsWith("graft.generated.")) &&
-                  ref.findFirstIn(v).isDefined
-              }
-              require(refs.isEmpty,
-                s"the source renamed column '$oldName', which is " +
-                  s"referenced by ${refs.keys.mkString(", ")} — drop the " +
-                  "rule first or re-import")
-            }
-            StructType(incoming.fields.map { nf =>
-              sById.get(ColumnIds.idOf(nf).get) match {
-                // nullability may only WIDEN: a source making a required
-                // column optional must propagate (synced files may carry
-                // nulls — declaring them non-null would poison IsNotNull
-                // reasoning); the reverse tightening never propagates
-                // (existing data is not re-validated)
-                case Some(of) =>
-                  of.copy(name = nf.name,
-                    nullable = of.nullable || nf.nullable)
-                case None => nf
-              }
-            }).json
-          }
+          else Evolution.mergedSchema(s.schema, incoming, mapped,
+            s.metadata.properties).json
         // an added column raises the field-id high-water mark so graft-side
         // ADD COLUMN after cut-over never reuses a source id
         val maxIdProp: Map[String, String] =
@@ -425,40 +387,6 @@ object IcebergImport {
       }
     } catch { case _: LakeTable.EpochAlreadyCommitted => () }
     t.version
-  }
-
-  /** Source schema evolution a by-id mirror can FOLLOW (r13): renames of
-    * non-partition columns (ids are never reused, so identity is
-    * unambiguous — proven by the rename round-trip test) and ADDED
-    * nullable columns (existing files read them as null, exactly like
-    * graft's own ADD COLUMNS). Everything else refuses as the cut-over
-    * moment: a dropped column or type change would break downstream graft
-    * consumers mid-cadence, a REQUIRED add cannot be satisfied by existing
-    * files, and a name-bound import has no ids to follow renames by.
-    * (Partition-column renames are refused separately by the caller.) */
-  private def requireFollowableEvolution(old: StructType,
-      incoming: StructType, mapped: Boolean): Unit = {
-    def refuse(why: String): Nothing = throw new IllegalArgumentException(
-      s"the Iceberg source's schema changed ($why) — this evolution is a " +
-        "cut-over moment, not a silent sync step; re-import")
-    if (!mapped)
-      refuse("and this import is name-bound — no field ids to follow " +
-        "renames by")
-    val oldById = old.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
-    val newById = incoming.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
-    val dropped = (oldById.keySet -- newById.keySet).toSeq.sorted
-    if (dropped.nonEmpty)
-      refuse(s"dropped column(s) ${dropped.map(oldById(_).name).mkString(", ")}")
-    oldById.foreach { case (id, of) =>
-      val nf = newById(id)
-      if (nf.dataType != of.dataType)
-        refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
-    }
-    (newById.keySet -- oldById.keySet).toSeq.sorted.foreach { id =>
-      if (!newById(id).nullable)
-        refuse(s"added column '${newById(id).name}' is REQUIRED — existing " +
-          "files cannot satisfy it")
-    }
   }
 
   // ------------------------------------------------------ rewrite import

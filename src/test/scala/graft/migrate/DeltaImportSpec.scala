@@ -906,6 +906,110 @@ class DeltaImportSpec extends SparkSpec {
     LakeTable.forPath(spark, dir.toString).version shouldBe v
   }
 
+  test("sync FOLLOWS a mapped source's rename and added nullable column " +
+    "(by field id); a type change refuses (r13)") {
+    val dir = tmpDir("delta-sync-evolve").resolve("t")
+    def fieldId(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    dataFile(dir, "f0.parquet", rows(0, 4).select(
+      col("id").as("col-aaa", fieldId(1)), col("name").as("col-bbb", fieldId(2))))
+    def mapMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    def metaOf(fields: Seq[StructField], maxId: Int) = json(Map("metaData" -> Map(
+      "id" -> "77777777-0000-1111-2222-333344445555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> StructType(fields).json,
+      "partitionColumns" -> Nil,
+      "configuration" -> Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> maxId.toString),
+      "createdTime" -> 1700000000000L)))
+    val f0 = Seq(
+      StructField("id", LongType, nullable = true, mapMeta(1, "col-aaa")),
+      StructField("name", StringType, nullable = true, mapMeta(2, "col-bbb")))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(reader = 2), metaOf(f0, 2),
+      json(Map("add" -> Map("path" -> "f0.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f0.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true)))))
+    LakeTable.convert(spark, dir.toString)
+    // v1: rename id -> ident (same id/physical), ADD nullable 'note'
+    // (id 3), and a new file carrying all three physical columns
+    dataFile(dir, "f1.parquet", rows(5, 9).select(
+      col("id").as("col-aaa", fieldId(1)), col("name").as("col-bbb", fieldId(2)),
+      concat(lit("x"), col("id")).as("col-ccc", fieldId(3))))
+    val f1 = Seq(
+      StructField("ident", LongType, nullable = true, mapMeta(1, "col-aaa")),
+      StructField("name", StringType, nullable = true, mapMeta(2, "col-bbb")),
+      StructField("note", StringType, nullable = true, mapMeta(3, "col-ccc")))
+    writeCommit(log, 1, Seq(metaOf(f1, 3),
+      json(Map("add" -> Map("path" -> "f1.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f1.parquet")),
+        "modificationTime" -> 1700000002000L, "dataChange" -> true)))))
+    DeltaImport.sync(spark, dir.toString)
+    val t = LakeTable.forPath(spark, dir.toString)
+    t.snapshot().schema.fieldNames.toSeq shouldBe Seq("ident", "name", "note")
+    t.read().agg(sum("ident")).head().getLong(0) shouldBe (0L to 9L).sum
+    // old file's note reads null; the new file carries values
+    t.read().filter(col("note").isNull).count() shouldBe 5
+    t.read().filter(col("note") === "x7").count() shouldBe 1
+    // the id high-water mark rose with the added column
+    t.properties(graft.log.ColumnIds.MaxIdKey).toLong should be >= 3L
+    // v2: a TYPE change refuses as cut-over
+    val f2 = f1.updated(0,
+      StructField("ident", StringType, nullable = true, mapMeta(1, "col-aaa")))
+    writeCommit(log, 2, Seq(metaOf(f2, 3)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("cut-over")
+  }
+
+  test("name-bound sync follows an ADDED nullable column; a rename " +
+    "(indistinguishable from a drop) refuses (r13)") {
+    val dir = tmpDir("delta-sync-evolve-name").resolve("t")
+    dataFile(dir, "f0.parquet", rows(0, 4))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), metaLine(),
+      addLine(dir, "f0.parquet", 0, 4)))
+    LakeTable.convert(spark, dir.toString)
+    // v1 adds nullable 'extra' + a file carrying it
+    val wider = StructType(schema.fields :+ StructField("extra", LongType))
+    dataFile(dir, "f1.parquet",
+      rows(5, 9).withColumn("extra", col("id") * 2))
+    writeCommit(log, 1, Seq(
+      json(Map("metaData" -> Map(
+        "id" -> "11111111-2222-3333-4444-555555555555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> wider.json,
+        "partitionColumns" -> Nil, "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L))),
+      json(Map("add" -> Map("path" -> "f1.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f1.parquet")),
+        "modificationTime" -> 1700000002000L, "dataChange" -> true)))))
+    DeltaImport.sync(spark, dir.toString)
+    val t = LakeTable.forPath(spark, dir.toString)
+    t.snapshot().schema.fieldNames.toSeq shouldBe Seq("id", "name", "extra")
+    t.read().filter(col("extra").isNull).count() shouldBe 5
+    t.read().agg(sum("extra")).head().getLong(0) shouldBe (5L to 9L).map(_ * 2).sum
+    // v2 renames 'name' -> 'label': without ids this presents as a
+    // disappeared column — refuse
+    val renamed = StructType(Seq(StructField("id", LongType),
+      StructField("label", StringType), StructField("extra", LongType)))
+    writeCommit(log, 2, Seq(
+      json(Map("metaData" -> Map(
+        "id" -> "11111111-2222-3333-4444-555555555555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> renamed.json,
+        "partitionColumns" -> Nil, "configuration" -> Map.empty,
+        "createdTime" -> 1700000000000L)))))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("cut-over")
+  }
+
   test("CDF follows a mirror (r13): CONVERT synthesizes its live set as " +
     "inserts, and a sync's net add/remove emits insert/delete change rows") {
     val dir = tmpDir("delta-cdf-mirror").resolve("t")
