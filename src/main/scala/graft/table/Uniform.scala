@@ -258,37 +258,60 @@ trait UniformSupport { self: LakeTable =>
             reusedPaths.contains(absPathStr(d.forFile))))
         priorList.find(_.get("content").asInstanceOf[Int] == 1)
       else None
-    val deleteFile: Option[(Path, Long, Long)] =
-      if (snap.dvs.isEmpty || reusedDeleteManifest.isDefined) None
+    val deleteFiles: Seq[(Path, Long, Long)] =
+      if (snap.dvs.isEmpty || reusedDeleteManifest.isDefined) Nil
       else {
-        val name = s"delete-${java.util.UUID.randomUUID()}.parquet"
-        val target = metaDir.resolve(name)
         val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(ColumnIds.FieldIdKey, 2147483546L).build()
         val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(ColumnIds.FieldIdKey, 2147483545L).build()
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        // SHARD the staged positions by data-file path (one file's rows
+        // never split — reader locality), so the driver byte-copy through
+        // the store seam is bounded by ONE shard, never the table's full
+        // mask set (the r12 verdict's watch item: at huge mask counts the
+        // single-file repartition(1) was a driver memory cliff)
+        val totalMasked = snap.dvs.values.map(_.numDeleted).sum
+        val maxPos = snap.metadata.properties
+          .get("graft.uniform.deleteFileMaxPositions")
+          .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+          .getOrElse(10000000L)
+        val shards = math.max(1L, (totalMasked + maxPos - 1) / maxPos).toInt
         val rows = dvBitmapDf(snap.dvs.values.toSeq)
           .select(col("__path").as("file_path", fpMeta),
             explode(graft.log.DvBitmap.toLongArray(col("__bitmap")))
               .as("pos", posMeta))
-          .repartition(1)
+          .repartition(shards, col("file_path"))
           .sortWithinPartitions("file_path", "pos")
         // Spark stages the parquet on scratch FS; the bytes publish through
-        // the store (atomic, fresh UUID name — no collision possible)
+        // the store (atomic, fresh UUID names — no collision possible)
         val staging = Files.createTempDirectory(".delete-staging")
         rows.write.mode("overwrite").parquet(staging.resolve("out").toString)
-        val part = {
+        val parts = {
           val s = Files.list(staging.resolve("out"))
           try s.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
           finally s.close()
         }
-        val bytes = Files.readAllBytes(part)
+        val counts = graft.log.Stats.fromFootersWithIds(parts, StructType(Nil))
+        val out = parts.flatMap { part =>
+          val n = counts(part.toString)._1
+          if (n == 0) None // a hash shard can be empty — no delete file
+          else {
+            val target = metaDir.resolve(
+              s"delete-${java.util.UUID.randomUUID()}.parquet")
+            val bytes = Files.readAllBytes(part)
+            require(store.writeAtomic(target, bytes, overwrite = false),
+              s"fresh delete-file name collided: $target")
+            Some((target, n, bytes.length.toLong))
+          }
+        }
         graft.log.TxLog.deleteRecursively(staging)
-        require(store.writeAtomic(target, bytes, overwrite = false),
-          s"fresh delete-file name collided: $target")
-        Some((target, snap.dvs.values.map(_.numDeleted).sum, bytes.length.toLong))
+        require(out.map(_._2).sum == totalMasked,
+          s"delete-file shards carry ${out.map(_._2).sum} positions, " +
+            s"expected $totalMasked — refusing a lossy export")
+        out
       }
     // global deletes ride an UNPARTITIONED spec: spec 0 when the table is
     // unpartitioned, else an extra empty spec 1 alongside the identity spec
@@ -371,9 +394,10 @@ trait UniformSupport { self: LakeTable =>
       }
     val totalRows = snap.files.map(_.numRecords).sum
 
-    // ---- delete manifest (only when DVs exported) ----
+    // ---- delete manifest (only when DVs exported; one entry per shard) ----
     val deleteManifest: Option[(String, Long, Long)] =
-      deleteFile.map { case (p, nDel, pLen) =>
+      if (deleteFiles.isEmpty) None
+      else Some {
       val name = s"${java.util.UUID.randomUUID()}-m1.avro"
       val path = metaDir.resolve(name)
       val es = Uniform.manifestEntrySchema(schema, Nil, ids) // empty partition
@@ -387,7 +411,7 @@ trait UniformSupport { self: LakeTable =>
       w.setMeta("format-version", "2")
       w.setMeta("content", "deletes")
       w.create(es, baos)
-      try {
+      try deleteFiles.foreach { case (p, nDel, pLen) =>
         val df = new GenericData.Record(dfs)
         df.put("content", 1) // POSITION_DELETES
         df.put("file_path", p.toString)
@@ -407,7 +431,7 @@ trait UniformSupport { self: LakeTable =>
       val bytes = baos.toByteArray
       require(store.writeAtomic(path, bytes, overwrite = false),
         s"fresh delete-manifest name collided: $path")
-      (name, nDel, bytes.length.toLong)
+      (name, deleteFiles.map(_._2).sum, bytes.length.toLong)
     }
 
     // ---- manifest list ----

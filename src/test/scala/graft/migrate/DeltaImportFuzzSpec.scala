@@ -110,10 +110,25 @@ class DeltaImportFuzzSpec extends SparkSpec {
           case (id, i) if !m.contains(i.toLong) => id }
       }
       var compactSeq = 0
+      // r13: the source may EVOLVE its schema mid-stream — added nullable
+      // columns are followable (name-bound mirror); the model tracks the
+      // expected width and old files read the new columns as null
+      var extraCols = 0
+      val tableId = java.util.UUID.randomUUID().toString
+      def metaLine(): String = {
+        val fields = schema.fields ++
+          (1 to extraCols).map(i => StructField(s"x$i", LongType))
+        j(Map("metaData" -> Map(
+          "id" -> tableId,
+          "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+          "schemaString" -> StructType(fields).json,
+          "partitionColumns" -> Nil, "configuration" -> Map.empty,
+          "createdTime" -> 1700000000000L)))
+      }
       def randomCommit(): Seq[String] = {
         val n = 1 + rnd.nextInt(3)
         (0 until n).flatMap { _ =>
-          val roll = rnd.nextInt(10)
+          val roll = rnd.nextInt(11)
           if (roll < 2 && live.nonEmpty) { // remove
             val name = live.toSeq(rnd.nextInt(live.size))
             live.remove(name)
@@ -147,6 +162,9 @@ class DeltaImportFuzzSpec extends SparkSpec {
             val name = masked.keys.filter(live.contains).toSeq.head
             masked.remove(name)
             Seq(addLine(dir, name, contents(name), withStats = rnd.nextBoolean()))
+          } else if (roll == 10) { // ADD COLUMN (nullable): followable
+            extraCols += 1
+            Seq(metaLine())
           } else { // add (or re-add) a pool file — clears any stale mask
             val name = pool(rnd.nextInt(pool.size))
             live.add(name)
@@ -163,20 +181,16 @@ class DeltaImportFuzzSpec extends SparkSpec {
       val total = 4 + rnd.nextInt(5) // commits v0..total-1
       commit(0, Seq(
         j(Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
-        j(Map("metaData" -> Map(
-          "id" -> java.util.UUID.randomUUID().toString,
-          "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-          "schemaString" -> schema.json,
-          "partitionColumns" -> Nil, "configuration" -> Map.empty,
-          "createdTime" -> 1700000000000L)))) ++ randomCommit())
+        metaLine()) ++ randomCommit())
       val split = 1 + rnd.nextInt(total) // commits < split exist at import
       (1 until split).foreach(v => commit(v.toLong, randomCommit()))
       val liveAtImport = live.toSet
       val maskedAtImport = masked.toMap
+      val colsAtImport = extraCols
 
       LakeTable.convert(spark, dir.toString)
       def check(expected: Set[String], masks: Map[String, Set[Long]],
-          stage: String): Unit = {
+          stage: String, wantCols: Int = -1): Unit = {
         def expectedLive(name: String): Seq[Long] = {
           val m = masks.getOrElse(name, Set.empty)
           contents(name).zipWithIndex.collect {
@@ -184,6 +198,9 @@ class DeltaImportFuzzSpec extends SparkSpec {
         }
         val snap = LakeTable.forPath(spark, dir.toString).snapshot()
         withClue(s"trial=$trial stage=$stage expected=$expected masks=$masks: ") {
+          if (wantCols >= 0)
+            snap.schema.fieldNames.toSeq shouldBe
+              ("id" +: (1 to wantCols).map("x" + _))
           snap.files.map(_.path).toSet shouldBe expected
           // numRecords stays PHYSICAL; masks ride DeletionVector actions
           snap.files.map(_.numRecords).sum shouldBe
@@ -195,11 +212,11 @@ class DeltaImportFuzzSpec extends SparkSpec {
           got shouldBe expected.toSeq.flatMap(expectedLive).sum
         }
       }
-      check(liveAtImport, maskedAtImport, "import")
+      check(liveAtImport, maskedAtImport, "import", wantCols = colsAtImport)
       // the source keeps writing: the rest of the commits land, then sync
       (split until total).foreach(v => commit(v.toLong, randomCommit()))
       DeltaImport.sync(spark, dir.toString)
-      check(live.toSet, masked.toMap, "sync")
+      check(live.toSet, masked.toMap, "sync", wantCols = extraCols)
       // replayed sync is a no-op
       val v0 = LakeTable.forPath(spark, dir.toString).version
       DeltaImport.sync(spark, dir.toString) shouldBe v0

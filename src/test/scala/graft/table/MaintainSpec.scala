@@ -447,6 +447,40 @@ class MaintainSpec extends SparkSpec {
     Uniform.validateExport(t.dir) shouldBe empty
   }
 
+  test("UniForm DV export SHARDS the delete parquet above " +
+    "deleteFileMaxPositions (driver copy bounded per shard); each shard " +
+    "is sorted, counts sum exactly, and the import round-trips them") {
+    val t = LakeTable.create(spark,
+      tmpDir("uniform-dvshard").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType))),
+      properties = Map(
+        "graft.enableDeletionVectors" -> "true",
+        "graft.uniform.deleteFileMaxPositions" -> "3"))
+    // 8 files x 10 rows; masking every 4th id = 20 positions over 8 files
+    (0 until 8).foreach(k =>
+      t.append(spark.range(k * 10L, k * 10L + 10).toDF("id").coalesce(1)))
+    t.delete(col("id") % 4 === 0L)
+    t.snapshot().dvs.values.map(_.numDeleted).sum shouldBe 20
+    t.generateIcebergMetadata()
+    val (_, entries) = Uniform.readExport(t.dir)
+    val delFiles = entries.filter(_("content") == 1)
+    // 20 positions / max 3 = 7 hash shards over 8 distinct paths — at
+    // least two delete files (one file's positions never split)
+    delFiles.size should be >= 2
+    delFiles.map(_("record_count").asInstanceOf[Long]).sum shouldBe 20L
+    delFiles.foreach { df =>
+      val rows = spark.read.parquet(df("file_path").asInstanceOf[String])
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      rows.toSeq shouldBe rows.toSeq.sorted // per-shard spec ordering
+    }
+    Uniform.validateExport(t.dir) shouldBe empty
+    // the importer applies MULTIPLE delete files: sever + re-import
+    graft.log.TxLog.deleteRecursively(t.dir.resolve("_txlog"))
+    val t2 = LakeTable.convert(spark, t.dir.toString)
+    t2.read().agg(sum("id")).head().getLong(0) shouldBe
+      (0L until 80L).filter(_ % 4 != 0).sum
+  }
+
   test("UniForm DV-manifest reuse: unrelated commits after a DELETE do not " +
     "rewrite the position-delete parquet") {
     val t = LakeTable.create(spark, tmpDir("uniform-dvreuse").resolve("t").toString,
