@@ -40,6 +40,26 @@ object ColumnIds {
       properties.get(MaxIdKey).map(_.toLong).getOrElse(0L),
       schema.fields.flatMap(idOf).foldLeft(0L)(math.max))
 
+  /** Logical names RETIRED by renames, tracked as "name:fieldId" pairs:
+    * per-file stats in the log stay keyed by the OLD logical name forever
+    * (AddFile actions are immutable), so a LATER column reusing a retired
+    * name under a DIFFERENT id would make those stale stats resolvable
+    * again — wrong exact min/max answers and unsound null-count pruning.
+    * A name may come back only for its ORIGINAL id (a rename revert),
+    * which un-retires it. Shared by graft's own RENAME/ADD COLUMN and the
+    * mirror syncs' followed evolution. */
+  val RetiredNamesKey = "graft.columnMapping.retiredNames"
+
+  def retiredNames(properties: Map[String, String]): Map[String, Long] =
+    properties.get(RetiredNamesKey).map(_.split(',').filter(_.nonEmpty)
+      .map { e =>
+        val i = e.lastIndexOf(':')
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap).getOrElse(Map.empty)
+
+  def serializeRetired(retired: Map[String, Long]): String =
+    retired.toSeq.sortBy(_._1).map { case (n, i) => s"$n:$i" }.mkString(",")
+
   /** Assign fresh ids to `added` (only when the base schema is mapped).
     * Returns the stamped fields plus the new max id. */
   def stampNew(properties: Map[String, String], base: StructType,

@@ -97,6 +97,23 @@ object TypeWidening {
       } yield (from, to)
     }
 
+  /** Field-metadata marker (r13): this column REUSES a name that a
+    * DIFFERENT column (different field id) carried earlier — older files'
+    * stats and bloom sidecars under this name describe that other
+    * column's bytes (AddFile stats key by logical name and are
+    * immutable), so they must not resolve for this column. Files written
+    * after the reuse carry the [[tagKey]] tag — keyed by the NEW field
+    * id, which old files can never have — and are trusted; pruning and
+    * exact metadata-only answers heal as data rewrites, exactly like the
+    * widening tags. Value: the retired field id the name used to mean. */
+  val NameReusedKey = "graft.nameReused"
+
+  def nameReused(f: StructField): Boolean = f.metadata.contains(NameReusedKey)
+
+  def markNameReused(f: StructField, retiredId: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(NameReusedKey, retiredId).build())
+
   /** Any recorded widening on this field (disables bloom pruning). */
   def hasChanges(f: StructField): Boolean = f.metadata.contains(ChangesKey)
 
@@ -125,11 +142,14 @@ object TypeWidening {
     * every OPTIMIZE rewrite re-collects stats under the new type and tags
     * the files accordingly. */
   def statsExact(file: AddFile, f: StructField): Boolean =
-    !hasLossyChange(f) || file.tag(tagKey(f)).contains(changeCount(f).toString)
+    !(hasLossyChange(f) || nameReused(f)) ||
+      file.tag(tagKey(f)).contains(changeCount(f).toString)
 
   /** Was this file's bloom sidecar for `f` built hashing the CURRENT
     * type? Any unseen widening changes the hash domain (xxhash64(1: int)
-    * ≠ xxhash64(1L)), so here even exact-stat widenings count. */
+    * ≠ xxhash64(1L)), so here even exact-stat widenings count — and a
+    * REUSED name's old sidecars hashed a different column's values. */
   def bloomValid(file: AddFile, f: StructField): Boolean =
-    !hasChanges(f) || file.tag(tagKey(f)).contains(changeCount(f).toString)
+    !(hasChanges(f) || nameReused(f)) ||
+      file.tag(tagKey(f)).contains(changeCount(f).toString)
 }

@@ -155,10 +155,7 @@ object DeltaImport {
     // incoming commits' stats
     val mapped = graft.log.ColumnIds.mapped(schema)
     val physicalOf: Map[String, String] =
-      if (!mapped) Map.empty
-      else schema.fields.map(f => f.name ->
-        (if (f.metadata.contains(MappingPhysKey))
-          f.metadata.getString(MappingPhysKey) else f.name)).toMap
+      if (!mapped) Map.empty else physicalNamesOf(schema)
     // FINAL disposition per path — last action wins, exactly like the log
     // replay itself. (Pairwise netting is wrong: remove -> add -> remove of
     // one path must still REMOVE the pre-existing live file, but netting
@@ -250,9 +247,7 @@ object DeltaImport {
     val effPhys: Map[String, String] =
       if (!mapped) Map.empty
       else if (!evolvedSync) physicalOf
-      else effSchema.fields.map(f => f.name ->
-        (if (f.metadata.contains(MappingPhysKey))
-          f.metadata.getString(MappingPhysKey) else f.name)).toMap
+      else physicalNamesOf(effSchema)
     // the same footer honesty gate convert and snapshotDiffSync apply: a
     // synced commit adding an id-less file (the upgraded name-mode hazard)
     // must refuse HERE, not mis-read silently at query time (ADVICE r12)
@@ -286,10 +281,13 @@ object DeltaImport {
         // a followable evolution applies onto the CURRENT schema (by id
         // when mapped) so local field metadata survives; the id high-water
         // mark rises with added columns (never reuse a source id)
-        val mergedJson =
-          if (!evolvedSync) s.metadata.schemaJson
-          else Evolution.mergedSchema(s.schema, effSchema, mapped,
-            s.metadata.properties).json
+        val (mergedJson, retireProp) =
+          if (!evolvedSync) (s.metadata.schemaJson, Map.empty[String, String])
+          else {
+            val (m, rp) = Evolution.mergedSchema(s.schema, effSchema, mapped,
+              s.metadata.properties)
+            (m.json, rp)
+          }
         val maxIdProp: Map[String, String] =
           if (!mapped || !evolvedSync) Map.empty
           else Map(graft.log.ColumnIds.MaxIdKey -> math.max(
@@ -302,7 +300,7 @@ object DeltaImport {
         val meta = s.metadata.copy(schemaJson = mergedJson, properties =
           s.metadata.properties ++
             LakeTable.normalizeProps(syncedConf.getOrElse(Map.empty)) ++
-            maxIdProp +
+            maxIdProp ++ retireProp +
             (SourceVersionKey -> newer.max.toString))
         // property-implies-feature, exactly as setProperties stamps it: a
         // synced delta.enableChangeDataFeed / enableDeletionVectors / …
@@ -398,10 +396,13 @@ object DeltaImport {
         val clears = s.dvs.keys
           .filterNot(maskedNow).filter(currentLive.contains)
           .map(p => graft.log.DeletionVector(p, "", 0L)).toSeq
-        val mergedJson =
-          if (!evolvedSync) s.metadata.schemaJson
-          else Evolution.mergedSchema(s.schema, incoming, mapped,
-            s.metadata.properties).json
+        val (mergedJson, retireProp) =
+          if (!evolvedSync) (s.metadata.schemaJson, Map.empty[String, String])
+          else {
+            val (m, rp) = Evolution.mergedSchema(s.schema, incoming, mapped,
+              s.metadata.properties)
+            (m.json, rp)
+          }
         val maxIdProp: Map[String, String] =
           if (!mapped || !evolvedSync) Map.empty
           else Map(graft.log.ColumnIds.MaxIdKey -> math.max(
@@ -413,7 +414,8 @@ object DeltaImport {
               graft.log.ColumnIds.maxId(Map.empty, incoming))).toString)
         val meta = s.metadata.copy(schemaJson = mergedJson,
           properties = s.metadata.properties ++
-          LakeTable.normalizeProps(st.configuration) ++ maxIdProp +
+          LakeTable.normalizeProps(st.configuration) ++ maxIdProp ++
+          retireProp +
           (SourceVersionKey -> st.sourceVersion.toString))
         val proto = graft.log.Protocol.merge(
           graft.log.Protocol.merge(s.protocol,
@@ -741,12 +743,18 @@ object DeltaImport {
       graft.log.ColumnIds.withId(
         f.copy(dataType = walkType(f.dataType), metadata = strip(f.metadata)), id)
     }
-    val physicalOf = deltaSchema.fields.map { f =>
-      f.name -> (if (f.metadata.contains(MappingPhysKey))
-        f.metadata.getString(MappingPhysKey) else f.name)
-    }.toMap
-    (StructType(deltaSchema.fields.map(walkField)), physicalOf)
+    (StructType(deltaSchema.fields.map(walkField)),
+      physicalNamesOf(deltaSchema))
   }
+
+  /** logical -> physical top-level name map from MappingPhysKey field
+    * metadata (identity for fields without it) — shared by import-time
+    * translation, the sync's stats/footer binding, and the evolved-schema
+    * rebinding, so the three can never silently diverge. */
+  private def physicalNamesOf(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name ->
+      (if (f.metadata.contains(MappingPhysKey))
+        f.metadata.getString(MappingPhysKey) else f.name)).toMap
 
   /** Column-mapping honesty gate over the LIVE files' parquet footers:
     * by-id reads are only safe when (a) every footer column carries a

@@ -67,25 +67,32 @@ private[migrate] object Evolution {
     * DEFAULT — that must survive): by id when mapped (renames change
     * names, nullability may only WIDEN, adds append in source order), by
     * name otherwise. Refuses a rename of any column referenced by a local
-    * constraint/generated rule (identifier-boundary match), like graft's
-    * own RENAME COLUMN. */
+    * constraint/generated rule (identifier-boundary match), and any
+    * column REUSING a renamed-away name under a different id (per-file
+    * stats stay keyed by the old logical name — see
+    * [[ColumnIds.RetiredNamesKey]]), like graft's own RENAME/ADD COLUMN.
+    *
+    * Returns the merged schema plus the property update maintaining the
+    * retired-names ledger (empty when nothing changes). */
   def mergedSchema(current: StructType, incoming: StructType,
-      mapped: Boolean, properties: Map[String, String]): StructType =
+      mapped: Boolean, properties: Map[String, String])
+      : (StructType, Map[String, String]) =
     if (!mapped) {
       val curByName = current.fields.map(f => f.name -> f).toMap
-      StructType(incoming.fields.map { nf =>
+      (StructType(incoming.fields.map { nf =>
         curByName.get(nf.name) match {
           case Some(of) =>
             of.copy(nullable = of.nullable || nf.nullable)
           case None => nf
         }
-      })
+      }), Map.empty)
     } else {
       val sById = current.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
-      val renamed = incoming.fields.flatMap { nf =>
-        sById.get(ColumnIds.idOf(nf).get).filter(_.name != nf.name).map(_.name)
+      val renamedPairs: Seq[(String, Long)] = incoming.fields.flatMap { nf =>
+        sById.get(ColumnIds.idOf(nf).get).filter(_.name != nf.name)
+          .map(of => of.name -> ColumnIds.idOf(nf).get)
       }
-      renamed.foreach { oldName =>
+      renamedPairs.map(_._1).foreach { oldName =>
         val ref = ("(?i)(?<![A-Za-z0-9_])" +
           java.util.regex.Pattern.quote(oldName) + "(?![A-Za-z0-9_])").r
         val refs = properties.filter { case (k, v) =>
@@ -96,12 +103,32 @@ private[migrate] object Evolution {
           s"the source renamed column '$oldName', which is referenced by " +
             s"${refs.keys.mkString(", ")} — drop the rule first or re-import")
       }
-      StructType(incoming.fields.map { nf =>
-        sById.get(ColumnIds.idOf(nf).get) match {
+      // a retired name returning under a DIFFERENT field id gets the
+      // name-reuse marker: the log's per-file stats still carry the old
+      // key, and the old column's stats resolving for the new one would
+      // answer exact queries WRONG — the marker makes stats/bloom
+      // pruning distrust pre-reuse files, healing as data rewrites
+      // (graft's own DROP + re-ADD path does exactly the same)
+      val retired = ColumnIds.retiredNames(properties)
+      val nowUsed = incoming.fields
+        .map(f => f.name -> ColumnIds.idOf(f).get).toMap
+      val newRetired = (retired ++ renamedPairs)
+        .filter { case (n, i) => !nowUsed.get(n).contains(i) }
+      val retireProp: Map[String, String] =
+        if (newRetired == retired) Map.empty
+        else Map(ColumnIds.RetiredNamesKey ->
+          ColumnIds.serializeRetired(newRetired))
+      (StructType(incoming.fields.map { nf =>
+        val merged = sById.get(ColumnIds.idOf(nf).get) match {
           case Some(of) =>
             of.copy(name = nf.name, nullable = of.nullable || nf.nullable)
           case None => nf
         }
-      })
+        retired.get(merged.name) match {
+          case Some(origId) if origId != ColumnIds.idOf(nf).get =>
+            graft.log.TypeWidening.markNameReused(merged, origId)
+          case _ => merged
+        }
+      }), retireProp)
     }
 }

@@ -304,7 +304,9 @@ object IcebergImport {
           s"synced file $p column '$name' carries no field id — this " +
             "by-id table cannot bind it; re-import")
       } else cols.foreach { case (name, _) =>
-        require(snap0.schema.fieldNames.contains(name),
+        // bind against the EVOLVED schema: a name-bound source adding a
+        // nullable column ships files carrying it in the same commit
+        require(incoming.fieldNames.contains(name),
           s"synced file $p column '$name' is not a schema column — " +
             "name-mapping this importer cannot resolve")
       }
@@ -359,10 +361,13 @@ object IcebergImport {
         // a followable evolution applies onto the CURRENT schema (by field
         // id when mapped), so LOCAL field metadata a file-set-neutral
         // commit stamped meanwhile (a column DEFAULT) survives the sync
-        val mergedJson =
-          if (!evolved) s.metadata.schemaJson
-          else Evolution.mergedSchema(s.schema, incoming, mapped,
-            s.metadata.properties).json
+        val (mergedJson, retireProp) =
+          if (!evolved) (s.metadata.schemaJson, Map.empty[String, String])
+          else {
+            val (m, rp) = Evolution.mergedSchema(s.schema, incoming, mapped,
+              s.metadata.properties)
+            (m.json, rp)
+          }
         // an added column raises the field-id high-water mark so graft-side
         // ADD COLUMN after cut-over never reuses a source id
         val maxIdProp: Map[String, String] =
@@ -374,7 +379,7 @@ object IcebergImport {
                 .map(_.toLong).getOrElse(0L),
               ColumnIds.maxId(Map.empty, incoming))).toString)
         val metaA = s.metadata.copy(schemaJson = mergedJson,
-          properties = s.metadata.properties ++ maxIdProp +
+          properties = s.metadata.properties ++ maxIdProp ++ retireProp +
           (SourceSeqKey -> st.lastSeq.toString) +
           (SourceMetaVersionKey -> st.metaVersion.toString))
         val proto = graft.log.Protocol.merge(s.protocol,

@@ -875,7 +875,8 @@ class LakeTable private[table] (
     // get no tags — their wire format is unchanged.
     val tcTags = scala.util.Try(snapshot().schema).toOption.toSeq
       .flatMap(_.fields.toSeq)
-      .filter(graft.log.TypeWidening.hasChanges)
+      .filter(sf => graft.log.TypeWidening.hasChanges(sf) ||
+        graft.log.TypeWidening.nameReused(sf))
       .flatMap { sf =>
         df.schema.fields.find(_.name.equalsIgnoreCase(sf.name))
           .filter(_.dataType == sf.dataType)
@@ -1080,12 +1081,31 @@ class LakeTable private[table] (
   private[table] def evolveMeta(s: Snapshot, tgt: StructType): Seq[Action] =
     if (tgt == s.schema) Nil
     else {
+      // a NEW column resurrecting a RETIRED name (dropped or renamed-away
+      // under a different id) carries the name-reuse marker: per-file
+      // stats in the log stay keyed by the old logical name forever, and
+      // the old column's stats resolving for the new one would answer
+      // exact metadata-only queries WRONG. The marker makes stats/bloom
+      // pruning distrust untagged (= pre-reuse) files; trust heals as
+      // data rewrites (TypeWidening.NameReusedKey). Central here so every
+      // add path — ADD COLUMNS, mergeSchema appends, overwrite evolution
+      // — passes through.
+      val retired = ColumnIds.retiredNames(s.metadata.properties)
+      val existing = s.schema.fieldNames.toSet
+      val tgt2 = StructType(tgt.fields.map { f =>
+        if (existing.contains(f.name)) f
+        else retired.get(f.name) match {
+          case Some(origId) if !ColumnIds.idOf(f).contains(origId) =>
+            graft.log.TypeWidening.markNameReused(f, origId)
+          case _ => f
+        }
+      })
       val props =
         if (!ColumnIds.mapped(s.schema)) s.metadata.properties
         else s.metadata.properties +
           (ColumnIds.MaxIdKey ->
-            ColumnIds.maxId(s.metadata.properties, tgt).toString)
-      Seq(s.metadata.copy(schemaJson = tgt.json, properties = props))
+            ColumnIds.maxId(s.metadata.properties, tgt2).toString)
+      Seq(s.metadata.copy(schemaJson = tgt2.json, properties = props))
     }
 
   // ------------------------------------------------------------- commits
@@ -1619,8 +1639,13 @@ class LakeTable private[table] (
       Map("column" -> name, "expr" -> expr), snapshot()) { s =>
       require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column already exists: $name")
-      val (stamped, maxId) =
+      val (stamped0, maxId) =
         ColumnIds.stampNew(s.metadata.properties, s.schema, Seq(StructField(name, dataType)))
+      // a retired (dropped/renamed-away) name returns with the reuse
+      // marker so older files' stale stats never resolve for it
+      val stamped = ColumnIds.retiredNames(s.metadata.properties).get(name)
+        .fold(stamped0)(origId =>
+          stamped0.map(graft.log.TypeWidening.markNameReused(_, origId)))
       val props = s.metadata.properties + (s"graft.generated.$name" -> expr) ++
         (if (ColumnIds.mapped(s.schema)) Map(ColumnIds.MaxIdKey -> maxId.toString)
         else Map.empty)
@@ -1642,8 +1667,11 @@ class LakeTable private[table] (
       snapshot()) { s =>
       require(!s.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column already exists: $name")
-      val (stamped, maxId) =
+      val (stamped0, maxId) =
         ColumnIds.stampNew(s.metadata.properties, s.schema, Seq(StructField(name, LongType)))
+      val stamped = ColumnIds.retiredNames(s.metadata.properties).get(name)
+        .fold(stamped0)(origId =>
+          stamped0.map(graft.log.TypeWidening.markNameReused(_, origId)))
       val props = s.metadata.properties + (s"graft.identity.$name" -> s"$start,$step") ++
         (if (ColumnIds.mapped(s.schema)) Map(ColumnIds.MaxIdKey -> maxId.toString)
         else Map.empty)
@@ -1680,15 +1708,29 @@ class LakeTable private[table] (
       }
       require(refs.isEmpty,
         s"cannot rename $oldName: referenced by ${refs.keys.mkString(", ")}")
+      // per-file stats stay keyed by the OLD name forever (AddFiles are
+      // immutable): record it as RETIRED so no later column can reuse it
+      // and resolve those stale stats. Renaming BACK to a retired name is
+      // allowed only for the SAME field id (the revert, which un-retires)
+      val fid = ColumnIds.idOf(
+        s.schema.fields.find(_.name.equalsIgnoreCase(oldName)).get).get
+      val retired0 = ColumnIds.retiredNames(s.metadata.properties)
+      retired0.get(newName).foreach { origId =>
+        require(origId == fid,
+          s"column name '$newName' was renamed away from field id " +
+            s"$origId — existing files' stats are keyed by it; pick " +
+            "another name")
+      }
+      val retired = (retired0 - newName) + (oldName -> fid)
       val fields = s.schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f)
       val pcols = s.metadata.partitionColumns.map(c =>
         if (c.equalsIgnoreCase(oldName)) newName else c)
       val genKey = s"graft.generated.$oldName"
-      val props = s.metadata.properties.get(genKey) match {
+      val props = (s.metadata.properties.get(genKey) match {
         case Some(e) => s.metadata.properties - genKey + (s"graft.generated.$newName" -> e)
         case None => s.metadata.properties
-      }
+      }) + (ColumnIds.RetiredNamesKey -> ColumnIds.serializeRetired(retired))
       Seq(s.metadata.copy(schemaJson = StructType(fields).json,
         partitionColumns = pcols, properties = props))
     }
@@ -1764,9 +1806,16 @@ class LakeTable private[table] (
       require(refs.isEmpty,
         s"cannot drop $name: referenced by ${refs.keys.mkString(", ")}")
       val fields = s.schema.fields.filterNot(_.name.equalsIgnoreCase(name))
+      // the dropped NAME retires alongside its id: per-file stats stay
+      // keyed by it, and a same-named successor must distrust them
+      // (evolveMeta stamps TypeWidening.NameReusedKey on reuse)
+      val dropped = s.schema.fields.find(_.name.equalsIgnoreCase(name)).get
+      val retired = ColumnIds.retiredNames(s.metadata.properties) +
+        (dropped.name -> ColumnIds.idOf(dropped).get)
       // keep the high-water mark so the dropped id stays retired
       val props = (s.metadata.properties - s"graft.generated.$name") +
-        (ColumnIds.MaxIdKey -> ColumnIds.maxId(s.metadata.properties, s.schema).toString)
+        (ColumnIds.MaxIdKey -> ColumnIds.maxId(s.metadata.properties, s.schema).toString) +
+        (ColumnIds.RetiredNamesKey -> ColumnIds.serializeRetired(retired))
       Seq(s.metadata.copy(schemaJson = StructType(fields).json, properties = props))
     }
 

@@ -487,7 +487,7 @@ trait UniformSupport { self: LakeTable =>
         d.put("sequence_number", seq)
         d.put("min_sequence_number", seq)
         d.put("added_snapshot_id", snapshotId)
-        d.put("added_data_files_count", 1)
+        d.put("added_data_files_count", deleteFiles.size) // one per shard
         d.put("existing_data_files_count", 0)
         d.put("deleted_data_files_count", 0)
         d.put("added_rows_count", nDel)
@@ -558,8 +558,13 @@ trait UniformSupport { self: LakeTable =>
       "summary" -> (Map(
         "operation" -> "overwrite",
         "total-data-files" -> snap.files.size.toString,
+        // delete FILES, not manifests: a sharded export carries N shards
+        // in one manifest; a reused manifest reports its own entry count
         "total-delete-files" ->
-          (deleteManifest.size + reusedDeleteManifest.size).toString,
+          (deleteFiles.size + reusedDeleteManifest.map(m =>
+            Option(m.get("added_data_files_count"))
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(1))
+            .getOrElse(0)).toString,
         "total-position-deletes" ->
           snap.dvs.values.map(_.numDeleted).sum.toString,
         "total-records" -> totalRows.toString,

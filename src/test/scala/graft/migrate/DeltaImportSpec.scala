@@ -957,10 +957,25 @@ class DeltaImportSpec extends SparkSpec {
     t.read().filter(col("note") === "x7").count() shouldBe 1
     // the id high-water mark rose with the added column
     t.properties(graft.log.ColumnIds.MaxIdKey).toLong should be >= 3L
-    // v2: a TYPE change refuses as cut-over
-    val f2 = f1.updated(0,
+    // v2: the source REUSES the renamed-away name 'id' for a NEW column
+    // (id 4). Followable — but old files' per-file stats are still keyed
+    // 'id' and describe the ORIGINAL column (now 'ident'), so the
+    // successor carries the name-reuse marker and exact metadata-only
+    // answers refuse instead of reporting the wrong column's bounds.
+    val f2 = f1 :+
+      StructField("id", StringType, nullable = true, mapMeta(4, "col-ddd"))
+    writeCommit(log, 2, Seq(metaOf(f2, 4)))
+    DeltaImport.sync(spark, dir.toString)
+    val tR = LakeTable.forPath(spark, dir.toString)
+    tR.snapshot().schema.fieldNames.toSeq shouldBe
+      Seq("ident", "name", "note", "id")
+    graft.log.TypeWidening.nameReused(
+      tR.snapshot().schema.fields.last) shouldBe true
+    tR.statsMinMax("id") shouldBe None // NOT the original column's (0, 9)
+    // v3: a TYPE change refuses as cut-over
+    val f3 = f2.updated(0,
       StructField("ident", StringType, nullable = true, mapMeta(1, "col-aaa")))
-    writeCommit(log, 2, Seq(metaOf(f2, 3)))
+    writeCommit(log, 3, Seq(metaOf(f3, 4)))
     intercept[IllegalArgumentException] {
       DeltaImport.sync(spark, dir.toString)
     }.getMessage should include("cut-over")

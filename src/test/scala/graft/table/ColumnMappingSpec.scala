@@ -48,6 +48,44 @@ class ColumnMappingSpec extends SparkSpec {
     // new writes fill it
     t.append(Seq((3L, "c", 99.0)).toDF("id", "name", "amount"))
     t.read().filter(col("id") === 3L).select("amount").as[Double].head() shouldBe 99.0
+    // r13: the successor must NOT resolve the ORIGINAL column's stats —
+    // per-file stats stay keyed 'amount' in the immutable log (old files
+    // claim min 10 / max 20 / nullCount 0 for a column that is all-null
+    // there). The reuse marker distrusts untagged files: exact
+    // metadata-only answers refuse instead of being WRONG, healing as
+    // data rewrites (the new file is tagged and trusted).
+    graft.log.TypeWidening.nameReused(
+      t.schema.fields.find(_.name == "amount").get) shouldBe true
+    t.statsMinMax("amount") shouldBe None
+    // after rewriting the old files the answer is exact again
+    t.optimizeCompact()
+    t.statsMinMax("amount") shouldBe Some((99.0, 99.0))
+  }
+
+  test("a RENAMED-away name is retired: a successor column carries the " +
+    "reuse marker and never resolves the original's stats (r13)") {
+    val t = fresh("cm-rename-reuse")
+    t.renameColumn("amount", "total")
+    // reusing 'amount' for a NEW column: allowed, marker stamped
+    t.addColumns(Seq(StructField("amount", DoubleType)))
+    t.read().select("amount").as[Option[Double]].collect() shouldBe Array(None, None)
+    t.statsMinMax("amount") shouldBe None // old stats keyed 'amount' = total's bytes
+    t.statsMinMax("total") match {
+      case Some((mn, mx)) => (mn, mx) shouldBe ((10.0, 20.0))
+      case None => () // conservative is acceptable; WRONG is not
+    }
+    // renaming BACK to a retired name is the revert of the SAME field:
+    // allowed, and the name un-retires
+    val t2 = fresh("cm-rename-revert")
+    t2.renameColumn("amount", "total")
+    t2.renameColumn("total", "amount")
+    t2.statsMinMax("amount") shouldBe Some((10.0, 20.0)) // same id: stats valid
+    // but renaming a DIFFERENT column onto a retired name refuses
+    val t3 = fresh("cm-rename-steal")
+    t3.renameColumn("amount", "total")
+    intercept[IllegalArgumentException] {
+      t3.renameColumn("name", "amount")
+    }.getMessage should include("renamed away")
   }
 
   test("rename of a partition column keeps pruning working for new writes") {
