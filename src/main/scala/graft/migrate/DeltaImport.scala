@@ -285,7 +285,7 @@ object DeltaImport {
           if (!evolvedSync) (s.metadata.schemaJson, Map.empty[String, String])
           else {
             val (m, rp) = Evolution.mergedSchema(s.schema, effSchema, mapped,
-              s.metadata.properties)
+              s.metadata.properties, s.version + 1)
             (m.json, rp)
           }
         val maxIdProp: Map[String, String] =
@@ -400,7 +400,7 @@ object DeltaImport {
           if (!evolvedSync) (s.metadata.schemaJson, Map.empty[String, String])
           else {
             val (m, rp) = Evolution.mergedSchema(s.schema, incoming, mapped,
-              s.metadata.properties)
+              s.metadata.properties, s.version + 1)
             (m.json, rp)
           }
         val maxIdProp: Map[String, String] =

@@ -32,7 +32,12 @@ private[migrate] object Evolution {
         refuse(s"dropped column(s) ${dropped.map(oldById(_).name).mkString(", ")}")
       oldById.foreach { case (id, of) =>
         val nf = newById(id)
-        if (nf.dataType != of.dataType)
+        // a WIDENING is followable — it is exactly graft's own
+        // metadata-only ALTER COLUMN TYPE (readers upcast old files; the
+        // recorded change keeps stats/bloom pruning honest); anything
+        // outside the widening matrix refuses
+        if (nf.dataType != of.dataType &&
+            !graft.log.TypeWidening.isWidening(of.dataType, nf.dataType))
           refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
       }
       (newById.keySet -- oldById.keySet).toSeq.sorted.foreach { id =>
@@ -41,14 +46,15 @@ private[migrate] object Evolution {
             "existing files cannot satisfy it")
       }
     } else {
-      // name-bound: pure ADDs only — every old column must survive
-      // identically (a renamed column would present as a drop)
+      // name-bound: ADDs and widenings only — every old column must
+      // survive by name (a renamed column would present as a drop)
       val newByName = incoming.fields.map(f => f.name -> f).toMap
       old.fields.foreach { of =>
         newByName.get(of.name) match {
           case None => refuse(s"column '${of.name}' disappeared — renames " +
             "are not followable without field ids")
-          case Some(nf) if nf.dataType != of.dataType =>
+          case Some(nf) if nf.dataType != of.dataType &&
+              !graft.log.TypeWidening.isWidening(of.dataType, nf.dataType) =>
             refuse(s"column '${of.name}' changed type ${of.dataType} -> ${nf.dataType}")
           case _ => ()
         }
@@ -66,26 +72,42 @@ private[migrate] object Evolution {
     * local field metadata a file-set-neutral commit stamped — a column
     * DEFAULT — that must survive): by id when mapped (renames change
     * names, nullability may only WIDEN, adds append in source order), by
-    * name otherwise. Refuses a rename of any column referenced by a local
-    * constraint/generated rule (identifier-boundary match), and any
-    * column REUSING a renamed-away name under a different id (per-file
+    * name otherwise. Type WIDENINGS apply as graft's own ALTER COLUMN
+    * TYPE would — the change records in the field metadata for stat/bloom
+    * honesty, and `graft.enableTypeWidening` rides the property update so
+    * the typeWidening feature stamps in the same commit. Refuses a rename
+    * of any column referenced by a local constraint/generated rule
+    * (identifier-boundary match); a column REUSING a renamed-away name
+    * under a different id gets the name-reuse distrust marker (per-file
     * stats stay keyed by the old logical name — see
-    * [[ColumnIds.RetiredNamesKey]]), like graft's own RENAME/ADD COLUMN.
+    * [[ColumnIds.RetiredNamesKey]]), like graft's own DROP + re-ADD.
     *
-    * Returns the merged schema plus the property update maintaining the
-    * retired-names ledger (empty when nothing changes). */
+    * Returns the merged schema plus the property updates (retired-name
+    * ledger, widening enablement; empty when nothing changes). */
   def mergedSchema(current: StructType, incoming: StructType,
-      mapped: Boolean, properties: Map[String, String])
-      : (StructType, Map[String, String]) =
+      mapped: Boolean, properties: Map[String, String],
+      tableVersion: Long)
+      : (StructType, Map[String, String]) = {
+    def widen(of: org.apache.spark.sql.types.StructField,
+        nf: org.apache.spark.sql.types.StructField,
+        merged: org.apache.spark.sql.types.StructField) =
+      if (of.dataType == nf.dataType) merged
+      else merged.copy(dataType = nf.dataType,
+        metadata = graft.log.TypeWidening.recordChange(
+          merged.copy(dataType = of.dataType), nf.dataType, tableVersion))
     if (!mapped) {
       val curByName = current.fields.map(f => f.name -> f).toMap
-      (StructType(incoming.fields.map { nf =>
+      var widened = false
+      val out = StructType(incoming.fields.map { nf =>
         curByName.get(nf.name) match {
           case Some(of) =>
-            of.copy(nullable = of.nullable || nf.nullable)
+            if (of.dataType != nf.dataType) widened = true
+            widen(of, nf, of.copy(nullable = of.nullable || nf.nullable))
           case None => nf
         }
-      }), Map.empty)
+      })
+      (out, if (widened) Map("graft.enableTypeWidening" -> "true")
+        else Map.empty)
     } else {
       val sById = current.fields.map(f => ColumnIds.idOf(f).get -> f).toMap
       val renamedPairs: Seq[(String, Long)] = incoming.fields.flatMap { nf =>
@@ -118,10 +140,13 @@ private[migrate] object Evolution {
         if (newRetired == retired) Map.empty
         else Map(ColumnIds.RetiredNamesKey ->
           ColumnIds.serializeRetired(newRetired))
-      (StructType(incoming.fields.map { nf =>
+      var widened = false
+      val out = StructType(incoming.fields.map { nf =>
         val merged = sById.get(ColumnIds.idOf(nf).get) match {
           case Some(of) =>
-            of.copy(name = nf.name, nullable = of.nullable || nf.nullable)
+            if (of.dataType != nf.dataType) widened = true
+            widen(of, nf,
+              of.copy(name = nf.name, nullable = of.nullable || nf.nullable))
           case None => nf
         }
         retired.get(merged.name) match {
@@ -129,6 +154,9 @@ private[migrate] object Evolution {
             graft.log.TypeWidening.markNameReused(merged, origId)
           case _ => merged
         }
-      }), retireProp)
+      })
+      (out, retireProp ++
+        (if (widened) Map("graft.enableTypeWidening" -> "true") else Map.empty))
     }
+  }
 }

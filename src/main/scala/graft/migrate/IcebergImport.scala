@@ -286,6 +286,14 @@ object IcebergImport {
     require(st.pcols == snap0.metadata.partitionColumns,
       s"the Iceberg source's partition spec changed " +
         s"(${st.pcols.mkString(", ")}) — not syncable in place; re-import")
+    // partition VALUES are stored as strings re-parsed under the current
+    // type: even a widening on a partition column is a cut-over moment
+    if (evolved) snap0.metadata.partitionColumns.foreach { c =>
+      val of = snap0.schema.fields.find(_.name == c).get
+      require(incoming.fields.find(_.name == c).exists(_.dataType == of.dataType),
+        s"partition column '$c' changed type — not syncable in place; " +
+          "re-import")
+    }
 
     val graftLive: Set[String] = snap0.files.map(_.path).toSet
     val currentLive: Set[String] = st.live.map(_._1).toSet
@@ -365,7 +373,7 @@ object IcebergImport {
           if (!evolved) (s.metadata.schemaJson, Map.empty[String, String])
           else {
             val (m, rp) = Evolution.mergedSchema(s.schema, incoming, mapped,
-              s.metadata.properties)
+              s.metadata.properties, s.version + 1)
             (m.json, rp)
           }
         // an added column raises the field-id high-water mark so graft-side
@@ -382,7 +390,11 @@ object IcebergImport {
           properties = s.metadata.properties ++ maxIdProp ++ retireProp +
           (SourceSeqKey -> st.lastSeq.toString) +
           (SourceMetaVersionKey -> st.metaVersion.toString))
-        val proto = graft.log.Protocol.merge(s.protocol,
+        // property-implies-feature, like the Delta sync: a followed
+        // widening lands graft.enableTypeWidening WITH its feature
+        val proto = graft.log.Protocol.merge(
+          graft.log.Protocol.merge(s.protocol,
+            LakeTable.impliedFeatures(metaA.properties)),
           if (dvActions.isEmpty) s.protocol
           else graft.log.Protocol(1, 1, null, Seq("deletionVectors")))
         (if (proto == s.protocol) Seq(metaA) else Seq(proto, metaA)) ++

@@ -981,6 +981,61 @@ class DeltaImportSpec extends SparkSpec {
     }.getMessage should include("cut-over")
   }
 
+  test("sync FOLLOWS a source type WIDENING (int -> long) metadata-only, " +
+    "stamping the typeWidening feature in the same commit (r13)") {
+    val dir = tmpDir("delta-sync-widen").resolve("t")
+    def fieldId(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    def mapMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    dataFile(dir, "f0.parquet", rows(0, 4).select(
+      col("id").as("col-aaa", fieldId(1)),
+      col("id").cast("int").as("col-bbb", fieldId(2))))
+    def metaOf(vType: DataType) = json(Map("metaData" -> Map(
+      "id" -> "88888888-0000-1111-2222-333344445555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> StructType(Seq(
+        StructField("id", LongType, nullable = true, mapMeta(1, "col-aaa")),
+        StructField("v", vType, nullable = true, mapMeta(2, "col-bbb")))).json,
+      "partitionColumns" -> Nil,
+      "configuration" -> Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2"),
+      "createdTime" -> 1700000000000L)))
+    val log = dir.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(reader = 2), metaOf(IntegerType),
+      json(Map("add" -> Map("path" -> "f0.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f0.parquet")),
+        "modificationTime" -> 1700000001000L, "dataChange" -> true)))))
+    LakeTable.convert(spark, dir.toString)
+    // v1: the source widens v to BIGINT and appends a long-typed file
+    dataFile(dir, "f1.parquet", rows(5, 9).select(
+      col("id").as("col-aaa", fieldId(1)),
+      (col("id") * 1000000000L).as("col-bbb", fieldId(2))))
+    writeCommit(log, 1, Seq(metaOf(LongType),
+      json(Map("add" -> Map("path" -> "f1.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dir.resolve("f1.parquet")),
+        "modificationTime" -> 1700000002000L, "dataChange" -> true)))))
+    DeltaImport.sync(spark, dir.toString)
+    val t = LakeTable.forPath(spark, dir.toString)
+    t.snapshot().schema("v").dataType shouldBe LongType
+    // old int files upcast at scan time; values intact
+    t.read().agg(sum("v")).head().getLong(0) shouldBe
+      (0L to 4L).sum + (5L to 9L).map(_ * 1000000000L).sum
+    // the change is RECORDED (stat/bloom honesty) and the feature stamped
+    graft.log.TypeWidening.hasChanges(t.snapshot().schema("v")) shouldBe true
+    t.snapshot().protocol.writerSet should contain("typeWidening")
+    // int -> long stats stay exact: metadata-only min/max still answers
+    t.statsMinMax("v") shouldBe Some((0L, 9000000000L))
+    // anything OUTSIDE the widening matrix still refuses (long -> int)
+    writeCommit(log, 2, Seq(metaOf(IntegerType)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dir.toString)
+    }.getMessage should include("cut-over")
+  }
+
   test("name-bound sync follows an ADDED nullable column; a rename " +
     "(indistinguishable from a drop) refuses (r13)") {
     val dir = tmpDir("delta-sync-evolve-name").resolve("t")
