@@ -72,7 +72,11 @@ object DeltaImport {
     * column-mapping-mode gates below are the real guards; the feature
     * names alone do not make a table unreadable). */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+      // honored since r13: the per-field delta.typeChanges record
+      // translates onto graft.typeChanges (translateTypeChanges), so the
+      // engine upcasts old files and keeps stat/bloom honesty
+      "typeWidening")
 
   /** Table property recording the highest Delta version the import/sync
     * has consumed. */
@@ -187,9 +191,9 @@ object DeltaImport {
           // translate before comparing
           val sourceMapped = incoming0.fields.nonEmpty &&
             incoming0.fields.forall(_.metadata.contains(MappingIdKey))
-          val incoming =
+          val incoming = translateTypeChanges(
             if (mapped && sourceMapped) translateMapping(incoming0)._1
-            else incoming0
+            else incoming0)
           if (incoming != effSchema) {
             // a binding-mode flip is never followable: a name-bound mirror
             // cannot see a mapped source's renames (new files' PHYSICAL
@@ -254,8 +258,19 @@ object DeltaImport {
     if (mapped && adds.nonEmpty)
       verifyFooterIds(root, adds.map(_._1), effSchema, effPhys)
     val now = System.currentTimeMillis()
+    // files synced in a range with NO in-range schema change were written
+    // by the source under the CURRENT types: tag them so stats/bloom
+    // trust heals on the mirror after a followed lossy widening or name
+    // reuse (a mixed-era range skips tagging — conservative)
+    val syncTags: Map[String, String] =
+      if (evolvedSync) Map.empty
+      else effSchema.fields
+        .filter(f => graft.log.TypeWidening.hasChanges(f) ||
+          graft.log.TypeWidening.nameReused(f))
+        .map(f => graft.log.TypeWidening.tagKey(f) ->
+          graft.log.TypeWidening.changeCount(f).toString).toMap
     val graftAdds: Seq[graft.log.Action] =
-      toAddFiles(spark, root, adds, effSchema, effPhys)
+      toAddFiles(spark, root, adds, effSchema, effPhys, syncTags)
     // the FINAL disposition's live masks transcode into graft vectors
     // (written before the commit loop, like every dv parquet); a final
     // re-add WITHOUT a descriptor is a Delta-side purge — it must CLEAR
@@ -351,9 +366,12 @@ object DeltaImport {
     val deltaSchema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     val sourceMapped = deltaSchema.fields.nonEmpty &&
       deltaSchema.fields.forall(_.metadata.contains(MappingIdKey))
-    val (incoming, physicalOf) =
-      if (mapped && sourceMapped) translateMapping(deltaSchema)
-      else (deltaSchema, Map.empty[String, String])
+    val (incoming, physicalOf) = {
+      val (s0, phys) =
+        if (mapped && sourceMapped) translateMapping(deltaSchema)
+        else (deltaSchema, Map.empty[String, String])
+      (translateTypeChanges(s0), phys)
+    }
     // r13: schema evolution across the cleaned tail follows when
     // [[Evolution]] allows it, exactly like the incremental path
     val evolvedSync = incoming != schema
@@ -456,19 +474,22 @@ object DeltaImport {
     gate(dir, st)
 
     val mappingMode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val (schema, physicalOf) =
-      if (mappingMode == "none")
-        (DataType.fromJson(st.schemaString).asInstanceOf[StructType],
-          Map.empty[String, String])
-      else {
-        // id/name modes both translate to graft's by-field-id resolution
-        // (the files' footers are verified to support it — an id-less file
-        // refuses here, pointing at the rewrite import)
-        val (s, phys) = translateMapping(
-          DataType.fromJson(st.schemaString).asInstanceOf[StructType])
-        verifyFooterIds(root, st.adds.keys.toSeq, s, phys)
-        (s, phys)
-      }
+    val (schema, physicalOf) = {
+      val (s0, phys) =
+        if (mappingMode == "none")
+          (DataType.fromJson(st.schemaString).asInstanceOf[StructType],
+            Map.empty[String, String])
+        else {
+          // id/name modes both translate to graft's by-field-id resolution
+          // (the files' footers are verified to support it — an id-less file
+          // refuses here, pointing at the rewrite import)
+          val (s, phys0) = translateMapping(
+            DataType.fromJson(st.schemaString).asInstanceOf[StructType])
+          verifyFooterIds(root, st.adds.keys.toSeq, s, phys0)
+          (s, phys0)
+        }
+      (translateTypeChanges(s0), phys)
+    }
     val now = System.currentTimeMillis()
     val graftAdds: Seq[AddFile] =
       toAddFiles(spark, root, st.adds.toSeq, schema, physicalOf)
@@ -487,13 +508,20 @@ object DeltaImport {
         st.configuration.get("delta.columnMapping.maxColumnId")
           .map(_.toLong).getOrElse(0L),
         graft.log.ColumnIds.maxId(Map.empty, schema)).toString)
+    // a pre-widened source (translated delta.typeChanges present) keeps
+    // the widening enabled so the feature stamps even when the source
+    // unset the property after applying changes
+    val widenProp: Map[String, String] =
+      if (schema.fields.exists(graft.log.TypeWidening.hasChanges))
+        Map("graft.enableTypeWidening" -> "true")
+      else Map.empty
     val meta = graft.log.Metadata(st.tableId, root.getFileName.toString,
       schema.json, Nil,
       // delta.* table properties carry over under the engine's own
       // delta-prefix normalization (appendOnly, retention windows, …);
       // the consumed source version rides as a property so [[sync]] can
       // pick up exactly where the import stopped
-      LakeTable.normalizeProps(st.configuration) ++ maxIdProp +
+      LakeTable.normalizeProps(st.configuration) ++ maxIdProp ++ widenProp +
         (SourceVersionKey -> st.sourceVersion.toString), now)
     val ci = CommitInfo(0L, now, "CONVERT",
       Map("numFiles" -> graftAdds.size.toString,
@@ -557,9 +585,12 @@ object DeltaImport {
     val props = LakeTable.normalizeProps(st.configuration.view
       .filterKeys(!_.startsWith("delta.columnMapping.")).toMap)
     val destSchema = graft.log.ColumnIds.strip(StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(MappingPhysKey)) f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).remove(MappingPhysKey).build())
+      // the rewrite destination is written fresh under the CURRENT types:
+      // neither the mapping's physical names nor the source's type-change
+      // history carry over (new stats are exact by construction)
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(MappingPhysKey)
+        .remove(DeltaChangesKey).build())
     }))
     // a fully deleted (or never-written) partitioned source imports as an
     // empty partitioned graft table — schema and layout are fully known
@@ -680,7 +711,8 @@ object DeltaImport {
   private def toAddFiles(spark: SparkSession, root: Path,
       adds: Seq[(String, AddInfo)],
       schema: StructType,
-      physicalOf: Map[String, String] = Map.empty): Seq[AddFile] = {
+      physicalOf: Map[String, String] = Map.empty,
+      tags: Map[String, String] = Map.empty): Seq[AddFile] = {
     def physName(logical: String) = physicalOf.getOrElse(logical, logical)
     val statless = adds.collect {
       case (p, i) if i.statsJson.isEmpty => root.resolve(p) }.toSeq
@@ -702,7 +734,8 @@ object DeltaImport {
               Map.empty[String, ColStats])))
       AddFile(path = path, partitionValues = Map.empty, size = info.size,
         numRecords = numRecords, stats = colStats,
-        modificationTime = info.mtime)
+        modificationTime = info.mtime,
+        tags = if (tags.isEmpty) null else tags)
     }
   }
 
@@ -755,6 +788,49 @@ object DeltaImport {
     schema.fields.map(f => f.name ->
       (if (f.metadata.contains(MappingPhysKey))
         f.metadata.getString(MappingPhysKey) else f.name)).toMap
+
+  private val DeltaChangesKey = "delta.typeChanges"
+
+  /** Delta's per-field type-widening record translates onto graft's
+    * (`graft.typeChanges`) so stat/bloom honesty survives the import: a
+    * source that widened float→double BEFORE the import has files whose
+    * float-encoded stats are NOT exact double bounds — without the
+    * record, metadata-only min/max would trust them. Type-name spellings
+    * map from Delta's schema-serialization names to the DDL forms
+    * graft's change parser reads (an unmapped spelling would silently
+    * drop the entry — and with it the distrust). */
+  private[migrate] def translateTypeChanges(schema: StructType): StructType = {
+    def ddlOf(t: String): String = t match {
+      case "long" => "BIGINT"
+      case "integer" => "INT"
+      case "short" => "SMALLINT"
+      case "byte" => "TINYINT"
+      case "timestampNtz" => "TIMESTAMP_NTZ"
+      case other => other // float/double/date/decimal(p,s) parse as-is
+    }
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(DeltaChangesKey)) f
+      else {
+        val translated = f.metadata.getMetadataArray(DeltaChangesKey).map { e =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("fromType", ddlOf(e.getString("fromType")))
+            .putString("toType", ddlOf(e.getString("toType")))
+          (if (e.contains("tableVersion"))
+            mb.putLong("tableVersion", e.getLong("tableVersion")) else mb)
+            .build()
+        }
+        val prior =
+          if (f.metadata.contains(graft.log.TypeWidening.ChangesKey))
+            f.metadata.getMetadataArray(graft.log.TypeWidening.ChangesKey)
+          else Array.empty[org.apache.spark.sql.types.Metadata]
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(DeltaChangesKey)
+          .putMetadataArray(graft.log.TypeWidening.ChangesKey,
+            prior ++ translated)
+          .build())
+      }
+    })
+  }
 
   /** Column-mapping honesty gate over the LIVE files' parquet footers:
     * by-id reads are only safe when (a) every footer column carries a

@@ -88,20 +88,22 @@ private[migrate] object Evolution {
       mapped: Boolean, properties: Map[String, String],
       tableVersion: Long)
       : (StructType, Map[String, String]) = {
+    // apply a type widening onto the merged field (which still carries
+    // the OLD type from `of`): take the wider type and RECORD the change
     def widen(of: org.apache.spark.sql.types.StructField,
         nf: org.apache.spark.sql.types.StructField,
         merged: org.apache.spark.sql.types.StructField) =
       if (of.dataType == nf.dataType) merged
       else merged.copy(dataType = nf.dataType,
         metadata = graft.log.TypeWidening.recordChange(
-          merged.copy(dataType = of.dataType), nf.dataType, tableVersion))
+          merged, nf.dataType, tableVersion))
     if (!mapped) {
       val curByName = current.fields.map(f => f.name -> f).toMap
-      var widened = false
+      val widened = incoming.fields.exists(nf =>
+        curByName.get(nf.name).exists(_.dataType != nf.dataType))
       val out = StructType(incoming.fields.map { nf =>
         curByName.get(nf.name) match {
           case Some(of) =>
-            if (of.dataType != nf.dataType) widened = true
             widen(of, nf, of.copy(nullable = of.nullable || nf.nullable))
           case None => nf
         }
@@ -140,11 +142,11 @@ private[migrate] object Evolution {
         if (newRetired == retired) Map.empty
         else Map(ColumnIds.RetiredNamesKey ->
           ColumnIds.serializeRetired(newRetired))
-      var widened = false
+      val widened = incoming.fields.exists(nf =>
+        sById.get(ColumnIds.idOf(nf).get).exists(_.dataType != nf.dataType))
       val out = StructType(incoming.fields.map { nf =>
         val merged = sById.get(ColumnIds.idOf(nf).get) match {
           case Some(of) =>
-            if (of.dataType != nf.dataType) widened = true
             widen(of, nf,
               of.copy(name = nf.name, nullable = of.nullable || nf.nullable))
           case None => nf

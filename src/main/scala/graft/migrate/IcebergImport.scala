@@ -327,8 +327,21 @@ object IcebergImport {
     val footersAttr =
       if (!mapped) footers
       else footers.view.mapValues(dropMisattributedStats(_, idOfName)).toMap
+    // footer stats are re-derived NOW under the current types, so synced
+    // files always tag: stats/bloom trust heals on the mirror after a
+    // followed lossy widening or name reuse
+    val tagSchema =
+      if (!evolved) snap0.schema
+      else Evolution.mergedSchema(snap0.schema, incoming, mapped,
+        snap0.metadata.properties, t.version + 1)._1
+    val syncTags: Map[String, String] = tagSchema.fields
+      .filter(f => graft.log.TypeWidening.hasChanges(f) ||
+        graft.log.TypeWidening.nameReused(f))
+      .map(f => graft.log.TypeWidening.tagKey(f) ->
+        graft.log.TypeWidening.changeCount(f).toString).toMap
     val newAdds: Seq[AddFile] = newEntries.map { case (p, df) =>
-      toAddFile(st, root, p, df, footersAttr(root.resolve(p).toString), now)
+      toAddFile(st, root, p, df, footersAttr(root.resolve(p).toString), now,
+        syncTags)
     }
     // rebuild the CURRENT mask state (position deletes are snapshot-global)
     val liveAbs = st.live.map(p => root.resolve(p._1).toString).toSet
@@ -824,7 +837,7 @@ object IcebergImport {
   private def toAddFile(st: IcebergState, root: Path, p: String,
       df: GenericRecord,
       footer: (Long, Map[String, ColStats], Seq[(String, Option[Int])]),
-      now: Long): AddFile = {
+      now: Long, tags: Map[String, String] = Map.empty): AddFile = {
     val (footerCount, colStats, _) = footer
     val manifestCount = df.get("record_count").asInstanceOf[Long]
     require(manifestCount == footerCount,
@@ -847,7 +860,8 @@ object IcebergImport {
     AddFile(path = p, partitionValues = pv,
       size = df.get("file_size_in_bytes").asInstanceOf[Long],
       numRecords = manifestCount, stats = colStats,
-      modificationTime = now)
+      modificationTime = now,
+      tags = if (tags.isEmpty) null else tags)
   }
 
   /** Decode the current position deletes into ONE graft dv parquet under

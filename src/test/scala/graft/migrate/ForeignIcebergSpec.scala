@@ -886,6 +886,97 @@ class ForeignIcebergSpec extends SparkSpec {
     IcebergImport.sync(spark, dir.toString) shouldBe v3v
   }
 
+  test("sync FOLLOWS an Iceberg int->long widening metadata-only: old " +
+    "files upcast, the typeWidening feature stamps, synced files carry " +
+    "the heal tag; a PARTITION-column widening refuses (r13)") {
+    def metaW(dir: Path, v: Long, snapId: Long, seq: Long, vType: String,
+        listPath: Path, partitioned: Boolean): String = json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> "cccccccc-0000-1111-2222-000000000001",
+      "location" -> dir.toString,
+      "last-sequence-number" -> seq, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 1, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "v", "required" -> false, "type" -> vType)))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0,
+        "fields" -> (if (!partitioned) Nil else Seq(Map(
+          // the spec FIELD is named like the avro tuple record's field
+          "name" -> "p_int", "transform" -> "identity",
+          "source-id" -> 1, "field-id" -> 1000))))),
+      "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> snapId,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> snapId, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> seq, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "append"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+    def build(tag: String, partitioned: Boolean): (Path, Path) = {
+      val dir = tmpDir(s"foreign-widen-$tag").resolve("t")
+      val fa = rawFile(dir, "a.parquet", Seq(1, 2).toDF("v0")
+        .select(col("v0").cast("int").as("v", fid(1))))
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      val mA = metaDir.resolve("m-a.avro")
+      writeAvro(mA, entrySchema2, Seq(entry2(0, fa, 2L,
+        if (partitioned) Integer.valueOf(1) else null)))
+      val l1 = metaDir.resolve("snap-1.avro")
+      writeAvro(l1, listSchema, Seq(listRowSeq(mA, 0, 1L)))
+      Files.write(metaDir.resolve("v1.metadata.json"),
+        metaW(dir, 1, 101L, 1L, "int", l1, partitioned)
+          .getBytes(StandardCharsets.UTF_8))
+      Files.write(metaDir.resolve("version-hint.text"),
+        "1".getBytes(StandardCharsets.UTF_8))
+      (dir, mA)
+    }
+    // --- unpartitioned: the widening follows ---
+    val (dir, mA) = build("flat", partitioned = false)
+    LakeTable.convert(spark, dir.toString)
+    val fb = rawFile(dir, "b.parquet", Seq(5000000000L).toDF("v0")
+      .select(col("v0").as("v", fid(1))))
+    val metaDir = dir.resolve("metadata")
+    val mB = metaDir.resolve("m-b.avro")
+    writeAvro(mB, entrySchema2, Seq(entry2(0, fb, 1L)))
+    val l2 = metaDir.resolve("snap-2.avro")
+    writeAvro(l2, listSchema,
+      Seq(listRowSeq(mA, 0, 1L), listRowSeq(mB, 0, 2L)))
+    Files.write(metaDir.resolve("v2.metadata.json"),
+      metaW(dir, 2, 102L, 2L, "long", l2, partitioned = false)
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "2".getBytes(StandardCharsets.UTF_8))
+    IcebergImport.sync(spark, dir.toString)
+    val t = LakeTable.forPath(spark, dir.toString)
+    t.snapshot().schema("v").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    t.read().agg(sum("v")).head().getLong(0) shouldBe (1L + 2L + 5000000000L)
+    graft.log.TypeWidening.hasChanges(t.snapshot().schema("v")) shouldBe true
+    t.snapshot().protocol.writerSet should contain("typeWidening")
+    // the synced file carries the heal tag (keyed by field id)
+    t.snapshot().files.find(_.path == "b.parquet").get
+      .tag("tc:1") shouldBe Some("1")
+    // int->long stats stay exact: metadata-only min/max answers
+    t.statsMinMax("v") shouldBe Some((1L, 5000000000L))
+    // --- partitioned on v: the same widening refuses (partition values
+    // re-parse as strings under the current type) ---
+    val (dirP, mAP) = build("part", partitioned = true)
+    LakeTable.convert(spark, dirP.toString)
+    val metaDirP = dirP.resolve("metadata")
+    val l2p = metaDirP.resolve("snap-2.avro")
+    writeAvro(l2p, listSchema, Seq(listRowSeq(mAP, 0, 1L)))
+    Files.write(metaDirP.resolve("v2.metadata.json"),
+      metaW(dirP, 2, 102L, 2L, "long", l2p, partitioned = true)
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDirP.resolve("version-hint.text"),
+      "2".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, dirP.toString)
+    }.getMessage should include("changed type")
+  }
+
   test("identity partitions on types without a faithful string round-trip " +
     "refuse (a foreign timestamptz partition would import garbage)") {
     val dir = tmpDir("foreign-iceberg-ts").resolve("t")
