@@ -96,6 +96,25 @@ object Bench {
       if billed > minSec && baseline.get(name).exists(b =>
         b > 0 && billed / b > factor) => name }
 
+  /** The BENCH_DETAIL remeasure fields: isolated re-measurements keyed
+    * like `queries` plus the 1-minute loadavg recorded at each entry's OWN
+    * measurement time (r13 verdict task 7 — the remeasure previously ran
+    * in the same contended end-of-run window it was adjudicating, so its
+    * numbers could not self-adjudicate; with per-entry load in the
+    * artifact, a 13.2 s-at-load-14 reading is visibly contention). Empty
+    * when nothing was flagged. */
+  private[graft] def remeasuredDetailField(
+      remeasured: Seq[(String, Double, Double)],
+      jnum: Double => String): String =
+    if (remeasured.isEmpty) ""
+    else {
+      val vs = remeasured.map { case (k, v, _) => s""""$k":${jnum(v)}""" }
+        .mkString("{", ",", "}")
+      val ls = remeasured.map { case (k, _, l) => s""""$k":${jnum(l)}""" }
+        .mkString("{", ",", "}")
+      s""","remeasured":$vs,"remeasured_load":$ls"""
+    }
+
   /** The committed quiet-run baseline (`bench_envelope.json`, flat
     * name→seconds; path overridable via SPARK_GRAFT_ENVELOPE). Empty when
     * absent or unparseable — the envelope trigger simply stands down. */
@@ -283,7 +302,14 @@ object Bench {
       Runtime.getRuntime.availableProcessors()) ++
       Bench.envelopeTargets(results, Bench.loadEnvelope()))
       .distinct.take(12)
-    val remeasured: Seq[(String, Double)] =
+    // quiesce BEFORE the isolated reps (r13 verdict task 7): the remeasure
+    // ran in the same contended end-of-run window it was adjudicating, so a
+    // 13.2 s-at-load-14 number was indistinguishable from a regression.
+    // Flushing the run's writeback debt first, and recording the load at
+    // each entry's own measurement time, makes the remeasure
+    // self-adjudicating in-artifact.
+    if (!opsChild && suspects.nonEmpty) quiesce()
+    val remeasured: Seq[(String, Double, Double)] =
       if (opsChild) Nil
       else suspects.flatMap { name =>
         queryFns.get(name).map { fn =>
@@ -292,9 +318,10 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] remeasure $name failed: ${e.getMessage}") }
           }._2
+          val loadNow = hostLoad()._1
           val v = math.min(rep(), rep()) // best-of-2, warm, isolated
           spark.catalog.clearCache()
-          name -> v
+          (name, v, loadNow)
         }
       }
 
@@ -773,7 +800,7 @@ object Bench {
       runTmp: java.nio.file.Path,
       loadStart: (Double, Long),
       loadEnd: (Double, Long),
-      remeasured: Seq[(String, Double)]): Unit = {
+      remeasured: Seq[(String, Double, Double)]): Unit = {
 
     // Locale.ROOT everywhere: a non-English default locale would format
     // decimal commas ("52,19") and break the machine-parsed JSON
@@ -805,11 +832,9 @@ object Bench {
       s""""load":{"start":${p(loadStart)},"end":${p(loadEnd)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
     }
     // self-healed values (empty when nothing flagged): the isolated
-    // re-measurements of suspect queries, keyed like `queries`
-    val remeasuredJson = remeasured
-      .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
-    val remeasuredField =
-      if (remeasured.isEmpty) "" else s""","remeasured":$remeasuredJson"""
+    // re-measurements of suspect queries, keyed like `queries`, plus the
+    // loadavg at each entry's own measurement time ([[remeasuredDetailField]])
+    val remeasuredField = Bench.remeasuredDetailField(remeasured, jnum)
     // same sf spelling on both lines (full path kept as sf_dir for humans)
     println(s"""BENCH_DETAIL {"queries":$qs,"ops":$opsJson,"sf":"$sfShort","sf_dir":"$sfDir",$loadJson$remeasuredField}""")
     // final line: every query plus the BASELINE.md-comparable ops, sized to
@@ -853,9 +878,12 @@ object Bench {
         .mkString("{", ",", "}")
       val remShort =
         if (remeasured.isEmpty) ""
-        else remeasured.map { case (k, v) =>
+        else remeasured.map { case (k, v, _) =>
           s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
-          .mkString(""","remeasured":{""", ",", "}")
+          .mkString(""","remeasured":{""", ",", "}") +
+          remeasured.map { case (k, _, l) =>
+            s""""${k.split('_').head}":${jshort(l, "%.1f")}""" }
+            .mkString(""","remeasured_load":{""", ",", "}")
       s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort",$loadJson$remShort}"""
     }
     // degrade in steps, keeping per-query timings as long as possible:

@@ -50,15 +50,36 @@ object ColumnIds {
     * mirror syncs' followed evolution. */
   val RetiredNamesKey = "graft.columnMapping.retiredNames"
 
-  def retiredNames(properties: Map[String, String]): Map[String, Long] =
-    properties.get(RetiredNamesKey).map(_.split(',').filter(_.nonEmpty)
-      .map { e =>
-        val i = e.lastIndexOf(':')
-        e.substring(0, i) -> e.substring(i + 1).toLong
-      }.toMap).getOrElse(Map.empty)
+  // the ledger serializes as a small JSON object: logical names are
+  // ARBITRARY strings (a column-mapped source may legally carry commas,
+  // colons, or braces in a name), so a hand-rolled delimiter format
+  // corrupts — the pre-r14 ','-joined "name:id" encoding threw on a
+  // comma-bearing name and permanently wedged every later rename/drop/
+  // ADD COLUMN/sync on the table. Reads accept BOTH encodings (tables
+  // committed before r14 carry the legacy form forever).
+  private val ledgerMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def serializeRetired(retired: Map[String, Long]): String =
-    retired.toSeq.sortBy(_._1).map { case (n, i) => s"$n:$i" }.mkString(",")
+  def retiredNames(properties: Map[String, String]): Map[String, Long] =
+    properties.get(RetiredNamesKey).map { s =>
+      if (s.isEmpty) Map.empty[String, Long]
+      else if (s.startsWith("{")) {
+        import scala.jdk.CollectionConverters._
+        ledgerMapper.readValue(s, classOf[java.util.Map[String, Object]])
+          .asScala.map { case (n, v) =>
+            n -> v.asInstanceOf[java.lang.Number].longValue()
+          }.toMap
+      } else s.split(',').filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(':')
+        require(i > 0, s"unparseable retired-name ledger entry '$e'")
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  def serializeRetired(retired: Map[String, Long]): String = {
+    val node = ledgerMapper.createObjectNode()
+    retired.toSeq.sortBy(_._1).foreach { case (n, i) => node.put(n, i): Unit }
+    ledgerMapper.writeValueAsString(node)
+  }
 
   /** Assign fresh ids to `added` (only when the base schema is mapped).
     * Returns the stamped fields plus the new max id. */

@@ -117,6 +117,32 @@ object TypeWidening {
   /** Any recorded widening on this field (disables bloom pruning). */
   def hasChanges(f: StructField): Boolean = f.metadata.contains(ChangesKey)
 
+  /** The schema with every [[ChangesKey]] entry's `tableVersion` removed —
+    * schema comparison MODULO change versions. A mirror that followed a
+    * source widening records GRAFT's commit version while the source's
+    * own record (Delta's `delta.typeChanges`) carries the DELTA version,
+    * so comparing raw schemas misclassifies every later unchanged schema
+    * as an evolution (and the Delta sync then skips its heal tags on
+    * ranges that carry any metaData line at all). The from/to types and
+    * the change ORDER — everything stat/bloom honesty depends on — are
+    * preserved; only the version stamp (provenance, never consulted by
+    * [[statsExact]]/[[bloomValid]]) is ignored. */
+  def ignoringChangeVersions(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(ChangesKey)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray(ChangesKey,
+          f.metadata.getMetadataArray(ChangesKey).map { e =>
+            val mb = new MetadataBuilder()
+            if (e.contains("fromType"))
+              mb.putString("fromType", e.getString("fromType")): Unit
+            if (e.contains("toType"))
+              mb.putString("toType", e.getString("toType")): Unit
+            mb.build()
+          })
+        .build())
+    })
+
   /** Any recorded STAT-LOSSY widening (disables min/max pruning). */
   def hasLossyChange(f: StructField): Boolean =
     changeTypes(f).exists { case (from, to) => statLossy(from, to) }

@@ -177,13 +177,23 @@ object DeltaImport {
     // only). Each in-range metaData must be followable from the PREVIOUS
     // effective schema; the LAST one becomes the sync commit's schema.
     var effSchema: StructType = schema
+    // stat ERA per add (r13 verdict task 4): `era` bumps on every REAL
+    // in-range schema change, and each add records the era it was written
+    // under, so a range that carries a widening no longer skips heal tags
+    // on ALL its files — files written AFTER the change (the common
+    // cadence shape: widen at v, keep writing v+1..v+k) tag on arrival
+    // and answer exact bounds immediately. metaData is applied FIRST
+    // within each version regardless of line order: a commit's adds
+    // conform to its own metaData (the transaction that changed the
+    // schema wrote them), so their era is the post-change schema even if
+    // the writer serialized the add lines first.
+    var era = 0
     newer.foreach { v =>
       val lines = new String(store.readBytes(
         logDir.resolve(f"$v%020d.json")), StandardCharsets.UTF_8)
         .split("\n").filter(_.trim.nonEmpty)
-      lines.foreach { line =>
-        val n = mapper.readTree(line)
-        if (n.has("metaData")) {
+      val nodes = lines.map(mapper.readTree)
+      nodes.filter(_.has("metaData")).foreach { n =>
           val m = n.get("metaData")
           val incoming0 = DataType.fromJson(
             m.get("schemaString").asText()).asInstanceOf[StructType]
@@ -194,7 +204,16 @@ object DeltaImport {
           val incoming = translateTypeChanges(
             if (mapped && sourceMapped) translateMapping(incoming0)._1
             else incoming0)
-          if (incoming != effSchema) {
+          // compare MODULO typeChanges versions: a followed widening
+          // records graft's commit version on the mirror while the
+          // source's delta.typeChanges carries the Delta version, so an
+          // UNCHANGED schema in a later metaData line (even a pure
+          // property change) must not classify as an evolution — that
+          // misclassification skipped the heal tags on every range with
+          // any metaData, and stat/bloom trust healed slower than
+          // documented whenever the source emitted periodic metaData
+          if (graft.log.TypeWidening.ignoringChangeVersions(incoming) !=
+              graft.log.TypeWidening.ignoringChangeVersions(effSchema)) {
             // a binding-mode flip is never followable: a name-bound mirror
             // cannot see a mapped source's renames (new files' PHYSICAL
             // columns would silently read null), and a mapped mirror
@@ -204,6 +223,7 @@ object DeltaImport {
                 "mode differs between source and mirror — re-import")
             Evolution.requireFollowable(effSchema, incoming, mapped, "Delta")
             effSchema = incoming
+            era += 1
           }
           // a same-schema REPLACE that introduces partitioning would make
           // the new adds' values live only in the log — the import-time
@@ -218,7 +238,8 @@ object DeltaImport {
             .map(c => c.properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty))
-        }
+      }
+      nodes.foreach { n =>
         if (n.has("protocol")) {
           val p = n.get("protocol")
           val feats = Option(p.get("readerFeatures"))
@@ -237,7 +258,7 @@ object DeltaImport {
             Some(AddInfo(a.get("size").asLong(),
               a.get("modificationTime").asLong(),
               Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-              dvOf(a), Map.empty))): Unit
+              dvOf(a), Map.empty, era))): Unit
         }
         if (n.has("remove"))
           state.update(decodePath(n.get("remove").get("path").asText()), None): Unit
@@ -258,19 +279,30 @@ object DeltaImport {
     if (mapped && adds.nonEmpty)
       verifyFooterIds(root, adds.map(_._1), effSchema, effPhys)
     val now = System.currentTimeMillis()
-    // files synced in a range with NO in-range schema change were written
-    // by the source under the CURRENT types: tag them so stats/bloom
-    // trust heals on the mirror after a followed lossy widening or name
-    // reuse (a mixed-era range skips tagging — conservative)
-    val syncTags: Map[String, String] =
-      if (evolvedSync) Map.empty
-      else effSchema.fields
-        .filter(f => graft.log.TypeWidening.hasChanges(f) ||
-          graft.log.TypeWidening.nameReused(f))
-        .map(f => graft.log.TypeWidening.tagKey(f) ->
-          graft.log.TypeWidening.changeCount(f).toString).toMap
+    // stat-era heal tags (r13 verdict task 4 — replacing the conservative
+    // whole-range skip): each add resolved its ERA against the in-range
+    // schema changes, so files written AT OR AFTER the range's LAST change
+    // were written by the source under the FINAL types — they tag and
+    // answer exact bounds on arrival, even in a range that carries the
+    // widening itself. Pre-change adds stay untagged (conservative: their
+    // stats were collected under the old types). The tag schema is the
+    // MERGED mirror schema (it carries the name-reuse markers and graft's
+    // change history); SyncGuard refuses any concurrent local commit, so
+    // the entry-time merge matches the closure's.
+    val finalEra = era
+    val tagSchema: StructType =
+      if (!evolvedSync) effSchema
+      else Evolution.mergedSchema(schema, effSchema, mapped,
+        t.snapshot().metadata.properties, t.version + 1)._1
+    val syncTags: Map[String, String] = tagSchema.fields
+      .filter(f => graft.log.TypeWidening.hasChanges(f) ||
+        graft.log.TypeWidening.nameReused(f))
+      .map(f => graft.log.TypeWidening.tagKey(f) ->
+        graft.log.TypeWidening.changeCount(f).toString).toMap
+    val (lastEraAdds, priorEraAdds) = adds.partition(_._2.era == finalEra)
     val graftAdds: Seq[graft.log.Action] =
-      toAddFiles(spark, root, adds, effSchema, effPhys, syncTags)
+      toAddFiles(spark, root, lastEraAdds, effSchema, effPhys, syncTags) ++
+        toAddFiles(spark, root, priorEraAdds, effSchema, effPhys)
     // the FINAL disposition's live masks transcode into graft vectors
     // (written before the commit loop, like every dv parquet); a final
     // re-add WITHOUT a descriptor is a Delta-side purge — it must CLEAR
@@ -373,8 +405,12 @@ object DeltaImport {
       (translateTypeChanges(s0), phys)
     }
     // r13: schema evolution across the cleaned tail follows when
-    // [[Evolution]] allows it, exactly like the incremental path
-    val evolvedSync = incoming != schema
+    // [[Evolution]] allows it, exactly like the incremental path.
+    // Compared MODULO typeChanges versions (see [[sync]]): the mirror's
+    // followed-widening record carries graft's version, the source's the
+    // Delta version — same types, not an evolution.
+    val evolvedSync = graft.log.TypeWidening.ignoringChangeVersions(incoming) !=
+      graft.log.TypeWidening.ignoringChangeVersions(schema)
     if (evolvedSync) {
       require(mapped == sourceMapped,
         "the Delta source's schema changed across the cleaned tail AND " +
@@ -389,8 +425,21 @@ object DeltaImport {
     if (mapped && newEntries.nonEmpty)
       verifyFooterIds(root, newEntries.map(_._1), incoming, physicalOf)
     val now = System.currentTimeMillis()
+    // heal tags across the cleaned tail (r14): an unchanged schema means
+    // every new file was written under the CURRENT types (widenings are
+    // monotonic, so equal endpoint schemas imply no in-tail type change) —
+    // tag for stat/bloom heal like the incremental path; an evolved tail
+    // cannot resolve per-file eras from a checkpoint, so it stays
+    // conservatively untagged
+    val diffTags: Map[String, String] =
+      if (evolvedSync) Map.empty
+      else schema.fields
+        .filter(f => graft.log.TypeWidening.hasChanges(f) ||
+          graft.log.TypeWidening.nameReused(f))
+        .map(f => graft.log.TypeWidening.tagKey(f) ->
+          graft.log.TypeWidening.changeCount(f).toString).toMap
     val newAdds: Seq[graft.log.Action] =
-      toAddFiles(spark, root, newEntries, incoming, physicalOf)
+      toAddFiles(spark, root, newEntries, incoming, physicalOf, diffTags)
     // the FULL current mask state rebuilds (O(current masked positions) —
     // the price of the lost tail, paid once); vanished masks clear
     val dvActions = importDvActions(spark, root,
@@ -449,9 +498,13 @@ object DeltaImport {
     t.version
   }
 
-  /** One live add's replayed attributes. */
+  /** One live add's replayed attributes. `era` counts the REAL in-range
+    * schema changes seen before this add was (last) written — [[sync]]'s
+    * per-file stat-era resolution (adds at the final era tag for heal;
+    * earlier eras stay conservatively untagged). */
   private case class AddInfo(size: Long, mtime: Long, statsJson: Option[String],
-      dv: Option[DvDescriptor], partitionValues: Map[String, String])
+      dv: Option[DvDescriptor], partitionValues: Map[String, String],
+      era: Int = 0)
 
   /** The Delta table's replayed live state. */
   private case class ReplayedState(

@@ -136,7 +136,16 @@ private[migrate] object Evolution {
       val retired = ColumnIds.retiredNames(properties)
       val nowUsed = incoming.fields
         .map(f => f.name -> ColumnIds.idOf(f).get).toMap
-      val newRetired = (retired ++ renamedPairs)
+      // the ledger state INCLUDING names retired by THIS very evolution:
+      // the reuse marker below must consult it, not the pre-evolution
+      // `retired` alone — a single source commit that renames a column
+      // away AND reuses that name (a rename-swap, or a rename plus a
+      // same-name add in one metaData) would otherwise yield an UNMARKED
+      // column, and old files' stats keyed by the reused logical name
+      // would resolve for the new column (wrong exact min/max answers,
+      // unsound pruning — the exact bug class this ledger exists to stop)
+      val ledger = retired ++ renamedPairs
+      val newRetired = ledger
         .filter { case (n, i) => !nowUsed.get(n).contains(i) }
       val retireProp: Map[String, String] =
         if (newRetired == retired) Map.empty
@@ -151,7 +160,7 @@ private[migrate] object Evolution {
               of.copy(name = nf.name, nullable = of.nullable || nf.nullable))
           case None => nf
         }
-        retired.get(merged.name) match {
+        ledger.get(merged.name) match {
           case Some(origId) if origId != ColumnIds.idOf(nf).get =>
             graft.log.TypeWidening.markNameReused(merged, origId)
           case _ => merged

@@ -1036,6 +1036,76 @@ class DeltaImportSpec extends SparkSpec {
     }.getMessage should include("cut-over")
   }
 
+  test("a widen-carrying sync range tags files written AFTER the widen " +
+    "(per-file stat eras, r14); a later range whose only schema delta is " +
+    "the typeChanges version stamp is NOT an evolution") {
+    val dir = tmpDir("delta-sync-era").resolve("t")
+    val log = dir.resolve("_delta_log")
+    // the source's post-widen schema carries delta.typeChanges with the
+    // DELTA commit version — the mirror records GRAFT's version, so later
+    // syncs must compare modulo the version stamp (r13 ADVICE)
+    def vMeta(dt: DataType, changes: Boolean,
+        conf: Map[String, String] = Map.empty) = {
+      val md =
+        if (!changes) Metadata.empty
+        else new MetadataBuilder().putMetadataArray("delta.typeChanges",
+          Array(new MetadataBuilder().putString("fromType", "float")
+            .putString("toType", "double").putLong("tableVersion", 2L)
+            .build())).build()
+      json(Map("metaData" -> Map(
+        "id" -> "99999999-0000-1111-2222-333344445555",
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> StructType(Seq(
+          StructField("id", LongType),
+          StructField("v", dt, nullable = true, md))).json,
+        "partitionColumns" -> Nil,
+        "configuration" -> conf,
+        "createdTime" -> 1700000000000L)))
+    }
+    def vFile(name: String, lo: Long, hi: Long, wide: Boolean): Unit =
+      dataFile(dir, name, spark.range(lo, hi + 1).select(col("id"),
+        col("id").cast(if (wide) "double" else "float").as("v")))
+    def vAdd(name: String) = json(Map("add" -> Map(
+      "path" -> name, "partitionValues" -> Map.empty,
+      "size" -> Files.size(dir.resolve(name)),
+      "modificationTime" -> 1700000001000L, "dataChange" -> true)))
+    vFile("f0.parquet", 0, 4, wide = false)
+    writeCommit(log, 0, Seq(protoLine(),
+      vMeta(FloatType, changes = false), vAdd("f0.parquet")))
+    LakeTable.convert(spark, dir.toString)
+    // ONE sync range carrying the widening mid-range: f1 written BEFORE
+    // the widen (float era), f2 AFTER it (double era)
+    vFile("f1.parquet", 5, 9, wide = false)
+    vFile("f2.parquet", 10, 14, wide = true)
+    writeCommit(log, 1, Seq(vAdd("f1.parquet")))
+    writeCommit(log, 2, Seq(vMeta(DoubleType, changes = true),
+      vAdd("f2.parquet")))
+    DeltaImport.sync(spark, dir.toString)
+    val t = LakeTable.forPath(spark, dir.toString)
+    t.snapshot().schema("v").dataType shouldBe DoubleType
+    def tagOf(name: String) =
+      t.snapshot().files.find(_.path == name).get.tag("tc:v")
+    // the post-widen file heals ON ARRIVAL (the r13 behavior skipped tags
+    // for the whole range); the pre-widen file stays conservatively
+    // untagged — its float stats are not exact double bounds
+    tagOf("f2.parquet") shouldBe Some("1")
+    tagOf("f1.parquet") shouldBe None
+    tagOf("f0.parquet") shouldBe None
+    // a later range whose metaData repeats the SAME schema (the source's
+    // delta.typeChanges still stamped with Delta's version) plus a pure
+    // property change is NOT an evolution: its files tag on arrival
+    vFile("f3.parquet", 15, 19, wide = true)
+    writeCommit(log, 3, Seq(vMeta(DoubleType, changes = true,
+      conf = Map("delta.logRetentionDuration" -> "interval 60 days")),
+      vAdd("f3.parquet")))
+    DeltaImport.sync(spark, dir.toString)
+    val t2 = LakeTable.forPath(spark, dir.toString)
+    t2.snapshot().files.find(_.path == "f3.parquet").get
+      .tag("tc:v") shouldBe Some("1")
+    // values read correctly across both eras
+    t2.read().agg(sum("v")).head().getDouble(0) shouldBe (0L to 19L).sum.toDouble
+  }
+
   test("name-bound sync follows an ADDED nullable column; a rename " +
     "(indistinguishable from a drop) refuses (r13)") {
     val dir = tmpDir("delta-sync-evolve-name").resolve("t")

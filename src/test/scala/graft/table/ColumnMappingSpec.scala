@@ -88,6 +88,35 @@ class ColumnMappingSpec extends SparkSpec {
     }.getMessage should include("renamed away")
   }
 
+  test("the retired-name ledger survives names carrying its old " +
+    "delimiters (comma/colon/braces) — and still reads the legacy form") {
+    // a column-mapped source may legally name columns with commas or
+    // colons; the pre-r14 ','-joined 'name:id' ledger encoding corrupted
+    // on them (StringIndexOutOfBounds on the next parse), permanently
+    // wedging renames/drops/ADD COLUMN/sync on the table
+    val weird = Map("a,b" -> 1L, "c:d:e" -> 2L, "{\"x\":1}" -> 3L, "plain" -> 4L)
+    graft.log.ColumnIds.retiredNames(Map(
+      graft.log.ColumnIds.RetiredNamesKey ->
+        graft.log.ColumnIds.serializeRetired(weird))) shouldBe weird
+    // legacy comma-format ledgers (committed before r14) still parse
+    graft.log.ColumnIds.retiredNames(Map(
+      graft.log.ColumnIds.RetiredNamesKey -> "amount:3,total:7")) shouldBe
+      Map("amount" -> 3L, "total" -> 7L)
+    // end-to-end: rename a comma-bearing column away, reuse the name, and
+    // the marker + ledger machinery keep working
+    val t = LakeTable.createFrom(spark,
+      tmpDir("cm-weird-name").resolve("t").toString,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "a,b"))
+    t.renameColumn("a,b", "ab")
+    t.addColumns(Seq(StructField("a,b", DoubleType)))
+    graft.log.TypeWidening.nameReused(
+      t.schema.fields.find(_.name == "a,b").get) shouldBe true
+    t.statsMinMax("a,b") shouldBe None // old 'a,b'-keyed stats are ab's bytes
+    t.renameColumn("ab", "plain") // the ledger keeps accepting updates
+    graft.log.ColumnIds.retiredNames(t.properties)
+      .keySet should contain allOf ("a,b", "ab")
+  }
+
   test("rename of a partition column keeps pruning working for new writes") {
     val t = LakeTable.create(spark, tmpDir("cm-part").resolve("t").toString,
       StructType(Seq(StructField("id", LongType), StructField("cat", StringType))),

@@ -95,4 +95,21 @@ class BenchRemeasureSpec extends AnyFunSuite with Matchers {
       loadAtStart = 30.0, ncpu = 32, topN = 5)
     flagged.head shouldBe "q64_perplexity"
   }
+
+  test("the remeasure artifact carries the load recorded at each entry's " +
+    "own measurement time (r13 task 7: self-adjudicating remeasures)") {
+    def jnum(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // q79 remeasured at 13.2 s while the host load was 13.75: with the
+    // per-entry load in the artifact, this reading adjudicates itself as
+    // contention instead of demanding a next-round pin
+    val field = graft.Bench.remeasuredDetailField(
+      Seq(("q79_stream_dedup_ingest", 13.2, 13.75), ("q28_nd", 2.7, 1.2)),
+      jnum)
+    field should include(""""remeasured":{"q79_stream_dedup_ingest":13.2000""")
+    field should include(
+      """"remeasured_load":{"q79_stream_dedup_ingest":13.7500,"q28_nd":1.2000}""")
+    // nothing flagged -> no fields at all (the JSON stays minimal)
+    graft.Bench.remeasuredDetailField(Nil, jnum) shouldBe ""
+  }
 }
