@@ -154,6 +154,8 @@ object SparkEntry {
     "q116_iceberg_sync" -> (MetaOps.icebergSync _),
     "q117_iceberg_rewrite" -> (MetaOps.icebergRewriteDays _),
     "q118_iceberg_eqdelete" -> (MetaOps.icebergEqualityDelete _),
+    "q119_iceberg_rewrite_sync" -> (MetaOps.icebergRewriteSync _),
+    "q120_delta_rewrite_sync" -> (MetaOps.deltaRewriteSync _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

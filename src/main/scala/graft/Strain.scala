@@ -245,6 +245,165 @@ object Strain {
       f"checkpoint_diff_sync_sec=$cpDiffSec%.2f adds=$mfiles " +
       f"churn=${2 * (mfiles / 10)}")
     graft.log.TxLog.deleteRecursively(cpRoot.getParent)
+
+    // ---- equality-delete import strain (r14): the Flink-CDC shape — a
+    // THOUSAND equality-delete files against a handful of data files.
+    // Delete files resolve in ONE parallel footer pass, group by key set,
+    // and each group reads in ONE multi-path scan; the sequence and scope
+    // ride the delete rows as data, so the whole key set applies as ONE
+    // anti-join. Per-file plan legs (1k-leg union) or a sequential
+    // driver footer loop would blow this leg up by orders of magnitude.
+    {
+      val eqRoot = Files.createTempDirectory("strain-eqdel").resolve("t")
+      val eqMeta = eqRoot.resolve("metadata")
+      Files.createDirectories(eqMeta)
+      val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+      jm.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      def j(v: Any) = jm.writeValueAsString(v)
+      def fidMeta(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      def oneParquet(df: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+        val staging = Files.createTempDirectory("strain-eqdel-stage")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("out").toString)
+        val s = Files.list(staging.resolve("out"))
+        val part =
+          try { import scala.jdk.CollectionConverters._
+            s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get }
+          finally s.close()
+        val target = staging.resolve("one.parquet")
+        Files.move(part, target)
+        target
+      }
+      val rowsPerFile = 50000L
+      val dataSrc = oneParquet(spark.range(rowsPerFile)
+        .select(col("id").as("id", fidMeta(1))))
+      val nData = 4
+      (0 until nData).foreach(i =>
+        Files.createLink(eqRoot.resolve(s"f$i.parquet"), dataSrc))
+      // every delete file lists the id % 17 == 0 keys (hardlinked — the
+      // cost under measurement is per-FILE footer/plan handling)
+      val delSrc = oneParquet(spark.range(rowsPerFile)
+        .filter(col("id") % 17 === 0).select(col("id").as("id", fidMeta(1))))
+      val nDel = sys.env.getOrElse("STRAIN_EQDEL_FILES", "1000").toInt
+      (0 until nDel).foreach(i =>
+        Files.createLink(eqMeta.resolve(s"eq$i.parquet"), delSrc))
+      val avroEntry = new org.apache.avro.Schema.Parser().parse("""{
+        "type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"sequence_number","type":["null","long"],"default":null},
+          {"name":"data_file","type":{
+            "type":"record","name":"r2","fields":[
+              {"name":"content","type":"int"},
+              {"name":"file_path","type":"string"},
+              {"name":"file_format","type":"string"},
+              {"name":"partition","type":{
+                "type":"record","name":"r102","fields":[]}},
+              {"name":"record_count","type":"long"},
+              {"name":"file_size_in_bytes","type":"long"},
+              {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
+      val avroList = new org.apache.avro.Schema.Parser().parse("""{
+        "type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"manifest_length","type":"long"},
+          {"name":"partition_spec_id","type":"int"},
+          {"name":"content","type":"int"},
+          {"name":"sequence_number","type":"long"},
+          {"name":"min_sequence_number","type":"long"},
+          {"name":"added_snapshot_id","type":"long"}]}""")
+      def mkEntry(content: Int, p: java.nio.file.Path, count: Long,
+          eqIds: Seq[Int], eseq: Long): org.apache.avro.generic.GenericRecord = {
+        import scala.jdk.CollectionConverters._
+        val dfs = avroEntry.getField("data_file").schema()
+        val d = new org.apache.avro.generic.GenericData.Record(dfs)
+        d.put("content", content)
+        d.put("file_path", p.toString)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new org.apache.avro.generic.GenericData.Record(
+          dfs.getField("partition").schema()))
+        d.put("record_count", count)
+        d.put("file_size_in_bytes", Files.size(p))
+        if (eqIds.nonEmpty)
+          d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+        val e = new org.apache.avro.generic.GenericData.Record(avroEntry)
+        e.put("status", 1)
+        e.put("sequence_number", java.lang.Long.valueOf(eseq))
+        e.put("data_file", d)
+        e
+      }
+      def writeAvroFile(target: java.nio.file.Path,
+          rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter[
+          org.apache.avro.generic.GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](avroEntry))
+        w.create(avroEntry, target.toFile)
+        try rows.foreach(r => w.append(r): Unit) finally w.close()
+      }
+      val mData = eqMeta.resolve("m-data.avro")
+      writeAvroFile(mData, (0 until nData).map(i =>
+        mkEntry(0, eqRoot.resolve(s"f$i.parquet"), rowsPerFile, Nil, 1L)))
+      val mDel = eqMeta.resolve("m-del.avro")
+      writeAvroFile(mDel, (0 until nDel).map(i =>
+        mkEntry(2, eqMeta.resolve(s"eq$i.parquet"), 1L, Seq(1),
+          2L + i % 5)))
+      val listPath = eqMeta.resolve("snap-1.avro")
+      def listRow(p: java.nio.file.Path, content: Int, seq: Long,
+          minSeq: Long) = {
+        val r = new org.apache.avro.generic.GenericData.Record(avroList)
+        r.put("manifest_path", p.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", 1001L)
+        r
+      }
+      val lw = new org.apache.avro.file.DataFileWriter[
+        org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avroList))
+      lw.create(avroList, listPath.toFile)
+      try { lw.append(listRow(mData, 0, 1L, 1L)): Unit
+        lw.append(listRow(mDel, 1, 6L, 2L)): Unit } finally lw.close()
+      Files.write(eqMeta.resolve("v1.metadata.json"), j(Map(
+        "format-version" -> 2, "table-uuid" -> "strain-eqdel-0000",
+        "location" -> eqRoot.toString,
+        "last-sequence-number" -> 6, "last-updated-ms" -> 1700000000000L,
+        "last-column-id" -> 1, "current-schema-id" -> 0,
+        "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+          "fields" -> Seq(Map("id" -> 1, "name" -> "id",
+            "required" -> false, "type" -> "long")))),
+        "default-spec-id" -> 0,
+        "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+        "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+        "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+        "properties" -> Map.empty, "current-snapshot-id" -> 1001,
+        "snapshots" -> Seq(Map(
+          "snapshot-id" -> 1001, "timestamp-ms" -> 1700000000000L,
+          "sequence-number" -> 6, "schema-id" -> 0,
+          "summary" -> Map.empty, "manifest-list" -> listPath.toString)),
+        "snapshot-log" -> Nil, "metadata-log" -> Nil))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(eqMeta.resolve("version-hint.text"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val eqDest = Files.createTempDirectory("strain-eqdel-dest")
+        .resolve("t").toString
+      val (eqT, eqSec) = timed(s"iceberg rewrite ($nDel eq-delete files)")(
+        graft.migrate.IcebergImport.convertRewrite(
+          spark, eqRoot.toString, eqDest))
+      val deletedKeys = (rowsPerFile + 16) / 17
+      val expect = nData * (rowsPerFile - deletedKeys)
+      val gotRows = eqT.read().count()
+      require(gotRows == expect,
+        s"eq-delete strain returned $gotRows rows, expected $expect")
+      println(f"[strain] eqdelete_import_sec=$eqSec%.2f " +
+        f"delete_files=$nDel data_rows=${nData * rowsPerFile}")
+      graft.log.TxLog.deleteRecursively(eqRoot.getParent)
+      graft.log.TxLog.deleteRecursively(
+        java.nio.file.Paths.get(eqDest).getParent)
+    }
     spark.stop()
     graft.log.TxLog.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
   }

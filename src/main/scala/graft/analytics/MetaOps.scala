@@ -520,18 +520,18 @@ object MetaOps {
       writeAvro(p, entrySchema, entries)
       p
     }
-    /** Publish v1.metadata.json whose snapshot lists `manifests` as
-      * (path, content, sequence, partition-spec id) — one foreign table,
-      * one snapshot. Spec 0 is the partitioned layout spec; spec 1 is the
+    /** Publish metadata version `version` whose snapshot lists `manifests`
+      * as (path, content, sequence, partition-spec id) — one foreign
+      * writer commit. Spec 0 is the partitioned layout spec; spec 1 is the
       * UNPARTITIONED spec (the shape a global equality delete rides). */
     def publish(dir: java.nio.file.Path,
         fields: Seq[(Int, String, String)], // (id, name, iceberg type)
         specField: (String, String, Int), // (name, transform, source-id)
         manifests: Seq[(java.nio.file.Path, Int, Long, Int)],
-        lastSeq: Long): Unit = {
+        lastSeq: Long, version: Long = 1L): Unit = {
       val metaDir = dir.resolve("metadata")
       Files.createDirectories(metaDir)
-      val listPath = metaDir.resolve("snap-42.avro")
+      val listPath = metaDir.resolve(s"snap-${41 + version}.avro")
       writeAvro(listPath, listSchema, manifests.map {
         case (p, content, seq, specId) =>
           val r = new GenericData.Record(listSchema)
@@ -541,10 +541,10 @@ object MetaOps {
           r.put("content", content)
           r.put("sequence_number", seq)
           r.put("min_sequence_number", seq)
-          r.put("added_snapshot_id", 42L)
+          r.put("added_snapshot_id", 41L + version)
           r
       })
-      Files.write(metaDir.resolve("v1.metadata.json"), j(Map(
+      Files.write(metaDir.resolve(s"v$version.metadata.json"), j(Map(
         "format-version" -> 2,
         "table-uuid" -> java.util.UUID.randomUUID().toString,
         "location" -> dir.toString,
@@ -564,16 +564,16 @@ object MetaOps {
         "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
         "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
         "properties" -> Map.empty,
-        "current-snapshot-id" -> 42,
+        "current-snapshot-id" -> (41 + version),
         "snapshots" -> Seq(Map(
-          "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+          "snapshot-id" -> (41 + version), "timestamp-ms" -> 1700000000000L,
           "sequence-number" -> lastSeq, "schema-id" -> 0,
           "summary" -> Map("operation" -> "overwrite"),
           "manifest-list" -> listPath.toString)),
         "snapshot-log" -> Nil, "metadata-log" -> Nil))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.write(metaDir.resolve("version-hint.text"),
-        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     /** Orders columns as (id, name, iceberg type), ids 1..6. The testdata
       * o_orderdate is naive micros (reads as NTZ) — Iceberg `timestamp`,
@@ -666,6 +666,64 @@ object MetaOps {
       .read().drop("ck_bucket")
   }
 
+  /** Iceberg rewrite-SYNC gate (q119): the convert-once/sync-on-a-cadence
+    * story for exactly the layouts the in-place sync refuses. A foreign
+    * `days(o_orderdate)` table (two even-key files) rewrite-imports with
+    * `follow = true` — every row carrying source-file lineage — then the
+    * foreign writer advances: one imported file vanishes (copy-on-write
+    * delete), an equality delete at sequence 2 drops the `%5 = 0` keys,
+    * and the odd slice appends at sequence 3. [[IcebergImport.syncRewrite]]
+    * catches up: the vanished file's rows leave by lineage, the delete
+    * hits only already-imported data (sequence 1 < 2 — the appended odd
+    * slice at 3 keeps its `%5` keys), and the new file rewrite-appends
+    * with the generated day keys recomputed. A second sync replays as a
+    * no-op inside the gate. Lineage and the generated column drop from
+    * the result so the oracle compares pure data. */
+  def icebergRewriteSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture.writeOne
+    import IcebergForeign._
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", date_trunc("month", col("o_orderdate")))
+    val dir = Files.createTempDirectory("graft-iceberg-rwsync").resolve("t")
+    Files.createDirectories(dir)
+    val evenA = orders.filter(col("o_orderkey") % 4 === 0)
+    val evenB = orders.filter(col("o_orderkey") % 4 === 2)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    writeOne(dir, withIds(evenA), "f-even-a.parquet")
+    writeOne(dir, withIds(evenB), "f-even-b.parquet")
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mA = manifest(metaDir, "m-even-a.avro",
+      Seq(entry(0, dir.resolve("f-even-a.parquet"), evenA.count())))
+    val mB = manifest(metaDir, "m-even-b.avro",
+      Seq(entry(0, dir.resolve("f-even-b.parquet"), evenB.count())))
+    publish(dir, ordersFields, ("od_day", "days", 5),
+      Seq((mA, 0, 1L, 0), (mB, 0, 1L, 0)), lastSeq = 1L)
+    val dest = Files.createTempDirectory("graft-iceberg-rwsync-dest")
+      .resolve("t").toString
+    graft.migrate.IcebergImport.convertRewrite(spark, dir.toString, dest,
+      follow = true)
+    // the foreign writer advances: f-even-b vanishes, the %5 equality
+    // delete lands at seq 2 (unpartitioned spec — table-wide), the odd
+    // slice appends at seq 3
+    writeOne(dir, withIds(odd), "f-odd.parquet")
+    val delKeys = orders.filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey")
+    writeOne(metaDir, withIds(delKeys), "del-eq.parquet")
+    val mOdd = manifest(metaDir, "m-odd.avro",
+      Seq(entry(0, dir.resolve("f-odd.parquet"), odd.count())))
+    val mEq = manifest(metaDir, "m-eq.avro",
+      Seq(entry(2, metaDir.resolve("del-eq.parquet"), delKeys.count(),
+        eqIds = Seq(1))))
+    publish(dir, ordersFields, ("od_day", "days", 5),
+      Seq((mA, 0, 1L, 0), (mEq, 1, 2L, 1), (mOdd, 0, 3L, 0)),
+      lastSeq = 3L, version = 2L)
+    graft.migrate.IcebergImport.syncRewrite(spark, dir.toString, dest)
+    graft.migrate.IcebergImport.syncRewrite(spark, dir.toString, dest) // no-op
+    LakeTable.forPath(spark, dest).read()
+      .drop("od_day", "_src_file", "_src_pos")
+  }
+
   /** Delta continuous-migration gate (q111): import at Delta v1, then the
     * source keeps writing (v2 swaps a slice), and [[DeltaImport.sync]]
     * catches up as one net graft commit — convert once, sync on a cadence,
@@ -717,6 +775,55 @@ object MetaOps {
     val dest = Files.createTempDirectory("graft-delta-rewrite-dest")
       .resolve("t").toString
     graft.migrate.DeltaImport.convertRewrite(spark, src.toString, dest).read()
+  }
+
+  /** Partitioned-Delta rewrite-SYNC gate (q120): the convert/sync/cut-over
+    * story for the partitioned Delta sources the in-place sync refuses.
+    * A status-partitioned source rewrite-imports with `follow = true`
+    * (row lineage; partition values re-injected from the log), then the
+    * source advances: the F partition's file is removed, a P file is
+    * added, and a Delta DELETE re-adds the O file with a deletion vector
+    * masking its `%11 = 0` keys. [[DeltaImport.syncRewrite]] catches up —
+    * removed rows leave by lineage, the DV-changed file re-imports under
+    * its current vector — and a second sync replays as a no-op. Lineage
+    * drops from the result so the oracle compares pure data. */
+  def deltaRewriteSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    val orders = Tables.orders(spark, sfDir)
+    val src = Files.createTempDirectory("graft-delta-rwsync").resolve("src")
+    Files.createDirectories(src)
+    def writeStatus(name: String, status: String): Unit = writeOne(src,
+      orders.filter(col("o_orderstatus") === status).drop("o_orderstatus"), name)
+    writeStatus("fO.parquet", "O")
+    writeStatus("fF.parquet", "F")
+    commit(src, 0, Seq(protocolDv,
+      metaData("0a1b2c3d-0000-1111-2222-333344449999", orders.schema.json,
+        pcols = Seq("o_orderstatus")),
+      add(src, "fO.parquet", Map("o_orderstatus" -> "O")),
+      add(src, "fF.parquet", Map("o_orderstatus" -> "F"))))
+    val dest = Files.createTempDirectory("graft-delta-rwsync-dest")
+      .resolve("t").toString
+    graft.migrate.DeltaImport.convertRewrite(spark, src.toString, dest,
+      follow = true)
+    // the source advances: F's file removed, P added, and a Delta DELETE
+    // re-adds fO with a vector masking the %11 keys (positions resolved
+    // against the file's physical row order)
+    writeStatus("fP.parquet", "P")
+    val maskPos = spark.read.parquet(src.resolve("fO.parquet").toString)
+      .withColumn("__idx", col("_metadata.row_index"))
+      .filter(col("o_orderkey") % 11 === 0)
+      .select("__idx").collect().map(_.getLong(0)).toSeq
+    val dvData = graft.migrate.DeltaDv.serializeArray(maskPos)
+    commit(src, 1, Seq(
+      add(src, "fP.parquet", Map("o_orderstatus" -> "P")),
+      remove("fF.parquet"),
+      add(src, "fO.parquet", Map("o_orderstatus" -> "O"), dv = Map(
+        "storageType" -> "i",
+        "pathOrInlineDv" -> graft.migrate.DeltaDv.packInline(dvData),
+        "sizeInBytes" -> dvData.length, "cardinality" -> maskPos.size))))
+    graft.migrate.DeltaImport.syncRewrite(spark, src.toString, dest)
+    graft.migrate.DeltaImport.syncRewrite(spark, src.toString, dest) // no-op
+    LakeTable.forPath(spark, dest).read().drop("_src_file", "_src_pos")
   }
 
   /** COPY INTO idempotence: two incremental loads plus a full re-run
@@ -1003,6 +1110,23 @@ object MetaOps {
     "q118_iceberg_eqdelete" ->
       """SELECT * FROM orders
          WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 7 = 0)""",
+    // after the rewrite-sync: the %4=0 file keeps its non-%5 keys (the
+    // seq-2 delete hits imported seq-1 data), the %4=2 file's rows left
+    // with it, and the seq-3 odd slice arrived intact (%5 keys included —
+    // strictly-smaller sequence rule)
+    "q119_iceberg_rewrite_sync" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         DATE_TRUNC('month', o_orderdate) AS o_orderdate, o_orderpriority
+         FROM orders
+         WHERE (o_orderkey % 4 = 0 AND o_orderkey % 5 <> 0)
+            OR o_orderkey % 2 = 1""",
+    // after the rewrite-sync: O keeps its non-%11 keys (the DV re-add
+    // re-imported the file under its current vector), F's rows left with
+    // its file, P arrived whole
+    "q120_delta_rewrite_sync" ->
+      """SELECT * FROM orders
+         WHERE (o_orderstatus = 'O' AND o_orderkey % 11 <> 0)
+            OR o_orderstatus = 'P'""",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

@@ -82,6 +82,11 @@ object DeltaImport {
     * has consumed. */
   val SourceVersionKey = "graft.delta.sourceVersion"
 
+  /** Followable-rewrite destination properties ([[convertRewrite]] with
+    * `follow = true`; see [[Rewrite]]). */
+  val RewriteFollowKey = "graft.delta.rewriteFollow"
+  val RewriteSourceKey = "graft.delta.rewriteSource"
+
   /** The Delta log reads ride the engine's [[graft.log.LogStore]] seam
     * (swap [[graft.log.LogStore.default]] to route ALL import IO through
     * an object store); data parquet, checkpoint parquet, and DV sidecars
@@ -114,6 +119,12 @@ object DeltaImport {
     val t = LakeTable.forPath(spark, dir)
     val root = Paths.get(dir)
     val logDir = root.resolve("_delta_log")
+    // a rewrite destination also carries the consumed-version key but is
+    // NOT an in-place mirror (its source lives elsewhere) — without this
+    // gate the failure would be a confusing missing-_delta_log error
+    require(!t.properties.get(RewriteFollowKey).contains("true"),
+      s"$dir is a followable REWRITE destination — sync it with " +
+        "DeltaImport.syncRewrite(spark, sourceDir, destDir)")
     val from = t.properties.get(SourceVersionKey).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"$dir was not imported from Delta (no $SourceVersionKey property)"))
@@ -607,8 +618,24 @@ object DeltaImport {
     * the schema's declared types, and the result writes as a native graft
     * table partitioned by the same columns. O(data) once — the migration
     * rewrite the in-place refusal points at. The same honesty gates apply
-    * (DVs, column mapping, reader features). */
-  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable = {
+    * (DVs, column mapping, reader features).
+    *
+    * With `follow = true` the destination is built to be SYNCABLE by
+    * [[syncRewrite]] — the convert/sync/cut-over story for partitioned
+    * Delta sources: every rewritten row carries its source-file LINEAGE
+    * ([[Rewrite.SrcFileCol]]: the log-relative data file;
+    * [[Rewrite.SrcPosCol]]: the row's PHYSICAL position in it, before any
+    * deletion-vector filtering — DV growth deletes by it later), the
+    * consumed source version records in the table properties, and a
+    * live-set ledger snapshot (path -> DV signature) writes under the
+    * destination. The storage cost (a dictionary-encoded path plus a
+    * delta-encoded long per row) is the price of followability; a
+    * one-shot migration should keep the default `follow = false`. */
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable =
+    convertRewrite(spark, srcDir, destDir, follow = false)
+
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String,
+      follow: Boolean): LakeTable = {
     // absolutized + normalized: the join key below must match the path
     // strings Spark reports for the planned files, and a relative or
     // non-normalized srcDir would build keys NOTHING matches
@@ -619,6 +646,158 @@ object DeltaImport {
     // gate) and this rewrite is their only remedy — the partition-tuple
     // join simply stands down
     gate(srcDir, st)
+    val lay = rewriteLayoutOf(st)
+    val lineageFields =
+      if (!follow) Nil
+      else {
+        Seq(Rewrite.SrcFileCol, Rewrite.SrcPosCol).foreach { n =>
+          require(!lay.destSchema.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"source column '$n' collides with the lineage column a " +
+              "followable rewrite adds — import with follow = false, or " +
+              "rename the source column")
+        }
+        Seq(StructField(Rewrite.SrcFileCol, StringType),
+          StructField(Rewrite.SrcPosCol, LongType))
+      }
+    val followProps: Map[String, String] =
+      if (!follow) Map.empty
+      else Map(RewriteFollowKey -> "true",
+        RewriteSourceKey -> root.toString,
+        SourceVersionKey -> st.sourceVersion.toString)
+    // a fully deleted (or never-written) partitioned source imports as an
+    // empty partitioned graft table — schema and layout are fully known
+    if (st.adds.isEmpty) {
+      if (follow)
+        writeRwLedger(Paths.get(destDir).toAbsolutePath.normalize, st)
+      return LakeTable.create(spark, destDir,
+        StructType(lay.destSchema.fields ++ lineageFields),
+        partitionColumns = lay.pcols, properties = lay.props ++ followProps,
+        ifNotExists = false)
+    }
+    val typed = rewriteRows(spark, root, st, st.adds.toSeq, lay, follow)
+    // createFrom/create use ifNotExists = false: a retried migration fails
+    // LOUDLY on the existing destination instead of silently appending
+    // the whole dataset a second time
+    if (!follow)
+      return LakeTable.createFrom(spark, destDir, typed,
+        partitionColumns = lay.pcols, properties = lay.props)
+    // the ledger snapshot writes BEFORE the data commit: a crash in
+    // between leaves a stray ledger file (harmless — reads key on the
+    // CONSUMED property) but never a synced table without its ledger
+    writeRwLedger(Paths.get(destDir).toAbsolutePath.normalize, st)
+    val dest = LakeTable.create(spark, destDir,
+      StructType(lay.destSchema.fields ++ lineageFields),
+      partitionColumns = lay.pcols, properties = lay.props ++ followProps,
+      ifNotExists = false)
+    dest.appendWithProps(typed, _ => Map.empty,
+      Some(Rewrite.AppendAppId), Some(st.sourceVersion)): Unit
+    dest
+  }
+
+  /** Incremental catch-up for a FOLLOWABLE rewrite destination
+    * ([[convertRewrite]] with `follow = true`) — the continuous-migration
+    * shape for the partitioned Delta sources the in-place [[sync]]
+    * refuses:
+    *
+    *  1. source files REMOVED since the last sync become a lineage-keyed
+    *     merge-DELETE (file stats on the lineage column prune the touched
+    *     destination files);
+    *  2. files whose DELETION VECTOR changed leave the same way and
+    *     rewrite-append under the CURRENT vector — remove + re-add is the
+    *     universally correct shape: it needs no old bitmap (covers DV
+    *     growth, a RESTORE that shrank one, and a vacuumed-away sidecar)
+    *     at O(changed file) cost instead of O(delta-mask);
+    *  3. NEW files rewrite-append with their log partition tuples
+    *     re-injected, advancing the consumed version in the SAME commit.
+    *
+    * Schema, partition-layout, and configuration evolutions stay CUT-OVER
+    * refusals for a rewrite destination (unlike the in-place sync, which
+    * follows some): its layout was derived from the import-time metadata.
+    * Every step is idempotent (transaction-ledger keyed by the target
+    * version; the ledger snapshot is name-keyed by it), so a crash
+    * anywhere replays to the same state and a repeated sync no-ops.
+    * Unlike the in-place sync (one net commit), a catch-up is up to two
+    * destination commits; a reader between them can observe the
+    * mid-sync state — time-travel to the pre-sync version if the read
+    * must straddle a sync. Returns the destination's version. */
+  def syncRewrite(spark: SparkSession, srcDir: String, destDir: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val dest = LakeTable.forPath(spark, destDir)
+    val root = Paths.get(srcDir).toAbsolutePath.normalize
+    val destRoot = Paths.get(destDir).toAbsolutePath.normalize
+    val props0 = dest.properties
+    require(props0.get(RewriteFollowKey).contains("true"),
+      s"$destDir was not rewrite-imported with follow = true — a one-shot " +
+        "rewrite destination carries no source lineage to sync by; " +
+        "re-import with convertRewrite(spark, src, dest, follow = true)")
+    require(props0.get(RewriteSourceKey).contains(root.toString),
+      s"$destDir mirrors ${props0.getOrElse(RewriteSourceKey, "<unset>")}, " +
+        s"not $srcDir")
+    val consumed = props0(SourceVersionKey).toLong
+    Rewrite.requireNotDiverged(dest, destDir)
+    val st = replay(spark, root)
+    if (st.sourceVersion <= consumed) return dest.version
+    gate(srcDir, st)
+    val lay = rewriteLayoutOf(st)
+    require(lay.pcols == dest.snapshot().metadata.partitionColumns,
+      s"the Delta source's partition columns changed " +
+        s"(${lay.pcols.mkString(", ")}) — a rewrite destination cannot " +
+        "follow a re-layout; re-import")
+    val destDataTypes = dest.snapshot().schema.fields
+      .filterNot(f => f.name == Rewrite.SrcFileCol ||
+        f.name == Rewrite.SrcPosCol)
+      .map(f => (f.name, f.dataType)).toSeq
+    require(destDataTypes == lay.destSchema.fields
+        .map(f => (f.name, f.dataType)).toSeq,
+      s"the Delta source's schema changed — this evolution is a " +
+        "cut-over moment for a rewrite destination; re-import")
+    val prev = readRwLedger(destRoot, consumed).getOrElse(
+      throw new IllegalStateException(
+        s"$destDir carries no ledger snapshot for consumed version " +
+          s"$consumed under ${destRoot.resolve(Rewrite.LedgerDir)} — the " +
+          "followable-rewrite state is damaged; re-import"))
+    val curSig: Map[String, String] = st.adds.view
+      .mapValues(i => dvSignature(i.dv)).toMap
+    val removed = prev.keysIterator.filterNot(curSig.contains).toSeq.sorted
+    val dvChanged = curSig.collect {
+      case (p, s) if prev.get(p).exists(_ != s) => p }.toSeq.sorted
+    val newPaths = curSig.keysIterator.filterNot(prev.contains).toSeq.sorted
+    // ledger snapshot for the NEW consumed point, before any mutation
+    writeRwLedger(destRoot, st)
+    // 1. removed files and DV-changed files (re-appended below) leave by
+    // lineage
+    val gone = removed ++ dvChanged
+    if (gone.nonEmpty) {
+      import spark.implicits._
+      dest.merge(gone.toDF("rm_file"),
+        expr(s"target.`${Rewrite.SrcFileCol}` = source.rm_file"))
+        .whenMatchedDelete()
+        .withTxn(Rewrite.RemoveAppId, st.sourceVersion)
+        .execute(): Unit
+    }
+    // 2. new + DV-changed files rewrite-append + consumed state, one commit
+    val back = dvChanged ++ newPaths
+    val advance = Map(SourceVersionKey -> st.sourceVersion.toString)
+    if (back.nonEmpty) {
+      val subset = back.map(p => p -> st.adds(p))
+      val typed = rewriteRows(spark, root, st, subset, lay, follow = true)
+      dest.appendWithProps(typed, _ => advance,
+        Some(Rewrite.AppendAppId), Some(st.sourceVersion)): Unit
+    } else dest.setProperties(advance): Unit
+    pruneRwLedgers(destRoot, consumed)
+    dest.version
+  }
+
+  /** The rewrite destination's layout derived from the source metadata. */
+  private case class DeltaRewriteLayout(
+      physicalOf: Map[String, String], pcols: Seq[String],
+      props: Map[String, String], destSchema: StructType) {
+    def physName(logical: String): String = physicalOf.getOrElse(logical, logical)
+    def dataFields: Seq[StructField] = destSchema.fields.toSeq.filterNot(f =>
+      pcols.exists(_.equalsIgnoreCase(f.name)))
+  }
+
+  private def rewriteLayoutOf(st: ReplayedState): DeltaRewriteLayout = {
     // column-mapped sources rewrite fine: the scan resolves the files'
     // PHYSICAL column names (no field ids required — this is the remedy
     // for id-less name-mode files) and the projection restores logical
@@ -630,8 +809,6 @@ object DeltaImport {
           Map.empty[String, String])
       else translateMapping(
         DataType.fromJson(st.schemaString).asInstanceOf[StructType])
-    def physName(logical: String) = physicalOf.getOrElse(logical, logical)
-    val pcols = st.partitionColumns
     // the rewrite destination is NOT mapped to the source: drop the
     // source's mapping config and schema metadata (fresh ids stamp at
     // creation)
@@ -645,33 +822,41 @@ object DeltaImport {
         .withMetadata(f.metadata).remove(MappingPhysKey)
         .remove(DeltaChangesKey).build())
     }))
-    // a fully deleted (or never-written) partitioned source imports as an
-    // empty partitioned graft table — schema and layout are fully known
-    if (st.adds.isEmpty)
-      return LakeTable.create(spark, destDir, destSchema,
-        partitionColumns = pcols, properties = props, ifNotExists = false)
-    val dataFields = destSchema.fields.filterNot(f =>
-      pcols.exists(_.equalsIgnoreCase(f.name)))
-    val livePaths = st.adds.keysIterator
-      .map(p => root.resolve(p).toString).toSeq
-    import org.apache.spark.sql.functions.{col, broadcast}
+    DeltaRewriteLayout(physicalOf, st.partitionColumns, props, destSchema)
+  }
+
+  /** The shared rewrite read over `subset` of the live files: scan by
+    * PHYSICAL names, planned-vs-logged guard on exactly that subset, drop
+    * DV-masked rows (two-tier), re-inject partition tuples from the log
+    * via a broadcast file->tuple join, project to logical names — plus,
+    * when `follow`, the lineage columns captured BEFORE the DV filter
+    * (the physical row index is what later DV growth deletes by) and a
+    * repartition by the partition columns with a within-partition sort on
+    * the lineage file, keeping per-destination-file lineage min/max tight
+    * so the sync's removal merges prune to the touched files. */
+  private def rewriteRows(spark: SparkSession, root: Path, st: ReplayedState,
+      subset: Seq[(String, AddInfo)], lay: DeltaRewriteLayout,
+      follow: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val livePaths = subset.map(p => root.resolve(p._1).toString)
     // file -> partition tuple (log-authoritative, layout-independent)
     val pvSchema = StructType(
       StructField("__file", StringType) +:
-        pcols.map(c => StructField(s"__pv_$c", StringType)))
+        lay.pcols.map(c => StructField(s"__pv_$c", StringType)))
     val pvRows: java.util.List[org.apache.spark.sql.Row] =
-      st.adds.toSeq.map { case (p, info) =>
+      subset.map { case (p, info) =>
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(p).toString +:
             // mapped logs key partition values by PHYSICAL name
-            pcols.map(c => info.partitionValues.getOrElse(physName(c), null)))
+            lay.pcols.map(c =>
+              info.partitionValues.getOrElse(lay.physName(c), null)))
       }.asJava
     val pv = spark.createDataFrame(pvRows, pvSchema)
     // the scan asks for the files' PHYSICAL column names with NO field-id
     // metadata (by-name resolution — works on id-less files too)
-    val readSchema = StructType(dataFields.map(f =>
-      StructField(physName(f.name), f.dataType, f.nullable)))
-    val raw = spark.read.schema(readSchema)
+    val readSchema = StructType(lay.dataFields.map(f =>
+      StructField(lay.physName(f.name), f.dataType, f.nullable)))
+    val raw0 = spark.read.schema(readSchema)
       .parquet(livePaths: _*)
       .withColumn("__file",
         graft.log.DvBitmap.stripPathCol(col("_metadata.file_path")))
@@ -679,9 +864,9 @@ object DeltaImport {
     // scan plans must have a log tuple and vice versa — an inner join
     // silently dropping unmatched rows here would be total data loss,
     // the exact mis-read this module's gates exist to prevent
-    val planned = raw.inputFiles.map(Stats.stripScheme).toSet
-    val logged = st.adds.keysIterator
-      .map(p => Stats.stripScheme(root.resolve(p).toString)).toSet
+    val planned = raw0.inputFiles.map(Stats.stripScheme).toSet
+    val logged = subset.iterator
+      .map(p => Stats.stripScheme(root.resolve(p._1).toString)).toSet
     require(planned == logged,
       s"planned scan files diverge from the Delta log's live set " +
         s"(only-planned: ${(planned -- logged).take(3)}, " +
@@ -691,8 +876,11 @@ object DeltaImport {
     // rewrite — small mask totals broadcast per-file bitmaps probed by the
     // codegen'd filter; large ones explode to rows and anti-join (the same
     // two-tier strategy as the engine's own masked reads)
-    val dvAdds = st.adds.toSeq.collect {
+    val dvAdds = subset.collect {
       case (p, i) if i.dv.isDefined => p -> i.dv.get }
+    val raw =
+      if (dvAdds.isEmpty && !follow) raw0
+      else raw0.withColumn("__idx", col("_metadata.row_index"))
     val unmasked =
       if (dvAdds.isEmpty) raw
       else {
@@ -702,38 +890,97 @@ object DeltaImport {
               "only file-relative ('u') and inline ('i') vectors can import")
         }
         val totalMasked = dvAdds.map(_._2.cardinality).sum
-        val posed = raw.withColumn("__idx", col("_metadata.row_index"))
         val dvDf = decodeDvs(spark, root, dvAdds)
-        val filtered =
-          if (totalMasked <= graft.log.DvBitmap.broadcastMaxMasks(spark)) {
-            val bc = spark.sparkContext.broadcast(
-              dvDf.collect().map(r =>
-                r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
-            posed.filter(graft.log.DvBitmap.notMasked(
-              col("__file"), col("__idx"), bc, totalMasked))
-          } else {
-            val maskRows = dvDf.select(col("__path"),
-              org.apache.spark.sql.functions.explode(
-                graft.log.DvBitmap.toLongArray(col("__bitmap"))).as("__midx"))
-            posed.join(maskRows,
-              posed("__file") === maskRows("__path") &&
-                posed("__idx") === maskRows("__midx"), "left_anti")
-          }
-        filtered.drop("__idx")
+        if (totalMasked <= graft.log.DvBitmap.broadcastMaxMasks(spark)) {
+          val bc = spark.sparkContext.broadcast(
+            dvDf.collect().map(r =>
+              r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+          raw.filter(graft.log.DvBitmap.notMasked(
+            col("__file"), col("__idx"), bc, totalMasked))
+        } else {
+          val maskRows = dvDf.select(col("__path"),
+            org.apache.spark.sql.functions.explode(
+              graft.log.DvBitmap.toLongArray(col("__bitmap"))).as("__midx"))
+          raw.join(maskRows,
+            raw("__file") === maskRows("__path") &&
+              raw("__idx") === maskRows("__midx"), "left_anti")
+        }
       }
     val joined =
-      if (pcols.isEmpty) unmasked else unmasked.join(broadcast(pv), "__file")
+      if (lay.pcols.isEmpty) unmasked
+      else unmasked.join(broadcast(pv), "__file")
+    val rootPrefixLen = root.toString.length + 2 // 1-based, past the '/'
+    val lineageCols =
+      if (!follow) Nil
+      else Seq(
+        org.apache.spark.sql.functions
+          .expr(s"substring(__file, $rootPrefixLen)").as(Rewrite.SrcFileCol),
+        col("__idx").as(Rewrite.SrcPosCol))
     val typed = joined
-      .select(destSchema.fields.map { f =>
-        if (pcols.exists(_.equalsIgnoreCase(f.name)))
+      .select(lay.destSchema.fields.toSeq.map { f =>
+        if (lay.pcols.exists(_.equalsIgnoreCase(f.name)))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-        else col(physName(f.name)).as(f.name) // physical -> logical
-      }.toIndexedSeq: _*)
-    // createFrom uses ifNotExists = false: a retried migration fails
-    // LOUDLY on the existing destination instead of silently appending
-    // the whole dataset a second time
-    LakeTable.createFrom(spark, destDir, typed,
-      partitionColumns = pcols, properties = props)
+        else col(lay.physName(f.name)).as(f.name) // physical -> logical
+      } ++ lineageCols: _*)
+    if (!follow) typed
+    else {
+      // repartition by the partition columns before the write (the
+      // many-tasks × many-partitions tiny-file guard), then sort within
+      // partitions by the lineage file for tight per-file lineage stats
+      val parts = lay.pcols.map(col)
+      val shuffled = if (parts.isEmpty) typed else typed.repartition(parts: _*)
+      shuffled.sortWithinPartitions(
+        (parts :+ col(Rewrite.SrcFileCol)): _*)
+    }
+  }
+
+  /** A deletion vector's identity for ledger diffing: any change in the
+    * descriptor (growth, restore-shrink, or relocation) re-imports the
+    * file. */
+  private def dvSignature(dv: Option[DvDescriptor]): String =
+    dv.map(d => s"${d.storageType}|${d.pathOrInlineDv}|${d.offset}|" +
+      s"${d.sizeInBytes}|${d.cardinality}").getOrElse("")
+
+  /** One JSON snapshot of the source's live set (log-relative path -> DV
+    * signature) per consumed version:
+    * `_graft_import/ledger-<version>.json` under the destination.
+    * Name-keyed by the consumed version and derived from one replayed
+    * state, so a crash-replay rewrites identical content. */
+  private def writeRwLedger(destRoot: Path, st: ReplayedState): Unit = {
+    val node = mapper.createObjectNode()
+    val files = node.putObject("dataFiles")
+    st.adds.toSeq.sortBy(_._1).foreach { case (p, i) =>
+      files.put(p, dvSignature(i.dv)): Unit }
+    store.writeAtomic(
+      destRoot.resolve(Rewrite.LedgerDir)
+        .resolve(s"ledger-${st.sourceVersion}.json"),
+      mapper.writeValueAsBytes(node), overwrite = true)
+  }
+
+  private def readRwLedger(destRoot: Path, version: Long)
+      : Option[Map[String, String]] = {
+    val p = destRoot.resolve(Rewrite.LedgerDir).resolve(s"ledger-$version.json")
+    if (!store.listFileNames(p.getParent).contains(p.getFileName.toString))
+      return None
+    val j = mapper.readTree(
+      new String(store.readBytes(p), StandardCharsets.UTF_8))
+    val files = j.get("dataFiles")
+    val out = Map.newBuilder[String, String]
+    files.fieldNames().asScala.foreach(n => out += (n -> files.get(n).asText()))
+    Some(out.result())
+  }
+
+  /** Drop ledger snapshots STRICTLY OLDER than the previous consumed
+    * version (current and previous stay — the previous one covers a sync
+    * that crashed between ledger write and commit). Best-effort. */
+  private def pruneRwLedgers(destRoot: Path, keepFrom: Long): Unit = {
+    val dir = destRoot.resolve(Rewrite.LedgerDir)
+    val re = raw"ledger-(\d+)\.json".r
+    store.listFileNames(dir).foreach {
+      case n @ re(v) if v.toLong < keepFrom =>
+        scala.util.Try(store.delete(dir.resolve(n))): Unit
+      case _ => ()
+    }
   }
 
   /** Shared honesty gates over a replayed state (everything except the

@@ -96,7 +96,7 @@ object IcebergImport {
       specId: Long, tuple: Seq[(String, String)])
 
   /** The replayed current state of an Iceberg table's metadata. */
-  private case class IcebergState(
+  private[migrate] case class IcebergState(
       metaVersion: Long,
       meta: java.util.Map[String, Object],
       lastSeq: Long,
@@ -106,10 +106,11 @@ object IcebergImport {
       live: Seq[(String, GenericRecord)], // (relative path, data_file record)
       liveSeq: Map[String, Long], // relative path -> data sequence number
       liveScope: Map[String, (Long, Seq[(String, String)])], // path -> (spec id, tuple)
-      specSizes: Map[Long, Int], // partition spec id -> field count
+      specFields: Map[Long, Seq[PartField]], // spec id -> its fields (ALL specs)
       deletePaths: Seq[String], // position-delete parquet (manifest form)
       eqDeletes: Seq[EqDelete]) {
     def pcols: Seq[String] = partFields.map(_.column)
+    def specSize(specId: Long): Int = specFields.get(specId).map(_.size).getOrElse(0)
   }
 
   /** The zero-copy imports' honesty gates over partition transforms,
@@ -249,6 +250,13 @@ object IcebergImport {
   def sync(spark: SparkSession, dir: String): Long = {
     val t = LakeTable.forPath(spark, dir)
     val root = Paths.get(dir).toAbsolutePath.normalize
+    // a rewrite destination also carries the consumed-state keys but is
+    // NOT an in-place mirror (its source lives elsewhere and its rows are
+    // rewritten) — without this gate the failure would be a confusing
+    // missing-metadata error on the destination directory
+    require(!t.properties.get(RewriteFollowKey).contains("true"),
+      s"$dir is a followable REWRITE destination — sync it with " +
+        "IcebergImport.syncRewrite(spark, sourceDir, destDir)")
     val consumed = t.properties.get(SourceSeqKey).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"$dir was not imported from Iceberg (no $SourceSeqKey property)"))
@@ -492,13 +500,250 @@ object IcebergImport {
     * carry over as real partition columns, derived transforms become graft
     * GENERATED partition columns (`days(ts)` -> `CAST(ts AS DATE)`, …) so
     * partition pruning survives the migration. O(data) once — the
-    * migration rewrite the in-place refusals point at. */
-  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    * migration rewrite the in-place refusals point at.
+    *
+    * With `follow = true` the destination is built to be SYNCABLE by
+    * [[syncRewrite]] (r13 verdict task 1 — the convert/sync/cut-over
+    * story for transform-partitioned layouts): every rewritten row
+    * carries its source-file LINEAGE as two ordinary columns —
+    * [[SrcFileCol]] (the source data file, root-relative) and
+    * [[SrcPosCol]] (the row's position in it) — the consumed source
+    * state records in the table properties, and a full live-set ledger
+    * snapshot writes under the destination. Lineage is what later
+    * source-side removes and row-level deletes key on; the storage cost
+    * (a dictionary-encoded path plus a delta-encoded long per row) is the
+    * price of followability, and a one-shot migration should keep the
+    * default `follow = false`. */
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String): LakeTable =
+    convertRewrite(spark, srcDir, destDir, follow = false)
+
+  def convertRewrite(spark: SparkSession, srcDir: String, destDir: String,
+      follow: Boolean): LakeTable = {
     val root = Paths.get(srcDir).toAbsolutePath.normalize
     val st = replay(root)
+    val lay = layoutOf(st)
+    val lineageFields =
+      if (!follow) Nil
+      else {
+        Seq(SrcFileCol, SrcPosCol).foreach { n =>
+          require(!lay.destSchemaBase.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"source column '$n' collides with the lineage column a " +
+              "followable rewrite adds — import with follow = false, or " +
+              "rename the source column")
+        }
+        Seq(StructField(SrcFileCol, StringType), StructField(SrcPosCol, LongType))
+      }
+    val destSchema = StructType(lay.destSchemaBase.fields ++ lineageFields)
+    val properties = Option(st.meta.get("properties"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val followProps: Map[String, String] =
+      if (!follow) Map.empty
+      else Map(RewriteFollowKey -> "true",
+        RewriteSourceKey -> root.toString,
+        RewriteSpecKey -> specSignature(st.partFields),
+        SourceSeqKey -> st.lastSeq.toString,
+        SourceMetaVersionKey -> st.metaVersion.toString)
+    val props = LakeTable.normalizeProps(properties) ++ lay.genProps ++ followProps
+    // a fully deleted (or never-written) source imports as an empty table —
+    // schema and layout are fully known
+    if (st.live.isEmpty) {
+      if (follow) writeLedger(Paths.get(destDir).toAbsolutePath.normalize, st)
+      return LakeTable.create(spark, destDir, destSchema,
+        partitionColumns = lay.destPcols, properties = props, ifNotExists = false)
+    }
+    val typed = rewriteRows(spark, root, st, st.live, lay, follow, st.eqDeletes)
+    // the ledger snapshot writes BEFORE the data commit: a crash in
+    // between leaves a stray ledger file (harmless — reads key on the
+    // CONSUMED property) but never a synced table without its ledger
+    if (follow) writeLedger(Paths.get(destDir).toAbsolutePath.normalize, st)
+    // ifNotExists = false: a retried migration fails LOUDLY on the
+    // existing destination instead of silently appending twice
+    val dest = LakeTable.create(spark, destDir, destSchema,
+      partitionColumns = lay.destPcols, properties = props, ifNotExists = false)
+    if (follow)
+      dest.appendWithProps(typed, _ => Map.empty,
+        Some(RwAppendAppId), Some(st.lastSeq)): Unit
+    else dest.append(typed): Unit
+    dest
+  }
 
-    // ---- destination layout from the partition spec ----
+  /** Incremental catch-up for a FOLLOWABLE rewrite destination
+    * ([[convertRewrite]] with `follow = true`) — the continuous-migration
+    * shape for exactly the sources the in-place [[sync]] refuses
+    * (days/bucket/truncate layouts, equality-delete streams):
+    *
+    *  1. source files REMOVED since the last sync (compaction,
+    *     copy-on-write deletes) become a lineage-keyed merge-DELETE on
+    *     the destination (`_src_file` equality — file stats on the
+    *     lineage column prune the touched destination files);
+    *  2. NEW position-delete files targeting already-imported rows apply
+    *     as a (`_src_file`, `_src_pos`) merge-DELETE;
+    *  3. NEW equality-delete files apply to already-imported rows as
+    *     key-equality merge-DELETEs — the sequence gate auto-passes
+    *     (everything imported has a strictly smaller data sequence than a
+    *     delete that arrived later), and only table-wide or
+    *     implied-by-key scopes apply (a real partition scope against old
+    *     data refuses: its tuple does not map onto the rewritten layout);
+    *  4. NEW data files rewrite-append through the same batch machinery
+    *     as the import (position deletes, sequence-gated and
+    *     partition-scoped equality deletes within the batch, generated
+    *     partition keys recomputed), advancing the consumed source state
+    *     in the SAME commit.
+    *
+    * Every step is idempotent — the merges and the append ride the
+    * transaction ledger keyed by the target sequence, the ledger snapshot
+    * is name-keyed by it — so a crash anywhere replays to the same state
+    * and a repeated sync no-ops. Unlike the in-place [[sync]] (one net
+    * commit), a catch-up is up to four destination commits: each is
+    * individually consistent, but a reader BETWEEN them can observe a
+    * mid-sync state (e.g. a compacted file's rows removed before their
+    * re-append lands); time-travel to the pre-sync version if the read
+    * must straddle a sync. Cost is O(churn) + one merge probe per
+    * step; the destination may be OPTIMIZE/ZORDER-compacted freely
+    * between syncs (lineage rides the rows), while local DML stays the
+    * cut-over moment. Returns the destination's version. */
+  def syncRewrite(spark: SparkSession, srcDir: String, destDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dest = LakeTable.forPath(spark, destDir)
+    val root = Paths.get(srcDir).toAbsolutePath.normalize
+    val destRoot = Paths.get(destDir).toAbsolutePath.normalize
+    val props0 = dest.properties
+    require(props0.get(RewriteFollowKey).contains("true"),
+      s"$destDir was not rewrite-imported with follow = true — a one-shot " +
+        "rewrite destination carries no source lineage to sync by; " +
+        "re-import with convertRewrite(spark, src, dest, follow = true)")
+    require(props0.get(RewriteSourceKey).contains(root.toString),
+      s"$destDir mirrors ${props0.getOrElse(RewriteSourceKey, "<unset>")}, " +
+        s"not $srcDir")
+    val consumed = props0(SourceSeqKey).toLong
+    val consumedMeta = props0.get(SourceMetaVersionKey).map(_.toLong).getOrElse(-1L)
+    Rewrite.requireNotDiverged(dest, destDir)
+    val st = replay(root)
+    if (st.lastSeq <= consumed && st.metaVersion <= consumedMeta)
+      return dest.version
+    // schema and partition-spec changes stay cut-over refusals for a
+    // rewrite destination (its generated layout and lineage plumbing were
+    // derived from the import-time spec)
+    val lay = layoutOf(st)
+    require(props0.get(RewriteSpecKey).contains(specSignature(st.partFields)),
+      s"the Iceberg source's partition spec changed — a rewrite " +
+        "destination cannot follow a re-layout; re-import")
+    val destDataTypes = dest.snapshot().schema.fields
+      .filterNot(f => lay.genFields.exists(_.name.equalsIgnoreCase(f.name)) ||
+        f.name == SrcFileCol || f.name == SrcPosCol)
+      .map(f => (f.name, f.dataType)).toSeq
+    require(destDataTypes == lay.dataSchema.fields
+        .map(f => (f.name, f.dataType)).toSeq,
+      s"the Iceberg source's schema changed — this evolution is a " +
+        "cut-over moment for a rewrite destination; re-import")
+
+    val prev = readLedger(destRoot, consumed).getOrElse(
+      throw new IllegalStateException(
+        s"$destDir carries no ledger snapshot for consumed sequence " +
+          s"$consumed under ${destRoot.resolve(LedgerDir)} — the " +
+          "followable-rewrite state is damaged; re-import"))
+    val currentLive = st.live.map(_._1).toSet
+    // new data is judged by PATH, not sequence number: a source-side
+    // compaction (RewriteDataFiles) writes NEW paths whose entries carry
+    // their OLD data sequence numbers (spec: EXISTING entries keep
+    // explicit seqs) — a seq > consumed filter would classify them as
+    // neither removed-survivors nor new and silently LOSE their rows
+    val prevData = prev.dataFiles.toSet
+    val newData = st.live.filterNot { case (p, _) => prevData(p) }
+    val removed = prev.dataFiles.filterNot(currentLive)
+    val newPosDel = st.deletePaths.map(Stats.stripScheme)
+      .filterNot(prev.posDeleteFiles.toSet)
+    val newEqDel = st.eqDeletes.filterNot(d => prev.eqDeleteFiles.toSet(d.path))
+    // eq deletes against ALREADY-IMPORTED data must be table-wide or
+    // implied-by-key ([[eqScopeOf]] None): a real partition scope keys on
+    // the SOURCE spec tuple, which does not exist on the rewritten rows
+    newEqDel.foreach { d =>
+      require(eqScopeOf(st, d).isEmpty,
+        s"equality-delete file ${d.path} carries a partition scope that " +
+          "cannot be applied to already-imported rows (the source tuple " +
+          "does not exist on the rewritten layout) — rewrite the deletes " +
+          "table-wide on the Iceberg side, or re-import")
+    }
+
+    // ledger snapshot for the NEW consumed point, before any mutation
+    writeLedger(destRoot, st)
+
+    // 1. removed source files -> lineage-keyed merge-DELETE
+    if (removed.nonEmpty) {
+      import spark.implicits._
+      dest.merge(removed.toDF("rm_file"),
+        expr(s"target.`$SrcFileCol` = source.rm_file"))
+        .whenMatchedDelete()
+        .withTxn(RwRemoveAppId, st.lastSeq)
+        .execute(): Unit
+    }
+    // 2. new position deletes on already-imported rows
+    if (newPosDel.nonEmpty) {
+      val rootPrefixLen = root.toString.length + 2 // 1-based, past the '/'
+      val pd = spark.read.parquet(newPosDel: _*)
+        .select(graft.log.DvBitmap.stripPathCol(
+          col("file_path").cast(StringType)).as("pd_abs"),
+          col("pos").cast(LongType).as("pd_pos"))
+        .withColumn("pd_file", expr(s"substring(pd_abs, $rootPrefixLen)"))
+        .drop("pd_abs").distinct()
+      dest.merge(pd,
+        expr(s"target.`$SrcFileCol` = source.pd_file AND " +
+          s"target.`$SrcPosCol` = source.pd_pos"))
+        .whenMatchedDelete()
+        .withTxn(RwPosDelAppId, st.lastSeq)
+        .execute(): Unit
+    }
+    // 3. new equality deletes on already-imported rows: one merge per
+    // distinct key set (grouped reads, like the batch path)
+    resolveEqDeletes(st, newEqDel).zipWithIndex.foreach {
+      case ((srcNames, keyFields, group), i) =>
+        val paths = group.map(_.path).distinct.sorted
+        val readSchema = StructType(srcNames.zip(keyFields).map {
+          case (n, f) => StructField(n, f.dataType) })
+        val keys = spark.read.schema(readSchema).parquet(paths: _*)
+          .select(srcNames.zip(keyFields).map { case (n, f) =>
+            col(s"`$n`").as(s"eq_${f.name}") }.toIndexedSeq: _*)
+          .distinct()
+        dest.merge(keys, keyFields.map(f =>
+            expr(s"target.`${f.name}` = source.`eq_${f.name}`"))
+          .reduce(_ && _))
+          .whenMatchedDelete()
+          // one txn slot per key-set group: group order is deterministic
+          // (sorted), so a replay resumes exactly where it crashed
+          .withTxn(s"$RwEqDelAppId:$i", st.lastSeq)
+          .execute(): Unit
+    }
+    // 4. new data files rewrite-append + consumed state, one commit
+    val advance = Map(SourceSeqKey -> st.lastSeq.toString,
+      SourceMetaVersionKey -> st.metaVersion.toString)
+    if (newData.nonEmpty) {
+      // ALL live eq-deletes, not just the new ones: a compaction-born file
+      // keeps its OLD data sequence, so an old delete with a higher seq
+      // still applies to it — the per-file sequence gate inside the
+      // rewrite makes old deletes a no-op on genuinely new files
+      val typed = rewriteRows(spark, root, st, newData, lay, follow = true,
+        st.eqDeletes)
+      dest.appendWithProps(typed, _ => advance,
+        Some(RwAppendAppId), Some(st.lastSeq)): Unit
+    } else dest.setProperties(advance): Unit
+    pruneLedgers(destRoot, consumed)
+    dest.version
+  }
+
+  /** The destination layout derived from the source's partition spec. */
+  private case class RewriteLayout(
+      resolvedParts: Seq[(StructField, Option[String])],
+      dataSchema: StructType) {
+    def genFields: Seq[StructField] = resolvedParts.collect { case (f, Some(_)) => f }
+    def genProps: Map[String, String] = resolvedParts.collect {
+      case (f, Some(e)) => s"graft.generated.${f.name}" -> e }.toMap
+    def destPcols: Seq[String] = resolvedParts.map(_._1.name)
+    def destSchemaBase: StructType = StructType(dataSchema.fields ++ genFields)
+  }
+
+  private def layoutOf(st: IcebergState): RewriteLayout = {
     val fieldOf = st.schemaWithIds.fields.map(f => f.name -> f).toMap
     val destParts: Seq[(StructField, Option[String])] = st.partFields.flatMap {
       pf => destPartOf(pf, fieldOf(pf.column)) }
@@ -513,29 +758,31 @@ object IcebergImport {
         taken += n.toLowerCase
         (f.copy(name = n), expr)
     }
-    val genFields = resolvedParts.collect { case (f, Some(_)) => f }
-    val genProps: Map[String, String] = resolvedParts.collect {
-      case (f, Some(e)) => s"graft.generated.${f.name}" -> e }.toMap
-    val destPcols = resolvedParts.map(_._1.name)
-    val dataSchema = ColumnIds.strip(st.schemaWithIds)
-    val destSchema = StructType(dataSchema.fields ++ genFields)
-    val properties = Option(st.meta.get("properties"))
-      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
-        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
-      .getOrElse(Map.empty[String, String])
-    val props = LakeTable.normalizeProps(properties) ++ genProps
-    // a fully deleted (or never-written) source imports as an empty table —
-    // schema and layout are fully known
-    if (st.live.isEmpty)
-      return LakeTable.create(spark, destDir, destSchema,
-        partitionColumns = destPcols, properties = props, ifNotExists = false)
+    RewriteLayout(resolvedParts, ColumnIds.strip(st.schemaWithIds))
+  }
 
-    // ---- binding: by field id when every live footer carries ids ----
-    val livePaths = st.live.map(p => root.resolve(p._1).toString)
-    val footIds = Stats.footerFieldIds(st.live.map(p => root.resolve(p._1)))
-    val allIds = st.live.forall { case (p, _) =>
+  /** The shared rewrite read: scan `subset` of the live files (binding
+    * gate + planned-vs-logged guard on exactly that subset), drop
+    * position-deleted rows, apply `eqDeletes` sequence-gated and
+    * partition-scoped, project the data columns (plus lineage when
+    * `follow`), and repartition by the destination partition keys —
+    * without the shuffle a days() layout explodes into #tasks × #days
+    * tiny files (measured 51 s / ~76k files vs ~3 s with it; at 100 TB
+    * the no-shuffle shape is the scale killer). Follow mode additionally
+    * sorts within partitions by the lineage file so per-destination-file
+    * min/max stats on [[SrcFileCol]] stay tight — that is what lets the
+    * sync's removal merges prune to the touched files. */
+  private def rewriteRows(spark: SparkSession, root: Path, st: IcebergState,
+      subset: Seq[(String, GenericRecord)], lay: RewriteLayout,
+      follow: Boolean, eqDeletes: Seq[EqDelete])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // ---- binding: by field id when every subset footer carries ids ----
+    val livePaths = subset.map(p => root.resolve(p._1).toString)
+    val footIds = Stats.footerFieldIds(subset.map(p => root.resolve(p._1)))
+    val allIds = subset.forall { case (p, _) =>
       footIds(root.resolve(p).toString).forall(_._2.isDefined) }
-    if (!allIds) st.live.foreach { case (p, _) =>
+    if (!allIds) subset.foreach { case (p, _) =>
       footIds(root.resolve(p).toString).foreach { case (name, _) =>
         require(st.schemaWithIds.fieldNames.contains(name),
           s"file $p column '$name' is not a schema column and the files " +
@@ -543,7 +790,7 @@ object IcebergImport {
             "renamed columns; rewrite the table on the Iceberg side")
       }
     }
-    val readSchema = if (allIds) st.schemaWithIds else dataSchema
+    val readSchema = if (allIds) st.schemaWithIds else lay.dataSchema
     // by-id resolution must hold on ANY session (the refusal message sends
     // users here directly): without this conf Spark resolves by NAME and a
     // renamed column's old files would silently read all-NULL — the same
@@ -566,7 +813,7 @@ object IcebergImport {
 
     // ---- position deletes: (file, position) anti-join ----
     var cur =
-      if (st.deletePaths.isEmpty && st.eqDeletes.isEmpty) raw
+      if (st.deletePaths.isEmpty && eqDeletes.isEmpty && !follow) raw
       else raw.withColumn("__idx", col("_metadata.row_index"))
     if (st.deletePaths.nonEmpty) {
       val del = spark.read.parquet(st.deletePaths.map(Stats.stripScheme): _*)
@@ -577,90 +824,283 @@ object IcebergImport {
         cur("__file") === del("__dfile") && cur("__idx") === del("__didx"),
         "left_anti")
     }
+    // ---- equality deletes (see [[applyEqualityDeletes]]) ----
+    if (eqDeletes.nonEmpty)
+      cur = applyEqualityDeletes(spark, root, st, cur, eqDeletes)
 
-    // ---- equality deletes: per-key-set anti-joins, sequence-gated and
-    // PARTITION-SCOPED (the spec: a delete under a partitioned spec
-    // applies only to data files in the SAME partition of the SAME spec;
-    // a delete under an unpartitioned spec applies table-wide) ----
-    if (st.eqDeletes.nonEmpty) {
-      // one canonical scope key per file: spec id + sorted tuple (nulls
-      // marked) — partition identity across manifests of the same spec
-      def scopeKey(specId: Long, tuple: Seq[(String, String)]): String =
-        specId + "|" + tuple.map { case (k, v) =>
-          k + "=" + (if (v == null) "\u0000" else v) }.mkString(",")
-      val seqDf = {
-        import spark.implicits._
-        st.live.map { case (p, _) =>
-          val (specId, tuple) = st.liveScope(p)
-          (root.resolve(p).toString, st.liveSeq(p), scopeKey(specId, tuple))
-        }.toDF("__sfile", "__seq", "__pscope")
-      }
-      cur = cur.join(broadcast(seqDf), cur("__file") === seqDf("__sfile"))
-        .drop("__sfile")
+    // ---- project + repartition by the destination partition keys ----
+    val rootPrefixLen = root.toString.length + 2 // 1-based, past the '/'
+    val lineageCols =
+      if (!follow) Nil
+      else Seq(
+        org.apache.spark.sql.functions
+          .expr(s"substring(__file, $rootPrefixLen)").as(SrcFileCol),
+        col("__idx").as(SrcPosCol))
+    val typed0 = cur.select(
+      lay.dataSchema.fieldNames.toIndexedSeq.map(col) ++ lineageCols: _*)
+    val partExprs = lay.resolvedParts.map {
+      case (f, None) => col(f.name)
+      case (_, Some(e)) => org.apache.spark.sql.functions.expr(e)
+    }
+    val typed =
+      if (lay.resolvedParts.isEmpty) typed0
+      else typed0.repartition(partExprs: _*)
+    if (follow) typed.sortWithinPartitions(
+      (partExprs :+ col(SrcFileCol)): _*)
+    else typed
+  }
+
+  /** One canonical scope key per (spec id, partition tuple): partition
+    * identity across manifests of the same spec (sorted fields, nulls
+    * marked). */
+  private def scopeKey(specId: Long, tuple: Seq[(String, String)]): String =
+    specId + "|" + tuple.map { case (k, v) =>
+      k + "=" + (if (v == null) "\u0000" else v) }.mkString(",")
+
+  /** Broadcasting one (path, sequence, scope) row per live data file is
+    * the fast path for attaching the sequence gate to the scan; above
+    * this many live files (a multi-GB broadcast at 10M files) the join
+    * degrades to a plain shuffle join instead — the same two-tier
+    * discipline as the DV mask reads. */
+  private def broadcastFileMetaMax(spark: SparkSession): Long =
+    scala.util.Try(spark.conf.get("graft.iceberg.broadcastFileMetaMax").toLong)
+      .getOrElse(1000000L)
+
+  /** Apply `st`'s equality deletes to `cur` (a live-file scan carrying
+    * `__file`) under the spec's sequence rule — a delete applies only to
+    * data files with a STRICTLY smaller data sequence number — and
+    * partition scoping. Shaped for real CDC delete-file counts:
+    *
+    *  - ONE parallel footer pass resolves every delete file's key columns
+    *    (by field id — delete files written before a rename keep the old
+    *    name, the id binds them — by name only when id-less);
+    *  - delete files group by (key ids, resolved column names) and each
+    *    group reads in ONE `spark.read.parquet(paths*)` with an explicit
+    *    target-typed schema (no N-leg unions, loud on an incompatible
+    *    physical type — a silent cast-to-null would KEEP rows the delete
+    *    intended to remove);
+    *  - the data sequence number and scope ride the delete ROWS as data
+    *    (a tiny per-file map joins on `_metadata.file_path`), so one
+    *    anti-join per distinct key set applies every sequence and every
+    *    partition at once;
+    *  - the per-live-file (sequence, scope) attach broadcasts only below
+    *    [[broadcastFileMetaMax]].
+    *
+    * Scope resolution per delete file (r13 verdict task 8):
+    *  - unpartitioned delete spec → table-wide;
+    *  - every scoped dimension's SOURCE column is part of the delete's
+    *    equality key → the scope is IMPLIED by key equality (partition
+    *    values are deterministic transforms of key columns, so a row
+    *    matching the key necessarily lives in the delete's partition) —
+    *    safe to apply table-wide; this covers the standard Flink upsert
+    *    shape (table partitioned by a transform of the primary key,
+    *    deletes scoped per partition);
+    *  - otherwise the scope tuple only matches data files of the SAME
+    *    spec: if any live file was written under a DIFFERENT spec id,
+    *    tuples are not comparable across spec generations → REFUSE
+    *    loudly. (Before r14 such a delete silently never matched — a
+    *    silent-KEEP of rows the delete intended to remove.) */
+  private def applyEqualityDeletes(spark: SparkSession, root: Path,
+      st: IcebergState, cur0: org.apache.spark.sql.DataFrame,
+      eqDeletes: Seq[EqDelete]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    var cur = cur0
+    val seqDf = st.live.map { case (p, _) =>
+      val (specId, tuple) = st.liveScope(p)
+      (root.resolve(p).toString, st.liveSeq(p), scopeKey(specId, tuple))
+    }.toDF("__sfile", "__seq", "__pscope")
+    val seqSide =
+      if (st.live.size <= broadcastFileMetaMax(spark)) broadcast(seqDf)
+      else seqDf
+    cur = cur.join(seqSide, cur("__file") === seqDf("__sfile")).drop("__sfile")
+    resolveEqDeletes(st, eqDeletes).foreach { case (srcNames, keyFields, group) =>
+      val paths = group.map(_.path).distinct.sorted
+      // (sequence, scope) per delete FILE attach as DATA via a tiny map
+      val metaDf = group.map { d =>
+        (Paths.get(d.path).toString, d.seq, eqScopeOf(st, d).orNull) }
+        .toDF("__dpath", "__dseq", "__dscope")
+      // explicit target-typed read schema: by-name resolution of exactly
+      // the resolved key columns (group membership guarantees presence),
+      // loud on an unconvertible physical type
+      val readSchema = StructType(srcNames.zip(keyFields).map {
+        case (n, f) => StructField(n, f.dataType) })
+      val delRaw = spark.read.schema(readSchema).parquet(paths: _*)
+        .select(srcNames.zip(keyFields).map { case (n, f) =>
+          col(s"`$n`").as(s"__eq_${f.name}") } :+
+          graft.log.DvBitmap.stripPathCol(
+            col("_metadata.file_path")).as("__dpath"): _*)
+      val delDf = delRaw.join(broadcast(metaDf), "__dpath").drop("__dpath")
+      val cond = keyFields.map(f =>
+        cur(f.name) <=> delDf(s"__eq_${f.name}")).reduce(_ && _) &&
+        cur("__seq") < delDf("__dseq") &&
+        (delDf("__dscope").isNull || cur("__pscope") === delDf("__dscope"))
+      cur = cur.join(delDf, cond, "left_anti")
+    }
+    cur
+  }
+
+  /** Scope resolution for one equality-delete file (r13 verdict task 8) —
+    * see [[applyEqualityDeletes]]: None = applies table-wide (the
+    * delete's spec is unpartitioned, or its every scoped dimension's
+    * source column is part of the equality key so the scope is implied);
+    * Some(key) = only data files sharing the partition, legal only while
+    * every live file was written under the SAME spec (a cross-spec scoped
+    * delete REFUSES — before r14 it silently never matched, a silent-KEEP
+    * of rows the delete intended to remove). */
+  private def eqScopeOf(st: IcebergState, d: EqDelete): Option[String] =
+    if (st.specSize(d.specId) == 0) None
+    else {
       val idToField: Map[Int, StructField] = st.schemaWithIds.fields
         .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f)).toMap
-      st.eqDeletes.groupBy(d => (d.equalityIds.sorted,
-        // scope: None = table-wide (the delete's spec is unpartitioned),
-        // Some(key) = only data files sharing the partition
-        if (st.specSizes.getOrElse(d.specId, 0) == 0) None
-        else Some(scopeKey(d.specId, d.tuple)))).toSeq
-        .sortBy(g => (g._1._1.mkString(","), g._1._2.getOrElse("")))
-        .foreach { case ((ids, scope), dels) =>
-          val keyFields = ids.map(i => idToField.getOrElse(i,
-            throw new IllegalArgumentException(
-              s"equality delete references field id $i, which is not a " +
-                "top-level schema column")))
-          val delDf = dels.sortBy(_.path).map { d =>
-            // key columns resolve by field id against the DELETE file's
-            // own footer (delete files written before a rename keep the
-            // old name; the id binds them), by name only when id-less
-            val footer = Stats.footerFieldIds(
-              Seq(Paths.get(d.path)))(Paths.get(d.path).toString)
-            val byId = footer.collect { case (n, Some(i)) => i -> n }.toMap
-            val sel = ids.zip(keyFields).map { case (i, f) =>
-              val srcName = byId.getOrElse(i, {
-                require(footer.exists(_._1 == f.name),
-                  s"equality-delete file ${d.path} carries neither field " +
-                    s"id $i nor a column named '${f.name}'")
-                f.name
-              })
-              col(srcName).cast(f.dataType).as(s"__eq_${f.name}")
-            }
-            spark.read.parquet(d.path).select(sel.toIndexedSeq: _*)
-              .withColumn("__dseq", lit(d.seq))
-          }.reduce(_.unionByName(_))
-          val cond0 = keyFields.map(f =>
-            cur(f.name) <=> delDf(s"__eq_${f.name}")).reduce(_ && _) &&
-            cur("__seq") < delDf("__dseq")
-          val cond = scope match {
-            case None => cond0
-            case Some(key) => cond0 && cur("__pscope") === lit(key)
-          }
-          cur = cur.join(delDf, cond, "left_anti")
-        }
+      val dims = st.specFields(d.specId).map(_.column)
+      val keyCols = d.equalityIds.flatMap(i => idToField.get(i)).map(_.name)
+      if (dims.forall(keyCols.contains)) None // implied by key equality
+      else {
+        val alien = st.live.collectFirst {
+          case (p, _) if st.liveScope(p)._1 != d.specId => p }
+        require(alien.isEmpty,
+          s"equality-delete file ${d.path} is scoped to partition-spec " +
+            s"${d.specId}, but live data file ${alien.getOrElse("")} was " +
+            "written under a different spec — partition tuples are not " +
+            "comparable across spec generations; import with the deletes " +
+            "rewritten (or dropped into an unpartitioned spec) on the " +
+            "Iceberg side")
+        Some(scopeKey(d.specId, d.tuple))
+      }
     }
 
-    // ---- one native graft table, layout mirrored ----
-    val typed0 = cur.select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
-    // REPARTITION BY THE DESTINATION PARTITION KEYS before the write:
-    // without this every write task touches every partition value and a
-    // days() layout explodes into #tasks × #days tiny files (measured:
-    // 51 s and ~76k files at sf0.1 vs ~3 s and #days files with the
-    // shuffle — and at 100 TB the no-shuffle shape is the scale killer,
-    // not the shuffle). Generated keys repartition by their expression;
-    // the write then computes the same value per row.
-    val typed =
-      if (resolvedParts.isEmpty) typed0
-      else typed0.repartition(resolvedParts.map {
-        case (f, None) => col(f.name)
-        case (_, Some(e)) => org.apache.spark.sql.functions.expr(e)
-      }: _*)
-    // ifNotExists = false: a retried migration fails LOUDLY on the
-    // existing destination instead of silently appending twice
-    val dest = LakeTable.create(spark, destDir, destSchema,
-      partitionColumns = destPcols, properties = props, ifNotExists = false)
-    dest.append(typed)
-    dest
+  /** ONE parallel footer pass over `eqDeletes`, resolving each file's key
+    * columns (by field id — delete files written before a rename keep the
+    * old name, the id binds them — by name only when id-less) and grouping
+    * by (key-id set, resolved column names) so each group can read in ONE
+    * `spark.read.parquet(paths*)`. Deterministically ordered. */
+  private[migrate] def resolveEqDeletes(st: IcebergState, eqDeletes: Seq[EqDelete])
+      : Seq[(Seq[String], Seq[StructField], Seq[EqDelete])] = {
+    if (eqDeletes.isEmpty) return Nil
+    val idToField: Map[Int, StructField] = st.schemaWithIds.fields
+      .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f)).toMap
+    val delFooters = Stats.footerFieldIds(
+      eqDeletes.map(d => Paths.get(d.path)).distinct)
+    val resolved: Seq[(EqDelete, Seq[String], Seq[StructField])] =
+      eqDeletes.map { d =>
+        val footer = delFooters(Paths.get(d.path).toString)
+        val byId = footer.collect { case (n, Some(i)) => i -> n }.toMap
+        val ids = d.equalityIds.sorted
+        val keyFields = ids.map(i => idToField.getOrElse(i,
+          throw new IllegalArgumentException(
+            s"equality delete references field id $i, which is not a " +
+              "top-level schema column")))
+        val srcNames = ids.zip(keyFields).map { case (i, f) =>
+          byId.getOrElse(i, {
+            require(footer.exists(_._1 == f.name),
+              s"equality-delete file ${d.path} carries neither field " +
+                s"id $i nor a column named '${f.name}'")
+            f.name
+          })
+        }
+        (d, srcNames, keyFields)
+      }
+    resolved.groupBy { case (d, srcNames, _) =>
+      (d.equalityIds.sorted, srcNames) }.toSeq
+      .sortBy { case ((ids, names), _) =>
+        (ids.mkString(","), names.mkString(",")) }
+      .map { case ((_, srcNames), group) =>
+        (srcNames, group.head._3, group.map(_._1).sortBy(_.path))
+      }
+  }
+
+  // ---------------------------------------------- followable rewrite state
+
+  /** Lineage columns a followable rewrite adds to every row (shared with
+    * the Delta rewrite — see [[Rewrite]]): the source data file
+    * (root-relative) and the row's position in it — what [[syncRewrite]]
+    * keys source-side removes and row-level deletes on. */
+  val SrcFileCol: String = Rewrite.SrcFileCol
+  val SrcPosCol: String = Rewrite.SrcPosCol
+
+  /** Followable-rewrite destination properties. */
+  val RewriteFollowKey = "graft.iceberg.rewriteFollow"
+  val RewriteSourceKey = "graft.iceberg.rewriteSource"
+  val RewriteSpecKey = "graft.iceberg.rewriteSpec"
+
+  private val RwAppendAppId = Rewrite.AppendAppId
+  private val RwRemoveAppId = Rewrite.RemoveAppId
+  private val RwPosDelAppId = Rewrite.PosDelAppId
+  private val RwEqDelAppId = Rewrite.EqDelAppId
+
+  /** The canonical signature of a partition spec (field name, source
+    * column, transform — order-sensitive): [[syncRewrite]] refuses when
+    * the source's spec no longer matches the one the destination layout
+    * was derived from. */
+  private def specSignature(partFields: Seq[PartField]): String =
+    partFields.map(pf => s"${pf.specName}:${pf.column}:${pf.transform}")
+      .mkString(";")
+
+
+  // ---- the live-set ledger: one JSON snapshot per consumed sequence ----
+
+  private val LedgerDir = Rewrite.LedgerDir
+
+  private case class Ledger(dataFiles: Seq[String],
+      posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String])
+
+  /** Write the FULL current source state (live data files relative to the
+    * source root; position/equality delete files canonical-absolute) as
+    * `_graft_import/ledger-<lastSeq>-<metaVersion>.json` under the
+    * destination. Name-keyed by the consumed ordering keys and derived
+    * from one replayed snapshot, so a crash-replay rewrites identical
+    * content — idempotent by construction. The next sync diffs against
+    * the snapshot named by its CONSUMED keys to enumerate removed data
+    * files and newly-arrived delete files in O(churn). */
+  private def writeLedger(destRoot: Path, st: IcebergState): Unit = {
+    val node = plain.createObjectNode()
+    def arr(name: String, vs: Seq[String]): Unit = {
+      val a = node.putArray(name)
+      vs.sorted.foreach(a.add(_): Unit)
+    }
+    arr("dataFiles", st.live.map(_._1))
+    arr("posDeleteFiles", st.deletePaths.map(Stats.stripScheme))
+    arr("eqDeleteFiles", st.eqDeletes.map(_.path).distinct)
+    store.writeAtomic(
+      destRoot.resolve(LedgerDir).resolve(ledgerName(st.lastSeq, st.metaVersion)),
+      plain.writeValueAsBytes(node), overwrite = true)
+  }
+
+  private def ledgerName(seq: Long, metaVersion: Long): String =
+    s"ledger-$seq-$metaVersion.json"
+
+  /** The ledger snapshot for the consumed sequence (any metadata version —
+    * metadata-only advances reuse the sequence axis). */
+  private def readLedger(destRoot: Path, seq: Long): Option[Ledger] = {
+    val dir = destRoot.resolve(LedgerDir)
+    val re = raw"ledger-(\d+)-(\d+)\.json".r
+    val name = store.listFileNames(dir).collect {
+      case n @ re(s, m) if s.toLong == seq => (m.toLong, n)
+    }.sorted.lastOption.map(_._2)
+    name.map { n =>
+      val j = plain.readTree(new String(store.readBytes(dir.resolve(n)),
+        StandardCharsets.UTF_8))
+      def seqOf(field: String): Seq[String] = {
+        val a = j.get(field)
+        (0 until a.size()).map(a.get(_).asText())
+      }
+      Ledger(seqOf("dataFiles"), seqOf("posDeleteFiles"), seqOf("eqDeleteFiles"))
+    }
+  }
+
+  /** Drop ledger snapshots STRICTLY OLDER than the previous consumed
+    * sequence (the current and previous snapshots stay — the previous one
+    * covers a sync that crashed between ledger write and commit).
+    * Best-effort: a surviving stale file is dead weight, never wrong. */
+  private def pruneLedgers(destRoot: Path, keepFrom: Long): Unit = {
+    val dir = destRoot.resolve(LedgerDir)
+    val re = raw"ledger-(\d+)-(\d+)\.json".r
+    store.listFileNames(dir).foreach {
+      case n @ re(s, _) if s.toLong < keepFrom =>
+        scala.util.Try(store.delete(dir.resolve(n))): Unit
+      case _ => ()
+    }
   }
 
   // ------------------------------------------------------------ replay
@@ -674,7 +1114,7 @@ object IcebergImport {
     * absent. A v1 table's sync ordering key is its metadata version
     * (monotonic per commit), since `last-sequence-number` does not exist
     * before v2. */
-  private def replay(root: Path): IcebergState = {
+  private[migrate] def replay(root: Path): IcebergState = {
     val metaDir = root.resolve("metadata")
     val (metaVersion, meta) = resolveMetadata(metaDir)
     val formatVersion = num(meta.get("format-version"))
@@ -721,13 +1161,15 @@ object IcebergImport {
       ColumnIds.idOf(f).get -> f.name).toMap
     // the manifest partition record's Avro fields are named by the SPEC
     // field, which a foreign writer may name differently from the column
-    val partFields: Seq[PartField] = spec.map { f =>
-      val column = idToName.getOrElse(num(f.get("source-id")),
-        throw new IllegalArgumentException(
-          s"partition source-id ${f.get("source-id")} is not a " +
-            "top-level schema column"))
-      PartField(f.get("name").toString, column, f.get("transform").toString)
-    }
+    def partFieldsOf(fields: Seq[java.util.Map[String, Object]]): Seq[PartField] =
+      fields.map { f =>
+        val column = idToName.getOrElse(num(f.get("source-id")),
+          throw new IllegalArgumentException(
+            s"partition source-id ${f.get("source-id")} is not a " +
+              "top-level schema column"))
+        PartField(f.get("name").toString, column, f.get("transform").toString)
+      }
+    val partFields: Seq[PartField] = partFieldsOf(spec)
 
     // ---- current snapshot -> manifests -> live files + deletes ----
     val currentSnap = Option(meta.get("current-snapshot-id"))
@@ -827,7 +1269,7 @@ object IcebergImport {
       Option(meta.get("last-sequence-number")).map(num)
         .getOrElse(if (formatVersion == 1) metaVersion else 0L),
       formatVersion, schemaWithIds, partFields, live, liveSeq, liveScope,
-      allSpecs.view.mapValues(_.size).toMap,
+      allSpecs.view.mapValues(partFieldsOf).toMap,
       posDeletes.toList, eqDeletes.toList)
   }
 

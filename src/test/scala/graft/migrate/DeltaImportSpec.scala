@@ -1309,4 +1309,114 @@ class DeltaImportSpec extends SparkSpec {
     // footer stats are exact for longs -> metadata min/max answers
     t.statsMinMax("id") shouldBe Some((0L, 9L))
   }
+
+  test("followable rewrite: syncRewrite follows adds, removes, DV growth " +
+    "and DV purge on a partitioned source; replay no-ops; in-place sync, " +
+    "local DML, one-shot destinations, and schema changes refuse") {
+    val src = tmpDir("delta-rwsync").resolve("src")
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    def pMeta(schemaJson: String = pSchema.json) = json(Map("metaData" -> Map(
+      "id" -> "44444444-0000-1111-2222-333344445555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> schemaJson,
+      "partitionColumns" -> Seq("p"), "configuration" -> Map.empty,
+      "createdTime" -> 1700000000000L)))
+    dataFile(src, "f0.parquet", spark.range(0, 5).toDF("id"))
+    dataFile(src, "f1.parquet", spark.range(5, 10).toDF("id"))
+    val log = src.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), pMeta(),
+      addLine(null, "f0.parquet", 0, 4, stats = false, pv = Map("p" -> "a")),
+      addLine(null, "f1.parquet", 5, 9, stats = false, pv = Map("p" -> "b"))))
+    val dest = tmpDir("delta-rwsync").resolve("dest").toString
+    val t = DeltaImport.convertRewrite(spark, src.toString, dest, follow = true)
+    t.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (0L to 9L)
+    // lineage rides the rows: log-relative file + PHYSICAL row position
+    t.read().filter(col("_src_file") === "f0.parquet").count() shouldBe 5
+    t.read().filter(col("_src_file") === "f1.parquet" && col("_src_pos") === 2)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+
+    // the source advances: f1 removed, f2 (p=c) added, and a Delta DELETE
+    // re-adds f0 with a deletion vector masking positions {1, 2}
+    dataFile(src, "f2.parquet", spark.range(10, 15).toDF("id"))
+    writeCommit(log, 1, Seq(removeLine("f1.parquet"),
+      addLine(null, "f2.parquet", 10, 14, stats = false, pv = Map("p" -> "c")),
+      addLine(null, "f0.parquet", 0, 4, stats = false,
+        dv = realDv(src, Seq(1L, 2L)), pv = Map("p" -> "a"))))
+    val v1 = DeltaImport.syncRewrite(spark, src.toString, dest)
+    val t2 = LakeTable.forPath(spark, dest)
+    t2.read().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 3L, 4L, 10L, 11L, 12L, 13L, 14L)
+    // partition values survived the churn; lineage still points at f0
+    t2.read().filter(col("p") === "a")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 3L, 4L)
+    t2.read().filter(col("_src_file") === "f0.parquet")
+      .select("_src_pos").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 3L, 4L)
+    // replay: no-op
+    DeltaImport.syncRewrite(spark, src.toString, dest) shouldBe v1
+    t2.read().count() shouldBe 8
+
+    // a Delta-side purge re-adds f0 WITHOUT a descriptor: the masked rows
+    // RETURN (remove + re-add under the current vector state)
+    writeCommit(log, 2, Seq(
+      addLine(null, "f0.parquet", 0, 4, stats = false, pv = Map("p" -> "a"))))
+    DeltaImport.syncRewrite(spark, src.toString, dest)
+    LakeTable.forPath(spark, dest).read()
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 14L)
+
+    // the in-place sync names the right tool for a rewrite destination
+    intercept[IllegalArgumentException] {
+      DeltaImport.sync(spark, dest)
+    }.getMessage should include("syncRewrite")
+    // a one-shot destination carries no lineage
+    val oneShot = tmpDir("delta-rwsync").resolve("oneshot").toString
+    DeltaImport.convertRewrite(spark, src.toString, oneShot)
+    intercept[IllegalArgumentException] {
+      DeltaImport.syncRewrite(spark, src.toString, oneShot)
+    }.getMessage should include("follow = true")
+    // a source schema change is the cut-over moment for a rewrite dest
+    val wideSchema = StructType(pSchema.fields :+ StructField("extra", StringType))
+    writeCommit(log, 3, Seq(pMeta(wideSchema.json)))
+    intercept[IllegalArgumentException] {
+      DeltaImport.syncRewrite(spark, src.toString, dest)
+    }.getMessage should include("schema changed")
+    // roll the source back to the followable shape; local DML then refuses
+    writeCommit(log, 4, Seq(pMeta()))
+    LakeTable.forPath(spark, dest).delete(col("id") === 0L)
+    intercept[IllegalArgumentException] {
+      DeltaImport.syncRewrite(spark, src.toString, dest)
+    }.getMessage should include("cut-over")
+  }
+
+  test("followable rewrite survives a destination OPTIMIZE between syncs: " +
+    "lineage rides compaction, and the next sync still prunes by it") {
+    val src = tmpDir("delta-rwsync-opt").resolve("src")
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    dataFile(src, "f0.parquet", spark.range(0, 5).toDF("id"))
+    dataFile(src, "f1.parquet", spark.range(5, 10).toDF("id"))
+    val log = src.resolve("_delta_log")
+    writeCommit(log, 0, Seq(protoLine(), json(Map("metaData" -> Map(
+      "id" -> "55555555-0000-1111-2222-333344445555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> pSchema.json,
+      "partitionColumns" -> Seq("p"), "configuration" -> Map.empty,
+      "createdTime" -> 1700000000000L))),
+      addLine(null, "f0.parquet", 0, 4, stats = false, pv = Map("p" -> "a")),
+      addLine(null, "f1.parquet", 5, 9, stats = false, pv = Map("p" -> "a"))))
+    val dest = tmpDir("delta-rwsync-opt").resolve("dest").toString
+    DeltaImport.convertRewrite(spark, src.toString, dest, follow = true)
+    LakeTable.forPath(spark, dest).optimizeCompact(): Unit
+    // the source then drops f1 — the post-compaction merge must still
+    // remove exactly f1's rows by the lineage COLUMN
+    writeCommit(log, 1, Seq(removeLine("f1.parquet")))
+    DeltaImport.syncRewrite(spark, src.toString, dest)
+    LakeTable.forPath(spark, dest).read()
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (0L to 4L)
+  }
 }

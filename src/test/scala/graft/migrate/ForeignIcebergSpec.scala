@@ -516,6 +516,7 @@ class ForeignIcebergSpec extends SparkSpec {
   private val entrySchema2 = new org.apache.avro.Schema.Parser().parse("""{
     "type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
       {"name":"data_file","type":{
         "type":"record","name":"r2","fields":[
           {"name":"content","type":"int"},
@@ -528,8 +529,13 @@ class ForeignIcebergSpec extends SparkSpec {
           {"name":"file_size_in_bytes","type":"long"},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
 
+  /** `explicitSeq`/`status = 0` model a compaction-born EXISTING entry: a
+    * new path carrying its OLD data sequence number (the Iceberg spec
+    * requires EXISTING entries to spell their sequence explicitly instead
+    * of inheriting the manifest's). */
   private def entry2(content: Int, path: Path, count: Long,
-      partValue: Integer = null, eqIds: Seq[Int] = Nil): GenericRecord = {
+      partValue: Integer = null, eqIds: Seq[Int] = Nil,
+      explicitSeq: java.lang.Long = null, status: Int = 1): GenericRecord = {
     val dfs = entrySchema2.getField("data_file").schema()
     val part = new GenericData.Record(dfs.getField("partition").schema())
     part.put("p_int", partValue)
@@ -543,7 +549,8 @@ class ForeignIcebergSpec extends SparkSpec {
     if (eqIds.nonEmpty)
       d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
     val e = new GenericData.Record(entrySchema2)
-    e.put("status", 1)
+    e.put("status", status)
+    if (explicitSeq != null) e.put("sequence_number", explicitSeq)
     e.put("data_file", d)
     e
   }
@@ -742,6 +749,432 @@ class ForeignIcebergSpec extends SparkSpec {
       Seq(1L, 2L, 3L)
     t.read().filter(col("p_int") === java.sql.Date.valueOf("1970-04-12"))
       .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L)
+  }
+
+  /** Publish metadata version `v` for the days(ts)-layout schema
+    * (id long / ts timestamptz / v string; spec 0 = days(ts) as `p_int`,
+    * spec 1 = unpartitioned) whose current snapshot lists `manifests` —
+    * one foreign writer commit in the rewrite-sync lifecycle. */
+  private def publishDays(dir: Path, v: Long, seq: Long,
+      manifests: Seq[GenericRecord]): Unit = {
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val listPath = metaDir.resolve(s"snap-$v.avro")
+    writeAvro(listPath, listSchema, manifests)
+    Files.write(metaDir.resolve(s"v$v.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir.toString,
+      "last-sequence-number" -> seq, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 3, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "ts", "required" -> false, "type" -> "timestamptz"),
+          Map("id" -> 3, "name" -> "v", "required" -> false, "type" -> "string")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(
+        Map("spec-id" -> 0, "fields" -> Seq(Map(
+          "name" -> "p_int", "transform" -> "days",
+          "source-id" -> 2, "field-id" -> 1000))),
+        Map("spec-id" -> 1, "fields" -> Nil)),
+      "last-partition-id" -> 1000, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty,
+      "current-snapshot-id" -> (41 + v),
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> (41 + v), "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> seq, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "overwrite"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      v.toString.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private def mkDays(rows: Seq[(Long, String, String)]) =
+    rows.toDF("id", "ts0", "v")
+      .select(col("id").as("id", fid(1)),
+        col("ts0").cast("timestamp").as("ts", fid(2)),
+        col("v").as("v", fid(3)))
+
+  test("followable rewrite: syncRewrite follows appends, removes, position " +
+    "deletes, and equality deletes; replay no-ops; OPTIMIZE between syncs " +
+    "is fine; local DML and the in-place sync refuse") {
+    val dir = tmpDir("foreign-rwsync").resolve("t")
+    // f1 (seq 1): ids 1-4 over two days; f2 (seq 1): ids 10-11
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    val f2 = rawFile(dir, "f2.parquet", mkDays(Seq(
+      (10L, "2024-01-01 09:00:00", "e"), (11L, "2024-01-02 09:00:00", "f"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 4L, 19723)))
+    val m2 = metaDir.resolve("m-2.avro")
+    writeAvro(m2, entrySchema2, Seq(entry2(0, f2, 2L, 19723)))
+    publishDays(dir, 1, 1L, Seq(listRowSeq(m1, 0, 1L), listRowSeq(m2, 0, 1L)))
+
+    val destDir = tmpDir("foreign-rwsync").resolve("dest").toString
+    val t = IcebergImport.convertRewrite(spark, dir.toString, destDir,
+      follow = true)
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L, 10L, 11L)
+    // lineage rides the rows: source file + position, root-relative
+    t.read().filter(col("_src_file") === "f1.parquet").count() shouldBe 4
+    t.read().filter(col("_src_file") === "f2.parquet" && col("_src_pos") === 1)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(11L)
+
+    // the source advances: f2 compacted away, a position delete on f1
+    // pos 1 (id 2, seq 2), an equality delete on ids {3, 21} (seq 2,
+    // unpartitioned spec), and f3 appended at seq 3 — f3's id 21
+    // postdates the delete, so the strictly-smaller rule must keep it
+    val f3 = rawFile(dir, "f3.parquet", mkDays(Seq(
+      (20L, "2024-01-03 10:00:00", "i"), (21L, "2024-01-03 11:00:00", "j"))))
+    val posDel = rawFile(metaDir, "del-pos.parquet",
+      Seq((s"file:$f1", 1L)).toDF("file_path", "pos"))
+    val eqDel = rawFile(metaDir, "del-eq.parquet",
+      Seq(3L, 21L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val m3 = metaDir.resolve("m-3.avro")
+    writeAvro(m3, entrySchema2, Seq(entry2(0, f3, 2L, 19725)))
+    val mPos = metaDir.resolve("m-pos.avro")
+    writeAvro(mPos, entrySchema2, Seq(entry2(1, posDel, 1L)))
+    val mEq = metaDir.resolve("m-eq.avro")
+    writeAvro(mEq, entrySchema2, Seq(entry2(2, eqDel, 2L, eqIds = Seq(1))))
+    publishDays(dir, 2, 3L, Seq(listRowSeq(m1, 0, 1L),
+      listRowSeq(mEq, 1, 2L, specId = 1), listRowSeq(m3, 0, 3L),
+      listRowSeq(mPos, 1, 2L)))
+
+    val v1 = IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    val t2 = LakeTable.forPath(spark, destDir)
+    // f1 lost id 2 (pos-delete) and id 3 (eq-delete, seq 1 < 2); f2's
+    // rows followed its removal; f3's 20 and 21 arrived (21 survives the
+    // delete: seq 3 > 2)
+    t2.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 4L, 20L, 21L)
+    // generated day keys recomputed on the appended rows; pruning works
+    t2.read().filter(col("p_int") =!= col("ts").cast("date"))
+      .count() shouldBe 0
+    t2.read(Seq(col("p_int") === java.sql.Date.valueOf("2024-01-03")))
+      .inputFiles.length should be < t2.snapshot().numFiles
+    // replay: no-op, same version, same rows
+    IcebergImport.syncRewrite(spark, dir.toString, destDir) shouldBe v1
+    t2.read().count() shouldBe 4
+    // the in-place sync names the right tool for a rewrite destination
+    intercept[IllegalArgumentException] {
+      IcebergImport.sync(spark, destDir)
+    }.getMessage should include("syncRewrite")
+    // OPTIMIZE between syncs is allowed — lineage rides the rows through
+    // compaction — and the next sync still follows
+    LakeTable.forPath(spark, destDir).optimizeCompact(): Unit
+    val f4 = rawFile(dir, "f4.parquet", mkDays(Seq(
+      (30L, "2024-01-04 10:00:00", "k"))))
+    val m4 = metaDir.resolve("m-4.avro")
+    writeAvro(m4, entrySchema2, Seq(entry2(0, f4, 1L, 19726)))
+    publishDays(dir, 3, 4L, Seq(listRowSeq(m1, 0, 1L),
+      listRowSeq(mEq, 1, 2L, specId = 1), listRowSeq(m3, 0, 3L),
+      listRowSeq(mPos, 1, 2L), listRowSeq(m4, 0, 4L)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 4L, 20L, 21L, 30L)
+    // local DML is the cut-over moment
+    LakeTable.forPath(spark, destDir).delete(col("id") === 1L)
+    intercept[IllegalArgumentException] {
+      IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    }.getMessage should include("cut-over")
+  }
+
+  test("syncRewrite follows a source-side COMPACTION: new paths carrying " +
+    "OLD data sequence numbers re-import without row loss, and a live " +
+    "equality delete the compactor did not apply still applies") {
+    val dir = tmpDir("foreign-rwsync-compact").resolve("t")
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 4L, 19723)))
+    publishDays(dir, 1, 1L, Seq(listRowSeq(m1, 0, 1L)))
+    val destDir = tmpDir("foreign-rwsync-compact").resolve("dest").toString
+    IcebergImport.convertRewrite(spark, dir.toString, destDir, follow = true)
+
+    // v2 (seq 2): an equality delete on id 2 arrives; f1 still live
+    val eqDel = rawFile(metaDir, "del-eq.parquet",
+      Seq(2L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mEq = metaDir.resolve("m-eq.avro")
+    writeAvro(mEq, entrySchema2, Seq(entry2(2, eqDel, 1L, eqIds = Seq(1))))
+    publishDays(dir, 2, 2L, Seq(listRowSeq(m1, 0, 1L),
+      listRowSeq(mEq, 1, 2L, specId = 1)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L, 4L)
+
+    // v3 (seq 3): a compactor rewrites f1 -> f1c WITHOUT applying the
+    // equality delete — an EXISTING entry at the OLD sequence (1), so the
+    // live delete (seq 2) still logically masks id 2 in the new file
+    val f1c = rawFile(dir, "f1c.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    val m1c = metaDir.resolve("m-1c.avro")
+    writeAvro(m1c, entrySchema2, Seq(
+      entry2(0, f1c, 4L, 19723, explicitSeq = 1L, status = 0)))
+    publishDays(dir, 3, 3L, Seq(listRowSeq(m1c, 0, 3L),
+      listRowSeq(mEq, 1, 2L, specId = 1)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    val after = LakeTable.forPath(spark, destDir).read()
+    // no row loss, no duplicates, and id 2 stays deleted (old seq + live
+    // delete); lineage now points at the compacted file
+    after.select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 4L)
+    after.select("_src_file").distinct().as[String].collect().toSeq shouldBe
+      Seq("f1c.parquet")
+  }
+
+  test("syncRewrite refusals: a one-shot destination, a scoped equality " +
+    "delete against imported rows, and a source partition-spec change " +
+    "all refuse loudly; a lineage-name collision refuses at import") {
+    val dir = tmpDir("foreign-rwsync-refuse").resolve("t")
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 11:00:00", "b"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 2L, 19723)))
+    publishDays(dir, 1, 1L, Seq(listRowSeq(m1, 0, 1L)))
+    // one-shot (follow = false) destination carries no lineage
+    val oneShot = tmpDir("foreign-rwsync-refuse").resolve("oneshot").toString
+    IcebergImport.convertRewrite(spark, dir.toString, oneShot)
+    intercept[IllegalArgumentException] {
+      IcebergImport.syncRewrite(spark, dir.toString, oneShot)
+    }.getMessage should include("follow = true")
+    val destDir = tmpDir("foreign-rwsync-refuse").resolve("dest").toString
+    IcebergImport.convertRewrite(spark, dir.toString, destDir, follow = true)
+    // a PARTITION-SCOPED equality delete cannot apply to already-imported
+    // rows (the source tuple does not exist on the rewritten layout)
+    val eqDel = rawFile(metaDir, "del-eq.parquet",
+      Seq(1L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mEq = metaDir.resolve("m-eq.avro")
+    writeAvro(mEq, entrySchema2, Seq(entry2(2, eqDel, 1L, 19723, Seq(1))))
+    publishDays(dir, 2, 2L, Seq(listRowSeq(m1, 0, 1L),
+      listRowSeq(mEq, 1, 2L)))
+    intercept[IllegalArgumentException] {
+      IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    }.getMessage should include("partition scope")
+    // a spec change is a re-layout: refuse (publish v3 with an hours()
+    // spec under the same schema)
+    val listPath = metaDir.resolve("snap-respec.avro")
+    writeAvro(listPath, listSchema, Seq(listRowSeq(m1, 0, 1L)))
+    Files.write(metaDir.resolve("v3.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir.toString,
+      "last-sequence-number" -> 3, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 3, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "ts", "required" -> false, "type" -> "timestamptz"),
+          Map("id" -> 3, "name" -> "v", "required" -> false, "type" -> "string")))),
+      "default-spec-id" -> 2,
+      "partition-specs" -> Seq(
+        Map("spec-id" -> 0, "fields" -> Seq(Map(
+          "name" -> "p_int", "transform" -> "days",
+          "source-id" -> 2, "field-id" -> 1000))),
+        Map("spec-id" -> 2, "fields" -> Seq(Map(
+          "name" -> "p_int", "transform" -> "hours",
+          "source-id" -> 2, "field-id" -> 1001)))),
+      "last-partition-id" -> 1001, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> 44,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 44, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> 3, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "overwrite"),
+        "manifest-list" -> s"file:$listPath")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "3".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    }.getMessage should include("partition spec changed")
+    // a source column named like the lineage column refuses follow mode
+    val dir2 = tmpDir("foreign-rwsync-refuse").resolve("t2")
+    val clash = rawFile(dir2, "c.parquet",
+      Seq((1L, "x")).toDF("id", "sf").select(col("id").as("id", fid(1)),
+        col("sf").as("_src_file", fid(2))))
+    val metaDir2 = dir2.resolve("metadata")
+    Files.createDirectories(metaDir2)
+    val mC = metaDir2.resolve("m-c.avro")
+    writeAvro(mC, entrySchema2, Seq(entry2(0, clash, 1L)))
+    val listC = metaDir2.resolve("snap-c.avro")
+    writeAvro(listC, listSchema, Seq(listRowSeq(mC, 0, 1L)))
+    Files.write(metaDir2.resolve("v1.metadata.json"), json(Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.randomUUID().toString,
+      "location" -> dir2.toString,
+      "last-sequence-number" -> 1, "last-updated-ms" -> 1700000000000L,
+      "last-column-id" -> 2, "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> Seq(
+          Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+          Map("id" -> 2, "name" -> "_src_file", "required" -> false,
+            "type" -> "string")))),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+      "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> Map.empty, "current-snapshot-id" -> 42,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+        "sequence-number" -> 1, "schema-id" -> 0,
+        "summary" -> Map("operation" -> "append"),
+        "manifest-list" -> s"file:$listC")),
+      "snapshot-log" -> Nil, "metadata-log" -> Nil))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir2.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    val d2 = tmpDir("foreign-rwsync-refuse").resolve("d2").toString
+    intercept[IllegalArgumentException] {
+      IcebergImport.convertRewrite(spark, dir2.toString, d2, follow = true)
+    }.getMessage should include("lineage")
+    // follow = false imports it fine (no lineage columns added)
+    IcebergImport.convertRewrite(spark, dir2.toString, d2)
+      .read().count() shouldBe 1
+  }
+
+  test("equality-delete scope across SPEC GENERATIONS: a scope implied by " +
+    "the equality key applies cross-spec (Flink upsert shape); a genuine " +
+    "tuple scope over mixed-spec live files refuses instead of silently " +
+    "never matching") {
+    val dir = tmpDir("foreign-crossspec").resolve("t")
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("id", "ts0")
+      .select(col("id").as("id", fid(1)),
+        col("ts0").cast("timestamp").as("ts", fid(2)))
+    // fA under spec 0 = days(ts); fB under spec 2 = bucket[4](id) — the
+    // table repartitioned between the two writes
+    val fA = rawFile(dir, "fa.parquet", mk(Seq(
+      (1L, "2024-01-01 10:00:00"), (5L, "2024-01-01 11:00:00"))))
+    val fB = rawFile(dir, "fb.parquet", mk(Seq(
+      (2L, "2024-01-02 10:00:00"), (5L, "2024-01-02 11:00:00"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mA = metaDir.resolve("m-a.avro")
+    writeAvro(mA, entrySchema2, Seq(entry2(0, fA, 2L, 19723)))
+    val mB = metaDir.resolve("m-b.avro")
+    writeAvro(mB, entrySchema2, Seq(entry2(0, fB, 2L, 1)))
+    // the delete rides spec 2 (bucket over id) scoped to bucket 1 — but
+    // its every scoped dimension's source column IS the equality key, so
+    // the scope is implied by key equality and applies table-wide
+    val eqImplied = rawFile(metaDir, "del-implied.parquet",
+      Seq(5L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mImp = metaDir.resolve("m-imp.avro")
+    writeAvro(mImp, entrySchema2, Seq(entry2(2, eqImplied, 1L, 1, Seq(1))))
+    def publish3(v: Long, seq: Long, manifests: Seq[GenericRecord]): Unit = {
+      val listPath = metaDir.resolve(s"snap-x$v.avro")
+      writeAvro(listPath, listSchema, manifests)
+      Files.write(metaDir.resolve(s"v$v.metadata.json"), json(Map(
+        "format-version" -> 2,
+        "table-uuid" -> java.util.UUID.randomUUID().toString,
+        "location" -> dir.toString,
+        "last-sequence-number" -> seq, "last-updated-ms" -> 1700000000000L,
+        "last-column-id" -> 2, "current-schema-id" -> 0,
+        "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+          "fields" -> Seq(
+            Map("id" -> 1, "name" -> "id", "required" -> false, "type" -> "long"),
+            Map("id" -> 2, "name" -> "ts", "required" -> false,
+              "type" -> "timestamptz")))),
+        "default-spec-id" -> 2,
+        "partition-specs" -> Seq(
+          Map("spec-id" -> 0, "fields" -> Seq(Map(
+            "name" -> "p_int", "transform" -> "days",
+            "source-id" -> 2, "field-id" -> 1000))),
+          Map("spec-id" -> 1, "fields" -> Nil),
+          Map("spec-id" -> 2, "fields" -> Seq(Map(
+            "name" -> "p_int", "transform" -> "bucket[4]",
+            "source-id" -> 1, "field-id" -> 1001)))),
+        "last-partition-id" -> 1001, "default-sort-order-id" -> 0,
+        "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+        "properties" -> Map.empty, "current-snapshot-id" -> 42,
+        "snapshots" -> Seq(Map(
+          "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+          "sequence-number" -> seq, "schema-id" -> 0,
+          "summary" -> Map("operation" -> "overwrite"),
+          "manifest-list" -> s"file:$listPath")),
+        "snapshot-log" -> Nil, "metadata-log" -> Nil))
+        .getBytes(StandardCharsets.UTF_8))
+      Files.write(metaDir.resolve("version-hint.text"),
+        v.toString.getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    publish3(1, 2L, Seq(listRowSeq(mA, 0, 1L, specId = 0),
+      listRowSeq(mB, 0, 1L, specId = 2), listRowSeq(mImp, 1, 2L, specId = 2)))
+    val d1 = tmpDir("foreign-crossspec").resolve("d1").toString
+    val t = IcebergImport.convertRewrite(spark, dir.toString, d1)
+    // id 5 deleted from BOTH files — fA's spec-0 tuple never blocked the
+    // key-implied scope
+    t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L)
+    // a GENUINE tuple scope (days over ts — ts is not in the key) over
+    // mixed-spec live files refuses: tuples are not comparable across
+    // spec generations, and silently never-matching would KEEP rows the
+    // delete intended to remove
+    val eqScoped = rawFile(metaDir, "del-scoped.parquet",
+      Seq(1L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mSc = metaDir.resolve("m-sc.avro")
+    writeAvro(mSc, entrySchema2, Seq(entry2(2, eqScoped, 1L, 19723, Seq(1))))
+    publish3(2, 3L, Seq(listRowSeq(mA, 0, 1L, specId = 0),
+      listRowSeq(mB, 0, 1L, specId = 2), listRowSeq(mSc, 1, 3L, specId = 0)))
+    val d2 = tmpDir("foreign-crossspec").resolve("d2").toString
+    intercept[IllegalArgumentException] {
+      IcebergImport.convertRewrite(spark, dir.toString, d2)
+    }.getMessage should include("different spec")
+  }
+
+  test("equality-delete resolution GROUPS files by key set — N delete " +
+    "files of one key set read as ONE grouped scan, not N plan legs " +
+    "(the Flink-CDC thousands-of-delete-files shape)") {
+    val dir = tmpDir("foreign-eqgroup").resolve("t")
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // 5 delete files keyed on id (field 1), 3 keyed on (id, v) (1 and 3)
+    val idDels = (0 until 5).map { i =>
+      rawFile(metaDir, s"eq-id-$i.parquet",
+        Seq(100L + i).toDF("id0").select(col("id0").as("id", fid(1)))) }
+    val pairDels = (0 until 3).map { i =>
+      rawFile(metaDir, s"eq-pair-$i.parquet",
+        Seq((200L + i, "x")).toDF("id0", "v0").select(
+          col("id0").as("id", fid(1)), col("v0").as("v", fid(3)))) }
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 4L, 19723)))
+    val mDels = (idDels.map(p => p -> Seq(1)) ++
+      pairDels.map(p => p -> Seq(1, 3))).zipWithIndex.map {
+      case ((p, ids), i) =>
+        val mp = metaDir.resolve(s"m-eq-$i.avro")
+        writeAvro(mp, entrySchema2, Seq(entry2(2, p, 1L, eqIds = ids)))
+        mp
+    }
+    publishDays(dir, 1, 2L, listRowSeq(m1, 0, 1L) +:
+      mDels.map(listRowSeq(_, 1, 2L, specId = 1)))
+    val st = IcebergImport.replay(dir.toAbsolutePath.normalize)
+    val groups = IcebergImport.resolveEqDeletes(st, st.eqDeletes)
+    // 8 files -> exactly 2 groups (one per key set), each carrying ALL
+    // its files for a single multi-path read
+    groups.map { case (srcNames, keyFields, dels) =>
+      (srcNames, keyFields.map(_.name), dels.size) } shouldBe Seq(
+      (Seq("id"), Seq("id"), 5), (Seq("id", "v"), Seq("id", "v"), 3))
+    groups.head._3.map(_.path).toSet shouldBe idDels.map(_.toString).toSet
+    // and the import itself stays correct with the grouped shape
+    val dest = tmpDir("foreign-eqgroup").resolve("dest").toString
+    IcebergImport.convertRewrite(spark, dir.toString, dest)
+      .read().select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L)
   }
 
   test("a genuine v1 (legacy schema/partition-spec keys, no content or " +

@@ -239,10 +239,13 @@ class IcebergSyncFuzzSpec extends SparkSpec {
     }
   }
 
-  /** Entry schema with equality_ids — the rewrite-fuzz shape (r13). */
+  /** Entry schema with equality_ids and an optional explicit entry-level
+    * sequence number — the rewrite-fuzz shape (r13, extended r14 for
+    * compaction-born EXISTING entries). */
   private val eqEntrySchema = new org.apache.avro.Schema.Parser().parse("""{
     "type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
       {"name":"data_file","type":{
         "type":"record","name":"r2","fields":[
           {"name":"content","type":"int"},
@@ -387,6 +390,201 @@ class IcebergSyncFuzzSpec extends SparkSpec {
         t.read().select("id").as[Long].collect().sorted.toSeq shouldBe
           expected.sorted
       }
+    }
+  }
+
+  test("randomized followable-rewrite lifecycles — appends, removes, " +
+    "compactions keeping old sequence numbers, equality and position " +
+    "deletes at arbitrary sync points — match the model's surviving rows") {
+    val rnd = new scala.util.Random(20260818L)
+    (0 until 3).foreach { trial =>
+      val dir = tmpDir(s"iceberg-rwfuzz-$trial").resolve("t")
+      Files.createDirectories(dir)
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      def writeOne(target: Path, df: org.apache.spark.sql.DataFrame): Unit = {
+        val staging = Files.createTempDirectory("iceberg-rwfuzz-stage")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("out").toString)
+        val part = {
+          val s = Files.list(staging.resolve("out"))
+          try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        Files.move(part, target)
+        graft.log.TxLog.deleteRecursively(staging): Unit
+      }
+      def idFile(target: Path, ids: Seq[Long]): Unit =
+        writeOne(target, ids.toDF("id0").select(col("id0").as("id", fid(1))))
+
+      // ---- model: live files (ids in written order + data seq), masked
+      // positions per live file, all equality deletes ever published ----
+      val live = mutable.LinkedHashMap.empty[String, (Seq[Long], Long)]
+      val posMasks = mutable.Map.empty[String, Set[Long]]
+        .withDefaultValue(Set.empty)
+      // (delete-file name, keys, seq) — delete files stay in the manifests
+      val eqDels = mutable.ArrayBuffer.empty[(String, Set[Long], Long)]
+      // pos-delete files currently in the manifests: name -> target file
+      val posDelFiles = mutable.LinkedHashMap.empty[String, String]
+      var seq = 0L
+      var version = 0L
+      var nextId = 0L
+      var nFile = 0
+      def mutate(): Unit = {
+        seq += 1 // every publish is one foreign snapshot at this seq
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 => // append a new data file
+              val name = s"f$nFile.parquet"; nFile += 1
+              val ids = (nextId until nextId + 5).toSeq; nextId += 5
+              idFile(dir.resolve(name), ids)
+              live(name) = (ids, seq)
+            case 1 if live.size > 1 => // copy-on-write remove
+              val name = live.keys.toSeq(rnd.nextInt(live.size))
+              live.remove(name); posMasks.remove(name)
+              posDelFiles.filterInPlace((_, tgt) => tgt != name): Unit
+            case 2 if live.nonEmpty => // compaction: new path, OLD seq,
+              // position deletes applied by the compactor, eq deletes NOT
+              val name = live.keys.toSeq(rnd.nextInt(live.size))
+              val (ids, fseq) = live(name)
+              val kept = ids.zipWithIndex.collect {
+                case (id, p) if !posMasks(name)(p.toLong) => id }
+              val cname = s"c$nFile.parquet"; nFile += 1
+              idFile(dir.resolve(cname), kept)
+              live.remove(name); posMasks.remove(name)
+              posDelFiles.filterInPlace((_, tgt) => tgt != name)
+              live(cname) = (kept, fseq)
+            case 3 if live.nonEmpty => // new position-delete file
+              val name = live.keys.toSeq(rnd.nextInt(live.size))
+              val fresh = (0 until live(name)._1.size)
+                .filter(_ => rnd.nextInt(4) == 0).map(_.toLong).toSet --
+                posMasks(name)
+              if (fresh.nonEmpty) {
+                val dname = s"pd$nFile.parquet"; nFile += 1
+                writeOne(metaDir.resolve(dname), fresh.toSeq.sorted
+                  .map(p => (dir.resolve(name).toString, p))
+                  .toDF("file_path", "pos"))
+                posDelFiles(dname) = name
+                posMasks(name) = posMasks(name) ++ fresh
+              }: Unit
+            case _ => // new equality delete (table-wide: unpartitioned)
+              val keys = (0L until nextId)
+                .filter(_ => rnd.nextInt(6) == 0).toSet
+              if (keys.nonEmpty) {
+                val dname = s"eq$nFile.parquet"; nFile += 1
+                idFile(metaDir.resolve(dname), keys.toSeq.sorted)
+                eqDels += ((dname, keys, seq))
+              }: Unit
+          }
+        }
+        if (live.isEmpty) {
+          val name = s"f$nFile.parquet"; nFile += 1
+          val ids = (nextId until nextId + 5).toSeq; nextId += 5
+          idFile(dir.resolve(name), ids)
+          live(name) = (ids, seq)
+        }
+      }
+      def publish(): Unit = {
+        version += 1
+        def mk(name: String, content: Int, path: Path, count: Long,
+            eqIds: Seq[Int], entrySeq: Long, status: Int): Path = {
+          val dfs = eqEntrySchema.getField("data_file").schema()
+          val d = new GenericData.Record(dfs)
+          d.put("content", content)
+          d.put("file_path", path.toString)
+          d.put("file_format", "PARQUET")
+          d.put("partition",
+            new GenericData.Record(dfs.getField("partition").schema()))
+          d.put("record_count", count)
+          d.put("file_size_in_bytes", Files.size(path))
+          if (eqIds.nonEmpty)
+            d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+          val e = new GenericData.Record(eqEntrySchema)
+          e.put("status", status)
+          e.put("sequence_number", java.lang.Long.valueOf(entrySeq))
+          e.put("data_file", d)
+          val m = metaDir.resolve(name)
+          writeAvro(m, eqEntrySchema, Seq(e))
+          m
+        }
+        // every entry carries its EXPLICIT data sequence (the compaction
+        // shape); manifest-level seq is the publish seq
+        val manifests: Seq[(Path, Int, Long)] =
+          live.toSeq.zipWithIndex.map { case ((n, (ids, fseq)), i) =>
+            (mk(s"m-$version-d$i.avro", 0, dir.resolve(n), ids.size.toLong,
+              Nil, fseq, if (fseq < seq) 0 else 1), 0, fseq)
+          } ++ eqDels.toSeq.zipWithIndex.map { case ((n, keys, eseq), i) =>
+            (mk(s"m-$version-e$i.avro", 2, metaDir.resolve(n),
+              keys.size.toLong, Seq(1), eseq, 1), 1, eseq)
+          } ++ posDelFiles.keys.toSeq.zipWithIndex.map { case (n, i) =>
+            (mk(s"m-$version-p$i.avro", 1, metaDir.resolve(n), 1L, Nil,
+              seq, 1), 1, seq)
+          }
+        val listPath = metaDir.resolve(s"snap-$version.avro")
+        writeAvro(listPath, listSchema, manifests.map { case (p, content, s0) =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p.toString)
+          r.put("manifest_length", Files.size(p))
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", s0)
+          r.put("min_sequence_number", s0)
+          r.put("added_snapshot_id", 1000 + version)
+          r
+        })
+        Files.write(metaDir.resolve(s"v$version.metadata.json"), json(Map(
+          "format-version" -> 2, "table-uuid" -> s"rwfuzz-$trial",
+          "location" -> dir.toString,
+          "last-sequence-number" -> seq, "last-updated-ms" -> 1700000000000L,
+          "last-column-id" -> 1, "current-schema-id" -> 0,
+          "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0,
+            "fields" -> Seq(Map("id" -> 1, "name" -> "id",
+              "required" -> false, "type" -> "long")))),
+          "default-spec-id" -> 0,
+          "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+          "last-partition-id" -> 999, "default-sort-order-id" -> 0,
+          "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+          "properties" -> Map.empty, "current-snapshot-id" -> (1000 + version),
+          "snapshots" -> Seq(Map(
+            "snapshot-id" -> (1000 + version),
+            "timestamp-ms" -> 1700000000000L,
+            "sequence-number" -> seq, "schema-id" -> 0,
+            "summary" -> Map.empty, "manifest-list" -> listPath.toString)),
+          "snapshot-log" -> Nil, "metadata-log" -> Nil))
+          .getBytes(StandardCharsets.UTF_8))
+        Files.write(metaDir.resolve("version-hint.text"),
+          version.toString.getBytes(StandardCharsets.UTF_8)): Unit
+      }
+      def expected(): Seq[Long] = live.toSeq.flatMap { case (n, (ids, fseq)) =>
+        ids.zipWithIndex.collect {
+          case (id, p) if !posMasks(n)(p.toLong) &&
+            !eqDels.exists { case (_, keys, eseq) =>
+              keys.contains(id) && fseq < eseq } => id
+        }
+      }
+      def check(dest: String, stage: String): Unit =
+        withClue(s"trial=$trial stage=$stage live=$live masks=$posMasks " +
+          s"eq=${eqDels.map(d => (d._2, d._3))}: ") {
+          LakeTable.forPath(spark, dest).read()
+            .select("id").as[Long].collect().sorted.toSeq shouldBe
+            expected().sorted
+        }
+
+      mutate(); publish()
+      val dest = tmpDir(s"iceberg-rwfuzz-$trial").resolve("dest").toString
+      IcebergImport.convertRewrite(spark, dir.toString, dest, follow = true)
+      check(dest, "import")
+      (0 until 3).foreach { round =>
+        // 1-2 foreign snapshots per sync (skipping snapshots is the norm)
+        (0 until 1 + rnd.nextInt(2)).foreach { _ => mutate(); publish() }
+        IcebergImport.syncRewrite(spark, dir.toString, dest)
+        check(dest, s"sync-$round")
+      }
+      val v = LakeTable.forPath(spark, dest).version
+      IcebergImport.syncRewrite(spark, dir.toString, dest) shouldBe v
+      check(dest, "re-sync")
     }
   }
 }
