@@ -156,6 +156,7 @@ object SparkEntry {
     "q118_iceberg_eqdelete" -> (MetaOps.icebergEqualityDelete _),
     "q119_iceberg_rewrite_sync" -> (MetaOps.icebergRewriteSync _),
     "q120_delta_rewrite_sync" -> (MetaOps.deltaRewriteSync _),
+    "q121_stream_mirror" -> (MetaOps.streamMirror _),
     "q62_copy_into" -> (MetaOps.copyIntoIdempotent _),
     "q54_bloom_lookup" -> (TableOps.bloomPointLookup _),
     "q67_catalog_sql" -> (MetaOps.catalogSql _),

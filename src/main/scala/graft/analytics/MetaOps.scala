@@ -724,6 +724,45 @@ object MetaOps {
       .drop("od_day", "_src_file", "_src_pos")
   }
 
+  /** Mirror-streaming gate (q121): the convert/sync story ending at a
+    * RUNNING streaming consumer (r13 verdict task 6). A Delta source
+    * converts in place, a `followMirror` graft stream drains its snapshot
+    * into a downstream graft table, the source then swaps a file (remove +
+    * add — the commit shape that fails a plain stream), [[DeltaImport
+    * .sync]] catches up, and the SAME checkpointed stream drains again:
+    * the sync's net-new file arrives exactly once, the removed file's
+    * already-delivered rows stay (append-stream semantics — no
+    * retraction), nothing re-emits. Result: slices {0,1} from the initial
+    * snapshot plus slice {2} from the sync. */
+  def streamMirror(spark: SparkSession, sfDir: String): DataFrame = {
+    import DeltaFixture._
+    val orders = Tables.orders(spark, sfDir)
+    val src = Files.createTempDirectory("graft-q121").resolve("t")
+    Files.createDirectories(src)
+    (0 to 2).foreach(k => writeSlice(src, orders, s"f$k.parquet", 6, k))
+    commit(src, 0, Seq(protocol,
+      metaData("0a1b2c3d-0000-1111-2222-33334444aaaa", orders.schema.json),
+      add(src, "f0.parquet"), add(src, "f1.parquet")))
+    LakeTable.convert(spark, src.toString)
+    val out = Files.createTempDirectory("graft-q121-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-q121-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("followMirror", "true").load(src.toString)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    drain() // initial snapshot: slices {0, 1}
+    // the source swaps f1 for f2 — a remove + add sync commit
+    commit(src, 1, Seq(add(src, "f2.parquet"), remove("f1.parquet")))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    drain() // the sync's net-new file arrives; no retraction, no re-emit
+    LakeTable.forPath(spark, out).read()
+  }
+
   /** Delta continuous-migration gate (q111): import at Delta v1, then the
     * source keeps writing (v2 swaps a slice), and [[DeltaImport.sync]]
     * catches up as one net graft commit — convert once, sync on a cadence,
@@ -1127,6 +1166,11 @@ object MetaOps {
       """SELECT * FROM orders
          WHERE (o_orderstatus = 'O' AND o_orderkey % 11 <> 0)
             OR o_orderstatus = 'P'""",
+    // the followMirror stream delivered slices {0,1} (initial snapshot)
+    // + {2} (the sync's net-new file); the removed file's rows stay
+    // (append-stream semantics, no retraction), nothing re-emitted
+    "q121_stream_mirror" ->
+      "SELECT * FROM orders WHERE o_orderkey % 6 IN (0, 1, 2)",
     "q34_describe_history" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE TABLE', CAST(-1 AS BIGINT), false),

@@ -19,6 +19,7 @@ import graft.table.LakeTable
   *   .option("startingTimestamp", "2026-01-01 00:00:00")  // first commit at/after
   *   .option("ignoreChanges", "true")                     // tolerate rewrites
   *   .option("ignoreDeletes", "true")                     // skip delete-only commits
+  *   .option("followMirror", "true")                      // stream a synced mirror
   * }}}
   *
   * Offsets are table VERSIONS (one long per micro-batch checkpoint): the
@@ -69,6 +70,21 @@ class GraftStreamSource(
       })
   private val ignoreChanges = options.get("ignoreChanges").contains("true")
   private val ignoreDeletes = options.get("ignoreDeletes").contains("true")
+
+  /** followMirror=true streams a SYNCED MIRROR (r14 — the convert-once/
+    * sync-on-a-cadence story ending at a RUNNING consumer): sync commits
+    * are accepted as the append stream they logically are. An in-place
+    * sync's adds are exactly the source files absent from the graft live
+    * set (net-difference semantics), so emitting them is exactly-once;
+    * source-side REMOVES and deletion-vector rebuilds do NOT retract —
+    * the consumer sees the mirror's insert stream, the documented trade
+    * (use the CDF stream, readChangeFeed=true, for deletes as rows).
+    * Rewrite-sync merge commits (lineage-keyed deletes on a followable
+    * rewrite destination) emit nothing; its appends are pure appends.
+    * Non-sync data-changing commits still fail without ignoreChanges —
+    * followMirror does not blanket-accept local DML. */
+  private val followMirror = options.get("followMirror").contains("true")
+  private val MirrorSyncOps = Set("CONVERT", "DELTA SYNC", "ICEBERG SYNC")
 
   /** readChangeFeed=true streams row-level CHANGES instead of table rows
     * (Delta's streaming CDF): each batch is `changes((last, end])` with
@@ -381,7 +397,8 @@ class GraftStreamSource(
   /** AddFiles a streaming reader must emit for ONE committed version. */
   private def addsFor(v: Long): Seq[AddFile] = {
     val actions = table.log.readVersion(v)
-    val op = actions.collectFirst { case ci: CommitInfo => ci.operation }.getOrElse("")
+    val ci = actions.collectFirst { case c: CommitInfo => c }
+    val op = ci.map(_.operation).getOrElse("")
     val adds = actions.collect { case a: AddFile => a }
     // dv/* tombstones ride every DV commit; the DeletionVector actions are
     // the real data-change signal
@@ -390,12 +407,30 @@ class GraftStreamSource(
     val dvChanged = actions.exists(_.isInstanceOf[DeletionVector])
     if (op == "OPTIMIZE") Nil // dataChange=false: same rows, new files
     else if (dataRemoves.isEmpty && !dvChanged) adds // pure append / metadata
+    else if (followMirror && MirrorSyncOps(op)) {
+      // net-NEW paths only: a sync commit may RE-ADD a path it already
+      // served (a Delta-side DELETE refreshes the same file's descriptor
+      // and stats) — emitting a re-add would duplicate rows the stream
+      // already delivered, so adds filter against the PREVIOUS version's
+      // live set; source-side removes and mask rebuilds do not retract
+      val prevLive = table.snapshot(Some(v - 1)).files.map(_.path).toSet
+      adds.filterNot(a => prevLive(a.path))
+    }
+    else if (followMirror && ci.exists(_.operationParameters
+        .get("txnAppId").exists(_.startsWith("graft-rwsync")))) Nil
+      // a rewrite-sync MERGE only deletes rows (its re-adds are rewritten
+      // files whose rows already streamed — emitting them would
+      // duplicate); the rewrite-sync APPEND is a pure append and never
+      // reaches this branch
     else if (ignoreChanges) adds
     else if (adds.isEmpty && ignoreDeletes) Nil
     else throw new IllegalStateException(
       s"streaming source saw a data-changing $op commit at version $v; " +
-        "set ignoreChanges=true to re-emit rewritten rows " +
-        "(or ignoreDeletes=true for remove-only commits)")
+        "set ignoreChanges=true to re-emit rewritten rows, " +
+        "ignoreDeletes=true for remove-only commits, or — on an " +
+        "imported mirror synced on a cadence — followMirror=true to " +
+        "stream the mirror's append stream (source-side deletes do not " +
+        "retract)")
   }
 
   private def appendsBetween(from: Long, to: Long): DataFrame =

@@ -440,4 +440,141 @@ class GraftStreamSourceSpec extends SparkSpec {
     widened.columns.sorted shouldBe Array("extra", "id", "v")
     widened.filter(col("id") === 101L).select("extra").as[Int].collect() shouldBe Array(8)
   }
+
+  // ---- minimal hand-written Delta source for the mirror-follow cases ----
+  private val deltaMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  private def dj(v: Any): String = deltaMapper.writeValueAsString(v)
+  private def deltaDataFile(dir: java.nio.file.Path, name: String,
+      d: org.apache.spark.sql.DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val staging = java.nio.file.Files.createTempDirectory("gss-mirror-stage")
+    d.coalesce(1).write.mode("overwrite").parquet(staging.resolve("out").toString)
+    val part = {
+      val st = java.nio.file.Files.list(staging.resolve("out"))
+      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.move(part, dir.resolve(name))
+    graft.log.TxLog.deleteRecursively(staging)
+  }
+  private def deltaCommit(dir: java.nio.file.Path, v: Long,
+      lines: Seq[String]): Unit = {
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+  private def deltaMeta(schemaJson: String, pcols: Seq[String] = Nil) =
+    dj(Map("metaData" -> Map(
+      "id" -> "aaaa1111-2222-3333-4444-555555555555",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> schemaJson, "partitionColumns" -> pcols,
+      "configuration" -> Map.empty, "createdTime" -> 1700000000000L)))
+  private def deltaProto(reader: Int = 1, features: Seq[String] = null) =
+    dj(Map("protocol" -> (Map(
+      "minReaderVersion" -> reader, "minWriterVersion" -> 2) ++
+      Option(features).map(f =>
+        Map("readerFeatures" -> f, "writerFeatures" -> f))
+        .getOrElse(Map.empty))))
+  private def deltaAdd(dir: java.nio.file.Path, name: String,
+      pv: Map[String, String] = Map.empty, dv: Map[String, Any] = null) =
+    dj(Map("add" -> (Map(
+      "path" -> name, "partitionValues" -> pv,
+      "size" -> java.nio.file.Files.size(dir.resolve(name)),
+      "modificationTime" -> 1700000001000L, "dataChange" -> true) ++
+      Option(dv).map("deletionVector" -> _).toMap)))
+  private def deltaRemove(name: String) = dj(Map("remove" -> Map(
+    "path" -> name, "deletionTimestamp" -> 1700000002000L,
+    "dataChange" -> true)))
+
+  test("followMirror streams a synced IN-PLACE mirror on a cadence: sync " +
+    "adds arrive exactly once, source-side removes and mask rebuilds do " +
+    "not retract or fail the stream; local DML still fails") {
+    val src = tmpDir("gss-mirror").resolve("t")
+    deltaDataFile(src, "f0.parquet", df(0 until 10))
+    deltaDataFile(src, "f1.parquet", df(10 until 20))
+    deltaCommit(src, 0, Seq(deltaProto(3, Seq("deletionVectors")),
+      deltaMeta(df(0 until 1).schema.json),
+      deltaAdd(src, "f0.parquet"), deltaAdd(src, "f1.parquet")))
+    LakeTable.convert(spark, src.toString)
+    val q = spark.readStream.format("graft")
+      .option("followMirror", "true").load(src.toString)
+      .writeStream.format("memory").queryName("gssMirror")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gssMirror").count() shouldBe 20
+    // the source swaps f1 for f2 — the DELTA SYNC commit carries add +
+    // remove; followMirror emits the net-NEW file only, never retracts
+    deltaDataFile(src, "f2.parquet", df(20 until 25))
+    deltaCommit(src, 1, Seq(deltaRemove("f1.parquet"),
+      deltaAdd(src, "f2.parquet")))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    q.processAllAvailable()
+    spark.table("gssMirror").count() shouldBe 25
+    spark.table("gssMirror").select("id").as[Long].collect().sorted shouldBe
+      (0L until 25L).toArray
+    // a Delta DELETE re-adds f0 with a vector: the sync rebuilds graft
+    // masks (a DV-only data change) — followMirror skips it, no retraction
+    val dvData = graft.migrate.DeltaDv.serializeArray(Seq(0L))
+    deltaCommit(src, 2, Seq(deltaAdd(src, "f0.parquet", dv = Map(
+      "storageType" -> "i",
+      "pathOrInlineDv" -> graft.migrate.DeltaDv.packInline(dvData),
+      "sizeInBytes" -> dvData.length, "cardinality" -> 1))))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    q.processAllAvailable()
+    spark.table("gssMirror").count() shouldBe 25
+    q.stop()
+    // followMirror does NOT blanket-accept local DML: a graft-side DELETE
+    // (cut-over) still fails the stream
+    val q2 = spark.readStream.format("graft")
+      .option("followMirror", "true").load(src.toString)
+      .writeStream.format("memory").queryName("gssMirror2")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    LakeTable.forPath(spark, src.toString).delete(col("id") === 3L)
+    val e = intercept[StreamingQueryException] { q2.processAllAvailable() }
+    e.getCause.getMessage should include("followMirror")
+  }
+
+  test("followMirror streams a followable REWRITE destination: the " +
+    "rewrite-sync's lineage merges emit nothing, its appends stream") {
+    val src = tmpDir("gss-rwmirror").resolve("src")
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    deltaDataFile(src, "f0.parquet", spark.range(0, 5).toDF("id"))
+    deltaDataFile(src, "f1.parquet", spark.range(5, 10).toDF("id"))
+    deltaCommit(src, 0, Seq(deltaProto(),
+      deltaMeta(pSchema.json, pcols = Seq("p")),
+      deltaAdd(src, "f0.parquet", pv = Map("p" -> "a")),
+      deltaAdd(src, "f1.parquet", pv = Map("p" -> "b"))))
+    val dest = tmpDir("gss-rwmirror").resolve("dest").toString
+    graft.migrate.DeltaImport.convertRewrite(spark, src.toString, dest,
+      follow = true)
+    val q = spark.readStream.format("graft")
+      .option("followMirror", "true").load(dest)
+      .writeStream.format("memory").queryName("gssRw")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("gssRw").count() shouldBe 10
+    // source drops f1 and adds f2: syncRewrite = one lineage merge-DELETE
+    // (emits nothing) + one pure append (streams)
+    deltaDataFile(src, "f2.parquet", spark.range(10, 15).toDF("id"))
+    deltaCommit(src, 1, Seq(deltaRemove("f1.parquet"),
+      deltaAdd(src, "f2.parquet", pv = Map("p" -> "c"))))
+    graft.migrate.DeltaImport.syncRewrite(spark, src.toString, dest)
+    q.processAllAvailable()
+    spark.table("gssRw").count() shouldBe 15
+    spark.table("gssRw").select("id").as[Long].collect().sorted shouldBe
+      (0L until 15L).toArray
+    q.stop()
+  }
 }
