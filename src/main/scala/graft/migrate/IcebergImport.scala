@@ -210,7 +210,8 @@ object IcebergImport {
       Option(st.meta.get("table-uuid")).map(_.toString)
         .getOrElse(java.util.UUID.randomUUID().toString),
       root.getFileName.toString, schema.json, st.pcols,
-      LakeTable.normalizeProps(properties) ++ maxIdProp +
+      LakeTable.normalizeProps(properties) ++ sortAndStatsProps(st) ++
+        maxIdProp +
         (SourceSeqKey -> st.lastSeq.toString) +
         (SourceMetaVersionKey -> st.metaVersion.toString), now)
     val ci = CommitInfo(0L, now, "CONVERT",
@@ -1354,6 +1355,61 @@ object IcebergImport {
   }
 
   private def num(o: Object): Long = o.asInstanceOf[java.lang.Number].longValue()
+
+  /** Sort-order + Puffin-statistics translation for the zero-copy import
+    * (r14): the source's DEFAULT sort order — when every field is an
+    * identity transform over a top-level column — becomes graft's declared
+    * clustering (`graft.clusterBy`: the same "how writers should order
+    * data" intent, so future graft ingest clusters by it); any other
+    * shape, and the unknown-transform future, DROPS (sort orders are
+    * advisory). The CURRENT snapshot's Puffin statistics decode into
+    * `stats.<col>.distinctCount` properties (theta blobs only; unknown
+    * blob types, compressed payloads, and unreadable files drop — a
+    * MISSING statistic is always safe, a mis-decoded one is not). The
+    * sketch bytes themselves are not retained: a re-export of the mirror
+    * publishes fresh statistics only after a graft-side
+    * [[graft.table.LakeTable.analyzeSketches]]. */
+  private def sortAndStatsProps(st: IcebergState): Map[String, String] = {
+    val idToName: Map[Int, String] = st.schemaWithIds.fields
+      .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f.name)).toMap
+    def maps(o: Object): Seq[java.util.Map[String, Object]] =
+      Option(o).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.toSeq).getOrElse(Nil)
+    val cluster: Map[String, String] = scala.util.Try {
+      val defId = Option(st.meta.get("default-sort-order-id"))
+        .map(num).getOrElse(0L)
+      val fields = maps(st.meta.get("sort-orders"))
+        .find(o => num(o.get("order-id")) == defId)
+        .map(o => maps(o.get("fields"))).getOrElse(Nil)
+      val cols = fields.map(f =>
+        if (String.valueOf(f.get("transform")) == "identity")
+          idToName.get(num(f.get("source-id")).toInt)
+        else None)
+      if (cols.nonEmpty && cols.forall(_.isDefined))
+        Map("graft.clusterBy" -> cols.map(_.get).mkString(","))
+      else Map.empty[String, String]
+    }.getOrElse(Map.empty)
+    val ndv: Map[String, String] = scala.util.Try {
+      val current = Option(st.meta.get("current-snapshot-id"))
+        .map(num).getOrElse(-1L)
+      maps(st.meta.get("statistics"))
+        .filter(e => num(e.get("snapshot-id")) == current)
+        .flatMap { e =>
+          val p = Paths.get(
+            Stats.stripScheme(String.valueOf(e.get("statistics-path"))))
+          scala.util.Try(graft.table.Puffin.read(store, p)).getOrElse(Nil)
+            .flatMap { b =>
+              if (b.blobType != graft.table.Puffin.ThetaBlobType ||
+                b.fields.size != 1) Nil
+              else for {
+                name <- idToName.get(b.fields.head).toSeq
+                est <- graft.table.Puffin.thetaEstimate(b.bytes).toSeq
+              } yield s"stats.$name.distinctCount" -> est.toString
+            }
+        }.toMap
+    }.getOrElse(Map.empty)
+    cluster ++ ndv
+  }
 
   private def avroRecords(p: Path): Seq[GenericRecord] =
     graft.table.Uniform.avroRecords(p, store)

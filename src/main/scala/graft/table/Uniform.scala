@@ -539,6 +539,74 @@ trait UniformSupport { self: LakeTable =>
           "metadata-file" -> metaDir.resolve(s"v$hint.metadata.json").toString))
     }
     val retainedSnaps = priorSnaps.takeRight(retention - 1)
+    val retainedSnapIds: Set[Long] = retainedSnaps.flatMap(s =>
+      Option(s.get("snapshot-id"))
+        .map(_.asInstanceOf[java.lang.Number].longValue())).toSet
+    // ---- Puffin NDV statistics (r14): a prior [[LakeTable
+    // .analyzeSketches]] stored compact theta sketches in the table's
+    // sidecar; publish them as a spec-compliant Puffin statistics file
+    // bound to THIS snapshot — metadata-only here, the O(data) pass was
+    // paid at ANALYZE time. Prior snapshots' statistics entries carry
+    // while their snapshots stay retained; a missing/torn sidecar drops
+    // the statistics (advisory), never fails the export. ----
+    val statisticsEntry: Option[Map[String, Any]] =
+      snap.metadata.properties.get("graft.stats.thetaSidecar").flatMap { rel =>
+        scala.util.Try {
+          val node = plainCmp.readTree(new String(
+            store.readBytes(dir.resolve(rel)), StandardCharsets.UTF_8))
+          val colsNode = node.get("columns")
+          val blobs = schema.fields.toSeq.flatMap { f =>
+            Option(colsNode.get(f.name)).map { b64 =>
+              val bytes = java.util.Base64.getDecoder.decode(b64.asText())
+              Puffin.Blob(Puffin.ThetaBlobType,
+                Seq(ids(f.name).toInt), snapshotId, seq, bytes,
+                Map("ndv" -> snap.metadata.properties.getOrElse(
+                  s"stats.${f.name}.distinctCount",
+                  Puffin.thetaEstimate(bytes).map(_.toString).getOrElse("0"))))
+            }
+          }
+          if (blobs.isEmpty) None
+          else {
+            val statsPath = metaDir.resolve(s"$snapshotId-stats.puffin")
+            val (fileSize, footerSize) = Puffin.write(store, statsPath,
+              blobs, createdBy = s"graft-uniform-v${snap.version}")
+            Some(Map[String, Any](
+              "snapshot-id" -> snapshotId,
+              "statistics-path" -> statsPath.toString,
+              "file-size-in-bytes" -> fileSize,
+              "file-footer-size-in-bytes" -> footerSize,
+              "blob-metadata" -> blobs.map(b => Map[String, Any](
+                "type" -> b.blobType, "snapshot-id" -> b.snapshotId,
+                "sequence-number" -> b.sequenceNumber,
+                "fields" -> b.fields,
+                "properties" -> b.properties))))
+          }
+        }.toOption.flatten
+      }
+    val statisticsList: Seq[Any] = (priorMeta
+      .flatMap(m => Option(m.get("statistics")))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
+      .getOrElse(Nil)
+      .filter(e => retainedSnapIds.contains(
+        e.asInstanceOf[java.util.Map[String, Object]]
+          .get("snapshot-id").asInstanceOf[java.lang.Number].longValue()))
+      .map(e => e: Any)) ++ statisticsEntry.map(e => e: Any)
+    // ---- sort orders (r14): declared clustering (`graft.clusterBy`)
+    // exports as the table's DEFAULT sort order — Iceberg's "how writers
+    // should order data" intent. Deliberately NOT stamped per data file
+    // (entries carry no sort_order_id): z-interleaved clustering is not a
+    // lexical sort, and claiming per-file sortedness would be a lie an
+    // Iceberg reader could act on. ----
+    val clusterCols: Seq[String] = snap.metadata.properties
+      .get("graft.clusterBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(ids.contains)
+    val sortOrders: Seq[Any] =
+      (Map("order-id" -> 0, "fields" -> Nil): Any) +: (
+        if (clusterCols.isEmpty) Nil
+        else Seq(Map("order-id" -> 1, "fields" -> clusterCols.map(c => Map(
+          "transform" -> "identity", "source-id" -> ids(c),
+          "direction" -> "asc", "null-order" -> "nulls-first"))): Any))
     // every schema some retained snapshot (or the new one) references
     // survives; unreferenced ones drop with their snapshots
     val referencedSchemaIds = retainedSnaps.flatMap(s =>
@@ -606,15 +674,17 @@ trait UniformSupport { self: LakeTable =>
         current.map(_._2) ++ carried.map(s => s: Any)
       },
       "last-partition-id" -> (999 + pcols.size),
-      "default-sort-order-id" -> 0,
-      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Nil)),
+      "default-sort-order-id" -> (if (clusterCols.isEmpty) 0 else 1),
+      "sort-orders" -> sortOrders,
       "properties" -> Map("write.format.default" -> "parquet"),
       "current-snapshot-id" -> snapshotId,
       "snapshots" -> (retainedSnaps.map(s => s: Any) :+ (newSnapshot: Any)),
       "snapshot-log" -> (priorLog.takeRight(retention - 1) :+
         (Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId): Any)),
       "metadata-log" -> (priorMetaLog.takeRight(math.max(0, retention - 2))
-        .map(o => o: Any) ++ supersededEntry.toSeq.map(e => e: Any))))
+        .map(o => o: Any) ++ supersededEntry.toSeq.map(e => e: Any))) ++
+      (if (statisticsList.isEmpty) Map.empty[String, Any]
+       else Map("statistics" -> statisticsList)))
     // Outdated-export re-check just before publishing: a rival may have
     // published newer state WHILE this export wrote its objects — never
     // regress the view; the objects written above become unreferenced and
@@ -692,6 +762,13 @@ trait UniformSupport { self: LakeTable =>
         val meta = plain.readValue(
           new String(store.readBytes(metaDir.resolve(name)), StandardCharsets.UTF_8),
           classOf[java.util.Map[String, Object]])
+        // Puffin statistics files referenced by a surviving metadata stay
+        val statRefs: Seq[String] = Option(meta.get("statistics"))
+          .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.toSeq).getOrElse(Nil)
+          .flatMap(e => Option(e.get("statistics-path")).map(p =>
+            java.nio.file.Paths.get(p.toString).getFileName.toString))
+        statRefs ++
         meta.get("snapshots").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
           .asScala.flatMap { s =>
             val list = java.nio.file.Paths.get(s.get("manifest-list").toString)
@@ -721,7 +798,8 @@ trait UniformSupport { self: LakeTable =>
       }.getOrElse(Nil)
     }.toSet
     val now = System.currentTimeMillis()
-    all.filter(n => n.endsWith(".avro") || n.startsWith("delete-"))
+    all.filter(n => n.endsWith(".avro") || n.startsWith("delete-") ||
+        n.endsWith(".puffin"))
       .filterNot(referenced).foreach { name =>
         val p = metaDir.resolve(name)
         // unknown age = too recent = skip (the LogStore contract)

@@ -1177,6 +1177,104 @@ class ForeignIcebergSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L)
   }
 
+  test("FOREIGN sort-order + Puffin statistics import: an identity default " +
+    "sort order becomes declared clustering, theta NDV blobs become " +
+    "distinctCount stats, unknown blob types skip, and a non-identity " +
+    "order drops (advisory)") {
+    val dir = tmpDir("foreign-stats").resolve("t")
+    val fa = dataFile(dir, "data-a.parquet",
+      (1L to 50L).map(i => (i, s"c${i % 7}")))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mData = metaDir.resolve("m-a.avro")
+    writeAvro(mData, entrySchema, Seq(entry(
+      (0, s"file:$fa", "PARQUET", 50L, Files.size(fa)), "x")))
+    val listPath = metaDir.resolve("snap-42.avro")
+    writeAvro(listPath, listSchema, Seq(listRowOf(mData, 0)))
+    // hand-build the Puffin file RAW (independent of graft.table.Puffin):
+    // a real theta sketch over 50 ids for field 1 + an unknown blob type
+    val sketch = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (1L to 50L).foreach(i => sketch.update(i): Unit)
+    val skBytes = sketch.compact.toByteArray
+    val junk = "not-a-sketch".getBytes(StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    val skOff = out.size(); out.write(skBytes)
+    val junkOff = out.size(); out.write(junk)
+    val payload = json(Map(
+      "blobs" -> Seq(
+        Map("type" -> "apache-datasketches-theta-v1", "fields" -> Seq(1),
+          "snapshot-id" -> 42, "sequence-number" -> 1,
+          "offset" -> skOff, "length" -> skBytes.length,
+          "properties" -> Map("ndv" -> "50")),
+        Map("type" -> "some-future-blob-v9", "fields" -> Seq(2),
+          "snapshot-id" -> 42, "sequence-number" -> 1,
+          "offset" -> junkOff, "length" -> junk.length)),
+      "properties" -> Map("created-by" -> "a foreign writer")))
+      .getBytes(StandardCharsets.UTF_8)
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    out.write(payload)
+    val tail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length); tail.putInt(0)
+    out.write(tail.array())
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    val statsPath = metaDir.resolve("foreign-stats.puffin")
+    Files.write(statsPath, out.toByteArray)
+    def publishWith(sortOrders: Seq[Map[String, Any]], defaultId: Int): Unit =
+      Files.write(metaDir.resolve("v1.metadata.json"), json(Map(
+        "format-version" -> 2,
+        "table-uuid" -> java.util.UUID.randomUUID().toString,
+        "location" -> dir.toString,
+        "last-sequence-number" -> 1, "last-updated-ms" -> 1700000000000L,
+        "last-column-id" -> 2, "current-schema-id" -> 0,
+        "schemas" -> Seq(schemaJson("string")),
+        "default-spec-id" -> 0,
+        "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Nil)),
+        "last-partition-id" -> 999,
+        "default-sort-order-id" -> defaultId,
+        "sort-orders" -> sortOrders,
+        "statistics" -> Seq(Map(
+          "snapshot-id" -> 42,
+          "statistics-path" -> s"file:$statsPath",
+          "file-size-in-bytes" -> Files.size(statsPath),
+          "file-footer-size-in-bytes" -> (payload.length + 16),
+          "blob-metadata" -> Nil)),
+        "properties" -> Map.empty, "current-snapshot-id" -> 42,
+        "snapshots" -> Seq(Map(
+          "snapshot-id" -> 42, "timestamp-ms" -> 1700000000000L,
+          "sequence-number" -> 1, "schema-id" -> 0,
+          "summary" -> Map("operation" -> "append"),
+          "manifest-list" -> s"file:$listPath")),
+        "snapshot-log" -> Nil, "metadata-log" -> Nil))
+        .getBytes(StandardCharsets.UTF_8)): Unit
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    // identity default order over column id (source-id 1): follows
+    publishWith(Seq(
+      Map("order-id" -> 0, "fields" -> Nil),
+      Map("order-id" -> 3, "fields" -> Seq(Map(
+        "transform" -> "identity", "source-id" -> 1,
+        "direction" -> "asc", "null-order" -> "nulls-first")))),
+      defaultId = 3)
+    val t = LakeTable.convert(spark, dir.toString)
+    t.properties("graft.clusterBy") shouldBe "id"
+    t.properties("stats.id.distinctCount") shouldBe "50"
+    // the unknown blob type contributed nothing for column cat
+    t.properties.get("stats.cat.distinctCount") shouldBe None
+    // a NON-identity default order drops the clustering translation but
+    // keeps the statistics (each advisory, independently)
+    graft.log.TxLog.deleteRecursively(dir.resolve("_txlog"))
+    publishWith(Seq(
+      Map("order-id" -> 4, "fields" -> Seq(Map(
+        "transform" -> "bucket[8]", "source-id" -> 1,
+        "direction" -> "asc", "null-order" -> "nulls-first")))),
+      defaultId = 4)
+    val t2 = LakeTable.convert(spark, dir.toString)
+    t2.properties.get("graft.clusterBy") shouldBe None
+    t2.properties("stats.id.distinctCount") shouldBe "50"
+  }
+
   test("a genuine v1 (legacy schema/partition-spec keys, no content or " +
     "sequence fields anywhere) imports zero-copy; sync keys on the " +
     "metadata version") {

@@ -848,4 +848,108 @@ class MaintainSpec extends SparkSpec {
     filesFor("d0").size should be < 4           // scoped partition compacted
     t.read().count() shouldBe 32
   }
+
+  test("UniForm sort-order + Puffin NDV statistics: declared clustering " +
+    "exports as the default sort order, analyzeSketches' theta sketches " +
+    "publish as a spec-decodable Puffin statistics file, and the " +
+    "zero-copy import translates both back") {
+    val t = LakeTable.create(spark,
+      tmpDir("uniform-stats").resolve("t").toString,
+      StructType(Seq(StructField("id", LongType),
+        StructField("cat", StringType))),
+      properties = Map("graft.clusterBy" -> "id"))
+    t.append(spark.range(0, 1000).select(col("id"),
+      concat(lit("c"), col("id") % 37).as("cat")))
+    t.analyzeSketches()
+    // ANALYZE recorded sketch-estimate stats + the sidecar pointer; theta
+    // sketches are EXACT below their nominal entry count (4096), so the
+    // estimates are the true NDVs
+    val props = t.properties
+    props("stats.numRows") shouldBe "1000"
+    props("stats.id.distinctCount") shouldBe "1000"
+    props("stats.cat.distinctCount") shouldBe "37"
+    props.keySet should contain("graft.stats.thetaSidecar")
+    t.generateIcebergMetadata()
+    Uniform.validateExport(t.dir) shouldBe empty
+
+    // ---- independent hand-walk of the exported metadata ----
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = t.dir.resolve("metadata")
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim
+    val meta = m.readValue(java.nio.file.Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")),
+      classOf[java.util.Map[String, Object]])
+    // sort order: default id 1, identity asc over the clustered column
+    meta.get("default-sort-order-id")
+      .asInstanceOf[Number].intValue() shouldBe 1
+    val orders = meta.get("sort-orders")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    orders.map(_.get("order-id").asInstanceOf[Number].intValue())
+      .toSeq shouldBe Seq(0, 1)
+    val sf = orders.find(_.get("order-id")
+        .asInstanceOf[Number].intValue() == 1).get
+      .get("fields")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    sf.map(f => (f.get("transform").toString,
+      f.get("source-id").asInstanceOf[Number].intValue(),
+      f.get("direction").toString, f.get("null-order").toString))
+      .toSeq shouldBe Seq(("identity", 1, "asc", "nulls-first"))
+    // statistics entry bound to the CURRENT snapshot
+    val curSnap = meta.get("current-snapshot-id")
+      .asInstanceOf[Number].longValue()
+    val stats = meta.get("statistics")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    stats should have size 1
+    val entry = stats.head
+    entry.get("snapshot-id").asInstanceOf[Number].longValue() shouldBe curSnap
+    val statsPath = java.nio.file.Paths.get(
+      entry.get("statistics-path").toString)
+    java.nio.file.Files.size(statsPath) shouldBe
+      entry.get("file-size-in-bytes").asInstanceOf[Number].longValue()
+
+    // ---- hand-decode the Puffin file to the PUBLIC spec, independently
+    // of graft.table.Puffin: magic at both ends, little-endian footer
+    // tail, JSON payload, then each theta blob via DataSketches directly
+    val bytes = java.nio.file.Files.readAllBytes(statsPath)
+    new String(bytes, 0, 4, "UTF-8") shouldBe "PFA1"
+    new String(bytes, bytes.length - 4, 4, "UTF-8") shouldBe "PFA1"
+    val bb = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val payloadSize = bb.getInt()
+    bb.getInt() shouldBe 0 // flags: uncompressed
+    val payloadStart = bytes.length - 12 - payloadSize
+    new String(bytes, payloadStart - 4, 4, "UTF-8") shouldBe "PFA1"
+    val payload = m.readValue(
+      new String(bytes, payloadStart, payloadSize, "UTF-8"),
+      classOf[java.util.Map[String, Object]])
+    val blobs = payload.get("blobs")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    blobs.map(_.get("type").toString).distinct.toSeq shouldBe
+      Seq("apache-datasketches-theta-v1")
+    val byField = blobs.map { b =>
+      val off = b.get("offset").asInstanceOf[Number].intValue()
+      val len = b.get("length").asInstanceOf[Number].intValue()
+      val sk = org.apache.datasketches.theta.CompactSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(
+          java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      (b.get("fields").asInstanceOf[java.util.List[Object]].asScala
+        .map(_.asInstanceOf[Number].intValue()).toSeq,
+        Math.round(sk.getEstimate),
+        b.get("properties").asInstanceOf[java.util.Map[String, Object]]
+          .get("ndv").toString.toLong)
+    }
+    byField.map(_._1).toSet shouldBe Set(Seq(1), Seq(2))
+    byField.foreach { case (_, est, ndvProp) => est shouldBe ndvProp }
+    byField.find(_._1 == Seq(1)).get._2 shouldBe 1000L
+    byField.find(_._1 == Seq(2)).get._2 shouldBe 37L
+
+    // ---- round-trip: the zero-copy import translates both back ----
+    graft.log.TxLog.deleteRecursively(t.dir.resolve("_txlog"))
+    val imported = LakeTable.convert(spark, t.dir.toString)
+    imported.properties("graft.clusterBy") shouldBe "id"
+    imported.properties("stats.id.distinctCount") shouldBe "1000"
+    imported.properties("stats.cat.distinctCount") shouldBe "37"
+  }
 }
