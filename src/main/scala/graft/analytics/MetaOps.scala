@@ -721,7 +721,7 @@ object MetaOps {
     graft.migrate.IcebergImport.syncRewrite(spark, dir.toString, dest)
     graft.migrate.IcebergImport.syncRewrite(spark, dir.toString, dest) // no-op
     LakeTable.forPath(spark, dest).read()
-      .drop("od_day", "_src_file", "_src_pos")
+      .drop("od_day", "_src_file", "_src_pos", "_src_seq")
   }
 
   /** Mirror-streaming gate (q121): the convert/sync story ending at a

@@ -61,18 +61,24 @@ object ColumnIds {
 
   def retiredNames(properties: Map[String, String]): Map[String, Long] =
     properties.get(RetiredNamesKey).map { s =>
-      if (s.isEmpty) Map.empty[String, Long]
-      else if (s.startsWith("{")) {
-        import scala.jdk.CollectionConverters._
-        ledgerMapper.readValue(s, classOf[java.util.Map[String, Object]])
-          .asScala.map { case (n, v) =>
-            n -> v.asInstanceOf[java.lang.Number].longValue()
-          }.toMap
-      } else s.split(',').filter(_.nonEmpty).map { e =>
+      def legacy: Map[String, Long] = s.split(',').filter(_.nonEmpty).map { e =>
         val i = e.lastIndexOf(':')
         require(i > 0, s"unparseable retired-name ledger entry '$e'")
         e.substring(0, i) -> e.substring(i + 1).toLong
       }.toMap
+      if (s.isEmpty) Map.empty[String, Long]
+      else if (s.startsWith("{")) {
+        // a LEGACY ledger can also start with '{' (a retired name like
+        // "{tags}" — legal under column mapping): try JSON first, fall
+        // back to the legacy delimiter parse instead of wedging the table
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          ledgerMapper.readValue(s, classOf[java.util.Map[String, Object]])
+            .asScala.map { case (n, v) =>
+              n -> v.asInstanceOf[java.lang.Number].longValue()
+            }.toMap
+        }.getOrElse(legacy)
+      } else legacy
     }.getOrElse(Map.empty)
 
   def serializeRetired(retired: Map[String, Long]): String = {

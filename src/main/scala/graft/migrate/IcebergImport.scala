@@ -526,13 +526,15 @@ object IcebergImport {
     val lineageFields =
       if (!follow) Nil
       else {
-        Seq(SrcFileCol, SrcPosCol).foreach { n =>
+        Seq(SrcFileCol, SrcPosCol, Rewrite.SrcSeqCol).foreach { n =>
           require(!lay.destSchemaBase.fieldNames.exists(_.equalsIgnoreCase(n)),
             s"source column '$n' collides with the lineage column a " +
               "followable rewrite adds — import with follow = false, or " +
               "rename the source column")
         }
-        Seq(StructField(SrcFileCol, StringType), StructField(SrcPosCol, LongType))
+        Seq(StructField(SrcFileCol, StringType),
+          StructField(SrcPosCol, LongType),
+          StructField(Rewrite.SrcSeqCol, LongType))
       }
     val destSchema = StructType(lay.destSchemaBase.fields ++ lineageFields)
     val properties = Option(st.meta.get("properties"))
@@ -554,7 +556,8 @@ object IcebergImport {
       return LakeTable.create(spark, destDir, destSchema,
         partitionColumns = lay.destPcols, properties = props, ifNotExists = false)
     }
-    val typed = rewriteRows(spark, root, st, st.live, lay, follow, st.eqDeletes)
+    val typed = rewriteRows(spark, root, st, st.live, lay, follow,
+      st.eqDeletes, st.deletePaths)
     // the ledger snapshot writes BEFORE the data commit: a crash in
     // between leaves a stray ledger file (harmless — reads key on the
     // CONSUMED property) but never a synced table without its ledger
@@ -582,9 +585,10 @@ object IcebergImport {
     *  2. NEW position-delete files targeting already-imported rows apply
     *     as a (`_src_file`, `_src_pos`) merge-DELETE;
     *  3. NEW equality-delete files apply to already-imported rows as
-    *     key-equality merge-DELETEs — the sequence gate auto-passes
-    *     (everything imported has a strictly smaller data sequence than a
-    *     delete that arrived later), and only table-wide or
+    *     key-equality merge-DELETEs, sequence-gated against each row's
+    *     [[Rewrite.SrcSeqCol]] lineage (a newly-arrived delete file can
+    *     carry an OLD explicit sequence — delete-file compaction — and
+    *     must not touch rows whose data postdates it); only table-wide or
     *     implied-by-key scopes apply (a real partition scope against old
     *     data refuses: its tuple does not map onto the rewritten layout);
     *  4. NEW data files rewrite-append through the same batch machinery
@@ -633,7 +637,8 @@ object IcebergImport {
         "destination cannot follow a re-layout; re-import")
     val destDataTypes = dest.snapshot().schema.fields
       .filterNot(f => lay.genFields.exists(_.name.equalsIgnoreCase(f.name)) ||
-        f.name == SrcFileCol || f.name == SrcPosCol)
+        f.name == SrcFileCol || f.name == SrcPosCol ||
+        f.name == Rewrite.SrcSeqCol)
       .map(f => (f.name, f.dataType)).toSeq
     require(destDataTypes == lay.dataSchema.fields
         .map(f => (f.name, f.dataType)).toSeq,
@@ -697,18 +702,31 @@ object IcebergImport {
         .execute(): Unit
     }
     // 3. new equality deletes on already-imported rows: one merge per
-    // distinct key set (grouped reads, like the batch path)
+    // distinct key set (grouped reads, like the batch path), SEQUENCE-
+    // GATED against each destination row's [[Rewrite.SrcSeqCol]] lineage —
+    // a newly-arrived delete file can carry an OLD explicit sequence
+    // (delete-file compaction writes new paths keeping old sequences,
+    // the same EXISTING-entry shape data files have), and an ungated
+    // merge would delete rows whose data POSTDATES the delete
     resolveEqDeletes(st, newEqDel).zipWithIndex.foreach {
       case ((srcNames, keyFields, group), i) =>
+        import spark.implicits._
         val paths = group.map(_.path).distinct.sorted
+        val metaDf = group.map(d => (Paths.get(d.path).toString, d.seq))
+          .toDF("__dpath", "__dseq")
         val readSchema = StructType(srcNames.zip(keyFields).map {
           case (n, f) => StructField(n, f.dataType) })
         val keys = spark.read.schema(readSchema).parquet(paths: _*)
           .select(srcNames.zip(keyFields).map { case (n, f) =>
-            col(s"`$n`").as(s"eq_${f.name}") }.toIndexedSeq: _*)
-          .distinct()
-        dest.merge(keys, keyFields.map(f =>
-            expr(s"target.`${f.name}` = source.`eq_${f.name}`"))
+            col(s"`$n`").as(s"eq_${f.name}") } :+
+            graft.log.DvBitmap.stripPathCol(
+              col("_metadata.file_path")).as("__dpath"): _*)
+          .join(org.apache.spark.sql.functions.broadcast(metaDf), "__dpath")
+          .groupBy(keyFields.map(f => col(s"`eq_${f.name}`")): _*)
+          .agg(org.apache.spark.sql.functions.max("__dseq").as("eq_dseq"))
+        dest.merge(keys, (keyFields.map(f =>
+            expr(s"target.`${f.name}` <=> source.`eq_${f.name}`")) :+
+            expr(s"target.`${Rewrite.SrcSeqCol}` < source.eq_dseq"))
           .reduce(_ && _))
           .whenMatchedDelete()
           // one txn slot per key-set group: group order is deterministic
@@ -724,8 +742,13 @@ object IcebergImport {
       // keeps its OLD data sequence, so an old delete with a higher seq
       // still applies to it — the per-file sequence gate inside the
       // rewrite makes old deletes a no-op on genuinely new files
+      // position deletes filtered to the NEW files' possible referents:
+      // an old delete file cannot reference a path that did not exist
+      // when it was written, so only the window's new delete files can
+      // match the newData subset — O(new deletes) IO per sync, not
+      // O(all accumulated deletes) (review r14)
       val typed = rewriteRows(spark, root, st, newData, lay, follow = true,
-        st.eqDeletes)
+        st.eqDeletes, newPosDel)
       dest.appendWithProps(typed, _ => advance,
         Some(RwAppendAppId), Some(st.lastSeq)): Unit
     } else dest.setProperties(advance): Unit
@@ -775,8 +798,8 @@ object IcebergImport {
     * sync's removal merges prune to the touched files. */
   private def rewriteRows(spark: SparkSession, root: Path, st: IcebergState,
       subset: Seq[(String, GenericRecord)], lay: RewriteLayout,
-      follow: Boolean, eqDeletes: Seq[EqDelete])
-      : org.apache.spark.sql.DataFrame = {
+      follow: Boolean, eqDeletes: Seq[EqDelete],
+      posDeletes: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     // ---- binding: by field id when every subset footer carries ids ----
     val livePaths = subset.map(p => root.resolve(p._1).toString)
@@ -814,10 +837,10 @@ object IcebergImport {
 
     // ---- position deletes: (file, position) anti-join ----
     var cur =
-      if (st.deletePaths.isEmpty && eqDeletes.isEmpty && !follow) raw
+      if (posDeletes.isEmpty && eqDeletes.isEmpty && !follow) raw
       else raw.withColumn("__idx", col("_metadata.row_index"))
-    if (st.deletePaths.nonEmpty) {
-      val del = spark.read.parquet(st.deletePaths.map(Stats.stripScheme): _*)
+    if (posDeletes.nonEmpty) {
+      val del = spark.read.parquet(posDeletes.map(Stats.stripScheme): _*)
         .select(graft.log.DvBitmap.stripPathCol(
           col("file_path").cast(StringType)).as("__dfile"),
           col("pos").cast(LongType).as("__didx"))
@@ -825,6 +848,10 @@ object IcebergImport {
         cur("__file") === del("__dfile") && cur("__idx") === del("__didx"),
         "left_anti")
     }
+    // ---- per-file (sequence, scope) ride the rows: the eq-delete gate
+    // needs them, and follow mode persists the sequence as lineage ----
+    if (follow || eqDeletes.nonEmpty)
+      cur = attachSeqScope(spark, root, st, cur)
     // ---- equality deletes (see [[applyEqualityDeletes]]) ----
     if (eqDeletes.nonEmpty)
       cur = applyEqualityDeletes(spark, root, st, cur, eqDeletes)
@@ -836,7 +863,8 @@ object IcebergImport {
       else Seq(
         org.apache.spark.sql.functions
           .expr(s"substring(__file, $rootPrefixLen)").as(SrcFileCol),
-        col("__idx").as(SrcPosCol))
+        col("__idx").as(SrcPosCol),
+        col("__seq").as(Rewrite.SrcSeqCol))
     val typed0 = cur.select(
       lay.dataSchema.fieldNames.toIndexedSeq.map(col) ++ lineageCols: _*)
     val partExprs = lay.resolvedParts.map {
@@ -901,12 +929,15 @@ object IcebergImport {
     *    tuples are not comparable across spec generations → REFUSE
     *    loudly. (Before r14 such a delete silently never matched — a
     *    silent-KEEP of rows the delete intended to remove.) */
-  private def applyEqualityDeletes(spark: SparkSession, root: Path,
-      st: IcebergState, cur0: org.apache.spark.sql.DataFrame,
-      eqDeletes: Seq[EqDelete]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+  /** Attach each row's (data sequence number, partition-scope key) from a
+    * per-live-file map joined on the reader path — broadcast below
+    * [[broadcastFileMetaMax]], plain shuffle join above (the DV two-tier
+    * discipline). */
+  private def attachSeqScope(spark: SparkSession, root: Path,
+      st: IcebergState, cur: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
-    var cur = cur0
     val seqDf = st.live.map { case (p, _) =>
       val (specId, tuple) = st.liveScope(p)
       (root.resolve(p).toString, st.liveSeq(p), scopeKey(specId, tuple))
@@ -914,7 +945,15 @@ object IcebergImport {
     val seqSide =
       if (st.live.size <= broadcastFileMetaMax(spark)) broadcast(seqDf)
       else seqDf
-    cur = cur.join(seqSide, cur("__file") === seqDf("__sfile")).drop("__sfile")
+    cur.join(seqSide, cur("__file") === seqDf("__sfile")).drop("__sfile")
+  }
+
+  private def applyEqualityDeletes(spark: SparkSession, root: Path,
+      st: IcebergState, cur0: org.apache.spark.sql.DataFrame,
+      eqDeletes: Seq[EqDelete]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    var cur = cur0 // carries __seq and __pscope (attachSeqScope)
     resolveEqDeletes(st, eqDeletes).foreach { case (srcNames, keyFields, group) =>
       val paths = group.map(_.path).distinct.sorted
       // (sequence, scope) per delete FILE attach as DATA via a tiny map

@@ -8,14 +8,17 @@ import graft.table.LakeTable
   * Delta). Both [[IcebergImport.syncRewrite]] and
   * [[DeltaImport.syncRewrite]] key incremental catch-up on the same row
   * LINEAGE columns and enforce the same divergence discipline. */
-private[migrate] object Rewrite {
+private[graft] object Rewrite {
 
   /** Lineage columns a followable rewrite adds to every row: the source
-    * data file (source-root-relative) and the row's physical position in
-    * it — what the syncs key source-side removes and row-level deletes
-    * on. Ordinary columns: they survive OPTIMIZE/ZORDER compaction. */
+    * data file (source-root-relative), the row's physical position in it,
+    * and — Iceberg only — its data SEQUENCE number (what later equality
+    * deletes gate on; Delta has no sequence axis). The syncs key
+    * source-side removes and row-level deletes on these. Ordinary
+    * columns: they survive OPTIMIZE/ZORDER compaction. */
   val SrcFileCol = "_src_file"
   val SrcPosCol = "_src_pos"
+  val SrcSeqCol = "_src_seq"
 
   /** Transaction-ledger app ids marking the syncs' own commits — both the
     * replay-idempotency key (txnVersion = the target source ordinal) and
@@ -24,7 +27,7 @@ private[migrate] object Rewrite {
   val RemoveAppId = "graft-rwsync-rm"
   val PosDelAppId = "graft-rwsync-pd"
   val EqDelAppId = "graft-rwsync-eq"
-  private val AppIdPrefix = "graft-rwsync"
+  val AppIdPrefix = "graft-rwsync"
 
   /** The ledger-snapshot directory under a followable destination. */
   val LedgerDir = "_graft_import"

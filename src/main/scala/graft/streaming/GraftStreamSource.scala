@@ -85,6 +85,12 @@ class GraftStreamSource(
     * followMirror does not blanket-accept local DML. */
   private val followMirror = options.get("followMirror").contains("true")
   private val MirrorSyncOps = Set("CONVERT", "DELTA SYNC", "ICEBERG SYNC")
+  // followMirror bookkeeping: paths emitted per version by THIS instance,
+  // so a remove-then-re-add across syncs inside one run never re-emits.
+  // Keyed by version: a replayed batch recomputes its own emission from
+  // strictly-earlier entries, never suppressed by its first run.
+  private val mirrorEmitted =
+    scala.collection.mutable.TreeMap.empty[Long, Set[String]]
 
   /** readChangeFeed=true streams row-level CHANGES instead of table rows
     * (Delta's streaming CDF): each batch is `changes((last, end])` with
@@ -410,14 +416,27 @@ class GraftStreamSource(
     else if (followMirror && MirrorSyncOps(op)) {
       // net-NEW paths only: a sync commit may RE-ADD a path it already
       // served (a Delta-side DELETE refreshes the same file's descriptor
-      // and stats) — emitting a re-add would duplicate rows the stream
-      // already delivered, so adds filter against the PREVIOUS version's
-      // live set; source-side removes and mask rebuilds do not retract
-      val prevLive = table.snapshot(Some(v - 1)).files.map(_.path).toSet
-      adds.filterNot(a => prevLive(a.path))
+      // and stats; a Delta RESTORE re-adds a removed file) — emitting a
+      // re-add would duplicate rows the stream already delivered and
+      // never retracted. Filtered against the PREVIOUS version's live
+      // set AND every path this stream instance already emitted (keyed
+      // by version, so a REPLAYED batch recomputes the same emission).
+      // Residual boundary, documented: after a RESTART, a path removed
+      // before the checkpoint and re-added after it re-emits — use the
+      // CDF stream (readChangeFeed) when the source performs restores.
+      val prevLive =
+        if (v == 0) Set.empty[String] // CONVERT itself: everything is new
+        else table.snapshot(Some(v - 1)).files.map(_.path).toSet
+      val emittedEarlier =
+        mirrorEmitted.rangeUntil(v).valuesIterator.flatten.toSet
+      val fresh = adds.filterNot(a =>
+        prevLive(a.path) || emittedEarlier(a.path))
+      mirrorEmitted(v) = fresh.map(_.path).toSet
+      fresh
     }
     else if (followMirror && ci.exists(_.operationParameters
-        .get("txnAppId").exists(_.startsWith("graft-rwsync")))) Nil
+        .get("txnAppId")
+        .exists(_.startsWith(graft.migrate.Rewrite.AppIdPrefix)))) Nil
       // a rewrite-sync MERGE only deletes rows (its re-adds are rewritten
       // files whose rows already streamed — emitting them would
       // duplicate); the rewrite-sync APPEND is a pure append and never
@@ -433,8 +452,18 @@ class GraftStreamSource(
         "retract)")
   }
 
-  private def appendsBetween(from: Long, to: Long): DataFrame =
-    table.readFilesAs((from to to).flatMap(addsFor), schema)
+  private def appendsBetween(from: Long, to: Long): DataFrame = {
+    val files = (from to to).flatMap(addsFor)
+    // a mirror-sync commit can add a file AND its imported mask in the
+    // same commit (Iceberg position deletes land as graft vectors with
+    // the zero-copy add): under followMirror the appends serve MASKED at
+    // the range's end snapshot — a raw read would stream rows that were
+    // never live in the mirror. Masks arriving AFTER this batch never
+    // retract, by the followMirror contract.
+    if (followMirror) table.readFilesMasked(table.snapshot(Some(to)),
+      files, schema)
+    else table.readFilesAs(files, schema)
+  }
 
   /** Changes in [from, endV] as CDF rows; empty frame on an empty range. */
   private def changesBetween(from: Long, endV: Long): DataFrame =
@@ -465,7 +494,19 @@ class GraftStreamSource(
       if (endP.snapVersion >= 0) Pos(endP.snapVersion, 0, endP.snapVersion)
       else Pos(startingVersion.getOrElse(endP.version), 0, -1L))
     val (snapChunk, addChunk) = filesBetween(stP, endP)
-    val added = table.readFilesAs(addChunk, schema)
+    // under followMirror the appended files serve MASKED too (a sync
+    // commit can add a file with its imported mask; see appendsBetween).
+    // Mask version: the newest committed version this batch range covers
+    // (end.index > 0 means end.version itself contributed files and is
+    // committed) — deterministic, so a replayed batch serves identically.
+    val added =
+      if (followMirror && addChunk.nonEmpty)
+        table.readFilesMasked(
+          table.snapshot(Some(math.max(
+            if (endP.index > 0) endP.version else endP.version - 1,
+            endP.snapVersion))),
+          addChunk, schema)
+      else table.readFilesAs(addChunk, schema)
     if (snapChunk.isEmpty) added
     else table.readFilesMasked(
       table.snapshot(Some(endP.snapVersion)), snapChunk, schema)

@@ -932,6 +932,32 @@ class ForeignIcebergSpec extends SparkSpec {
       Seq(1L, 3L, 4L)
     after.select("_src_file").distinct().as[String].collect().toSeq shouldBe
       Seq("f1c.parquet")
+
+    // v4 (seq 4): id 2 is RE-INSERTED — it postdates the seq-2 delete
+    val f2 = rawFile(dir, "f2.parquet", mkDays(Seq(
+      (2L, "2024-01-05 10:00:00", "b2"))))
+    val m2 = metaDir.resolve("m-2.avro")
+    writeAvro(m2, entrySchema2, Seq(entry2(0, f2, 1L, 19727)))
+    publishDays(dir, 4, 4L, Seq(listRowSeq(m1c, 0, 3L),
+      listRowSeq(mEq, 1, 2L, specId = 1), listRowSeq(m2, 0, 4L)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L)
+    // v5 (seq 5): the DELETE FILE itself compacts — a new path carrying
+    // the OLD sequence (2). The sync sees it as a new delete file by
+    // path; the lineage sequence gate must keep the re-inserted id 2
+    // (its data sequence 4 postdates the delete's 2)
+    val eqDel2 = rawFile(metaDir, "del-eq-c.parquet",
+      Seq(2L).toDF("id0").select(col("id0").as("id", fid(1))))
+    val mEq2 = metaDir.resolve("m-eq-c.avro")
+    writeAvro(mEq2, entrySchema2, Seq(entry2(2, eqDel2, 1L, eqIds = Seq(1))))
+    publishDays(dir, 5, 5L, Seq(listRowSeq(m1c, 0, 3L),
+      listRowSeq(mEq2, 1, 2L, specId = 1), listRowSeq(m2, 0, 4L)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L)
   }
 
   test("syncRewrite refusals: a one-shot destination, a scoped equality " +

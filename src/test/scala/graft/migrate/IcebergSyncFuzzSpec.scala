@@ -435,7 +435,7 @@ class IcebergSyncFuzzSpec extends SparkSpec {
       def mutate(): Unit = {
         seq += 1 // every publish is one foreign snapshot at this seq
         (0 until rnd.nextInt(3)).foreach { _ =>
-          rnd.nextInt(5) match {
+          rnd.nextInt(6) match {
             case 0 => // append a new data file
               val name = s"f$nFile.parquet"; nFile += 1
               val ids = (nextId until nextId + 5).toSeq; nextId += 5
@@ -469,6 +469,14 @@ class IcebergSyncFuzzSpec extends SparkSpec {
                 posDelFiles(dname) = name
                 posMasks(name) = posMasks(name) ++ fresh
               }: Unit
+            case 4 if eqDels.nonEmpty => // DELETE-FILE compaction: a new
+              // path carrying the OLD sequence — the shape whose ungated
+              // re-application over-deleted re-inserted keys (review r14)
+              val j = rnd.nextInt(eqDels.size)
+              val (_, keys, eseq) = eqDels(j)
+              val cname = s"eqc$nFile.parquet"; nFile += 1
+              idFile(metaDir.resolve(cname), keys.toSeq.sorted)
+              eqDels(j) = ((cname, keys, eseq))
             case _ => // new equality delete (table-wide: unpartitioned)
               val keys = (0L until nextId)
                 .filter(_ => rnd.nextInt(6) == 0).toSet

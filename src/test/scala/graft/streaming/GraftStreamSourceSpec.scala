@@ -529,6 +529,21 @@ class GraftStreamSourceSpec extends SparkSpec {
     graft.migrate.DeltaImport.sync(spark, src.toString)
     q.processAllAvailable()
     spark.table("gssMirror").count() shouldBe 25
+    // a sync can add a file AND its mask in ONE commit (the source wrote
+    // then deleted between sync cadences): the emitted appends must serve
+    // MASKED — a raw read would stream rows never live in the mirror
+    deltaDataFile(src, "f3.parquet", df(25 until 30))
+    deltaCommit(src, 3, Seq(deltaAdd(src, "f3.parquet")))
+    val dv3 = graft.migrate.DeltaDv.serializeArray(Seq(0L, 1L))
+    deltaCommit(src, 4, Seq(deltaAdd(src, "f3.parquet", dv = Map(
+      "storageType" -> "i",
+      "pathOrInlineDv" -> graft.migrate.DeltaDv.packInline(dv3),
+      "sizeInBytes" -> dv3.length, "cardinality" -> 2))))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    q.processAllAvailable()
+    // f3 contributed only its unmasked rows (positions 2..4 = ids 27-29)
+    spark.table("gssMirror").select("id").as[Long].collect().sorted shouldBe
+      ((0L until 25L) ++ Seq(27L, 28L, 29L)).toArray
     q.stop()
     // followMirror does NOT blanket-accept local DML: a graft-side DELETE
     // (cut-over) still fails the stream

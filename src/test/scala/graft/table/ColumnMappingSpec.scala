@@ -102,6 +102,11 @@ class ColumnMappingSpec extends SparkSpec {
     graft.log.ColumnIds.retiredNames(Map(
       graft.log.ColumnIds.RetiredNamesKey -> "amount:3,total:7")) shouldBe
       Map("amount" -> 3L, "total" -> 7L)
+    // a LEGACY ledger whose first retired name begins with '{' must not
+    // be mistaken for JSON (review r14): falls back to the legacy parse
+    graft.log.ColumnIds.retiredNames(Map(
+      graft.log.ColumnIds.RetiredNamesKey -> "{tags}:3,plain:7")) shouldBe
+      Map("{tags}" -> 3L, "plain" -> 7L)
     // end-to-end: rename a comma-bearing column away, reuse the name, and
     // the marker + ledger machinery keep working
     val t = LakeTable.createFrom(spark,
