@@ -683,7 +683,7 @@ object MetaOps {
     import DeltaFixture.writeOne
     import IcebergForeign._
     val orders = Tables.orders(spark, sfDir)
-      .withColumn("o_orderdate", date_trunc("month", col("o_orderdate")))
+      .withColumn("o_orderdate", date_trunc("year", col("o_orderdate")))
     val dir = Files.createTempDirectory("graft-iceberg-rwsync").resolve("t")
     Files.createDirectories(dir)
     val evenA = orders.filter(col("o_orderkey") % 4 === 0)
@@ -1152,10 +1152,13 @@ object MetaOps {
     // after the rewrite-sync: the %4=0 file keeps its non-%5 keys (the
     // seq-2 delete hits imported seq-1 data), the %4=2 file's rows left
     // with it, and the seq-3 odd slice arrived intact (%5 keys included —
-    // strictly-smaller sequence rule)
+    // strictly-smaller sequence rule). Dates floor to YEARS: the fixture
+    // files span every partition (a shape a real partition-bound Iceberg
+    // writer never produces), so the partition count is a fixture cost
+    // knob, not what the gate proves — the q117 precedent
     "q119_iceberg_rewrite_sync" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-         DATE_TRUNC('month', o_orderdate) AS o_orderdate, o_orderpriority
+         DATE_TRUNC('year', o_orderdate) AS o_orderdate, o_orderpriority
          FROM orders
          WHERE (o_orderkey % 4 = 0 AND o_orderkey % 5 <> 0)
             OR o_orderkey % 2 = 1""",

@@ -924,13 +924,14 @@ object DeltaImport {
       } ++ lineageCols: _*)
     if (!follow) typed
     else {
-      // repartition by the partition columns before the write (the
-      // many-tasks × many-partitions tiny-file guard), then sort within
-      // partitions by the lineage file for tight per-file lineage stats
-      val parts = lay.pcols.map(col)
-      val shuffled = if (parts.isEmpty) typed else typed.repartition(parts: _*)
-      shuffled.sortWithinPartitions(
-        (parts :+ col(Rewrite.SrcFileCol)): _*)
+      // shuffle by (partition columns, SOURCE FILE) so every destination
+      // file is lineage-PURE — that is what makes the sync's removal
+      // merges and DV-changed re-imports actually PRUNE by the lineage
+      // column's min/max (a mixed file's range spans every source and
+      // prunes nothing); file count is bounded by the source's own
+      // file-per-partition overlap (~1 for partition-aligned sources)
+      val keys = lay.pcols.map(col) :+ col(Rewrite.SrcFileCol)
+      typed.repartition(keys: _*).sortWithinPartitions(keys: _*)
     }
   }
 

@@ -871,11 +871,19 @@ object IcebergImport {
       case (f, None) => col(f.name)
       case (_, Some(e)) => org.apache.spark.sql.functions.expr(e)
     }
+    // follow mode shuffles by (partition keys, SOURCE FILE) so every
+    // destination file is lineage-PURE — one source file's rows only.
+    // That is what makes the sync's removal merges and re-imports
+    // actually PRUNE by the lineage column's min/max (a mixed file's
+    // range spans every source and prunes nothing); the file-count cost
+    // is bounded by the source's own file-per-partition overlap, which
+    // is ~1 for partition-aligned real sources
+    val shuffleKeys =
+      if (follow) partExprs :+ col(SrcFileCol) else partExprs
     val typed =
-      if (lay.resolvedParts.isEmpty) typed0
-      else typed0.repartition(partExprs: _*)
-    if (follow) typed.sortWithinPartitions(
-      (partExprs :+ col(SrcFileCol)): _*)
+      if (shuffleKeys.isEmpty) typed0
+      else typed0.repartition(shuffleKeys: _*)
+    if (follow) typed.sortWithinPartitions(shuffleKeys: _*)
     else typed
   }
 
