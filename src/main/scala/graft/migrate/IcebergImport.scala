@@ -792,10 +792,10 @@ object IcebergImport {
     * `follow`), and repartition by the destination partition keys —
     * without the shuffle a days() layout explodes into #tasks × #days
     * tiny files (measured 51 s / ~76k files vs ~3 s with it; at 100 TB
-    * the no-shuffle shape is the scale killer). Follow mode additionally
-    * sorts within partitions by the lineage file so per-destination-file
-    * min/max stats on [[SrcFileCol]] stay tight — that is what lets the
-    * sync's removal merges prune to the touched files. */
+    * the no-shuffle shape is the scale killer). Follow mode shuffles by
+    * (partition keys, [[SrcFileCol]]) so every destination file is
+    * lineage-PURE — that is what lets the sync's removal merges rewrite
+    * only the touched files' descendants. */
   private def rewriteRows(spark: SparkSession, root: Path, st: IcebergState,
       subset: Seq[(String, GenericRecord)], lay: RewriteLayout,
       follow: Boolean, eqDeletes: Seq[EqDelete],
