@@ -70,14 +70,26 @@ object ColumnIds {
       else if (s.startsWith("{")) {
         // a LEGACY ledger can also start with '{' (a retired name like
         // "{tags}" — legal under column mapping): try JSON first, fall
-        // back to the legacy delimiter parse instead of wedging the table
+        // back to the legacy delimiter parse instead of wedging the
+        // table. The fallback refuses when any parsed name carries a '"'
+        // — a '{'-and-quote-bearing string that is not valid JSON is far
+        // more likely a CORRUPT JSON ledger (out-of-band truncation)
+        // than a legacy name, and silently keying the distrust ledger by
+        // a garbage name would re-enable the stale-stats hazard it
+        // exists to prevent.
         scala.util.Try {
           import scala.jdk.CollectionConverters._
           ledgerMapper.readValue(s, classOf[java.util.Map[String, Object]])
             .asScala.map { case (n, v) =>
               n -> v.asInstanceOf[java.lang.Number].longValue()
             }.toMap
-        }.getOrElse(legacy)
+        }.getOrElse {
+          val m = legacy
+          require(m.keysIterator.forall(!_.contains('"')),
+            s"retired-name ledger is neither valid JSON nor a plausible " +
+              s"legacy encoding: '$s'")
+          m
+        }
       } else legacy
     }.getOrElse(Map.empty)
 

@@ -924,12 +924,13 @@ object DeltaImport {
       } ++ lineageCols: _*)
     if (!follow) typed
     else {
-      // shuffle by (partition columns, SOURCE FILE) so every destination
-      // file is lineage-PURE — that is what makes the sync's removal
-      // merges and DV-changed re-imports actually PRUNE by the lineage
-      // column's min/max (a mixed file's range spans every source and
-      // prunes nothing); file count is bounded by the source's own
-      // file-per-partition overlap (~1 for partition-aligned sources)
+      // shuffle by (partition columns, SOURCE FILE) so destination files
+      // are lineage-CLUSTERED (whole source files per shuffle task,
+      // modulo hash collisions; the sort keeps each source contiguous) —
+      // the sync's removal merges and DV-changed re-imports rewrite only
+      // the files carrying the touched sources, not the table; file
+      // count is bounded by the source's own file-per-partition overlap
+      // (~1 for partition-aligned sources)
       val keys = lay.pcols.map(col) :+ col(Rewrite.SrcFileCol)
       typed.repartition(keys: _*).sortWithinPartitions(keys: _*)
     }

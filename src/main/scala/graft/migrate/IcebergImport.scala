@@ -635,6 +635,16 @@ object IcebergImport {
     require(props0.get(RewriteSpecKey).contains(specSignature(st.partFields)),
       s"the Iceberg source's partition spec changed — a rewrite " +
         "destination cannot follow a re-layout; re-import")
+    // every lineage column this sync relies on must actually exist — a
+    // destination built by an OLDER convertRewrite (before the sequence
+    // lineage landed) must refuse loudly up front, not fail mid-sync with
+    // an unresolved-column error after merges already committed
+    Seq(SrcFileCol, SrcPosCol, Rewrite.SrcSeqCol).foreach { c =>
+      require(dest.snapshot().schema.fieldNames.contains(c),
+        s"$destDir carries no '$c' lineage column — it was rewritten by " +
+          "an older engine version; re-import with convertRewrite(spark, " +
+          "src, dest, follow = true) to keep syncing")
+    }
     val destDataTypes = dest.snapshot().schema.fields
       .filterNot(f => lay.genFields.exists(_.name.equalsIgnoreCase(f.name)) ||
         f.name == SrcFileCol || f.name == SrcPosCol ||
@@ -742,13 +752,21 @@ object IcebergImport {
       // keeps its OLD data sequence, so an old delete with a higher seq
       // still applies to it — the per-file sequence gate inside the
       // rewrite makes old deletes a no-op on genuinely new files
-      // position deletes filtered to the NEW files' possible referents:
-      // an old delete file cannot reference a path that did not exist
-      // when it was written, so only the window's new delete files can
-      // match the newData subset — O(new deletes) IO per sync, not
-      // O(all accumulated deletes) (review r14)
+      // Position deletes filtered to the NEW files' possible referents:
+      // an old delete file cannot reference a PATH that did not exist
+      // when it was written, so for genuinely-new files (seq > consumed)
+      // only the window's new delete files can match — O(new deletes) IO
+      // per sync. A window carrying OLD-sequence files (compaction-born
+      // paths, or a RESTORED path an old live delete still targets) reads
+      // the full live delete set instead: the compacted-path reads are
+      // wasted (anti-join matches nothing) but a restored path's old
+      // deletes MUST re-apply — correctness over IO (review r14)
+      val windowPosDel =
+        if (newData.exists { case (p, _) => st.liveSeq(p) <= consumed })
+          st.deletePaths
+        else newPosDel
       val typed = rewriteRows(spark, root, st, newData, lay, follow = true,
-        st.eqDeletes, newPosDel)
+        st.eqDeletes, windowPosDel)
       dest.appendWithProps(typed, _ => advance,
         Some(RwAppendAppId), Some(st.lastSeq)): Unit
     } else dest.setProperties(advance): Unit
@@ -793,9 +811,10 @@ object IcebergImport {
     * without the shuffle a days() layout explodes into #tasks × #days
     * tiny files (measured 51 s / ~76k files vs ~3 s with it; at 100 TB
     * the no-shuffle shape is the scale killer). Follow mode shuffles by
-    * (partition keys, [[SrcFileCol]]) so every destination file is
-    * lineage-PURE — that is what lets the sync's removal merges rewrite
-    * only the touched files' descendants. */
+    * (partition keys, [[SrcFileCol]]) so destination files are
+    * lineage-CLUSTERED (whole source files per task, modulo hash
+    * collisions) — that is what lets the sync's removal merges rewrite
+    * only the touched files' descendants instead of the table. */
   private def rewriteRows(spark: SparkSession, root: Path, st: IcebergState,
       subset: Seq[(String, GenericRecord)], lay: RewriteLayout,
       follow: Boolean, eqDeletes: Seq[EqDelete],
@@ -851,7 +870,7 @@ object IcebergImport {
     // ---- per-file (sequence, scope) ride the rows: the eq-delete gate
     // needs them, and follow mode persists the sequence as lineage ----
     if (follow || eqDeletes.nonEmpty)
-      cur = attachSeqScope(spark, root, st, cur)
+      cur = attachSeqScope(spark, root, st, subset, cur)
     // ---- equality deletes (see [[applyEqualityDeletes]]) ----
     if (eqDeletes.nonEmpty)
       cur = applyEqualityDeletes(spark, root, st, cur, eqDeletes)
@@ -871,13 +890,16 @@ object IcebergImport {
       case (f, None) => col(f.name)
       case (_, Some(e)) => org.apache.spark.sql.functions.expr(e)
     }
-    // follow mode shuffles by (partition keys, SOURCE FILE) so every
-    // destination file is lineage-PURE — one source file's rows only.
-    // That is what makes the sync's removal merges and re-imports
-    // actually PRUNE by the lineage column's min/max (a mixed file's
-    // range spans every source and prunes nothing); the file-count cost
-    // is bounded by the source's own file-per-partition overlap, which
-    // is ~1 for partition-aligned real sources
+    // follow mode shuffles by (partition keys, SOURCE FILE) so
+    // destination files are lineage-CLUSTERED: each shuffle task holds
+    // whole source files (hash collisions can co-locate a FEW sources
+    // per task — collisions shrink as files/shuffle-partitions — and the
+    // within-partition sort keeps each source's rows contiguous). A
+    // removal merge therefore rewrites only the tasks' files that carry
+    // the removed source, not the table (a partition-key-only shuffle
+    // mixes EVERY source into every file and rewrites everything); the
+    // file-count cost is bounded by the source's own file-per-partition
+    // overlap, ~1 for partition-aligned real sources
     val shuffleKeys =
       if (follow) partExprs :+ col(SrcFileCol) else partExprs
     val typed =
@@ -938,20 +960,23 @@ object IcebergImport {
     *    loudly. (Before r14 such a delete silently never matched — a
     *    silent-KEEP of rows the delete intended to remove.) */
   /** Attach each row's (data sequence number, partition-scope key) from a
-    * per-live-file map joined on the reader path — broadcast below
-    * [[broadcastFileMetaMax]], plain shuffle join above (the DV two-tier
-    * discipline). */
+    * per-file map joined on the reader path — only the SCANNED subset's
+    * files, not the whole live set (an incremental sync's window must pay
+    * O(window), not O(live files), in driver map-building and broadcast
+    * bytes). Broadcast below [[broadcastFileMetaMax]], plain shuffle join
+    * above (the DV two-tier discipline). */
   private def attachSeqScope(spark: SparkSession, root: Path,
-      st: IcebergState, cur: org.apache.spark.sql.DataFrame)
+      st: IcebergState, subset: Seq[(String, GenericRecord)],
+      cur: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
-    val seqDf = st.live.map { case (p, _) =>
+    val seqDf = subset.map { case (p, _) =>
       val (specId, tuple) = st.liveScope(p)
       (root.resolve(p).toString, st.liveSeq(p), scopeKey(specId, tuple))
     }.toDF("__sfile", "__seq", "__pscope")
     val seqSide =
-      if (st.live.size <= broadcastFileMetaMax(spark)) broadcast(seqDf)
+      if (subset.size <= broadcastFileMetaMax(spark)) broadcast(seqDf)
       else seqDf
     cur.join(seqSide, cur("__file") === seqDf("__sfile")).drop("__sfile")
   }

@@ -88,9 +88,14 @@ class GraftStreamSource(
   // followMirror bookkeeping: paths emitted per version by THIS instance,
   // so a remove-then-re-add across syncs inside one run never re-emits.
   // Keyed by version: a replayed batch recomputes its own emission from
-  // strictly-earlier entries, never suppressed by its first run.
+  // strictly-earlier entries, never suppressed by its first run. The
+  // cumulative cache makes emittedBefore O(delta) amortized; the seed is
+  // the live set inherited by the first processed version.
   private val mirrorEmitted =
     scala.collection.mutable.TreeMap.empty[Long, Set[String]]
+  private var mirrorSeed: Option[Set[String]] = None
+  private var mirrorCache: Set[String] = Set.empty
+  private var mirrorCacheV: Long = Long.MinValue
 
   /** readChangeFeed=true streams row-level CHANGES instead of table rows
     * (Delta's streaming CDF): each batch is `changes((last, end])` with
@@ -400,6 +405,32 @@ class GraftStreamSource(
       new Offset { override def json: String = end.json }
     }
 
+  /** Paths this followMirror stream has delivered STRICTLY before `v`:
+    * the per-version emission ledger folded through an incremental cache
+    * (O(delta) amortized — a flatten per call would go quadratic with
+    * stream age), seeded once with the live set the stream's FIRST
+    * processed version inherited (the initial snapshot is served outside
+    * [[addsFor]], so its paths would otherwise be unknown here). A batch
+    * REPLAYED below the cache point recomputes from the ledger exactly.
+    * Memory is O(paths ever emitted) — the same class as the table's own
+    * driver-side file list. */
+  private def emittedBefore(v: Long): Set[String] = {
+    if (mirrorEmitted.isEmpty && mirrorSeed.isEmpty) {
+      mirrorSeed = Some(
+        if (v == 0) Set.empty[String] // CONVERT itself: everything is new
+        else table.snapshot(Some(v - 1)).files.map(_.path).toSet)
+      mirrorCache = mirrorSeed.get
+    }
+    if (v >= mirrorCacheV) {
+      mirrorEmitted.range(mirrorCacheV, v).valuesIterator
+        .foreach(s => mirrorCache ++= s)
+      mirrorCacheV = v
+      mirrorCache
+    } else // replayed batch below the cache point: exact recomputation
+      mirrorSeed.getOrElse(Set.empty) ++
+        mirrorEmitted.rangeUntil(v).valuesIterator.flatten
+  }
+
   /** AddFiles a streaming reader must emit for ONE committed version. */
   private def addsFor(v: Long): Seq[AddFile] = {
     val actions = table.log.readVersion(v)
@@ -411,45 +442,41 @@ class GraftStreamSource(
     val dataRemoves = actions.collect {
       case r: RemoveFile if !r.path.startsWith("dv/") => r }
     val dvChanged = actions.exists(_.isInstanceOf[DeletionVector])
-    if (op == "OPTIMIZE") Nil // dataChange=false: same rows, new files
-    else if (dataRemoves.isEmpty && !dvChanged) adds // pure append / metadata
-    else if (followMirror && MirrorSyncOps(op)) {
-      // net-NEW paths only: a sync commit may RE-ADD a path it already
-      // served (a Delta-side DELETE refreshes the same file's descriptor
-      // and stats; a Delta RESTORE re-adds a removed file) — emitting a
+    val out: Seq[AddFile] =
+      if (op == "OPTIMIZE") Nil // dataChange=false: same rows, new files
+      else if (dataRemoves.isEmpty && !dvChanged) adds // pure append / meta
+      else if (followMirror && MirrorSyncOps(op)) adds // filtered below
+      else if (followMirror && ci.exists(_.operationParameters
+          .get("txnAppId")
+          .exists(_.startsWith(graft.migrate.Rewrite.AppIdPrefix)))) Nil
+        // a rewrite-sync MERGE only deletes rows (its re-adds are
+        // rewritten files whose rows already streamed — emitting them
+        // would duplicate); the rewrite-sync APPEND is a pure append
+      else if (ignoreChanges) adds
+      else if (adds.isEmpty && ignoreDeletes) Nil
+      else throw new IllegalStateException(
+        s"streaming source saw a data-changing $op commit at version $v; " +
+          "set ignoreChanges=true to re-emit rewritten rows, " +
+          "ignoreDeletes=true for remove-only commits, or — on an " +
+          "imported mirror synced on a cadence — followMirror=true to " +
+          "stream the mirror's append stream (source-side deletes do not " +
+          "retract)")
+    if (!followMirror) out
+    else {
+      // net-NEW paths only, on EVERY emitting branch (a pure-append
+      // commit can also re-add a removed path — a Delta RESTORE): a sync
+      // may RE-ADD a path it already served (a Delta-side DELETE
+      // refreshes the same file's descriptor and stats) and emitting a
       // re-add would duplicate rows the stream already delivered and
-      // never retracted. Filtered against the PREVIOUS version's live
-      // set AND every path this stream instance already emitted (keyed
-      // by version, so a REPLAYED batch recomputes the same emission).
-      // Residual boundary, documented: after a RESTART, a path removed
-      // before the checkpoint and re-added after it re-emits — use the
-      // CDF stream (readChangeFeed) when the source performs restores.
-      val prevLive =
-        if (v == 0) Set.empty[String] // CONVERT itself: everything is new
-        else table.snapshot(Some(v - 1)).files.map(_.path).toSet
-      val emittedEarlier =
-        mirrorEmitted.rangeUntil(v).valuesIterator.flatten.toSet
-      val fresh = adds.filterNot(a =>
-        prevLive(a.path) || emittedEarlier(a.path))
+      // never retracted. Keyed by version so a REPLAYED batch recomputes
+      // the same emission. Residual boundary, documented: after a
+      // RESTART, a path removed before the checkpoint and re-added after
+      // it re-emits — use the CDF stream when the source restores.
+      val emitted = emittedBefore(v)
+      val fresh = out.filterNot(a => emitted(a.path))
       mirrorEmitted(v) = fresh.map(_.path).toSet
       fresh
     }
-    else if (followMirror && ci.exists(_.operationParameters
-        .get("txnAppId")
-        .exists(_.startsWith(graft.migrate.Rewrite.AppIdPrefix)))) Nil
-      // a rewrite-sync MERGE only deletes rows (its re-adds are rewritten
-      // files whose rows already streamed — emitting them would
-      // duplicate); the rewrite-sync APPEND is a pure append and never
-      // reaches this branch
-    else if (ignoreChanges) adds
-    else if (adds.isEmpty && ignoreDeletes) Nil
-    else throw new IllegalStateException(
-      s"streaming source saw a data-changing $op commit at version $v; " +
-        "set ignoreChanges=true to re-emit rewritten rows, " +
-        "ignoreDeletes=true for remove-only commits, or — on an " +
-        "imported mirror synced on a cadence — followMirror=true to " +
-        "stream the mirror's append stream (source-side deletes do not " +
-        "retract)")
   }
 
   private def appendsBetween(from: Long, to: Long): DataFrame = {

@@ -1073,6 +1073,86 @@ class ForeignIcebergSpec extends SparkSpec {
       .read().count() shouldBe 1
   }
 
+  test("syncRewrite re-applies an OLD live position delete to a RESTORED " +
+    "path (remove + later re-add at its original sequence): the deleted " +
+    "rows must not resurrect") {
+    val dir = tmpDir("foreign-rwsync-restore").resolve("t")
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-02 10:00:00", "c"), (4L, "2024-01-02 11:00:00", "d"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    // position delete (seq 2) masks f1 position 0 (id 1)
+    val posDel = rawFile(metaDir, "del-pos.parquet",
+      Seq((s"file:$f1", 0L)).toDF("file_path", "pos"))
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 4L, 19723)))
+    val mPos = metaDir.resolve("m-pos.avro")
+    writeAvro(mPos, entrySchema2, Seq(entry2(1, posDel, 1L)))
+    publishDays(dir, 1, 2L, Seq(listRowSeq(m1, 0, 1L),
+      listRowSeq(mPos, 1, 2L)))
+    val destDir = tmpDir("foreign-rwsync-restore").resolve("dest").toString
+    IcebergImport.convertRewrite(spark, dir.toString, destDir, follow = true)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L, 4L)
+    // v2 (seq 3): f1 removed; the delete file stays in the manifests
+    publishDays(dir, 2, 3L, Seq(listRowSeq(mPos, 1, 2L)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read().count() shouldBe 0
+    // v3 (seq 4): f1 RESTORED at its ORIGINAL sequence (EXISTING entry);
+    // the old delete (seq 2 > 1) still masks it — re-importing without it
+    // would resurrect id 1
+    val m1r = metaDir.resolve("m-1r.avro")
+    writeAvro(m1r, entrySchema2, Seq(
+      entry2(0, f1, 4L, 19723, explicitSeq = 1L, status = 0)))
+    publishDays(dir, 3, 4L, Seq(listRowSeq(m1r, 0, 4L),
+      listRowSeq(mPos, 1, 2L)))
+    IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    LakeTable.forPath(spark, destDir).read()
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L, 4L)
+  }
+
+  test("syncRewrite refuses a destination missing the sequence lineage " +
+    "column (built by an older rewrite) instead of failing mid-sync") {
+    val dir = tmpDir("foreign-rwsync-old").resolve("t")
+    val f1 = rawFile(dir, "f1.parquet", mkDays(Seq(
+      (1L, "2024-01-01 10:00:00", "a"))))
+    val metaDir = dir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m1 = metaDir.resolve("m-1.avro")
+    writeAvro(m1, entrySchema2, Seq(entry2(0, f1, 1L, 19723)))
+    publishDays(dir, 1, 1L, Seq(listRowSeq(m1, 0, 1L)))
+    // a destination shaped like the PRE-sequence-lineage layout: file +
+    // position lineage only, follow properties pointing at the source
+    val destDir = tmpDir("foreign-rwsync-old").resolve("dest").toString
+    LakeTable.create(spark, destDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p_int",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("_src_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_src_pos",
+          org.apache.spark.sql.types.LongType))),
+      partitionColumns = Seq("p_int"),
+      properties = Map(
+        IcebergImport.RewriteFollowKey -> "true",
+        IcebergImport.RewriteSourceKey ->
+          dir.toAbsolutePath.normalize.toString,
+        IcebergImport.RewriteSpecKey -> "p_int:ts:days",
+        IcebergImport.SourceSeqKey -> "0",
+        IcebergImport.SourceMetaVersionKey -> "0",
+        "graft.generated.p_int" -> "CAST(`ts` AS DATE)"))
+    intercept[IllegalArgumentException] {
+      IcebergImport.syncRewrite(spark, dir.toString, destDir)
+    }.getMessage should include("lineage column")
+  }
+
   test("equality-delete scope across SPEC GENERATIONS: a scope implied by " +
     "the equality key applies cross-spec (Flink upsert shape); a genuine " +
     "tuple scope over mixed-spec live files refuses instead of silently " +

@@ -544,6 +544,16 @@ class GraftStreamSourceSpec extends SparkSpec {
     // f3 contributed only its unmasked rows (positions 2..4 = ids 27-29)
     spark.table("gssMirror").select("id").as[Long].collect().sorted shouldBe
       ((0L until 25L) ++ Seq(27L, 28L, 29L)).toArray
+    // remove f3, then a PURE re-add (a Delta RESTORE shape): the re-add
+    // lands as a pure-append sync commit, which must ALSO be suppressed —
+    // its rows were already delivered and never retracted
+    deltaCommit(src, 5, Seq(deltaRemove("f3.parquet")))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    q.processAllAvailable()
+    deltaCommit(src, 6, Seq(deltaAdd(src, "f3.parquet")))
+    graft.migrate.DeltaImport.sync(spark, src.toString)
+    q.processAllAvailable()
+    spark.table("gssMirror").count() shouldBe 28 // no duplicates
     q.stop()
     // followMirror does NOT blanket-accept local DML: a graft-side DELETE
     // (cut-over) still fails the stream

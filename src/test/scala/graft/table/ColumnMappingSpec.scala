@@ -107,6 +107,12 @@ class ColumnMappingSpec extends SparkSpec {
     graft.log.ColumnIds.retiredNames(Map(
       graft.log.ColumnIds.RetiredNamesKey -> "{tags}:3,plain:7")) shouldBe
       Map("{tags}" -> 3L, "plain" -> 7L)
+    // but a CORRUPT (truncated) JSON ledger must not silently legacy-parse
+    // into a garbage name — it fails loudly (review r14, second pass)
+    intercept[IllegalArgumentException] {
+      graft.log.ColumnIds.retiredNames(Map(
+        graft.log.ColumnIds.RetiredNamesKey -> "{\"a\":3"))
+    }.getMessage should include("neither valid JSON")
     // end-to-end: rename a comma-bearing column away, reuse the name, and
     // the marker + ledger machinery keep working
     val t = LakeTable.createFrom(spark,
