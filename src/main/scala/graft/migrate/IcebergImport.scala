@@ -210,7 +210,7 @@ object IcebergImport {
       Option(st.meta.get("table-uuid")).map(_.toString)
         .getOrElse(java.util.UUID.randomUUID().toString),
       root.getFileName.toString, schema.json, st.pcols,
-      LakeTable.normalizeProps(properties) ++ sortAndStatsProps(st) ++
+      LakeTable.normalizeProps(properties) ++ sortAndStatsProps(st, root) ++
         maxIdProp +
         (SourceSeqKey -> st.lastSeq.toString) +
         (SourceMetaVersionKey -> st.metaVersion.toString), now)
@@ -1438,10 +1438,11 @@ object IcebergImport {
     * `stats.<col>.distinctCount` properties (theta blobs only; unknown
     * blob types, compressed payloads, and unreadable files drop — a
     * MISSING statistic is always safe, a mis-decoded one is not). The
-    * sketch bytes themselves are not retained: a re-export of the mirror
-    * publishes fresh statistics only after a graft-side
-    * [[graft.table.LakeTable.analyzeSketches]]. */
-  private def sortAndStatsProps(st: IcebergState): Map[String, String] = {
+    * sketch BYTES carry too, re-written as graft's own `_stats` sidecar,
+    * so a UniForm RE-export of the mirror publishes the statistics
+    * onward without a fresh [[graft.table.LakeTable.analyzeSketches]]
+    * pass — full import → mirror → export symmetry. */
+  private def sortAndStatsProps(st: IcebergState, root: Path): Map[String, String] = {
     val idToName: Map[Int, String] = st.schemaWithIds.fields
       .flatMap(f => ColumnIds.idOf(f).map(_.toInt -> f.name)).toMap
     def maps(o: Object): Seq[java.util.Map[String, Object]] =
@@ -1464,21 +1465,42 @@ object IcebergImport {
     val ndv: Map[String, String] = scala.util.Try {
       val current = Option(st.meta.get("current-snapshot-id"))
         .map(num).getOrElse(-1L)
-      maps(st.meta.get("statistics"))
-        .filter(e => num(e.get("snapshot-id")) == current)
-        .flatMap { e =>
-          val p = Paths.get(
-            Stats.stripScheme(String.valueOf(e.get("statistics-path"))))
-          scala.util.Try(graft.table.Puffin.read(store, p)).getOrElse(Nil)
-            .flatMap { b =>
-              if (b.blobType != graft.table.Puffin.ThetaBlobType ||
-                b.fields.size != 1) Nil
-              else for {
-                name <- idToName.get(b.fields.head).toSeq
-                est <- graft.table.Puffin.thetaEstimate(b.bytes).toSeq
-              } yield s"stats.$name.distinctCount" -> est.toString
-            }
-        }.toMap
+      val sketches: Seq[(String, Array[Byte], Long)] =
+        maps(st.meta.get("statistics"))
+          .filter(e => num(e.get("snapshot-id")) == current)
+          .flatMap { e =>
+            val p = Paths.get(
+              Stats.stripScheme(String.valueOf(e.get("statistics-path"))))
+            scala.util.Try(graft.table.Puffin.read(store, p)).getOrElse(Nil)
+              .flatMap { b =>
+                if (b.blobType != graft.table.Puffin.ThetaBlobType ||
+                  b.fields.size != 1) Nil
+                else for {
+                  name <- idToName.get(b.fields.head).toSeq
+                  est <- graft.table.Puffin.thetaEstimate(b.bytes).toSeq
+                } yield (name, b.bytes, est)
+              }
+          }
+      if (sketches.isEmpty) Map.empty[String, String]
+      else {
+        // carry the SKETCHES, not just their estimates: re-writing them
+        // as graft's own sidecar lets a UniForm RE-export of this mirror
+        // publish the statistics onward without a fresh analyzeSketches
+        // pass (full import -> mirror -> export symmetry)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.createObjectNode()
+        node.put("analyzedAtVersion", -1L)
+        val colsNode = node.putObject("columns")
+        val b64 = java.util.Base64.getEncoder
+        sketches.foreach { case (n, bytes, _) =>
+          colsNode.put(n, b64.encodeToString(bytes)): Unit }
+        val rel = s"_stats/theta-imported-$current.json"
+        store.writeAtomic(root.resolve(rel),
+          mapper.writeValueAsBytes(node), overwrite = true)
+        sketches.map { case (n, _, est) =>
+          s"stats.$n.distinctCount" -> est.toString }.toMap +
+          ("graft.stats.thetaSidecar" -> rel)
+      }
     }.getOrElse(Map.empty)
     cluster ++ ndv
   }

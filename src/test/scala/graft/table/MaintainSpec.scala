@@ -951,5 +951,19 @@ class MaintainSpec extends SparkSpec {
     imported.properties("graft.clusterBy") shouldBe "id"
     imported.properties("stats.id.distinctCount") shouldBe "1000"
     imported.properties("stats.cat.distinctCount") shouldBe "37"
+    // the sketch BYTES carried too: a RE-export of the mirror publishes a
+    // statistics entry again without a fresh analyzeSketches pass
+    imported.properties.keySet should contain("graft.stats.thetaSidecar")
+    imported.generateIcebergMetadata()
+    val hint2 = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim
+    val meta2 = m.readValue(java.nio.file.Files.readAllBytes(
+      metaDir.resolve(s"v$hint2.metadata.json")),
+      classOf[java.util.Map[String, Object]])
+    val stats2 = meta2.get("statistics")
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    stats2.map(_.get("snapshot-id").asInstanceOf[Number].longValue())
+      .toSeq should contain(meta2.get("current-snapshot-id")
+        .asInstanceOf[Number].longValue())
   }
 }
