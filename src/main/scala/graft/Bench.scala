@@ -872,30 +872,39 @@ object Bench {
     // the final line keys queries by their qNN prefix (unique; full names
     // are on BENCH_DETAIL): at 60+ queries the full names alone overflow
     // the ~2000-char tail window and the line degraded to ops-only
-    def finalLine(qfmt: String, opsJsonStr: String): String = {
+    def finalLine(qfmt: String, opsJsonStr: String,
+        withLoad: Boolean = true, withRem: Boolean = true): String = {
       val qsShort = results.map { case (k, v) =>
         s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
         .mkString("{", ",", "}")
       val remShort =
-        if (remeasured.isEmpty) ""
+        if (remeasured.isEmpty || !withRem) ""
         else remeasured.map { case (k, v, _) =>
           s""""${k.split('_').head}":${jshort(v, qfmt)}""" }
           .mkString(""","remeasured":{""", ",", "}") +
           remeasured.map { case (k, _, l) =>
             s""""${k.split('_').head}":${jshort(l, "%.1f")}""" }
             .mkString(""","remeasured_load":{""", ",", "}")
-      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort",$loadJson$remShort}"""
+      val loadField = if (withLoad) s",$loadJson" else ""
+      s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":$qsShort,"ops":$opsJsonStr,"sf":"$sfShort"$loadField$remShort}"""
     }
     // degrade in steps, keeping per-query timings as long as possible:
-    // full precision -> coarse queries -> essential ops -> ops only
+    // full precision -> coarse queries -> drop load (it stays on
+    // BENCH_DETAIL) -> essential ops -> ops only. Budget 1850: the driver
+    // captures ~2000 tail chars and the sbt epilogue is ~70 (r14 — at 121
+    // queries the old 1750 budget overflowed even the essential variant
+    // and the driver would have received an ops-only line with no
+    // per-query timings at all).
     val opsOnlyLine =
       s"""{"metric":"total","value":${jshort(total, "%.2f")},"unit":"sec","queries":{},"ops":$headline,"sf":"$sfShort",$loadJson}"""
     val line = Seq(finalLine("%.2f", headline), finalLine("%.1f", headline),
-        finalLine("%.1f", essentialHeadline))
-      .find(_.length <= 1750)
+        finalLine("%.1f", headline, withLoad = false),
+        finalLine("%.1f", essentialHeadline, withLoad = false),
+        finalLine("%.1f", essentialHeadline, withLoad = false, withRem = false))
+      .find(_.length <= 1850)
       .getOrElse {
         System.err.println("[bench] even the essential final line overflows " +
-          "1750 chars: emitting ops only; per-query timings are on BENCH_DETAIL")
+          "1850 chars: emitting ops only; per-query timings are on BENCH_DETAIL")
         opsOnlyLine
       }
     println(line)

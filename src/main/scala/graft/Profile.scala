@@ -20,6 +20,120 @@ object Profile {
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
     if (args.contains("skew")) { profileSkew(spark); spark.stop(); return }
     if (args.contains("bloom")) { profileBloom(spark, sfDir); spark.stop(); return }
+    if (args.contains("jobs")) {
+      // per-job wall attribution for named queries (r14 optimization):
+      //   runMain graft.Profile /root/testdata/sf0.1 jobs q119 q109
+      // Each query runs twice (rep1 = warmup); rep2's jobs print with their
+      // callSite.short, so the slow step is directly a code line. The gap
+      // between the jobs' summed wall and the query wall is driver-side
+      // work (planning, log replay, commits, footer reads).
+      val wanted = args.filter(a => a.startsWith("q") && a != "jobs")
+      val sc = spark.sparkContext
+      case class J(id: Long, site: String, start: Long, var end: Long = 0L)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Long, J]()
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[J]()
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: SparkListenerSQLExecutionStart =>
+            // root executions only: sub-executions share the root's wall
+            val j = J(s.executionId, s.description.takeWhile(_ != '\n'),
+              System.nanoTime())
+            jobs.put(s.executionId, j); order.add(j): Unit
+          case en: SparkListenerSQLExecutionEnd =>
+            Option(jobs.get(en.executionId)).foreach(_.end = System.nanoTime())
+          case _ =>
+        }
+      })
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int, Long, Long)]()
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
+          stages.add((i.name.takeWhile(_ != '\n'), wall, i.numTasks,
+            i.taskMetrics.executorRunTime,
+            i.taskMetrics.shuffleWriteMetrics.bytesWritten +
+              i.taskMetrics.shuffleReadMetrics.totalBytesRead)): Unit
+        }
+      })
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.exists(w => n == w || n.startsWith(w + "_")) }
+        .foreach { case (n, fn) =>
+          def rep(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          rep() // warmup
+          Thread.sleep(500); jobs.clear(); order.clear(); stages.clear()
+          val wall = rep()
+          Thread.sleep(1000)
+          import scala.jdk.CollectionConverters._
+          val js = order.iterator().asScala.toSeq.filter(_.end > 0)
+          val bySite = js.groupBy(_.site).map { case (s, g) =>
+            (s, g.map(j => (j.end - j.start) / 1e6).sum, g.size) }
+            .toSeq.sortBy(-_._2)
+          println(f"==== $n wall=$wall%.2f s, ${js.size} jobs, " +
+            f"job-sum=${js.map(j => (j.end - j.start) / 1e9).sum}%.2f s")
+          bySite.take(25).foreach { case (site, ms, cnt) =>
+            println(f"  ${ms}%9.0f ms  x$cnt%-4d $site") }
+          val bySt = stages.iterator().asScala.toSeq.groupBy(_._1).map {
+            case (s, g) => (s, g.map(_._2).sum, g.map(_._3).sum,
+              g.map(_._4).sum, g.map(_._5).sum) }.toSeq.sortBy(-_._2)
+          bySt.take(12).foreach { case (st, wallMs, tasks, run, shuf) =>
+            println(f"    stage ${wallMs}%7d ms run=${run}%7d ms " +
+              f"tasks=$tasks%-4d shufMB=${shuf / 1e6}%8.1f  $st") }
+          spark.catalog.clearCache()
+        }
+      spark.stop(); return
+    }
+    if (args.contains("write")) {
+      // decompose one table write: raw parquet vs stageWrite vs full create
+      import graft.table.LakeTable
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+      li.count(): Unit
+      def tmp(n: String) = java.nio.file.Files
+        .createTempDirectory(s"pw-$n").resolve("t").toString
+      (1 to 3).foreach { i =>
+        timed(s"#$i raw parquet write (600k rows)")(
+          li.write.mode("overwrite").parquet(tmp(s"raw$i")))
+        timed(s"#$i raw repartition(8) write")(
+          li.repartition(8).write.mode("overwrite").parquet(tmp(s"rp$i")))
+        timed(s"#$i LakeTable.createFrom")(
+          LakeTable.createFrom(spark, tmp(s"cf$i"), li))
+        val t = LakeTable.create(spark, tmp(s"ap$i"), li.schema)
+        timed(s"#$i append to existing")(t.append(li))
+      }
+      spark.stop(); return
+    }
+    if (args.contains("ab")) {
+      // interleaved A/B of one session conf across named queries:
+      //   runMain graft.Profile <sfDir> ab spark.graft.read.spread q102 q17
+      // Runs (A=false, B=true) rounds back-to-back in one JVM so host drift
+      // cancels (the same discipline as Bench.abSpeedupPct).
+      val confKey = args(args.indexOf("ab") + 1)
+      val wanted = args.filter(a => a.startsWith("q") && a != confKey)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.exists(w => n == w || n.startsWith(w + "_")) }
+        .foreach { case (n, fn) =>
+          def rep(v: Boolean): Double = {
+            spark.conf.set(confKey, v.toString)
+            val t0 = System.nanoTime()
+            noop(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }
+          rep(false); rep(true) // warm both shapes
+          val rounds = (1 to 3).map { _ => (rep(false), rep(true)) }
+          def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          println(f"==== $n $confKey=false ${med(rounds.map(_._1))}%6.2f s   " +
+            f"true ${med(rounds.map(_._2))}%6.2f s   " +
+            f"(rounds ${rounds.map(r => f"${r._1}%.2f/${r._2}%.2f").mkString(" ")})")
+          spark.catalog.clearCache()
+        }
+      spark.stop(); return
+    }
     if (args.contains("explain")) {
       // shuffle audit for named queries (sfDir comes FIRST):
       //   runMain graft.Profile /root/testdata/sf0.01 explain q45 q46

@@ -439,7 +439,7 @@ object MetaOps {
         col(f.name).as(f.name, fid(i + 1L)) }.toIndexedSeq: _*)
     writeOne(dir, odd, "f-odd.parquet")
     IcebergFixture.advance(dir, "f-odd.parquet",
-      orders.filter(col("o_orderkey") % 2 === 1).count())
+      IcebergForeign.rows(dir.resolve("f-odd.parquet")))
     graft.migrate.IcebergImport.sync(spark, dir.toString)
     graft.migrate.IcebergImport.sync(spark, dir.toString) // replay: no-op
     // the foreign writer RENAMES a non-partition column (r13): by-id
@@ -582,6 +582,14 @@ object MetaOps {
       (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
       (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
       (5, "o_orderdate", "timestamp"), (6, "o_orderpriority", "string"))
+    /** Row count of a just-written parquet file, from its footer — the
+      * manifests need the exact record_count, and a driver-side footer
+      * read is ~ms vs a full Spark count() job per slice (r14: q119 spent
+      * ~0.6 s in four such counts; the footer count is the same number by
+      * construction — it counts the file the manifest entry describes). */
+    def rows(p: java.nio.file.Path): Long =
+      graft.log.Stats.fromFooters(Seq(p),
+        org.apache.spark.sql.types.StructType(Nil))(p.toString)._1
     /** Stamp parquet field ids 1..N onto `df`'s columns. */
     def withIds(df: DataFrame): DataFrame = {
       def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
@@ -614,8 +622,8 @@ object MetaOps {
     val metaDir = dir.resolve("metadata")
     Files.createDirectories(metaDir)
     val mData = manifest(metaDir, "m-data.avro", Seq(
-      entry(0, dir.resolve("f0.parquet"), slice(0).count()),
-      entry(0, dir.resolve("f2.parquet"), slice(2).count())))
+      entry(0, dir.resolve("f0.parquet"), rows(dir.resolve("f0.parquet"))),
+      entry(0, dir.resolve("f2.parquet"), rows(dir.resolve("f2.parquet")))))
     publish(dir, ordersFields, ("od_day", "days", 5),
       Seq((mData, 0, 1L, 0)), lastSeq = 1L)
     val dest = Files.createTempDirectory("graft-iceberg-rewrite-dest")
@@ -650,12 +658,14 @@ object MetaOps {
       orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")),
       "del-eq.parquet")
     val mEven = manifest(metaDir, "m-even.avro",
-      Seq(entry(0, dir.resolve("f-even.parquet"), even.count())))
+      Seq(entry(0, dir.resolve("f-even.parquet"),
+        rows(dir.resolve("f-even.parquet")))))
     val mOdd = manifest(metaDir, "m-odd.avro",
-      Seq(entry(0, dir.resolve("f-odd.parquet"), odd.count())))
+      Seq(entry(0, dir.resolve("f-odd.parquet"),
+        rows(dir.resolve("f-odd.parquet")))))
     val mEq = manifest(metaDir, "m-eq.avro",
       Seq(entry(2, metaDir.resolve("del-eq.parquet"),
-        orders.filter(col("o_orderkey") % 7 === 0).count(), eqIds = Seq(1))))
+        rows(metaDir.resolve("del-eq.parquet")), eqIds = Seq(1))))
     // the equality delete rides the UNPARTITIONED spec (id 1): table-wide
     // scope, the real Flink-CDC global-delete shape
     publish(dir, ordersFields, ("ck_bucket", "bucket[8]", 2),
@@ -694,9 +704,11 @@ object MetaOps {
     val metaDir = dir.resolve("metadata")
     Files.createDirectories(metaDir)
     val mA = manifest(metaDir, "m-even-a.avro",
-      Seq(entry(0, dir.resolve("f-even-a.parquet"), evenA.count())))
+      Seq(entry(0, dir.resolve("f-even-a.parquet"),
+        rows(dir.resolve("f-even-a.parquet")))))
     val mB = manifest(metaDir, "m-even-b.avro",
-      Seq(entry(0, dir.resolve("f-even-b.parquet"), evenB.count())))
+      Seq(entry(0, dir.resolve("f-even-b.parquet"),
+        rows(dir.resolve("f-even-b.parquet")))))
     publish(dir, ordersFields, ("od_day", "days", 5),
       Seq((mA, 0, 1L, 0), (mB, 0, 1L, 0)), lastSeq = 1L)
     val dest = Files.createTempDirectory("graft-iceberg-rwsync-dest")
@@ -711,10 +723,11 @@ object MetaOps {
       .select("o_orderkey")
     writeOne(metaDir, withIds(delKeys), "del-eq.parquet")
     val mOdd = manifest(metaDir, "m-odd.avro",
-      Seq(entry(0, dir.resolve("f-odd.parquet"), odd.count())))
+      Seq(entry(0, dir.resolve("f-odd.parquet"),
+        rows(dir.resolve("f-odd.parquet")))))
     val mEq = manifest(metaDir, "m-eq.avro",
-      Seq(entry(2, metaDir.resolve("del-eq.parquet"), delKeys.count(),
-        eqIds = Seq(1))))
+      Seq(entry(2, metaDir.resolve("del-eq.parquet"),
+        rows(metaDir.resolve("del-eq.parquet")), eqIds = Seq(1))))
     publish(dir, ordersFields, ("od_day", "days", 5),
       Seq((mA, 0, 1L, 0), (mEq, 1, 2L, 1), (mOdd, 0, 3L, 0)),
       lastSeq = 3L, version = 2L)

@@ -300,10 +300,16 @@ object ZOrder {
 
   def zvalue(df: DataFrame, cols: Seq[(Column, DataType)]): Column = {
     val k = cols.size
+    // bucket expressions hoisted OUT of the bit loop: buckets() runs the
+    // global min/max bounds aggregation, and evaluating it per bit ran
+    // that driver agg job 8× per z-order (r14: measured 8 identical
+    // `collect at Maintain.scala` jobs, ~0.6 s of the q16 gate; one is
+    // enough — the expressions are pure given the bounds)
+    val bs = buckets(df, cols).zipWithIndex
     // interleave: bit b of column i lands at position b*k + i
     val terms = for {
       b <- 0 until Bits
-      (bc, i) <- buckets(df, cols).zipWithIndex
+      (bc, i) <- bs
     } yield shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * k + i)
     terms.reduce(_ bitwiseOR _)
   }

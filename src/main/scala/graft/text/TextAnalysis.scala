@@ -448,9 +448,19 @@ object TextAnalysis {
     queries.select(col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
 
-  /** Shared Okapi scorer over a postings frame: per-(query, doc, term)
-    * partial scores in integer MICRO-units (exact, fold-order-free),
-    * broadcast query/df joins, per-query top-k window. */
+  /** Shared Okapi scorer over a postings frame: per-(doc, term) partial
+    * scores in integer MICRO-units (exact, fold-order-free), broadcast
+    * query/df joins, per-query top-k window.
+    *
+    * The micro-unit partial score depends only on (doc, term) — (tf, len,
+    * df) carry no query variable — so it is computed ONCE per posting
+    * BEFORE the query-membership join (r14: it used to be evaluated per
+    * (query, doc, term) joined row; with full-document queries over a
+    * Zipfy vocabulary that join fans each posting out to most queries, so
+    * the log()/division ran tens of times per posting and the blown-up
+    * rows carried (tf, len, df) they no longer needed). Values and sums
+    * are bit-identical: same floor/rounding per (doc, term), same
+    * integer addition order-freedom. */
   private def okapiTopK(
       dt: DataFrame, qe: DataFrame, dfQ: DataFrame,
       n: Long, total: Long, k: Int, k1: Double, b: Double): DataFrame = {
@@ -459,8 +469,9 @@ object TextAnalysis {
     val tfn = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avg))
     val micro = floor(idf * tfn * 1e6 + 0.5).cast("long")
-    val sc = dt.join(broadcast(qe), "term").join(broadcast(dfQ), "term")
-      .withColumn("micro", micro)
+    val scored = dt.join(broadcast(dfQ), "term")
+      .select(col("term"), col("doc_id"), micro.as("micro"))
+    val sc = scored.join(broadcast(qe), "term")
       .groupBy("query_id", "doc_id")
       .agg(round(sum("micro") / 1e6, 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
