@@ -17,6 +17,45 @@ object Profile {
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("cluster")) {
+      // decompose the 2-d cluster rewrite: key expression vs shuffle vs
+      // write, z-order vs hilbert (r14: bench hilbert_sec ran 7.5x
+      // zorder_sec on the same data)
+      import graft.table.LakeTable
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+      val li4 = li.union(li).union(li).union(li)
+      val liBig = li4.union(li4).union(li4).union(li4)
+      liBig.count(): Unit
+      def tmp(n: String) = java.nio.file.Files
+        .createTempDirectory(s"pc-$n").resolve("t").toString
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { i =>
+        val tz = LakeTable.createFrom(spark, tmp(s"z$i"), liBig)
+        timed(s"#$i optimizeZOrder 2d")(
+          tz.optimizeZOrder(Seq("l_partkey", "l_suppkey"),
+            targetFileSize = 16L * 1024 * 1024))
+        val th = LakeTable.createFrom(spark, tmp(s"h$i"), liBig)
+        timed(s"#$i optimizeHilbert 2d")(
+          th.optimizeHilbert(Seq("l_partkey", "l_suppkey"),
+            targetFileSize = 16L * 1024 * 1024))
+        val tk = LakeTable.createFrom(spark, tmp(s"k$i"), liBig)
+        val df = tk.read()
+        val typed = Seq(col("l_partkey") -> df.schema("l_partkey").dataType,
+          col("l_suppkey") -> df.schema("l_suppkey").dataType)
+        timed(s"#$i zvalue noop")(
+          noop(df.withColumn("__z", graft.table.ZOrder.zvalue(df, typed))))
+        timed(s"#$i hvalue noop")(
+          noop(df.withColumn("__z", graft.table.ZOrder.hvalue(df, typed))))
+        timed(s"#$i zvalue rangepartition noop")(
+          noop(df.withColumn("__z", graft.table.ZOrder.zvalue(df, typed))
+            .repartitionByRange(12, col("__z")).sortWithinPartitions("__z")))
+        timed(s"#$i hvalue rangepartition noop")(
+          noop(df.withColumn("__z", graft.table.ZOrder.hvalue(df, typed))
+            .repartitionByRange(12, col("__z")).sortWithinPartitions("__z")))
+      }
+      spark.stop(); return
+    }
     if (args.contains("merge")) { profileMerge(spark); spark.stop(); return }
     if (args.contains("skew")) { profileSkew(spark); spark.stop(); return }
     if (args.contains("bloom")) { profileBloom(spark, sfDir); spark.stop(); return }
